@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator from SURVEY §2
+  * (materializations, data-quality tests, the cross-db function surface,
+  * and the training-data-pipeline extensions); [[oracleSql]] carries the
+  * DuckDB-equivalent SQL for the driver's correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.all
+
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles
+
+  /** Queries intentionally without a DuckDB oracle (non-SQL-expressible);
+    * the driver records a weaker rows-only check for these. */
+  def rowsOnlyChecked: Set[String] = Set.empty
 }
