@@ -17,10 +17,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all
+    CoreQueries.all ++ MatQueries.all
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ MatQueries.oracles
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible);
     * the driver records a weaker rows-only check for these. */

@@ -1,0 +1,125 @@
+package graft.materializations
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.relations.RelationManager
+
+/** Materialization strategies (SURVEY §2.1) — the reference's Jinja
+  * dataflow macros re-expressed as DataFrame algebra.
+  *
+  * Each takes the *built* model DataFrame (lazily constructed — nothing
+  * executes until the terminal write action) and reconciles it with the
+  * target relation. All writes go through RelationManager's staged swap.
+  */
+object Materializations {
+
+  /** view — session-registered lazy relation
+    * (reference: manifest.json §materialization_view_default). */
+  def view(rm: RelationManager, rel: Relation, df: DataFrame): Unit =
+    rm.registerView(rel, df)
+
+  /** table — CTAS with intermediate+swap
+    * (reference: manifest.json §materialization_table_default). */
+  def table(rm: RelationManager, rel: Relation, df: DataFrame,
+            partitionBy: Seq[String] = Nil): Unit =
+    rm.writeTable(df, rel, partitionBy)
+
+  /** seed — typed CSV load (reference: §materialization_seed_default,
+    * §default__load_csv_rows; agate load core/dbt/context/providers.py:1082).
+    * Spark-native: one distributed csv read, no 10k-row insert batches. */
+  def seed(rm: RelationManager, rel: Relation, csv: String,
+           columnTypes: Map[String, String] = Map.empty): Unit = {
+    val spark = rm.spark
+    import spark.implicits._
+    val ds = spark.createDataset(csv.trim.split("\n").toSeq)
+    var reader = spark.read.option("header", "true").option("inferSchema", "true")
+    val df = reader.csv(ds)
+    val typed = columnTypes.foldLeft(df) { case (acc, (c, t)) =>
+      acc.withColumn(c, col(c).cast(t))
+    }
+    rm.writeTable(typed, rel)
+  }
+
+  // ---------------------------------------------------------------- incremental
+
+  /** incremental flow (reference: §materialization_incremental_default):
+    * first run = CTAS; full_refresh = CTAS; else reconcile schema per
+    * on_schema_change, then apply the configured strategy. */
+  def incremental(
+      rm: RelationManager,
+      rel: Relation,
+      build: Boolean => DataFrame, // arg = isIncremental
+      config: NodeConfig): Unit = {
+    val strategy = config.incrementalStrategy.getOrElse("append")
+    if (!rm.exists(rel) || config.fullRefresh) {
+      rm.writeTable(build(false), rel, config.partitionBy)
+    } else {
+      val newDf = rm.reconcileSchema(build(true), rel, config.onSchemaChange)
+      strategy match {
+        case "append" =>
+          // §get_incremental_append_sql → plain insert
+          rm.appendTable(newDf, rel)
+        case "merge" =>
+          mergeInto(rm, rel, newDf, config.uniqueKey, updateColumns = Nil)
+        case "delete+insert" =>
+          deleteInsert(rm, rel, newDf, config.uniqueKey)
+        case "insert_overwrite" =>
+          require(config.partitionBy.nonEmpty, "insert_overwrite needs partition_by")
+          rm.overwritePartitions(newDf, rel, config.partitionBy)
+        case other => throw new IllegalArgumentException(s"incremental_strategy: $other")
+      }
+    }
+  }
+
+  /** MERGE INTO on a parquet table (reference:
+    * manifest.json §default__get_merge_sql): matched rows take source
+    * values (optionally only `updateColumns`), unmatched source rows
+    * insert, unmatched target rows persist. No unique key → insert-only
+    * (`ON FALSE`), i.e. append.
+    *
+    * Scale: three joins on the same key set — Catalyst/AQE plans them as
+    * one shuffle of each side reused across the joins; the rewrite is a
+    * full overwrite, which is the honest cost of MERGE on an immutable
+    * format (Delta/Iceberg would make it a file-level rewrite instead). */
+  def mergeInto(rm: RelationManager, rel: Relation, source: DataFrame,
+                uniqueKey: Seq[String], updateColumns: Seq[String]): Unit = {
+    if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
+    val target = rm.read(rel)
+    val cols = target.columns.toSeq
+    val untouched = target.join(source, uniqueKey, "left_anti")
+    val inserted = source.join(target, uniqueKey, "left_anti").select(cols.map(col): _*)
+    val updated = {
+      val t = target.as("t"); val s = source.as("s")
+      val cond = uniqueKey.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val updateSet = if (updateColumns.nonEmpty) updateColumns.toSet
+                      else cols.toSet -- uniqueKey
+      t.join(s, cond, "inner").select(cols.map { c =>
+        (if (updateSet(c)) col(s"s.$c") else col(s"t.$c")).as(c)
+      }: _*)
+    }
+    rm.writeTable(untouched.unionByName(updated).unionByName(inserted), rel)
+  }
+
+  /** delete+insert strategy (reference: §default__get_delete_insert_merge_sql):
+    * delete target rows whose key appears in source (plus optional
+    * incremental_predicates), then insert all source rows. */
+  def deleteInsert(rm: RelationManager, rel: Relation, source: DataFrame,
+                   uniqueKey: Seq[String],
+                   incrementalPredicates: Seq[Column] = Nil): Unit = {
+    if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
+    val target = rm.read(rel)
+    val keys = source.select(uniqueKey.map(col): _*).distinct()
+    // deleted = key IN (src keys) AND all predicates → kept is the rest
+    val keyMiss = target.join(keys, uniqueKey, "left_anti")
+    val kept =
+      if (incrementalPredicates.isEmpty) keyMiss
+      else {
+        val pred = incrementalPredicates.reduce(_ && _)
+        val predFails = target.join(keys, uniqueKey, "left_semi")
+          .filter(!coalesce(pred, lit(false)))
+        keyMiss.unionByName(predFails)
+      }
+    rm.writeTable(kept.unionByName(source.select(target.columns.map(col): _*)), rel)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.materializations
+
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import graft.core.Relation
+import graft.relations.RelationManager
+import graft.functions.SqlFunctions
+
+/** SCD-2 snapshot materialization (SURVEY §2.1) — pure DataFrame algebra
+  * port of the reference's staging dataflow:
+  * manifest.json §materialization_snapshot_default,
+  * §default__snapshot_staging_table (insertions = left-outer-join where
+  * null-or-changed; updates = inner-join where changed; deletes =
+  * anti-join), §default__build_snapshot_table, §default__snapshot_merge_sql;
+  * config core/dbt/artifacts/resources/v1/snapshot.py:11-78.
+  *
+  * Meta columns: dbt_scd_id, dbt_valid_from, dbt_valid_to, dbt_updated_at,
+  * dbt_is_deleted — same names as the reference so downstream models port
+  * unchanged.
+  *
+  * The merge is realized as a full overwrite of the snapshot table
+  * (closed-rows ∪ new-rows ∪ untouched-rows): on an immutable columnar
+  * store that IS the minimal write; snapshots are dimension-sized, not
+  * fact-sized, so the rewrite is cheap relative to the fact pipeline.
+  */
+object Snapshot {
+
+  sealed trait Strategy {
+    /** Predicate: does the source row differ from the snapshotted row?
+      * Operates on a joined frame with `s` (source) / `t` (target) aliases. */
+    def rowChanged(sourceCols: Seq[String], checkCols: Seq[String]): Column
+    /** The valid_from / updated_at value for a source row. */
+    def updatedAt: Column
+    def scdId(key: Seq[String]): Column
+  }
+
+  /** timestamp strategy (reference: manifest.json §snapshot_timestamp_strategy):
+    * changed iff snapshotted.dbt_valid_from < source.updated_at. */
+  final case class TimestampStrategy(updatedAtCol: String) extends Strategy {
+    def rowChanged(sourceCols: Seq[String], checkCols: Seq[String]): Column =
+      col(s"t.dbt_valid_from") < col(s"s.$updatedAtCol")
+    def updatedAt: Column = col(updatedAtCol).cast(TimestampType)
+    def scdId(key: Seq[String]): Column =
+      SqlFunctions.hashRow(key.map(col) :+ col(updatedAtCol))
+  }
+
+  /** check strategy (reference: §snapshot_check_strategy): changed iff any
+    * check column differs (null-safe); `checkCols == all` is resolved by
+    * the caller from the source schema (§snapshot_check_all_get_existing_columns).
+    * updated_at := the injected deterministic snapshot time. */
+  final case class CheckStrategy(snapshotAt: Instant) extends Strategy {
+    def rowChanged(sourceCols: Seq[String], checkCols: Seq[String]): Column =
+      checkCols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
+    def updatedAt: Column = lit(java.sql.Timestamp.from(snapshotAt))
+    def scdId(key: Seq[String]): Column =
+      SqlFunctions.hashRow(key.map(col) :+ lit(java.sql.Timestamp.from(snapshotAt)).cast(TimestampType))
+  }
+
+  /** Build the first snapshot (reference: §default__build_snapshot_table). */
+  def firstSnapshot(source: DataFrame, key: Seq[String], strategy: Strategy): DataFrame =
+    source
+      .withColumn("dbt_updated_at", strategy.updatedAt)
+      .withColumn("dbt_valid_from", strategy.updatedAt)
+      .withColumn("dbt_valid_to", lit(null).cast(TimestampType))
+      .withColumn("dbt_scd_id", strategy.scdId(key))
+      .withColumn("dbt_is_deleted", lit(false))
+
+  /** Apply one snapshot run against the existing snapshot table. */
+  def apply(
+      rm: RelationManager,
+      rel: Relation,
+      source: DataFrame,
+      key: Seq[String],
+      strategy: Strategy,
+      checkCols: Seq[String] = Nil,
+      invalidateHardDeletes: Boolean = false,
+      hardDeleteAt: Option[Instant] = None): Unit = {
+
+    if (!rm.exists(rel)) { rm.writeTable(firstSnapshot(source, key, strategy), rel); return }
+
+    val snap = rm.read(rel)
+    val current = snap.filter(col("dbt_valid_to").isNull && !col("dbt_is_deleted"))
+    val history = snap.filter(col("dbt_valid_to").isNotNull || col("dbt_is_deleted"))
+    val sourceCols = source.columns.toSeq
+    val effCheckCols = if (checkCols == Seq("all")) sourceCols.filterNot(key.contains) else checkCols
+
+    val s = source.as("s")
+    val t = current.as("t")
+    val keyCond = key.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
+    val changed = strategy.rowChanged(sourceCols, effCheckCols)
+
+    // insertions: brand-new keys OR changed rows → open a new version
+    val newKeys = s.join(t, keyCond, "left_anti")
+    val changedSource = s.join(t, keyCond, "inner").filter(changed)
+      .select(sourceCols.map(c => col(s"s.$c")): _*)
+    val insertions = firstSnapshot(
+      newKeys.select(sourceCols.map(col): _*).unionByName(changedSource), key, strategy)
+
+    // updates: close the current version of changed rows at the source's
+    // new updated_at (timestamp) / snapshot time (check)
+    val tcols = snap.columns.toSeq
+    val closedChanged = t.join(s, keyCond, "inner").filter(changed)
+      .select(tcols.map {
+        case "dbt_valid_to" => strategy match {
+          case TimestampStrategy(u) => col(s"s.$u").cast(TimestampType).as("dbt_valid_to")
+          case CheckStrategy(at)    => lit(java.sql.Timestamp.from(at)).as("dbt_valid_to")
+        }
+        case c => col(s"t.$c").as(c)
+      }: _*)
+
+    // unchanged current rows keep their open version
+    val unchangedCurrent = t.join(s, keyCond, "inner").filter(!changed)
+      .select(tcols.map(c => col(s"t.$c").as(c)): _*)
+
+    // hard deletes: current rows whose key vanished from source
+    val goneKeys = t.join(s, keyCond, "left_anti")
+    val (closedDeleted, untouchedCurrent) =
+      if (invalidateHardDeletes) {
+        val at = hardDeleteAt.getOrElse(Instant.now())
+        val closed = goneKeys.select(tcols.map {
+          case "dbt_valid_to"   => lit(java.sql.Timestamp.from(at)).as("dbt_valid_to")
+          case "dbt_is_deleted" => lit(true).as("dbt_is_deleted")
+          case c                => col(s"t.$c").as(c)
+        }: _*)
+        (closed, unchangedCurrent)
+      } else {
+        (rm.spark.createDataFrame(
+          rm.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema),
+          unchangedCurrent.unionByName(goneKeys.select(tcols.map(c => col(s"t.$c").as(c)): _*)))
+      }
+
+    val result = history
+      .unionByName(untouchedCurrent)
+      .unionByName(closedChanged)
+      .unionByName(closedDeleted)
+      .unionByName(insertions.select(tcols.map(col): _*))
+    rm.writeTable(result, rel)
+  }
+}

@@ -1,0 +1,221 @@
+package graft.runner
+
+import java.time.Instant
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.compile.TemplateResolver
+import graft.materializations.{Materializations, Snapshot}
+import graft.quality.GenericTests
+import graft.relations.RelationManager
+
+/** Node execution result (reference: run_results.json schema,
+  * core/dbt/artifacts/schemas/run/). */
+final case class RunResult(
+    uniqueId: String,
+    status: String, // success | fail | warn | error | skipped
+    startedAt: Instant,
+    completedAt: Instant,
+    message: String = "") {
+  def executionSeconds: Double =
+    (completedAt.toEpochMilli - startedAt.toEpochMilli) / 1000.0
+}
+
+/** The DAG executor (reference: core/dbt/task/runnable.py:408-520
+  * execute_nodes + core/dbt/task/run.py:195-335 ModelRunner).
+  *
+  * Steps 1-5 of the reference lifecycle (SURVEY §3.1) are driver-side:
+  * parse → manifest → link → select → schedule. Step 6's execution
+  * boundary (`adapter.execute`) becomes a Spark action: the
+  * driver→executor boundary replaces the client→warehouse boundary and
+  * Catalyst replaces the warehouse planner.
+  *
+  * `threads` maps dbt's --threads: concurrent nodes become concurrent
+  * Spark jobs sharing the session (FAIR scheduling lets independent
+  * subtrees overlap shuffle/IO).
+  */
+final class Runner(
+    spark: SparkSession,
+    rm: RelationManager,
+    manifest: Manifest,
+    vars: Map[String, String] = Map.empty,
+    defaultSchema: String = "main",
+    database: String = "graft",
+    threads: Int = 4,
+    fullRefresh: Boolean = false) {
+
+  /** generate_schema_name / generate_alias_name naming policy
+    * (reference: manifest.json §generate_schema_name, §generate_alias_name). */
+  def relationFor(n: Node): Relation = Relation(
+    database = n.config.database.getOrElse(database),
+    schema = n.config.schema.getOrElse(defaultSchema),
+    identifier = n.config.alias.getOrElse(n.name),
+    relType = if (n.config.materialized == "view") "view" else "table")
+
+  private def sqlNameFor(n: Node): String = relationFor(n).viewName
+
+  /** Compile a SQL node: render refs/sources and recursively inline
+    * ephemeral deps as CTEs (reference: Compiler._recursively_prepend_ctes
+    * core/dbt/compilation.py:493-587, inject_ctes_into_sql :761-829). */
+  def compileSql(node: Node, isIncremental: Boolean = false): String = {
+    val cteNames = collection.mutable.LinkedHashMap.empty[String, String]
+    def resolveRef(name: String): String = {
+      val dep = manifest.byName(name).getOrElse(
+        throw new NoSuchElementException(s"unknown ref '$name'"))
+      if (dep.isEphemeral) {
+        val cte = s"__graft_cte__${dep.name}"
+        if (!cteNames.contains(cte)) {
+          val depSql = dep.code match {
+            case Some(SqlCode(sql)) => renderBody(sql, dep, isIncremental = false)
+            case _ => throw new IllegalStateException(s"ephemeral ${dep.name} must be SQL")
+          }
+          cteNames += cte -> depSql
+        }
+        cte
+      } else sqlNameFor(dep)
+    }
+    def renderBody(sql: String, n: Node, isIncremental: Boolean): String =
+      TemplateResolver.render(sql, TemplateResolver.Context(
+        resolveRef = resolveRef,
+        resolveSource = (s, t) => s"${s}_$t", // sources registered as <source>_<table> views
+        thisRelation = sqlNameFor(n),
+        vars = vars,
+        isIncremental = isIncremental))
+    val body = node.code match {
+      case Some(SqlCode(sql)) => renderBody(sql, node, isIncremental)
+      case _ => throw new IllegalStateException(s"${node.name} is not a SQL node")
+    }
+    if (cteNames.isEmpty) body
+    else cteNames.map { case (n, s) => s"$n as (\n$s\n)" }
+      .mkString("with ", ",\n", s"\n$body")
+  }
+
+  /** Build (but don't execute) a node's DataFrame. */
+  def buildDf(node: Node, isIncremental: Boolean = false): DataFrame = node.code match {
+    case Some(SqlCode(_)) => spark.sql(compileSql(node, isIncremental))
+    case Some(NativeCode(fn)) =>
+      val deps = node.dependsOn.flatMap(manifest.get).map { d =>
+        d.name -> (if (d.isEphemeral) buildDf(d) else rm.spark.table(sqlNameFor(d)))
+      }.toMap
+      fn(spark, deps)
+    case None => throw new IllegalStateException(s"${node.name} has no code")
+  }
+
+  private def runNode(node: Node): RunResult = {
+    val start = Instant.now()
+    try {
+      node.nodeType match {
+        case NodeType.Model | NodeType.Snapshot | NodeType.Seed =>
+          val rel = relationFor(node)
+          node.config.materialized match {
+            case "view" =>
+              Materializations.view(rm, rel, buildDf(node))
+            case "table" | "materialized_view" =>
+              // materialized_view on parquet = table + full recompute (SURVEY §2.1)
+              Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
+            case "ephemeral" => () // never materialized; inlined by consumers
+            case "incremental" =>
+              Materializations.incremental(rm, rel,
+                inc => buildDf(node, isIncremental = inc),
+                node.config.copy(fullRefresh = fullRefresh || node.config.fullRefresh))
+            case other =>
+              throw new IllegalArgumentException(s"materialized: $other")
+          }
+          RunResult(node.uniqueId, "success", start, Instant.now())
+        case NodeType.Test =>
+          val failing = buildDf(node)
+          val (_, res) = GenericTests.wrap(failing, GenericTests.TestConfig(
+            severity = node.config.severity,
+            warnIf = node.config.warnIf,
+            errorIf = node.config.errorIf,
+            failCalc = node.config.failCalc,
+            limit = node.config.limit))
+          val status =
+            if (res.shouldError && node.config.severity == "error") "fail"
+            else if (res.shouldWarn || res.shouldError) "warn"
+            else "pass"
+          RunResult(node.uniqueId, status, start, Instant.now(),
+            s"${res.failures} failures")
+        case _ =>
+          RunResult(node.uniqueId, "success", start, Instant.now(), "no-op")
+      }
+    } catch {
+      case e: Throwable =>
+        RunResult(node.uniqueId, "error", start, Instant.now(),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  }
+
+  /** Execute selected nodes in DAG order with `threads` concurrency;
+    * failures skip descendants (reference: runnable.py:70
+    * mark_node_as_skipped). `withTestEdges` adds build-style test→child
+    * blocking (compilation.py:210-340). */
+  def run(select: Seq[String] = Nil, exclude: Seq[String] = Nil,
+          withTestEdges: Boolean = false): Seq[RunResult] = {
+    val selected0 = Selector.select(manifest, select, exclude)
+    val selected = selected0.filter(id => NodeType.executable(manifest(id).nodeType))
+    val mf =
+      if (!withTestEdges) manifest
+      else {
+        val extra = manifest.testEdges
+        Manifest(manifest.nodes.map { case (id, n) =>
+          val blockers = extra.collect { case (t, c) if c == id => t }
+          id -> n.copy(dependsOn = (n.dependsOn ++ blockers).distinct)
+        })
+      }
+    val queue = new GraphQueue(mf, selected)
+    val results = new ConcurrentHashMap[String, RunResult]()
+    val pool = Executors.newFixedThreadPool(threads)
+    val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new Object
+
+    def pump(): Unit = {
+      var next = queue.poll()
+      while (next.isDefined) {
+        val id = next.get
+        pending.incrementAndGet()
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val r = runNode(mf(id))
+            results.put(id, r)
+            if (r.status == "error" || r.status == "fail") {
+              val skipped = queue.markFailed(id)
+              skipped.foreach { s =>
+                results.put(s, RunResult(s, "skipped", Instant.now(), Instant.now(),
+                  s"upstream ${mf(id).name} ${r.status}"))
+              }
+            } else queue.markDone(id)
+            pending.decrementAndGet()
+            done.synchronized { done.notifyAll() }
+            pump()
+          }
+        })
+        next = queue.poll()
+      }
+    }
+
+    pump()
+    done.synchronized {
+      while (!queue.finished || pending.get() > 0) done.wait(50)
+    }
+    pool.shutdown()
+    pool.awaitTermination(1, TimeUnit.HOURS)
+    // deterministic report order
+    results.values().asScala.toSeq.sortBy(_.uniqueId)
+  }
+
+  /** Write run_results.json (reference:
+    * core/dbt/artifacts/schemas/run/ run_results.json). */
+  def writeRunResults(results: Seq[RunResult], path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val rows = results.map { r =>
+      s"""{"unique_id":${q(r.uniqueId)},"status":${q(r.status)},""" +
+        s""""execution_time":${r.executionSeconds},"message":${q(r.message)}}"""
+    }
+    val json = s"""{"results":[${rows.mkString(",")}],""" +
+      s""""elapsed_time":${results.map(_.executionSeconds).sum},""" +
+      s""""generated_at":${q(Instant.now().toString)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.compile.TemplateResolver
+
+class DagSpec extends AnyFunSuite {
+  test("toposort orders parents first and is deterministic") {
+    val parents = Map("c" -> Seq("a", "b"), "b" -> Seq("a"), "a" -> Seq.empty[String], "d" -> Seq("c"))
+    val order = Dag.topoSort(parents)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("c"))
+    assert(order.indexOf("c") < order.indexOf("d"))
+    assert(order == Dag.topoSort(parents))
+  }
+
+  test("cycle detection throws") {
+    val parents = Map("a" -> Seq("b"), "b" -> Seq("a"))
+    assertThrows[IllegalStateException](Dag.topoSort(parents))
+  }
+
+  test("ancestors/descendants with depth bounds") {
+    val parents = Map("d" -> Seq("c"), "c" -> Seq("b"), "b" -> Seq("a"), "a" -> Seq.empty[String])
+    assert(Dag.ancestors(parents, "d") == Set("a", "b", "c"))
+    assert(Dag.ancestors(parents, "d", 1) == Set("c"))
+    assert(Dag.ancestors(parents, "d", 2) == Set("b", "c"))
+  }
+}
+
+class SelectorSpec extends AnyFunSuite {
+  private def model(name: String, deps: Seq[String] = Nil, tags: Set[String] = Set.empty) =
+    Node(NodeType.Model, "pkg", name, config = NodeConfig(tags = tags),
+      dependsOn = deps.map(d => s"model.pkg.$d"), fqn = Seq("pkg", name))
+
+  private val m = Manifest(Seq(
+    model("a"), model("b", Seq("a"), tags = Set("gold")),
+    model("c", Seq("b")), model("stg_x"), model("stg_y", Seq("stg_x"))))
+
+  test("bare name selects one node") {
+    assert(Selector.select(m, Seq("b")) == Set("model.pkg.b"))
+  }
+  test("graph operators expand") {
+    assert(Selector.select(m, Seq("+b")) == Set("model.pkg.a", "model.pkg.b"))
+    assert(Selector.select(m, Seq("b+")) == Set("model.pkg.b", "model.pkg.c"))
+    assert(Selector.select(m, Seq("1+c")) == Set("model.pkg.b", "model.pkg.c"))
+    assert(Selector.select(m, Seq("@a")) == Set("model.pkg.a", "model.pkg.b", "model.pkg.c"))
+  }
+  test("methods and globs") {
+    assert(Selector.select(m, Seq("tag:gold")) == Set("model.pkg.b"))
+    assert(Selector.select(m, Seq("stg_*")) == Set("model.pkg.stg_x", "model.pkg.stg_y"))
+    assert(Selector.select(m, Seq("resource_type:model")).size == 5)
+  }
+  test("union, intersection, exclusion") {
+    assert(Selector.select(m, Seq("a b")) == Set("model.pkg.a", "model.pkg.b"))
+    assert(Selector.select(m, Seq("+c,tag:gold")) == Set("model.pkg.b"))
+    assert(Selector.select(m, Seq("stg_*"), exclude = Seq("stg_y")) == Set("model.pkg.stg_x"))
+  }
+  test("state:modified vs previous manifest") {
+    val prev = Manifest(m.nodes.map { case (id, n) =>
+      id -> (if (n.name == "b") n.copy(checksum = "changed") else n)
+    })
+    assert(Selector.select(m, Seq("state:modified"), previousState = Some(prev)) == Set("model.pkg.b"))
+  }
+  test("property: expansion is monotone — bare selection subset of +sel+") {
+    for (n <- Seq("a", "b", "c", "stg_x", "stg_y")) {
+      val base = Selector.select(m, Seq(n))
+      val plus = Selector.select(m, Seq(s"+$n+"))
+      assert(base.subsetOf(plus), n)
+    }
+  }
+}
+
+class TemplateResolverSpec extends AnyFunSuite {
+  private val ctx = TemplateResolver.Context(
+    resolveRef = n => s"main__$n",
+    resolveSource = (s, t) => s"${s}_$t",
+    thisRelation = "main__me",
+    vars = Map("cutoff" -> "'1995-01-01'"),
+    env = Map("REGION" -> "emea"))
+
+  test("ref/source/this/var/env_var render") {
+    val sql = """select * from {{ ref('orders_stg') }}
+                | join {{ source('tpch', 'nation') }} using (k)
+                | where d > {{ var('cutoff') }} and r = '{{ env_var('REGION') }}'
+                | and x not in (select x from {{ this }})""".stripMargin
+    val out = TemplateResolver.render(sql, ctx)
+    assert(out.contains("from main__orders_stg"))
+    assert(out.contains("join tpch_nation"))
+    assert(out.contains("> '1995-01-01'"))
+    assert(out.contains("r = 'emea'"))
+    assert(out.contains("select x from main__me"))
+  }
+
+  test("is_incremental block included only when incremental") {
+    val sql = "select 1 {% if is_incremental() %} where id > (select max(id) from {{ this }}) {% endif %}"
+    assert(!TemplateResolver.render(sql, ctx).contains("where id"))
+    assert(TemplateResolver.render(sql, ctx.copy(isIncremental = true)).contains("where id"))
+  }
+
+  test("config extraction + removal") {
+    val sql = "{{ config(materialized='incremental', unique_key='id', incremental_strategy='merge') }}\nselect 1"
+    val node = TemplateResolver.parseModel("pkg", "m", sql)
+    assert(node.config.materialized == "incremental")
+    assert(node.config.uniqueKey == Seq("id"))
+    assert(node.config.incrementalStrategy.contains("merge"))
+    assert(TemplateResolver.render(sql, ctx).trim == "select 1")
+  }
+
+  test("static ref extraction without rendering") {
+    val sql = "select * from {{ ref('a') }} union all select * from {{ ref('b') }} -- {{ ref('a') }}"
+    assert(TemplateResolver.extractRefs(sql) == Seq("a", "b"))
+  }
+
+  test("undefined var throws") {
+    assertThrows[IllegalArgumentException](
+      TemplateResolver.render("{{ var('nope') }}", ctx))
+  }
+}
+
+class MicrobatchSpec extends AnyFunSuite {
+  import graft.materializations.Microbatch._
+  import java.time.Instant
+
+  private val t0 = Instant.parse("2024-03-15T13:47:11Z")
+
+  test("truncate to each period") {
+    assert(truncate(t0, Hour) == Instant.parse("2024-03-15T13:00:00Z"))
+    assert(truncate(t0, Day) == Instant.parse("2024-03-15T00:00:00Z"))
+    assert(truncate(t0, Month) == Instant.parse("2024-03-01T00:00:00Z"))
+    assert(truncate(t0, Year) == Instant.parse("2024-01-01T00:00:00Z"))
+  }
+
+  test("lookback from a boundary checkpoint reprocesses full periods (microbatch.py:72-79)") {
+    val cp = Instant.parse("2024-03-15T00:00:00Z")
+    assert(batchStart(Some(cp), cp, Day, 1) == Instant.parse("2024-03-14T00:00:00Z"))
+  }
+
+  test("batches tile [start,end) half-open with capped tail") {
+    val batches = buildBatches(
+      Instant.parse("2024-03-14T07:00:00Z"), Instant.parse("2024-03-16T12:00:00Z"), Day)
+    assert(batches.head._1 == Instant.parse("2024-03-14T00:00:00Z"))
+    assert(batches.last._2 == Instant.parse("2024-03-16T12:00:00Z"))
+    assert(batches.size == 3)
+    batches.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) => assert(e1 == s2)
+      case _ =>
+    }
+  }
+
+  test("property: batches cover the range exactly, no overlap, no gap (200 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    val sizes = Seq(Hour, Day, Month, Year)
+    for (_ <- 1 to 200) {
+      val s = Instant.ofEpochSecond(rnd.between(0L, 4102444800L))
+      val len = rnd.between(1L, 400L * 24 * 3600)
+      val size = sizes(rnd.nextInt(sizes.length))
+      val e = s.plusSeconds(len)
+      val batches = buildBatches(s, e, size)
+      assert(batches.nonEmpty)
+      assert(batches.head._1 == truncate(s, size))
+      assert(batches.last._2 == e)
+      batches.foreach { case (b0, b1) => assert(b0.isBefore(b1)) }
+      batches.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2)
+        case _ =>
+      }
+    }
+  }
+}

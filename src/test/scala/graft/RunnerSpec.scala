@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.compile.TemplateResolver
+import graft.materializations.{Materializations, Microbatch, Snapshot}
+import graft.quality.GenericTests
+import graft.relations.RelationManager
+import graft.runner.Runner
+
+/** End-to-end mini project (SURVEY §7.2): seed → staging view → ephemeral
+  * → mart table → generic tests, run through the DAG scheduler; then the
+  * incremental strategies and SCD-2 snapshot against a temp warehouse. */
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def newRm() = new RelationManager(spark, Files.createTempDirectory("graft_wh").toString)
+
+  private def mkTest(name: String, sql: String, tested: String, severity: String = "error") =
+    TemplateResolver.parseModel("pkg", name, sql).copy(
+      nodeType = NodeType.Test,
+      testedNode = Some(s"model.pkg.$tested"),
+      columnTest = Some("x"))
+      .withSeverity(severity)
+
+  private implicit class NodeOps(n: Node) {
+    def withSeverity(s: String): Node = n.copy(config = n.config.copy(severity = s))
+  }
+
+  test("mini project builds in DAG order with views, ephemeral CTE inlining, tables, tests") {
+    val rm = newRm()
+    // seed
+    val seedRel = Relation("graft", "main", "customers_seed")
+    Materializations.seed(rm, seedRel,
+      """id,name,segment
+        |1,alice,gold
+        |2,bob,silver
+        |3,carol,gold""".stripMargin)
+
+    val nodes = Seq(
+      TemplateResolver.parseModel("pkg", "stg_customers",
+        "select id, name, segment from main__customers_seed"),
+      TemplateResolver.parseModel("pkg", "gold_only",
+        "{{ config(materialized='ephemeral') }}\nselect * from {{ ref('stg_customers') }} where segment = 'gold'"),
+      TemplateResolver.parseModel("pkg", "mart",
+        "{{ config(materialized='table') }}\nselect segment, count(*) as n from {{ ref('gold_only') }} group by segment"),
+      mkTest("not_null_mart_n", "select * from {{ ref('mart') }} where n is null", "mart"),
+      mkTest("accepted_segments", "select * from {{ ref('mart') }} where segment not in ('gold')", "mart"))
+
+    val manifest = Manifest(nodes).processRefs()
+    val runner = new Runner(spark, rm, manifest, threads = 3)
+    val results = runner.run()
+    assert(results.forall(r => r.status == "success" || r.status == "pass"), results.mkString("\n"))
+
+    // ephemeral was inlined as a CTE, not materialized
+    val compiled = runner.compileSql(manifest("model.pkg.mart"))
+    assert(compiled.contains("with __graft_cte__gold_only as"))
+    assert(!rm.exists(Relation("graft", "main", "gold_only")))
+
+    val mart = rm.read(Relation("graft", "main", "mart")).collect()
+    assert(mart.length == 1 && mart(0).getAs[Long]("n") == 2)
+
+    // run_results artifact
+    val rr = Files.createTempFile("run_results", ".json")
+    runner.writeRunResults(results, rr.toString)
+    assert(Files.readString(rr).contains("\"unique_id\""))
+  }
+
+  test("failing error-severity test skips downstream, warn does not") {
+    val rm = newRm()
+    val nodes = Seq(
+      TemplateResolver.parseModel("pkg", "base", "{{ config(materialized='table') }}\nselect 1 as x union all select 1 as x"),
+      mkTest("unique_x", "select x, count(*) n from {{ ref('base') }} group by x having count(*) > 1", "base"),
+      TemplateResolver.parseModel("pkg", "downstream",
+        "{{ config(materialized='table') }}\nselect * from {{ ref('base') }}"))
+    val manifest = Manifest(nodes).processRefs()
+    val r1 = new Runner(spark, rm, manifest).run(withTestEdges = true)
+    val byId = r1.map(r => r.uniqueId -> r).toMap
+    assert(byId("test.pkg.unique_x").status == "fail")
+    assert(byId("model.pkg.downstream").status == "skipped")
+
+    val warnNodes = nodes.map(n => if (n.nodeType == NodeType.Test) n.withSeverity("warn") else n)
+    val r2 = new Runner(spark, newRm(), Manifest(warnNodes).processRefs()).run(withTestEdges = true)
+    val byId2 = r2.map(r => r.uniqueId -> r).toMap
+    assert(byId2("test.pkg.unique_x").status == "warn")
+    assert(byId2("model.pkg.downstream").status == "success")
+  }
+
+  test("incremental append, merge, delete+insert semantics") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "inc_merge")
+    val v1 = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "tag", "amt")
+    rm.writeTable(v1, rel)
+    // merge: id 2 updated, id 3 new
+    val batch = Seq((2, "b2", 25.0), (3, "c", 30.0)).toDF("id", "tag", "amt")
+    Materializations.mergeInto(rm, rel, batch, Seq("id"), updateColumns = Nil)
+    val after = rm.read(rel).orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(after.toSeq == Seq((1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0)))
+
+    // merge with update_columns subset: only amt updates, tag preserved
+    val batch2 = Seq((3, "IGNORED", 33.0)).toDF("id", "tag", "amt")
+    Materializations.mergeInto(rm, rel, batch2, Seq("id"), updateColumns = Seq("amt"))
+    val r3 = rm.read(rel).filter($"id" === 3).collect()(0)
+    assert(r3.getString(1) == "c" && r3.getDouble(2) == 33.0)
+
+    // delete+insert
+    val rel2 = Relation("graft", "main", "inc_di")
+    rm.writeTable(v1, rel2)
+    Materializations.deleteInsert(rm, rel2, batch, Seq("id"))
+    val after2 = rm.read(rel2).orderBy("id").collect().map(_.getInt(0))
+    assert(after2.toSeq == Seq(1, 2, 3))
+
+    // append
+    val rel3 = Relation("graft", "main", "inc_app")
+    rm.writeTable(v1, rel3)
+    Materializations.incremental(rm, rel3, _ => batch,
+      NodeConfig(materialized = "incremental", incrementalStrategy = Some("append")))
+    assert(rm.read(rel3).count() == 4)
+  }
+
+  test("on_schema_change: ignore drops new cols, append_new_columns widens target") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "evolving")
+    rm.writeTable(Seq((1, "a")).toDF("id", "f1"), rel)
+    val withNew = Seq((2, "b", 9.9)).toDF("id", "f1", "f2")
+
+    val ignored = rm.reconcileSchema(withNew, rel, OnSchemaChange.Ignore)
+    assert(ignored.columns.toSeq == Seq("id", "f1"))
+
+    val widened = rm.reconcileSchema(withNew, rel, OnSchemaChange.AppendNewColumns)
+    assert(widened.columns.toSeq == Seq("id", "f1", "f2"))
+    assert(rm.columnsIn(rel).fieldNames.toSeq == Seq("id", "f1", "f2"))
+    // history rows got null f2
+    assert(rm.read(rel).filter($"id" === 1).collect()(0).isNullAt(2))
+
+    val rel2 = rel.copy(identifier = "evolving2")
+    rm.writeTable(Seq((1, "a")).toDF("id", "f1"), rel2)
+    assertThrows[IllegalStateException](
+      rm.reconcileSchema(withNew, rel2, OnSchemaChange.Fail))
+  }
+
+  test("SCD-2 snapshot: timestamp strategy tracks updates, check strategy tracks value changes") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "snapshots", "cust_snap")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val v1 = Seq(
+      (1, "alice", t("2024-01-01 00:00:00")),
+      (2, "bob", t("2024-01-01 00:00:00"))).toDF("id", "name", "updated_at")
+    val strat = Snapshot.TimestampStrategy("updated_at")
+    Snapshot(rm, rel, v1, Seq("id"), strat)
+    assert(rm.read(rel).count() == 2)
+
+    // v2: alice renamed (newer updated_at), carol added, bob unchanged
+    val v2 = Seq(
+      (1, "alicia", t("2024-02-01 00:00:00")),
+      (2, "bob", t("2024-01-01 00:00:00")),
+      (3, "carol", t("2024-02-01 00:00:00"))).toDF("id", "name", "updated_at")
+    Snapshot(rm, rel, v2, Seq("id"), strat)
+    val snap = rm.read(rel)
+    assert(snap.count() == 4) // alice v1 closed + alice v2 + bob + carol
+    val aliceClosed = snap.filter($"id" === 1 && $"dbt_valid_to".isNotNull).collect()
+    assert(aliceClosed.length == 1 && aliceClosed(0).getAs[java.sql.Timestamp]("dbt_valid_to") == t("2024-02-01 00:00:00"))
+    val open = snap.filter($"dbt_valid_to".isNull).select("name").as[String].collect().sorted
+    assert(open.toSeq == Seq("alicia", "bob", "carol"))
+
+    // hard delete: bob vanishes
+    val v3 = Seq(
+      (1, "alicia", t("2024-02-01 00:00:00")),
+      (3, "carol", t("2024-02-01 00:00:00"))).toDF("id", "name", "updated_at")
+    val delAt = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    Snapshot(rm, rel, v3, Seq("id"), strat, invalidateHardDeletes = true, hardDeleteAt = Some(delAt))
+    val bob = rm.read(rel).filter($"id" === 2).collect()(0)
+    assert(bob.getAs[Boolean]("dbt_is_deleted"))
+
+    // check strategy on a keyed table without updated_at
+    val relC = Relation("graft", "snapshots", "check_snap")
+    val c1 = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val at1 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val at2 = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    Snapshot(rm, relC, c1, Seq("id"), Snapshot.CheckStrategy(at1), checkCols = Seq("all"))
+    Snapshot(rm, relC, Seq((1, "x"), (2, "y2")).toDF("id", "v"), Seq("id"),
+      Snapshot.CheckStrategy(at2), checkCols = Seq("all"))
+    val snapC = rm.read(relC)
+    assert(snapC.count() == 3)
+    assert(snapC.filter($"id" === 2 && $"dbt_valid_to".isNotNull).count() == 1)
+    assert(snapC.filter($"id" === 1).count() == 1)
+  }
+
+  test("microbatch tiles event-time and is idempotent on re-run") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "mb_daily")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 05:00:00"), 1.0), (t("2024-01-01 07:00:00"), 2.0),
+      (t("2024-01-02 05:00:00"), 4.0), (t("2024-01-03 09:00:00"), 8.0))
+      .toDF("ts", "v")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    val end = java.time.Instant.parse("2024-01-04T00:00:00Z")
+    def build(b: (java.time.Instant, java.time.Instant)) =
+      events.filter(Microbatch.eventTimeFilter("ts", b))
+        .groupBy(date_trunc("day", $"ts").as("ts")).agg(sum($"v").as("v"))
+    val batches = Microbatch.run(rm, rel, build, cfg, end)
+    assert(batches.size == 3)
+    val rows = rm.read(rel).orderBy("ts").select("v").as[Double].collect()
+    assert(rows.toSeq == Seq(3.0, 4.0, 8.0))
+    // re-run with checkpoint at end: lookback=1 reprocesses last day only, result unchanged
+    Microbatch.run(rm, rel, build, cfg, end, checkpoint = Some(end))
+    assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq == Seq(3.0, 4.0, 8.0))
+  }
+}
