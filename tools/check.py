@@ -12,7 +12,7 @@ def load_spark(outdir, name):
     if not files:
         return None
     tbl = pq.read_table(sorted(files)[0])
-    return tbl.to_pandas()
+    return tbl.to_pandas(date_as_object=False)
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
