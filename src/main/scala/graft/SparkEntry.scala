@@ -17,10 +17,11 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ MatQueries.all ++ FnQueries.all ++ TestQueries.all
+    CoreQueries.all ++ MatQueries.all ++ FnQueries.all ++ TestQueries.all ++ OpsQueries.all
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ MatQueries.oracles ++ FnQueries.oracles ++ TestQueries.oracles
+    CoreQueries.oracles ++ MatQueries.oracles ++ FnQueries.oracles ++
+      TestQueries.oracles ++ OpsQueries.oracles
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible);
     * the driver records a weaker rows-only check for these. */

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus batch-shaped feature
+  * extraction.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * container): `decodeStub` produces deterministic fake features from the
+  * raw bytes. Everything around it — schema, binary handling, partition
+  * sizing, the mapPartitions batch shape — is real and is exactly what a
+  * production pipeline swaps a JNI/FFmpeg/JPEG decoder into.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: payload + typed metadata, the layout a
+    * 100 TB media lake would use (payload column pruned away unless a
+    * stage actually touches bytes). */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("header_md5", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap a text table as binary assets (the driver's documents stand in
+    * for media payloads; byte-identical round trip). */
+  def toAssets(docs: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      lit("text/plain").as("media_type"),
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes"),
+        col(sourceCol).as("source"),
+        md5(substring(col(textCol).cast(BinaryType), 1, 16)).as("header_md5")).as("meta"))
+
+  /** STUB decode: a real implementation would decode the payload
+    * (image → pixels, audio → samples) here. The deterministic fake reads
+    * the first 4 payload bytes as a pseudo "feature vector" so the whole
+    * pipeline (schema, pruning, downstream joins) is exercised end-to-end.
+    * Built-ins only → stays in codegen. */
+  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), lit(4)), i =>
+      coalesce(ascii(substring(payload, 1, 4).cast(StringType).substr(i.cast(IntegerType), lit(1))),
+        lit(0)).cast(DoubleType) / 255.0)
+
+  /** Batch-shaped feature extraction via mapPartitions — the seam where a
+    * native decoder (JNI batch API) plugs in. Batching amortizes per-call
+    * overhead exactly like `mapInPandas` batches do for Python codecs.
+    * The per-row work here is the same deterministic stub as decodeStub. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // ??? real decoder call-site: decode(batch.map(_._2)) — stubbed
+          // with a deterministic fake so plumbing is testable end-to-end:
+          batch.map { case (id, payload) =>
+            val bytes = Option(payload).getOrElse(Array.empty[Byte])
+            val feats = (0 until 4).map(i =>
+              (if (i < bytes.length) bytes(i).toDouble.abs else 0.0) / 255.0).toArray
+            (id, bytes.length.toLong, feats)
+          }
+        }
+      }.toDF("asset_id", "n_bytes", "features")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Dot products are computed with `zip_with` + `aggregate` over
+  * double-cast arrays — fixed left-to-right accumulation, so results are
+  * bit-reproducible across engines (the DuckDB oracle mirrors the same
+  * fold). At cluster scale the corpus side is the big table; queries are
+  * broadcast, and the LSH variant turns the cross join into a bucket
+  * equi-join.
+  */
+object Similarity {
+
+  /** Deterministic double-cast of a float embedding. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity rounded to 6 decimals (absorbs any last-ulp
+    * accumulation divergence between engines; ranking uses the rounded
+    * value with an id tiebreak, so top-k is stable). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force cosine top-k: queries × corpus cross join — exact, and
+    * the right choice when queries are few (broadcast the query side).
+    * O(|Q|·|C|·d): the baseline the ANN path is judged against. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-1, 1]. Reproducible in any engine with md5. */
+  def planeComponent(plane: Int, dim: Int): Column =
+    ((conv(substring(md5(lit(s"plane_${plane}_$dim")), 1, 7), 16, 10).cast(LongType)
+      % 2001L) - 1000L).cast(DoubleType) / 1000.0
+
+  /** Sign-of-projection LSH bucket id over `planes` hyperplanes for a
+    * `dims`-dimensional embedding: bit p = (v · plane_p) > 0. */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, array((0 until dims).map(d => planeComponent(p, d)): _*), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket both sides with hyperplane LSH, join on the bucket
+    * key (the only shuffle), rank within bucket. Recall < 1 by design —
+    * the scale path for 10^9-vector corpora where the cross join is
+    * impossible; bucket count 2^planes tunes the recall/fan-out trade. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 6, dims: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets
+    * (same blocking as lshTopK, symmetric output). */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+}

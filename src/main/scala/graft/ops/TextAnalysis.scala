@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is Catalyst built-ins (split/transform/filter/aggregate),
+  * so the whole suite runs inside whole-stage codegen with no UDFs and
+  * scales embarrassingly parallel — per-row work, no shuffles until an
+  * explicit aggregation/join downstream.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digits, and punctuation each count
+    * as one token — the standard cheap proxy for byte-pair-encoded length. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic.
+    * Tiny on purpose: the operator contract is the scoring machinery,
+    * not lexicon quality. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Per-language stopword hit count over the token array. */
+  def langScore(toks: Column, lang: String): Column = {
+    val set = stopwords.toMap.apply(lang)
+    size(filter(toks, t => t.isInCollection(set)))
+  }
+
+  /** Predicted language = argmax of stopword hits, ties resolved by the
+    * declared language order; zero hits → 'und' (undetermined). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.map { case (lang, _) => lang -> langScore(toks, lang) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-score feature bundle (length / punctuation ratio / stopword
+    * ratio / mean token length) + a composite in [0,1]. Formula mirrored
+    * exactly in the DuckDB oracle — the contract is determinism, the
+    * weights are illustrative. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast(DoubleType)
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    val punct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast(DoubleType)
+    val stopHits = langScore(toks, "en").cast(DoubleType)
+    Seq(
+      "n_chars" -> n,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> when(n > 0, punct / n).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)),
+      "mean_token_len" -> when(nTok > 0, (n - (nTok - 1)) / nTok).otherwise(lit(0.0)))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_chars") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - f("punct_ratio") * 5.0)
+    val stopScore = least(f("stopword_ratio") * 4.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Document fingerprint: order-insensitive content hash —
+    * md5 over the sorted distinct lowercase token set. Collapses
+    * whitespace/ordering variants to one key; pairs with exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Word n-gram shingles (n consecutive tokens joined by single spaces);
+    * fewer than n tokens → empty array. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*)))
+  }
+
+  /** Rolling-hash char shingles of length n as 28-bit ints (md5-derived so
+    * the DuckDB oracle can reproduce them byte-for-byte). */
+  def charShingleHashes(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (n - 1), lit(0)))
+    array_distinct(transform(idx, i =>
+      conv(substring(md5(text.substr(i.cast(IntegerType), lit(n))), 1, 7), 16, 10)
+        .cast(LongType)))
+  }
+}

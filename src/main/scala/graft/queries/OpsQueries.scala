@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data pipeline operators (builder prompt "beyond the reference"
+  * set): dedup family, similarity search, text analysis, multimodal
+  * plumbing. Each DuckDB oracle reproduces the exact same md5-derived
+  * hashes and fold orders, so results are bit-comparable.
+  */
+object OpsQueries {
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 5, k = 16, bands = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_dedup_embedding" -> ((s, d) => {
+      Similarity.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, planes = 4, dims = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------- similarity
+    "q_sim_topk_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_sim_topk_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, planes = 6, dims = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // -------------------------------------------------- text analysis
+    "q_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tokens"),
+        TA.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_langid" -> ((s, d) => {
+      val toks = TA.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        TA.langScore(toks, "en").as("score_en"),
+        TA.languageId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      val feats = TA.qualityFeatures(col("text"))
+      Tables.documents(s, d).select(
+        (col("doc_id") +: feats.map { case (n, c) => round(c, 6).as(n) } :+
+          TA.qualityScore(col("text")).as("quality")): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------- multimodal
+    "q_multimodal_assets" -> ((s, d) => {
+      val assets = Multimodal.toAssets(Tables.documents(s, d), "doc_id", "text", "source")
+      val feats = Multimodal.extractFeaturesBatched(assets)
+      assets.join(feats, "asset_id")
+        .select(
+          col("asset_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.source").as("source"),
+          col("meta.header_md5").as("header_md5"),
+          round(element_at(col("features"), 1), 6).as("f1"),
+          round(element_at(col("features"), 2), 6).as("f2"),
+          round(element_at(col("features"), 3), 6).as("f3"),
+          round(element_at(col("features"), 4), 6).as("f4"))
+        .orderBy("asset_id")
+    })
+  )
+
+  // shared DuckDB fragments -------------------------------------------------
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  private val charShinglesSql =
+    """list_distinct(list_transform(
+      |    generate_series(1, greatest(length(text) - 4, 0)),
+      |    i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 7)) AS BIGINT)))""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** Hyperplane LSH bucket — mirrors Similarity.lshBucket bit for bit. */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |  d -> $v[d]::DOUBLE *
+         |    ((CAST(('0x' || substr(md5('plane_${p}_' || (d-1)::VARCHAR), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0)
+         |  )) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |      FROM h GROUP BY content_hash)
+        |SELECT doc_id, h.content_hash, n_copies, doc_id = survivor_id AS is_survivor
+        |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 15), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 3), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0 AS est_jaccard
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH hashes AS (
+         |  SELECT doc_id AS doc,
+         |    list_transform(list_distinct($toksSql),
+         |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc, CAST(list_sum(list_transform(generate_series(0, 31), k ->
+         |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
+         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+         |  FROM hashes),
+         |blocked AS (
+         |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->
+         |    b::VARCHAR || ':' || ((sh >> (b*8)) & 255)::VARCHAR)) AS block
+         |  FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM blocked a JOIN blocked b USING (block) WHERE a.doc < b.doc)
+         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])) AS shingles
+         |  FROM documents),
+         |sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+         |inv AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+         |  FROM inv a JOIN inv b USING (shingle) WHERE a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc
+         |JOIN sizes sb ON doc_b = sb.doc
+         |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |FROM v a JOIN v b USING (bucket)
+         |WHERE a.id < b.id AND ${cosineSql("a.embedding", "b.embedding")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${cosineSql("qv", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE query_id <> e.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sim_topk_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, v.vec_id AS neighbor_id,
+         |    ${cosineSql("qv", "v.embedding")} AS cosine
+         |  FROM q JOIN v USING (bucket) WHERE query_id <> v.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val scores = TA.stopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter($toksSql, t -> t IN ($inList))) AS score_$lang"
+      }.mkString(",\n  ")
+      val best = s"greatest(${TA.stopwords.map(l => s"score_${l._1}").mkString(", ")})"
+      val pick = TA.stopwords.map { case (lang, _) =>
+        s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS declared_lang,
+         |  $scores
+         |  FROM documents)
+         |SELECT doc_id, declared_lang, score_en,
+         |  CASE $pick ELSE 'und' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    length(text)::DOUBLE AS n,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE AS punct,
+         |    len(list_filter($toksSql,
+         |      t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(n, 6) AS n_chars,
+         |  round(n_tok, 6) AS n_tokens,
+         |  round(CASE WHEN n > 0 THEN punct / n ELSE 0 END, 6) AS punct_ratio,
+         |  round(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END, 6) AS stopword_ratio,
+         |  round(CASE WHEN n_tok > 0 THEN (n - (n_tok - 1)) / n_tok ELSE 0 END, 6) AS mean_token_len,
+         |  round(
+         |    least(n / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_assets" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+        |  strlen(text) AS n_bytes, source,
+        |  md5(substr(text, 1, 16)) AS header_md5,
+        |  round(ascii(substr(text, 1, 1)) / 255.0, 6) AS f1,
+        |  round(CASE WHEN strlen(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END / 255.0, 6) AS f2,
+        |  round(CASE WHEN strlen(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END / 255.0, 6) AS f3,
+        |  round(CASE WHEN strlen(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END / 255.0, 6) AS f4
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

