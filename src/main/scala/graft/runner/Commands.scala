@@ -1,0 +1,79 @@
+package graft.runner
+
+import org.apache.spark.sql.DataFrame
+import graft.core._
+import graft.relations.RelationManager
+
+/** The reference's command/task surface beyond `run`/`build`
+  * (SURVEY §2.8; reference: core/dbt/cli/main.py): show, compile, list,
+  * retry, clone, plus the manifest artifact.
+  */
+object Commands {
+
+  /** dbt show — preview N rows of a node or inline SQL
+    * (reference: core/dbt/task/show.py:20-146; limit wrapper
+    * manifest.json §default__get_limit_subquery_sql). */
+  def show(runner: Runner, node: Node, limit: Int = 5): DataFrame =
+    runner.buildDf(node).limit(limit)
+
+  def showInline(runner: Runner, spark: org.apache.spark.sql.SparkSession,
+                 sql: String, limit: Int = 5): DataFrame =
+    spark.sql(sql).limit(limit)
+
+  /** dbt compile — the rendered SQL for a node (reference: cli/main.py:309). */
+  def compile(runner: Runner, node: Node): String = runner.compileSql(node)
+
+  /** dbt list — selected node ids in lexical order (reference: cli/main.py:485). */
+  def list(manifest: Manifest, select: Seq[String] = Nil, exclude: Seq[String] = Nil): Seq[String] =
+    Selector.select(manifest, select, exclude).toSeq.sorted
+
+  /** dbt retry — rerun only failed/skipped/errored nodes of a previous run
+    * (reference: core/dbt/task/retry.py). */
+  def retry(runner: Runner, previous: Seq[RunResult], withTestEdges: Boolean = false): Seq[RunResult] = {
+    val again = previous.filter(r => Set("fail", "error", "skipped")(r.status))
+      .map(_.uniqueId)
+      .map(id => id.split("\\.", 3).last) // unique_id -> name for the selector
+    if (again.isEmpty) Seq.empty else runner.run(select = again, withTestEdges = withTestEdges)
+  }
+
+  /** dbt clone — materialize a node as a pointer/copy of its relation in
+    * another (state) warehouse (reference: core/dbt/task/clone.py:103-156;
+    * manifest.json §can_clone_table / §create_or_replace_clone). On parquet
+    * the zero-copy clone is a view over the state relation; `deep=true`
+    * copies the files (what CREATE TABLE CLONE does on non-CoW stores). */
+  def clone(stateRm: RelationManager, targetRm: RelationManager,
+            rel: Relation, deep: Boolean = false): Unit = {
+    if (deep) targetRm.writeTable(stateRm.read(rel), rel)
+    else targetRm.registerView(rel, stateRm.read(rel))
+  }
+
+  /** manifest.json artifact (reference: schema v12
+    * core/dbt/artifacts/schemas/manifest/v12/manifest.py:100-119) — nodes,
+    * configs, and the parent map; enough for state:modified diffing and
+    * external lineage tools. */
+  def writeManifest(manifest: Manifest, path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val nodes = manifest.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
+      s"""${q(id)}: {"name":${q(n.name)},"resource_type":${q(n.nodeType.name)},""" +
+        s""""package_name":${q(n.packageName)},"checksum":${q(n.checksum)},""" +
+        s""""materialized":${q(n.config.materialized)},"tags":[${n.config.tags.toSeq.sorted.map(q).mkString(",")}],""" +
+        s""""depends_on":[${n.dependsOn.map(q).mkString(",")}]}"""
+    }
+    val parentMap = manifest.parentMap.toSeq.sortBy(_._1).map { case (id, ps) =>
+      s"${q(id)}: [${ps.map(q).mkString(",")}]"
+    }
+    val json =
+      s"""{"metadata":{"dbt_schema_version":"graft-manifest-v1","generated_at":${q(java.time.Instant.now().toString)}},
+         |"nodes":{${nodes.mkString(",")}},
+         |"parent_map":{${parentMap.mkString(",")}}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** Load a previous manifest artifact's checksums for state:modified
+    * selection (reference: selector_methods.py StateSelectorMethod). */
+  def loadManifestChecksums(path: String): Map[String, String] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val re = """"((?:model|seed|snapshot|test|source)\.[^"]+)":\s*\{"name":"[^"]*","resource_type":"[^"]*","package_name":"[^"]*","checksum":"([^"]*)"""".r
+    re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+  }
+}

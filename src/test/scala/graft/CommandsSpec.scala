@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.compile.TemplateResolver
+import graft.relations.RelationManager
+import graft.runner.{Commands, Runner}
+
+class CommandsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def project() = {
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_cmd").toString)
+    val nodes = Seq(
+      TemplateResolver.parseModel("pkg", "base",
+        "{{ config(materialized='table') }}\nselect 1 as id, 'x' as v union all select 2, 'y'"),
+      TemplateResolver.parseModel("pkg", "child",
+        "{{ config(materialized='table') }}\nselect * from {{ ref('base') }} where id > 99"))
+    val manifest = Manifest(nodes).processRefs()
+    (rm, manifest, new Runner(spark, rm, manifest))
+  }
+
+  test("show previews limited rows; compile renders refs") {
+    val (_, manifest, runner) = project()
+    runner.run(select = Seq("base"))
+    val preview = Commands.show(runner, manifest("model.pkg.child"), limit = 1)
+    assert(preview.columns.toSeq == Seq("id", "v"))
+    val sql = Commands.compile(runner, manifest("model.pkg.child"))
+    assert(sql.contains("from main__base"))
+  }
+
+  test("list applies selector algebra") {
+    val (_, manifest, _) = project()
+    assert(Commands.list(manifest, Seq("base+")) ==
+      Seq("model.pkg.base", "model.pkg.child"))
+  }
+
+  test("retry reruns only failed/skipped nodes") {
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_retry").toString)
+    val bad = TemplateResolver.parseModel("pkg", "bad",
+      "{{ config(materialized='table') }}\nselect * from this_table_does_not_exist_xyz")
+    val down = TemplateResolver.parseModel("pkg", "down",
+      "{{ config(materialized='table') }}\nselect * from {{ ref('bad') }}")
+    val ok = TemplateResolver.parseModel("pkg", "ok",
+      "{{ config(materialized='table') }}\nselect 42 as answer")
+    val manifest = Manifest(Seq(bad, down, ok)).processRefs()
+    val runner = new Runner(spark, rm, manifest)
+    val r1 = runner.run()
+    val byId = r1.map(r => r.uniqueId -> r.status).toMap
+    assert(byId("model.pkg.bad") == "error")
+    assert(byId("model.pkg.down") == "skipped")
+    assert(byId("model.pkg.ok") == "success")
+    val r2 = Commands.retry(runner, r1)
+    assert(r2.map(_.uniqueId).toSet == Set("model.pkg.bad", "model.pkg.down"))
+  }
+
+  test("manifest artifact round-trips checksums for state:modified") {
+    val (_, manifest, _) = project()
+    val path = Files.createTempFile("manifest", ".json").toString
+    Commands.writeManifest(manifest, path)
+    val sums = Commands.loadManifestChecksums(path)
+    assert(sums("model.pkg.base") == manifest("model.pkg.base").checksum)
+    // simulate an edit → state:modified picks it up
+    val edited = Manifest(manifest.nodes.map { case (id, n) =>
+      id -> (if (n.name == "base") n.copy(checksum = "deadbeef") else n)
+    })
+    val prev = Manifest(manifest.nodes.map { case (id, n) =>
+      id -> n.copy(checksum = sums.getOrElse(id, n.checksum))
+    })
+    assert(Selector.select(edited, Seq("state:modified"), previousState = Some(prev)) ==
+      Set("model.pkg.base"))
+  }
+
+  test("unit test executor diffs fixture runs both ways") {
+    import graft.quality.UnitTests
+    val model = TemplateResolver.parseModel("pkg", "m",
+      "select a + b as c from {{ ref('in1') }}")
+    val fx = Seq(UnitTests.Fixture("in1", Seq(Map("a" -> 1, "b" -> 2))))
+    assert(UnitTests.run(spark, UnitTests.UnitTest("t1", model, fx,
+      Seq(Map("c" -> 3)))).passed)
+    assert(!UnitTests.run(spark, UnitTests.UnitTest("t2", model, fx,
+      Seq(Map("c" -> 4)))).passed)
+  }
+}
