@@ -7,11 +7,16 @@ import org.apache.spark.sql.types._
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
-  * Scale design: every near-dup variant goes through a *blocking* stage
-  * (LSH band bucket / simhash block / shared shingle) so candidate
-  * generation is an equi-join on a bucket key — a plain shuffle join that
-  * scales linearly — never an all-pairs cross join. Exact similarity is
-  * then computed only within candidate pairs.
+  * Scale design:
+  * - every near-dup variant goes through a *blocking* stage (LSH band
+  *   bucket / simhash block / shared shingle) so candidate generation is an
+  *   equi-join on a bucket key — never an all-pairs cross join;
+  * - signatures are computed RELATIONALLY (explode shingles → one
+  *   whole-stage-codegen hash aggregate) instead of per-row higher-order
+  *   array folds: HOF lambdas are interpreted in Spark, and inside a
+  *   self-join they'd be re-evaluated per side — the relational form
+  *   computes each signature exactly once and shuffles only (id, long)
+  *   pairs.
   */
 object Dedup {
 
@@ -28,87 +33,106 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** Large Mersenne-ish modulus that keeps a*h+b inside 63 bits for
-    * h < 2^28, a < 2^21 — overflow-free in both Spark and DuckDB. */
+  /** Modulus keeping a*h+b inside 63 bits for h < 2^28, a < 2^21 —
+    * overflow-free in both Spark and DuckDB. */
   val MinhashPrime = 2147483647L // 2^31 - 1
 
   def minhashCoefA(i: Int): Long = 2L * i + 1
   def minhashCoefB(i: Int): Long = 1000003L * (i + 1)
 
-  /** k-permutation MinHash signature over a column of 28-bit shingle
-    * hashes: sig[i] = min((a_i*h + b_i) mod p). Pure array math → codegen. */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = element_at(array((0 until k).map(j => lit(minhashCoefA(j))): _*), i + 1)
-      val b = element_at(array((0 until k).map(j => lit(minhashCoefB(j))): _*), i + 1)
-      when(size(shingleHashes) === 0, lit(MinhashPrime))
-        .otherwise(array_min(transform(shingleHashes, h => (a * h + b) % MinhashPrime)))
-    })
+  /** MinHash signatures as a relational aggregate: one row per (doc,
+    * shingle hash), then k `min` aggregates in a single codegen'd
+    * hash-aggregate pass. Returns (doc, sig: array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, k: Int): DataFrame = {
+    // Fully codegen shingling: explode the position range, then
+    // md5(substr) as a plain projection — no higher-order lambdas on the
+    // hot path. Duplicate shingle hashes are harmless here because min()
+    // over a multiset equals min() over its set, so no distinct needed.
+    // Explicit partition count: small-file inputs arrive as one partition
+    // and AQE would coalesce a size-based repartition right back.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val shingleRows = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"), col(textCol).as("__text"))
+      .select(col("doc"), col("__text"),
+        explode(sequence(lit(1), greatest(length(col("__text")) - (shingleLen - 1), lit(0)))).as("i"))
+      .select(col("doc"),
+        conv(substring(md5(col("__text").substr(col("i"), lit(shingleLen))), 1, 7), 16, 10)
+          .cast(LongType).as("h"))
+    val aggs = (0 until k).map(i =>
+      min((lit(minhashCoefA(i)) * col("h") + lit(minhashCoefB(i))) % MinhashPrime).as(s"__m_$i"))
+    shingleRows.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"__m_$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed to one bucket key. Docs sharing any band key become
-    * candidates. */
+    * each band hashed to one bucket key. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat_ws("_", lit(b),
         array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "_"))))
 
-  /** MinHash+LSH near-dup pairs: shingle → signature → band-bucket join →
-    * estimated Jaccard = fraction of agreeing signature positions.
-    *
-    * The only shuffle is the self-join on band key; bucket sizes are
-    * bounded by band specificity, so this is the 100 TB-safe path (vs the
-    * quadratic brute force). */
+  /** MinHash+LSH near-dup pairs: signature → band-bucket self-join →
+    * estimated Jaccard = fraction of agreeing positions. The band join is
+    * the only data-sized shuffle; signatures join back by doc id (small). */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("doc"),
-      minhashSignature(TextAnalysis.charShingleHashes(col(textCol), shingleLen), k).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
+    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
+    val banded = sigs.select(col("doc"),
       explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-    val a = banded.select(col("band"), col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("doc").as("doc_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-    cand.withColumn("est_jaccard",
-      size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-        .cast(DoubleType) / k)
+    val cand = banded.select(col("band"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
   // ------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash over distinct whitespace tokens: bit k set iff more
-    * than half the token hashes have bit k set (tie → 0). */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(text))
-    val hashes = transform(toks, t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
-    val n = size(hashes)
-    val bits = transform(sequence(lit(0), lit(31)), k =>
-      when(size(filter(hashes, h => h.bitwiseAND(call_function("shiftleft", lit(1L), k)) > 0)) * 2 > n,
-        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  /** 32-bit SimHash, relational form: explode distinct tokens, one
+    * hash-aggregate computing the 32 per-bit majorities, fold to the
+    * signature. Bit k set iff strictly more than half the token hashes
+    * have bit k set. Returns (doc, sh: long). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tokRows = df.repartition(par, col(idCol)).select(col(idCol).as("doc"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType))
+    val cnts = (0 until 32).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) > 0, 1).otherwise(0)).as(s"__c_$b"))
+    val agg = tokRows.groupBy("doc").agg(count(lit(1)).as("__n"), cnts: _*)
+    agg.select(col("doc"),
+      (0 until 32).map(b =>
+        when(col(s"__c_$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on 8-bit
-    * blocks (pigeonhole: distance ≤ 3 ⟹ some block of 4 is equal; we use
-    * 4 blocks of 8 bits so distance ≤ 6 pairs are all found when any block
-    * matches — candidates outside that are filtered exactly). */
+  /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on 4×8-bit
+    * blocks (pigeonhole guarantees recall for distance ≤ 3; the hamming
+    * filter is exact on the candidates). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
-    val blocked = sh.select(col("doc"), col("sh"),
+    val sh = simhashes(df, idCol, textCol).persist()
+    val blocked = sh.select(col("doc"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         concat_ws(":", b, call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L)))))
         .as("block"))
-    val a = blocked.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = blocked.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    val cand = blocked.select(col("block"), col("doc").as("doc_a"))
+      .join(blocked.select(col("block"), col("doc").as("doc_b")), Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
@@ -116,26 +140,46 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact n-gram Jaccard pairs via inverted-index join: explode distinct
-    * word n-grams, equi-join on the shingle (the blocking key), count
-    * co-occurrences, Jaccard = |∩| / (|A| + |B| - |∩|).
+  /** Exact n-gram Jaccard pairs via inverted-index join: distinct word
+    * n-grams hashed to 60-bit longs (cheap to shuffle), equi-join on the
+    * shingle hash (the blocking key), count co-occurrences,
+    * Jaccard = |∩| / (|A| + |B| - |∩|).
     *
-    * The shingle join IS the candidate filter — only docs sharing at least
-    * one shingle ever meet, and hot shingles can be capped (df filter) at
-    * scale without changing high-similarity results. */
+    * At scale, hot shingles can be capped by document frequency without
+    * affecting high-similarity pairs; the join shuffles only (long, long). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-      TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
-    val sizes = sh.select(col("doc"), size(col("shingles")).as("n_sh"))
-    val inv = sh.select(col("doc"), explode(col("shingles")).as("shingle"))
-    val common = inv.select(col("shingle"), col("doc").as("doc_a"))
-      .join(inv.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    // fully relational shingling: posexplode tokens once (generators
+    // evaluate their child a single time, unlike HOF lambdas which
+    // CollapseProject re-inlines), then n-grams via window lead() — all
+    // whole-stage codegen, shuffled by doc
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tokRows = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"__t_$o"))
+    val shingleRows = tokRows
+      .select((col("doc") +: col("pos") +: col("tok") +: leads): _*)
+      .filter(col(s"__t_${n - 1}").isNotNull)
+      .select(col("doc"), concat_ws(" ",
+        (col("tok") +: (1 until n).map(o => col(s"__t_$o"))): _*).as("s"))
+      .dropDuplicates("doc", "s")
+    // xxhash64 (codegen-native) — the hash never reaches the output, only
+    // intersection COUNTS do, so any injective-enough hash matches the
+    // string-joining oracle exactly
+    val inv = shingleRows
+      .select(col("doc"), xxhash64(col("s")).as("sh64"))
+      .persist()
+    val sizes = inv.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val common = inv.select(col("sh64"), col("doc").as("doc_a"))
+      .join(inv.select(col("sh64"), col("doc").as("doc_b")), Seq("sh64"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")), 6))

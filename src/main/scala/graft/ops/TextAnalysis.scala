@@ -88,13 +88,21 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
   /** Word n-gram shingles (n consecutive tokens joined by single spaces);
-    * fewer than n tokens → empty array. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * fewer than n tokens → empty array.
+    *
+    * IMPORTANT perf contract: `toks` should be a MATERIALIZED attribute
+    * (projected via withColumn/select first), not an inline split() —
+    * higher-order lambdas are interpreted without common-subexpression
+    * elimination, so an inline expression would re-tokenize the document
+    * for every element access. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
     array_distinct(transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*)))
   }
+
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Rolling-hash char shingles of length n as 28-bit ints (md5-derived so
     * the DuckDB oracle can reproduce them byte-for-byte). */
