@@ -128,6 +128,40 @@ object SqlFunctions {
 
   def currentTimestampUtc(): Column = current_timestamp()
 
+  // ---------- meta (§validate_sql, §get_columns_in_query) ----------
+
+  /** validate_sql — analyze without executing (reference:
+    * tests/functional/adapter/utils/test_validate_sql.py). Returns an error
+    * message or None. */
+  def validateSql(spark: org.apache.spark.sql.SparkSession, sql: String): Option[String] =
+    try { spark.sql(sql).queryExecution.analyzed; None }
+    catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+
+  /** get_columns_in_query / get_column_schema_from_query — schema probe via
+    * analysis only, the Spark-native form of the reference's
+    * `select ... limit 0` empty-schema probe (§get_empty_subquery_sql). */
+  def columnsInQuery(spark: org.apache.spark.sql.SparkSession, sql: String): StructType =
+    spark.sql(sql).schema
+
+  // ---------- compile-time series helpers (§get_intervals_between, §get_powers_of_two) ----------
+
+  /** Driver-side interval count between two dates (the reference runs a
+    * datediff statement at compile time). */
+  def intervalsBetween(start: java.time.LocalDate, end: java.time.LocalDate, part: String): Long =
+    part.toLowerCase match {
+      case "day"   => java.time.temporal.ChronoUnit.DAYS.between(start, end)
+      case "week"  => java.time.temporal.ChronoUnit.DAYS.between(start, end) / 7
+      case "month" => java.time.temporal.ChronoUnit.MONTHS.between(start, end)
+      case "year"  => java.time.temporal.ChronoUnit.YEARS.between(start, end)
+      case p       => throw new IllegalArgumentException(s"bad datepart $p")
+    }
+
+  /** Smallest n with 2^n >= x (reference: pure Jinja math). */
+  def powersOfTwo(x: Long): Int = {
+    require(x > 0)
+    64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+  }
+
   // ---------- type macros (§type_bigint/boolean/float/int/numeric/string/timestamp) ----------
 
   /** Portable type-name macros → Spark DDL strings (SURVEY §1.2). */

@@ -69,6 +69,29 @@ object Commands {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
+  /** catalog.json artifact (reference: core/dbt/task/docs/generate.py:49-216)
+    * — per-relation column schemas and row counts for docs tooling. */
+  def writeCatalog(rm: RelationManager, manifest: Manifest, runner: Runner, path: String): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = manifest.nodes.values.toSeq
+      .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+      .sortBy(_.uniqueId)
+      .flatMap { n =>
+        val rel = runner.relationFor(n)
+        if (!rm.exists(rel)) None
+        else {
+          val df = rm.read(rel)
+          val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+            s"${q(f.name)}: {\"type\":${q(f.dataType.simpleString)},\"index\":$i}"
+          }
+          Some(s"""${q(n.uniqueId)}: {"metadata":{"name":${q(rel.identifier)},"schema":${q(rel.schema)}},""" +
+            s""""columns":{${cols.mkString(",")}},"stats":{"row_count":${df.count()}}}""")
+        }
+      }
+    val json = s"""{"metadata":{"dbt_schema_version":"graft-catalog-v1"},"nodes":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** Load a previous manifest artifact's checksums for state:modified
     * selection (reference: selector_methods.py StateSelectorMethod). */
   def loadManifestChecksums(path: String): Map[String, String] = {

@@ -83,3 +83,42 @@ class CommandsSpec extends AnyFunSuite {
       Seq(Map("c" -> 4)))).passed)
   }
 }
+
+class MetaFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.functions.SqlFunctions
+
+  test("validate_sql: analysis-only error detection") {
+    assert(SqlFunctions.validateSql(spark, "select 1 as x").isEmpty)
+    assert(SqlFunctions.validateSql(spark, "select nope from missing_table_xyz").isDefined)
+  }
+
+  test("get_columns_in_query probes schema without executing") {
+    val schema = SqlFunctions.columnsInQuery(spark, "select 1 as a, 'x' as b")
+    assert(schema.fieldNames.toSeq == Seq("a", "b"))
+  }
+
+  test("intervals_between and powers_of_two compile-time math") {
+    import java.time.LocalDate
+    assert(SqlFunctions.intervalsBetween(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 3, 1), "month") == 2)
+    assert(SqlFunctions.intervalsBetween(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 15), "week") == 2)
+    assert(SqlFunctions.powersOfTwo(1) == 0)
+    assert(SqlFunctions.powersOfTwo(2) == 1)
+    assert(SqlFunctions.powersOfTwo(1000) == 10)
+  }
+
+  test("catalog artifact lists built relations with schemas and row counts") {
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_cat").toString)
+    val nodes = Seq(graft.compile.TemplateResolver.parseModel("pkg", "t1",
+      "{{ config(materialized='table') }}\nselect 1 as id, 'a' as name"))
+    val manifest = Manifest(nodes).processRefs()
+    val runner = new Runner(spark, rm, manifest)
+    runner.run()
+    val path = java.nio.file.Files.createTempFile("catalog", ".json").toString
+    Commands.writeCatalog(rm, manifest, runner, path)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(txt.contains("\"model.pkg.t1\""))
+    assert(txt.contains("\"row_count\":1"))
+    assert(txt.contains("\"id\""))
+  }
+}

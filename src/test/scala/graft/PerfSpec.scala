@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.compile.TemplateResolver
+
+/** Parse+plan latency vs the reference's published baseline
+  * (BASELINE.md: dbt parse of performance/projects/01_2000_simple_models —
+  * 2000 one-line models in 10 chains of 200 — means 43-72 s on GHA).
+  * Self-imposed target: < 5 s for the same shape (SURVEY §6). */
+class ParseBenchSpec extends AnyFunSuite {
+
+  private def generateProject(): Seq[(String, String)] = {
+    (0 until 10).flatMap { chain =>
+      (0 until 200).map { i =>
+        val name = s"path_${chain}_node_$i"
+        val sql =
+          if (i == 0) s"{{ config(materialized='view', tags='chain_$chain') }}\nselect 1 as id"
+          else s"select * from {{ ref('path_${chain}_node_${i - 1}') }} union all select ${i} as id"
+        name -> sql
+      }
+    }
+  }
+
+  test("2000-model project: parse + manifest + link + schedule + compile < 5s") {
+    val files = generateProject()
+    val t0 = System.nanoTime()
+
+    // parse (static ref/config extraction, checksums)
+    val nodes = files.map { case (name, sql) => TemplateResolver.parseModel("perf", name, sql) }
+    // manifest + ref resolution (process_refs)
+    val manifest = Manifest(nodes).processRefs()
+    // link + cycle check + scheduling scores
+    val order = Dag.topoSort(manifest.parentMap)
+    val scores = Dag.depthScores(manifest.parentMap)
+    // selector algebra over the full graph
+    val selected = Selector.select(manifest, Seq("tag:chain_3+"))
+    // compile every node's SQL (ref substitution; no Spark session needed)
+    val compiled = nodes.map { n =>
+      TemplateResolver.render(n.code.get.asInstanceOf[SqlCode].sql,
+        TemplateResolver.Context(
+          resolveRef = r => s"main__$r",
+          resolveSource = (a, b) => s"${a}_$b",
+          thisRelation = s"main__${n.name}"))
+    }
+
+    val seconds = (System.nanoTime() - t0) / 1e9
+    info(f"2000-model parse+link+schedule+compile: $seconds%.2f s (reference baseline: 43-72 s)")
+    assert(order.size == 2000)
+    assert(scores.values.max == 199)
+    assert(selected.size == 200) // node_0 tagged + its 199 descendants
+    assert(compiled.count(_.contains("main__")) == 1990)
+    assert(seconds < 5.0, f"parse+plan took $seconds%.2f s, target < 5 s")
+  }
+}
+
+/** Plan-quality gates: the physical plans the engine relies on at scale
+  * must actually materialize — filter/column pushdown into the parquet
+  * scan, broadcast joins for dims, no cartesian products in blocked ops. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize THIS plan's AQE so codegen spans are visible
+    // keep only the final adaptive plan (toString appends the initial copy)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val plan = physicalPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$plan")
+    val readSchema = "ReadSchema: struct<" +
+      plan.split("ReadSchema: struct<")(1).split(">")(0)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"))
+    assert(plan.contains("*("), "no whole-stage-codegen spans") // codegen spans print as *(n)
+  }
+
+  test("q2: all four dimension joins broadcast; fact side never re-shuffles before agg") {
+    val plan = physicalPlan("q2_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q3: both window functions share one shuffle on o_custkey") {
+    val plan = physicalPlan("q3_top_orders_per_customer")
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single window shuffle, got $exchanges:\n$plan")
+    assert("Window ".r.findAllIn(plan).size == 2, "both window functions present")
+  }
+
+  test("dedup ops contain no cartesian products (blocking join present)") {
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
+    }
+  }
+
+  test("brute-force topk broadcasts the query side, not the corpus") {
+    val plan = physicalPlan("q_sim_topk_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+  }
+}
