@@ -21,7 +21,7 @@ object OpsQueries {
 
     "q_dedup_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleLen = 5, k = 16, bands = 4, threshold = 0.5)
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -143,22 +143,22 @@ object OpsQueries {
       s"""WITH sh AS (
          |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
          |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 15), i ->
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
          |    CASE WHEN len(shs) = 0 THEN 2147483647
          |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
          |    END) AS sig
          |  FROM sh),
          |banded AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 3), b ->
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
          |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
          |  FROM sig),
          |cand AS (
          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
          |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc)
          |SELECT doc_a, doc_b,
-         |  len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0 AS est_jaccard
+         |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
          |FROM cand
-         |WHERE len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) / 16.0 >= 0.5
+         |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_simhash" ->

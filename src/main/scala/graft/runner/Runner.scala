@@ -43,7 +43,15 @@ final class Runner(
     defaultSchema: String = "main",
     database: String = "graft",
     threads: Int = 4,
-    fullRefresh: Boolean = false) {
+    fullRefresh: Boolean = false,
+    // --defer --state: unselected/unbuilt upstream refs resolve to a
+    // production (state) warehouse (reference: RuntimeRefResolver
+    // .create_relation, core/dbt/context/providers.py:626-660)
+    defer: Option[RelationManager] = None,
+    // --sample 'last N days': event-time refs get a window filter injected
+    // (reference: core/dbt/event_time/sample_window.py:15,
+    // providers.py:245-296)
+    sampleWindow: Option[(Instant, Instant)] = None) {
 
   /** generate_schema_name / generate_alias_name naming policy
     * (reference: manifest.json §generate_schema_name, §generate_alias_name). */
@@ -54,6 +62,31 @@ final class Runner(
     relType = if (n.config.materialized == "view") "view" else "table")
 
   private def sqlNameFor(n: Node): String = relationFor(n).viewName
+
+  /** Resolve a non-ephemeral dependency to a queryable SQL name: the local
+    * warehouse if built, else the defer (state) warehouse. Registers the
+    * deferred relation as a session view on first use. */
+  private def resolveRelationName(dep: Node): String = {
+    val rel = relationFor(dep)
+    val name = rel.viewName
+    val isRegistered = spark.catalog.tableExists(name)
+    if (!isRegistered && !rm.exists(rel)) {
+      defer.filter(_.exists(rel)).foreach { st =>
+        st.read(rel).createOrReplaceTempView(name)
+      }
+    }
+    name
+  }
+
+  /** Wrap a resolved relation in the sample/event-time window filter when
+    * the dependency declares an event_time column. */
+  private def applySample(dep: Node, name: String): String =
+    (sampleWindow, dep.config.eventTime) match {
+      case (Some((s, e)), Some(et)) =>
+        s"(select * from $name where $et >= timestamp'${java.sql.Timestamp.from(s)}'" +
+          s" and $et < timestamp'${java.sql.Timestamp.from(e)}')"
+      case _ => name
+    }
 
   /** Compile a SQL node: render refs/sources and recursively inline
     * ephemeral deps as CTEs (reference: Compiler._recursively_prepend_ctes
@@ -73,7 +106,7 @@ final class Runner(
           cteNames += cte -> depSql
         }
         cte
-      } else sqlNameFor(dep)
+      } else applySample(dep, resolveRelationName(dep))
     }
     def renderBody(sql: String, n: Node, isIncremental: Boolean): String =
       TemplateResolver.render(sql, TemplateResolver.Context(
@@ -96,7 +129,19 @@ final class Runner(
     case Some(SqlCode(_)) => spark.sql(compileSql(node, isIncremental))
     case Some(NativeCode(fn)) =>
       val deps = node.dependsOn.flatMap(manifest.get).map { d =>
-        d.name -> (if (d.isEphemeral) buildDf(d) else rm.spark.table(sqlNameFor(d)))
+        val df =
+          if (d.isEphemeral) buildDf(d)
+          else {
+            val base = spark.table(resolveRelationName(d))
+            (sampleWindow, d.config.eventTime) match {
+              case (Some((s, e)), Some(et)) =>
+                import org.apache.spark.sql.functions.{col, lit}
+                base.filter(col(et) >= lit(java.sql.Timestamp.from(s)) &&
+                  col(et) < lit(java.sql.Timestamp.from(e)))
+              case _ => base
+            }
+          }
+        d.name -> df
       }.toMap
       fn(spark, deps)
     case None => throw new IllegalStateException(s"${node.name} has no code")

@@ -122,3 +122,50 @@ class MetaFunctionsSpec extends AnyFunSuite {
     assert(txt.contains("\"id\""))
   }
 }
+
+class DeferSampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.compile.TemplateResolver
+
+  test("defer: unbuilt upstream refs resolve to the state warehouse") {
+    import spark.implicits._
+    val state = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_state").toString)
+    val dev = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_dev").toString)
+    val nodes = Seq(
+      TemplateResolver.parseModel("pkg", "upstream",
+        "{{ config(materialized='table') }}\nselect 1 as id union all select 2 as id"),
+      TemplateResolver.parseModel("pkg", "downstream",
+        "{{ config(materialized='table') }}\nselect count(*) as n from {{ ref('upstream') }}"))
+    val manifest = Manifest(nodes).processRefs()
+    // state warehouse has upstream built (a previous prod run)
+    new Runner(spark, state, manifest).run(select = Seq("upstream"))
+    // wipe the session view so the dev runner must go through the defer path
+    spark.catalog.dropTempView(Relation("graft", "main", "upstream").viewName)
+    // dev run selects ONLY downstream, deferring upstream to state
+    val results = new Runner(spark, dev, manifest, defer = Some(state))
+      .run(select = Seq("downstream"))
+    assert(results.map(_.status).toSet == Set("success"), results.mkString(";"))
+    assert(dev.read(Relation("graft", "main", "downstream")).collect()(0).getLong(0) == 2L)
+    assert(!dev.exists(Relation("graft", "main", "upstream")))
+  }
+
+  test("sample mode: event-time refs get the window filter injected") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_smp").toString)
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val nodes = Seq(
+      TemplateResolver.parseModel("pkg", "events_model",
+        "{{ config(materialized='table', event_time='ts') }}\nselect * from raw_events_sample"),
+      TemplateResolver.parseModel("pkg", "daily",
+        "{{ config(materialized='table') }}\nselect count(*) as n from {{ ref('events_model') }}"))
+    Seq((t("2024-01-01 10:00:00"), 1.0), (t("2024-01-05 10:00:00"), 2.0), (t("2024-01-09 10:00:00"), 3.0))
+      .toDF("ts", "v").createOrReplaceTempView("raw_events_sample")
+    val manifest = Manifest(nodes).processRefs()
+    val window = (java.time.Instant.parse("2024-01-04T00:00:00Z"),
+      java.time.Instant.parse("2024-01-08T00:00:00Z"))
+    val results = new Runner(spark, rm, manifest, sampleWindow = Some(window)).run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    // only the 2024-01-05 event falls inside the sample window
+    assert(rm.read(Relation("graft", "main", "daily")).collect()(0).getLong(0) == 1L)
+  }
+}
