@@ -21,16 +21,22 @@ object Similarity {
   /** Deterministic double-cast of a float embedding. */
   def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Reference (interpreted) forms — kept for the parity spec; the hot
+    * path uses the fused codegen expressions below. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def normHof(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def cosineHof(a: Column, b: Column): Column =
+    round(dotHof(a, b) / (normHof(a) * normHof(b)), 6)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotProduct(a, b)
 
-  /** Cosine similarity rounded to 6 decimals (absorbs any last-ulp
-    * accumulation divergence between engines; ranking uses the rounded
-    * value with an id tiebreak, so top-k is stable). */
+  /** Cosine similarity via the custom codegen expression (same ascending-
+    * index accumulation as the HOF form and the DuckDB oracle → identical
+    * bits), rounded to 6 decimals so ranking ties break on the id. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(graft.expressions.VectorExpressions.cosineSimilarity(a, b), 6)
 
   /** Brute-force cosine top-k: queries × corpus cross join — exact, and
     * the right choice when queries are few (broadcast the query side).
@@ -58,9 +64,7 @@ object Similarity {
     * `dims`-dimensional embedding: bit p = (v · plane_p) > 0. */
   def lshBucket(v: Column, planes: Int, dims: Int): Column = {
     val bits: Seq[Column] = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, array((0 until dims).map(d => planeComponent(p, d)): _*), (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, array((0 until dims).map(d => planeComponent(p, d)): _*))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -147,9 +147,26 @@ final class Runner(
     case None => throw new IllegalStateException(s"${node.name} has no code")
   }
 
+  /** Render a standalone SQL snippet (hook) in a node's context —
+    * ref/source/this resolve exactly as in the node body (reference:
+    * pre_hooks/post_hooks core/dbt/context/providers.py:1482-1487,
+    * on-run-start/end core/dbt/hooks.py). */
+  def renderSnippet(node: Node, sql: String): String =
+    TemplateResolver.render(sql, TemplateResolver.Context(
+      resolveRef = name => applySample(
+        manifest.byName(name).getOrElse(throw new NoSuchElementException(s"unknown ref '$name'")),
+        resolveRelationName(manifest.byName(name).get)),
+      resolveSource = (s, t) => s"${s}_$t",
+      thisRelation = sqlNameFor(node),
+      vars = vars))
+
+  private def runHooks(node: Node, hooks: Seq[String]): Unit =
+    hooks.foreach(h => spark.sql(renderSnippet(node, h)).collect())
+
   private def runNode(node: Node): RunResult = {
     val start = Instant.now()
     try {
+      runHooks(node, node.config.preHooks)
       node.nodeType match {
         case NodeType.Model | NodeType.Snapshot | NodeType.Seed =>
           val rel = relationFor(node)
@@ -167,6 +184,7 @@ final class Runner(
             case other =>
               throw new IllegalArgumentException(s"materialized: $other")
           }
+          runHooks(node, node.config.postHooks)
           RunResult(node.uniqueId, "success", start, Instant.now())
         case NodeType.Test =>
           val failing = buildDf(node)
@@ -197,7 +215,14 @@ final class Runner(
     * mark_node_as_skipped). `withTestEdges` adds build-style test→child
     * blocking (compilation.py:210-340). */
   def run(select: Seq[String] = Nil, exclude: Seq[String] = Nil,
-          withTestEdges: Boolean = false): Seq[RunResult] = {
+          withTestEdges: Boolean = false,
+          onRunStart: Seq[String] = Nil, onRunEnd: Seq[String] = Nil): Seq[RunResult] = {
+    // on-run-start hooks (reference: core/dbt/hooks.py; run in task/run.py)
+    onRunStart.foreach(h => spark.sql(TemplateResolver.render(h,
+      TemplateResolver.Context(
+        resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),
+        resolveSource = (s, t) => s"${s}_$t",
+        thisRelation = "", vars = vars))).collect())
     val selected0 = Selector.select(manifest, select, exclude)
     val selected = selected0.filter(id => NodeType.executable(manifest(id).nodeType))
     val mf =
@@ -246,6 +271,11 @@ final class Runner(
     }
     pool.shutdown()
     pool.awaitTermination(1, TimeUnit.HOURS)
+    onRunEnd.foreach(h => spark.sql(TemplateResolver.render(h,
+      TemplateResolver.Context(
+        resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),
+        resolveSource = (s, t) => s"${s}_$t",
+        thisRelation = "", vars = vars))).collect())
     // deterministic report order
     results.values().asScala.toSeq.sortBy(_.uniqueId)
   }

@@ -169,3 +169,27 @@ class DeferSampleSpec extends AnyFunSuite {
     assert(rm.read(Relation("graft", "main", "daily")).collect()(0).getLong(0) == 1L)
   }
 }
+
+class HooksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.compile.TemplateResolver
+
+  test("pre/post hooks run in node context; on-run-start/end run once") {
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_hooks").toString)
+    val node = TemplateResolver.parseModel("pkg", "hooked",
+      "{{ config(materialized='table') }}\nselect 1 as id union all select 2 as id")
+      .copy(config = TemplateResolver.parseModel("pkg", "hooked",
+        "{{ config(materialized='table') }}\nselect 1").config.copy(
+        preHooks = Seq("create or replace temp view pre_marker as select 'pre' as phase"),
+        postHooks = Seq("create or replace temp view post_audit as select count(*) as n from {{ this }}")))
+    val manifest = Manifest(Seq(node.copy(code = Some(SqlCode(
+      "select 1 as id union all select 2 as id"))))).processRefs()
+    val results = new Runner(spark, rm, manifest).run(
+      onRunStart = Seq("create or replace temp view run_started as select 1 as ok"),
+      onRunEnd = Seq("create or replace temp view run_ended as select 1 as ok"))
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(spark.table("pre_marker").collect()(0).getString(0) == "pre")
+    assert(spark.table("post_audit").collect()(0).getLong(0) == 2L)
+    assert(spark.table("run_started").count() == 1 && spark.table("run_ended").count() == 1)
+  }
+}

@@ -82,3 +82,39 @@ class OpsSpec extends AnyFunSuite {
       f2.orderBy("asset_id").collect().map(_.toString).toSeq)
   }
 }
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("codegen cosine is bit-identical to the interpreted HOF form") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val pairs = e.select(col("vec_id").as("ia"), Similarity.asDouble(col("embedding")).as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), Similarity.asDouble(col("embedding")).as("vb")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val diff = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("native"),
+      Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("SQL registration: cosine_similarity and dot_product callable from spark.sql") {
+    graft.expressions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "select cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) d").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val df = e.select(Similarity.cosine(
+      Similarity.asDouble(col("embedding")), Similarity.asDouble(col("embedding"))).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen span:\n$plan")
+  }
+}
