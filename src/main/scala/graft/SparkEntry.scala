@@ -17,11 +17,11 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ MatQueries.all ++ FnQueries.all ++ TestQueries.all ++ OpsQueries.all ++ StreamQueries.all ++ SemanticQueries.all
+    CoreQueries.all ++ MatQueries.all ++ FnQueries.all ++ TestQueries.all ++ OpsQueries.all ++ StreamQueries.all ++ SemanticQueries.all ++ JoinQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ MatQueries.oracles ++ FnQueries.oracles ++
-      TestQueries.oracles ++ OpsQueries.oracles ++ StreamQueries.oracles ++ SemanticQueries.oracles
+      TestQueries.oracles ++ OpsQueries.oracles ++ StreamQueries.oracles ++ SemanticQueries.oracles ++ JoinQueries.oracles
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible);
     * the driver records a weaker rows-only check for these. */

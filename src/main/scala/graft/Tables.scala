@@ -37,10 +37,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
+    // integer DIV, not `/`: long/long in Spark SQL is DOUBLE division, and a
+    // ~1.7e18 nanosecond value exceeds double's 53-bit mantissa → off-by-1µs
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsOfJoin, Ivf}
+
+/** Custom join-shaped operators: as-of join (DuckDB's native ASOF JOIN is
+  * the oracle) and IVF-style ANN probing.
+  */
+object JoinQueries {
+
+  private def cosineSql(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each purchase gets the user's latest prior view (≤ 7 days)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(purchases, views,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightPayload = Map("value" -> "view_value"),
+        toleranceSeconds = Some(7L * 24 * 3600))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("view_value"), 6).as("view_value"),
+          col("matched_ts"))
+        .orderBy("event_id")
+    }),
+
+    // IVF ANN: 8 seed centroids, 2-probe search, top-5 per query
+    "q_sim_topk_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ivf.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.value,
+        |  CASE WHEN v.ts IS NOT NULL AND date_diff('second', v.ts, p.ts) <= 7*24*3600
+        |       THEN round(v.value, 6) END AS view_value,
+        |  CASE WHEN v.ts IS NOT NULL AND date_diff('second', v.ts, p.ts) <= 7*24*3600
+        |       THEN v.ts END AS matched_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sim_topk_ivf" -> {
+      val cosEC = cosineSql("e.embedding", "c.cvec")
+      val cosQV = cosineSql("q.qv", "cc.cv")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cosEC DESC, c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |corpus_cells AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell
+         |  FROM assigned WHERE rnk = 1),
+         |query_cells AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
+         |scored AS (
+         |  SELECT q.query_id, cc.neighbor_id, $cosQV AS cosine
+         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+         |  WHERE q.query_id <> cc.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  )
+}

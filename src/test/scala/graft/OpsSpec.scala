@@ -118,3 +118,57 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"expected codegen span:\n$plan")
   }
 }
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.ops.AsOfJoin
+
+  test("asof attaches latest right row at-or-before left ts, per key") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")),
+      (2L, 10L, t("2024-01-01 00:00:00")),  // before any right row
+      (3L, 20L, t("2024-01-10 00:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, t("2024-01-02 00:00:00"), 1.0),
+      (10L, t("2024-01-04 00:00:00"), 2.0),
+      (10L, t("2024-01-06 00:00:00"), 3.0),  // after left id=1 → never matched
+      (20L, t("2024-01-10 00:00:00"), 9.0))  // exact tie → matches
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asof(left, right, "k", "ts", "ts", Map("v" -> "rv"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("rv") == 2.0)       // latest ≤ 01-05 is 01-04
+    assert(out(1).isNullAt(out(1).fieldIndex("rv"))) // nothing before 01-01
+    assert(out(2).getAs[Double]("rv") == 9.0)       // equal ts matches
+  }
+
+  test("asof tolerance nulls out stale matches") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, t("2024-01-05 00:00:00"))).toDF("id", "k", "ts")
+    val right = Seq((10L, t("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
+    val within = AsOfJoin.asof(left, right, "k", "ts", "ts", Map("v" -> "rv"),
+      toleranceSeconds = Some(10L * 24 * 3600)).collect()(0)
+    val beyond = AsOfJoin.asof(left, right, "k", "ts", "ts", Map("v" -> "rv"),
+      toleranceSeconds = Some(24 * 3600L)).collect()(0)
+    assert(within.getAs[Double]("rv") == 1.0)
+    assert(beyond.isNullAt(beyond.fieldIndex("rv")))
+  }
+
+  test("ivf topk: every result's cosine is bounded by brute force and probes help recall") {
+    import graft.ops.{Ivf, Similarity}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf1 = Ivf.topK(q, e, "vec_id", "embedding", 5, nCells = 8, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf4 = Ivf.topK(q, e, "vec_id", "embedding", 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r1 = (brute intersect ivf1).size.toDouble / brute.size
+    val r4 = (brute intersect ivf4).size.toDouble / brute.size
+    assert(r4 >= r1, s"more probes must not lower recall: $r1 vs $r4")
+    assert(r4 > 0.3, s"4-of-8-cell probe recall too low: $r4")
+  }
+}
