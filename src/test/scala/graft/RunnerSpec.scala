@@ -216,3 +216,51 @@ class RunnerSpec extends AnyFunSuite {
     assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq == Seq(3.0, 4.0, 8.0))
   }
 }
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("co-bucketed tables join without a shuffle") {
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_bkt").toString)
+    val sf = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    val relO = Relation("graft", "bkt", "orders_b")
+    val relL = Relation("graft", "bkt", "lineitem_b")
+    rm.writeBucketedTable(o.withColumnRenamed("o_orderkey", "k"), relO, 8, Seq("k"))
+    rm.writeBucketedTable(l.withColumnRenamed("l_orderkey", "k"), relL, 8, Seq("k"))
+    val joined = rm.readBucketedTable(relO).join(rm.readBucketedTable(relL), "k")
+      .groupBy("k").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning(k"),
+      s"bucketed join should not shuffle on k:\n$plan")
+    // inner join keeps exactly the orderkeys that appear in lineitem
+    assert(joined.count() == l.select("l_orderkey").distinct().count())
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.ops.Skew
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavily skewed: 80% of rows share key 1
+    val large = (1 to 5000).map(i =>
+      (if (rnd.nextDouble() < 0.8) 1L else rnd.between(2L, 50L), s"p$i")).toDF("k", "payload")
+    val small = (1L to 49L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val plain = large.join(small, "k").orderBy("k", "payload").collect()
+    val salted = Skew.saltedJoin(large, small, "k", factor = 8, saltBy = Seq("payload"))
+      .orderBy("k", "payload").collect()
+    assert(plain.map(_.toString).toSeq == salted.map(_.toString).toSeq)
+  }
+
+  test("skew profile surfaces the hot key") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(1L) ++ (2L to 11L)).map((_, "x")).toDF("k", "v")
+    val top = Skew.keySkewProfile(df, "k", topN = 1).collect()(0)
+    assert(top.getLong(0) == 1L && top.getDouble(2) == 0.9)
+  }
+}
