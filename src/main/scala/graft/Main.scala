@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core._
+import graft.relations.RelationManager
+import graft.runner.{Commands, Runner}
+
+/** CLI entry point — the reference's command surface (SURVEY §2.8;
+  * core/dbt/cli/main.py) over a filesystem project:
+  *
+  * {{{
+  * graft.Main <run|build|test|seed|snapshot|compile|ls|show> \
+  *   --project DIR [--warehouse DIR] [--select EXPR]... [--exclude EXPR]...
+  *   [--threads N] [--full-refresh] [--vars k=v,...] [--limit N]
+  * }}}
+  *
+  * `build` runs seeds→models→snapshots→tests in one DAG with test-blocking
+  * edges, exactly like the reference's build task.
+  */
+object Main {
+
+  final case class Args(
+      command: String = "run",
+      project: String = ".",
+      warehouse: Option[String] = None,
+      select: Seq[String] = Nil,
+      exclude: Seq[String] = Nil,
+      threads: Int = 4,
+      fullRefresh: Boolean = false,
+      vars: Map[String, String] = Map.empty,
+      limit: Int = 5,
+      target: Option[String] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--project" :: v :: t => loop(t, acc.copy(project = v))
+      case "--warehouse" :: v :: t => loop(t, acc.copy(warehouse = Some(v)))
+      case "--select" :: v :: t => loop(t, acc.copy(select = acc.select :+ v))
+      case "-s" :: v :: t => loop(t, acc.copy(select = acc.select :+ v))
+      case "--exclude" :: v :: t => loop(t, acc.copy(exclude = acc.exclude :+ v))
+      case "--threads" :: v :: t => loop(t, acc.copy(threads = v.toInt))
+      case "--full-refresh" :: t => loop(t, acc.copy(fullRefresh = true))
+      case "--limit" :: v :: t => loop(t, acc.copy(limit = v.toInt))
+      case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
+        v.split(",").flatMap(_.split("=", 2) match {
+          case Array(k, vv) => Some(k -> vv); case _ => None
+        })))
+      case cmd :: t if !cmd.startsWith("-") => loop(t, acc.copy(command = cmd))
+      case unknown :: _ => throw new IllegalArgumentException(s"unknown arg: $unknown")
+    }
+    loop(argv.toList, Args())
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${args.command}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val code = execute(spark, args, new java.io.PrintWriter(System.out, true))
+      if (code != 0) sys.exit(code)
+    } finally spark.stop()
+  }
+
+  /** Testable core: returns the process exit code. */
+  def execute(spark: SparkSession, args: Args, out: java.io.PrintWriter): Int = {
+    val loaded = Project.load(args.project)
+    val rm = new RelationManager(spark,
+      args.warehouse.getOrElse(s"${args.project}/target/warehouse"))
+    val runner = new Runner(spark, rm, loaded.manifest,
+      vars = loaded.config.vars ++ args.vars,
+      defaultSchema = loaded.config.schema,
+      database = loaded.config.database,
+      threads = args.threads,
+      fullRefresh = args.fullRefresh)
+
+    def report(results: Seq[graft.runner.RunResult]): Int = {
+      results.foreach(r => out.println(
+        f"${r.status.toUpperCase}%-8s ${r.uniqueId}%-60s ${r.executionSeconds}%.2fs ${r.message}"))
+      runner.writeRunResults(results,
+        s"${args.project}/target/run_results.json")
+      Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json")
+      if (results.exists(r => Set("error", "fail")(r.status))) 1 else 0
+    }
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${args.project}/target"))
+    args.command match {
+      case "run" =>
+        report(runner.run(args.select, args.exclude))
+      case "build" =>
+        report(runner.run(args.select, args.exclude, withTestEdges = true))
+      case "test" =>
+        report(runner.run(
+          if (args.select.isEmpty) Seq("resource_type:test") else args.select,
+          args.exclude))
+      case "seed" =>
+        report(runner.run(
+          if (args.select.isEmpty) Seq("resource_type:seed") else args.select, args.exclude))
+      case "snapshot" =>
+        report(runner.run(
+          if (args.select.isEmpty) Seq("resource_type:snapshot") else args.select, args.exclude))
+      case "compile" =>
+        Commands.list(loaded.manifest, args.select, args.exclude)
+          .map(loaded.manifest(_))
+          .filter(n => n.code.exists(_.isInstanceOf[SqlCode]) && n.nodeType != NodeType.Seed)
+          .foreach { n =>
+            out.println(s"-- ${n.uniqueId}")
+            out.println(runner.compileSql(n))
+          }
+        0
+      case "ls" =>
+        Commands.list(loaded.manifest, args.select, args.exclude).foreach(out.println)
+        0
+      case "show" =>
+        args.select.flatMap(s => Commands.list(loaded.manifest, Seq(s)))
+          .map(loaded.manifest(_)).foreach { n =>
+            out.println(s"-- ${n.uniqueId}")
+            Commands.show(runner, n, args.limit).collect()
+              .foreach(r => out.println(r.mkString(" | ")))
+          }
+        0
+      case other =>
+        out.println(s"unknown command: $other"); 2
+    }
+  }
+}

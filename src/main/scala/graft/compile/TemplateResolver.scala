@@ -98,7 +98,9 @@ object TemplateResolver {
       batchSize = cfg.get("batch_size"),
       tags = cfg.get("tags").map(_.split("\\s*\\|\\s*").toSet).getOrElse(Set.empty),
       alias = cfg.get("alias"),
-      schema = cfg.get("schema"))
+      schema = cfg.get("schema"),
+      severity = cfg.getOrElse("severity", "error"),
+      meta = cfg) // full config map for materialization-specific keys
     Node(
       nodeType = NodeType.Model,
       packageName = pkg,

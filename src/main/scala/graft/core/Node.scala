@@ -96,6 +96,8 @@ final case class NodeConfig(
 sealed trait NodeCode
 final case class SqlCode(sql: String) extends NodeCode
 final case class NativeCode(fn: (SparkSession, Map[String, DataFrame]) => DataFrame) extends NodeCode
+/** Inline CSV content for seed nodes (reference: core/dbt/parser/seeds.py). */
+final case class CsvCode(csv: String) extends NodeCode
 
 /** A DAG node (reference: core/dbt/contracts/graph/nodes.py). uniqueId is
   * `<type>.<package>.<name>` like the reference's unique_id. */

@@ -69,9 +69,9 @@ final class Runner(
   private def resolveRelationName(dep: Node): String = {
     val rel = relationFor(dep)
     val name = rel.viewName
-    val isRegistered = spark.catalog.tableExists(name)
-    if (!isRegistered && !rm.exists(rel)) {
-      defer.filter(_.exists(rel)).foreach { st =>
+    if (!spark.catalog.tableExists(name)) {
+      if (rm.exists(rel)) rm.register(rel) // fresh session over an existing warehouse
+      else defer.filter(_.exists(rel)).foreach { st =>
         st.read(rel).createOrReplaceTempView(name)
       }
     }
@@ -168,7 +168,39 @@ final class Runner(
     try {
       runHooks(node, node.config.preHooks)
       node.nodeType match {
-        case NodeType.Model | NodeType.Snapshot | NodeType.Seed =>
+        case NodeType.Seed =>
+          val rel = relationFor(node)
+          node.code match {
+            case Some(CsvCode(csv)) =>
+              val columnTypes = node.config.meta.collect {
+                case (k, v) if k.startsWith("column_types.") => k.stripPrefix("column_types.") -> v
+              }
+              Materializations.seed(rm, rel, csv, columnTypes)
+            case _ => throw new IllegalStateException(s"seed ${node.name} needs CSV code")
+          }
+          runHooks(node, node.config.postHooks)
+          RunResult(node.uniqueId, "success", start, Instant.now())
+        case NodeType.Snapshot =>
+          // snapshot config via meta: strategy, updated_at | check_cols,
+          // optional snapshot_at for a deterministic clock
+          val rel = relationFor(node)
+          val meta = node.config.meta
+          val at = meta.get("snapshot_at").map(Instant.parse)
+            .getOrElse(Instant.now())
+          val strategy = meta.getOrElse("strategy", "timestamp") match {
+            case "timestamp" => Snapshot.TimestampStrategy(meta.getOrElse("updated_at",
+              throw new IllegalArgumentException(s"snapshot ${node.name} needs updated_at")))
+            case "check" => Snapshot.CheckStrategy(at)
+            case other => throw new IllegalArgumentException(s"snapshot strategy: $other")
+          }
+          val checkCols = meta.get("check_cols").map(_.split("\\s*\\|\\s*").toSeq).getOrElse(Seq("all"))
+          Snapshot(rm, rel, buildDf(node), node.config.uniqueKey, strategy,
+            checkCols = checkCols,
+            invalidateHardDeletes = meta.get("invalidate_hard_deletes").contains("true"),
+            hardDeleteAt = Some(at))
+          runHooks(node, node.config.postHooks)
+          RunResult(node.uniqueId, "success", start, Instant.now())
+        case NodeType.Model =>
           val rel = relationFor(node)
           node.config.materialized match {
             case "view" =>

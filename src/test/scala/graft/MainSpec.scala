@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** End-to-end CLI: a filesystem project with seed → models → snapshot →
+  * singular test, driven through Main.execute (build/ls/compile/show). */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeProject(): Path = {
+    val dir = Files.createTempDirectory("graft_proj")
+    def put(rel: String, content: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("graft_project.conf",
+      """name = shop
+        |schema = main
+        |vars.min_amount = 5
+        |""".stripMargin)
+    put("seeds/payments.csv",
+      """id,customer,amount,paid_at
+        |1,alice,10,2024-01-01
+        |2,bob,3,2024-01-02
+        |3,alice,7,2024-02-01
+        |""".stripMargin)
+    put("models/staging/stg_payments.sql",
+      "select id, customer, amount, cast(paid_at as timestamp) as paid_at from {{ ref('payments') }}")
+    put("models/marts/revenue.sql",
+      """{{ config(materialized='table') }}
+        |select customer, sum(amount) as revenue
+        |from {{ ref('stg_payments') }}
+        |where amount >= {{ var('min_amount') }}
+        |group by customer""".stripMargin)
+    put("snapshots/payments_snap.sql",
+      """{{ config(strategy='timestamp', unique_key='id', updated_at='updated_at') }}
+        |select id, customer, amount, paid_at as updated_at from {{ ref('stg_payments') }}""".stripMargin)
+    put("tests/no_negative_revenue.sql",
+      "select * from {{ ref('revenue') }} where revenue < 0")
+    dir
+  }
+
+  test("build runs seed -> models -> snapshot -> test and writes artifacts") {
+    val dir = writeProject()
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString, threads = 2),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString)
+    val outText = sw.toString
+    assert(outText.contains("SUCCESS  seed.shop.payments"))
+    assert(outText.contains("SUCCESS  model.shop.revenue"))
+    assert(outText.contains("SUCCESS  snapshot.shop.payments_snap"))
+    assert(outText.contains("PASS     test.shop.no_negative_revenue"))
+
+    // warehouse contents: revenue excludes bob (amount 3 < min_amount var 5)
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val rev = rm.read(Relation("graft", "main", "revenue")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rev == Map("alice" -> 17L))
+    // snapshot has open versions with meta columns
+    val snap = rm.read(Relation("graft", "main", "payments_snap"))
+    assert(snap.columns.contains("dbt_valid_from") && snap.count() == 3)
+    // artifacts
+    assert(Files.exists(dir.resolve("target/run_results.json")))
+    assert(Files.exists(dir.resolve("target/manifest.json")))
+  }
+
+  test("ls, compile, show commands") {
+    val dir = writeProject()
+    def run(cmd: String, select: Seq[String] = Nil, extra: Main.Args => Main.Args = identity): String = {
+      val sw = new java.io.StringWriter()
+      val code = Main.execute(spark,
+        extra(Main.Args(command = cmd, project = dir.toString, select = select)),
+        new java.io.PrintWriter(sw, true))
+      assert(code == 0, sw.toString)
+      sw.toString
+    }
+    // build first so show has relations
+    run("build")
+    val ls = run("ls", Seq("+revenue"))
+    assert(ls.contains("model.shop.revenue") && ls.contains("model.shop.stg_payments")
+      && ls.contains("seed.shop.payments"))
+    val compiled = run("compile", Seq("revenue"))
+    assert(compiled.contains("from main__stg_payments"))
+    assert(compiled.contains(">= 5")) // var substituted
+    val shown = run("show", Seq("revenue"))
+    assert(shown.contains("alice | 17"))
+  }
+
+  test("a broken model fails the build with exit code 1 and skips descendants") {
+    val dir = writeProject()
+    Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
+      "select * from missing_table_that_does_not_exist")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 1)
+    assert(sw.toString.contains("ERROR    model.shop.stg_payments"))
+    assert(sw.toString.contains("SKIPPED"))
+  }
+}
