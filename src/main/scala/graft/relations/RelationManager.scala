@@ -140,6 +140,26 @@ final class RelationManager(val spark: SparkSession, val root: String) {
       Files.list(path(rel)).iterator().asScala
         .map(p => Files.getLastModifiedTime(p).toMillis).maxOption.getOrElse(0L)))
 
+  /** persist_docs / grants (reference: manifest.json §persist_docs,
+    * §apply_grants): plain parquet has no catalog comments or ACLs, so
+    * relation-level docs and grant intents persist as a metadata sidecar —
+    * the shape a catalog-backed deployment maps onto TBLPROPERTIES/GRANT. */
+  def persistMeta(rel: Relation, docs: Map[String, String],
+                  grants: Map[String, Seq[String]] = Map.empty): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val d = docs.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    val g = grants.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"${q(k)}: [${vs.map(q).mkString(",")}]" }
+    Files.createDirectories(path(rel))
+    Files.writeString(path(rel).resolve("_graft_meta.json"),
+      s"""{"docs":{${d.mkString(",")}},"grants":{${g.mkString(",")}}}""")
+  }
+
+  def readMeta(rel: Relation): Option[String] = {
+    val p = path(rel).resolve("_graft_meta.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   /** Schema-evolution trio (reference: manifest.json §check_for_schema_changes /
     * §process_schema_changes / §sync_column_schemas; SURVEY §4). Returns the
     * reconciled DataFrame to write for append-shaped strategies. */

@@ -264,3 +264,36 @@ class SkewSpec extends AnyFunSuite {
     assert(top.getLong(0) == 1L && top.getDouble(2) == 0.9)
   }
 }
+
+class RelationExtrasSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("delete+insert honors incremental_predicates (only matching rows deleted)") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_pred").toString)
+    val rel = Relation("graft", "main", "inc_pred")
+    // target: id 1 recent, id 2 old
+    rm.writeTable(Seq((1, "recent", 2024), (2, "old", 2020)).toDF("id", "tag", "yr"), rel)
+    // batch rewrites both ids, but the predicate restricts deletion to yr >= 2024
+    val batch = Seq((1, "new1", 2024), (2, "new2", 2024)).toDF("id", "tag", "yr")
+    Materializations.deleteInsert(rm, rel, batch, Seq("id"),
+      incrementalPredicates = Seq(col("yr") >= 2024))
+    val rows = rm.read(rel).orderBy("id", "tag").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // id 1 (yr 2024): old row deleted, replaced; id 2 (yr 2020): old row KEPT + new row inserted
+    assert(rows == Seq((1, "new1"), (2, "new2"), (2, "old")))
+  }
+
+  test("persist_docs/grants sidecar survives reads and is ignored by scans") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_meta").toString)
+    val rel = Relation("graft", "main", "documented")
+    rm.writeTable(Seq((1, "x")).toDF("id", "v"), rel)
+    rm.persistMeta(rel,
+      docs = Map("relation" -> "demo table", "id" -> "primary key"),
+      grants = Map("select" -> Seq("analyst", "bi")))
+    assert(rm.read(rel).count() == 1) // underscore-prefixed sidecar invisible to the scan
+    val meta = rm.readMeta(rel).get
+    assert(meta.contains("\"id\": \"primary key\"") && meta.contains("\"analyst\""))
+  }
+}
