@@ -73,6 +73,7 @@ object Main {
   /** Testable core: returns the process exit code. */
   def execute(spark: SparkSession, args: Args, out: java.io.PrintWriter): Int = {
     val loaded = Project.load(args.project)
+    Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,
       args.warehouse.getOrElse(s"${args.project}/target/warehouse"))
     val runner = new Runner(spark, rm, loaded.manifest,

@@ -28,7 +28,10 @@ object Project {
       name: String,
       schema: String = "main",
       database: String = "graft",
-      vars: Map[String, String] = Map.empty)
+      vars: Map[String, String] = Map.empty,
+      /** `sources.<name> = <dir>` → every parquet table under dir becomes
+        * `source('<name>', '<table>')` (reference: sources.yml declarations). */
+      sources: Map[String, String] = Map.empty)
 
   final case class Loaded(config: Config, manifest: Manifest)
 
@@ -94,7 +97,29 @@ object Project {
       name = kv.getOrElse("name", "project"),
       schema = kv.getOrElse("schema", "main"),
       database = kv.getOrElse("database", "graft"),
-      vars = kv.collect { case (k, v) if k.startsWith("vars.") => k.stripPrefix("vars.") -> v })
+      vars = kv.collect { case (k, v) if k.startsWith("vars.") => k.stripPrefix("vars.") -> v },
+      sources = kv.collect { case (k, v) if k.startsWith("sources.") => k.stripPrefix("sources.") -> v })
+  }
+
+  /** Register every `<dir>/<table>.parquet` as a `<source>_<table>` session
+    * view — the engine's source() resolution target. */
+  def registerSources(spark: org.apache.spark.sql.SparkSession, conf: Config): Unit = {
+    // tolerate nanosecond-timestamp parquet (read as raw long; models cast)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf.sources.foreach { case (srcName, dir) =>
+      val d = Paths.get(dir)
+      if (Files.isDirectory(d))
+        Files.list(d).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          .foreach { p =>
+            try spark.read.parquet(p.toString)
+              .createOrReplaceTempView(s"${srcName}_${stem(p)}")
+            catch {
+              case e: Throwable => System.err.println(
+                s"[graft] skipping source $srcName.${stem(p)}: ${e.getMessage}")
+            }
+          }
+    }
   }
 
   private def stem(p: Path): String = {

@@ -112,7 +112,9 @@ final class Runner(
       TemplateResolver.render(sql, TemplateResolver.Context(
         resolveRef = resolveRef,
         resolveSource = (s, t) => s"${s}_$t", // sources registered as <source>_<table> views
-        thisRelation = sqlNameFor(n),
+        // {{ this }} must also self-register in a fresh session over an
+        // existing warehouse (the incremental re-run path)
+        thisRelation = resolveRelationName(n),
         vars = vars,
         isIncremental = isIncremental))
     val body = node.code match {
@@ -157,7 +159,7 @@ final class Runner(
         manifest.byName(name).getOrElse(throw new NoSuchElementException(s"unknown ref '$name'")),
         resolveRelationName(manifest.byName(name).get)),
       resolveSource = (s, t) => s"${s}_$t",
-      thisRelation = sqlNameFor(node),
+      thisRelation = resolveRelationName(node),
       vars = vars))
 
   private def runHooks(node: Node, hooks: Seq[String]): Unit =
