@@ -60,7 +60,9 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // no persisted-frame leakage between queries
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

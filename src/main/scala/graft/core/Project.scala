@@ -60,10 +60,8 @@ object Project {
     }
 
     val tests = sqlFiles("tests").map { case (name, p) =>
-      val node = TemplateResolver.parseModel(conf.name, name, Files.readString(p))
-      node.copy(nodeType = NodeType.Test,
-        path = Some(root.relativize(p).toString),
-        testedNode = node.refs.headOption.map(r => s"model.${conf.name}.$r"))
+      TemplateResolver.parseModel(conf.name, name, Files.readString(p))
+        .copy(nodeType = NodeType.Test, path = Some(root.relativize(p).toString))
     }
 
     val seedsDir = root.resolve("seeds")
@@ -79,7 +77,14 @@ object Project {
             checksum = md5(Files.readString(p)))
         }
 
-    Loaded(conf, Manifest(models ++ snapshots ++ tests ++ seeds).processRefs())
+    // testedNode resolves against the FULL refable set — a singular test's
+    // first ref may be a seed or snapshot, not only a model
+    val refable = (models ++ snapshots ++ seeds)
+      .filter(n => NodeType.refable(n.nodeType))
+      .map(n => n.name -> n.uniqueId).toMap
+    val testsLinked = tests.map(t =>
+      t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
+    Loaded(conf, Manifest(models ++ snapshots ++ testsLinked ++ seeds).processRefs())
   }
 
   private def loadConf(p: Path): Config = {

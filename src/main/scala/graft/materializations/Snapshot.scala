@@ -89,7 +89,10 @@ object Snapshot {
     val s = source.as("s")
     val t = current.as("t")
     val keyCond = key.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
-    val changed = strategy.rowChanged(sourceCols, effCheckCols)
+    // coalesce: a NULL comparison (e.g. NULL source updated_at) must count
+    // as "not changed", or the row falls through BOTH the changed and
+    // unchanged branches and silently vanishes from the rewrite
+    val changed = coalesce(strategy.rowChanged(sourceCols, effCheckCols), lit(false))
 
     // insertions: brand-new keys OR changed rows → open a new version
     val newKeys = s.join(t, keyCond, "left_anti")

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the UNION + ordered-window form (builder preference
   * (a): compose existing ops): tag both sides, sort each key's timeline
-  * once, and let `last(_, ignoreNulls)` carry the most recent right
-  * payload forward onto left rows. One shuffle on the key, linear in
-  * |L|+|R| — no range-condition join, which Catalyst would execute as a
-  * broadcast-nested-loop/cartesian blowup at scale.
+  * once, and let `last(_, ignoreNulls)` carry the most recent right ROW
+  * forward onto left rows. The whole right row travels as ONE struct so a
+  * NULL payload value inside the matched row can never desynchronize from
+  * its matched_ts (an older row's payload must not leak forward).
+  *
+  * One shuffle on the key, linear in |L|+|R| — no range-condition join,
+  * which Catalyst would execute as a broadcast-nested-loop/cartesian
+  * blowup at scale.
   */
 object AsOfJoin {
 
@@ -28,45 +32,44 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payloadOut = rightPayload.values.toSeq
 
-    // align schemas: left rows carry null right-payload; right rows carry
-    // null left-payload. __side orders right rows BEFORE a left row with
-    // the identical timestamp (ties: a right event at exactly leftTs matches).
-    val taggedLeft = payloadOut.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-        .withColumn("__matched_ts", lit(null).cast("timestamp"))) {
-      case (df, c) => df.withColumn(c, lit(null).cast(
-        right.schema(rightPayload.find(_._2 == c).get._1).dataType))
-    }
-    val taggedRight = leftCols.foldLeft(
-      right.select(
-        (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-          col(rightTs).as("__matched_ts") +:
-          rightPayload.toSeq.map { case (from, to) => col(from).as(to) }): _*)) {
-      case (df, c) if c == key => df
-      case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(taggedLeft.columns.map(col): _*)
+    // the carried right row: matched_ts + renamed payload, as one struct
+    val rStructCol = struct(
+      (col(rightTs).as("matched_ts") +:
+        rightPayload.toSeq.map { case (from, to) => col(from).as(to) }): _*)
+    val rStructType = right.select(rStructCol.as("__r")).schema("__r").dataType
 
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+      .select((Seq(col(key), col("__ts"), col("__side"), col("__r")) ++
+        leftCols.filterNot(c => c == key || c == leftTs).map(col)): _*)
+
+    val taggedRight = leftCols.filterNot(c => c == key || c == leftTs)
+      .foldLeft(right.select(
+        col(key), col(rightTs).as("__ts"), lit(0).as("__side"), rStructCol.as("__r"))) {
+        case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      .select(taggedLeft.columns.map(col): _*)
+
+    // __side orders right rows BEFORE a left row at the identical timestamp
+    // (a right event at exactly leftTs matches)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = taggedLeft.unionByName(taggedRight)
-      .select(
-        (Seq(col(key), col("__ts"), col("__side")) ++
-          leftCols.filterNot(c => c == key || c == leftTs).map(col) ++
-          (payloadOut :+ "__matched_ts").map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    val withTolerance = toleranceSeconds match {
-      case Some(tol) =>
-        val inWindow = col("__matched_ts").isNotNull &&
-          unix_timestamp(col("__ts")) - unix_timestamp(col("__matched_ts")) <= tol
-        payloadOut.foldLeft(filled) { (df, c) =>
-          df.withColumn(c, when(inWindow, col(c))) }
-          .withColumn("__matched_ts", when(inWindow, col("__matched_ts")))
-      case None => filled
+    val matchOk = toleranceSeconds match {
+      case Some(tol) => col("__match").isNotNull &&
+        unix_timestamp(col("__ts")) - unix_timestamp(col("__match.matched_ts")) <= tol
+      case None => col("__match").isNotNull
     }
-    withTolerance
-      .withColumnRenamed("__matched_ts", "matched_ts")
-      .drop("__side").withColumnRenamed("__ts", leftTs)
+    filled
+      .withColumn("__ok", matchOk)
+      .select((leftCols.filterNot(_ == leftTs).map(col) :+ col("__ts").as(leftTs)) ++
+        payloadOut.map(c => when(col("__ok"), col(s"__match.$c")).as(c)) :+
+        when(col("__ok"), col("__match.matched_ts")).as("matched_ts"): _*)
       .select((leftCols ++ payloadOut :+ "matched_ts").map(col): _*)
   }
 }

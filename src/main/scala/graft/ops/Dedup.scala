@@ -52,17 +52,24 @@ object Dedup {
     // Explicit partition count: small-file inputs arrive as one partition
     // and AQE would coalesce a size-based repartition right back.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val shingleRows = df.repartition(par, col(idCol))
+    val docs = df.repartition(par, col(idCol))
       .select(col(idCol).as("doc"), col(textCol).as("__text"))
+    val shingleRows = docs
+      // texts shorter than a shingle contribute nothing (and Spark's
+      // sequence(1, 0) is [1, 0], not empty — must pre-filter)
+      .filter(length(col("__text")) >= shingleLen)
       .select(col("doc"), col("__text"),
-        explode(sequence(lit(1), greatest(length(col("__text")) - (shingleLen - 1), lit(0)))).as("i"))
+        explode(sequence(lit(1), length(col("__text")) - (shingleLen - 1))).as("i"))
       .select(col("doc"),
         conv(substring(md5(col("__text").substr(col("i"), lit(shingleLen))), 1, 7), 16, 10)
           .cast(LongType).as("h"))
     val aggs = (0 until k).map(i =>
       min((lit(minhashCoefA(i)) * col("h") + lit(minhashCoefB(i))) % MinhashPrime).as(s"__m_$i"))
-    shingleRows.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"__m_$i")): _*).as("sig"))
+    val agg = shingleRows.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    // shingle-less docs keep the sentinel signature (oracle's len=0 CASE)
+    docs.select(col("doc")).join(agg, Seq("doc"), "left")
+      .select(col("doc"), array((0 until k).map(i =>
+        coalesce(col(s"__m_$i"), lit(MinhashPrime))): _*).as("sig"))
   }
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
@@ -104,16 +111,22 @@ object Dedup {
     * have bit k set. Returns (doc, sh: long). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val tokRows = df.repartition(par, col(idCol)).select(col(idCol).as("doc"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
+    val docs = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"), col(textCol).as("__text"))
+    val tokRows = docs.select(col("doc"),
+      explode(array_distinct(TextAnalysis.tokens(col("__text")))).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType))
     val cnts = (0 until 32).map(b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) > 0, 1).otherwise(0)).as(s"__c_$b"))
     val agg = tokRows.groupBy("doc").agg(count(lit(1)).as("__n"), cnts: _*)
-    agg.select(col("doc"),
+    val sig = agg.select(col("doc"),
       (0 until 32).map(b =>
         when(col(s"__c_$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
+    // token-less docs fold to signature 0 (explode dropped them; the
+    // oracle's list_sum over an empty list is 0)
+    docs.select(col("doc")).join(sig, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("sh"), lit(0L)).as("sh"))
   }
 
   /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on 4×8-bit

@@ -46,8 +46,11 @@ object Multimodal {
     * pipeline (schema, pruning, downstream joins) is exercised end-to-end.
     * Built-ins only → stays in codegen. */
   def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // decode the whole payload (UTF-8) then take CHARACTER code points —
+    // decoding only a byte prefix could split a multi-byte sequence, and
+    // the batched path + oracle both use per-character semantics
     transform(sequence(lit(1), lit(4)), i =>
-      coalesce(ascii(substring(payload, 1, 4).cast(StringType).substr(i.cast(IntegerType), lit(1))),
+      coalesce(ascii(payload.cast(StringType).substr(i.cast(IntegerType), lit(1))),
         lit(0)).cast(DoubleType) / 255.0)
 
   /** Batch-shaped feature extraction via mapPartitions — the seam where a
@@ -65,8 +68,11 @@ object Multimodal {
           // with a deterministic fake so plumbing is testable end-to-end:
           batch.map { case (id, payload) =>
             val bytes = Option(payload).getOrElse(Array.empty[Byte])
+            // character code points, matching decodeStub and the SQL oracle
+            // (signed-byte values would diverge on any non-ASCII payload)
+            val chars = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
             val feats = (0 until 4).map(i =>
-              (if (i < bytes.length) bytes(i).toDouble.abs else 0.0) / 255.0).toArray
+              (if (i < chars.length) chars.charAt(i).toDouble else 0.0) / 255.0).toArray
             (id, bytes.length.toLong, feats)
           }
         }

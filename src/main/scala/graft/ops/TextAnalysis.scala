@@ -95,21 +95,26 @@ object TextAnalysis {
     * higher-order lambdas are interpreted without common-subexpression
     * elimination, so an inline expression would re-tokenize the document
     * for every element access. */
-  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*)))
-  }
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    // fewer than n tokens must short-circuit to [] or element_at(_, 0) throws
+    when(size(toks) < n, array().cast(ArrayType(StringType))).otherwise {
+      val idx = sequence(lit(1), size(toks) - (n - 1))
+      array_distinct(transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*)))
+    }
 
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
   /** Rolling-hash char shingles of length n as 28-bit ints (md5-derived so
     * the DuckDB oracle can reproduce them byte-for-byte). */
-  def charShingleHashes(text: Column, n: Int): Column = {
-    val idx = sequence(lit(1), greatest(length(text) - (n - 1), lit(0)))
-    array_distinct(transform(idx, i =>
-      conv(substring(md5(text.substr(i.cast(IntegerType), lit(n))), 1, 7), 16, 10)
-        .cast(LongType)))
-  }
+  def charShingleHashes(text: Column, n: Int): Column =
+    // same sequence(1,0)-is-[1,0] guard as wordShinglesFromTokens
+    when(length(text) < n, array().cast(ArrayType(LongType))).otherwise {
+      val idx = sequence(lit(1), length(text) - (n - 1))
+      array_distinct(transform(idx, i =>
+        conv(substring(md5(text.substr(i.cast(IntegerType), lit(n))), 1, 7), 16, 10)
+          .cast(LongType)))
+    }
 }

@@ -103,11 +103,16 @@ object GenericTests {
                       now: java.time.Instant = java.time.Instant.now()): Freshness = {
     val maxLoaded = df.agg(max(col(loadedAtField)).cast("timestamp")).collect()(0)
       .getTimestamp(0)
-    val age = (now.toEpochMilli - maxLoaded.getTime) / 1000.0
-    val status =
-      if (errorAfterSec > 0 && age > errorAfterSec) "error"
-      else if (warnAfterSec > 0 && age > warnAfterSec) "warn"
-      else "pass"
-    Freshness(maxLoaded, age, status)
+    if (maxLoaded == null) {
+      // empty source: infinitely stale, not an NPE
+      Freshness(null, Double.PositiveInfinity, "error")
+    } else {
+      val age = (now.toEpochMilli - maxLoaded.getTime) / 1000.0
+      val status =
+        if (errorAfterSec > 0 && age > errorAfterSec) "error"
+        else if (warnAfterSec > 0 && age > warnAfterSec) "warn"
+        else "pass"
+      Freshness(maxLoaded, age, status)
+    }
   }
 }

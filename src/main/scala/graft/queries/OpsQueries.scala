@@ -168,9 +168,9 @@ object OpsQueries {
          |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
          |  FROM documents),
          |sh AS (
-         |  SELECT doc, CAST(list_sum(list_transform(generate_series(0, 31), k ->
+         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), k ->
          |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
-         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
          |  FROM hashes),
          |blocked AS (
          |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->

@@ -146,7 +146,7 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     * the shape a catalog-backed deployment maps onto TBLPROPERTIES/GRANT. */
   def persistMeta(rel: Relation, docs: Map[String, String],
                   grants: Map[String, Seq[String]] = Map.empty): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = graft.core.Json.quote(s)
     val d = docs.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
     val g = grants.toSeq.sortBy(_._1).map { case (k, vs) =>
       s"${q(k)}: [${vs.map(q).mkString(",")}]" }

@@ -52,7 +52,7 @@ object Commands {
     * configs, and the parent map; enough for state:modified diffing and
     * external lineage tools. */
   def writeManifest(manifest: Manifest, path: String): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = Json.quote(s)
     val nodes = manifest.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
       s"""${q(id)}: {"name":${q(n.name)},"resource_type":${q(n.nodeType.name)},""" +
         s""""package_name":${q(n.packageName)},"checksum":${q(n.checksum)},""" +
@@ -72,7 +72,7 @@ object Commands {
   /** catalog.json artifact (reference: core/dbt/task/docs/generate.py:49-216)
     * — per-relation column schemas and row counts for docs tooling. */
   def writeCatalog(rm: RelationManager, manifest: Manifest, runner: Runner, path: String): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = Json.quote(s)
     val entries = manifest.nodes.values.toSeq
       .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
       .sortBy(_.uniqueId)

@@ -317,7 +317,7 @@ final class Runner(
   /** Write run_results.json (reference:
     * core/dbt/artifacts/schemas/run/ run_results.json). */
   def writeRunResults(results: Seq[RunResult], path: String): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = Json.quote(s)
     val rows = results.map { r =>
       s"""{"unique_id":${q(r.uniqueId)},"status":${q(r.status)},""" +
         s""""execution_time":${r.executionSeconds},"message":${q(r.message)}}"""

@@ -172,3 +172,77 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r4 > 0.3, s"4-of-8-cell probe recall too low: $r4")
   }
 }
+
+/** Regression tests for the degenerate-input bugs found in review: texts
+  * shorter than a shingle, empty/whitespace text, NULL timestamps, NULL
+  * payloads, empty sources. */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("short and empty texts flow through every text/dedup op without errors") {
+    val df = Seq((1L, ""), (2L, "ab"), (3L, "one"), (4L, "two words"),
+      (5L, "a much longer document with plenty of tokens in it"),
+      (6L, "a much longer document with plenty of tokens in it")).toDF("id", "text")
+    // none of these may throw (sequence(1,0) == [1,0] regression)
+    assert(graft.ops.Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.1).count() >= 1)
+    val mh = graft.ops.Dedup.minhashLshPairs(df, "id", "text", threshold = 0.99).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).contains((5L, 6L)))
+    // docs 1-3 are shorter than the 5-char shingle → sentinel signatures → candidate pair 1-2? 
+    // (1,"") vs (2,"ab") vs (3,"one"): all sentinel → est 1.0 pairs among them
+    val sentinelPairs = mh.map(r => (r.getLong(0), r.getLong(1))).filter(_._1 <= 3).filter(_._2 <= 3)
+    assert(sentinelPairs.nonEmpty, "sub-shingle docs must share the sentinel signature like the oracle")
+    assert(graft.ops.Dedup.simhashPairs(df, "id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).contains((5L, 6L)))
+    val shingles = df.select(graft.ops.TextAnalysis.wordShingles(col("text"), 3)).collect()
+    assert(shingles.take(3).forall(_.getSeq[String](0).isEmpty))
+  }
+
+  test("snapshot with NULL source updated_at keeps the row (no silent data loss)") {
+    import graft.materializations.Snapshot
+    val rm = new graft.relations.RelationManager(spark,
+      java.nio.file.Files.createTempDirectory("graft_nullsnap").toString)
+    val rel = graft.core.Relation("graft", "snapshots", "null_ts_snap")
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val v1 = Seq((1, "a", t)).toDF("id", "v", "updated_at")
+    Snapshot(rm, rel, v1, Seq("id"), Snapshot.TimestampStrategy("updated_at"))
+    val v2 = Seq((1, "a", null.asInstanceOf[java.sql.Timestamp])).toDF("id", "v", "updated_at")
+    Snapshot(rm, rel, v2, Seq("id"), Snapshot.TimestampStrategy("updated_at"))
+    // NULL comparison counts as unchanged: the open row survives
+    assert(rm.read(rel).filter(col("dbt_valid_to").isNull).count() == 1)
+  }
+
+  test("asof: NULL payload in the matched row does not leak an older value") {
+    import graft.ops.AsOfJoin
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, t("2024-01-05 00:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 00:00:00"), Some(5.0)),
+      (10L, t("2024-01-03 00:00:00"), None)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asof(left, right, "k", "ts", "ts", Map("v" -> "rv")).collect()(0)
+    assert(out.getAs[java.sql.Timestamp]("matched_ts") == t("2024-01-03 00:00:00"))
+    assert(out.isNullAt(out.fieldIndex("rv")), "payload must come from the MATCHED row")
+  }
+
+  test("freshness on an empty source reports error, not NPE") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("id", "ts")
+    val f = graft.quality.GenericTests.sourceFreshness(empty, "ts", 60, 120)
+    assert(f.status == "error" && f.ageSeconds.isPosInfinity)
+  }
+
+  test("run_results JSON stays parseable when error messages contain newlines") {
+    val rm = new graft.relations.RelationManager(spark,
+      java.nio.file.Files.createTempDirectory("graft_json").toString)
+    val bad = graft.compile.TemplateResolver.parseModel("pkg", "bad",
+      "{{ config(materialized='table') }}\nselect * from table_that_isnt_there")
+    val runner = new graft.runner.Runner(spark, rm, graft.core.Manifest(Seq(bad)).processRefs())
+    val results = runner.run()
+    assert(results.head.status == "error" && results.head.message.contains("\n"))
+    val p = java.nio.file.Files.createTempFile("rr", ".json")
+    runner.writeRunResults(results, p.toString)
+    // must be valid JSON despite the multi-line Spark error message
+    val txt = java.nio.file.Files.readString(p)
+    assert(!txt.split("\n").exists(l => l.contains("table_that_isnt_there") && !l.contains("\\n")) || !txt.contains("\n\"") )
+    assert(txt.contains("\\n"))
+  }
+}
