@@ -91,6 +91,40 @@ object GenericTests {
                     rel: graft.core.Relation, failing: DataFrame): Unit =
     rm.writeTable(failing, rel)
 
+  // -------------------------------------------- custom generic tests
+
+  /** Custom generic-test registry (reference: any macro named
+    * `test_<name>(model, column_name, …)` discovered from tests/generic/,
+    * core/dbt/parser/schema_generic_tests.py + generic_test_builders.py:29-57):
+    * a named (DataFrame, column, args) → failing-rows function that schema
+    * tests can reference by name. Ships with the dbt-utils-style extras. */
+  object TestRegistry {
+    type GenericTest = (DataFrame, String, Map[String, String]) => DataFrame
+    private val tests = scala.collection.concurrent.TrieMap.empty[String, GenericTest]
+
+    def register(name: String)(fn: GenericTest): Unit = tests.put(name, fn)
+    def apply(name: String): GenericTest = tests.getOrElse(name,
+      throw new NoSuchElementException(s"unknown generic test '$name'"))
+    def names: Seq[String] = tests.keys.toSeq.sorted
+
+    // built-ins, addressable by name like the reference's test_ macros
+    register("unique")((df, c, _) => unique(df, c))
+    register("not_null")((df, c, _) => notNull(df, c))
+    register("accepted_values")((df, c, args) =>
+      acceptedValues(df, c, args.getOrElse("values", "").split("\\|").toSeq))
+    // dbt-utils-style extras
+    register("positive_values")((df, c, _) => df.filter(col(c) <= 0))
+    register("not_empty_string")((df, c, _) =>
+      df.filter(col(c).isNotNull && length(trim(col(c))) === 0))
+    register("accepted_range")((df, c, args) => {
+      val lo = args.get("min").map(_.toDouble)
+      val hi = args.get("max").map(_.toDouble)
+      df.filter(
+        lo.map(v => col(c) < v).getOrElse(lit(false)) ||
+          hi.map(v => col(c) > v).getOrElse(lit(false)))
+    })
+  }
+
   // --------------------------------------------------- source freshness
 
   /** Source freshness (reference: core/dbt/task/freshness.py:83-177;

@@ -297,3 +297,29 @@ class RelationExtrasSpec extends AnyFunSuite {
     assert(meta.contains("\"id\": \"primary key\"") && meta.contains("\"analyst\""))
   }
 }
+
+class TestRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.quality.GenericTests.TestRegistry
+
+  test("named generic tests resolve and return failing rows") {
+    import spark.implicits._
+    val df = Seq((1, "x", 5.0), (2, "", -1.0), (3, "y", 150.0)).toDF("id", "name", "amount")
+    assert(TestRegistry("positive_values")(df, "amount", Map.empty)
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(TestRegistry("not_empty_string")(df, "name", Map.empty)
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(TestRegistry("accepted_range")(df, "amount", Map("min" -> "0", "max" -> "100"))
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(TestRegistry("unique")(df, "id", Map.empty).count() == 0)
+  }
+
+  test("user-registered tests join the registry") {
+    import spark.implicits._
+    TestRegistry.register("is_even")((df, c, _) => df.filter(col(c) % 2 =!= 0))
+    val df = Seq(1, 2, 3, 4).toDF("n")
+    assert(TestRegistry("is_even")(df, "n", Map.empty).count() == 2)
+    assert(TestRegistry.names.contains("is_even"))
+    assertThrows[NoSuchElementException](TestRegistry("nope"))
+  }
+}
