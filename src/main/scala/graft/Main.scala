@@ -120,6 +120,19 @@ object Main {
       case "ls" =>
         Commands.list(loaded.manifest, args.select, args.exclude).foreach(out.println)
         0
+      case "freshness" =>
+        // metadata-based source freshness (reference: freshness.py
+        // get_relation_last_modified fallback — file mtimes, no scan)
+        val now = java.time.Instant.now()
+        loaded.manifest.nodes.values.toSeq
+          .filter(_.nodeType == NodeType.Source).sortBy(_.name)
+          .foreach { src =>
+            val mtime = java.nio.file.Files.getLastModifiedTime(
+              java.nio.file.Paths.get(src.path.get)).toInstant
+            val ageSec = (now.toEpochMilli - mtime.toEpochMilli) / 1000.0
+            out.println(f"${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
+          }
+        0
       case "show" =>
         args.select.flatMap(s => Commands.list(loaded.manifest, Seq(s)))
           .map(loaded.manifest(_)).foreach { n =>

@@ -77,6 +77,21 @@ object Project {
             checksum = md5(Files.readString(p)))
         }
 
+    // declared source tables become first-class manifest nodes so lineage
+    // (parent_map), `source:` selection, and freshness see them
+    // (reference: core/dbt/parser/sources.py SourceDefinition)
+    val sourceNodes = conf.sources.toSeq.sortBy(_._1).flatMap { case (srcName, dir) =>
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Nil
+      else Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        .map { p =>
+          Node(NodeType.Source, "sources", s"${srcName}_${stem(p)}",
+            sources = Seq((srcName, stem(p))),
+            path = Some(p.toString))
+        }
+    }
+
     // testedNode resolves against the FULL refable set — a singular test's
     // first ref may be a seed or snapshot, not only a model
     val refable = (models ++ snapshots ++ seeds)
@@ -84,7 +99,8 @@ object Project {
       .map(n => n.name -> n.uniqueId).toMap
     val testsLinked = tests.map(t =>
       t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
-    Loaded(conf, Manifest(models ++ snapshots ++ testsLinked ++ seeds).processRefs())
+    Loaded(conf,
+      Manifest(models ++ snapshots ++ testsLinked ++ seeds ++ sourceNodes).processRefs())
   }
 
   private def loadConf(p: Path): Config = {
