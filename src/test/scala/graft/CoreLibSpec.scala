@@ -167,3 +167,42 @@ class MicrobatchSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Null-propagation goldens for the function surface — the reference's
+  * fixture CSVs include null rows for every macro (FIXTURES.md §A.1). */
+class NullPropagationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.functions.{SqlFunctions => FN}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  test("date/string/hash functions propagate null inputs as null") {
+    import spark.implicits._
+    val df = Seq((1, Option.empty[java.sql.Timestamp], Option.empty[String]))
+      .toDF("id", "ts", "s")
+    val row = df.select(
+      FN.dateadd("day", 3, col("ts")).as("a"),
+      FN.datediff("day", col("ts"), current_timestamp()).as("b"),
+      FN.lastDay("quarter", col("ts")).as("c"),
+      FN.lengthOf(col("s")).as("d"),
+      FN.splitPart(col("s"), " ", 1).as("e"),
+      FN.hashMd5(col("s")).as("f"),
+      FN.safeCast(col("s"), IntegerType).as("g")).collect()(0)
+    for (i <- 0 until 7) assert(row.isNullAt(i), s"field $i should be null")
+    // listagg over an all-null group folds to the empty string
+    val agg = df.agg(FN.listagg(col("s"), ",", col("s")).as("g")).collect()(0)
+    assert(agg.getString(0) == "")
+  }
+
+  test("null-safe equals and surrogate key treat null deterministically") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+    val r = df.select(
+      FN.equalsNullSafe(col("a"), col("a")).as("both_null"),
+      FN.equalsNullSafe(col("a"), col("b")).as("one_null"),
+      FN.hashRow(Seq(col("a"), col("b"))).as("sk")).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // null sentinel makes the surrogate key total (never null)
+    assert(r.getString(2).nonEmpty)
+  }
+}
