@@ -40,26 +40,29 @@ object Selector {
       manifest: Manifest,
       select: Seq[String],
       exclude: Seq[String] = Nil,
-      previousState: Option[Manifest] = None): Set[String] = {
+      previousState: Option[Manifest] = None,
+      previousResults: Map[String, String] = Map.empty): Set[String] = {
     val all = manifest.nodes.keySet
     val included =
       if (select.isEmpty) all
-      else select.flatMap(term => evalTerm(manifest, term, previousState)).toSet
-    val excluded = exclude.flatMap(term => evalTerm(manifest, term, previousState)).toSet
+      else select.flatMap(term => evalTerm(manifest, term, previousState, previousResults)).toSet
+    val excluded = exclude.flatMap(term => evalTerm(manifest, term, previousState, previousResults)).toSet
     included -- excluded
   }
 
-  private def evalTerm(m: Manifest, term: String, prev: Option[Manifest]): Set[String] = {
+  private def evalTerm(m: Manifest, term: String, prev: Option[Manifest],
+                       prevResults: Map[String, String] = Map.empty): Set[String] = {
     // space = union, comma = intersection (dbt: intersection binds tighter)
     term.split("\\s+").filter(_.nonEmpty).map { unionPart =>
       unionPart.split(",").filter(_.nonEmpty)
-        .map(p => evalSpec(m, parseOne(p), prev))
+        .map(p => evalSpec(m, parseOne(p), prev, prevResults))
         .reduceLeft(_ intersect _)
     }.foldLeft(Set.empty[String])(_ union _)
   }
 
-  def evalSpec(m: Manifest, s: Spec, prev: Option[Manifest] = None): Set[String] = {
-    val base = baseMatch(m, s, prev)
+  def evalSpec(m: Manifest, s: Spec, prev: Option[Manifest] = None,
+               prevResults: Map[String, String] = Map.empty): Set[String] = {
+    val base = baseMatch(m, s, prev, prevResults)
     val withParents = s.parentsDepth.fold(Set.empty[String]) { d =>
       base.flatMap(id => Dag.ancestors(m.parentMap, id, d))
     }
@@ -79,14 +82,16 @@ object Selector {
     java.util.regex.Pattern.matches(
       pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"), s)
 
-  private def baseMatch(m: Manifest, s: Spec, prev: Option[Manifest]): Set[String] = {
+  private def baseMatch(m: Manifest, s: Spec, prev: Option[Manifest],
+                        prevResults: Map[String, String]): Set[String] = {
     val method = s.method.getOrElse("fqn")
     m.nodes.collect {
-      case (id, n) if matches(method, s.value, n, prev) => id
+      case (id, n) if matches(method, s.value, n, prev, prevResults) => id
     }.toSet
   }
 
-  private def matches(method: String, value: String, n: Node, prev: Option[Manifest]): Boolean =
+  private def matches(method: String, value: String, n: Node, prev: Option[Manifest],
+                      prevResults: Map[String, String] = Map.empty): Boolean =
     method match {
       case "fqn" => n.name == value || glob(value, n.name) ||
         (n.fqn.nonEmpty && glob(value, n.fqn.mkString(".")))
@@ -106,6 +111,9 @@ object Selector {
       case "test_name" => n.nodeType == NodeType.Test && glob(value, n.name)
       case "config.materialized" => n.config.materialized == value
       case "config.severity" => n.config.severity == value
+      // result:<status> from a previous run's results
+      // (reference: selector_methods.py ResultSelectorMethod; used by retry)
+      case "result" => prevResults.get(n.uniqueId).contains(value)
       case "state" => value match {
         // state:new / state:modified vs a previous manifest
         // (reference: selector_methods.py StateSelectorMethod)

@@ -206,3 +206,17 @@ class NullPropagationSpec extends AnyFunSuite {
     assert(r.getString(2).nonEmpty)
   }
 }
+
+class ResultSelectorSpec extends AnyFunSuite {
+  test("result:<status> selects nodes by previous run outcome") {
+    def model(name: String) =
+      Node(NodeType.Model, "pkg", name, fqn = Seq("pkg", name))
+    val m = Manifest(Seq(model("a"), model("b"), model("c")))
+    val prevResults = Map(
+      "model.pkg.a" -> "success", "model.pkg.b" -> "error", "model.pkg.c" -> "skipped")
+    assert(Selector.select(m, Seq("result:error"), previousResults = prevResults) ==
+      Set("model.pkg.b"))
+    assert(Selector.select(m, Seq("result:error result:skipped"), previousResults = prevResults) ==
+      Set("model.pkg.b", "model.pkg.c"))
+  }
+}
