@@ -134,21 +134,18 @@ object Dedup {
     * filter is exact on the candidates). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val sh = simhashes(df, idCol, textCol).persist()
-    val blocked = sh.select(col("doc"),
+    // the signature is a single long — cheap enough to carry through the
+    // block join, saving two join stages vs a dedup-then-rejoin plan
+    val blocked = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         concat_ws(":", b, call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L)))))
         .as("block"))
-    val cand = blocked.select(col("block"), col("doc").as("doc_a"))
-      .join(blocked.select(col("block"), col("doc").as("doc_b")), Seq("block"))
+    blocked.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+      .join(blocked.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   // ------------------------------------------------------ n-gram Jaccard

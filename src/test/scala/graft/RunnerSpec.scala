@@ -323,3 +323,30 @@ class TestRegistrySpec extends AnyFunSuite {
     assertThrows[NoSuchElementException](TestRegistry("nope"))
   }
 }
+
+class NativeModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("native Scala models consume resolved deps and join the DAG") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_native").toString)
+    val base = TemplateResolver.parseModel("pkg", "base_sql",
+      "{{ config(materialized='table') }}\nselect 1 as id, cast(4.0 as double) as v union all select 2, cast(6.0 as double)")
+    // a native model — arbitrary Scala over the dependency frames
+    // (the engine's replacement for dbt Python models, SURVEY §2.5)
+    val native = Node(NodeType.Model, "pkg", "native_stats",
+      code = Some(NativeCode((s, deps) => {
+        val df = deps("base_sql")
+        df.agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n"))
+      })),
+      config = NodeConfig(materialized = "table"),
+      dependsOn = Seq("model.pkg.base_sql"))
+    val downstream = TemplateResolver.parseModel("pkg", "consumer",
+      "{{ config(materialized='table') }}\nselect mean_v * 2 as doubled from {{ ref('native_stats') }}")
+    val manifest = Manifest(Seq(base, native, downstream)).processRefs()
+    val results = new Runner(spark, rm, manifest).run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    val out = rm.read(Relation("graft", "main", "consumer")).collect()(0)
+    assert(out.getDouble(0) == 10.0) // mean(4,6)=5 → doubled
+  }
+}
