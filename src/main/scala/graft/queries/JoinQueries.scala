@@ -34,6 +34,33 @@ object JoinQueries {
         .orderBy("event_id")
     }),
 
+    // range join: each event matched to the customer-snapshot version valid
+    // at event time (SCD-2 lookup) via bucketized point-in-interval join
+    "q_range_join_scd2" -> ((s, d) => {
+      import graft.ops.RangeJoin
+      import graft.materializations.Snapshot
+      import graft.relations.RelationManager
+      val rm = new RelationManager(s, java.nio.file.Files.createTempDirectory("graft_rj").toString)
+      val rel = graft.core.Relation("graft", "snapshots", "cust_rj_snap")
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val at1 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      val at2 = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      val v2 = base.withColumn("c_mktsegment",
+        when(col("c_custkey") % 5 === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+      Snapshot(rm, rel, base, Seq("c_custkey"), Snapshot.CheckStrategy(at1), checkCols = Seq("all"))
+      Snapshot(rm, rel, v2, Seq("c_custkey"), Snapshot.CheckStrategy(at2), checkCols = Seq("all"))
+      val snap = rm.read(rel)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
+          col("dbt_valid_from"), col("dbt_valid_to"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      RangeJoin.timestampInInterval(ev, snap,
+        "ts", "dbt_valid_from", "dbt_valid_to",
+        keys = Seq("user_id"), bucketSeconds = 24 * 3600,
+        maxTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+        .select(col("event_id"), col("c_mktsegment").as("segment_at_event"))
+        .orderBy("event_id")
+    }),
+
     // IVF ANN: 8 seed centroids, 2-probe search, top-5 per query
     "q_sim_topk_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -58,6 +85,27 @@ object JoinQueries {
         |       THEN v.ts END AS matched_ts
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_range_join_scd2" ->
+      """WITH v1 AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |v2 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer),
+        |snap AS (
+        |  SELECT v1.c_custkey, v1.c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS vf,
+        |    CASE WHEN v1.c_mktsegment <> v2.c_mktsegment
+        |         THEN TIMESTAMP '2024-01-05 00:00:00' END AS vt
+        |  FROM v1 JOIN v2 USING (c_custkey)
+        |  UNION ALL
+        |  SELECT v2.c_custkey, v2.c_mktsegment, TIMESTAMP '2024-01-05 00:00:00', NULL
+        |  FROM v1 JOIN v2 USING (c_custkey) WHERE v1.c_mktsegment <> v2.c_mktsegment)
+        |SELECT e.event_id, s.c_mktsegment AS segment_at_event
+        |FROM events e JOIN snap s
+        |  ON e.user_id = s.c_custkey
+        | AND CAST(e.ts AS TIMESTAMP) >= s.vf
+        | AND CAST(e.ts AS TIMESTAMP) < COALESCE(s.vt, TIMESTAMP '2030-01-01 00:00:00')
         |ORDER BY event_id""".stripMargin,
 
     "q_sim_topk_ivf" -> {

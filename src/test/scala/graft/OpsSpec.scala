@@ -246,3 +246,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(txt.contains("\\n"))
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import graft.ops.RangeJoin
+
+  test("bucketized range join equals the naive range join and avoids nested-loop plans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 2000).map(i => (i.toLong, rnd.between(0L, 10000L))).toDF("pid", "x")
+    val intervals = (1 to 300).map { i =>
+      val lo = rnd.between(0L, 9500L); (i.toLong, lo, lo + rnd.between(1L, 500L))
+    }.toDF("iid", "lo", "hi")
+
+    val naive = points.join(intervals, $"x" >= $"lo" && $"x" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = RangeJoin.pointInInterval(points, intervals,
+      col("x"), col("lo"), col("hi"), keys = Nil, bucketWidth = 250)
+      .select("pid", "iid")
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("SCD-2 lookup: order joined to the snapshot version valid at order time") {
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val snapshot = Seq(
+      (1L, "bronze", t("2024-01-01 00:00:00"), t("2024-03-01 00:00:00")),
+      (1L, "gold", t("2024-03-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]),
+      (2L, "silver", t("2024-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("cust", "tier", "dbt_valid_from", "dbt_valid_to")
+    val orders = Seq(
+      (100L, 1L, t("2024-02-15 00:00:00")),
+      (101L, 1L, t("2024-04-01 00:00:00")),
+      (102L, 2L, t("2024-06-01 00:00:00"))).toDF("oid", "cust", "ots")
+    val looked = RangeJoin.timestampInInterval(
+      orders, snapshot, "ots", "dbt_valid_from", "dbt_valid_to",
+      keys = Seq("cust"), bucketSeconds = 30L * 24 * 3600,
+      maxTs = t("2030-01-01 00:00:00"))
+      .select("oid", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(looked == Map(100L -> "bronze", 101L -> "gold", 102L -> "silver"))
+  }
+}
