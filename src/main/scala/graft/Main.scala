@@ -72,6 +72,7 @@ object Main {
 
   /** Testable core: returns the process exit code. */
   def execute(spark: SparkSession, args: Args, out: java.io.PrintWriter): Int = {
+    if (args.command == "init") return initProject(args, out)
     val loaded = Project.load(args.project)
     Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,
@@ -144,5 +145,22 @@ object Main {
       case other =>
         out.println(s"unknown command: $other"); 2
     }
+  }
+
+  /** Scaffold a minimal runnable project (reference: cli/main.py:463). */
+  private def initProject(args: Args, out: java.io.PrintWriter): Int = {
+    val root = java.nio.file.Paths.get(args.project)
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      if (!java.nio.file.Files.exists(p)) java.nio.file.Files.writeString(p, content)
+    }
+    put("graft_project.conf", "name = my_project\nschema = main\n")
+    put("models/example.sql",
+      "{{ config(materialized='table') }}\nselect 1 as id, 'hello' as greeting\n")
+    put("tests/example_not_empty.sql",
+      "select 1 where (select count(*) from {{ ref('example') }}) = 0\n")
+    out.println(s"initialized project at ${root.toAbsolutePath}")
+    0
   }
 }

@@ -104,3 +104,16 @@ class MainSpec extends AnyFunSuite {
     assert(sw.toString.contains("SKIPPED"))
   }
 }
+
+class InitSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  test("init scaffolds a project that immediately builds") {
+    val dir = Files.createTempDirectory("graft_init").resolve("proj")
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "init", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0)
+    assert(Files.exists(dir.resolve("graft_project.conf")))
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+  }
+}
