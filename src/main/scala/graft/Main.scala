@@ -121,6 +121,13 @@ object Main {
       case "ls" =>
         Commands.list(loaded.manifest, args.select, args.exclude).foreach(out.println)
         0
+      case "docs" =>
+        // docs generate (reference: cli/main.py:243, task/docs/generate.py):
+        // manifest.json + catalog.json over whatever is materialized
+        Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json")
+        Commands.writeCatalog(rm, loaded.manifest, runner, s"${args.project}/target/catalog.json")
+        out.println(s"wrote ${args.project}/target/manifest.json and catalog.json")
+        0
       case "freshness" =>
         // metadata-based source freshness (reference: freshness.py
         // get_relation_last_modified fallback — file mtimes, no scan)

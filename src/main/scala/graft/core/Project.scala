@@ -31,7 +31,10 @@ object Project {
       vars: Map[String, String] = Map.empty,
       /** `sources.<name> = <dir>` → every parquet table under dir becomes
         * `source('<name>', '<table>')` (reference: sources.yml declarations). */
-      sources: Map[String, String] = Map.empty)
+      sources: Map[String, String] = Map.empty,
+      /** `exposures.<name> = ref1,ref2` — downstream consumers declared for
+        * lineage (reference: exposure YAML, artifacts/resources/v1/exposure). */
+      exposures: Map[String, Seq[String]] = Map.empty)
 
   final case class Loaded(config: Config, manifest: Manifest)
 
@@ -92,6 +95,11 @@ object Project {
         }
     }
 
+    // declared exposures: leaf nodes consuming models (lineage + selection)
+    val exposureNodes = conf.exposures.toSeq.sortBy(_._1).map { case (name, refs) =>
+      Node(NodeType.Exposure, conf.name, name, refs = refs)
+    }
+
     // testedNode resolves against the FULL refable set — a singular test's
     // first ref may be a seed or snapshot, not only a model
     val refable = (models ++ snapshots ++ seeds)
@@ -100,7 +108,8 @@ object Project {
     val testsLinked = tests.map(t =>
       t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
     Loaded(conf,
-      Manifest(models ++ snapshots ++ testsLinked ++ seeds ++ sourceNodes).processRefs())
+      Manifest(models ++ snapshots ++ testsLinked ++ seeds ++ sourceNodes ++ exposureNodes)
+        .processRefs())
   }
 
   private def loadConf(p: Path): Config = {
@@ -119,7 +128,9 @@ object Project {
       schema = kv.getOrElse("schema", "main"),
       database = kv.getOrElse("database", "graft"),
       vars = kv.collect { case (k, v) if k.startsWith("vars.") => k.stripPrefix("vars.") -> v },
-      sources = kv.collect { case (k, v) if k.startsWith("sources.") => k.stripPrefix("sources.") -> v })
+      sources = kv.collect { case (k, v) if k.startsWith("sources.") => k.stripPrefix("sources.") -> v },
+      exposures = kv.collect { case (k, v) if k.startsWith("exposures.") =>
+        k.stripPrefix("exposures.") -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq })
   }
 
   /** Register every `<dir>/<table>.parquet` as a `<source>_<table>` session

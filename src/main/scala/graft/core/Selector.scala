@@ -109,6 +109,8 @@ object Selector {
           case _          => false
         })
       case "test_name" => n.nodeType == NodeType.Test && glob(value, n.name)
+      case "exposure" => n.nodeType == NodeType.Exposure && glob(value, n.name)
+      case "metric" => n.nodeType == NodeType.Metric && glob(value, n.name)
       case "config.materialized" => n.config.materialized == value
       case "config.severity" => n.config.severity == value
       // result:<status> from a previous run's results
