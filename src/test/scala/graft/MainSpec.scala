@@ -117,3 +117,28 @@ class InitSpec extends AnyFunSuite {
       new java.io.PrintWriter(sw, true)) == 0, sw.toString)
   }
 }
+
+class ExposureDocsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  test("exposures load as leaf nodes; docs writes parseable artifacts") {
+    val dir = Files.createTempDirectory("graft_expo")
+    Files.writeString(dir.resolve("graft_project.conf"),
+      "name = expo\nexposures.dash = m1\n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/m1.sql"),
+      "{{ config(materialized='table') }}\nselect 1 as id")
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    val loaded = Project.load(dir.toString)
+    assert(loaded.manifest.nodes.contains("exposure.expo.dash"))
+    assert(loaded.manifest("exposure.expo.dash").dependsOn == Seq("model.expo.m1"))
+    assert(Selector.select(loaded.manifest, Seq("+exposure:dash")) ==
+      Set("exposure.expo.dash", "model.expo.m1"))
+    assert(Main.execute(spark, Main.Args(command = "docs", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0)
+    // artifacts must be valid JSON (exercised via the strict escaper)
+    val cat = Files.readString(dir.resolve("target/catalog.json"))
+    assert(cat.contains("\"model.expo.m1\"") && cat.contains("\"row_count\":1"))
+  }
+}
