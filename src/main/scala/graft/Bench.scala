@@ -50,16 +50,23 @@ object Bench {
     // constructs and executes its full DataFrame DAG), so it measures
     // steady-state engine throughput, the metric that matters for a
     // long-running cluster.
+    // Execute via a noop-format write, not count(): a row count lets
+    // Catalyst prune deterministic projections/sorts (ColumnPruning,
+    // EliminateSorts), which would un-measure projection-only queries.
+    // The noop sink consumes every column of every row with zero I/O.
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try exec(name)
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
 
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // no persisted-frame leakage between queries
       name -> elapsed

@@ -96,7 +96,10 @@ object Main {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${args.project}/target"))
     args.command match {
       case "run" =>
-        report(runner.run(args.select, args.exclude))
+        // `run` executes models only — seeds/snapshots/tests have their own
+        // tasks (reference: dbt task RUNNER_MAP semantics)
+        report(runner.run(args.select, args.exclude,
+          resourceTypes = Set(NodeType.Model)))
       case "build" =>
         report(runner.run(args.select, args.exclude, withTestEdges = true))
       case "test" =>

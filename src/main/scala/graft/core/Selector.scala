@@ -95,6 +95,9 @@ object Selector {
     method match {
       case "fqn" => n.name == value || glob(value, n.name) ||
         (n.fqn.nonEmpty && glob(value, n.fqn.mkString(".")))
+      // exact-node addressing for retry/defer: a model and a test sharing a
+      // bare name must not co-select (reference: retry replays unique_ids)
+      case "unique_id" => n.uniqueId == value || glob(value, n.uniqueId)
       case "tag" => n.config.tags.exists(t => glob(value, t))
       case "group" => n.config.group.exists(g => glob(value, g))
       case "source" => n.nodeType == NodeType.Source &&

@@ -61,9 +61,21 @@ object Materializations {
           // §get_incremental_append_sql → plain insert
           rm.appendTable(newDf, rel)
         case "merge" =>
-          mergeInto(rm, rel, newDf, config.uniqueKey, updateColumns = Nil)
+          // merge_update_columns / merge_exclude_columns are declarable in
+          // config() (reference: §get_merge_update_columns,
+          // core/dbt/artifacts/resources/v1/config.py:86-94)
+          def listCfg(k: String): Seq[String] =
+            config.meta.get(k).toSeq.flatMap(_.split("\\s*\\|\\s*")).filter(_.nonEmpty)
+          mergeInto(rm, rel, newDf, config.uniqueKey,
+            updateColumns = listCfg("merge_update_columns"),
+            excludeColumns = listCfg("merge_exclude_columns"))
         case "delete+insert" =>
-          deleteInsert(rm, rel, newDf, config.uniqueKey)
+          // incremental_predicates: extra SQL conditions limiting which
+          // matched target rows delete (reference:
+          // §default__get_delete_insert_merge_sql predicates)
+          val preds = config.meta.get("incremental_predicates").toSeq
+            .flatMap(_.split("\\s*;;\\s*")).filter(_.nonEmpty).map(expr)
+          deleteInsert(rm, rel, newDf, config.uniqueKey, preds)
         case "insert_overwrite" =>
           require(config.partitionBy.nonEmpty, "insert_overwrite needs partition_by")
           rm.overwritePartitions(newDf, rel, config.partitionBy)
@@ -83,8 +95,10 @@ object Materializations {
     * full overwrite, which is the honest cost of MERGE on an immutable
     * format (Delta/Iceberg would make it a file-level rewrite instead). */
   def mergeInto(rm: RelationManager, rel: Relation, source: DataFrame,
-                uniqueKey: Seq[String], updateColumns: Seq[String]): Unit = {
+                uniqueKey: Seq[String], updateColumns: Seq[String],
+                excludeColumns: Seq[String] = Nil): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
+    requireUniqueKeys(source, uniqueKey, s"merge into ${rel.render}")
     val target = rm.read(rel)
     val cols = target.columns.toSeq
     val untouched = target.join(source, uniqueKey, "left_anti")
@@ -92,8 +106,8 @@ object Materializations {
     val updated = {
       val t = target.as("t"); val s = source.as("s")
       val cond = uniqueKey.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      val updateSet = if (updateColumns.nonEmpty) updateColumns.toSet
-                      else cols.toSet -- uniqueKey
+      val updateSet = (if (updateColumns.nonEmpty) updateColumns.toSet
+                       else cols.toSet -- uniqueKey) -- excludeColumns
       t.join(s, cond, "inner").select(cols.map { c =>
         (if (updateSet(c)) col(s"s.$c") else col(s"t.$c")).as(c)
       }: _*)
@@ -121,5 +135,20 @@ object Materializations {
         keyMiss.unionByName(predFails)
       }
     rm.writeTable(kept.unionByName(source.select(target.columns.map(col): _*)), rel)
+  }
+
+  /** Duplicate-key guard: a MERGE source with repeated unique_key values
+    * fans out matched target rows and silently multiplies the table — a
+    * real warehouse raises a nondeterministic-merge error, so we fail fast
+    * too. One small agg job over the batch's key columns (the batch is the
+    * incremental delta, not the 100 TB target). */
+  private[materializations] def requireUniqueKeys(
+      source: DataFrame, key: Seq[String], what: String): Unit = {
+    val dup = source.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1).limit(1)
+    if (!dup.isEmpty)
+      throw new IllegalStateException(
+        s"$what: source has duplicate unique_key (${key.mkString(",")}) values; " +
+          "MERGE would be nondeterministic — dedupe the batch or fix unique_key")
   }
 }

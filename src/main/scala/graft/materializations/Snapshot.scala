@@ -78,6 +78,9 @@ object Snapshot {
       invalidateHardDeletes: Boolean = false,
       hardDeleteAt: Option[Instant] = None): Unit = {
 
+    // duplicate keys in the source fan out the joins below exactly like a
+    // nondeterministic MERGE — fail fast (same guard as mergeInto)
+    Materializations.requireUniqueKeys(source, key, s"snapshot ${rel.render}")
     if (!rm.exists(rel)) { rm.writeTable(firstSnapshot(source, key, strategy), rel); return }
 
     val snap = rm.read(rel)

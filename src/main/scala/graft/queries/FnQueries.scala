@@ -148,7 +148,7 @@ object FnQueries {
         |  date_diff('month', o_orderdate, TIMESTAMP '1998-01-01') AS dd_month,
         |  date_diff('quarter', o_orderdate, TIMESTAMP '1998-01-01') AS dd_quarter,
         |  date_diff('year', o_orderdate, TIMESTAMP '1998-01-01') AS dd_year,
-        |  floor(epoch(TIMESTAMP '1998-01-01')/3600) - floor(epoch(o_orderdate)/3600) AS dd_hour
+        |  CAST(floor(epoch(TIMESTAMP '1998-01-01')/3600) - floor(epoch(o_orderdate)/3600) AS BIGINT) AS dd_hour
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_fn_strings" ->

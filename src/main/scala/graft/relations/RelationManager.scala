@@ -160,6 +160,20 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Microbatch checkpoint: the max processed batch end, persisted beside
+    * the data (underscore-prefixed files are invisible to parquet scans).
+    * Survives sessions, so a fresh CLI run resumes where the last ended
+    * (reference: checkpoint math microbatch.py:41-79). */
+  def writeCheckpoint(rel: Relation, at: java.time.Instant): Unit = {
+    Files.createDirectories(path(rel))
+    Files.writeString(path(rel).resolve("_graft_checkpoint"), at.toString)
+  }
+
+  def readCheckpoint(rel: Relation): Option[java.time.Instant] = {
+    val p = path(rel).resolve("_graft_checkpoint")
+    if (Files.exists(p)) Some(java.time.Instant.parse(Files.readString(p).trim)) else None
+  }
+
   /** Schema-evolution trio (reference: manifest.json §check_for_schema_changes /
     * §process_schema_changes / §sync_column_schemas; SURVEY §4). Returns the
     * reconciled DataFrame to write for append-shaped strategies. */

@@ -30,9 +30,10 @@ object Commands {
   /** dbt retry — rerun only failed/skipped/errored nodes of a previous run
     * (reference: core/dbt/task/retry.py). */
   def retry(runner: Runner, previous: Seq[RunResult], withTestEdges: Boolean = false): Seq[RunResult] = {
+    // replay the EXACT previous node set by unique_id — selecting by bare
+    // name would re-run unrelated same-named nodes (reference: task/retry.py)
     val again = previous.filter(r => Set("fail", "error", "skipped")(r.status))
-      .map(_.uniqueId)
-      .map(id => id.split("\\.", 3).last) // unique_id -> name for the selector
+      .map(r => s"unique_id:${r.uniqueId}")
     if (again.isEmpty) Seq.empty else runner.run(select = again, withTestEdges = withTestEdges)
   }
 

@@ -122,8 +122,17 @@ final class Runner(
       case _ => throw new IllegalStateException(s"${node.name} is not a SQL node")
     }
     if (cteNames.isEmpty) body
-    else cteNames.map { case (n, s) => s"$n as (\n$s\n)" }
-      .mkString("with ", ",\n", s"\n$body")
+    else {
+      val ctes = cteNames.map { case (n, s) => s"$n as (\n$s\n)" }.mkString(",\n")
+      // If the body already opens with its own WITH clause, splice the
+      // ephemeral CTEs into it instead of emitting a second WITH keyword
+      // (reference: inject_ctes_into_sql core/dbt/compilation.py:761-829).
+      val LeadingWith = """(?is)^\s*with\b(.*)""".r
+      body match {
+        case LeadingWith(rest) => s"with $ctes,$rest"
+        case _                 => s"with $ctes\n$body"
+      }
+    }
   }
 
   /** Build (but don't execute) a node's DataFrame. */
@@ -211,6 +220,25 @@ final class Runner(
               // materialized_view on parquet = table + full recompute (SURVEY §2.1)
               Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
             case "ephemeral" => () // never materialized; inlined by consumers
+            case "incremental" if node.config.incrementalStrategy.contains("microbatch") =>
+              // microbatch via the runner: derive run end (injectable for
+              // determinism via config run_end), resume from the persisted
+              // checkpoint, filter the built frame to each batch window
+              // (reference: RunTask.handle_microbatch_model
+              // core/dbt/task/run.py:337-703)
+              val cfg = node.config
+              val et = cfg.eventTime.getOrElse(throw new IllegalArgumentException(
+                s"microbatch model ${node.name} requires event_time"))
+              val runEnd = cfg.meta.get("run_end").map(Instant.parse).getOrElse(Instant.now())
+              val full = fullRefresh || cfg.fullRefresh
+              if (full && rm.exists(rel)) rm.drop(rel)
+              val checkpoint = if (full) None else rm.readCheckpoint(rel)
+              val done = graft.materializations.Microbatch.run(rm, rel,
+                b => buildDf(node, isIncremental = true)
+                  .filter(graft.materializations.Microbatch.eventTimeFilter(et, b)),
+                cfg, runEnd, checkpoint)
+              if (done.nonEmpty)
+                rm.writeCheckpoint(rel, done.map(_._2).maxBy(_.toEpochMilli))
             case "incremental" =>
               Materializations.incremental(rm, rel,
                 inc => buildDf(node, isIncremental = inc),
@@ -221,7 +249,15 @@ final class Runner(
           runHooks(node, node.config.postHooks)
           RunResult(node.uniqueId, "success", start, Instant.now())
         case NodeType.Test =>
-          val failing = buildDf(node)
+          val failing = node.config.where.foldLeft(buildDf(node))(
+            (df, w) => df.filter(org.apache.spark.sql.functions.expr(w)))
+          // store_failures: persist failing rows under the audit schema
+          // BEFORE reducing to the one-row verdict (reference:
+          // core/dbt/task/test.py store_failures → <schema>_dbt_test__audit)
+          if (node.config.storeFailures) {
+            val audit = Relation(database, defaultSchema + "_graft_audit", node.name)
+            GenericTests.storeFailures(rm, audit, failing)
+          }
           val (_, res) = GenericTests.wrap(failing, GenericTests.TestConfig(
             severity = node.config.severity,
             warnIf = node.config.warnIf,
@@ -250,7 +286,11 @@ final class Runner(
     * blocking (compilation.py:210-340). */
   def run(select: Seq[String] = Nil, exclude: Seq[String] = Nil,
           withTestEdges: Boolean = false,
-          onRunStart: Seq[String] = Nil, onRunEnd: Seq[String] = Nil): Seq[RunResult] = {
+          onRunStart: Seq[String] = Nil, onRunEnd: Seq[String] = Nil,
+          // which node kinds this task executes: `dbt run` = models only,
+          // `build` = everything executable (reference: task RUNNER_MAPs,
+          // core/dbt/task/build.py:38-47)
+          resourceTypes: Set[NodeType] = NodeType.executable): Seq[RunResult] = {
     // on-run-start hooks (reference: core/dbt/hooks.py; run in task/run.py)
     onRunStart.foreach(h => spark.sql(TemplateResolver.render(h,
       TemplateResolver.Context(
@@ -258,7 +298,8 @@ final class Runner(
         resolveSource = (s, t) => s"${s}_$t",
         thisRelation = "", vars = vars))).collect())
     val selected0 = Selector.select(manifest, select, exclude)
-    val selected = selected0.filter(id => NodeType.executable(manifest(id).nodeType))
+    val selected = selected0.filter(id =>
+      NodeType.executable(manifest(id).nodeType) && resourceTypes(manifest(id).nodeType))
     val mf =
       if (!withTestEdges) manifest
       else {
