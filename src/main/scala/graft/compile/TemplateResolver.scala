@@ -90,9 +90,11 @@ object TemplateResolver {
 
   /** Extract `{{ config(materialized='table', unique_key='id', ...) }}`
     * key=value pairs. Quote- and paren-aware: values may contain commas,
-    * nested parens, and both quote styles (VERDICT r1 "what's wrong" #8). */
-  def extractConfig(sql: String): Map[String, String] =
-    scanConfig(sql).map { case (_, _, args) =>
+    * nested parens, and both quote styles (VERDICT r1 "what's wrong" #8).
+    * Multiple config() calls are legal and merge, later blocks winning on
+    * key collision — dbt's multi-config merge semantics. */
+  def extractConfig(sql: String): Map[String, String] = {
+    def one(args: String): Map[String, String] =
       splitTopLevel(args, ',').iterator
         .map(_.trim).filter(_.nonEmpty)
         .flatMap { kv =>
@@ -101,7 +103,17 @@ object TemplateResolver {
             case _                          => None
           }
         }.toMap
-    }.getOrElse(Map.empty)
+    var rest = sql
+    var acc = Map.empty[String, String]
+    var found = scanConfig(rest)
+    while (found.isDefined) {
+      val (_, e, args) = found.get
+      acc = acc ++ one(args)
+      rest = rest.substring(e)
+      found = scanConfig(rest)
+    }
+    acc
+  }
 
   final case class Context(
       resolveRef: String => String,              // model name -> relation SQL name
@@ -115,8 +127,13 @@ object TemplateResolver {
     * no default throw, mirroring dbt's compilation error. */
   def render(sql: String, ctx: Context): String = {
     var out = sql
-    out = scanConfig(out).map { case (s, e, _) => out.substring(0, s) + out.substring(e) }
-      .getOrElse(out)
+    // strip EVERY config() block — a model may carry several (they merge)
+    var cfgBlock = scanConfig(out)
+    while (cfgBlock.isDefined) {
+      val (s, e, _) = cfgBlock.get
+      out = out.substring(0, s) + out.substring(e)
+      cfgBlock = scanConfig(out)
+    }
     out = IncrRe.replaceAllIn(out, m =>
       if (ctx.isIncremental) java.util.regex.Matcher.quoteReplacement(m.group(1)) else "")
     out = RefRe.replaceAllIn(out, m =>

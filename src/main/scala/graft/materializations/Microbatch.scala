@@ -87,11 +87,26 @@ object Microbatch {
     col(eventTime) >= lit(java.sql.Timestamp.from(batch._1)) &&
       col(eventTime) < lit(java.sql.Timestamp.from(batch._2))
 
+  private val PartFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH").withZone(ZoneOffset.UTC)
+
+  /** Partition directory value for a batch — every row of a batch
+    * truncates to the batch start, so one batch = one partition. */
+  def partitionValue(batchStart: Instant): String = PartFmt.format(batchStart)
+
   /** Run a microbatch model: per batch, build the filtered frame and
-    * replace that batch's event-time partitions (dynamic partition
-    * overwrite — only touched partitions rewrite, so a backfill of one
-    * day on a 100 TB table moves one day of data). Batches with no new
-    * data still overwrite (idempotent re-runs). Returns processed ranges. */
+    * replace that batch's event-time partition — delete+insert per batch
+    * (reference: task/run.py batch semantics): the partition dir is
+    * cleared first, so a reprocessed batch whose source rows disappeared
+    * removes the stale rows rather than leaving them (dynamic overwrite of
+    * an empty frame writes-and-deletes nothing). Only touched partitions
+    * move, so a one-day backfill on a 100 TB table moves one day of data.
+    *
+    * The checkpoint advances AFTER EACH batch commits (reference
+    * checkpoints per batch, task/run.py:337-703): a crash mid-backfill
+    * resumes at the first unfinished batch instead of reprocessing all —
+    * which also recovers the non-atomic clear-then-write window.
+    * Returns processed ranges. */
   def run(
       rm: RelationManager,
       rel: Relation,
@@ -113,7 +128,11 @@ object Microbatch {
           case Hour => "hour"; case Day => "day"; case Month => "month"; case Year => "year"
         }, col(et)), "yyyy-MM-dd'T'HH"))
       if (!rm.exists(rel)) rm.writeTable(df, rel, Seq(partCol))
-      else rm.overwritePartitions(df, rel, Seq(partCol))
+      else {
+        rm.dropPartitionDir(rel, s"$partCol=${partitionValue(b._1)}")
+        rm.overwritePartitions(df, rel, Seq(partCol))
+      }
+      rm.writeCheckpoint(rel, b._2)
     }
     batches
   }

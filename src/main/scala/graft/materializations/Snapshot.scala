@@ -79,7 +79,10 @@ object Snapshot {
       hardDeleteAt: Option[Instant] = None): Unit = {
 
     // duplicate keys in the source fan out the joins below exactly like a
-    // nondeterministic MERGE — fail fast (same guard as mergeInto)
+    // nondeterministic MERGE — fail fast (same guard as mergeInto). An
+    // empty key would turn the guard into a global groupBy().count with a
+    // misleading error, so it gets its own message first.
+    require(key.nonEmpty, s"snapshot ${rel.render} requires unique_key")
     Materializations.requireUniqueKeys(source, key, s"snapshot ${rel.render}")
     if (!rm.exists(rel)) { rm.writeTable(firstSnapshot(source, key, strategy), rel); return }
 

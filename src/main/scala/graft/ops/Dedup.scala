@@ -86,21 +86,30 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // sigs is read 3× (band explode + two joins back) — cache it, then
+    // eagerly materialize the (small, threshold-filtered) pair output via
+    // localCheckpoint so the signature cache can be RELEASED before
+    // returning; without the checkpoint the lazy result would still
+    // reference the cache and unpersist would force a full recompute
+    // (r1/r2 leak: persist was never released in a long-lived session).
     val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
-    val banded = sigs.select(col("doc"),
-      explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-    val cand = banded.select(col("band"), col("doc").as("doc_a"))
-      .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+    try {
+      val banded = sigs.select(col("doc"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+      val cand = banded.select(col("band"), col("doc").as("doc_a"))
+        .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast(DoubleType) / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
   }
 
   // ------------------------------------------------------------- SimHash
@@ -155,10 +164,16 @@ object Dedup {
     * shingle hash (the blocking key), count co-occurrences,
     * Jaccard = |∩| / (|A| + |B| - |∩|).
     *
-    * At scale, hot shingles can be capped by document frequency without
-    * affecting high-similarity pairs; the join shuffles only (long, long). */
+    * `maxDocFrequency` caps hot shingles: a stop-shingle shared by m docs
+    * yields m² candidate pairs in the self-join, so at scale the inverted
+    * index drops shingles whose document frequency exceeds the cap BEFORE
+    * the join. Set sizes (the Jaccard denominator) stay exact — only the
+    * intersection count can undercount, so capped Jaccard is a lower
+    * bound; near-duplicate pairs share mostly RARE shingles and survive.
+    * None (the default) is the exact mode the oracle verifies. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.4): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.4,
+                        maxDocFrequency: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // fully relational shingling: posexplode tokens once (generators
     // evaluate their child a single time, unlike HOF lambdas which
@@ -179,21 +194,34 @@ object Dedup {
     // xxhash64 (codegen-native) — the hash never reaches the output, only
     // intersection COUNTS do, so any injective-enough hash matches the
     // string-joining oracle exactly
-    val inv = shingleRows
+    val inv0 = shingleRows
       .select(col("doc"), xxhash64(col("s")).as("sh64"))
       .persist()
-    val sizes = inv.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val common = inv.select(col("sh64"), col("doc").as("doc_a"))
-      .join(inv.select(col("sh64"), col("doc").as("doc_b")), Seq("sh64"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_common").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("n_common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    try {
+      // sizes from the UNCAPPED index — |A| and |B| must stay exact
+      val sizes = inv0.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+      val inv = maxDocFrequency match {
+        case Some(cap) =>
+          val keep = inv0.groupBy("sh64").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select("sh64")
+          inv0.join(keep, "sh64")
+        case None => inv0
+      }
+      val common = inv.select(col("sh64"), col("doc").as("doc_a"))
+        .join(inv.select(col("sh64"), col("doc").as("doc_b")), Seq("sh64"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_common").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        // eager materialization (output is pair-sized, not corpus-sized) so
+        // the index cache releases in the finally — see minhashLshPairs
+        .localCheckpoint(true)
+    } finally inv0.unpersist()
   }
 }

@@ -105,6 +105,16 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   def registerView(rel: Relation, df: DataFrame): Unit =
     df.createOrReplaceTempView(rel.viewName)
 
+  /** Delete one partition directory (`col=value`) under a partitioned
+    * table — the delete half of delete+insert-per-batch microbatch
+    * semantics (a reprocessed batch whose source rows vanished must still
+    * clear its partition; dynamic overwrite of an empty frame deletes
+    * nothing). */
+  def dropPartitionDir(rel: Relation, partDir: String): Unit = {
+    deleteDir(path(rel).resolve(partDir))
+    if (exists(rel)) register(rel)
+  }
+
   def drop(rel: Relation): Unit = {
     deleteDir(path(rel))
     spark.catalog.dropTempView(rel.viewName)

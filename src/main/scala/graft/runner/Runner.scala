@@ -233,12 +233,14 @@ final class Runner(
               val full = fullRefresh || cfg.fullRefresh
               if (full && rm.exists(rel)) rm.drop(rel)
               val checkpoint = if (full) None else rm.readCheckpoint(rel)
-              val done = graft.materializations.Microbatch.run(rm, rel,
-                b => buildDf(node, isIncremental = true)
+              // is_incremental() must be false on the initial build — a
+              // model whose incremental block references {{ this }} would
+              // otherwise query a nonexistent relation (ADVICE r2)
+              val isInc = rm.exists(rel)
+              graft.materializations.Microbatch.run(rm, rel,
+                b => buildDf(node, isIncremental = isInc)
                   .filter(graft.materializations.Microbatch.eventTimeFilter(et, b)),
                 cfg, runEnd, checkpoint)
-              if (done.nonEmpty)
-                rm.writeCheckpoint(rel, done.map(_._2).maxBy(_.toEpochMilli))
             case "incremental" =>
               Materializations.incremental(rm, rel,
                 inc => buildDf(node, isIncremental = inc),

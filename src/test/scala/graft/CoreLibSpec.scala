@@ -106,6 +106,31 @@ class TemplateResolverSpec extends AnyFunSuite {
     assert(TemplateResolver.render(sql, ctx).trim == "select 1")
   }
 
+  test("multiple config() blocks merge (later wins) and all are stripped") {
+    val sql = "{{ config(materialized='incremental', unique_key='id') }}\n" +
+      "{{ config(incremental_strategy='merge', unique_key='id2') }}\n" +
+      "select 1"
+    val node = TemplateResolver.parseModel("pkg", "m", sql)
+    assert(node.config.materialized == "incremental")
+    assert(node.config.incrementalStrategy.contains("merge"))
+    assert(node.config.uniqueKey == Seq("id2")) // later block wins
+    assert(TemplateResolver.render(sql, ctx).trim == "select 1")
+  }
+
+  test("config with nested parens and quoted ;; hooks parses and strips") {
+    val sql = "{{ config(materialized='table', " +
+      "pre_hook=\"insert into audit values ('a', (1+2)) ;; delete from t where x in (select y from z)\") }}\n" +
+      "{{ config(post_hook='select (1)') }}\nselect 2"
+    val cfg = TemplateResolver.extractConfig(sql)
+    assert(cfg("materialized") == "table")
+    assert(TemplateResolver.render(sql, ctx).trim == "select 2")
+    val node = TemplateResolver.parseModel("pkg", "m", sql)
+    assert(node.config.preHooks == Seq(
+      "insert into audit values ('a', (1+2))",
+      "delete from t where x in (select y from z)"))
+    assert(node.config.postHooks == Seq("select (1)"))
+  }
+
   test("static ref extraction without rendering") {
     val sql = "select * from {{ ref('a') }} union all select * from {{ ref('b') }} -- {{ ref('a') }}"
     assert(TemplateResolver.extractRefs(sql) == Seq("a", "b"))

@@ -27,6 +27,32 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.subsetOf(est), s"missed: ${exact -- est}")
   }
 
+  test("n-gram df-cap drops hot-shingle candidate pairs, keeps rare-shingle pairs intact") {
+    import spark.implicits._
+    // h1..h4 share ONLY the hot trigram "the common phrase" (df=4);
+    // a1/a2 are true near-dups sharing many rare trigrams (df=2)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "u1 u2 the common phrase u3"),
+      (12L, "v1 v2 the common phrase v3"),
+      (13L, "w1 w2 the common phrase w3"),
+      (14L, "x1 x2 the common phrase x3")).toDF("id", "text")
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.1,
+        maxDocFrequency = cap).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = pairs(None)
+    val capped = pairs(Some(3))
+    // uncapped: the hot shingle generates all 6 h-pairs plus the real pair
+    assert(uncapped.keySet.count { case (a, _) => a >= 11L } == 6)
+    assert(uncapped.contains((1L, 2L)))
+    // capped: hot-shingle-only pairs vanish; the rare-shingle pair survives
+    // with its EXACT jaccard (set sizes stay uncapped)
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)))
+  }
+
   test("simhash of identical text is identical; hamming to itself is 0") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),

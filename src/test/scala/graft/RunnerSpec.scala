@@ -214,6 +214,44 @@ class RunnerSpec extends AnyFunSuite {
     // re-run with checkpoint at end: lookback=1 reprocesses last day only, result unchanged
     Microbatch.run(rm, rel, build, cfg, end, checkpoint = Some(end))
     assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq == Seq(3.0, 4.0, 8.0))
+    // per-batch checkpoint persisted at the last committed batch end
+    assert(rm.readCheckpoint(rel).contains(end))
+  }
+
+  test("microbatch reprocessed batch with vanished source rows clears its stale partition") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "mb_vanish")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    val end = java.time.Instant.parse("2024-01-03T00:00:00Z")
+    def buildFrom(src: org.apache.spark.sql.DataFrame)(b: (java.time.Instant, java.time.Instant)) =
+      src.filter(Microbatch.eventTimeFilter("ts", b))
+    val v1 = Seq((t("2024-01-01 05:00:00"), 1.0), (t("2024-01-02 05:00:00"), 2.0)).toDF("ts", "v")
+    Microbatch.run(rm, rel, buildFrom(v1), cfg, end)
+    assert(rm.read(rel).count() == 2)
+    // day 2's source rows disappear (late retraction); reprocessing that
+    // batch must REMOVE the stale row, not leave it (delete+insert per batch)
+    val v2 = Seq((t("2024-01-01 05:00:00"), 1.0)).toDF("ts", "v")
+    Microbatch.run(rm, rel, buildFrom(v2), cfg, end,
+      checkpoint = Some(java.time.Instant.parse("2024-01-02T00:00:00Z")))
+    val left = rm.read(rel).select("v").as[Double].collect().toSeq
+    assert(left == Seq(1.0), s"stale day-2 row should be gone, got $left")
+  }
+
+  test("snapshot without unique_key fails with a clear error") {
+    val rm = newRm()
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Snapshot(rm, Relation("graft", "main", "snap_nokey"),
+        Seq((1, "x"), (2, "y")).toDF("id", "v"), Nil,
+        Snapshot.CheckStrategy(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+        checkCols = Seq("all"))
+    }
+    assert(e.getMessage.contains("requires unique_key"))
   }
 }
 
