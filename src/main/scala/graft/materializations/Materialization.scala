@@ -84,23 +84,42 @@ object Materializations {
     }
   }
 
-  /** MERGE INTO on a parquet table (reference:
-    * manifest.json §default__get_merge_sql): matched rows take source
-    * values (optionally only `updateColumns`), unmatched source rows
-    * insert, unmatched target rows persist. No unique key → insert-only
-    * (`ON FALSE`), i.e. append.
+  /** Files of the target that contain at least one row matching a source
+    * key — the MERGE planning scan. Reads only the key columns (parquet
+    * column pruning) and collects only a file-name list (small: one string
+    * per touched file), exactly the shape of a Delta/Iceberg MERGE's
+    * find-touched-files job. */
+  private def touchedFiles(rm: RelationManager, rel: Relation,
+                           keys: DataFrame, uniqueKey: Seq[String]): Seq[String] =
+    rm.read(rel)
+      .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
+      .join(keys, uniqueKey, "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
+
+  /** MERGE INTO (reference: manifest.json §default__get_merge_sql):
+    * matched rows take source values (optionally only `updateColumns`),
+    * unmatched source rows insert, unmatched target rows persist. No
+    * unique key → insert-only (`ON FALSE`), i.e. append.
     *
-    * Scale: three joins on the same key set — Catalyst/AQE plans them as
-    * one shuffle of each side reused across the joins; the rewrite is a
-    * full overwrite, which is the honest cost of MERGE on an immutable
-    * format (Delta/Iceberg would make it a file-level rewrite instead). */
+    * Scale: **O(touched-files)** via the commit log — a planning scan over
+    * the key columns finds the files containing matched keys; only those
+    * files are rewritten (untouched rows in them carried over), inserts
+    * land as new files, and every other file stays referenced as-is. A
+    * 0.1% MERGE against a 100 TB table moves ~0.1% of its bytes. */
   def mergeInto(rm: RelationManager, rel: Relation, source: DataFrame,
                 uniqueKey: Seq[String], updateColumns: Seq[String],
                 excludeColumns: Seq[String] = Nil): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
     requireUniqueKeys(source, uniqueKey, s"merge into ${rel.render}")
-    val target = rm.read(rel)
-    val cols = target.columns.toSeq
+    val st = rm.currentState(rel).getOrElse(
+      throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
+    val keys = source.select(uniqueKey.map(col): _*).distinct()
+    val touched = touchedFiles(rm, rel, keys, uniqueKey)
+    // rows whose key exists anywhere in the target live in `touched` files,
+    // so all merge arithmetic happens on that pruned subset
+    val target = rm.readFiles(rel, st, touched)
+    val cols = st.schema.fieldNames.toSeq
     val untouched = target.join(source, uniqueKey, "left_anti")
     val inserted = source.join(target, uniqueKey, "left_anti").select(cols.map(col): _*)
     val updated = {
@@ -112,18 +131,22 @@ object Materializations {
         (if (updateSet(c)) col(s"s.$c") else col(s"t.$c")).as(c)
       }: _*)
     }
-    rm.writeTable(untouched.unionByName(updated).unionByName(inserted), rel)
+    rm.commitReplace(untouched.unionByName(updated).unionByName(inserted), rel, touched)
   }
 
   /** delete+insert strategy (reference: §default__get_delete_insert_merge_sql):
     * delete target rows whose key appears in source (plus optional
-    * incremental_predicates), then insert all source rows. */
+    * incremental_predicates), then insert all source rows. Same
+    * O(touched-files) pruning as mergeInto. */
   def deleteInsert(rm: RelationManager, rel: Relation, source: DataFrame,
                    uniqueKey: Seq[String],
                    incrementalPredicates: Seq[Column] = Nil): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
-    val target = rm.read(rel)
+    val st = rm.currentState(rel).getOrElse(
+      throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
     val keys = source.select(uniqueKey.map(col): _*).distinct()
+    val touched = touchedFiles(rm, rel, keys, uniqueKey)
+    val target = rm.readFiles(rel, st, touched)
     // deleted = key IN (src keys) AND all predicates → kept is the rest
     val keyMiss = target.join(keys, uniqueKey, "left_anti")
     val kept =
@@ -134,7 +157,9 @@ object Materializations {
           .filter(!coalesce(pred, lit(false)))
         keyMiss.unionByName(predFails)
       }
-    rm.writeTable(kept.unionByName(source.select(target.columns.map(col): _*)), rel)
+    rm.commitReplace(
+      kept.unionByName(source.select(st.schema.fieldNames.map(col).toSeq: _*)),
+      rel, touched)
   }
 
   /** Duplicate-key guard: a MERGE source with repeated unique_key values

@@ -128,10 +128,11 @@ object Microbatch {
           case Hour => "hour"; case Day => "day"; case Month => "month"; case Year => "year"
         }, col(et)), "yyyy-MM-dd'T'HH"))
       if (!rm.exists(rel)) rm.writeTable(df, rel, Seq(partCol))
-      else {
-        rm.dropPartitionDir(rel, s"$partCol=${partitionValue(b._1)}")
-        rm.overwritePartitions(df, rel, Seq(partCol))
-      }
+      else
+        // one atomic commit: the batch's partition is cleared even when
+        // the frame is empty (alsoClear) and replaced when it isn't
+        rm.overwritePartitions(df, rel, Seq(partCol),
+          alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
       rm.writeCheckpoint(rel, b._2)
     }
     batches

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.materializations.Materializations
+import graft.relations.RelationManager
+
+/** Commit-log table format (VERDICT r2 next-round #3): versioned
+  * manifest-of-files per table — O(touched-files) MERGE, snapshot
+  * isolation, time travel, vacuum. */
+class FileLogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def newRm() = new RelationManager(spark, Files.createTempDirectory("graft_log").toString)
+
+  private def rangedTable(rm: RelationManager, rel: Relation, n: Int, files: Int) = {
+    import spark.implicits._
+    // range-partitioned layout: each file covers a contiguous id range, so
+    // a narrow-key merge demonstrably touches few files
+    val df = (0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(files, $"id")
+    rm.writeTable(df, rel)
+  }
+
+  test("1% merge rewrites ~1% of files, untouched files stay referenced byte-identical") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "merge_pruned")
+    rangedTable(rm, rel, 10000, 50)
+    val before = rm.currentState(rel).get
+    assert(before.files.size == 50, s"expected 50 files, got ${before.files.size}")
+
+    // source touches ids 0..99 → a single range file (plus 10 new inserts)
+    val src = ((0 until 100).map(i => (i.toLong, "updated")) ++
+      (10000 until 10010).map(i => (i.toLong, "new"))).toDF("id", "v")
+    Materializations.mergeInto(rm, rel, src, Seq("id"), updateColumns = Nil)
+
+    val after = rm.currentState(rel).get
+    val kept = before.files.toSet intersect after.files.toSet
+    assert(kept.size >= 48, s"untouched files must stay referenced: kept ${kept.size}/50")
+    assert((before.files.toSet -- after.files.toSet).size <= 2,
+      "a 1% merge must not rewrite the table")
+    // correctness of the pruned rewrite
+    val out = rm.read(rel)
+    assert(out.count() == 10010)
+    assert(out.filter($"v" === "updated").count() == 100)
+    assert(out.filter($"v" === "new").count() == 10)
+    assert(out.filter($"id" === 5000L && $"v" === "v5000").count() == 1)
+  }
+
+  test("delete+insert is file-pruned too") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "di_pruned")
+    rangedTable(rm, rel, 10000, 50)
+    val before = rm.currentState(rel).get
+    val src = (0 until 100).map(i => (i.toLong, "replaced")).toDF("id", "v")
+    Materializations.deleteInsert(rm, rel, src, Seq("id"))
+    val after = rm.currentState(rel).get
+    assert((before.files.toSet intersect after.files.toSet).size >= 48)
+    assert(rm.read(rel).count() == 10000)
+    assert(rm.read(rel).filter($"v" === "replaced").count() == 100)
+  }
+
+  test("time travel: prior versions stay readable until vacuumed") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "tt")
+    rm.writeTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), rel)
+    val v1 = rm.currentVersion(rel).get
+    rm.writeTable(Seq((3, "c")).toDF("id", "v"), rel)
+    assert(rm.read(rel).count() == 1)
+    assert(rm.readAt(rel, v1).orderBy("id").select("v").as[String].collect().toSeq == Seq("a", "b"))
+
+    // vacuum keeps only the latest version's files
+    val allBefore = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    rm.vacuum(rel)
+    val allAfter = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    assert(allAfter < allBefore, "vacuum must delete unreferenced files")
+    assert(rm.read(rel).select("v").as[String].collect().toSeq == Seq("c"))
+  }
+
+  test("truncate leaves a readable zero-row table with its schema") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "trunc")
+    rm.writeTable(Seq((1, "a")).toDF("id", "v"), rel)
+    rm.truncate(rel)
+    assert(rm.exists(rel))
+    assert(rm.read(rel).count() == 0)
+    assert(rm.read(rel).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("append adds files without touching existing ones; concurrent appends both land") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "app")
+    rm.writeTable(Seq((1, "a")).toDF("id", "v"), rel)
+    val base = rm.currentState(rel).get.files.toSet
+    // two concurrent appenders: optimistic commit retry must make both
+    // visible (snapshot isolation — neither clobbers the other's files)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 2).map(i => Future {
+      rm.appendTable(Seq((10 + i, s"c$i")).toDF("id", "v"), rel)
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val st = rm.currentState(rel).get
+    assert(base.subsetOf(st.files.toSet))
+    assert(rm.read(rel).count() == 3)
+  }
+
+  test("partitioned overwrite replaces only partitions present in the frame (plus alsoClear)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "po")
+    val df = Seq(("p1", 1), ("p2", 2), ("p3", 3)).toDF("p", "x")
+    rm.writeTable(df, rel, partitionBy = Seq("p"))
+    val before = rm.currentState(rel).get.files.toSet
+    // overwrite p2, clear p3, leave p1 untouched
+    rm.overwritePartitions(Seq(("p2", 20)).toDF("p", "x"), rel, Seq("p"),
+      alsoClear = Seq("p=p3"))
+    val st = rm.currentState(rel).get
+    assert(before.filter(_.startsWith("p=p1/")).subsetOf(st.files.toSet))
+    val rows = rm.read(rel).orderBy("p").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("p1", 1), ("p2", 20)))
+  }
+}
