@@ -96,16 +96,22 @@ object Microbatch {
 
   /** Run a microbatch model: per batch, build the filtered frame and
     * replace that batch's event-time partition — delete+insert per batch
-    * (reference: task/run.py batch semantics): the partition dir is
-    * cleared first, so a reprocessed batch whose source rows disappeared
-    * removes the stale rows rather than leaving them (dynamic overwrite of
-    * an empty frame writes-and-deletes nothing). Only touched partitions
-    * move, so a one-day backfill on a 100 TB table moves one day of data.
+    * (reference: task/run.py batch semantics): the batch's partition is
+    * cleared in the same commit (`alsoClear`), so a reprocessed batch
+    * whose source rows disappeared removes the stale rows rather than
+    * leaving them. Only touched partitions move, so a one-day backfill on
+    * a 100 TB table moves one day of data.
     *
-    * The checkpoint advances AFTER EACH batch commits (reference
-    * checkpoints per batch, task/run.py:337-703): a crash mid-backfill
-    * resumes at the first unfinished batch instead of reprocessing all —
-    * which also recovers the non-atomic clear-then-write window.
+    * Execution is **stage-concurrent, commit-ordered** (reference:
+    * RunTask.handle_microbatch_model runs batches on the thread pool,
+    * task/run.py:337-703): up to `concurrency` batches build and write
+    * their files in flight at once — on a cluster this is the difference
+    * between a 30-day backfill taking 30 serial writes and taking
+    * ceil(30/slots) — while commits (and the checkpoint) advance strictly
+    * in batch order, so a crash leaves a clean prefix.
+    *
+    * The checkpoint advances AFTER EACH batch commits: a rerun resumes at
+    * the first unfinished batch instead of reprocessing everything.
     * Returns processed ranges. */
   def run(
       rm: RelationManager,
@@ -113,7 +119,8 @@ object Microbatch {
       build: ((Instant, Instant)) => DataFrame,
       config: NodeConfig,
       runEnd: Instant,
-      checkpoint: Option[Instant] = None): Seq[(Instant, Instant)] = {
+      checkpoint: Option[Instant] = None,
+      concurrency: Int = 4): Seq[(Instant, Instant)] = {
     val size = parseBatchSize(config.batchSize.getOrElse("day"))
     val et = config.eventTime.getOrElse(
       throw new IllegalArgumentException("microbatch requires event_time"))
@@ -122,18 +129,35 @@ object Microbatch {
     val start = batchStart(checkpoint.filter(_ => rm.exists(rel)), begin, size, config.lookback)
     val batches = buildBatches(start, runEnd, size)
     val partCol = "__graft_batch"
-    batches.foreach { b =>
+
+    def stageOne(b: (Instant, Instant)): graft.relations.Staged = {
       val df = build(b)
         .withColumn(partCol, date_format(date_trunc(size match {
           case Hour => "hour"; case Day => "day"; case Month => "month"; case Year => "year"
         }, col(et)), "yyyy-MM-dd'T'HH"))
-      if (!rm.exists(rel)) rm.writeTable(df, rel, Seq(partCol))
-      else
-        // one atomic commit: the batch's partition is cleared even when
-        // the frame is empty (alsoClear) and replaced when it isn't
-        rm.overwritePartitions(df, rel, Seq(partCol),
-          alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
-      rm.writeCheckpoint(rel, b._2)
+      rm.stage(df, rel, Seq(partCol))
+    }
+
+    if (concurrency <= 1 || batches.size <= 1) {
+      batches.foreach { b =>
+        rm.commitStagedPartitions(rel, stageOne(b),
+          Seq(partCol), alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
+        rm.writeCheckpoint(rel, b._2)
+      }
+    } else {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(concurrency, batches.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val staged = batches.map(b => Future(stageOne(b)))
+        batches.zip(staged).foreach { case (b, fut) =>
+          rm.commitStagedPartitions(rel, Await.result(fut, Duration.Inf),
+            Seq(partCol), alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
+          rm.writeCheckpoint(rel, b._2)
+        }
+      } finally pool.shutdown()
     }
     batches
   }

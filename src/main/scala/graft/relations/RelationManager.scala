@@ -14,6 +14,12 @@ final case class TableVersion(
     schema: StructType,
     partitionBy: Seq[String])
 
+/** A staged-but-uncommitted write: files are on disk inside the table
+  * prefix (invisible to readers) awaiting a commit. Staging is the
+  * parallelizable half of a write — concurrent microbatch stages many
+  * batches at once, then commits them in order. */
+final case class Staged(files: Seq[String], schema: StructType)
+
 /** Relation/DDL surface over a parquet warehouse (SURVEY §2.4; reference:
   * manifest.json §macro.dbt.create_table_as / rename_relation /
   * drop_relation …) backed by a **commit-log table format**: each table
@@ -243,15 +249,27 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     * files are untouched. (reference: manifest.json
     * §default__get_insert_overwrite_merge_sql) */
   def overwritePartitions(df: DataFrame, rel: Relation, partitionBy: Seq[String],
-                          alsoClear: Seq[String] = Nil): Unit = {
-    val files = stageFiles(df, rel, partitionBy)
+                          alsoClear: Seq[String] = Nil): Unit =
+    commitStagedPartitions(rel, stage(df, rel, partitionBy), partitionBy, alsoClear)
+
+  /** Stage a frame's files without committing. Thread-safe: each call
+    * writes to its own staging dir and unique file names. */
+  def stage(df: DataFrame, rel: Relation, partitionBy: Seq[String]): Staged =
+    Staged(stageFiles(df, rel, partitionBy), storedSchema(df))
+
+  /** Commit one staged partition-replacement: partitions covered by the
+    * staged files — plus `alsoClear` — are swapped for the staged files;
+    * creates the table (with the staged schema) when absent. */
+  def commitStagedPartitions(rel: Relation, staged: Staged,
+                             partitionBy: Seq[String],
+                             alsoClear: Seq[String] = Nil): Unit = {
     def partDir(f: String): String = {
       val parts = f.split('/')
       parts.take(parts.length - 1).mkString("/")
     }
-    val replaced = files.map(partDir).toSet ++ alsoClear
-    commit(rel, Some(partitionBy), None) { cur =>
-      cur.filterNot(f => replaced.contains(partDir(f))) ++ files
+    val replaced = staged.files.map(partDir).toSet ++ alsoClear
+    commit(rel, Some(partitionBy), Some(staged.schema)) { cur =>
+      cur.filterNot(f => replaced.contains(partDir(f))) ++ staged.files
     }
   }
 

@@ -237,10 +237,23 @@ final class Runner(
               // model whose incremental block references {{ this }} would
               // otherwise query a nonexistent relation (ADVICE r2)
               val isInc = rm.exists(rel)
+              // batches run concurrently unless the model reads its own
+              // prior state ({{ this }} / is_incremental()), overridable
+              // with concurrent_batches — the reference's auto-detection
+              // (microbatch concurrency, core/dbt/task/run.py:337-703,
+              // ModelNode.has_this / concurrent_batches config)
+              val selfRef = node.code match {
+                case Some(SqlCode(sql)) =>
+                  sql.contains("{{ this }}") || sql.contains("is_incremental()")
+                case _ => true
+              }
+              val concurrent = cfg.meta.get("concurrent_batches")
+                .map(_ == "true").getOrElse(!selfRef)
               graft.materializations.Microbatch.run(rm, rel,
                 b => buildDf(node, isIncremental = isInc)
                   .filter(graft.materializations.Microbatch.eventTimeFilter(et, b)),
-                cfg, runEnd, checkpoint)
+                cfg, runEnd, checkpoint,
+                concurrency = if (concurrent) 4 else 1)
             case "incremental" =>
               Materializations.incremental(rm, rel,
                 inc => buildDf(node, isIncremental = inc),

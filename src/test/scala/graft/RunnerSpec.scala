@@ -242,6 +242,104 @@ class RunnerSpec extends AnyFunSuite {
     assert(left == Seq(1.0), s"stale day-2 row should be gone, got $left")
   }
 
+  test("concurrent microbatch overlaps staging, commits in order, same table as sequential") {
+    val rm = newRm()
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 05:00:00"), 1.0), (t("2024-01-02 06:00:00"), 2.0),
+      (t("2024-01-03 07:00:00"), 4.0), (t("2024-01-04 08:00:00"), 8.0))
+      .toDF("ts", "v")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    val end = java.time.Instant.parse("2024-01-05T00:00:00Z")
+
+    // prove ≥2 batch builds are genuinely in flight at once
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def build(b: (java.time.Instant, java.time.Instant)) = {
+      gate.countDown()
+      if (gate.await(30, java.util.concurrent.TimeUnit.SECONDS)) overlapped.set(true)
+      events.filter(Microbatch.eventTimeFilter("ts", b))
+    }
+    val relC = Relation("graft", "main", "mb_conc")
+    Microbatch.run(rm, relC, build, cfg, end, concurrency = 4)
+    assert(overlapped.get(), "expected ≥2 concurrent batch stagings")
+
+    val relS = Relation("graft", "main", "mb_seq")
+    Microbatch.run(rm, relS,
+      b => events.filter(Microbatch.eventTimeFilter("ts", b)), cfg, end, concurrency = 1)
+    val c = rm.read(relC).orderBy("ts").select("v").as[Double].collect().toSeq
+    val s = rm.read(relS).orderBy("ts").select("v").as[Double].collect().toSeq
+    assert(c == s && c == Seq(1.0, 2.0, 4.0, 8.0))
+    // ordered commits: checkpoint is the final batch end
+    assert(rm.readCheckpoint(relC).contains(end))
+  }
+
+  test("kill between batches: resume from persisted checkpoint reprocesses only the tail") {
+    val rm = newRm()
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = (1 to 4).map(d => (t(f"2024-01-0$d%d 05:00:00"), d.toDouble)).toDF("ts", "v")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    val rel = Relation("graft", "main", "mb_resume")
+    val windows = collection.concurrent.TrieMap.empty[java.time.Instant, Int]
+    def build(b: (java.time.Instant, java.time.Instant)) = {
+      windows.updateWith(b._1)(c => Some(c.getOrElse(0) + 1))
+      events.filter(Microbatch.eventTimeFilter("ts", b))
+    }
+    // "crash" after two batches: run with a truncated runEnd
+    Microbatch.run(rm, rel, build, cfg,
+      java.time.Instant.parse("2024-01-03T00:00:00Z"), concurrency = 1)
+    assert(rm.readCheckpoint(rel).contains(java.time.Instant.parse("2024-01-03T00:00:00Z")))
+    windows.clear()
+    // resume from the persisted checkpoint: lookback=1 reprocesses day 2,
+    // then days 3-4 — day 1 must NOT rebuild
+    Microbatch.run(rm, rel, build, cfg,
+      java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      checkpoint = rm.readCheckpoint(rel), concurrency = 1)
+    assert(!windows.contains(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      s"day 1 was reprocessed: $windows")
+    assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("runner dispatches microbatch models: initial build, checkpoint resume, full refresh") {
+    val rm = newRm()
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    Materializations.table(rm, Relation("graft", "main", "mb_src"),
+      Seq((t("2024-01-01 05:00:00"), 1.0), (t("2024-01-02 06:00:00"), 2.0),
+        (t("2024-01-03 07:00:00"), 4.0)).toDF("ts", "v"))
+    val model = TemplateResolver.parseModel("pkg", "mb_model",
+      "{{ config(materialized='incremental', incremental_strategy='microbatch', " +
+        "event_time='ts', batch_size='day', begin='2024-01-01T00:00:00Z', " +
+        "run_end='2024-01-04T00:00:00Z') }}\n" +
+        "select ts, v * 10 as v10 from main__mb_src")
+    val manifest = Manifest(Seq(model)).processRefs()
+    def newRunner() = new Runner(spark, rm, manifest)
+    val r1 = newRunner().run(Seq("mb_model"))
+    assert(r1.forall(_.status == "success"), r1.mkString(";"))
+    val rel = newRunner().relationFor(model)
+    assert(rm.read(rel).orderBy("ts").select("v10").as[Double].collect().toSeq ==
+      Seq(10.0, 20.0, 40.0))
+    assert(rm.readCheckpoint(rel).contains(java.time.Instant.parse("2024-01-04T00:00:00Z")))
+    // second run resumes from the checkpoint (idempotent re-run)
+    val r2 = newRunner().run(Seq("mb_model"))
+    assert(r2.forall(_.status == "success"), r2.mkString(";"))
+    assert(rm.read(rel).count() == 3)
+    // full refresh drops and rebuilds from `begin`
+    val r3 = new Runner(spark, rm, manifest, fullRefresh = true).run(Seq("mb_model"))
+    assert(r3.forall(_.status == "success"), r3.mkString(";"))
+    assert(rm.read(rel).orderBy("ts").select("v10").as[Double].collect().toSeq ==
+      Seq(10.0, 20.0, 40.0))
+  }
+
   test("snapshot without unique_key fails with a clear error") {
     val rm = newRm()
     import spark.implicits._
