@@ -34,7 +34,9 @@ final case class Manifest(nodes: Map[String, Node]) {
           s"${n.uniqueId} refs unknown node '$r'")).uniqueId
       }
       val srcDeps = n.sources.map { case (s, t) => s"source.$sourcesPkg.${s}_$t" }
-      id -> n.copy(dependsOn = (n.dependsOn ++ refDeps ++ srcDeps).distinct)
+      // a Source node's `sources` field names ITSELF — without the self-edge
+      // filter every sourced project "cycles" at schedule time
+      id -> n.copy(dependsOn = (n.dependsOn ++ refDeps ++ srcDeps).distinct.filterNot(_ == id))
     }
     Manifest(resolved)
   }

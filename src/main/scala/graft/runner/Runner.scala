@@ -158,6 +158,21 @@ final class Runner(
     case None => throw new IllegalStateException(s"${node.name} has no code")
   }
 
+  /** Warehouse relations a node's compiled SQL references by view name:
+    * its refable deps, looking THROUGH ephemerals (whose SQL is inlined as
+    * CTEs referencing their own deps). Sources are excluded — they are
+    * registered at session start, not stored in the warehouse. */
+  private def persistentDeps(n: Node): Seq[Relation] = {
+    val seen = collection.mutable.LinkedHashSet.empty[Relation]
+    def go(x: Node): Unit = x.dependsOn.flatMap(manifest.get).foreach {
+      case d if d.isEphemeral                  => go(d)
+      case d if NodeType.refable(d.nodeType)   => seen += relationFor(d)
+      case _                                   => ()
+    }
+    go(n)
+    seen.toSeq
+  }
+
   /** Render a standalone SQL snippet (hook) in a node's context —
     * ref/source/this resolve exactly as in the node body (reference:
     * pre_hooks/post_hooks core/dbt/context/providers.py:1482-1487,
@@ -216,6 +231,15 @@ final class Runner(
           node.config.materialized match {
             case "view" =>
               Materializations.view(rm, rel, buildDf(node))
+              // persist the compiled SELECT + dep relations so a FRESH
+              // session (new CLI run selecting only a downstream node) can
+              // lazily re-register the view chain (reference: views are
+              // warehouse objects, manifest.json §materialization_view_default)
+              node.code match {
+                case Some(SqlCode(_)) =>
+                  rm.writeViewDef(rel, compileSql(node), persistentDeps(node))
+                case _ => () // native (DataFrame-function) views stay session-scoped
+              }
             case "table" | "materialized_view" =>
               // materialized_view on parquet = table + full recompute (SURVEY §2.1)
               Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)

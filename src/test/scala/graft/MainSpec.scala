@@ -91,6 +91,59 @@ class MainSpec extends AnyFunSuite {
     assert(shown.contains("alice | 17"))
   }
 
+  test("views persist across sessions: downstream-only selection re-registers the view chain") {
+    val dir = writeProject()
+    val sw = new java.io.StringWriter()
+    val out = new java.io.PrintWriter(sw, true)
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString), out) == 0, sw.toString)
+
+    // simulate a fresh session: this project's temp views disappear
+    Seq("main__stg_payments", "main__revenue", "main__payments", "main__payments_snap")
+      .foreach(spark.catalog.dropTempView)
+
+    // run ONLY the downstream table model; its upstream is a VIEW that was
+    // never materialized — before the sidecar this failed with
+    // table-not-found (VERDICT r1/r2 top item)
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "run", project = dir.toString, select = Seq("revenue")),
+      new java.io.PrintWriter(sw2, true)) == 0, sw2.toString)
+    assert(sw2.toString.contains("SUCCESS  model.shop.revenue"))
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val rev = rm.read(Relation("graft", "main", "revenue")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rev == Map("alice" -> 17L))
+    // and the view itself is directly readable through the manager
+    assert(rm.read(Relation("graft", "main", "stg_payments", "view")).count() == 3)
+  }
+
+  test("a project with declared sources builds (no self-edge cycle) and sources select") {
+    // regression: Source nodes' `sources` field names itself; processRefs
+    // must not turn that into a self-dependency (topoSort saw a "cycle")
+    val srcDir = Files.createTempDirectory("graft_srcdata")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("stage.parquet").toString)
+    // the .parquet dir must look like a single table file to the loader
+    val dir = Files.createTempDirectory("graft_srcproj")
+    Files.writeString(dir.resolve("graft_project.conf"),
+      s"name = srcproj\nsources.raw = $srcDir\n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/from_src.sql"),
+      "{{ config(materialized='table') }}\nselect count(*) as n from {{ source('raw', 'stage') }}")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString)
+    assert(sw.toString.contains("SUCCESS  model.srcproj.from_src"))
+    val loaded = Project.load(dir.toString)
+    assert(loaded.manifest("source.sources.raw_stage").dependsOn.isEmpty)
+    assert(loaded.manifest("model.srcproj.from_src").dependsOn
+      .contains("source.sources.raw_stage"))
+  }
+
   test("a broken model fails the build with exit code 1 and skips descendants") {
     val dir = writeProject()
     Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
