@@ -67,6 +67,22 @@ object Project {
         .copy(nodeType = NodeType.Test, path = Some(root.relativize(p).toString))
     }
 
+    // schema-declared per-column generic tests: `models/<model>.tests.conf`
+    // (reference: schema.yml column tests, core/dbt/parser/
+    // schema_generic_tests.py:45, generic_test_builders.py:69-303)
+    val columnTestFiles = {
+      val d = root.resolve("models")
+      if (!Files.isDirectory(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".tests.conf")).toSeq.sortBy(_.toString)
+    }
+    val columnTests = columnTestFiles.flatMap { p =>
+      val model = stem(p).stripSuffix(".tests")
+      Files.readAllLines(p).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseColumnTest(conf.name, model, _, root.relativize(p).toString))
+    }
+
     val seedsDir = root.resolve("seeds")
     val seeds =
       if (!Files.isDirectory(seedsDir)) Nil
@@ -105,7 +121,7 @@ object Project {
     val refable = (models ++ snapshots ++ seeds)
       .filter(n => NodeType.refable(n.nodeType))
       .map(n => n.name -> n.uniqueId).toMap
-    val testsLinked = tests.map(t =>
+    val testsLinked = (tests ++ columnTests).map(t =>
       t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
     Loaded(conf,
       Manifest(models ++ snapshots ++ testsLinked ++ seeds ++ sourceNodes ++ exposureNodes)
@@ -153,6 +169,71 @@ object Project {
           }
     }
   }
+
+  /** One declared column test: `<column>: <test_name> [key=value ...]`,
+    * values optionally quoted. Config keys (severity/where/limit/warn_if/
+    * error_if/fail_calc/store_failures) land in NodeConfig; everything
+    * else becomes a test argument (`values=a|b`, `to=`, `field=`, `min=`…).
+    * The synthesized name `<model>_<column>_<test>` mirrors the
+    * reference's unique test-name builder (generic_test_builders.py:29-57). */
+  private[core] def parseColumnTest(pkg: String, model: String,
+                                    line: String, path: String): Node = {
+    val (column, rest) = line.split(":", 2) match {
+      case Array(c, r) => (c.trim, r.trim)
+      case _ => throw new IllegalArgumentException(
+        s"bad column test line (expect 'column: test ...'): $line")
+    }
+    val tokens = tokenize(rest)
+    require(tokens.nonEmpty, s"no test name in: $line")
+    val testName = tokens.head
+    val kvs = tokens.tail.map { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => k -> stripQ(v)
+        case _ => throw new IllegalArgumentException(s"bad test arg '$t' in: $line")
+      }
+    }.toMap
+    val configKeys = Set("severity", "where", "limit", "warn_if", "error_if",
+      "fail_calc", "store_failures", "tags")
+    val args = kvs.filterNot { case (k, _) => configKeys(k) }
+    Node(
+      nodeType = NodeType.Test,
+      packageName = pkg,
+      name = s"${model}_${column}_$testName",
+      code = None, // interpreted by the Runner via the TestRegistry
+      config = NodeConfig(
+        materialized = "test",
+        severity = kvs.getOrElse("severity", "error"),
+        where = kvs.get("where"),
+        limit = kvs.get("limit").map(_.toInt),
+        warnIf = kvs.getOrElse("warn_if", "!= 0"),
+        errorIf = kvs.getOrElse("error_if", "!= 0"),
+        failCalc = kvs.getOrElse("fail_calc", "count(*)"),
+        storeFailures = kvs.get("store_failures").contains("true"),
+        tags = kvs.get("tags").map(_.split("\\|").toSet).getOrElse(Set.empty),
+        meta = Map("test_name" -> testName) ++ args.map { case (k, v) => s"arg.$k" -> v }),
+      // relationships order after their parent too (`to=` ref)
+      refs = model +: args.get("to").toSeq,
+      columnTest = Some(column),
+      path = Some(path),
+      checksum = md5(line))
+  }
+
+  /** Whitespace tokenizer that keeps quoted spans (both quote styles). */
+  private def tokenize(s: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0 else cur += c }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c.isWhitespace) { if (cur.nonEmpty) { out += cur.toString; cur.clear() } }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  private def stripQ(s: String): String = s // quotes handled by tokenize
 
   private def stem(p: Path): String = {
     val f = p.getFileName.toString

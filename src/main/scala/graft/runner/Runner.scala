@@ -288,8 +288,41 @@ final class Runner(
           runHooks(node, node.config.postHooks)
           RunResult(node.uniqueId, "success", start, Instant.now())
         case NodeType.Test =>
-          val failing = node.config.where.foldLeft(buildDf(node))(
-            (df, w) => df.filter(org.apache.spark.sql.functions.expr(w)))
+          val failing = node.code match {
+            case None if node.columnTest.isDefined =>
+              // schema-declared generic test: `where` wraps the tested
+              // model's INPUT before the test logic runs — the reference's
+              // get_where_subquery semantics (a predicate on model columns
+              // must apply pre-aggregation, ADVICE r2)
+              import org.apache.spark.sql.functions.expr
+              val tested = manifest(node.testedNode.getOrElse(
+                throw new IllegalStateException(s"${node.name}: tested node unresolved")))
+              val input0 = spark.table(resolveRelationName(tested))
+              val input = node.config.where.map(w => input0.filter(expr(w))).getOrElse(input0)
+              val args = node.config.meta.collect {
+                case (k, v) if k.startsWith("arg.") => k.stripPrefix("arg.") -> v
+              }
+              val column = node.columnTest.get
+              node.config.meta("test_name") match {
+                case "relationships" =>
+                  // needs the parent frame: `to=<model> field=<col>`
+                  val parent = manifest.byName(args.getOrElse("to",
+                    throw new IllegalArgumentException(s"${node.name}: relationships needs to=")))
+                    .getOrElse(throw new NoSuchElementException(s"${node.name}: unknown parent"))
+                  GenericTests.relationships(input, column,
+                    spark.table(resolveRelationName(parent)), args.getOrElse("field", column))
+                case "unique_combination" =>
+                  GenericTests.uniqueCombination(input, column.split("\\|").toSeq)
+                case name =>
+                  GenericTests.TestRegistry(name)(input, column, args)
+              }
+            case _ =>
+              // singular SQL test: the SELECT already produces failing rows,
+              // so `where` filters that OUTPUT — documented divergence from
+              // get_where_subquery, which has no {{ model }} to wrap here
+              node.config.where.foldLeft(buildDf(node))(
+                (df, w) => df.filter(org.apache.spark.sql.functions.expr(w)))
+          }
           // store_failures: persist failing rows under the audit schema
           // BEFORE reducing to the one-row verdict (reference:
           // core/dbt/task/test.py store_failures → <schema>_dbt_test__audit)

@@ -40,6 +40,19 @@ class MainSpec extends AnyFunSuite {
         |select id, customer, amount, paid_at as updated_at from {{ ref('stg_payments') }}""".stripMargin)
     put("tests/no_negative_revenue.sql",
       "select * from {{ ref('revenue') }} where revenue < 0")
+    // schema-declared per-column tests (reference: schema.yml columns)
+    put("models/marts/revenue.tests.conf",
+      """customer: unique
+        |customer: not_null
+        |# alice IS the only customer → fails, but only warns; rows audited
+        |customer: accepted_values values=bob severity=warn store_failures=true
+        |""".stripMargin)
+    put("models/staging/stg_payments.tests.conf",
+      """# where filters the model INPUT (pre-aggregation) — amounts are
+        |# only unique within alice's rows (10, 7); bob also has amount 3
+        |amount: unique where="customer = 'alice'"
+        |id: relationships to=payments field=id
+        |""".stripMargin)
     dir
   }
 
@@ -89,6 +102,28 @@ class MainSpec extends AnyFunSuite {
     assert(compiled.contains(">= 5")) // var substituted
     val shown = run("show", Seq("revenue"))
     assert(shown.contains("alice | 17"))
+  }
+
+  test("schema-declared column tests: registry dispatch, input-where, warn severity, store_failures") {
+    val dir = writeProject()
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString) // accepted_values fails but severity=warn
+    val out = sw.toString
+    assert(out.contains("PASS     test.shop.revenue_customer_unique"))
+    assert(out.contains("PASS     test.shop.revenue_customer_not_null"))
+    assert(out.contains("WARN     test.shop.revenue_customer_accepted_values"))
+    // where applies to the model INPUT: unique over alice's rows passes;
+    // output-where would throw (no `customer` column post-aggregation)
+    assert(out.contains("PASS     test.shop.stg_payments_amount_unique"))
+    assert(out.contains("PASS     test.shop.stg_payments_id_relationships"))
+    // store_failures persisted the failing rows through the RUNNER path
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val audit = rm.read(Relation("graft", "main_graft_audit", "revenue_customer_accepted_values"))
+    assert(audit.count() == 1)
+    assert(audit.collect()(0).getString(0) == "alice")
   }
 
   test("views persist across sessions: downstream-only selection re-registers the view chain") {
