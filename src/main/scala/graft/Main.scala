@@ -103,8 +103,10 @@ object Main {
       case "build" =>
         report(runner.run(args.select, args.exclude, withTestEdges = true))
       case "test" =>
+        // data tests AND unit tests, like the reference's test task
         report(runner.run(
-          if (args.select.isEmpty) Seq("resource_type:test") else args.select,
+          if (args.select.isEmpty) Seq("resource_type:test", "resource_type:unit_test")
+          else args.select,
           args.exclude))
       case "seed" =>
         report(runner.run(

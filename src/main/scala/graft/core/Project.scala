@@ -51,11 +51,50 @@ object Project {
         .map(p => stem(p) -> p).toSeq.sortBy(_._1)
     }
 
+    // model contracts: `models/<model>.contract.conf` — `col: type [constraint...]`
+    // (reference: components.py:73-108, v1/model.py:55-62; constraints
+    // become schema-declared generic tests, SURVEY §1.2)
+    val contractFiles = {
+      val d = root.resolve("models")
+      if (!Files.isDirectory(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".contract.conf")).toSeq.sortBy(_.toString)
+    }
+    val contracts: Map[String, (Seq[(String, String)], Seq[Node])] =
+      contractFiles.map { p =>
+        val model = stem(p).stripSuffix(".contract")
+        val relPath = root.relativize(p).toString
+        val entries = Files.readAllLines(p).asScala
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l =>
+            val Array(c, rest) = l.split(":", 2)
+            val tokens = rest.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+            require(tokens.nonEmpty, s"contract line needs a type: $l")
+            (c.trim, tokens.head, tokens.tail)
+          }.toSeq
+        val cols = entries.map { case (c, t, _) => (c, t) }
+        val constraintTests = entries.flatMap { case (c, _, constraints) =>
+          constraints.flatMap {
+            case "primary_key" => Seq("not_null", "unique")
+            case other         => Seq(other)
+          }.distinct.map(t => parseColumnTest(conf.name, model, s"$c: $t", relPath))
+        }
+        model -> (cols, constraintTests)
+      }.toMap
+
     val models = sqlFiles("models").map { case (name, p) =>
       val node = TemplateResolver.parseModel(conf.name, name, Files.readString(p))
-      node.copy(path = Some(root.relativize(p).toString),
+      val withContract = contracts.get(name) match {
+        case Some((cols, _)) => node.copy(config = node.config.copy(
+          meta = node.config.meta ++
+            Map("contract_cols" -> cols.map(_._1).mkString("|")) ++
+            cols.map { case (c, t) => s"contract.$c" -> t }))
+        case None => node
+      }
+      withContract.copy(path = Some(root.relativize(p).toString),
         fqn = conf.name +: relFqn(root.resolve("models"), p, name))
     }
+    val contractTests = contracts.values.flatMap(_._2).toSeq
 
     val snapshots = sqlFiles("snapshots").map { case (name, p) =>
       TemplateResolver.parseModel(conf.name, name, Files.readString(p))
@@ -82,6 +121,27 @@ object Project {
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(parseColumnTest(conf.name, model, _, root.relativize(p).toString))
     }
+
+    // project-declared unit tests: `models/<model>.unit.conf` (reference:
+    // core/dbt/parser/unit_tests.py:246, unit_test_definition.py:26-70) —
+    // section format: `test <name>` / `given <ref>` + CSV rows / `expect`
+    // + CSV rows. Unit nodes BLOCK their model (run-before ordering).
+    val unitFiles = {
+      val d = root.resolve("models")
+      if (!Files.isDirectory(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".unit.conf")).toSeq.sortBy(_.toString)
+    }
+    val unitParsed: Seq[(String, Node)] = unitFiles.flatMap { p =>
+      val model = stem(p).stripSuffix(".unit")
+      parseUnitFile(conf.name, Files.readAllLines(p).asScala.toSeq,
+        root.relativize(p).toString).map(model -> _)
+    }
+    val unitsByModel = unitParsed.groupBy(_._1)
+    val modelsWithUnits = models.map(n => unitsByModel.get(n.name) match {
+      case Some(us) => n.copy(dependsOn = (n.dependsOn ++ us.map(_._2.uniqueId)).distinct)
+      case None     => n
+    })
 
     val seedsDir = root.resolve("seeds")
     val seeds =
@@ -121,10 +181,15 @@ object Project {
     val refable = (models ++ snapshots ++ seeds)
       .filter(n => NodeType.refable(n.nodeType))
       .map(n => n.name -> n.uniqueId).toMap
-    val testsLinked = (tests ++ columnTests).map(t =>
-      t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
+    // a tests.conf line and a contract constraint may synthesize the same
+    // test (e.g. both declare customer not_null) — one node suffices
+    val testsLinked = (tests ++ columnTests ++ contractTests)
+      .distinctBy(_.uniqueId).map(t =>
+        t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
+    val unitLinked = unitParsed.map { case (m, u) => u.copy(testedNode = refable.get(m)) }
     Loaded(conf,
-      Manifest(models ++ snapshots ++ testsLinked ++ seeds ++ sourceNodes ++ exposureNodes)
+      Manifest(modelsWithUnits ++ snapshots ++ testsLinked ++ seeds ++
+        sourceNodes ++ exposureNodes ++ unitLinked)
         .processRefs())
   }
 
@@ -216,6 +281,44 @@ object Project {
       columnTest = Some(column),
       path = Some(path),
       checksum = md5(line))
+  }
+
+  /** Parse one `.unit.conf` file into Unit nodes. Fixture CSV blocks land
+    * in config.meta (`unit_given.<ref>` / `unit_expect`); the Runner feeds
+    * them to the UnitTests executor. */
+  private[core] def parseUnitFile(pkg: String, lines: Seq[String], path: String): Seq[Node] = {
+    val out = collection.mutable.ArrayBuffer.empty[Node]
+    var name: String = null
+    var givens = collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+    var expect = new StringBuilder
+    var target: StringBuilder = null
+    def flush(): Unit = if (name != null) {
+      require(expect.nonEmpty, s"unit test '$name' has no expect block")
+      out += Node(NodeType.Unit, pkg, name,
+        config = NodeConfig(materialized = "unit",
+          meta = givens.map { case (r, b) => s"unit_given.$r" -> b.toString }.toMap +
+            ("unit_expect" -> expect.toString)),
+        path = Some(path),
+        checksum = md5(givens.values.map(_.toString).mkString + expect))
+      name = null
+      givens = collection.mutable.LinkedHashMap.empty
+      expect = new StringBuilder
+      target = null
+    }
+    lines.map(_.trim).filterNot(_.startsWith("#")).foreach {
+      case l if l.startsWith("test ") => flush(); name = l.stripPrefix("test ").trim
+      case l if l.startsWith("given ") =>
+        val ref = l.stripPrefix("given ").trim
+        target = new StringBuilder
+        givens += ref -> target
+      case "expect"       => target = expect
+      case l if l.isEmpty => ()
+      case l =>
+        require(target != null, s"unit file $path: row outside given/expect block: $l")
+        target.append(l).append("\n")
+    }
+    flush()
+    out.toSeq
   }
 
   /** Whitespace tokenizer that keeps quoted spans (both quote styles). */

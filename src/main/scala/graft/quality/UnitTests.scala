@@ -63,12 +63,54 @@ object UnitTests {
           case v: Int if f.dataType == DoubleType  => v.toDouble
           case v: Long if f.dataType == DoubleType => v.toDouble
           case v: Long if f.dataType == IntegerType => v.toInt
+          case v: Long if f.dataType.isInstanceOf[DecimalType] => BigDecimal(v)
+          case v: Double if f.dataType.isInstanceOf[DecimalType] => BigDecimal(v)
+          // project-file fixtures arrive as text: the reference safe_casts
+          // fixture values to the column's type (unit_tests.py fixtures)
+          case v: String if f.dataType != StringType => coerce(v, f.dataType)
           case v => v
         }.orNull
       })
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.toList, 1), StructType(cols))
+  }
+
+  private def coerce(v: String, dt: DataType): Any = dt match {
+    case IntegerType => v.toInt
+    case LongType    => v.toLong
+    case DoubleType  => v.toDouble
+    case FloatType   => v.toFloat
+    case BooleanType => v.toBoolean
+    case _: DecimalType => BigDecimal(v)
+    case DateType    => java.sql.Date.valueOf(v)
+    case TimestampType =>
+      if (v.matches("\\d{4}-\\d{2}-\\d{2}")) java.sql.Timestamp.valueOf(s"$v 00:00:00")
+      else java.sql.Timestamp.valueOf(v.replace("T", " "))
+    case _ => v
+  }
+
+  /** Parse a fixture CSV block (header + rows, naive commas) into
+    * dict-format rows. Values type-sniff to Long/Double/Boolean so
+    * schema-less fixtures still aggregate numerically; empty cells and
+    * `null` are nulls. Real-schema conformance happens in fixtureDf. */
+  def csvRows(csv: String): Seq[Map[String, Any]] = {
+    val lines = csv.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) return Nil
+    val header = lines.head.split(",").map(_.trim).toSeq
+    lines.tail.map { l =>
+      val cells = l.split(",", -1).map(_.trim).toSeq
+      header.zipAll(cells, "", "").map { case (h, c) =>
+        h -> (c match {
+          case "" | "null"                      => null
+          case v if v.matches("-?\\d+")         => v.toLong
+          case v if v.matches("-?\\d+\\.\\d*")  => v.toDouble
+          case "true"                           => true
+          case "false"                          => false
+          case v                                => v
+        })
+      }.toMap
+    }
   }
 
   /** Execute one unit test: fixtures become temp views substituted for the

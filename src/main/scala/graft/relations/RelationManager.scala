@@ -83,9 +83,16 @@ final class RelationManager(val spark: SparkSession, val root: String) {
         s""""files":[${v.files.sorted.map(Json.quote).mkString(",")}],""" +
         s""""partition_by":[${v.partitionBy.map(Json.quote).mkString(",")}],""" +
         s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
-    // CREATE_NEW is the commit point: exactly one writer wins a version
-    Files.write(versionFile(rel, v.version), body.getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
+    // Two-phase commit point: fully write a hidden temp file, then
+    // hard-link it to the version name. link(2) is atomic AND fails if the
+    // target exists, so exactly one writer wins a version and a concurrent
+    // reader can never observe a half-written manifest (a plain CREATE_NEW
+    // write is not atomic with respect to its content). On object storage
+    // this maps to a conditional PUT of the final object.
+    val tmp = logDir(rel).resolve(s".v${v.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    try Files.createLink(versionFile(rel, v.version), tmp)
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Current table state: the logged version, or — for pre-log tables —
@@ -167,16 +174,36 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   }
 
   /** Table-relative parquet files under a directory, skipping `_`-prefixed
-    * internal dirs (log, staging, checkpoints). */
+    * internal dirs (log, staging, checkpoints; Spark's hidden-path rule:
+    * `_` names are internal UNLESS they contain `=`, i.e. partition dirs).
+    *
+    * Internal dirs are pruned DURING traversal, not post-filtered: a
+    * concurrent batch is actively writing inside its staging dir's
+    * Hadoop `_temporary` tree, and walking into it races Spark's
+    * task-commit renames (files vanish mid-walk → NoSuchFileException).
+    * Vanished entries are tolerated for the same reason. */
   private def listDataFiles(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(dir.relativize(_).toString)
-      // Spark's hidden-path rule: `_`-prefixed names are internal UNLESS
-      // they contain `=` (partition dirs like `__graft_batch=2024-01-01`)
-      .filterNot(s => s.split('/').exists(c => c.startsWith("_") && !c.contains("=")))
-      .toSeq.sorted
+    else {
+      import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      val out = Seq.newBuilder[String]
+      Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
+        override def preVisitDirectory(d: Path, attrs: BasicFileAttributes): FileVisitResult = {
+          val name = d.getFileName.toString
+          if (d != dir && (name.startsWith("_") || name.startsWith(".")) && !name.contains("="))
+            FileVisitResult.SKIP_SUBTREE
+          else FileVisitResult.CONTINUE
+        }
+        override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
+          if (f.toString.endsWith(".parquet")) out += dir.relativize(f).toString
+          FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+          FileVisitResult.CONTINUE
+      })
+      out.result().sorted
+    }
 
   private def nullableize(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>

@@ -228,6 +228,16 @@ final class Runner(
           RunResult(node.uniqueId, "success", start, Instant.now())
         case NodeType.Model =>
           val rel = relationFor(node)
+          // enforced contract: assert the SELECT's inferred schema equals
+          // the declaration BEFORE any write — df.schema is the Spark form
+          // of the reference's `select ... limit 0` empty-schema probe
+          // (§get_assert_columns_equivalent)
+          node.config.meta.get("contract_cols").foreach { order =>
+            val declared = order.split("\\|").toSeq
+              .map(c => c -> node.config.meta(s"contract.$c"))
+            graft.quality.Contracts.assertEquivalent(
+              s"model ${node.name}", buildDf(node).schema, declared)
+          }
           node.config.materialized match {
             case "view" =>
               Materializations.view(rm, rel, buildDf(node))
@@ -342,6 +352,34 @@ final class Runner(
             else "pass"
           RunResult(node.uniqueId, status, start, Instant.now(),
             s"${res.failures} failures")
+        case NodeType.Unit =>
+          // project-declared unit test: fixtures replace the model's refs,
+          // result diffs against expect; failure BLOCKS the model (the unit
+          // node is a dependency of its model — reference: unit tests run
+          // before the model they test, task/build.py ordering)
+          val model = manifest(node.testedNode.getOrElse(
+            throw new IllegalStateException(s"unit ${node.name}: unknown model")))
+          val given = node.config.meta.collect {
+            case (k, v) if k.startsWith("unit_given.") =>
+              graft.quality.UnitTests.Fixture(
+                k.stripPrefix("unit_given."), graft.quality.UnitTests.csvRows(v))
+          }.toSeq
+          val expect = graft.quality.UnitTests.csvRows(node.config.meta("unit_expect"))
+          // schema-aware fixture conformance when the real dep is built
+          val realSchemas = model.dependsOn.flatMap(manifest.get)
+            .filter(d => NodeType.refable(d.nodeType))
+            .flatMap { d =>
+              val r = relationFor(d)
+              if (rm.exists(r)) Some(d.name -> rm.read(r).schema) else None
+            }.toMap
+          val res = graft.quality.UnitTests.run(spark,
+            graft.quality.UnitTests.UnitTest(node.name, model, given, expect),
+            realSchemas, vars)
+          RunResult(node.uniqueId, if (res.passed) "pass" else "fail",
+            start, Instant.now(),
+            if (res.passed) "" else
+              s"actual-only: ${res.actualOnly.take(3).mkString(";")} " +
+                s"expected-only: ${res.expectedOnly.take(3).mkString(";")}")
         case _ =>
           RunResult(node.uniqueId, "success", start, Instant.now(), "no-op")
       }

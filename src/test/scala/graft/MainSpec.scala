@@ -126,6 +126,69 @@ class MainSpec extends AnyFunSuite {
     assert(audit.collect()(0).getString(0) == "alice")
   }
 
+  test("model contracts: match builds + constraint tests, violation fails with mismatch table") {
+    val dir = writeProject()
+    Files.writeString(dir.resolve("models/marts/revenue.contract.conf"),
+      "customer: string\nrevenue: bigint not_null\n")
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    // the not_null constraint became a generic test
+    assert(sw.toString.contains("PASS     test.shop.revenue_revenue_not_null"))
+
+    // violate the contract: wrong type + a column the SELECT doesn't produce
+    Files.writeString(dir.resolve("models/marts/revenue.contract.conf"),
+      "customer: string\nrevenue: string\nextra_col: int\n")
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw2, true)) == 1)
+    val out = sw2.toString
+    assert(out.contains("enforced contract that failed"), out)
+    assert(out.contains("data type mismatch"))
+    assert(out.contains("missing in definition"))
+  }
+
+  test("project-declared unit tests run before their model and block it on failure") {
+    val dir = writeProject()
+    Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
+      """test revenue_unit_happy
+        |given stg_payments
+        |id,customer,amount,paid_at
+        |1,alice,10,2024-01-01
+        |2,bob,99,2024-01-02
+        |3,carol,4,2024-01-03
+        |expect
+        |customer,revenue
+        |alice,10
+        |bob,99
+        |""".stripMargin)
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("PASS     unit_test.shop.revenue_unit_happy"))
+    assert(sw.toString.contains("SUCCESS  model.shop.revenue"))
+
+    // a failing expectation blocks the model (unit runs BEFORE it)
+    Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
+      """test revenue_unit_happy
+        |given stg_payments
+        |id,customer,amount,paid_at
+        |1,alice,10,2024-01-01
+        |expect
+        |customer,revenue
+        |alice,11
+        |""".stripMargin)
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw2, true)) == 1)
+    assert(sw2.toString.contains("FAIL     unit_test.shop.revenue_unit_happy"))
+    assert(sw2.toString.contains("SKIPPED  model.shop.revenue"))
+  }
+
   test("views persist across sessions: downstream-only selection re-registers the view chain") {
     val dir = writeProject()
     val sw = new java.io.StringWriter()
