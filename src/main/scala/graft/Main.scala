@@ -29,7 +29,12 @@ object Main {
       fullRefresh: Boolean = false,
       vars: Map[String, String] = Map.empty,
       limit: Int = 5,
-      target: Option[String] = None)
+      target: Option[String] = None,
+      // --state <target-dir>: previous artifacts (manifest.json,
+      // run_results.json) + warehouse/ for state:/result:/defer/clone
+      state: Option[String] = None,
+      defer: Boolean = false,
+      sampleHours: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -42,6 +47,9 @@ object Main {
       case "--threads" :: v :: t => loop(t, acc.copy(threads = v.toInt))
       case "--full-refresh" :: t => loop(t, acc.copy(fullRefresh = true))
       case "--limit" :: v :: t => loop(t, acc.copy(limit = v.toInt))
+      case "--state" :: v :: t => loop(t, acc.copy(state = Some(v)))
+      case "--defer" :: t => loop(t, acc.copy(defer = true))
+      case "--sample" :: v :: t => loop(t, acc.copy(sampleHours = Some(v.toInt)))
       case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
@@ -77,12 +85,29 @@ object Main {
     Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,
       args.warehouse.getOrElse(s"${args.project}/target/warehouse"))
+    // --state wiring: previous manifest for state:/defer, previous run
+    // results for result:/retry, state warehouse for defer/clone
+    val stateManifest = args.state
+      .map(d => java.nio.file.Paths.get(d, "manifest.json"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => Commands.loadStateManifest(p.toString))
+    val stateResults = args.state
+      .map(d => java.nio.file.Paths.get(d, "run_results.json"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => Commands.loadRunResults(p.toString)).getOrElse(Map.empty[String, String])
+    val stateRm = args.state.map(d => new RelationManager(spark, s"$d/warehouse"))
+    val now = java.time.Instant.now()
     val runner = new Runner(spark, rm, loaded.manifest,
       vars = loaded.config.vars ++ args.vars,
       defaultSchema = loaded.config.schema,
       database = loaded.config.database,
       threads = args.threads,
-      fullRefresh = args.fullRefresh)
+      fullRefresh = args.fullRefresh,
+      defer = if (args.defer) stateRm else None,
+      sampleWindow = args.sampleHours.map(h =>
+        (now.minusSeconds(h.toLong * 3600), now)),
+      previousState = stateManifest,
+      previousResults = stateResults)
 
     def report(results: Seq[graft.runner.RunResult]): Int = {
       results.foreach(r => out.println(
@@ -124,7 +149,8 @@ object Main {
           }
         0
       case "ls" =>
-        Commands.list(loaded.manifest, args.select, args.exclude).foreach(out.println)
+        Commands.list(loaded.manifest, args.select, args.exclude,
+          stateManifest, stateResults).foreach(out.println)
         0
       case "docs" =>
         // docs generate (reference: cli/main.py:243, task/docs/generate.py):
@@ -134,18 +160,65 @@ object Main {
         out.println(s"wrote ${args.project}/target/manifest.json and catalog.json")
         0
       case "freshness" =>
-        // metadata-based source freshness (reference: freshness.py
-        // get_relation_last_modified fallback — file mtimes, no scan)
-        val now = java.time.Instant.now()
+        // metadata-based source freshness (reference: freshness.py:83-177
+        // get_relation_last_modified fallback — file mtimes, no scan) with
+        // warn_after/error_after thresholds driving status AND exit code
+        var worst = 0 // 0 pass, 1 warn, 2 error
         loaded.manifest.nodes.values.toSeq
           .filter(_.nodeType == NodeType.Source).sortBy(_.name)
           .foreach { src =>
+            val srcName = src.sources.headOption.map(_._1).getOrElse("")
+            def threshold(kind: String): Long =
+              loaded.config.freshness.get(s"$srcName.$kind")
+                .orElse(loaded.config.freshness.get(kind))
+                .map(_.toLong).getOrElse(0L)
             val mtime = java.nio.file.Files.getLastModifiedTime(
               java.nio.file.Paths.get(src.path.get)).toInstant
             val ageSec = (now.toEpochMilli - mtime.toEpochMilli) / 1000.0
-            out.println(f"${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
+            val (warnAfter, errorAfter) = (threshold("warn_after"), threshold("error_after"))
+            val status =
+              if (errorAfter > 0 && ageSec > errorAfter) { worst = worst max 2; "ERROR" }
+              else if (warnAfter > 0 && ageSec > warnAfter) { worst = worst max 1; "WARN" }
+              else "PASS"
+            out.println(f"$status%-8s ${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
           }
-        0
+        if (worst == 2) 1 else 0
+      case "retry" =>
+        // rerun only failed/errored/skipped nodes of the previous
+        // invocation by unique_id (reference: core/dbt/task/retry.py)
+        val rrPath = java.nio.file.Paths.get(s"${args.project}/target/run_results.json")
+        if (!java.nio.file.Files.exists(rrPath)) {
+          out.println("retry: no previous run_results.json"); 2
+        } else {
+          val prev = Commands.loadRunResults(rrPath.toString)
+          val again = prev.collect {
+            case (id, st) if Set("fail", "error", "skipped")(st) => s"unique_id:$id"
+          }.toSeq.sorted
+          if (again.isEmpty) { out.println("retry: nothing to retry"); 0 }
+          else report(runner.run(again, args.exclude, withTestEdges = true))
+        }
+      case "clone" =>
+        // materialize selected relations from the --state warehouse into
+        // this one (reference: core/dbt/task/clone.py:103-156; deep copy —
+        // plain parquet has no zero-copy CLONE)
+        stateRm match {
+          case None => out.println("clone: requires --state <target-dir>"); 2
+          case Some(srm) =>
+            val sel = if (args.select.isEmpty)
+              Seq("resource_type:model", "resource_type:seed", "resource_type:snapshot")
+            else args.select
+            Commands.list(loaded.manifest, sel, args.exclude)
+              .map(loaded.manifest(_))
+              .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+              .foreach { n =>
+                val rel = runner.relationFor(n)
+                if (srm.exists(rel)) {
+                  Commands.clone(srm, rm, rel, deep = true)
+                  out.println(s"CLONED   ${n.uniqueId}")
+                } else out.println(s"MISSING  ${n.uniqueId} (not in state warehouse)")
+              }
+            0
+        }
       case "show" =>
         args.select.flatMap(s => Commands.list(loaded.manifest, Seq(s)))
           .map(loaded.manifest(_)).foreach { n =>

@@ -34,7 +34,10 @@ object Project {
       sources: Map[String, String] = Map.empty,
       /** `exposures.<name> = ref1,ref2` — downstream consumers declared for
         * lineage (reference: exposure YAML, artifacts/resources/v1/exposure). */
-      exposures: Map[String, Seq[String]] = Map.empty)
+      exposures: Map[String, Seq[String]] = Map.empty,
+      /** `freshness.[<source>.]warn_after|error_after = <seconds>`
+        * (reference: FreshnessThreshold components.py:117-149). */
+      freshness: Map[String, String] = Map.empty)
 
   final case class Loaded(config: Config, manifest: Manifest)
 
@@ -211,7 +214,9 @@ object Project {
       vars = kv.collect { case (k, v) if k.startsWith("vars.") => k.stripPrefix("vars.") -> v },
       sources = kv.collect { case (k, v) if k.startsWith("sources.") => k.stripPrefix("sources.") -> v },
       exposures = kv.collect { case (k, v) if k.startsWith("exposures.") =>
-        k.stripPrefix("exposures.") -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq })
+        k.stripPrefix("exposures.") -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq },
+      freshness = kv.collect { case (k, v) if k.startsWith("freshness.") =>
+        k.stripPrefix("freshness.") -> v })
   }
 
   /** Register every `<dir>/<table>.parquet` as a `<source>_<table>` session

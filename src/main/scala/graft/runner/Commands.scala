@@ -24,8 +24,10 @@ object Commands {
   def compile(runner: Runner, node: Node): String = runner.compileSql(node)
 
   /** dbt list — selected node ids in lexical order (reference: cli/main.py:485). */
-  def list(manifest: Manifest, select: Seq[String] = Nil, exclude: Seq[String] = Nil): Seq[String] =
-    Selector.select(manifest, select, exclude).toSeq.sorted
+  def list(manifest: Manifest, select: Seq[String] = Nil, exclude: Seq[String] = Nil,
+           previousState: Option[Manifest] = None,
+           previousResults: Map[String, String] = Map.empty): Seq[String] =
+    Selector.select(manifest, select, exclude, previousState, previousResults).toSeq.sorted
 
   /** dbt retry — rerun only failed/skipped/errored nodes of a previous run
     * (reference: core/dbt/task/retry.py). */
@@ -94,10 +96,38 @@ object Commands {
   }
 
   /** Load a previous manifest artifact's checksums for state:modified
-    * selection (reference: selector_methods.py StateSelectorMethod). */
+    * selection (reference: selector_methods.py StateSelectorMethod).
+    * Parses the JSON properly — a writer change can no longer silently
+    * break state selection (r1/r2 regex scraping replaced). */
   def loadManifestChecksums(path: String): Map[String, String] = {
-    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-    val re = """"((?:model|seed|snapshot|test|source)\.[^"]+)":\s*\{"name":"[^"]*","resource_type":"[^"]*","package_name":"[^"]*","checksum":"([^"]*)"""".r
-    re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+    val doc = Json.obj(Json.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+    Json.obj(doc("nodes")).map { case (id, n) =>
+      id -> Json.str(Json.obj(n)("checksum"))
+    }
+  }
+
+  /** Reconstruct a previous manifest as stub nodes (id + checksum) — the
+    * shape `state:` selection compares against (`--state` / `--defer`). */
+  def loadStateManifest(path: String): Manifest = {
+    val doc = Json.obj(Json.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+    Manifest(Json.obj(doc("nodes")).map { case (id, v) =>
+      val n = Json.obj(v)
+      val typeName = Json.str(n("resource_type"))
+      val nodeType = NodeType.all.find(_.name == typeName).getOrElse(NodeType.Model)
+      id -> Node(nodeType, Json.str(n("package_name")), Json.str(n("name")),
+        checksum = Json.str(n("checksum")))
+    })
+  }
+
+  /** Load a previous run's statuses for retry / `result:` selection
+    * (reference: core/dbt/task/retry.py reads run_results.json). */
+  def loadRunResults(path: String): Map[String, String] = {
+    val doc = Json.obj(Json.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+    Json.arr(doc("results")).map(Json.obj).map { r =>
+      Json.str(r("unique_id")) -> Json.str(r("status"))
+    }.toMap
   }
 }

@@ -51,7 +51,11 @@ final class Runner(
     // --sample 'last N days': event-time refs get a window filter injected
     // (reference: core/dbt/event_time/sample_window.py:15,
     // providers.py:245-296)
-    sampleWindow: Option[(Instant, Instant)] = None) {
+    sampleWindow: Option[(Instant, Instant)] = None,
+    // --state: previous manifest for state:modified/new selection; previous
+    // run statuses for result:<status> and retry
+    previousState: Option[Manifest] = None,
+    previousResults: Map[String, String] = Map.empty) {
 
   /** generate_schema_name / generate_alias_name naming policy
     * (reference: manifest.json §generate_schema_name, §generate_alias_name). */
@@ -407,7 +411,8 @@ final class Runner(
         resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),
         resolveSource = (s, t) => s"${s}_$t",
         thisRelation = "", vars = vars))).collect())
-    val selected0 = Selector.select(manifest, select, exclude)
+    val selected0 = Selector.select(manifest, select, exclude,
+      previousState, previousResults)
     val selected = selected0.filter(id =>
       NodeType.executable(manifest(id).nodeType) && resourceTypes(manifest(id).nodeType))
     val mf =

@@ -242,6 +242,105 @@ class MainSpec extends AnyFunSuite {
       .contains("source.sources.raw_stage"))
   }
 
+  test("retry reruns only failed+skipped nodes of the previous invocation") {
+    val dir = writeProject()
+    def exec(cmd: String): (Int, String) = {
+      val sw = new java.io.StringWriter()
+      val c = Main.execute(spark, Main.Args(command = cmd, project = dir.toString),
+        new java.io.PrintWriter(sw, true))
+      (c, sw.toString)
+    }
+    // break the staging model → build fails, descendants skip
+    val good = Files.readString(dir.resolve("models/staging/stg_payments.sql"))
+    Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
+      "select * from missing_table_xyz")
+    assert(exec("build")._1 == 1)
+    // fix it → retry reruns ONLY the failed model and its skipped children
+    Files.writeString(dir.resolve("models/staging/stg_payments.sql"), good)
+    val (code, out) = exec("retry")
+    assert(code == 0, out)
+    assert(out.contains("SUCCESS  model.shop.stg_payments"))
+    assert(out.contains("SUCCESS  model.shop.revenue"))
+    // the seed succeeded the first time — retry must NOT rerun it
+    assert(!out.contains("seed.shop.payments"), out)
+    // a clean retry after a clean retry has nothing to do
+    assert(exec("retry")._2.contains("nothing to retry"))
+  }
+
+  test("freshness thresholds drive status and exit code") {
+    import org.apache.spark.sql.functions.lit
+    val srcDir = Files.createTempDirectory("graft_freshsrc")
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("stale.parquet").toString)
+    // age the source one hour
+    Files.setLastModifiedTime(srcDir.resolve("stale.parquet"),
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now().minusSeconds(3600)))
+    val dir = Files.createTempDirectory("graft_freshproj")
+    def runWith(conf: String): (Int, String) = {
+      Files.writeString(dir.resolve("graft_project.conf"),
+        s"name = fresh\nsources.raw = $srcDir\n$conf\n")
+      val sw = new java.io.StringWriter()
+      val c = Main.execute(spark,
+        Main.Args(command = "freshness", project = dir.toString),
+        new java.io.PrintWriter(sw, true))
+      (c, sw.toString)
+    }
+    val (c1, o1) = runWith("freshness.raw.warn_after = 60\nfreshness.raw.error_after = 86400")
+    assert(c1 == 0 && o1.contains("WARN"), o1)
+    val (c2, o2) = runWith("freshness.raw.warn_after = 60\nfreshness.raw.error_after = 120")
+    assert(c2 == 1 && o2.contains("ERROR"), o2)
+    val (c3, o3) = runWith("freshness.raw.warn_after = 86400")
+    assert(c3 == 0 && o3.contains("PASS"), o3)
+  }
+
+  test("clone copies state-warehouse relations; state:modified selects changed models; defer resolves upstreams from state") {
+    val dir = writeProject()
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    val state = s"$dir/target"
+
+    // clone into a fresh warehouse
+    val cloneWh = Files.createTempDirectory("graft_clonewh").toString
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "clone", project = dir.toString,
+      warehouse = Some(cloneWh), state = Some(state), select = Seq("revenue")),
+      new java.io.PrintWriter(sw2, true)) == 0, sw2.toString)
+    assert(sw2.toString.contains("CLONED   model.shop.revenue"))
+    val cloned = new graft.relations.RelationManager(spark, cloneWh)
+    assert(cloned.read(Relation("graft", "main", "revenue")).count() == 1)
+
+    // state:modified — touch one model, only it (and new nodes) select
+    Files.writeString(dir.resolve("models/marts/revenue.sql"),
+      """{{ config(materialized='table') }}
+        |select customer, sum(amount) + 0 as revenue
+        |from {{ ref('stg_payments') }} group by customer""".stripMargin)
+    val sw3 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "ls", project = dir.toString,
+      select = Seq("state:modified,resource_type:model"), state = Some(state)),
+      new java.io.PrintWriter(sw3, true)) == 0)
+    assert(sw3.toString.contains("model.shop.revenue"))
+    assert(!sw3.toString.contains("model.shop.stg_payments"), sw3.toString)
+
+    // defer: build ONLY the modified model in an empty warehouse, upstream
+    // stg_payments resolves from the state warehouse
+    val deferWh = Files.createTempDirectory("graft_deferwh").toString
+    Seq("main__stg_payments", "main__revenue", "main__payments")
+      .foreach(spark.catalog.dropTempView)
+    val sw4 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "run", project = dir.toString,
+      warehouse = Some(deferWh), select = Seq("revenue"),
+      state = Some(state), defer = true),
+      new java.io.PrintWriter(sw4, true)) == 0, sw4.toString)
+    assert(sw4.toString.contains("SUCCESS  model.shop.revenue"))
+    val deferred = new graft.relations.RelationManager(spark, deferWh)
+    val rev = deferred.read(Relation("graft", "main", "revenue")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the modified model dropped the min_amount filter → bob included
+    assert(rev == Map("alice" -> 17L, "bob" -> 3L))
+  }
+
   test("a broken model fails the build with exit code 1 and skips descendants") {
     val dir = writeProject()
     Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
