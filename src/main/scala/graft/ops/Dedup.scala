@@ -79,6 +79,21 @@ object Dedup {
       md5(concat_ws("_", lit(b),
         array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "_"))))
 
+  /** Signature presets: (k, bands), both at r = k/bands = 4 rows per band
+    * so the S-curve threshold (1/bands)^(1/r) stays ≈ 0.5. K64 doubles
+    * the signature for a sharper curve (fewer false positives at the same
+    * threshold, finer est_jaccard resolution) at 2× signature cost —
+    * the preset a 100 TB high-precision dedup pass should use. */
+  val PresetK32: (Int, Int) = (32, 8)
+  val PresetK64: (Int, Int) = (64, 16)
+
+  /** minhashLshPairs with a named (k, bands) preset. */
+  def minhashLshPairsPreset(df: DataFrame, idCol: String, textCol: String,
+                            preset: (Int, Int) = PresetK32,
+                            shingleLen: Int = 5,
+                            threshold: Double = 0.5): DataFrame =
+    minhashLshPairs(df, idCol, textCol, shingleLen, preset._1, preset._2, threshold)
+
   /** MinHash+LSH near-dup pairs: signature → band-bucket self-join →
     * estimated Jaccard = fraction of agreeing positions. The band join is
     * the only data-sized shuffle; signatures join back by doc id (small). */

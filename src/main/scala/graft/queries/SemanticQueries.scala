@@ -81,6 +81,23 @@ object SemanticQueries {
         .orderBy("test_name")
     }),
 
+    // saved_query + export: compile once, materialize as a table export,
+    // read the export back (reference: v1/saved_query.py:34-96)
+    "q_saved_query_export" -> ((s, d) => {
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sq").toString)
+      val sq = graft.semantic.SavedQueries.SavedQuery(
+        name = "monthly_status_revenue",
+        model = ordersModel(s, d),
+        metrics = Seq(
+          Metrics.Simple("revenue", "revenue"),
+          Metrics.Simple("n_orders", "n_orders")),
+        grain = Seq("status"),
+        where = Some(col("n_orders") > 10),
+        exports = Seq(graft.semantic.SavedQueries.Export("monthly_status_revenue_tbl")))
+      val rels = graft.semantic.SavedQueries.run(rm, "main", sq)
+      rm.read(rels("monthly_status_revenue_tbl")).orderBy("order_month", "status")
+    }),
+
     // clone: state warehouse → target warehouse (deep copy), read back
     "q_cmd_clone" -> ((s, d) => {
       val state = new RelationManager(s, Files.createTempDirectory("graft_state").toString)
@@ -116,6 +133,16 @@ object SemanticQueries {
         |    PARTITION BY status ORDER BY order_month
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_trailing_3m
         |FROM m ORDER BY order_month, status""".stripMargin,
+
+    "q_saved_query_export" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::timestamp AS order_month,
+        |    o_orderstatus AS status,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT order_month, status, revenue, n_orders FROM m
+        |WHERE n_orders > 10 ORDER BY order_month, status""".stripMargin,
 
     "q_metric_conversion" ->
       """WITH b AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),

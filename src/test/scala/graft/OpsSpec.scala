@@ -53,6 +53,16 @@ class OpsSpec extends AnyFunSuite {
     assert(capped((1L, 2L)) == uncapped((1L, 2L)))
   }
 
+  test("k=64 minhash preset keeps recall on planted near-dups with sharper estimates") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val k64 = Dedup.minhashLshPairsPreset(docs, "doc_id", "text", Dedup.PresetK64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(k64), s"k=64 preset missed: ${exact -- k64}")
+  }
+
   test("simhash of identical text is identical; hamming to itself is 0") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),

@@ -340,6 +340,67 @@ class RunnerSpec extends AnyFunSuite {
       Seq(10.0, 20.0, 40.0))
   }
 
+  test("duplicate unique_key in a merge source fails fast; unique source merges") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "dupkey")
+    Materializations.table(rm, rel, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val e = intercept[IllegalStateException] {
+      Materializations.mergeInto(rm, rel,
+        Seq((1, "x"), (1, "y")).toDF("id", "v"), Seq("id"), updateColumns = Nil)
+    }
+    assert(e.getMessage.contains("duplicate unique_key"))
+    // table unchanged after the failed merge (guard fires before any commit)
+    assert(rm.read(rel).orderBy("id").select("v").as[String].collect().toSeq == Seq("a", "b"))
+    Materializations.mergeInto(rm, rel,
+      Seq((1, "x")).toDF("id", "v"), Seq("id"), updateColumns = Nil)
+    assert(rm.read(rel).orderBy("id").select("v").as[String].collect().toSeq == Seq("x", "b"))
+  }
+
+  test("merge_update_columns / merge_exclude_columns / incremental_predicates declared in config() flow through the Runner") {
+    val rm = newRm()
+    import spark.implicits._
+    Materializations.table(rm, Relation("graft", "main", "inc_src"),
+      Seq((1, "v1", "k1"), (2, "v2", "k2")).toDF("id", "v", "keep"))
+
+    // merge that only updates `v` (declared via merge_update_columns)
+    val m = TemplateResolver.parseModel("pkg", "inc_upd",
+      "{{ config(materialized='incremental', incremental_strategy='merge', " +
+        "unique_key='id', merge_update_columns='v') }}\n" +
+        "select id, v, keep from main__inc_src")
+    assert(m.config.meta("merge_update_columns") == "v")
+    val manifest = Manifest(Seq(m)).processRefs()
+    val runner = new Runner(spark, rm, manifest)
+    assert(runner.run(Seq("inc_upd")).forall(_.status == "success"))
+    // mutate source: v and keep both change, but only v may propagate
+    Materializations.table(rm, Relation("graft", "main", "inc_src"),
+      Seq((1, "v1b", "k1b"), (2, "v2b", "k2b")).toDF("id", "v", "keep"))
+    assert(new Runner(spark, rm, manifest).run(Seq("inc_upd")).forall(_.status == "success"))
+    val rel = runner.relationFor(m)
+    val rows = rm.read(rel).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "v1b", "k1"), (2, "v2b", "k2")),
+      s"merge_update_columns must protect `keep`: $rows")
+
+    // delete+insert with a declared incremental predicate: only rows also
+    // matching the predicate delete
+    val di = TemplateResolver.parseModel("pkg", "inc_di",
+      "{{ config(materialized='incremental', incremental_strategy='delete+insert', " +
+        "unique_key='id', incremental_predicates=\"keep = 'old'\") }}\n" +
+        "select id, v, keep from main__inc_src2")
+    assert(di.config.meta("incremental_predicates") == "keep = 'old'")
+    Materializations.table(rm, Relation("graft", "main", "inc_src2"),
+      Seq((1, "a", "old"), (2, "b", "new")).toDF("id", "v", "keep"))
+    val mf2 = Manifest(Seq(di)).processRefs()
+    assert(new Runner(spark, rm, mf2).run(Seq("inc_di")).forall(_.status == "success"))
+    // second run: id=1 (keep=old) is deleted+reinserted once; id=2 (keep=new)
+    // fails the predicate so its old row SURVIVES alongside the reinsert
+    assert(new Runner(spark, rm, mf2).run(Seq("inc_di")).forall(_.status == "success"))
+    val di2 = rm.read(new Runner(spark, rm, mf2).relationFor(di))
+    assert(di2.filter($"id" === 1).count() == 1)
+    assert(di2.filter($"id" === 2).count() == 2)
+  }
+
   test("snapshot without unique_key fails with a clear error") {
     val rm = newRm()
     import spark.implicits._
