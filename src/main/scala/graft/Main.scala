@@ -34,9 +34,11 @@ object Main {
       // run_results.json) + warehouse/ for state:/result:/defer/clone
       state: Option[String] = None,
       defer: Boolean = false,
-      sampleHours: Option[Int] = None)
+      sampleHours: Option[Int] = None,
+      positional: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): Args = {
+    var sawCmd = false
     def loop(rest: List[String], acc: Args): Args = rest match {
       case Nil => acc
       case "--project" :: v :: t => loop(t, acc.copy(project = v))
@@ -54,7 +56,11 @@ object Main {
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
         })))
-      case cmd :: t if !cmd.startsWith("-") => loop(t, acc.copy(command = cmd))
+      case tok :: t if !tok.startsWith("-") =>
+        // first bare token = command; later ones are positional operands
+        // (e.g. `run-operation <name>`)
+        if (!sawCmd) { sawCmd = true; loop(t, acc.copy(command = tok)) }
+        else loop(t, acc.copy(positional = acc.positional :+ tok))
       case unknown :: _ => throw new IllegalArgumentException(s"unknown arg: $unknown")
     }
     loop(argv.toList, Args())
@@ -227,6 +233,53 @@ object Main {
               .foreach(r => out.println(r.mkString(" | ")))
           }
         0
+      case "run-operation" =>
+        // run a named project operation: operations/<name>.sql, rendered
+        // (ref/source/var) and executed statement-by-statement (`;;`
+        // separators) — the macro-invocation surface (reference:
+        // cli/main.py:653 run-operation, task/run_operation.py)
+        args.positional.headOption match {
+          case None => out.println("run-operation: needs an operation name"); 2
+          case Some(name) =>
+            val p = java.nio.file.Paths.get(args.project, "operations", s"$name.sql")
+            if (!java.nio.file.Files.exists(p)) {
+              out.println(s"run-operation: unknown operation '$name'"); 2
+            } else {
+              java.nio.file.Files.readString(p)
+                .split(";;").map(_.trim).filter(_.nonEmpty)
+                .foreach { stmt =>
+                  val n = spark.sql(runner.renderOperation(stmt)).collect().length
+                  out.println(s"ran statement ($n rows)")
+                }
+              0
+            }
+        }
+      case "clean" =>
+        // remove build artifacts (reference: cli/main.py:212 clean —
+        // deletes target/, which holds artifacts AND the default warehouse)
+        val target = java.nio.file.Paths.get(s"${args.project}/target")
+        if (java.nio.file.Files.exists(target)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          out.println(s"cleaned $target")
+        } else out.println(s"nothing to clean at $target")
+        0
+      case "debug" =>
+        // connectivity/config sanity checks (reference: cli/main.py:398)
+        out.println(s"spark:     OK (${spark.version}, master=${spark.sparkContext.master})")
+        out.println(s"project:   OK (${loaded.manifest.nodes.size} nodes, " +
+          s"name=${loaded.config.name}, schema=${loaded.config.schema})")
+        val whPath = java.nio.file.Paths.get(rm.root)
+        java.nio.file.Files.createDirectories(whPath)
+        val probe = java.nio.file.Files.createTempFile(whPath, ".graft_debug", "")
+        java.nio.file.Files.delete(probe)
+        out.println(s"warehouse: OK (writable at ${rm.root})")
+        val badSources = loaded.config.sources.filterNot { case (_, d) =>
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)) }
+        if (badSources.nonEmpty) {
+          out.println(s"sources:   MISSING ${badSources.keys.mkString(",")}"); 1
+        } else { out.println("sources:   OK"); out.println("All checks passed!"); 0 }
       case other =>
         out.println(s"unknown command: $other"); 2
     }

@@ -179,6 +179,8 @@ object TemplateResolver {
       preHooks = cfg.get("pre_hook").toSeq.flatMap(_.split("\\s*;;\\s*")).filter(_.nonEmpty),
       postHooks = cfg.get("post_hook").toSeq.flatMap(_.split("\\s*;;\\s*")).filter(_.nonEmpty),
       tags = cfg.get("tags").map(_.split("\\s*\\|\\s*").toSet).getOrElse(Set.empty),
+      group = cfg.get("group"),
+      access = cfg.getOrElse("access", "protected"),
       alias = cfg.get("alias"),
       schema = cfg.get("schema"),
       severity = cfg.getOrElse("severity", "error"),

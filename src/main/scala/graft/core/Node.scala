@@ -76,6 +76,9 @@ final case class NodeConfig(
     tags: Set[String] = Set.empty,
     meta: Map[String, String] = Map.empty,
     group: Option[String] = None,
+    // model access: private (group-internal) | protected | public
+    // (reference: core/dbt/artifacts/resources/v1/model.py:19-23, types.py:4-15)
+    access: String = "protected",
     enabled: Boolean = true,
     alias: Option[String] = None,
     schema: Option[String] = None,

@@ -37,7 +37,12 @@ object Project {
       exposures: Map[String, Seq[String]] = Map.empty,
       /** `freshness.[<source>.]warn_after|error_after = <seconds>`
         * (reference: FreshnessThreshold components.py:117-149). */
-      freshness: Map[String, String] = Map.empty)
+      freshness: Map[String, String] = Map.empty,
+      /** `packages.<name> = <dir>` — local package dependencies: the whole
+        * sub-project loads under its own package name and its nodes become
+        * ref-able (reference: core/dbt/deps/ local packages; git/hub
+        * resolution is out of scope in a zero-egress build). */
+      packages: Map[String, String] = Map.empty)
 
   final case class Loaded(config: Config, manifest: Manifest)
 
@@ -190,10 +195,22 @@ object Project {
       .distinctBy(_.uniqueId).map(t =>
         t.copy(testedNode = t.refs.headOption.flatMap(refable.get)))
     val unitLinked = unitParsed.map { case (m, u) => u.copy(testedNode = refable.get(m)) }
-    Loaded(conf,
-      Manifest(modelsWithUnits ++ snapshots ++ testsLinked ++ seeds ++
-        sourceNodes ++ exposureNodes ++ unitLinked)
-        .processRefs())
+
+    // local package dependencies: recursively load each sub-project; its
+    // nodes keep their own package name and join this manifest, so bare
+    // ref('model') and two-arg ref('pkg','model') both resolve across
+    // packages (reference: package resolution core/dbt/deps/, installed
+    // projects parse like the root project)
+    val own = modelsWithUnits ++ snapshots ++ testsLinked ++ seeds ++
+      sourceNodes ++ exposureNodes ++ unitLinked
+    val ownIds = own.map(_.uniqueId).toSet
+    val packageNodes = conf.packages.toSeq.sortBy(_._1).flatMap { case (_, dir) =>
+      load(dir).manifest.nodes.values
+    }.distinctBy(_.uniqueId)
+      // shared source declarations: the root project's node wins
+      .filterNot(n => ownIds(n.uniqueId))
+
+    Loaded(conf, Manifest(own ++ packageNodes).processRefs())
   }
 
   private def loadConf(p: Path): Config = {
@@ -216,7 +233,9 @@ object Project {
       exposures = kv.collect { case (k, v) if k.startsWith("exposures.") =>
         k.stripPrefix("exposures.") -> v.split(",").map(_.trim).filter(_.nonEmpty).toSeq },
       freshness = kv.collect { case (k, v) if k.startsWith("freshness.") =>
-        k.stripPrefix("freshness.") -> v })
+        k.stripPrefix("freshness.") -> v },
+      packages = kv.collect { case (k, v) if k.startsWith("packages.") =>
+        k.stripPrefix("packages.") -> v })
   }
 
   /** Register every `<dir>/<table>.parquet` as a `<source>_<table>` session

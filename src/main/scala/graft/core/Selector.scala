@@ -116,6 +116,9 @@ object Selector {
       case "metric" => n.nodeType == NodeType.Metric && glob(value, n.name)
       case "config.materialized" => n.config.materialized == value
       case "config.severity" => n.config.severity == value
+      // access:private|protected|public (reference: selector_methods.py
+      // AccessSelectorMethod; v1/model.py:19-23)
+      case "access" => n.config.access == value
       // result:<status> from a previous run's results
       // (reference: selector_methods.py ResultSelectorMethod; used by retry)
       case "result" => prevResults.get(n.uniqueId).contains(value)

@@ -100,6 +100,13 @@ final class Runner(
     def resolveRef(name: String): String = {
       val dep = manifest.byName(name).getOrElse(
         throw new NoSuchElementException(s"unknown ref '$name'"))
+      // access enforcement: a private model is referenceable only inside
+      // its own group (reference: ModelNode access checks,
+      // core/dbt/parser/manifest.py process_refs access validation)
+      if (dep.config.access == "private" && dep.config.group != node.config.group)
+        throw new IllegalAccessError(
+          s"Node ${node.uniqueId} cannot ref private model ${dep.name} " +
+            s"(group ${dep.config.group.getOrElse("<none>")})")
       if (dep.isEphemeral) {
         val cte = s"__graft_cte__${dep.name}"
         if (!cteNames.contains(cte)) {
@@ -188,6 +195,17 @@ final class Runner(
         resolveRelationName(manifest.byName(name).get)),
       resolveSource = (s, t) => s"${s}_$t",
       thisRelation = resolveRelationName(node),
+      vars = vars))
+
+  /** Render a project-level operation snippet: refs/sources/vars resolve,
+    * no {{ this }} (operations have no target relation) — the engine's
+    * run-operation surface (reference: core/dbt/task/run_operation.py). */
+  def renderOperation(sql: String): String =
+    TemplateResolver.render(sql, TemplateResolver.Context(
+      resolveRef = name => resolveRelationName(manifest.byName(name).getOrElse(
+        throw new NoSuchElementException(s"unknown ref '$name'"))),
+      resolveSource = (s, t) => s"${s}_$t",
+      thisRelation = "",
       vars = vars))
 
   private def runHooks(node: Node, hooks: Seq[String]): Unit =

@@ -341,6 +341,70 @@ class MainSpec extends AnyFunSuite {
     assert(rev == Map("alice" -> 17L, "bob" -> 3L))
   }
 
+  test("local package deps: sub-project models load and resolve cross-package refs") {
+    val pkgDir = Files.createTempDirectory("graft_pkg")
+    Files.writeString(pkgDir.resolve("graft_project.conf"), "name = util\n")
+    Files.createDirectories(pkgDir.resolve("models"))
+    Files.writeString(pkgDir.resolve("models/util_base.sql"),
+      "{{ config(materialized='table') }}\nselect 41 as answer")
+    val dir = Files.createTempDirectory("graft_rootproj")
+    Files.writeString(dir.resolve("graft_project.conf"),
+      s"name = root\npackages.util = $pkgDir\n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/uses_pkg.sql"),
+      "{{ config(materialized='table') }}\nselect answer + 1 as answer from {{ ref('util_base') }}")
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("SUCCESS  model.util.util_base"))
+    assert(sw.toString.contains("SUCCESS  model.root.uses_pkg"))
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    assert(rm.read(Relation("graft", "main", "uses_pkg")).collect()(0).getInt(0) == 42)
+  }
+
+  test("run-operation, debug, clean commands") {
+    val dir = writeProject()
+    def exec(a: Main.Args): (Int, String) = {
+      val sw = new java.io.StringWriter()
+      (Main.execute(spark, a, new java.io.PrintWriter(sw, true)), sw.toString)
+    }
+    assert(exec(Main.Args(command = "build", project = dir.toString))._1 == 0)
+    // an operation with two statements, one ref-resolving
+    Files.createDirectories(dir.resolve("operations"))
+    Files.writeString(dir.resolve("operations/audit.sql"),
+      "select 1 as probe ;; select * from {{ ref('revenue') }}")
+    val (opCode, opOut) = exec(Main.Args(command = "run-operation",
+      project = dir.toString, positional = Seq("audit")))
+    assert(opCode == 0, opOut)
+    assert(opOut.contains("ran statement (1 rows)"), opOut)
+    assert(exec(Main.Args(command = "run-operation", project = dir.toString,
+      positional = Seq("nope")))._1 == 2)
+    val (dbgCode, dbgOut) = exec(Main.Args(command = "debug", project = dir.toString))
+    assert(dbgCode == 0 && dbgOut.contains("All checks passed"), dbgOut)
+    val (clCode, _) = exec(Main.Args(command = "clean", project = dir.toString))
+    assert(clCode == 0)
+    assert(!Files.exists(dir.resolve("target")))
+  }
+
+  test("private models are only referenceable inside their group") {
+    val dir = Files.createTempDirectory("graft_access")
+    Files.writeString(dir.resolve("graft_project.conf"), "name = acc\n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/internal.sql"),
+      "{{ config(materialized='table', access='private', group='core') }}\nselect 1 as id")
+    Files.writeString(dir.resolve("models/outsider.sql"),
+      "{{ config(materialized='table', group='other') }}\nselect * from {{ ref('internal') }}")
+    Files.writeString(dir.resolve("models/insider.sql"),
+      "{{ config(materialized='table', group='core') }}\nselect * from {{ ref('internal') }}")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 1)
+    assert(sw.toString.contains("SUCCESS  model.acc.insider"), sw.toString)
+    assert(sw.toString.contains("ERROR    model.acc.outsider"), sw.toString)
+    assert(sw.toString.contains("cannot ref private model"), sw.toString)
+  }
+
   test("a broken model fails the build with exit code 1 and skips descendants") {
     val dir = writeProject()
     Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
