@@ -67,7 +67,16 @@ object Snapshot {
       .withColumn("dbt_scd_id", strategy.scdId(key))
       .withColumn("dbt_is_deleted", lit(false))
 
-  /** Apply one snapshot run against the existing snapshot table. */
+  /** Apply one snapshot run against the existing snapshot table.
+    *
+    * **File-pruned (round 3)**: the only rows that MUTATE are current
+    * rows whose key changed (valid_to closes) or vanished (hard delete);
+    * a key-column planning scan finds the files containing them, only
+    * those files rewrite (their other rows carried over verbatim), and
+    * new versions/new keys land as fresh files via the commit log —
+    * history rows and unchanged current rows in other files are never
+    * touched. A snapshot run that changes 1% of keys moves ~1% of the
+    * table instead of all of it (FileLogSpec asserts the file counts). */
   def apply(
       rm: RelationManager,
       rel: Relation,
@@ -86,9 +95,11 @@ object Snapshot {
     Materializations.requireUniqueKeys(source, key, s"snapshot ${rel.render}")
     if (!rm.exists(rel)) { rm.writeTable(firstSnapshot(source, key, strategy), rel); return }
 
+    val st = rm.currentState(rel).getOrElse(
+      throw new IllegalStateException(s"snapshot ${rel.render}: no table state"))
     val snap = rm.read(rel)
-    val current = snap.filter(col("dbt_valid_to").isNull && !col("dbt_is_deleted"))
-    val history = snap.filter(col("dbt_valid_to").isNotNull || col("dbt_is_deleted"))
+    val currentPred = col("dbt_valid_to").isNull && !col("dbt_is_deleted")
+    val current = snap.filter(currentPred)
     val sourceCols = source.columns.toSeq
     val effCheckCols = if (checkCols == Seq("all")) sourceCols.filterNot(key.contains) else checkCols
 
@@ -100,17 +111,34 @@ object Snapshot {
     // unchanged branches and silently vanishes from the rewrite
     val changed = coalesce(strategy.rowChanged(sourceCols, effCheckCols), lit(false))
 
-    // insertions: brand-new keys OR changed rows → open a new version
-    val newKeys = s.join(t, keyCond, "left_anti")
-    val changedSource = s.join(t, keyCond, "inner").filter(changed)
-      .select(sourceCols.map(c => col(s"s.$c")): _*)
-    val insertions = firstSnapshot(
-      newKeys.select(sourceCols.map(col): _*).unionByName(changedSource), key, strategy)
+    // keys whose current row mutates this run: value changed, or vanished
+    // from source while hard deletes invalidate
+    val changedKeys = t.join(s, keyCond, "inner").filter(changed)
+      .select(key.map(k => col(s"t.$k").as(k)): _*)
+    val affectedKeys = (if (invalidateHardDeletes)
+      changedKeys.unionByName(
+        t.join(s, keyCond, "left_anti").select(key.map(k => col(s"t.$k").as(k)): _*))
+    else changedKeys).distinct()
 
-    // updates: close the current version of changed rows at the source's
-    // new updated_at (timestamp) / snapshot time (check)
+    // planning scan: files holding an affected current row (key columns +
+    // file name only — parquet column pruning keeps this cheap)
+    val touched = snap
+      .select((key.map(col) :+ col("dbt_valid_to") :+ col("dbt_is_deleted") :+
+        input_file_name().as("__graft_file")): _*)
+      .filter(currentPred)
+      .join(affectedKeys, key, "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
+
+    // rewrite ONLY the touched files: carry over every row except the
+    // affected current rows, which are replaced by their closed versions
+    val touchedDf = rm.readFiles(rel, st, touched)
+    val keep = touchedDf.filter(!currentPred).unionByName(
+      touchedDf.filter(currentPred).join(affectedKeys, key, "left_anti"))
+
     val tcols = snap.columns.toSeq
-    val closedChanged = t.join(s, keyCond, "inner").filter(changed)
+    val tTouched = touchedDf.filter(currentPred).as("t")
+    val closedChanged = tTouched.join(s, keyCond, "inner").filter(changed)
       .select(tcols.map {
         case "dbt_valid_to" => strategy match {
           case TimestampStrategy(u) => col(s"s.$u").cast(TimestampType).as("dbt_valid_to")
@@ -118,33 +146,29 @@ object Snapshot {
         }
         case c => col(s"t.$c").as(c)
       }: _*)
-
-    // unchanged current rows keep their open version
-    val unchangedCurrent = t.join(s, keyCond, "inner").filter(!changed)
-      .select(tcols.map(c => col(s"t.$c").as(c)): _*)
-
-    // hard deletes: current rows whose key vanished from source
-    val goneKeys = t.join(s, keyCond, "left_anti")
-    val (closedDeleted, untouchedCurrent) =
-      if (invalidateHardDeletes) {
+    val closedDeleted =
+      if (!invalidateHardDeletes)
+        rm.spark.createDataFrame(
+          rm.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else {
         val at = hardDeleteAt.getOrElse(Instant.now())
-        val closed = goneKeys.select(tcols.map {
+        tTouched.join(s, keyCond, "left_anti").select(tcols.map {
           case "dbt_valid_to"   => lit(java.sql.Timestamp.from(at)).as("dbt_valid_to")
           case "dbt_is_deleted" => lit(true).as("dbt_is_deleted")
           case c                => col(s"t.$c").as(c)
         }: _*)
-        (closed, unchangedCurrent)
-      } else {
-        (rm.spark.createDataFrame(
-          rm.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema),
-          unchangedCurrent.unionByName(goneKeys.select(tcols.map(c => col(s"t.$c").as(c)): _*)))
       }
 
-    val result = history
-      .unionByName(untouchedCurrent)
-      .unionByName(closedChanged)
-      .unionByName(closedDeleted)
-      .unionByName(insertions.select(tcols.map(col): _*))
-    rm.writeTable(result, rel)
+    // insertions: brand-new keys OR changed rows → open a new version
+    val newKeys = s.join(t, keyCond, "left_anti")
+    val changedSource = s.join(t, keyCond, "inner").filter(changed)
+      .select(sourceCols.map(c => col(s"s.$c")): _*)
+    val insertions = firstSnapshot(
+      newKeys.select(sourceCols.map(col): _*).unionByName(changedSource), key, strategy)
+
+    rm.commitReplace(
+      keep.unionByName(closedChanged).unionByName(closedDeleted)
+        .unionByName(insertions.select(tcols.map(col): _*)),
+      rel, touched)
   }
 }

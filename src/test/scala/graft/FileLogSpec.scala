@@ -63,6 +63,39 @@ class FileLogSpec extends AnyFunSuite {
     assert(rm.read(rel).filter($"v" === "replaced").count() == 100)
   }
 
+  test("snapshot run changing 1 of 10000 keys rewrites ~1 file") {
+    import spark.implicits._
+    import graft.materializations.Snapshot
+    val rm = newRm()
+    val rel = Relation("graft", "log", "snap_pruned")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val src1 = (0 until 10000).map(i => (i.toLong, s"v$i", t1))
+      .toDF("id", "v", "updated_at").repartitionByRange(50, $"id")
+    Snapshot(rm, rel, src1, Seq("id"), Snapshot.TimestampStrategy("updated_at"))
+    val before = rm.currentState(rel).get
+    assert(before.files.size >= 45, s"want ~50 files, got ${before.files.size}")
+
+    // second run: only key 5000 changed
+    val src2 = (0 until 10000).map(i =>
+      if (i == 5000) (i.toLong, "CHANGED", t2) else (i.toLong, s"v$i", t1))
+      .toDF("id", "v", "updated_at")
+    Snapshot(rm, rel, src2, Seq("id"), Snapshot.TimestampStrategy("updated_at"))
+    val after = rm.currentState(rel).get
+    val kept = before.files.toSet intersect after.files.toSet
+    assert(kept.size >= before.files.size - 1,
+      s"1-key snapshot must touch ~1 file: kept ${kept.size}/${before.files.size}")
+    // SCD-2 semantics intact
+    val snap = rm.read(rel)
+    assert(snap.count() == 10001)
+    val k5000 = snap.filter($"id" === 5000L).orderBy("dbt_valid_from").collect()
+    assert(k5000.length == 2)
+    assert(k5000(0).getAs[java.sql.Timestamp]("dbt_valid_to") != null)
+    assert(k5000(1).getAs[java.sql.Timestamp]("dbt_valid_to") == null)
+    assert(k5000(1).getAs[String]("v") == "CHANGED")
+    assert(snap.filter($"dbt_valid_to".isNull).count() == 10000)
+  }
+
   test("time travel: prior versions stay readable until vacuumed") {
     import spark.implicits._
     val rm = newRm()
