@@ -35,7 +35,8 @@ object Main {
       state: Option[String] = None,
       defer: Boolean = false,
       sampleHours: Option[Int] = None,
-      positional: Seq[String] = Nil)
+      positional: Seq[String] = Nil,
+      port: Int = 8080)
 
   def parseArgs(argv: Array[String]): Args = {
     var sawCmd = false
@@ -52,6 +53,7 @@ object Main {
       case "--state" :: v :: t => loop(t, acc.copy(state = Some(v)))
       case "--defer" :: t => loop(t, acc.copy(defer = true))
       case "--sample" :: v :: t => loop(t, acc.copy(sampleHours = Some(v.toInt)))
+      case "--port" :: v :: t => loop(t, acc.copy(port = v.toInt))
       case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
@@ -160,10 +162,17 @@ object Main {
         0
       case "docs" =>
         // docs generate (reference: cli/main.py:243, task/docs/generate.py):
-        // manifest.json + catalog.json over whatever is materialized
+        // manifest.json + catalog.json + index.html over whatever is
+        // materialized; `docs serve` additionally serves target/ over HTTP
         Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json")
         Commands.writeCatalog(rm, loaded.manifest, runner, s"${args.project}/target/catalog.json")
-        out.println(s"wrote ${args.project}/target/manifest.json and catalog.json")
+        Commands.writeDocsIndex(loaded.manifest, s"${args.project}/target/index.html")
+        out.println(s"wrote ${args.project}/target/{manifest.json,catalog.json,index.html}")
+        if (args.positional.headOption.contains("serve")) {
+          val server = Commands.serveDocs(s"${args.project}/target", args.port)
+          out.println(s"serving docs at http://127.0.0.1:${server.getAddress.getPort}/ (Ctrl-C to stop)")
+          while (true) Thread.sleep(60000) // blocks like the reference's serve
+        }
         0
       case "freshness" =>
         // metadata-based source freshness (reference: freshness.py:83-177

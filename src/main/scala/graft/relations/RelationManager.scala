@@ -248,8 +248,12 @@ final class RelationManager(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------- reads
 
+  private def bucketedPath(rel: Relation): Path =
+    Paths.get(path(rel).toString + "__bucketed")
+
   def exists(rel: Relation): Boolean =
-    Files.exists(viewDefFile(rel)) || currentState(rel).isDefined
+    Files.exists(viewDefFile(rel)) || currentState(rel).isDefined ||
+      Files.isDirectory(bucketedPath(rel))
 
   def read(rel: Relation): DataFrame =
     currentState(rel) match {
@@ -260,6 +264,13 @@ final class RelationManager(val spark: SparkSession, val root: String) {
           deps.foreach(d =>
             if (!spark.catalog.tableExists(d.viewName)) register(d))
           spark.sql(sql)
+        case None if spark.catalog.tableExists(rel.viewName) =>
+          spark.table(rel.viewName) // bucketed catalog table (this session)
+        case None if Files.isDirectory(bucketedPath(rel)) =>
+          // bucketed table from a PREVIOUS session: bucket metadata lived
+          // in the in-memory catalog, so reads degrade to a plain parquet
+          // scan (correct, but joins shuffle again) — documented trade
+          spark.read.parquet(bucketedPath(rel).toString)
         case None =>
           throw new IllegalArgumentException(s"no such relation: ${rel.render}")
       }
@@ -413,6 +424,10 @@ final class RelationManager(val spark: SparkSession, val root: String) {
 
   def drop(rel: Relation): Unit = {
     deleteDir(path(rel))
+    if (Files.exists(bucketedPath(rel))) {
+      spark.sql(s"DROP TABLE IF EXISTS ${rel.viewName}")
+      deleteDir(bucketedPath(rel))
+    }
     spark.catalog.dropTempView(rel.viewName)
   }
 

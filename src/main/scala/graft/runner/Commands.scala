@@ -95,6 +95,64 @@ object Commands {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
+  /** docs index: dependency-free lineage page over the manifest — the
+    * target of `docs serve` (reference: docs site, task/docs/). */
+  def writeDocsIndex(manifest: Manifest, path: String): Unit = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val rows = manifest.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
+      val parents = manifest.parentMap.getOrElse(id, Nil)
+      s"<tr><td>${esc(id)}</td><td>${esc(n.config.materialized)}</td>" +
+        s"<td>${esc(n.config.tags.toSeq.sorted.mkString(", "))}</td>" +
+        s"<td>${parents.map(esc).mkString("<br>")}</td></tr>"
+    }
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8"><title>graft docs</title>
+         |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+         |td,th{border:1px solid #ccc;padding:4px 8px;text-align:left;vertical-align:top}</style>
+         |</head><body><h1>graft project</h1>
+         |<p>${manifest.nodes.size} nodes ·
+         |<a href="manifest.json">manifest.json</a> ·
+         |<a href="catalog.json">catalog.json</a></p>
+         |<table><tr><th>node</th><th>materialized</th><th>tags</th><th>depends on</th></tr>
+         |${rows.mkString("\n")}
+         |</table></body></html>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+  }
+
+  /** docs serve: a minimal HTTP file server over the target dir
+    * (reference: cli/main.py:279 docs serve). JDK built-in server — no
+    * dependency; port 0 = ephemeral. Caller stops the returned server. */
+  def serveDocs(targetDir: String, port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val root = java.nio.file.Paths.get(targetDir).toAbsolutePath.normalize()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val raw = ex.getRequestURI.getPath
+        val name = if (raw == "/" || raw.isEmpty) "index.html" else raw.stripPrefix("/")
+        val p = root.resolve(name).normalize()
+        val body =
+          if (p.startsWith(root) && java.nio.file.Files.isRegularFile(p))
+            Some(java.nio.file.Files.readAllBytes(p))
+          else None
+        body match {
+          case Some(bytes) =>
+            ex.getResponseHeaders.add("Content-Type",
+              if (name.endsWith(".json")) "application/json" else "text/html")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          case None =>
+            val msg = "not found".getBytes("UTF-8")
+            ex.sendResponseHeaders(404, msg.length.toLong)
+            ex.getResponseBody.write(msg)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+
   /** Load a previous manifest artifact's checksums for state:modified
     * selection (reference: selector_methods.py StateSelectorMethod).
     * Parses the JSON properly — a writer change can no longer silently

@@ -274,7 +274,19 @@ final class Runner(
               }
             case "table" | "materialized_view" =>
               // materialized_view on parquet = table + full recompute (SURVEY §2.1)
-              Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
+              // declarable bucketing: config(buckets=N, bucket_by='k')
+              // gives repeatedly-joined facts a shuffle-free co-located
+              // join layout (BucketingSpec asserts no Exchange)
+              node.config.meta.get("buckets").map(_.toInt) match {
+                case Some(n) =>
+                  val cols = node.config.meta.getOrElse("bucket_by",
+                    throw new IllegalArgumentException(
+                      s"${node.name}: buckets=$n needs bucket_by"))
+                    .split("\\s*\\|\\s*").toSeq
+                  rm.writeBucketedTable(buildDf(node), rel, n, cols)
+                case None =>
+                  Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
+              }
             case "ephemeral" => () // never materialized; inlined by consumers
             case "incremental" if node.config.incrementalStrategy.contains("microbatch") =>
               // microbatch via the runner: derive run end (injectable for

@@ -405,6 +405,35 @@ class MainSpec extends AnyFunSuite {
     assert(sw.toString.contains("cannot ref private model"), sw.toString)
   }
 
+  test("docs generate writes an index; docs serve answers HTTP for artifacts") {
+    val dir = writeProject()
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(Main.execute(spark, Main.Args(command = "docs", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0)
+    assert(Files.exists(dir.resolve("target/index.html")))
+
+    val server = graft.runner.Commands.serveDocs(s"$dir/target", port = 0)
+    try {
+      def get(p: String): (Int, String) = {
+        val conn = new java.net.URL(
+          s"http://127.0.0.1:${server.getAddress.getPort}$p")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body = if (code == 200)
+          new String(conn.getInputStream.readAllBytes(), "UTF-8") else ""
+        (code, body)
+      }
+      val (c1, idx) = get("/")
+      assert(c1 == 200 && idx.contains("model.shop.revenue"))
+      val (c2, mf) = get("/manifest.json")
+      assert(c2 == 200 && mf.contains("\"model.shop.revenue\""))
+      assert(get("/nope.json")._1 == 404)
+      assert(get("/../../etc/passwd")._1 == 404) // path traversal guarded
+    } finally server.stop(0)
+  }
+
   test("a broken model fails the build with exit code 1 and skips descendants") {
     val dir = writeProject()
     Files.writeString(dir.resolve("models/staging/stg_payments.sql"),

@@ -401,6 +401,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(di2.filter($"id" === 2).count() == 2)
   }
 
+  test("declarable bucketing: config(buckets, bucket_by) models join shuffle-free") {
+    val rm = newRm()
+    import spark.implicits._
+    Materializations.table(rm, Relation("graft", "main", "bkt_src"),
+      (1 to 1000).map(i => (i.toLong, i % 7)).toDF("k", "grp"))
+    val a = TemplateResolver.parseModel("pkg", "bkt_a",
+      "{{ config(materialized='table', buckets='8', bucket_by='k') }}\n" +
+        "select k, grp from main__bkt_src")
+    val b = TemplateResolver.parseModel("pkg", "bkt_b",
+      "{{ config(materialized='table', buckets='8', bucket_by='k') }}\n" +
+        "select k, grp as g2 from main__bkt_src")
+    val manifest = Manifest(Seq(a, b)).processRefs()
+    val runner = new Runner(spark, rm, manifest)
+    assert(runner.run(Seq("bkt_a", "bkt_b")).forall(_.status == "success"))
+    val joined = spark.table("main__bkt_a").join(spark.table("main__bkt_b"), "k")
+      .groupBy("k").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning(k"),
+      s"declared-bucket join should not shuffle on k:\n$plan")
+  }
+
   test("snapshot without unique_key fails with a clear error") {
     val rm = newRm()
     import spark.implicits._
