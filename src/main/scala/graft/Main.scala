@@ -99,10 +99,11 @@ object Main {
       .map(d => java.nio.file.Paths.get(d, "manifest.json"))
       .filter(java.nio.file.Files.exists(_))
       .map(p => Commands.loadStateManifest(p.toString))
-    val stateResults = args.state
-      .map(d => java.nio.file.Paths.get(d, "run_results.json"))
+    val stateResults = args.state.toSeq
+      .flatMap(d => Seq(java.nio.file.Paths.get(d, "run_results.json"),
+        java.nio.file.Paths.get(d, "sources.json"))) // freshness statuses
       .filter(java.nio.file.Files.exists(_))
-      .map(p => Commands.loadRunResults(p.toString)).getOrElse(Map.empty[String, String])
+      .flatMap(p => Commands.loadRunResults(p.toString)).toMap
     val stateRm = args.state.map(d => new RelationManager(spark, s"$d/warehouse"))
     val now = java.time.Instant.now()
     val runner = new Runner(spark, rm, loaded.manifest,
@@ -179,9 +180,9 @@ object Main {
         // get_relation_last_modified fallback — file mtimes, no scan) with
         // warn_after/error_after thresholds driving status AND exit code
         var worst = 0 // 0 pass, 1 warn, 2 error
-        loaded.manifest.nodes.values.toSeq
+        val statuses = loaded.manifest.nodes.values.toSeq
           .filter(_.nodeType == NodeType.Source).sortBy(_.name)
-          .foreach { src =>
+          .map { src =>
             val srcName = src.sources.headOption.map(_._1).getOrElse("")
             def threshold(kind: String): Long =
               loaded.config.freshness.get(s"$srcName.$kind")
@@ -192,11 +193,15 @@ object Main {
             val ageSec = (now.toEpochMilli - mtime.toEpochMilli) / 1000.0
             val (warnAfter, errorAfter) = (threshold("warn_after"), threshold("error_after"))
             val status =
-              if (errorAfter > 0 && ageSec > errorAfter) { worst = worst max 2; "ERROR" }
-              else if (warnAfter > 0 && ageSec > warnAfter) { worst = worst max 1; "WARN" }
-              else "PASS"
-            out.println(f"$status%-8s ${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
+              if (errorAfter > 0 && ageSec > errorAfter) { worst = worst max 2; "error" }
+              else if (warnAfter > 0 && ageSec > warnAfter) { worst = worst max 1; "warn" }
+              else "pass"
+            out.println(f"${status.toUpperCase}%-8s ${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
+            src.uniqueId -> status
           }
+        // sources.json artifact → `source_status:` selection next run
+        // (reference: freshness writes sources.json, task/freshness.py)
+        Commands.writeSourcesJson(statuses, s"${args.project}/target/sources.json")
         if (worst == 2) 1 else 0
       case "retry" =>
         // rerun only failed/errored/skipped nodes of the previous

@@ -17,6 +17,10 @@ import graft.core._
 object TemplateResolver {
 
   private val RefRe = raw"""\{\{\s*ref\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*\}\}""".r
+  // ref('model', v=2) — versioned ref (reference: versioned ref resolution,
+  // core/dbt/context/providers.py:1110 ref with version kwarg). Encoded as
+  // `name##version` through the name-based resolution path.
+  private val RefVerRe = raw"""\{\{\s*ref\s*\(\s*'([^']+)'\s*,\s*v\s*=\s*(\d+)\s*\)\s*\}\}""".r
   private val SourceRe = raw"""\{\{\s*source\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}""".r
   private val ThisRe = raw"""\{\{\s*this\s*\}\}""".r
   private val VarRe = raw"""\{\{\s*var\s*\(\s*'([^']+)'\s*(?:,\s*'?([^')]*)'?\s*)?\)\s*\}\}""".r
@@ -83,7 +87,8 @@ object TemplateResolver {
   /** Parse-time extraction of refs/sources/config without rendering
     * (reference: the static parser, core/dbt/parser/models.py:28,303-386). */
   def extractRefs(sql: String): Seq[String] =
-    RefRe.findAllMatchIn(sql).map(m => Option(m.group(2)).getOrElse(m.group(1))).toSeq.distinct
+    (RefRe.findAllMatchIn(sql).map(m => Option(m.group(2)).getOrElse(m.group(1))) ++
+      RefVerRe.findAllMatchIn(sql).map(m => s"${m.group(1)}##${m.group(2)}")).toSeq.distinct
 
   def extractSources(sql: String): Seq[(String, String)] =
     SourceRe.findAllMatchIn(sql).map(m => (m.group(1), m.group(2))).toSeq.distinct
@@ -136,6 +141,9 @@ object TemplateResolver {
     }
     out = IncrRe.replaceAllIn(out, m =>
       if (ctx.isIncremental) java.util.regex.Matcher.quoteReplacement(m.group(1)) else "")
+    out = RefVerRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        ctx.resolveRef(s"${m.group(1)}##${m.group(2)}")))
     out = RefRe.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         ctx.resolveRef(Option(m.group(2)).getOrElse(m.group(1)))))
@@ -181,6 +189,8 @@ object TemplateResolver {
       tags = cfg.get("tags").map(_.split("\\s*\\|\\s*").toSet).getOrElse(Set.empty),
       group = cfg.get("group"),
       access = cfg.getOrElse("access", "protected"),
+      version = cfg.get("version").map(_.toInt),
+      versionedOf = cfg.get("versioned_of"),
       alias = cfg.get("alias"),
       schema = cfg.get("schema"),
       severity = cfg.getOrElse("severity", "error"),

@@ -21,8 +21,24 @@ final case class Manifest(nodes: Map[String, Node]) {
   def apply(id: String): Node = nodes(id)
   def get(id: String): Option[Node] = nodes.get(id)
 
-  def byName(name: String): Option[Node] =
-    nodes.values.find(n => n.name == name && NodeType.refable(n.nodeType))
+  /** Name → refable node, version-aware (reference: versioned ref
+    * resolution + latest_version, v1/model.py:40-53): `name##N` pins
+    * version N of a family; a bare family name resolves to the highest
+    * version; plain names resolve directly. */
+  def byName(name: String): Option[Node] = {
+    val refables = nodes.values.filter(n => NodeType.refable(n.nodeType))
+    name.split("##", 2) match {
+      case Array(base, v) =>
+        refables.find(n => n.config.versionedOf.contains(base) &&
+          n.config.version.contains(v.toInt))
+      case _ =>
+        refables.find(_.name == name).orElse {
+          val family = refables.filter(_.config.versionedOf.contains(name))
+          if (family.isEmpty) None
+          else Some(family.maxBy(_.config.version.getOrElse(0)))
+        }
+    }
+  }
 
   /** Resolve raw ref()/source() names into dependsOn unique_ids
     * (reference: parser/manifest.py:470 process_refs). Unknown refs throw,

@@ -79,6 +79,12 @@ final case class NodeConfig(
     // model access: private (group-internal) | protected | public
     // (reference: core/dbt/artifacts/resources/v1/model.py:19-23, types.py:4-15)
     access: String = "protected",
+    // model versions (reference: ModelNode version/latest_version
+    // v1/model.py:40-53): a versioned model declares version=N and the
+    // family name it versions; bare ref('family') resolves to the highest
+    // version, ref('family', v=N) pins one
+    version: Option[Int] = None,
+    versionedOf: Option[String] = None,
     enabled: Boolean = true,
     alias: Option[String] = None,
     schema: Option[String] = None,

@@ -86,11 +86,18 @@ object Selector {
                         prevResults: Map[String, String]): Set[String] = {
     val method = s.method.getOrElse("fqn")
     m.nodes.collect {
-      case (id, n) if matches(method, s.value, n, prev, prevResults) => id
+      case (id, n) if matches(m, method, s.value, n, prev, prevResults) => id
     }.toSet
   }
 
-  private def matches(method: String, value: String, n: Node, prev: Option[Manifest],
+  private def isLatestVersion(m: Manifest, n: Node): Boolean =
+    n.config.versionedOf.exists { family =>
+      m.nodes.values.filter(_.config.versionedOf.contains(family))
+        .maxBy(_.config.version.getOrElse(0)).uniqueId == n.uniqueId
+    }
+
+  private def matches(m: Manifest, method: String, value: String, n: Node,
+                      prev: Option[Manifest],
                       prevResults: Map[String, String] = Map.empty): Boolean =
     method match {
       case "fqn" => n.name == value || glob(value, n.name) ||
@@ -119,6 +126,18 @@ object Selector {
       // access:private|protected|public (reference: selector_methods.py
       // AccessSelectorMethod; v1/model.py:19-23)
       case "access" => n.config.access == value
+      // version:latest|old|none|<N> (reference: VersionSelectorMethod)
+      case "version" => value match {
+        case "latest" => n.config.version.isDefined && isLatestVersion(m, n)
+        case "old"    => n.config.version.isDefined && !isLatestVersion(m, n)
+        case "none"   => n.config.version.isEmpty
+        case v        => n.config.version.contains(v.toInt)
+      }
+      // source_status:<status> from a previous freshness run's sources.json
+      // (reference: SourceStatusSelectorMethod; statuses merge into the
+      // same previous-results map as run_results — id namespaces disjoint)
+      case "source_status" => n.nodeType == NodeType.Source &&
+        prevResults.get(n.uniqueId).contains(value)
       // result:<status> from a previous run's results
       // (reference: selector_methods.py ResultSelectorMethod; used by retry)
       case "result" => prevResults.get(n.uniqueId).contains(value)

@@ -179,6 +179,17 @@ object Commands {
     })
   }
 
+  /** sources.json: per-source freshness statuses, same results shape as
+    * run_results so one loader serves both (reference: freshness artifact,
+    * core/dbt/task/freshness.py). */
+  def writeSourcesJson(statuses: Seq[(String, String)], path: String): Unit = {
+    def q(s: String) = Json.quote(s)
+    val rows = statuses.map { case (id, st) =>
+      s"""{"unique_id":${q(id)},"status":${q(st)}}""" }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      s"""{"results":[${rows.mkString(",")}]}""")
+  }
+
   /** Load a previous run's statuses for retry / `result:` selection
     * (reference: core/dbt/task/retry.py reads run_results.json). */
   def loadRunResults(path: String): Map[String, String] = {

@@ -292,6 +292,48 @@ class MainSpec extends AnyFunSuite {
     assert(c2 == 1 && o2.contains("ERROR"), o2)
     val (c3, o3) = runWith("freshness.raw.warn_after = 86400")
     assert(c3 == 0 && o3.contains("PASS"), o3)
+
+    // the freshness run wrote sources.json → source_status: selection
+    assert(Files.exists(dir.resolve("target/sources.json")))
+    val sw = new java.io.StringWriter()
+    val (c4, _) = (Main.execute(spark, Main.Args(command = "freshness",
+      project = dir.toString), new java.io.PrintWriter(sw, true)), ())
+    assert(c4 == 0)
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "ls", project = dir.toString,
+      select = Seq("source_status:pass"), state = Some(s"$dir/target")),
+      new java.io.PrintWriter(sw2, true)) == 0)
+    assert(sw2.toString.contains("source.sources.raw_stale"), sw2.toString)
+  }
+
+  test("model versions: bare ref resolves latest, v= pins, version: selects") {
+    val dir = Files.createTempDirectory("graft_ver")
+    Files.writeString(dir.resolve("graft_project.conf"), "name = ver\n")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/orders_v1.sql"),
+      "{{ config(materialized='table', version='1', versioned_of='orders_fam') }}\nselect 1 as v")
+    Files.writeString(dir.resolve("models/orders_v2.sql"),
+      "{{ config(materialized='table', version='2', versioned_of='orders_fam') }}\nselect 2 as v")
+    Files.writeString(dir.resolve("models/latest_user.sql"),
+      "{{ config(materialized='table') }}\nselect v from {{ ref('orders_fam') }}")
+    Files.writeString(dir.resolve("models/pinned_user.sql"),
+      "{{ config(materialized='table') }}\nselect v from {{ ref('orders_fam', v=1) }}")
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    assert(rm.read(Relation("graft", "main", "latest_user")).collect()(0).getInt(0) == 2)
+    assert(rm.read(Relation("graft", "main", "pinned_user")).collect()(0).getInt(0) == 1)
+    def ls(sel: String): String = {
+      val w = new java.io.StringWriter()
+      assert(Main.execute(spark, Main.Args(command = "ls", project = dir.toString,
+        select = Seq(sel)), new java.io.PrintWriter(w, true)) == 0)
+      w.toString
+    }
+    val latest = ls("version:latest")
+    assert(latest.contains("model.ver.orders_v2") && !latest.contains("orders_v1"))
+    val old = ls("version:old")
+    assert(old.contains("model.ver.orders_v1") && !old.contains("orders_v2"))
   }
 
   test("clone copies state-warehouse relations; state:modified selects changed models; defer resolves upstreams from state") {
