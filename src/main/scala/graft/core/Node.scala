@@ -35,8 +35,10 @@ object NodeType {
     SavedQuery, SemanticModel, Unit, Fixture)
   /** Node kinds that can be the target of ref() (node_types.py REFABLE). */
   val refable: Set[NodeType] = Set(Model, Seed, Snapshot)
-  /** Node kinds executed by `build` (node_types.py EXECUTABLE subset). */
-  val executable: Set[NodeType] = Set(Model, Test, Snapshot, Seed, Unit, Operation)
+  /** Node kinds executed by `build` (node_types.py EXECUTABLE subset).
+    * SavedQuery is executable here because exports materialize through the
+    * engine (the reference delegates to MetricFlow). */
+  val executable: Set[NodeType] = Set(Model, Test, Snapshot, Seed, Unit, Operation, SavedQuery)
 }
 
 /** on_schema_change handling for incremental models

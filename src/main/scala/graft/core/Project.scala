@@ -179,6 +179,75 @@ object Project {
         }
     }
 
+    // declared semantic models + saved queries (reference: semantic_model
+    // /metric declarations v1/semantic_model.py:111-201, metric.py:14-111;
+    // SavedQuery/Export v1/saved_query.py:34-96). Colon-separated lines;
+    // expressions are Spark SQL fragments evaluated by the metric compiler.
+    def confFiles(sub: String): Seq[Path] = {
+      val d = root.resolve(sub)
+      if (!Files.isDirectory(d)) Nil
+      else Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".conf")).toSeq.sortBy(_.toString)
+    }
+    val semanticNodes = confFiles("semantics").map { p =>
+      val meta = collection.mutable.LinkedHashMap.empty[String, String]
+      Files.readAllLines(p).asScala.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+          l.split(":", 2) match {
+            case Array("model", v) => meta += "model" -> v.trim
+            case Array("time_dimension", rest) =>
+              val Array(n, e) = rest.split(":", 2)
+              meta += "time_dimension_name" -> n.trim += "time_dimension_expr" -> e.trim
+            case Array("dimension", rest) =>
+              val Array(n, e) = rest.split(":", 2)
+              meta += s"dim.${n.trim}" -> e.trim
+            case Array("measure", rest) =>
+              val Array(n, agg, e) = rest.split(":", 3)
+              meta += s"measure.${n.trim}" -> s"${agg.trim}|${e.trim}"
+            case Array("metric", rest) =>
+              val parts = rest.split(":").map(_.trim)
+              meta += s"metric.${parts.head}" -> parts.tail.mkString("|")
+            case other => throw new IllegalArgumentException(
+              s"bad semantics line in $p: $l")
+          }
+        }
+      val model = meta.getOrElse("model",
+        throw new IllegalArgumentException(s"$p: semantics needs 'model:'"))
+      Node(NodeType.SemanticModel, conf.name, stem(p),
+        refs = Seq(model),
+        config = NodeConfig(materialized = "semantic_model", meta = meta.toMap),
+        path = Some(root.relativize(p).toString),
+        checksum = md5(Files.readString(p)))
+    }
+    val savedQueryNodes = confFiles("saved_queries").map { p =>
+      val kv = Files.readAllLines(p).asScala.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", 2) match {
+            case Array(k, v) => k.trim -> v.trim
+            case _ => throw new IllegalArgumentException(s"bad saved_query line in $p: $l")
+          }
+        }
+      // export lines repeat: `export: <name>: table|view`
+      val meta = kv.filterNot(_._1 == "export").toMap ++
+        kv.filter(_._1 == "export").map { case (_, v) =>
+          val Array(n, as) = v.split(":", 2)
+          s"export.${n.trim}" -> as.trim
+        }
+      val semName = meta.getOrElse("semantic_model",
+        throw new IllegalArgumentException(s"$p: saved_query needs 'semantic_model:'"))
+      Node(NodeType.SavedQuery, conf.name, stem(p),
+        // depends on its semantic model node AND (directly) on its base
+        // model: the scheduler runs only executable nodes, so a dependency
+        // routed solely through the declarative semantic node would lose
+        // the run-after-the-model ordering
+        dependsOn = Seq(s"semantic_model.${conf.name}.$semName"),
+        refs = semanticNodes.find(_.name == semName).map(_.refs).getOrElse(Nil),
+        config = NodeConfig(materialized = "saved_query", meta = meta),
+        path = Some(root.relativize(p).toString),
+        checksum = md5(Files.readString(p)))
+    }
+
     // declared exposures: leaf nodes consuming models (lineage + selection)
     val exposureNodes = conf.exposures.toSeq.sortBy(_._1).map { case (name, refs) =>
       Node(NodeType.Exposure, conf.name, name, refs = refs)
@@ -202,7 +271,7 @@ object Project {
     // packages (reference: package resolution core/dbt/deps/, installed
     // projects parse like the root project)
     val own = modelsWithUnits ++ snapshots ++ testsLinked ++ seeds ++
-      sourceNodes ++ exposureNodes ++ unitLinked
+      sourceNodes ++ exposureNodes ++ unitLinked ++ semanticNodes ++ savedQueryNodes
     val ownIds = own.map(_.uniqueId).toSet
     val packageNodes = conf.packages.toSeq.sortBy(_._1).flatMap { case (_, dir) =>
       load(dir).manifest.nodes.values

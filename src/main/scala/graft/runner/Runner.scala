@@ -414,6 +414,69 @@ final class Runner(
             if (res.passed) "" else
               s"actual-only: ${res.actualOnly.take(3).mkString(";")} " +
                 s"expected-only: ${res.expectedOnly.take(3).mkString(";")}")
+        case NodeType.SavedQuery =>
+          // declared saved query: assemble the semantic model from its
+          // declaration, compile metrics, materialize every export
+          // (reference: v1/saved_query.py:34-96; the reference hands this
+          // to MetricFlow, here the metric compiler runs it directly)
+          import org.apache.spark.sql.functions.expr
+          import graft.semantic.{Metrics, SavedQueries}
+          val sem = manifest(node.dependsOn.headOption.getOrElse(
+            throw new IllegalStateException(s"${node.name}: no semantic model")))
+          val m = sem.config.meta
+          val baseNode = manifest.byName(m("model")).getOrElse(
+            throw new NoSuchElementException(s"${sem.name}: unknown model '${m("model")}'"))
+          val base = spark.table(resolveRelationName(baseNode))
+          def agg(s: String): Metrics.Agg = s match {
+            case "sum" => Metrics.Sum; case "min" => Metrics.Min
+            case "max" => Metrics.Max; case "count" => Metrics.Count
+            case "count_distinct" => Metrics.CountDistinct
+            case "sum_boolean" => Metrics.SumBoolean
+            case "avg" | "average" => Metrics.Average
+            case "median" => Metrics.Median
+            case p if p.startsWith("percentile_") =>
+              Metrics.Percentile(p.stripPrefix("percentile_").toDouble)
+            case other => throw new IllegalArgumentException(s"measure agg: $other")
+          }
+          val semModel = Metrics.SemanticModel(
+            base = base,
+            timeDimension = m.get("time_dimension_name")
+              .map(n => n -> expr(m("time_dimension_expr"))),
+            dimensions = m.collect { case (k, v) if k.startsWith("dim.") =>
+              k.stripPrefix("dim.") -> expr(v) },
+            measures = m.collect { case (k, v) if k.startsWith("measure.") =>
+              val Array(a, e) = v.split("\\|", 2)
+              Metrics.Measure(k.stripPrefix("measure."), expr(e), agg(a))
+            }.toSeq)
+          def metric(name: String): Metrics.Metric = {
+            val parts = m.getOrElse(s"metric.$name", throw new NoSuchElementException(
+              s"${sem.name}: unknown metric '$name'")).split("\\|").toSeq
+            parts match {
+              case Seq("simple", ms)     => Metrics.Simple(name, ms)
+              case Seq("ratio", n, d)    => Metrics.Ratio(name, n, d)
+              case Seq("cumulative", ms) => Metrics.Cumulative(name, ms)
+              case Seq("cumulative", ms, k) => Metrics.Cumulative(name, ms, Some(k.toInt))
+              case other => throw new IllegalArgumentException(s"metric def: $other")
+            }
+          }
+          val sqMeta = node.config.meta
+          val sq = SavedQueries.SavedQuery(
+            name = node.name,
+            model = semModel,
+            metrics = sqMeta("metrics").split("\\s*\\|\\s*").toSeq.map(metric),
+            grain = sqMeta.get("grain").toSeq.flatMap(_.split("\\s*\\|\\s*")).filter(_.nonEmpty),
+            where = sqMeta.get("where").map(expr),
+            exports = sqMeta.collect { case (k, v) if k.startsWith("export.") =>
+              val (as, schema) = v.split(":", 2) match {
+                case Array(a, s) => (a.trim, Some(s.trim))
+                case Array(a)    => (a.trim, None)
+              }
+              SavedQueries.Export(k.stripPrefix("export."), as, schema)
+            }.toSeq)
+          SavedQueries.run(rm, defaultSchema, sq)
+          runHooks(node, node.config.postHooks)
+          RunResult(node.uniqueId, "success", start, Instant.now(),
+            s"${sq.exports.size} exports")
         case _ =>
           RunResult(node.uniqueId, "success", start, Instant.now(), "no-op")
       }

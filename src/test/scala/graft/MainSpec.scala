@@ -306,6 +306,35 @@ class MainSpec extends AnyFunSuite {
     assert(sw2.toString.contains("source.sources.raw_stale"), sw2.toString)
   }
 
+  test("declared semantic model + saved query: exports materialize in build") {
+    val dir = writeProject()
+    Files.createDirectories(dir.resolve("semantics"))
+    Files.writeString(dir.resolve("semantics/pay_sem.conf"),
+      """model: stg_payments
+        |dimension: customer: customer
+        |measure: revenue: sum: amount
+        |measure: n_pay: count: 1
+        |metric: revenue: simple: revenue
+        |metric: avg_pay: ratio: revenue: n_pay
+        |""".stripMargin)
+    Files.createDirectories(dir.resolve("saved_queries"))
+    Files.writeString(dir.resolve("saved_queries/by_customer.conf"),
+      """semantic_model: pay_sem
+        |metrics: revenue|avg_pay
+        |grain: customer
+        |export: customer_revenue: table
+        |""".stripMargin)
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("SUCCESS  saved_query.shop.by_customer"))
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val rows = rm.read(Relation("graft", "main", "customer_revenue"))
+      .orderBy("customer").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("alice", 17.0, 8.5), ("bob", 3.0, 3.0)), rows.toString)
+  }
+
   test("model versions: bare ref resolves latest, v= pins, version: selects") {
     val dir = Files.createTempDirectory("graft_ver")
     Files.writeString(dir.resolve("graft_project.conf"), "name = ver\n")
