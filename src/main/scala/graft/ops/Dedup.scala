@@ -73,11 +73,15 @@ object Dedup {
   }
 
   /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed to one bucket key. */
+    * each band hashed to one bucket key. The key is a 64-bit xxhash (8
+    * bytes on the wire), not an md5 hex string (32 bytes + string
+    * compares): band EQUALITY only depends on slice equality, so the
+    * candidate set — and therefore the operator's output — is identical
+    * under any injective-enough key function; the oracle's md5 banding
+    * produces the same candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      md5(concat_ws("_", lit(b),
-        array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "_"))))
+      xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** Signature presets: (k, bands), both at r = k/bands = 4 rows per band
     * so the S-curve threshold (1/bands)^(1/r) stays ≈ 0.5. K64 doubles
@@ -159,10 +163,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6): DataFrame = {
     // the signature is a single long — cheap enough to carry through the
-    // block join, saving two join stages vs a dedup-then-rejoin plan
+    // block join, saving two join stages vs a dedup-then-rejoin plan.
+    // Block key = blockIdx*256 + byte, a LONG: equality is what blocks,
+    // so the numeric key yields the exact candidate set of the oracle's
+    // string key at an 8-byte shuffle width.
     val blocked = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
-        concat_ws(":", b, call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L)))))
+        b.cast(LongType) * 256L +
+          call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L))))
         .as("block"))
     blocked.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
       .join(blocked.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("block"))
