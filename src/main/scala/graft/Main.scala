@@ -36,7 +36,8 @@ object Main {
       defer: Boolean = false,
       sampleHours: Option[Int] = None,
       positional: Seq[String] = Nil,
-      port: Int = 8080)
+      port: Int = 8080,
+      inline: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var sawCmd = false
@@ -54,6 +55,7 @@ object Main {
       case "--defer" :: t => loop(t, acc.copy(defer = true))
       case "--sample" :: v :: t => loop(t, acc.copy(sampleHours = Some(v.toInt)))
       case "--port" :: v :: t => loop(t, acc.copy(port = v.toInt))
+      case "--inline" :: v :: t => loop(t, acc.copy(inline = Some(v)))
       case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
@@ -240,6 +242,12 @@ object Main {
             0
         }
       case "show" =>
+        // --inline 'select ... {{ ref(x) }}': ad-hoc query in project
+        // context (reference: cli/main.py:349 show --inline)
+        args.inline.foreach { sql =>
+          spark.sql(runner.renderOperation(sql)).limit(args.limit).collect()
+            .foreach(r => out.println(r.mkString(" | ")))
+        }
         args.select.flatMap(s => Commands.list(loaded.manifest, Seq(s)))
           .map(loaded.manifest(_)).foreach { n =>
             out.println(s"-- ${n.uniqueId}")

@@ -102,6 +102,10 @@ class MainSpec extends AnyFunSuite {
     assert(compiled.contains(">= 5")) // var substituted
     val shown = run("show", Seq("revenue"))
     assert(shown.contains("alice | 17"))
+    // ad-hoc --inline query with a ref in project context
+    val inline = run("show", Nil,
+      a => a.copy(inline = Some("select count(*) as n from {{ ref('stg_payments') }}")))
+    assert(inline.trim == "3", inline)
   }
 
   test("schema-declared column tests: registry dispatch, input-where, warn severity, store_failures") {
