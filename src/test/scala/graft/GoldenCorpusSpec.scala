@@ -99,6 +99,41 @@ class GoldenCorpusSpec extends AnyFunSuite {
       "safe_cast/bool/equals")
   }
 
+  test("null_compare golden (fixture_null_compare.py shape: full 3VL matrix)") {
+    // the reference's null-compare corpus: every (null?, null?) combination
+    // through null-safe equals must produce a non-null boolean
+    val in = Seq(
+      (Some("a"), Some("a")), (Some("a"), Some("b")),
+      (Some("a"), None), (None, Some("b")), (None, None))
+      .toDF("l", "r")
+    assertEqual(
+      in.select(FN.equalsNullSafe(col("l"), col("r")).as("e")),
+      Seq(true, false, false, false, true).toDF("e"),
+      "null_compare")
+  }
+
+  test("portable type macros golden (data_types/test_type_*.py shape)") {
+    // each type macro's DDL string must round-trip a representative value
+    // through CAST unchanged (the reference seeds a column per type and
+    // compares against an expected cast column)
+    val in = Seq(("9223372036854775807", "true", "1.5", "42", "12.000001", "x",
+      "2021-02-03 12:30:00")).toDF("bi", "bo", "fl", "it", "nu", "st", "tsv")
+    val out = in.select(
+      expr(s"cast(bi as ${FN.typeBigint})").as("bi"),
+      expr(s"cast(bo as ${FN.typeBoolean})").as("bo"),
+      expr(s"cast(fl as ${FN.typeFloat})").as("fl"),
+      expr(s"cast(it as ${FN.typeInt})").as("it"),
+      expr(s"cast(nu as ${FN.typeNumeric})").as("nu"),
+      expr(s"cast(st as ${FN.typeString})").as("st"),
+      expr(s"cast(tsv as ${FN.typeTimestamp})").as("tsv"))
+    assert(out.schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "boolean", "double", "int", "decimal(28,6)", "string", "timestamp"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == Long.MaxValue && r.getBoolean(1) && r.getDouble(2) == 1.5)
+    assert(r.getInt(3) == 42 && r.getDecimal(4).toPlainString == "12.000001")
+    assert(r.getString(5) == "x" && r.getTimestamp(6) == ts("2021-02-03 12:30:00"))
+  }
+
   test("last_day / date_trunc goldens (month + quarter)") {
     val in = Seq(ts("2021-02-03 12:30:00")).toDF("d")
     assertEqual(
