@@ -91,6 +91,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(plan).size == 2, "both window functions present")
   }
 
+  test("merge planning scan reads ONLY the key columns (O(touched-files) precondition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val rm = new graft.relations.RelationManager(spark,
+      java.nio.file.Files.createTempDirectory("graft_planscan").toString)
+    val rel = graft.core.Relation("graft", "plan", "wide")
+    rm.writeTable((0 until 1000).map(i => (i.toLong, s"a$i", s"b$i", s"c$i"))
+      .toDF("id", "a", "b", "c").repartitionByRange(4, $"id"), rel)
+    // the find-touched-files job from Materializations.mergeInto's shape
+    val probe = rm.read(rel)
+      .select(col("id"), input_file_name().as("__graft_file"))
+      .join(Seq(1L, 2L).toDF("id"), Seq("id"), "left_semi")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val readSchema = "ReadSchema: struct<" +
+      plan.split("ReadSchema: struct<")(1).split(">")(0)
+    assert(readSchema == "ReadSchema: struct<id:bigint",
+      s"planning scan must prune to the key columns: $readSchema")
+  }
+
   test("dedup ops contain no cartesian products (blocking join present)") {
     for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard")) {
       val plan = physicalPlan(q)
