@@ -93,3 +93,33 @@ object SelectorProps extends Properties("Selector") {
       m.parentMap.forall { case (id, ps) => ps.forall(p => pos(p) < pos(id)) }
     }
 }
+
+/** The JSON layer underpins every artifact (commit-log manifests,
+  * run_results, manifest.json): quote→parse must round-trip ANY string,
+  * and structured documents must survive a write/read cycle. */
+object JsonProps extends Properties("Json") {
+  property("quote/parse round-trips arbitrary strings") =
+    forAll { (s: String) => Json.parse(Json.quote(s)) == s }
+
+  private val scalars: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.choose(Long.MinValue, Long.MaxValue),
+    Gen.oneOf(true, false), Gen.const(null))
+
+  property("object documents round-trip through the writer shape") =
+    forAll(Gen.mapOf(Gen.zip(Gen.alphaNumStr, scalars))) { m =>
+      val body = m.map { case (k, v) =>
+        Json.quote(k) + ":" + (v match {
+          case s: String => Json.quote(s)
+          case null      => "null"
+          case other     => other.toString
+        })
+      }.mkString("{", ",", "}")
+      Json.obj(Json.parse(body)) == m
+    }
+
+  property("escaped control chars survive") =
+    forAll(Gen.listOf(Gen.choose(0.toChar, 31.toChar))) { cs =>
+      val s = cs.mkString
+      Json.parse(Json.quote(s)) == s
+    }
+}
