@@ -276,6 +276,23 @@ object Main {
               0
             }
         }
+      case "vacuum" =>
+        // delete data files unreferenced by recent table versions and old
+        // version manifests — the commit-log lifecycle command (the
+        // Delta/Iceberg VACUUM equivalent). --limit N keeps N versions.
+        Commands.list(loaded.manifest,
+          if (args.select.isEmpty) Seq("resource_type:model", "resource_type:seed",
+            "resource_type:snapshot") else args.select, args.exclude)
+          .map(loaded.manifest(_))
+          .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+          .foreach { n =>
+            val rel = runner.relationFor(n)
+            if (rm.currentVersion(rel).isDefined) {
+              rm.vacuum(rel, keepVersions = args.limit)
+              out.println(s"VACUUMED ${n.uniqueId} (kept ${args.limit} versions)")
+            }
+          }
+        0
       case "clean" =>
         // remove build artifacts (reference: cli/main.py:212 clean —
         // deletes target/, which holds artifacts AND the default warehouse)

@@ -437,6 +437,27 @@ class MainSpec extends AnyFunSuite {
     assert(rm.read(Relation("graft", "main", "uses_pkg")).collect()(0).getInt(0) == 42)
   }
 
+  test("vacuum command drops unreferenced file versions, tables stay readable") {
+    val dir = writeProject()
+    def build(): Unit = {
+      val sw = new java.io.StringWriter()
+      assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+        new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    }
+    build(); build() // two full builds → two versions of each table
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val rel = Relation("graft", "main", "revenue")
+    def dataFiles(): Long =
+      Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    val before = dataFiles()
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "vacuum", project = dir.toString,
+      limit = 1), new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("VACUUMED model.shop.revenue"))
+    assert(dataFiles() < before, "vacuum must delete unreferenced files")
+    assert(rm.read(rel).count() == 1) // still readable
+  }
+
   test("run-operation, debug, clean commands") {
     val dir = writeProject()
     def exec(a: Main.Args): (Int, String) = {
