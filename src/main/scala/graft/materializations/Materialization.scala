@@ -3,7 +3,7 @@ package graft.materializations
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.relations.RelationManager
+import graft.relations.{RelationManager, Stats, TableVersion}
 
 /** Materialization strategies (SURVEY §2.1) — the reference's Jinja
   * dataflow macros re-expressed as DataFrame algebra.
@@ -53,7 +53,10 @@ object Materializations {
       config: NodeConfig): Unit = {
     val strategy = config.incrementalStrategy.getOrElse("append")
     if (!rm.exists(rel) || config.fullRefresh) {
-      rm.writeTable(build(false), rel, config.partitionBy)
+      // per-file min/max stats on the merge keys + partition columns make
+      // every later MERGE's planning scan open only candidate files
+      rm.writeTable(build(false), rel, config.partitionBy,
+        statsCols = (config.uniqueKey ++ config.partitionBy).distinct)
     } else {
       val newDf = rm.reconcileSchema(build(true), rel, config.onSchemaChange)
       strategy match {
@@ -85,17 +88,36 @@ object Materializations {
   }
 
   /** Files of the target that contain at least one row matching a source
-    * key — the MERGE planning scan. Reads only the key columns (parquet
-    * column pruning) and collects only a file-name list (small: one string
-    * per touched file), exactly the shape of a Delta/Iceberg MERGE's
-    * find-touched-files job. */
-  private def touchedFiles(rm: RelationManager, rel: Relation,
-                           keys: DataFrame, uniqueKey: Seq[String]): Seq[String] =
-    rm.read(rel)
-      .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
-      .join(keys, uniqueKey, "left_semi")
-      .select("__graft_file").distinct()
-      .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
+    * key — the MERGE planning scan, in two stages:
+    *
+    *  1. **Stats prune** (no data read): one small aggregation computes the
+    *     batch's key bounds; manifest per-file min/max drops every target
+    *     file whose key range can't overlap. On a time-keyed or
+    *     range-clustered 100 TB table this reduces the planning scan from
+    *     O(table) to O(candidate-files) — the Delta/Iceberg move
+    *     (VERDICT r3 #1).
+    *  2. **Exact scan** over the surviving candidates only: reads just the
+    *     key columns (parquet column pruning) and collects a file-name
+    *     list (one string per touched file).
+    *
+    * Files without stats (legacy tables, non-comparable key types) are
+    * always candidates, so pruning is never a correctness gate.
+    *
+    * Returns None when the source is EMPTY — the whole merge is a no-op
+    * and the caller skips the commit entirely (no empty version, no
+    * zero-row file). */
+  private[materializations] def planTouchedFiles(
+      rm: RelationManager, rel: Relation, st: TableVersion,
+      keys: DataFrame, uniqueKey: Seq[String]): Option[Seq[String]] =
+    Stats.keyBounds(keys, uniqueKey).map { bounds =>
+      val candidates = Stats.candidateFiles(st, bounds)
+      if (candidates.isEmpty) Nil
+      else rm.readFiles(rel, st, candidates)
+        .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
+        .join(keys, uniqueKey, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
+    }
 
   /** MERGE INTO (reference: manifest.json §default__get_merge_sql):
     * matched rows take source values (optionally only `updateColumns`),
@@ -115,7 +137,10 @@ object Materializations {
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
     val keys = source.select(uniqueKey.map(col): _*).distinct()
-    val touched = touchedFiles(rm, rel, keys, uniqueKey)
+    val touched = planTouchedFiles(rm, rel, st, keys, uniqueKey) match {
+      case None    => return // empty batch: nothing to merge, no commit
+      case Some(t) => t
+    }
     // rows whose key exists anywhere in the target live in `touched` files,
     // so all merge arithmetic happens on that pruned subset
     val target = rm.readFiles(rel, st, touched)
@@ -145,7 +170,10 @@ object Materializations {
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
     val keys = source.select(uniqueKey.map(col): _*).distinct()
-    val touched = touchedFiles(rm, rel, keys, uniqueKey)
+    val touched = planTouchedFiles(rm, rel, st, keys, uniqueKey) match {
+      case None    => return // empty batch: nothing to delete or insert
+      case Some(t) => t
+    }
     val target = rm.readFiles(rel, st, touched)
     // deleted = key IN (src keys) AND all predicates → kept is the rest
     val keyMiss = target.join(keys, uniqueKey, "left_anti")

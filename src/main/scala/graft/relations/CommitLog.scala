@@ -1,0 +1,192 @@
+package graft.relations
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.core.Json
+
+/** One committed table version: the exact set of data files a reader sees,
+  * the schema (so zero-file tables still have one), the partition spec,
+  * the columns stats are kept for, and per-file column stats. Files are
+  * table-relative paths (`p=v/part-...parquet`). */
+final case class TableVersion(
+    version: Int,
+    files: Seq[String],
+    schema: StructType,
+    partitionBy: Seq[String],
+    statsCols: Seq[String] = Nil,
+    stats: Map[String, Map[String, ColStats]] = Map.empty)
+
+/** A staged-but-uncommitted write: files are on disk inside the table
+  * prefix (invisible to readers) awaiting a commit, with their per-file
+  * stats already computed. Staging is the parallelizable half of a
+  * write — concurrent microbatch stages many batches at once, then
+  * commits them in order. */
+final case class Staged(
+    files: Seq[String],
+    schema: StructType,
+    stats: Map[String, Map[String, ColStats]] = Map.empty)
+
+/** The versioned manifest log of one table (Delta/Iceberg-shaped, built
+  * from the public papers — nothing proprietary), running entirely on the
+  * five [[FileStore]] primitives.
+  *
+  * Round-4 format (VERDICT r3 #2): version files are **deltas**
+  * (`v<N>.json` with add/remove lists + stats for the added files), and
+  * every [[CommitLog.CheckpointInterval]]-th commit also writes a compacted
+  * **checkpoint** (`v<N>.ckpt.json` with the full file list + stats).
+  * Reading any version costs one checkpoint + at most Interval deltas —
+  * bounded, instead of O(files) per version file at millions of files.
+  *
+  * Commit protocol: one atomic `createIfAbsent` of the next delta file.
+  * Concurrent commits serialize through that CAS with optimistic retry of
+  * the file-list transform, so add/remove deltas compose. Checkpoints are
+  * pure derived data: losing one costs a longer replay, never corruption.
+  */
+final class CommitLog(store: FileStore, dir: String) {
+
+  import CommitLog.CheckpointInterval
+
+  private def deltaPath(v: Int) = f"$dir/v$v%08d.json"
+  private def ckptPath(v: Int) = f"$dir/v$v%08d.ckpt.json"
+
+  private def numbered(suffix: String): Seq[Int] =
+    store.list(dir).collect {
+      case s if s.startsWith("v") && s.endsWith(suffix)
+        && s.length == suffix.length + 9 =>
+        s.stripPrefix("v").stripSuffix(suffix).toInt
+    }.sorted
+
+  def versions: Seq[Int] = numbered(".json") // length guard excludes .ckpt.json names
+  private def checkpoints: Seq[Int] = numbered(".ckpt.json")
+
+  def currentVersion: Option[Int] = versions.maxOption
+
+  /** Reconstruct the state at `v`: nearest checkpoint at-or-before `v`,
+    * then replay the (at most Interval) deltas after it. */
+  def read(v: Int): TableVersion = {
+    val cp = checkpoints.filter(_ <= v).maxOption
+    val base = cp.map(c => readDoc(store.read(ckptPath(c)), c))
+      .getOrElse(TableVersion(0, Nil, new StructType(), Nil))
+    (cp.getOrElse(0) + 1 to v).foldLeft(base) { (state, dv) =>
+      applyDelta(state, store.read(deltaPath(dv)), dv)
+    }
+  }
+
+  /** Commit the next version by transforming the current file list.
+    * `legacyBase` adopts a pre-log parquet directory as the implicit
+    * version 0 on the first logged commit (its files become adds). */
+  def commit(
+      legacyBase: => Option[TableVersion],
+      newPartitionBy: Option[Seq[String]],
+      newSchema: Option[StructType],
+      newStatsCols: Option[Seq[String]],
+      addedStats: Map[String, Map[String, ColStats]])(
+      transform: Seq[String] => Seq[String]): TableVersion = {
+    var attempt = 0
+    while (true) {
+      val logged = currentVersion.map(read)
+      val cur = logged.orElse(legacyBase)
+      val newFiles = transform(cur.map(_.files).getOrElse(Nil)).sorted
+      val prevLogged = logged.map(_.files).getOrElse(Nil).toSet
+      val add = newFiles.filterNot(prevLogged)
+      val remove = (prevLogged -- newFiles).toSeq.sorted
+      val schema = newSchema.orElse(cur.map(_.schema)).getOrElse(
+        throw new IllegalStateException(s"no schema for table log at $dir"))
+      val next = TableVersion(
+        cur.map(_.version).getOrElse(0) + 1,
+        newFiles,
+        schema,
+        newPartitionBy.orElse(cur.map(_.partitionBy)).getOrElse(Nil),
+        newStatsCols.orElse(cur.map(_.statsCols)).getOrElse(Nil),
+        (logged.map(_.stats).getOrElse(Map.empty) -- remove) ++
+          addedStats.view.filterKeys(add.contains).toMap)
+      val body = serialize(next, add, remove,
+        addedStats.view.filterKeys(add.contains).toMap)
+      if (store.createIfAbsent(deltaPath(next.version), body)) {
+        if (next.version % CheckpointInterval == 0) writeCheckpoint(next)
+        return next
+      }
+      attempt += 1
+      if (attempt > 50) throw new IllegalStateException(
+        s"commit contention at $dir: gave up after $attempt attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop log entries before `keepFrom`, first materializing a checkpoint
+    * AT `keepFrom` so every retained version stays reconstructible. */
+  def truncateBefore(keepFrom: Int): Unit = {
+    if (keepFrom <= 1) return
+    if (!checkpoints.contains(keepFrom)) writeCheckpoint(read(keepFrom))
+    versions.filter(_ < keepFrom).foreach(v => store.delete(deltaPath(v)))
+    checkpoints.filter(_ < keepFrom).foreach(v => store.delete(ckptPath(v)))
+  }
+
+  /** Checkpoints are derived data: best-effort create, losers no-op. */
+  private def writeCheckpoint(v: TableVersion): Unit =
+    store.createIfAbsent(ckptPath(v.version),
+      serialize(v, v.files, Nil, v.stats))
+
+  // ----------------------------------------------------------- (de)serialization
+
+  private def serialize(v: TableVersion, add: Seq[String], remove: Seq[String],
+                        stats: Map[String, Map[String, ColStats]]): String = {
+    def sarr(xs: Seq[String]) = s"[${xs.map(Json.quote).mkString(",")}]"
+    def statsObj(m: Map[String, Map[String, ColStats]]): String =
+      m.toSeq.sortBy(_._1).map { case (f, cols) =>
+        val c = cols.toSeq.sortBy(_._1).map { case (name, s) =>
+          val mn = s.min.map(x => s""""min":${Json.quote(x)},""").getOrElse("")
+          val mx = s.max.map(x => s""""max":${Json.quote(x)},""").getOrElse("")
+          s"""${Json.quote(name)}:{$mn$mx"nulls":${s.nulls},"rows":${s.rows}}"""
+        }.mkString(",")
+        s"${Json.quote(f)}:{$c}"
+      }.mkString(",")
+    s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
+      s""""partition_by":${sarr(v.partitionBy)},""" +
+      s""""stats_cols":${sarr(v.statsCols)},""" +
+      s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
+      s""""stats":{${statsObj(stats)}},""" +
+      s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
+  }
+
+  private def parseStats(v: Any): Map[String, Map[String, ColStats]] =
+    Json.obj(v).map { case (f, cols) =>
+      f -> Json.obj(cols).map { case (name, s) =>
+        val m = Json.obj(s)
+        name -> ColStats(
+          m.get("min").map(Json.str),
+          m.get("max").map(Json.str),
+          m("nulls").asInstanceOf[Long],
+          m("rows").asInstanceOf[Long])
+      }
+    }
+
+  /** A checkpoint doc is a delta doc whose `add` is the full file list. */
+  private def readDoc(body: String, v: Int): TableVersion = {
+    val doc = Json.obj(Json.parse(body))
+    TableVersion(v,
+      Json.arr(doc("add")).map(Json.str),
+      DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
+      Json.arr(doc("partition_by")).map(Json.str).toSeq,
+      Json.arr(doc("stats_cols")).map(Json.str).toSeq,
+      parseStats(doc("stats")))
+  }
+
+  private def applyDelta(state: TableVersion, body: String, v: Int): TableVersion = {
+    val doc = Json.obj(Json.parse(body))
+    val add = Json.arr(doc("add")).map(Json.str)
+    val remove = Json.arr(doc("remove")).map(Json.str).toSet
+    TableVersion(v,
+      (state.files.filterNot(remove) ++ add).sorted,
+      DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
+      Json.arr(doc("partition_by")).map(Json.str).toSeq,
+      Json.arr(doc("stats_cols")).map(Json.str).toSeq,
+      (state.stats -- remove) ++ parseStats(doc("stats")))
+  }
+}
+
+object CommitLog {
+  /** Every Nth commit compacts the log into a checkpoint; reads replay at
+    * most this many deltas. 10 bounds manifest read cost without bloating
+    * small tables' logs. */
+  val CheckpointInterval = 10
+}

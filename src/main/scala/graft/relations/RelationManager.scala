@@ -1,46 +1,35 @@
 package graft.relations
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import graft.core.{Json, Relation}
-
-/** One committed table version: the exact set of data files a reader sees,
-  * plus the schema (so zero-file tables still have one) and the partition
-  * spec. Files are table-relative paths (`p=v/part-...parquet`). */
-final case class TableVersion(
-    version: Int,
-    files: Seq[String],
-    schema: StructType,
-    partitionBy: Seq[String])
-
-/** A staged-but-uncommitted write: files are on disk inside the table
-  * prefix (invisible to readers) awaiting a commit. Staging is the
-  * parallelizable half of a write — concurrent microbatch stages many
-  * batches at once, then commits them in order. */
-final case class Staged(files: Seq[String], schema: StructType)
 
 /** Relation/DDL surface over a parquet warehouse (SURVEY §2.4; reference:
   * manifest.json §macro.dbt.create_table_as / rename_relation /
   * drop_relation …) backed by a **commit-log table format**: each table
-  * directory carries `_graft_log/v<N>.json` manifests listing exactly the
-  * data files of that version (Delta/Iceberg-shaped, built from the public
-  * papers — nothing proprietary).
+  * directory carries `_graft_log/` manifests listing exactly the data
+  * files of each version (see [[CommitLog]] for the delta+checkpoint
+  * format; Delta/Iceberg-shaped, built from the public papers — nothing
+  * proprietary).
   *
   * Why a log instead of directory-swap (rounds 1-2):
   *  - **O(touched-files) rewrites**: MERGE / delete+insert replace only
   *    the files that contain matched keys (`commitReplace`), not the whole
-  *    table — the difference between moving 1 GB and 100 TB.
+  *    table — the difference between moving 1 GB and 100 TB. With per-file
+  *    column stats in the manifest, even the *planning* scan that finds
+  *    those files opens only stat-range-overlapping candidates.
   *  - **Snapshot isolation**: a commit is one atomic create of the next
   *    version file; readers pin the file list they resolved, writers never
   *    mutate committed files. Concurrent commits serialize through
   *    create-if-absent with optimistic retry of the file-list transform.
   *  - **Time travel**: any retained version is readable (`readVersion`),
   *    which is what `clone --state` and state diffing want.
-  *  - **Object-store ready**: no directory renames on the data path — the
-  *    only "atomic" operation needed is create-file-if-absent, which maps
-  *    to a conditional PUT; staged files are moved once within the table
-  *    prefix before the commit (SCALE.md design note).
+  *  - **Object-store ready**: all manifest I/O goes through the
+  *    [[FileStore]] seam, whose only atomic primitive is
+  *    create-file-if-absent — a conditional PUT. Staged data files are
+  *    moved once within the table prefix before the commit (a local-fs
+  *    staging detail, not part of the commit protocol — SCALE.md).
   *
   * Directories whose name starts with `_` are invisible to Spark's file
   * scans, so the log, checkpoints and staging never pollute reads. Tables
@@ -48,65 +37,35 @@ final case class Staged(files: Seq[String], schema: StructType)
   * dirs and are adopted as the implicit base version on their first
   * logged commit.
   */
-final class RelationManager(val spark: SparkSession, val root: String) {
+final class RelationManager(
+    val spark: SparkSession,
+    val root: String,
+    val store: FileStore = new LocalFileStore) {
 
   def path(rel: Relation): Path = Paths.get(root, rel.schema, rel.identifier)
   private def logDir(rel: Relation): Path = path(rel).resolve("_graft_log")
+  private def log(rel: Relation): CommitLog = new CommitLog(store, logDir(rel).toString)
 
   // ------------------------------------------------------------ log I/O
 
-  private def versionFile(rel: Relation, v: Int): Path =
-    logDir(rel).resolve(f"v$v%08d.json")
+  def currentVersion(rel: Relation): Option[Int] = log(rel).currentVersion
 
-  def currentVersion(rel: Relation): Option[Int] = {
-    val d = logDir(rel)
-    if (!Files.isDirectory(d)) None
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
-      .maxOption
-  }
+  def readVersion(rel: Relation, v: Int): TableVersion = log(rel).read(v)
 
-  def readVersion(rel: Relation, v: Int): TableVersion = {
-    val doc = Json.obj(Json.parse(Files.readString(versionFile(rel, v))))
-    TableVersion(v,
-      Json.arr(doc("files")).map(Json.str).toSeq,
-      DataType.fromJson(doc("schema_json").asInstanceOf[String])
-        .asInstanceOf[StructType],
-      Json.arr(doc("partition_by")).map(Json.str).toSeq)
-  }
-
-  private def writeVersion(rel: Relation, v: TableVersion): Unit = {
-    val body =
-      s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
-        s""""files":[${v.files.sorted.map(Json.quote).mkString(",")}],""" +
-        s""""partition_by":[${v.partitionBy.map(Json.quote).mkString(",")}],""" +
-        s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
-    // Two-phase commit point: fully write a hidden temp file, then
-    // hard-link it to the version name. link(2) is atomic AND fails if the
-    // target exists, so exactly one writer wins a version and a concurrent
-    // reader can never observe a half-written manifest (a plain CREATE_NEW
-    // write is not atomic with respect to its content). On object storage
-    // this maps to a conditional PUT of the final object.
-    val tmp = logDir(rel).resolve(s".v${v.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-    try Files.createLink(versionFile(rel, v.version), tmp)
-    finally Files.deleteIfExists(tmp)
-  }
+  /** Pre-log parquet directory adopted as the implicit version 0. */
+  private def legacyState(rel: Relation): Option[TableVersion] =
+    if (!Files.isDirectory(path(rel))) None
+    else {
+      val legacy = listDataFiles(path(rel))
+      if (legacy.isEmpty) None
+      else Some(TableVersion(0, legacy,
+        spark.read.parquet(path(rel).toString).schema, Nil))
+    }
 
   /** Current table state: the logged version, or — for pre-log tables —
     * an implicit version 0 listing the directory's parquet files. */
   def currentState(rel: Relation): Option[TableVersion] =
-    currentVersion(rel).map(readVersion(rel, _)).orElse {
-      if (!Files.isDirectory(path(rel))) None
-      else {
-        val legacy = listDataFiles(path(rel))
-        if (legacy.isEmpty) None
-        else Some(TableVersion(0, legacy,
-          spark.read.parquet(path(rel).toString).schema, Nil))
-      }
-    }
+    currentVersion(rel).map(readVersion(rel, _)).orElse(legacyState(rel))
 
   /** Commit the next version by transforming the current file list.
     * Optimistic: on a concurrent-commit collision the transform re-runs
@@ -114,62 +73,63 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   private def commit(
       rel: Relation,
       newPartitionBy: Option[Seq[String]],
-      newSchema: Option[StructType])(
+      newSchema: Option[StructType],
+      newStatsCols: Option[Seq[String]] = None,
+      addedStats: Map[String, Map[String, ColStats]] = Map.empty)(
       transform: Seq[String] => Seq[String]): TableVersion = {
-    Files.createDirectories(logDir(rel))
-    var attempt = 0
-    while (true) {
-      val cur = currentState(rel)
-      val next = TableVersion(
-        cur.map(_.version).getOrElse(0) + 1,
-        transform(cur.map(_.files).getOrElse(Nil)),
-        newSchema.orElse(cur.map(_.schema)).getOrElse(
-          throw new IllegalStateException(s"no schema for ${rel.render}")),
-        newPartitionBy.orElse(cur.map(_.partitionBy)).getOrElse(Nil))
-      try {
-        writeVersion(rel, next)
-        // a data commit supersedes any prior view materialization
-        Files.deleteIfExists(viewDefFile(rel))
-        register(rel)
-        return next
-      }
-      catch {
-        case _: FileAlreadyExistsException =>
-          attempt += 1
-          if (attempt > 50) throw new IllegalStateException(
-            s"commit contention on ${rel.render}: gave up after $attempt attempts")
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    val next = log(rel).commit(
+      legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats)(transform)
+    // a data commit supersedes any prior view materialization
+    store.delete(viewDefFile(rel).toString)
+    register(rel)
+    next
   }
 
   // --------------------------------------------------------- data files
 
   /** Write `df`'s files into the table directory (via an underscore-
-    * prefixed staging dir so concurrent readers never see them) and
-    * return their table-relative paths. Not yet visible: only the commit
-    * publishes them. */
-  private def stageFiles(df: DataFrame, rel: Relation,
-                         partitionBy: Seq[String]): Seq[String] = {
+    * prefixed staging dir so concurrent readers never see them), compute
+    * their per-file column stats, and return their table-relative paths.
+    * Not yet visible: only the commit publishes them. */
+  private def stageFiles(df: DataFrame, rel: Relation, partitionBy: Seq[String],
+                         statsCols: Seq[String]): Staged = {
     Files.createDirectories(path(rel))
     val stage = Files.createTempDirectory(path(rel), "_graft_stage_")
     try {
       val writer = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(stage.toString)
+      val staged = listDataFiles(stage)
+      // stats BEFORE the move: one pruned-column aggregation job over the
+      // staged delta (basePath recovers partition values from dir names)
+      val stageStats: Map[String, Map[String, ColStats]] =
+        if (statsCols.isEmpty || staged.isEmpty) Map.empty
+        else {
+          val sdf = spark.read.option("basePath", stage.toString).parquet(stage.toString)
+          val base = stage.toAbsolutePath.toUri.toString
+          Stats.collect(sdf, statsCols).map { case (uri, cs) =>
+            val rel0 = uri.stripPrefix(base).stripPrefix("/")
+            (if (rel0 != uri) rel0
+             else uri.stripPrefix(stage.toAbsolutePath.toString + "/")) -> cs
+          }
+        }
       val uniq = java.util.UUID.randomUUID().toString.take(8)
-      listDataFiles(stage).map { relPath =>
-        val src = stage.resolve(relPath)
+      def renamed(relPath: String): String = {
         val p = Paths.get(relPath)
-        val renamed = Option(p.getParent) match {
+        Option(p.getParent) match {
           case Some(dir) => dir.resolve(s"$uniq-${p.getFileName}").toString
           case None      => s"$uniq-${p.getFileName}"
         }
-        val dst = path(rel).resolve(renamed)
+      }
+      val files = staged.map { relPath =>
+        val src = stage.resolve(relPath)
+        val dst = path(rel).resolve(renamed(relPath))
         Files.createDirectories(dst.getParent)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        renamed
+        renamed(relPath)
       }
+      Staged(files, storedSchema(df),
+        stageStats.map { case (f, cs) => renamed(f) -> cs })
     } finally deleteDir(stage)
   }
 
@@ -227,19 +187,18 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     * selection fail across process boundaries). Replaces any prior table
     * materialization of the same relation (the materialization switched). */
   def writeViewDef(rel: Relation, sql: String, deps: Seq[Relation]): Unit = {
-    Files.createDirectories(path(rel))
     deleteDir(logDir(rel))
     val d = deps.map(r =>
       s"""{"database":${Json.quote(r.database)},"schema":${Json.quote(r.schema)},""" +
         s""""identifier":${Json.quote(r.identifier)}}""")
-    Files.writeString(viewDefFile(rel),
+    store.write(viewDefFile(rel).toString,
       s"""{"sql":${Json.quote(sql)},"deps":[${d.mkString(",")}]}""")
   }
 
   def readViewDef(rel: Relation): Option[(String, Seq[Relation])] =
-    if (!Files.exists(viewDefFile(rel))) None
+    if (!store.exists(viewDefFile(rel).toString)) None
     else {
-      val doc = Json.obj(Json.parse(Files.readString(viewDefFile(rel))))
+      val doc = Json.obj(Json.parse(store.read(viewDefFile(rel).toString)))
       Some((Json.str(doc("sql")),
         Json.arr(doc("deps")).map(Json.obj).map(m => Relation(
           Json.str(m("database")), Json.str(m("schema")),
@@ -250,9 +209,11 @@ final class RelationManager(val spark: SparkSession, val root: String) {
 
   private def bucketedPath(rel: Relation): Path =
     Paths.get(path(rel).toString + "__bucketed")
+  private def bucketDefFile(rel: Relation): Path =
+    path(rel).resolve("_graft_buckets.json")
 
   def exists(rel: Relation): Boolean =
-    Files.exists(viewDefFile(rel)) || currentState(rel).isDefined ||
+    store.exists(viewDefFile(rel).toString) || currentState(rel).isDefined ||
       Files.isDirectory(bucketedPath(rel))
 
   def read(rel: Relation): DataFrame =
@@ -267,10 +228,11 @@ final class RelationManager(val spark: SparkSession, val root: String) {
         case None if spark.catalog.tableExists(rel.viewName) =>
           spark.table(rel.viewName) // bucketed catalog table (this session)
         case None if Files.isDirectory(bucketedPath(rel)) =>
-          // bucketed table from a PREVIOUS session: bucket metadata lived
-          // in the in-memory catalog, so reads degrade to a plain parquet
-          // scan (correct, but joins shuffle again) — documented trade
-          spark.read.parquet(bucketedPath(rel).toString)
+          // bucketed table from a PREVIOUS session: re-register from the
+          // bucket-spec sidecar so co-located joins survive process
+          // boundaries (no sidecar = pre-r4 table → plain scan)
+          registerBucketedFromSidecar(rel).getOrElse(
+            spark.read.parquet(bucketedPath(rel).toString))
         case None =>
           throw new IllegalArgumentException(s"no such relation: ${rel.render}")
       }
@@ -310,18 +272,25 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------ writes
 
   /** CTAS: stage new files, commit a version referencing only them. Old
-    * files stay on disk for time travel until `vacuum`. */
-  def writeTable(df: DataFrame, rel: Relation, partitionBy: Seq[String] = Nil): Unit = {
-    val files = stageFiles(df, rel, partitionBy)
-    commit(rel, Some(partitionBy), Some(storedSchema(df)))(_ => files)
+    * files stay on disk for time travel until `vacuum`. `statsCols`
+    * (typically the unique_key + partition columns) selects which columns
+    * get per-file min/max in the manifest; it persists with the table so
+    * later appends/merges keep recording the same stats. */
+  def writeTable(df: DataFrame, rel: Relation, partitionBy: Seq[String] = Nil,
+                 statsCols: Seq[String] = Nil): Unit = {
+    val staged = stageFiles(df, rel, partitionBy, statsCols)
+    commit(rel, Some(partitionBy), Some(storedSchema(df)),
+      Some(statsCols), staged.stats)(_ => staged.files)
   }
 
   /** Append: stage new files, commit current ∪ new. The reader's schema
     * stays the table's (append goes through reconcileSchema upstream). */
   def appendTable(df: DataFrame, rel: Relation): Unit = {
     val cur = currentState(rel)
-    val files = stageFiles(df, rel, cur.map(_.partitionBy).getOrElse(Nil))
-    commit(rel, None, cur.map(_.schema).orElse(Some(storedSchema(df))))(_ ++ files)
+    val staged = stageFiles(df, rel, cur.map(_.partitionBy).getOrElse(Nil),
+      cur.map(_.statsCols).getOrElse(Nil))
+    commit(rel, None, cur.map(_.schema).orElse(Some(storedSchema(df))),
+      None, staged.stats)(_ ++ staged.files)
   }
 
   /** Dynamic partition overwrite (incremental insert_overwrite strategy):
@@ -336,7 +305,14 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   /** Stage a frame's files without committing. Thread-safe: each call
     * writes to its own staging dir and unique file names. */
   def stage(df: DataFrame, rel: Relation, partitionBy: Seq[String]): Staged =
-    Staged(stageFiles(df, rel, partitionBy), storedSchema(df))
+    stageFiles(df, rel, partitionBy,
+      currentState(rel).map(_.statsCols).getOrElse(Nil))
+
+  /** Delete a staged-but-never-committed write's files (abort path — e.g.
+    * a concurrent microbatch backfill failing midway). Uncommitted files
+    * are invisible to readers, so this is always safe. */
+  def discardStaged(rel: Relation, staged: Staged): Unit =
+    staged.files.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
 
   /** Commit one staged partition-replacement: partitions covered by the
     * staged files — plus `alsoClear` — are swapped for the staged files;
@@ -349,7 +325,7 @@ final class RelationManager(val spark: SparkSession, val root: String) {
       parts.take(parts.length - 1).mkString("/")
     }
     val replaced = staged.files.map(partDir).toSet ++ alsoClear
-    commit(rel, Some(partitionBy), Some(staged.schema)) { cur =>
+    commit(rel, Some(partitionBy), Some(staged.schema), None, staged.stats) { cur =>
       cur.filterNot(f => replaced.contains(partDir(f))) ++ staged.files
     }
   }
@@ -357,12 +333,32 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   /** File-level replace: remove `removedFiles` from the table, add `df`'s
     * rows as new files — the commit primitive behind O(touched-files)
     * MERGE / delete+insert. */
-  def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String]): Unit = {
+  def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String]): Unit =
+    commitReplaceParts(Seq(df), rel, removedFiles)
+
+  /** Same, but each part stages as its own file set inside ONE commit.
+    * Callers use parts to force a FILE boundary between row populations —
+    * the SCD-2 rewrite splits current from history rows so the manifest's
+    * null-count stats can prune history files on later runs (relying on a
+    * range shuffle for the same boundary breaks under AQE coalescing).
+    * Zero-row staged files are dropped from the commit (their stats say
+    * rows=0), so an empty part costs nothing. */
+  def commitReplaceParts(parts: Seq[DataFrame], rel: Relation,
+                         removedFiles: Seq[String]): Unit = {
     val cur = currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
-    val files = stageFiles(df, rel, cur.partitionBy)
+    val staged = parts.map(p => stageFiles(p, rel, cur.partitionBy, cur.statsCols))
+    val (emptyFiles, stats) = {
+      val allStats = staged.flatMap(_.stats).toMap
+      (allStats.collect {
+        case (f, cs) if cs.values.headOption.exists(_.rows == 0L) => f
+      }.toSet, allStats)
+    }
+    emptyFiles.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+    val files = staged.flatMap(_.files).filterNot(emptyFiles)
     val removed = removedFiles.toSet
-    commit(rel, None, None)(c => c.filterNot(removed.contains) ++ files)
+    commit(rel, None, None, None, stats -- emptyFiles)(
+      c => c.filterNot(removed.contains) ++ files)
   }
 
   /** Drop one partition (`col=value`) from the log — the delete half of
@@ -377,18 +373,20 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     commit(rel, None, Some(nullableize(schema).asInstanceOf[StructType]))(_ => Nil)
   }
 
-  /** Delete data files no longer referenced by the latest version, and
-    * version files older than `keepVersions` back. Run out-of-band (the
-    * reference's workflows run OPTIMIZE/VACUUM the same way). */
+  /** Delete data files no longer referenced by any retained version, and
+    * log entries older than `keepVersions` back (the log first writes a
+    * compaction checkpoint so retained versions stay reconstructible).
+    * Run out-of-band (the reference's workflows run OPTIMIZE/VACUUM the
+    * same way). */
   def vacuum(rel: Relation, keepVersions: Int = 1): Unit = {
-    val latest = currentVersion(rel).getOrElse(return)
+    val lg = log(rel)
+    val latest = lg.currentVersion.getOrElse(return)
     val keepFrom = math.max(1, latest - keepVersions + 1)
     val referenced = (keepFrom to latest)
-      .map(readVersion(rel, _)).flatMap(_.files).toSet
+      .map(lg.read).flatMap(_.files).toSet
     listDataFiles(path(rel)).filterNot(referenced.contains)
       .foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
-    if (Files.isDirectory(logDir(rel)))
-      (1 until keepFrom).foreach(v => Files.deleteIfExists(versionFile(rel, v)))
+    lg.truncateBefore(keepFrom)
   }
 
   // ------------------------------------------------- catalog / registry
@@ -397,18 +395,45 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     * the catalog, so parquet-path writes can't carry it). Two tables
     * bucketed on the same key with the same bucket count join WITHOUT a
     * shuffle — the co-located-join layout for repeatedly-joined 100 TB
-    * facts (verified by BucketingSpec: no Exchange in the join plan). */
+    * facts (verified by BucketingSpec: no Exchange in the join plan).
+    * The bucket spec persists as a sidecar so a FRESH session re-creates
+    * the catalog entry with its bucket metadata intact (VERDICT r3 #4). */
   def writeBucketedTable(df: DataFrame, rel: Relation,
                          buckets: Int, bucketCols: Seq[String]): Unit = {
     val tableName = rel.viewName
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     df.write
       .format("parquet")
-      .option("path", path(rel).toString + "__bucketed")
+      .option("path", bucketedPath(rel).toString)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(tableName)
+    store.write(bucketDefFile(rel).toString,
+      s"""{"buckets":$buckets,""" +
+        s""""bucket_by":[${bucketCols.map(Json.quote).mkString(",")}],""" +
+        s""""schema_json":${Json.quote(storedSchema(df).json)}}""")
   }
+
+  /** Re-create the bucketed catalog table from its sidecar (fresh session
+    * over an existing warehouse): CREATE TABLE ... CLUSTERED BY restores
+    * the bucket metadata, so the co-located-join layout survives process
+    * boundaries instead of silently degrading to a shuffled plain scan. */
+  private def registerBucketedFromSidecar(rel: Relation): Option[DataFrame] =
+    if (!store.exists(bucketDefFile(rel).toString)) None
+    else {
+      val doc = Json.obj(Json.parse(store.read(bucketDefFile(rel).toString)))
+      val buckets = doc("buckets").asInstanceOf[Long]
+      val cols = Json.arr(doc("bucket_by")).map(Json.str)
+      val schema = DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType]
+      val colDefs = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val bucketCols = cols.map(c => s"`$c`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE ${rel.viewName} ($colDefs) USING parquet
+           |LOCATION '${bucketedPath(rel)}'
+           |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols) INTO $buckets BUCKETS
+           |""".stripMargin)
+      Some(spark.table(rel.viewName))
+    }
 
   def readBucketedTable(rel: Relation): DataFrame = spark.table(rel.viewName)
 
@@ -466,28 +491,25 @@ final class RelationManager(val spark: SparkSession, val root: String) {
     val d = docs.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
     val g = grants.toSeq.sortBy(_._1).map { case (k, vs) =>
       s"${q(k)}: [${vs.map(q).mkString(",")}]" }
-    Files.createDirectories(path(rel))
-    Files.writeString(path(rel).resolve("_graft_meta.json"),
+    store.write(path(rel).resolve("_graft_meta.json").toString,
       s"""{"docs":{${d.mkString(",")}},"grants":{${g.mkString(",")}}}""")
   }
 
   def readMeta(rel: Relation): Option[String] = {
-    val p = path(rel).resolve("_graft_meta.json")
-    if (Files.exists(p)) Some(Files.readString(p)) else None
+    val p = path(rel).resolve("_graft_meta.json").toString
+    if (store.exists(p)) Some(store.read(p)) else None
   }
 
   /** Microbatch checkpoint: the max processed batch end, persisted beside
     * the data (underscore-prefixed files are invisible to parquet scans).
     * Survives sessions, so a fresh CLI run resumes where the last ended
     * (reference: checkpoint math microbatch.py:41-79). */
-  def writeCheckpoint(rel: Relation, at: java.time.Instant): Unit = {
-    Files.createDirectories(path(rel))
-    Files.writeString(path(rel).resolve("_graft_checkpoint"), at.toString)
-  }
+  def writeCheckpoint(rel: Relation, at: java.time.Instant): Unit =
+    store.write(path(rel).resolve("_graft_checkpoint").toString, at.toString)
 
   def readCheckpoint(rel: Relation): Option[java.time.Instant] = {
-    val p = path(rel).resolve("_graft_checkpoint")
-    if (Files.exists(p)) Some(java.time.Instant.parse(Files.readString(p).trim)) else None
+    val p = path(rel).resolve("_graft_checkpoint").toString
+    if (store.exists(p)) Some(java.time.Instant.parse(store.read(p).trim)) else None
   }
 
   /** Schema-evolution trio (reference: manifest.json §check_for_schema_changes /
@@ -532,7 +554,8 @@ final class RelationManager(val spark: SparkSession, val root: String) {
   }
 
   private def rewriteTarget(rel: Relation, schema: StructType): Unit =
-    writeTable(selectAs(read(rel), schema), rel)
+    writeTable(selectAs(read(rel), schema), rel,
+      statsCols = currentState(rel).map(_.statsCols).getOrElse(Nil))
 
   private def deleteDir(p: Path): Unit =
     if (Files.exists(p)) {
