@@ -121,6 +121,13 @@ object Selector {
       case "test_name" => n.nodeType == NodeType.Test && glob(value, n.name)
       case "exposure" => n.nodeType == NodeType.Exposure && glob(value, n.name)
       case "metric" => n.nodeType == NodeType.Metric && glob(value, n.name)
+      // semantic_model: / saved_query: / unit_test: — name-glob over the
+      // declarative node types (reference: selector_methods.py:45-66
+      // SemanticModelSelectorMethod / SavedQuerySelectorMethod /
+      // UnitTestSelectorMethod)
+      case "semantic_model" => n.nodeType == NodeType.SemanticModel && glob(value, n.name)
+      case "saved_query" => n.nodeType == NodeType.SavedQuery && glob(value, n.name)
+      case "unit_test" => n.nodeType == NodeType.Unit && glob(value, n.name)
       case "config.materialized" => n.config.materialized == value
       case "config.severity" => n.config.severity == value
       // access:private|protected|public (reference: selector_methods.py

@@ -100,8 +100,13 @@ object SqlFunctions {
     * sort_array(collect_list(struct(...))) keeps it a single partial-merge
     * hash aggregate — no window, no extra shuffle; same bounded-group
     * contract as warehouse listagg. */
-  def listagg(measure: Column, delimiter: String, orderBy: Column, limit: Int = -1): Column = {
-    val sorted = sort_array(collect_list(struct(orderBy.as("o"), measure.as("m"))))
+  def listagg(measure: Column, delimiter: String, orderBy: Column, limit: Int = -1,
+              descending: Boolean = false): Column = {
+    // struct comparison is lexicographic (order key first), so one
+    // sort_array covers both directions — `order by o desc` is the
+    // reference's top_ordered listagg variant (fixture_listagg.py)
+    val sorted = sort_array(collect_list(struct(orderBy.as("o"), measure.as("m"))),
+      asc = !descending)
     val limited = if (limit > 0) slice(sorted, 1, limit) else sorted
     array_join(transform(limited, s => s.getField("m").cast(StringType)), delimiter)
   }

@@ -39,6 +39,19 @@ object SemanticQueries {
         .orderBy("order_month", "status")
     }),
 
+    // declarable derived metric: arithmetic expression over sibling
+    // measures, compiled by Metrics.derived (identifiers → measure
+    // aggregates, literals/operators pass through to Spark SQL)
+    "q_metric_derived" -> ((s, d) => {
+      Metrics.query(ordersModel(s, d),
+        Seq(
+          Metrics.Simple("revenue", "revenue"),
+          Metrics.derived("rev_per_order_x100", "revenue / n_orders * 100 + 1",
+            Set("revenue", "n_orders", "max_price"))),
+        grain = Seq("status"))
+        .orderBy("order_month", "status")
+    }),
+
     // cumulative (running) revenue per status over months
     "q_metric_cumulative" -> ((s, d) => {
       Metrics.query(ordersModel(s, d),
@@ -117,6 +130,14 @@ object SemanticQueries {
         |  COUNT(*) AS n_orders,
         |  MAX(o_totalprice) AS max_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |FROM orders GROUP BY 1, 2 ORDER BY order_month, status""".stripMargin,
+
+    "q_metric_derived" ->
+      """SELECT date_trunc('month', o_orderdate)::timestamp AS order_month,
+        |  o_orderstatus AS status,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*) * 100 + 1 AS rev_per_order_x100
         |FROM orders GROUP BY 1, 2 ORDER BY order_month, status""".stripMargin,
 
     "q_metric_cumulative" ->

@@ -464,6 +464,11 @@ final class Runner(
               case Seq("ratio", n, d)    => Metrics.Ratio(name, n, d)
               case Seq("cumulative", ms) => Metrics.Cumulative(name, ms)
               case Seq("cumulative", ms, k) => Metrics.Cumulative(name, ms, Some(k.toInt))
+              // metric: <name>: derived: <arithmetic over measures>
+              // (v1/metric.py DerivedTypeParams; Metrics.derived)
+              case "derived" +: rest if rest.nonEmpty =>
+                Metrics.derived(name, rest.mkString("|"),
+                  semModel.measures.map(_.name).toSet)
               case other => throw new IllegalArgumentException(s"metric def: $other")
             }
           }

@@ -46,6 +46,23 @@ object Metrics {
   final case class Simple(name: String, measure: String) extends Metric
   final case class Ratio(name: String, numerator: String, denominator: String) extends Metric
   final case class Derived(name: String, inputs: Seq[String], f: Seq[Column] => Column) extends Metric
+
+  /** Declarable derived metric (reference: v1/metric.py:14-20
+    * DerivedTypeParams — the reference's expr is a MetricFlow expression
+    * over input metrics; here the minimal arithmetic form is a Spark SQL
+    * expression whose identifiers resolve to sibling MEASURE aggregates,
+    * e.g. `revenue / n_pay + 1`). Identifiers that name a measure rewrite
+    * to its aggregate column; everything else (literals, operators,
+    * functions like round/abs) passes through to Spark SQL untouched. */
+  def derived(name: String, expression: String, measureNames: Set[String]): Derived = {
+    val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+    val inputs = Ident.findAllIn(expression).toSeq.distinct.filter(measureNames.contains)
+    require(inputs.nonEmpty,
+      s"derived metric $name: no measure referenced in '$expression'")
+    val rewritten = Ident.replaceAllIn(expression, m =>
+      if (measureNames.contains(m.matched)) s"`__m_${m.matched}`" else m.matched)
+    Derived(name, inputs, _ => expr(rewritten))
+  }
   /** Running total of a measure over the time dimension (optionally a
     * trailing window of n periods). */
   final case class Cumulative(name: String, measure: String, trailing: Option[Int] = None) extends Metric

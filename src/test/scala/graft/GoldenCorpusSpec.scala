@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{SqlFunctions => FN}
@@ -56,17 +56,43 @@ class GoldenCorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("listagg golden (fixture_listagg.py variants: ordered, limited, distinct)") {
-    val in = Seq((1, "a", 3), (1, "b", 1), (1, "c", 2), (2, "x", 1), (2, "x", 2))
+  test("listagg golden: the reference's full 7-variant corpus (fixture_listagg.py:16-32)") {
+    // exact seed rows from seeds__data_listagg_csv
+    val in = Seq(
+      (1, "a", 1), (1, "b", 2), (1, "c", 3),
+      (2, "a", 2), (2, "1", 1), (2, "p", 3),
+      (3, "g", 1), (3, "g", 2), (3, "g", 3))
       .toDF("group_col", "string_text", "order_col")
-    val got = in.groupBy("group_col").agg(
-      FN.listagg(col("string_text"), "_", col("order_col")).as("ordered"),
-      FN.listagg(col("string_text"), "_", col("order_col"), limit = 2).as("limited"),
-      FN.listaggDistinct(col("string_text"), "_").as("distinct"))
-    assertEqual(got,
-      Seq((1, "b_c_a", "b_c", "a_b_c"), (2, "x_x", "x_x", "x"))
-        .toDF("group_col", "ordered", "limited", "distinct"),
-      "listagg")
+    val g3 = in.filter($"group_col" === 3)
+    def agg(df: DataFrame, version: String, c: Column): DataFrame =
+      df.groupBy("group_col").agg(c.as("actual")).withColumn("version", lit(version))
+    val got =
+      agg(in, "bottom_ordered", FN.listagg(col("string_text"), "_|_", col("order_col")))
+        .unionByName(agg(in, "bottom_ordered_limited",
+          FN.listagg(col("string_text"), "_|_", col("order_col"), limit = 2)))
+        .unionByName(agg(g3, "comma_whitespace_unordered",
+          FN.listagg(col("string_text"), ", ", col("string_text"))))
+        .unionByName(agg(g3, "distinct_comma", FN.listaggDistinct(col("string_text"), ",")))
+        .unionByName(agg(g3, "no_params", FN.listagg(col("string_text"), ",", col("string_text"))))
+        .unionByName(agg(in, "top_ordered",
+          FN.listagg(col("string_text"), "_|_", col("order_col"), descending = true)))
+        .unionByName(agg(in, "top_ordered_limited",
+          FN.listagg(col("string_text"), "_|_", col("order_col"), limit = 2, descending = true)))
+    // exact expected rows from seeds__data_listagg_output_csv
+    val expected = Seq(
+      (1, "a_|_b_|_c", "bottom_ordered"), (2, "1_|_a_|_p", "bottom_ordered"),
+      (3, "g_|_g_|_g", "bottom_ordered"),
+      (1, "a_|_b", "bottom_ordered_limited"), (2, "1_|_a", "bottom_ordered_limited"),
+      (3, "g_|_g", "bottom_ordered_limited"),
+      (3, "g, g, g", "comma_whitespace_unordered"),
+      (3, "g", "distinct_comma"),
+      (3, "g,g,g", "no_params"),
+      (1, "c_|_b_|_a", "top_ordered"), (2, "p_|_a_|_1", "top_ordered"),
+      (3, "g_|_g_|_g", "top_ordered"),
+      (1, "c_|_b", "top_ordered_limited"), (2, "p_|_a", "top_ordered_limited"),
+      (3, "g_|_g", "top_ordered_limited"))
+      .toDF("group_col", "actual", "version")
+    assertEqual(got, expected, "listagg 7-variant corpus")
   }
 
   test("split_part golden incl. negative index (_split_part_negative)") {
@@ -159,11 +185,40 @@ class GoldenCorpusSpec extends AnyFunSuite {
       "strings")
   }
 
+  test("concat golden: empty-string matrix (fixture_concat.py, dbt-core issue 4725)") {
+    // the reference's seed uses EMPTY placeholders replaced by '' — concat
+    // of empty strings must not null out or drop the other operand
+    val in = Seq(("a", "b", "ab"), ("a", "", "a"), ("", "b", "b"), ("", "", ""))
+      .toDF("input_1", "input_2", "output")
+    assertEqual(
+      in.select(FN.concatFields(col("input_1"), col("input_2")).as("r")),
+      in.select(col("output").as("r")),
+      "concat empty-string matrix")
+  }
+
   test("date_spine golden: day spine over a month boundary, end-exclusive") {
     val days = spark.range(1).select(explode(FN.dateSpine("day",
       lit("2021-02-26").cast(TimestampType), lit("2021-03-02").cast(TimestampType))).as("d"))
       .collect().map(_.getTimestamp(0))
     assert(days.toSeq == Seq("2021-02-26", "2021-02-27", "2021-02-28", "2021-03-01")
       .map(s => ts(s + " 00:00:00")))
+  }
+
+  test("date_spine golden: the reference's exact fixture range (fixture_date_spine.py: 9 days, no nulls)") {
+    val days = spark.range(1).select(explode(FN.dateSpine("day",
+      lit("2023-09-01").cast(TimestampType), lit("2023-09-10").cast(TimestampType))).as("d"))
+      .collect().map(_.getTimestamp(0))
+    assert(days.length == 9 && days.forall(_ != null))
+    assert(days.toSeq == (1 to 9).map(i => ts(f"2023-09-0$i%s 00:00:00")))
+    // degenerate ranges: empty (start == end) and single-day — the
+    // sequence() descending gotcha (NOTES.md) must not resurface
+    val empty = spark.range(1).select(FN.dateSpine("day",
+      lit("2023-09-01").cast(TimestampType), lit("2023-09-01").cast(TimestampType)).as("a"))
+      .collect()(0).getSeq[Any](0)
+    assert(empty.isEmpty, s"start==end spine must be empty, got $empty")
+    val one = spark.range(1).select(explode(FN.dateSpine("day",
+      lit("2023-09-01").cast(TimestampType), lit("2023-09-02").cast(TimestampType))).as("d"))
+      .collect().map(_.getTimestamp(0))
+    assert(one.toSeq == Seq(ts("2023-09-01 00:00:00")))
   }
 }

@@ -175,6 +175,13 @@ class MainSpec extends AnyFunSuite {
     assert(sw.toString.contains("PASS     unit_test.shop.revenue_unit_happy"))
     assert(sw.toString.contains("SUCCESS  model.shop.revenue"))
 
+    // unit_test: selector method addresses unit nodes by name glob
+    val m = Project.load(dir.toString).manifest
+    assert(Selector.select(m, Seq("unit_test:revenue_unit_happy")) ==
+      Set("unit_test.shop.revenue_unit_happy"))
+    assert(Selector.select(m, Seq("unit_test:*")) ==
+      Set("unit_test.shop.revenue_unit_happy"))
+
     // a failing expectation blocks the model (unit runs BEFORE it)
     Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
       """test revenue_unit_happy
@@ -320,11 +327,12 @@ class MainSpec extends AnyFunSuite {
         |measure: n_pay: count: 1
         |metric: revenue: simple: revenue
         |metric: avg_pay: ratio: revenue: n_pay
+        |metric: margin: derived: revenue / n_pay + 1
         |""".stripMargin)
     Files.createDirectories(dir.resolve("saved_queries"))
     Files.writeString(dir.resolve("saved_queries/by_customer.conf"),
       """semantic_model: pay_sem
-        |metrics: revenue|avg_pay
+        |metrics: revenue|avg_pay|margin
         |grain: customer
         |export: customer_revenue: table
         |""".stripMargin)
@@ -335,8 +343,26 @@ class MainSpec extends AnyFunSuite {
     val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
     val rows = rm.read(Relation("graft", "main", "customer_revenue"))
       .orderBy("customer").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
-    assert(rows == Seq(("alice", 17.0, 8.5), ("bob", 3.0, 3.0)), rows.toString)
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // margin = revenue / n_pay + 1 (declared derived metric): alice has 2
+    // payments of 17 total → 9.5; bob one payment of 3 → 4.0
+    assert(rows == Seq(("alice", 17.0, 8.5, 9.5), ("bob", 3.0, 3.0, 4.0)), rows.toString)
+
+    // saved_query: / semantic_model: selector methods address the
+    // declarative node types by name glob (selector_methods.py:45-66)
+    val m = Project.load(dir.toString).manifest
+    assert(Selector.select(m, Seq("saved_query:by_customer"))
+      .contains("saved_query.shop.by_customer"))
+    assert(Selector.select(m, Seq("saved_query:*")) ==
+      Set("saved_query.shop.by_customer"))
+    assert(Selector.select(m, Seq("semantic_model:pay_sem"))
+      .exists(_.startsWith("semantic_model.")))
+    // and the CLI path: a build restricted to saved_query:* still
+    // materializes the export (its model upstream resolves via the graph)
+    val sw3 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString,
+      select = Seq("+saved_query:*")), new java.io.PrintWriter(sw3, true)) == 0, sw3.toString)
+    assert(sw3.toString.contains("SUCCESS  saved_query.shop.by_customer"))
   }
 
   test("model versions: bare ref resolves latest, v= pins, version: selects") {
