@@ -109,15 +109,47 @@ object Materializations {
   private[materializations] def planTouchedFiles(
       rm: RelationManager, rel: Relation, st: TableVersion,
       keys: DataFrame, uniqueKey: Seq[String]): Option[Seq[String]] =
-    Stats.keyBounds(keys, uniqueKey).map { bounds =>
-      val candidates = Stats.candidateFiles(st, bounds)
-      if (candidates.isEmpty) Nil
-      else rm.readFiles(rel, st, candidates)
-        .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
-        .join(keys, uniqueKey, "left_semi")
-        .select("__graft_file").distinct()
-        .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
-    }
+    Stats.keyBounds(keys, uniqueKey)
+      .map(planCandidates(rm, rel, st, keys, uniqueKey, _))
+
+  /** Stage 2 of the planning scan with bounds already priced. */
+  private[materializations] def planCandidates(
+      rm: RelationManager, rel: Relation, st: TableVersion,
+      keys: DataFrame, uniqueKey: Seq[String],
+      bounds: Map[String, (String, String)]): Seq[String] = {
+    val candidates = Stats.candidateFiles(st, bounds)
+    if (candidates.isEmpty) Nil
+    else rm.readFiles(rel, st, candidates)
+      .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
+      .join(keys, uniqueKey, "left_semi")
+      .select("__graft_file").distinct()
+      .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq
+  }
+
+  /** Fused planning aggregate (VERDICT r3 wrongness #4): ONE job over the
+    * batch computes the key bounds that price the stats prune AND the
+    * duplicate-key guard that a nondeterministic MERGE/snapshot fails on —
+    * previously two eager passes over the source. Returns None when the
+    * batch is empty (caller skips the commit). */
+  private[materializations] def uniqueKeyBounds(
+      source: DataFrame, key: Seq[String],
+      what: String): Option[Map[String, (String, String)]] = {
+    val grouped = source.groupBy(key.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+    val aggs = count(lit(1)).as("__n") +: max(col("__graft_n")).as("__maxn") +:
+      key.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val row = grouped.agg(aggs.head, aggs.tail: _*).collect().head
+    if (row.getLong(row.fieldIndex("__n")) == 0L) None
+    else if (row.getLong(row.fieldIndex("__maxn")) > 1L)
+      throw new IllegalStateException(
+        s"$what: source has duplicate unique_key (${key.mkString(",")}) values; " +
+          "MERGE would be nondeterministic — dedupe the batch or fix unique_key")
+    else Some(key.flatMap { c =>
+      for {
+        lo <- Stats.canonical(row.get(row.fieldIndex(s"__min_$c")))
+        hi <- Stats.canonical(row.get(row.fieldIndex(s"__max_$c")))
+      } yield c -> (lo, hi)
+    }.toMap)
+  }
 
   /** MERGE INTO (reference: manifest.json §default__get_merge_sql):
     * matched rows take source values (optionally only `updateColumns`),
@@ -133,14 +165,15 @@ object Materializations {
                 uniqueKey: Seq[String], updateColumns: Seq[String],
                 excludeColumns: Seq[String] = Nil): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
-    requireUniqueKeys(source, uniqueKey, s"merge into ${rel.render}")
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
-    val keys = source.select(uniqueKey.map(col): _*).distinct()
-    val touched = planTouchedFiles(rm, rel, st, keys, uniqueKey) match {
+    // one fused planning job: duplicate guard + key bounds + emptiness
+    val bounds = uniqueKeyBounds(source, uniqueKey, s"merge into ${rel.render}") match {
       case None    => return // empty batch: nothing to merge, no commit
-      case Some(t) => t
+      case Some(b) => b
     }
+    val keys = source.select(uniqueKey.map(col): _*).distinct()
+    val touched = planCandidates(rm, rel, st, keys, uniqueKey, bounds)
     // rows whose key exists anywhere in the target live in `touched` files,
     // so all merge arithmetic happens on that pruned subset
     val target = rm.readFiles(rel, st, touched)
@@ -190,18 +223,4 @@ object Materializations {
       rel, touched)
   }
 
-  /** Duplicate-key guard: a MERGE source with repeated unique_key values
-    * fans out matched target rows and silently multiplies the table — a
-    * real warehouse raises a nondeterministic-merge error, so we fail fast
-    * too. One small agg job over the batch's key columns (the batch is the
-    * incremental delta, not the 100 TB target). */
-  private[materializations] def requireUniqueKeys(
-      source: DataFrame, key: Seq[String], what: String): Unit = {
-    val dup = source.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1).limit(1)
-    if (!dup.isEmpty)
-      throw new IllegalStateException(
-        s"$what: source has duplicate unique_key (${key.mkString(",")}) values; " +
-          "MERGE would be nondeterministic — dedupe the batch or fix unique_key")
-  }
 }
