@@ -37,7 +37,8 @@ object Main {
       sampleHours: Option[Int] = None,
       positional: Seq[String] = Nil,
       port: Int = 8080,
-      inline: Option[String] = None)
+      inline: Option[String] = None,
+      clusterBy: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): Args = {
     var sawCmd = false
@@ -56,6 +57,8 @@ object Main {
       case "--sample" :: v :: t => loop(t, acc.copy(sampleHours = Some(v.toInt)))
       case "--port" :: v :: t => loop(t, acc.copy(port = v.toInt))
       case "--inline" :: v :: t => loop(t, acc.copy(inline = Some(v)))
+      case "--cluster-by" :: v :: t => loop(t, acc.copy(clusterBy =
+        acc.clusterBy ++ v.split(",").map(_.trim).filter(_.nonEmpty)))
       case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
@@ -290,6 +293,29 @@ object Main {
             if (rm.currentVersion(rel).isDefined) {
               rm.vacuum(rel, keepVersions = args.limit)
               out.println(s"VACUUMED ${n.uniqueId} (kept ${args.limit} versions)")
+            }
+          }
+        0
+      case "optimize" =>
+        // compact small files / range-cluster by key (the Delta/Iceberg
+        // OPTIMIZE [ZORDER] lifecycle command over the commit log).
+        // Cluster columns: --cluster-by, else the model's cluster_by
+        // config; neither → bin-pack small files only.
+        Commands.list(loaded.manifest,
+          if (args.select.isEmpty) Seq("resource_type:model", "resource_type:seed",
+            "resource_type:snapshot") else args.select, args.exclude)
+          .map(loaded.manifest(_))
+          .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+          .foreach { n =>
+            val rel = runner.relationFor(n)
+            if (rm.currentVersion(rel).isDefined) {
+              val cluster =
+                if (args.clusterBy.nonEmpty) args.clusterBy
+                else n.config.meta.get("cluster_by").toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+              rm.optimize(rel, clusterBy = cluster)
+              out.println(s"OPTIMIZED ${n.uniqueId}" +
+                (if (cluster.nonEmpty) s" (clustered by ${cluster.mkString(",")})" else ""))
             }
           }
         0

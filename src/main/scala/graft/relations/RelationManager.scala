@@ -373,6 +373,57 @@ final class RelationManager(
     commit(rel, None, Some(nullableize(schema).asInstanceOf[StructType]))(_ => Nil)
   }
 
+  /** OPTIMIZE: compact and optionally cluster a logged table — the
+    * commit-log analog of Delta/Iceberg OPTIMIZE [ZORDER] (public papers;
+    * the reference delegates this to the warehouse's own OPTIMIZE).
+    *
+    *  - `clusterBy` non-empty: full-table rewrite through ONE range
+    *    shuffle (`repartitionByRange` + `sortWithinPartitions`), so the
+    *    manifest's per-file min/max on those columns become near-disjoint.
+    *    This is what makes the stats-pruned MERGE/snapshot planning scan
+    *    sharp: after clustering on the merge key, a delta-sized batch
+    *    prunes to O(1) candidate files instead of O(overlapping-files).
+    *  - `clusterBy` empty: bin-pack only files smaller than
+    *    `smallFileBytes` into ~`targetFileBytes` files — cost is
+    *    O(small files), large files are never rewritten.
+    *
+    * One atomic commit either way; concurrent readers keep their pinned
+    * version (old files stay until vacuum), concurrent commits serialize
+    * through the log's optimistic retry. */
+  def optimize(rel: Relation, clusterBy: Seq[String] = Nil,
+               smallFileBytes: Long = 32L * 1024 * 1024,
+               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val st = currentState(rel).getOrElse(return)
+    if (st.files.isEmpty) return
+    def sizeOf(f: String): Long = {
+      val p = path(rel).resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }
+    if (clusterBy.nonEmpty) {
+      val unknown = clusterBy.filterNot(st.schema.fieldNames.contains)
+      require(unknown.isEmpty, s"optimize ${rel.render}: unknown cluster columns $unknown")
+      val n = math.max(1, math.ceil(
+        st.files.map(sizeOf).sum.toDouble / targetFileBytes).toInt)
+      val clustered = readFiles(rel, st, st.files)
+        .repartitionByRange(n, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      commitReplace(clustered, rel, st.files)
+    } else {
+      val small = st.files.filter(f => sizeOf(f) < smallFileBytes)
+      if (small.size < 2) return // nothing worth packing
+      val n = math.max(1, math.ceil(
+        small.map(sizeOf).sum.toDouble / targetFileBytes).toInt)
+      val packCols =
+        (if (st.partitionBy.nonEmpty) st.partitionBy else st.statsCols)
+          .map(org.apache.spark.sql.functions.col)
+      val packed0 = readFiles(rel, st, small)
+      val packed =
+        if (packCols.nonEmpty) packed0.repartition(n, packCols: _*)
+        else packed0.repartition(n)
+      commitReplace(packed, rel, small)
+    }
+  }
+
   /** Delete data files no longer referenced by any retained version, and
     * log entries older than `keepVersions` back (the log first writes a
     * compaction checkpoint so retained versions stay reconstructible).

@@ -131,6 +131,63 @@ class FileLogSpec extends AnyFunSuite {
     assert(Stats.candidateFiles(st2, afterBounds).size <= 2)
   }
 
+  test("optimize bin-packs small files, leaves content identical, keeps time travel") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "opt_pack")
+    // 20 tiny appends → 20+ small files
+    rm.writeTable((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), rel,
+      statsCols = Seq("id"))
+    (1 until 20).foreach { b =>
+      rm.appendTable((b * 50 until (b + 1) * 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), rel)
+    }
+    val before = rm.currentState(rel).get
+    assert(before.files.size >= 20, s"want many small files, got ${before.files.size}")
+    val beforeVersion = before.version
+    val beforeRows = rm.read(rel).orderBy("id").collect().toSeq
+
+    rm.optimize(rel)
+    val after = rm.currentState(rel).get
+    assert(after.files.size < before.files.size / 2,
+      s"bin-pack must shrink the file count: ${before.files.size} -> ${after.files.size}")
+    assert(after.stats.size == after.files.size, "packed files must carry stats")
+    assert(rm.read(rel).orderBy("id").collect().toSeq == beforeRows,
+      "optimize must not change table content")
+    // pre-optimize version still readable (snapshot isolation / time travel)
+    assert(rm.readAt(rel, beforeVersion).count() == 1000)
+  }
+
+  test("optimize cluster-by sharpens stats pruning to O(1) candidate files") {
+    import spark.implicits._
+    import graft.relations.Stats
+    val rm = newRm()
+    val rel = Relation("graft", "log", "opt_cluster")
+    // adversarial layout: round-robin keys → every file spans ~the full id
+    // range, so stats pruning can drop nothing
+    val shuffled = (0 until 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(50) // random distribution, overlapping ranges
+    rm.writeTable(shuffled, rel, statsCols = Seq("id"))
+    val st0 = rm.currentState(rel).get
+    val src = (0 until 100).map(i => (i.toLong, "u")).toDF("id", "v")
+    val bounds = Stats.keyBounds(src.select("id"), Seq("id")).get
+    val before = Stats.candidateFiles(st0, bounds).size
+    assert(before >= st0.files.size / 2,
+      s"unclustered layout should barely prune (got $before of ${st0.files.size})")
+
+    rm.optimize(rel, clusterBy = Seq("id"))
+    val st1 = rm.currentState(rel).get
+    val after = Stats.candidateFiles(st1, bounds).size
+    assert(after <= 3,
+      s"clustered layout must prune a [0,99] batch to ~1 file, got $after of ${st1.files.size}")
+    assert(rm.read(rel).count() == 10000)
+    // the sharpened layout carries through a real merge
+    Materializations.mergeInto(rm, rel, src, Seq("id"), updateColumns = Nil)
+    val st2 = rm.currentState(rel).get
+    assert((st1.files.toSet intersect st2.files.toSet).size >= st1.files.size - 2,
+      "post-cluster merge must rewrite only the candidate files")
+    assert(rm.read(rel).filter($"v" === "u").count() == 100)
+  }
+
   test("empty merge source plans zero files") {
     import spark.implicits._
     val rm = newRm()

@@ -484,6 +484,24 @@ class MainSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 1) // still readable
   }
 
+  test("optimize command compacts a model's table; --cluster-by range-clusters it") {
+    val dir = writeProject()
+    val sw0 = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw0, true)) == 0, sw0.toString)
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val rel = Relation("graft", "main", "revenue")
+    val rows = rm.read(rel).orderBy("customer").collect().toSeq
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "optimize", project = dir.toString,
+      select = Seq("revenue"), clusterBy = Seq("customer")),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("OPTIMIZED model.shop.revenue (clustered by customer)"),
+      sw.toString)
+    assert(rm.read(rel).orderBy("customer").collect().toSeq == rows,
+      "optimize must not change table content")
+  }
+
   test("run-operation, debug, clean commands") {
     val dir = writeProject()
     def exec(a: Main.Args): (Int, String) = {
