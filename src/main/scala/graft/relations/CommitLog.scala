@@ -15,15 +15,23 @@ final case class TableVersion(
     statsCols: Seq[String] = Nil,
     stats: Map[String, Map[String, ColStats]] = Map.empty)
 
-/** A staged-but-uncommitted write: files are on disk inside the table
-  * prefix (invisible to readers) awaiting a commit, with their per-file
-  * stats already computed. Staging is the parallelizable half of a
-  * write — concurrent microbatch stages many batches at once, then
-  * commits them in order. */
+/** A staged-but-uncommitted write. The physical files stay inside the
+  * underscore-hidden staging dir (`stageDir`) until the COMMIT publishes
+  * them — before that, nothing outside `_`-prefixed dirs exists, so
+  * neither readers nor a concurrent first-commit's legacy-directory
+  * adoption can observe uncommitted bytes (staging eagerly into the
+  * table dir let a parallel initial backfill adopt a sibling batch's
+  * staged files as version-0 data — a real race caught by RunnerSpec's
+  * abort test). `files` are the FINAL table-relative names the commit
+  * will reference; `moves` maps stage-relative → final paths. Staging is
+  * the parallelizable half of a write — concurrent microbatch stages
+  * many batches at once, then commits them in order. */
 final case class Staged(
     files: Seq[String],
     schema: StructType,
-    stats: Map[String, Map[String, ColStats]] = Map.empty)
+    stats: Map[String, Map[String, ColStats]] = Map.empty,
+    stageDir: Option[String] = None,
+    moves: Seq[(String, String)] = Nil)
 
 /** The versioned manifest log of one table (Delta/Iceberg-shaped, built
   * from the public papers — nothing proprietary), running entirely on the

@@ -87,10 +87,14 @@ final class RelationManager(
 
   // --------------------------------------------------------- data files
 
-  /** Write `df`'s files into the table directory (via an underscore-
-    * prefixed staging dir so concurrent readers never see them), compute
-    * their per-file column stats, and return their table-relative paths.
-    * Not yet visible: only the commit publishes them. */
+  /** Write `df`'s files into an underscore-prefixed staging dir inside
+    * the table prefix and compute their per-file column stats. The files
+    * are NOT moved to their final names here — [[publishStaged]] does
+    * that at commit time — so until a commit references them, nothing
+    * outside `_`-hidden dirs exists. This is what keeps uncommitted
+    * writes invisible to BOTH readers and the first-commit legacy-dir
+    * adoption (a concurrent initial backfill must not adopt a sibling
+    * batch's staged files as version-0 data). */
   private def stageFiles(df: DataFrame, rel: Relation, partitionBy: Seq[String],
                          statsCols: Seq[String]): Staged = {
     Files.createDirectories(path(rel))
@@ -100,8 +104,8 @@ final class RelationManager(
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(stage.toString)
       val staged = listDataFiles(stage)
-      // stats BEFORE the move: one pruned-column aggregation job over the
-      // staged delta (basePath recovers partition values from dir names)
+      // stats while still staged: one pruned-column aggregation job over
+      // the delta (basePath recovers partition values from dir names)
       val stageStats: Map[String, Map[String, ColStats]] =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty
         else {
@@ -121,17 +125,31 @@ final class RelationManager(
           case None      => s"$uniq-${p.getFileName}"
         }
       }
-      val files = staged.map { relPath =>
-        val src = stage.resolve(relPath)
-        val dst = path(rel).resolve(renamed(relPath))
-        Files.createDirectories(dst.getParent)
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-        renamed(relPath)
-      }
-      Staged(files, storedSchema(df),
-        stageStats.map { case (f, cs) => renamed(f) -> cs })
-    } finally deleteDir(stage)
+      Staged(staged.map(renamed), storedSchema(df),
+        stageStats.map { case (f, cs) => renamed(f) -> cs },
+        stageDir = Some(stage.toString),
+        moves = staged.map(f => f -> renamed(f)))
+    } catch { case e: Throwable => deleteDir(stage); throw e }
   }
+
+  /** Move a staged write's files to their final table-relative names and
+    * drop the staging dir — the point where a write's bytes first become
+    * adoptable/visible; called immediately before the log commit that
+    * references them. `except` skips files the commit decided to drop
+    * (zero-row parts); they vanish with the staging dir. */
+  private def publishStaged(rel: Relation, staged: Staged,
+                            except: Set[String] = Set.empty): Unit =
+    staged.stageDir.foreach { sd =>
+      val stage = Paths.get(sd)
+      staged.moves.foreach { case (src, dst) =>
+        if (!except.contains(dst)) {
+          val to = path(rel).resolve(dst)
+          Files.createDirectories(to.getParent)
+          Files.move(stage.resolve(src), to, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      deleteDir(stage)
+    }
 
   /** Table-relative parquet files under a directory, skipping `_`-prefixed
     * internal dirs (log, staging, checkpoints; Spark's hidden-path rule:
@@ -279,6 +297,7 @@ final class RelationManager(
   def writeTable(df: DataFrame, rel: Relation, partitionBy: Seq[String] = Nil,
                  statsCols: Seq[String] = Nil): Unit = {
     val staged = stageFiles(df, rel, partitionBy, statsCols)
+    publishStaged(rel, staged)
     commit(rel, Some(partitionBy), Some(storedSchema(df)),
       Some(statsCols), staged.stats)(_ => staged.files)
   }
@@ -289,6 +308,7 @@ final class RelationManager(
     val cur = currentState(rel)
     val staged = stageFiles(df, rel, cur.map(_.partitionBy).getOrElse(Nil),
       cur.map(_.statsCols).getOrElse(Nil))
+    publishStaged(rel, staged)
     commit(rel, None, cur.map(_.schema).orElse(Some(storedSchema(df))),
       None, staged.stats)(_ ++ staged.files)
   }
@@ -308,11 +328,15 @@ final class RelationManager(
     stageFiles(df, rel, partitionBy,
       currentState(rel).map(_.statsCols).getOrElse(Nil))
 
-  /** Delete a staged-but-never-committed write's files (abort path — e.g.
-    * a concurrent microbatch backfill failing midway). Uncommitted files
-    * are invisible to readers, so this is always safe. */
+  /** Delete a staged-but-never-committed write (abort path — e.g. a
+    * concurrent microbatch backfill failing midway). Staged files live
+    * only inside their hidden staging dir, so this is one dir removal and
+    * always safe. */
   def discardStaged(rel: Relation, staged: Staged): Unit =
-    staged.files.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+    staged.stageDir match {
+      case Some(sd) => deleteDir(Paths.get(sd))
+      case None     => staged.files.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+    }
 
   /** Commit one staged partition-replacement: partitions covered by the
     * staged files — plus `alsoClear` — are swapped for the staged files;
@@ -325,6 +349,7 @@ final class RelationManager(
       parts.take(parts.length - 1).mkString("/")
     }
     val replaced = staged.files.map(partDir).toSet ++ alsoClear
+    publishStaged(rel, staged)
     commit(rel, Some(partitionBy), Some(staged.schema), None, staged.stats) { cur =>
       cur.filterNot(f => replaced.contains(partDir(f))) ++ staged.files
     }
@@ -354,7 +379,8 @@ final class RelationManager(
         case (f, cs) if cs.values.headOption.exists(_.rows == 0L) => f
       }.toSet, allStats)
     }
-    emptyFiles.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+    // zero-row parts are never published — they vanish with the stage dirs
+    staged.foreach(publishStaged(rel, _, except = emptyFiles))
     val files = staged.flatMap(_.files).filterNot(emptyFiles)
     val removed = removedFiles.toSet
     commit(rel, None, None, None, stats -- emptyFiles)(
@@ -437,6 +463,11 @@ final class RelationManager(
       .map(lg.read).flatMap(_.files).toSet
     listDataFiles(path(rel)).filterNot(referenced.contains)
       .foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+    // staging dirs from crashed runs (never published, so never
+    // referenced) — like Delta VACUUM, run out-of-band of active writers
+    store.list(path(rel).toString)
+      .filter(_.startsWith("_graft_stage_"))
+      .foreach(d => deleteDir(path(rel).resolve(d)))
     lg.truncateBefore(keepFrom)
   }
 

@@ -278,6 +278,42 @@ class RunnerSpec extends AnyFunSuite {
     assert(rm.readCheckpoint(relC).contains(end))
   }
 
+  test("concurrent microbatch failure commits the clean prefix and discards later batches' staged files") {
+    val rm = newRm()
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = (1 to 4).map(d => (t(f"2024-01-0$d%d 05:00:00"), d.toDouble)).toDF("ts", "v")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")))
+    val rel = Relation("graft", "main", "mb_abort")
+    val boomAt = java.time.Instant.parse("2024-01-02T00:00:00Z")
+    def build(b: (java.time.Instant, java.time.Instant)) =
+      if (b._1 == boomAt) throw new RuntimeException("boom")
+      else events.filter(Microbatch.eventTimeFilter("ts", b))
+    val e = intercept[RuntimeException] {
+      Microbatch.run(rm, rel, build, cfg,
+        java.time.Instant.parse("2024-01-05T00:00:00Z"), concurrency = 4)
+    }
+    assert(e.getMessage == "boom")
+    // clean prefix: batch 1 committed, checkpoint stopped at the failure
+    assert(rm.readCheckpoint(rel).contains(boomAt))
+    assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq == Seq(1.0))
+    // no orphans: batches 3-4 staged concurrently but their files were
+    // discarded on the drain path — everything on disk is referenced
+    val onDisk = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    assert(onDisk == rm.currentState(rel).get.files.size,
+      s"staged orphans left on disk: $onDisk files vs ${rm.currentState(rel).get.files.size} referenced")
+    // rerun with a fixed builder resumes from the checkpoint and completes
+    Microbatch.run(rm, rel,
+      b => events.filter(Microbatch.eventTimeFilter("ts", b)), cfg,
+      java.time.Instant.parse("2024-01-05T00:00:00Z"),
+      checkpoint = rm.readCheckpoint(rel), concurrency = 4)
+    assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("kill between batches: resume from persisted checkpoint reprocesses only the tail") {
     val rm = newRm()
     import spark.implicits._
