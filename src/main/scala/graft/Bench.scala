@@ -32,6 +32,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the timed set — local A/B
+    // iteration on one query without paying the full suite (the driver
+    // never sets it, so the contract output is unchanged)
+    val timed = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(only => headline.filter(only)).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,13 +64,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    headline.foreach { name =>
+    timed.foreach { name =>
       try exec(name)
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
 
-    val results = headline.map { name =>
+    val results = timed.map { name =>
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9

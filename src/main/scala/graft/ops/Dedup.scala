@@ -136,7 +136,15 @@ object Dedup {
   /** 32-bit SimHash, relational form: explode distinct tokens, one
     * hash-aggregate computing the 32 per-bit majorities, fold to the
     * signature. Bit k set iff strictly more than half the token hashes
-    * have bit k set. Returns (doc, sh: long). */
+    * have bit k set. Returns (doc, sh: long).
+    *
+    * The 32 per-bit counts are packed into 21-bit lanes, 3 per long, so
+    * the aggregate carries 11 sum buffers instead of 32: each token
+    * contributes `((h>>b)&1) << 21*lane` per group, and the per-bit count
+    * unpacks as `(sum >> 21*lane) & 0x1FFFFF` — exact as long as a doc
+    * has fewer than 2^21 distinct tokens (documented bound; the per-doc
+    * distinct-token count of any real corpus is orders of magnitude
+    * lower). Output is bit-identical to the unpacked form. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val docs = df.repartition(par, col(idCol))
@@ -144,12 +152,24 @@ object Dedup {
     val tokRows = docs.select(col("doc"),
       explode(array_distinct(TextAnalysis.tokens(col("__text")))).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType))
-    val cnts = (0 until 32).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) > 0, 1).otherwise(0)).as(s"__c_$b"))
-    val agg = tokRows.groupBy("doc").agg(count(lit(1)).as("__n"), cnts: _*)
+    val LaneBits = 21
+    val groups: Seq[Seq[Int]] = (0 until 32).grouped(3).toSeq
+    def bitOf(b: Int): Column =
+      call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1L))
+    val packed = groups.zipWithIndex.map { case (bs, g) =>
+      sum(bs.zipWithIndex.map { case (b, lane) =>
+        bitOf(b) * lit(1L << (LaneBits * lane))
+      }.reduce(_ + _)).as(s"__p_$g")
+    }
+    val agg = tokRows.groupBy("doc").agg(count(lit(1)).as("__n"), packed: _*)
+    def cnt(b: Int): Column = {
+      val g = b / 3; val lane = b % 3
+      call_function("shiftright", col(s"__p_$g"), lit(LaneBits * lane))
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+    }
     val sig = agg.select(col("doc"),
       (0 until 32).map(b =>
-        when(col(s"__c_$b") * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
+        when(cnt(b) * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
     // token-less docs fold to signature 0 (explode dropped them; the
     // oracle's list_sum over an empty list is 0)
