@@ -223,6 +223,24 @@ final class RelationManager(
           Json.str(m("identifier")), "view")).toSeq))
     }
 
+  // ---------------------------------------------- materialized-view state
+
+  private def mvStateFile(rel: Relation): Path = path(rel).resolve("_graft_mv.json")
+
+  /** Persist a materialized view's refresh fingerprint (compiled-SQL hash +
+    * input relation versions / source file fingerprints) beside the data.
+    * A later build whose fingerprint matches skips the recompute — the
+    * engine-side equivalent of the reference's "MV exists and configuration
+    * unchanged → no-op" path (manifest.json
+    * §materialization_materialized_view_default). */
+  def writeMvState(rel: Relation, fingerprint: String): Unit =
+    store.write(mvStateFile(rel).toString, fingerprint)
+
+  def readMvState(rel: Relation): Option[String] = {
+    val p = mvStateFile(rel).toString
+    if (store.exists(p)) Some(store.read(p)) else None
+  }
+
   // ------------------------------------------------------------- reads
 
   private def bucketedPath(rel: Relation): Path =

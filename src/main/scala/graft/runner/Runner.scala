@@ -184,6 +184,87 @@ final class Runner(
     seen.toSeq
   }
 
+  /** Table write shared by the table and materialized_view paths.
+    * Declarable bucketing: config(buckets=N, bucket_by='k') gives
+    * repeatedly-joined facts a shuffle-free co-located join layout
+    * (BucketingSpec asserts no Exchange). */
+  private def writeTableFor(node: Node, rel: Relation): Unit =
+    node.config.meta.get("buckets").map(_.toInt) match {
+      case Some(n) =>
+        val cols = node.config.meta.getOrElse("bucket_by",
+          throw new IllegalArgumentException(
+            s"${node.name}: buckets=$n needs bucket_by"))
+          .split("\\s*\\|\\s*").toSeq
+        rm.writeBucketedTable(buildDf(node), rel, n, cols)
+      case None =>
+        Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** A materialized view's refresh fingerprint: canonical JSON of
+    * {sql, cfg, inputs}. `sql` is the compiled-SELECT hash (captures body,
+    * var, and dep-rename changes; native-code bodies are opaque — their
+    * node checksum stands in). `cfg` covers the storage-shaping config.
+    * `inputs` walks the transitive dependency closure: a table-shaped dep
+    * contributes its commit-log version (its own inputs are captured BY
+    * that version), a view/ephemeral dep contributes its code checksum and
+    * recurses, a source contributes its file size+mtime stamp. Equal
+    * fingerprint ⇒ recompute would produce the identical result. */
+  private def mvFingerprint(node: Node): String = {
+    val inputs = collection.mutable.TreeMap.empty[String, String]
+    val seen = collection.mutable.Set.empty[String]
+    def stamp(p: String): String = {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(p)
+      if (!Files.exists(base)) "absent"
+      else {
+        val it = Files.walk(base).iterator()
+        var size = 0L; var mtime = 0L; var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) {
+            size += Files.size(f)
+            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+            n += 1
+          }
+        }
+        s"$n:$size:$mtime"
+      }
+    }
+    def go(x: Node): Unit = x.dependsOn.flatMap(manifest.get).foreach { d =>
+      if (seen.add(d.uniqueId)) d.nodeType match {
+        case NodeType.Source =>
+          inputs += s"source:${d.name}" -> d.path.map(stamp).getOrElse("?")
+        case t if NodeType.refable(t) || t == NodeType.Model =>
+          if (d.isEphemeral || d.config.materialized == "view") {
+            inputs += s"code:${d.name}" -> md5Hex(d.checksum); go(d)
+          } else {
+            val r = relationFor(d)
+            inputs += s"rel:${r.render}" -> rm.currentState(r)
+              .map(v => s"v${v.version}")
+              .orElse(rm.lastModified(r).map(_.toString))
+              .getOrElse("absent")
+          }
+        case _ => () // tests/declarative nodes don't feed the MV's data
+      }
+    }
+    go(node)
+    val sqlHash = node.code match {
+      case Some(SqlCode(_)) => md5Hex(compileSql(node))
+      case _                => "native:" + md5Hex(node.checksum)
+    }
+    val cfg = Seq(
+      "partition_by=" + node.config.partitionBy.mkString(","),
+      "buckets=" + node.config.meta.getOrElse("buckets", ""),
+      "bucket_by=" + node.config.meta.getOrElse("bucket_by", "")).mkString(";")
+    val ins = inputs.map { case (k, v) =>
+      s"${Json.quote(k)}:${Json.quote(v)}" }.mkString(",")
+    s"""{"sql":${Json.quote(sqlHash)},"cfg":${Json.quote(md5Hex(cfg))},"inputs":{$ins}}"""
+  }
+
   /** Render a standalone SQL snippet (hook) in a node's context —
     * ref/source/this resolve exactly as in the node body (reference:
     * pre_hooks/post_hooks core/dbt/context/providers.py:1482-1487,
@@ -260,6 +341,7 @@ final class Runner(
             graft.quality.Contracts.assertEquivalent(
               s"model ${node.name}", buildDf(node).schema, declared)
           }
+          var runMessage = "" // set by branches with a reportable outcome
           node.config.materialized match {
             case "view" =>
               Materializations.view(rm, rel, buildDf(node))
@@ -272,20 +354,49 @@ final class Runner(
                   rm.writeViewDef(rel, compileSql(node), persistentDeps(node))
                 case _ => () // native (DataFrame-function) views stay session-scoped
               }
-            case "table" | "materialized_view" =>
-              // materialized_view on parquet = table + full recompute (SURVEY §2.1)
-              // declarable bucketing: config(buckets=N, bucket_by='k')
-              // gives repeatedly-joined facts a shuffle-free co-located
-              // join layout (BucketingSpec asserts no Exchange)
-              node.config.meta.get("buckets").map(_.toInt) match {
-                case Some(n) =>
-                  val cols = node.config.meta.getOrElse("bucket_by",
-                    throw new IllegalArgumentException(
-                      s"${node.name}: buckets=$n needs bucket_by"))
-                    .split("\\s*\\|\\s*").toSeq
-                  rm.writeBucketedTable(buildDf(node), rel, n, cols)
-                case None =>
-                  Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
+            case "table" =>
+              writeTableFor(node, rel)
+            case "materialized_view" =>
+              // materialized_view over the commit log: table storage + a
+              // persisted refresh fingerprint (compiled-SQL hash + every
+              // transitive input's commit-log version / source file stamp).
+              // A build whose fingerprint matches is a no-op — the MV is
+              // provably fresh because staleness is exactly "some input
+              // committed a new version since the last refresh". SQL or
+              // config drift routes through on_configuration_change =
+              // apply (default: rebuild) | continue (keep, warn) | fail
+              // (reference: materialized_view materialization,
+              // core/dbt/artifacts/resources/v1/config.py
+              // OnConfigurationChangeOption; RelationConfigChangeAction).
+              val fp = mvFingerprint(node)
+              val recorded = if (rm.exists(rel)) rm.readMvState(rel) else None
+              val full = fullRefresh || node.config.fullRefresh
+              def refresh(msg: String): String = {
+                writeTableFor(node, rel)
+                rm.writeMvState(rel, fp)
+                msg
+              }
+              def sqlCfgOf(s: String): (String, String) = {
+                val doc = Json.obj(Json.parse(s))
+                (Json.str(doc("sql")), Json.str(doc("cfg")))
+              }
+              runMessage = recorded match {
+                case Some(rec) if !full && rec == fp =>
+                  "fresh (no input changed since last refresh)"
+                case Some(rec) if !full && sqlCfgOf(rec) == sqlCfgOf(fp) =>
+                  refresh("refreshed (inputs changed)")
+                case Some(_) if !full =>
+                  node.config.meta.getOrElse("on_configuration_change", "apply") match {
+                    case "apply" => refresh("rebuilt (configuration changed)")
+                    case "continue" =>
+                      "configuration changed; on_configuration_change=continue — kept as-is"
+                    case "fail" => throw new IllegalStateException(
+                      s"materialized view ${node.name}: configuration changed " +
+                        "and on_configuration_change=fail")
+                    case other => throw new IllegalArgumentException(
+                      s"on_configuration_change: $other")
+                  }
+                case _ => refresh(if (full) "rebuilt (full refresh)" else "built")
               }
             case "ephemeral" => () // never materialized; inlined by consumers
             case "incremental" if node.config.incrementalStrategy.contains("microbatch") =>
@@ -338,7 +449,7 @@ final class Runner(
               throw new IllegalArgumentException(s"materialized: $other")
           }
           runHooks(node, node.config.postHooks)
-          RunResult(node.uniqueId, "success", start, Instant.now())
+          RunResult(node.uniqueId, "success", start, Instant.now(), runMessage)
         case NodeType.Test =>
           val failing = node.code match {
             case None if node.columnTest.isDefined =>

@@ -617,4 +617,57 @@ class NativeModelSpec extends AnyFunSuite {
     val out = rm.read(Relation("graft", "main", "consumer")).collect()(0)
     assert(out.getDouble(0) == 10.0) // mean(4,6)=5 → doubled
   }
+
+  test("materialized_view: fingerprint-tracked refresh — fresh skip, input-change refresh, on_configuration_change") {
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_mv").toString)
+    val base = TemplateResolver.parseModel("pkg", "mv_base",
+      "{{ config(materialized='table') }}\nselect 1 as k, 10 as v")
+    val mv = TemplateResolver.parseModel("pkg", "mv_top",
+      "{{ config(materialized='materialized_view') }}\nselect k, sum(v) as total from {{ ref('mv_base') }} group by k")
+    val manifest = Manifest(Seq(base, mv)).processRefs()
+    val mvRel = Relation("graft", "main", "mv_top")
+
+    val r1 = new Runner(spark, rm, manifest).run()
+    assert(r1.forall(_.status == "success"), r1.mkString(";"))
+    val v1 = rm.currentState(mvRel).get.version
+    assert(rm.read(mvRel).collect()(0).getLong(1) == 10L)
+
+    // MV-only build, inputs unchanged → provably fresh, no new commit
+    val r2 = new Runner(spark, rm, manifest).run(select = Seq("mv_top"))
+    assert(r2.exists(r => r.uniqueId.endsWith("mv_top") && r.message.startsWith("fresh")),
+      r2.mkString(";"))
+    assert(rm.currentState(mvRel).get.version == v1)
+
+    // upstream commits a new version → the next MV build refreshes
+    new Runner(spark, rm, manifest).run(select = Seq("mv_base"))
+    val r3 = new Runner(spark, rm, manifest).run(select = Seq("mv_top"))
+    assert(r3.exists(r => r.uniqueId.endsWith("mv_top") && r.message.startsWith("refreshed")),
+      r3.mkString(";"))
+    assert(rm.currentState(mvRel).get.version > v1)
+
+    // SQL change + on_configuration_change=continue → kept as-is
+    val mvKeep = TemplateResolver.parseModel("pkg", "mv_top",
+      "{{ config(materialized='materialized_view', on_configuration_change='continue') }}\n" +
+        "select k, sum(v) + 1 as total from {{ ref('mv_base') }} group by k")
+    val vKeep = rm.currentState(mvRel).get.version
+    val r4 = new Runner(spark, rm, Manifest(Seq(base, mvKeep)).processRefs())
+      .run(select = Seq("mv_top"))
+    assert(r4.exists(_.message.contains("kept as-is")), r4.mkString(";"))
+    assert(rm.currentState(mvRel).get.version == vKeep)
+    assert(rm.read(mvRel).collect()(0).getLong(1) == 10L) // old definition's data
+
+    // SQL change + default on_configuration_change=apply → rebuilt
+    val mvApply = TemplateResolver.parseModel("pkg", "mv_top",
+      "{{ config(materialized='materialized_view') }}\n" +
+        "select k, sum(v) + 1 as total from {{ ref('mv_base') }} group by k")
+    val r5 = new Runner(spark, rm, Manifest(Seq(base, mvApply)).processRefs())
+      .run(select = Seq("mv_top"))
+    assert(r5.exists(_.message.contains("rebuilt")), r5.mkString(";"))
+    assert(rm.read(mvRel).collect()(0).getLong(1) == 11L)
+
+    // --full-refresh overrides the fresh skip
+    val r6 = new Runner(spark, rm, Manifest(Seq(base, mvApply)).processRefs(),
+      fullRefresh = true).run(select = Seq("mv_top"))
+    assert(r6.exists(_.message.contains("full refresh")), r6.mkString(";"))
+  }
 }
