@@ -131,6 +131,62 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  // ------------------------------------------------- dedup clustering
+
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns pairwise near-dup output (any of the pair operators
+    * above) into dedup groups: every doc gets the min doc id of its
+    * transitive duplicate cluster, so "keep one per cluster" is a single
+    * `component = doc` filter.
+    *
+    * Algorithm: iterative min-label propagation with path halving. Each
+    * round first lowers every node's label to the min over its neighbors'
+    * labels (one equi-join + hash aggregate on the symmetrized edge list),
+    * then short-circuits label chains by replacing c(n) with c(c(n))
+    * (a self-join of the label table). The edge pass alone converges in
+    * O(diameter) rounds; halving makes long chains collapse in
+    * O(log diameter). Every round's label table is localCheckpoint'ed so
+    * lineage stays flat; the edge list is checkpointed once and reused.
+    * All shuffles hash on node id — no driver-side graph state, so the
+    * operator scales to edge lists that never fit one machine (same
+    * round structure as the map-reduce CC algorithms in Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Returns (node, component); nodes absent from `edges` are absent from
+    * the output (callers left-join and coalesce to give singletons their
+    * own id). Throws after `maxIter` non-converged rounds rather than
+    * returning a partial clustering. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
+      .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.groupBy("n")
+      .agg(least(col("n"), min(col("m"))).as("c")).localCheckpoint(true)
+    var iter = 0
+    var converged = sym.isEmpty
+    while (!converged && iter < maxIter) {
+      // edge pass: c'(n) = min(c(n), min over neighbors m of c(m))
+      val nbr = sym.join(labels.withColumnRenamed("n", "m"), "m")
+        .groupBy("n").agg(min(col("c")).as("nc"))
+      val lowered = labels.join(nbr, Seq("n"), "left")
+        .select(col("n"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+      // path halving: c''(n) = min(c'(n), c'(c'(n))) — labels are node
+      // ids, so the indirection is a self-join on the label table
+      val next = lowered.as("l")
+        .join(lowered.select(col("n").as("c"), col("c").as("cc")), Seq("c"), "left")
+        .select(col("n"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("c", "c0"), "n")
+        .filter(col("c") =!= col("c0")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — raise maxIter")
+    labels.select(col("n").as("node"), col("c").as("component"))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash, relational form: explode distinct tokens, one

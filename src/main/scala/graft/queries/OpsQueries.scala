@@ -36,6 +36,23 @@ object OpsQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // pairwise near-dups → transitive dedup groups: connected components
+      // over the MinHash pair graph; every doc labeled with its cluster's
+      // min id, singletons with their own id, plus the cluster size —
+      // "keep one per cluster" is then `component = doc`
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val labeled = docs.select(col("doc_id").as("doc"))
+        .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("component"), col("doc")).as("component"))
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "component")
+        .select("doc", "component", "cluster_size").orderBy("doc")
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.45, planes = 4, dims = 64)
@@ -160,6 +177,40 @@ object OpsQueries {
          |FROM cand
          |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |labeled AS (
+         |  SELECT d.doc_id AS doc, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+         |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY component)
+         |SELECT doc, component, cluster_size
+         |FROM labeled JOIN sizes USING (component) ORDER BY doc""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH hashes AS (

@@ -117,6 +117,25 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.orderBy("asset_id").collect().map(_.toString).toSeq ==
       f2.orderBy("asset_id").collect().map(_.toString).toSeq)
   }
+
+  test("connectedComponents: chains merge, clusters stay separate, long chains converge") {
+    import spark.implicits._
+    // cluster {1,2,3,4} built from a chain, cluster {10,11}, and a
+    // 21-node chain 100..120 that exercises path halving (plain
+    // propagation would need 20 rounds; halving needs ~5)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (100L until 120L).map(i => (i, i + 1))).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((100L to 120L).forall(comp(_) == 100L))
+    // nodes outside the edge list are absent (callers coalesce singletons)
+    assert(!comp.contains(5L))
+    // empty edge list → empty output, no iteration blowup
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {
