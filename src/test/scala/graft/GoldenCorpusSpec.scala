@@ -221,4 +221,34 @@ class GoldenCorpusSpec extends AnyFunSuite {
       .collect().map(_.getTimestamp(0))
     assert(one.toSeq == Seq(ts("2023-09-01 00:00:00")))
   }
+
+  test("array golden: construct/append/concat incl. empty typed arrays (fixture_array_*.py)") {
+    // fixture_array_append.py: append to [1,2,3] and to the empty array
+    assertEqual(
+      spark.range(1).select(
+        FN.arrayAppend(FN.arrayConstruct(lit(1), lit(2), lit(3)), lit(4)).as("a1"),
+        FN.arrayAppend(FN.emptyArray(IntegerType), lit(4)).as("a2")),
+      spark.range(1).select(
+        FN.arrayConstruct(lit(1), lit(2), lit(3), lit(4)).as("a1"),
+        FN.arrayConstruct(lit(4)).as("a2")),
+      "array_append")
+    // fixture_array_concat.py: both-sides, empty-left, empty-right
+    assertEqual(
+      spark.range(1).select(
+        FN.arrayConcat(FN.arrayConstruct(lit(1), lit(2), lit(3)),
+          FN.arrayConstruct(lit(4), lit(5), lit(6))).as("c1"),
+        FN.arrayConcat(FN.emptyArray(IntegerType), FN.arrayConstruct(lit(2))).as("c2"),
+        FN.arrayConcat(FN.arrayConstruct(lit(3)), FN.emptyArray(IntegerType)).as("c3")),
+      spark.range(1).select(
+        FN.arrayConstruct(lit(1), lit(2), lit(3), lit(4), lit(5), lit(6)).as("c1"),
+        FN.arrayConstruct(lit(2)).as("c2"),
+        FN.arrayConstruct(lit(3)).as("c3")),
+      "array_concat")
+    // fixture_array_construct.py: the empty construct keeps its element type
+    val empties = spark.range(1).select(
+      FN.emptyArray(IntegerType).as("i"), FN.emptyArray(StringType).as("s"))
+    assert(empties.schema("i").dataType == ArrayType(IntegerType))
+    assert(empties.schema("s").dataType == ArrayType(StringType))
+    assert(empties.collect()(0).getSeq[Any](0).isEmpty)
+  }
 }
