@@ -13,7 +13,14 @@ final case class TableVersion(
     schema: StructType,
     partitionBy: Seq[String],
     statsCols: Seq[String] = Nil,
-    stats: Map[String, Map[String, ColStats]] = Map.empty)
+    stats: Map[String, Map[String, ColStats]] = Map.empty,
+    // application transaction watermarks (writer id → last committed
+    // batch id), carried forward and merged on every commit. The
+    // exactly-once primitive for streaming writers: the watermark rides
+    // the same atomic delta-file CAS as the data files it describes, so
+    // "data appended" and "batch recorded" cannot diverge (same idea as
+    // the Delta paper's txn action).
+    txn: Map[String, Long] = Map.empty)
 
 /** A staged-but-uncommitted write. The physical files stay inside the
   * underscore-hidden staging dir (`stageDir`) until the COMMIT publishes
@@ -87,13 +94,17 @@ final class CommitLog(store: FileStore, dir: String) {
       newPartitionBy: Option[Seq[String]],
       newSchema: Option[StructType],
       newStatsCols: Option[Seq[String]],
-      addedStats: Map[String, Map[String, ColStats]])(
+      addedStats: Map[String, Map[String, ColStats]],
+      txn: Map[String, Long] = Map.empty)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
     while (true) {
       val logged = currentVersion.map(read)
       val cur = logged.orElse(legacyBase)
-      val newFiles = transform(cur.map(_.files).getOrElse(Nil)).sorted
+      // distinct: on a FIRST commit the legacy adoption lists files the
+      // caller published moments ago, and an append-shaped transform then
+      // adds the same file a second time — a file list is a set
+      val newFiles = transform(cur.map(_.files).getOrElse(Nil)).distinct.sorted
       val prevLogged = logged.map(_.files).getOrElse(Nil).toSet
       val add = newFiles.filterNot(prevLogged)
       val remove = (prevLogged -- newFiles).toSeq.sorted
@@ -106,9 +117,10 @@ final class CommitLog(store: FileStore, dir: String) {
         newPartitionBy.orElse(cur.map(_.partitionBy)).getOrElse(Nil),
         newStatsCols.orElse(cur.map(_.statsCols)).getOrElse(Nil),
         (logged.map(_.stats).getOrElse(Map.empty) -- remove) ++
-          addedStats.view.filterKeys(add.contains).toMap)
+          addedStats.view.filterKeys(add.contains).toMap,
+        cur.map(_.txn).getOrElse(Map.empty) ++ txn)
       val body = serialize(next, add, remove,
-        addedStats.view.filterKeys(add.contains).toMap)
+        addedStats.view.filterKeys(add.contains).toMap, txn)
       if (store.createIfAbsent(deltaPath(next.version), body)) {
         if (next.version % CheckpointInterval == 0) writeCheckpoint(next)
         return next
@@ -129,15 +141,18 @@ final class CommitLog(store: FileStore, dir: String) {
     checkpoints.filter(_ < keepFrom).foreach(v => store.delete(ckptPath(v)))
   }
 
-  /** Checkpoints are derived data: best-effort create, losers no-op. */
+  /** Checkpoints are derived data: best-effort create, losers no-op.
+    * A checkpoint carries the FULL merged txn map (a delta carries only
+    * that commit's new entries). */
   private def writeCheckpoint(v: TableVersion): Unit =
     store.createIfAbsent(ckptPath(v.version),
-      serialize(v, v.files, Nil, v.stats))
+      serialize(v, v.files, Nil, v.stats, v.txn))
 
   // ----------------------------------------------------------- (de)serialization
 
   private def serialize(v: TableVersion, add: Seq[String], remove: Seq[String],
-                        stats: Map[String, Map[String, ColStats]]): String = {
+                        stats: Map[String, Map[String, ColStats]],
+                        txn: Map[String, Long]): String = {
     def sarr(xs: Seq[String]) = s"[${xs.map(Json.quote).mkString(",")}]"
     def statsObj(m: Map[String, Map[String, ColStats]]): String =
       m.toSeq.sortBy(_._1).map { case (f, cols) =>
@@ -148,11 +163,14 @@ final class CommitLog(store: FileStore, dir: String) {
         }.mkString(",")
         s"${Json.quote(f)}:{$c}"
       }.mkString(",")
+    val txnObj = txn.toSeq.sortBy(_._1)
+      .map { case (k, b) => s"${Json.quote(k)}:$b" }.mkString(",")
     s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
       s""""partition_by":${sarr(v.partitionBy)},""" +
       s""""stats_cols":${sarr(v.statsCols)},""" +
       s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
       s""""stats":{${statsObj(stats)}},""" +
+      s""""txn":{$txnObj},""" +
       s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
   }
 
@@ -168,6 +186,11 @@ final class CommitLog(store: FileStore, dir: String) {
       }
     }
 
+  /** `txn` is absent in pre-round-4 logs — tolerate and default empty. */
+  private def parseTxn(doc: Map[String, Any]): Map[String, Long] =
+    doc.get("txn").map(Json.obj(_).map { case (k, v) =>
+      k -> v.asInstanceOf[Long] }).getOrElse(Map.empty)
+
   /** A checkpoint doc is a delta doc whose `add` is the full file list. */
   private def readDoc(body: String, v: Int): TableVersion = {
     val doc = Json.obj(Json.parse(body))
@@ -176,7 +199,8 @@ final class CommitLog(store: FileStore, dir: String) {
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
       Json.arr(doc("partition_by")).map(Json.str).toSeq,
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
-      parseStats(doc("stats")))
+      parseStats(doc("stats")),
+      parseTxn(doc))
   }
 
   private def applyDelta(state: TableVersion, body: String, v: Int): TableVersion = {
@@ -184,11 +208,12 @@ final class CommitLog(store: FileStore, dir: String) {
     val add = Json.arr(doc("add")).map(Json.str)
     val remove = Json.arr(doc("remove")).map(Json.str).toSet
     TableVersion(v,
-      (state.files.filterNot(remove) ++ add).sorted,
+      (state.files.filterNot(remove) ++ add).distinct.sorted,
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
       Json.arr(doc("partition_by")).map(Json.str).toSeq,
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
-      (state.stats -- remove) ++ parseStats(doc("stats")))
+      (state.stats -- remove) ++ parseStats(doc("stats")),
+      state.txn ++ parseTxn(doc))
   }
 }
 

@@ -75,10 +75,12 @@ final class RelationManager(
       newPartitionBy: Option[Seq[String]],
       newSchema: Option[StructType],
       newStatsCols: Option[Seq[String]] = None,
-      addedStats: Map[String, Map[String, ColStats]] = Map.empty)(
+      addedStats: Map[String, Map[String, ColStats]] = Map.empty,
+      txn: Map[String, Long] = Map.empty)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     val next = log(rel).commit(
-      legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats)(transform)
+      legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats,
+      txn)(transform)
     // a data commit supersedes any prior view materialization
     store.delete(viewDefFile(rel).toString)
     register(rel)
@@ -321,15 +323,26 @@ final class RelationManager(
   }
 
   /** Append: stage new files, commit current ∪ new. The reader's schema
-    * stays the table's (append goes through reconcileSchema upstream). */
-  def appendTable(df: DataFrame, rel: Relation): Unit = {
+    * stays the table's (append goes through reconcileSchema upstream).
+    * `txn` rides the commit atomically — the exactly-once hook for
+    * streaming writers (see [[lastTxn]]). */
+  def appendTable(df: DataFrame, rel: Relation,
+                  txn: Map[String, Long] = Map.empty): Unit = {
     val cur = currentState(rel)
     val staged = stageFiles(df, rel, cur.map(_.partitionBy).getOrElse(Nil),
       cur.map(_.statsCols).getOrElse(Nil))
     publishStaged(rel, staged)
     commit(rel, None, cur.map(_.schema).orElse(Some(storedSchema(df))),
-      None, staged.stats)(_ ++ staged.files)
+      None, staged.stats, txn)(_ ++ staged.files)
   }
+
+  /** The last batch id a named writer committed to this table, read from
+    * the current version's merged txn map. A streaming writer restarting
+    * from a checkpoint replays its in-flight batch; comparing the replayed
+    * batch id against this watermark makes the replay a no-op instead of a
+    * duplicate append. */
+  def lastTxn(rel: Relation, appId: String): Option[Long] =
+    currentState(rel).flatMap(_.txn.get(appId))
 
   /** Dynamic partition overwrite (incremental insert_overwrite strategy):
     * only partitions present in `df` — plus any in `alsoClear` (microbatch

@@ -48,6 +48,31 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Exactly-once streaming sink into a commit-log table: every microbatch
+    * appends through one atomic log commit that ALSO records
+    * (writerId → batchId) in the manifest's txn map. After a crash between
+    * "data committed" and "checkpoint advanced", Structured Streaming
+    * replays the last batch — the watermark comparison turns the replay
+    * into a no-op, so rows land exactly once (the Delta-paper txn pattern,
+    * on graft's own log). State lives in the table manifest + the stream
+    * checkpoint; nothing driver-resident, so the sink survives restarts
+    * and driver failover.
+    *
+    * `writerId` must be stable per logical stream (reuse across restarts,
+    * distinct across different streams into the same table). */
+  def appendToTable(stream: DataFrame, rm: graft.relations.RelationManager,
+                    rel: graft.core.Relation, writerId: String,
+                    checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (rm.lastTxn(rel, writerId).forall(_ < batchId))
+          rm.appendTable(batch, rel, txn = Map(writerId -> batchId))
+        () // exactly-once: an already-recorded batch id is a replay — skip
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,

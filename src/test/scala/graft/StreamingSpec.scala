@@ -42,4 +42,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.length == users)
     assert(sessions.forall(_.n_events > 0))
   }
+
+  test("exactly-once streaming sink: batch txn watermark makes replays no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.core.Relation
+    import graft.relations.RelationManager
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_sink").toString)
+    val rel = Relation("graft", "main", "stream_target")
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.appendToTable(
+      src.toDF().toDF("id", "payload"), rm, rel, "writer_a", ckpt)
+    src.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    src.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(rm.read(rel).count() == 3)
+    val lastBatch = rm.lastTxn(rel, "writer_a").get
+    val vBefore = rm.currentState(rel).get.version
+
+    // crash-replay simulation: re-deliver the last batch (same writer,
+    // same batch id) — the watermark turns it into a no-op
+    val replay = Seq((3L, "c")).toDF("id", "payload")
+    if (rm.lastTxn(rel, "writer_a").forall(_ < lastBatch))
+      rm.appendTable(replay, rel, txn = Map("writer_a" -> lastBatch))
+    assert(rm.read(rel).count() == 3, "replayed batch must not duplicate rows")
+    assert(rm.currentState(rel).get.version == vBefore)
+
+    // a DIFFERENT writer's batch 0 is not confused with writer_a's
+    assert(rm.lastTxn(rel, "writer_b").isEmpty)
+
+    // restart the stream from the same checkpoint: new data still lands
+    val q2 = StreamingOps.appendToTable(
+      src.toDF().toDF("id", "payload"), rm, rel, "writer_a", ckpt)
+    src.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rm.read(rel).count() == 4)
+    assert(rm.lastTxn(rel, "writer_a").get > lastBatch)
+  }
 }
