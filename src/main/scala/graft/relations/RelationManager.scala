@@ -299,6 +299,21 @@ final class RelationManager(
       .select(v.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
+  /** Change feed at file granularity: rows of files ADDED after version
+    * `fromV`, up to and including `toV` — the incremental-read primitive
+    * behind table-to-table pipes and commit-log tailing. Append-only
+    * granularity: a file rewritten by merge/compaction reappears with all
+    * its rows (consumers needing row-level deltas de-dup by key
+    * downstream); appends — the streaming-sink and incremental-append
+    * shape — yield exactly the new rows. Cost is O(changed files): the
+    * two manifests diff in memory and only new files are scanned. */
+  def readChanges(rel: Relation, fromV: Int, toV: Int): DataFrame = {
+    val prev = if (fromV <= 0) Set.empty[String]
+               else readVersion(rel, fromV).files.toSet
+    val to = readVersion(rel, toV)
+    readFiles(rel, to, to.files.filterNot(prev))
+  }
+
   /** Map `input_file_name()` URIs back to table-relative paths. */
   def relativize(rel: Relation, fileUri: String): String = {
     val base = path(rel).toAbsolutePath.toUri.toString

@@ -73,6 +73,37 @@ object StreamingOps {
       }
       .start()
 
+  /** Exactly-once incremental table-to-table pipe: read the source rows
+    * committed since this pipe's last run (file-granular change feed),
+    * transform, append to the destination — recording the consumed source
+    * version in the SAME destination commit. Crash anywhere and the rerun
+    * either replays into a no-op (watermark already at srcV) or picks up
+    * where it left off; rows land exactly once without any state outside
+    * the two tables' own logs. Returns the source version consumed, or
+    * None when the destination is already caught up.
+    *
+    * This is the batch/driver-loop form of commit-log tailing (the
+    * continuous form is [[appendToTable]] fed by any readStream source);
+    * scheduled from an orchestrator it gives CDC-shaped incremental
+    * pipelines over graft tables with no full rescans — O(new files) per
+    * run. Source tables must be commit-logged (pre-log directories have
+    * no version to diff). */
+  def incrementalPipe(rm: graft.relations.RelationManager,
+                      src: graft.core.Relation, dst: graft.core.Relation,
+                      pipeId: String,
+                      transform: DataFrame => DataFrame = identity): Option[Int] = {
+    val srcV = rm.currentVersion(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"incrementalPipe: source ${src.render} has no commit log"))
+    val from = rm.lastTxn(dst, pipeId).map(_.toInt).getOrElse(0)
+    if (srcV <= from) None
+    else {
+      val changes = rm.readChanges(src, from, srcV)
+      rm.appendTable(transform(changes), dst, txn = Map(pipeId -> srcV.toLong))
+      Some(srcV)
+    }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,

@@ -87,4 +87,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 4)
     assert(rm.lastTxn(rel, "writer_a").get > lastBatch)
   }
+
+  test("incrementalPipe: exactly-once table-to-table pipe over the change feed") {
+    import graft.core.Relation
+    import graft.relations.RelationManager
+    import spark.implicits._
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_pipe").toString)
+    val src = Relation("graft", "main", "pipe_src")
+    val dst = Relation("graft", "main", "pipe_dst")
+
+    rm.writeTable(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), src)
+    rm.appendTable(Seq((3L, 30.0)).toDF("id", "v"), src)
+
+    // first pipe run: consumes versions 1..2, doubles v
+    val c1 = StreamingOps.incrementalPipe(rm, src, dst, "pipe:src",
+      df => df.withColumn("v", col("v") * 2))
+    assert(c1.contains(2))
+    assert(rm.read(dst).orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 20.0), (2L, 40.0), (3L, 60.0)))
+
+    // caught up → no-op (and no empty commit)
+    val vBefore = rm.currentState(dst).get.version
+    assert(StreamingOps.incrementalPipe(rm, src, dst, "pipe:src").isEmpty)
+    assert(rm.currentState(dst).get.version == vBefore)
+
+    // new source commit → only the delta flows
+    rm.appendTable(Seq((4L, 40.0)).toDF("id", "v"), src)
+    val c2 = StreamingOps.incrementalPipe(rm, src, dst, "pipe:src",
+      df => df.withColumn("v", col("v") * 2))
+    assert(c2.contains(3))
+    assert(rm.read(dst).count() == 4)
+    assert(rm.read(dst).filter(col("id") === 4L).collect()(0).getDouble(1) == 80.0)
+
+    // two independent pipes from the same source don't share watermarks
+    val dst2 = Relation("graft", "main", "pipe_dst2")
+    assert(StreamingOps.incrementalPipe(rm, src, dst2, "pipe2:src").contains(3))
+    assert(rm.read(dst2).count() == 4)
+  }
 }
