@@ -295,4 +295,41 @@ class FileLogSpec extends AnyFunSuite {
     val rows = rm.read(rel).orderBy("p").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(rows == Seq(("p1", 1), ("p2", 20)))
   }
+
+  test("txn watermarks survive checkpoint compaction and log truncation") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "main", "txn_ckpt")
+    rm.writeTable(Seq((0L, "x")).toDF("id", "v"), rel)
+    // push past the checkpoint interval (10) with txn-carrying appends
+    (1 to 12).foreach { i =>
+      rm.appendTable(Seq((i.toLong, s"v$i")).toDF("id", "v"), rel,
+        txn = Map("writer_a" -> i.toLong, s"w$i" -> 0L))
+    }
+    assert(rm.currentState(rel).get.version == 13)
+    assert(rm.lastTxn(rel, "writer_a").contains(12L))
+    assert(rm.lastTxn(rel, "w3").contains(0L)) // merged from a pre-checkpoint delta
+    // a FRESH manager (fresh log reads, checkpoint + tail replay) agrees
+    val rm2 = new RelationManager(spark, rm.root)
+    assert(rm2.lastTxn(rel, "writer_a").contains(12L))
+    assert(rm2.lastTxn(rel, "w1").contains(0L))
+  }
+
+  test("readChanges scans exactly the files added between two versions") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "main", "chg")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel) // v1
+    rm.appendTable(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), rel) // v2
+    rm.appendTable(Seq((4L, "d")).toDF("id", "v"), rel) // v3
+    assert(rm.readChanges(rel, 0, 3).count() == 4) // everything
+    assert(rm.readChanges(rel, 1, 3).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(rm.readChanges(rel, 2, 3).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(rm.readChanges(rel, 3, 3).isEmpty)
+    // the feed's plan reads only the delta files, not the table
+    val v1Files = rm.readVersion(rel, 1).files.toSet
+    val plan = rm.readChanges(rel, 1, 3).queryExecution.sparkPlan.toString
+    assert(!v1Files.exists(f => plan.contains(f.split('/').last)))
+  }
 }

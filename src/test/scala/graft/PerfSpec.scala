@@ -112,7 +112,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("dedup ops contain no cartesian products (blocking join present)") {
-    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard")) {
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+                  "q_dedup_clusters")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
