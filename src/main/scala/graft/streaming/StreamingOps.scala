@@ -73,6 +73,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Tail an APPEND-ONLY commit-log table as a stream: Spark's native file
+    * source discovers each commit's new files (staged files live in
+    * `_`-prefixed dirs the source ignores, so only committed bytes are
+    * ever picked up), with the schema pinned from the table manifest.
+    * Composed with [[appendToTable]] this gives continuous end-to-end
+    * table→transform→table pipelines with exactly-once delivery — the
+    * streaming twin of [[incrementalPipe]].
+    *
+    * Append-only contract (documented, not detected): a MERGE/compaction
+    * rewrite adds files whose rows were already delivered — mutating
+    * sources need the batch pipe, which diffs manifests instead of
+    * listing. `maxFilesPerTrigger` caps per-batch scan size on backfills. */
+  def readTableStream(rm: graft.relations.RelationManager,
+                      rel: graft.core.Relation,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val st = rm.currentState(rel).getOrElse(throw new IllegalArgumentException(
+      s"readTableStream: no such table ${rel.render}"))
+    val r = rm.spark.readStream.schema(st.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(rm.path(rel).toString)
+  }
+
   /** Exactly-once incremental table-to-table pipe: read the source rows
     * committed since this pipe's last run (file-granular change feed),
     * transform, append to the destination — recording the consumed source
