@@ -314,6 +314,30 @@ final class RelationManager(
     readFiles(rel, to, to.files.filterNot(prev))
   }
 
+  /** Row-level change feed computed on demand (Delta-CDF-shaped, without
+    * stored change files): diff the rows of files REMOVED between the two
+    * versions against the rows of files ADDED. Carried-over rows — the
+    * bulk of any file-pruned rewrite — cancel under multiset difference,
+    * leaving exactly the inserted rows (`_change_type = insert`: new keys
+    * + post-update images) and the deleted rows (`delete`: removed keys +
+    * pre-update images). Cost is O(changed files) scans + one exceptAll
+    * shuffle of the changed rows — never a full-table diff, because
+    * untouched files appear in neither list. Pure appends degenerate to
+    * [[readChanges]] (nothing removed → no delete side, no cancellation
+    * work on unchanged data). */
+  def readRowChanges(rel: Relation, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = if (fromV <= 0) TableVersion(0, Nil, new StructType(), Nil)
+               else readVersion(rel, fromV)
+    val to = readVersion(rel, toV)
+    val removed = from.files.filterNot(to.files.toSet)
+    val added = to.files.filterNot(from.files.toSet)
+    val a = readFiles(rel, to, added)
+    val r = readFiles(rel, from.copy(schema = to.schema), removed)
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
   /** Map `input_file_name()` URIs back to table-relative paths. */
   def relativize(rel: Relation, fileUri: String): String = {
     val base = path(rel).toAbsolutePath.toUri.toString

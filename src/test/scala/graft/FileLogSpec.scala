@@ -332,4 +332,30 @@ class FileLogSpec extends AnyFunSuite {
     val plan = rm.readChanges(rel, 1, 3).queryExecution.sparkPlan.toString
     assert(!v1Files.exists(f => plan.contains(f.split('/').last)))
   }
+
+  test("readRowChanges: merge emits exact row-level insert/delete pairs, carried rows cancel") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "row_cdc")
+    rangedTable(rm, rel, 1000, 10) // 100 rows per file
+    val v0 = rm.currentState(rel).get.version
+
+    // update 2 keys + insert 1 → the rewrite carries ~198 rows, but the
+    // row feed must show exactly 2 deletes (pre-images) + 3 inserts
+    val src = Seq((5L, "u5"), (250L, "u250"), (5000L, "new")).toDF("id", "v")
+    Materializations.mergeInto(rm, rel, src, Seq("id"), updateColumns = Nil)
+    val v1 = rm.currentState(rel).get.version
+
+    val chg = rm.readRowChanges(rel, v0, v1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chg == Set(
+      (5L, "v5", "delete"), (250L, "v250", "delete"),
+      (5L, "u5", "insert"), (250L, "u250", "insert"), (5000L, "new", "insert")),
+      s"got $chg")
+
+    // append-only interval → inserts only
+    rm.appendTable(Seq((6000L, "a")).toDF("id", "v"), rel)
+    val chg2 = rm.readRowChanges(rel, v1, v1 + 1).collect()
+    assert(chg2.length == 1 && chg2(0).getString(2) == "insert")
+  }
 }
