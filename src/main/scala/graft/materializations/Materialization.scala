@@ -192,6 +192,51 @@ object Materializations {
     rm.commitReplace(untouched.unionByName(updated).unionByName(inserted), rel, touched)
   }
 
+  /** Apply a row-level change set (the [[graft.relations.RelationManager
+    * .readRowChanges]] shape: table columns + `_change_type` ∈
+    * {insert, delete}) to a keyed table in ONE commit: every key the set
+    * mentions is replaced — keys with an insert event take the new image,
+    * keys with only deletes vanish, untouched rows carry over via the same
+    * O(touched-files) planning scan as MERGE. `txn` rides the commit, so a
+    * CDC pipe's "changes applied" and "source version consumed" are one
+    * atomic fact. Returns false when the change set is empty (no commit).
+    *
+    * Bootstrap: a missing target is created from the insert events
+    * (a from-version-0 feed is exactly the table's current rows). */
+  def applyChanges(rm: RelationManager, rel: Relation, changes: DataFrame,
+                   uniqueKey: Seq[String],
+                   txn: Map[String, Long] = Map.empty): Boolean = {
+    require(changes.columns.contains("_change_type"),
+      s"applyChanges ${rel.render}: change frame needs _change_type")
+    require(uniqueKey.nonEmpty, s"applyChanges ${rel.render}: needs a unique key")
+    val cols = changes.columns.filterNot(_ == "_change_type").toSeq
+    val upserts = changes.filter(col("_change_type") === "insert")
+      .select(cols.map(col): _*)
+    if (!rm.exists(rel)) {
+      // one pass decides emptiness AND guards duplicate keys
+      uniqueKeyBounds(upserts, uniqueKey, s"applyChanges ${rel.render}") match {
+        case None => false
+        case Some(_) =>
+          rm.writeTable(upserts, rel, statsCols = uniqueKey, txn = txn); true
+      }
+    } else {
+      val st = rm.currentState(rel).get
+      uniqueKeyBounds(upserts, uniqueKey, s"applyChanges ${rel.render}")
+      val keys = changes.select(uniqueKey.map(col): _*).distinct()
+      planTouchedFiles(rm, rel, st, keys, uniqueKey) match {
+        case None => false // no events at all
+        case Some(touched) =>
+          val target = rm.readFiles(rel, st, touched)
+          val untouched = target.join(keys, uniqueKey, "left_anti")
+          val tcols = st.schema.fieldNames.toSeq
+          rm.commitReplace(
+            untouched.unionByName(upserts.select(tcols.map(col): _*)),
+            rel, touched, txn)
+          true
+      }
+    }
+  }
+
   /** delete+insert strategy (reference: §default__get_delete_insert_merge_sql):
     * delete target rows whose key appears in source (plus optional
     * incremental_predicates), then insert all source rows. Same

@@ -354,11 +354,12 @@ final class RelationManager(
     * get per-file min/max in the manifest; it persists with the table so
     * later appends/merges keep recording the same stats. */
   def writeTable(df: DataFrame, rel: Relation, partitionBy: Seq[String] = Nil,
-                 statsCols: Seq[String] = Nil): Unit = {
+                 statsCols: Seq[String] = Nil,
+                 txn: Map[String, Long] = Map.empty): Unit = {
     val staged = stageFiles(df, rel, partitionBy, statsCols)
     publishStaged(rel, staged)
     commit(rel, Some(partitionBy), Some(storedSchema(df)),
-      Some(statsCols), staged.stats)(_ => staged.files)
+      Some(statsCols), staged.stats, txn)(_ => staged.files)
   }
 
   /** Append: stage new files, commit current ∪ new. The reader's schema
@@ -428,8 +429,9 @@ final class RelationManager(
   /** File-level replace: remove `removedFiles` from the table, add `df`'s
     * rows as new files — the commit primitive behind O(touched-files)
     * MERGE / delete+insert. */
-  def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String]): Unit =
-    commitReplaceParts(Seq(df), rel, removedFiles)
+  def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String],
+                    txn: Map[String, Long] = Map.empty): Unit =
+    commitReplaceParts(Seq(df), rel, removedFiles, txn)
 
   /** Same, but each part stages as its own file set inside ONE commit.
     * Callers use parts to force a FILE boundary between row populations —
@@ -439,7 +441,8 @@ final class RelationManager(
     * Zero-row staged files are dropped from the commit (their stats say
     * rows=0), so an empty part costs nothing. */
   def commitReplaceParts(parts: Seq[DataFrame], rel: Relation,
-                         removedFiles: Seq[String]): Unit = {
+                         removedFiles: Seq[String],
+                         txn: Map[String, Long] = Map.empty): Unit = {
     val cur = currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
     val staged = parts.map(p => stageFiles(p, rel, cur.partitionBy, cur.statsCols))
@@ -453,9 +456,16 @@ final class RelationManager(
     staged.foreach(publishStaged(rel, _, except = emptyFiles))
     val files = staged.flatMap(_.files).filterNot(emptyFiles)
     val removed = removedFiles.toSet
-    commit(rel, None, None, None, stats -- emptyFiles)(
+    commit(rel, None, None, None, stats -- emptyFiles, txn)(
       c => c.filterNot(removed.contains) ++ files)
   }
+
+  /** Record a writer watermark WITHOUT changing the file list — the
+    * zero-row commit a CDC pipe makes when a source interval contained
+    * file churn (compaction) but no row changes. Keeps the watermark
+    * monotone so the next run diffs from the right version. */
+  def recordTxn(rel: Relation, txn: Map[String, Long]): Unit =
+    commit(rel, None, None, None, Map.empty, txn)(identity)
 
   /** Drop one partition (`col=value`) from the log — the delete half of
     * delete+insert-per-batch microbatch semantics. Data files stay for

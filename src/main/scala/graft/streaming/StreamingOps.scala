@@ -126,6 +126,32 @@ object StreamingOps {
     }
   }
 
+  /** Exactly-once CDC replication between keyed commit-log tables: diff
+    * the source's row-level changes since this pipe's watermark (updates,
+    * deletes, inserts — file-pruned rewrites cancel to exact row deltas)
+    * and apply them to the destination in one commit carrying the consumed
+    * source version. The mutating-source counterpart of
+    * [[incrementalPipe]]: a MERGE- or snapshot-maintained source
+    * replicates correctly, at O(changed files) per run. Intervals with
+    * file churn but no row changes (compaction) record the watermark with
+    * a zero-row commit so the next diff starts from the right version. */
+  def cdcPipe(rm: graft.relations.RelationManager,
+              src: graft.core.Relation, dst: graft.core.Relation,
+              uniqueKey: Seq[String], pipeId: String): Option[Int] = {
+    val srcV = rm.currentVersion(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"cdcPipe: source ${src.render} has no commit log"))
+    val from = rm.lastTxn(dst, pipeId).map(_.toInt).getOrElse(0)
+    if (srcV <= from) None
+    else {
+      val changes = rm.readRowChanges(src, from, srcV)
+      val applied = graft.materializations.Materializations.applyChanges(
+        rm, dst, changes, uniqueKey, Map(pipeId -> srcV.toLong))
+      if (!applied && rm.exists(dst)) rm.recordTxn(dst, Map(pipeId -> srcV.toLong))
+      if (applied || rm.exists(dst)) Some(srcV) else None
+    }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,

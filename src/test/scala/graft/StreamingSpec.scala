@@ -153,4 +153,53 @@ class StreamingSpec extends AnyFunSuite {
     // staged/internal files were never picked up: row count exact, no dups
     assert(rm.currentState(dst).get.txn.contains("e2e_writer"))
   }
+
+  test("cdcPipe replicates a MERGE-maintained keyed table: updates, deletes, compaction") {
+    import graft.core.Relation
+    import graft.relations.RelationManager
+    import graft.materializations.Materializations
+    import spark.implicits._
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_cdc").toString)
+    val src = Relation("graft", "main", "cdc_src")
+    val dst = Relation("graft", "main", "cdc_dst")
+    def srcRows() = rm.read(src).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def dstRows() = rm.read(dst).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    rm.writeTable((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")), src, statsCols = Seq("id"))
+
+    // bootstrap: from-version-0 feed creates the destination
+    assert(StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc:src").isDefined)
+    assert(dstRows() == srcRows())
+
+    // caught up → None
+    assert(StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc:src").isEmpty)
+
+    // update 2 keys + insert 1 through MERGE, then replicate
+    Materializations.mergeInto(rm, src,
+      Seq((5L, "u5"), (50L, "u50"), (200L, "new")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil)
+    assert(StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc:src").isDefined)
+    assert(dstRows() == srcRows())
+
+    // a pure delete on the source replicates as a delete
+    val st = rm.currentState(src).get
+    rm.commitReplace(rm.read(src).filter(col("id") =!= 7L), src, st.files)
+    assert(StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc:src").isDefined)
+    assert(dstRows() == srcRows())
+    assert(!dstRows().exists(_._1 == 7L))
+
+    // compaction churns files without row changes → watermark advances,
+    // destination untouched
+    rm.optimize(src)
+    val dstVer = rm.currentState(dst).get.version
+    StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc:src")
+    assert(dstRows() == srcRows())
+    assert(rm.lastTxn(dst, "cdc:src").get.toInt == rm.currentVersion(src).get)
+    assert(rm.read(dst).count() == 100)
+    assert(rm.currentState(dst).get.version <= dstVer + 1) // zero-row commit at most
+  }
 }
