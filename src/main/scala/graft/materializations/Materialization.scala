@@ -66,12 +66,17 @@ object Materializations {
         case "merge" =>
           // merge_update_columns / merge_exclude_columns are declarable in
           // config() (reference: §get_merge_update_columns,
-          // core/dbt/artifacts/resources/v1/config.py:86-94)
+          // core/dbt/artifacts/resources/v1/config.py:86-94);
+          // incremental_predicates join the match condition like the
+          // reference's §default__get_merge_sql predicates list
           def listCfg(k: String): Seq[String] =
             config.meta.get(k).toSeq.flatMap(_.split("\\s*\\|\\s*")).filter(_.nonEmpty)
+          val preds = config.meta.get("incremental_predicates").toSeq
+            .flatMap(_.split("\\s*;;\\s*")).filter(_.nonEmpty).map(expr)
           mergeInto(rm, rel, newDf, config.uniqueKey,
             updateColumns = listCfg("merge_update_columns"),
-            excludeColumns = listCfg("merge_exclude_columns"))
+            excludeColumns = listCfg("merge_exclude_columns"),
+            predicates = preds)
         case "delete+insert" =>
           // incremental_predicates: extra SQL conditions limiting which
           // matched target rows delete (reference:
@@ -163,7 +168,8 @@ object Materializations {
     * 0.1% MERGE against a 100 TB table moves ~0.1% of its bytes. */
   def mergeInto(rm: RelationManager, rel: Relation, source: DataFrame,
                 uniqueKey: Seq[String], updateColumns: Seq[String],
-                excludeColumns: Seq[String] = Nil): Unit = {
+                excludeColumns: Seq[String] = Nil,
+                predicates: Seq[Column] = Nil): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
@@ -178,10 +184,22 @@ object Materializations {
     // so all merge arithmetic happens on that pruned subset
     val target = rm.readFiles(rel, st, touched)
     val cols = st.schema.fieldNames.toSeq
-    val untouched = target.join(source, uniqueKey, "left_anti")
-    val inserted = source.join(target, uniqueKey, "left_anti").select(cols.map(col): _*)
+    // incremental_predicates restrict which TARGET rows can match
+    // (reference: §default__get_merge_sql predicates join the ON clause):
+    // a target row failing them carries over even when its key matches —
+    // the user contract is that source keys never match excluded rows.
+    // coalesce(_, false) keeps NULL-valued predicates from dropping rows
+    // out of both branches (3VL gotcha).
+    val (matchable, untouched) = predicates.reduceOption(_ && _) match {
+      case None => (target, target.join(source, uniqueKey, "left_anti"))
+      case Some(p0) =>
+        val p = coalesce(p0, lit(false))
+        val m = target.filter(p)
+        (m, m.join(source, uniqueKey, "left_anti").unionByName(target.filter(!p)))
+    }
+    val inserted = source.join(matchable, uniqueKey, "left_anti").select(cols.map(col): _*)
     val updated = {
-      val t = target.as("t"); val s = source.as("s")
+      val t = matchable.as("t"); val s = source.as("s")
       val cond = uniqueKey.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       val updateSet = (if (updateColumns.nonEmpty) updateColumns.toSet
                        else cols.toSet -- uniqueKey) -- excludeColumns

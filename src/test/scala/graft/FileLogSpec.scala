@@ -358,4 +358,26 @@ class FileLogSpec extends AnyFunSuite {
     val chg2 = rm.readRowChanges(rel, v1, v1 + 1).collect()
     assert(chg2.length == 1 && chg2(0).getString(2) == "insert")
   }
+
+  test("merge incremental_predicates: excluded target rows never update (ON-clause semantics)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "merge_preds")
+    rangedTable(rm, rel, 100, 2)
+    // predicate excludes id >= 50 from matching — the reference's
+    // §default__get_merge_sql joins predicates into the ON clause, so an
+    // excluded row carries over even when its key appears in the source,
+    // and that source row INSERTS (the documented user contract: predicates
+    // must exclude rows source keys can't touch)
+    Materializations.mergeInto(rm, rel,
+      Seq((5L, "u5"), (60L, "u60")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil,
+      predicates = Seq(col("id") < 50))
+    val byId = rm.read(rel).collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId(5L) == Seq("u5"))           // matched + predicate → updated
+    assert(byId(60L) == Seq("u60", "v60"))  // excluded → carried + source inserted
+    assert(byId(49L) == Seq("v49"))         // untouched row intact
+    assert(rm.read(rel).count() == 101)
+  }
 }
