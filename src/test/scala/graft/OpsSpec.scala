@@ -136,6 +136,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
   }
+
+  test("connectedComponents agrees with union-find on random graphs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // union-find reference: attaching the larger root under the smaller
+        // keeps every root the min id of its component
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        assert(got.keySet == nodes.toSet)
+        nodes.foreach(v => assert(got(v) == find(v.toInt).toLong,
+          s"node $v: got ${got(v)}, union-find says ${find(v.toInt)}"))
+      }
+    }
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {

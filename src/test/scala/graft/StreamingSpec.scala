@@ -202,4 +202,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rm.read(dst).count() == 100)
     assert(rm.currentState(dst).get.version <= dstVer + 1) // zero-row commit at most
   }
+
+  test("cdcPipe randomized trials: stepwise replication tracks arbitrary merge/delete histories") {
+    import graft.core.Relation
+    import graft.relations.RelationManager
+    import graft.materializations.Materializations
+    import spark.implicits._
+
+    val rnd = new scala.util.Random(7)
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_cdcp").toString)
+    for (trial <- 1 to 3) {
+      val src = Relation("graft", "main", s"cdcp_src_$trial")
+      val dst = Relation("graft", "main", s"cdcp_dst_$trial")
+      def rows(rel: Relation) = rm.read(rel).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+      val n = 50 + rnd.nextInt(50)
+      rm.writeTable((0L until n).map(i => (i, s"t$trial-v$i")).toDF("id", "v")
+        .repartitionByRange(3, col("id")), src, statsCols = Seq("id"))
+
+      for (step <- 1 to 4) {
+        rnd.nextInt(3) match {
+          case 0 => // merge: update some keys + insert new ones
+            val ups = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(n * 2).toLong).distinct
+              .map(k => (k, s"t$trial-s$step-$k")).toDF("id", "v")
+            Materializations.mergeInto(rm, src, ups, Seq("id"), updateColumns = Nil)
+          case 1 => // delete a random key (full-list replace keeps it honest)
+            val st = rm.currentState(src).get
+            rm.commitReplace(rm.read(src).filter(col("id") =!= rnd.nextInt(n).toLong),
+              src, st.files)
+          case 2 => // plain append of fresh keys
+            val base = 10000L * step + 100L * trial
+            rm.appendTable(Seq((base, s"a$step"), (base + 1, s"b$step")).toDF("id", "v"), src)
+        }
+        StreamingOps.cdcPipe(rm, src, dst, Seq("id"), "cdc")
+        assert(rows(dst) == rows(src), s"trial $trial step $step diverged")
+      }
+    }
+  }
 }
