@@ -64,30 +64,55 @@ object GraftSourceTable {
   def log(dir: String): CommitLog =
     new CommitLog(new LocalFileStore, java.nio.file.Paths.get(dir, "_graft_log").toString)
 
-  /** Resolve a version's state; partitioned tables are unsupported here. */
   def resolve(dir: String, versionAsOf: Option[Int]): TableVersion = {
     val l = log(dir)
     val v = versionAsOf.orElse(l.currentVersion).getOrElse(
       throw new IllegalArgumentException(s"no graft commit log under $dir"))
-    val st = l.read(v)
-    require(st.partitionBy.isEmpty,
-      s"graft source: partitioned table $dir not supported — read via RelationManager")
-    st
+    l.read(v)
   }
 
   /** The driver-built, executor-shipped parquet decode function —
-    * exactly what FileSourceScanExec hands to FileScanRDD. */
-  def readFunction(dataSchema: StructType, requiredSchema: StructType):
+    * exactly what FileSourceScanExec hands to FileScanRDD. Partition
+    * columns are appended to each row from the values parsed out of the
+    * file's directory name (the Hive-layout contract parquet files omit). */
+  def readFunction(dataSchema: StructType, partitionSchema: StructType,
+                   requiredData: StructType):
       PartitionedFile => Iterator[InternalRow] = {
     val spark = SparkSession.active
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), requiredSchema,
+      spark, dataSchema, partitionSchema, requiredData,
       Seq.empty,
       // row-iterator mode: the V2 reader consumes InternalRows (the
       // columnar fast path needs SupportsBatch plumbing — a later step)
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
+  }
+
+  /** Parse a file's `k=v` directory segments into an InternalRow laid out
+    * per `partitionSchema` (catalyst-cast from the unescaped strings,
+    * NULL for the Hive default-partition marker). */
+  def partitionValues(relPath: String, partitionSchema: StructType): InternalRow = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val pairs = relPath.split('/').dropRight(1).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(ExternalCatalogUtils.unescapePathName(k) ->
+          ExternalCatalogUtils.unescapePathName(v))
+        case _ => None
+      }
+    }.toMap
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      pairs.get(f.name) match {
+        case None => null
+        case Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(s) => Cast(
+          Literal(UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType),
+          f.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval()
+      }
+    })
   }
 }
 
@@ -112,29 +137,46 @@ class GraftScanBuilder(dir: String, schema: StructType,
     Option(options.get("startingVersion")).map(_.toInt))
 }
 
-class GraftScan(dir: String, dataSchema: StructType, required: StructType,
+class GraftScan(dir: String, tableSchema: StructType, required: StructType,
                 versionAsOf: Option[Int], startingVersion: Option[Int])
     extends Scan {
-  override def readSchema(): StructType = required
+  // Hive-layout split: partition columns live in dir names, not file bytes.
+  // The shipped reader yields requiredData ++ requiredPart per row, so
+  // readSchema() declares exactly that order (V2 maps attributes by name).
+  private val partitionBy =
+    GraftSourceTable.resolve(dir, versionAsOf).partitionBy
+  private val fileDataSchema =
+    StructType(tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+  private val requiredData =
+    StructType(required.fields.filterNot(f => partitionBy.contains(f.name)))
+  private val requiredPart =
+    StructType(tableSchema.fields.filter(f =>
+      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)))
+
+  override def readSchema(): StructType =
+    StructType(requiredData.fields ++ requiredPart.fields)
   override def description(): String = s"GraftScan $dir"
+
+  private def factory(): PartitionReaderFactory =
+    new GraftReaderFactory(GraftSourceTable.readFunction(
+      fileDataSchema, requiredPart, requiredData))
 
   override def toBatch: Batch = new Batch {
     private val st = GraftSourceTable.resolve(dir, versionAsOf)
     override def planInputPartitions(): Array[InputPartition] =
-      GraftFilePartition.forFiles(dir, st.files)
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(GraftSourceTable.readFunction(dataSchema, required))
+      GraftFilePartition.forFiles(dir, st.files, requiredPart)
+    override def createReaderFactory(): PartitionReaderFactory = factory()
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, dataSchema, required, startingVersion)
+    new GraftMicroBatchStream(dir, () => factory(), requiredPart, startingVersion)
 }
 
 /** Offsets are commit-log versions; a microbatch is the files the interval
   * (start, end] added. Append-only contract like readChanges: rewritten
   * files replay their rows. */
-class GraftMicroBatchStream(dir: String, dataSchema: StructType,
-                            required: StructType, startingVersion: Option[Int])
+class GraftMicroBatchStream(dir: String, factory: () => PartitionReaderFactory,
+                            requiredPart: StructType, startingVersion: Option[Int])
     extends MicroBatchStream {
   private def log = GraftSourceTable.log(dir)
   override def initialOffset(): Offset =
@@ -150,13 +192,10 @@ class GraftMicroBatchStream(dir: String, dataSchema: StructType,
     else {
       val before = if (s <= 0) Set.empty[String] else log.read(s).files.toSet
       val after = log.read(e)
-      require(after.partitionBy.isEmpty,
-        s"graft stream: partitioned table $dir not supported")
-      GraftFilePartition.forFiles(dir, after.files.filterNot(before))
+      GraftFilePartition.forFiles(dir, after.files.filterNot(before), requiredPart)
     }
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(GraftSourceTable.readFunction(dataSchema, required))
+  override def createReaderFactory(): PartitionReaderFactory = factory()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -165,12 +204,17 @@ case class GraftVersionOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
-case class GraftFilePartition(path: String, length: Long) extends InputPartition
+case class GraftFilePartition(path: String, length: Long,
+                              partitionValues: InternalRow) extends InputPartition
 object GraftFilePartition {
-  def forFiles(dir: String, files: Seq[String]): Array[InputPartition] =
+  /** One partition per manifest file; partition values parse on the driver
+    * at plan time (the relative path carries the `k=v` segments). */
+  def forFiles(dir: String, files: Seq[String],
+               partitionSchema: StructType): Array[InputPartition] =
     files.map { f =>
       val p = java.nio.file.Paths.get(dir, f)
-      GraftFilePartition(p.toUri.toString, java.nio.file.Files.size(p))
+      GraftFilePartition(p.toUri.toString, java.nio.file.Files.size(p),
+        GraftSourceTable.partitionValues(f, partitionSchema))
     }.toArray[InputPartition]
 }
 
@@ -180,7 +224,7 @@ class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val pf = PartitionedFile(InternalRow.empty,
+    val pf = PartitionedFile(p.partitionValues,
       SparkPath.fromUrlString(p.path), 0L, p.length)
     val raw: Iterator[Any] = fn(pf)
     val rows: Iterator[InternalRow] = raw.flatMap {

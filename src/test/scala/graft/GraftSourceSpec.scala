@@ -69,4 +69,35 @@ class GraftSourceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
+
+  test("partitioned table: dir-encoded values come back typed, prune-only-partition works") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dsv2part").toString)
+    val rel = Relation("graft", "main", "dsv2_part")
+    rm.writeTable(
+      Seq((1L, "x", 10), (2L, "y", 10), (3L, "z", 20)).toDF("id", "v", "p"),
+      rel, partitionBy = Seq("p"))
+    val dir = rm.path(rel).toString
+
+    val df = spark.read.format("graft").load(dir)
+    assert(df.schema.fieldNames.toSet == Set("id", "v", "p"))
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("p"))).toSeq
+    assert(rows == Seq((1L, "x", 10), (2L, "y", 10), (3L, "z", 20)))
+
+    // projecting only data columns / only the partition column both work
+    assert(spark.read.format("graft").load(dir).select("v").count() == 3)
+    assert(spark.read.format("graft").load(dir).select("p")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 10, 20))
+
+    // streaming over a partitioned table delivers typed partition values too
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("dsv2_part_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dsv2part_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dsv2_part_sink").filter(col("p") === 20).count() == 1)
+  }
 }
