@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import graft.relations.{CommitLog, LocalFileStore, TableVersion}
@@ -76,17 +76,84 @@ object GraftSourceTable {
     * columns are appended to each row from the values parsed out of the
     * file's directory name (the Hive-layout contract parquet files omit). */
   def readFunction(dataSchema: StructType, partitionSchema: StructType,
-                   requiredData: StructType):
+                   requiredData: StructType,
+                   filters: Seq[org.apache.spark.sql.sources.Filter] = Nil):
       PartitionedFile => Iterator[InternalRow] = {
     val spark = SparkSession.active
     new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, dataSchema, partitionSchema, requiredData,
-      Seq.empty,
+      filters,
       // row-iterator mode: the V2 reader consumes InternalRows (the
       // columnar fast path needs SupportsBatch plumbing — a later step)
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
+  }
+
+  /** Manifest-stats file skipping (the Delta data-skipping move, at the
+    * connector): drop every file whose per-column min/max (or dir-encoded
+    * partition value) proves no row can satisfy `filters`. Conservative by
+    * construction — files without stats, non-comparable types, and filter
+    * shapes outside the supported set always survive, and Spark re-applies
+    * every filter post-scan, so skipping is an optimization, never a
+    * correctness gate. */
+  def skipByStats(st: TableVersion, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    import graft.relations.{ColStats, Stats}
+    if (filters.isEmpty) return st.files
+    def ord(c: String): Option[Ordering[String]] =
+      st.schema.fields.find(_.name == c).map(_.dataType).flatMap(Stats.ordering)
+    // a partition value is a one-row stat: min = max = the dir-encoded
+    // value (string/numeric/boolean partition types only — canonical form
+    // IS the path string for those; date/timestamp encodings differ)
+    def partStats(f: String): Map[String, ColStats] = {
+      val segs = f.split('/').dropRight(1).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }).toMap
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      segs.flatMap { case (k, v) =>
+        st.schema.fields.find(_.name == k).map(_.dataType) match {
+          // the default-partition (null) marker stays conservative (kept)
+          case _ if v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => None
+          // string/numeric only: for these the path string IS the
+          // canonical stats encoding (booleans/dates/timestamps differ)
+          case Some(StringType | ByteType | ShortType | IntegerType | LongType |
+                    FloatType | DoubleType) =>
+            val canon = ExternalCatalogUtils.unescapePathName(v)
+            Some(k -> ColStats(Some(canon), Some(canon), 0L, 1L))
+          case _ => None
+        }
+      }
+    }
+    def mayMatch(cs: Map[String, ColStats], flt: Filter): Boolean = flt match {
+      case And(l, r) => mayMatch(cs, l) && mayMatch(cs, r)
+      case Or(l, r)  => mayMatch(cs, l) || mayMatch(cs, r)
+      case EqualTo(c, v) => rangeOverlaps(cs, c, Stats.canonical(v), Stats.canonical(v))
+      case In(c, vs) => vs.exists(v => rangeOverlaps(cs, c, Stats.canonical(v), Stats.canonical(v)))
+      case GreaterThan(c, v)        => rangeOverlaps(cs, c, Stats.canonical(v), None)
+      case GreaterThanOrEqual(c, v) => rangeOverlaps(cs, c, Stats.canonical(v), None)
+      case LessThan(c, v)           => rangeOverlaps(cs, c, None, Stats.canonical(v))
+      case LessThanOrEqual(c, v)    => rangeOverlaps(cs, c, None, Stats.canonical(v))
+      case IsNull(c)    => cs.get(c).forall(s => s.nulls > 0)
+      case IsNotNull(c) => cs.get(c).forall(s => s.nulls < s.rows || s.rows == 0)
+      case _ => true
+    }
+    def rangeOverlaps(cs: Map[String, ColStats], c: String,
+                      lo: Option[String], hi: Option[String]): Boolean =
+      (cs.get(c), ord(c)) match {
+        case (Some(s), Some(o)) =>
+          (s.min, s.max) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(l => o.gteq(mx, l)) && hi.forall(h => o.lteq(mn, h))
+            case _ => s.rows == 0 || s.nulls < s.rows // all-null can't match a value
+          }
+        case _ => true // no stats / not comparable → keep
+      }
+    st.files.filter { f =>
+      val cs = st.stats.getOrElse(f, Map.empty) ++ partStats(f)
+      filters.forall(mayMatch(cs, _))
+    }
   }
 
   /** Parse a file's `k=v` directory segments into an InternalRow laid out
@@ -128,17 +195,29 @@ class GraftSourceTable(dir: String, tableSchema: StructType)
 
 class GraftScanBuilder(dir: String, schema: StructType,
                        options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Accept every filter for manifest file skipping + parquet row-group
+    * pushdown, and hand them ALL back as residuals — file/row-group
+    * granularity can't prove per-row satisfaction, so Spark re-applies. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters; filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = new GraftScan(dir, schema, required,
     Option(options.get("versionAsOf")).map(_.toInt),
-    Option(options.get("startingVersion")).map(_.toInt))
+    Option(options.get("startingVersion")).map(_.toInt),
+    pushed.toSeq)
 }
 
 class GraftScan(dir: String, tableSchema: StructType, required: StructType,
-                versionAsOf: Option[Int], startingVersion: Option[Int])
+                versionAsOf: Option[Int], startingVersion: Option[Int],
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan {
   // Hive-layout split: partition columns live in dir names, not file bytes.
   // The shipped reader yields requiredData ++ requiredPart per row, so
@@ -157,14 +236,20 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
     StructType(requiredData.fields ++ requiredPart.fields)
   override def description(): String = s"GraftScan $dir"
 
+  // filters on data columns push into the parquet reader (row-group
+  // skipping); partition-column filters are satisfied at file level
+  private val dataFilters = filters.filter(_.references.forall(r =>
+    !partitionBy.contains(r)))
+
   private def factory(): PartitionReaderFactory =
     new GraftReaderFactory(GraftSourceTable.readFunction(
-      fileDataSchema, requiredPart, requiredData))
+      fileDataSchema, requiredPart, requiredData, dataFilters))
 
   override def toBatch: Batch = new Batch {
     private val st = GraftSourceTable.resolve(dir, versionAsOf)
     override def planInputPartitions(): Array[InputPartition] =
-      GraftFilePartition.forFiles(dir, st.files, requiredPart)
+      GraftFilePartition.forFiles(dir,
+        GraftSourceTable.skipByStats(st, filters), requiredPart)
     override def createReaderFactory(): PartitionReaderFactory = factory()
   }
 

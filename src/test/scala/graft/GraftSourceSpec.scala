@@ -100,4 +100,43 @@ class GraftSourceSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("dsv2_part_sink").filter(col("p") === 20).count() == 1)
   }
+
+  test("filter pushdown skips files via manifest stats and partition values") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.source.GraftSourceTable
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNull, LessThanOrEqual}
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dsv2skip").toString)
+    val rel = Relation("graft", "main", "dsv2_skip")
+    // range-clustered layout → 5 files with near-disjoint id ranges
+    rm.writeTable((0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(5, col("id")), rel, statsCols = Seq("id"))
+    val dir = rm.path(rel).toString
+    val st = GraftSourceTable.resolve(dir, None)
+    assert(st.files.size == 5)
+
+    // point filter → 1 candidate file; range filters prune too
+    assert(GraftSourceTable.skipByStats(st, Seq(EqualTo("id", 5L))).size == 1)
+    assert(GraftSourceTable.skipByStats(st, Seq(GreaterThan("id", 900L))).size == 1)
+    assert(GraftSourceTable.skipByStats(st, Seq(LessThanOrEqual("id", 10L))).size == 1)
+    // id is never null → every file prunes
+    assert(GraftSourceTable.skipByStats(st, Seq(IsNull("id"))).isEmpty)
+    // unknown column / unsupported shape → conservative keep-all
+    assert(GraftSourceTable.skipByStats(st, Seq(EqualTo("nope", 1))).size == 5)
+
+    // end-to-end: the filtered read returns the right rows
+    val out = spark.read.format("graft").load(dir).filter(col("id") === 5L).collect()
+    assert(out.length == 1 && out(0).getString(1) == "v5")
+
+    // partition-value skipping: dir-encoded values act as per-file stats
+    val prel = Relation("graft", "main", "dsv2_skip_part")
+    rm.writeTable(Seq((1L, "x", 10), (2L, "y", 20)).toDF("id", "v", "p"),
+      prel, partitionBy = Seq("p"))
+    val pst = GraftSourceTable.resolve(rm.path(prel).toString, None)
+    assert(pst.files.size == 2)
+    assert(GraftSourceTable.skipByStats(pst, Seq(EqualTo("p", 20))).size == 1)
+    val pout = spark.read.format("graft").load(rm.path(prel).toString)
+      .filter(col("p") === 20).collect()
+    assert(pout.length == 1 && pout(0).getAs[String]("v") == "y")
+  }
 }
