@@ -74,6 +74,29 @@ object MatQueries {
       rm.read(Relation("graft", "main", "mart_orders")).orderBy("l_orderkey")
     }),
 
+    // ------------------------------------- materialized_view (refresh skip)
+    // the SECOND build must be a provable no-op: the refresh fingerprint
+    // (input commit-log versions + compiled-SQL hash) is unchanged, so the
+    // gate verifies BOTH the result and the freshness semantics
+    "q_mat_materialized_view" -> ((s, d) => {
+      val rm = scratch(s)
+      Tables.names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(s"tpch_$n"))
+      val nodes = Seq(
+        TemplateResolver.parseModel("demo", "nation_base",
+          "{{ config(materialized='table') }}\nselect n_nationkey, n_name, n_regionkey from {{ source('tpch','nation') }}"),
+        TemplateResolver.parseModel("demo", "mv_region_counts",
+          """{{ config(materialized='materialized_view') }}
+            |select n_regionkey, count(*) as n_nations, min(n_name) as first_name
+            |from {{ ref('nation_base') }} group by n_regionkey""".stripMargin))
+      val manifest = Manifest(nodes).processRefs()
+      val r1 = new Runner(s, rm, manifest).run()
+      require(r1.forall(_.status == "success"), r1.mkString(";"))
+      val r2 = new Runner(s, rm, manifest).run(select = Seq("mv_region_counts"))
+      require(r2.exists(r => r.uniqueId.endsWith("mv_region_counts") &&
+        r.message.startsWith("fresh")), r2.mkString(";"))
+      rm.read(Relation("graft", "main", "mv_region_counts")).orderBy("n_regionkey")
+    }),
+
     // ------------------------------------------------ seed (typed CSV load)
     "q_mat_seed" -> ((s, d) => {
       val rm = scratch(s)
@@ -201,6 +224,10 @@ object MatQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross
         |FROM lineitem WHERE l_quantity > 45
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_mat_materialized_view" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_mat_seed" ->
       """SELECT * FROM (VALUES
