@@ -99,4 +99,17 @@ class FakeStoreSpec extends AnyFunSuite {
     mem.delete("mem://warehouse/t/_graft_log/v00000010.ckpt.json")
     assert(log.read(12).files.size == 12) // replays all deltas from v1
   }
+
+  test("txn watermarks run on the five primitives: merge, carry, checkpoint, pre-txn logs") {
+    val log = newLog()
+    commitAdd(log, Seq("f1")) // pre-txn commit (no txn key in its delta)
+    log.commit(None, None, None, None, Map.empty, Map("w_a" -> 0L))(_ ++ Seq("f2"))
+    log.commit(None, None, None, None, Map.empty, Map("w_a" -> 1L, "w_b" -> 7L))(identity)
+    assert(log.read(3).txn == Map("w_a" -> 1L, "w_b" -> 7L))
+    assert(log.read(2).txn == Map("w_a" -> 0L))
+    assert(log.read(1).txn.isEmpty)
+    // watermarks survive the checkpoint at v10 and read back from it
+    (4 to 11).foreach(_ => log.commit(None, None, None, None, Map.empty)(identity))
+    assert(log.read(11).txn == Map("w_a" -> 1L, "w_b" -> 7L))
+  }
 }
