@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline operators (builder prompt "beyond the reference"
   * set): dedup family, similarity search, text analysis, multimodal
@@ -104,6 +104,18 @@ object OpsQueries {
         col("doc_id"),
         TA.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // -------------------------------------------------------- sampling
+    "q_sample_fraction" -> ((s, d) => {
+      Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "q_sample_quota" -> ((s, d) => {
+      Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", quota = 40)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
     }),
 
     // ----------------------------------------------------- multimodal
@@ -340,6 +352,22 @@ object OpsQueries {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_fraction" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |      / CAST(268435456 AS DOUBLE) < 0.25
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_quota" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |             / CAST(268435456 AS DOUBLE), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 40
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,

@@ -137,6 +137,30 @@ class OpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
   }
 
+  test("deterministic sampling: nested fractions, exact quotas, stable across runs") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf)
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25 = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s25), "samples must nest across fractions")
+    assert(s10.nonEmpty && s25.size < docs.count())
+    // re-run is bit-stable (pure function of ids, no RNG state)
+    val again = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == s10)
+
+    val quota = Sampling.stratifiedQuota(docs, "lang", "doc_id", quota = 5)
+    val perLang = quota.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 5))
+    val langsWithEnough = docs.groupBy("lang").count()
+      .filter(col("count") >= 5).count()
+    assert(perLang.count(_._2 == 5L) == langsWithEnough,
+      "every stratum with >= quota rows must fill its quota exactly")
+  }
+
   test("connectedComponents agrees with union-find on random graphs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
