@@ -77,16 +77,17 @@ object GraftSourceTable {
     * file's directory name (the Hive-layout contract parquet files omit). */
   def readFunction(dataSchema: StructType, partitionSchema: StructType,
                    requiredData: StructType,
-                   filters: Seq[org.apache.spark.sql.sources.Filter] = Nil):
+                   filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                   returningBatch: Boolean = false):
       PartitionedFile => Iterator[InternalRow] = {
     val spark = SparkSession.active
     new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, dataSchema, partitionSchema, requiredData,
       filters,
-      // row-iterator mode: the V2 reader consumes InternalRows (the
-      // columnar fast path needs SupportsBatch plumbing — a later step)
+      // batch mode feeds createColumnarReader (vectorized path); row mode
+      // yields plain InternalRows for createReader
       Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
+        .OPTION_RETURNING_BATCH -> returningBatch.toString),
       spark.sessionState.newHadoopConf())
   }
 
@@ -241,20 +242,32 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   private val dataFilters = filters.filter(_.references.forall(r =>
     !partitionBy.contains(r)))
 
-  private def factory(): PartitionReaderFactory =
+  // vectorized (ColumnarBatch) reads whenever Spark's own parquet reader
+  // supports them for this schema — same decision FileSourceScanExec makes.
+  // The streaming path stays row-based (its factory says so per partition).
+  private def vectorized: Boolean =
+    new ParquetFileFormat().supportBatch(SparkSession.active, readSchema())
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
+
+  private def factory(batched: Boolean): PartitionReaderFactory =
     new GraftReaderFactory(GraftSourceTable.readFunction(
-      fileDataSchema, requiredPart, requiredData, dataFilters))
+      fileDataSchema, requiredPart, requiredData, dataFilters,
+      returningBatch = batched), batched)
 
   override def toBatch: Batch = new Batch {
     private val st = GraftSourceTable.resolve(dir, versionAsOf)
     override def planInputPartitions(): Array[InputPartition] =
       GraftFilePartition.forFiles(dir,
         GraftSourceTable.skipByStats(st, filters), requiredPart)
-    override def createReaderFactory(): PartitionReaderFactory = factory()
+    override def createReaderFactory(): PartitionReaderFactory =
+      factory(batched = vectorized)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, () => factory(), requiredPart, startingVersion)
+    new GraftMicroBatchStream(dir, () => factory(batched = false),
+      requiredPart, startingVersion)
 }
 
 /** Offsets are commit-log versions; a microbatch is the files the interval
@@ -303,16 +316,23 @@ object GraftFilePartition {
     }.toArray[InputPartition]
 }
 
-/** Wraps the shipped decode function; unwraps the vectorized reader's
-  * ColumnarBatch-as-InternalRow convention the same way FileScanRDD does. */
-class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow])
+/** Wraps the shipped decode function. In row mode it unwraps any stray
+  * ColumnarBatch the way FileScanRDD does; in batched mode it serves
+  * ColumnarBatches directly to the vectorized scan. */
+class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
+                         batched: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+
+  private def open(partition: InputPartition): Iterator[Any] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val pf = PartitionedFile(p.partitionValues,
-      SparkPath.fromUrlString(p.path), 0L, p.length)
-    val raw: Iterator[Any] = fn(pf)
-    val rows: Iterator[InternalRow] = raw.flatMap {
+    fn(PartitionedFile(p.partitionValues,
+      SparkPath.fromUrlString(p.path), 0L, p.length))
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = batched
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows: Iterator[InternalRow] = open(partition).flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r => Iterator.single(r.asInstanceOf[InternalRow])
     }
@@ -321,6 +341,17 @@ class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow])
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val batches = open(partition).map(_.asInstanceOf[ColumnarBatch])
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { current = batches.next(); true } else false
+      override def get(): ColumnarBatch = current
       override def close(): Unit = ()
     }
   }

@@ -21,6 +21,9 @@ class GraftSourceSpec extends AnyFunSuite {
 
     val cur = spark.read.format("graft").load(dir)
     assert(cur.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // vectorized reads engaged: the batch scan feeds a ColumnarToRow
+    assert(cur.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      cur.queryExecution.executedPlan.toString)
 
     val v1 = spark.read.format("graft").option("versionAsOf", 1).load(dir)
     assert(v1.count() == 2)
