@@ -104,6 +104,35 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.table("dsv2_part_sink").filter(col("p") === 20).count() == 1)
   }
 
+  test("streaming offsets tile the file history: every file in exactly one interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.source.{GraftFilePartition, GraftMicroBatchStream, GraftVersionOffset}
+    import org.apache.spark.sql.types.StructType
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dsv2off").toString)
+    val rel = Relation("graft", "main", "dsv2_offsets")
+    rm.writeTable(Seq((0L, "a")).toDF("id", "v"), rel)
+    (1 to 6).foreach(i => rm.appendTable(Seq((i.toLong, s"v$i")).toDF("id", "v"), rel))
+    val dir = rm.path(rel).toString
+    val stream = new GraftMicroBatchStream(dir, () => null, new StructType(), None)
+    val top = stream.latestOffset().asInstanceOf[GraftVersionOffset].version
+    assert(top == 7)
+
+    // arbitrary offset cuts: delivered file sets are disjoint and complete
+    for (cuts <- Seq(Seq(0, 7), Seq(0, 1, 2, 3, 4, 5, 6, 7), Seq(0, 3, 7), Seq(0, 2, 5, 7))) {
+      val intervals = cuts.sliding(2).toSeq
+      val delivered = intervals.map { case Seq(s, e) =>
+        stream.planInputPartitions(GraftVersionOffset(s), GraftVersionOffset(e))
+          .map(_.asInstanceOf[GraftFilePartition].path).toSet
+      }
+      assert(delivered.map(_.size).sum == delivered.reduce(_ ++ _).size,
+        s"cuts $cuts delivered a file twice")
+      val all = rm.currentState(rel).get.files
+        .map(f => java.nio.file.Paths.get(dir, f).toUri.toString).toSet
+      assert(delivered.reduce(_ ++ _) == all, s"cuts $cuts missed files")
+    }
+  }
+
   test("filter pushdown skips files via manifest stats and partition values") {
     import spark.implicits._
     import org.apache.spark.sql.graft.source.GraftSourceTable
