@@ -14,6 +14,14 @@ final case class TableVersion(
     partitionBy: Seq[String],
     statsCols: Seq[String] = Nil,
     stats: Map[String, Map[String, ColStats]] = Map.empty,
+    // declared bucket layout (buckets == 0 → unbucketed): every data file
+    // holds exactly one bucket's rows (murmur3-pmod on bucketBy), recorded
+    // in the file's `_bucket=<id>` path segment. The layout rides the
+    // manifest — time travel, file-level MERGE, and stats pruning all
+    // compose with it, and the V2 connector turns it into a
+    // KeyGroupedPartitioning for storage-partitioned joins.
+    bucketBy: Seq[String] = Nil,
+    buckets: Int = 0,
     // application transaction watermarks (writer id → last committed
     // batch id), carried forward and merged on every commit. The
     // exactly-once primitive for streaming writers: the watermark rides
@@ -95,7 +103,8 @@ final class CommitLog(store: FileStore, dir: String) {
       newSchema: Option[StructType],
       newStatsCols: Option[Seq[String]],
       addedStats: Map[String, Map[String, ColStats]],
-      txn: Map[String, Long] = Map.empty)(
+      txn: Map[String, Long] = Map.empty,
+      newBucketing: Option[(Seq[String], Int)] = None)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
     while (true) {
@@ -118,6 +127,8 @@ final class CommitLog(store: FileStore, dir: String) {
         newStatsCols.orElse(cur.map(_.statsCols)).getOrElse(Nil),
         (logged.map(_.stats).getOrElse(Map.empty) -- remove) ++
           addedStats.view.filterKeys(add.contains).toMap,
+        newBucketing.map(_._1).orElse(cur.map(_.bucketBy)).getOrElse(Nil),
+        newBucketing.map(_._2).orElse(cur.map(_.buckets)).getOrElse(0),
         cur.map(_.txn).getOrElse(Map.empty) ++ txn)
       val body = serialize(next, add, remove,
         addedStats.view.filterKeys(add.contains).toMap, txn)
@@ -167,6 +178,7 @@ final class CommitLog(store: FileStore, dir: String) {
       .map { case (k, b) => s"${Json.quote(k)}:$b" }.mkString(",")
     s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
       s""""partition_by":${sarr(v.partitionBy)},""" +
+      s""""bucket_by":${sarr(v.bucketBy)},"buckets":${v.buckets},""" +
       s""""stats_cols":${sarr(v.statsCols)},""" +
       s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
       s""""stats":{${statsObj(stats)}},""" +
@@ -191,15 +203,22 @@ final class CommitLog(store: FileStore, dir: String) {
     doc.get("txn").map(Json.obj(_).map { case (k, v) =>
       k -> v.asInstanceOf[Long] }).getOrElse(Map.empty)
 
+  /** Bucket spec is absent in pre-bucketing logs — default unbucketed. */
+  private def parseBucketing(doc: Map[String, Any]): (Seq[String], Int) =
+    (doc.get("bucket_by").map(Json.arr(_).map(Json.str).toSeq).getOrElse(Nil),
+      doc.get("buckets").map(_.asInstanceOf[Long].toInt).getOrElse(0))
+
   /** A checkpoint doc is a delta doc whose `add` is the full file list. */
   private def readDoc(body: String, v: Int): TableVersion = {
     val doc = Json.obj(Json.parse(body))
+    val (bucketBy, buckets) = parseBucketing(doc)
     TableVersion(v,
       Json.arr(doc("add")).map(Json.str),
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
       Json.arr(doc("partition_by")).map(Json.str).toSeq,
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
       parseStats(doc("stats")),
+      bucketBy, buckets,
       parseTxn(doc))
   }
 
@@ -207,12 +226,14 @@ final class CommitLog(store: FileStore, dir: String) {
     val doc = Json.obj(Json.parse(body))
     val add = Json.arr(doc("add")).map(Json.str)
     val remove = Json.arr(doc("remove")).map(Json.str).toSet
+    val (bucketBy, buckets) = parseBucketing(doc)
     TableVersion(v,
       (state.files.filterNot(remove) ++ add).distinct.sorted,
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
       Json.arr(doc("partition_by")).map(Json.str).toSeq,
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
       (state.stats -- remove) ++ parseStats(doc("stats")),
+      bucketBy, buckets,
       state.txn ++ parseTxn(doc))
   }
 }

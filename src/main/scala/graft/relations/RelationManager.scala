@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import graft.core.{Json, Relation}
+import RelationManager.BucketCol
 
 /** Relation/DDL surface over a parquet warehouse (SURVEY §2.4; reference:
   * manifest.json §macro.dbt.create_table_as / rename_relation /
@@ -76,11 +77,12 @@ final class RelationManager(
       newSchema: Option[StructType],
       newStatsCols: Option[Seq[String]] = None,
       addedStats: Map[String, Map[String, ColStats]] = Map.empty,
-      txn: Map[String, Long] = Map.empty)(
+      txn: Map[String, Long] = Map.empty,
+      newBucketing: Option[(Seq[String], Int)] = None)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     val next = log(rel).commit(
       legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats,
-      txn)(transform)
+      txn, newBucketing)(transform)
     // a data commit supersedes any prior view materialization
     store.delete(viewDefFile(rel).toString)
     register(rel)
@@ -98,12 +100,27 @@ final class RelationManager(
     * adoption (a concurrent initial backfill must not adopt a sibling
     * batch's staged files as version-0 data). */
   private def stageFiles(df: DataFrame, rel: Relation, partitionBy: Seq[String],
-                         statsCols: Seq[String]): Staged = {
+                         statsCols: Seq[String],
+                         bucketing: Option[(Seq[String], Int)] = None): Staged = {
     Files.createDirectories(path(rel))
     val stage = Files.createTempDirectory(path(rel), "_graft_stage_")
     try {
-      val writer = df.write.mode(SaveMode.Overwrite)
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      // bucketed layout: rows route to their bucket via murmur3-pmod on the
+      // bucket columns (the SAME function GraftBucketFunction computes for
+      // storage-partitioned joins) and land in `_bucket=<id>/` dirs — a
+      // physical-layout dir, never a logical column (the schema below is
+      // the ORIGINAL df's). Buckets nest inside real partition dirs.
+      val (toWrite, writeDirs) = bucketing match {
+        case Some((cols, n)) =>
+          require(!df.schema.fieldNames.contains(BucketCol),
+            s"column name $BucketCol is reserved for bucketed layouts")
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          (df.withColumn(BucketCol, pmod(hash(cols.map(col): _*), lit(n))),
+            partitionBy :+ BucketCol)
+        case None => (df, partitionBy)
+      }
+      val writer = toWrite.write.mode(SaveMode.Overwrite)
+      (if (writeDirs.nonEmpty) writer.partitionBy(writeDirs: _*) else writer)
         .parquet(stage.toString)
       val staged = listDataFiles(stage)
       // stats while still staged: one pruned-column aggregation job over
@@ -245,17 +262,37 @@ final class RelationManager(
 
   // ------------------------------------------------------------- reads
 
-  private def bucketedPath(rel: Relation): Path =
-    Paths.get(path(rel).toString + "__bucketed")
-  private def bucketDefFile(rel: Relation): Path =
-    path(rel).resolve("_graft_buckets.json")
+  /** The V2 catalog name this warehouse is reachable under
+    * (`SELECT … FROM <catalogName>.<schema>.<table>`): registered lazily
+    * in the session conf, keyed by the warehouse root so independent
+    * managers never collide. Registering also enables storage-partitioned
+    * joins, so two co-bucketed commit-log tables join shuffle-free
+    * through their reported KeyGroupedPartitioning (BucketingSpec). */
+  lazy val catalogName: String = {
+    val abs = Paths.get(root).toAbsolutePath.toString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val name = s"graft_$digest"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.graft.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.root", abs)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    name
+  }
 
   def exists(rel: Relation): Boolean =
-    store.exists(viewDefFile(rel).toString) || currentState(rel).isDefined ||
-      Files.isDirectory(bucketedPath(rel))
+    store.exists(viewDefFile(rel).toString) || currentState(rel).isDefined
 
   def read(rel: Relation): DataFrame =
     currentState(rel) match {
+      case Some(v) if v.version > 0 && v.buckets > 0 =>
+        // bucketed tables resolve through the V2 catalog: the scan reports
+        // KeyGroupedPartitioning over the manifest's bucket layout, so
+        // joins/aggregations on the bucket key skip their shuffle —
+        // while keeping every commit-log property (time travel, file-level
+        // MERGE, stats pruning). The pre-r4 either/or is gone.
+        spark.table(s"$catalogName.`${rel.schema}`.`${rel.identifier}`")
       case Some(v) if v.version > 0 => readState(rel, v)
       case Some(_) => spark.read.parquet(path(rel).toString) // legacy dir
       case None => readViewDef(rel) match {
@@ -263,14 +300,6 @@ final class RelationManager(
           deps.foreach(d =>
             if (!spark.catalog.tableExists(d.viewName)) register(d))
           spark.sql(sql)
-        case None if spark.catalog.tableExists(rel.viewName) =>
-          spark.table(rel.viewName) // bucketed catalog table (this session)
-        case None if Files.isDirectory(bucketedPath(rel)) =>
-          // bucketed table from a PREVIOUS session: re-register from the
-          // bucket-spec sidecar so co-located joins survive process
-          // boundaries (no sidecar = pre-r4 table → plain scan)
-          registerBucketedFromSidecar(rel).getOrElse(
-            spark.read.parquet(bucketedPath(rel).toString))
         case None =>
           throw new IllegalArgumentException(s"no such relation: ${rel.render}")
       }
@@ -355,11 +384,14 @@ final class RelationManager(
     * later appends/merges keep recording the same stats. */
   def writeTable(df: DataFrame, rel: Relation, partitionBy: Seq[String] = Nil,
                  statsCols: Seq[String] = Nil,
-                 txn: Map[String, Long] = Map.empty): Unit = {
-    val staged = stageFiles(df, rel, partitionBy, statsCols)
+                 txn: Map[String, Long] = Map.empty,
+                 bucketBy: Seq[String] = Nil, buckets: Int = 0): Unit = {
+    val bucketing = if (buckets > 0) Some((bucketBy, buckets)) else None
+    val staged = stageFiles(df, rel, partitionBy, statsCols, bucketing)
     publishStaged(rel, staged)
     commit(rel, Some(partitionBy), Some(storedSchema(df)),
-      Some(statsCols), staged.stats, txn)(_ => staged.files)
+      Some(statsCols), staged.stats, txn,
+      Some((bucketBy, buckets)))(_ => staged.files)
   }
 
   /** Append: stage new files, commit current ∪ new. The reader's schema
@@ -370,11 +402,16 @@ final class RelationManager(
                   txn: Map[String, Long] = Map.empty): Unit = {
     val cur = currentState(rel)
     val staged = stageFiles(df, rel, cur.map(_.partitionBy).getOrElse(Nil),
-      cur.map(_.statsCols).getOrElse(Nil))
+      cur.map(_.statsCols).getOrElse(Nil), bucketingOf(cur))
     publishStaged(rel, staged)
     commit(rel, None, cur.map(_.schema).orElse(Some(storedSchema(df))),
       None, staged.stats, txn)(_ ++ staged.files)
   }
+
+  /** A table's declared bucket layout, if any — every write path restages
+    * through it so rewritten/appended files keep their bucket routing. */
+  private def bucketingOf(st: Option[TableVersion]): Option[(Seq[String], Int)] =
+    st.filter(_.buckets > 0).map(v => (v.bucketBy, v.buckets))
 
   /** The last batch id a named writer committed to this table, read from
     * the current version's merged txn map. A streaming writer restarting
@@ -395,9 +432,11 @@ final class RelationManager(
 
   /** Stage a frame's files without committing. Thread-safe: each call
     * writes to its own staging dir and unique file names. */
-  def stage(df: DataFrame, rel: Relation, partitionBy: Seq[String]): Staged =
+  def stage(df: DataFrame, rel: Relation, partitionBy: Seq[String]): Staged = {
+    val cur = currentState(rel)
     stageFiles(df, rel, partitionBy,
-      currentState(rel).map(_.statsCols).getOrElse(Nil))
+      cur.map(_.statsCols).getOrElse(Nil), bucketingOf(cur))
+  }
 
   /** Delete a staged-but-never-committed write (abort path — e.g. a
     * concurrent microbatch backfill failing midway). Staged files live
@@ -415,10 +454,12 @@ final class RelationManager(
   def commitStagedPartitions(rel: Relation, staged: Staged,
                              partitionBy: Seq[String],
                              alsoClear: Seq[String] = Nil): Unit = {
-    def partDir(f: String): String = {
-      val parts = f.split('/')
-      parts.take(parts.length - 1).mkString("/")
-    }
+    // the replacement key is the LOGICAL partition: `_bucket=` layout dirs
+    // don't count, or a batch covering only some buckets of a partition
+    // would leave the other buckets' old files alive
+    def partDir(f: String): String =
+      f.split('/').dropRight(1)
+        .filterNot(_.startsWith(BucketCol + "=")).mkString("/")
     val replaced = staged.files.map(partDir).toSet ++ alsoClear
     publishStaged(rel, staged)
     commit(rel, Some(partitionBy), Some(staged.schema), None, staged.stats) { cur =>
@@ -445,7 +486,8 @@ final class RelationManager(
                          txn: Map[String, Long] = Map.empty): Unit = {
     val cur = currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
-    val staged = parts.map(p => stageFiles(p, rel, cur.partitionBy, cur.statsCols))
+    val staged = parts.map(p =>
+      stageFiles(p, rel, cur.partitionBy, cur.statsCols, bucketingOf(Some(cur))))
     val (emptyFiles, stats) = {
       val allStats = staged.flatMap(_.stats).toMap
       (allStats.collect {
@@ -553,51 +595,20 @@ final class RelationManager(
 
   // ------------------------------------------------- catalog / registry
 
-  /** Bucketed CTAS through the session catalog (bucket metadata lives in
-    * the catalog, so parquet-path writes can't carry it). Two tables
-    * bucketed on the same key with the same bucket count join WITHOUT a
-    * shuffle — the co-located-join layout for repeatedly-joined 100 TB
-    * facts (verified by BucketingSpec: no Exchange in the join plan).
-    * The bucket spec persists as a sidecar so a FRESH session re-creates
-    * the catalog entry with its bucket metadata intact (VERDICT r3 #4). */
+  /** Bucketed CTAS over the commit log: rows route to `buckets` bucket
+    * files per partition via murmur3-pmod on `bucketCols`, the layout is
+    * recorded in the version manifest, and reads resolve through the V2
+    * catalog whose scan reports KeyGroupedPartitioning — so co-bucketed
+    * tables join WITHOUT a shuffle (storage-partitioned join, the
+    * Iceberg move) while keeping time travel, file-level MERGE, and
+    * stats-pruned planning. Replaces the round-3 session-catalog path,
+    * which traded all of those away for CLUSTERED BY metadata. */
   def writeBucketedTable(df: DataFrame, rel: Relation,
-                         buckets: Int, bucketCols: Seq[String]): Unit = {
-    val tableName = rel.viewName
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    df.write
-      .format("parquet")
-      .option("path", bucketedPath(rel).toString)
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(tableName)
-    store.write(bucketDefFile(rel).toString,
-      s"""{"buckets":$buckets,""" +
-        s""""bucket_by":[${bucketCols.map(Json.quote).mkString(",")}],""" +
-        s""""schema_json":${Json.quote(storedSchema(df).json)}}""")
-  }
+                         buckets: Int, bucketCols: Seq[String]): Unit =
+    writeTable(df, rel, statsCols = bucketCols,
+      bucketBy = bucketCols, buckets = buckets)
 
-  /** Re-create the bucketed catalog table from its sidecar (fresh session
-    * over an existing warehouse): CREATE TABLE ... CLUSTERED BY restores
-    * the bucket metadata, so the co-located-join layout survives process
-    * boundaries instead of silently degrading to a shuffled plain scan. */
-  private def registerBucketedFromSidecar(rel: Relation): Option[DataFrame] =
-    if (!store.exists(bucketDefFile(rel).toString)) None
-    else {
-      val doc = Json.obj(Json.parse(store.read(bucketDefFile(rel).toString)))
-      val buckets = doc("buckets").asInstanceOf[Long]
-      val cols = Json.arr(doc("bucket_by")).map(Json.str)
-      val schema = DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType]
-      val colDefs = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      val bucketCols = cols.map(c => s"`$c`").mkString(", ")
-      spark.sql(
-        s"""CREATE TABLE ${rel.viewName} ($colDefs) USING parquet
-           |LOCATION '${bucketedPath(rel)}'
-           |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols) INTO $buckets BUCKETS
-           |""".stripMargin)
-      Some(spark.table(rel.viewName))
-    }
-
-  def readBucketedTable(rel: Relation): DataFrame = spark.table(rel.viewName)
+  def readBucketedTable(rel: Relation): DataFrame = read(rel)
 
   /** Register as `<schema>__<identifier>` temp view for spark.sql models.
     * Views re-register their dependency chain first (recursively, via the
@@ -611,10 +622,6 @@ final class RelationManager(
 
   def drop(rel: Relation): Unit = {
     deleteDir(path(rel))
-    if (Files.exists(bucketedPath(rel))) {
-      spark.sql(s"DROP TABLE IF EXISTS ${rel.viewName}")
-      deleteDir(bucketedPath(rel))
-    }
     spark.catalog.dropTempView(rel.viewName)
   }
 
@@ -633,7 +640,7 @@ final class RelationManager(
     else Files.list(dir).iterator().asScala
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
-      .filterNot(n => n.endsWith("__bucketed") || n.startsWith("_"))
+      .filterNot(_.startsWith("_"))
       .toSeq.sorted
   }
 
@@ -730,4 +737,19 @@ final class RelationManager(
       def next(): T = it.next()
     }
   }
+}
+
+object RelationManager {
+  /** Layout-dir name carrying a file's bucket id (`_bucket=<id>/…`).
+    * Underscore-prefixed WITH `=`, so Spark's hidden-path rule treats it
+    * as a partition dir (visible), while it never becomes a logical
+    * column — manifest schemas exclude it and readers prune it. */
+  val BucketCol = "_bucket"
+
+  /** A file's bucket id, parsed from its `_bucket=<id>` path segment. */
+  def bucketIdOf(file: String): Option[Int] =
+    file.split('/').dropRight(1).collectFirst {
+      case seg if seg.startsWith(BucketCol + "=") =>
+        seg.stripPrefix(BucketCol + "=").toInt
+    }
 }

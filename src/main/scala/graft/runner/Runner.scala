@@ -185,9 +185,11 @@ final class Runner(
   }
 
   /** Table write shared by the table and materialized_view paths.
-    * Declarable bucketing: config(buckets=N, bucket_by='k') gives
-    * repeatedly-joined facts a shuffle-free co-located join layout
-    * (BucketingSpec asserts no Exchange). */
+    * Declarable bucketing: config(buckets=N, bucket_by='k') routes rows
+    * to bucket files in the commit-log manifest, so repeatedly-joined
+    * facts get a shuffle-free storage-partitioned join (BucketingSpec
+    * asserts no Exchange) WITHOUT trading away time travel or file-level
+    * MERGE. */
   private def writeTableFor(node: Node, rel: Relation): Unit =
     node.config.meta.get("buckets").map(_.toInt) match {
       case Some(n) =>
@@ -195,7 +197,9 @@ final class Runner(
           throw new IllegalArgumentException(
             s"${node.name}: buckets=$n needs bucket_by"))
           .split("\\s*\\|\\s*").toSeq
-        rm.writeBucketedTable(buildDf(node), rel, n, cols)
+        rm.writeTable(buildDf(node), rel, node.config.partitionBy,
+          statsCols = (cols ++ node.config.partitionBy).distinct,
+          bucketBy = cols, buckets = n)
       case None =>
         Materializations.table(rm, rel, buildDf(node), node.config.partitionBy)
     }

@@ -7,8 +7,9 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -56,8 +57,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       Option(options.get("versionAsOf")).map(_.toInt)).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftSourceTable(properties.get("path"), schema)
+                        properties: JMap[String, String]): Table = {
+    val dir = properties.get("path")
+    val st = GraftSourceTable.resolve(dir,
+      Option(properties.get("versionAsOf")).map(_.toInt))
+    new GraftSourceTable(dir, schema, bucketBy = st.bucketBy, buckets = st.buckets)
+  }
 }
 
 object GraftSourceTable {
@@ -184,18 +189,30 @@ object GraftSourceTable {
   }
 }
 
-class GraftSourceTable(dir: String, tableSchema: StructType)
+class GraftSourceTable(dir: String, tableSchema: StructType,
+                       pinnedVersion: Option[Int] = None,
+                       bucketBy: Seq[String] = Nil, buckets: Int = 0,
+                       tableName: Option[String] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft.`$dir`"
+  override def name(): String = tableName.getOrElse(s"graft.`$dir`")
   override def schema(): StructType = tableSchema
+  /** Declared layout: bucket transform (+ identity for partition dirs) —
+    * what DESCRIBE shows and what the scan's KeyGroupedPartitioning echoes. */
+  override def partitioning(): Array[Transform] = {
+    val part = GraftSourceTable.resolve(dir, pinnedVersion).partitionBy
+      .map(Expressions.identity)
+    val bkt = if (buckets > 0) Seq(Expressions.bucket(buckets, bucketBy: _*)) else Nil
+    (part ++ bkt).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, tableSchema, options)
+    new GraftScanBuilder(dir, tableSchema, options, pinnedVersion)
 }
 
 class GraftScanBuilder(dir: String, schema: StructType,
-                       options: CaseInsensitiveStringMap)
+                       options: CaseInsensitiveStringMap,
+                       pinnedVersion: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = schema
@@ -211,7 +228,7 @@ class GraftScanBuilder(dir: String, schema: StructType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = new GraftScan(dir, schema, required,
-    Option(options.get("versionAsOf")).map(_.toInt),
+    Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion),
     Option(options.get("startingVersion")).map(_.toInt),
     pushed.toSeq)
 }
@@ -219,12 +236,12 @@ class GraftScanBuilder(dir: String, schema: StructType,
 class GraftScan(dir: String, tableSchema: StructType, required: StructType,
                 versionAsOf: Option[Int], startingVersion: Option[Int],
                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-    extends Scan {
+    extends Scan with SupportsReportPartitioning {
   // Hive-layout split: partition columns live in dir names, not file bytes.
   // The shipped reader yields requiredData ++ requiredPart per row, so
   // readSchema() declares exactly that order (V2 maps attributes by name).
-  private val partitionBy =
-    GraftSourceTable.resolve(dir, versionAsOf).partitionBy
+  private val st = GraftSourceTable.resolve(dir, versionAsOf)
+  private val partitionBy = st.partitionBy
   private val fileDataSchema =
     StructType(tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
   private val requiredData =
@@ -256,11 +273,33 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
       fileDataSchema, requiredPart, requiredData, dataFilters,
       returningBatch = batched), batched)
 
+  /** Post-skipping file set, fixed per Scan so the reported partitioning
+    * and the planned partitions agree. Bucketed manifests attach each
+    * file's bucket id as its partition key (HasPartitionKey), which is
+    * what Spark groups on for storage-partitioned joins. */
+  private lazy val planned: Array[InputPartition] =
+    GraftFilePartition.forFiles(dir,
+      GraftSourceTable.skipByStats(st, filters), requiredPart,
+      bucketed = st.buckets > 0)
+
+  /** Storage-partitioned-join contract: a bucketed manifest reports
+    * KeyGroupedPartitioning over the `bucket(n, cols…)` transform. Spark
+    * resolves the transform through the graft catalog's FunctionCatalog,
+    * groups the planned files by bucket id, and elides the join shuffle
+    * when the other side reports a compatible layout. Files missing a
+    * bucket id (pre-bucketing history) degrade to UnknownPartitioning —
+    * a correctness gate, never an error. */
+  override def outputPartitioning(): Partitioning =
+    if (st.buckets > 0 &&
+        planned.forall(_.isInstanceOf[GraftBucketedFilePartition])) {
+      val groups = planned
+        .collect { case b: GraftBucketedFilePartition => b.bucket }.distinct.length
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(st.buckets, st.bucketBy: _*)), groups)
+    } else new UnknownPartitioning(planned.length)
+
   override def toBatch: Batch = new Batch {
-    private val st = GraftSourceTable.resolve(dir, versionAsOf)
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftFilePartition.forFiles(dir,
-        GraftSourceTable.skipByStats(st, filters), requiredPart)
+    override def planInputPartitions(): Array[InputPartition] = planned
     override def createReaderFactory(): PartitionReaderFactory =
       factory(batched = vectorized)
   }
@@ -302,17 +341,37 @@ case class GraftVersionOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
+sealed trait GraftInputPartition extends InputPartition {
+  def path: String
+  def length: Long
+  def partitionValues: InternalRow
+}
 case class GraftFilePartition(path: String, length: Long,
-                              partitionValues: InternalRow) extends InputPartition
+                              partitionValues: InternalRow) extends GraftInputPartition
+/** A bucketed manifest file: its bucket id is the partition key Spark
+  * groups on for storage-partitioned joins. */
+case class GraftBucketedFilePartition(path: String, length: Long,
+                                      partitionValues: InternalRow, bucket: Int)
+    extends GraftInputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 object GraftFilePartition {
   /** One partition per manifest file; partition values parse on the driver
     * at plan time (the relative path carries the `k=v` segments). */
   def forFiles(dir: String, files: Seq[String],
-               partitionSchema: StructType): Array[InputPartition] =
+               partitionSchema: StructType,
+               bucketed: Boolean = false): Array[InputPartition] =
     files.map { f =>
       val p = java.nio.file.Paths.get(dir, f)
-      GraftFilePartition(p.toUri.toString, java.nio.file.Files.size(p),
-        GraftSourceTable.partitionValues(f, partitionSchema))
+      val uri = p.toUri.toString
+      val size = java.nio.file.Files.size(p)
+      val pv = GraftSourceTable.partitionValues(f, partitionSchema)
+      graft.relations.RelationManager.bucketIdOf(f) match {
+        case Some(b) if bucketed => GraftBucketedFilePartition(uri, size, pv, b)
+        case _                   => GraftFilePartition(uri, size, pv)
+      }
     }.toArray[InputPartition]
 }
 
@@ -324,7 +383,7 @@ class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
     extends PartitionReaderFactory {
 
   private def open(partition: InputPartition): Iterator[Any] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = partition.asInstanceOf[GraftInputPartition]
     fn(PartitionedFile(p.partitionValues,
       SparkPath.fromUrlString(p.path), 0L, p.length))
   }

@@ -9,6 +9,7 @@ import graft.materializations.{Materializations, Microbatch, Snapshot}
 import graft.quality.GenericTests
 import graft.relations.RelationManager
 import graft.runner.Runner
+import org.apache.spark.sql.graft.source.{GraftBoundBucket, GraftBucketFunction}
 
 /** End-to-end mini project (SURVEY §7.2): seed → staging view → ephemeral
   * → mart table → generic tests, run through the DAG scheduler; then the
@@ -475,7 +476,18 @@ class RunnerSpec extends AnyFunSuite {
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("co-bucketed tables join without a shuffle") {
+  private def noBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("co-bucketed commit-log tables join without a shuffle (storage-partitioned join)") {
     val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_bkt").toString)
     val sf = "/root/testdata/sf0.001"
     val o = Tables.orders(spark, sf)
@@ -484,27 +496,78 @@ class BucketingSpec extends AnyFunSuite {
     val relL = Relation("graft", "bkt", "lineitem_b")
     rm.writeBucketedTable(o.withColumnRenamed("o_orderkey", "k"), relO, 8, Seq("k"))
     rm.writeBucketedTable(l.withColumnRenamed("l_orderkey", "k"), relL, 8, Seq("k"))
-    val joined = rm.readBucketedTable(relO).join(rm.readBucketedTable(relL), "k")
-      .groupBy("k").count()
-    joined.collect()
-    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("Exchange hashpartitioning(k"),
-      s"bucketed join should not shuffle on k:\n$plan")
-    // inner join keeps exactly the orderkeys that appear in lineitem
-    assert(joined.count() == l.select("l_orderkey").distinct().count())
+    noBroadcast {
+      val joined = rm.read(relO).join(rm.read(relL), "k")
+      val plan = finalPlan(joined)
+      // a real SPJ: sort-merge over the two grouped BatchScans, no exchange
+      assert(plan.contains("SortMergeJoin") && plan.contains("BatchScan"),
+        s"expected a sort-merge join over V2 scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join should storage-partition-join, not shuffle:\n$plan")
+      // inner join row count matches the plain (shuffled) parquet join
+      assert(joined.count() ==
+        o.withColumnRenamed("o_orderkey", "k").join(
+          l.withColumnRenamed("l_orderkey", "k"), "k").count())
+    }
 
-    // FRESH-SESSION path (VERDICT r3 #4): drop the catalog entries (the
-    // metadata a new process wouldn't have) and resolve through rm.read —
-    // the bucket-spec sidecar must re-register CLUSTERED BY tables so the
-    // co-located join STILL doesn't shuffle.
-    spark.sql(s"DROP TABLE IF EXISTS ${relO.viewName}")
-    spark.sql(s"DROP TABLE IF EXISTS ${relL.viewName}")
-    val joined2 = rm.read(relO).join(rm.read(relL), "k").groupBy("k").count()
-    joined2.collect()
-    val plan2 = joined2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan2.contains("Exchange hashpartitioning(k"),
-      s"re-registered bucketed join should not shuffle on k:\n$plan2")
-    assert(joined2.count() == l.select("l_orderkey").distinct().count())
+    // file-level MERGE keeps the layout: rewritten files land back in
+    // their bucket dirs, so the NEXT join still skips the shuffle —
+    // the either/or (bucketing vs commit log) is gone
+    val st0 = rm.currentState(relO).get
+    assert(st0.buckets == 8 && st0.bucketBy == Seq("k"))
+    assert(st0.files.nonEmpty &&
+      st0.files.forall(RelationManager.bucketIdOf(_).isDefined))
+    import org.apache.spark.sql.functions.lit
+    val batch = rm.read(relO).limit(50).withColumn("o_comment", lit("merged"))
+    graft.materializations.Materializations.mergeInto(
+      rm, relO, batch, Seq("k"), updateColumns = Seq("o_comment"))
+    val st1 = rm.currentState(relO).get
+    assert(st1.version > st0.version)
+    assert(st1.files.forall(RelationManager.bucketIdOf(_).isDefined),
+      "merge-rewritten files must keep their bucket routing")
+    noBroadcast {
+      val joined = rm.read(relO).join(rm.read(relL), "k")
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"post-merge bucketed join should still not shuffle:\n$plan")
+    }
+    // time travel still works on the bucketed table
+    assert(rm.readAt(relO, st0.version).count() == o.count())
+
+    // SQL addressability through the V2 catalog, incl. VERSION AS OF
+    val cat = rm.catalogName
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.bkt.orders_b")
+      .head().getLong(0) == o.count())
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.bkt.orders_b VERSION AS OF ${st0.version}")
+      .head().getLong(0) == o.count())
+  }
+
+  test("bucket function matches the write-side row routing exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val n = 16
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (rnd.nextLong(), if (i % 7 == 0) null else s"s${rnd.nextInt(1000)}", rnd.nextInt()))
+    val df = rows.toDF("a", "b", "c")
+    val expected = df.select(col("a"), col("b"), col("c"),
+      pmod(hash(col("a"), col("b"), col("c")), lit(n)).as("bkt")).collect()
+    val bound = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType))))
+      .asInstanceOf[GraftBoundBucket]
+    expected.foreach { r =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, r.getLong(0),
+          if (r.isNullAt(1)) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          r.getInt(2)))
+      assert(bound.produceResult(row) == r.getInt(3),
+        s"bucket mismatch for $r")
+    }
   }
 }
 
