@@ -215,6 +215,27 @@ object MatQueries {
       rm.read(rel)
         .select("c_custkey", "c_mktsegment", "dbt_valid_from", "dbt_valid_to")
         .orderBy("c_custkey", "dbt_valid_from")
+    }),
+
+    // ------------------------------------------------- bucketed tables (r4)
+    // Two co-bucketed commit-log tables joined on their bucket key: the
+    // manifest's bucket layout makes this a storage-partitioned join
+    // (no exchange — BucketingSpec asserts the plan), and the oracle
+    // confirms the bucket routing loses no rows.
+    "q_mat_bucketed_join" -> ((s, d) => {
+      val rm = scratch(s)
+      val relO = Relation("graft", "main", "orders_bkt")
+      val relL = Relation("graft", "main", "lineitem_bkt")
+      rm.writeBucketedTable(Tables.orders(s, d), relO, 8, Seq("o_orderkey"))
+      rm.writeBucketedTable(
+        Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
+        relL, 8, Seq("o_orderkey"))
+      rm.read(relO).join(rm.read(relL), "o_orderkey")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -235,6 +256,13 @@ object MatQueries {
         |  (CAST(2 AS BIGINT), 'amer', false, 2.5),
         |  (CAST(3 AS BIGINT), 'apac', true, 3.75))
         |AS t(id, region_name, active, score) ORDER BY id""".stripMargin,
+
+    "q_mat_bucketed_join" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
 
     "q_mat_incremental_merge" -> mergedOracle,
     "q_mat_incremental_delete_insert" -> mergedOracle,
