@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -162,6 +163,89 @@ object GraftSourceTable {
     }
   }
 
+  /** Decode a canonical stats string (see `Stats.canonical`) back to the
+    * catalyst-internal value for `dt`. Total for every type `Stats
+    * .ordering` covers, so "has an ordering" implies "decodable". */
+  private def fromCanonical(s: String, dt: DataType): Any = dt match {
+    case StringType                       => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case ByteType                         => s.toByte
+    case ShortType                        => s.toShort
+    case IntegerType | DateType           => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case BooleanType                      => s == "1"
+    case FloatType                        => s.toFloat
+    case DoubleType                       => s.toDouble
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalStateException(s"not stats-decodable: $other")
+  }
+
+  /** Try to answer an aggregation entirely from the version manifest.
+    * Some((schema, row)) when EVERY aggregate resolves: no residual
+    * filters, no grouping, and every file carries the needed stats.
+    * COUNT(*) sums per-file row counts, COUNT(col) subtracts null counts,
+    * MIN/MAX fold per-file bounds under the column type's ordering
+    * (all-null columns yield SQL NULL, matching Spark's aggregate). */
+  def aggregateFromStats(
+      dir: String, versionAsOf: Option[Int],
+      pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import graft.relations.{ColStats, Stats}
+    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val st = resolve(dir, versionAsOf)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    // stats for `c` in EVERY file, else None (a stat-less file hides rows)
+    def colStats(c: String): Option[Seq[ColStats]] = {
+      val per = st.files.map(f => st.stats.get(f).flatMap(_.get(c)))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    def dtOf(c: String): Option[DataType] =
+      st.schema.fields.find(_.name == c).map(_.dataType)
+    def minMax(e: org.apache.spark.sql.connector.expressions.Expression,
+               isMin: Boolean): Option[(StructField, Any)] =
+      for {
+        name <- colName(e)
+        dt <- dtOf(name)
+        ord <- Stats.ordering(dt)
+        ss <- colStats(name)
+      } yield {
+        val bounds = ss.flatMap(s => if (isMin) s.min else s.max)
+        val v = if (bounds.isEmpty) null
+                else fromCanonical(
+                  if (isMin) bounds.min(ord) else bounds.max(ord), dt)
+        (StructField(s"${if (isMin) "min" else "max"}($name)", dt), v)
+      }
+    val answers: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val per = st.files.map(f => st.stats.get(f).flatMap(_.values.headOption))
+        if (per.forall(_.isDefined))
+          Some((StructField("count(*)", LongType, nullable = false),
+            per.flatten.map(_.rows).sum: Any))
+        else None
+      case c: Count if !c.isDistinct =>
+        for { name <- colName(c.column); ss <- colStats(name) }
+          yield (StructField(s"count($name)", LongType, nullable = false),
+            ss.map(s => s.rows - s.nulls).sum: Any)
+      case m: Min => minMax(m.column, isMin = true)
+      case m: Max => minMax(m.column, isMin = false)
+      case _ => None
+    }
+    if (answers.exists(_.isEmpty)) None
+    else {
+      val resolved = answers.flatten
+      Some((StructType(resolved.map(_._1)),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          resolved.map(_._2).toArray)))
+    }
+  }
+
   /** Parse a file's `k=v` directory segments into an InternalRow laid out
     * per `partitionSchema` (catalyst-cast from the unescaped strings,
     * NULL for the Hive default-partition marker). */
@@ -214,9 +298,14 @@ class GraftScanBuilder(dir: String, schema: StructType,
                        options: CaseInsensitiveStringMap,
                        pinnedVersion: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+  private var limit: Option[Int] = None
+  private def versionAsOf: Option[Int] =
+    Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Accept every filter for manifest file skipping + parquet row-group
@@ -227,15 +316,51 @@ class GraftScanBuilder(dir: String, schema: StructType,
     pushed = filters; filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new GraftScan(dir, schema, required,
-    Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion),
-    Option(options.get("startingVersion")).map(_.toInt),
-    pushed.toSeq)
+
+  /** Metadata-only aggregation (the Delta/Iceberg "answer from stats"
+    * move): an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) /
+    * MAX(col) whose every manifest file carries the needed stats is
+    * answered on the driver from the version manifest — zero data I/O,
+    * whether the table is 60k rows or 100 TB. Any gap (a filter, a
+    * grouping, a stat-less file, a non-comparable type) declines the
+    * pushdown and the scan proceeds normally; partial pushdown is always
+    * declined because file stats can't produce per-partition rows. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    GraftSourceTable.aggregateFromStats(dir, versionAsOf, pushed, agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggAnswer = GraftSourceTable.aggregateFromStats(dir, versionAsOf, pushed, agg)
+    aggAnswer.isDefined
+  }
+
+  /** LIMIT n over a table whose files all carry row counts scans only a
+    * file prefix totalling ≥ n rows (partial push: Spark still applies
+    * the exact limit). A 100 TB `LIMIT 10` opens one file. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = aggAnswer match {
+    case Some((outSchema, row)) => new GraftStatsLocalScan(dir, outSchema, row)
+    case None => new GraftScan(dir, schema, required,
+      versionAsOf,
+      Option(options.get("startingVersion")).map(_.toInt),
+      pushed.toSeq, limit)
+  }
+}
+
+/** A fully-pushed aggregate: the result row was computed from the version
+  * manifest at plan time; Spark turns this into a local scan — the query
+  * never touches an executor. */
+class GraftStatsLocalScan(dir: String, outSchema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"GraftStatsLocalScan $dir"
 }
 
 class GraftScan(dir: String, tableSchema: StructType, required: StructType,
                 versionAsOf: Option[Int], startingVersion: Option[Int],
-                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                limit: Option[Int] = None)
     extends Scan with SupportsReportPartitioning {
   // Hive-layout split: partition columns live in dir names, not file bytes.
   // The shipped reader yields requiredData ++ requiredPart per row, so
@@ -276,11 +401,29 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   /** Post-skipping file set, fixed per Scan so the reported partitioning
     * and the planned partitions agree. Bucketed manifests attach each
     * file's bucket id as its partition key (HasPartitionKey), which is
-    * what Spark groups on for storage-partitioned joins. */
-  private lazy val planned: Array[InputPartition] =
-    GraftFilePartition.forFiles(dir,
-      GraftSourceTable.skipByStats(st, filters), requiredPart,
+    * what Spark groups on for storage-partitioned joins.
+    *
+    * A pushed LIMIT truncates to a file prefix once cumulative manifest
+    * row counts reach it (partial push — Spark reapplies the exact
+    * limit). Skipped for bucketed manifests, whose partition grouping
+    * wants the full bucket set, and for any file missing a row count. */
+  private lazy val planned: Array[InputPartition] = {
+    val skipped = GraftSourceTable.skipByStats(st, filters)
+    val limited = limit match {
+      case Some(n) if st.buckets == 0 &&
+          skipped.forall(f => st.stats.get(f).exists(_.nonEmpty)) =>
+        val rows = skipped.map(f => st.stats(f).values.head.rows)
+        val cum = rows.scanLeft(0L)(_ + _).tail
+        val keep = cum.indexWhere(_ >= n.toLong) match {
+          case -1 => skipped.length
+          case i  => i + 1
+        }
+        skipped.take(keep)
+      case _ => skipped
+    }
+    GraftFilePartition.forFiles(dir, limited, requiredPart,
       bucketed = st.buckets > 0)
+  }
 
   /** Storage-partitioned-join contract: a bucketed manifest reports
     * KeyGroupedPartitioning over the `bucket(n, cols…)` transform. Spark

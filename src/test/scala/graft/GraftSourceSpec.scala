@@ -171,4 +171,63 @@ class GraftSourceSpec extends AnyFunSuite {
       .filter(col("p") === 20).collect()
     assert(pout.length == 1 && pout(0).getAs[String]("v") == "y")
   }
+
+  test("count/min/max answer from manifest stats with zero data I/O") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dsv2agg").toString)
+    val rel = Relation("graft", "main", "dsv2_agg")
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) null else s"v$i", i.toDouble / 3))
+    rm.writeTable(rows.toDF("id", "v", "x").repartitionByRange(5, col("id")),
+      rel, statsCols = Seq("id", "v", "x"))
+    val dir = rm.path(rel).toString
+
+    val agg = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("id")).as("lo"), max(col("id")).as("hi"),
+        max(col("x")).as("xhi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // fully pushed: a local scan of the one stats row, no BatchScan at all
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"expected a metadata-only answer:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 900L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 999L)
+    assert(r.getDouble(4) == 999.0 / 3)
+
+    // a filter blocks the shortcut (file stats can't answer per-row
+    // predicates) — the scan must fall back to reading data
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("id") > 500L).agg(count(lit(1)))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head().getLong(0) == 499L)
+
+    // a column without full stats coverage declines (append without stats)
+    val rel2 = Relation("graft", "main", "dsv2_agg2")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel2) // statsCols = Nil
+    val agg2 = spark.read.format("graft").load(rm.path(rel2).toString)
+      .agg(count(lit(1)))
+    assert(agg2.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(agg2.head().getLong(0) == 1L)
+  }
+
+  test("pushed LIMIT scans a row-count-bounded file prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.source.GraftScan
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dsv2lim").toString)
+    val rel = Relation("graft", "main", "dsv2_lim")
+    rm.writeTable((0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(5, col("id")), rel, statsCols = Seq("id"))
+    val dir = rm.path(rel).toString
+    val schema = spark.read.format("graft").load(dir).schema
+
+    // 5 files of ~200 rows: LIMIT 3 plans exactly one file
+    val limited = new GraftScan(dir, schema, schema, None, None, Nil, Some(3))
+    assert(limited.toBatch.planInputPartitions().length == 1)
+    // LIMIT past the total keeps every file
+    val all = new GraftScan(dir, schema, schema, None, None, Nil, Some(5000))
+    assert(all.toBatch.planInputPartitions().length == 5)
+    // end-to-end row count is exact
+    assert(spark.read.format("graft").load(dir).limit(3).count() == 3)
+  }
 }
