@@ -185,6 +185,61 @@ class GoldenCorpusSpec extends AnyFunSuite {
       "strings")
   }
 
+  test("position / replace / right golden: edge matrix (data_position/replace/right seeds)") {
+    // the reference seeds exercise the boundary rows the single happy-path
+    // row above skips: not-found (position → 0), needle-absent replace
+    // (unchanged), replace-to-empty (delete), n=0 / n>length right, and
+    // NULL propagation on every function
+    val in = Seq(
+      ("abcdef", "xyz"),  // absent needle
+      ("abcdef", "abcdef"), // needle == haystack
+      ("aaa", "a"),       // repeated matches
+      (null, "a"),        // null haystack
+      ("abc", null)       // null needle
+    ).toDF("s", "sub")
+    assertEqual(
+      in.select(
+        FN.position(col("sub"), col("s")).as("p"),
+        FN.replaceAll(col("s"), col("sub"), lit("")).as("gone"),
+        FN.replaceAll(col("s"), col("sub"), lit("Z")).as("z")),
+      Seq[(Integer, String, String)](
+        (0, "abcdef", "abcdef"),
+        (1, "", "Z"),
+        (1, "", "ZZZ"),
+        (null, null, null),
+        (null, null, null)).toDF("p", "gone", "z"),
+      "position/replace edges")
+    val r = Seq(("abcdef")).toDF("s")
+    assertEqual(
+      r.select(
+        FN.rightChars(col("s"), lit(0)).as("r0"),
+        FN.rightChars(col("s"), lit(6)).as("r6"),
+        FN.rightChars(col("s"), lit(99)).as("rBig"),
+        FN.rightChars(lit(null).cast("string"), lit(2)).as("rNull")),
+      Seq[(String, String, String, String)](("", "abcdef", "abcdef", null))
+        .toDF("r0", "r6", "rBig", "rNull"),
+      "right edges")
+  }
+
+  test("numeric(28,6) golden: scale rounding and precision headroom (data_types numeric)") {
+    // the reference's numeric seed is DECIMAL(28,6): casts must round to
+    // 6 fractional digits (HALF_UP) and carry 22 integer digits unscathed
+    val in = Seq(
+      ("12.0000014", "12.000001"),
+      ("12.0000015", "12.000002"),
+      ("-12.0000015", "-12.000002"),
+      ("9999999999999999999999.999999", "9999999999999999999999.999999"),
+      ("0.0000001", "0.000000")
+    ).toDF("input", "expected")
+    val out = in.select(
+      expr(s"cast(input as ${FN.typeNumeric})").as("n"), col("expected"))
+    assert(out.schema.head.dataType.simpleString == "decimal(28,6)")
+    out.collect().foreach { r =>
+      assert(r.getDecimal(0).toPlainString == r.getString(1),
+        s"${r.getDecimal(0)} != expected ${r.getString(1)}")
+    }
+  }
+
   test("concat golden: empty-string matrix (fixture_concat.py, dbt-core issue 4725)") {
     // the reference's seed uses EMPTY placeholders replaced by '' — concat
     // of empty strings must not null out or drop the other operand
