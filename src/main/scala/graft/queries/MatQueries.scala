@@ -236,6 +236,31 @@ object MatQueries {
           sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderkey")
+    }),
+
+    // ------------------------------------------------- V2 write surface (r4)
+    // A graft table written by the ENGINE, appended to by plain Spark SQL
+    // (INSERT INTO through the V2 catalog — any Spark job can do this), then
+    // partition-trimmed by a metadata-only DELETE that drops whole manifest
+    // entries without touching data bytes. The oracle reproduces the final
+    // row set relationally.
+    "q_v2_sql_write" -> ((s, d) => {
+      val rm = scratch(s)
+      val rel = Relation("graft", "main", "orders_v2w")
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"), col("o_orderdate"))
+      rm.writeTable(
+        base.filter(col("o_orderdate") < lit(D).cast(TimestampType)).drop("o_orderdate"),
+        rel, partitionBy = Seq("o_year"), statsCols = Seq("o_orderkey"))
+      Tables.orders(s, d).createOrReplaceTempView("tpch_orders_v2w")
+      val t = s"${rm.catalogName}.main.orders_v2w"
+      s.sql(
+        s"""INSERT INTO $t
+           |SELECT o_orderkey, o_totalprice, year(o_orderdate)
+           |FROM tpch_orders_v2w WHERE o_orderdate >= TIMESTAMP '$D'""".stripMargin)
+      s.sql(s"DELETE FROM $t WHERE o_year = 1992")
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_year FROM $t ORDER BY o_orderkey")
     })
   )
 
@@ -263,6 +288,11 @@ object MatQueries {
         |  COUNT(*) AS n_items
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+
+    "q_v2_sql_write" ->
+      """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+        |FROM orders WHERE year(o_orderdate) <> 1992
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_mat_incremental_merge" -> mergedOracle,
     "q_mat_incremental_delete_insert" -> mergedOracle,

@@ -147,9 +147,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
-      .commit(None, Some(partBy), Some(schema), Some(Nil), Map.empty,
+      .commit(None, Some(partBy), Some(nullableize(schema)), Some(Nil), Map.empty,
         Map.empty, bucketing)(identity)
     loadTable(ident)
+  }
+
+  /** Parquet reads are always nullable; a CTAS query's non-null fields
+    * stored verbatim would make the table reject its own files. */
+  private def nullableize(s: StructType): StructType = {
+    def loop(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = loop(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = loop(a.elementType))
+      case m: org.apache.spark.sql.types.MapType   => m.copy(valueType = loop(m.valueType))
+      case other => other
+    }
+    loop(s).asInstanceOf[StructType]
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

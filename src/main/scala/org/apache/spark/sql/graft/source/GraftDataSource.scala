@@ -6,12 +6,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -105,50 +106,51 @@ object GraftSourceTable {
     * every filter post-scan, so skipping is an optimization, never a
     * correctness gate. */
   def skipByStats(st: TableVersion, filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
-    import org.apache.spark.sql.sources._
-    import graft.relations.{ColStats, Stats}
     if (filters.isEmpty) return st.files
-    def ord(c: String): Option[Ordering[String]] =
-      st.schema.fields.find(_.name == c).map(_.dataType).flatMap(Stats.ordering)
-    // a partition value is a one-row stat: min = max = the dir-encoded
-    // value (string/numeric/boolean partition types only — canonical form
-    // IS the path string for those; date/timestamp encodings differ)
-    def partStats(f: String): Map[String, ColStats] = {
-      val segs = f.split('/').dropRight(1).flatMap(_.split("=", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case _           => None
-      }).toMap
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      segs.flatMap { case (k, v) =>
-        st.schema.fields.find(_.name == k).map(_.dataType) match {
-          // the default-partition (null) marker stays conservative (kept)
-          case _ if v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => None
-          // string/numeric only: for these the path string IS the
-          // canonical stats encoding (booleans/dates/timestamps differ)
-          case Some(StringType | ByteType | ShortType | IntegerType | LongType |
-                    FloatType | DoubleType) =>
-            val canon = ExternalCatalogUtils.unescapePathName(v)
-            Some(k -> ColStats(Some(canon), Some(canon), 0L, 1L))
-          case _ => None
-        }
+    st.files.filter { f =>
+      val cs = combinedStats(st, f)
+      filters.forall(mayMatch(st, cs, _))
+    }
+  }
+
+  /** A file's manifest stats merged with its dir-encoded partition values
+    * (a partition value is a one-row stat: min = max = the value;
+    * string/numeric partition types only — for those the path string IS
+    * the canonical stats encoding; booleans/dates/timestamps differ). */
+  def combinedStats(st: TableVersion, f: String): Map[String, graft.relations.ColStats] = {
+    import graft.relations.ColStats
+    val segs = f.split('/').dropRight(1).flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v)
+      case _           => None
+    }).toMap
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val part = segs.flatMap { case (k, v) =>
+      st.schema.fields.find(_.name == k).map(_.dataType) match {
+        // the default-partition (null) marker stays conservative (no stat)
+        case _ if v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => None
+        case Some(StringType | ByteType | ShortType | IntegerType | LongType |
+                  FloatType | DoubleType) =>
+          val canon = ExternalCatalogUtils.unescapePathName(v)
+          Some(k -> ColStats(Some(canon), Some(canon), 0L, 1L))
+        case _ => None
       }
     }
-    def mayMatch(cs: Map[String, ColStats], flt: Filter): Boolean = flt match {
-      case And(l, r) => mayMatch(cs, l) && mayMatch(cs, r)
-      case Or(l, r)  => mayMatch(cs, l) || mayMatch(cs, r)
-      case EqualTo(c, v) => rangeOverlaps(cs, c, Stats.canonical(v), Stats.canonical(v))
-      case In(c, vs) => vs.exists(v => rangeOverlaps(cs, c, Stats.canonical(v), Stats.canonical(v)))
-      case GreaterThan(c, v)        => rangeOverlaps(cs, c, Stats.canonical(v), None)
-      case GreaterThanOrEqual(c, v) => rangeOverlaps(cs, c, Stats.canonical(v), None)
-      case LessThan(c, v)           => rangeOverlaps(cs, c, None, Stats.canonical(v))
-      case LessThanOrEqual(c, v)    => rangeOverlaps(cs, c, None, Stats.canonical(v))
-      case IsNull(c)    => cs.get(c).forall(s => s.nulls > 0)
-      case IsNotNull(c) => cs.get(c).forall(s => s.nulls < s.rows || s.rows == 0)
-      case _ => true
-    }
-    def rangeOverlaps(cs: Map[String, ColStats], c: String,
-                      lo: Option[String], hi: Option[String]): Boolean =
-      (cs.get(c), ord(c)) match {
+    st.stats.getOrElse(f, Map.empty) ++ part
+  }
+
+  private def ord(st: TableVersion, c: String): Option[Ordering[String]] = {
+    import graft.relations.Stats
+    st.schema.fields.find(_.name == c).map(_.dataType).flatMap(Stats.ordering)
+  }
+
+  /** "Some row of this file MAY satisfy `flt`" — false only on proof of
+    * impossibility (the data-skipping direction; conservative default true). */
+  def mayMatch(st: TableVersion, cs: Map[String, graft.relations.ColStats],
+               flt: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    import graft.relations.Stats
+    def rangeOverlaps(c: String, lo: Option[String], hi: Option[String]): Boolean =
+      (cs.get(c), ord(st, c)) match {
         case (Some(s), Some(o)) =>
           (s.min, s.max) match {
             case (Some(mn), Some(mx)) =>
@@ -157,9 +159,69 @@ object GraftSourceTable {
           }
         case _ => true // no stats / not comparable → keep
       }
-    st.files.filter { f =>
-      val cs = st.stats.getOrElse(f, Map.empty) ++ partStats(f)
-      filters.forall(mayMatch(cs, _))
+    flt match {
+      case And(l, r) => mayMatch(st, cs, l) && mayMatch(st, cs, r)
+      case Or(l, r)  => mayMatch(st, cs, l) || mayMatch(st, cs, r)
+      case EqualTo(c, v) => rangeOverlaps(c, Stats.canonical(v), Stats.canonical(v))
+      case In(c, vs) => vs.exists(v => rangeOverlaps(c, Stats.canonical(v), Stats.canonical(v)))
+      case GreaterThan(c, v)        => rangeOverlaps(c, Stats.canonical(v), None)
+      case GreaterThanOrEqual(c, v) => rangeOverlaps(c, Stats.canonical(v), None)
+      case LessThan(c, v)           => rangeOverlaps(c, None, Stats.canonical(v))
+      case LessThanOrEqual(c, v)    => rangeOverlaps(c, None, Stats.canonical(v))
+      case IsNull(c)    => cs.get(c).forall(s => s.nulls > 0)
+      case IsNotNull(c) => cs.get(c).forall(s => s.nulls < s.rows || s.rows == 0)
+      case _ => true
+    }
+  }
+
+  /** "EVERY row of this file satisfies `flt`" — the metadata-delete proof
+    * (conservative default false; the dual of [[mayMatch]]). Sound use of
+    * the one-row partition stats: their min/max/nulls are exact claims
+    * about every row, only `rows` is a placeholder, and no rule below
+    * reads `rows` except against `nulls` from the same real stat. */
+  def mustMatch(st: TableVersion, cs: Map[String, graft.relations.ColStats],
+                flt: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    import graft.relations.Stats
+    // a zero-row file satisfies anything vacuously
+    if (cs.values.headOption.exists(_.rows == 0L)) return true
+    def bound(c: String)(p: (Ordering[String], graft.relations.ColStats) => Boolean): Boolean =
+      (cs.get(c), ord(st, c)) match {
+        case (Some(s), Some(o)) => s.nulls == 0L && p(o, s)
+        case _                  => false
+      }
+    def allEq(c: String, v: Any): Boolean = Stats.canonical(v) match {
+      case None => false
+      case Some(cv) => bound(c) { (o, s) =>
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) => o.equiv(mn, cv) && o.equiv(mx, cv)
+          case _                    => false
+        }
+      }
+    }
+    def cmp(c: String, v: Any, takeMin: Boolean)(
+        ok: (Ordering[String], String, String) => Boolean): Boolean =
+      Stats.canonical(v) match {
+        case None => false
+        case Some(cv) => bound(c) { (o, s) =>
+          (if (takeMin) s.min else s.max).exists(b => ok(o, b, cv))
+        }
+      }
+    flt match {
+      case And(l, r)     => mustMatch(st, cs, l) && mustMatch(st, cs, r)
+      case Or(l, r)      => mustMatch(st, cs, l) || mustMatch(st, cs, r)
+      case Not(x)        => !mayMatch(st, cs, x) // no row can match x
+      case AlwaysTrue()  => true
+      case AlwaysFalse() => false
+      case EqualTo(c, v) => allEq(c, v)
+      case In(c, vs)     => vs.exists(v => allEq(c, v))
+      case GreaterThan(c, v)        => cmp(c, v, takeMin = true)((o, b, cv) => o.gt(b, cv))
+      case GreaterThanOrEqual(c, v) => cmp(c, v, takeMin = true)((o, b, cv) => o.gteq(b, cv))
+      case LessThan(c, v)           => cmp(c, v, takeMin = false)((o, b, cv) => o.lt(b, cv))
+      case LessThanOrEqual(c, v)    => cmp(c, v, takeMin = false)((o, b, cv) => o.lteq(b, cv))
+      case IsNull(c)    => cs.get(c).exists(s => s.nulls == s.rows && s.rows > 0)
+      case IsNotNull(c) => cs.get(c).exists(_.nulls == 0L)
+      case _ => false
     }
   }
 
@@ -277,7 +339,7 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
                        pinnedVersion: Option[Int] = None,
                        bucketBy: Seq[String] = Nil, buckets: Int = 0,
                        tableName: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   override def name(): String = tableName.getOrElse(s"graft.`$dir`")
   override def schema(): StructType = tableSchema
   /** Declared layout: bucket transform (+ identity for partition dirs) —
@@ -289,9 +351,61 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
     (part ++ bkt).toArray
   }
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, tableSchema, options, pinnedVersion)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to a time-travel (VERSION AS OF) relation: ${name()}")
+    // catalog-resolved tables can request bucket-transform clustering (the
+    // catalog serves the bucket function); path-based ones cannot
+    new GraftWriteBuilder(dir, info, viaCatalog = tableName.isDefined)
+  }
+
+  // ---- metadata-only DELETE / TRUNCATE (the Iceberg metadata-delete move:
+  // a predicate every file provably all-matches or none-matches — partition
+  // values or clustered stats — deletes by dropping manifest entries,
+  // touching zero data bytes at any table size)
+
+  private def deleteProof(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]):
+      Option[Seq[String]] = {
+    import org.apache.spark.sql.internal.connector.PredicateUtils
+    val v1 = predicates.map(PredicateUtils.toV1)
+    if (v1.exists(_.isEmpty)) return None
+    val filters = v1.flatten.toSeq
+    val st = GraftSourceTable.resolve(dir, None)
+    val verdicts = st.files.map { f =>
+      val cs = GraftSourceTable.combinedStats(st, f)
+      val all = filters.forall(GraftSourceTable.mustMatch(st, cs, _))
+      val none = !filters.forall(GraftSourceTable.mayMatch(st, cs, _))
+      (f, all, none)
+    }
+    if (verdicts.forall { case (_, all, none) => all || none })
+      Some(verdicts.collect { case (f, true, _) => f })
+    else None
+  }
+
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedVersion.isEmpty && deleteProof(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val doomed = deleteProof(predicates).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE on ${name()}: cannot prove all-or-nothing row matches per file " +
+        "from manifest stats/partition values — rewrite via the engine's merge/delete+insert")).toSet
+    if (doomed.nonEmpty)
+      GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty)(
+        _.filterNot(doomed))
+  }
+
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"cannot truncate a time-travel (VERSION AS OF) relation: ${name()}")
+    GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty)(_ => Nil)
+    true
+  }
 }
 
 class GraftScanBuilder(dir: String, schema: StructType,
