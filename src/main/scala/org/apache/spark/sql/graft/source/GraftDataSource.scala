@@ -352,8 +352,8 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, tableSchema, options, pinnedVersion)
 

@@ -54,7 +54,7 @@ import graft.relations.{ColStats, RelationManager, Stats, TableVersion}
   * here the "warehouse" is the commit log, and this connector is its SQL
   * write surface. Design follows the public Delta/Iceberg write protocols.
   */
-private[source] object GraftWriteMode extends Enumeration {
+object GraftWriteMode extends Enumeration {
   val Append, Truncate, DynamicOverwrite = Value
 }
 
@@ -65,12 +65,13 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo, viaCatalog: Boolean
   override def overwriteDynamicPartitions(): WriteBuilder = {
     mode = GraftWriteMode.DynamicOverwrite; this
   }
-  override def build(): Write = new GraftWrite(dir, info.schema(), mode, viaCatalog)
+  override def build(): Write =
+    new GraftWrite(dir, info.schema(), mode, viaCatalog, info.queryId())
 }
 
 class GraftWrite(dir: String, writeSchema: StructType,
-                 mode: GraftWriteMode.Value, viaCatalog: Boolean)
-    extends Write with RequiresDistributionAndOrdering {
+                 mode: GraftWriteMode.Value, viaCatalog: Boolean,
+                 queryId: String = "") extends Write with RequiresDistributionAndOrdering {
   private val st: TableVersion = GraftSourceTable.resolve(dir, None)
 
   /** Requested (not required) layout: cluster on partition values + bucket
@@ -96,6 +97,16 @@ class GraftWrite(dir: String, writeSchema: StructType,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = new GraftBatchWrite(dir, st, writeSchema, mode)
+
+  /** Exactly-once streaming sink: each epoch appends (or, for Complete
+    * mode, replaces) through one commit that atomically records the
+    * query's epoch watermark in the manifest's txn map — a restarted
+    * query replaying its in-flight epoch sees watermark ≥ epoch and
+    * discards the duplicate instead of double-appending (the engine's
+    * `appendToTable` contract, now reachable from any Spark job via
+    * `df.writeStream.format("graft").start(dir)`). */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(dir, st, writeSchema, mode, queryId)
 }
 
 /** One WriterCommitMessage per task: the files it wrote (stage-relative =
@@ -103,14 +114,48 @@ class GraftWrite(dir: String, writeSchema: StructType,
 case class GraftCommitMessage(files: Seq[(String, Map[String, ColStats])])
     extends WriterCommitMessage
 
-class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
-                      mode: GraftWriteMode.Value) extends BatchWrite {
+/** Staging/publish plumbing shared by the batch and streaming writes. */
+private[source] object GraftPublish {
+  /** Move committed files from a stage dir to their final table-relative
+    * names (stage-relative and table-relative paths coincide — a
+    * local-staging detail, not part of the commit protocol). */
+  def publish(dir: String, stageDir: java.nio.file.Path, files: Seq[String]): Unit =
+    files.foreach { f =>
+      val to = Paths.get(dir, f)
+      Files.createDirectories(to.getParent)
+      Files.move(stageDir.resolve(f), to,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
-  private val stageName =
-    s"_graft_stage_v2_${java.util.UUID.randomUUID().toString.take(8)}"
-  private val stageDir = Paths.get(dir, stageName)
+  def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).iterator()
+      val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+      all.reverse.foreach(q => Files.deleteIfExists(q))
+    }
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+  /** The replacement key for dynamic overwrite is the LOGICAL partition:
+    * bucket layout dirs don't count (same rule as the engine's
+    * commitStagedPartitions). */
+  def partDir(f: String): String = f.split('/').dropRight(1)
+    .filterNot(_.startsWith(RelationManager.BucketCol + "=")).mkString("/")
+
+  def transformFor(mode: GraftWriteMode.Value,
+                   files: Seq[String]): Seq[String] => Seq[String] = mode match {
+    case GraftWriteMode.Append   => cur => cur ++ files
+    case GraftWriteMode.Truncate => _ => files
+    case GraftWriteMode.DynamicOverwrite =>
+      val replaced = files.map(partDir).toSet
+      cur => cur.filterNot(f => replaced.contains(partDir(f))) ++ files
+  }
+
+  /** Driver-side writer factory for one write: parquet output factory from
+    * Spark's own FileFormat (codec, committer conf), the layout columns,
+    * and a fresh uuid that rides every file name — task ids restart at 0
+    * in a new session, so the uuid is what keeps file names from a second
+    * session's append from colliding with already-published ones. */
+  def factory(dir: String, st: TableVersion, writeSchema: StructType,
+              stageDir: java.nio.file.Path): GraftWriterFactory = {
     val spark = SparkSession.active
     Files.createDirectories(stageDir)
     val fileDataSchema = StructType(
@@ -119,46 +164,77 @@ class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
     val owf = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], fileDataSchema)
     GraftWriterFactory(stageDir.toString, writeSchema, fileDataSchema,
-      st.partitionBy, st.bucketBy, st.buckets,
-      st.statsCols, owf, new SerializableConfiguration(job.getConfiguration))
+      st.partitionBy, st.bucketBy, st.buckets, st.statsCols, owf,
+      new SerializableConfiguration(job.getConfiguration),
+      java.util.UUID.randomUUID().toString.take(8))
   }
+}
+
+class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
+                      mode: GraftWriteMode.Value) extends BatchWrite {
+
+  private val stageDir = Paths.get(dir,
+    s"_graft_stage_v2_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftPublish.factory(dir, st, writeSchema, stageDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val files = written.map(_._1)
-    val stats = written.toMap
-    // publish: one move per file, stage-relative and table-relative names
-    // coincide (a local-staging detail, not part of the commit protocol)
-    files.foreach { f =>
-      val to = Paths.get(dir, f)
-      Files.createDirectories(to.getParent)
-      Files.move(stageDir.resolve(f), to,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    deleteDir()
-    // the replacement key for dynamic overwrite is the LOGICAL partition:
-    // bucket layout dirs don't count (same rule as the engine's
-    // commitStagedPartitions)
-    def partDir(f: String): String = f.split('/').dropRight(1)
-      .filterNot(_.startsWith(RelationManager.BucketCol + "=")).mkString("/")
-    val transform: Seq[String] => Seq[String] = mode match {
-      case GraftWriteMode.Append   => cur => cur ++ files
-      case GraftWriteMode.Truncate => _ => files
-      case GraftWriteMode.DynamicOverwrite =>
-        val replaced = files.map(partDir).toSet
-        cur => cur.filterNot(f => replaced.contains(partDir(f))) ++ files
-    }
-    GraftSourceTable.log(dir).commit(None, None, None, None, stats)(transform)
+    GraftPublish.publish(dir, stageDir, files)
+    GraftPublish.deleteDir(stageDir)
+    GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap)(
+      GraftPublish.transformFor(mode, files))
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteDir()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftPublish.deleteDir(stageDir)
+}
 
-  private def deleteDir(): Unit =
-    if (Files.exists(stageDir)) {
-      val it = Files.walk(stageDir).iterator()
-      val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
-      all.reverse.foreach(p => Files.deleteIfExists(p))
-    }
+/** Exactly-once streaming sink (`df.writeStream.format("graft")`): each
+  * epoch stages under its own subdir and commits once, with the query's
+  * epoch watermark riding the same atomic commit as the file list. A
+  * replayed epoch (restart from checkpoint) finds watermark ≥ epoch and
+  * discards its staged files instead of committing a duplicate — the
+  * Delta-paper txn-action idea, same contract as the engine's
+  * `StreamingOps.appendToTable`. */
+class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType,
+                          mode: GraftWriteMode.Value, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val appId = s"graft-v2-stream:$queryId"
+  private val stageBase = Paths.get(dir,
+    s"_graft_stage_v2s_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(GraftPublish.factory(dir, st, writeSchema, stageBase))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val epochDir = stageBase.resolve(s"e$epochId")
+    val log = GraftSourceTable.log(dir)
+    val replayed = log.currentVersion.map(log.read)
+      .flatMap(_.txn.get(appId)).exists(_ >= epochId)
+    if (replayed) { GraftPublish.deleteDir(epochDir); return }
+    val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
+    val files = written.map(_._1)
+    GraftPublish.publish(dir, epochDir, files)
+    GraftPublish.deleteDir(epochDir)
+    log.commit(None, None, None, None, written.toMap, Map(appId -> epochId))(
+      GraftPublish.transformFor(mode, files))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftPublish.deleteDir(stageBase.resolve(s"e$epochId"))
+}
+
+case class GraftStreamingWriterFactory(base: GraftWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(base, partitionId, taskId,
+      subDir = s"e$epochId", tag = s"e$epochId-")
 }
 
 case class GraftWriterFactory(stageDir: String, writeSchema: StructType,
@@ -166,7 +242,8 @@ case class GraftWriterFactory(stageDir: String, writeSchema: StructType,
                               partitionBy: Seq[String], bucketBy: Seq[String],
                               buckets: Int, statsCols: Seq[String],
                               owf: OutputWriterFactory,
-                              conf: SerializableConfiguration)
+                              conf: SerializableConfiguration,
+                              uniq: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(this, partitionId, taskId)
@@ -177,7 +254,8 @@ case class GraftWriterFactory(stageDir: String, writeSchema: StructType,
   * eviction closes the file — more, smaller files, bounded memory), and
   * accumulates per-file column stats in the manifest's canonical encoding
   * as it writes. */
-class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long)
+class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
+                      subDir: String = "", tag: String = "")
     extends DataWriter[InternalRow] {
 
   import GraftDataWriter.MaxOpen
@@ -283,10 +361,12 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long)
       close(eldest.getValue)
       open.remove(eldest.getKey)
     }
-    val name = s"part-$partitionId-$taskId-$seq$ext"
+    val name = s"part-${fac.uniq}-$tag$partitionId-$taskId-$seq$ext"
     seq += 1
     val relPath = if (dir.isEmpty) name else s"$dir/$name"
-    val abs = Paths.get(fac.stageDir, relPath)
+    val abs =
+      if (subDir.isEmpty) Paths.get(fac.stageDir, relPath)
+      else Paths.get(fac.stageDir, subDir, relPath)
     Files.createDirectories(abs.getParent)
     val o = new Open(relPath,
       fac.owf.newInstance(abs.toUri.toString, fac.fileDataSchema, ctx), new Acc)

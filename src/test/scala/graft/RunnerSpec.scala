@@ -543,6 +543,57 @@ class BucketingSpec extends AnyFunSuite {
       .head().getLong(0) == o.count())
   }
 
+  test("partitioned + bucketed layouts compose: SPJ survives partition dirs and partition overwrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_pbkt").toString)
+    val relA = Relation("graft", "bkt", "pb_a")
+    val relB = Relation("graft", "bkt", "pb_b")
+    def mk(tag: String) = (0L until 400L)
+      .map(i => (i, s"$tag$i", if (i % 4 < 2) "x" else "y")).toDF("k", "v", "p")
+    // partition dirs wrap bucket dirs: root/p=…/_bucket=…/part-…
+    rm.writeTable(mk("a"), relA, partitionBy = Seq("p"),
+      statsCols = Seq("k"), bucketBy = Seq("k"), buckets = 4)
+    rm.writeTable(mk("b"), relB, partitionBy = Seq("p"),
+      statsCols = Seq("k"), bucketBy = Seq("k"), buckets = 4)
+    val st = rm.currentState(relA).get
+    assert(st.files.nonEmpty && st.files.forall(f =>
+      f.startsWith("p=") && RelationManager.bucketIdOf(f).isDefined),
+      s"expected p=…/_bucket=… layout: ${st.files}")
+
+    noBroadcast {
+      val joined = rm.read(relA).join(rm.read(relB), "k")
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partitioned+bucketed join must storage-partition-join:\n$plan")
+      assert(joined.count() == 400) // unique k on both sides
+    }
+
+    // insert_overwrite on the bucketed table: only the covered LOGICAL
+    // partition is replaced (bucket dirs are layout, not identity), the
+    // replacement restages through the bucket routing, and the next join
+    // still skips its shuffle
+    val batch = (0L until 400L).filter(i => i % 4 < 2)
+      .map(i => (i, "NEW", "x")).toDF("k", "v", "p")
+    rm.overwritePartitions(batch, relA, Seq("p"))
+    val st1 = rm.currentState(relA).get
+    assert(st1.files.forall(f =>
+      f.startsWith("p=") && RelationManager.bucketIdOf(f).isDefined),
+      "overwrite must restage through the bucket layout")
+    val out = rm.read(relA)
+    assert(out.filter(col("p") === "x").filter(col("v") =!= "NEW").count() == 0,
+      "p=x fully replaced")
+    assert(out.filter(col("p") === "y").filter(col("v").startsWith("a")).count() == 200,
+      "p=y untouched")
+    noBroadcast {
+      val joined = rm.read(relA).join(rm.read(relB), "k")
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"post-overwrite join must still storage-partition-join:\n$plan")
+      assert(joined.count() == 400)
+    }
+  }
+
   test("bucket function matches the write-side row routing exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
