@@ -261,6 +261,25 @@ object MatQueries {
            |FROM tpch_orders_v2w WHERE o_orderdate >= TIMESTAMP '$D'""".stripMargin)
       s.sql(s"DELETE FROM $t WHERE o_year = 1992")
       s.sql(s"SELECT o_orderkey, o_totalprice, o_year FROM $t ORDER BY o_orderkey")
+    }),
+
+    // SQL row-level DML (copy-on-write): UPDATE flags a 1% key stripe,
+    // DELETE removes another — both predicates are unprovable at file
+    // granularity, so they exercise the group-based rewrite (runtime
+    // `_file` group filter → replace only affected files), not the
+    // metadata-delete shortcut.
+    "q_v2_dml" -> ((s, d) => {
+      val rm = scratch(s)
+      val rel = Relation("graft", "main", "orders_dml")
+      rm.writeTable(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(8, col("o_orderkey")),
+        rel, statsCols = Seq("o_orderkey"))
+      val t = s"${rm.catalogName}.main.orders_dml"
+      s.sql(s"UPDATE $t SET o_orderpriority = 'DML' WHERE o_orderkey % 100 = 0")
+      s.sql(s"DELETE FROM $t WHERE o_orderkey % 100 = 7")
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM $t ORDER BY o_orderkey")
     })
   )
 
@@ -292,6 +311,12 @@ object MatQueries {
     "q_v2_sql_write" ->
       """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
         |FROM orders WHERE year(o_orderdate) <> 1992
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_v2_dml" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 'DML' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 <> 7
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_mat_incremental_merge" -> mergedOracle,

@@ -165,9 +165,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     loop(s).asInstanceOf[StructType]
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through the engine's reconcileSchema, not ALTER TABLE")
+  /** Metadata-only schema evolution: ADD COLUMNS appends nullable fields,
+    * DROP COLUMN removes one — each is ONE manifest commit, no data file
+    * is touched. Readers drive column resolution from the manifest schema,
+    * so files predating an added column null-fill it and files still
+    * carrying a dropped column simply never project it (the Delta/Iceberg
+    * contract). Renames and type changes are rejected: without per-column
+    * field ids a rename cannot remap existing files. Layout columns
+    * (partition/bucket/stats) cannot be dropped. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn}
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val log = new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
+    val st = log.read(log.currentVersion.get)
+    var schema = st.schema
+    changes.foreach {
+      case add: AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ALTER TABLE ADD COLUMNS: nested fields unsupported (${add.fieldNames.mkString(".")})")
+        val name = add.fieldNames.head
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        schema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
+      case del: DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"ALTER TABLE DROP COLUMN: nested fields unsupported (${del.fieldNames.mkString(".")})")
+        val name = del.fieldNames.head
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        val layout = (st.partitionBy ++ st.bucketBy ++ st.statsCols).toSet
+        require(!layout.contains(name),
+          s"cannot drop layout column $name (partition/bucket/stats)")
+        schema = StructType(schema.fields.filterNot(_.name == name))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other (add/drop columns only; " +
+            "renames need field ids the parquet files don't carry)")
+    }
+    log.commit(None, None, Some(nullableize(schema)), None, Map.empty)(identity)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -68,6 +68,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftSourceTable {
+  /** Metadata column: the table-relative path of the row's data file —
+    * what Spark groups on for copy-on-write row-level operations
+    * (DELETE/UPDATE/MERGE rewrite exactly the affected files). */
+  val FileCol = "_file"
+
   def log(dir: String): CommitLog =
     new CommitLog(new LocalFileStore, java.nio.file.Paths.get(dir, "_graft_log").toString)
 
@@ -339,9 +344,29 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
                        pinnedVersion: Option[Int] = None,
                        bucketBy: Seq[String] = Nil, buckets: Int = 0,
                        tableName: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = tableName.getOrElse(s"graft.`$dir`")
   override def schema(): StructType = tableSchema
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileMetadataColumn)
+
+  /** SQL DELETE (unprovable predicates) / UPDATE / MERGE INTO: group-based
+    * copy-on-write — Spark's runtime group filter narrows the scan to the
+    * files holding matching rows (via the `_file` metadata column), the
+    * replacement rows are computed relationally, and ONE commit swaps
+    * exactly those files (the engine's commitReplace shape, driven from
+    * plain SQL). Provable DELETEs still collapse to the metadata-only
+    * path via Spark's own optimizer rule. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot modify a time-travel (VERSION AS OF) relation: ${name()}")
+    () => new GraftRowLevelOperation(dir, tableSchema, info.command())
+  }
   /** Declared layout: bucket transform (+ identity for partition dirs) —
     * what DESCRIBE shows and what the scan's KeyGroupedPartitioning echoes. */
   override def partitioning(): Array[Transform] = {
@@ -406,6 +431,14 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
     GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty)(_ => Nil)
     true
   }
+}
+
+/** The `_file` metadata column (`SELECT _file, * FROM t` works too). */
+object GraftFileMetadataColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = GraftSourceTable.FileCol
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "table-relative path of the row's data file"
 }
 
 class GraftScanBuilder(dir: String, schema: StructType,
@@ -479,30 +512,39 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   // Hive-layout split: partition columns live in dir names, not file bytes.
   // The shipped reader yields requiredData ++ requiredPart per row, so
   // readSchema() declares exactly that order (V2 maps attributes by name).
-  private val st = GraftSourceTable.resolve(dir, versionAsOf)
+  protected val st = GraftSourceTable.resolve(dir, versionAsOf)
   private val partitionBy = st.partitionBy
+  // the `_file` metadata column (SupportsMetadataColumns) is served by the
+  // reader wrapper, not the parquet bytes — strip it from the data split
+  private val wantFile = required.fieldNames.contains(GraftSourceTable.FileCol)
+  private val requiredCols =
+    StructType(required.fields.filterNot(_.name == GraftSourceTable.FileCol))
   private val fileDataSchema =
     StructType(tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
   private val requiredData =
-    StructType(required.fields.filterNot(f => partitionBy.contains(f.name)))
+    StructType(requiredCols.fields.filterNot(f => partitionBy.contains(f.name)))
   private val requiredPart =
     StructType(tableSchema.fields.filter(f =>
-      partitionBy.contains(f.name) && required.fieldNames.contains(f.name)))
+      partitionBy.contains(f.name) && requiredCols.fieldNames.contains(f.name)))
 
   override def readSchema(): StructType =
-    StructType(requiredData.fields ++ requiredPart.fields)
+    StructType(requiredData.fields ++ requiredPart.fields ++
+      (if (wantFile)
+        Seq(StructField(GraftSourceTable.FileCol, StringType, nullable = false))
+      else Nil))
   override def description(): String = s"GraftScan $dir"
 
   // filters on data columns push into the parquet reader (row-group
   // skipping); partition-column filters are satisfied at file level
   private val dataFilters = filters.filter(_.references.forall(r =>
-    !partitionBy.contains(r)))
+    !partitionBy.contains(r) && r != GraftSourceTable.FileCol))
 
   // vectorized (ColumnarBatch) reads whenever Spark's own parquet reader
   // supports them for this schema — same decision FileSourceScanExec makes.
-  // The streaming path stays row-based (its factory says so per partition).
+  // The streaming path stays row-based (its factory says so per partition),
+  // and so do reads appending the `_file` metadata column.
   private def vectorized: Boolean =
-    new ParquetFileFormat().supportBatch(SparkSession.active, readSchema())
+    !wantFile && new ParquetFileFormat().supportBatch(SparkSession.active, readSchema())
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     Scan.ColumnarSupportMode.PARTITION_DEFINED
@@ -510,7 +552,14 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   private def factory(batched: Boolean): PartitionReaderFactory =
     new GraftReaderFactory(GraftSourceTable.readFunction(
       fileDataSchema, requiredPart, requiredData, dataFilters,
-      returningBatch = batched), batched)
+      returningBatch = batched), batched, appendFile = wantFile)
+
+  /** Runtime group filter (row-level ops): table-relative paths to keep. */
+  protected var runtimeKeep: Option[Set[String]] = None
+  private var plannedCache: Array[InputPartition] = _
+  protected def invalidatePlanned(): Unit = plannedCache = null
+  /** Hook for row-level operations: the final post-filter file list. */
+  protected def onPlanned(files: Seq[String]): Unit = ()
 
   /** Post-skipping file set, fixed per Scan so the reported partitioning
     * and the planned partitions agree. Bucketed manifests attach each
@@ -521,8 +570,13 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
     * row counts reach it (partial push — Spark reapplies the exact
     * limit). Skipped for bucketed manifests, whose partition grouping
     * wants the full bucket set, and for any file missing a row count. */
-  private lazy val planned: Array[InputPartition] = {
-    val skipped = GraftSourceTable.skipByStats(st, filters)
+  protected def planned: Array[InputPartition] = {
+    if (plannedCache != null) return plannedCache
+    val skipped0 = GraftSourceTable.skipByStats(st, filters)
+    val skipped = runtimeKeep match {
+      case Some(k) => skipped0.filter(k.contains)
+      case None    => skipped0
+    }
     val limited = limit match {
       case Some(n) if st.buckets == 0 &&
           skipped.forall(f => st.stats.get(f).exists(_.nonEmpty)) =>
@@ -535,8 +589,10 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
         skipped.take(keep)
       case _ => skipped
     }
-    GraftFilePartition.forFiles(dir, limited, requiredPart,
+    onPlanned(limited)
+    plannedCache = GraftFilePartition.forFiles(dir, limited, requiredPart,
       bucketed = st.buckets > 0)
+    plannedCache
   }
 
   /** Storage-partitioned-join contract: a bucketed manifest reports
@@ -600,14 +656,15 @@ case class GraftVersionOffset(version: Int) extends Offset {
 
 sealed trait GraftInputPartition extends InputPartition {
   def path: String
+  def relPath: String
   def length: Long
   def partitionValues: InternalRow
 }
-case class GraftFilePartition(path: String, length: Long,
+case class GraftFilePartition(path: String, relPath: String, length: Long,
                               partitionValues: InternalRow) extends GraftInputPartition
 /** A bucketed manifest file: its bucket id is the partition key Spark
   * groups on for storage-partitioned joins. */
-case class GraftBucketedFilePartition(path: String, length: Long,
+case class GraftBucketedFilePartition(path: String, relPath: String, length: Long,
                                       partitionValues: InternalRow, bucket: Int)
     extends GraftInputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -626,17 +683,20 @@ object GraftFilePartition {
       val size = java.nio.file.Files.size(p)
       val pv = GraftSourceTable.partitionValues(f, partitionSchema)
       graft.relations.RelationManager.bucketIdOf(f) match {
-        case Some(b) if bucketed => GraftBucketedFilePartition(uri, size, pv, b)
-        case _                   => GraftFilePartition(uri, size, pv)
+        case Some(b) if bucketed => GraftBucketedFilePartition(uri, f, size, pv, b)
+        case _                   => GraftFilePartition(uri, f, size, pv)
       }
     }.toArray[InputPartition]
 }
 
 /** Wraps the shipped decode function. In row mode it unwraps any stray
   * ColumnarBatch the way FileScanRDD does; in batched mode it serves
-  * ColumnarBatches directly to the vectorized scan. */
+  * ColumnarBatches directly to the vectorized scan. `appendFile` appends
+  * the `_file` metadata column (the file's table-relative path) to every
+  * row — row mode only. */
 class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
-                         batched: Boolean = false)
+                         batched: Boolean = false,
+                         appendFile: Boolean = false)
     extends PartitionReaderFactory {
 
   private def open(partition: InputPartition): Iterator[Any] = {
@@ -648,10 +708,18 @@ class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
   override def supportColumnarReads(partition: InputPartition): Boolean = batched
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows: Iterator[InternalRow] = open(partition).flatMap {
+    val base: Iterator[InternalRow] = open(partition).flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r => Iterator.single(r.asInstanceOf[InternalRow])
     }
+    val rows: Iterator[InternalRow] =
+      if (!appendFile) base
+      else {
+        val fileRow = InternalRow(org.apache.spark.unsafe.types.UTF8String
+          .fromString(partition.asInstanceOf[GraftInputPartition].relPath))
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        base.map(r => joined(r, fileRow))
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

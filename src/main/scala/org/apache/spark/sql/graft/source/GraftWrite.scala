@@ -158,8 +158,8 @@ private[source] object GraftPublish {
               stageDir: java.nio.file.Path): GraftWriterFactory = {
     val spark = SparkSession.active
     Files.createDirectories(stageDir)
-    val fileDataSchema = StructType(
-      writeSchema.fields.filterNot(f => st.partitionBy.contains(f.name)))
+    val fileDataSchema = StructType(writeSchema.fields.filterNot(f =>
+      st.partitionBy.contains(f.name) || f.name == GraftSourceTable.FileCol))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], fileDataSchema)

@@ -138,11 +138,10 @@ class V2WriteSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 250L)
     assert(rm.currentState(rel).get.files.toSet.subsetOf(before.files.toSet))
 
-    // a predicate stats can't prove all-or-nothing per file is rejected
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // a predicate stats can't prove all-or-nothing per file falls back to
+    // the copy-on-write rewrite (DmlSpec) instead of failing
+    spark.sql(s"DELETE FROM $t WHERE id % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 125L)
 
     // TRUNCATE TABLE: one metadata commit, history intact
     spark.sql(s"TRUNCATE TABLE $t")
