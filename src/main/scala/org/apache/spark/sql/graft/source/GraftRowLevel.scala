@@ -38,7 +38,7 @@ class GraftRowLevelOperation(dir: String, tableSchema: StructType,
   /** The post-runtime-filter file list the group scan planned — exactly
     * the files the replacement write must remove. Set on the driver at
     * partition-planning time, read at commit time. */
-  @volatile private[source] var scannedFiles: Seq[String] = Nil
+  @volatile var scannedFiles: Seq[String] = Nil
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -138,8 +138,21 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       GraftPublish.publish(dir, stageDir, files)
       GraftPublish.deleteDir(stageDir)
       val removed = op.scannedFiles.toSet
-      GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap)(
-        cur => cur.filterNot(removed.contains) ++ files)
+      // Write-write conflict detection: this DML read `removed` and is
+      // about to replace it. The transform runs INSIDE the commit CAS
+      // retry against the latest state, so if another commit replaced any
+      // of those files meanwhile, committing our rewrite would resurrect
+      // their pre-image rows as duplicates — abort instead (serializable
+      // at file granularity; the caller retries the whole statement).
+      GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap) { cur =>
+        val curSet = cur.toSet
+        val vanished = removed.filterNot(curSet)
+        if (vanished.nonEmpty) throw new IllegalStateException(
+          s"concurrent modification on $dir: files read by this " +
+            s"${op.command()} were replaced by another commit " +
+            s"(${vanished.take(3).mkString(", ")}…) — retry the statement")
+        cur.filterNot(removed.contains) ++ files
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -130,6 +130,38 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("layout column"), e.getMessage)
   }
 
+  test("concurrent write-write conflict on the same file aborts the DML commit") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
+    val rel = Relation("graft", "main", "dml_conflict")
+    ranged(rm, rel, 100, 2)
+    val st = rm.currentState(rel).get
+
+    // a DML that scanned file 0, paused between scan and commit…
+    val op = new org.apache.spark.sql.graft.source.GraftRowLevelOperation(
+      rm.path(rel).toString, st.schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    op.scannedFiles = Seq(st.files.head)
+
+    // …while an engine merge replaces that same file
+    graft.materializations.Materializations.mergeInto(rm, rel,
+      Seq((1L, "other-writer")).toDF("id", "v"), Seq("id"), updateColumns = Nil)
+    assert(!rm.currentState(rel).get.files.contains(st.files.head))
+
+    // the DML's commit must detect the vanished file and abort, not
+    // resurrect the pre-merge rows as duplicates
+    val write = new org.apache.spark.sql.graft.source.GraftReplaceWrite(
+      rm.path(rel).toString, st.schema, op)
+    val e = intercept[IllegalStateException] {
+      write.toBatch.commit(Array(
+        org.apache.spark.sql.graft.source.GraftCommitMessage(Nil)))
+    }
+    assert(e.getMessage.contains("concurrent modification"), e.getMessage)
+    // table unchanged by the failed DML
+    assert(rm.read(rel).count() == 100)
+    assert(rm.read(rel).filter($"v" === "other-writer").count() == 1)
+  }
+
   test("DML preserves bucket layout and storage-partitioned joins") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
