@@ -76,14 +76,16 @@ object Materializations {
           mergeInto(rm, rel, newDf, config.uniqueKey,
             updateColumns = listCfg("merge_update_columns"),
             excludeColumns = listCfg("merge_exclude_columns"),
-            predicates = preds)
+            predicates = preds,
+            storeChanges = changeFeed(config))
         case "delete+insert" =>
           // incremental_predicates: extra SQL conditions limiting which
           // matched target rows delete (reference:
           // §default__get_delete_insert_merge_sql predicates)
           val preds = config.meta.get("incremental_predicates").toSeq
             .flatMap(_.split("\\s*;;\\s*")).filter(_.nonEmpty).map(expr)
-          deleteInsert(rm, rel, newDf, config.uniqueKey, preds)
+          deleteInsert(rm, rel, newDf, config.uniqueKey, preds,
+            storeChanges = changeFeed(config))
         case "insert_overwrite" =>
           require(config.partitionBy.nonEmpty, "insert_overwrite needs partition_by")
           rm.overwritePartitions(newDf, rel, config.partitionBy)
@@ -91,6 +93,12 @@ object Materializations {
       }
     }
   }
+
+  /** `change_feed = true` in config(): rewrites store their row-level
+    * change images at write time (Delta-CDF trade — see
+    * [[RelationManager.commitReplaceParts]]). */
+  private def changeFeed(config: NodeConfig): Boolean =
+    config.meta.get("change_feed").exists(_.trim.equalsIgnoreCase("true"))
 
   /** Files of the target that contain at least one row matching a source
     * key — the MERGE planning scan, in two stages:
@@ -169,7 +177,8 @@ object Materializations {
   def mergeInto(rm: RelationManager, rel: Relation, source: DataFrame,
                 uniqueKey: Seq[String], updateColumns: Seq[String],
                 excludeColumns: Seq[String] = Nil,
-                predicates: Seq[Column] = Nil): Unit = {
+                predicates: Seq[Column] = Nil,
+                storeChanges: Boolean = false): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
@@ -207,7 +216,8 @@ object Materializations {
         (if (updateSet(c)) col(s"s.$c") else col(s"t.$c")).as(c)
       }: _*)
     }
-    rm.commitReplace(untouched.unionByName(updated).unionByName(inserted), rel, touched)
+    rm.commitReplace(untouched.unionByName(updated).unionByName(inserted), rel, touched,
+      storeChanges = storeChanges)
   }
 
   /** Apply a row-level change set (the [[graft.relations.RelationManager
@@ -261,7 +271,8 @@ object Materializations {
     * O(touched-files) pruning as mergeInto. */
   def deleteInsert(rm: RelationManager, rel: Relation, source: DataFrame,
                    uniqueKey: Seq[String],
-                   incrementalPredicates: Seq[Column] = Nil): Unit = {
+                   incrementalPredicates: Seq[Column] = Nil,
+                   storeChanges: Boolean = false): Unit = {
     if (uniqueKey.isEmpty) { rm.appendTable(source, rel); return }
     val st = rm.currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
@@ -283,7 +294,7 @@ object Materializations {
       }
     rm.commitReplace(
       kept.unionByName(source.select(st.schema.fieldNames.map(col).toSeq: _*)),
-      rel, touched)
+      rel, touched, storeChanges = storeChanges)
   }
 
 }

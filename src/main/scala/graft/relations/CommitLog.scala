@@ -104,7 +104,8 @@ final class CommitLog(store: FileStore, dir: String) {
       newStatsCols: Option[Seq[String]],
       addedStats: Map[String, Map[String, ColStats]],
       txn: Map[String, Long] = Map.empty,
-      newBucketing: Option[(Seq[String], Int)] = None)(
+      newBucketing: Option[(Seq[String], Int)] = None,
+      changeFiles: Seq[String] = Nil)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
     while (true) {
@@ -131,7 +132,7 @@ final class CommitLog(store: FileStore, dir: String) {
         newBucketing.map(_._2).orElse(cur.map(_.buckets)).getOrElse(0),
         cur.map(_.txn).getOrElse(Map.empty) ++ txn)
       val body = serialize(next, add, remove,
-        addedStats.view.filterKeys(add.contains).toMap, txn)
+        addedStats.view.filterKeys(add.contains).toMap, txn, changeFiles)
       if (store.createIfAbsent(deltaPath(next.version), body)) {
         if (next.version % CheckpointInterval == 0) writeCheckpoint(next)
         return next
@@ -161,9 +162,21 @@ final class CommitLog(store: FileStore, dir: String) {
 
   // ----------------------------------------------------------- (de)serialization
 
+  /** Stored change files of one COMMIT (not part of table state): the
+    * per-commit row-level change images a `change_feed`-enabled rewrite
+    * materialized at write time. None = the commit stored none (readers
+    * fall back to computing the diff) or its delta was vacuumed. */
+  def commitChanges(v: Int): Option[Seq[String]] = {
+    val p = deltaPath(v)
+    if (!store.exists(p)) return None
+    Json.obj(Json.parse(store.read(p))).get("changes")
+      .map(Json.arr(_).map(Json.str).toSeq).filter(_.nonEmpty)
+  }
+
   private def serialize(v: TableVersion, add: Seq[String], remove: Seq[String],
                         stats: Map[String, Map[String, ColStats]],
-                        txn: Map[String, Long]): String = {
+                        txn: Map[String, Long],
+                        changeFiles: Seq[String] = Nil): String = {
     def sarr(xs: Seq[String]) = s"[${xs.map(Json.quote).mkString(",")}]"
     def statsObj(m: Map[String, Map[String, ColStats]]): String =
       m.toSeq.sortBy(_._1).map { case (f, cols) =>
@@ -176,13 +189,15 @@ final class CommitLog(store: FileStore, dir: String) {
       }.mkString(",")
     val txnObj = txn.toSeq.sortBy(_._1)
       .map { case (k, b) => s"${Json.quote(k)}:$b" }.mkString(",")
+    val changesPart =
+      if (changeFiles.isEmpty) "" else s""""changes":${sarr(changeFiles)},"""
     s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
       s""""partition_by":${sarr(v.partitionBy)},""" +
       s""""bucket_by":${sarr(v.bucketBy)},"buckets":${v.buckets},""" +
       s""""stats_cols":${sarr(v.statsCols)},""" +
       s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
       s""""stats":{${statsObj(stats)}},""" +
-      s""""txn":{$txnObj},""" +
+      s""""txn":{$txnObj},""" + changesPart +
       s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
   }
 

@@ -78,11 +78,12 @@ final class RelationManager(
       newStatsCols: Option[Seq[String]] = None,
       addedStats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Map[String, Long] = Map.empty,
-      newBucketing: Option[(Seq[String], Int)] = None)(
+      newBucketing: Option[(Seq[String], Int)] = None,
+      changeFiles: Seq[String] = Nil)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     val next = log(rel).commit(
       legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats,
-      txn, newBucketing)(transform)
+      txn, newBucketing, changeFiles)(transform)
     // a data commit supersedes any prior view materialization
     store.delete(viewDefFile(rel).toString)
     register(rel)
@@ -471,8 +472,9 @@ final class RelationManager(
     * rows as new files — the commit primitive behind O(touched-files)
     * MERGE / delete+insert. */
   def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String],
-                    txn: Map[String, Long] = Map.empty): Unit =
-    commitReplaceParts(Seq(df), rel, removedFiles, txn)
+                    txn: Map[String, Long] = Map.empty,
+                    storeChanges: Boolean = false): Unit =
+    commitReplaceParts(Seq(df), rel, removedFiles, txn, storeChanges)
 
   /** Same, but each part stages as its own file set inside ONE commit.
     * Callers use parts to force a FILE boundary between row populations —
@@ -480,10 +482,18 @@ final class RelationManager(
     * null-count stats can prune history files on later runs (relying on a
     * range shuffle for the same boundary breaks under AQE coalescing).
     * Zero-row staged files are dropped from the commit (their stats say
-    * rows=0), so an empty part costs nothing. */
+    * rows=0), so an empty part costs nothing.
+    *
+    * `storeChanges` = the Delta-CDF trade (change_feed config): compute
+    * the commit's exact row-level insert/delete images ONCE at write time
+    * (the same exceptAll the lazy reader would run, over only the
+    * touched files) and store them as change files referenced by the
+    * commit — [[readCommitChanges]] then reads the feed diff-free, even
+    * after the replaced data files are vacuumed. */
   def commitReplaceParts(parts: Seq[DataFrame], rel: Relation,
                          removedFiles: Seq[String],
-                         txn: Map[String, Long] = Map.empty): Unit = {
+                         txn: Map[String, Long] = Map.empty,
+                         storeChanges: Boolean = false): Unit = {
     val cur = currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
     val staged = parts.map(p =>
@@ -497,9 +507,57 @@ final class RelationManager(
     // zero-row parts are never published — they vanish with the stage dirs
     staged.foreach(publishStaged(rel, _, except = emptyFiles))
     val files = staged.flatMap(_.files).filterNot(emptyFiles)
+    val changeFiles =
+      if (!storeChanges) Nil
+      else writeChangeFrame(rel, cur, added = files, removed = removedFiles)
     val removed = removedFiles.toSet
-    commit(rel, None, None, None, stats -- emptyFiles, txn)(
+    commit(rel, None, None, None, stats -- emptyFiles, txn, changeFiles = changeFiles)(
       c => c.filterNot(removed.contains) ++ files)
+  }
+
+  /** Materialize one commit's row-level change images (published new files
+    * vs replaced files; carried-over rows cancel under exceptAll exactly
+    * like the lazy diff) into a `_graft_changes/<uuid>/` dir and return the
+    * written files' table-relative paths. */
+  private def writeChangeFrame(rel: Relation, cur: TableVersion,
+                               added: Seq[String], removed: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val a = readFiles(rel, cur, added)
+    val r = readFiles(rel, cur, removed)
+    val changes = a.exceptAll(r).withColumn(ChangeCol, lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn(ChangeCol, lit("delete")))
+    val dir = path(rel).resolve(ChangesDir)
+      .resolve(java.util.UUID.randomUUID().toString.take(8))
+    changes.write.parquet(dir.toString)
+    listDataFiles(dir).map(f => Paths.get(ChangesDir,
+      dir.getFileName.toString).resolve(f).toString)
+  }
+
+  private val ChangesDir = "_graft_changes"
+  private val ChangeCol = "_change_type"
+
+  /** Per-commit change feed over (fromV, toV]: each interval's rows come
+    * from its STORED change files when the commit recorded them (diff-free
+    * — works even after the replaced data files were vacuumed), else from
+    * the on-demand diff of that single interval. Rows carry
+    * `_commit_version` so consumers see commit boundaries; net-effect
+    * consumers keep using [[readRowChanges]], whose endpoint diff cancels
+    * intermediate churn. */
+  def readCommitChanges(rel: Relation, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val lg = log(rel)
+    val frames = ((fromV + 1) to toV).map { v =>
+      val base = lg.commitChanges(v) match {
+        case Some(files) =>
+          val schema = readVersion(rel, v).schema
+            .add(ChangeCol, org.apache.spark.sql.types.StringType)
+          spark.read.schema(schema)
+            .parquet(files.map(f => path(rel).resolve(f).toString): _*)
+        case None => readRowChanges(rel, v - 1, v)
+      }
+      base.withColumn("_commit_version", lit(v))
+    }
+    frames.reduceLeft(_ unionByName _)
   }
 
   /** Record a writer watermark WITHOUT changing the file list — the
@@ -590,6 +648,16 @@ final class RelationManager(
     store.list(path(rel).toString)
       .filter(_.startsWith("_graft_stage_"))
       .foreach(d => deleteDir(path(rel).resolve(d)))
+    // stored change dirs belong to their COMMIT: keep those referenced by
+    // a retained delta, reclaim the rest (truncated or crashed-mid-write)
+    val changesRoot = path(rel).resolve("_graft_changes")
+    if (Files.isDirectory(changesRoot)) {
+      val referenced = (keepFrom to latest).flatMap(lg.commitChanges)
+        .flatten.map(f => Paths.get(f).getName(1).toString).toSet
+      store.list(changesRoot.toString)
+        .filterNot(referenced.contains)
+        .foreach(d => deleteDir(changesRoot.resolve(d)))
+    }
     lg.truncateBefore(keepFrom)
   }
 

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Relation
+import graft.materializations.Materializations
+import graft.relations.RelationManager
+
+/** Stored change files (change_feed): rewrites materialize their row-level
+  * insert/delete images at write time, so the per-commit feed reads
+  * diff-free — even after the replaced data files are vacuumed. */
+class CdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def newRm() = new RelationManager(spark, Files.createTempDirectory("graft_cdf").toString)
+
+  private def seed(rm: RelationManager, rel: Relation, n: Int, files: Int) = {
+    import spark.implicits._
+    rm.writeTable((0 until n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(files, $"id"), rel, statsCols = Seq("id"))
+  }
+
+  test("stored changes equal the computed diff, row for row") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "stored_eq")
+    seed(rm, rel, 1000, 5)
+
+    val batch = Seq((3L, "updated"), (2000L, "new")).toDF("id", "v")
+    Materializations.mergeInto(rm, rel, batch, Seq("id"),
+      updateColumns = Nil, storeChanges = true)
+    val v = rm.currentVersion(rel).get
+
+    val stored = rm.readCommitChanges(rel, v - 1, v)
+      .select("id", "v", "_change_type")
+    val computed = rm.readRowChanges(rel, v - 1, v)
+      .select("id", "v", "_change_type")
+    assert(stored.exceptAll(computed).isEmpty && computed.exceptAll(stored).isEmpty,
+      s"stored feed must equal the lazy diff:\nstored=${stored.collect().toSeq}\n" +
+        s"computed=${computed.collect().toSeq}")
+    // and it is exactly the batch's net effect: one update (delete+insert) + one insert
+    val byType = stored.groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 2L, "delete" -> 1L), byType.toString)
+  }
+
+  test("stored feed reads diff-free after the replaced files are gone") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "vacuum_proof")
+    seed(rm, rel, 1000, 5)
+    val before = rm.currentState(rel).get
+
+    Materializations.deleteInsert(rm, rel,
+      Seq((1L, "r1"), (2L, "r2")).toDF("id", "v"), Seq("id"), storeChanges = true)
+    val v = rm.currentVersion(rel).get
+
+    // vacuum to only the current version: the REPLACED file's bytes are
+    // deleted, so the on-demand diff is impossible — the stored feed isn't
+    rm.vacuum(rel, keepVersions = 1)
+    val gone = before.files.filterNot(rm.currentState(rel).get.files.toSet)
+    assert(gone.nonEmpty && gone.forall(f => !Files.exists(rm.path(rel).resolve(f))),
+      "vacuum must have deleted the replaced file")
+
+    val feed = rm.readCommitChanges(rel, v - 1, v)
+    assert(feed.filter($"_change_type" === "insert").count() == 2)
+    assert(feed.filter($"_change_type" === "delete").count() == 2)
+    assert(feed.select("_commit_version").distinct().as[Int].head() == v)
+  }
+
+  test("multi-commit feed: stored and computed intervals mix; appends fall back") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "mixed")
+    seed(rm, rel, 100, 2)
+    val v0 = rm.currentVersion(rel).get
+
+    // commit 1: merge WITH stored changes
+    Materializations.mergeInto(rm, rel, Seq((5L, "m5")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil, storeChanges = true)
+    // commit 2: plain append (no stored changes → computed fallback)
+    rm.appendTable(Seq((500L, "a500")).toDF("id", "v"), rel)
+    val v2 = rm.currentVersion(rel).get
+    assert(v2 == v0 + 2)
+
+    val feed = rm.readCommitChanges(rel, v0, v2)
+    val perCommit = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Int, String, Long)].collect().toSet
+    assert(perCommit == Set((v0 + 1, "insert", 1L), (v0 + 1, "delete", 1L),
+      (v2, "insert", 1L)), perCommit.toString)
+    // the append interval's feed is its new rows
+    assert(feed.filter($"_commit_version" === v2).select("id").as[Long].head() == 500L)
+  }
+
+  test("vacuum reclaims change dirs of truncated commits, keeps referenced ones") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "vacuum_dirs")
+    seed(rm, rel, 100, 2)
+    Materializations.mergeInto(rm, rel, Seq((1L, "m1")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil, storeChanges = true)       // stored (old)
+    Materializations.mergeInto(rm, rel, Seq((2L, "m2")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil, storeChanges = true)       // stored (kept)
+    val changesRoot = rm.path(rel).resolve("_graft_changes")
+    assert(Files.list(changesRoot).count() == 2)
+
+    // keep only the latest version (v3 = second merge): the first merge's
+    // delta (v2) truncates, so its change dir is unreferenced and must be
+    // reclaimed; the second merge's delta survives, so its dir stays
+    rm.vacuum(rel, keepVersions = 1)
+    assert(Files.list(changesRoot).count() == 1,
+      "unreferenced change dir must be reclaimed, referenced one kept")
+    val v = rm.currentVersion(rel).get
+    // the retained commit's stored feed still reads
+    assert(rm.readCommitChanges(rel, v - 1, v)
+      .filter($"_change_type" === "insert").as[(Long, String, String, Int)]
+      .collect().map(_._1).toSeq == Seq(2L))
+  }
+}
