@@ -1,0 +1,187 @@
+package org.apache.spark.sql.graft.source
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+import graft.relations.TableVersion
+
+/** Change-feed reads through the connector — Delta-CDF-shaped, over
+  * graft's stored change files:
+  *
+  * {{{
+  *   spark.read.format("graft").option("readChangeFeed", "true")
+  *     .option("startingVersion", 3).load(dir)           // (3, current]
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true").load(dir)        // tail changes
+  * }}}
+  *
+  * Output = table columns + `_change_type` (insert|delete) +
+  * `_commit_version`. Per-commit exactness, planned purely from
+  * manifests:
+  *  - a commit that recorded STORED change files serves them verbatim
+  *    (written at rewrite time by `change_feed = true` tables);
+  *  - a pure-ADD commit (append, streaming epoch) serves its added files
+  *    as inserts — exact with zero write amplification;
+  *  - a pure-REMOVE commit (metadata DELETE, TRUNCATE) serves the removed
+  *    files' rows as deletes (whole files died, so their rows ARE the
+  *    delete images) while those files remain on disk;
+  *  - a MIXED rewrite without stored changes fails the plan loudly —
+  *    serving added-vs-removed files would report carried-over rows as
+  *    churn. Enable `change_feed = true` on the table to fix.
+  */
+object GraftChangeFeed {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def outputSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, IntegerType, nullable = false)))
+
+  /** Plan one commit interval (fromV, toV] into change partitions. */
+  def planInterval(dir: String, fromV: Int, toV: Int): Array[InputPartition] = {
+    val log = GraftSourceTable.log(dir)
+    ((fromV + 1) to toV).flatMap { v =>
+      val cur = log.read(v)
+      val prev = if (v <= 1) Set.empty[String] else log.read(v - 1).files.toSet
+      val added = cur.files.filterNot(prev)
+      val removed = (prev -- cur.files).toSeq.sorted
+      def part(f: String, isChange: Boolean, tpe: String) = {
+        val p = java.nio.file.Paths.get(dir, f)
+        GraftChangePartition(p.toUri.toString, f, java.nio.file.Files.size(p),
+          v, isChange, tpe)
+      }
+      log.commitChanges(v) match {
+        case Some(files) => files.map(part(_, isChange = true, tpe = ""))
+        case None if removed.isEmpty => added.map(part(_, isChange = false, "insert"))
+        case None if added.isEmpty   => removed.map(part(_, isChange = false, "delete"))
+        case None => throw new IllegalStateException(
+          s"change feed on $dir: commit $v rewrote files without stored change " +
+            "images — set change_feed = true on the table (or read row changes " +
+            "through the engine's readRowChanges)")
+      }
+    }.toArray
+  }
+}
+
+/** One change-feed file: either a stored change file (carries its own
+  * `_change_type` column) or a data file serving a pure add/remove commit
+  * (constant change type). */
+case class GraftChangePartition(path: String, relPath: String, length: Long,
+                                commitVersion: Int, isChangeFile: Boolean,
+                                changeType: String) extends InputPartition
+
+class GraftChangeFeedScan(dir: String, st: TableVersion,
+                          fromV: Int, toV: Int) extends Scan {
+  override def readSchema(): StructType = GraftChangeFeed.outputSchema(st.schema)
+  override def description(): String = s"GraftChangeFeedScan $dir ($fromV, $toV]"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftChangeFeed.planInterval(dir, fromV, toV)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftChangeFeedReaderFactory(dir, st)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftChangeFeedMicroBatchStream(dir, st, fromV)
+}
+
+/** Offsets are commit versions, exactly like the plain table stream; each
+  * microbatch is one interval's change partitions. */
+class GraftChangeFeedMicroBatchStream(dir: String, st: TableVersion,
+                                      startingVersion: Int)
+    extends MicroBatchStream {
+  private def log = GraftSourceTable.log(dir)
+  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(log.currentVersion.getOrElse(0))
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) Array.empty else GraftChangeFeed.planInterval(dir, s, e)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangeFeedReaderFactory(dir, st)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Decodes both partition flavors and appends the constant columns:
+  * stored change files are FLAT (partition values are regular columns,
+  * `_change_type` in the bytes) and get `_commit_version` appended; data
+  * files decode with dir-encoded partition values and get both
+  * `_change_type` and `_commit_version` appended. Row-based (the feed is
+  * change-sized, not table-sized). */
+class GraftChangeFeedReaderFactory(dir: String, st: TableVersion)
+    extends PartitionReaderFactory {
+
+  private val tableSchema = st.schema
+  private val partitionBy = st.partitionBy
+  private val dataFileSchema =
+    StructType(tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+  private val partSchema =
+    StructType(tableSchema.fields.filter(f => partitionBy.contains(f.name)))
+  private val changeFileSchema =
+    StructType(tableSchema.fields :+
+      StructField(GraftChangeFeed.ChangeTypeCol, StringType))
+
+  // stored change files: flat columns incl. _change_type; append version
+  private lazy val changeReader =
+    GraftSourceTable.readFunction(changeFileSchema, new StructType(),
+      changeFileSchema)
+  // data files: partition dirs recover partition columns; append type+version
+  private lazy val dataReader =
+    GraftSourceTable.readFunction(dataFileSchema, partSchema, dataFileSchema)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftChangePartition]
+    val joined = new JoinedRow
+    val rows: Iterator[InternalRow] =
+      if (p.isChangeFile) {
+        val suffix = new GenericInternalRow(Array[Any](p.commitVersion))
+        val pf = PartitionedFile(InternalRow.empty,
+          SparkPath.fromUrlString(p.path), 0L, p.length)
+        unwrap(changeReader(pf)).map(r => joined(r, suffix))
+      } else {
+        val suffix = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p.changeType), p.commitVersion))
+        val pv = GraftSourceTable.partitionValues(p.relPath, partSchema)
+        val pf = PartitionedFile(pv, SparkPath.fromUrlString(p.path), 0L, p.length)
+        // the decoder yields [non-partition cols ++ partition cols]; the
+        // declared output is TABLE order — reorder before the suffix
+        val produced = StructType(dataFileSchema.fields ++ partSchema.fields)
+        val reorder = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          tableSchema.fields.map { f =>
+            val i = produced.fieldIndex(f.name)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, produced.fields(i).dataType, nullable = true)
+          }.toSeq)
+        unwrap(dataReader(pf)).map(r => joined(reorder(r), suffix))
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  private def unwrap(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    it.flatMap {
+      case b: ColumnarBatch =>
+        import scala.jdk.CollectionConverters._
+        b.rowIterator().asScala
+      case r => Iterator.single(r)
+    }
+}

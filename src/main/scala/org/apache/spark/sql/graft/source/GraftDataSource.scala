@@ -54,9 +54,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftSourceTable.resolve(tablePath(options),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftSourceTable.resolve(tablePath(options),
       Option(options.get("versionAsOf")).map(_.toInt)).schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftChangeFeed.outputSchema(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -453,6 +457,8 @@ class GraftScanBuilder(dir: String, schema: StructType,
   private var limit: Option[Int] = None
   private def versionAsOf: Option[Int] =
     Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion)
+  private def changeFeed: Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Accept every filter for manifest file skipping + parquet row-group
@@ -473,8 +479,10 @@ class GraftScanBuilder(dir: String, schema: StructType,
     * pushdown and the scan proceeds normally; partial pushdown is always
     * declined because file stats can't produce per-partition rows. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    GraftSourceTable.aggregateFromStats(dir, versionAsOf, pushed, agg).isDefined
+    !changeFeed &&
+      GraftSourceTable.aggregateFromStats(dir, versionAsOf, pushed, agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (changeFeed) return false
     aggAnswer = GraftSourceTable.aggregateFromStats(dir, versionAsOf, pushed, agg)
     aggAnswer.isDefined
   }
@@ -482,15 +490,24 @@ class GraftScanBuilder(dir: String, schema: StructType,
   /** LIMIT n over a table whose files all carry row counts scans only a
     * file prefix totalling ≥ n rows (partial push: Spark still applies
     * the exact limit). A 100 TB `LIMIT 10` opens one file. */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); !changeFeed }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = aggAnswer match {
-    case Some((outSchema, row)) => new GraftStatsLocalScan(dir, outSchema, row)
-    case None => new GraftScan(dir, schema, required,
-      versionAsOf,
-      Option(options.get("startingVersion")).map(_.toInt),
-      pushed.toSeq, limit)
+  override def build(): Scan = {
+    if (changeFeed) {
+      val st = GraftSourceTable.resolve(dir, None)
+      val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      val to = Option(options.get("endingVersion")).map(_.toInt)
+        .orElse(GraftSourceTable.log(dir).currentVersion).getOrElse(0)
+      return new GraftChangeFeedScan(dir, st, from, to)
+    }
+    aggAnswer match {
+      case Some((outSchema, row)) => new GraftStatsLocalScan(dir, outSchema, row)
+      case None => new GraftScan(dir, schema, required,
+        versionAsOf,
+        Option(options.get("startingVersion")).map(_.toInt),
+        pushed.toSeq, limit)
+    }
   }
 }
 

@@ -91,6 +91,83 @@ class CdfSpec extends AnyFunSuite {
     assert(feed.filter($"_commit_version" === v2).select("id").as[Long].head() == 500L)
   }
 
+  test("connector batch change feed: stored, pure-add, and pure-remove commits") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "conn_batch")
+    seed(rm, rel, 100, 2)                                          // v1: pure add
+    Materializations.mergeInto(rm, rel, Seq((5L, "m5"), (200L, "new")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil, storeChanges = true)          // v2: stored
+    rm.appendTable(Seq((300L, "a300")).toDF("id", "v"), rel)        // v3: pure add
+    rm.truncate(rel)                                                // v4: pure remove
+    val dir = rm.path(rel).toString
+
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 0).load(dir)
+    assert(feed.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    val perCommit = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Int, String, Long)].collect().toSet
+    // v1: 100 inserts; v2: 2 inserts + 1 delete; v3: 1 insert;
+    // v4 (truncate): every live row deletes = 100 - 1 + 2 + 1 = 102
+    assert(perCommit == Set((1, "insert", 100L), (2, "insert", 2L),
+      (2, "delete", 1L), (3, "insert", 1L), (4, "delete", 102L)), perCommit.toString)
+    // interval selection: only v2's stored rows
+    val v2only = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 2).load(dir)
+    assert(v2only.count() == 3)
+    // and it agrees with the engine's per-commit feed row for row
+    val engine = rm.readCommitChanges(rel, 1, 2)
+      .select("id", "v", "_change_type", "_commit_version")
+    assert(v2only.select("id", "v", "_change_type", "_commit_version")
+      .exceptAll(engine).isEmpty && engine.exceptAll(
+        v2only.select("id", "v", "_change_type", "_commit_version")).isEmpty)
+  }
+
+  test("connector streaming change feed tails commits exactly once") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "conn_stream")
+    seed(rm, rel, 10, 1)
+    val dir = rm.path(rel).toString
+
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdf_stream_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_stream_sink").count() == 10) // v1 inserts
+
+      Materializations.mergeInto(rm, rel, Seq((3L, "m3")).toDF("id", "v"),
+        Seq("id"), updateColumns = Nil, storeChanges = true)
+      q.processAllAvailable()
+      val rows = spark.table("cdf_stream_sink")
+      assert(rows.count() == 12, "10 seeds + update pair, exactly once")
+      assert(rows.filter($"_commit_version" === 2 && $"_change_type" === "delete")
+        .select("v").as[String].head() == "v3")
+      assert(rows.filter($"_commit_version" === 2 && $"_change_type" === "insert")
+        .select("v").as[String].head() == "m3")
+    } finally q.stop()
+  }
+
+  test("a mixed rewrite without stored changes fails the feed plan loudly") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "conn_err")
+    seed(rm, rel, 100, 2)
+    Materializations.mergeInto(rm, rel, Seq((5L, "m5")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil) // no storeChanges
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1).load(rm.path(rel).toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("change_feed")), e.toString)
+  }
+
   test("vacuum reclaims change dirs of truncated commits, keeps referenced ones") {
     import spark.implicits._
     val rm = newRm()
