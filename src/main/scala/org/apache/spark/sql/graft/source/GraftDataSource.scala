@@ -219,7 +219,14 @@ object GraftSourceTable {
     flt match {
       case And(l, r)     => mustMatch(st, cs, l) && mustMatch(st, cs, r)
       case Or(l, r)      => mustMatch(st, cs, l) || mustMatch(st, cs, r)
-      case Not(x)        => !mayMatch(st, cs, x) // no row can match x
+      case Not(x)        =>
+        // "no row satisfies x" alone is NOT enough: on a NULL the
+        // predicate x is NULL, so NOT x is NULL too — the row satisfies
+        // neither (3VL; a property test caught exactly this on an
+        // all-null file). Proving NOT x for every row needs x to be
+        // two-valued on every row: zero nulls in every referenced column.
+        !mayMatch(st, cs, x) &&
+          x.references.forall(c => cs.get(c).exists(_.nulls == 0L))
       case AlwaysTrue()  => true
       case AlwaysFalse() => false
       case EqualTo(c, v) => allEq(c, v)
