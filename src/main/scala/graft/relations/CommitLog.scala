@@ -162,6 +162,16 @@ final class CommitLog(store: FileStore, dir: String) {
 
   // ----------------------------------------------------------- (de)serialization
 
+  /** A commit's wall-clock timestamp (the `committed_at` its writer
+    * recorded) — what `TIMESTAMP AS OF` resolves against. None if the
+    * delta was vacuumed. */
+  def committedAt(v: Int): Option[java.time.Instant] = {
+    val p = deltaPath(v)
+    if (!store.exists(p)) None
+    else Json.obj(Json.parse(store.read(p))).get("committed_at")
+      .map(s => java.time.Instant.parse(Json.str(s)))
+  }
+
   /** Stored change files of one COMMIT (not part of table state): the
     * per-commit row-level change images a `change_feed`-enabled rewrite
     * materialized at write time. None = the commit stored none (readers

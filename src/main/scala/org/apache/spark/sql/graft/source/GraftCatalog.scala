@@ -118,6 +118,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toInt))
 
+  /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the latest commit
+    * whose recorded `committed_at` is at or before the timestamp. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val log = new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
+    val cutoff = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
+    // committed_at carries nanos; SQL timestamps are micros — compare at
+    // micro precision or a commit's own instant would sort after itself
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val v = log.versions
+      .filter(log.committedAt(_).exists(micros(_) <= timestamp)).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"${(ident.namespace :+ ident.name).mkString(".")}: no commit at or " +
+          s"before $cutoff (earlier history may be vacuumed)"))
+    loadAt(ident, Some(v))
+  }
+
   private def loadAt(ident: Identifier, version: Option[Int]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)

@@ -199,6 +199,57 @@ class V2WriteSpec extends AnyFunSuite {
     assert(rm.currentState(rel).get.version == st2.version)
   }
 
+  test("TIMESTAMP AS OF resolves the latest commit at or before the instant") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "main", "v2w_ts")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel)       // v1
+    Thread.sleep(20)
+    rm.appendTable(Seq((2L, "b")).toDF("id", "v"), rel)      // v2
+    val t = s"${rm.catalogName}.main.v2w_ts"
+    val log = new graft.relations.CommitLog(new graft.relations.LocalFileStore,
+      rm.path(rel).resolve("_graft_log").toString)
+    val at1 = log.committedAt(1).get
+
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$at1'")
+      .as[Long].head() == 1L, "v1's own commit instant resolves v1")
+    assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '${log.committedAt(2).get}'")
+      .as[Long].head() == 2L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '1990-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no commit at or before"), e.getMessage)
+  }
+
+  test("concurrent V2 inserts and engine appends all land (commit CAS)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rm = newRm()
+    val rel = Relation("graft", "main", "v2w_race")
+    rm.writeTable(Seq((-1L, "seed")).toDF("id", "v"), rel, statsCols = Seq("id"))
+    val t = s"${rm.catalogName}.main.v2w_race"
+    val dir = rm.path(rel).toString
+
+    // 4 writers × 2 protocols racing the same log
+    val writers = (0 until 4).map { w =>
+      Future {
+        if (w % 2 == 0)
+          spark.sql(s"INSERT INTO $t VALUES (${w * 100}, 'sql$w'), (${w * 100 + 1}, 'sql$w')")
+        else
+          rm.appendTable(Seq((w * 100L, s"eng$w"), (w * 100L + 1, s"eng$w")).toDF("id", "v"), rel)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+
+    assert(rm.read(rel).count() == 1 + 8, "every concurrent append must land")
+    assert(rm.currentVersion(rel).get == 5, "four commits on top of the seed")
+    // stats intact on every file regardless of writer
+    val st = rm.currentState(rel).get
+    assert(st.files.forall(f => st.stats.get(f).exists(_.contains("id"))))
+  }
+
   test("engine merge composes with external V2 appends on the same log") {
     import spark.implicits._
     val rm = newRm()
