@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing for training pipelines: assign documents, in
+  * deterministic id order, to fixed token-budget training sequences.
+  *
+  * Semantics are budget-ALIGNED block packing: sequence `k` owns the
+  * global token-offset window `[k·budget, (k+1)·budget)` and a document
+  * belongs to the window its FIRST token falls in. Documents are never
+  * split, so a sequence can overflow its budget by at most
+  * (longest-doc − 1) tokens — the downstream loader truncates the tail or
+  * the corpus pre-filters documents longer than the budget. This is the
+  * deterministic, order-preserving packing a reproducible data pipeline
+  * wants (greedy first-fit would need stateful bins and an
+  * order-dependent oracle).
+  *
+  * Scale: the global running token offset is computed as a TWO-LEVEL
+  * prefix sum — a per-bucket cumulative window (buckets = contiguous id
+  * ranges, each bucket's rows co-partitioned) plus one tiny window over
+  * the per-bucket totals (thousands of rows at any corpus size) — so no
+  * single-partition window ever sees document-sized data. The bucket
+  * offsets broadcast back. One shuffle by bucket, one broadcast join.
+  */
+object Packing {
+
+  /** @param idCol     numeric document ordinal (packing order)
+    * @param tokensCol per-document token count
+    * @param budget    tokens per training sequence
+    * @return input columns + `seq_id` (the sequence the doc packs into)
+    *         and `seq_offset` (the doc's first-token offset within it)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, bucketWidth: Long = 65536L): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    require(bucketWidth > 0, s"packSequences: bucketWidth must be positive")
+    val bucketed = df
+      .withColumn("__t", col(tokensCol).cast(LongType))
+      .withColumn("__bucket", expr(s"CAST($idCol AS BIGINT) div $bucketWidth"))
+    // level 1: running sum within each contiguous id-range bucket
+    val w1 = Window.partitionBy("__bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__local_cum", sum("__t").over(w1))
+    // level 2: bucket totals → exclusive prefix offsets (bucket-count rows)
+    val w2 = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bucket").agg(sum("__t").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(w2), lit(0L)))
+      .select("__bucket", "__off")
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn("__start", col("__local_cum") + col("__off") - col("__t"))
+      // integer div, not `/` (long / long is DOUBLE division in Spark SQL)
+      .withColumn("seq_id", expr(s"__start div $budget"))
+      .withColumn("seq_offset", col("__start") - col("seq_id") * budget)
+      .drop("__t", "__bucket", "__local_cum", "__off", "__start")
+  }
+
+  /** Token total packed into each sequence — the loader-facing view
+    * (`n_docs`, `n_tokens`; overflow = n_tokens > budget means the last
+    * document runs past the boundary and truncates downstream). */
+  def sequenceStats(packed: DataFrame, tokensCol: String): DataFrame =
+    packed.groupBy("seq_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokensCol).cast(LongType)).as("n_tokens"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline operators (builder prompt "beyond the reference"
   * set): dedup family, similarity search, text analysis, multimodal
@@ -116,6 +116,21 @@ object OpsQueries {
       Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", quota = 40)
         .select("doc_id", "lang", "sample_rank")
         .orderBy("lang", "sample_rank")
+    }),
+
+    // ------------------------------------------------ sequence packing
+    // budget-aligned block packing: docs in id order fill 1024-token
+    // training sequences via a two-level prefix sum (no document-sized
+    // single-partition window); the oracle reproduces the same global
+    // running-offset arithmetic in one window.
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens",
+        budget = 1024L, bucketWidth = 128L)
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
     }),
 
     // ----------------------------------------------------- multimodal
@@ -368,6 +383,20 @@ object OpsQueries {
         |  FROM documents) t
         |WHERE sample_rank <= 40
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS strt
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  strt // 1024 AS seq_id,
+         |  strt - (strt // 1024) * 1024 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,

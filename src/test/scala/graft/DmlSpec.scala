@@ -162,6 +162,31 @@ class DmlSpec extends AnyFunSuite {
     assert(rm.read(rel).filter($"v" === "other-writer").count() == 1)
   }
 
+  test("DML on a partitioned+bucketed table keeps both layout dimensions") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
+    val rel = Relation("graft", "main", "dml_pbkt")
+    rm.writeTable(
+      (0L until 200L).map(i => (i, s"v$i", if (i % 2 == 0) "x" else "y")).toDF("k", "v", "p"),
+      rel, partitionBy = Seq("p"), statsCols = Seq("k"),
+      bucketBy = Seq("k"), buckets = 4)
+    val t = s"${rm.catalogName}.main.dml_pbkt"
+    val before = rm.currentState(rel).get
+
+    spark.sql(s"UPDATE $t SET v = 'upd' WHERE k = 8") // k=8 → p=x, one bucket
+    val after = rm.currentState(rel).get
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 8").as[String].head() == "upd")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 200L)
+    // every rewritten file keeps p=…/_bucket=… routing
+    val rewritten = after.files.filterNot(before.files.toSet)
+    assert(rewritten.nonEmpty && rewritten.forall(f =>
+      f.startsWith("p=") && RelationManager.bucketIdOf(f).isDefined),
+      s"rewritten files must keep both layout dims: $rewritten")
+    // and only the one affected file was replaced
+    assert((before.files.toSet -- after.files.toSet).size == 1,
+      "one-row UPDATE must replace exactly one (partition, bucket) file")
+  }
+
   test("DML preserves bucket layout and storage-partitioned joins") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)

@@ -161,6 +161,39 @@ class OpsSpec extends AnyFunSuite {
       "every stratum with >= quota rows must fill its quota exactly")
   }
 
+  test("packSequences: two-level prefix sum equals a single global cumsum") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 3000L).map(i => (i, 1L + rnd.nextInt(400).toLong))
+      .toDF("doc_id", "n_tokens")
+    val budget = 2048L
+    // tiny buckets force many level-1 partitions + a real level-2 window
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens",
+      budget, bucketWidth = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // reference: plain sequential scan over one collected copy
+    val tok = docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val ref = tok.map { case (i, t) =>
+      val start = cum; cum += t
+      (i, t, start / budget, start % budget)
+    }.toSeq
+    assert(packed.sortBy(_._1).toSeq == ref, "two-level must equal sequential")
+
+    // loader-facing invariants: every doc packed once; sequences contiguous;
+    // each sequence's tokens within budget + (maxdoc - 1) overflow
+    val maxDoc = packed.map(_._2).max
+    val bySeq = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(packed.map(_._1).distinct.length == 3000)
+    assert(bySeq.keySet == (0L to bySeq.keySet.max).toSet, "no sequence gaps")
+    assert(bySeq.values.forall(_ <= budget + maxDoc - 1))
+    // all but the last window start full (a doc crosses every boundary)
+    val lastSeq = bySeq.keySet.max
+    assert(bySeq.filter(_._1 < lastSeq).values.forall(_ >= budget - maxDoc + 1))
+  }
+
   test("connectedComponents agrees with union-find on random graphs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
