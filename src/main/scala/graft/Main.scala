@@ -9,7 +9,7 @@ import graft.runner.{Commands, Runner}
   * core/dbt/cli/main.py) over a filesystem project:
   *
   * {{{
-  * graft.Main <run|build|test|seed|snapshot|compile|ls|show> \
+  * graft.Main <run|build|test|seed|snapshot|compile|ls|show|history|...> \
   *   --project DIR [--warehouse DIR] [--select EXPR]... [--exclude EXPR]...
   *   [--threads N] [--full-refresh] [--vars k=v,...] [--limit N]
   * }}}
@@ -316,6 +316,29 @@ object Main {
               rm.optimize(rel, clusterBy = cluster)
               out.println(s"OPTIMIZED ${n.uniqueId}" +
                 (if (cluster.nonEmpty) s" (clustered by ${cluster.mkString(",")})" else ""))
+            }
+          }
+        0
+      case "history" =>
+        // commit history per selected table over the log (the
+        // Delta/Iceberg DESCRIBE HISTORY analog): version, commit time,
+        // live files, add/remove deltas, stored-change-feed marker.
+        // --limit N bounds versions shown (newest first).
+        Commands.list(loaded.manifest,
+          if (args.select.isEmpty) Seq("resource_type:model", "resource_type:seed",
+            "resource_type:snapshot") else args.select, args.exclude)
+          .map(loaded.manifest(_))
+          .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+          .foreach { n =>
+            val rel = runner.relationFor(n)
+            val entries = rm.history(rel, limit = math.max(1, args.limit))
+            if (entries.nonEmpty) {
+              out.println(s"-- ${n.uniqueId}")
+              entries.foreach { e =>
+                val cdc = if (e.storedChanges) " cdc" else ""
+                out.println(f"v${e.version}%-4d ${e.committedAt.map(_.toString).getOrElse("?")}%-30s " +
+                  f"files=${e.files}%-5d +${e.added} -${e.removed}$cdc")
+              }
             }
           }
         0

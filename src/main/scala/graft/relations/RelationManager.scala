@@ -368,6 +368,25 @@ final class RelationManager(
       .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** Commit history of a logged table, newest first (the DESCRIBE HISTORY
+    * analog): version, commit wall-clock, live file count, and files
+    * added/removed vs the prior retained version. Bounded by `limit`
+    * and by what vacuum retained; the oldest retained version reports
+    * its whole file list as adds when its predecessor is truncated. */
+  def history(rel: Relation, limit: Int = 20): Seq[RelationManager.HistoryEntry] = {
+    val lg = log(rel)
+    val vs = lg.versions.sorted.takeRight(limit + 1)
+    if (vs.isEmpty) return Nil
+    val states = vs.map(v => v -> readVersion(rel, v).files.toSet).toMap
+    vs.takeRight(limit).reverse.map { v =>
+      val prev = states.get(v - 1).getOrElse(Set.empty)
+      val cur = states(v)
+      RelationManager.HistoryEntry(v, lg.committedAt(v), cur.size,
+        (cur -- prev).size, (prev -- cur).size,
+        lg.commitChanges(v).isDefined)
+    }
+  }
+
   /** Map `input_file_name()` URIs back to table-relative paths. */
   def relativize(rel: Relation, fileUri: String): String = {
     val base = path(rel).toAbsolutePath.toUri.toString
@@ -511,8 +530,21 @@ final class RelationManager(
       if (!storeChanges) Nil
       else writeChangeFrame(rel, cur, added = files, removed = removedFiles)
     val removed = removedFiles.toSet
-    commit(rel, None, None, None, stats -- emptyFiles, txn, changeFiles = changeFiles)(
-      c => c.filterNot(removed.contains) ++ files)
+    // Write-write conflict detection (same rule as the V2 DML path): this
+    // rewrite READ `removedFiles` and replaces them. The transform runs
+    // inside the commit CAS retry against the LATEST state, so if a
+    // concurrent commit (another merge, optimize, vacuum-side compaction)
+    // already replaced any of them, committing our rewrite would resurrect
+    // its pre-image rows as duplicates — abort; the caller retries the
+    // operation against fresh state. Published-but-uncommitted files stay
+    // invisible (manifest-exact reads) and vacuum reclaims them.
+    commit(rel, None, None, None, stats -- emptyFiles, txn, changeFiles = changeFiles) { c =>
+      val vanished = removed -- c.toSet
+      if (vanished.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"${rel.render}: files read by this rewrite were replaced by a " +
+          s"concurrent commit (${vanished.take(3).mkString(", ")}…) — retry")
+      c.filterNot(removed.contains) ++ files
+    }
   }
 
   /** Materialize one commit's row-level change images (published new files
@@ -808,6 +840,12 @@ final class RelationManager(
 }
 
 object RelationManager {
+  /** One commit in a table's history listing. */
+  final case class HistoryEntry(version: Int,
+                                committedAt: Option[java.time.Instant],
+                                files: Int, added: Int, removed: Int,
+                                storedChanges: Boolean)
+
   /** Layout-dir name carrying a file's bucket id (`_bucket=<id>/…`).
     * Underscore-prefixed WITH `=`, so Spark's hidden-path rule treats it
     * as a partition dir (visible), while it never becomes a logical

@@ -168,6 +168,68 @@ class CdfSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("change_feed")), e.toString)
   }
 
+  test("randomized concurrent appends/merges/optimize never lose or duplicate rows") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "stress")
+    seed(rm, rel, 500, 5) // ids 0..499
+
+    // conflicting rewrites abort (ConcurrentModificationException) instead
+    // of resurrecting rows — a real user retries. An op still conflicting
+    // after retries is ABANDONED, which is safe (an aborted rewrite
+    // changes nothing); compaction racing a merge stream genuinely can
+    // starve, which is why production runs optimize out-of-band. The
+    // invariant under test is that NOTHING corrupts, not that every op
+    // eventually wins.
+    def retrying(op: () => Unit): Unit = {
+      var attempts = 0
+      while (attempts < 8) {
+        try { op(); return }
+        catch { case _: java.util.ConcurrentModificationException => attempts += 1 }
+      }
+    }
+
+    val rnd = new scala.util.Random(13)
+    val plans: Seq[(Int, Seq[Int])] = (0 until 4).map(w =>
+      w -> Seq.fill(5)(rnd.nextInt(3)))
+    val appendedPerWorker = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val work = plans.map { case (w, ops) =>
+      Future {
+        ops.zipWithIndex.foreach { case (op, i) =>
+          op match {
+            case 0 => // append unique new ids (worker-tagged range)
+              val base = 10000L + w * 1000L + i * 100L
+              rm.appendTable((base until base + 10L).map(id => (id, s"w$w"))
+                .toDF("id", "v"), rel)
+              appendedPerWorker.merge(w, 10L, (a, b) => a + b)
+            case 1 => // merge-update existing seed keys (no count change)
+              val k = rnd.nextInt(500).toLong
+              retrying(() => Materializations.mergeInto(rm, rel,
+                Seq((k, s"upd-$w-$i")).toDF("id", "v"), Seq("id"),
+                updateColumns = Nil))
+            case 2 => // compaction racing the writers
+              retrying(() => rm.optimize(rel))
+          }
+          // concurrent reads must always see a consistent snapshot
+          assert(rm.read(rel).count() >= 500L)
+        }
+      }
+    }
+    Await.result(Future.sequence(work), 180.seconds)
+
+    import scala.jdk.CollectionConverters._
+    val expected = 500L + appendedPerWorker.values.asScala.map(l => l: Long).sum
+    val out = rm.read(rel)
+    assert(out.count() == expected, "no lost or resurrected rows")
+    assert(out.select("id").distinct().count() == expected, "no duplicate keys")
+    // every retained version still reconstructs
+    val lg = rm.currentVersion(rel).get
+    (math.max(1, lg - 5) to lg).foreach(v => rm.readAt(rel, v).count())
+  }
+
   test("vacuum reclaims change dirs of truncated commits, keeps referenced ones") {
     import spark.implicits._
     val rm = newRm()

@@ -484,6 +484,25 @@ class MainSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 1) // still readable
   }
 
+  test("history command lists commits newest-first with add/remove deltas") {
+    val dir = writeProject()
+    def build(): Unit = {
+      val sw = new java.io.StringWriter()
+      assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+        new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    }
+    build(); build() // two table versions
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "history", project = dir.toString,
+      select = Seq("revenue"), limit = 10), new java.io.PrintWriter(sw, true)) == 0,
+      sw.toString)
+    val outStr = sw.toString
+    assert(outStr.contains("-- model.shop.revenue"), outStr)
+    assert(outStr.contains("v2") && outStr.contains("v1"), outStr)
+    assert(outStr.indexOf("v2") < outStr.indexOf("v1"), "newest first")
+    assert(outStr.contains("+1 -0") || outStr.contains("+1 -1"), outStr)
+  }
+
   test("optimize command compacts a model's table; --cluster-by range-clusters it") {
     val dir = writeProject()
     val sw0 = new java.io.StringWriter()
