@@ -111,6 +111,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"planning scan must prune to the key columns: $readSchema")
   }
 
+  test("packing: the only single-partition exchange carries bucket totals, not documents") {
+    val plan = physicalPlan("q_pack_sequences")
+    // level-1 cumsum shuffles documents by bucket; level-2 runs over the
+    // per-bucket AGGREGATE, so exactly one SinglePartition exchange exists
+    // and it must sit above a HashAggregate (bucket totals), never raw rows
+    assert(plan.contains("Exchange hashpartitioning(__bucket"),
+      s"level-1 must shuffle by bucket:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 1, s"expected exactly one tiny global window, got $single:\n$plan")
+    val afterSingle = plan.split("Exchange SinglePartition", 2)(1)
+    assert(afterSingle.split("\n").take(4).mkString("\n").contains("HashAggregate"),
+      s"the single-partition window must consume bucket totals:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
+
   test("dedup ops contain no cartesian products (blocking join present)") {
     for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard",
                   "q_dedup_clusters")) {
