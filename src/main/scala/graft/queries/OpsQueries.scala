@@ -133,6 +133,27 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // -------------------------------------- composed training pipeline
+    // The flagship composition: quality-filter → exact-dedup survivors →
+    // token counts → budget-aligned sequence packing, all as one lazy
+    // plan. Each stage is an already-oracle-verified operator; this row
+    // proves they COMPOSE bit-exactly (the switch-to-graft story: a
+    // training-data pipeline is a few operator calls, not a new engine).
+    "q_train_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = docs.filter(TA.qualityScore(col("text")) >= 0.7)
+      val survivors = Dedup.exact(kept, "doc_id", "text")
+        .filter(col("is_survivor")).select("doc_id")
+      val toks = kept.join(survivors, "doc_id")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_tokens"))
+      Packing.packSequences(toks, "doc_id", "n_tokens",
+        budget = 512L, bucketWidth = 128L)
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------- multimodal
     "q_multimodal_assets" -> ((s, d) => {
       val assets = Multimodal.toAssets(Tables.documents(s, d), "doc_id", "text", "source")
@@ -396,6 +417,37 @@ object OpsQueries {
          |SELECT doc_id, n_tokens,
          |  strt // 1024 AS seq_id,
          |  strt - (strt // 1024) * 1024 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_train_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    length(text)::DOUBLE AS n,
+         |    len($toksSql)::DOUBLE AS n_tok,
+         |    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE AS punct,
+         |    len(list_filter($toksSql,
+         |      t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_hits
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text FROM f
+         |  WHERE round(
+         |    least(n / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) * 4.0, 1.0) * 0.3, 6) >= 0.7),
+         |surv AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept) t WHERE rn = 1),
+         |tok AS (
+         |  SELECT k.doc_id, CAST(len(string_split_regex(trim(k.text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM kept k JOIN surv USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+         |  FROM tok)
+         |SELECT doc_id, n_tokens,
+         |  strt // 512 AS seq_id,
+         |  strt - (strt // 512) * 512 AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_assets" ->
