@@ -342,6 +342,31 @@ object Main {
             }
           }
         0
+      case "changes" =>
+        // row-level change feed between table versions (`--from V`, via
+        // --vars from=V; default: the last commit): stored change files
+        // when the model declares change_feed, computed diff otherwise —
+        // the CLI face of readCommitChanges. --limit rows shown.
+        Commands.list(loaded.manifest,
+          if (args.select.isEmpty) Seq("resource_type:model") else args.select,
+          args.exclude)
+          .map(loaded.manifest(_))
+          .filter(n => NodeType.refable(n.nodeType) && !n.isEphemeral)
+          .foreach { n =>
+            val rel = runner.relationFor(n)
+            rm.currentVersion(rel).foreach { cur =>
+              val from = args.vars.get("from").map(_.toInt)
+                .getOrElse(math.max(0, cur - 1))
+              if (from < cur) {
+                out.println(s"-- ${n.uniqueId} changes ($from -> $cur)")
+                rm.readCommitChanges(rel, from, cur)
+                  .orderBy("_commit_version", "_change_type")
+                  .limit(args.limit).collect()
+                  .foreach(r => out.println(r.mkString(" | ")))
+              }
+            }
+          }
+        0
       case "clean" =>
         // remove build artifacts (reference: cli/main.py:212 clean —
         // deletes target/, which holds artifacts AND the default warehouse)

@@ -503,6 +503,25 @@ class MainSpec extends AnyFunSuite {
     assert(outStr.contains("+1 -0") || outStr.contains("+1 -1"), outStr)
   }
 
+  test("changes command prints the row-level feed between versions") {
+    val dir = writeProject()
+    def build(): Unit = {
+      val sw = new java.io.StringWriter()
+      assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+        new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    }
+    build(); build()
+    // identical rebuilds cancel to an empty diff; from=0 includes the
+    // initial CTAS interval, whose feed is the table's insert images
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "changes", project = dir.toString,
+      select = Seq("revenue"), limit = 50, vars = Map("from" -> "0")),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    val outStr = sw.toString
+    assert(outStr.contains("-- model.shop.revenue changes (0 ->"), outStr)
+    assert(outStr.contains("insert"), outStr)
+  }
+
   test("optimize command compacts a model's table; --cluster-by range-clusters it") {
     val dir = writeProject()
     val sw0 = new java.io.StringWriter()

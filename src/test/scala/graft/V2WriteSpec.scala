@@ -199,6 +199,33 @@ class V2WriteSpec extends AnyFunSuite {
     assert(rm.currentState(rel).get.version == st2.version)
   }
 
+  test("one task spanning >MaxOpen partition dirs still lands every row") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "main", "v2w_lru")
+    // table partitioned by p with 40 values (> the writer pool's 32 cap),
+    // appended as ONE task. Spark honors the write's requested ordering,
+    // so rows usually arrive sorted (pool stays small and the LRU cap is
+    // a safety net for plans that drop it) — either way, routing across
+    // more dirs than the cap must never drop or misplace a row.
+    rm.writeTable(Seq((0L, "seed", "p00")).toDF("id", "v", "p"),
+      rel, partitionBy = Seq("p"), statsCols = Seq("id"))
+    val rows = (1 to 400).map(i => (i.toLong, s"v$i", f"p${i % 40}%02d"))
+    rows.toDF("id", "v", "p").coalesce(1)
+      .write.format("graft").mode("append").save(rm.path(rel).toString)
+
+    val out = rm.read(rel)
+    assert(out.count() == 401)
+    assert(out.select("p").distinct().count() == 40)
+    // every row is in the dir its partition value names
+    val st = rm.currentState(rel).get
+    assert(st.files.forall(_.startsWith("p=")))
+    assert(out.filter($"p" === "p07").count() == 10)
+    // eviction produced multiple files for re-visited dirs, but stats
+    // stayed per-file exact
+    assert(st.files.forall(f => st.stats.get(f).exists(_.contains("id"))))
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at or before the instant") {
     import spark.implicits._
     val rm = newRm()
