@@ -48,6 +48,13 @@ final case class Staged(
     stageDir: Option[String] = None,
     moves: Seq[(String, String)] = Nil)
 
+/** A commit carrying a txn watermark lost to one already recorded: the
+  * batch/epoch was committed before (possibly by a zombie of this writer).
+  * Exactly-once consumers treat it as "already done" and discard. */
+final class StaleTxnException(val appId: String, val batchId: Long, cur: Long)
+    extends RuntimeException(
+      s"txn $appId batch $batchId already committed (watermark $cur) — replay")
+
 /** The versioned manifest log of one table (Delta/Iceberg-shaped, built
   * from the public papers — nothing proprietary), running entirely on the
   * five [[FileStore]] primitives.
@@ -111,6 +118,15 @@ final class CommitLog(store: FileStore, dir: String) {
     while (true) {
       val logged = currentVersion.map(read)
       val cur = logged.orElse(legacyBase)
+      // Exactly-once inside the CAS: a txn watermark that does not advance
+      // past the recorded one means this batch/epoch already committed —
+      // a pre-commit check outside the CAS cannot catch a zombie writer
+      // racing its own restart, this can (it re-runs on every retry
+      // against the latest state, atomic with the file-list publish).
+      txn.foreach { case (app, b) =>
+        cur.flatMap(_.txn.get(app)).filter(_ >= b).foreach(existing =>
+          throw new StaleTxnException(app, b, existing))
+      }
       // distinct: on a FIRST commit the legacy adoption lists files the
       // caller published moments ago, and an append-shaped transform then
       // adds the same file a second time — a file list is a set
@@ -142,6 +158,21 @@ final class CommitLog(store: FileStore, dir: String) {
         s"commit contention at $dir: gave up after $attempt attempts")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** States for every version in [from, to], reconstructed with ONE replay
+    * (read `from`, then fold each delta forward) instead of O(range) full
+    * reconstructions — the change-feed planning shape. */
+  def readRange(from: Int, to: Int): Seq[TableVersion] = {
+    if (to < from) return Nil
+    var state = read(from)
+    val out = Seq.newBuilder[TableVersion]
+    out += state
+    ((from + 1) to to).foreach { v =>
+      state = applyDelta(state, store.read(deltaPath(v)), v)
+      out += state
+    }
+    out.result()
   }
 
   /** Drop log entries before `keepFrom`, first materializing a checkpoint

@@ -356,16 +356,24 @@ final class RelationManager(
     * [[readChanges]] (nothing removed → no delete side, no cancellation
     * work on unchanged data). */
   def readRowChanges(rel: Relation, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val from = if (fromV <= 0) TableVersion(0, Nil, new StructType(), Nil)
                else readVersion(rel, fromV)
     val to = readVersion(rel, toV)
     val removed = from.files.filterNot(to.files.toSet)
     val added = to.files.filterNot(from.files.toSet)
-    val a = readFiles(rel, to, added)
-    val r = readFiles(rel, from.copy(schema = to.schema), removed)
-    a.exceptAll(r).withColumn("_change_type", lit("insert"))
-      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+    changeFrame(
+      readFiles(rel, to, added),
+      readFiles(rel, from.copy(schema = to.schema), removed))
+  }
+
+  /** Exact row-level images between two row multisets (the one diff
+    * formula — carried rows cancel; used by BOTH the lazy reader above
+    * and the write-time stored-change materialization, so the two can
+    * never diverge). */
+  private def changeFrame(a: DataFrame, r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    a.exceptAll(r).withColumn(RelationManager.ChangeTypeCol, lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn(RelationManager.ChangeTypeCol, lit("delete")))
   }
 
   /** Commit history of a logged table, newest first (the DESCRIBE HISTORY
@@ -553,11 +561,7 @@ final class RelationManager(
     * written files' table-relative paths. */
   private def writeChangeFrame(rel: Relation, cur: TableVersion,
                                added: Seq[String], removed: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.lit
-    val a = readFiles(rel, cur, added)
-    val r = readFiles(rel, cur, removed)
-    val changes = a.exceptAll(r).withColumn(ChangeCol, lit("insert"))
-      .unionByName(r.exceptAll(a).withColumn(ChangeCol, lit("delete")))
+    val changes = changeFrame(readFiles(rel, cur, added), readFiles(rel, cur, removed))
     val dir = path(rel).resolve(ChangesDir)
       .resolve(java.util.UUID.randomUUID().toString.take(8))
     changes.write.parquet(dir.toString)
@@ -566,7 +570,6 @@ final class RelationManager(
   }
 
   private val ChangesDir = "_graft_changes"
-  private val ChangeCol = "_change_type"
 
   /** Per-commit change feed over (fromV, toV]: each interval's rows come
     * from its STORED change files when the commit recorded them (diff-free
@@ -577,19 +580,35 @@ final class RelationManager(
     * intermediate churn. */
   def readCommitChanges(rel: Relation, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{IntegerType, StringType}
     val lg = log(rel)
+    if (toV <= fromV) {
+      // empty interval (a poller with no new commits) → empty frame with
+      // the feed schema, never an empty-reduce crash
+      val schema = currentState(rel).map(_.schema).getOrElse(new StructType())
+        .add(RelationManager.ChangeTypeCol, StringType)
+        .add(RelationManager.CommitVersionCol, IntegerType)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    // one replay for all interval schemas, not O(range) reconstructions.
+    // Starts at fromV+1, NOT fromV: only the interval's own versions are
+    // needed here, and fromV itself may be vacuum-truncated while every
+    // stored-changes interval after it stays readable.
+    val states = lg.readRange(math.max(1, fromV + 1), toV)
+      .map(s => s.version -> s).toMap
     val frames = ((fromV + 1) to toV).map { v =>
       val base = lg.commitChanges(v) match {
         case Some(files) =>
-          val schema = readVersion(rel, v).schema
-            .add(ChangeCol, org.apache.spark.sql.types.StringType)
+          val schema = states(v).schema.add(RelationManager.ChangeTypeCol, StringType)
           spark.read.schema(schema)
             .parquet(files.map(f => path(rel).resolve(f).toString): _*)
         case None => readRowChanges(rel, v - 1, v)
       }
-      base.withColumn("_commit_version", lit(v))
+      base.withColumn(RelationManager.CommitVersionCol, lit(v))
     }
-    frames.reduceLeft(_ unionByName _)
+    // schema may evolve mid-interval (ALTER TABLE): align by name,
+    // null-fill columns absent on either side
+    frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Record a writer watermark WITHOUT changing the file list — the
@@ -840,6 +859,10 @@ final class RelationManager(
 }
 
 object RelationManager {
+  /** Column names of the row-level change feed. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
   /** One commit in a table's history listing. */
   final case class HistoryEntry(version: Int,
                                 committedAt: Option[java.time.Instant],

@@ -67,9 +67,14 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fast path: known replays skip the write entirely; the
+        // AUTHORITATIVE gate is the log's txn check inside the commit CAS
+        // (StaleTxnException), which also closes the zombie-driver race
+        // the pre-check alone cannot
         if (rm.lastTxn(rel, writerId).forall(_ < batchId))
-          rm.appendTable(batch, rel, txn = Map(writerId -> batchId))
-        () // exactly-once: an already-recorded batch id is a replay — skip
+          try rm.appendTable(batch, rel, txn = Map(writerId -> batchId))
+          catch { case _: graft.relations.StaleTxnException => () }
+        ()
       }
       .start()
 

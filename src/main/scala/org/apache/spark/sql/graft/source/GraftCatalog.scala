@@ -205,6 +205,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"ALTER TABLE ADD COLUMNS: nested fields unsupported (${add.fieldNames.mkString(".")})")
         val name = add.fieldNames.head
         require(!schema.fieldNames.contains(name), s"column $name already exists")
+        // readers resolve parquet columns by NAME (no field ids): if any
+        // LIVE file still physically carries `name` — a column dropped
+        // earlier — re-adding it would resurrect the stale values instead
+        // of null-filling. One footer-merge pass over live files (metadata
+        // reads, ALTER is rare) is the ground truth.
+        val live = st.files
+        if (live.nonEmpty) {
+          val phys = org.apache.spark.sql.SparkSession.active.read
+            .option("mergeSchema", "true").option("basePath", dir.toString)
+            .parquet(live.map(f => dir.resolve(f).toString): _*).schema
+          require(!phys.fieldNames.contains(name),
+            s"ALTER TABLE ADD COLUMNS: live data files still carry a column " +
+              s"named $name (dropped earlier?) — re-adding would resurrect " +
+              "stale values; rewrite the table first")
+        }
         schema = StructType(schema.fields :+
           org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true))
       case del: DeleteColumn =>

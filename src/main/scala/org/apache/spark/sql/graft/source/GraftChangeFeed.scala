@@ -37,22 +37,30 @@ import graft.relations.TableVersion
   */
 object GraftChangeFeed {
 
-  val ChangeTypeCol = "_change_type"
-  val CommitVersionCol = "_commit_version"
+  val ChangeTypeCol: String = graft.relations.RelationManager.ChangeTypeCol
+  val CommitVersionCol: String = graft.relations.RelationManager.CommitVersionCol
 
   def outputSchema(tableSchema: StructType): StructType =
     StructType(tableSchema.fields ++ Seq(
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, IntegerType, nullable = false)))
 
-  /** Plan one commit interval (fromV, toV] into change partitions. */
+  /** Plan one commit interval (fromV, toV] into change partitions. One
+    * log replay covers the whole interval (readRange), not O(range) full
+    * reconstructions; the replay starts INSIDE the interval so a
+    * vacuum-truncated fromV never blocks stored-changes reads (the one
+    * predecessor state a non-stored first interval needs is read
+    * directly and fails only if that history is genuinely gone). */
   def planInterval(dir: String, fromV: Int, toV: Int): Array[InputPartition] = {
     val log = GraftSourceTable.log(dir)
+    val states = log.readRange(math.max(1, fromV + 1), toV)
+      .map(s => s.version -> s).toMap
     ((fromV + 1) to toV).flatMap { v =>
-      val cur = log.read(v)
-      val prev = if (v <= 1) Set.empty[String] else log.read(v - 1).files.toSet
-      val added = cur.files.filterNot(prev)
-      val removed = (prev -- cur.files).toSeq.sorted
+      val cur = states(v)
+      def prev: Set[String] =
+        if (v <= 1) Set.empty[String]
+        else states.get(v - 1).map(_.files.toSet)
+          .getOrElse(log.read(v - 1).files.toSet)
       def part(f: String, isChange: Boolean, tpe: String) = {
         val p = java.nio.file.Paths.get(dir, f)
         GraftChangePartition(p.toUri.toString, f, java.nio.file.Files.size(p),
@@ -60,12 +68,17 @@ object GraftChangeFeed {
       }
       log.commitChanges(v) match {
         case Some(files) => files.map(part(_, isChange = true, tpe = ""))
-        case None if removed.isEmpty => added.map(part(_, isChange = false, "insert"))
-        case None if added.isEmpty   => removed.map(part(_, isChange = false, "delete"))
-        case None => throw new IllegalStateException(
-          s"change feed on $dir: commit $v rewrote files without stored change " +
-            "images — set change_feed = true on the table (or read row changes " +
-            "through the engine's readRowChanges)")
+        case None =>
+          // only non-stored intervals need the predecessor state
+          val p = prev
+          val added = cur.files.filterNot(p)
+          val removed = (p -- cur.files).toSeq.sorted
+          if (removed.isEmpty) added.map(part(_, isChange = false, "insert"))
+          else if (added.isEmpty) removed.map(part(_, isChange = false, "delete"))
+          else throw new IllegalStateException(
+            s"change feed on $dir: commit $v rewrote files without stored change " +
+              "images — set change_feed = true on the table (or read row changes " +
+              "through the engine's readRowChanges)")
       }
     }.toArray
   }

@@ -406,6 +406,11 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
   // values or clustered stats — deletes by dropping manifest entries,
   // touching zero data bytes at any table size)
 
+  // proof cache: Spark calls canDeleteWhere immediately before deleteWhere
+  // with the same predicates — avoid resolving the table and scoring every
+  // file twice (keyed by predicate renderings + resolved version)
+  @volatile private var proofCache: Option[(Seq[String], Int, Option[Seq[String]])] = None
+
   private def deleteProof(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]):
       Option[Seq[String]] = {
     import org.apache.spark.sql.internal.connector.PredicateUtils
@@ -413,15 +418,23 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
     if (v1.exists(_.isEmpty)) return None
     val filters = v1.flatten.toSeq
     val st = GraftSourceTable.resolve(dir, None)
+    val key = predicates.map(_.toString).toSeq
+    proofCache match {
+      case Some((k, v, res)) if k == key && v == st.version => return res
+      case _ => ()
+    }
     val verdicts = st.files.map { f =>
       val cs = GraftSourceTable.combinedStats(st, f)
       val all = filters.forall(GraftSourceTable.mustMatch(st, cs, _))
       val none = !filters.forall(GraftSourceTable.mayMatch(st, cs, _))
       (f, all, none)
     }
-    if (verdicts.forall { case (_, all, none) => all || none })
-      Some(verdicts.collect { case (f, true, _) => f })
-    else None
+    val res =
+      if (verdicts.forall { case (_, all, none) => all || none })
+        Some(verdicts.collect { case (f, true, _) => f })
+      else None
+    proofCache = Some((key, st.version, res))
+    res
   }
 
   override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
@@ -432,8 +445,17 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
       s"DELETE on ${name()}: cannot prove all-or-nothing row matches per file " +
         "from manifest stats/partition values — rewrite via the engine's merge/delete+insert")).toSet
     if (doomed.nonEmpty)
-      GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty)(
-        _.filterNot(doomed))
+      // same conflict rule as every read-modify-write commit: the proof
+      // was computed against a snapshot; if a concurrent commit replaced
+      // any doomed file, silently filterNot-ing would "succeed" while the
+      // replacement's copies of the rows survive — abort instead
+      GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty) { cur =>
+        val vanished = doomed -- cur.toSet
+        if (vanished.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"DELETE on ${name()}: files proven deletable were replaced by a " +
+            s"concurrent commit (${vanished.take(3).mkString(", ")}…) — retry")
+        cur.filterNot(doomed)
+      }
   }
 
   override def truncateTable(): Boolean = {
@@ -559,9 +581,15 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   override def description(): String = s"GraftScan $dir"
 
   // filters on data columns push into the parquet reader (row-group
-  // skipping); partition-column filters are satisfied at file level
-  private val dataFilters = filters.filter(_.references.forall(r =>
-    !partitionBy.contains(r) && r != GraftSourceTable.FileCol))
+  // skipping); partition-column filters are satisfied at file level.
+  // Row-level operation scans OVERRIDE this to Nil: their contract is to
+  // return EVERY row of each matching file (the rewrite swaps whole
+  // files), so a pushed command condition may prune files but must never
+  // reach the parquet reader — row-group/record-level filtering there
+  // would silently drop surviving rows from the replacement.
+  protected def parquetFilters: Seq[org.apache.spark.sql.sources.Filter] =
+    filters.filter(_.references.forall(r =>
+      !partitionBy.contains(r) && r != GraftSourceTable.FileCol))
 
   // vectorized (ColumnarBatch) reads whenever Spark's own parquet reader
   // supports them for this schema — same decision FileSourceScanExec makes.
@@ -575,7 +603,7 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
 
   private def factory(batched: Boolean): PartitionReaderFactory =
     new GraftReaderFactory(GraftSourceTable.readFunction(
-      fileDataSchema, requiredPart, requiredData, dataFilters,
+      fileDataSchema, requiredPart, requiredData, parquetFilters,
       returningBatch = batched), batched, appendFile = wantFile)
 
   /** Runtime group filter (row-level ops): table-relative paths to keep. */

@@ -84,6 +84,13 @@ class GraftGroupScan(dir: String, tableSchema: StructType, required: StructType,
 
   override def outputPartitioning(): Partitioning = new UnknownPartitioning(0)
 
+  /** NEVER hand filters to the parquet reader here: the group scan must
+    * return every row of each matching file — the replacement write swaps
+    * whole files, so row-group pruning or record-level filtering on the
+    * pushed command condition would silently DELETE surviving rows.
+    * Pushed filters participate only in manifest file skipping. */
+  override protected def parquetFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(GraftSourceTable.FileCol))
 

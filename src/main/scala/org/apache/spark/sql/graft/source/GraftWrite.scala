@@ -214,6 +214,7 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val epochDir = stageBase.resolve(s"e$epochId")
     val log = GraftSourceTable.log(dir)
+    // fast path: a known-replayed epoch skips publishing entirely
     val replayed = log.currentVersion.map(log.read)
       .flatMap(_.txn.get(appId)).exists(_ >= epochId)
     if (replayed) { GraftPublish.deleteDir(epochDir); return }
@@ -221,8 +222,13 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
     val files = written.map(_._1)
     GraftPublish.publish(dir, epochDir, files)
     GraftPublish.deleteDir(epochDir)
-    log.commit(None, None, None, None, written.toMap, Map(appId -> epochId))(
+    // the AUTHORITATIVE exactly-once gate is the log's own txn check
+    // inside the commit CAS — a zombie of this query racing its restart
+    // both pass the fast path, but only one commit lands; the loser's
+    // published files stay invisible and vacuum reclaims them
+    try log.commit(None, None, None, None, written.toMap, Map(appId -> epochId))(
       GraftPublish.transformFor(mode, files))
+    catch { case _: graft.relations.StaleTxnException => () }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -294,6 +300,9 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
     .filter(fac.writeSchema.fieldNames.contains)
     .map(c => (c, fac.writeSchema.fieldIndex(c),
       fac.writeSchema.fields(fac.writeSchema.fieldIndex(c)).dataType))
+  // one Ordering per stats column, built once — not per row (hot path)
+  private val statOrds: Array[Ordering[String]] =
+    statIdx.map(t => Stats.ordering(t._3).getOrElse(Ordering.String)).toArray
 
   private final class Acc {
     var rows = 0L
@@ -310,7 +319,7 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
         else GraftDataWriter.canonical(dt, v) match {
           case null => ()
           case s =>
-            val ord = GraftDataWriter.orderings(i, statIdx)
+            val ord = statOrds(i)
             if (mins(i) == null || ord.lt(s, mins(i))) mins(i) = s
             if (maxs(i) == null || ord.gt(s, maxs(i))) maxs(i) = s
         }
@@ -400,9 +409,6 @@ object GraftDataWriter {
   /** Max concurrently open parquet writers per task; beyond it the LRU file
     * closes early. Bounds executor memory under unclustered input. */
   val MaxOpen = 32
-
-  private[source] def orderings(i: Int, statIdx: Seq[(String, Int, DataType)]): Ordering[String] =
-    Stats.ordering(statIdx(i)._3).getOrElse(Ordering.String)
 
   /** Catalyst-value → the manifest's canonical stats encoding (must agree
     * with `Stats.canonical` over external values): timestamps are already

@@ -230,6 +230,35 @@ class CdfSpec extends AnyFunSuite {
     (math.max(1, lg - 5) to lg).foreach(v => rm.readAt(rel, v).count())
   }
 
+  test("a zombie writer's duplicate epoch loses the commit CAS, not just the pre-check") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "zombie")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel)
+    // both "drivers" passed the fast-path check (watermark < 5) — the
+    // in-CAS txn guard must let exactly one batch-5 commit land
+    rm.appendTable(Seq((2L, "b")).toDF("id", "v"), rel, txn = Map("q1" -> 5L))
+    val e = intercept[graft.relations.StaleTxnException] {
+      rm.appendTable(Seq((2L, "b")).toDF("id", "v"), rel, txn = Map("q1" -> 5L))
+    }
+    assert(e.appId == "q1" && e.batchId == 5L)
+    assert(rm.read(rel).count() == 2, "the replayed epoch must not double-append")
+    // a later epoch from the same writer proceeds normally
+    rm.appendTable(Seq((3L, "c")).toDF("id", "v"), rel, txn = Map("q1" -> 6L))
+    assert(rm.read(rel).count() == 3)
+  }
+
+  test("readCommitChanges: empty interval yields an empty typed frame, not a crash") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "empty_feed")
+    seed(rm, rel, 10, 1)
+    val v = rm.currentVersion(rel).get
+    val feed = rm.readCommitChanges(rel, v, v)
+    assert(feed.count() == 0)
+    assert(feed.columns.contains("_change_type") && feed.columns.contains("_commit_version"))
+  }
+
   test("vacuum reclaims change dirs of truncated commits, keeps referenced ones") {
     import spark.implicits._
     val rm = newRm()

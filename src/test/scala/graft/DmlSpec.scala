@@ -187,6 +187,48 @@ class DmlSpec extends AnyFunSuite {
       "one-row UPDATE must replace exactly one (partition, bucket) file")
   }
 
+  test("DML survives aggressive parquet row filtering (group scan returns whole files)") {
+    import spark.implicits._
+    // record-level filtering makes the parquet reader drop individual
+    // non-matching rows when a filter reaches it — if the group scan ever
+    // forwards the pushed DML condition, every surviving row of a touched
+    // file vanishes from the rewrite. This guards the parquetFilters=Nil
+    // override with the most hostile reader config.
+    val prev = spark.conf.getOption("spark.sql.parquet.recordLevelFilter.enabled")
+    spark.conf.set("spark.sql.parquet.recordLevelFilter.enabled", "true")
+    try {
+      val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
+      val rel = Relation("graft", "main", "dml_rowfilter")
+      ranged(rm, rel, 100, 1) // ONE file: every surviving row shares it
+      val t = s"${rm.catalogName}.main.dml_rowfilter"
+      spark.sql(s"DELETE FROM $t WHERE id % 50 = 7")
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 98L,
+        "survivors of the touched file must all be rewritten")
+      spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 20")
+      assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 98L)
+      assert(spark.sql(s"SELECT count(*) FROM $t WHERE v = 'u'").as[Long].head() == 1L)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.parquet.recordLevelFilter.enabled", p)
+      case None    => spark.conf.unset("spark.sql.parquet.recordLevelFilter.enabled")
+    }
+  }
+
+  test("re-adding a dropped column name is rejected while live files carry it") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
+    val rel = Relation("graft", "main", "dml_readd")
+    ranged(rm, rel, 50, 1)
+    val t = s"${rm.catalogName}.main.dml_readd"
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    val e = intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)") }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // after a rewrite purges the physical column, re-adding is legal
+    rm.writeTable(rm.read(rel), rel)
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE v IS NULL").as[Long].head() == 50L,
+      "post-rewrite re-add must null-fill, not resurrect")
+  }
+
   test("DML preserves bucket layout and storage-partitioned joins") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
