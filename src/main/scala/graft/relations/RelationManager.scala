@@ -126,7 +126,7 @@ final class RelationManager(
       val staged = listDataFiles(stage)
       // stats while still staged: one pruned-column aggregation job over
       // the delta (basePath recovers partition values from dir names)
-      val stageStats: Map[String, Map[String, ColStats]] =
+      val collected: Map[String, Map[String, ColStats]] =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty
         else {
           val sdf = spark.read.option("basePath", stage.toString).parquet(stage.toString)
@@ -137,6 +137,14 @@ final class RelationManager(
              else uri.stripPrefix(stage.toAbsolutePath.toString + "/")) -> cs
           }
         }
+      // a staged file the stats job never saw holds ZERO rows
+      // (input_file_name groups only existing rows): record exact empty
+      // stats so the zero-row drop in commitReplaceParts can fire and
+      // full-stats-coverage pushdowns (COUNT/LIMIT) stay enabled
+      val stageStats: Map[String, Map[String, ColStats]] =
+        if (statsCols.isEmpty) collected
+        else collected ++ staged.filterNot(collected.contains).map(f =>
+          f -> statsCols.map(c => c -> ColStats(None, None, 0L, 0L)).toMap)
       val uniq = java.util.UUID.randomUUID().toString.take(8)
       def renamed(relPath: String): String = {
         val p = Paths.get(relPath)

@@ -35,10 +35,23 @@ object Stats {
     case _                        => None
   }
 
+  /** Spark compares strings as UTF-8 BYTES (UTF8String/binary collation),
+    * which disagrees with Java's UTF-16 char order exactly where
+    * supplementary characters meet U+E000..U+FFFF: UTF-8 puts U+FFFF
+    * before U+1F600, UTF-16 ordering puts it after. Stats min/max come
+    * from Spark's min()/max(), so pruning MUST compare the same way or a
+    * file whose keys straddle that boundary can be wrongly pruned —
+    * silent row loss in MERGE. */
+  private val utf8Binary: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
   /** Ordering over canonical encodings for a column type; None = type not
     * stats-comparable (its files never prune). */
   def ordering(dt: DataType): Option[Ordering[String]] = dt match {
-    case StringType => Some(Ordering.String)
+    case StringType => Some(utf8Binary)
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | BooleanType =>
       Some(Ordering.by(_.toLong))

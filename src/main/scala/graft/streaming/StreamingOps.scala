@@ -93,11 +93,15 @@ object StreamingOps {
   def readTableStream(rm: graft.relations.RelationManager,
                       rel: graft.core.Relation,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val st = rm.currentState(rel).getOrElse(throw new IllegalArgumentException(
+    rm.currentState(rel).getOrElse(throw new IllegalArgumentException(
       s"readTableStream: no such table ${rel.render}"))
-    val r = rm.spark.readStream.schema(st.schema)
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(rm.path(rel).toString)
+    // MANIFEST-exact tailing via the V2 connector (offsets are commit
+    // versions): published-but-uncommitted orphans from a writer that
+    // crashed between publish and commit are invisible by construction —
+    // a raw directory-listing file stream would deliver their rows as
+    // phantom records. maxFilesPerTrigger no longer applies (a batch is
+    // one commit interval, already bounded by commit size).
+    rm.spark.readStream.format("graft").load(rm.path(rel).toString)
   }
 
   /** Exactly-once incremental table-to-table pipe: read the source rows

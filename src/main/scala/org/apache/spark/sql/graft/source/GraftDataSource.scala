@@ -326,8 +326,12 @@ object GraftSourceTable {
 
   /** Parse a file's `k=v` directory segments into an InternalRow laid out
     * per `partitionSchema` (catalyst-cast from the unescaped strings,
-    * NULL for the Hive default-partition marker). */
-  def partitionValues(relPath: String, partitionSchema: StructType): InternalRow = {
+    * NULL for the Hive default-partition marker). Timestamp-ish values
+    * parse under the SESSION timezone — the same convention Spark's own
+    * file sources use for dir-encoded values, and what the engine (which
+    * pins UTC in its entry points) writes. */
+  def partitionValues(relPath: String, partitionSchema: StructType,
+                      timeZone: String = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone): InternalRow = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.unsafe.types.UTF8String
@@ -345,7 +349,7 @@ object GraftSourceTable {
         case Some(s) => Cast(
           Literal(UTF8String.fromString(s),
             org.apache.spark.sql.types.StringType),
-          f.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval()
+          f.dataType, Some(timeZone)).eval()
       }
     })
   }

@@ -166,7 +166,8 @@ private[source] object GraftPublish {
     GraftWriterFactory(stageDir.toString, writeSchema, fileDataSchema,
       st.partitionBy, st.bucketBy, st.buckets, st.statsCols, owf,
       new SerializableConfiguration(job.getConfiguration),
-      java.util.UUID.randomUUID().toString.take(8))
+      java.util.UUID.randomUUID().toString.take(8),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 }
 
@@ -249,7 +250,8 @@ case class GraftWriterFactory(stageDir: String, writeSchema: StructType,
                               buckets: Int, statsCols: Seq[String],
                               owf: OutputWriterFactory,
                               conf: SerializableConfiguration,
-                              uniq: String)
+                              uniq: String,
+                              timeZone: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(this, partitionId, taskId)
@@ -272,8 +274,9 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
   private val ext = fac.owf.getFileExtension(ctx)
 
   // full-schema index of each partition column + its value-as-path-string
-  // evaluator (Cast to string under UTC — the exact inverse of the read
-  // side's partitionValues parsing)
+  // evaluator (Cast to string under the writing session's timezone — the
+  // exact inverse of the read side's partitionValues parsing, and the
+  // convention Spark's own file sources use)
   private val partEval: Seq[InternalRow => String] = fac.partitionBy.map { c =>
     val i = fac.writeSchema.fieldIndex(c)
     val dt = fac.writeSchema.fields(i).dataType
@@ -281,7 +284,7 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
       val v = row.get(i, dt)
       if (v == null) null
       else Cast(Literal(v, dt), StringType,
-        Some(java.time.ZoneOffset.UTC.getId)).eval(null).toString
+        Some(fac.timeZone)).eval(null).toString
     }
   }
   private val bucketIdx: Seq[(Int, DataType)] = fac.bucketBy.map { c =>

@@ -49,6 +49,51 @@ class FileLogSpec extends AnyFunSuite {
     assert(out.filter($"id" === 5000L && $"v" === "v5000").count() == 1)
   }
 
+  test("string-key merge with supplementary characters is never wrongly pruned") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "utf8_order")
+    // U+FFFF sorts BEFORE U+1F600 in UTF-8 bytes (Spark's string order)
+    // but AFTER it in Java's UTF-16 char order — stats min/max come from
+    // Spark, so pruning must compare UTF-8-binary or the file whose max
+    // is the emoji gets pruned for a U+FFFF key and the merge duplicates
+    val high = "￿"
+    val emoji = "😀" // U+1F600
+    rm.writeTable(Seq((high, "a"), (emoji, "b")).toDF("k", "v"), rel,
+      statsCols = Seq("k"))
+    Materializations.mergeInto(rm, rel, Seq((high, "updated")).toDF("k", "v"),
+      Seq("k"), updateColumns = Nil)
+    val out = rm.read(rel).as[(String, String)].collect().toMap
+    assert(out.size == 2, s"wrong pruning duplicated a key: $out")
+    assert(out(high) == "updated" && out(emoji) == "b")
+    // the ordering itself agrees with Spark's binary collation
+    val ord = graft.relations.Stats.ordering(
+      org.apache.spark.sql.types.StringType).get
+    assert(ord.lt(high, emoji), "stats ordering must be UTF-8 binary")
+  }
+
+  test("zero-row staged files are dropped and never poison stats coverage") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "zero_rows")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel, statsCols = Seq("id"))
+    // append an EMPTY frame: its schema-only parquet file must either be
+    // dropped or carry rows=0 stats — never a stat-less manifest entry
+    // that disables full-coverage COUNT/LIMIT pushdowns forever
+    rm.appendTable(Seq.empty[(Long, String)].toDF("id", "v"), rel)
+    val st = rm.currentState(rel).get
+    assert(st.files.forall(f => st.stats.get(f).exists(_.contains("id"))),
+      s"every manifest file needs stats: ${st.stats}")
+    assert(rm.read(rel).count() == 1)
+    // the connector's stats-answered COUNT still engages
+    val cnt = spark.read.format("graft").load(rm.path(rel).toString)
+      .groupBy().count()
+    cnt.collect()
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "full stats coverage must keep the metadata COUNT pushdown alive:\n" +
+        cnt.queryExecution.executedPlan)
+  }
+
   test("delete+insert is file-pruned too") {
     import spark.implicits._
     val rm = newRm()
