@@ -415,8 +415,8 @@ object OpsQueries {
          |      - n_tokens AS strt
          |  FROM d)
          |SELECT doc_id, n_tokens,
-         |  strt // 1024 AS seq_id,
-         |  strt - (strt // 1024) * 1024 AS seq_offset
+         |  CAST(strt // 1024 AS BIGINT) AS seq_id,
+         |  CAST(strt - (strt // 1024) * 1024 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_train_pipeline" ->
@@ -446,8 +446,8 @@ object OpsQueries {
          |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
          |  FROM tok)
          |SELECT doc_id, n_tokens,
-         |  strt // 512 AS seq_id,
-         |  strt - (strt // 512) * 512 AS seq_offset
+         |  CAST(strt // 512 AS BIGINT) AS seq_id,
+         |  CAST(strt - (strt // 512) * 512 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_assets" ->
