@@ -42,6 +42,7 @@ object Bench {
       .map(only => headline.filter(only)).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

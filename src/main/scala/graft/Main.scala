@@ -77,6 +77,7 @@ object Main {
     val args = parseArgs(argv)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
       .appName(s"graft-${args.command}")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -112,12 +112,25 @@ final class CommitLog(store: FileStore, dir: String) {
       addedStats: Map[String, Map[String, ColStats]],
       txn: Map[String, Long] = Map.empty,
       newBucketing: Option[(Seq[String], Int)] = None,
-      changeFiles: Seq[String] = Nil)(
+      changeFiles: Seq[String] = Nil,
+      expectedBase: Option[Int] = None)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
     while (true) {
       val logged = currentVersion.map(read)
       val cur = logged.orElse(legacyBase)
+      // A caller whose mutation was derived from a snapshot (e.g. ALTER's
+      // schema edit + footer check) cannot be replayed by the file-list
+      // transform alone: if the base advanced, the derivation is stale.
+      // Abort so the caller recomputes against the latest state — the
+      // file-vanished checks inside transforms don't see schema-only
+      // concurrent commits, this does.
+      expectedBase.foreach { base =>
+        val curV = cur.map(_.version).getOrElse(0)
+        if (curV != base) throw new java.util.ConcurrentModificationException(
+          s"commit base advanced at $dir: expected v$base, found v$curV — " +
+            "recompute the mutation and retry")
+      }
       // Exactly-once inside the CAS: a txn watermark that does not advance
       // past the recorded one means this batch/epoch already committed —
       // a pre-commit check outside the CAS cannot catch a zombie writer

@@ -1,17 +1,23 @@
 package graft.relations
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-/** Storage seam for the commit-log's metadata I/O (VERDICT r3 #3).
+/** Storage seam for the commit-log's metadata I/O (VERDICT r3 #3) and the
+  * engine's staged-data-file publishing (VERDICT r4 #3).
   *
   * The commit protocol is object-store-shaped by design (SCALE.md): the
   * only atomicity it needs is `createIfAbsent` — a conditional PUT. This
   * trait makes that claim a TYPE signature: there is no rename/move
-  * operation at all, so the log physically cannot depend on one. The
-  * local-fs impl maps `createIfAbsent` to write-temp + hard-link (atomic
-  * and exclusive on POSIX); an S3/GCS impl would map it to
-  * `If-None-Match: *`. Data (parquet) files are written by Spark through
-  * its own Hadoop FileSystem and only their NAMES pass through here.
+  * operation for METADATA at all, so the log physically cannot depend on
+  * one. The local-fs impl maps `createIfAbsent` to write-temp + hard-link
+  * (atomic and exclusive on POSIX); [[HadoopFileStore]] maps it to
+  * create-no-overwrite through the Hadoop FileSystem API (HDFS: atomic
+  * namespace claim; S3A: conditional PUT via `If-None-Match` when
+  * `fs.s3a.create.conditional.enabled` is on). Data (parquet) files are
+  * written by Spark through its own Hadoop FileSystem; their STAGED →
+  * FINAL publish step goes through [[FileStore.moveFile]], whose contract
+  * is deliberately weaker than rename (see there) so object stores can
+  * serve it with copy+delete.
   */
 trait FileStore {
   def read(path: String): String
@@ -30,6 +36,18 @@ trait FileStore {
   def list(dir: String): Seq[String]
 
   def delete(path: String): Unit
+
+  /** Publish one staged DATA file at its final name. Atomicity is NOT
+    * part of the contract: visibility is controlled by the manifest
+    * commit (a data file is dead bytes until a version references it)
+    * and final names are write-unique, so an object store may serve this
+    * with a plain copy + delete. An existing `dst` means a previous
+    * attempt of this same publish completed — implementations treat that
+    * as success and just drop `src`. */
+  def moveFile(src: String, dst: String): Unit
+
+  /** Size in bytes of one file (plan-time split sizing). */
+  def sizeOf(path: String): Long
 }
 
 /** java.nio implementation — the local[_] / POSIX backend. */
@@ -75,9 +93,17 @@ final class LocalFileStore extends FileStore {
   }
 
   def delete(path: String): Unit = Files.deleteIfExists(p(path))
+
+  def moveFile(src: String, dst: String): Unit = {
+    val to = p(dst)
+    Option(to.getParent).foreach(Files.createDirectories(_))
+    Files.move(p(src), to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def sizeOf(path: String): Long = Files.size(p(path))
 }
 
-/** In-memory fake: proves the commit protocol runs on the five primitives
+/** In-memory fake: proves the commit protocol runs on the store primitives
   * alone (FakeStoreSpec drives the full CommitLog suite through it), and
   * doubles as the concurrency harness — `createIfAbsent` is a single CAS. */
 final class InMemoryFileStore extends FileStore {
@@ -107,4 +133,113 @@ final class InMemoryFileStore extends FileStore {
   }
 
   def delete(path: String): Unit = m.remove(path)
+
+  def moveFile(src: String, dst: String): Unit = {
+    val v = m.remove(src)
+    if (v == null) {
+      if (!m.containsKey(dst)) throw new java.nio.file.NoSuchFileException(src)
+      // src already consumed by a completed prior attempt — success
+    } else m.put(dst, v)
+  }
+
+  def sizeOf(path: String): Long = read(path).getBytes("UTF-8").length.toLong
+}
+
+/** Hadoop FileSystem implementation — the object-store / cluster backend.
+  *
+  * `createIfAbsent` maps to `FileSystem.create(path, overwrite = false)`:
+  * on HDFS the namespace claim is atomic at create; on S3A with
+  * `fs.s3a.create.conditional.enabled` the object PUT carries
+  * `If-None-Match: *` and the losing writer surfaces
+  * FileAlreadyExistsException at create or close — either way exactly one
+  * writer wins and readers never see partial content (an object is
+  * invisible until its PUT completes). `moveFile` is a deliberate
+  * copy + delete, never `FileSystem.rename`: S3A's rename is a
+  * client-side copy+delete with extra existence checks anyway, and the
+  * [[FileStore.moveFile]] contract (manifest-controlled visibility,
+  * write-unique names) makes the non-atomicity safe.
+  *
+  * Constructed either over an explicit FileSystem (tests, fixed stores)
+  * or scheme-resolving per path through the active session's Hadoop
+  * configuration (production: one store handles `hdfs://`, `s3a://`,
+  * `file://` paths alike, using Hadoop's own FS cache). */
+final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.FileSystem])
+    extends FileStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  def this(fs: org.apache.hadoop.fs.FileSystem) = this(Some(fs))
+  def this() = this(None)
+
+  private def fsFor(p: HPath): FileSystem = explicitFs.getOrElse(
+    p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration))
+
+  private def hp(s: String): HPath = new HPath(s)
+
+  def read(path: String): String = {
+    val p = hp(path)
+    val in = fsFor(p).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  def exists(path: String): Boolean = { val p = hp(path); fsFor(p).exists(p) }
+
+  def createIfAbsent(path: String, content: String): Boolean = {
+    val p = hp(path)
+    try {
+      val out = fsFor(p).create(p, /* overwrite = */ false)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close() // S3A conditional PUT: the 412 surfaces here
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException        => false
+    }
+  }
+
+  def write(path: String, content: String): Unit = {
+    val p = hp(path)
+    val out = fsFor(p).create(p, /* overwrite = */ true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def list(dir: String): Seq[String] = {
+    val p = hp(dir)
+    try fsFor(p).listStatus(p).map(_.getPath.getName).toSeq.sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  def delete(path: String): Unit = { val p = hp(path); fsFor(p).delete(p, false); () }
+
+  def moveFile(src: String, dst: String): Unit = {
+    val from = hp(src); val to = hp(dst)
+    val sfs = fsFor(from); val dfs = fsFor(to)
+    if (dfs.exists(to)) { sfs.delete(from, false); return } // prior attempt won
+    val in = sfs.open(from)
+    try {
+      val out = dfs.create(to, /* overwrite = */ false)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } catch {
+      // a racing attempt of the SAME publish (names are write-unique)
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException        => ()
+    } finally in.close()
+    sfs.delete(from, false)
+    ()
+  }
+
+  def sizeOf(path: String): Long = {
+    val p = hp(path)
+    fsFor(p).getFileStatus(p).getLen
+  }
 }

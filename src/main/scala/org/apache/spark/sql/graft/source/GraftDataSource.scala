@@ -77,8 +77,26 @@ object GraftSourceTable {
     * (DELETE/UPDATE/MERGE rewrite exactly the affected files). */
   val FileCol = "_file"
 
+  /** Store for the connector's manifest and plan-time file I/O. Pluggable
+    * via `spark.graft.filestore` for warehouses on an object store:
+    * `local` (default), `hadoop` ([[graft.relations.HadoopFileStore]] —
+    * resolves each path's FileSystem through the session Hadoop conf), or
+    * a FileStore class name with a no-arg constructor. */
+  def store(dir: String): graft.relations.FileStore = {
+    val conf =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.filestore", "local")
+      catch { case _: IllegalStateException => "local" } // no active session
+    conf match {
+      case "" | "local" => new LocalFileStore
+      case "hadoop"     => new graft.relations.HadoopFileStore()
+      case cls => Class.forName(cls).getDeclaredConstructor()
+        .newInstance().asInstanceOf[graft.relations.FileStore]
+    }
+  }
+
   def log(dir: String): CommitLog =
-    new CommitLog(new LocalFileStore, java.nio.file.Paths.get(dir, "_graft_log").toString)
+    new CommitLog(store(dir), java.nio.file.Paths.get(dir, "_graft_log").toString)
 
   def resolve(dir: String, versionAsOf: Option[Int]): TableVersion = {
     val l = log(dir)
@@ -192,8 +210,13 @@ object GraftSourceTable {
                 flt: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     import graft.relations.Stats
-    // a zero-row file satisfies anything vacuously
-    if (cs.values.headOption.exists(_.rows == 0L)) return true
+    // a zero-row file satisfies anything vacuously. `exists`, not
+    // `headOption`: in a map mixing real stats with partition pseudo-stats
+    // (whose `rows` is a 1-row placeholder) headOption is nondeterministic
+    // and could hide the empty-file proof behind a pseudo-stat; only real
+    // stats can carry rows == 0, and a real rows == 0 means the file IS
+    // empty, so any-match is sound.
+    if (cs.values.exists(_.rows == 0L)) return true
     def bound(c: String)(p: (Ordering[String], graft.relations.ColStats) => Boolean): Boolean =
       (cs.get(c), ord(st, c)) match {
         case (Some(s), Some(o)) => s.nulls == 0L && p(o, s)
@@ -529,17 +552,23 @@ class GraftScanBuilder(dir: String, schema: StructType,
   override def build(): Scan = {
     if (changeFeed) {
       val st = GraftSourceTable.resolve(dir, None)
-      val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      // Delta CDF semantics (this surface mirrors its option names, so it
+      // mirrors its contract): startingVersion and endingVersion are both
+      // INCLUSIVE, batch reads REQUIRE an explicit start, and a stream
+      // without one tails from the current version. Internally the planner
+      // still thinks in (fromExclusive, to].
+      val start = Option(options.get("startingVersion")).map(_.toInt)
       val to = Option(options.get("endingVersion")).map(_.toInt)
         .orElse(GraftSourceTable.log(dir).currentVersion).getOrElse(0)
-      return new GraftChangeFeedScan(dir, st, from, to)
+      return new GraftChangeFeedScan(dir, st, start, to)
     }
     aggAnswer match {
       case Some((outSchema, row)) => new GraftStatsLocalScan(dir, outSchema, row)
       case None => new GraftScan(dir, schema, required,
         versionAsOf,
         Option(options.get("startingVersion")).map(_.toInt),
-        pushed.toSeq, limit)
+        pushed.toSeq, limit,
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
     }
   }
 }
@@ -557,7 +586,8 @@ class GraftStatsLocalScan(dir: String, outSchema: StructType, row: InternalRow)
 class GraftScan(dir: String, tableSchema: StructType, required: StructType,
                 versionAsOf: Option[Int], startingVersion: Option[Int],
                 filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                maxFilesPerTrigger: Option[Int] = None)
     extends Scan with SupportsReportPartitioning {
   // Hive-layout split: partition columns live in dir names, not file bytes.
   // The shipped reader yields requiredData ++ requiredPart per row, so
@@ -675,20 +705,54 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, () => factory(batched = false),
-      requiredPart, startingVersion)
+      requiredPart, startingVersion.map(_ - 1), maxFilesPerTrigger)
 }
 
 /** Offsets are commit-log versions; a microbatch is the files the interval
   * (start, end] added. Append-only contract like readChanges: rewritten
-  * files replay their rows. */
+  * files replay their rows. The user-facing `startingVersion` option is
+  * INCLUSIVE (Delta semantics) — `initialVersion` here is the exclusive
+  * last-processed form. `maxFilesPerTrigger` bounds a batch via admission
+  * control: the end offset stops at the last version whose cumulative
+  * added-file count fits (always admitting at least one version, so one
+  * oversized commit still progresses). */
 class GraftMicroBatchStream(dir: String, factory: () => PartitionReaderFactory,
-                            requiredPart: StructType, startingVersion: Option[Int])
-    extends MicroBatchStream {
+                            requiredPart: StructType, initialVersion: Option[Int],
+                            maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
   private def log = GraftSourceTable.log(dir)
   override def initialOffset(): Offset =
-    GraftVersionOffset(startingVersion.getOrElse(0))
+    GraftVersionOffset(initialVersion.getOrElse(0))
   override def latestOffset(): Offset =
     GraftVersionOffset(log.currentVersion.getOrElse(0))
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = log.currentVersion.getOrElse(0)
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _               => return GraftVersionOffset(cur)
+    }
+    if (cur <= s) return GraftVersionOffset(cur)
+    // one readRange replay over the pending window, same as planning
+    val states = log.readRange(math.max(1, s), cur)
+      .map(v => v.version -> v.files.toSet).toMap
+    var prev: Set[String] = if (s <= 0) Set.empty else states(s)
+    var admitted = s
+    var total = 0
+    var v = s + 1
+    while (v <= cur) {
+      val files = states(v)
+      val added = (files -- prev).size
+      if (admitted > s && total + added > cap) v = cur + 1
+      else { total += added; admitted = v; prev = files; v += 1 }
+    }
+    GraftVersionOffset(admitted)
+  }
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -732,17 +796,19 @@ object GraftFilePartition {
     * at plan time (the relative path carries the `k=v` segments). */
   def forFiles(dir: String, files: Seq[String],
                partitionSchema: StructType,
-               bucketed: Boolean = false): Array[InputPartition] =
+               bucketed: Boolean = false): Array[InputPartition] = {
+    val store = GraftSourceTable.store(dir)
     files.map { f =>
       val p = java.nio.file.Paths.get(dir, f)
       val uri = p.toUri.toString
-      val size = java.nio.file.Files.size(p)
+      val size = store.sizeOf(p.toString)
       val pv = GraftSourceTable.partitionValues(f, partitionSchema)
       graft.relations.RelationManager.bucketIdOf(f) match {
         case Some(b) if bucketed => GraftBucketedFilePartition(uri, f, size, pv, b)
         case _                   => GraftFilePartition(uri, f, size, pv)
       }
     }.toArray[InputPartition]
+  }
 }
 
 /** Wraps the shipped decode function. In row mode it unwraps any stray

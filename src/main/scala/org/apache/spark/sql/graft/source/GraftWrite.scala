@@ -66,21 +66,28 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo, viaCatalog: Boolean
     mode = GraftWriteMode.DynamicOverwrite; this
   }
   override def build(): Write =
-    new GraftWrite(dir, info.schema(), mode, viaCatalog, info.queryId())
+    new GraftWrite(dir, info.schema(), mode, viaCatalog, info.queryId(),
+      preClustered = info.options.containsKey(
+        org.apache.spark.sql.graft.GraftPathWriteClustering.Marker))
 }
 
 class GraftWrite(dir: String, writeSchema: StructType,
                  mode: GraftWriteMode.Value, viaCatalog: Boolean,
-                 queryId: String = "") extends Write with RequiresDistributionAndOrdering {
+                 queryId: String = "", preClustered: Boolean = false)
+    extends Write with RequiresDistributionAndOrdering {
   private val st: TableVersion = GraftSourceTable.resolve(dir, None)
 
   /** Requested (not required) layout: cluster on partition values + bucket
     * id so each task writes few files, order by partition values so the
     * LRU writer pool stays at ~1 open file. The bucket transform only
-    * resolves through a FunctionCatalog, so path-based writes to bucketed
-    * tables fall back to clustering on the raw bucket columns — same
-    * files, just a looser grouping. */
+    * resolves through a FunctionCatalog, so PATH-based writes to bucketed
+    * tables are clustered by [[org.apache.spark.sql.graft.GraftPathWriteClustering]]
+    * instead (the session-extension hook), which marks the plan
+    * pre-clustered so no second shuffle is requested here; without the
+    * extension they fall back to clustering on the raw bucket columns —
+    * same files, just a looser grouping (tasks × buckets file counts). */
   override def requiredDistribution(): Distribution = {
+    if (preClustered) return Distributions.unspecified()
     val part = st.partitionBy.map(Expressions.identity)
     val bkt =
       if (st.buckets > 0 && viaCatalog)
@@ -118,13 +125,14 @@ case class GraftCommitMessage(files: Seq[(String, Map[String, ColStats])])
 private[source] object GraftPublish {
   /** Move committed files from a stage dir to their final table-relative
     * names (stage-relative and table-relative paths coincide — a
-    * local-staging detail, not part of the commit protocol). */
-  def publish(dir: String, stageDir: java.nio.file.Path, files: Seq[String]): Unit =
+    * local-staging detail, not part of the commit protocol). Routed
+    * through the FileStore seam so an object-store deployment publishes
+    * with copy+delete instead of rename (safe: visibility is
+    * manifest-controlled and names are write-unique). */
+  def publish(dir: String, stageDir: java.nio.file.Path, files: Seq[String],
+              store: graft.relations.FileStore = new graft.relations.LocalFileStore): Unit =
     files.foreach { f =>
-      val to = Paths.get(dir, f)
-      Files.createDirectories(to.getParent)
-      Files.move(stageDir.resolve(f), to,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      store.moveFile(stageDir.resolve(f).toString, Paths.get(dir, f).toString)
     }
 
   def deleteDir(p: java.nio.file.Path): Unit =

@@ -103,7 +103,7 @@ class CdfSpec extends AnyFunSuite {
     val dir = rm.path(rel).toString
 
     val feed = spark.read.format("graft")
-      .option("readChangeFeed", "true").option("startingVersion", 0).load(dir)
+      .option("readChangeFeed", "true").option("startingVersion", 1).load(dir)
     assert(feed.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
     val perCommit = feed.groupBy("_commit_version", "_change_type").count()
       .as[(Int, String, Long)].collect().toSet
@@ -111,9 +111,10 @@ class CdfSpec extends AnyFunSuite {
     // v4 (truncate): every live row deletes = 100 - 1 + 2 + 1 = 102
     assert(perCommit == Set((1, "insert", 100L), (2, "insert", 2L),
       (2, "delete", 1L), (3, "insert", 1L), (4, "delete", 102L)), perCommit.toString)
-    // interval selection: only v2's stored rows
+    // interval selection (both bounds INCLUSIVE per Delta CDF): only v2's
+    // stored rows
     val v2only = spark.read.format("graft").option("readChangeFeed", "true")
-      .option("startingVersion", 1).option("endingVersion", 2).load(dir)
+      .option("startingVersion", 2).option("endingVersion", 2).load(dir)
     assert(v2only.count() == 3)
     // and it agrees with the engine's per-commit feed row for row
     val engine = rm.readCommitChanges(rel, 1, 2)
@@ -130,7 +131,10 @@ class CdfSpec extends AnyFunSuite {
     seed(rm, rel, 10, 1)
     val dir = rm.path(rel).toString
 
+    // startingVersion 1 INCLUSIVE — a stream without it tails only NEW
+    // commits (Delta CDF semantics), which would skip the v1 seeds
     val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1)
       .load(dir)
       .writeStream.format("memory").queryName("cdf_stream_sink")
       .option("checkpointLocation",
@@ -150,6 +154,42 @@ class CdfSpec extends AnyFunSuite {
       assert(rows.filter($"_commit_version" === 2 && $"_change_type" === "insert")
         .select("v").as[String].head() == "m3")
     } finally q.stop()
+  }
+
+  test("batch change feed without startingVersion is rejected (Delta CDF requires an explicit start)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "conn_nostart")
+    seed(rm, rel, 10, 1)
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(rm.path(rel).toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("startingVersion")), e.toString)
+  }
+
+  test("a vacuumed pure-remove interval fails with actionable guidance, not NoSuchFileException") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "conn_vacuumed")
+    seed(rm, rel, 10, 1)          // v1
+    val v1Files = rm.currentState(rel).get.files
+    rm.truncate(rel)              // v2: pure remove — delete images ARE v1's bytes
+    val dir = rm.path(rel)
+    // simulate vacuum reclaiming the unreferenced data files
+    v1Files.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 2).load(dir.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("vacuumed")), e.toString)
+    // intervals before the gap still read when their images survive: none
+    // here, but the error must not have corrupted the table read path
+    assert(spark.read.format("graft").load(dir.toString).count() == 0L)
   }
 
   test("a mixed rewrite without stored changes fails the feed plan loudly") {

@@ -229,6 +229,26 @@ class DmlSpec extends AnyFunSuite {
       "post-rewrite re-add must null-fill, not resurrect")
   }
 
+  test("concurrent ALTERs never lose a column (snapshot-derived schema recomputes per retry)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)
+    val rel = Relation("graft", "main", "dml_alter_race")
+    ranged(rm, rel, 50, 1)
+    val t = s"${rm.catalogName}.main.dml_alter_race"
+    // 8 writers race schema commits; before ALTER carried expectedBase the
+    // last CAS winner silently dropped the others' columns (the schema was
+    // computed once from a snapshot and re-committed verbatim on retry)
+    val adds = (0 until 8).map(i => Future {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra_$i DOUBLE)")
+    })
+    Await.result(Future.sequence(adds), 120.seconds)
+    val cols = spark.table(t).columns.toSet
+    (0 until 8).foreach(i => assert(cols.contains(s"extra_$i"),
+      s"extra_$i lost by a concurrent ALTER; have $cols"))
+  }
+
   test("DML preserves bucket layout and storage-partitioned joins") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_dml").toString)

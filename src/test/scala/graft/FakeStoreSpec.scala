@@ -22,6 +22,8 @@ class FakeStoreSpec extends AnyFunSuite {
     def write(path: String, content: String): Unit = inner.write(path, content)
     def list(dir: String): Seq[String] = { lists.incrementAndGet(); inner.list(dir) }
     def delete(path: String): Unit = inner.delete(path)
+    def moveFile(src: String, dst: String): Unit = inner.moveFile(src, dst)
+    def sizeOf(path: String): Long = inner.sizeOf(path)
   }
 
   private def newLog(store: FileStore = new InMemoryFileStore) =

@@ -425,4 +425,22 @@ class FileLogSpec extends AnyFunSuite {
     assert(byId(49L) == Seq("v49"))         // untouched row intact
     assert(rm.read(rel).count() == 101)
   }
+
+  test("expectedBase aborts a commit whose snapshot went stale (ALTER's conflict guard)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_cas").resolve("_graft_log").toString
+    val log = new graft.relations.CommitLog(new graft.relations.LocalFileStore, dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    log.commit(None, Some(Nil), Some(schema), Some(Nil), Map.empty)(identity) // v1
+    log.commit(None, None, None, None, Map.empty)(identity)                   // v2
+    // a mutation derived from the v1 snapshot must NOT silently overwrite v2
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit(None, None, Some(schema), None, Map.empty,
+        expectedBase = Some(1))(identity)
+    }
+    // matching base commits fine
+    val v3 = log.commit(None, None, Some(schema), None, Map.empty,
+      expectedBase = Some(2))(identity)
+    assert(v3.version == 3)
+  }
 }

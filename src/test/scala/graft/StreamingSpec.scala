@@ -154,6 +154,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rm.currentState(dst).get.txn.contains("e2e_writer"))
   }
 
+  test("maxFilesPerTrigger bounds each microbatch via admission control") {
+    import graft.core.Relation
+    import graft.relations.RelationManager
+    import org.apache.spark.sql.graft.source.{GraftMicroBatchStream, GraftVersionOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import spark.implicits._
+
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_mft").toString)
+    val rel = Relation("graft", "main", "mft_src")
+    // three commits, two files each
+    (0 until 3).foreach { c =>
+      val df = (0 until 20).map(i => (c * 100L + i, s"c$c")).toDF("id", "v")
+        .repartition(2)
+      if (c == 0) rm.writeTable(df, rel) else rm.appendTable(df, rel)
+    }
+    val dir = rm.path(rel).toString
+    val stream = new GraftMicroBatchStream(dir, () => null, // factory unused here
+      new org.apache.spark.sql.types.StructType(), None, Some(2))
+    def admit(from: Int, cap: Int): Int =
+      stream.latestOffset(GraftVersionOffset(from), ReadLimit.maxFiles(cap))
+        .asInstanceOf[GraftVersionOffset].version
+    assert(admit(0, 2) == 1, "cap 2 admits exactly the first 2-file commit")
+    assert(admit(0, 3) == 1, "cap 3 cannot fit commit 2's files — stop at v1")
+    assert(admit(0, 4) == 2)
+    assert(admit(0, 100) == 3)
+    assert(admit(1, 2) == 2)
+    assert(admit(0, 1) == 1, "an oversized commit still admits (progress guarantee)")
+
+    // end-to-end: the capped stream delivers every row exactly once, in
+    // more batches
+    val q = StreamingOps.readTableStream(rm, rel, maxFilesPerTrigger = Some(2))
+      .writeStream.format("memory").queryName("mft_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_mft_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mft_sink").count() == 60)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"2-file cap over 3 2-file commits = 3 batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 20))
+    } finally q.stop()
+  }
+
   test("cdcPipe replicates a MERGE-maintained keyed table: updates, deletes, compaction") {
     import graft.core.Relation
     import graft.relations.RelationManager

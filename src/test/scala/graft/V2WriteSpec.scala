@@ -116,6 +116,36 @@ class V2WriteSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"SPJ must survive external inserts:\n$plan")
   }
 
+  test("path-based write to a bucketed table emits one file per bucket, not per task") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "main", "v2w_bkt_path")
+    rm.writeBucketedTable((0L until 10L).map(i => (i, s"s$i")).toDF("k", "v"),
+      rel, buckets = 4, bucketCols = Seq("k"))
+    val dir = rm.path(rel).toString
+    val before = rm.currentState(rel).get.files.toSet
+
+    // 400 keys over 8 input partitions: without GraftPathWriteClustering
+    // (the session-extension FunctionCatalog-gap closer) each task would
+    // emit a file per bucket it sees — up to tasks × buckets files
+    (100L until 500L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8)
+      .write.format("graft").mode("append").save(dir)
+
+    val st = rm.currentState(rel).get
+    val newFiles = st.files.filterNot(before)
+    assert(newFiles.forall(_.contains("_bucket=")), s"$newFiles")
+    val perBucket = newFiles.groupBy(graft.relations.RelationManager.bucketIdOf)
+    assert(perBucket.keys.forall(_.isDefined))
+    assert(perBucket.forall(_._2.size == 1),
+      s"one file per bucket per write, got ${perBucket.view.mapValues(_.size).toMap}")
+    assert(newFiles.size <= 4, s"at most one file per bucket: $newFiles")
+    // rows all landed and route identically to the engine's bucketing
+    assert(rm.read(rel).count() == 410)
+    val joined = rm.read(rel).join(rm.read(rel).select($"k"), "k")
+    assert(joined.count() == 410)
+  }
+
   test("metadata-only DELETE drops whole files via partition values and stats") {
     import spark.implicits._
     val rm = newRm()
