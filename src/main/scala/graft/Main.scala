@@ -35,6 +35,8 @@ object Main {
       state: Option[String] = None,
       defer: Boolean = false,
       sampleHours: Option[Int] = None,
+      failFast: Boolean = false,
+      empty: Boolean = false,
       positional: Seq[String] = Nil,
       port: Int = 8080,
       inline: Option[String] = None,
@@ -55,6 +57,8 @@ object Main {
       case "--state" :: v :: t => loop(t, acc.copy(state = Some(v)))
       case "--defer" :: t => loop(t, acc.copy(defer = true))
       case "--sample" :: v :: t => loop(t, acc.copy(sampleHours = Some(v.toInt)))
+      case "--fail-fast" :: t => loop(t, acc.copy(failFast = true))
+      case "--empty" :: t => loop(t, acc.copy(empty = true))
       case "--port" :: v :: t => loop(t, acc.copy(port = v.toInt))
       case "--inline" :: v :: t => loop(t, acc.copy(inline = Some(v)))
       case "--cluster-by" :: v :: t => loop(t, acc.copy(clusterBy =
@@ -122,7 +126,9 @@ object Main {
       sampleWindow = args.sampleHours.map(h =>
         (now.minusSeconds(h.toLong * 3600), now)),
       previousState = stateManifest,
-      previousResults = stateResults)
+      previousResults = stateResults,
+      failFast = args.failFast,
+      emptyRun = args.empty)
 
     def report(results: Seq[graft.runner.RunResult]): Int = {
       results.foreach(r => out.println(

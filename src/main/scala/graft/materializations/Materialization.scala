@@ -133,7 +133,8 @@ object Materializations {
     val candidates = Stats.candidateFiles(st, bounds)
     if (candidates.isEmpty) Nil
     else rm.readFiles(rel, st, candidates)
-      .select((uniqueKey.map(col) :+ input_file_name().as("__graft_file")): _*)
+      .select((uniqueKey.map(col) :+
+        rm.sourceFileCol(st, candidates).as("__graft_file")): _*)
       .join(keys, uniqueKey, "left_semi")
       .select("__graft_file").distinct()
       .collect().map(r => rm.relativize(rel, r.getString(0))).toSeq

@@ -149,7 +149,7 @@ object Snapshot {
     // file name only — parquet column pruning keeps this cheap)
     val touched = rm.readFiles(rel, st, plannedFiles)
       .select((key.map(col) :+ col("dbt_valid_to") :+ col("dbt_is_deleted") :+
-        input_file_name().as("__graft_file")): _*)
+        rm.sourceFileCol(st, plannedFiles).as("__graft_file")): _*)
       .filter(currentPred)
       .join(affectedKeys, key, "left_semi")
       .select("__graft_file").distinct()

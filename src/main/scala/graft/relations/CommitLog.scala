@@ -28,7 +28,18 @@ final case class TableVersion(
     // the same atomic delta-file CAS as the data files it describes, so
     // "data appended" and "batch recorded" cannot diverge (same idea as
     // the Delta paper's txn action).
-    txn: Map[String, Long] = Map.empty)
+    txn: Map[String, Long] = Map.empty,
+    // merge-on-read positional deletes (the Iceberg positional-delete /
+    // Delta deletion-vector idea, from the public papers): data file →
+    // delete files under _graft_deletes/, each a parquet of
+    // (file: string, pos: long) naming dead row positions. A reader of a
+    // mapped data file anti-joins those positions out; a commit that
+    // removes a data file drops its delete entries with it (compaction
+    // folds them away). Empty for copy-on-write tables.
+    deletes: Map[String, Seq[String]] = Map.empty,
+    // free-form table properties (e.g. row_level_mode = merge-on-read),
+    // carried forward until a commit replaces them
+    props: Map[String, String] = Map.empty)
 
 /** A staged-but-uncommitted write. The physical files stay inside the
   * underscore-hidden staging dir (`stageDir`) until the COMMIT publishes
@@ -113,7 +124,9 @@ final class CommitLog(store: FileStore, dir: String) {
       txn: Map[String, Long] = Map.empty,
       newBucketing: Option[(Seq[String], Int)] = None,
       changeFiles: Seq[String] = Nil,
-      expectedBase: Option[Int] = None)(
+      expectedBase: Option[Int] = None,
+      addedDeletes: Map[String, Seq[String]] = Map.empty,
+      newProps: Option[Map[String, String]] = None)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
     while (true) {
@@ -149,6 +162,21 @@ final class CommitLog(store: FileStore, dir: String) {
       val remove = (prevLogged -- newFiles).toSeq.sorted
       val schema = newSchema.orElse(cur.map(_.schema)).getOrElse(
         throw new IllegalStateException(s"no schema for table log at $dir"))
+      // Merge-on-read delete attachments: a delete file names positions in
+      // a SPECIFIC data file — attaching to a file a concurrent commit
+      // just replaced would resurrect its dead rows on the rewritten
+      // copy's read path, so (like the rewrites' vanished-file checks)
+      // abort inside the CAS and let the caller retry the statement.
+      val newFileSet = newFiles.toSet
+      addedDeletes.keys.find(!newFileSet.contains(_)).foreach(f =>
+        throw new java.util.ConcurrentModificationException(
+          s"delete files target $f, which is no longer referenced at $dir — " +
+            "a concurrent commit replaced it; retry the statement"))
+      val keptDeletes = cur.map(_.deletes).getOrElse(Map.empty)
+        .view.filterKeys(newFileSet.contains).toMap
+      val nextDeletes = addedDeletes.foldLeft(keptDeletes) {
+        case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
+      }
       val next = TableVersion(
         cur.map(_.version).getOrElse(0) + 1,
         newFiles,
@@ -159,9 +187,12 @@ final class CommitLog(store: FileStore, dir: String) {
           addedStats.view.filterKeys(add.contains).toMap,
         newBucketing.map(_._1).orElse(cur.map(_.bucketBy)).getOrElse(Nil),
         newBucketing.map(_._2).orElse(cur.map(_.buckets)).getOrElse(0),
-        cur.map(_.txn).getOrElse(Map.empty) ++ txn)
+        cur.map(_.txn).getOrElse(Map.empty) ++ txn,
+        nextDeletes,
+        newProps.orElse(cur.map(_.props)).getOrElse(Map.empty))
       val body = serialize(next, add, remove,
-        addedStats.view.filterKeys(add.contains).toMap, txn, changeFiles)
+        addedStats.view.filterKeys(add.contains).toMap, txn, changeFiles,
+        addedDeletes)
       if (store.createIfAbsent(deltaPath(next.version), body)) {
         if (next.version % CheckpointInterval == 0) writeCheckpoint(next)
         return next
@@ -202,7 +233,7 @@ final class CommitLog(store: FileStore, dir: String) {
     * that commit's new entries). */
   private def writeCheckpoint(v: TableVersion): Unit =
     store.createIfAbsent(ckptPath(v.version),
-      serialize(v, v.files, Nil, v.stats, v.txn))
+      serialize(v, v.files, Nil, v.stats, v.txn, Nil, v.deletes))
 
   // ----------------------------------------------------------- (de)serialization
 
@@ -227,10 +258,14 @@ final class CommitLog(store: FileStore, dir: String) {
       .map(Json.arr(_).map(Json.str).toSeq).filter(_.nonEmpty)
   }
 
+  /** `addDeletes` is DELTA-shaped in a version file (this commit's new
+    * attachments) and the FULL map in a checkpoint (whose `add` is the
+    * full file list — same convention). */
   private def serialize(v: TableVersion, add: Seq[String], remove: Seq[String],
                         stats: Map[String, Map[String, ColStats]],
                         txn: Map[String, Long],
-                        changeFiles: Seq[String] = Nil): String = {
+                        changeFiles: Seq[String] = Nil,
+                        addDeletes: Map[String, Seq[String]] = Map.empty): String = {
     def sarr(xs: Seq[String]) = s"[${xs.map(Json.quote).mkString(",")}]"
     def statsObj(m: Map[String, Map[String, ColStats]]): String =
       m.toSeq.sortBy(_._1).map { case (f, cols) =>
@@ -245,13 +280,23 @@ final class CommitLog(store: FileStore, dir: String) {
       .map { case (k, b) => s"${Json.quote(k)}:$b" }.mkString(",")
     val changesPart =
       if (changeFiles.isEmpty) "" else s""""changes":${sarr(changeFiles)},"""
+    val deletesPart =
+      if (addDeletes.isEmpty) ""
+      else addDeletes.toSeq.sortBy(_._1)
+        .map { case (f, ds) => s"${Json.quote(f)}:${sarr(ds)}" }
+        .mkString(""""add_deletes":{""", ",", "},")
+    val propsPart =
+      if (v.props.isEmpty) ""
+      else v.props.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"${Json.quote(k)}:${Json.quote(x)}" }
+        .mkString(""""props":{""", ",", "},")
     s"""{"version":${v.version},"schema_json":${Json.quote(v.schema.json)},""" +
       s""""partition_by":${sarr(v.partitionBy)},""" +
       s""""bucket_by":${sarr(v.bucketBy)},"buckets":${v.buckets},""" +
       s""""stats_cols":${sarr(v.statsCols)},""" +
       s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
       s""""stats":{${statsObj(stats)}},""" +
-      s""""txn":{$txnObj},""" + changesPart +
+      s""""txn":{$txnObj},""" + changesPart + deletesPart + propsPart +
       s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
   }
 
@@ -277,7 +322,16 @@ final class CommitLog(store: FileStore, dir: String) {
     (doc.get("bucket_by").map(Json.arr(_).map(Json.str).toSeq).getOrElse(Nil),
       doc.get("buckets").map(_.asInstanceOf[Long].toInt).getOrElse(0))
 
-  /** A checkpoint doc is a delta doc whose `add` is the full file list. */
+  /** Delete attachments / props are absent in pre-round-5 logs. */
+  private def parseDeletes(doc: Map[String, Any]): Map[String, Seq[String]] =
+    doc.get("add_deletes").map(Json.obj(_).map { case (f, ds) =>
+      f -> Json.arr(ds).map(Json.str).toSeq }).getOrElse(Map.empty)
+
+  private def parseProps(doc: Map[String, Any]): Option[Map[String, String]] =
+    doc.get("props").map(Json.obj(_).map { case (k, v) => k -> Json.str(v) })
+
+  /** A checkpoint doc is a delta doc whose `add` is the full file list
+    * (and whose `add_deletes` is the full deletes map). */
   private def readDoc(body: String, v: Int): TableVersion = {
     val doc = Json.obj(Json.parse(body))
     val (bucketBy, buckets) = parseBucketing(doc)
@@ -288,7 +342,9 @@ final class CommitLog(store: FileStore, dir: String) {
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
       parseStats(doc("stats")),
       bucketBy, buckets,
-      parseTxn(doc))
+      parseTxn(doc),
+      parseDeletes(doc),
+      parseProps(doc).getOrElse(Map.empty))
   }
 
   private def applyDelta(state: TableVersion, body: String, v: Int): TableVersion = {
@@ -296,14 +352,22 @@ final class CommitLog(store: FileStore, dir: String) {
     val add = Json.arr(doc("add")).map(Json.str)
     val remove = Json.arr(doc("remove")).map(Json.str).toSet
     val (bucketBy, buckets) = parseBucketing(doc)
+    val files = (state.files.filterNot(remove) ++ add).distinct.sorted
+    val fileSet = files.toSet
+    val kept = state.deletes.view.filterKeys(fileSet.contains).toMap
+    val deletes = parseDeletes(doc).foldLeft(kept) {
+      case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
+    }
     TableVersion(v,
-      (state.files.filterNot(remove) ++ add).distinct.sorted,
+      files,
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
       Json.arr(doc("partition_by")).map(Json.str).toSeq,
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
       (state.stats -- remove) ++ parseStats(doc("stats")),
       bucketBy, buckets,
-      state.txn ++ parseTxn(doc))
+      state.txn ++ parseTxn(doc),
+      deletes,
+      parseProps(doc).getOrElse(state.props))
   }
 }
 

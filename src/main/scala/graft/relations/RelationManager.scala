@@ -326,16 +326,44 @@ final class RelationManager(
 
   /** Read a subset of a version's files — the pruned-scan primitive for
     * file-level MERGE. basePath recovers partition columns from dir names;
-    * the explicit schema skips footer-merging inference. */
+    * the explicit schema skips footer-merging inference.
+    *
+    * Merge-on-read: when any requested file carries positional deletes,
+    * the read routes through the V2 connector (whose reader anti-merges
+    * dead positions per file), narrowed to the requested subset via a
+    * `_file IN (…)` predicate — manifest skipping keeps it O(subset). A
+    * raw parquet read of such files would resurrect deleted rows. */
   def readFiles(rel: Relation, v: TableVersion, files: Seq[String]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], v.schema)
+    if (files.exists(v.deletes.contains)) {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("graft")
+        .option("versionAsOf", v.version.toString)
+        .load(path(rel).toString)
+      val narrowed =
+        if (files.toSet == v.files.toSet) df
+        else df.where(col(RelationManager.FileCol).isin(files: _*))
+      return narrowed.select(
+        v.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    }
     val abs = files.map(f => path(rel).resolve(f).toString)
     spark.read
       .option("basePath", path(rel).toString)
       .schema(v.schema)
       .parquet(abs: _*)
       .select(v.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** Set (or overwrite) free-form table properties in one metadata-only
+    * commit — e.g. `row_level_mode = merge-on-read` to switch SQL DML to
+    * positional-delete writes. Existing keys not mentioned are kept. */
+  def setTableProperties(rel: Relation, props: Map[String, String]): Unit = {
+    val cur = currentState(rel).getOrElse(throw new IllegalArgumentException(
+      s"setTableProperties: no such table ${rel.render}"))
+    log(rel).commit(None, None, None, None, Map.empty,
+      newProps = Some(cur.props ++ props))(identity)
+    ()
   }
 
   /** Change feed at file granularity: rows of files ADDED after version
@@ -403,6 +431,17 @@ final class RelationManager(
         lg.commitChanges(v).isDefined)
     }
   }
+
+  /** The per-row source-file tag for planning scans over [[readFiles]]:
+    * `input_file_name()` on the raw parquet route, but the connector's
+    * `_file` metadata column on the delete-aware route (DSv2 scans leave
+    * input_file_name EMPTY — a planning scan trusting it there would plan
+    * garbage). Both forms normalize through [[relativize]] after collect
+    * (`_file` is already table-relative; relativize no-ops on it). */
+  def sourceFileCol(v: TableVersion, files: Seq[String]): org.apache.spark.sql.Column =
+    if (files.exists(v.deletes.contains))
+      org.apache.spark.sql.functions.col(RelationManager.FileCol)
+    else org.apache.spark.sql.functions.input_file_name()
 
   /** Map `input_file_name()` URIs back to table-relative paths. */
   def relativize(rel: Relation, fileUri: String): String = {
@@ -675,8 +714,14 @@ final class RelationManager(
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
       commitReplace(clustered, rel, st.files)
     } else {
-      val small = st.files.filter(f => sizeOf(f) < smallFileBytes)
-      if (small.size < 2) return // nothing worth packing
+      // merge-on-read: a file carrying positional deletes is ALWAYS a
+      // compaction candidate regardless of size — rewriting it folds the
+      // delete files away (readFiles applies them), restoring vectorized
+      // reads and stats/LIMIT pushdowns
+      val small = st.files.filter(f =>
+        sizeOf(f) < smallFileBytes || st.deletes.contains(f))
+      if (small.size < 2 && !small.exists(st.deletes.contains))
+        return // nothing worth packing
       val n = math.max(1, math.ceil(
         small.map(sizeOf).sum.toDouble / targetFileBytes).toInt)
       val packCols =
@@ -717,6 +762,17 @@ final class RelationManager(
       store.list(changesRoot.toString)
         .filterNot(referenced.contains)
         .foreach(d => deleteDir(changesRoot.resolve(d)))
+    }
+    // merge-on-read delete files: keep those any retained version maps,
+    // reclaim the rest (their data file was compacted/removed)
+    val deletesRoot = path(rel).resolve("_graft_deletes")
+    if (Files.isDirectory(deletesRoot)) {
+      val referencedDel = (keepFrom to latest).map(lg.read)
+        .flatMap(_.deletes.values.flatten)
+        .map(f => Paths.get(f).getFileName.toString).toSet
+      store.list(deletesRoot.toString)
+        .filterNot(referencedDel.contains)
+        .foreach(f => store.delete(deletesRoot.resolve(f).toString))
     }
     lg.truncateBefore(keepFrom)
   }
@@ -871,6 +927,9 @@ object RelationManager {
   /** Column names of the row-level change feed. */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** The connector's `_file` metadata column (row's data file path). */
+  val FileCol = "_file"
 
   /** One commit in a table's history listing. */
   final case class HistoryEntry(version: Int,

@@ -55,7 +55,16 @@ final class Runner(
     // --state: previous manifest for state:modified/new selection; previous
     // run statuses for result:<status> and retry
     previousState: Option[Manifest] = None,
-    previousResults: Map[String, String] = Map.empty) {
+    previousResults: Map[String, String] = Map.empty,
+    // --fail-fast: abort the whole run on the first node failure — nodes
+    // not yet started are marked skipped (reference:
+    // core/dbt/cli/params.py:237 fail_fast, task/runnable.py _cancel logic)
+    failFast: Boolean = false,
+    // --empty: schema-only dry run — every ref()/source() input is limited
+    // to zero rows, so models build their full schemas (contracts still
+    // assert) without moving data (reference: core/dbt/cli/params.py:163,
+    // providers.py resolve_limit)
+    emptyRun: Boolean = false) {
 
   /** generate_schema_name / generate_alias_name naming policy
     * (reference: manifest.json §generate_schema_name, §generate_alias_name). */
@@ -85,12 +94,16 @@ final class Runner(
   /** Wrap a resolved relation in the sample/event-time window filter when
     * the dependency declares an event_time column. */
   private def applySample(dep: Node, name: String): String =
-    (sampleWindow, dep.config.eventTime) match {
+    emptyWrap((sampleWindow, dep.config.eventTime) match {
       case (Some((s, e)), Some(et)) =>
         s"(select * from $name where $et >= timestamp'${java.sql.Timestamp.from(s)}'" +
           s" and $et < timestamp'${java.sql.Timestamp.from(e)}')"
       case _ => name
-    }
+    })
+
+  /** --empty: inputs become zero-row subqueries (schemas intact). */
+  private def emptyWrap(name: String): String =
+    if (emptyRun) s"(select * from $name limit 0)" else name
 
   /** Compile a SQL node: render refs/sources and recursively inline
     * ephemeral deps as CTEs (reference: Compiler._recursively_prepend_ctes
@@ -122,7 +135,8 @@ final class Runner(
     def renderBody(sql: String, n: Node, isIncremental: Boolean): String =
       TemplateResolver.render(sql, TemplateResolver.Context(
         resolveRef = resolveRef,
-        resolveSource = (s, t) => s"${s}_$t", // sources registered as <source>_<table> views
+        // sources registered as <source>_<table> views
+        resolveSource = (s, t) => emptyWrap(s"${s}_$t"),
         // {{ this }} must also self-register in a fresh session over an
         // existing warehouse (the incremental re-run path)
         thisRelation = resolveRelationName(n),
@@ -650,8 +664,11 @@ final class Runner(
     val pool = Executors.newFixedThreadPool(threads)
     val pending = new java.util.concurrent.atomic.AtomicInteger(0)
     val done = new Object
+    // --fail-fast: first failure's node name; once set, no new node starts
+    val abortedBy = new java.util.concurrent.atomic.AtomicReference[String](null)
 
     def pump(): Unit = {
+      if (failFast && abortedBy.get != null) return
       var next = queue.poll()
       while (next.isDefined) {
         val id = next.get
@@ -661,6 +678,7 @@ final class Runner(
             val r = runNode(mf(id))
             results.put(id, r)
             if (r.status == "error" || r.status == "fail") {
+              if (failFast) abortedBy.compareAndSet(null, mf(id).name)
               val skipped = queue.markFailed(id)
               skipped.foreach { s =>
                 results.put(s, RunResult(s, "skipped", Instant.now(), Instant.now(),
@@ -672,16 +690,26 @@ final class Runner(
             pump()
           }
         })
+        if (failFast && abortedBy.get != null) return
         next = queue.poll()
       }
     }
 
     pump()
     done.synchronized {
-      while (!queue.finished || pending.get() > 0) done.wait(50)
+      while (pending.get() > 0 ||
+          (!queue.finished && !(failFast && abortedBy.get != null)))
+        done.wait(50)
     }
     pool.shutdown()
     pool.awaitTermination(1, TimeUnit.HOURS)
+    // fail-fast: everything that never started is skipped, loudly
+    Option(abortedBy.get).foreach { failedName =>
+      selected.foreach { id =>
+        results.putIfAbsent(id, RunResult(id, "skipped", Instant.now(), Instant.now(),
+          s"fail-fast: run aborted after $failedName failed"))
+      }
+    }
     onRunEnd.foreach(h => spark.sql(TemplateResolver.render(h,
       TemplateResolver.Context(
         resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),

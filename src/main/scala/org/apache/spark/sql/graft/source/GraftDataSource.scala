@@ -77,6 +77,16 @@ object GraftSourceTable {
     * (DELETE/UPDATE/MERGE rewrite exactly the affected files). */
   val FileCol = "_file"
 
+  /** Metadata column: absolute row position within the data file — the
+    * second half of the merge-on-read row identity (_file, _pos). */
+  val PosCol = "_pos"
+
+  /** Schema of a merge-on-read delete file: dead row positions, keyed by
+    * table-relative data file path. */
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Store for the connector's manifest and plan-time file I/O. Pluggable
     * via `spark.graft.filestore` for warehouses on an object store:
     * `local` (default), `hadoop` ([[graft.relations.HadoopFileStore]] —
@@ -297,6 +307,9 @@ object GraftSourceTable {
     import graft.relations.{ColStats, Stats}
     if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val st = resolve(dir, versionAsOf)
+    // merge-on-read deletes make manifest stats over-claims: counts include
+    // dead rows and a min/max row may itself be dead — decline
+    if (st.deletes.nonEmpty) return None
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
@@ -389,7 +402,7 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftFileMetadataColumn)
+    Array(GraftFileMetadataColumn, GraftPosMetadataColumn)
 
   /** SQL DELETE (unprovable predicates) / UPDATE / MERGE INTO: group-based
     * copy-on-write — Spark's runtime group filter narrows the scan to the
@@ -403,7 +416,14 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot modify a time-travel (VERSION AS OF) relation: ${name()}")
-    () => new GraftRowLevelOperation(dir, tableSchema, info.command())
+    // row_level_mode = merge-on-read switches DML to SupportsDelta
+    // (positional delete files, O(delta) writes); default stays
+    // copy-on-write — the right default for parquet read paths
+    () =>
+      if (GraftSourceTable.resolve(dir, None).props
+          .get("row_level_mode").contains("merge-on-read"))
+        new GraftDeltaOperation(dir, tableSchema, info.command())
+      else new GraftRowLevelOperation(dir, tableSchema, info.command())
   }
   /** Declared layout: bucket transform (+ identity for partition dirs) —
     * what DESCRIBE shows and what the scan's KeyGroupedPartitioning echoes. */
@@ -501,6 +521,18 @@ object GraftFileMetadataColumn extends org.apache.spark.sql.connector.catalog.Me
   override def comment(): String = "table-relative path of the row's data file"
 }
 
+/** The `_pos` metadata column: the row's absolute position within its data
+  * file, generated by Spark's parquet reader (row-index mechanism), so it
+  * stays correct under filter pushdown and row-group pruning. Together
+  * with `_file` it is the row identity merge-on-read deletes address. */
+object GraftPosMetadataColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = GraftSourceTable.PosCol
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "row position within the data file"
+}
+
 class GraftScanBuilder(dir: String, schema: StructType,
                        options: CaseInsensitiveStringMap,
                        pinnedVersion: Option[Int] = None)
@@ -594,11 +626,14 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   // readSchema() declares exactly that order (V2 maps attributes by name).
   protected val st = GraftSourceTable.resolve(dir, versionAsOf)
   private val partitionBy = st.partitionBy
-  // the `_file` metadata column (SupportsMetadataColumns) is served by the
-  // reader wrapper, not the parquet bytes — strip it from the data split
+  // the `_file`/`_pos` metadata columns (SupportsMetadataColumns) are
+  // served by the reader wrapper, not the parquet bytes — strip them from
+  // the data split
   private val wantFile = required.fieldNames.contains(GraftSourceTable.FileCol)
+  private val wantPos = required.fieldNames.contains(GraftSourceTable.PosCol)
+  private val metaCols = Set(GraftSourceTable.FileCol, GraftSourceTable.PosCol)
   private val requiredCols =
-    StructType(required.fields.filterNot(_.name == GraftSourceTable.FileCol))
+    StructType(required.fields.filterNot(f => metaCols.contains(f.name)))
   private val fileDataSchema =
     StructType(tableSchema.fields.filterNot(f => partitionBy.contains(f.name)))
   private val requiredData =
@@ -607,10 +642,21 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
     StructType(tableSchema.fields.filter(f =>
       partitionBy.contains(f.name) && requiredCols.fieldNames.contains(f.name)))
 
+  // merge-on-read: row positions are needed whenever _pos is requested OR
+  // any planned file carries positional deletes (the read-side anti-merge
+  // filters by position). The parquet reader generates them itself via the
+  // row-index mechanism — exact under pushdown and row-group pruning.
+  private def scanHasDeletes: Boolean = st.deletes.nonEmpty
+  private def needPos: Boolean = wantPos || scanHasDeletes
+
   override def readSchema(): StructType =
     StructType(requiredData.fields ++ requiredPart.fields ++
       (if (wantFile)
         Seq(StructField(GraftSourceTable.FileCol, StringType, nullable = false))
+      else Nil) ++
+      (if (wantPos)
+        Seq(StructField(GraftSourceTable.PosCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
       else Nil))
   override def description(): String = s"GraftScan $dir"
 
@@ -628,17 +674,57 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   // vectorized (ColumnarBatch) reads whenever Spark's own parquet reader
   // supports them for this schema — same decision FileSourceScanExec makes.
   // The streaming path stays row-based (its factory says so per partition),
-  // and so do reads appending the `_file` metadata column.
+  // and so do reads appending the `_file`/`_pos` metadata columns and
+  // partitions carrying merge-on-read deletes (row-level filtering).
   private def vectorized: Boolean =
-    !wantFile && new ParquetFileFormat().supportBatch(SparkSession.active, readSchema())
+    !wantFile && !wantPos && st.deletes.isEmpty && // Spark forbids mixing
+      // row-based and columnar partitions, so one dirty file row-modes the
+      // whole scan (compaction restores the vectorized path)
+      new ParquetFileFormat().supportBatch(SparkSession.active, readSchema())
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     Scan.ColumnarSupportMode.PARTITION_DEFINED
 
-  private def factory(batched: Boolean): PartitionReaderFactory =
-    new GraftReaderFactory(GraftSourceTable.readFunction(
+  private def factory(batched: Boolean): PartitionReaderFactory = {
+    // clean partitions (no deletes) in batch mode use the plain function;
+    // dirty/metadata partitions use the row function whose required data
+    // carries the parquet row-index column (absolute row position)
+    val rowRequired =
+      if (needPos)
+        // the exact field FileSourceStrategy requests for _metadata
+        // .row_index: the internal temp name + the generated-metadata
+        // marker, which makes the parquet readers GENERATE the column
+        // instead of demanding it from the file bytes
+        StructType(requiredData.fields :+ ParquetFileFormat.ROW_INDEX_FIELD
+          .copy(name = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            // nullable: the readers treat it as a missing-from-file column
+            // (checkColumn tolerates optional ones) and then GENERATE it —
+            // the row-index machinery keys on the name + LongType
+            nullable = true))
+      else requiredData
+    val vecFn = GraftSourceTable.readFunction(
       fileDataSchema, requiredPart, requiredData, parquetFilters,
-      returningBatch = batched), batched, appendFile = wantFile)
+      returningBatch = batched)
+    val rowFn =
+      if (needPos) GraftSourceTable.readFunction(
+        fileDataSchema, requiredPart, rowRequired, parquetFilters,
+        returningBatch = false)
+      else vecFn
+    val deleteFn =
+      if (scanHasDeletes) Some(GraftSourceTable.readFunction(
+        GraftSourceTable.DeleteSchema, new StructType(),
+        GraftSourceTable.DeleteSchema))
+      else None
+    new GraftReaderFactory(vecFn, batched, appendFile = wantFile,
+      rowFn = rowFn,
+      posOrdinal = if (needPos) Some(requiredData.length) else None,
+      partCols = requiredPart.length,
+      appendPos = wantPos,
+      deleteFn = deleteFn,
+      physicalSchema =
+        if (needPos) StructType(rowRequired.fields ++ requiredPart.fields)
+        else null)
+  }
 
   /** Runtime group filter (row-level ops): table-relative paths to keep. */
   protected var runtimeKeep: Option[Set[String]] = None
@@ -664,7 +750,8 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
       case None    => skipped0
     }
     val limited = limit match {
-      case Some(n) if st.buckets == 0 &&
+      // deletes make per-file row counts over-claims — no LIMIT prefixing
+      case Some(n) if st.buckets == 0 && st.deletes.isEmpty &&
           skipped.forall(f => st.stats.get(f).exists(_.nonEmpty)) =>
         val rows = skipped.map(f => st.stats(f).values.head.rows)
         val cum = rows.scanLeft(0L)(_ + _).tail
@@ -677,7 +764,7 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
     }
     onPlanned(limited)
     plannedCache = GraftFilePartition.forFiles(dir, limited, requiredPart,
-      bucketed = st.buckets > 0)
+      bucketed = st.buckets > 0, deletes = st.deletes)
     plannedCache
   }
 
@@ -762,7 +849,8 @@ class GraftMicroBatchStream(dir: String, factory: () => PartitionReaderFactory,
     else {
       val before = if (s <= 0) Set.empty[String] else log.read(s).files.toSet
       val after = log.read(e)
-      GraftFilePartition.forFiles(dir, after.files.filterNot(before), requiredPart)
+      GraftFilePartition.forFiles(dir, after.files.filterNot(before), requiredPart,
+        deletes = after.deletes)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = factory()
@@ -779,13 +867,18 @@ sealed trait GraftInputPartition extends InputPartition {
   def relPath: String
   def length: Long
   def partitionValues: InternalRow
+  /** Merge-on-read delete files covering this data file: (uri, length). */
+  def deleteFiles: Seq[(String, Long)]
 }
 case class GraftFilePartition(path: String, relPath: String, length: Long,
-                              partitionValues: InternalRow) extends GraftInputPartition
+                              partitionValues: InternalRow,
+                              deleteFiles: Seq[(String, Long)] = Nil)
+    extends GraftInputPartition
 /** A bucketed manifest file: its bucket id is the partition key Spark
   * groups on for storage-partitioned joins. */
 case class GraftBucketedFilePartition(path: String, relPath: String, length: Long,
-                                      partitionValues: InternalRow, bucket: Int)
+                                      partitionValues: InternalRow, bucket: Int,
+                                      deleteFiles: Seq[(String, Long)] = Nil)
     extends GraftInputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -796,16 +889,21 @@ object GraftFilePartition {
     * at plan time (the relative path carries the `k=v` segments). */
   def forFiles(dir: String, files: Seq[String],
                partitionSchema: StructType,
-               bucketed: Boolean = false): Array[InputPartition] = {
+               bucketed: Boolean = false,
+               deletes: Map[String, Seq[String]] = Map.empty): Array[InputPartition] = {
     val store = GraftSourceTable.store(dir)
     files.map { f =>
       val p = java.nio.file.Paths.get(dir, f)
       val uri = p.toUri.toString
       val size = store.sizeOf(p.toString)
       val pv = GraftSourceTable.partitionValues(f, partitionSchema)
+      val dels = deletes.getOrElse(f, Nil).map { d =>
+        val dp = java.nio.file.Paths.get(dir, d)
+        (dp.toUri.toString, store.sizeOf(dp.toString))
+      }
       graft.relations.RelationManager.bucketIdOf(f) match {
-        case Some(b) if bucketed => GraftBucketedFilePartition(uri, f, size, pv, b)
-        case _                   => GraftFilePartition(uri, f, size, pv)
+        case Some(b) if bucketed => GraftBucketedFilePartition(uri, f, size, pv, b, dels)
+        case _                   => GraftFilePartition(uri, f, size, pv, dels)
       }
     }.toArray[InputPartition]
   }
@@ -815,33 +913,103 @@ object GraftFilePartition {
   * ColumnarBatch the way FileScanRDD does; in batched mode it serves
   * ColumnarBatches directly to the vectorized scan. `appendFile` appends
   * the `_file` metadata column (the file's table-relative path) to every
-  * row — row mode only. */
+  * row — row mode only.
+  *
+  * Merge-on-read: when `posOrdinal` is set, row mode reads through `rowFn`,
+  * whose physical rows carry the parquet-generated absolute row index at
+  * that ordinal (layout: requiredData…, rowIndex, partitionCols…). A
+  * partition with `deleteFiles` builds its dead-position set from them
+  * (via `deleteFn`, O(delta) bytes) and filters; `physicalSchema` +
+  * `appendPos` drive the projection back to the declared read schema
+  * (data…, part…, [_file], [_pos]). Clean partitions in batched scans
+  * keep the vectorized fast path untouched. */
 class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
                          batched: Boolean = false,
-                         appendFile: Boolean = false)
+                         appendFile: Boolean = false,
+                         rowFn: PartitionedFile => Iterator[InternalRow] = null,
+                         posOrdinal: Option[Int] = None,
+                         partCols: Int = 0,
+                         appendPos: Boolean = false,
+                         deleteFn: Option[PartitionedFile => Iterator[InternalRow]] = None,
+                         physicalSchema: StructType = null)
     extends PartitionReaderFactory {
 
-  private def open(partition: InputPartition): Iterator[Any] = {
+  private def open(partition: InputPartition,
+                   f: PartitionedFile => Iterator[InternalRow]): Iterator[Any] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    fn(PartitionedFile(p.partitionValues,
+    f(PartitionedFile(p.partitionValues,
       SparkPath.fromUrlString(p.path), 0L, p.length))
   }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = batched
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batched && partition.asInstanceOf[GraftInputPartition].deleteFiles.isEmpty
+
+  /** Dead positions of this partition's data file: union of its delete
+    * files' entries for it. A tiny read — delete files hold only the
+    * touched rows' identities. */
+  private def deadPositions(p: GraftInputPartition): java.util.HashSet[Long] = {
+    val decode = deleteFn.getOrElse(throw new IllegalStateException(
+      s"${p.relPath} carries merge-on-read deletes but this scan was " +
+        "planned without a delete decoder — replan the query (the table " +
+        "gained deletes after the stream/scan started)"))
+    val dead = new java.util.HashSet[Long]()
+    val rel = org.apache.spark.unsafe.types.UTF8String.fromString(p.relPath)
+    p.deleteFiles.foreach { case (uri, len) =>
+      decode(PartitionedFile(InternalRow.empty,
+        SparkPath.fromUrlString(uri), 0L, len)).foreach {
+        case b: ColumnarBatch => b.rowIterator().asScala.foreach(r =>
+          if (r.getUTF8String(0).equals(rel)) dead.add(r.getLong(1)))
+        case r: InternalRow =>
+          if (r.getUTF8String(0).equals(rel)) dead.add(r.getLong(1))
+        case other => throw new IllegalStateException(other.getClass.getName)
+      }
+    }
+    dead
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val base: Iterator[InternalRow] = open(partition).flatMap {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val readFn = if (posOrdinal.isDefined) rowFn else fn
+    val base: Iterator[InternalRow] = open(partition, readFn).flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r => Iterator.single(r.asInstanceOf[InternalRow])
     }
-    val rows: Iterator[InternalRow] =
-      if (!appendFile) base
-      else {
-        val fileRow = InternalRow(org.apache.spark.unsafe.types.UTF8String
-          .fromString(partition.asInstanceOf[GraftInputPartition].relPath))
+    if (p.deleteFiles.nonEmpty && posOrdinal.isEmpty)
+      throw new IllegalStateException(
+        s"${p.relPath} carries merge-on-read deletes but the scan did not " +
+          "request row positions — replan the query")
+    val rows: Iterator[InternalRow] = posOrdinal match {
+      case None =>
+        // pre-MoR fast path: physical row == declared order (data…, part…)
+        if (!appendFile) base
+        else {
+          val fileRow = InternalRow(org.apache.spark.unsafe.types.UTF8String
+            .fromString(p.relPath))
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          base.map(r => joined(r, fileRow))
+        }
+      case Some(idx) =>
+        val dead = if (p.deleteFiles.isEmpty) null else deadPositions(p)
+        val live =
+          if (dead == null || dead.isEmpty) base
+          else base.filter(r => !dead.contains(r.getLong(idx)))
+        // physical (data…, idx, part…) + appended file → declared
+        // (data…, part…, [_file], [_pos])
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        base.map(r => joined(r, fileRow))
-      }
+        val fileRow = InternalRow(org.apache.spark.unsafe.types.UTF8String
+          .fromString(p.relPath))
+        val fileOrdinal = physicalSchema.length
+        val inputTypes = physicalSchema.fields.map(_.dataType) :+ StringType
+        val outRefs: Seq[Int] =
+          (0 until idx) ++ ((idx + 1) to (idx + partCols)) ++
+            (if (appendFile) Seq(fileOrdinal) else Nil) ++
+            (if (appendPos) Seq(idx) else Nil)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(outRefs.map(i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, inputTypes(i), nullable = true)))
+        live.map(r => proj(joined(r, fileRow)))
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -852,7 +1020,7 @@ class GraftReaderFactory(fn: PartitionedFile => Iterator[InternalRow],
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val batches = open(partition).map(_.asInstanceOf[ColumnarBatch])
+    val batches = open(partition, fn).map(_.asInstanceOf[ColumnarBatch])
     new PartitionReader[ColumnarBatch] {
       private var current: ColumnarBatch = _
       override def next(): Boolean =

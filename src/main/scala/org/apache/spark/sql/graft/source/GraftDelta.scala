@@ -1,0 +1,178 @@
+package org.apache.spark.sql.graft.source
+
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+import graft.relations.{ColStats, TableVersion}
+
+/** Merge-on-read (delta-based) row-level operations — the
+  * `SupportsDelta` twin of [[GraftRowLevelOperation]]'s copy-on-write,
+  * selected by the table property `row_level_mode = merge-on-read`
+  * (the Iceberg positional-delete / Delta deletion-vector design, from
+  * the public papers, over graft's commit log):
+  *
+  *  1. Spark's delta rewrite plans a scan of the MATCHING rows only (the
+  *     command condition pushes into manifest file skipping), with each
+  *     row's identity — `(_file, _pos)` — served by the scan's metadata
+  *     columns; `_pos` is the parquet reader's own row index, exact under
+  *     pushdown and row-group pruning.
+  *  2. DELETEs become rows in a tiny per-task delete file
+  *     (`_graft_deletes/…`, schema `(file, pos)`); UPDATEs are
+  *     delete + re-insert (the inserts route through the standard
+  *     layout-aware staging writer); MERGE inserts likewise.
+  *  3. ONE commit attaches the delete files to exactly the data files
+  *     they touch and appends the new data files. No referenced data file
+  *     is rewritten: a one-row UPDATE on a 100 TB table writes O(1 row)
+  *     of deletes + O(1 row) of inserts, not O(file).
+  *
+  * Readers anti-merge the positions out (see [[GraftReaderFactory]]);
+  * `optimize` compaction folds delete files back into clean data files.
+  * Conflict safety: the commit aborts inside the CAS retry if any file it
+  * attaches deletes to was concurrently replaced — resurrecting a
+  * rewritten file's dead positions on its successor would otherwise
+  * corrupt the table (same serializable-at-file-granularity contract as
+  * the copy-on-write path). */
+class GraftDeltaOperation(dir: String, tableSchema: StructType,
+                          cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftSourceTable.FileCol),
+      Expressions.column(GraftSourceTable.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, tableSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(dir, info.schema())
+    }
+}
+
+/** One task's delta output: the data files it wrote (inserts, with stats),
+  * its delete file (if it deleted anything), and the data files those
+  * deletes touch. */
+case class GraftDeltaCommitMessage(dataFiles: Seq[(String, Map[String, ColStats])],
+                                   deleteFile: Option[String],
+                                   touched: Seq[String])
+    extends WriterCommitMessage
+
+class GraftDeltaWrite(dir: String, writeSchema: StructType) extends DeltaWrite {
+  private val st: TableVersion = GraftSourceTable.resolve(dir, None)
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val stageDir = Paths.get(dir,
+      s"_graft_stage_v2d_${java.util.UUID.randomUUID().toString.take(8)}")
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+      val dataFac = GraftPublish.factory(dir, st, writeSchema, stageDir)
+      // a second parquet writer factory for the (file, pos) delete schema
+      val spark = SparkSession.active
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val delOwf = new ParquetFileFormat().prepareWrite(
+        spark, job, Map.empty[String, String], GraftSourceTable.DeleteSchema)
+      GraftDeltaWriterFactory(dataFac, delOwf,
+        new SerializableConfiguration(job.getConfiguration))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+      val written = msgs.flatMap(_.dataFiles)
+      val dataFiles = written.map(_._1)
+      val deleteFiles = msgs.flatMap(_.deleteFile)
+      GraftPublish.publish(dir, stageDir, dataFiles ++ deleteFiles,
+        GraftSourceTable.store(dir))
+      GraftPublish.deleteDir(stageDir)
+      val attach: Map[String, Seq[String]] = msgs
+        .flatMap(m => m.deleteFile.toSeq.flatMap(df => m.touched.map(_ -> df)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
+      // commit aborts (ConcurrentModificationException) if an attach
+      // target vanished — the CAS-retry transform re-checks every attempt
+      GraftSourceTable.log(dir).commit(None, None, None, None,
+        written.toMap, addedDeletes = attach)(cur => cur ++ dataFiles)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftPublish.deleteDir(stageDir)
+  }
+}
+
+case class GraftDeltaWriterFactory(dataFac: GraftWriterFactory,
+                                   delOwf: OutputWriterFactory,
+                                   delConf: SerializableConfiguration)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dataFac, delOwf, delConf, partitionId, taskId)
+}
+
+/** Executor-side delta writer: inserts stream through the standard
+  * layout-routing [[GraftDataWriter]]; deletes stream into one lazily
+  * opened `(file, pos)` parquet per task. */
+class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
+                       delConf: SerializableConfiguration,
+                       partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val inserts = new GraftDataWriter(dataFac, partitionId, taskId)
+  private var delWriter: OutputWriter = _
+  private var delRelPath: String = _
+  private val touched = scala.collection.mutable.LinkedHashSet[String]()
+  private val reuse = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(2)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (delWriter == null) {
+      val ctx = new TaskAttemptContextImpl(delConf.value,
+        new TaskAttemptID(new TaskID(new JobID("graft", 1), TaskType.MAP,
+          partitionId), taskId.toInt))
+      delRelPath = s"_graft_deletes/del-${dataFac.uniq}-$partitionId-$taskId" +
+        delOwf.getFileExtension(ctx)
+      val abs = Paths.get(dataFac.stageDir, delRelPath)
+      Files.createDirectories(abs.getParent)
+      delWriter = delOwf.newInstance(abs.toUri.toString,
+        GraftSourceTable.DeleteSchema, ctx)
+    }
+    val file = id.getUTF8String(0)
+    touched += file.toString
+    reuse.update(0, file)
+    reuse.update(1, id.getLong(1))
+    delWriter.write(reuse)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete + insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (delWriter != null) delWriter.close()
+    val dataMsg = inserts.commit().asInstanceOf[GraftCommitMessage]
+    GraftDeltaCommitMessage(dataMsg.files, Option(delRelPath), touched.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (delWriter != null) delWriter.close()
+    inserts.abort()
+  }
+
+  override def close(): Unit = ()
+}

@@ -278,6 +278,50 @@ class MainSpec extends AnyFunSuite {
     assert(exec("retry")._2.contains("nothing to retry"))
   }
 
+  test("--fail-fast aborts the run on the first failure; nodes not started are skipped") {
+    val dir = writeProject()
+    // break the EARLIEST model so everything downstream would still be
+    // pending when the failure lands
+    Files.writeString(dir.resolve("models/staging/stg_payments.sql"),
+      "select * from missing_table_xyz")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString, failFast = true,
+        threads = 1),
+      new java.io.PrintWriter(sw, true))
+    val out = sw.toString
+    assert(code == 1)
+    assert(out.contains("ERROR") && out.contains("stg_payments"), out)
+    assert(out.contains("fail-fast") || out.contains("upstream"), out)
+    // nothing may report success after the failure except nodes with no
+    // dependency on it that were already running — with threads=1 the seed
+    // (scheduled first) is the only possible success
+    val successes = out.linesIterator.filter(_.startsWith("SUCCESS")).toSeq
+    assert(successes.forall(_.contains("seed.shop.payments")), out)
+  }
+
+  test("--empty builds every model schema-only (zero rows, contracts intact)") {
+    val dir = writeProject()
+    val wh = Files.createTempDirectory("graft_empty_wh").toString
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString,
+        warehouse = Some(wh), empty = true),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString)
+    val rm = new graft.relations.RelationManager(spark, wh)
+    val revenue = rm.read(Relation("graft", "main", "revenue"))
+    assert(revenue.columns.toSeq == Seq("customer", "revenue"),
+      "schema must build fully under --empty")
+    assert(revenue.count() == 0L, "--empty models hold zero rows")
+    // a subsequent REAL build over the same warehouse fills the tables
+    val code2 = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString, warehouse = Some(wh)),
+      new java.io.PrintWriter(new java.io.StringWriter(), true))
+    assert(code2 == 0)
+    assert(rm.read(Relation("graft", "main", "revenue")).count() > 0L)
+  }
+
   test("freshness thresholds drive status and exit code") {
     import org.apache.spark.sql.functions.lit
     val srcDir = Files.createTempDirectory("graft_freshsrc")

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Relation
+import graft.relations.RelationManager
+
+/** Merge-on-read row-level operations (`row_level_mode = merge-on-read`):
+  * SQL DML writes positional delete files instead of rewriting data files
+  * — O(delta) bytes per statement — readers anti-merge the positions out,
+  * and OPTIMIZE folds the deletes back into clean files. */
+class MergeOnReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** A padded table: 3 range files × 10k rows with a 200-char column, so
+    * file bytes dominate and the O(delta)-vs-O(file) assertion has teeth. */
+  private def padded(rm: RelationManager, rel: Relation): Unit = {
+    import spark.implicits._
+    val pad = "x" * 200
+    rm.writeTable((0 until 30000).map(i => (i.toLong, s"v$i", pad))
+      .toDF("id", "v", "pad").repartitionByRange(3, $"id"),
+      rel, statsCols = Seq("id"))
+    rm.setTableProperties(rel, Map("row_level_mode" -> "merge-on-read"))
+  }
+
+  private def mor(name: String): (RelationManager, Relation, String) = {
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_mor").toString)
+    val rel = Relation("graft", "main", name)
+    padded(rm, rel)
+    (rm, rel, s"${rm.catalogName}.main.$name")
+  }
+
+  private def bytesOf(rm: RelationManager, rel: Relation, files: Seq[String]): Long =
+    files.map(f => Files.size(rm.path(rel).resolve(f))).sum
+
+  test("UPDATE writes O(delta) bytes: no data file rewritten, tiny delete + insert files") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_upd")
+    val before = rm.currentState(rel).get
+    assert(before.files.size == 3 && before.deletes.isEmpty)
+
+    spark.sql(s"UPDATE $t SET v = 'updated' WHERE id = 7")
+
+    val after = rm.currentState(rel).get
+    assert(before.files.forall(after.files.contains),
+      "merge-on-read UPDATE must not remove any data file")
+    val added = after.files.filterNot(before.files.toSet)
+    val deleteFiles = after.deletes.values.flatten.toSeq.distinct
+    assert(after.deletes.size == 1, s"one data file touched: ${after.deletes}")
+    assert(deleteFiles.size == 1)
+    val deltaBytes = bytesOf(rm, rel, added ++ deleteFiles)
+    val smallestData = before.files.map(f => Files.size(rm.path(rel).resolve(f))).min
+    assert(deltaBytes < smallestData / 4,
+      s"one-row UPDATE must be O(delta): wrote $deltaBytes bytes vs " +
+        s"smallest data file $smallestData")
+
+    // read-side merge: exact rows, no duplicates, no resurrection
+    assert(rm.read(rel).count() == 30000)
+    assert(rm.read(rel).filter($"id" === 7L).select("v").as[String].collect().toSeq ==
+      Seq("updated"))
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 7").as[String].head() == "updated")
+  }
+
+  test("DELETE and stacked DML accumulate delete files; reads stay exact") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_stack")
+    spark.sql(s"DELETE FROM $t WHERE id IN (5, 15000, 29999)")
+    assert(rm.read(rel).count() == 29997)
+    spark.sql(s"UPDATE $t SET v = 'u1' WHERE id = 6")
+    spark.sql(s"UPDATE $t SET v = 'u2' WHERE id = 6") // updates the re-insert
+    val st = rm.currentState(rel).get
+    assert(st.deletes.nonEmpty)
+    assert(rm.read(rel).count() == 29997)
+    assert(rm.read(rel).filter($"id" === 6L).select("v").as[String].collect().toSeq ==
+      Seq("u2"), "a re-inserted row must itself be updatable")
+    assert(rm.read(rel).filter($"id" === 5L).isEmpty)
+    // aggregate pushdown must NOT answer from (over-counting) stats
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 29997L)
+    assert(spark.read.format("graft").load(rm.path(rel).toString).count() == 29997L)
+  }
+
+  test("MERGE INTO on merge-on-read: updates as delete+insert, inserts appended") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_merge")
+    Seq((3L, "m3", "p"), (30005L, "new", "p")).toDF("id", "v", "pad")
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      s"""MERGE INTO $t g USING mor_merge_src s ON g.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, pad) VALUES (s.id, s.v, s.pad)
+         |""".stripMargin)
+    assert(rm.read(rel).count() == 30001)
+    assert(rm.read(rel).filter($"id" === 3L).select("v").as[String].head() == "m3")
+    assert(rm.read(rel).filter($"id" === 30005L).count() == 1)
+    val st = rm.currentState(rel).get
+    assert(st.deletes.nonEmpty, "matched update must write positional deletes")
+  }
+
+  test("optimize folds deletes away and restores clean files; time travel and vacuum compose") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_fold")
+    val v1 = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM $t WHERE id = 100")
+    spark.sql(s"UPDATE $t SET v = 'upd' WHERE id = 200")
+    assert(rm.currentState(rel).get.deletes.nonEmpty)
+    assert(rm.read(rel).count() == 29999)
+
+    // time travel: pre-DML version still reads clean
+    assert(rm.readAt(rel, v1).count() == 30000)
+
+    rm.optimize(rel)
+    val st = rm.currentState(rel).get
+    assert(st.deletes.isEmpty, s"optimize must fold deletes: ${st.deletes}")
+    assert(rm.read(rel).count() == 29999)
+    assert(rm.read(rel).filter($"id" === 200L).select("v").as[String].head() == "upd")
+    assert(rm.read(rel).filter($"id" === 100L).isEmpty)
+
+    // vacuum reclaims the folded delete files and old data files
+    rm.vacuum(rel)
+    val delDir = rm.path(rel).resolve("_graft_deletes")
+    val leftover =
+      if (Files.isDirectory(delDir)) Files.list(delDir).count() else 0L
+    assert(leftover == 0L, s"vacuum must reclaim folded delete files ($leftover left)")
+    assert(rm.read(rel).count() == 29999)
+  }
+
+  test("engine merge composes with connector deletes (readFiles applies them)") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_engine")
+    spark.sql(s"DELETE FROM $t WHERE id = 10")
+    // engine-side MERGE must read through the delete-aware path: if it read
+    // raw parquet it would resurrect id=10 into the rewritten file
+    graft.materializations.Materializations.mergeInto(rm, rel,
+      Seq((11L, "merged", "p")).toDF("id", "v", "pad"),
+      Seq("id"), updateColumns = Nil)
+    assert(rm.read(rel).filter($"id" === 10L).isEmpty,
+      "engine rewrite must not resurrect positionally-deleted rows")
+    assert(rm.read(rel).filter($"id" === 11L).select("v").as[String].head() == "merged")
+    assert(rm.read(rel).count() == 29999)
+  }
+
+  test("_file and _pos metadata columns serve row identities") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_meta")
+    val ids = spark.sql(s"SELECT _file, _pos, id FROM $t WHERE id < 3 ORDER BY id")
+      .collect()
+    assert(ids.length == 3)
+    assert(ids.forall(r => r.getString(0).nonEmpty && r.getLong(1) >= 0))
+    // positions are distinct within a file
+    val perFile = ids.groupBy(_.getString(0)).values
+    assert(perFile.forall(rows => rows.map(_.getLong(1)).distinct.length == rows.length))
+  }
+
+  test("attaching deletes to a concurrently-replaced file aborts the commit") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_mor_cas").resolve("_graft_log").toString
+    val log = new graft.relations.CommitLog(new graft.relations.LocalFileStore, dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    log.commit(None, Some(Nil), Some(schema), Some(Nil), Map.empty)(_ :+ "f1")
+    // f1 vanishes (compacted away) before the delete attachment commits
+    log.commit(None, None, None, None, Map.empty)(_.filterNot(_ == "f1") :+ "f2")
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit(None, None, None, None, Map.empty,
+        addedDeletes = Map("f1" -> Seq("_graft_deletes/d1.parquet")))(identity)
+    }
+  }
+}
