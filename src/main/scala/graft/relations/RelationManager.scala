@@ -398,9 +398,17 @@ final class RelationManager(
     val to = readVersion(rel, toV)
     val removed = from.files.filterNot(to.files.toSet)
     val added = to.files.filterNot(from.files.toSet)
+    // merge-on-read: a carried file whose delete attachments changed
+    // mutated rows WITHOUT leaving the file list — read it at BOTH
+    // versions (each side applies its own deletes) and let the diff
+    // cancel the carried rows; newly-dead positions surface as deletes,
+    // re-inserted updates as inserts. O(files-with-changed-deletes).
+    val fromSet = from.files.toSet
+    val deltaDirty = to.files.filter(f => fromSet.contains(f) &&
+      to.deletes.getOrElse(f, Nil) != from.deletes.getOrElse(f, Nil))
     changeFrame(
-      readFiles(rel, to, added),
-      readFiles(rel, from.copy(schema = to.schema), removed))
+      readFiles(rel, to, added ++ deltaDirty),
+      readFiles(rel, from.copy(schema = to.schema), removed ++ deltaDirty))
   }
 
   /** Exact row-level images between two row multisets (the one diff

@@ -85,6 +85,18 @@ object GraftChangeFeed {
           val p = prev
           val added = cur.files.filterNot(p)
           val removed = (p -- cur.files).toSeq.sorted
+          // merge-on-read DML: a commit that attaches positional deletes
+          // mutates rows WITHOUT changing the file list — a file-diff feed
+          // would silently report "no changes" (or misreport new insert
+          // files as the whole delta). Fail loudly instead.
+          def prevDeletes: Map[String, Seq[String]] =
+            if (v <= 1) Map.empty
+            else states.get(v - 1).map(_.deletes).getOrElse(log.read(v - 1).deletes)
+          if (cur.deletes != prevDeletes) throw new IllegalStateException(
+            s"change feed on $dir: commit $v attached merge-on-read deletes — " +
+              "file-granular feeds cannot express them; read row changes " +
+              "through the engine's readRowChanges (exact on merge-on-read " +
+              "tables), or use copy-on-write with change_feed = true")
           if (removed.isEmpty) added.map(part(_, isChange = false, "insert"))
           else if (added.isEmpty) removed.map(part(_, isChange = false, "delete"))
           else throw new IllegalStateException(

@@ -152,6 +152,61 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(perFile.forall(rows => rows.map(_.getLong(1)).distinct.length == rows.length))
   }
 
+  test("readRowChanges is exact across merge-on-read commits (deletes from carried files surface)") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_cdc")
+    val v1 = rm.currentVersion(rel).get
+    spark.sql(s"UPDATE $t SET v = 'updated' WHERE id = 7")
+    spark.sql(s"DELETE FROM $t WHERE id = 9")
+    val v3 = rm.currentVersion(rel).get
+    val changes = rm.readRowChanges(rel, v1, v3)
+      .select($"id", $"v", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(changes == Set(
+      (7L, "v7", "delete"), (7L, "updated", "insert"),
+      (9L, "v9", "delete")), changes.toString)
+  }
+
+  test("file-granular change feed fails loudly on merge-on-read commits (no silent no-change)") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_feed")
+    val v1 = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM $t WHERE id = 3")
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", v1 + 1).load(rm.path(rel).toString).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => y.getMessage +: msgs(y.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("readRowChanges")), e.toString)
+  }
+
+  test("merge-on-read DML on a partitioned+bucketed table keeps the layout") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_mor").toString)
+    val rel = Relation("graft", "main", "mor_layout")
+    rm.writeTable((0 until 2000).map(i => (i.toLong, s"v$i", s"p${i % 2}"))
+      .toDF("id", "v", "p"), rel, partitionBy = Seq("p"),
+      statsCols = Seq("id"), bucketBy = Seq("id"), buckets = 4)
+    rm.setTableProperties(rel, Map("row_level_mode" -> "merge-on-read"))
+    val t = s"${rm.catalogName}.main.mor_layout"
+    val before = rm.currentState(rel).get
+
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id IN (5, 6)")
+    val after = rm.currentState(rel).get
+    assert(before.files.forall(after.files.contains))
+    val added = after.files.filterNot(before.files.toSet)
+    assert(added.nonEmpty && added.forall(f =>
+      f.contains("p=") && f.contains("_bucket=")),
+      s"re-inserts must route through partition+bucket layout: $added")
+    assert(rm.read(rel).count() == 2000)
+    assert(rm.read(rel).filter($"id" === 5L).select("v").as[String].head() == "u")
+    // fold + verify layout intact
+    rm.optimize(rel)
+    assert(rm.currentState(rel).get.deletes.isEmpty)
+    assert(rm.read(rel).count() == 2000)
+  }
+
   test("attaching deletes to a concurrently-replaced file aborts the commit") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_mor_cas").resolve("_graft_log").toString
