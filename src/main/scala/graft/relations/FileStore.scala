@@ -220,7 +220,15 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
   def moveFile(src: String, dst: String): Unit = {
     val from = hp(src); val to = hp(dst)
     val sfs = fsFor(from); val dfs = fsFor(to)
-    if (dfs.exists(to)) { sfs.delete(from, false); return } // prior attempt won
+    if (dfs.exists(to)) {
+      // a prior attempt of this same publish: complete iff the lengths
+      // agree (an object store can't leave partials — the PUT is atomic
+      // at close — but HDFS can if a copier crashed mid-stream)
+      if (dfs.getFileStatus(to).getLen == sfs.getFileStatus(from).getLen) {
+        sfs.delete(from, false); return
+      }
+      dfs.delete(to, false)
+    }
     val in = sfs.open(from)
     try {
       val out = dfs.create(to, /* overwrite = */ false)

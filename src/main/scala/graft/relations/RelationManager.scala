@@ -361,7 +361,9 @@ final class RelationManager(
   def setTableProperties(rel: Relation, props: Map[String, String]): Unit = {
     val cur = currentState(rel).getOrElse(throw new IllegalArgumentException(
       s"setTableProperties: no such table ${rel.render}"))
-    log(rel).commit(None, None, None, None, Map.empty,
+    // legacyState, not None: on a pre-log table a None base would commit
+    // v1 with an EMPTY file list — adopting the directory keeps the data
+    log(rel).commit(legacyState(rel), None, None, None, Map.empty,
       newProps = Some(cur.props ++ props))(identity)
     ()
   }

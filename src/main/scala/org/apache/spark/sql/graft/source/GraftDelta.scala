@@ -46,6 +46,16 @@ class GraftDeltaOperation(dir: String, tableSchema: StructType,
                           cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
 
+  /** Table state when this operation began — the serializability anchor.
+    * The commit validates that every file it attaches deletes to still
+    * has EXACTLY the delete attachments it had here: a concurrent
+    * row-level commit on the same file would otherwise let two UPDATEs of
+    * one row both 'win' (each deletes the original position and inserts
+    * its own copy — a lost-update row duplication). Same file-granular
+    * serializability the copy-on-write path gets from its vanished-file
+    * check. */
+  val base: TableVersion = GraftSourceTable.resolve(dir, None)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[NamedReference] =
@@ -63,7 +73,7 @@ class GraftDeltaOperation(dir: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(dir, info.schema())
+        new GraftDeltaWrite(dir, info.schema(), base)
     }
 }
 
@@ -75,8 +85,9 @@ case class GraftDeltaCommitMessage(dataFiles: Seq[(String, Map[String, ColStats]
                                    touched: Seq[String])
     extends WriterCommitMessage
 
-class GraftDeltaWrite(dir: String, writeSchema: StructType) extends DeltaWrite {
-  private val st: TableVersion = GraftSourceTable.resolve(dir, None)
+class GraftDeltaWrite(dir: String, writeSchema: StructType,
+                      base: TableVersion) extends DeltaWrite {
+  private val st: TableVersion = base
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val stageDir = Paths.get(dir,
@@ -104,10 +115,29 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType) extends DeltaWrite {
       val attach: Map[String, Seq[String]] = msgs
         .flatMap(m => m.deleteFile.toSeq.flatMap(df => m.touched.map(_ -> df)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
-      // commit aborts (ConcurrentModificationException) if an attach
-      // target vanished — the CAS-retry transform re-checks every attempt
-      GraftSourceTable.log(dir).commit(None, None, None, None,
-        written.toMap, addedDeletes = attach)(cur => cur ++ dataFiles)
+      // Write-write conflict detection, INSIDE the CAS retry: the commit
+      // itself aborts if an attach target vanished (file rewritten), and
+      // this validation aborts if a concurrent row-level commit attached
+      // NEW deletes to a file this statement read and is now deleting
+      // from — our positions were computed against the base state, so two
+      // same-row UPDATEs racing would both delete the original position
+      // and both insert (row duplication). File-granular serializability,
+      // same contract as copy-on-write.
+      val log = GraftSourceTable.log(dir)
+      def validateDeletesUnchanged(): Unit = {
+        val cur = log.currentVersion.map(log.read).getOrElse(return)
+        attach.keys.foreach { f =>
+          if (cur.deletes.getOrElse(f, Nil) != base.deletes.getOrElse(f, Nil))
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent row-level commit on $dir: $f gained delete " +
+                "attachments since this statement's scan — retry the statement")
+        }
+      }
+      log.commit(None, None, None, None,
+        written.toMap, addedDeletes = attach) { cur =>
+        validateDeletesUnchanged()
+        cur ++ dataFiles
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -170,8 +200,8 @@ class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
   }
 
   override def abort(): Unit = {
-    if (delWriter != null) delWriter.close()
-    inserts.abort()
+    try { if (delWriter != null) delWriter.close() }
+    finally inserts.abort()
   }
 
   override def close(): Unit = ()

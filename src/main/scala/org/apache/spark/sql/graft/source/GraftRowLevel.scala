@@ -142,7 +142,7 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
       val files = written.map(_._1)
-      GraftPublish.publish(dir, stageDir, files)
+      GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
       GraftPublish.deleteDir(stageDir)
       val removed = op.scannedFiles.toSet
       // Write-write conflict detection: this DML read `removed` and is

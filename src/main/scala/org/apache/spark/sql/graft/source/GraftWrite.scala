@@ -191,7 +191,7 @@ class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val files = written.map(_._1)
-    GraftPublish.publish(dir, stageDir, files)
+    GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
     GraftPublish.deleteDir(stageDir)
     GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap)(
       GraftPublish.transformFor(mode, files))
@@ -229,7 +229,7 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
     if (replayed) { GraftPublish.deleteDir(epochDir); return }
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val files = written.map(_._1)
-    GraftPublish.publish(dir, epochDir, files)
+    GraftPublish.publish(dir, epochDir, files, GraftSourceTable.store(dir))
     GraftPublish.deleteDir(epochDir)
     // the AUTHORITATIVE exactly-once gate is the log's own txn check
     // inside the commit CAS — a zombie of this query racing its restart

@@ -207,6 +207,33 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 2000)
   }
 
+  test("racing same-row UPDATEs never duplicate the row (delete-attachment conflict check)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val (rm, rel, t) = mor("mor_race")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      (0 until 5).foreach { round =>
+        // two UPDATEs of the SAME row race: without the base-state delete
+        // validation both would commit — each deletes the ORIGINAL
+        // position and inserts its own copy, duplicating the row
+        val a = Future(try spark.sql(s"UPDATE $t SET v = 'a$round' WHERE id = 42")
+          catch { case _: Throwable => () })
+        val b = Future(try spark.sql(s"UPDATE $t SET v = 'b$round' WHERE id = 42")
+          catch { case _: Throwable => () })
+        Await.result(a.zip(b), 120.seconds)
+        val rows = rm.read(rel).filter($"id" === 42L)
+          .select("v").as[String].collect().toSeq
+        assert(rows.length == 1,
+          s"round $round: racing updates duplicated the row: $rows")
+        assert(rm.read(rel).count() == 30000, s"round $round: row count drifted")
+      }
+    } finally pool.shutdown()
+  }
+
   test("attaching deletes to a concurrently-replaced file aborts the commit") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_mor_cas").resolve("_graft_log").toString
