@@ -280,6 +280,26 @@ object MatQueries {
       s.sql(s"UPDATE $t SET o_orderpriority = 'DML' WHERE o_orderkey % 100 = 0")
       s.sql(s"DELETE FROM $t WHERE o_orderkey % 100 = 7")
       s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM $t ORDER BY o_orderkey")
+    }),
+
+    // SQL row-level DML (merge-on-read): same mutations through positional
+    // delete files — no data file is rewritten; the read side anti-merges
+    // dead positions and the second UPDATE mutates a RE-INSERTED row
+    // (delete entries on a file written by the previous delta commit).
+    "q_mor_dml" -> ((s, d) => {
+      val rm = scratch(s)
+      val rel = Relation("graft", "main", "orders_mor")
+      rm.writeTable(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(8, col("o_orderkey")),
+        rel, statsCols = Seq("o_orderkey"))
+      rm.setTableProperties(rel, Map("row_level_mode" -> "merge-on-read"))
+      val t = s"${rm.catalogName}.main.orders_mor"
+      s.sql(s"UPDATE $t SET o_orderpriority = 'MOR' WHERE o_orderkey % 100 = 0")
+      s.sql(s"DELETE FROM $t WHERE o_orderkey % 100 = 7")
+      s.sql(s"UPDATE $t SET o_orderpriority = 'MOR2' WHERE o_orderkey % 200 = 0")
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM $t ORDER BY o_orderkey")
     })
   )
 
@@ -316,6 +336,14 @@ object MatQueries {
     "q_v2_dml" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 100 = 0 THEN 'DML' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_mor_dml" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 200 = 0 THEN 'MOR2'
+        |       WHEN o_orderkey % 100 = 0 THEN 'MOR'
+        |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders WHERE o_orderkey % 100 <> 7
         |ORDER BY o_orderkey""".stripMargin,
 
