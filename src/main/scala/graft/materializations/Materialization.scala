@@ -218,7 +218,7 @@ object Materializations {
       }: _*)
     }
     rm.commitReplace(untouched.unionByName(updated).unionByName(inserted), rel, touched,
-      storeChanges = storeChanges)
+      storeChanges = storeChanges, basedOn = Some(st))
   }
 
   /** Apply a row-level change set (the [[graft.relations.RelationManager
@@ -260,7 +260,7 @@ object Materializations {
           val tcols = st.schema.fieldNames.toSeq
           rm.commitReplace(
             untouched.unionByName(upserts.select(tcols.map(col): _*)),
-            rel, touched, txn)
+            rel, touched, txn, basedOn = Some(st))
           true
       }
     }
@@ -295,7 +295,7 @@ object Materializations {
       }
     rm.commitReplace(
       kept.unionByName(source.select(st.schema.fieldNames.map(col).toSeq: _*)),
-      rel, touched, storeChanges = storeChanges)
+      rel, touched, storeChanges = storeChanges, basedOn = Some(st))
   }
 
 }

@@ -200,6 +200,7 @@ object Snapshot {
       .unionByName(insertions.select(tcols.map(col): _*))
     val historyPart = touchedDf.filter(!currentPred)
       .unionByName(closedChanged).unionByName(closedDeleted)
-    rm.commitReplaceParts(Seq(currentPart, historyPart), rel, touched)
+    rm.commitReplaceParts(Seq(currentPart, historyPart), rel, touched,
+      basedOn = Some(st))
   }
 }

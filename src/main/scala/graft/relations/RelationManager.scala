@@ -558,8 +558,9 @@ final class RelationManager(
     * MERGE / delete+insert. */
   def commitReplace(df: DataFrame, rel: Relation, removedFiles: Seq[String],
                     txn: Map[String, Long] = Map.empty,
-                    storeChanges: Boolean = false): Unit =
-    commitReplaceParts(Seq(df), rel, removedFiles, txn, storeChanges)
+                    storeChanges: Boolean = false,
+                    basedOn: Option[TableVersion] = None): Unit =
+    commitReplaceParts(Seq(df), rel, removedFiles, txn, storeChanges, basedOn)
 
   /** Same, but each part stages as its own file set inside ONE commit.
     * Callers use parts to force a FILE boundary between row populations —
@@ -578,9 +579,16 @@ final class RelationManager(
   def commitReplaceParts(parts: Seq[DataFrame], rel: Relation,
                          removedFiles: Seq[String],
                          txn: Map[String, Long] = Map.empty,
-                         storeChanges: Boolean = false): Unit = {
+                         storeChanges: Boolean = false,
+                         // the PLANNING state the caller read `removedFiles`
+                         // under — the anchor for the merge-on-read conflict
+                         // check below (rewrites read their rows lazily at
+                         // that version; a fresh read here would miss delta
+                         // commits landing between planning and this call)
+                         basedOn: Option[TableVersion] = None): Unit = {
     val cur = currentState(rel).getOrElse(
       throw new IllegalArgumentException(s"no such relation: ${rel.render}"))
+    val planned = basedOn.getOrElse(cur)
     val staged = parts.map(p =>
       stageFiles(p, rel, cur.partitionBy, cur.statsCols, bucketingOf(Some(cur))))
     val (emptyFiles, stats) = {
@@ -609,6 +617,20 @@ final class RelationManager(
       if (vanished.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"${rel.render}: files read by this rewrite were replaced by a " +
           s"concurrent commit (${vanished.take(3).mkString(", ")}…) — retry")
+      // merge-on-read twin of the vanished check: a concurrent DELTA
+      // commit mutates rows WITHOUT replacing the file (new delete
+      // attachments). This rewrite read `removed` under `cur`'s delete
+      // state; committing now would resurrect the concurrently-deleted
+      // positions inside the rewritten copy — abort and let the caller
+      // retry against fresh state.
+      log(rel).currentVersion.map(readVersion(rel, _)).foreach { lv =>
+        removed.foreach { f =>
+          if (lv.deletes.getOrElse(f, Nil) != planned.deletes.getOrElse(f, Nil))
+            throw new java.util.ConcurrentModificationException(
+              s"${rel.render}: $f gained merge-on-read deletes after this " +
+                "rewrite's planning scan — retry")
+        }
+      }
       c.filterNot(removed.contains) ++ files
     }
   }
@@ -722,7 +744,7 @@ final class RelationManager(
       val clustered = readFiles(rel, st, st.files)
         .repartitionByRange(n, clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      commitReplace(clustered, rel, st.files)
+      commitReplace(clustered, rel, st.files, basedOn = Some(st))
     } else {
       // merge-on-read: a file carrying positional deletes is ALWAYS a
       // compaction candidate regardless of size — rewriting it folds the
@@ -741,7 +763,7 @@ final class RelationManager(
       val packed =
         if (packCols.nonEmpty) packed0.repartition(n, packCols: _*)
         else packed0.repartition(n)
-      commitReplace(packed, rel, small)
+      commitReplace(packed, rel, small, basedOn = Some(st))
     }
   }
 

@@ -58,6 +58,14 @@ object GraftPathWriteClustering extends Rule[LogicalPlan] {
       clustered(o.table, o.query).map { case (rel, q) =>
         o.copy(table = rel, query = q,
           writeOptions = o.writeOptions + (Marker -> "true")) }.getOrElse(o)
+    // the streaming sink plans one write per microbatch through the same
+    // V2Writes machinery — same FunctionCatalog gap, same fix (the rule
+    // reruns inside each IncrementalExecution)
+    case w: org.apache.spark.sql.execution.streaming.sources.WriteToMicroBatchDataSource
+        if w.relation.isDefined && !w.writeOptions.contains(Marker) =>
+      clustered(w.relation.get, w.query).map { case (rel, q) =>
+        w.copy(relation = Some(rel.asInstanceOf[DataSourceV2Relation]), query = q,
+          writeOptions = w.writeOptions + (Marker -> "true")) }.getOrElse(w)
   }
 
   /** The marker rides BOTH the node's writeOptions and the relation

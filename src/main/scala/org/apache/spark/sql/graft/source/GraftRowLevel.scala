@@ -151,13 +151,25 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       // of those files meanwhile, committing our rewrite would resurrect
       // their pre-image rows as duplicates — abort instead (serializable
       // at file granularity; the caller retries the whole statement).
-      GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap) { cur =>
+      // The merge-on-read twin: a concurrent DELTA commit mutates rows
+      // without replacing the file (delete attachments) — same abort.
+      val log = GraftSourceTable.log(dir)
+      log.commit(None, None, None, None, written.toMap) { cur =>
         val curSet = cur.toSet
         val vanished = removed.filterNot(curSet)
         if (vanished.nonEmpty) throw new IllegalStateException(
           s"concurrent modification on $dir: files read by this " +
             s"${op.command()} were replaced by another commit " +
             s"(${vanished.take(3).mkString(", ")}…) — retry the statement")
+        log.currentVersion.map(log.read).foreach { lv =>
+          removed.foreach { f =>
+            if (lv.deletes.getOrElse(f, Nil) != st.deletes.getOrElse(f, Nil))
+              throw new java.util.ConcurrentModificationException(
+                s"concurrent row-level commit on $dir: $f gained " +
+                  s"merge-on-read deletes after this ${op.command()}'s scan — " +
+                  "retry the statement")
+          }
+        }
         cur.filterNot(removed.contains) ++ files
       }
     }

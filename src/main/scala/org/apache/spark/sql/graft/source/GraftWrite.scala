@@ -167,7 +167,8 @@ private[source] object GraftPublish {
     val spark = SparkSession.active
     Files.createDirectories(stageDir)
     val fileDataSchema = StructType(writeSchema.fields.filterNot(f =>
-      st.partitionBy.contains(f.name) || f.name == GraftSourceTable.FileCol))
+      st.partitionBy.contains(f.name) || f.name == GraftSourceTable.FileCol ||
+        f.name == GraftSourceTable.PosCol)) // metadata cols never hit parquet
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], fileDataSchema)

@@ -234,6 +234,48 @@ class MergeOnReadSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("a rewrite planned before a delta commit aborts instead of resurrecting deleted rows") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_rewrite_race")
+    val st = rm.currentState(rel).get
+    // a rewrite (merge/optimize shape) plans against `st`, reading file
+    // rows under st's (empty) delete state...
+    val victim = st.files.head
+    val replacement = rm.readFiles(rel, st, Seq(victim))
+    // ...then a DELTA commit mutates a row of that file without replacing
+    // it — the file list is unchanged, so the old vanished-file check
+    // passes and the stale rewrite would resurrect the deleted position
+    spark.sql(s"DELETE FROM $t WHERE id = 0") // id 0 lives in the first range file
+    assert(rm.currentState(rel).get.deletes.contains(victim),
+      "precondition: the delta commit attached deletes to the planned file")
+    intercept[java.util.ConcurrentModificationException] {
+      rm.commitReplace(replacement, rel, Seq(victim), basedOn = Some(st))
+    }
+    // the abort preserved the delta commit's effect
+    assert(rm.read(rel).filter($"id" === 0L).isEmpty)
+    assert(rm.read(rel).count() == 29999)
+  }
+
+  test("connector time travel reads each version with ITS delete state") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_tt")
+    val v1 = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM $t WHERE id = 5")
+    val v2 = rm.currentVersion(rel).get
+    spark.sql(s"UPDATE $t SET v = 'u' WHERE id = 6")
+    val dir = rm.path(rel).toString
+    def at(v: Int) = spark.read.format("graft")
+      .option("versionAsOf", v.toString).load(dir)
+    assert(at(v1).count() == 30000)
+    assert(at(v1).filter($"id" === 5L).count() == 1)
+    assert(at(v2).count() == 29999)
+    assert(at(v2).filter($"id" === 5L).count() == 0)
+    assert(at(v2).filter($"id" === 6L).select("v").as[String].head() == "v6")
+    val cur = spark.read.format("graft").load(dir)
+    assert(cur.filter($"id" === 6L).select("v").as[String].head() == "u")
+    assert(cur.count() == 29999)
+  }
+
   test("attaching deletes to a concurrently-replaced file aborts the commit") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_mor_cas").resolve("_graft_log").toString
