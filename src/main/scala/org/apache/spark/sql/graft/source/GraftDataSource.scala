@@ -669,7 +669,8 @@ class GraftScan(dir: String, tableSchema: StructType, required: StructType,
   // would silently drop surviving rows from the replacement.
   protected def parquetFilters: Seq[org.apache.spark.sql.sources.Filter] =
     filters.filter(_.references.forall(r =>
-      !partitionBy.contains(r) && r != GraftSourceTable.FileCol))
+      !partitionBy.contains(r) && r != GraftSourceTable.FileCol &&
+        r != GraftSourceTable.PosCol)) // metadata cols aren't in file bytes
 
   // vectorized (ColumnarBatch) reads whenever Spark's own parquet reader
   // supports them for this schema — same decision FileSourceScanExec makes.
