@@ -256,6 +256,23 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 29999)
   }
 
+  test("clean tables keep vectorized scans; dirty tables row-mode; optimize restores") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_vec")
+    val dir = rm.path(rel).toString
+    def planOf() = spark.read.format("graft").load(dir)
+      .queryExecution.executedPlan.toString
+    // clean: the connector scan feeds columnar batches (ColumnarToRow)
+    assert(planOf().contains("ColumnarToRow"),
+      s"clean graft scans must stay vectorized:\n${planOf()}")
+    spark.sql(s"DELETE FROM $t WHERE id = 1")
+    assert(!planOf().contains("ColumnarToRow"),
+      "a dirty table must row-mode the scan (positional anti-merge)")
+    rm.optimize(rel)
+    assert(planOf().contains("ColumnarToRow"),
+      "optimize must restore the vectorized path")
+  }
+
   test("connector time travel reads each version with ITS delete state") {
     import spark.implicits._
     val (rm, rel, t) = mor("mor_tt")
