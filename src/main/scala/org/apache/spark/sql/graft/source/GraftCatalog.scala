@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.expressions.{BucketTransform, IdentityTransform, Transform}
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.relations.{CommitLog, LocalFileStore}
+import graft.relations.CommitLog
 
 /** V2 catalog over a graft warehouse root: one namespace per schema dir,
   * one table per commit-log table dir.
@@ -123,7 +123,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val log = new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
+    val log = new CommitLog(GraftSourceTable.store(dir.toString),
+      dir.resolve("_graft_log").toString)
     val cutoff = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
     // committed_at carries nanos; SQL timestamps are micros — compare at
     // micro precision or a commit's own instant would sort after itself
@@ -165,7 +166,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     val dir = tableDir(ident)
     Files.createDirectories(dir)
-    new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
+    new CommitLog(GraftSourceTable.store(dir.toString),
+      dir.resolve("_graft_log").toString)
       .commit(None, Some(partBy), Some(nullableize(schema)), Some(Nil), Map.empty,
         Map.empty, bucketing)(identity)
     loadTable(ident)
@@ -195,7 +197,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val log = new CommitLog(new LocalFileStore, dir.resolve("_graft_log").toString)
+    val log = new CommitLog(GraftSourceTable.store(dir.toString),
+      dir.resolve("_graft_log").toString)
     // The schema edit and the anti-resurrection footer check are derived
     // from a snapshot; a concurrent ALTER or schema-reconciling engine
     // write between snapshot and commit would be silently overwritten (or
