@@ -73,13 +73,25 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    val results = timed.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // no persisted-frame leakage between queries
-      name -> elapsed
+    // Best-of-3, pass-interleaved: each pass times every query once, and a
+    // query reports its MINIMUM across passes. A transient load spike on
+    // the bench host (the r5 driver run: every query +5%..+195%, suite
+    // wall-clock +46% — adjudicated as box load in SCALE.md) now has to
+    // persist across three separated attempts to distort a number, instead
+    // of one unlucky second. Min, not mean: noise on this box is strictly
+    // additive (GC, CPU contention), so the floor is the best estimate of
+    // the code's actual cost.
+    val passes = (1 to 3).map { _ =>
+      timed.map { name =>
+        val t0 = System.nanoTime()
+        try exec(name) catch { case _: Throwable => () }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // no persisted-frame leakage between queries
+        name -> elapsed
+      }
     }
+    val results = timed.map(name =>
+      name -> passes.map(_.toMap.apply(name)).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -97,7 +97,14 @@ final class LocalFileStore extends FileStore {
   def moveFile(src: String, dst: String): Unit = {
     val to = p(dst)
     Option(to.getParent).foreach(Files.createDirectories(_))
-    Files.move(p(src), to, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(p(src), to, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // the moveFile contract: names are write-unique, so a missing src
+      // with dst present means a prior attempt of this SAME publish
+      // completed — success, nothing to do (the other two impls already
+      // behave this way; a publish retry must not fail only locally)
+      case _: java.nio.file.NoSuchFileException if Files.exists(to) => ()
+    }
   }
 
   def sizeOf(path: String): Long = Files.size(p(path))
@@ -190,10 +197,36 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
 
   def exists(path: String): Boolean = { val p = hp(path); fsFor(p).exists(p) }
 
+  /** Schemes whose FileSystem.rename is an atomic namespace op that FAILS
+    * (returns false) when the destination exists — the property that makes
+    * write-temp-then-rename a correct CAS. Deliberately narrow: S3A/GCS
+    * renames are client-side copies, and LocalFileSystem's rename
+    * OVERWRITES an existing destination (rename(2)) — local roots should
+    * use [[LocalFileStore]] (hard-link CAS) instead. */
+  private val atomicRenameSchemes = Set("hdfs", "viewfs")
+
   def createIfAbsent(path: String, content: String): Boolean = {
     val p = hp(path)
-    try {
-      val out = fsFor(p).create(p, /* overwrite = */ false)
+    val fs = fsFor(p)
+    if (atomicRenameSchemes(fs.getUri.getScheme)) {
+      // HDFS: create(overwrite = false) claims the NAME atomically but the
+      // file is visible (length 0 / partial) before content lands — a
+      // concurrent log-dir lister would read a torn delta. Write a hidden
+      // temp fully, then rename: atomic on HDFS, and it fails onto an
+      // existing destination, so exactly one writer wins and readers only
+      // ever see complete files.
+      val tmp = new HPath(p.getParent,
+        s".${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, /* overwrite = */ true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      try { if (fs.rename(tmp, p)) true else { fs.delete(tmp, false); false } }
+      catch { case _: java.io.IOException => fs.delete(tmp, false); false }
+    } else try {
+      // conditional-PUT stores (S3A with conditional create, GCS): the
+      // object is invisible until the PUT completes, and the losing writer
+      // surfaces FileAlreadyExists at create or close — atomic by the
+      // store's own semantics, no temp file needed
+      val out = fs.create(p, /* overwrite = */ false)
       try out.write(content.getBytes("UTF-8"))
       finally out.close() // S3A conditional PUT: the 412 surfaces here
       true

@@ -337,15 +337,22 @@ final class RelationManager(
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], v.schema)
     if (files.exists(v.deletes.contains)) {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, lit}
       val df = spark.read.format("graft")
         .option("versionAsOf", v.version.toString)
         .load(path(rel).toString)
       val narrowed =
         if (files.toSet == v.files.toSet) df
         else df.where(col(RelationManager.FileCol).isin(files: _*))
-      return narrowed.select(
-        v.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      // honor the caller's schema override the way the raw route's
+      // explicit .schema(v.schema) does: the connector re-resolves the
+      // version's OWN schema, so a column added between versions (caller
+      // passed from.copy(schema = to.schema)) must null-fill here, not
+      // throw on an unresolvable name
+      val have = narrowed.schema.fieldNames.toSet
+      return narrowed.select(v.schema.fields.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
     val abs = files.map(f => path(rel).resolve(f).toString)
     spark.read
@@ -359,13 +366,27 @@ final class RelationManager(
     * commit — e.g. `row_level_mode = merge-on-read` to switch SQL DML to
     * positional-delete writes. Existing keys not mentioned are kept. */
   def setTableProperties(rel: Relation, props: Map[String, String]): Unit = {
-    val cur = currentState(rel).getOrElse(throw new IllegalArgumentException(
-      s"setTableProperties: no such table ${rel.render}"))
-    // legacyState, not None: on a pre-log table a None base would commit
-    // v1 with an EMPTY file list — adopting the directory keeps the data
-    log(rel).commit(legacyState(rel), None, None, None, Map.empty,
-      newProps = Some(cur.props ++ props))(identity)
-    ()
+    // The merged map is derived from a snapshot, so the commit carries
+    // expectedBase and the whole read-merge re-runs on a collision — the
+    // CAS retry alone would replay only the file-list transform, silently
+    // dropping keys a concurrent property (or newProps-carrying) commit
+    // added between our read and our commit (same pattern as alterTable).
+    var attempts = 0
+    while (true) {
+      val cur = currentState(rel).getOrElse(throw new IllegalArgumentException(
+        s"setTableProperties: no such table ${rel.render}"))
+      // legacyState, not None: on a pre-log table a None base would commit
+      // v1 with an EMPTY file list — adopting the directory keeps the data
+      try {
+        log(rel).commit(legacyState(rel), None, None, None, Map.empty,
+          expectedBase = Some(if (cur.version > 0) cur.version else 0),
+          newProps = Some(cur.props ++ props))(identity)
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempts < 20 =>
+          attempts += 1
+      }
+    }
   }
 
   /** Change feed at file granularity: rows of files ADDED after version

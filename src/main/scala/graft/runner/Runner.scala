@@ -675,6 +675,18 @@ final class Runner(
         pending.incrementAndGet()
         pool.submit(new Runnable {
           def run(): Unit = {
+            // fail-fast re-check at execution time: poll() and the abort
+            // flag race, so a node can be SUBMITTED concurrently with the
+            // first failure — skip it here rather than run it after the
+            // abort (in-flight nodes still finish, dbt-style; this only
+            // stops not-yet-started work)
+            if (failFast && abortedBy.get != null) {
+              results.put(id, RunResult(id, "skipped", Instant.now(), Instant.now(),
+                s"fail-fast: run aborted after ${abortedBy.get} failed"))
+              pending.decrementAndGet()
+              done.synchronized { done.notifyAll() }
+              return
+            }
             val r = runNode(mf(id))
             results.put(id, r)
             if (r.status == "error" || r.status == "fail") {

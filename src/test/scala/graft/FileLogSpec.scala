@@ -443,4 +443,41 @@ class FileLogSpec extends AnyFunSuite {
       expectedBase = Some(2))(identity)
     assert(v3.version == 3)
   }
+
+  test("racing setTableProperties commits keep both sides' keys (read-merge CAS)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "log", "props_race")
+    rm.writeTable(Seq((1L, "a")).toDF("id", "v"), rel)
+    // the merged props map derives from a snapshot read: without
+    // expectedBase, a commit racing another property commit replays only
+    // the file-list transform and silently drops the other side's keys
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      (0 until 10).foreach { round =>
+        val a = Future(rm.setTableProperties(rel, Map(s"a$round" -> "1")))
+        val b = Future(rm.setTableProperties(rel, Map(s"b$round" -> "2")))
+        Await.result(Future.sequence(Seq(a, b)), 60.seconds)
+        val props = rm.currentState(rel).get.props
+        assert(props.contains(s"a$round") && props.contains(s"b$round"),
+          s"round $round lost a key: $props")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("LocalFileStore.moveFile: a publish retry whose src was already consumed succeeds") {
+    val store = new graft.relations.LocalFileStore
+    val dir = Files.createTempDirectory("graft_mv_retry")
+    val src = dir.resolve("staged"); val dst = dir.resolve("final/part-0")
+    Files.writeString(src, "bytes")
+    store.moveFile(src.toString, dst.toString)
+    assert(store.read(dst.toString) == "bytes")
+    // retry of the SAME publish (names are write-unique): src gone, dst
+    // present — the contract says success, matching the other two impls
+    store.moveFile(src.toString, dst.toString)
+    assert(store.read(dst.toString) == "bytes")
+  }
 }

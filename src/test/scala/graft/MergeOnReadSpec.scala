@@ -167,6 +167,24 @@ class MergeOnReadSpec extends AnyFunSuite {
       (9L, "v9", "delete")), changes.toString)
   }
 
+  test("readRowChanges null-fills a column added after a delta commit (V2 route honors the schema override)") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_addcol_cdc")
+    spark.sql(s"DELETE FROM $t WHERE id = 5") // v2: file gains positional deletes
+    val v2 = rm.currentVersion(rel).get
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra STRING)") // v3: schema-only
+    rm.optimize(rel) // v4: folds deletes — REMOVES the delete-carrying files
+    val v4 = rm.currentVersion(rel).get
+    // the from-side read (removed files, deletes live at v2) runs under the
+    // TO schema (readRowChanges passes from.copy(schema = to.schema)); the
+    // connector resolves v2's own schema, which lacks `extra` — it must
+    // null-fill like the raw-parquet route, not throw on the select. The
+    // rewrite carried every row, so the net feed is empty.
+    val feed = rm.readRowChanges(rel, v2, v4)
+    assert(feed.schema.fieldNames.contains("extra"))
+    assert(feed.count() == 0, "optimize carries every row — the diff must cancel")
+  }
+
   test("file-granular change feed fails loudly on merge-on-read commits (no silent no-change)") {
     import spark.implicits._
     val (rm, rel, t) = mor("mor_feed")

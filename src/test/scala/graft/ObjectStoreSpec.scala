@@ -120,6 +120,46 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(store.sizeOf(path) == 5L)
   }
 
+  test("hdfs-scheme createIfAbsent publishes via temp+rename — the final name is never create()d") {
+    // On HDFS, create(overwrite = false) claims the NAME atomically but the
+    // file is VISIBLE (length 0 / partial) before content lands — a
+    // concurrent log-dir lister could read a torn delta. The store must
+    // therefore write a hidden temp and rename (atomic on HDFS, fails onto
+    // an existing destination). This FS records every create() target and
+    // enforces HDFS rename semantics (no overwrite).
+    val created = scala.collection.mutable.Buffer[String]()
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("hdfs://mock")
+      override def create(f: org.apache.hadoop.fs.Path,
+                          permission: org.apache.hadoop.fs.permission.FsPermission,
+                          overwrite: Boolean, bufferSize: Int, replication: Short,
+                          blockSize: Long,
+                          progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+        created.synchronized { created += f.getName }
+        super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+      }
+      // RawLocal routes some create() chains through this overload too
+      override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+                          bufferSize: Int, replication: Short, blockSize: Long,
+                          progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+        created.synchronized { created += f.getName }
+        super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+      }
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (exists(dst)) false else super.rename(src, dst) // HDFS: no overwrite
+    }
+    fs.initialize(java.net.URI.create("hdfs://mock"),
+      new org.apache.hadoop.conf.Configuration())
+    val store = new HadoopFileStore(fs)
+    val path = Files.createTempDirectory("graft_hdfsput").resolve("v1.json").toString
+    assert(store.createIfAbsent(path, "first"))
+    assert(!store.createIfAbsent(path, "second"), "second writer must lose")
+    assert(store.read(path) == "first")
+    assert(created.forall(n => n.startsWith(".") && n.endsWith(".tmp")),
+      s"the final name must only ever appear via rename, got creates: $created")
+  }
+
   test("moveFile publishes with copy+delete and is idempotent across retries") {
     val store = newStore()
     val dir = Files.createTempDirectory("graft_s3mv")
