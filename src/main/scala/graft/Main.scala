@@ -200,8 +200,9 @@ object Main {
               loaded.config.freshness.get(s"$srcName.$kind")
                 .orElse(loaded.config.freshness.get(kind))
                 .map(_.toLong).getOrElse(0L)
-            val mtime = java.nio.file.Files.getLastModifiedTime(
-              java.nio.file.Paths.get(src.path.get)).toInstant
+            val mtime = graft.relations.WarehouseIO
+              .lastModifiedOf(src.path.get)
+              .getOrElse(java.time.Instant.EPOCH)
             val ageSec = (now.toEpochMilli - mtime.toEpochMilli) / 1000.0
             val (warnAfter, errorAfter) = (threshold("warn_after"), threshold("error_after"))
             val status =
@@ -390,10 +391,13 @@ object Main {
         out.println(s"spark:     OK (${spark.version}, master=${spark.sparkContext.master})")
         out.println(s"project:   OK (${loaded.manifest.nodes.size} nodes, " +
           s"name=${loaded.config.name}, schema=${loaded.config.schema})")
-        val whPath = java.nio.file.Paths.get(rm.root)
-        java.nio.file.Files.createDirectories(whPath)
-        val probe = java.nio.file.Files.createTempFile(whPath, ".graft_debug", "")
-        java.nio.file.Files.delete(probe)
+        // probe through the engine's own storage seam, so a URI root
+        // (s3a://…) is checked with the store that will actually serve it
+        graft.relations.WarehouseIO.mkdirs(rm.root)
+        val probe = graft.relations.WarehouseIO.join(rm.root,
+          s".graft_debug_${java.util.UUID.randomUUID().toString.take(8)}")
+        rm.store.write(probe, "")
+        rm.store.delete(probe)
         out.println(s"warehouse: OK (writable at ${rm.root})")
         val badSources = loaded.config.sources.filterNot { case (_, d) =>
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)) }

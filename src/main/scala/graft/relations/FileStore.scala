@@ -19,6 +19,14 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
   * is deliberately weaker than rename (see there) so object stores can
   * serve it with copy+delete.
   */
+object FileStore {
+  /** The store a warehouse root implies: java.nio for plain local paths,
+    * the Hadoop FS API (scheme-resolved per path) for URI-shaped roots —
+    * what makes `--warehouse s3a://bucket/wh` work with zero config. */
+  def forRoot(root: String): FileStore =
+    if (WarehouseIO.isRemote(root)) new HadoopFileStore() else new LocalFileStore
+}
+
 trait FileStore {
   def read(path: String): String
   def exists(path: String): Boolean
@@ -254,12 +262,20 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
     val from = hp(src); val to = hp(dst)
     val sfs = fsFor(from); val dfs = fsFor(to)
     if (dfs.exists(to)) {
-      // a prior attempt of this same publish: complete iff the lengths
-      // agree (an object store can't leave partials — the PUT is atomic
-      // at close — but HDFS can if a copier crashed mid-stream)
-      if (dfs.getFileStatus(to).getLen == sfs.getFileStatus(from).getLen) {
-        sfs.delete(from, false); return
-      }
+      // a prior attempt of this same publish: complete iff the content
+      // agrees. Where the filesystem exposes checksums (HDFS MD5-of-CRC)
+      // and both sides' are comparable, compare those; otherwise fall
+      // back to length (sufficient on object stores — a PUT is atomic at
+      // close, so no partial can exist; HDFS partials differ in length
+      // in all but pathological crashes, and carry checksums anyway).
+      val same =
+        if (dfs.getFileStatus(to).getLen != sfs.getFileStatus(from).getLen) false
+        else (Option(sfs.getFileChecksum(from)), Option(dfs.getFileChecksum(to))) match {
+          case (Some(a), Some(b)) if a.getAlgorithmName == b.getAlgorithmName =>
+            a == b
+          case _ => true // no comparable checksum: equal length decides
+        }
+      if (same) { sfs.delete(from, false); return }
       dfs.delete(to, false)
     }
     val in = sfs.open(from)

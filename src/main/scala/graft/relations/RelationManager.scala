@@ -1,6 +1,6 @@
 package graft.relations
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import graft.core.{Json, Relation}
@@ -41,11 +41,22 @@ import RelationManager.BucketCol
 final class RelationManager(
     val spark: SparkSession,
     val root: String,
-    val store: FileStore = new LocalFileStore) {
+    store0: FileStore = null) {
 
-  def path(rel: Relation): Path = Paths.get(root, rel.schema, rel.identifier)
-  private def logDir(rel: Relation): Path = path(rel).resolve("_graft_log")
-  private def log(rel: Relation): CommitLog = new CommitLog(store, logDir(rel).toString)
+  /** Metadata/publish store: explicit, or derived from the ROOT's shape —
+    * URI roots (s3a://, hdfs://, …) get the Hadoop-FS store, plain paths
+    * the local one. */
+  val store: FileStore = Option(store0).getOrElse(FileStore.forRoot(root))
+
+  import WarehouseIO.join
+
+  /** A relation's table prefix — a plain path or a URI, depending on the
+    * warehouse root. Always a String: java.nio.Path would normalize the
+    * `scheme://` away. All filesystem access on it routes through
+    * [[WarehouseIO]] / [[FileStore]]. */
+  def path(rel: Relation): String = join(root, rel.schema, rel.identifier)
+  private def logDir(rel: Relation): String = join(path(rel), "_graft_log")
+  private def log(rel: Relation): CommitLog = new CommitLog(store, logDir(rel))
 
   // ------------------------------------------------------------ log I/O
 
@@ -55,12 +66,12 @@ final class RelationManager(
 
   /** Pre-log parquet directory adopted as the implicit version 0. */
   private def legacyState(rel: Relation): Option[TableVersion] =
-    if (!Files.isDirectory(path(rel))) None
+    if (!WarehouseIO.isDir(path(rel))) None
     else {
       val legacy = listDataFiles(path(rel))
       if (legacy.isEmpty) None
       else Some(TableVersion(0, legacy,
-        spark.read.parquet(path(rel).toString).schema, Nil))
+        spark.read.parquet(path(rel)).schema, Nil))
     }
 
   /** Current table state: the logged version, or — for pre-log tables —
@@ -85,7 +96,7 @@ final class RelationManager(
       legacyState(rel), newPartitionBy, newSchema, newStatsCols, addedStats,
       txn, newBucketing, changeFiles)(transform)
     // a data commit supersedes any prior view materialization
-    store.delete(viewDefFile(rel).toString)
+    store.delete(viewDefFile(rel))
     register(rel)
     next
   }
@@ -103,8 +114,10 @@ final class RelationManager(
   private def stageFiles(df: DataFrame, rel: Relation, partitionBy: Seq[String],
                          statsCols: Seq[String],
                          bucketing: Option[(Seq[String], Int)] = None): Staged = {
-    Files.createDirectories(path(rel))
-    val stage = Files.createTempDirectory(path(rel), "_graft_stage_")
+    WarehouseIO.mkdirs(path(rel))
+    val stage = join(path(rel),
+      s"_graft_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    WarehouseIO.mkdirs(stage)
     try {
       // bucketed layout: rows route to their bucket via murmur3-pmod on the
       // bucket columns (the SAME function GraftBucketFunction computes for
@@ -120,21 +133,21 @@ final class RelationManager(
             partitionBy :+ BucketCol)
         case None => (df, partitionBy)
       }
+      // on an object-store root the write swaps in the direct (rename-free)
+      // committer — see WarehouseIO.writeOptions
       val writer = toWrite.write.mode(SaveMode.Overwrite)
+        .options(WarehouseIO.writeOptions(stage))
       (if (writeDirs.nonEmpty) writer.partitionBy(writeDirs: _*) else writer)
-        .parquet(stage.toString)
+        .parquet(stage)
       val staged = listDataFiles(stage)
       // stats while still staged: one pruned-column aggregation job over
       // the delta (basePath recovers partition values from dir names)
       val collected: Map[String, Map[String, ColStats]] =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty
         else {
-          val sdf = spark.read.option("basePath", stage.toString).parquet(stage.toString)
-          val base = stage.toAbsolutePath.toUri.toString
+          val sdf = spark.read.option("basePath", stage).parquet(stage)
           Stats.collect(sdf, statsCols).map { case (uri, cs) =>
-            val rel0 = uri.stripPrefix(base).stripPrefix("/")
-            (if (rel0 != uri) rel0
-             else uri.stripPrefix(stage.toAbsolutePath.toString + "/")) -> cs
+            WarehouseIO.relativeTo(stage, uri) -> cs
           }
         }
       // a staged file the stats job never saw holds ZERO rows
@@ -147,17 +160,15 @@ final class RelationManager(
           f -> statsCols.map(c => c -> ColStats(None, None, 0L, 0L)).toMap)
       val uniq = java.util.UUID.randomUUID().toString.take(8)
       def renamed(relPath: String): String = {
-        val p = Paths.get(relPath)
-        Option(p.getParent) match {
-          case Some(dir) => dir.resolve(s"$uniq-${p.getFileName}").toString
-          case None      => s"$uniq-${p.getFileName}"
-        }
+        val i = relPath.lastIndexOf('/')
+        if (i < 0) s"$uniq-$relPath"
+        else relPath.substring(0, i + 1) + uniq + "-" + relPath.substring(i + 1)
       }
       Staged(staged.map(renamed), storedSchema(df),
         stageStats.map { case (f, cs) => renamed(f) -> cs },
-        stageDir = Some(stage.toString),
+        stageDir = Some(stage),
         moves = staged.map(f => f -> renamed(f)))
-    } catch { case e: Throwable => deleteDir(stage); throw e }
+    } catch { case e: Throwable => WarehouseIO.deleteDir(stage); throw e }
   }
 
   /** Move a staged write's files to their final table-relative names and
@@ -167,50 +178,21 @@ final class RelationManager(
     * (zero-row parts); they vanish with the staging dir. */
   private def publishStaged(rel: Relation, staged: Staged,
                             except: Set[String] = Set.empty): Unit =
-    staged.stageDir.foreach { sd =>
-      val stage = Paths.get(sd)
+    staged.stageDir.foreach { stage =>
       staged.moves.foreach { case (src, dst) =>
         if (!except.contains(dst))
           // through the storage seam: on an object store this is a
           // copy+delete, which the moveFile contract makes safe (the file
           // is invisible until the manifest commit references it)
-          store.moveFile(stage.resolve(src).toString,
-            path(rel).resolve(dst).toString)
+          store.moveFile(join(stage, src), join(path(rel), dst))
       }
-      deleteDir(stage)
+      WarehouseIO.deleteDir(stage)
     }
 
-  /** Table-relative parquet files under a directory, skipping `_`-prefixed
-    * internal dirs (log, staging, checkpoints; Spark's hidden-path rule:
-    * `_` names are internal UNLESS they contain `=`, i.e. partition dirs).
-    *
-    * Internal dirs are pruned DURING traversal, not post-filtered: a
-    * concurrent batch is actively writing inside its staging dir's
-    * Hadoop `_temporary` tree, and walking into it races Spark's
-    * task-commit renames (files vanish mid-walk → NoSuchFileException).
-    * Vanished entries are tolerated for the same reason. */
-  private def listDataFiles(dir: Path): Seq[String] =
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      import java.nio.file.{FileVisitResult, SimpleFileVisitor}
-      import java.nio.file.attribute.BasicFileAttributes
-      val out = Seq.newBuilder[String]
-      Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
-        override def preVisitDirectory(d: Path, attrs: BasicFileAttributes): FileVisitResult = {
-          val name = d.getFileName.toString
-          if (d != dir && (name.startsWith("_") || name.startsWith(".")) && !name.contains("="))
-            FileVisitResult.SKIP_SUBTREE
-          else FileVisitResult.CONTINUE
-        }
-        override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
-          if (f.toString.endsWith(".parquet")) out += dir.relativize(f).toString
-          FileVisitResult.CONTINUE
-        }
-        override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
-          FileVisitResult.CONTINUE
-      })
-      out.result().sorted
-    }
+  /** Table-relative parquet files under a directory — see
+    * [[WarehouseIO.listDataFiles]] for the pruning/tolerance rules. */
+  private def listDataFiles(dir: String): Seq[String] =
+    WarehouseIO.listDataFiles(dir)
 
   private def nullableize(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
@@ -226,7 +208,7 @@ final class RelationManager(
 
   // --------------------------------------------------- persistent views
 
-  private def viewDefFile(rel: Relation): Path = path(rel).resolve("_graft_view.json")
+  private def viewDefFile(rel: Relation): String = join(path(rel), "_graft_view.json")
 
   /** Persist a view's compiled SELECT plus its dependency relations as a
     * sidecar, so a FRESH session can lazily re-register the whole view
@@ -234,18 +216,18 @@ final class RelationManager(
     * selection fail across process boundaries). Replaces any prior table
     * materialization of the same relation (the materialization switched). */
   def writeViewDef(rel: Relation, sql: String, deps: Seq[Relation]): Unit = {
-    deleteDir(logDir(rel))
+    WarehouseIO.deleteDir(logDir(rel))
     val d = deps.map(r =>
       s"""{"database":${Json.quote(r.database)},"schema":${Json.quote(r.schema)},""" +
         s""""identifier":${Json.quote(r.identifier)}}""")
-    store.write(viewDefFile(rel).toString,
+    store.write(viewDefFile(rel),
       s"""{"sql":${Json.quote(sql)},"deps":[${d.mkString(",")}]}""")
   }
 
   def readViewDef(rel: Relation): Option[(String, Seq[Relation])] =
-    if (!store.exists(viewDefFile(rel).toString)) None
+    if (!store.exists(viewDefFile(rel))) None
     else {
-      val doc = Json.obj(Json.parse(store.read(viewDefFile(rel).toString)))
+      val doc = Json.obj(Json.parse(store.read(viewDefFile(rel))))
       Some((Json.str(doc("sql")),
         Json.arr(doc("deps")).map(Json.obj).map(m => Relation(
           Json.str(m("database")), Json.str(m("schema")),
@@ -254,7 +236,7 @@ final class RelationManager(
 
   // ---------------------------------------------- materialized-view state
 
-  private def mvStateFile(rel: Relation): Path = path(rel).resolve("_graft_mv.json")
+  private def mvStateFile(rel: Relation): String = join(path(rel), "_graft_mv.json")
 
   /** Persist a materialized view's refresh fingerprint (compiled-SQL hash +
     * input relation versions / source file fingerprints) beside the data.
@@ -263,10 +245,10 @@ final class RelationManager(
     * unchanged → no-op" path (manifest.json
     * §materialization_materialized_view_default). */
   def writeMvState(rel: Relation, fingerprint: String): Unit =
-    store.write(mvStateFile(rel).toString, fingerprint)
+    store.write(mvStateFile(rel), fingerprint)
 
   def readMvState(rel: Relation): Option[String] = {
-    val p = mvStateFile(rel).toString
+    val p = mvStateFile(rel)
     if (store.exists(p)) Some(store.read(p)) else None
   }
 
@@ -279,7 +261,8 @@ final class RelationManager(
     * joins, so two co-bucketed commit-log tables join shuffle-free
     * through their reported KeyGroupedPartitioning (BucketingSpec). */
   lazy val catalogName: String = {
-    val abs = Paths.get(root).toAbsolutePath.toString
+    val abs = if (WarehouseIO.isUri(root)) root
+              else Paths.get(root).toAbsolutePath.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val name = s"graft_$digest"
@@ -292,7 +275,7 @@ final class RelationManager(
   }
 
   def exists(rel: Relation): Boolean =
-    store.exists(viewDefFile(rel).toString) || currentState(rel).isDefined
+    store.exists(viewDefFile(rel)) || currentState(rel).isDefined
 
   def read(rel: Relation): DataFrame =
     currentState(rel) match {
@@ -304,7 +287,7 @@ final class RelationManager(
         // MERGE, stats pruning). The pre-r4 either/or is gone.
         spark.table(s"$catalogName.`${rel.schema}`.`${rel.identifier}`")
       case Some(v) if v.version > 0 => readState(rel, v)
-      case Some(_) => spark.read.parquet(path(rel).toString) // legacy dir
+      case Some(_) => spark.read.parquet(path(rel)) // legacy dir
       case None => readViewDef(rel) match {
         case Some((sql, deps)) =>
           deps.foreach(d =>
@@ -340,7 +323,7 @@ final class RelationManager(
       import org.apache.spark.sql.functions.{col, lit}
       val df = spark.read.format("graft")
         .option("versionAsOf", v.version.toString)
-        .load(path(rel).toString)
+        .load(path(rel))
       val narrowed =
         if (files.toSet == v.files.toSet) df
         else df.where(col(RelationManager.FileCol).isin(files: _*))
@@ -354,9 +337,9 @@ final class RelationManager(
         if (have(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
-    val abs = files.map(f => path(rel).resolve(f).toString)
+    val abs = files.map(f => join(path(rel), f))
     spark.read
-      .option("basePath", path(rel).toString)
+      .option("basePath", path(rel))
       .schema(v.schema)
       .parquet(abs: _*)
       .select(v.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
@@ -475,12 +458,8 @@ final class RelationManager(
     else org.apache.spark.sql.functions.input_file_name()
 
   /** Map `input_file_name()` URIs back to table-relative paths. */
-  def relativize(rel: Relation, fileUri: String): String = {
-    val base = path(rel).toAbsolutePath.toUri.toString
-    val noScheme = fileUri.stripPrefix(base)
-    if (noScheme != fileUri) noScheme
-    else fileUri.stripPrefix(path(rel).toAbsolutePath.toString + "/")
-  }
+  def relativize(rel: Relation, fileUri: String): String =
+    WarehouseIO.relativeTo(path(rel), fileUri)
 
   // ------------------------------------------------------------ writes
 
@@ -551,8 +530,8 @@ final class RelationManager(
     * always safe. */
   def discardStaged(rel: Relation, staged: Staged): Unit =
     staged.stageDir match {
-      case Some(sd) => deleteDir(Paths.get(sd))
-      case None     => staged.files.foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+      case Some(sd) => WarehouseIO.deleteDir(sd)
+      case None     => staged.files.foreach(f => store.delete(join(path(rel), f)))
     }
 
   /** Commit one staged partition-replacement: partitions covered by the
@@ -663,11 +642,10 @@ final class RelationManager(
   private def writeChangeFrame(rel: Relation, cur: TableVersion,
                                added: Seq[String], removed: Seq[String]): Seq[String] = {
     val changes = changeFrame(readFiles(rel, cur, added), readFiles(rel, cur, removed))
-    val dir = path(rel).resolve(ChangesDir)
-      .resolve(java.util.UUID.randomUUID().toString.take(8))
-    changes.write.parquet(dir.toString)
-    listDataFiles(dir).map(f => Paths.get(ChangesDir,
-      dir.getFileName.toString).resolve(f).toString)
+    val sub = java.util.UUID.randomUUID().toString.take(8)
+    val dir = join(path(rel), ChangesDir, sub)
+    changes.write.options(WarehouseIO.writeOptions(dir)).parquet(dir)
+    listDataFiles(dir).map(f => join(ChangesDir, sub, f))
   }
 
   private val ChangesDir = "_graft_changes"
@@ -702,7 +680,7 @@ final class RelationManager(
         case Some(files) =>
           val schema = states(v).schema.add(RelationManager.ChangeTypeCol, StringType)
           spark.read.schema(schema)
-            .parquet(files.map(f => path(rel).resolve(f).toString): _*)
+            .parquet(files.map(f => join(path(rel), f)): _*)
         case None => readRowChanges(rel, v - 1, v)
       }
       base.withColumn(RelationManager.CommitVersionCol, lit(v))
@@ -754,8 +732,8 @@ final class RelationManager(
     val st = currentState(rel).getOrElse(return)
     if (st.files.isEmpty) return
     def sizeOf(f: String): Long = {
-      val p = path(rel).resolve(f)
-      if (Files.exists(p)) Files.size(p) else 0L
+      val p = join(path(rel), f)
+      if (store.exists(p)) store.sizeOf(p) else 0L
     }
     if (clusterBy.nonEmpty) {
       val unknown = clusterBy.filterNot(st.schema.fieldNames.contains)
@@ -800,33 +778,29 @@ final class RelationManager(
     val referenced = (keepFrom to latest)
       .map(lg.read).flatMap(_.files).toSet
     listDataFiles(path(rel)).filterNot(referenced.contains)
-      .foreach(f => Files.deleteIfExists(path(rel).resolve(f)))
+      .foreach(f => store.delete(join(path(rel), f)))
     // staging dirs from crashed runs (never published, so never
     // referenced) — like Delta VACUUM, run out-of-band of active writers
-    store.list(path(rel).toString)
+    store.list(path(rel))
       .filter(_.startsWith("_graft_stage_"))
-      .foreach(d => deleteDir(path(rel).resolve(d)))
+      .foreach(d => WarehouseIO.deleteDir(join(path(rel), d)))
     // stored change dirs belong to their COMMIT: keep those referenced by
     // a retained delta, reclaim the rest (truncated or crashed-mid-write)
-    val changesRoot = path(rel).resolve("_graft_changes")
-    if (Files.isDirectory(changesRoot)) {
-      val referenced = (keepFrom to latest).flatMap(lg.commitChanges)
-        .flatten.map(f => Paths.get(f).getName(1).toString).toSet
-      store.list(changesRoot.toString)
-        .filterNot(referenced.contains)
-        .foreach(d => deleteDir(changesRoot.resolve(d)))
-    }
+    val changesRoot = join(path(rel), "_graft_changes")
+    val referencedChanges = (keepFrom to latest).flatMap(lg.commitChanges)
+      .flatten.map(_.split('/')(1)).toSet
+    store.list(changesRoot)
+      .filterNot(referencedChanges.contains)
+      .foreach(d => WarehouseIO.deleteDir(join(changesRoot, d)))
     // merge-on-read delete files: keep those any retained version maps,
     // reclaim the rest (their data file was compacted/removed)
-    val deletesRoot = path(rel).resolve("_graft_deletes")
-    if (Files.isDirectory(deletesRoot)) {
-      val referencedDel = (keepFrom to latest).map(lg.read)
-        .flatMap(_.deletes.values.flatten)
-        .map(f => Paths.get(f).getFileName.toString).toSet
-      store.list(deletesRoot.toString)
-        .filterNot(referencedDel.contains)
-        .foreach(f => store.delete(deletesRoot.resolve(f).toString))
-    }
+    val deletesRoot = join(path(rel), "_graft_deletes")
+    val referencedDel = (keepFrom to latest).map(lg.read)
+      .flatMap(_.deletes.values.flatten)
+      .map(_.split('/').last).toSet
+    store.list(deletesRoot)
+      .filterNot(referencedDel.contains)
+      .foreach(f => store.delete(join(deletesRoot, f)))
     lg.truncateBefore(keepFrom)
   }
 
@@ -858,34 +832,26 @@ final class RelationManager(
     df.createOrReplaceTempView(rel.viewName)
 
   def drop(rel: Relation): Unit = {
-    deleteDir(path(rel))
+    WarehouseIO.deleteDir(path(rel))
     spark.catalog.dropTempView(rel.viewName)
   }
 
   def rename(from: Relation, to: Relation): Unit = {
-    Files.createDirectories(path(to).getParent)
-    Files.move(path(from), path(to), StandardCopyOption.ATOMIC_MOVE)
+    WarehouseIO.mkdirs(join(root, to.schema))
+    WarehouseIO.renameDir(path(from), path(to))
     spark.catalog.dropTempView(from.viewName)
     register(to)
   }
 
   def columnsIn(rel: Relation): StructType = read(rel).schema
 
-  def listRelations(schema: String): Seq[String] = {
-    val dir = Paths.get(root, schema)
-    if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("_"))
-      .toSeq.sorted
-  }
+  def listRelations(schema: String): Seq[String] =
+    WarehouseIO.listDirNames(join(root, schema))
 
   def lastModified(rel: Relation): Option[java.time.Instant] =
     if (!exists(rel)) None
     else Some(java.time.Instant.ofEpochMilli(
-      Files.list(path(rel)).iterator().asScala
-        .map(p => Files.getLastModifiedTime(p).toMillis).maxOption.getOrElse(0L)))
+      WarehouseIO.maxModified(path(rel)).getOrElse(0L)))
 
   /** persist_docs / grants (reference: manifest.json §persist_docs,
     * §apply_grants): plain parquet has no catalog comments or ACLs, so
@@ -897,12 +863,12 @@ final class RelationManager(
     val d = docs.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
     val g = grants.toSeq.sortBy(_._1).map { case (k, vs) =>
       s"${q(k)}: [${vs.map(q).mkString(",")}]" }
-    store.write(path(rel).resolve("_graft_meta.json").toString,
+    store.write(join(path(rel), "_graft_meta.json"),
       s"""{"docs":{${d.mkString(",")}},"grants":{${g.mkString(",")}}}""")
   }
 
   def readMeta(rel: Relation): Option[String] = {
-    val p = path(rel).resolve("_graft_meta.json").toString
+    val p = join(path(rel), "_graft_meta.json")
     if (store.exists(p)) Some(store.read(p)) else None
   }
 
@@ -911,10 +877,10 @@ final class RelationManager(
     * Survives sessions, so a fresh CLI run resumes where the last ended
     * (reference: checkpoint math microbatch.py:41-79). */
   def writeCheckpoint(rel: Relation, at: java.time.Instant): Unit =
-    store.write(path(rel).resolve("_graft_checkpoint").toString, at.toString)
+    store.write(join(path(rel), "_graft_checkpoint"), at.toString)
 
   def readCheckpoint(rel: Relation): Option[java.time.Instant] = {
-    val p = path(rel).resolve("_graft_checkpoint").toString
+    val p = join(path(rel), "_graft_checkpoint")
     if (store.exists(p)) Some(java.time.Instant.parse(store.read(p).trim)) else None
   }
 
@@ -963,17 +929,6 @@ final class RelationManager(
     writeTable(selectAs(read(rel), schema), rel,
       statsCols = currentState(rel).map(_.statsCols).getOrElse(Nil))
 
-  private def deleteDir(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-
-  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
 }
 
 object RelationManager {

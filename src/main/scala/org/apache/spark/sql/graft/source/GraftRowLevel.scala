@@ -133,7 +133,7 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = new BatchWrite {
-    private val stageDir = Paths.get(dir,
+    private val stageDir = graft.relations.WarehouseIO.join(dir,
       s"_graft_stage_v2r_${java.util.UUID.randomUUID().toString.take(8)}")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -154,7 +154,16 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       // The merge-on-read twin: a concurrent DELTA commit mutates rows
       // without replacing the file (delete attachments) — same abort.
       val log = GraftSourceTable.log(dir)
-      log.commit(None, None, None, None, written.toMap) { cur =>
+      // change_feed tables: store this rewrite's row images (added files
+      // vs scanned files, carried rows cancelling) so SQL DML keeps the
+      // connector feed diff-free — without this, a mixed CoW rewrite
+      // fails the feed plan loudly
+      val changeFiles =
+        if (GraftChangeImages.enabled(st))
+          GraftChangeImages.copyOnWrite(dir, st, files, removed.toSeq)
+        else Nil
+      log.commit(None, None, None, None, written.toMap,
+        changeFiles = changeFiles) { cur =>
         val curSet = cur.toSet
         val vanished = removed.filterNot(curSet)
         if (vanished.nonEmpty) throw new IllegalStateException(

@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
-import graft.relations.{ColStats, RelationManager, Stats, TableVersion}
+import graft.relations.{ColStats, RelationManager, Stats, TableVersion, WarehouseIO}
 
 /** V2 write path for graft commit-log tables — what makes a graft table
   * writable from ANY Spark job, not just the engine's Runner:
@@ -129,18 +129,13 @@ private[source] object GraftPublish {
     * through the FileStore seam so an object-store deployment publishes
     * with copy+delete instead of rename (safe: visibility is
     * manifest-controlled and names are write-unique). */
-  def publish(dir: String, stageDir: java.nio.file.Path, files: Seq[String],
+  def publish(dir: String, stageDir: String, files: Seq[String],
               store: graft.relations.FileStore = new graft.relations.LocalFileStore): Unit =
     files.foreach { f =>
-      store.moveFile(stageDir.resolve(f).toString, Paths.get(dir, f).toString)
+      store.moveFile(WarehouseIO.join(stageDir, f), WarehouseIO.join(dir, f))
     }
 
-  def deleteDir(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val it = Files.walk(p).iterator()
-      val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
-      all.reverse.foreach(q => Files.deleteIfExists(q))
-    }
+  def deleteDir(p: String): Unit = WarehouseIO.deleteDir(p)
 
   /** The replacement key for dynamic overwrite is the LOGICAL partition:
     * bucket layout dirs don't count (same rule as the engine's
@@ -163,16 +158,16 @@ private[source] object GraftPublish {
     * in a new session, so the uuid is what keeps file names from a second
     * session's append from colliding with already-published ones. */
   def factory(dir: String, st: TableVersion, writeSchema: StructType,
-              stageDir: java.nio.file.Path): GraftWriterFactory = {
+              stageDir: String): GraftWriterFactory = {
     val spark = SparkSession.active
-    Files.createDirectories(stageDir)
+    WarehouseIO.mkdirs(stageDir)
     val fileDataSchema = StructType(writeSchema.fields.filterNot(f =>
       st.partitionBy.contains(f.name) || f.name == GraftSourceTable.FileCol ||
         f.name == GraftSourceTable.PosCol)) // metadata cols never hit parquet
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], fileDataSchema)
-    GraftWriterFactory(stageDir.toString, writeSchema, fileDataSchema,
+    GraftWriterFactory(stageDir, writeSchema, fileDataSchema,
       st.partitionBy, st.bucketBy, st.buckets, st.statsCols, owf,
       new SerializableConfiguration(job.getConfiguration),
       java.util.UUID.randomUUID().toString.take(8),
@@ -183,7 +178,7 @@ private[source] object GraftPublish {
 class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
                       mode: GraftWriteMode.Value) extends BatchWrite {
 
-  private val stageDir = Paths.get(dir,
+  private val stageDir = WarehouseIO.join(dir,
     s"_graft_stage_v2_${java.util.UUID.randomUUID().toString.take(8)}")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -214,7 +209,7 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val appId = s"graft-v2-stream:$queryId"
-  private val stageBase = Paths.get(dir,
+  private val stageBase = WarehouseIO.join(dir,
     s"_graft_stage_v2s_${java.util.UUID.randomUUID().toString.take(8)}")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
@@ -222,7 +217,7 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
     GraftStreamingWriterFactory(GraftPublish.factory(dir, st, writeSchema, stageBase))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val epochDir = stageBase.resolve(s"e$epochId")
+    val epochDir = WarehouseIO.join(stageBase, s"e$epochId")
     val log = GraftSourceTable.log(dir)
     // fast path: a known-replayed epoch skips publishing entirely
     val replayed = log.currentVersion.map(log.read)
@@ -242,7 +237,7 @@ class GraftStreamingWrite(dir: String, st: TableVersion, writeSchema: StructType
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    GraftPublish.deleteDir(stageBase.resolve(s"e$epochId"))
+    GraftPublish.deleteDir(WarehouseIO.join(stageBase, s"e$epochId"))
 }
 
 case class GraftStreamingWriterFactory(base: GraftWriterFactory)
@@ -386,11 +381,20 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
     seq += 1
     val relPath = if (dir.isEmpty) name else s"$dir/$name"
     val abs =
-      if (subDir.isEmpty) Paths.get(fac.stageDir, relPath)
-      else Paths.get(fac.stageDir, subDir, relPath)
-    Files.createDirectories(abs.getParent)
+      if (subDir.isEmpty) WarehouseIO.join(fac.stageDir, relPath)
+      else WarehouseIO.join(fac.stageDir, subDir, relPath)
+    // the parquet writer goes through the target's Hadoop FileSystem,
+    // whose create() makes parent dirs; only a plain local stage needs
+    // (and can take) an explicit java.nio mkdirs + file:// URI
+    val target =
+      if (WarehouseIO.isUri(fac.stageDir)) abs
+      else {
+        val jp = Paths.get(abs)
+        Option(jp.getParent).foreach(Files.createDirectories(_))
+        jp.toUri.toString
+      }
     val o = new Open(relPath,
-      fac.owf.newInstance(abs.toUri.toString, fac.fileDataSchema, ctx), new Acc)
+      fac.owf.newInstance(target, fac.fileDataSchema, ctx), new Acc)
     open.put(dir, o)
     o
   }

@@ -58,7 +58,7 @@ class CdfSpec extends AnyFunSuite {
     // deleted, so the on-demand diff is impossible — the stored feed isn't
     rm.vacuum(rel, keepVersions = 1)
     val gone = before.files.filterNot(rm.currentState(rel).get.files.toSet)
-    assert(gone.nonEmpty && gone.forall(f => !Files.exists(rm.path(rel).resolve(f))),
+    assert(gone.nonEmpty && gone.forall(f => !Files.exists(java.nio.file.Paths.get(rm.path(rel)).resolve(f))),
       "vacuum must have deleted the replaced file")
 
     val feed = rm.readCommitChanges(rel, v - 1, v)
@@ -177,7 +177,7 @@ class CdfSpec extends AnyFunSuite {
     seed(rm, rel, 10, 1)          // v1
     val v1Files = rm.currentState(rel).get.files
     rm.truncate(rel)              // v2: pure remove — delete images ARE v1's bytes
-    val dir = rm.path(rel)
+    val dir = java.nio.file.Paths.get(rm.path(rel))
     // simulate vacuum reclaiming the unreferenced data files
     v1Files.foreach(f => Files.deleteIfExists(dir.resolve(f)))
     val e = intercept[Exception] {
@@ -308,7 +308,7 @@ class CdfSpec extends AnyFunSuite {
       Seq("id"), updateColumns = Nil, storeChanges = true)       // stored (old)
     Materializations.mergeInto(rm, rel, Seq((2L, "m2")).toDF("id", "v"),
       Seq("id"), updateColumns = Nil, storeChanges = true)       // stored (kept)
-    val changesRoot = rm.path(rel).resolve("_graft_changes")
+    val changesRoot = java.nio.file.Paths.get(rm.path(rel)).resolve("_graft_changes")
     assert(Files.list(changesRoot).count() == 2)
 
     // keep only the latest version (v3 = second merge): the first merge's

@@ -11,6 +11,9 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the S3-semantics mock scheme (no rename, conditional PUT) — lets any
+    // spec use a URI-shaped warehouse root (UriWarehouseSpec)
+    .config("spark.hadoop.fs.s3mock.impl", "graft.S3SemanticsFileSystem")
     .getOrCreate()
 }
 

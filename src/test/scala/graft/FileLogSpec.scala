@@ -287,9 +287,9 @@ class FileLogSpec extends AnyFunSuite {
     assert(rm.readAt(rel, v1).orderBy("id").select("v").as[String].collect().toSeq == Seq("a", "b"))
 
     // vacuum keeps only the latest version's files
-    val allBefore = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    val allBefore = Files.walk(java.nio.file.Paths.get(rm.path(rel))).filter(_.toString.endsWith(".parquet")).count()
     rm.vacuum(rel)
-    val allAfter = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    val allAfter = Files.walk(java.nio.file.Paths.get(rm.path(rel))).filter(_.toString.endsWith(".parquet")).count()
     assert(allAfter < allBefore, "vacuum must delete unreferenced files")
     assert(rm.read(rel).select("v").as[String].collect().toSeq == Seq("c"))
   }

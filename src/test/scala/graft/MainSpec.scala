@@ -518,7 +518,7 @@ class MainSpec extends AnyFunSuite {
     val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
     val rel = Relation("graft", "main", "revenue")
     def dataFiles(): Long =
-      Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+      Files.walk(java.nio.file.Paths.get(rm.path(rel))).filter(_.toString.endsWith(".parquet")).count()
     val before = dataFiles()
     val sw = new java.io.StringWriter()
     assert(Main.execute(spark, Main.Args(command = "vacuum", project = dir.toString,

@@ -32,7 +32,7 @@ class MergeOnReadSpec extends AnyFunSuite {
   }
 
   private def bytesOf(rm: RelationManager, rel: Relation, files: Seq[String]): Long =
-    files.map(f => Files.size(rm.path(rel).resolve(f))).sum
+    files.map(f => Files.size(java.nio.file.Paths.get(rm.path(rel)).resolve(f))).sum
 
   test("UPDATE writes O(delta) bytes: no data file rewritten, tiny delete + insert files") {
     import spark.implicits._
@@ -50,7 +50,7 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(after.deletes.size == 1, s"one data file touched: ${after.deletes}")
     assert(deleteFiles.size == 1)
     val deltaBytes = bytesOf(rm, rel, added ++ deleteFiles)
-    val smallestData = before.files.map(f => Files.size(rm.path(rel).resolve(f))).min
+    val smallestData = before.files.map(f => Files.size(java.nio.file.Paths.get(rm.path(rel)).resolve(f))).min
     assert(deltaBytes < smallestData / 4,
       s"one-row UPDATE must be O(delta): wrote $deltaBytes bytes vs " +
         s"smallest data file $smallestData")
@@ -118,7 +118,7 @@ class MergeOnReadSpec extends AnyFunSuite {
 
     // vacuum reclaims the folded delete files and old data files
     rm.vacuum(rel)
-    val delDir = rm.path(rel).resolve("_graft_deletes")
+    val delDir = java.nio.file.Paths.get(rm.path(rel)).resolve("_graft_deletes")
     val leftover =
       if (Files.isDirectory(delDir)) Files.list(delDir).count() else 0L
     assert(leftover == 0L, s"vacuum must reclaim folded delete files ($leftover left)")

@@ -78,7 +78,7 @@ class ObjectStoreSpec extends AnyFunSuite {
   test("full engine flow on the object store: write, pruned merge, time travel, vacuum, truncate") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_s3wh").toString
-    val rm = new RelationManager(spark, root, store = newStore())
+    val rm = new RelationManager(spark, root, newStore())
     val rel = Relation("graft", "s3", "flow")
 
     // staged write publishes through store.moveFile (copy+delete, no rename)

@@ -303,7 +303,7 @@ class RunnerSpec extends AnyFunSuite {
     assert(rm.read(rel).orderBy("ts").select("v").as[Double].collect().toSeq == Seq(1.0))
     // no orphans: batches 3-4 staged concurrently but their files were
     // discarded on the drain path — everything on disk is referenced
-    val onDisk = Files.walk(rm.path(rel)).filter(_.toString.endsWith(".parquet")).count()
+    val onDisk = Files.walk(java.nio.file.Paths.get(rm.path(rel))).filter(_.toString.endsWith(".parquet")).count()
     assert(onDisk == rm.currentState(rel).get.files.size,
       s"staged orphans left on disk: $onDisk files vs ${rm.currentState(rel).get.files.size} referenced")
     // rerun with a fixed builder resumes from the checkpoint and completes

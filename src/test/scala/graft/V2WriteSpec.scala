@@ -295,7 +295,7 @@ class V2WriteSpec extends AnyFunSuite {
     rm.appendTable(Seq((2L, "b")).toDF("id", "v"), rel)      // v2
     val t = s"${rm.catalogName}.main.v2w_ts"
     val log = new graft.relations.CommitLog(new graft.relations.LocalFileStore,
-      rm.path(rel).resolve("_graft_log").toString)
+      graft.relations.WarehouseIO.join(rm.path(rel), "_graft_log"))
     val at1 = log.committedAt(1).get
 
     assert(spark.sql(s"SELECT count(*) FROM $t TIMESTAMP AS OF '$at1'")
