@@ -600,8 +600,15 @@ final class RelationManager(
     // zero-row parts are never published — they vanish with the stage dirs
     staged.foreach(publishStaged(rel, _, except = emptyFiles))
     val files = staged.flatMap(_.files).filterNot(emptyFiles)
+    // the change_feed TABLE property is authoritative like Delta's
+    // enableChangeDataFeed: it covers engine rewrites AND connector DML
+    // with one switch, so a feed consumer can rely on every mixed commit
+    // carrying images regardless of which writer produced it (model
+    // config's change_feed still opts in per-materialization)
+    val doStore = storeChanges ||
+      cur.props.get("change_feed").exists(_.trim.equalsIgnoreCase("true"))
     val changeFiles =
-      if (!storeChanges) Nil
+      if (!doStore) Nil
       else writeChangeFrame(rel, cur, added = files, removed = removedFiles)
     val removed = removedFiles.toSet
     // Write-write conflict detection (same rule as the V2 DML path): this

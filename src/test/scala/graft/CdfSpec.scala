@@ -208,6 +208,106 @@ class CdfSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("change_feed")), e.toString)
   }
 
+  test("merge-on-read DML on a change_feed table stores images: stored == computed, feed diff-free") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "mor_stored")
+    seed(rm, rel, 1000, 3)
+    rm.setTableProperties(rel, Map(
+      "row_level_mode" -> "merge-on-read", "change_feed" -> "true"))
+    val t = s"${rm.catalogName}.cdf.mor_stored"
+    val v0 = rm.currentVersion(rel).get
+
+    spark.sql(s"UPDATE $t SET v = 'u7' WHERE id = 7")      // delta: delete+insert pair
+    val vU = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM $t WHERE id = 13")              // delta: pure delete
+    val vD = rm.currentVersion(rel).get
+    Seq((500L, "m500"), (2000L, "m2000")).toDF("id", "v")
+      .createOrReplaceTempView("cdf_mor_src")
+    spark.sql(s"""MERGE INTO $t g USING cdf_mor_src s ON g.id = s.id
+                  WHEN MATCHED THEN UPDATE SET v = s.v
+                  WHEN NOT MATCHED THEN INSERT *""")        // delta: update + insert
+    val vM = rm.currentVersion(rel).get
+
+    // every delta commit recorded stored change files
+    assert((vU to vM).forall(v => rm.history(rel, 10)
+      .find(_.version == v).exists(_.storedChanges)),
+      rm.history(rel, 10).toString)
+
+    // stored == computed, per interval (the one-diff-formula contract)
+    Seq((v0, vU), (vU, vD), (vD, vM)).foreach { case (a, b) =>
+      val stored = rm.readCommitChanges(rel, a, b).select("id", "v", "_change_type")
+      val computed = rm.readRowChanges(rel, a, b).select("id", "v", "_change_type")
+      assert(stored.exceptAll(computed).isEmpty && computed.exceptAll(stored).isEmpty,
+        s"interval ($a,$b]: stored=${stored.collect().toSeq} computed=${computed.collect().toSeq}")
+    }
+
+    // the connector batch feed serves the whole MoR interval — no loud
+    // failure, exact images
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", vU).load(rm.path(rel))
+    val byCommit = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Int, String, Long)].collect().toSet
+    assert(byCommit == Set((vU, "insert", 1L), (vU, "delete", 1L),
+      (vD, "delete", 1L), (vM, "insert", 2L), (vM, "delete", 1L)), byCommit.toString)
+    assert(feed.filter($"_commit_version" === vD && $"_change_type" === "delete")
+      .select("id").as[Long].head() == 13L)
+
+    // and the STREAMING feed tails the same commits
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", vU).load(rm.path(rel))
+      .writeStream.format("memory").queryName("cdf_mor_sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_mor_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_mor_sink").count() == 6)
+    } finally q.stop()
+  }
+
+  test("copy-on-write SQL DML on a change_feed table stores images (feed no longer fails loudly)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "cow_sql_stored")
+    seed(rm, rel, 100, 2)
+    rm.setTableProperties(rel, Map("change_feed" -> "true"))
+    val t = s"${rm.catalogName}.cdf.cow_sql_stored"
+    val v0 = rm.currentVersion(rel).get
+
+    spark.sql(s"UPDATE $t SET v = 'cow9' WHERE id = 9")     // mixed CoW rewrite
+    val v1 = rm.currentVersion(rel).get
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v1).option("endingVersion", v1)
+      .load(rm.path(rel))
+    val rows = feed.select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(rows == Set((9L, "v9", "delete"), (9L, "cow9", "insert")), rows.toString)
+    // stored == computed here too
+    val stored = rm.readCommitChanges(rel, v0, v1).select("id", "v", "_change_type")
+    val computed = rm.readRowChanges(rel, v0, v1).select("id", "v", "_change_type")
+    assert(stored.exceptAll(computed).isEmpty && computed.exceptAll(stored).isEmpty)
+  }
+
+  test("the change_feed table property covers ENGINE rewrites too (one switch for all writers)") {
+    import spark.implicits._
+    val rm = newRm()
+    val rel = Relation("graft", "cdf", "prop_engine")
+    seed(rm, rel, 100, 2)
+    rm.setTableProperties(rel, Map("change_feed" -> "true"))
+    val v0 = rm.currentVersion(rel).get
+    // an engine merge WITHOUT storeChanges: the table property alone
+    // must store the images (Delta enableChangeDataFeed semantics)
+    Materializations.mergeInto(rm, rel, Seq((5L, "m5")).toDF("id", "v"),
+      Seq("id"), updateColumns = Nil)
+    val v1 = rm.currentVersion(rel).get
+    assert(rm.history(rel, 5).find(_.version == v1).exists(_.storedChanges))
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", v1).load(rm.path(rel))
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(feed == Set((5L, "v5", "delete"), (5L, "m5", "insert")), feed.toString)
+  }
+
   test("randomized concurrent appends/merges/optimize never lose or duplicate rows") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
