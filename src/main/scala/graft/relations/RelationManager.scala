@@ -939,6 +939,25 @@ final class RelationManager(
 }
 
 object RelationManager {
+  /** Engine surface for a BARE table directory (the connector's
+    * path-based tables): split `dir` into (root, schema, identifier) so
+    * the full machinery — optimize, vacuum, readFiles — addresses
+    * exactly `dir`. None when the dir is too shallow to split (e.g.
+    * directly under a filesystem root). */
+  def forTable(spark: SparkSession, dir: String): Option[(RelationManager, Relation)] = {
+    val trimmed = dir.stripSuffix("/")
+    val i = trimmed.lastIndexOf('/')
+    if (i <= 0) return None
+    val j = trimmed.lastIndexOf('/', i - 1)
+    if (j <= 0) return None
+    val root = trimmed.substring(0, j)
+    val schema = trimmed.substring(j + 1, i)
+    val id = trimmed.substring(i + 1)
+    if (root.isEmpty || root.endsWith(":") || root.endsWith(":/") ||
+        schema.isEmpty || id.isEmpty) None
+    else Some((new RelationManager(spark, root), graft.core.Relation("graft", schema, id)))
+  }
+
   /** Column names of the row-level change feed. */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -1,0 +1,90 @@
+package org.apache.spark.sql.graft.source
+
+import org.apache.spark.sql.SparkSession
+import graft.relations.{RelationManager, WarehouseIO}
+
+/** Delete-file auto-compaction (VERDICT r5 #4): merge-on-read tables
+  * accumulate positional delete files with every DML statement; each one
+  * degrades reads (row-mode scans, declined stats/LIMIT pushdowns) until
+  * the deletes fold back into clean files. Requiring an operator to run
+  * `optimize` means an update-heavy table degrades unboundedly between
+  * maintenance windows — so folding piggybacks on the DML commit itself:
+  * after a delta commit lands, if any data file's dead/live-row ratio or
+  * attached-delete-file count crosses its bound, every dirty file folds
+  * in ONE follow-on commit (the same rewrite `optimize` runs, with the
+  * same write-write conflict detection).
+  *
+  * Table properties (checked per commit, so `ALTER TABLE SET` applies
+  * immediately):
+  *  - `delete_compaction`        — "false" disables (default on)
+  *  - `delete_compaction_ratio` — dead/live rows per file that triggers
+  *    a fold (default 0.1; rows come from manifest stats + a
+  *    footer-count of the file's delete entries — tiny files)
+  *  - `delete_compaction_min_rows` — files below this row count never
+  *    trigger the RATIO bound (default 1000): a hot row updated twice
+  *    kills its whole 1-row insert file (ratio 1.0), and folding the
+  *    entire dirty set on every hot-row touch would be pure write
+  *    amplification — tiny dead files cost little to scan past, and the
+  *    attachment-count bound still reclaims them as DML accumulates
+  *  - `delete_compaction_max_delete_files` — per-file attachment count
+  *    that triggers regardless of ratio (default 8): read amplification
+  *    is one open per delete file per scan, so a bound on count is a
+  *    bound on read cost even when each delete is small
+  *
+  * Best-effort by design: a concurrent commit aborts the fold (the
+  * rewrite's conflict check), and the NEXT delta commit re-triggers it.
+  * Analog: Delta's auto-compaction / Iceberg's
+  * RewritePositionDeleteFiles, re-done over graft's log (public docs). */
+object GraftAutoCompact {
+
+  def maybeFold(dir: String): Unit = {
+    val spark = SparkSession.active
+    val log = GraftSourceTable.log(dir)
+    val st = log.currentVersion.map(log.read).getOrElse(return)
+    if (st.deletes.isEmpty) return
+    if (st.props.get("delete_compaction").exists(_.trim.equalsIgnoreCase("false")))
+      return
+    val ratio = st.props.get("delete_compaction_ratio")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).getOrElse(0.1)
+    val maxDel = st.props.get("delete_compaction_max_delete_files")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(8)
+    val minRows = st.props.get("delete_compaction_min_rows")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(1000L)
+
+    val byCount = st.deletes.exists { case (_, dels) => dels.size >= maxDel }
+    val byRatio = !byCount && {
+      // dead rows per file: a footer-metadata count over the delete files
+      // (they hold only touched-row identities — tiny); live rows from
+      // the manifest's per-file stats. Files without stats fall back to
+      // the count bound alone.
+      val rowsOf: Map[String, Long] = st.stats.flatMap { case (f, cs) =>
+        cs.values.headOption.map(f -> _.rows)
+      }
+      val allDel = st.deletes.values.flatten.toSeq.distinct
+      if (allDel.isEmpty) false
+      else {
+        val dead = spark.read
+          .schema(GraftSourceTable.DeleteSchema)
+          .parquet(allDel.map(f => WarehouseIO.join(dir, f)): _*)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        st.deletes.keys.exists { f =>
+          rowsOf.get(f).exists(rows => rows >= minRows &&
+            dead.getOrElse(f, 0L).toDouble / rows >= ratio)
+        }
+      }
+    }
+    if (!byCount && !byRatio) return
+
+    RelationManager.forTable(spark, dir).foreach { case (rm, rel) =>
+      // smallFileBytes = 0: candidates are exactly the delete-carrying
+      // files — a pure fold, no opportunistic bin-packing on the DML path
+      try rm.optimize(rel, smallFileBytes = 0L)
+      catch {
+        // a concurrent commit won the race — the fold is best-effort and
+        // the next delta commit re-evaluates
+        case _: java.util.ConcurrentModificationException => ()
+      }
+    }
+  }
+}

@@ -147,6 +147,9 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
         validateDeletesUnchanged()
         cur ++ dataFiles
       }
+      // post-commit: fold accumulated deletes when they cross the table's
+      // ratio/count bounds — see GraftAutoCompact (best-effort)
+      GraftAutoCompact.maybeFold(dir)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -274,6 +274,68 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 29999)
   }
 
+  test("auto-compaction: crossing the dead/live ratio folds deletes on the DML commit itself") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_autofold")
+    // below every bound: a one-row update keeps its positional deletes
+    spark.sql(s"UPDATE $t SET v = 'one' WHERE id = 1")
+    assert(rm.currentState(rel).get.deletes.nonEmpty,
+      "a 1/10000 update must NOT trigger a fold (ratio 0.1 default)")
+    // a hot row updated again kills its whole 1-row insert file (ratio
+    // 1.0) — the min_rows floor must keep that from thrashing a fold
+    spark.sql(s"UPDATE $t SET v = 'one2' WHERE id = 1")
+    assert(rm.currentState(rel).get.deletes.nonEmpty,
+      "hot-row churn on tiny insert files must not trigger the ratio bound")
+    // one statement kills >10% of the first range file's rows -> the
+    // commit's post-hook folds EVERY dirty file, no operator optimize
+    spark.sql(s"UPDATE $t SET v = 'bulk' WHERE id < 1500")
+    val st = rm.currentState(rel).get
+    assert(st.deletes.isEmpty,
+      s"crossing delete_compaction_ratio must auto-fold: ${st.deletes}")
+    // data intact, updates visible
+    assert(rm.read(rel).count() == 30000)
+    assert(rm.read(rel).filter($"id" === 1L).select("v").as[String].head() == "bulk")
+    assert(rm.read(rel).filter($"id" === 1400L).select("v").as[String].head() == "bulk")
+    assert(rm.read(rel).filter($"id" === 20000L).select("v").as[String].head() == "v20000")
+    // scans are columnar again and stats pushdowns re-enable (clean table)
+    val plan = spark.read.format("graft").load(rm.path(rel))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"auto-fold must restore the vectorized path:\n$plan")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 30000L)
+  }
+
+  test("auto-compaction: the per-file delete-file COUNT bound folds update-heavy sequences") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_autofold_cnt")
+    // tighten the count bound, neutralize the ratio bound - the trigger
+    // under test is accumulation of many small DML statements
+    rm.setTableProperties(rel, Map(
+      "delete_compaction_max_delete_files" -> "3",
+      "delete_compaction_ratio" -> "1000"))
+    spark.sql(s"UPDATE $t SET v = 'u1' WHERE id = 1")
+    spark.sql(s"UPDATE $t SET v = 'u2' WHERE id = 2")
+    assert(rm.currentState(rel).get.deletes.values.flatten.size == 2,
+      "two statements stay under the bound of 3")
+    spark.sql(s"UPDATE $t SET v = 'u3' WHERE id = 3") // third attachment on file 0
+    val st = rm.currentState(rel).get
+    assert(st.deletes.isEmpty, s"third delete file must trigger the fold: ${st.deletes}")
+    assert(rm.read(rel).count() == 30000)
+    assert(rm.read(rel).filter($"id".isin(1L, 2L, 3L)).select("v")
+      .as[String].collect().toSet == Set("u1", "u2", "u3"))
+  }
+
+  test("auto-compaction: delete_compaction=false disables folding entirely") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_autofold_off")
+    rm.setTableProperties(rel, Map("delete_compaction" -> "false"))
+    spark.sql(s"UPDATE $t SET v = 'bulk' WHERE id < 5000") // way past every bound
+    assert(rm.currentState(rel).get.deletes.nonEmpty,
+      "disabled auto-compaction must leave the deletes in place")
+    assert(rm.read(rel).count() == 30000)
+    assert(rm.read(rel).filter($"id" === 10L).select("v").as[String].head() == "bulk")
+  }
+
   test("clean tables keep vectorized scans; dirty tables row-mode; optimize restores") {
     import spark.implicits._
     val (rm, rel, t) = mor("mor_vec")
