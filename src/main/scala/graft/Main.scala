@@ -135,7 +135,8 @@ object Main {
         f"${r.status.toUpperCase}%-8s ${r.uniqueId}%-60s ${r.executionSeconds}%.2fs ${r.message}"))
       runner.writeRunResults(results,
         s"${args.project}/target/run_results.json")
-      Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json")
+      Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json",
+        defaultSchema = loaded.config.schema, projectName = loaded.config.name)
       if (results.exists(r => Set("error", "fail")(r.status))) 1 else 0
     }
 
@@ -177,7 +178,8 @@ object Main {
         // docs generate (reference: cli/main.py:243, task/docs/generate.py):
         // manifest.json + catalog.json + index.html over whatever is
         // materialized; `docs serve` additionally serves target/ over HTTP
-        Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json")
+        Commands.writeManifest(loaded.manifest, s"${args.project}/target/manifest.json",
+        defaultSchema = loaded.config.schema, projectName = loaded.config.name)
         Commands.writeCatalog(rm, loaded.manifest, runner, s"${args.project}/target/catalog.json")
         Commands.writeDocsIndex(loaded.manifest, s"${args.project}/target/index.html")
         out.println(s"wrote ${args.project}/target/{manifest.json,catalog.json,index.html}")
@@ -210,7 +212,8 @@ object Main {
               else if (warnAfter > 0 && ageSec > warnAfter) { worst = worst max 1; "warn" }
               else "pass"
             out.println(f"${status.toUpperCase}%-8s ${src.uniqueId}%-50s loaded_at=$mtime age=${ageSec}%.0fs")
-            src.uniqueId -> status
+            Commands.FreshnessStatus(src.uniqueId, status, mtime, now,
+              ageSec, warnAfter, errorAfter)
           }
         // sources.json artifact → `source_status:` selection next run
         // (reference: freshness writes sources.json, task/freshness.py)

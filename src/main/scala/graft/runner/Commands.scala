@@ -50,25 +50,87 @@ object Commands {
     else targetRm.registerView(rel, stateRm.read(rel))
   }
 
-  /** manifest.json artifact (reference: schema v12
-    * core/dbt/artifacts/schemas/manifest/v12/manifest.py:100-119) — nodes,
-    * configs, and the parent map; enough for state:modified diffing and
-    * external lineage tools. */
-  def writeManifest(manifest: Manifest, path: String): Unit = {
+  /** manifest.json artifact in the REFERENCE's v12 shape (schema
+    * schemas/dbt/manifest/v12.json; core/dbt/artifacts/schemas/manifest/
+    * v12/manifest.py:100-119): every top-level key the schema requires is
+    * present, executable nodes carry the full v12-required field set
+    * (database/schema/path/fqn/alias/checksum-object/config/depends_on),
+    * and sources serve the SourceDefinition required set — so
+    * state:modified diffing AND external dbt-ecosystem tooling can load
+    * it. Documented divergences (ArtifactSchemaSpec asserts this exact
+    * list): the semantic-layer maps (metrics / saved_queries /
+    * semantic_models / unit_tests) carry graft's own minimal entries, and
+    * macros/docs/exposures/groups are empty (collapsed machinery). */
+  def writeManifest(manifest: Manifest, path: String,
+                    defaultSchema: String = "main",
+                    projectName: String = "graft"): Unit = {
     def q(s: String) = Json.quote(s)
-    val nodes = manifest.nodes.toSeq.sortBy(_._1).map { case (id, n) =>
-      s"""${q(id)}: {"name":${q(n.name)},"resource_type":${q(n.nodeType.name)},""" +
-        s""""package_name":${q(n.packageName)},"checksum":${q(n.checksum)},""" +
-        s""""materialized":${q(n.config.materialized)},"tags":[${n.config.tags.toSeq.sorted.map(q).mkString(",")}],""" +
-        s""""depends_on":[${n.dependsOn.map(q).mkString(",")}]}"""
+    def sarr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
+    def fqnOf(n: graft.core.Node): Seq[String] =
+      if (n.fqn.nonEmpty) n.fqn else Seq(n.packageName, n.name)
+    def common(n: graft.core.Node): String = {
+      val schema = n.config.schema.getOrElse(defaultSchema)
+      val db = n.config.database.getOrElse("graft")
+      val path = n.path.getOrElse(s"${n.name}.sql")
+      s""""database":${q(db)},"schema":${q(schema)},"name":${q(n.name)},""" +
+        s""""resource_type":${q(n.nodeType.name)},"package_name":${q(n.packageName)},""" +
+        s""""path":${q(path)},"original_file_path":${q(path)},""" +
+        s""""unique_id":${q(n.uniqueId)},"fqn":${sarr(fqnOf(n))}"""
     }
+    def execCommon(n: graft.core.Node): String =
+      common(n) + s""","alias":${q(n.config.alias.getOrElse(n.name))},""" +
+        s""""checksum":{"name":"md5","checksum":${q(n.checksum)}}"""
+    val byKind = manifest.nodes.values.toSeq.groupBy(_.nodeType)
+    def kinds(ts: graft.core.NodeType*): Seq[graft.core.Node] =
+      ts.flatMap(byKind.getOrElse(_, Nil)).sortBy(_.uniqueId)
+    import graft.core.NodeType._
+    val execNodes = kinds(Model, Seed, Snapshot, Test, Analysis, Operation, SqlOperation)
+      .map { n =>
+        val cfg =
+          s"""{"enabled":${n.config.enabled},"materialized":${q(n.config.materialized)},""" +
+            s""""tags":${sarr(n.config.tags.toSeq.sorted)},""" +
+            s""""meta":{${n.config.meta.toSeq.sorted.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")}}}"""
+        // v12 Seed.depends_on is macro-only (seeds cannot ref) — the
+        // node-bearing DependsOn shape fails its anyOf branch
+        val deps =
+          if (n.nodeType == graft.core.NodeType.Seed) s"""{"macros":[]}"""
+          else s"""{"macros":[],"nodes":${sarr(n.dependsOn)}}"""
+        s"""${q(n.uniqueId)}: {${execCommon(n)},"config":$cfg,""" +
+          s""""tags":${sarr(n.config.tags.toSeq.sorted)},""" +
+          s""""depends_on":$deps}"""
+      }
+    val sources = kinds(Source).map { n =>
+      val srcName = n.sources.headOption.map(_._1).getOrElse(n.packageName)
+      s"""${q(n.uniqueId)}: {${common(n)},"source_name":${q(srcName)},""" +
+        s""""source_description":"","loader":"","identifier":${q(n.name)}}"""
+    }
+    // graft-shaped semantic-layer entries (documented divergence)
+    def minimal(ts: graft.core.NodeType*): String = kinds(ts: _*).map(n =>
+      s"""${q(n.uniqueId)}: {"name":${q(n.name)},"package_name":${q(n.packageName)},""" +
+        s""""unique_id":${q(n.uniqueId)},"resource_type":${q(n.nodeType.name)}}""").mkString(",")
     val parentMap = manifest.parentMap.toSeq.sortBy(_._1).map { case (id, ps) =>
-      s"${q(id)}: [${ps.map(q).mkString(",")}]"
+      s"${q(id)}: ${sarr(ps)}"
     }
+    val childMap = manifest.childMap.toSeq.sortBy(_._1).map { case (id, cs) =>
+      s"${q(id)}: ${sarr(cs)}"
+    }
+    val meta =
+      s"""{"dbt_schema_version":"https://schemas.getdbt.com/dbt/manifest/v12.json",""" +
+        s""""generated_at":${q(java.time.Instant.now().toString)},""" +
+        s""""project_name":${q(projectName)},"adapter_type":"graft-spark"}"""
     val json =
-      s"""{"metadata":{"dbt_schema_version":"graft-manifest-v1","generated_at":${q(java.time.Instant.now().toString)}},
-         |"nodes":{${nodes.mkString(",")}},
-         |"parent_map":{${parentMap.mkString(",")}}}""".stripMargin
+      s"""{"metadata":$meta,
+         |"nodes":{${execNodes.mkString(",")}},
+         |"sources":{${sources.mkString(",")}},
+         |"macros":{},"docs":{},"exposures":{${minimal(Exposure)}},
+         |"metrics":{${minimal(Metric)}},
+         |"groups":{},"selectors":{},"disabled":{},
+         |"parent_map":{${parentMap.mkString(",")}},
+         |"child_map":{${childMap.mkString(",")}},
+         |"group_map":{},
+         |"saved_queries":{${minimal(SavedQuery)}},
+         |"semantic_models":{${minimal(SemanticModel)}},
+         |"unit_tests":{${minimal(Unit)}}}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
@@ -85,13 +147,25 @@ object Commands {
         else {
           val df = rm.read(rel)
           val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
-            s"${q(f.name)}: {\"type\":${q(f.dataType.simpleString)},\"index\":$i}"
+            s"""${q(f.name)}: {"type":${q(f.dataType.simpleString)},"index":$i,"name":${q(f.name)},"comment":null}"""
           }
-          Some(s"""${q(n.uniqueId)}: {"metadata":{"name":${q(rel.identifier)},"schema":${q(rel.schema)}},""" +
-            s""""columns":{${cols.mkString(",")}},"stats":{"row_count":${df.count()}}}""")
+          // stats in the reference's StatsItem shape (catalog v1)
+          val stats =
+            s""""row_count": {"id":"row_count","label":"Row Count",""" +
+              s""""value":${df.count()},"include":true,"description":null},""" +
+              s""""has_stats": {"id":"has_stats","label":"Has Stats?",""" +
+              s""""value":true,"include":false,"description":null}"""
+          Some(s"""${q(n.uniqueId)}: {"metadata":{"type":"table","name":${q(rel.identifier)},""" +
+            s""""schema":${q(rel.schema)},"database":"graft","comment":null,"owner":null},""" +
+            s""""columns":{${cols.mkString(",")}},"stats":{$stats}}""")
         }
       }
-    val json = s"""{"metadata":{"dbt_schema_version":"graft-catalog-v1"},"nodes":{${entries.mkString(",")}}}"""
+    // reference catalog v1 shape (schemas/dbt/catalog/v1.json): metadata +
+    // nodes + sources are all required top-level keys
+    val json =
+      s"""{"metadata":{"dbt_schema_version":"https://schemas.getdbt.com/dbt/catalog/v1.json",""" +
+        s""""generated_at":${q(java.time.Instant.now().toString)}},""" +
+        s""""nodes":{${entries.mkString(",")}},"sources":{},"errors":null}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
@@ -161,9 +235,18 @@ object Commands {
     val doc = Json.obj(Json.parse(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
     Json.obj(doc("nodes")).map { case (id, n) =>
-      id -> Json.str(Json.obj(n)("checksum"))
+      id -> checksumOf(Json.obj(n))
     }
   }
+
+  /** v12 writes checksum as a FileHash object; pre-v12 graft artifacts
+    * carried a bare string — read both so --state against an old target
+    * dir keeps working. */
+  private def checksumOf(node: Map[String, Any]): String =
+    node("checksum") match {
+      case s: String => s
+      case o         => Json.str(Json.obj(o)("checksum"))
+    }
 
   /** Reconstruct a previous manifest as stub nodes (id + checksum) — the
     * shape `state:` selection compares against (`--state` / `--defer`). */
@@ -175,19 +258,41 @@ object Commands {
       val typeName = Json.str(n("resource_type"))
       val nodeType = NodeType.all.find(_.name == typeName).getOrElse(NodeType.Model)
       id -> Node(nodeType, Json.str(n("package_name")), Json.str(n("name")),
-        checksum = Json.str(n("checksum")))
+        checksum = checksumOf(n))
     })
   }
 
-  /** sources.json: per-source freshness statuses, same results shape as
-    * run_results so one loader serves both (reference: freshness artifact,
-    * core/dbt/task/freshness.py). */
-  def writeSourcesJson(statuses: Seq[(String, String)], path: String): Unit = {
+  /** One source's freshness verdict, carrying what the v3 artifact needs. */
+  final case class FreshnessStatus(uniqueId: String, status: String,
+                                   maxLoadedAt: java.time.Instant,
+                                   snapshottedAt: java.time.Instant,
+                                   ageSeconds: Double,
+                                   warnAfterSec: Long, errorAfterSec: Long)
+
+  /** sources.json in the REFERENCE's v3 shape (schemas/dbt/sources/
+    * v3.json, core/dbt/task/freshness.py): SourceFreshnessOutput rows
+    * with loaded-at/snapshotted-at instants, age, and the thresholds as
+    * FreshnessThreshold criteria. `source_status:` selection and retry
+    * keep reading unique_id/status. */
+  def writeSourcesJson(statuses: Seq[FreshnessStatus], path: String): Unit = {
     def q(s: String) = Json.quote(s)
-    val rows = statuses.map { case (id, st) =>
-      s"""{"unique_id":${q(id)},"status":${q(st)}}""" }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      s"""{"results":[${rows.mkString(",")}]}""")
+    def time(sec: Long): String =
+      if (sec <= 0) "null"
+      else if (sec % 86400 == 0) s"""{"count":${sec / 86400},"period":"day"}"""
+      else if (sec % 3600 == 0) s"""{"count":${sec / 3600},"period":"hour"}"""
+      else s"""{"count":${math.max(1, sec / 60)},"period":"minute"}"""
+    val rows = statuses.map { st =>
+      s"""{"unique_id":${q(st.uniqueId)},"max_loaded_at":${q(st.maxLoadedAt.toString)},""" +
+        s""""snapshotted_at":${q(st.snapshottedAt.toString)},""" +
+        s""""max_loaded_at_time_ago_in_s":${st.ageSeconds},"status":${q(st.status)},""" +
+        s""""criteria":{"warn_after":${time(st.warnAfterSec)},"error_after":${time(st.errorAfterSec)},"filter":null},""" +
+        s""""adapter_response":{},"timing":[],"thread_id":"main","execution_time":0.0}"""
+    }
+    val json =
+      s"""{"metadata":{"dbt_schema_version":"https://schemas.getdbt.com/dbt/sources/v3.json",""" +
+        s""""generated_at":${q(java.time.Instant.now().toString)}},""" +
+        s""""results":[${rows.mkString(",")}],"elapsed_time":0.0}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
   /** Load a previous run's statuses for retry / `result:` selection

@@ -714,17 +714,26 @@ final class Runner(
     results.values().asScala.toSeq.sortBy(_.uniqueId)
   }
 
-  /** Write run_results.json (reference:
-    * core/dbt/artifacts/schemas/run/ run_results.json). */
+  /** Write run_results.json in the REFERENCE's v6 shape (schema
+    * schemas/dbt/run-results/v6.json, core/dbt/artifacts/schemas/run/):
+    * metadata + per-result timing/thread/adapter_response and the
+    * nullable compiled/relation fields the schema requires — loadable by
+    * external dbt tooling; retry keeps reading unique_id/status. */
   def writeRunResults(results: Seq[RunResult], path: String): Unit = {
     def q(s: String) = Json.quote(s)
     val rows = results.map { r =>
       s"""{"unique_id":${q(r.uniqueId)},"status":${q(r.status)},""" +
-        s""""execution_time":${r.executionSeconds},"message":${q(r.message)}}"""
+        s""""timing":[{"name":"execute","started_at":${q(r.startedAt.toString)},""" +
+        s""""completed_at":${q(r.completedAt.toString)}}],""" +
+        s""""thread_id":"main","execution_time":${r.executionSeconds},""" +
+        s""""adapter_response":{},"message":${q(r.message)},"failures":null,""" +
+        s""""compiled":null,"compiled_code":null,"relation_name":null}"""
     }
-    val json = s"""{"results":[${rows.mkString(",")}],""" +
-      s""""elapsed_time":${results.map(_.executionSeconds).sum},""" +
-      s""""generated_at":${q(Instant.now().toString)}}"""
+    val json =
+      s"""{"metadata":{"dbt_schema_version":"https://schemas.getdbt.com/dbt/run-results/v6.json",""" +
+        s""""generated_at":${q(Instant.now().toString)}},""" +
+        s""""results":[${rows.mkString(",")}],""" +
+        s""""elapsed_time":${results.map(_.executionSeconds).sum},"args":{}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }
