@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale datapoints for the LLM-pipeline operators (VERDICT r5
+  * #6): every 100 TB claim previously rested on plan-shape assertions at
+  * a 5k-document corpus. This main generates DETERMINISTIC synthetic
+  * corpora at two sizes (default 5k and 50k docs — 10×) from the same
+  * generator, runs the candidate-generation-heavy operators on both, and
+  * prints wall-times + the scan/shuffle volumes, so SCALE.md can record
+  * whether runtime grows ~linearly (bucketed equi-joins) or
+  * super-linearly (a quadratic blowup the plan asserts can't see).
+  *
+  *   sbt "runMain graft.ScaleProbe"            # 5000 and 50000 docs
+  *   sbt "runMain graft.ScaleProbe 5000 100000"
+  *
+  * Generator shape mirrors the driver's documents table (doc_id, text,
+  * lang, source, n_chars): ~60% unique docs, ~25% near-duplicates (a
+  * mutated copy of an earlier doc), ~15% exact duplicates — a realistic
+  * dedup workload where candidate counts grow linearly with corpus size.
+  * Deterministic: content derives from the doc id via xxhash, no RNG
+  * state (same policy as ops/Sampling). */
+object ScaleProbe {
+
+  /** Deterministic pseudo-words: hash-derived token stream per doc. */
+  def corpus(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val words = 120 // tokens per doc
+    spark.range(n.toLong).toDF("doc_id")
+      .withColumn("kind", pmod(xxhash64(col("doc_id"), lit("kind")), lit(100)))
+      // exact dup: copy of doc_id/7*7's body; near dup: base body + a
+      // per-doc mutation suffix on ~5% of tokens; unique: own body
+      .withColumn("base_id",
+        when(col("kind") < 15, (col("doc_id") / 7).cast("long") * 7)
+          .when(col("kind") < 40, (col("doc_id") / 5).cast("long") * 5)
+          .otherwise(col("doc_id")))
+      .withColumn("toks", transform(sequence(lit(0), lit(words - 1)), i =>
+        concat(lit("w"),
+          pmod(xxhash64(col("base_id"), i), lit(5000)),
+          // near-dups mutate every 20th token with doc-specific salt
+          when(col("kind").between(15, 39) && i % 20 === 0,
+            concat(lit("_m"), pmod(xxhash64(col("doc_id"), i), lit(97))))
+            .otherwise(lit("")))))
+      .withColumn("text", concat_ws(" ", col("toks")))
+      .select(col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("synthetic").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  private def timed(name: String, runs: scala.collection.mutable.Buffer[(String, Double)])
+                   (body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    runs += (name -> sec)
+    println(f"[probe] $name%-28s $sec%8.2f s   ($rows rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 50000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.Map.empty[Int, Seq[(String, Double)]]
+    sizes.foreach { n =>
+      println(s"== corpus n=$n ==")
+      val docs = corpus(spark, n).cache()
+      docs.count() // materialize outside the timings
+      val runs = scala.collection.mutable.Buffer.empty[(String, Double)]
+      timed("minhash_lsh_pairs", runs)(
+        ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text").count())
+      timed("simhash_pairs", runs)(
+        ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
+      timed("ngram_jaccard_pairs", runs)(
+        ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+      timed("dedup_clusters", runs) {
+        val edges = ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text")
+        ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
+      }
+      timed("sequence_packing", runs) {
+        val withTokens = docs.withColumn("n_tokens",
+          (size(split(col("text"), " "))).cast("long"))
+        ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()
+      }
+      docs.unpersist()
+      results(n) = runs.toSeq
+    }
+
+    // ratio table: wall-time growth vs corpus growth (1.0 = perfectly linear)
+    if (sizes.size >= 2) {
+      val lo = sizes.min; val hi = sizes.max
+      val factor = hi.toDouble / lo
+      println(f"== growth ($lo -> $hi docs, ${factor}%.0fx) ==")
+      results(lo).zip(results(hi)).foreach { case ((name, a), (_, b)) =>
+        println(f"[probe] $name%-28s ${b / a}%6.2fx wall for ${factor}%.0fx data " +
+          f"(per-doc ratio ${(b / a) / factor}%4.2f)")
+      }
+    }
+    spark.stop()
+  }
+}

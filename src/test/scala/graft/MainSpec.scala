@@ -704,6 +704,7 @@ class ExposureDocsSpec extends AnyFunSuite {
       new java.io.PrintWriter(sw, true)) == 0)
     // artifacts must be valid JSON (exercised via the strict escaper)
     val cat = Files.readString(dir.resolve("target/catalog.json"))
-    assert(cat.contains("\"model.expo.m1\"") && cat.contains("\"row_count\":1"))
+    assert(cat.contains("\"model.expo.m1\"") &&
+      cat.contains("\"id\":\"row_count\",\"label\":\"Row Count\",\"value\":1"))
   }
 }

@@ -194,6 +194,30 @@ class UriWarehouseSpec extends AnyFunSuite {
     assert(rm.currentVersion(Relation("graft", "main", "revenue")).exists(_ >= 1))
   }
 
+  test("exactly-once streaming sink writes epochs onto a URI root") {
+    import spark.implicits._
+    val root = newRoot("stream")
+    val rm = new RelationManager(spark, root)
+    val rel = Relation("graft", "main", "stream_uri")
+    rm.writeTable(Seq((0L, "seed")).toDF("id", "v"), rel)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_uri_ckpt").toString)
+      .start(rm.path(rel))
+    try {
+      src.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      src.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(rm.read(rel).count() == 4)
+      // the epoch watermark rode the manifest commit (exactly-once gate)
+      assert(rm.currentState(rel).get.txn.keys.exists(_.startsWith("graft-v2-stream:")))
+    } finally q.stop()
+  }
+
   test("row-level change feed and SCD-2 engine rewrite on a URI root") {
     import spark.implicits._
     val root = newRoot("cdc")
