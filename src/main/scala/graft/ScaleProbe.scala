@@ -74,14 +74,19 @@ object ScaleProbe {
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside the timings
       val runs = scala.collection.mutable.Buffer.empty[(String, Double)]
+      // band cap ON (the 100 TB configuration): without it the hottest
+      // band bucket at 150k docs holds 20% of the corpus and the self-
+      // join implies 1.3e9 rows (BandDiag; SCALE.md round-6 note)
       timed("minhash_lsh_pairs", runs)(
-        ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text").count())
+        ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text",
+          maxBandFrequency = Some(2000)).count())
       timed("simhash_pairs", runs)(
         ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
       timed("ngram_jaccard_pairs", runs)(
         ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
       timed("dedup_clusters", runs) {
-        val edges = ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text")
+        val edges = ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text",
+          maxBandFrequency = Some(2000))
         ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
       }
       timed("sequence_packing", runs) {

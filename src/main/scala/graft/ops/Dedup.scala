@@ -95,16 +95,30 @@ object Dedup {
   def minhashLshPairsPreset(df: DataFrame, idCol: String, textCol: String,
                             preset: (Int, Int) = PresetK32,
                             shingleLen: Int = 5,
-                            threshold: Double = 0.5): DataFrame =
-    minhashLshPairs(df, idCol, textCol, shingleLen, preset._1, preset._2, threshold)
+                            threshold: Double = 0.5,
+                            maxBandFrequency: Option[Int] = None): DataFrame =
+    minhashLshPairs(df, idCol, textCol, shingleLen, preset._1, preset._2,
+      threshold, maxBandFrequency)
 
   /** MinHash+LSH near-dup pairs: signature → band-bucket self-join →
     * estimated Jaccard = fraction of agreeing positions. The band join is
-    * the only data-sized shuffle; signatures join back by doc id (small). */
+    * the only data-sized shuffle; signatures join back by doc id (small).
+    *
+    * `maxBandFrequency` caps HOT band buckets, the LSH twin of n-gram
+    * Jaccard's `maxDocFrequency`: when one shingle is globally common,
+    * it wins the per-doc minimum for a large doc fraction, those docs
+    * collide into one band bucket, and the self-join goes quadratic —
+    * measured on a 150k-doc synthetic corpus, the hottest bucket held
+    * 20% of the corpus and implied 1.3e9 join rows (SCALE.md round-6
+    * note). Buckets above the cap are dropped from candidate
+    * generation BEFORE the join; genuine near-dups agree on several
+    * bands and survive the loss of a saturated one. None (default) is
+    * the exact mode the oracle verifies. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBandFrequency: Option[Int] = None): DataFrame = {
     // sigs is read 3× (band explode + two joins back) — cache it, then
     // eagerly materialize the (small, threshold-filtered) pair output via
     // localCheckpoint so the signature cache can be RELEASED before
@@ -113,8 +127,19 @@ object Dedup {
     // (r1/r2 leak: persist was never released in a long-lived session).
     val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
     try {
-      val banded = sigs.select(col("doc"),
+      val banded0 = sigs.select(col("doc"),
         explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+      val banded = maxBandFrequency match {
+        case None => banded0
+        case Some(cap) =>
+          // the hot-bucket list is tiny (p99.9 bucket size is ~35 on the
+          // measured corpus) — broadcast anti-join, no extra shuffle of
+          // the banded rows
+          val hot = banded0.groupBy("band")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+            .select("band")
+          banded0.join(broadcast(hot), Seq("band"), "left_anti")
+      }
       val cand = banded.select(col("band"), col("doc").as("doc_a"))
         .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
         .filter(col("doc_a") < col("doc_b"))
@@ -122,8 +147,14 @@ object Dedup {
       cand
         .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        // codegen'd agreement count, NOT size(filter(zip_with(...))):
+        // higher-order lambdas are interpreted, and this predicate sits
+        // inside the candidate join — at 150k docs the interpreted form
+        // was every worker's hot frame (ScaleProbe jstack). Semantics
+        // identical: equal positions over the k-length signatures.
         .withColumn("est_jaccard",
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          org.apache.spark.sql.graft.VectorExpressions
+            .signatureAgreement(col("sig_a"), col("sig_b"))
             .cast(DoubleType) / k)
         .filter(col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")

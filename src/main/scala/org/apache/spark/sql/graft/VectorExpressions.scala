@@ -99,6 +99,58 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `signature_agreement(a, b)` — positions where two fixed-length hash
+  * signatures agree (array<long>), the MinHash similarity estimator's
+  * numerator. Replaces `size(filter(zip_with(a, b, _ === _), x => x))`
+  * on the LSH verify path: higher-order lambdas are INTERPRETED and the
+  * composed form lands inside the candidate join's predicate — the
+  * ScaleProbe thread dumps showed every worker in ArrayFilter.eval at
+  * 150k docs. One codegen'd loop, no intermediate arrays; identical
+  * semantics (equal positions over the common prefix; both inputs are
+  * length-k here, and a null element — impossible for minhash output —
+  * counts as disagreement, exactly like the null-dropping filter). */
+case class SignatureAgreement(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "signature_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val agree = ctx.freshName("agree")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $agree = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $agree++;
+         |}
+         |${ev.value} = $agree;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry points. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -107,6 +159,10 @@ object VectorExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signatureAgreement(a: Column, b: Column): Column =
+    ExpressionUtils.column(SignatureAgreement(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */

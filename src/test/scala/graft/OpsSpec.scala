@@ -8,6 +8,36 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("minhash LSH band cap drops saturated buckets but keeps multi-band near-dups") {
+    import spark.implicits._
+    // 80 docs share a LONG common prefix (its shingles dominate every
+    // doc's minimum -> one saturated band bucket), each with a unique
+    // tail; plus one planted near-dup pair with fully distinct text
+    val prefix = (0 until 100).map(i => s"common$i").mkString(" ")
+    val crowd = (0 until 80).map(i => (i.toLong, s"$prefix tail$i" + ("x" * 30)))
+    val nearA = (900L, "zebra quartz jolt vexing mamba kudzu plinth oryx glyph njord" * 4)
+    val nearB = (901L, "zebra quartz jolt vexing mamba kudzu plinth oryx glyph njorD" * 4)
+    val docs = (crowd :+ nearA :+ nearB).toDF("id", "text")
+    val uncapped = graft.ops.Dedup.minhashLshPairs(docs, "id", "text",
+      shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+    val capped = graft.ops.Dedup.minhashLshPairs(docs, "id", "text",
+      shingleLen = 5, k = 32, bands = 8, threshold = 0.5,
+      maxBandFrequency = Some(20))
+    val un = uncapped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cp = capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the crowd saturates its shared buckets -> the cap prunes them
+    assert(un.count { case (a, b) => a < 80 && b < 80 } > 100,
+      s"the crowd must collide heavily uncapped: ${un.size}")
+    assert(cp.count { case (a, b) => a < 80 && b < 80 } <
+      un.count { case (a, b) => a < 80 && b < 80 },
+      "the cap must prune saturated-bucket candidates")
+    // the planted near-dup pair agrees on many unsaturated bands -> kept
+    assert(cp.contains((900L, 901L)),
+      s"near-dup pair must survive the cap: $cp")
+    // and capping only ever REMOVES pairs (it cannot invent candidates)
+    assert(cp.subsetOf(un))
+  }
+
   test("exact dedup keeps every group's min id as survivor") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
