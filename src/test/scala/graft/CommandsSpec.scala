@@ -118,7 +118,7 @@ class MetaFunctionsSpec extends AnyFunSuite {
     Commands.writeCatalog(rm, manifest, runner, path)
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     assert(txt.contains("\"model.pkg.t1\""))
-    assert(txt.contains("\"row_count\":1"))
+    assert(txt.contains("\"id\":\"row_count\",\"label\":\"Row Count\",\"value\":1"))
     assert(txt.contains("\"id\""))
   }
 }
