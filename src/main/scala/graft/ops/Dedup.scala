@@ -266,19 +266,37 @@ object Dedup {
 
   /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on 4×8-bit
     * blocks (pigeonhole guarantees recall for distance ≤ 3; the hamming
-    * filter is exact on the candidates). */
+    * filter is exact on the candidates).
+    *
+    * `maxBlockFrequency` caps HOT block buckets (same family as the
+    * minhash band cap and the n-gram df-cap): a corpus with many
+    * near-identical or near-empty documents — every token-less doc folds
+    * to signature 0 — drives one block bucket quadratic. Buckets above
+    * the cap leave candidate generation before the join; a true pair
+    * inside a saturated bucket survives through its three OTHER blocks
+    * unless those saturate too. None (default) is the exact
+    * oracle-verified mode. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6,
+                   maxBlockFrequency: Option[Int] = None): DataFrame = {
     // the signature is a single long — cheap enough to carry through the
     // block join, saving two join stages vs a dedup-then-rejoin plan.
     // Block key = blockIdx*256 + byte, a LONG: equality is what blocks,
     // so the numeric key yields the exact candidate set of the oracle's
     // string key at an 8-byte shuffle width.
-    val blocked = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
+    val blocked0 = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         b.cast(LongType) * 256L +
           call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L))))
         .as("block"))
+    val blocked = maxBlockFrequency match {
+      case None => blocked0
+      case Some(cap) =>
+        val hot = blocked0.groupBy("block")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("block")
+        blocked0.join(broadcast(hot), Seq("block"), "left_anti")
+    }
     blocked.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
       .join(blocked.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("block"))
       .filter(col("doc_a") < col("doc_b"))

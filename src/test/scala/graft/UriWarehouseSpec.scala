@@ -218,6 +218,78 @@ class UriWarehouseSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-writer chaos on the URI root: appends, merges, SQL DML and optimize never corrupt") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = newRoot("chaos")
+    val rm = new RelationManager(spark, root)
+    val rel = Relation("graft", "s3", "chaos")
+    rm.writeTable((0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(5, $"id"), rel, statsCols = Seq("id"))
+    val t = s"${rm.catalogName}.`s3`.`chaos`"
+
+    def retrying(op: () => Unit): Unit = {
+      var attempts = 0
+      while (attempts < 8) {
+        try { op(); return }
+        catch {
+          case _: java.util.ConcurrentModificationException => attempts += 1
+          // SQL DML surfaces its conflict through Spark's command exec
+          case e: Exception if Option(e.getMessage)
+            .exists(m => m.contains("concurrent") || m.contains("retry")) =>
+            attempts += 1
+        }
+      }
+    }
+
+    // dedicated pool: the global EC starves blocking Spark actions when
+    // the suite runs in parallel (same pattern as ObjectStoreSpec)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rnd = new scala.util.Random(29)
+    val plans: Seq[(Int, Seq[Int])] = (0 until 4).map(w =>
+      w -> Seq.fill(4)(rnd.nextInt(4)))
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      val work = plans.map { case (w, ops) =>
+        Future {
+          ops.zipWithIndex.foreach { case (op, i) =>
+            op match {
+              case 0 => // engine append of worker-unique ids
+                val base = 10000L + w * 1000L + i * 100L
+                rm.appendTable((base until base + 10L).map(id => (id, s"w$w"))
+                  .toDF("id", "v"), rel)
+                appended.addAndGet(10L)
+              case 1 => // engine merge-update of a seed key
+                val k = rnd.nextInt(500).toLong
+                retrying(() => Materializations.mergeInto(rm, rel,
+                  Seq((k, s"upd-$w-$i")).toDF("id", "v"), Seq("id"),
+                  updateColumns = Nil))
+              case 2 => // SQL copy-on-write UPDATE through the catalog
+                val k = rnd.nextInt(500)
+                retrying(() =>
+                  spark.sql(s"UPDATE $t SET v = 'sql-$w-$i' WHERE id = $k"))
+              case 3 => // compaction racing everything
+                retrying(() => rm.optimize(rel))
+            }
+            assert(rm.read(rel).count() >= 500L)
+          }
+        }
+      }
+      Await.result(Future.sequence(work), 300.seconds)
+    } finally pool.shutdown()
+
+    val expected = 500L + appended.get()
+    val out = rm.read(rel)
+    assert(out.count() == expected, s"no lost/resurrected rows on the object store")
+    assert(out.select("id").distinct().count() == expected, "no duplicate keys")
+    // history reconstructs over the conditional-PUT log
+    val lg = rm.currentVersion(rel).get
+    (math.max(1, lg - 5) to lg).foreach(v => rm.readAt(rel, v).count())
+  }
+
   test("row-level change feed and SCD-2 engine rewrite on a URI root") {
     import spark.implicits._
     val root = newRoot("cdc")
