@@ -300,10 +300,64 @@ object MatQueries {
       s.sql(s"DELETE FROM $t WHERE o_orderkey % 100 = 7")
       s.sql(s"UPDATE $t SET o_orderpriority = 'MOR2' WHERE o_orderkey % 200 = 0")
       s.sql(s"SELECT o_orderkey, o_totalprice, o_orderpriority FROM $t ORDER BY o_orderkey")
+    }),
+
+    // round-6: stored change images under merge-on-read — the connector
+    // feed over a MoR DML interval, diff-free (images written at commit
+    // time; GraftChangeImages). Commit numbers are normalized to a dense
+    // sequence so the oracle does not depend on setup-commit count.
+    "q_mor_change_feed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rm = scratch(s)
+      val rel = Relation("graft", "main", "orders_mor_cdf")
+      rm.writeTable(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(8, col("o_orderkey")),
+        rel, statsCols = Seq("o_orderkey"))
+      rm.setTableProperties(rel, Map(
+        "row_level_mode" -> "merge-on-read", "change_feed" -> "true",
+        // determinism at any scale factor: no auto-fold commits mid-feed
+        "delete_compaction" -> "false"))
+      val v0 = rm.currentVersion(rel).get
+      val t = s"${rm.catalogName}.main.orders_mor_cdf"
+      s.sql(s"UPDATE $t SET o_orderpriority = 'MOR' WHERE o_orderkey % 100 = 0")
+      s.sql(s"DELETE FROM $t WHERE o_orderkey % 100 = 7")
+      s.sql(s"UPDATE $t SET o_orderpriority = 'MOR2' WHERE o_orderkey % 200 = 0")
+      val feed = s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", (v0 + 1).toString)
+        .load(rm.path(rel))
+      feed.withColumn("commit_seq",
+          dense_rank().over(Window.orderBy(col("_commit_version"))).cast("int"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+          col("_change_type").as("change_type"), col("commit_seq"))
+        .orderBy(col("commit_seq"), col("change_type"), col("o_orderkey"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mor_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |         'delete' AS change_type, 1 AS commit_seq
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'MOR', 'insert', 1
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, 'delete', 2
+        |  FROM base WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'MOR', 'delete', 3
+        |  FROM base WHERE o_orderkey % 200 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'MOR2', 'insert', 3
+        |  FROM base WHERE o_orderkey % 200 = 0
+        |) ORDER BY commit_seq, change_type, o_orderkey""".stripMargin,
+
     "q_mat_pipeline" ->
       """SELECT l_orderkey, COUNT(*) AS n_big_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross
