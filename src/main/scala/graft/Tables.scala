@@ -30,24 +30,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy long mode) and convert to a
-    * microsecond timestamp — same truncation DuckDB applies when casting
-    * timestamp_ns → timestamp. */
+  /** events.ts has drifted across fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark only reads as a raw BIGINT of nanos
+    * under `nanosAsLong`), then TIMESTAMP(MICROS) with and without the
+    * UTC-adjusted flag. A source loader must not hard-code one physical
+    * encoding — dbt's seed/source layer re-infers column types on every
+    * load (reference: core/dbt/context/providers.py:1082-1107). Branch
+    * on the dtype Spark actually read and normalize to a session-UTC
+    * TIMESTAMP, which matches DuckDB's naive-timestamp oracle view. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    // integer DIV, not `/`: long/long in Spark SQL is DOUBLE division, and a
-    // ~1.7e18 nanosecond value exceeds double's 53-bit mantissa → off-by-1µs
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos epoch as BIGINT. Integer DIV, not `/`: long/long in Spark SQL
+        // is DOUBLE division, and a ~1.7e18 nanosecond value exceeds double's
+        // 53-bit mantissa → off-by-1µs
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // wall-clock micros; session timezone is UTC, so this cast is lossless
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other (expected BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views so `spark.sql` models can use
-    * bare table names (mirrors the driver's DuckDB oracle setup). */
+    * bare table names (mirrors the driver's DuckDB oracle setup).
+    * `events` goes through the dtype-normalizing loader above so the
+    * SQL surface sees the same TIMESTAMP column as the DataFrame API. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
