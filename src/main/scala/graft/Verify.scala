@@ -16,11 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failure policy ("no silent caps"): keep sweeping past a dead query
+    // so one casualty doesn't hide the rest, but record every failure in
+    // errors.json (name → message) inside the artifact dir and exit
+    // nonzero at the end — a partial sweep must be machine-detectable
+    // from the artifact alone, not only from a stderr line.
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("\\s+", " ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        errs.put(name, msg)
       }
       // drop per-query persisted frames (dedup signatures etc.) so cached
       // blocks don't accumulate across the 50+ query sweep
@@ -41,6 +50,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (errs.nonEmpty) {
+      System.err.println(
+        s"[verify] PARTIAL SWEEP: ${errs.size} of ${SparkEntry.queries.size} queries failed: ${errs.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench failure contract (VERDICT r7 "what's wrong" #2): a query that
+  * throws must never be timed — it is excluded from headline_total,
+  * surfaced under "errors", and the artifact carries "partial":true so
+  * a bench over broken queries is machine-detectably invalid. */
+class BenchContractSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def goodQ: (SparkSession, String) => DataFrame =
+    (s, d) => Tables.nation(s, d).select("n_nationkey", "n_name")
+
+  private def brokenQ: (SparkSession, String) => DataFrame =
+    (s, d) => Tables.nation(s, d).selectExpr("no_such_column + 1")
+
+  test("clean run: no partial flag, all queries timed, rc-equivalent empty errs") {
+    val (json, errs) = Bench.run(spark, sf, Seq("good"), Map("good" -> goodQ), passCount = 1)
+    assert(errs.isEmpty)
+    assert(!json.contains("\"partial\""))
+    assert(json.contains("\"good\":"))
+    assert(json.contains("\"metric\":\"headline_total\""))
+  }
+
+  test("broken query: excluded from timings/total, err recorded, partial flag set") {
+    val (json, errs) = Bench.run(spark, sf,
+      Seq("good", "dead"), Map("good" -> goodQ, "dead" -> brokenQ), passCount = 1)
+    assert(errs.keySet == Set("dead"))
+    assert(json.contains("\"partial\":true"))
+    // dead appears only inside the errors object, never as a timing
+    assert(json.contains("\"errors\":{\"dead\":"))
+    val queriesObj = json.substring(json.indexOf("\"queries\":"), json.indexOf(",\"sf\""))
+    assert(!queriesObj.contains("dead"))
+    assert(queriesObj.contains("\"good\":"))
+    // the artifact line must still be parseable JSON with escaped message
+    assert(!errs("dead").contains("\n"))
+  }
+
+  test("all queries broken: zero total, every name in errors") {
+    val (json, errs) = Bench.run(spark, sf, Seq("d1", "d2"),
+      Map("d1" -> brokenQ, "d2" -> brokenQ), passCount = 1)
+    assert(errs.keySet == Set("d1", "d2"))
+    assert(json.contains("\"value\":0.000"))
+    assert(json.contains("\"partial\":true"))
+  }
+}
