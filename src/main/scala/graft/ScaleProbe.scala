@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.ScaleProbe"            # 5000 and 50000 docs
   *   sbt "runMain graft.ScaleProbe 5000 100000"
+  *   sbt "runMain graft.ScaleProbe 450000 1350000 simhash_pairs"
+  *     — non-numeric args select a subset of ops by name (big-corpus
+  *       legs where running the full battery would take hours)
   *
   * Generator shape mirrors the driver's documents table (doc_id, text,
   * lang, source, n_chars): ~60% unique docs, ~25% near-duplicates (a
@@ -48,8 +51,9 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
   }
 
-  private def timed(name: String, runs: scala.collection.mutable.Buffer[(String, Double)])
-                   (body: => Long): Unit = {
+  private def timed(name: String, runs: scala.collection.mutable.Buffer[(String, Double)],
+                    opFilter: String => Boolean = _ => true)
+                   (body: => Long): Unit = if (opFilter(name)) {
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
@@ -58,7 +62,10 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 50000)
+    val (numArgs, opArgs) = args.partition(_.forall(_.isDigit))
+    val sizes = if (numArgs.nonEmpty) numArgs.map(_.toInt).toSeq else Seq(5000, 50000)
+    val opFilter: String => Boolean =
+      if (opArgs.isEmpty) _ => true else opArgs.toSet.contains
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-probe")
@@ -77,19 +84,19 @@ object ScaleProbe {
       // band cap ON (the 100 TB configuration): without it the hottest
       // band bucket at 150k docs holds 20% of the corpus and the self-
       // join implies 1.3e9 rows (BandDiag; SCALE.md round-6 note)
-      timed("minhash_lsh_pairs", runs)(
+      timed("minhash_lsh_pairs", runs, opFilter)(
         ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text",
           maxBandFrequency = Some(2000)).count())
-      timed("simhash_pairs", runs)(
+      timed("simhash_pairs", runs, opFilter)(
         ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
-      timed("ngram_jaccard_pairs", runs)(
+      timed("ngram_jaccard_pairs", runs, opFilter)(
         ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
-      timed("dedup_clusters", runs) {
+      timed("dedup_clusters", runs, opFilter) {
         val edges = ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text",
           maxBandFrequency = Some(2000))
         ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
       }
-      timed("sequence_packing", runs) {
+      timed("sequence_packing", runs, opFilter) {
         val withTokens = docs.withColumn("n_tokens",
           (size(split(col("text"), " "))).cast("long"))
         ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()

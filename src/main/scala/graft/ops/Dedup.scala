@@ -220,13 +220,30 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash, relational form: explode distinct tokens, one
-    * hash-aggregate computing the 32 per-bit majorities, fold to the
+  /** Number of SimHash signature bits. 60, not 64: the signature must be
+    * reproducible in the DuckDB oracle, whose signed-BIGINT hex cast
+    * (`'0x' || substr(md5(t),1,15)`) tops out below 2^63 — 15 hex chars
+    * = 60 bits is the widest both engines compute identically (same
+    * reasoning as the 60-bit n-gram shingle hashes below). */
+  val SimhashBits = 60
+
+  /** SimHash block count (pigeonhole: recall guaranteed for hamming
+    * distance < SimhashBlocks) and per-block width. 4 blocks × 15 bits →
+    * 32,768 keys per block, 131,072 distinct blocking keys overall. The
+    * r6/r7 scale audit quantified the old 4×8-bit scheme (1,024 keys
+    * total) as the repo's one quadratic: candidate pairs per bucket grow
+    * ~(n/keys)², and 450k docs showed 4.9× pair growth for 3× data.
+    * 128× more keys pushes the knee out by the same factor. */
+  val SimhashBlocks = 4
+  val SimhashBlockBits: Int = SimhashBits / SimhashBlocks // 15
+
+  /** 60-bit SimHash, relational form: explode distinct tokens, one
+    * hash-aggregate computing the 60 per-bit majorities, fold to the
     * signature. Bit k set iff strictly more than half the token hashes
     * have bit k set. Returns (doc, sh: long).
     *
-    * The 32 per-bit counts are packed into 21-bit lanes, 3 per long, so
-    * the aggregate carries 11 sum buffers instead of 32: each token
+    * The 60 per-bit counts are packed into 21-bit lanes, 3 per long, so
+    * the aggregate carries 20 sum buffers instead of 60: each token
     * contributes `((h>>b)&1) << 21*lane` per group, and the per-bit count
     * unpacks as `(sum >> 21*lane) & 0x1FFFFF` — exact as long as a doc
     * has fewer than 2^21 distinct tokens (documented bound; the per-doc
@@ -238,9 +255,10 @@ object Dedup {
       .select(col(idCol).as("doc"), col(textCol).as("__text"))
     val tokRows = docs.select(col("doc"),
       explode(array_distinct(TextAnalysis.tokens(col("__text")))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("h",
+        conv(substring(md5(col("t")), 1, SimhashBits / 4), 16, 10).cast(LongType))
     val LaneBits = 21
-    val groups: Seq[Seq[Int]] = (0 until 32).grouped(3).toSeq
+    val groups: Seq[Seq[Int]] = (0 until SimhashBits).grouped(3).toSeq
     def bitOf(b: Int): Column =
       call_function("shiftright", col("h"), lit(b)).bitwiseAND(lit(1L))
     val packed = groups.zipWithIndex.map { case (bs, g) =>
@@ -255,7 +273,7 @@ object Dedup {
         .bitwiseAND(lit((1L << LaneBits) - 1))
     }
     val sig = agg.select(col("doc"),
-      (0 until 32).map(b =>
+      (0 until SimhashBits).map(b =>
         when(cnt(b) * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sh"))
     // token-less docs fold to signature 0 (explode dropped them; the
@@ -264,9 +282,13 @@ object Dedup {
       .select(col("doc"), coalesce(col("sh"), lit(0L)).as("sh"))
   }
 
-  /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on 4×8-bit
-    * blocks (pigeonhole guarantees recall for distance ≤ 3; the hamming
-    * filter is exact on the candidates).
+  /** SimHash near-dup pairs with ≤ maxHamming distance, blocked on
+    * 4×15-bit blocks (pigeonhole guarantees recall for distance ≤ 3; the
+    * hamming filter is exact on the candidates). 15-bit blocks give
+    * 32,768 keys per block — at n docs the expected bucket population is
+    * n/131072 per key, so candidate volume stays ~linear in n until the
+    * corpus dwarfs the key space (the old 8-bit blocks saturated at
+    * ~1k keys and went quadratic; SCALE.md r8 has the measured probe).
     *
     * `maxBlockFrequency` caps HOT block buckets (same family as the
     * minhash band cap and the n-gram df-cap): a corpus with many
@@ -281,13 +303,15 @@ object Dedup {
                    maxBlockFrequency: Option[Int] = None): DataFrame = {
     // the signature is a single long — cheap enough to carry through the
     // block join, saving two join stages vs a dedup-then-rejoin plan.
-    // Block key = blockIdx*256 + byte, a LONG: equality is what blocks,
-    // so the numeric key yields the exact candidate set of the oracle's
-    // string key at an 8-byte shuffle width.
+    // Block key = blockIdx*2^15 + 15-bit slice, a LONG: equality is what
+    // blocks, so the numeric key yields the exact candidate set of the
+    // oracle's string key at an 8-byte shuffle width.
+    val blockMask = (1L << SimhashBlockBits) - 1
     val blocked0 = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
-        b.cast(LongType) * 256L +
-          call_function("shiftright", col("sh"), b * 8).bitwiseAND(lit(255L))))
+      explode(transform(sequence(lit(0), lit(SimhashBlocks - 1)), b =>
+        b.cast(LongType) * (1L << SimhashBlockBits) +
+          call_function("shiftright", col("sh"), b * SimhashBlockBits)
+            .bitwiseAND(lit(blockMask))))
         .as("block"))
     val blocked = maxBlockFrequency match {
       case None => blocked0

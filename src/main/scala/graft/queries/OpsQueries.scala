@@ -264,16 +264,16 @@ object OpsQueries {
       s"""WITH hashes AS (
          |  SELECT doc_id AS doc,
          |    list_transform(list_distinct($toksSql),
-         |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+         |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
          |  FROM documents),
          |sh AS (
-         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), k ->
+         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), k ->
          |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
          |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
          |  FROM hashes),
          |blocked AS (
          |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->
-         |    b::VARCHAR || ':' || ((sh >> (b*8)) & 255)::VARCHAR)) AS block
+         |    b::VARCHAR || ':' || ((sh >> (b*15)) & 32767)::VARCHAR)) AS block
          |  FROM sh),
          |cand AS (
          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sh_a, b.sh AS sh_b
