@@ -25,6 +25,17 @@ object FileStore {
     * what makes `--warehouse s3a://bucket/wh` work with zero config. */
   def forRoot(root: String): FileStore =
     if (WarehouseIO.isRemote(root)) new HadoopFileStore() else new LocalFileStore
+
+  /** Schemes whose FileSystem.rename is an atomic namespace op that FAILS
+    * (returns false) when the destination exists — the property that makes
+    * write-temp-then-rename a correct CAS, and that makes the stock
+    * FileOutputCommitter safe (so the direct committer must NOT be
+    * substituted on these schemes — the SPARK-10063 trade-off points the
+    * other way there). Deliberately narrow: S3A/GCS renames are
+    * client-side copies, and LocalFileSystem's rename OVERWRITES an
+    * existing destination (rename(2)) — local roots should use
+    * [[LocalFileStore]] (hard-link CAS) instead. */
+  val atomicRenameSchemes: Set[String] = Set("hdfs", "viewfs")
 }
 
 trait FileStore {
@@ -58,9 +69,12 @@ trait FileStore {
   def sizeOf(path: String): Long
 }
 
-/** java.nio implementation — the local[_] / POSIX backend. */
+/** java.nio implementation — the local[_] / POSIX backend. Accepts both
+  * plain paths and `file:`-scheme URIs (normalized via
+  * [[WarehouseIO.localPath]] — `Paths.get("file:///x")` would otherwise
+  * produce a relative `./file:` tree, the r7 split-brain advice item). */
 final class LocalFileStore extends FileStore {
-  private def p(s: String): Path = Paths.get(s)
+  private def p(s: String): Path = WarehouseIO.localPath(s)
 
   def read(path: String): String = Files.readString(p(path))
 
@@ -205,13 +219,7 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
 
   def exists(path: String): Boolean = { val p = hp(path); fsFor(p).exists(p) }
 
-  /** Schemes whose FileSystem.rename is an atomic namespace op that FAILS
-    * (returns false) when the destination exists — the property that makes
-    * write-temp-then-rename a correct CAS. Deliberately narrow: S3A/GCS
-    * renames are client-side copies, and LocalFileSystem's rename
-    * OVERWRITES an existing destination (rename(2)) — local roots should
-    * use [[LocalFileStore]] (hard-link CAS) instead. */
-  private val atomicRenameSchemes = Set("hdfs", "viewfs")
+  private def atomicRenameSchemes = FileStore.atomicRenameSchemes
 
   def createIfAbsent(path: String, content: String): Boolean = {
     val p = hp(path)
@@ -229,18 +237,21 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
       try out.write(content.getBytes("UTF-8")) finally out.close()
       try { if (fs.rename(tmp, p)) true else { fs.delete(tmp, false); false } }
       catch { case _: java.io.IOException => fs.delete(tmp, false); false }
-    } else try {
-      // conditional-PUT stores (S3A with conditional create, GCS): the
-      // object is invisible until the PUT completes, and the losing writer
-      // surfaces FileAlreadyExists at create or close — atomic by the
-      // store's own semantics, no temp file needed
-      val out = fs.create(p, /* overwrite = */ false)
-      try out.write(content.getBytes("UTF-8"))
-      finally out.close() // S3A conditional PUT: the 412 surfaces here
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException        => false
+    } else {
+      HadoopFileStore.probeConditionalCreate(fs, p)
+      try {
+        // conditional-PUT stores (S3A with conditional create, GCS): the
+        // object is invisible until the PUT completes, and the losing writer
+        // surfaces FileAlreadyExists at create or close — atomic by the
+        // store's own semantics, no temp file needed
+        val out = fs.create(p, /* overwrite = */ false)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close() // S3A conditional PUT: the 412 surfaces here
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
+      }
     }
   }
 
@@ -299,4 +310,44 @@ final class HadoopFileStore private (explicitFs: Option[org.apache.hadoop.fs.Fil
     val p = hp(path)
     fsFor(p).getFileStatus(p).getLen
   }
+}
+
+object HadoopFileStore {
+  /** Capability keys under which stores advertise atomic conditional
+    * create (If-None-Match PUT): the S3A key (HADOOP-19256) plus a
+    * generic spelling custom FileSystems can declare. */
+  private val ConditionalCreateCapabilities = Seq(
+    "fs.s3a.create.conditional", "fs.capability.conditional.create")
+
+  private val probedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ADVICE r7 (low): the commit CAS on a non-atomic-rename scheme is
+    * only correct when create(overwrite = false) is a true conditional
+    * PUT at the store. Probe the store's declared path capabilities at
+    * first use and warn LOUDLY (once per scheme) when it advertises
+    * none — a silent check-then-write would let two concurrent
+    * committers both claim the same version file. A warning rather than
+    * a hard failure: stores like GCS enforce preconditions without
+    * declaring a Hadoop capability for it, and the operator may know
+    * their connector's semantics better than its capability list. */
+  private[relations] def probeConditionalCreate(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("")
+    if (!probedSchemes.add(scheme)) return
+    val capable =
+      try ConditionalCreateCapabilities.exists(fs.hasPathCapability(p, _))
+      catch { case _: Exception => false }
+    if (!capable)
+      System.err.println(
+        s"[graft] WARN: filesystem scheme '$scheme' does not advertise atomic " +
+          s"conditional create (${ConditionalCreateCapabilities.mkString(" / ")}). " +
+          "Graft's commit protocol relies on create(overwrite=false) being a " +
+          "conditional PUT; on a store where it is check-then-write, concurrent " +
+          "commits can both claim a version. Verify the connector (e.g. enable " +
+          "fs.s3a.create.conditional.enabled on S3A) before multi-writer use.")
+  }
+
+  /** Test seam: forget probe results so specs can assert the warning. */
+  private[graft] def resetProbes(): Unit = probedSchemes.clear()
 }

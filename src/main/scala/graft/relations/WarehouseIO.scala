@@ -33,6 +33,18 @@ object WarehouseIO {
     * through the Hadoop FS API and rename-free write paths. */
   def isRemote(p: String): Boolean = isUri(p) && !p.startsWith("file:")
 
+  /** The java.nio Path of a LOCAL path-or-URI. `file:`-scheme roots
+    * (`file:///wh`, `file:/wh`) resolve through java.net.URI — a naive
+    * `Paths.get("file:///wh")` yields a RELATIVE path whose first segment
+    * is the literal `file:`, so a `--warehouse file:///wh` run would
+    * split-brain its writes into `./file:/wh` while readers resolve the
+    * real `/wh`. Plain paths pass through unchanged. */
+  def localPath(p: String): Path =
+    if (p.startsWith("file:"))
+      try Paths.get(new java.net.URI(p))
+      catch { case _: Exception => Paths.get(pathPart(p)) }
+    else Paths.get(p)
+
   /** Join path segments with '/', preserving the base's scheme/authority
     * verbatim (java.nio.Paths would normalize `s3a://b/x` into
     * `s3a:/b/x` and corrupt the URI). */
@@ -77,22 +89,26 @@ object WarehouseIO {
 
   def mkdirs(p: String): Unit =
     if (isRemote(p)) { fs(new HPath(p)).mkdirs(new HPath(p)); () }
-    else Files.createDirectories(Paths.get(p))
+    else Files.createDirectories(localPath(p))
 
   def isDir(p: String): Boolean =
     if (isRemote(p)) {
       val hp = new HPath(p)
       try fs(hp).getFileStatus(hp).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    } else Files.isDirectory(Paths.get(p))
+    } else Files.isDirectory(localPath(p))
 
   def deleteDir(p: String): Unit =
     if (isRemote(p)) { val hp = new HPath(p); fs(hp).delete(hp, true); () }
     else {
-      val jp = Paths.get(p)
+      val jp = localPath(p)
       if (Files.exists(jp)) {
-        val it = Files.walk(jp).iterator()
-        val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+        val s = Files.walk(jp)
+        // close before deleting: the walk stream holds open directory fds
+        val all = try {
+          val it = s.iterator()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+        } finally s.close()
         all.reverse.foreach(Files.deleteIfExists(_))
       }
     }
@@ -104,7 +120,7 @@ object WarehouseIO {
       try fs(hp).listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSeq
       catch { case _: java.io.FileNotFoundException => Nil }
     } else {
-      val jp = Paths.get(p)
+      val jp = localPath(p)
       if (!Files.isDirectory(jp)) Nil
       else {
         val s = Files.list(jp)
@@ -148,7 +164,7 @@ object WarehouseIO {
       walk(baseStatus.getPath)
       out.result().sorted
     } else {
-      val jdir = Paths.get(dir)
+      val jdir = localPath(dir)
       if (!Files.isDirectory(jdir)) Nil
       else {
         import java.nio.file.{FileVisitResult, SimpleFileVisitor}
@@ -182,8 +198,8 @@ object WarehouseIO {
       if (!fs(f).rename(f, t))
         throw new java.io.IOException(s"rename failed: $from -> $to")
     } else {
-      Option(Paths.get(to).getParent).foreach(Files.createDirectories(_))
-      Files.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+      Option(localPath(to).getParent).foreach(Files.createDirectories(_))
+      Files.move(localPath(from), localPath(to), StandardCopyOption.ATOMIC_MOVE)
     }
 
   /** Max modification time (epoch millis) of the dir's immediate
@@ -196,7 +212,7 @@ object WarehouseIO {
         if (st.isEmpty) None else Some(st.map(_.getModificationTime).max)
       } catch { case _: java.io.FileNotFoundException => None }
     } else {
-      val jp = Paths.get(p)
+      val jp = localPath(p)
       if (!Files.isDirectory(jp)) None
       else {
         val s = Files.list(jp)
@@ -225,20 +241,23 @@ object WarehouseIO {
         s"$n:$size:$mtime"
       } catch { case _: java.io.FileNotFoundException => "absent" }
     } else {
-      val base = Paths.get(p)
+      val base = localPath(p)
       if (!Files.exists(base)) "absent"
       else {
-        val it = Files.walk(base).iterator()
-        var size = 0L; var mtime = 0L; var n = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (Files.isRegularFile(f)) {
-            size += Files.size(f)
-            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
-            n += 1
+        val s = Files.walk(base)
+        try {
+          val it = s.iterator()
+          var size = 0L; var mtime = 0L; var n = 0
+          while (it.hasNext) {
+            val f = it.next()
+            if (Files.isRegularFile(f)) {
+              size += Files.size(f)
+              mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+              n += 1
+            }
           }
-        }
-        s"$n:$size:$mtime"
+          s"$n:$size:$mtime"
+        } finally s.close()
       }
     }
 
@@ -249,7 +268,7 @@ object WarehouseIO {
       try Some(java.time.Instant.ofEpochMilli(fs(hp).getFileStatus(hp).getModificationTime))
       catch { case _: java.io.FileNotFoundException => None }
     } else {
-      val jp = Paths.get(p)
+      val jp = localPath(p)
       if (!Files.exists(jp)) None
       else Some(Files.getLastModifiedTime(jp).toInstant)
     }
@@ -264,8 +283,17 @@ object WarehouseIO {
     * manifest-controlled: a failed job just abandons the dir (vacuum
     * reclaims it), and a task retry rewrites the same deterministic
     * name. */
-  def writeOptions(dir: String): Map[String, String] =
-    if (isRemote(dir))
+  def writeOptions(dir: String): Map[String, String] = {
+    // Scheme gate: only swap the committer where rename is NOT an atomic
+    // namespace op (s3a/gcs/...). On hdfs:// the stock FileOutputCommitter
+    // is both cheap (rename is O(1)) and the only safe choice under
+    // speculative execution — two attempts of the same task write the
+    // SAME deterministic file name, and with the direct committer both
+    // write the destination concurrently (the SPARK-10063 corruption
+    // mode). FileOutputCommitter's needsTaskCommit/commitTask handshake
+    // exists precisely to pick one attempt; keep it where it works.
+    val scheme = Option(new HPath(dir).toUri.getScheme).getOrElse("")
+    if (isRemote(dir) && !FileStore.atomicRenameSchemes(scheme))
       // BOTH keys: ParquetFileFormat.prepareWrite overwrites
       // spark.sql.sources.outputCommitterClass from the parquet-specific
       // key, so setting only the generic one is silently undone
@@ -275,6 +303,7 @@ object WarehouseIO {
         "spark.sql.parquet.output.committer.class" ->
           classOf[GraftDirectOutputCommitter].getName)
     else Map.empty
+  }
 }
 
 /** No-op Hadoop OutputCommitter: tasks write directly to the job's

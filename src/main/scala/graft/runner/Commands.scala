@@ -280,7 +280,12 @@ object Commands {
       if (sec <= 0) "null"
       else if (sec % 86400 == 0) s"""{"count":${sec / 86400},"period":"day"}"""
       else if (sec % 3600 == 0) s"""{"count":${sec / 3600},"period":"hour"}"""
-      else s"""{"count":${math.max(1, sec / 60)},"period":"minute"}"""
+      // v3's FreshnessThreshold only speaks whole minutes/hours/days; a
+      // threshold that isn't a whole number of minutes rounds to the
+      // NEAREST minute (ties up), not truncation — 90 s must read as 2
+      // minutes, not 1 (ADVICE r7: truncation understated thresholds by
+      // up to 49%)
+      else s"""{"count":${math.max(1L, Math.round(sec / 60.0))},"period":"minute"}"""
     val rows = statuses.map { st =>
       s"""{"unique_id":${q(st.uniqueId)},"max_loaded_at":${q(st.maxLoadedAt.toString)},""" +
         s""""snapshotted_at":${q(st.snapshottedAt.toString)},""" +

@@ -38,6 +38,16 @@ class S3SemanticsFileSystem extends FileSystem {
   override def getUri: URI = fsUri
   override def getScheme: String = "s3mock"
 
+  /** This store's create(overwrite=false) IS an atomic-at-close
+    * conditional PUT (see create below), so advertise it the way S3A
+    * does — HadoopFileStore probes this capability before trusting the
+    * commit CAS on a non-atomic-rename scheme. */
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    capability match {
+      case "fs.s3a.create.conditional" | "fs.capability.conditional.create" => true
+      case other => super.hasPathCapability(path, other)
+    }
+
   private def local(p: Path): JPath = JPaths.get(p.toUri.getPath)
 
   // ------------------------------------------------------------- reads
