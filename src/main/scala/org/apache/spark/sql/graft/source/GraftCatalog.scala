@@ -36,9 +36,15 @@ import graft.relations.CommitLog
   *    two co-bucketed graft tables join on their bucket key. This is the
   *    Iceberg SPJ design (public docs/source), re-done over graft's log.
   *
-  * This is also the deployment seam SCALE.md names: a metastore-backed
-  * install replaces directory listing with catalog RPCs behind the same
-  * TableCatalog interface; the commit protocol below is unchanged.
+  * This is also the deployment seam SCALE.md names, now a real interface:
+  * ALL discovery (schemas, tables, name→location) routes through
+  * [[graft.relations.Metastore]]. The default backend resolves by
+  * warehouse-directory convention (byte-identical to the pre-seam
+  * behavior); `spark.sql.catalog.<name>.metastore=memory:<id>` (or a
+  * Metastore class name) swaps in an RPC-shaped registry, under which
+  * table locations decouple from table names (rename = registry re-key,
+  * no directory move) and no catalog call ever lists the warehouse
+  * prefix. The commit protocol below is unchanged either way.
   *
   * Reference analog: dbt's adapter `list_relations_without_caching` /
   * `get_relation` surface (manifest.json §macro.dbt.*) — here a real
@@ -48,26 +54,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private var catName: String = _
   private var root: String = _
+  private var ms: graft.relations.Metastore = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root=<warehouse dir>"))
+    ms = graft.relations.Metastore.forOption(Option(options.get("metastore")), root)
   }
   override def name(): String = catName
 
-  private def nsDir(ns: Array[String]): String = WarehouseIO.join(root, ns.toSeq: _*)
-  private def tableDir(ident: Identifier): String =
-    WarehouseIO.join(nsDir(ident.namespace), ident.name)
-  private def isTable(dir: String): Boolean =
-    WarehouseIO.isDir(WarehouseIO.join(dir, "_graft_log"))
-  private def listDirs(dir: String): Seq[String] = WarehouseIO.listDirNames(dir)
+  private def schemaOf(ns: Array[String]): String = {
+    require(ns.length == 1,
+      s"graft namespaces are single-level (got ${ns.mkString(".")})")
+    ns.head
+  }
+  private def conventionDir(ident: Identifier): String =
+    WarehouseIO.join(root, (ident.namespace :+ ident.name).toSeq: _*)
+  /** The table's storage root per the metastore — the ONLY way a catalog
+    * path may learn a location (never the naming convention directly). */
+  private def locationOf(ident: Identifier): String =
+    ms.tableLocation(schemaOf(ident.namespace), ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
 
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    listDirs(root).map(Array(_)).toArray
+    ms.listSchemas().map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -75,7 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.nonEmpty && WarehouseIO.isDir(nsDir(namespace))
+    namespace.length == 1 && ms.schemaExists(namespace.head)
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava
@@ -83,19 +97,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createNamespace(namespace: Array[String],
                                metadata: JMap[String, String]): Unit =
-    WarehouseIO.mkdirs(nsDir(namespace))
+    ms.createSchema(schemaOf(namespace))
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = nsDir(namespace)
-    if (!WarehouseIO.isDir(dir)) false
+    if (!namespaceExists(namespace)) false
     else {
-      if (!cascade && listDirs(dir).nonEmpty)
+      val schema = schemaOf(namespace)
+      val ts = ms.listTables(schema)
+      if (!cascade && ts.nonEmpty)
         throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-      deleteDir(dir); true
+      ts.foreach(t => dropTable(Identifier.of(namespace, t)))
+      ms.dropSchema(schema); true
     }
   }
 
@@ -103,11 +119,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    else listDirs(nsDir(namespace))
-      .filter(n => isTable(WarehouseIO.join(nsDir(namespace), n)))
-      .map(Identifier.of(namespace, _)).toArray
+    else ms.listTables(schemaOf(namespace)).map(Identifier.of(namespace, _)).toArray
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+  override def tableExists(ident: Identifier): Boolean =
+    ms.tableLocation(schemaOf(ident.namespace), ident.name).isDefined
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
@@ -118,8 +133,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the latest commit
     * whose recorded `committed_at` is at or before the timestamp. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = locationOf(ident)
     val log = new CommitLog(GraftSourceTable.store(dir),
       WarehouseIO.join(dir, "_graft_log"))
     val cutoff = java.time.Instant.EPOCH.plusNanos(timestamp * 1000L)
@@ -136,8 +150,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   private def loadAt(ident: Identifier, version: Option[Int]): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = locationOf(ident)
     val st = GraftSourceTable.resolve(dir, version)
     new GraftSourceTable(dir, st.schema, pinnedVersion = version,
       bucketBy = st.bucketBy, buckets = st.buckets,
@@ -161,12 +174,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case other =>
         throw new UnsupportedOperationException(s"unsupported partition transform: $other")
     }
-    val dir = tableDir(ident)
+    // an explicit `location` table property decouples storage from the
+    // naming convention (registry backends only; the convention backend
+    // rejects foreign locations since its listing wouldn't rediscover them)
+    val dir = Option(properties.get("location")).getOrElse(conventionDir(ident))
     WarehouseIO.mkdirs(dir)
     new CommitLog(GraftSourceTable.store(dir),
       WarehouseIO.join(dir, "_graft_log"))
       .commit(None, Some(partBy), Some(nullableize(schema)), Some(Nil), Map.empty,
         Map.empty, bucketing)(identity)
+    // register AFTER the log exists: a concurrent reader that resolves
+    // the entry must find a loadable table
+    ms.registerTable(schemaOf(ident.namespace), ident.name, dir)
     loadTable(ident)
   }
 
@@ -192,8 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * field ids a rename cannot remap existing files. Layout columns
     * (partition/bucket/stats) cannot be dropped. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = locationOf(ident)
     val log = new CommitLog(GraftSourceTable.store(dir),
       WarehouseIO.join(dir, "_graft_log"))
     // The schema edit and the anti-resurrection footer check are derived
@@ -262,19 +280,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     schema
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) false else { deleteDir(dir); true }
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    ms.tableLocation(schemaOf(ident.namespace), ident.name) match {
+      case None => false
+      case Some(dir) =>
+        // unregister FIRST (discovery truth), then reclaim the bytes —
+        // the catalog, not the metastore, owns the storage lifecycle
+        ms.unregisterTable(schemaOf(ident.namespace), ident.name)
+        WarehouseIO.deleteDir(dir)
+        true
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    WarehouseIO.mkdirs(nsDir(newIdent.namespace))
-    WarehouseIO.renameDir(tableDir(oldIdent), tableDir(newIdent))
+    ms.renameTable(schemaOf(oldIdent.namespace), oldIdent.name,
+      schemaOf(newIdent.namespace), newIdent.name)
   }
-
-  private def deleteDir(p: String): Unit = WarehouseIO.deleteDir(p)
 
   // ------------------------------------------------------------- functions
 

@@ -112,10 +112,14 @@ object GraftSourceTable {
     new CommitLog(store(dir), graft.relations.WarehouseIO.join(dir, "_graft_log"))
 
   /** Scan-partition URI for a table-relative file: URI dirs join as
-    * strings (they ARE the URI), local dirs go through java.nio. */
+    * strings (they ARE the URI), local dirs — including `file:`-scheme
+    * spellings, which Spark's LOCATION canonicalization emits with a
+    * single slash — go through localPath so the scheme never gets
+    * re-prefixed into a relative ./file: path. */
   def fileUri(dir: String, f: String): String =
     if (graft.relations.WarehouseIO.isUri(dir)) graft.relations.WarehouseIO.join(dir, f)
-    else java.nio.file.Paths.get(dir, f).toUri.toString
+    else graft.relations.WarehouseIO.localPath(
+      graft.relations.WarehouseIO.join(dir, f)).toUri.toString
 
   def resolve(dir: String, versionAsOf: Option[Int]): TableVersion = {
     val l = log(dir)

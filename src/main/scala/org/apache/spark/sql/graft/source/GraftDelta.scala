@@ -188,10 +188,12 @@ class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
       delRelPath = s"_graft_deletes/del-${dataFac.uniq}-$partitionId-$taskId" +
         delOwf.getFileExtension(ctx)
       val abs = graft.relations.WarehouseIO.join(dataFac.stageDir, delRelPath)
+      // same local-vs-remote routing as GraftWrite.writerFor: file:-scheme
+      // spellings are LOCAL and must resolve through localPath
       val target =
-        if (graft.relations.WarehouseIO.isUri(dataFac.stageDir)) abs
+        if (graft.relations.WarehouseIO.isRemote(dataFac.stageDir)) abs
         else {
-          val jp = Paths.get(abs)
+          val jp = graft.relations.WarehouseIO.localPath(abs)
           Option(jp.getParent).foreach(Files.createDirectories(_))
           jp.toUri.toString
         }

@@ -385,11 +385,15 @@ class GraftDataWriter(fac: GraftWriterFactory, partitionId: Int, taskId: Long,
       else WarehouseIO.join(fac.stageDir, subDir, relPath)
     // the parquet writer goes through the target's Hadoop FileSystem,
     // whose create() makes parent dirs; only a plain local stage needs
-    // (and can take) an explicit java.nio mkdirs + file:// URI
+    // (and can take) an explicit java.nio mkdirs + file:// URI. Local
+    // includes `file:`-scheme spellings (Spark canonicalizes a LOCATION
+    // clause to single-slash `file:/x`, which contains no `://`) — those
+    // must resolve through localPath, or the task writes into a literal
+    // ./file: tree while publish reads the real path.
     val target =
-      if (WarehouseIO.isUri(fac.stageDir)) abs
+      if (WarehouseIO.isRemote(fac.stageDir)) abs
       else {
-        val jp = Paths.get(abs)
+        val jp = WarehouseIO.localPath(abs)
         Option(jp.getParent).foreach(Files.createDirectories(_))
         jp.toUri.toString
       }
