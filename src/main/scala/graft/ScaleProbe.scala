@@ -101,6 +101,26 @@ object ScaleProbe {
           (size(split(col("text"), " "))).cast("long"))
         ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()
       }
+      // Adversarial diameter probe (VERDICT r6 #3): a single PATH graph of
+      // n nodes (diameter n-1) with hash-permuted node ids, so the min
+      // label sits at an arbitrary chain position and must cross the whole
+      // diameter. Label propagation alone would need n rounds; path
+      // halving should need ~log2(n). Reported rows = component count
+      // (must be 1); iterations land in the [probe] line.
+      timed("cc_chain_diameter", runs, opFilter) {
+        val perm = spark.range(n.toLong).toDF("node")
+          .withColumn("pos", row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .orderBy(xxhash64(col("node"), lit("perm")))) - 1)
+        val chain = perm.as("a")
+          .join(perm.as("b"), col("a.pos") + 1 === col("b.pos"))
+          .select(col("a.node").as("doc_a"), col("b.node").as("doc_b"))
+        val (comp, iters) = ops.Dedup.connectedComponentsWithStats(
+          chain, "doc_a", "doc_b", maxIter = 64)
+        val ncomp = comp.select("component").distinct().count()
+        println(s"[probe] cc_chain_diameter           rounds=$iters (diameter ${n - 1})")
+        ncomp
+      }
       docs.unpersist()
       results(n) = runs.toSeq
     }

@@ -170,52 +170,85 @@ object Dedup {
     * transitive duplicate cluster, so "keep one per cluster" is a single
     * `component = doc` filter.
     *
-    * Algorithm: iterative min-label propagation with path halving. Each
-    * round first lowers every node's label to the min over its neighbors'
-    * labels (one equi-join + hash aggregate on the symmetrized edge list),
-    * then short-circuits label chains by replacing c(n) with c(c(n))
-    * (a self-join of the label table). The edge pass alone converges in
-    * O(diameter) rounds; halving makes long chains collapse in
-    * O(log diameter). Every round's label table is localCheckpoint'ed so
-    * lineage stays flat; the edge list is checkpointed once and reused.
-    * All shuffles hash on node id — no driver-side graph state, so the
-    * operator scales to edge lists that never fit one machine (same
-    * round structure as the map-reduce CC algorithms in Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public paper). Each round rewrites the edge set:
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors and itself to
+    *    the minimum of its smaller neighborhood.
+    * At fixpoint the edges form stars centered at each component's
+    * minimum id. Rounds are O(log n) (paper, Thm 2) — the round-8 probe
+    * measured 11/14/17 rounds for chain diameters 10k/100k/1M, where the
+    * previous min-label + single-path-halving loop had a LINEAR
+    * convergence tail (changed≈7/round on a 512-chain, >64 rounds; its
+    * per-round planning also degraded 0.5 s → 87 s — see SCALE.md r8).
+    * Both star ops are equi-join + hash-agg shapes shuffled on node id —
+    * no driver-side graph state; per-round results are severed to cached
+    * RDDs so plan depth stays constant.
     *
     * Returns (node, component); nodes absent from `edges` are absent from
     * the output (callers left-join and coalesce to give singletons their
     * own id). Throws after `maxIter` non-converged rounds rather than
     * returning a partial clustering. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
-      .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.groupBy("n")
-      .agg(least(col("n"), min(col("m"))).as("c")).localCheckpoint(true)
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * scale-relevant observable (ChainComponentsSpec pins the log bound on
+    * adversarial chain graphs; SCALE.md r8 records rounds vs diameter). */
+  private[graft] def connectedComponentsWithStats(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    // sever: pin a round's result as a cached RDD and rebuild the frame
+    // from it. localCheckpoint(true) is NOT enough here — with it, driver
+    // planning time grew superlinearly across rounds (0.5 s → 87 s by
+    // round 22 on a 512-node chain); a plain cached-RDD rebuild keeps
+    // every round's plan three operators deep.
+    def sever(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.cache()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    // canonical undirected form: (u, v) with u > v, self-loops dropped.
+    // Self-loop-only nodes are re-attached at the end via allNodes.
+    val allNodes = edges.select(col(aCol).as("node"))
+      .union(edges.select(col(bCol).as("node"))).distinct()
+    var (e, eRdd) = sever(edges.filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .distinct())
     var iter = 0
-    var converged = sym.isEmpty
+    var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      // edge pass: c'(n) = min(c(n), min over neighbors m of c(m))
-      val nbr = sym.join(labels.withColumnRenamed("n", "m"), "m")
-        .groupBy("n").agg(min(col("c")).as("nc"))
-      val lowered = labels.join(nbr, Seq("n"), "left")
-        .select(col("n"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-      // path halving: c''(n) = min(c'(n), c'(c'(n))) — labels are node
-      // ids, so the indirection is a self-join on the label table
-      val next = lowered.as("l")
-        .join(lowered.select(col("n").as("c"), col("c").as("cc")), Seq("c"), "left")
-        .select(col("n"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("c", "c0"), "n")
-        .filter(col("c") =!= col("c0")).isEmpty
-      labels = next
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v ∈ Γ(u), v > u
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over larger→smaller edges: m(u) = min of u's smaller
+      // neighborhood; emit (x, m(u)) for x ∈ Γ⁻(u) ∪ {u}, x ≠ m(u)
+      val smin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val j = large.join(smin, "u")
+      val small = j.select(col("v").as("u"), col("m").as("v"))
+        .union(j.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val (e2, e2Rdd) = sever(small)
+      converged = e2.exceptAll(e).isEmpty && e.exceptAll(e2).isEmpty
+      eRdd.unpersist()
+      e = e2; eRdd = e2Rdd
       iter += 1
     }
     require(converged,
       s"connectedComponents: not converged after $maxIter rounds — raise maxIter")
-    labels.select(col("n").as("node"), col("c").as("component"))
+    // fixpoint edge set is a star forest: (member, root) plus the roots
+    // themselves; every other input node is its own singleton component
+    val labels = e.select(col("u").as("node"), col("v").as("component"))
+    val out = allNodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (out, iter)
   }
 
   // ------------------------------------------------------------- SimHash

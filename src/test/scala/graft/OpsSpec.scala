@@ -148,6 +148,31 @@ class OpsSpec extends AnyFunSuite {
       f2.orderBy("asset_id").collect().map(_.toString).toSeq)
   }
 
+  test("real image decode: javax.imageio reads generated PNG dims; corrupt/non-image degrade to null") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 5L, 107L).toDF("doc_id")
+    val assets = Multimodal.toImageAssets(docs, "doc_id")
+    // the generated payloads are REAL PNGs (magic bytes)
+    val firstBytes = assets.orderBy("asset_id").select("payload").head().getAs[Array[Byte]](0)
+    assert(firstBytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val decoded = Multimodal.decodeImagesBatched(assets, batchSize = 2)
+      .orderBy("asset_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == 16 + (id % 8).toInt, s"width of $id")
+      assert(r.getInt(3) == 8 + (id % 4).toInt, s"height of $id")
+      assert(r.getString(4) == "png")
+    }
+    // corrupt payload and non-image media type both yield null dims
+    val weird = Seq(
+      (900L, "image/png", "garbage".getBytes),
+      (901L, "text/plain", "hello".getBytes))
+      .toDF("asset_id", "media_type", "payload")
+    val wd = Multimodal.decodeImagesBatched(weird).orderBy("asset_id").collect()
+    assert(wd.forall(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+    assert(wd.map(_.getLong(1)).toSeq == Seq(7L, 5L)) // n_bytes still reported
+  }
+
   test("connectedComponents: chains merge, clusters stay separate, long chains converge") {
     import spark.implicits._
     // cluster {1,2,3,4} built from a chain, cluster {10,11}, and a
