@@ -39,7 +39,14 @@ final case class TableVersion(
     deletes: Map[String, Seq[String]] = Map.empty,
     // free-form table properties (e.g. row_level_mode = merge-on-read),
     // carried forward until a commit replaces them
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    // dead-row count per delete-carrying data file, recorded by the DML
+    // commit that wrote the positions (a MoR position is deleted at most
+    // once, so counts add exactly). Same lifecycle as `deletes` — dropped
+    // when the data file leaves the manifest. This is what lets
+    // auto-compaction evaluate its ratio trigger from the manifest alone
+    // instead of re-reading every delete file per commit (VERDICT r6 #4).
+    deleteRows: Map[String, Long] = Map.empty)
 
 /** A staged-but-uncommitted write. The physical files stay inside the
   * underscore-hidden staging dir (`stageDir`) until the COMMIT publishes
@@ -126,6 +133,7 @@ final class CommitLog(store: FileStore, dir: String) {
       changeFiles: Seq[String] = Nil,
       expectedBase: Option[Int] = None,
       addedDeletes: Map[String, Seq[String]] = Map.empty,
+      addedDeleteRows: Map[String, Long] = Map.empty,
       newProps: Option[Map[String, String]] = None)(
       transform: Seq[String] => Seq[String]): TableVersion = {
     var attempt = 0
@@ -177,6 +185,11 @@ final class CommitLog(store: FileStore, dir: String) {
       val nextDeletes = addedDeletes.foldLeft(keptDeletes) {
         case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
       }
+      val keptDeleteRows = cur.map(_.deleteRows).getOrElse(Map.empty)
+        .view.filterKeys(newFileSet.contains).toMap
+      val nextDeleteRows = addedDeleteRows.foldLeft(keptDeleteRows) {
+        case (m, (f, n)) => m + (f -> (m.getOrElse(f, 0L) + n))
+      }
       val next = TableVersion(
         cur.map(_.version).getOrElse(0) + 1,
         newFiles,
@@ -189,10 +202,11 @@ final class CommitLog(store: FileStore, dir: String) {
         newBucketing.map(_._2).orElse(cur.map(_.buckets)).getOrElse(0),
         cur.map(_.txn).getOrElse(Map.empty) ++ txn,
         nextDeletes,
-        newProps.orElse(cur.map(_.props)).getOrElse(Map.empty))
+        newProps.orElse(cur.map(_.props)).getOrElse(Map.empty),
+        nextDeleteRows)
       val body = serialize(next, add, remove,
         addedStats.view.filterKeys(add.contains).toMap, txn, changeFiles,
-        addedDeletes)
+        addedDeletes, addedDeleteRows)
       if (store.createIfAbsent(deltaPath(next.version), body)) {
         if (next.version % CheckpointInterval == 0) writeCheckpoint(next)
         return next
@@ -233,7 +247,7 @@ final class CommitLog(store: FileStore, dir: String) {
     * that commit's new entries). */
   private def writeCheckpoint(v: TableVersion): Unit =
     store.createIfAbsent(ckptPath(v.version),
-      serialize(v, v.files, Nil, v.stats, v.txn, Nil, v.deletes))
+      serialize(v, v.files, Nil, v.stats, v.txn, Nil, v.deletes, v.deleteRows))
 
   // ----------------------------------------------------------- (de)serialization
 
@@ -265,7 +279,8 @@ final class CommitLog(store: FileStore, dir: String) {
                         stats: Map[String, Map[String, ColStats]],
                         txn: Map[String, Long],
                         changeFiles: Seq[String] = Nil,
-                        addDeletes: Map[String, Seq[String]] = Map.empty): String = {
+                        addDeletes: Map[String, Seq[String]] = Map.empty,
+                        addDeleteRows: Map[String, Long] = Map.empty): String = {
     def sarr(xs: Seq[String]) = s"[${xs.map(Json.quote).mkString(",")}]"
     def statsObj(m: Map[String, Map[String, ColStats]]): String =
       m.toSeq.sortBy(_._1).map { case (f, cols) =>
@@ -285,6 +300,11 @@ final class CommitLog(store: FileStore, dir: String) {
       else addDeletes.toSeq.sortBy(_._1)
         .map { case (f, ds) => s"${Json.quote(f)}:${sarr(ds)}" }
         .mkString(""""add_deletes":{""", ",", "},")
+    val deleteRowsPart =
+      if (addDeleteRows.isEmpty) ""
+      else addDeleteRows.toSeq.sortBy(_._1)
+        .map { case (f, n) => s"${Json.quote(f)}:$n" }
+        .mkString(""""add_delete_rows":{""", ",", "},")
     val propsPart =
       if (v.props.isEmpty) ""
       else v.props.toSeq.sortBy(_._1)
@@ -296,7 +316,7 @@ final class CommitLog(store: FileStore, dir: String) {
       s""""stats_cols":${sarr(v.statsCols)},""" +
       s""""add":${sarr(add)},"remove":${sarr(remove)},""" +
       s""""stats":{${statsObj(stats)}},""" +
-      s""""txn":{$txnObj},""" + changesPart + deletesPart + propsPart +
+      s""""txn":{$txnObj},""" + changesPart + deletesPart + deleteRowsPart + propsPart +
       s""""committed_at":${Json.quote(java.time.Instant.now().toString)}}"""
   }
 
@@ -327,6 +347,12 @@ final class CommitLog(store: FileStore, dir: String) {
     doc.get("add_deletes").map(Json.obj(_).map { case (f, ds) =>
       f -> Json.arr(ds).map(Json.str).toSeq }).getOrElse(Map.empty)
 
+  /** Dead-row counts are absent in pre-round-8 logs — auto-compaction
+    * falls back to counting the delete files for entries missing here. */
+  private def parseDeleteRows(doc: Map[String, Any]): Map[String, Long] =
+    doc.get("add_delete_rows").map(Json.obj(_).map { case (f, n) =>
+      f -> n.asInstanceOf[Long] }).getOrElse(Map.empty)
+
   private def parseProps(doc: Map[String, Any]): Option[Map[String, String]] =
     doc.get("props").map(Json.obj(_).map { case (k, v) => k -> Json.str(v) })
 
@@ -344,7 +370,8 @@ final class CommitLog(store: FileStore, dir: String) {
       bucketBy, buckets,
       parseTxn(doc),
       parseDeletes(doc),
-      parseProps(doc).getOrElse(Map.empty))
+      parseProps(doc).getOrElse(Map.empty),
+      parseDeleteRows(doc))
   }
 
   private def applyDelta(state: TableVersion, body: String, v: Int): TableVersion = {
@@ -358,6 +385,10 @@ final class CommitLog(store: FileStore, dir: String) {
     val deletes = parseDeletes(doc).foldLeft(kept) {
       case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
     }
+    val keptRows = state.deleteRows.view.filterKeys(fileSet.contains).toMap
+    val deleteRows = parseDeleteRows(doc).foldLeft(keptRows) {
+      case (m, (f, n)) => m + (f -> (m.getOrElse(f, 0L) + n))
+    }
     TableVersion(v,
       files,
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
@@ -367,7 +398,8 @@ final class CommitLog(store: FileStore, dir: String) {
       bucketBy, buckets,
       state.txn ++ parseTxn(doc),
       deletes,
-      parseProps(doc).getOrElse(state.props))
+      parseProps(doc).getOrElse(state.props),
+      deleteRows)
   }
 }
 

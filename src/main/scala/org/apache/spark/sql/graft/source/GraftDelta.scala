@@ -78,11 +78,13 @@ class GraftDeltaOperation(dir: String, tableSchema: StructType,
 }
 
 /** One task's delta output: the data files it wrote (inserts, with stats),
-  * its delete file (if it deleted anything), and the data files those
-  * deletes touch. */
+  * its delete file (if it deleted anything), and per touched data file
+  * the number of positions this task deleted from it — recorded in the
+  * manifest so auto-compaction's ratio trigger never re-reads delete
+  * files (a MoR position dies at most once, so counts add exactly). */
 case class GraftDeltaCommitMessage(dataFiles: Seq[(String, Map[String, ColStats])],
                                    deleteFile: Option[String],
-                                   touched: Seq[String])
+                                   touched: Seq[(String, Long)])
     extends WriterCommitMessage
 
 class GraftDeltaWrite(dir: String, writeSchema: StructType,
@@ -113,8 +115,10 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
         GraftSourceTable.store(dir))
       GraftPublish.deleteDir(stageDir)
       val attach: Map[String, Seq[String]] = msgs
-        .flatMap(m => m.deleteFile.toSeq.flatMap(df => m.touched.map(_ -> df)))
+        .flatMap(m => m.deleteFile.toSeq.flatMap(df => m.touched.map(_._1 -> df)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.distinct).toMap
+      val attachRows: Map[String, Long] = msgs
+        .flatMap(_.touched).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       // Write-write conflict detection, INSIDE the CAS retry: the commit
       // itself aborts if an attach target vanished (file rewritten), and
       // this validation aborts if a concurrent row-level commit attached
@@ -143,7 +147,8 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
             attach.keys.toSeq)
         else Nil
       log.commit(None, None, None, None,
-        written.toMap, addedDeletes = attach, changeFiles = changeFiles) { cur =>
+        written.toMap, addedDeletes = attach, addedDeleteRows = attachRows,
+        changeFiles = changeFiles) { cur =>
         validateDeletesUnchanged()
         cur ++ dataFiles
       }
@@ -176,7 +181,7 @@ class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
   private val inserts = new GraftDataWriter(dataFac, partitionId, taskId)
   private var delWriter: OutputWriter = _
   private var delRelPath: String = _
-  private val touched = scala.collection.mutable.LinkedHashSet[String]()
+  private val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
   private val reuse = new org.apache.spark.sql.catalyst.expressions
     .GenericInternalRow(2)
 
@@ -201,7 +206,8 @@ class GraftDeltaWriter(dataFac: GraftWriterFactory, delOwf: OutputWriterFactory,
         GraftSourceTable.DeleteSchema, ctx)
     }
     val file = id.getUTF8String(0)
-    touched += file.toString
+    val key = file.toString
+    touched.update(key, touched.getOrElse(key, 0L) + 1L)
     reuse.update(0, file)
     reuse.update(1, id.getLong(1))
     delWriter.write(reuse)
