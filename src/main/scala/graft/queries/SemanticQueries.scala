@@ -52,6 +52,51 @@ object SemanticQueries {
         .orderBy("order_month", "status")
     }),
 
+    // the same derived metric declared AS DATA in a project (reference:
+    // v1/metric.py:14-20 DerivedTypeParams — metrics are manifest
+    // resources, not API calls): semantics/*.conf declares the measures +
+    // derived expression, saved_queries/*.conf requests it with a table
+    // export, and the full parse → manifest → runner → export pipeline
+    // materializes it. Gate reads the exported table.
+    "q_metric_derived_declared" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft_msem")
+      def put(rel: String, content: String): Unit = {
+        val p = dir.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.writeString(p, content)
+      }
+      put("graft_project.conf",
+        s"""name = sem
+           |schema = main
+           |sources.tpch = $d
+           |""".stripMargin)
+      put("models/orders_base.sql",
+        "select o_orderkey, o_orderstatus, o_totalprice, o_orderdate from {{ source('tpch','orders') }}")
+      put("semantics/orders_sem.conf",
+        """model: orders_base
+          |time_dimension: order_month: date_trunc('month', o_orderdate)
+          |dimension: status: o_orderstatus
+          |measure: revenue: sum: o_totalprice
+          |measure: n_orders: count: 1
+          |metric: revenue: simple: revenue
+          |metric: rev_per_order_x100: derived: revenue / n_orders * 100 + 1
+          |""".stripMargin)
+      put("saved_queries/monthly_derived.conf",
+        """semantic_model: orders_sem
+          |metrics: revenue|rev_per_order_x100
+          |grain: status
+          |export: monthly_derived_tbl: table
+          |""".stripMargin)
+      val sw = new java.io.StringWriter()
+      val rc = graft.Main.execute(s,
+        graft.Main.Args(command = "build", project = dir.toString),
+        new java.io.PrintWriter(sw, true))
+      require(rc == 0, s"declared-metric build failed:\n$sw")
+      val rm = new RelationManager(s, s"$dir/target/warehouse")
+      rm.read(Relation("graft", "main", "monthly_derived_tbl"))
+        .orderBy("order_month", "status")
+    }),
+
     // cumulative (running) revenue per status over months
     "q_metric_cumulative" -> ((s, d) => {
       Metrics.query(ordersModel(s, d),
@@ -133,6 +178,16 @@ object SemanticQueries {
         |FROM orders GROUP BY 1, 2 ORDER BY order_month, status""".stripMargin,
 
     "q_metric_derived" ->
+      """SELECT date_trunc('month', o_orderdate)::timestamp AS order_month,
+        |  o_orderstatus AS status,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*) * 100 + 1 AS rev_per_order_x100
+        |FROM orders GROUP BY 1, 2 ORDER BY order_month, status""".stripMargin,
+
+    // identical relational semantics to q_metric_derived — the declared
+    // path must produce the same bytes as the API path
+    "q_metric_derived_declared" ->
       """SELECT date_trunc('month', o_orderdate)::timestamp AS order_month,
         |  o_orderstatus AS status,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
