@@ -53,6 +53,78 @@ object Multimodal {
       coalesce(ascii(payload.cast(StringType).substr(i.cast(IntegerType), lit(1))),
         lit(0)).cast(DoubleType) / 255.0)
 
+  /** Deterministic IMAGE assets derived from a driver table: each row id
+    * becomes a real PNG (javax.imageio encoder, pure JVM) whose
+    * dimensions derive from the id — `width = 16 + id % 8`,
+    * `height = 8 + id % 4` — and whose pixels are a solid id-derived
+    * color. The derivation is what makes the REAL decode oracle-checkable:
+    * DuckDB can't read a PNG, but it can recompute `16 + id % 8`.
+    * Generated on executors inside mapPartitions (batch-amortized like
+    * the decode seam; no driver-side loop). */
+  def toImageAssets(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 8 + (id % 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (id * 2654435761L & 0xFFFFFF).toInt
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, "image/png", out.toByteArray)
+        }
+      }.toDF("asset_id", "media_type", "payload")
+  }
+
+  /** REAL pure-JVM media decode behind the batched seam (the r6 backlog's
+    * "stop stubbing the decoder"): for image-typed payloads, javax.imageio
+    * parses the actual bytes and reports pixel dimensions plus the
+    * decoded format name; non-image or undecodable payloads yield nulls
+    * (a corrupt object in a 100 TB lake must degrade to a null row, not
+    * kill the batch). Same mapPartitions batch shape as
+    * [[extractFeaturesBatched]] — a JNI/FFmpeg decoder drops into the
+    * same loop. */
+  def decodeImagesBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            val bytes = Option(payload).getOrElse(Array.empty[Byte])
+            val decoded: Option[(Int, Int, String)] =
+              if (mediaType == null || !mediaType.startsWith("image/")) None
+              else try {
+                val in = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(in)
+                  if (!readers.hasNext) None
+                  else {
+                    val r = readers.next()
+                    try {
+                      r.setInput(in)
+                      // header-only decode: dimensions come from the
+                      // format header without materializing pixel data —
+                      // the cheap metadata pass a lake-wide audit wants
+                      Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+                    } finally r.dispose()
+                  }
+                } finally in.close()
+              } catch { case _: Exception => None }
+            (id, bytes.length.toLong,
+              decoded.map(_._1), decoded.map(_._2), decoded.map(_._3))
+          }
+        }
+      }.toDF("asset_id", "n_bytes", "width", "height", "format")
+  }
+
   /** Batch-shaped feature extraction via mapPartitions — the seam where a
     * native decoder (JNI batch API) plugs in. Batching amortizes per-call
     * overhead exactly like `mapInPandas` batches do for Python codecs.

@@ -169,6 +169,24 @@ object OpsQueries {
           round(element_at(col("features"), 3), 6).as("f3"),
           round(element_at(col("features"), 4), 6).as("f4"))
         .orderBy("asset_id")
+    }),
+
+    // REAL image decode (javax.imageio) behind the batched seam: doc ids
+    // become actual PNGs whose dimensions derive from the id, the decoder
+    // parses the real bytes, and the oracle re-derives the arithmetic —
+    // a wrong decode (or a decoder that never ran) hash-mismatches.
+    // A deliberately corrupt payload row proves per-row null degradation.
+    "q_multimodal_decode" -> ((s, d) => {
+      val assets = Multimodal.toImageAssets(Tables.documents(s, d), "doc_id")
+      // corrupt some payloads: media_type says PNG, bytes are garbage
+      val corrupted = assets.withColumn("payload",
+        when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
+      Multimodal.decodeImagesBatched(corrupted)
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("format"))
+        .orderBy("asset_id")
     })
   )
 
@@ -458,6 +476,16 @@ object OpsQueries {
         |  round(CASE WHEN strlen(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END / 255.0, 6) AS f2,
         |  round(CASE WHEN strlen(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END / 255.0, 6) AS f3,
         |  round(CASE WHEN strlen(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END / 255.0, 6) AS f4
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // DuckDB can't parse a PNG, but the image dimensions DERIVE from the
+    // id (toImageAssets), so the oracle recomputes what a correct decode
+    // of the real bytes must report; corrupted payloads must read NULL
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(16 + doc_id % 8 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(8 + doc_id % 4 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE 'png' END AS format
         |FROM documents ORDER BY asset_id""".stripMargin
   )
 }
