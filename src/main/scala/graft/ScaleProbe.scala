@@ -101,6 +101,24 @@ object ScaleProbe {
           (size(split(col("text"), " "))).cast("long"))
         ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()
       }
+      // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
+      // wall growth isolates corpus-side cost (bucketing + per-bucket
+      // candidate scan), the shape a 100 TB embedding store serves.
+      // Embeddings are deterministic 64-dim hash-derived floats.
+      val emb = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("doc_id"), i), lit(2001)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      val queryStride = math.max(n / 256, 1)
+      timed("ann_lsh_topk", runs, opFilter) {
+        val queries = emb.filter(col("doc_id") % queryStride === 0)
+        ops.Similarity.lshTopK(queries, emb, "doc_id", "embedding", k = 10).count()
+      }
+      timed("ann_ivf_topk", runs, opFilter) {
+        val queries = emb.filter(col("doc_id") % queryStride === 0)
+        ops.Ivf.topK(queries, emb, "doc_id", "embedding", k = 10,
+          nCells = 32, nProbe = 4).count()
+      }
       // Adversarial diameter probe (VERDICT r6 #3): a single PATH graph of
       // n nodes (diameter n-1) with hash-permuted node ids, so the min
       // label sits at an arbitrary chain position and must cross the whole

@@ -18,8 +18,9 @@ import graft.relations.{RelationManager, WarehouseIO}
   * immediately):
   *  - `delete_compaction`        — "false" disables (default on)
   *  - `delete_compaction_ratio` — dead/live rows per file that triggers
-  *    a fold (default 0.1; rows come from manifest stats + a
-  *    footer-count of the file's delete entries — tiny files)
+  *    a fold (default 0.1; live rows from manifest stats, dead rows from
+  *    the manifest's `add_delete_rows` counts recorded at DML-commit
+  *    time — the trigger evaluation is metadata-only)
   *  - `delete_compaction_min_rows` — files below this row count never
   *    trigger the RATIO bound (default 1000): a hot row updated twice
   *    kills its whole 1-row insert file (ratio 1.0), and folding the
