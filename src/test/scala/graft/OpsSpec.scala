@@ -148,6 +148,35 @@ class OpsSpec extends AnyFunSuite {
       f2.orderBy("asset_id").collect().map(_.toString).toSeq)
   }
 
+  test("embedding near-dup: identical vectors pair at cosine 1, orthogonal vectors never pair") {
+    import spark.implicits._
+    val e1 = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val e2 = e1.clone()
+    val e3 = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f) // orthogonal to e1
+    val df = Seq((1L, e1), (2L, e2), (3L, e3)).toDF("id", "embedding")
+    val pairs = graft.ops.Similarity.embeddingDupPairs(df, "id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the identical pair survives: $pairs")
+  }
+
+  test("text quality and token counting: degenerate text scores below clean prose") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and keeps running today."),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "")).toDF("id", "text")
+    val scored = df.select(col("id"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3))).toMap
+    assert(scored(1L)._1 > scored(2L)._1, "punctuation soup must score below prose")
+    assert(scored(1L)._2 == 13)
+    assert(scored(3L)._2 == 0 && scored(3L)._3 == 0)
+    // BPE-ish count at least the whitespace count on real text
+    assert(scored(1L)._3 >= scored(1L)._2)
+  }
+
   test("real image decode: javax.imageio reads generated PNG dims; corrupt/non-image degrade to null") {
     import spark.implicits._
     val docs = Seq(0L, 1L, 5L, 107L).toDF("doc_id")
