@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Benchmark decontamination: flag training documents whose text overlaps
+  * an evaluation/benchmark set, so eval questions never leak into the
+  * training corpus. The standard published approach (GPT-3 appendix C,
+  * Brown et al. 2020; refined in Lee et al. 2022 "Deduplicating Training
+  * Data Makes Language Models Better" §6 — both public) is word-n-gram
+  * overlap: a training doc sharing any (or ≥ k) n-grams with a benchmark
+  * doc is contaminated.
+  *
+  * Scale design: benchmark sets are SMALL by construction (an eval suite
+  * is 10³–10⁶ documents; the training corpus is 10⁹+), so the exploded
+  * benchmark shingle set is broadcast and the training side — the 100 TB
+  * side — never shuffles for the join: shingle-explode, hash-probe the
+  * broadcast set, then one doc-keyed partial-agg count. The output joins
+  * back to the full training id set so clean documents report
+  * n_overlap = 0 explicitly (no silent absence).
+  */
+object Decontaminate {
+
+  /** Per-training-doc distinct-shared-n-gram count + contamination flag.
+    *
+    * @param minOverlap flag threshold: contaminated ⇔ n_overlap ≥ minOverlap
+    */
+  def flagOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+                  textCol: String, n: Int, minOverlap: Int): DataFrame = {
+    // wordShingles distincts per document, so a per-doc count of matched
+    // shingles is already a distinct-overlap count — plain count, no
+    // countDistinct expand.
+    val benchShingles = bench
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val trainShingles = train
+      .select(col(idCol), explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+    val hits = trainShingles
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("hits"), lit(0L)).cast(LongType).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", Table A1 —
+  * public paper): documents dominated by a few repeated n-grams are
+  * low-quality training data, and the standard curation move is to score
+  * each document's repetition profile and drop the tail.
+  *
+  * Scale design: the stats are computed by explode + two-level groupBy
+  * (doc×gram counts, then per-doc max/sum), NOT a per-row array scan —
+  * counting the mode of an array with higher-order functions is
+  * O(tokens × distinct-grams) per row with no codegen CSE, while the
+  * explode path is a standard partial-agg shuffle keyed by (doc, gram)
+  * that spreads a pathological single document across the cluster. Both
+  * aggregations carry map-side combine; nothing here is quadratic in
+  * document length or corpus size.
+  */
+object Repetition {
+
+  /** Word n-grams joined by single spaces, WITH multiplicity — unlike
+    * [[TextAnalysis.wordShinglesFromTokens]], which distincts for set
+    * semantics. Fewer than n tokens → empty array (the sequence(1,0)
+    * guard: Spark's sequence is DESCENDING for stop < start). */
+  def ngramsWithMultiplicity(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType))).otherwise {
+      val idx = sequence(lit(1), size(toks) - (n - 1))
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*))
+    }
+
+  /** Gopher thresholds for the computed features (Table A1 uses character
+    * fractions; these are the token-fraction analogs). */
+  val TopBigramMax: Double = 0.20
+  val TopTrigramMax: Double = 0.18
+  val DupBigramMax: Double = 0.50
+
+  /** Per-document repetition features + a keep/drop verdict:
+    *
+    *  - `top_bigram_frac`  — tokens covered by the single most frequent
+    *    bigram (count×2 / n_tokens, capped at 1.0)
+    *  - `top_trigram_frac` — same for trigrams (count×3 / n_tokens)
+    *  - `dup_bigram_frac`  — fraction of bigram slots whose bigram occurs
+    *    more than once in the document
+    *  - `repetition_keep`  — all three under the Gopher-style thresholds
+    *
+    * The verdict compares the 6-decimal-rounded features, so the flag is
+    * reproducible bit-for-bit across engines (the DuckDB oracle re-derives
+    * the identical arithmetic).
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
+    val base = toks.select(col(idCol), size(col("t")).cast(LongType).as("n_tokens"))
+
+    // per-(doc, gram) counts → per-doc max + duplicated-slot mass
+    def gramStats(n: Int, topName: String, dupName: String): DataFrame =
+      toks.select(col(idCol), explode(ngramsWithMultiplicity(col("t"), n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(
+          max("c").as(topName),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(dupName))
+
+    val bi = gramStats(2, "top2", "dup2")
+    val tri = gramStats(3, "top3", "dup3")
+
+    val joined = base
+      .join(bi, Seq(idCol), "left")
+      .join(tri, Seq(idCol), "left")
+
+    val nTok = col("n_tokens").cast(DoubleType)
+    def frac(c: Column): Column = when(col("n_tokens") > 0, c).otherwise(lit(0.0))
+    val topBi = round(frac(least(coalesce(col("top2"), lit(0L)) * 2.0 / nTok, lit(1.0))), 6)
+    val topTri = round(frac(least(coalesce(col("top3"), lit(0L)) * 3.0 / nTok, lit(1.0))), 6)
+    val dupBi = round(
+      when(col("n_tokens") > 1, coalesce(col("dup2"), lit(0L)) / (nTok - 1.0))
+        .otherwise(lit(0.0)), 6)
+
+    joined.select(
+      col(idCol),
+      col("n_tokens"),
+      topBi.as("top_bigram_frac"),
+      topTri.as("top_trigram_frac"),
+      dupBi.as("dup_bigram_frac"))
+      .withColumn("repetition_keep",
+        col("top_bigram_frac") <= TopBigramMax &&
+          col("top_trigram_frac") <= TopTrigramMax &&
+          col("dup_bigram_frac") <= DupBigramMax)
+  }
+}

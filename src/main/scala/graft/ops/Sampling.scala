@@ -29,6 +29,22 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashUnit(col(idCol)) < lit(fraction))
 
+  /** Weighted source mixing: per-source deterministic keep fractions —
+    * the domain-mixture step of a training-data pipeline (e.g. keep all
+    * of a high-quality source, 10% of a crawl). Same id-hash as
+    * [[deterministicSample]], so mixes are nested across weight changes
+    * (raising a source's weight strictly grows its kept set) and
+    * reproducible across engines and cluster sizes. Zero shuffles: the
+    * weight lookup folds to a CASE over the source column and the filter
+    * is embarrassingly parallel. */
+  def weightedMix(df: DataFrame, sourceCol: String, idCol: String,
+                  weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    val weightExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol)) < weightExpr)
+  }
+
   /** Per-stratum quota: keep at most `quota` rows per value of
     * `strataCol`, chosen by hash rank (deterministic, unbiased within the
     * stratum, stable under re-runs and data reshuffling). Adds

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Repetition, Sampling, Similarity, TextAnalysis => TA}
 
 /** Training-data pipeline operators (builder prompt "beyond the reference"
   * set): dedup family, similarity search, text analysis, multimodal
@@ -104,6 +104,35 @@ object OpsQueries {
         col("doc_id"),
         TA.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition profile (Rae et al. 2021 Table A1, token-
+    // fraction analogs): explode + two-level groupBy, never a per-row
+    // O(tokens × distinct) array scan
+    "q_text_repetition" -> ((s, d) => {
+      Repetition.ngramRepetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
+    // every remaining training doc reports its distinct shared-4-gram
+    // count (0 for clean — no silent absence) + the contamination flag
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.flagOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4, minOverlap = 1)
+        .orderBy("doc_id")
+    }),
+
+    // weighted domain mixture: per-source deterministic keep fractions
+    // (keep all of src0, 75% of src1, … 10% of everything else)
+    "q_mix_sources" -> ((s, d) => {
+      Sampling.weightedMix(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultWeight = 0.1)
+        .select("doc_id", "source").orderBy("doc_id")
     }),
 
     // -------------------------------------------------------- sampling
@@ -406,6 +435,52 @@ object OpsQueries {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+         |  i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+         |bgs AS (SELECT doc_id, max(c) AS top2, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks),
+         |tgs AS (SELECT doc_id, max(c) AS top3
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1),
+         |f AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |    round(CASE WHEN b.n_tokens > 0
+         |      THEN least(COALESCE(top2, 0) * 2.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) AS top_bigram_frac,
+         |    round(CASE WHEN b.n_tokens > 0
+         |      THEN least(COALESCE(top3, 0) * 3.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) AS top_trigram_frac,
+         |    round(CASE WHEN b.n_tokens > 1
+         |      THEN COALESCE(dup2, 0) * 1.0 / (b.n_tokens - 1) ELSE 0.0 END, 6) AS dup_bigram_frac
+         |  FROM base b LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id))
+         |SELECT doc_id, n_tokens, top_bigram_frac, top_trigram_frac, dup_bigram_frac,
+         |  (top_bigram_frac <= 0.20 AND top_trigram_frac <= 0.18 AND dup_bigram_frac <= 0.50)
+         |    AS repetition_keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(t)-3, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles FROM toks),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT t.doc_id, COUNT(*) AS n FROM train t JOIN bench USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n, 0) AS n_overlap, COALESCE(n, 0) >= 1 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |      / CAST(268435456 AS DOUBLE)
+        |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_fraction" ->
       """SELECT doc_id, lang FROM documents

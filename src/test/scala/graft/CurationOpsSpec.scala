@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Repetition, Sampling}
+
+/** Curation-layer operators: Gopher-style repetition filters, benchmark
+  * decontamination, weighted source mixing. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("repetition features: degenerate doc flagged, diverse doc kept, short docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b"), // one bigram dominates → drop
+      // diverse AND long enough that a unique trigram (3/n) clears the
+      // 0.18 threshold — 20 tokens → top_trigram_frac 0.15
+      (2L, "the quick brown fox jumps over a lazy dog while birds sing songs under bright skies near calm blue water"),
+      (3L, "one"), // single token: no bigrams at all
+      (4L, "")).toDF("doc_id", "text")
+    val out = Repetition.ngramRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    // "a b" occurs 4 of 7 bigram slots → top frac = min(4*2/8, 1) = 1.0
+    assert(r1.getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_bigram_frac") == 1.0) // every slot's bigram repeats
+    assert(!r1.getAs[Boolean]("repetition_keep"))
+
+    val r2 = out(1)
+    assert(r2.getAs[Double]("top_bigram_frac") == 0.1) // every bigram unique → 2/20
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r2.getAs[Boolean]("repetition_keep"))
+
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_tokens") == 1L)
+    assert(r3.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(r3.getAs[Boolean]("repetition_keep"))
+
+    val r4 = out(3)
+    assert(r4.getAs[Long]("n_tokens") == 0L)
+    assert(r4.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(r4.getAs[Boolean]("repetition_keep"))
+  }
+
+  test("repetition trigram fraction counts the modal trigram") {
+    import spark.implicits._
+    // "x y z" appears twice among 4 trigram slots of 6 tokens → 2*3/6 = 1.0
+    val docs = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    val r = Repetition.ngramRepetition(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Double]("top_trigram_frac") == 1.0)
+    // bigram "x y" also twice: 2*2/6 = 0.666667 after rounding
+    assert(r.getAs[Double]("top_bigram_frac") == 0.666667)
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta tail"), // shares 4-grams
+      (2L, "completely unrelated text with no overlap here"),
+      (3L, "beta gamma delta epsilon and more")) // shares one 4-gram
+      .toDF("doc_id", "text")
+    val out = Decontaminate.flagOverlap(train, bench, "doc_id", "text",
+      n = 4, minOverlap = 1).orderBy("doc_id").collect()
+    assert(out.length == 3, "every training doc must report, clean ones included")
+    assert(out(0).getAs[Long]("n_overlap") == 1L && out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_overlap") == 0L && !out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Long]("n_overlap") == 1L && out(2).getAs[Boolean]("contaminated"))
+  }
+
+  test("decontamination joins the benchmark side as a broadcast") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta gamma delta x")).toDF("doc_id", "text")
+    val plan = Decontaminate.flagOverlap(train, bench, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast — the training side never shuffles for the probe:\n$plan")
+  }
+
+  test("weighted mix: nested across weights, exact at the extremes") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def kept(w: Map[String, Double]): Set[Long] =
+      Sampling.weightedMix(df, "source", "doc_id", w, defaultWeight = 0.0)
+        .select("doc_id").as[Long].collect().toSet
+    val low = kept(Map("src0" -> 0.2, "src1" -> 0.1))
+    val high = kept(Map("src0" -> 0.6, "src1" -> 0.4))
+    assert(low.subsetOf(high), "raising weights must only grow the kept set")
+    val all = kept(Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0, "src3" -> 1.0))
+    assert(all.size == 400, "weight 1.0 keeps every row")
+    val none = kept(Map.empty)
+    assert(none.isEmpty, "default weight 0.0 keeps nothing")
+    // default weight applies to sources absent from the map
+    val dflt = Sampling.weightedMix(df, "source", "doc_id",
+      Map("src0" -> 0.0), defaultWeight = 1.0)
+      .select("source").distinct().as[String].collect().toSet
+    assert(dflt == Set("src1", "src2", "src3"))
+  }
+
+  test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
+    val rep = SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
+    val repRows = rep.collect()
+    assert(repRows.nonEmpty)
+    val fracs = repRows.map(_.getAs[Double]("top_bigram_frac")).distinct
+    assert(fracs.length > 1, "feature must vary across the corpus")
+    val dec = SparkEntry.queries("q_decontaminate")(spark, "/root/testdata/sf0.001")
+    val decRows = dec.collect()
+    assert(decRows.nonEmpty)
+    val mix = SparkEntry.queries("q_mix_sources")(spark, "/root/testdata/sf0.001")
+    val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val n = mix.count()
+    assert(n > 0 && n < total, s"mixture must be a strict non-empty subset, got $n of $total")
+  }
+}
