@@ -101,6 +101,25 @@ object ScaleProbe {
           (size(split(col("text"), " "))).cast("long"))
         ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()
       }
+      // NOTE: .count() would measure NOTHING for these two — both ops end
+      // in a left join to a unique-keyed aggregate, which Spark's outer-
+      // join elimination prunes wholesale when the joined columns go
+      // unreferenced. Aggregate over the computed features instead.
+      timed("repetition_profile", runs, opFilter) {
+        val out = ops.Repetition.ngramRepetition(docs, "doc_id", "text")
+        out.agg(count(lit(1)),
+          sum(when(col("repetition_keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      timed("decontaminate", runs, opFilter) {
+        // FIXED ~500-doc benchmark (eval sets don't grow with the training
+        // corpus): wall growth isolates the training-side shingle explode
+        // + broadcast hash probe, the 100 TB-side cost
+        val benchStride = math.max(n / 500, 1)
+        val bench = docs.filter(col("doc_id") % benchStride === 0)
+        ops.Decontaminate.flagOverlap(docs, bench, "doc_id", "text",
+          n = 4, minOverlap = 1)
+          .agg(count(lit(1)), sum("n_overlap")).collect()(0).getLong(0)
+      }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.

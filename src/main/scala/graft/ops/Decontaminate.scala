@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -30,12 +30,17 @@ object Decontaminate {
                   textCol: String, n: Int, minOverlap: Int): DataFrame = {
     // wordShingles distincts per document, so a per-doc count of matched
     // shingles is already a distinct-overlap count — plain count, no
-    // countDistinct expand.
-    val benchShingles = bench
-      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
-      .distinct()
-    val trainShingles = train
-      .select(col(idCol), explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+    // countDistinct expand. Tokens are MATERIALIZED into a column before
+    // shingling (the TextAnalysis.wordShinglesFromTokens perf contract):
+    // an inline split() inside the transform lambda re-tokenizes the
+    // document on every element_at access — measured 60.6 s vs 3.1 s
+    // (19×) on the 150k-doc ScaleProbe leg.
+    def shingled(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(
+          TextAnalysis.wordShinglesFromTokens(col("__toks"), n)).as("shingle"): _*)
+    val benchShingles = shingled(bench).select("shingle").distinct()
+    val trainShingles = shingled(train, col(idCol))
     val hits = trainShingles
       .join(broadcast(benchShingles), Seq("shingle"))
       .groupBy(col(idCol))

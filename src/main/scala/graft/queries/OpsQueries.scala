@@ -126,6 +126,28 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: the fixture corpus is PII-free, so deterministic emails/
+    // phones/IPs are planted first (same arithmetic in the oracle) — the
+    // md5 of the redacted text proves the scrub byte-for-byte
+    "q_text_pii" -> ((s, d) => {
+      import graft.ops.PiiRedact
+      val aug = Tables.documents(s, d).withColumn("ptext", concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast(StringType),
+            lit("-4567"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 192.168."), (col("doc_id") % 256).cast(StringType),
+            lit("."), (col("doc_id") % 100).cast(StringType))).otherwise(lit(""))))
+      val cnts = PiiRedact.counts(col("ptext"))
+      aug.select((col("doc_id") +: cnts.map { case (n, c) => c.as(n) } :+
+        md5(PiiRedact.redact(col("ptext"))).as("redacted_md5")): _*)
+        .orderBy("doc_id")
+    }),
+
     // weighted domain mixture: per-source deterministic keep fractions
     // (keep all of src0, 75% of src1, … 10% of everything else)
     "q_mix_sources" -> ((s, d) => {
@@ -473,6 +495,32 @@ object OpsQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          |LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' call 555-' || (doc_id % 900 + 100)::VARCHAR || '-4567' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+         |      ELSE '' END AS ptext
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, ptext,
+         |  regexp_replace(ptext, '$email', '[EMAIL]', 'g') AS t1 FROM aug),
+         |r2 AS (SELECT doc_id, ptext, t1,
+         |  regexp_replace(t1, '$ip', '[IP]', 'g') AS t2 FROM r1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(ptext, '$email')) AS n_emails,
+         |  len(regexp_extract_all(t1, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(t2, '$phone')) AS n_phones,
+         |  md5(regexp_replace(t2, '$phone', '[PHONE]', 'g')) AS redacted_md5
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
 
     "q_mix_sources" ->
       """SELECT doc_id, source FROM documents

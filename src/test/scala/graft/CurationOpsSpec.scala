@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Repetition, Sampling}
+import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling}
 
 /** Curation-layer operators: Gopher-style repetition filters, benchmark
   * decontamination, weighted source mixing. */
@@ -97,6 +97,25 @@ class CurationOpsSpec extends AnyFunSuite {
       Map("src0" -> 0.0), defaultWeight = 1.0)
       .select("source").distinct().as[String].collect().toSet
     assert(dflt == Set("src1", "src2", "src3"))
+  }
+
+  test("PII redaction replaces emails, phones, and IPs with typed tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice.smith+spam@mail-host.co.uk or 555-123-4567"),
+      (2L, "servers 10.0.0.1 and 192.168.254.3 online"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = df.select(
+      (col("id") +: PiiRedact.counts(col("text")).map { case (n, c) => c.as(n) } :+
+        PiiRedact.redact(col("text")).as("r")): _*)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("r") == "reach me at [EMAIL] or [PHONE]")
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_phones") == 1)
+    assert(out(1).getAs[String]("r") == "servers [IP] and [IP] online")
+    assert(out(1).getAs[Int]("n_ips") == 2)
+    assert(out(2).getAs[String]("r") == "no pii here at all")
+    assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_ips") == 0
+      && out(2).getAs[Int]("n_phones") == 0)
   }
 
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
