@@ -169,6 +169,24 @@ object OpsQueries {
         .orderBy("lang", "sample_rank")
     }),
 
+    // deterministic train/val/test assignment: per-row hash cut
+    "q_split_assign" -> ((s, d) => {
+      graft.ops.Splits.assign(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
+    // leakage-safe variant: near-dup clusters (minhash pair graph → CC)
+    // move between splits as one unit, keyed by the component id
+    "q_split_cluster_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+      graft.ops.Splits.clusterAwareAssign(docs, "doc_id", pairs, "doc_a", "doc_b",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split_key", "split").orderBy("doc_id")
+    }),
+
     // ------------------------------------------------ sequence packing
     // budget-aligned block packing: docs in id order fill 1024-token
     // training sequences via a two-level prefix sum (no document-sized
@@ -545,6 +563,51 @@ object OpsQueries {
         |  FROM documents) t
         |WHERE sample_rank <= 40
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 0.9 THEN 'train' WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |    / CAST(268435456 AS DOUBLE) AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_cluster_safe" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |keyed AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN h < 0.9 THEN 'train' WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, split_key,
+         |  CAST(('0x' || substr(md5(split_key::VARCHAR), 1, 7)) AS BIGINT)
+         |    / CAST(268435456 AS DOUBLE) AS h FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH d AS (

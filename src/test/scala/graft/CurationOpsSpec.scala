@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling}
+import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling, Splits}
 
 /** Curation-layer operators: Gopher-style repetition filters, benchmark
   * decontamination, weighted source mixing. */
@@ -116,6 +116,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("r") == "no pii here at all")
     assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[Int]("n_ips") == 0
       && out(2).getAs[Int]("n_phones") == 0)
+  }
+
+  test("plain split: every row labeled, roughly proportional, stable under re-run") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Splits.assign(df, "doc_id", fr)
+    val byLabel = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"), s"unlabeled rows: $byLabel")
+    assert(byLabel.values.sum == 2000L)
+    assert(byLabel("train") > 1700 && byLabel("train") < 1950, s"$byLabel")
+    // deterministic: a second run is identical
+    val again = Splits.assign(df, "doc_id", fr)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("cluster-aware split never lets a near-dup component straddle splits") {
+    import spark.implicits._
+    // 3 planted clusters + singletons; edges form chains
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 11L), (11L, 21L), // cluster {1,11,21}
+      (2L, 12L), // cluster {2,12}
+      (3L, 13L), (13L, 23L), (23L, 33L)) // cluster {3,13,23,33}
+      .toDF("doc_a", "doc_b")
+    val fr = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Splits.clusterAwareAssign(docs, "doc_id", pairs, "doc_a", "doc_b", fr)
+    val splitsPerKey = out.groupBy("split_key")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(splitsPerKey == 0, "a component must map to exactly one split")
+    // members of cluster {3,13,23,33} share the min-label key 3 and one split
+    val c3 = out.filter(col("doc_id").isin(3L, 13L, 23L, 33L))
+      .select("split_key", "split").distinct().collect()
+    assert(c3.length == 1 && c3(0).getLong(0) == 3L)
+    // singletons key on their own id → identical to the plain assignment
+    val plain = Splits.assign(docs, "doc_id", fr)
+      .withColumnRenamed("split", "plain_split")
+    val clustered = out.filter(!col("doc_id")
+      .isin(1L, 11L, 21L, 2L, 12L, 3L, 13L, 23L, 33L))
+    assert(clustered.join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split")).count() == 0)
   }
 
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
