@@ -32,6 +32,47 @@ object Repetition {
         concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*))
     }
 
+  /** Corpus-level boilerplate profile: the fraction of each document's
+    * word-n-gram windows that are CORPUS-WIDE boilerplate (windows whose
+    * document frequency ≥ `minDocFrequency` — navigation chrome, license
+    * headers, template text). This is the document-frequency complement
+    * of the per-document stats above, and the profile step behind
+    * C4-style repeated-passage removal (Raffel et al. 2020 §2.2, public).
+    *
+    * Scale shape: one explode over per-doc DISTINCT shingles, a
+    * partial-agg document-frequency count keyed by shingle, and a
+    * shuffle join of shingles against the hot set — never an all-pairs
+    * comparison. The hot set is small by definition (high-df shingles),
+    * but it is NOT broadcast blindly: at 100 TB the df distribution is
+    * unknown upfront, and a shuffle join degrades gracefully where an
+    * assumed-broadcastable set would OOM the driver.
+    */
+  def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDocFrequency: Long): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // wordShinglesFromTokens distincts per doc → the groupBy below counts
+    // DOCUMENT frequency, not occurrence frequency
+    val sh = toks.select(col(idCol),
+      explode(TextAnalysis.wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFrequency)
+      .select(col("shingle"), lit(1).as("__hot"))
+    val per = sh.join(hot, Seq("shingle"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boilerplate_frac",
+        round(when(col("n_windows") > 0,
+          col("n_boiler").cast(DoubleType) / col("n_windows").cast(DoubleType))
+          .otherwise(lit(0.0)), 6))
+  }
+
   /** Gopher thresholds for the computed features (Table A1 uses character
     * fractions; these are the token-fraction analogs). */
   val TopBigramMax: Double = 0.20

@@ -114,6 +114,14 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-level boilerplate: fraction of each doc's 3-gram windows
+    // whose document frequency ≥ 5 across the corpus
+    "q_text_boilerplate" -> ((s, d) => {
+      Repetition.boilerplateProfile(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDocFrequency = 5L)
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -500,6 +508,24 @@ object OpsQueries {
          |  (top_bigram_frac <= 0.20 AND top_trigram_frac <= 0.18 AND dup_bigram_frac <= 0.50)
          |    AS repetition_keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks),
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+         |hot AS (SELECT shingle FROM dfq WHERE df >= 5),
+         |per AS (SELECT s.doc_id, COUNT(*) AS n_windows,
+         |  CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM sh s LEFT JOIN hot h USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_windows, 0) AS n_windows,
+         |  COALESCE(n_boiler, 0) AS n_boiler,
+         |  round(CASE WHEN COALESCE(n_windows, 0) > 0
+         |    THEN COALESCE(n_boiler, 0) * 1.0 / n_windows ELSE 0.0 END, 6) AS boilerplate_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

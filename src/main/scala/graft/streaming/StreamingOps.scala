@@ -32,6 +32,22 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Streaming curation ingest: the batch curation operators applied to a
+    * continuous document feed — quality gate, PII scrub, then exact dedup
+    * whose state is BOUNDED by the watermark (dropDuplicatesWithinWatermark
+    * evicts a content-hash key once the watermark passes it, so state size
+    * tracks the dedup horizon, not corpus history — the property that
+    * keeps a months-long ingest from accumulating 100 TB of dedup state).
+    * Emits the curated row plus its content hash; downstream sinks pair it
+    * with [[appendToTable]] for exactly-once delivery. */
+  def curateDocStream(docs: DataFrame, tsCol: String, watermark: String,
+                      minQuality: Double): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("text", graft.ops.PiiRedact.redact(col("text")))
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Run a streaming query over a bounded parquet directory and block
     * until it drains (local smoke path: memory sink + processAllAvailable). */
   def runBounded(spark: SparkSession, dir: String, schema: StructType,

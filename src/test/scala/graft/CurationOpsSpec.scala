@@ -160,6 +160,62 @@ class CurationOpsSpec extends AnyFunSuite {
       .filter(col("split") =!= col("plain_split")).count() == 0)
   }
 
+  test("boilerplate profile counts corpus-wide hot windows per document") {
+    import spark.implicits._
+    // "copyright acme corp" appears in 5 docs → hot at minDocFrequency=5;
+    // every other window is unique
+    val docs = ((0L until 5L).map(i => (i, s"copyright acme corp unique$i tail$i")) :+
+      (9L, "totally unique text nothing shared here")).toDF("doc_id", "text")
+    val out = Repetition.boilerplateProfile(docs, "doc_id", "text",
+      n = 3, minDocFrequency = 5L).orderBy("doc_id").collect()
+    (0 until 5).foreach { i =>
+      assert(out(i).getAs[Long]("n_windows") == 3L)
+      assert(out(i).getAs[Long]("n_boiler") == 1L, s"doc $i must flag the shared window")
+      assert(out(i).getAs[Double]("boilerplate_frac") == 0.333333)
+    }
+    assert(out(5).getAs[Long]("n_boiler") == 0L)
+    assert(out(5).getAs[Double]("boilerplate_frac") == 0.0)
+  }
+
+  test("streaming curation: quality gate + PII scrub + watermark-bounded dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "the story continues for a while with many plain words in it ") * 6
+    val pii = good + "contact alice@example.com now"
+    val junk = "!!! ??? !!!"
+    val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.curateDocStream(
+      src.toDF().toDF("doc_id", "text", "ts"), "ts", "10 minutes", minQuality = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curated_stream").start()
+    try {
+      src.addData((1L, good, ts(0)), (2L, pii, ts(1)), (3L, junk, ts(2)), (4L, good, ts(3)))
+      q.processAllAvailable()
+      val first = spark.table("curated_stream").collect()
+      val ids = first.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L), s"junk filtered, dup dropped: got $ids")
+      val redacted = first.find(_.getAs[Long]("doc_id") == 2L).get.getAs[String]("text")
+      assert(redacted.contains("[EMAIL]") && !redacted.contains("alice@example.com"))
+
+      // within the horizon a replayed content hash stays deduped...
+      src.addData((5L, good, ts(60)))
+      q.processAllAvailable()
+      assert(!spark.table("curated_stream").collect()
+        .map(_.getAs[Long]("doc_id")).contains(5L))
+      // ...but once the watermark passes the stored key it is EVICTED, so
+      // the same content is admitted again — state is horizon-bounded
+      src.addData((6L, good, ts(75)))
+      q.processAllAvailable()
+      assert(spark.table("curated_stream").collect()
+        .map(_.getAs[Long]("doc_id")).contains(6L),
+        "evicted key must readmit content beyond the dedup horizon")
+    } finally q.stop()
+  }
+
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
     val rep = SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
     val repRows = rep.collect()
