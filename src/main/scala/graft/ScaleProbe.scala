@@ -110,6 +110,11 @@ object ScaleProbe {
         out.agg(count(lit(1)),
           sum(when(col("repetition_keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
       }
+      timed("boilerplate_profile", runs, opFilter) {
+        ops.Repetition.boilerplateProfile(docs, "doc_id", "text",
+          n = 3, minDocFrequency = 5L)
+          .agg(count(lit(1)), sum("n_boiler")).collect()(0).getLong(0)
+      }
       timed("decontaminate", runs, opFilter) {
         // FIXED ~500-doc benchmark (eval sets don't grow with the training
         // corpus): wall growth isolates the training-side shingle explode

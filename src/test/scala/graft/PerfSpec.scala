@@ -140,4 +140,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$plan")
   }
+
+  test("curation ops: no cartesian anywhere; repetition aggregates partially") {
+    for (q <- Seq("q_text_repetition", "q_text_boilerplate", "q_decontaminate",
+                  "q_split_cluster_safe", "q_mix_sources", "q_text_pii")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
+    }
+    // the (doc, gram) count must partial-aggregate before its shuffle —
+    // map-side combine is what bounds a pathological repeated document
+    val rep = physicalPlan("q_text_repetition")
+    assert("partial_count".r.findAllIn(rep).nonEmpty ||
+      "HashAggregate".r.findAllIn(rep).size >= 4,
+      s"expected two-level aggregation with partials:\n$rep")
+  }
+
+  test("mix/split/pii stay shuffle-free: pure per-row filters and projections") {
+    for (q <- Seq("q_mix_sources", "q_split_assign", "q_text_pii")) {
+      val plan = physicalPlan(q).split("== Initial Plan ==")(0)
+      // the gate queries append an orderBy for determinism, which plans a
+      // range exchange — anything BEYOND that one sort means the op itself
+      // shuffled, which these ops must never do
+      val exchanges = "Exchange ".r.findAllIn(plan).size
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+      assert(exchanges == rangeEx, s"$q must not shuffle beyond the output sort:\n$plan")
+    }
+  }
 }
