@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus profiling: per-stratum token statistics (the dataset-card
+  * numbers every training corpus ships with — doc counts, token mass,
+  * median / tail document lengths per source or language).
+  *
+  * Order statistics are EXACT k-th elements (row_number against the
+  * group size), not interpolated percentiles: exactness is what makes
+  * the result oracle-checkable bit-for-bit across engines, and integer
+  * token counts make interpolation noise pure downside. At 100 TB the
+  * same API point is where `approx_percentile` (t-digest, one pass, no
+  * per-group sort) plugs in when a ±0.1% answer is acceptable — the
+  * exact variant costs one sort-shuffle keyed by the stratum.
+  */
+object CorpusStats {
+
+  /** Per-group: n_docs, total_tokens, median_tokens (lower median: the
+    * ⌈n/2⌉-th smallest), p95_tokens (the ⌈0.95·n⌉-th smallest). */
+  def tokenStatsBy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+    val sizes = toks.groupBy("grp").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"))
+    // deterministic k-th order statistic: ties ordered arbitrarily still
+    // yield the same VALUE at rank k (k-th element of the sorted multiset)
+    val ranked = toks.withColumn("rn",
+      row_number().over(Window.partitionBy("grp").orderBy("n_tokens")))
+      .join(sizes, "grp")
+    val med = ranked.filter(col("rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("grp"), col("n_tokens").as("median_tokens"))
+    val p95 = ranked.filter(col("rn") === ceil(col("n_docs") * 0.95).cast(LongType))
+      .select(col("grp"), col("n_tokens").as("p95_tokens"))
+    sizes.join(med, "grp").join(p95, "grp")
+      .withColumnRenamed("grp", groupCol)
+  }
+}

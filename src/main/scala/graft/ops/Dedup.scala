@@ -31,6 +31,35 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("n_copies"), col("is_survivor"))
   }
 
+  /** Cross-batch incremental dedup: classify a NEW batch of documents
+    * against the already-curated corpus — the shape every continuously-
+    * ingesting pipeline runs (dedup the day's crawl against months of
+    * history) where re-hashing the historical corpus per batch would be
+    * O(corpus) instead of O(batch).
+    *
+    * `corpusHashes` is the persisted fingerprint table (one hash column;
+    * pairs naturally with [[exact]]'s content_hash output materialized
+    * incrementally). Statuses: `dup_of_corpus` (content already curated),
+    * `dup_in_batch` (first occurrence wins within the batch),
+    * `new` (admit). The corpus side joins by shuffle, NOT broadcast —
+    * a production fingerprint table is corpus-sized; the join keys on the
+    * hash so both sides partition evenly regardless of content skew. */
+  def exactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                       corpusHashes: DataFrame, hashCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val ranked = hashed.withColumn("rn",
+      row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
+    val hist = corpusHashes.select(col(hashCol).as("content_hash")).distinct()
+      .withColumn("__seen", lit(1))
+    ranked.join(hist, Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"),
+        when(col("__seen").isNotNull, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new").as("status"))
+      .withColumn("is_new_content", col("status") === "new")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Modulus keeping a*h+b inside 63 bits for h < 2^28, a < 2^21 —

@@ -53,6 +53,22 @@ object OpsQueries {
         .select("doc", "component", "cluster_size").orderBy("doc")
     }),
 
+    // cross-batch incremental dedup: docs ≡ 0 (mod 3) play the historical
+    // corpus (fingerprint table); the rest arrive as the new batch
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 3 === 0).select(md5(col("text")).as("h"))
+      Dedup.exactIncremental(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        hist, "h")
+        .orderBy("doc_id")
+    }),
+
+    // per-source token statistics with exact order statistics
+    "q_corpus_stats" -> ((s, d) => {
+      graft.ops.CorpusStats.tokenStatsBy(Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.45, planes = 4, dims = 64)
@@ -396,6 +412,34 @@ object OpsQueries {
          |JOIN sizes sb ON doc_b = sb.doc
          |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0),
+        |nw AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0),
+        |r AS (SELECT doc_id, content_hash,
+        |  ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM nw)
+        |SELECT doc_id, content_hash,
+        |  CASE WHEN content_hash IN (SELECT content_hash FROM hist) THEN 'dup_of_corpus'
+        |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
+        |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""WITH toks AS (
+         |  SELECT source AS grp, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |sizes AS (SELECT grp, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM toks GROUP BY 1),
+         |r AS (SELECT grp, n_tokens,
+         |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens) AS rn FROM toks),
+         |j AS (SELECT r.grp, r.n_tokens, r.rn, s.n_docs FROM r JOIN sizes s ON r.grp = s.grp)
+         |SELECT s.grp AS source, s.n_docs, s.total_tokens,
+         |  m.n_tokens AS median_tokens, p.n_tokens AS p95_tokens
+         |FROM sizes s
+         |JOIN (SELECT grp, n_tokens FROM j WHERE rn = (n_docs + 1) // 2) m ON s.grp = m.grp
+         |JOIN (SELECT grp, n_tokens FROM j WHERE rn = CAST(ceil(n_docs * 0.95) AS BIGINT)) p
+         |  ON s.grp = p.grp
+         |ORDER BY source""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

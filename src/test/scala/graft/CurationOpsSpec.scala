@@ -160,6 +160,42 @@ class CurationOpsSpec extends AnyFunSuite {
       .filter(col("split") =!= col("plain_split")).count() == 0)
   }
 
+  test("incremental dedup classifies corpus dups, batch dups, and new content") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val hist = Seq("seen before").toDF("t").select(md5(col("t")).as("h"))
+    val batch = Seq(
+      (10L, "seen before"), // in corpus
+      (11L, "fresh one"), // new
+      (12L, "fresh two"), // new
+      (13L, "fresh one"), // dup within batch
+      (14L, "seen before")) // corpus dup wins over batch-dup status
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "doc_id", "text", hist, "h")
+      .orderBy("doc_id").collect()
+    val statuses = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses == Map(10L -> "dup_of_corpus", 11L -> "new", 12L -> "new",
+      13L -> "dup_in_batch", 14L -> "dup_of_corpus"))
+    assert(out.filter(_.getAs[Boolean]("is_new_content"))
+      .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
+  }
+
+  test("corpus stats: exact lower-median and p95 order statistics per group") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    // group a: token counts 1..20 → n=20, median rank (21) DIV 2 = 10 → 10,
+    // p95 rank ceil(19) = 19 → 19; group b: counts {2,2,7} → median 2, p95 7
+    val docs = ((1 to 20).map(i => ("a", ("w " * i).trim)) ++
+      Seq(("b", "x y"), ("b", "p q"), ("b", "a b c d e f g"))).toDF("source", "text")
+    val out = CorpusStats.tokenStatsBy(docs, "source", "text")
+      .orderBy("source").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") == 20L && a.getAs[Long]("total_tokens") == 210L)
+    assert(a.getAs[Long]("median_tokens") == 10L && a.getAs[Long]("p95_tokens") == 19L)
+    val b = out(1)
+    assert(b.getAs[Long]("median_tokens") == 2L && b.getAs[Long]("p95_tokens") == 7L)
+  }
+
   test("boilerplate profile counts corpus-wide hot windows per document") {
     import spark.implicits._
     // "copyright acme corp" appears in 5 docs → hot at minDocFrequency=5;
