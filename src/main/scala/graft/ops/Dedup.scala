@@ -191,6 +191,46 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Incremental NEAR-dup: band-join the new batch's MinHash signatures
+    * against a persisted corpus signature table — the continuous-ingest
+    * companion of [[minhashLshPairs]] (its exact-hash sibling is
+    * [[exactIncremental]]). Returns (doc, corpus_doc, est_jaccard) for
+    * every new-batch document whose estimated Jaccard against some
+    * already-curated document clears `threshold`.
+    *
+    * Scale shape: the batch side is small, so its banded rows broadcast
+    * implicitly via AQE when they fit; the corpus side is banded as a
+    * stateless projection + explode of the SIGNATURE table (k longs per
+    * doc, ~1000× smaller than the corpus text) — at 100 TB the banded
+    * form itself is the artifact to persist (band → doc), turning each
+    * ingest into a semi-join against the band index rather than a
+    * corpus-wide explode. Signatures must come from the same
+    * (shingleLen, k) configuration; bands is the query-side knob. */
+  def minhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
+                         shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
+    try {
+      val nb = newSigs.select(col("doc"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+      val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"), col(sigCol).as("csig"))
+      val cb = cs.select(col("corpus_doc"),
+        explode(bandKeys(col("csig"), bands, k / bands)).as("band"))
+      nb.join(cb, Seq("band"))
+        .select("doc", "corpus_doc").distinct()
+        .join(newSigs, "doc")
+        .join(cs, "corpus_doc")
+        .withColumn("est_jaccard",
+          org.apache.spark.sql.graft.VectorExpressions
+            .signatureAgreement(col("sig"), col("csig"))
+            .cast(DoubleType) / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select("doc", "corpus_doc", "est_jaccard")
+        .localCheckpoint(true)
+    } finally newSigs.unpersist()
+  }
+
   // ------------------------------------------------- dedup clustering
 
   /** Connected components over an undirected edge list — the clustering

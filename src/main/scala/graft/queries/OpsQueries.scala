@@ -63,6 +63,17 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental NEAR-dup: the new batch (doc_id % 3 <> 0) against the
+    // persisted signature table of the historical corpus (doc_id % 3 = 0)
+    "q_dedup_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", shingleLen = 5, k = 32)
+      Dedup.minhashIncremental(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        corpusSigs, "doc", "sig", shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .orderBy("doc", "corpus_doc")
+    }),
+
     // per-source token statistics with exact order statistics
     "q_corpus_stats" -> ((s, d) => {
       graft.ops.CorpusStats.tokenStatsBy(Tables.documents(s, d), "source", "text")
@@ -424,6 +435,32 @@ object OpsQueries {
         |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
         |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |nb AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig WHERE doc % 3 <> 0),
+         |cb AS (
+         |  SELECT doc AS corpus_doc, sig AS csig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig WHERE doc % 3 = 0),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc, cb.corpus_doc, nb.sig AS sig_a, cb.csig AS sig_b
+         |  FROM nb JOIN cb USING (band))
+         |SELECT doc, corpus_doc,
+         |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+         |ORDER BY doc, corpus_doc""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH toks AS (

@@ -180,6 +180,25 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("incremental minhash equals the batch pair set restricted to cross pairs") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minhashSignatures(hist, "doc_id", "text", shingleLen = 5, k = 32)
+    val inc = Dedup.minhashIncremental(batch, "doc_id", "text", sigs, "doc", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.flatMap { case (a, b) =>
+      if (a % 3 == 0 && b % 3 != 0) Some((b, a))
+      else if (b % 3 == 0 && a % 3 != 0) Some((a, b)) else None
+    }
+    assert(inc.nonEmpty, "fixture must contain cross-split near-dups")
+    assert(inc == cross, s"missing: ${cross -- inc}, extra: ${inc -- cross}")
+  }
+
   test("corpus stats: exact lower-median and p95 order statistics per group") {
     import spark.implicits._
     import graft.ops.CorpusStats
