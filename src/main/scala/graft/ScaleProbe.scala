@@ -96,6 +96,15 @@ object ScaleProbe {
           maxBandFrequency = Some(2000))
         ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
       }
+      timed("minhash_incremental", runs, opFilter) {
+        // batch = 2/3 of corpus vs a signature store of the other 1/3 —
+        // the continuous-ingest shape (signatures precomputed upstream)
+        val sigs = ops.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", shingleLen = 5, k = 32)
+        ops.Dedup.minhashIncremental(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sigs, "doc", "sig",
+          maxBandFrequency = Some(2000)).count()
+      }
       timed("sequence_packing", runs, opFilter) {
         val withTokens = docs.withColumn("n_tokens",
           (size(split(col("text"), " "))).cast("long"))

@@ -59,8 +59,31 @@ object Tables {
           s"events.ts read as unsupported type $other (expected BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The r7 fixture-drift lesson generalized: normalize the id/width
+    * columns the engine and specs rely on (a regenerated fixture could
+    * legally ship doc_id as int32), but leave `embedding` at its stored
+    * element type — force-narrowing a future float64 fixture to float32
+    * would DIVERGE from the DuckDB oracle, which always reads the stored
+    * values; both engines cast to double at the point of arithmetic. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType}
+    load(s, d, "documents").select(
+      col("doc_id").cast(LongType).as("doc_id"),
+      col("text").cast(StringType).as("text"),
+      col("lang").cast(StringType).as("lang"),
+      col("source").cast(StringType).as("source"),
+      col("n_chars").cast(LongType).as("n_chars"))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "embeddings")
+    raw.select((raw.columns.toSeq.map {
+      case "vec_id" => col("vec_id").cast(LongType).as("vec_id")
+      case other => col(other)
+    }): _*)
+  }
 
   /** Register all tables as temp views so `spark.sql` models can use
     * bare table names (mirrors the driver's DuckDB oracle setup).
@@ -68,7 +91,12 @@ object Tables {
     * SQL surface sees the same TIMESTAMP column as the DataFrame API. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      val df = n match {
+        case "events" => events(spark, sfDir)
+        case "documents" => documents(spark, sfDir)
+        case "embeddings" => embeddings(spark, sfDir)
+        case _ => load(spark, sfDir, n)
+      }
       df.createOrReplaceTempView(n)
     }
 }

@@ -205,18 +205,38 @@ object Dedup {
     * form itself is the artifact to persist (band → doc), turning each
     * ingest into a semi-join against the band index rather than a
     * corpus-wide explode. Signatures must come from the same
-    * (shingleLen, k) configuration; bands is the query-side knob. */
+    * (shingleLen, k) configuration; bands is the query-side knob.
+    *
+    * `maxBandFrequency` is the SAME hot-bucket guard as
+    * [[minhashLshPairs]]'s, counted over batch+corpus band rows
+    * together — without it a band bucket saturated by a globally-common
+    * shingle joins batch-side × corpus-side members and the 150k-doc
+    * ScaleProbe leg OOMed outright (SCALE.md round-8 second pass).
+    * None (default) is the exact mode the oracle verifies. */
   def minhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                          corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
                          shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         maxBandFrequency: Option[Int] = None): DataFrame = {
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
     try {
-      val nb = newSigs.select(col("doc"),
+      val nb0 = newSigs.select(col("doc"),
         explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
       val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"), col(sigCol).as("csig"))
-      val cb = cs.select(col("corpus_doc"),
+      val cb0 = cs.select(col("corpus_doc"),
         explode(bandKeys(col("csig"), bands, k / bands)).as("band"))
+      val (nb, cb) = maxBandFrequency match {
+        case None => (nb0, cb0)
+        case Some(cap) =>
+          val hot = nb0.select("band").unionAll(cb0.select("band"))
+            .groupBy("band").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > cap).select("band")
+            // tiny by construction (only saturated buckets) — materialize
+            // once so the two anti-joins don't each recount every band
+            .localCheckpoint(true)
+          (nb0.join(broadcast(hot), Seq("band"), "left_anti"),
+            cb0.join(broadcast(hot), Seq("band"), "left_anti"))
+      }
       nb.join(cb, Seq("band"))
         .select("doc", "corpus_doc").distinct()
         .join(newSigs, "doc")

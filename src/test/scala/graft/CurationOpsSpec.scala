@@ -199,6 +199,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(inc == cross, s"missing: ${cross -- inc}, extra: ${inc -- cross}")
   }
 
+  test("incremental minhash band cap prunes saturated buckets, keeps the near-dup") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val prefix = (0 until 100).map(i => s"common$i").mkString(" ")
+    val corpus = ((0 until 80).map(i => (i.toLong, s"$prefix tailc$i" + ("x" * 30))) :+
+      (900L, "zebra quartz jolt vexing mamba kudzu plinth oryx glyph njord" * 4))
+      .toDF("doc_id", "text")
+    val batch = ((100 until 180).map(i => (i.toLong, s"$prefix tailb$i" + ("y" * 30))) :+
+      (901L, "zebra quartz jolt vexing mamba kudzu plinth oryx glyph njorD" * 4))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", shingleLen = 5, k = 32)
+    def pairs(cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.minhashIncremental(batch, "doc_id", "text", sigs, "doc", "sig",
+        maxBandFrequency = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairs(None)
+    val cp = pairs(Some(20))
+    assert(cp.subsetOf(un), "capping can only remove candidates")
+    assert(cp.contains((901L, 900L)), s"planted near-dup must survive the cap: $cp")
+    val crowd = (s: Set[(Long, Long)]) => s.count { case (a, b) => a < 200 && b < 200 }
+    assert(crowd(un) > 100 && crowd(cp) < crowd(un),
+      s"cap must prune the saturated crowd: ${crowd(un)} -> ${crowd(cp)}")
+  }
+
   test("corpus stats: exact lower-median and p95 order statistics per group") {
     import spark.implicits._
     import graft.ops.CorpusStats
