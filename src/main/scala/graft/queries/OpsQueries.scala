@@ -258,6 +258,32 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // -------------------------------------- composed curation pipeline
+    // The round-8 composition: repetition gate → quality gate →
+    // benchmark decontamination → PII scrub → split assignment + token
+    // counts, one lazy plan over the session's new operators — the same
+    // compose-bit-exactly proof q_train_pipeline gives the round-1 ops.
+    "q_curation_pipeline" -> ((s, d) => {
+      import graft.ops.{PiiRedact, Splits}
+      val docs = Tables.documents(s, d)
+      val rep = Repetition.ngramRepetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("repetition_keep"))
+      val kept = docs.join(rep, "doc_id")
+        .filter(col("repetition_keep") && TA.qualityScore(col("text")) >= 0.7)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = kept.filter(col("doc_id") % 97 =!= 0)
+      val decon = Decontaminate.flagOverlap(train, bench, "doc_id", "text",
+        n = 4, minOverlap = 1)
+      val clean = train.join(
+        decon.filter(!col("contaminated")).select("doc_id"), "doc_id")
+      Splits.assign(clean, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"),
+          TA.tokenCount(PiiRedact.redact(col("text"))).cast(LongType).as("n_tokens"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------- multimodal
     "q_multimodal_assets" -> ((s, d) => {
       val assets = Multimodal.toAssets(Tables.documents(s, d), "doc_id", "text", "source")
@@ -760,6 +786,68 @@ object OpsQueries {
          |  CAST(strt // 512 AS BIGINT) AS seq_id,
          |  CAST(strt - (strt // 512) * 512 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+         |  i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+         |bgs AS (SELECT doc_id, max(c) AS top2, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks),
+         |tgs AS (SELECT doc_id, max(c) AS top3
+         |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1),
+         |repf AS (
+         |  SELECT b.doc_id FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) b
+         |  LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+         |  WHERE round(CASE WHEN b.n_tokens > 0
+         |      THEN least(COALESCE(top2, 0) * 2.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.20
+         |    AND round(CASE WHEN b.n_tokens > 0
+         |      THEN least(COALESCE(top3, 0) * 3.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.18
+         |    AND round(CASE WHEN b.n_tokens > 1
+         |      THEN COALESCE(dup2, 0) * 1.0 / (b.n_tokens - 1) ELSE 0.0 END, 6) <= 0.50),
+         |qual AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      length(text)::DOUBLE AS n,
+         |      len($toksSql)::DOUBLE AS n_tok,
+         |      (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE AS punct,
+         |      len(list_filter($toksSql,
+         |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_hits
+         |    FROM documents) f
+         |  WHERE round(
+         |    least(n / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) * 4.0, 1.0) * 0.3, 6) >= 0.7),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN repf USING (doc_id) JOIN qual USING (doc_id)),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(t)-3, 0)),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles FROM toks),
+         |benchs AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         |trains AS (SELECT s.doc_id, unnest(s.shingles) AS shingle
+         |  FROM sh s JOIN kept k USING (doc_id) WHERE s.doc_id % 97 <> 0),
+         |contaminated AS (SELECT DISTINCT t.doc_id FROM trains t JOIN benchs USING (shingle)),
+         |clean AS (
+         |  SELECT k.doc_id, k.text FROM kept k
+         |  WHERE k.doc_id % 97 <> 0
+         |    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |red AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS rtext
+         |  FROM clean)
+         |SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(rtext), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CASE WHEN h < 0.9 THEN 'train' WHEN h < 0.95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, rtext,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+         |    / CAST(268435456 AS DOUBLE) AS h FROM red)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
