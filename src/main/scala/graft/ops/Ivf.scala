@@ -32,17 +32,58 @@ object Ivf {
       s => -s.getField("neg_id"))
   }
 
-  def topK(queries: DataFrame, corpus: DataFrame,
-           idCol: String, vecCol: String, k: Int,
-           nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    // coarse quantizer: tiny, driver-side by design (k-means seeds)
-    val centroids: Seq[(Int, Array[Double])] = corpus
-      .filter(col(idCol) < nCells)
+  /** Deterministic quantizer seeds: the first `nCells` corpus vectors. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int): Seq[(Int, Array[Double])] =
+    corpus.filter(col(idCol) < nCells)
       .select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
+
+  /** Spherical k-means (Lloyd) training for the coarse quantizer:
+    * assign every vector to its max-cosine centroid, recompute each
+    * centroid as its cell's mean, repeat. Cosine is scale-invariant, so
+    * the raw mean IS the spherical update (no explicit normalization
+    * needed) and the average best-cosine objective is non-decreasing
+    * per iteration (Dhillon & Modha 2001, public).
+    *
+    * Scale shape: each iteration is ONE distributed pass — cell argmax
+    * as a fused codegen projection, then a (cell, dim) partial-agg mean
+    * whose result is nCells × dims rows (driver-tiny by construction;
+    * the collect here is the quantizer, not the data path). Empty cells
+    * keep their previous centroid. Deterministic: same corpus + seeds →
+    * same quantizer, so training composes with the engine's
+    * reproducibility contract. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            nCells: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    val vecs = corpus.select(Similarity.asDouble(col(vecCol)).as("v")).persist()
+    try {
+      var cents = seedCentroids(corpus, idCol, vecCol, nCells)
+      for (_ <- 0 until iters) {
+        val means = vecs
+          .withColumn("cell", element_at(cellRanks(col("v"), cents, 1), 1))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .collect()
+          .groupBy(_.getAs[Int]("cell"))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      cents
+    } finally vecs.unpersist()
+  }
+
+  def topK(queries: DataFrame, corpus: DataFrame,
+           idCol: String, vecCol: String, k: Int,
+           nCells: Int = 8, nProbe: Int = 2,
+           trainedCentroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    // coarse quantizer: tiny, driver-side by design (offline k-means via
+    // [[train]], or the deterministic seeds the oracle reproduces)
+    val centroids: Seq[(Int, Array[Double])] =
+      trainedCentroids.getOrElse(seedCentroids(corpus, idCol, vecCol, nCells))
 
     val c = corpus.select(col(idCol).as("neighbor_id"), Similarity.asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", element_at(cellRanks(col("cv"), centroids, 1), 1))

@@ -295,6 +295,43 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF k-means training: objective non-decreasing, clusters recovered") {
+    import graft.ops.Ivf
+    // 4 well-separated directions in 64-dim: a dominant spike at dim
+    // cluster*16 plus deterministic sub-unit noise
+    val docs = spark.range(200).toDF("vec_id")
+      .withColumn("cluster", col("vec_id") % 4)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), i =>
+        when(i === col("cluster").cast("int") * 16, lit(10.0))
+          .otherwise(pmod(xxhash64(col("vec_id"), i), lit(100)).cast("double") / 100.0)))
+    val vs = docs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def objective(cents: Seq[(Int, Array[Double])]): Double =
+      vs.map { case (_, v) => cents.map(c => cos(v, c._2)).max }.sum / vs.length
+
+    val seeds = Ivf.seedCentroids(docs, "vec_id", "embedding", nCells = 4)
+    val objs = (0 to 3).map(i =>
+      objective(if (i == 0) seeds else Ivf.train(docs, "vec_id", "embedding", 4, i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective must be non-decreasing: $objs") }
+    assert(objs.last > objs.head, s"training must actually improve the quantizer: $objs")
+
+    // trained centroids recover the cluster structure: each centroid's
+    // argmax dimension is one of the four spike dims, all four covered
+    val trained = Ivf.train(docs, "vec_id", "embedding", 4, 3)
+    val spikes = trained.map { case (_, c) => c.indexOf(c.max) }.toSet
+    assert(spikes == Set(0, 16, 32, 48), s"centroid spikes: $spikes")
+
+    // and trained quantizer slots straight into topK
+    val out = Ivf.topK(docs.filter(col("vec_id") < 5), docs, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 2, trainedCentroids = Some(trained))
+    assert(out.count() == 15)
+  }
+
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
     val rep = SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
     val repRows = rep.collect()
