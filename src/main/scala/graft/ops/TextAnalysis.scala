@@ -81,6 +81,41 @@ object TextAnalysis {
     round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
   }
 
+  /** CCNet-style language-model quality scoring, degraded to a unigram
+    * model (Wenzek et al. 2020 "CCNet" filters by LM perplexity; the
+    * unigram mean negative log-probability is the same signal computable
+    * as two relational passes, no model artifact). Returns per-document
+    * (id, n_tokens, avg_logprob) where avg_logprob = Σ ln p(tok) / n;
+    * LOWER (more negative) = rarer tokens = more surprising text. The
+    * probability table is the corpus's own unigram distribution, so every
+    * token is seen and no smoothing constant enters the contract.
+    *
+    * Scale shape: one explode + token-keyed count (the vocabulary —
+    * partial-agg, Zipf-bounded), a shuffle join of token rows against it,
+    * and a doc-keyed mean. The vocabulary is NOT assumed broadcastable:
+    * at web scale it runs to billions of types; the join keys on the
+    * token so hot words spread by the explode's even partitioning. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tokRows = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    // corpus token mass as a 1-row broadcast, not an eager count() — the
+    // whole op stays ONE lazy plan and the explode isn't executed twice
+    val totalDf = tokRows.agg(count(lit(1)).cast(DoubleType).as("__total"))
+    val vocab = tokRows.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(totalDf))
+    val scored = tokRows.join(vocab, "tok")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(log(col("tf").cast(DoubleType) / col("__total"))).as("sum_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(when(col("n_tokens") > 0, col("sum_lp") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("avg_logprob"))
+  }
+
   /** Document fingerprint: order-insensitive content hash —
     * md5 over the sorted distinct lowercase token set. Collapses
     * whitespace/ordering variants to one key; pairs with exact dedup. */

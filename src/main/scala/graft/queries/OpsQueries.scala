@@ -133,6 +133,13 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style unigram LM surprise: corpus unigram distribution →
+    // per-doc mean log-probability
+    "q_text_unigram_logprob" -> ((s, d) => {
+      TA.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition profile (Rae et al. 2021 Table A1, token-
     // fraction analogs): explode + two-level groupBy, never a per-row
     // O(tokens × distinct) array scan
@@ -590,6 +597,18 @@ object OpsQueries {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_unigram_logprob" ->
+      s"""WITH tr AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tr),
+         |vocab AS (SELECT tok, COUNT(*) AS tf FROM tr GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, sum(ln(tf / total)) AS sum_lp
+         |  FROM tr JOIN vocab USING (tok) CROSS JOIN tot GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN COALESCE(n_tokens, 0) > 0
+         |    THEN sum_lp / n_tokens ELSE 0.0 END, 6) AS avg_logprob
+         |FROM documents d LEFT JOIN scored USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -295,6 +295,20 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unigram logprob: rare tokens score lower, uniform corpus scores ln(1/V)") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // 9 docs of "common", 1 doc of "rare": p(common)=0.9, p(rare)=0.1
+    val docs = ((1L to 9L).map(i => (i, "common")) :+ (10L, "rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val commonLp = out(0).getAs[Double]("avg_logprob")
+    val rareLp = out(9).getAs[Double]("avg_logprob")
+    assert(math.abs(commonLp - math.log(0.9)) < 1e-6)
+    assert(math.abs(rareLp - math.log(0.1)) < 1e-6)
+    assert(rareLp < commonLp, "surprising text must score lower")
+  }
+
   test("IVF k-means training: objective non-decreasing, clusters recovered") {
     import graft.ops.Ivf
     // 4 well-separated directions in 64-dim: a dominant spike at dim
