@@ -76,6 +76,30 @@ object Ivf {
     } finally vecs.unpersist()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
+    * the embedding space with the coarse quantizer, then compare pairs
+    * ONLY within a cell — the cluster blocking that makes semantic dedup
+    * sub-quadratic. Pass [[train]]'s output for a real quantizer; the
+    * seeded default keeps the operator DuckDB-oracle-checkable (the
+    * oracle reproduces the argmax assignment; k-means iterations are not
+    * SQL-expressible). Cell population bounds the per-cell self-join —
+    * at scale, nCells is sized so cells fit the skew budget, exactly the
+    * SemDeDup paper's k≈√n regime. Returns (id_a, id_b, cosine ≥
+    * threshold) on the 6-decimal-rounded cosine (the cross-engine
+    * contract used by every similarity oracle here). */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nCells: Int = 8,
+                         trainedCentroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    val centroids = trainedCentroids.getOrElse(seedCentroids(corpus, idCol, vecCol, nCells))
+    val v = corpus.select(col(idCol).as("id"), Similarity.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", element_at(cellRanks(col("v"), centroids, 1), 1))
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
   def topK(queries: DataFrame, corpus: DataFrame,
            idCol: String, vecCol: String, k: Int,
            nCells: Int = 8, nProbe: Int = 2,

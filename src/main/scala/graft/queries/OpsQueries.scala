@@ -86,6 +86,14 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup: IVF-cell-blocked pairwise cosine (seeded quantizer so
+    // the oracle can reproduce the argmax assignment)
+    "q_dedup_semantic" -> ((s, d) => {
+      graft.ops.Ivf.semanticDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, nCells = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ----------------------------------------------------- similarity
     "q_sim_topk_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -520,6 +528,27 @@ object OpsQueries {
          |FROM v a JOIN v b USING (bucket)
          |WHERE a.id < b.id AND ${cosineSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_semantic" -> {
+      val rawCos =
+        """list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) /
+          |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+          |     sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |s AS (
+         |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+         |    $rawCos AS score
+         |  FROM embeddings e CROSS JOIN c),
+         |best AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+         |    FROM s) t
+         |  WHERE rn = 1)
+         |SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
+         |FROM best a JOIN best b ON a.cid = b.cid AND a.id < b.id
+         |WHERE ${cosineSql("a.v", "b.v")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -295,6 +295,27 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic dedup: cluster blocking finds in-cell near-dups, never crosses cells") {
+    import graft.ops.Ivf
+    // reuse the spiked-cluster corpus: near-dups share a cluster by
+    // construction, so every reported pair must be same-cluster
+    val docs = spark.range(100).toDF("vec_id")
+      .withColumn("cluster", col("vec_id") % 4)
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), i =>
+        when(i === col("cluster").cast("int") * 16, lit(10.0))
+          .otherwise(pmod(xxhash64(col("vec_id"), i), lit(100)).cast("double") / 100.0)))
+    val trained = Ivf.train(docs, "vec_id", "embedding", nCells = 4, iters = 2)
+    val pairs = Ivf.semanticDedupPairs(docs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4, trainedCentroids = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "spiked clusters are internally near-identical in cosine")
+    assert(pairs.forall { case (a, b) => a % 4 == b % 4 },
+      "cluster blocking must only pair within a cell")
+    // gate-configured seeded variant runs and is non-degenerate at sf0.001
+    val gate = SparkEntry.queries("q_dedup_semantic")(spark, "/root/testdata/sf0.001")
+    assert(gate.count() > 0)
+  }
+
   test("unigram logprob: rare tokens score lower, uniform corpus scores ln(1/V)") {
     import spark.implicits._
     import graft.ops.TextAnalysis
