@@ -134,6 +134,10 @@ object ScaleProbe {
           n = 4, minOverlap = 1)
           .agg(count(lit(1)), sum("n_overlap")).collect()(0).getLong(0)
       }
+      timed("unigram_logprob", runs, opFilter) {
+        ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+          .agg(count(lit(1)), sum("avg_logprob")).collect()(0).getLong(0)
+      }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.
@@ -143,6 +147,16 @@ object ScaleProbe {
           (pmod(xxhash64(col("doc_id"), i), lit(2001)).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
       val queryStride = math.max(n / 256, 1)
+      // SemDeDup is O(n²/k) BY DESIGN (intra-cell pairwise): probe with
+      // k ∝ √n (the paper's regime) so per-cell population stays bounded.
+      // The quantizer rides the fused argmax expression as literals, so
+      // very large k needs a join-based assignment instead — documented
+      // limit, not probed here.
+      timed("semantic_dedup", runs, opFilter) {
+        val cells = math.max(8, math.sqrt(n).toInt / 2)
+        ops.Ivf.semanticDedupPairs(emb, "doc_id", "embedding",
+          threshold = 0.9, nCells = cells).count()
+      }
       timed("ann_lsh_topk", runs, opFilter) {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Similarity.lshTopK(queries, emb, "doc_id", "embedding", k = 10).count()
