@@ -143,7 +143,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("curation ops: no cartesian anywhere; repetition aggregates partially") {
     for (q <- Seq("q_text_repetition", "q_text_boilerplate", "q_decontaminate",
-                  "q_split_cluster_safe", "q_mix_sources", "q_text_pii")) {
+                  "q_split_cluster_safe", "q_mix_sources", "q_text_pii",
+                  "q_text_unigram_logprob", "q_dedup_incremental",
+                  "q_dedup_minhash_incremental", "q_corpus_stats",
+                  "q_curation_pipeline", "q_dedup_semantic")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
