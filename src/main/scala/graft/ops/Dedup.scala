@@ -191,6 +191,26 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Survivor selection by QUALITY: given near-dup components (any
+    * [[connectedComponents]] output) and a per-document score, keep the
+    * highest-scoring member of each cluster instead of the min-id one —
+    * what production dedup actually wants (drop the OCR-garbled copy,
+    * keep the clean one). Ties break on the rounded score then min id,
+    * so survivor choice is deterministic and engine-portable. Singletons
+    * (docs absent from the pair graph) survive trivially. One window
+    * shuffle keyed by component; cluster sizes bound the sort. */
+  def keepBest(df: DataFrame, idCol: String, scoreCol: String,
+               comp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = df.join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col(scoreCol), col("is_survivor"))
+  }
+
   /** Incremental NEAR-dup: band-join the new batch's MinHash signatures
     * against a persisted corpus signature table — the continuous-ingest
     * companion of [[minhashLshPairs]] (its exact-hash sibling is

@@ -53,6 +53,19 @@ object OpsQueries {
         .select("doc", "component", "cluster_size").orderBy("doc")
     }),
 
+    // quality-aware survivor selection: keep the highest-quality member
+    // of each near-dup cluster, not the min id
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val scored = docs.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+      Dedup.keepBest(scored, "doc_id", "quality", comp)
+        .orderBy("doc_id")
+    }),
+
     // cross-batch incremental dedup: docs ≡ 0 (mod 3) play the historical
     // corpus (fingerprint table); the rest arrive as the new batch
     "q_dedup_incremental" -> ((s, d) => {
@@ -464,6 +477,53 @@ object OpsQueries {
          |JOIN sizes sb ON doc_b = sb.doc
          |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |qual AS (
+         |  SELECT doc_id, round(
+         |    least(length(text) / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+         |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+         |      ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN len($toksSql) > 0
+         |      THEN len(list_filter($toksSql,
+         |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($toksSql)
+         |      ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+         |  FROM documents),
+         |labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+         |SELECT doc_id, component, quality,
+         |  (ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id)) = 1
+         |    AS is_survivor
+         |FROM labeled JOIN qual USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH hist AS (

@@ -295,6 +295,23 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keepBest survivor selection: highest score wins, singletons survive") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 wins (tie → min id)
+      (7L, 0.1), // singleton
+      (8L, 0.5), (9L, 0.7)) // cluster {8,9}: 9 wins despite larger id
+      .toDF("doc_id", "quality")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("node", "component")
+    val out = Dedup.keepBest(docs, "doc_id", "quality", comp)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      7L -> true, 8L -> false, 9L -> true))
+  }
+
   test("semantic dedup: cluster blocking finds in-cell near-dups, never crosses cells") {
     import graft.ops.Ivf
     // reuse the spiked-cluster corpus: near-dups share a cluster by
