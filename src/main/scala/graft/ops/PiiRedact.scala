@@ -31,6 +31,26 @@ object PiiRedact {
         lit(Ipv4Pattern), lit("[IP]")),
       lit(PhonePattern), lit("[PHONE]"))
 
+  /** URL pattern with the host as capture group 1 — the C4-pipeline
+    * blocklist-filter shape (Raffel et al. 2020 §2.2 drops pages from
+    * listed domains). Same Java-regex/RE2 portability constraints as the
+    * PII patterns; both engines support group-indexed extract-all. */
+  val UrlPattern = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+
+  /** Per-document URL profile against a domain blocklist: total URL
+    * count, blocked-domain hits, and the keep verdict. Pure per-row
+    * regex work — zero shuffles; the blocklist folds into the predicate
+    * (production-sized blocklists swap in a broadcast join keyed on the
+    * extracted domain, same plan shape as Decontaminate). */
+  def urlProfile(text: Column, blockedDomains: Seq[String]): Seq[(String, Column)] = {
+    val domains = regexp_extract_all(text, lit(UrlPattern), lit(1))
+    val blocked = size(filter(domains, d => d.isInCollection(blockedDomains)))
+    Seq(
+      "n_urls" -> size(domains),
+      "n_blocked" -> blocked,
+      "url_keep" -> (blocked === 0))
+  }
+
   /** Per-category match counts (pre-redaction). */
   def counts(text: Column): Seq[(String, Column)] = Seq(
     "n_emails" -> regexp_count(text, lit(EmailPattern)),

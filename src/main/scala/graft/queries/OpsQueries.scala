@@ -211,6 +211,24 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style domain blocklist: URLs planted deterministically (the
+    // fixture is URL-free), hosts extracted by capture group, blocked
+    // domains counted and the keep verdict derived
+    "q_text_urls" -> ((s, d) => {
+      import graft.ops.PiiRedact
+      val blocked = (0 until 10).map(i => s"spam$i.example.com")
+      val aug = Tables.documents(s, d).withColumn("utext", concat(
+        col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" see https://spam"), (col("doc_id") % 10).cast(StringType),
+            lit(".example.com/page"))).otherwise(lit("")),
+        when(col("doc_id") % 15 === 0,
+          lit(" ref http://ok.test.org/a?x=1")).otherwise(lit(""))))
+      aug.select((col("doc_id") +:
+        PiiRedact.urlProfile(col("utext"), blocked).map { case (n, c) => c.as(n) }): _*)
+        .orderBy("doc_id")
+    }),
+
     // weighted domain mixture: per-source deterministic keep fractions
     // (keep all of src0, 75% of src1, … 10% of everything else)
     "q_mix_sources" -> ((s, d) => {
@@ -779,6 +797,25 @@ object OpsQueries {
          |  len(regexp_extract_all(t2, '$phone')) AS n_phones,
          |  md5(regexp_replace(t2, '$phone', '[PHONE]', 'g')) AS redacted_md5
          |FROM r2 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_urls" -> {
+      val url = """https?://([A-Za-z0-9.-]+)[^\s]*"""
+      val blocked = (0 until 10).map(i => s"'spam$i.example.com'").mkString(", ")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN ' see https://spam' || (doc_id % 10)::VARCHAR || '.example.com/page'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 15 = 0 THEN ' ref http://ok.test.org/a?x=1' ELSE '' END AS utext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(utext, '$url', 1)) AS n_urls,
+         |  len(list_filter(regexp_extract_all(utext, '$url', 1),
+         |    d -> d IN ($blocked))) AS n_blocked,
+         |  len(list_filter(regexp_extract_all(utext, '$url', 1),
+         |    d -> d IN ($blocked))) = 0 AS url_keep
+         |FROM aug ORDER BY doc_id""".stripMargin
     },
 
     "q_mix_sources" ->

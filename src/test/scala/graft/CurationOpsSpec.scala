@@ -295,6 +295,23 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("URL profile: hosts extracted, blocklist counted, keep verdict") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "go to https://spam1.example.com/x and http://fine.org/y now"),
+      (2L, "no links at all"),
+      (3L, "https://ok.net/a https://ok.net/b")).toDF("id", "text")
+    val out = df.select((col("id") +:
+      PiiRedact.urlProfile(col("text"), Seq("spam1.example.com"))
+        .map { case (n, c) => c.as(n) }): _*)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_urls") == 2 && out(0).getAs[Int]("n_blocked") == 1
+      && !out(0).getAs[Boolean]("url_keep"))
+    assert(out(1).getAs[Int]("n_urls") == 0 && out(1).getAs[Boolean]("url_keep"))
+    assert(out(2).getAs[Int]("n_urls") == 2 && out(2).getAs[Int]("n_blocked") == 0
+      && out(2).getAs[Boolean]("url_keep"))
+  }
+
   test("keepBest survivor selection: highest score wins, singletons survive") {
     import spark.implicits._
     import graft.ops.Dedup
