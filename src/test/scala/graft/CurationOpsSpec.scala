@@ -295,6 +295,39 @@ class CurationOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation op algebra: uniform mix ≡ fraction sample; splits always total") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    // a uniform weight map degenerates to the plain deterministic sample —
+    // the two operators share one hash, so mixes nest inside samples
+    for (w <- Seq(0.1, 0.5, 0.9)) {
+      val mix = Sampling.weightedMix(df, "source", "doc_id", Map.empty, w).select("doc_id")
+      val frac = Sampling.deterministicSample(df, "doc_id", w).select("doc_id")
+      assert(mix.except(frac).isEmpty && frac.except(mix).isEmpty, s"w=$w")
+    }
+    // any fraction vector partitions the input completely into its labels
+    for (fr <- Seq(Seq("only" -> 1.0), Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4),
+                   Seq("x" -> 0.01, "y" -> 0.99))) {
+      val out = Splits.assign(df, "doc_id", fr)
+      assert(out.count() == 500, s"fr=$fr")
+      assert(out.select("split").distinct().as[String].collect().toSet
+        .subsetOf(fr.map(_._1).toSet), s"fr=$fr")
+    }
+  }
+
+  test("incremental dedup against an empty corpus degenerates to exact dedup") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val empty = Seq.empty[String].toDF("h")
+    val incNew = Dedup.exactIncremental(docs, "doc_id", "text", empty, "h")
+      .filter(col("is_new_content")).select("doc_id")
+    val exSurv = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("is_survivor")).select("doc_id")
+    assert(incNew.except(exSurv).isEmpty && exSurv.except(incNew).isEmpty,
+      "batch-only incremental admits exactly the exact-dedup survivors")
+  }
+
   test("URL profile: hosts extracted, blocklist counted, keep verdict") {
     import spark.implicits._
     val df = Seq(
