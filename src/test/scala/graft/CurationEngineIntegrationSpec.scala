@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Relation
+import graft.ops.Dedup
+import graft.relations.RelationManager
+import java.nio.file.Files
+
+/** The two halves of the repo composed: the curation operators running
+  * INCREMENTALLY against the engine's own commit-log storage — a curated
+  * corpus table whose fingerprints dedup every subsequent ingest batch.
+  * This is the continuous-ingest production shape: O(batch) curation per
+  * arrival, the corpus table as the single source of truth. */
+class CurationEngineIntegrationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("incremental curation over a commit-log corpus table: only new content lands") {
+    import spark.implicits._
+    val rm = new RelationManager(spark,
+      Files.createTempDirectory("graft_curation").toString)
+    val rel = Relation("graft", "main", "corpus")
+
+    // ingest batch 1: exact-dedup internally, store survivors + hashes
+    val batch1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text")
+    val surv1 = Dedup.exact(batch1, "doc_id", "text")
+      .filter(col("is_survivor"))
+      .select(col("doc_id"), col("content_hash"))
+      .join(batch1, "doc_id")
+      .select("doc_id", "text", "content_hash")
+    rm.writeTable(surv1, rel)
+    assert(rm.read(rel).count() == 2)
+
+    // ingest batch 2: dedup against the TABLE's stored fingerprints —
+    // the corpus is never re-hashed, only its hash column is read
+    val batch2 = Seq(
+      (10L, "alpha text"), // already in the corpus → dropped
+      (11L, "gamma text"), // new → lands
+      (12L, "gamma text")) // batch-internal dup → dropped
+      .toDF("doc_id", "text")
+    val classified = Dedup.exactIncremental(batch2, "doc_id", "text",
+      rm.read(rel).select("content_hash"), "content_hash")
+    val admit = batch2.join(
+      classified.filter(col("is_new_content")).select("doc_id"), "doc_id")
+      .withColumn("content_hash", md5(col("text")))
+    rm.appendTable(admit, rel)
+
+    val corpus = rm.read(rel).select("doc_id", "text").as[(Long, String)]
+      .collect().toSet
+    assert(corpus == Set((1L, "alpha text"), (2L, "beta text"), (11L, "gamma text")),
+      s"corpus after two ingests: $corpus")
+
+    // replaying batch 2 is a curation no-op: everything now dups the corpus
+    val replay = Dedup.exactIncremental(batch2, "doc_id", "text",
+      rm.read(rel).select("content_hash"), "content_hash")
+    assert(replay.filter(col("is_new_content")).count() == 0,
+      "re-ingesting an absorbed batch must admit nothing")
+
+    // and the corpus-table read for dedup prunes to the hash column only
+    val probe = rm.read(rel).select("content_hash")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<content_hash:string"),
+      s"fingerprint scan must prune to the hash column:\n$plan")
+  }
+}
