@@ -96,15 +96,26 @@ object ScaleProbe {
           maxBandFrequency = Some(2000))
         ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
       }
+      // batch = 2/3 of corpus vs a signature store of the other 1/3 —
+      // the continuous-ingest shape. The corpus signatures are MATERIALIZED
+      // before the timed block (a real ingest reads them from a table, and
+      // minhashIncremental references corpusSigs twice — band explode +
+      // join-back — so an unpersisted frame would recompute O(corpus)
+      // signatures inside the timing, polluting the batch-side signal)
+      val corpusSigs =
+        if (opFilter("minhash_incremental")) {
+          val s = ops.Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            shingleLen = 5, k = 32).persist()
+          s.count()
+          Some(s)
+        } else None
       timed("minhash_incremental", runs, opFilter) {
-        // batch = 2/3 of corpus vs a signature store of the other 1/3 —
-        // the continuous-ingest shape (signatures precomputed upstream)
-        val sigs = ops.Dedup.minhashSignatures(
-          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", shingleLen = 5, k = 32)
         ops.Dedup.minhashIncremental(docs.filter(col("doc_id") % 3 =!= 0),
-          "doc_id", "text", sigs, "doc", "sig",
+          "doc_id", "text", corpusSigs.get, "doc", "sig",
           maxBandFrequency = Some(2000)).count()
       }
+      corpusSigs.foreach(_.unpersist())
       timed("sequence_packing", runs, opFilter) {
         val withTokens = docs.withColumn("n_tokens",
           (size(split(col("text"), " "))).cast("long"))

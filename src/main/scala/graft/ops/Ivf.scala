@@ -95,7 +95,9 @@ object Ivf {
       .withColumn("cell", element_at(cellRanks(col("v"), centroids, 1), 1))
     v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      // Similarity.cosine already rounds to 6 — the single site enforcing
+      // the cross-engine contract; don't re-round and obscure it
+      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

@@ -21,16 +21,11 @@ import org.apache.spark.sql.types._
   */
 object Repetition {
 
-  /** Word n-grams joined by single spaces, WITH multiplicity — unlike
-    * [[TextAnalysis.wordShinglesFromTokens]], which distincts for set
-    * semantics. Fewer than n tokens → empty array (the sequence(1,0)
-    * guard: Spark's sequence is DESCENDING for stop < start). */
+  /** Word n-grams with multiplicity — delegates to the single shingling
+    * implementation in [[TextAnalysis.wordNgramsFromTokens]] so the
+    * sequence(1,0) guard and window construction live in one place. */
   def ngramsWithMultiplicity(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast(ArrayType(StringType))).otherwise {
-      val idx = sequence(lit(1), size(toks) - (n - 1))
-      transform(idx, i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*))
-    }
+    TextAnalysis.wordNgramsFromTokens(toks, n)
 
   /** Corpus-level boilerplate profile: the fraction of each document's
     * word-n-gram windows that are CORPUS-WIDE boilerplate (windows whose

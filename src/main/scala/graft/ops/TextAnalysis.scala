@@ -99,11 +99,16 @@ object TextAnalysis {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val tokRows = df.select(col(idCol),
       explode(tokens(col(textCol))).as("tok"))
-    // corpus token mass as a 1-row broadcast, not an eager count() — the
-    // whole op stays ONE lazy plan and the explode isn't executed twice
-    val totalDf = tokRows.agg(count(lit(1)).cast(DoubleType).as("__total"))
-    val vocab = tokRows.groupBy("tok").agg(count(lit(1)).as("tf"))
-      .crossJoin(broadcast(totalDf))
+    // corpus token mass = Σ tf over the vocabulary, riding a 1-row
+    // broadcast so the op composes as one lazy plan. HONEST COST: Spark
+    // does not CSE across branches, so a single action evaluates the
+    // tokenize+explode THREE times (total, vocab, probe) — at gate scale
+    // that is cheaper than materializing anything, and a 100 TB caller
+    // should persist the (Zipf-small) vocabulary branch and reuse it
+    // across the whole curation run rather than per query
+    val vocab0 = tokRows.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val totalDf = vocab0.agg(sum("tf").cast(DoubleType).as("__total"))
+    val vocab = vocab0.crossJoin(broadcast(totalDf))
     val scored = tokRows.join(vocab, "tok")
       .groupBy(col(idCol)).agg(
         count(lit(1)).cast(LongType).as("n_tokens"),
@@ -130,14 +135,21 @@ object TextAnalysis {
     * higher-order lambdas are interpreted without common-subexpression
     * elimination, so an inline expression would re-tokenize the document
     * for every element access. */
-  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+  /** Word n-grams WITH multiplicity (every window, duplicates kept) —
+    * the counting form repetition statistics need. */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
     // fewer than n tokens must short-circuit to [] or element_at(_, 0) throws
     when(size(toks) < n, array().cast(ArrayType(StringType))).otherwise {
       val idx = sequence(lit(1), size(toks) - (n - 1))
-      array_distinct(transform(idx, i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*)))
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, (i + o).cast(IntegerType))): _*))
     }
+
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    // the SET form for similarity/overlap ops: one shingling
+    // implementation, distinct applied on top
+    array_distinct(wordNgramsFromTokens(toks, n))
 
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)

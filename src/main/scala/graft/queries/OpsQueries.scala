@@ -368,7 +368,13 @@ object OpsQueries {
 
   // shared DuckDB fragments -------------------------------------------------
 
-  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  // Matches TextAnalysis.tokens EXACTLY, including the empty-text case:
+  // DuckDB string_split_regex('', ...) returns [''] (len 1) while Spark's
+  // tokens('') is [] — without the CASE, a regenerated fixture containing
+  // one empty/whitespace-only document diverges every token-count oracle
+  private val toksSql =
+    """CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |     ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
 
   private val charShinglesSql =
     """list_distinct(list_transform(
@@ -619,7 +625,10 @@ object OpsQueries {
          |  FROM embeddings e CROSS JOIN c),
          |best AS (
          |  SELECT id, v, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cid) AS rn
+         |    -- rank by the ROUNDED score: Spark's Similarity.cosine rounds to
+         |    -- 6 decimals before cellRanks sorts, so the oracle must tie-break
+         |    -- identically or near-tie vectors land in different cells
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY round(score, 6) DESC, cid) AS rn
          |    FROM s) t
          |  WHERE rn = 1)
          |SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
