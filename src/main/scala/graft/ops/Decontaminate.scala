@@ -25,9 +25,16 @@ object Decontaminate {
   /** Per-training-doc distinct-shared-n-gram count + contamination flag.
     *
     * @param minOverlap flag threshold: contaminated ⇔ n_overlap ≥ minOverlap
-    */
+    * @param broadcastBench force-broadcast the benchmark shingle set
+    *   (default): right for real eval suites, whose shingle sets are
+    *   driver-small. Pass false when the "benchmark" is itself
+    *   corpus-sized (e.g. cross-corpus contamination sweeps) — the probe
+    *   becomes a plain shuffle join and degrades gracefully instead of
+    *   OOMing the driver, the same every-entry-point-needs-its-guard
+    *   lesson as minhashIncremental's band cap. */
   def flagOverlap(train: DataFrame, bench: DataFrame, idCol: String,
-                  textCol: String, n: Int, minOverlap: Int): DataFrame = {
+                  textCol: String, n: Int, minOverlap: Int,
+                  broadcastBench: Boolean = true): DataFrame = {
     // wordShingles distincts per document, so a per-doc count of matched
     // shingles is already a distinct-overlap count — plain count, no
     // countDistinct expand. Tokens are MATERIALIZED into a column before
@@ -41,8 +48,10 @@ object Decontaminate {
           TextAnalysis.wordShinglesFromTokens(col("__toks"), n)).as("shingle"): _*)
     val benchShingles = shingled(bench).select("shingle").distinct()
     val trainShingles = shingled(train, col(idCol))
+    val probeSide =
+      if (broadcastBench) broadcast(benchShingles) else benchShingles
     val hits = trainShingles
-      .join(broadcast(benchShingles), Seq("shingle"))
+      .join(probeSide, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"))
     train.select(col(idCol))

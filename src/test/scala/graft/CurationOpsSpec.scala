@@ -77,6 +77,13 @@ class CurationOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark shingles must broadcast — the training side never shuffles for the probe:\n$plan")
+    // corpus-sized "benchmark": the guard switches to a shuffle join with
+    // identical results (driver never holds the probe side)
+    val noBc = Decontaminate.flagOverlap(train, bench, "doc_id", "text", 4, 1,
+      broadcastBench = false)
+    assert(noBc.orderBy("doc_id").collect().toSeq ==
+      Decontaminate.flagOverlap(train, bench, "doc_id", "text", 4, 1)
+        .orderBy("doc_id").collect().toSeq)
   }
 
   test("weighted mix: nested across weights, exact at the extremes") {
