@@ -87,6 +87,11 @@ object ScaleProbe {
       timed("minhash_lsh_pairs", runs, opFilter)(
         ops.Dedup.minhashLshPairsPreset(docs, "doc_id", "text",
           maxBandFrequency = Some(2000)).count())
+      // cost-attribution leg: the signature build alone, to size how much
+      // of minhash_lsh_pairs is hashing vs banding/join
+      timed("minhash_signatures", runs, opFilter)(
+        ops.Dedup.minhashSignatures(docs, "doc_id", "text", shingleLen = 5, k = 32)
+          .agg(count(lit(1)), sum(element_at(col("sig"), 1))).collect()(0).getLong(0))
       timed("simhash_pairs", runs, opFilter)(
         ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
       timed("ngram_jaccard_pairs", runs, opFilter)(

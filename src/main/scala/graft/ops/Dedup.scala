@@ -69,11 +69,32 @@ object Dedup {
   def minhashCoefA(i: Int): Long = 2L * i + 1
   def minhashCoefB(i: Int): Long = 1000003L * (i + 1)
 
-  /** MinHash signatures as a relational aggregate: one row per (doc,
-    * shingle hash), then k `min` aggregates in a single codegen'd
-    * hash-aggregate pass. Returns (doc, sig: array<long>). */
+  /** MinHash signatures via the fused [[org.apache.spark.sql.graft.MinhashSignature]]
+    * expression: the whole k-vector computed in one pass per document —
+    * a pure map, no explode, no aggregate, no join. Replaced the
+    * relational explode → k-min agg → join pipeline in round 8 after the
+    * cost-attribution probe measured the signature build at ~50% of
+    * minhash_lsh_pairs wall (5.0 s of 10.1 s at 50k docs): the
+    * per-shingle rows existed only to be aggregated away.
+    * MinhashParitySpec pins bit-equality against the retained relational
+    * form (and therefore against the unchanged DuckDB oracle). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, k: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"),
+        coalesce(
+          org.apache.spark.sql.graft.VectorExpressions
+            .minhashSignature(col(textCol), shingleLen, k),
+          array((0 until k).map(_ => lit(MinhashPrime)): _*)).as("sig"))
+  }
+
+  /** The original relational formulation (explode → k-min aggregate →
+    * join): kept as the independent reference implementation the fused
+    * expression is parity-tested against. */
+  private[graft] def minhashSignaturesRelational(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, k: Int): DataFrame = {
     // Fully codegen shingling: explode the position range, then
     // md5(substr) as a plain projection — no higher-order lambdas on the
     // hot path. Duplicate shingle hashes are harmless here because min()

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** The fused MinhashSignature expression must be BIT-IDENTICAL to the
+  * relational explode→agg→join formulation it replaced (which the DuckDB
+  * oracle mirrors) — on the fixture corpus and on every edge the two
+  * code paths could diverge on: empty text, sub-shingle text, multibyte
+  * characters (codepoint vs UTF-16 counting), and repeated shingles. */
+class MinhashParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def assertParity(df: org.apache.spark.sql.DataFrame,
+                           shingleLen: Int, k: Int): Unit = {
+    val fused = Dedup.minhashSignatures(df, "doc_id", "text", shingleLen, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rel = Dedup.minhashSignaturesRelational(df, "doc_id", "text", shingleLen, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == rel.keySet)
+    fused.foreach { case (id, sig) =>
+      assert(sig == rel(id), s"signature mismatch for doc $id")
+    }
+  }
+
+  test("fused == relational on the fixture corpus (both gate configs)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assertParity(docs, shingleLen = 5, k = 32)
+    assertParity(docs, shingleLen = 5, k = 64)
+  }
+
+  test("fused == relational on edge texts: empty, short, multibyte, repeated") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""),
+      (2L, "abc"), // shorter than the shingle
+      (3L, "abcde"), // exactly one shingle
+      (4L, "aaaaaaaaaa"), // one repeated shingle
+      (5L, "héllo wörld çafé ünïcode"), // multibyte codepoints
+      (6L, "日本語のテキストです and mixed ascii"),
+      (7L, "  leading and trailing  "))
+      .toDF("doc_id", "text")
+    assertParity(edge, shingleLen = 5, k = 32)
+    assertParity(edge, shingleLen = 3, k = 16)
+  }
+
+  test("null text degrades to the sentinel signature") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashSignatures(df, "doc_id", "text", 5, 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](1) == Seq.fill(8)(Dedup.MinhashPrime))
+    assert(out(1).getSeq[Long](1).exists(_ != Dedup.MinhashPrime))
+  }
+}
