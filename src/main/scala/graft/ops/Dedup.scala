@@ -400,10 +400,24 @@ object Dedup {
   val SimhashBlocks = 4
   val SimhashBlockBits: Int = SimhashBits / SimhashBlocks // 15
 
-  /** 60-bit SimHash, relational form: explode distinct tokens, one
-    * hash-aggregate computing the 60 per-bit majorities, fold to the
-    * signature. Bit k set iff strictly more than half the token hashes
-    * have bit k set. Returns (doc, sh: long).
+  /** 60-bit SimHash via the fused
+    * [[org.apache.spark.sql.graft.SimhashSignature]] expression — one
+    * pass per document (tokenize, distinct, md5, per-bit majority), no
+    * explode/aggregate/join. SimhashParitySpec pins bit-equality against
+    * the retained relational form below (and therefore the unchanged
+    * DuckDB oracle). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"),
+        coalesce(
+          org.apache.spark.sql.graft.VectorExpressions.simhashSignature(col(textCol)),
+          lit(0L)).as("sh"))
+  }
+
+  /** The original relational SimHash (explode distinct tokens → one
+    * hash-aggregate of the 60 per-bit majorities → fold): kept as the
+    * independent reference implementation for the parity spec.
     *
     * The 60 per-bit counts are packed into 21-bit lanes, 3 per long, so
     * the aggregate carries 20 sum buffers instead of 60: each token
@@ -412,7 +426,7 @@ object Dedup {
     * has fewer than 2^21 distinct tokens (documented bound; the per-doc
     * distinct-token count of any real corpus is orders of magnitude
     * lower). Output is bit-identical to the unpacked form. */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def simhashesRelational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val docs = df.repartition(par, col(idCol))
       .select(col(idCol).as("doc"), col(textCol).as("__text"))

@@ -169,6 +169,9 @@ object VectorExpressions {
     ExpressionUtils.column(MinhashSignature(
       ExpressionUtils.expression(text), shingleLen, k))
 
+  def simhashSignature(text: Column): Column =
+    ExpressionUtils.column(SimhashSignature(ExpressionUtils.expression(text)))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -267,5 +270,81 @@ object MinhashSignature {
       }
     }
     ArrayData.toArrayData(mins)
+  }
+}
+
+/** `simhash_signature(text)` — the 60-bit SimHash in ONE pass per
+  * document: tokenize (identical semantics to TextAnalysis.tokens —
+  * space-only trim, `\s+` split via the same java.util.regex path
+  * Spark's split uses, empty-trimmed → no tokens), distinct, md5 each
+  * token to a 60-bit hash (first 15 hex nibbles), per-bit majority.
+  * Replaces the relational explode → packed-lane aggregate → fold
+  * pipeline; SimhashParitySpec pins bit-equality against it (and
+  * therefore against the unchanged DuckDB oracle). Token-less documents
+  * fold to signature 0, like the relational left-join coalesce. */
+case class SimhashSignature(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_signature"
+
+  override def nullSafeEval(t: Any): Any =
+    SimhashSignature.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimhashSignature.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSignature {
+  private val Bits = 60
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    // Spark's trim() strips U+0020 only — other whitespace stays, which
+    // is why a tab-led document legitimately yields a leading "" token
+    // in BOTH the relational form and here (Pattern.split keeps it)
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return 0L // tokens('') → [] → signature 0
+    val toks = ws.split(s.substring(st, en), -1)
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](Bits)
+    var n = 0
+    val md = digest.get()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        n += 1
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 md5 hex nibbles as a 60-bit value — identical to
+        // conv(substring(md5(t), 1, 15), 16, 10)
+        val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+          ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+          ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+          ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+        var b = 0
+        while (b < Bits) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < Bits) { if (2 * counts(b) > n) sh |= (1L << b); b += 1 }
+    sh
   }
 }

@@ -45,6 +45,35 @@ class MinhashParitySpec extends AnyFunSuite {
     assertParity(edge, shingleLen = 3, k = 16)
   }
 
+  test("simhash fused == relational on the fixture corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.simhashesRelational(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == rel)
+    assert(fused.values.toSet.size > 1, "signatures must vary")
+  }
+
+  test("simhash fused == relational on edge texts incl. tab-led and multibyte") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""),
+      (2L, "   "), // all spaces → signature 0
+      (3L, "\ttab led text"), // space-only trim keeps the tab → leading "" token
+      (4L, "one"),
+      (5L, "repeated repeated repeated distinct"),
+      (6L, "héllo wörld çafé ünïcode 日本語"),
+      (7L, "  trailing tab\t"))
+      .toDF("doc_id", "text")
+    val fused = Dedup.simhashes(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.simhashesRelational(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == rel, s"fused=$fused rel=$rel")
+    assert(fused(2L) == 0L)
+  }
+
   test("null text degrades to the sentinel signature") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
