@@ -35,17 +35,15 @@ object Decontaminate {
   def flagOverlap(train: DataFrame, bench: DataFrame, idCol: String,
                   textCol: String, n: Int, minOverlap: Int,
                   broadcastBench: Boolean = true): DataFrame = {
-    // wordShingles distincts per document, so a per-doc count of matched
-    // shingles is already a distinct-overlap count — plain count, no
-    // countDistinct expand. Tokens are MATERIALIZED into a column before
-    // shingling (the TextAnalysis.wordShinglesFromTokens perf contract):
-    // an inline split() inside the transform lambda re-tokenizes the
-    // document on every element_at access — measured 60.6 s vs 3.1 s
-    // (19×) on the 150k-doc ScaleProbe leg.
+    // per-doc DISTINCT shingles via the fused WordShingles expression
+    // (one pass per document, no interpreted lambdas — this path's first
+    // version paid 19× for an inline re-tokenizing HOF, SCALE.md r8), so
+    // a per-doc count of matched shingles is already a distinct-overlap
+    // count — plain count, no countDistinct expand.
     def shingled(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-        .select(cols :+ explode(
-          TextAnalysis.wordShinglesFromTokens(col("__toks"), n)).as("shingle"): _*)
+      df.select(cols :+ explode(
+        org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("shingle"): _*)
     val benchShingles = shingled(bench).select("shingle").distinct()
     val trainShingles = shingled(train, col(idCol))
     val probeSide =

@@ -523,23 +523,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.4,
                         maxDocFrequency: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // fully relational shingling: posexplode tokens once (generators
-    // evaluate their child a single time, unlike HOF lambdas which
-    // CollapseProject re-inlines), then n-grams via window lead() — all
-    // whole-stage codegen, shuffled by doc
+    // fused shingling (round 8): the WordShingles expression produces the
+    // per-doc DISTINCT n-gram array in one pass, so the former
+    // posexplode → window-lead → dropDuplicates pipeline (one sort + one
+    // dedup shuffle, both keyed by doc) collapses to a map + explode.
+    // WordShinglesParitySpec pins equality with the HOF/window forms.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val tokRows = df.repartition(par, col(idCol))
+    val shingleRows = df.repartition(par, col(idCol))
       .select(col(idCol).as("doc"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"__t_$o"))
-    val shingleRows = tokRows
-      .select((col("doc") +: col("pos") +: col("tok") +: leads): _*)
-      .filter(col(s"__t_${n - 1}").isNotNull)
-      .select(col("doc"), concat_ws(" ",
-        (col("tok") +: (1 until n).map(o => col(s"__t_$o"))): _*).as("s"))
-      .dropDuplicates("doc", "s")
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("s"))
     // xxhash64 (codegen-native) — the hash never reaches the output, only
     // intersection COUNTS do, so any injective-enough hash matches the
     // string-joining oracle exactly

@@ -44,11 +44,11 @@ object Repetition {
     */
   def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
                          n: Int, minDocFrequency: Long): DataFrame = {
-    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    // wordShinglesFromTokens distincts per doc → the groupBy below counts
+    // fused per-doc DISTINCT shingles → the groupBy below counts
     // DOCUMENT frequency, not occurrence frequency
-    val sh = toks.select(col(idCol),
-      explode(TextAnalysis.wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
+    val sh = df.select(col(idCol),
+      explode(org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFrequency)
       .select(col("shingle"), lit(1).as("__hot"))
@@ -88,12 +88,16 @@ object Repetition {
     * the identical arithmetic).
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
-    val base = toks.select(col(idCol), size(col("t")).cast(LongType).as("n_tokens"))
+    val base = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
 
-    // per-(doc, gram) counts → per-doc max + duplicated-slot mass
+    // per-(doc, gram) counts → per-doc max + duplicated-slot mass; gram
+    // production via the fused WordShingles expression (multiplicity
+    // kept), not an interpreted transform lambda
     def gramStats(n: Int, topName: String, dupName: String): DataFrame =
-      toks.select(col(idCol), explode(ngramsWithMultiplicity(col("t"), n)).as("g"))
+      df.select(col(idCol), explode(
+        org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = false)).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol)).agg(
           max("c").as(topName),

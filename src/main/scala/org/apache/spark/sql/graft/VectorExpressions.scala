@@ -172,6 +172,9 @@ object VectorExpressions {
   def simhashSignature(text: Column): Column =
     ExpressionUtils.column(SimhashSignature(ExpressionUtils.expression(text)))
 
+  def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -346,5 +349,71 @@ object SimhashSignature {
     var b = 0
     while (b < Bits) { if (2 * counts(b) > n) sh |= (1L << b); b += 1 }
     sh
+  }
+}
+
+/** `word_shingles(text, n)` — word n-grams (space-joined) in one pass:
+  * tokenize (identical semantics to TextAnalysis.tokens via the same
+  * java.util.regex split path), slide the window, optionally distinct
+  * (first-occurrence order, like array_distinct). Replaces the
+  * interpreted transform-lambda shingle builders on the n-gram Jaccard /
+  * decontamination / repetition paths — higher-order functions evaluate
+  * per element with no codegen, and shingling is those operators'
+  * per-row hot loop. WordShinglesParity in MinhashParitySpec pins
+  * equality with the HOF form. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    WordShingles.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingles.compute($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              n: Int, distinct: Boolean): ArrayData = {
+    val s = text.toString
+    // space-only trim + \s+ split: TextAnalysis.tokens semantics exactly
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st)
+      return ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val toks = ws.split(s.substring(st, en), -1)
+    val count = toks.length - (n - 1)
+    if (count <= 0)
+      return ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](count)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen == null || seen.add(sh))
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sh))
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray(
+      new Array[org.apache.spark.unsafe.types.UTF8String](out.size())))
   }
 }

@@ -74,6 +74,36 @@ class MinhashParitySpec extends AnyFunSuite {
     assert(fused(2L) == 0L)
   }
 
+  test("fused word shingles == HOF form, distinct and with-multiplicity") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    import org.apache.spark.sql.graft.VectorExpressions
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "one two"), (9003L, "\ttab led run"),
+        (9004L, "a b a b a b"), (9005L, "  x  y  z  "))
+        .toDF("doc_id", "text"))
+    for (n <- Seq(2, 3, 4)) {
+      val fusedD = docs.select(col("doc_id"),
+        VectorExpressions.wordShingles(col("text"), n, distinct = true).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hofD = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"), TextAnalysis.wordShinglesFromTokens(col("t"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fusedD == hofD, s"distinct n=$n")
+      val fusedM = docs.select(col("doc_id"),
+        VectorExpressions.wordShingles(col("text"), n, distinct = false).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hofM = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"), TextAnalysis.wordNgramsFromTokens(col("t"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fusedM == hofM, s"multiplicity n=$n")
+    }
+  }
+
   test("null text degrades to the sentinel signature") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))

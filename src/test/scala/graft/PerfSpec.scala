@@ -133,6 +133,13 @@ class PlanQualitySpec extends AnyFunSuite {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
+    // the fused signature/shingle expressions eliminated every per-doc
+    // window sort from the dedup family: signatures and shingles are
+    // produced by a map, not posexplode → Window machinery
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Window"), s"$q still plans a window sort:\n$plan")
+    }
   }
 
   test("brute-force topk broadcasts the query side, not the corpus") {
