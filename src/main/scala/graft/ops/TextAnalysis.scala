@@ -37,15 +37,33 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Per-language stopword hit count over the token array. */
+  /** Per-language stopword hit count over the token array — the HOF
+    * reference form; [[stopwordScore]] is the fused production path
+    * (parity-spec-pinned against this). */
   def langScore(toks: Column, lang: String): Column = {
     val set = stopwords.toMap.apply(lang)
     size(filter(toks, t => t.isInCollection(set)))
   }
 
+  /** Fused per-language hit count: one tokenize+probe pass computes every
+    * language's score (StopwordScores expression); this selects one. */
+  def stopwordScore(text: Column, lang: String): Column = {
+    val idx = stopwords.indexWhere(_._1 == lang)
+    require(idx >= 0, s"unknown language $lang")
+    element_at(
+      org.apache.spark.sql.graft.VectorExpressions.stopwordScores(text), idx + 1)
+  }
+
   /** Predicted language = argmax of stopword hits, ties resolved by the
-    * declared language order; zero hits → 'und' (undetermined). */
-  def languageId(text: Column): Column = {
+    * declared language order; zero hits → 'und' (undetermined). One fused
+    * pass (LanguageIdExpr) — the composed when-chain over 5 HOF filters
+    * evaluated the interpreted lambdas 11× per row. */
+  def languageId(text: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.languageId(text)
+
+  /** The composed reference form of [[languageId]], retained for the
+    * parity spec. */
+  private[graft] def languageIdComposed(text: Column): Column = {
     val toks = tokens(text)
     val scores = stopwords.map { case (lang, _) => lang -> langScore(toks, lang) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
@@ -64,7 +82,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val nTok = size(toks).cast(DoubleType)
     val punct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast(DoubleType)
-    val stopHits = langScore(toks, "en").cast(DoubleType)
+    val stopHits = stopwordScore(text, "en").cast(DoubleType)
     Seq(
       "n_chars" -> n,
       "n_tokens" -> nTok,

@@ -131,10 +131,9 @@ object OpsQueries {
     }),
 
     "q_text_langid" -> ((s, d) => {
-      val toks = TA.tokens(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("declared_lang"),
-        TA.langScore(toks, "en").as("score_en"),
+        TA.stopwordScore(col("text"), "en").as("score_en"),
         TA.languageId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")
     }),

@@ -175,6 +175,12 @@ object VectorExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct))
 
+  def stopwordScores(text: Column): Column =
+    ExpressionUtils.column(StopwordScores(ExpressionUtils.expression(text)))
+
+  def languageId(text: Column): Column =
+    ExpressionUtils.column(LanguageIdExpr(ExpressionUtils.expression(text)))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -306,7 +312,6 @@ case class SimhashSignature(child: Expression)
 
 object SimhashSignature {
   private val Bits = 60
-  private val ws = java.util.regex.Pattern.compile("\\s+")
   private val digest = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
       override def get(): java.security.MessageDigest =
@@ -314,15 +319,8 @@ object SimhashSignature {
     })
 
   def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val s = text.toString
-    // Spark's trim() strips U+0020 only — other whitespace stays, which
-    // is why a tab-led document legitimately yields a leading "" token
-    // in BOTH the relational form and here (Pattern.split keeps it)
-    var st = 0; var en = s.length
-    while (st < en && s.charAt(st) == ' ') st += 1
-    while (en > st && s.charAt(en - 1) == ' ') en -= 1
-    if (en == st) return 0L // tokens('') → [] → signature 0
-    val toks = ws.split(s.substring(st, en), -1)
+    val toks = TokenizerUtil.tokens(text)
+    if (toks.isEmpty) return 0L // tokens('') → [] → signature 0
     val seen = new java.util.HashSet[String]()
     val counts = new Array[Int](Bits)
     var n = 0
@@ -381,18 +379,9 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 }
 
 object WordShingles {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-
   def compute(text: org.apache.spark.unsafe.types.UTF8String,
               n: Int, distinct: Boolean): ArrayData = {
-    val s = text.toString
-    // space-only trim + \s+ split: TextAnalysis.tokens semantics exactly
-    var st = 0; var en = s.length
-    while (st < en && s.charAt(st) == ' ') st += 1
-    while (en > st && s.charAt(en - 1) == ' ') en -= 1
-    if (en == st)
-      return ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
-    val toks = ws.split(s.substring(st, en), -1)
+    val toks = TokenizerUtil.tokens(text)
     val count = toks.length - (n - 1)
     if (count <= 0)
       return ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
@@ -415,5 +404,120 @@ object WordShingles {
     }
     ArrayData.toArrayData(out.toArray(
       new Array[org.apache.spark.unsafe.types.UTF8String](out.size())))
+  }
+}
+
+/** Shared tokenizer for the fused text expressions — one implementation
+  * of TextAnalysis.tokens' exact semantics (space-only trim, `\s+` split
+  * through the same java.util.regex path Spark's split uses, empty
+  * trimmed → no tokens). */
+object TokenizerUtil {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val Empty = new Array[String](0)
+
+  def tokens(text: org.apache.spark.unsafe.types.UTF8String): Array[String] = {
+    val s = text.toString
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) Empty
+    else ws.split(s.substring(st, en), -1)
+  }
+}
+
+/** `stopword_scores(text)` — hit counts against EVERY language's stopword
+  * set in one tokenize+probe pass (array<int>, declared-language order).
+  * Replaces 5 interpreted ArrayFilter lambdas per row on the language-ID
+  * and quality-scoring paths. The stopword tables are
+  * TextAnalysis.stopwords — single source of truth for engine, oracle
+  * generation, and this expression. */
+case class StopwordScores(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stopword_scores"
+
+  override def nullSafeEval(t: Any): Any =
+    StopwordScores.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.StopwordScores.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StopwordScores {
+  /** (language, set) pairs in declared order — built once per JVM. */
+  lazy val langSets: Array[(String, java.util.HashSet[String])] =
+    graft.ops.TextAnalysis.stopwords.map { case (lang, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      lang -> s
+    }.toArray
+
+  def computeCounts(text: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
+    val toks = TokenizerUtil.tokens(text)
+    val n = langSets.length
+    val counts = new Array[Int](n)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < n) {
+        if (langSets(l)._2.contains(toks(i))) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    counts
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    ArrayData.toArrayData(computeCounts(text))
+}
+
+/** `language_id(text)` — the stopword-argmax language pick in one pass:
+  * count hits for every language, return the FIRST declared language
+  * achieving the maximum when it is positive, else 'und'. Identical tie
+  * semantics to the composed when-chain it replaces (declared order
+  * wins), without relying on codegen CSE to deduplicate the score
+  * subexpression across its 11 references. */
+case class LanguageIdExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "language_id"
+
+  override def nullSafeEval(t: Any): Any =
+    LanguageIdExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.LanguageIdExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LanguageIdExpr {
+  private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  private lazy val langNames: Array[org.apache.spark.unsafe.types.UTF8String] =
+    StopwordScores.langSets.map { case (l, _) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(l) }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val counts = StopwordScores.computeCounts(text)
+    var best = 0; var bestIdx = -1
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > best) { best = counts(l); bestIdx = l }
+      l += 1
+    }
+    if (bestIdx < 0) und else langNames(bestIdx)
   }
 }

@@ -104,6 +104,30 @@ class MinhashParitySpec extends AnyFunSuite {
     }
   }
 
+  test("fused language-ID and stopword scores == composed HOF forms") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "the of and to in is"), (9003L, "der die das und"),
+        (9004L, "el la de que y en"), (9005L, "xyzzy plugh"),
+        // ambiguous: 'de'/'la' score for both es and fr → declared order
+        (9006L, "de la de la"))
+        .toDF("doc_id", "text"))
+    val fused = docs.select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("l"),
+      TextAnalysis.stopwordScore(col("text"), "en").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val composed = docs.select(col("doc_id"),
+      TextAnalysis.languageIdComposed(col("text")).as("l"),
+      TextAnalysis.langScore(TextAnalysis.tokens(col("text")), "en").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(fused == composed)
+    assert(fused(9001L)._1 == "und" && fused(9005L)._1 == "und")
+    assert(fused(9006L)._1 == "es", "declared order must break ties")
+  }
+
   test("null text degrades to the sentinel signature") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
