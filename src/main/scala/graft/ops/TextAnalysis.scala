@@ -76,13 +76,36 @@ object TextAnalysis {
   /** Quality-score feature bundle (length / punctuation ratio / stopword
     * ratio / mean token length) + a composite in [0,1]. Formula mirrored
     * exactly in the DuckDB oracle — the contract is determinism, the
-    * weights are illustrative. */
+    * weights are illustrative.
+    *
+    * All raw counts come from ONE fused TextStats pass (chars, tokens,
+    * punct codepoints, stopword hits) instead of a per-row
+    * regexp_replace + tokenize + stopword probe; within a projection,
+    * whole-stage codegen's subexpression elimination evaluates the
+    * struct once. QualityParity in MinhashParitySpec pins equality with
+    * the composed form. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val f = org.apache.spark.sql.graft.VectorExpressions.textStats(text)
+    val n = f.getField("n_chars")
+    val nTok = f.getField("n_tokens")
+    val punct = f.getField("punct")
+    val stopHits = f.getField("stop_hits")
+    Seq(
+      "n_chars" -> n,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> when(n > 0, punct / n).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTok > 0, stopHits / nTok).otherwise(lit(0.0)),
+      "mean_token_len" -> when(nTok > 0, (n - (nTok - 1)) / nTok).otherwise(lit(0.0)))
+  }
+
+  /** The composed reference form of [[qualityFeatures]] (regexp + HOF),
+    * retained for the parity spec. */
+  private[graft] def qualityFeaturesComposed(text: Column): Seq[(String, Column)] = {
     val n = length(text).cast(DoubleType)
     val toks = tokens(text)
     val nTok = size(toks).cast(DoubleType)
     val punct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast(DoubleType)
-    val stopHits = stopwordScore(text, "en").cast(DoubleType)
+    val stopHits = langScore(toks, "en").cast(DoubleType)
     Seq(
       "n_chars" -> n,
       "n_tokens" -> nTok,

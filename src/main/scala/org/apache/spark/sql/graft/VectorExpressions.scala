@@ -181,6 +181,9 @@ object VectorExpressions {
   def languageId(text: Column): Column =
     ExpressionUtils.column(LanguageIdExpr(ExpressionUtils.expression(text)))
 
+  def textStats(text: Column): Column =
+    ExpressionUtils.column(TextStats(ExpressionUtils.expression(text)))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -519,5 +522,71 @@ object LanguageIdExpr {
       l += 1
     }
     if (bestIdx < 0) und else langNames(bestIdx)
+  }
+}
+
+/** `text_stats(text)` — the quality-feature raw bundle in ONE pass:
+  * struct(n_chars, n_tokens, punct, stop_hits) as doubles, where punct
+  * counts codepoints outside [A-Za-z0-9\s] (the regexp_replace-length
+  * formulation, character-for-character) and stop_hits is the English
+  * stopword count. Replaces a per-row regexp_replace + tokenize + HOF
+  * filter; consumers derive every ratio from the one struct, which
+  * whole-stage codegen's subexpression elimination evaluates once per
+  * row within a projection. */
+case class TextStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", DoubleType, nullable = false),
+    StructField("n_tokens", DoubleType, nullable = false),
+    StructField("punct", DoubleType, nullable = false),
+    StructField("stop_hits", DoubleType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    TextStats.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStats {
+  private lazy val enSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.ops.TextAnalysis.stopwords.toMap.apply("en").foreach(s.add)
+    s
+  }
+
+  private def isKept(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= '0' && cp <= '9') ||
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+    : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var nChars = 0; var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (!isKept(cp)) punct += 1
+      i += Character.charCount(cp)
+    }
+    val toks = TokenizerUtil.tokens(text)
+    var stop = 0
+    var t = 0
+    while (t < toks.length) {
+      if (enSet.contains(toks(t))) stop += 1
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nChars.toDouble, toks.length.toDouble, punct.toDouble, stop.toDouble)
   }
 }

@@ -128,6 +128,24 @@ class MinhashParitySpec extends AnyFunSuite {
     assert(fused(9006L)._1 == "es", "declared order must break ties")
   }
 
+  test("fused quality features == composed regexp/HOF form") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "the quick brown fox!"), (9003L, "!!! ??? ..."),
+        (9004L, "héllo, wörld — ünïcode…"), (9005L, "numbers 123 456 and words"))
+        .toDF("doc_id", "text"))
+    def collect(feats: org.apache.spark.sql.Column => Seq[(String, org.apache.spark.sql.Column)]) =
+      docs.select((col("doc_id") +: feats(col("text")).map { case (n, c) =>
+        round(c, 6).as(n) } :+ TextAnalysis.qualityScore(col("text")).as("q")): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fused = collect(TextAnalysis.qualityFeatures)
+    val composed = collect(TextAnalysis.qualityFeaturesComposed)
+    assert(fused == composed)
+  }
+
   test("null text degrades to the sentinel signature") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
