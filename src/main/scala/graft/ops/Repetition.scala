@@ -21,12 +21,6 @@ import org.apache.spark.sql.types._
   */
 object Repetition {
 
-  /** Word n-grams with multiplicity — delegates to the single shingling
-    * implementation in [[TextAnalysis.wordNgramsFromTokens]] so the
-    * sequence(1,0) guard and window construction live in one place. */
-  def ngramsWithMultiplicity(toks: Column, n: Int): Column =
-    TextAnalysis.wordNgramsFromTokens(toks, n)
-
   /** Corpus-level boilerplate profile: the fraction of each document's
     * word-n-gram windows that are CORPUS-WIDE boilerplate (windows whose
     * document frequency ≥ `minDocFrequency` — navigation chrome, license
