@@ -78,16 +78,25 @@ object Dedup {
     * per-shingle rows existed only to be aggregated away.
     * MinhashParitySpec pins bit-equality against the retained relational
     * form (and therefore against the unchanged DuckDB oracle). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, k: Int): DataFrame = {
+  /** Spread a narrow input across the cluster ONLY when it arrives
+    * under-partitioned (the small-local-files gate case): the fused
+    * signature expressions are pure maps, so the relational form's
+    * unconditional doc-keyed repartition — which existed to feed a
+    * since-removed groupBy — would shuffle the whole text column for
+    * nothing on a properly-split 100 TB scan. */
+  private def ensureParallelism(df: DataFrame, idCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(par, col(idCol))
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(idCol)) else df
+  }
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, k: Int): DataFrame =
+    ensureParallelism(df, idCol)
       .select(col(idCol).as("doc"),
         coalesce(
           org.apache.spark.sql.graft.VectorExpressions
             .minhashSignature(col(textCol), shingleLen, k),
           array((0 until k).map(_ => lit(MinhashPrime)): _*)).as("sig"))
-  }
 
   /** The original relational formulation (explode → k-min aggregate →
     * join): kept as the independent reference implementation the fused
@@ -406,14 +415,12 @@ object Dedup {
     * explode/aggregate/join. SimhashParitySpec pins bit-equality against
     * the retained relational form below (and therefore the unchanged
     * DuckDB oracle). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(par, col(idCol))
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ensureParallelism(df, idCol)
       .select(col(idCol).as("doc"),
         coalesce(
           org.apache.spark.sql.graft.VectorExpressions.simhashSignature(col(textCol)),
           lit(0L)).as("sh"))
-  }
 
   /** The original relational SimHash (explode distinct tokens → one
     * hash-aggregate of the 60 per-bit majorities → fold): kept as the

@@ -59,7 +59,9 @@ object TextAnalysis {
     * pass (LanguageIdExpr) — the composed when-chain over 5 HOF filters
     * evaluated the interpreted lambdas 11× per row. */
   def languageId(text: Column): Column =
-    org.apache.spark.sql.graft.VectorExpressions.languageId(text)
+    // null text → 'und', matching the composed when-chain's fall-through
+    // (the fused UnaryExpression is null-intolerant by default)
+    coalesce(org.apache.spark.sql.graft.VectorExpressions.languageId(text), lit("und"))
 
   /** The composed reference form of [[languageId]], retained for the
     * parity spec. */

@@ -227,7 +227,12 @@ case class MinhashSignature(child: Expression, shingleLen: Int, k: Int)
 }
 
 object MinhashSignature {
-  val Prime = 2147483647L
+  val Prime: Long = graft.ops.Dedup.MinhashPrime
+  // affine coefficients precomputed once per JVM (max k = 64 preset)
+  private val coefA: Array[Long] =
+    Array.tabulate(64)(graft.ops.Dedup.minhashCoefA)
+  private val coefB: Array[Long] =
+    Array.tabulate(64)(graft.ops.Dedup.minhashCoefB)
 
   private val digest = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
@@ -274,7 +279,9 @@ object MinhashSignature {
           ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
         var j = 0
         while (j < k) {
-          val v = ((2L * j + 1) * h + 1000003L * (j + 1)) % Prime
+          // coefficients from Dedup.minhashCoefA/B — the single source of
+          // truth the relational reference and the DuckDB oracle share
+          val v = (coefA(j) * h + coefB(j)) % Prime
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -462,8 +469,10 @@ object StopwordScores {
       lang -> s
     }.toArray
 
-  def computeCounts(text: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
-    val toks = TokenizerUtil.tokens(text)
+  def computeCounts(text: org.apache.spark.unsafe.types.UTF8String): Array[Int] =
+    computeCounts(TokenizerUtil.tokens(text))
+
+  def computeCounts(toks: Array[String]): Array[Int] = {
     val n = langSets.length
     val counts = new Array[Int](n)
     var i = 0
@@ -557,11 +566,9 @@ case class TextStats(child: Expression)
 }
 
 object TextStats {
-  private lazy val enSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.ops.TextAnalysis.stopwords.toMap.apply("en").foreach(s.add)
-    s
-  }
+  // reuse the StopwordScores table — one stopword source of truth
+  private lazy val enIdx: Int =
+    StopwordScores.langSets.indexWhere(_._1 == "en")
 
   private def isKept(cp: Int): Boolean =
     (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
@@ -580,13 +587,8 @@ object TextStats {
       i += Character.charCount(cp)
     }
     val toks = TokenizerUtil.tokens(text)
-    var stop = 0
-    var t = 0
-    while (t < toks.length) {
-      if (enSet.contains(toks(t))) stop += 1
-      t += 1
-    }
+    val counts = StopwordScores.computeCounts(toks)
     org.apache.spark.sql.catalyst.InternalRow(
-      nChars.toDouble, toks.length.toDouble, punct.toDouble, stop.toDouble)
+      nChars.toDouble, toks.length.toDouble, punct.toDouble, counts(enIdx).toDouble)
   }
 }

@@ -126,6 +126,10 @@ class MinhashParitySpec extends AnyFunSuite {
     assert(fused == composed)
     assert(fused(9001L)._1 == "und" && fused(9005L)._1 == "und")
     assert(fused(9006L)._1 == "es", "declared order must break ties")
+    // null text → 'und', like the composed when-chain's fall-through
+    val nullRow = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextAnalysis.languageId(col("text"))).head()
+    assert(nullRow.getString(0) == "und")
   }
 
   test("fused quality features == composed regexp/HOF form") {

@@ -134,12 +134,24 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
     // the fused signature/shingle expressions eliminated every per-doc
-    // window sort from the dedup family: signatures and shingles are
-    // produced by a map, not posexplode → Window machinery
-    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard")) {
-      val plan = physicalPlan(q)
-      assert(!plan.contains("Window"), s"$q still plans a window sort:\n$plan")
-    }
+    // window sort AND aggregate from signature/shingle PRODUCTION.
+    // q_dedup_minhash_lsh/_ngram_jaccard end in localCheckpoint, whose
+    // executedPlan only shows the final sort over a materialized RDD —
+    // asserting on them would be vacuous; assert the production stages
+    // directly (plus simhash's un-checkpointed full plan).
+    assert(!physicalPlan("q_dedup_simhash").contains("Window"))
+    val docs = Tables.documents(spark, sf)
+    val sigPlan = graft.ops.Dedup
+      .minhashSignatures(docs, "doc_id", "text", shingleLen = 5, k = 32)
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Window") && !sigPlan.contains("HashAggregate"),
+      s"fused minhash signatures must be a pure map:\n$sigPlan")
+    val shinglePlan = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(org.apache.spark.sql.functions.col("text"), 3, distinct = true)))
+      .queryExecution.executedPlan.toString
+    assert(!shinglePlan.contains("Window") && !shinglePlan.contains("HashAggregate"),
+      s"fused shingle production must be a pure map:\n$shinglePlan")
   }
 
   test("brute-force topk broadcasts the query side, not the corpus") {
