@@ -12,8 +12,23 @@ import graft.relations._
   * output committer must only replace FileOutputCommitter on schemes
   * WITHOUT atomic rename — on hdfs:// the stock committer is the safe
   * choice under speculative execution (SPARK-10063). */
-class FileSchemeSpec extends AnyFunSuite {
+class FileSchemeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = SparkTestSession.spark
+
+  /** Tripwire (r8 verdict hygiene item): any code path that naively
+    * `Paths.get`s a `file:`-scheme URI writes a literal `./file:` tree into
+    * the project CWD. The per-test assertion above guards the known paths;
+    * this suite-end sweep catches a regression from ANY suite that ran
+    * before this one in the same JVM. */
+  override def afterAll(): Unit = {
+    val stray = java.nio.file.Files.list(Paths.get(".")).iterator()
+    val hits = scala.collection.mutable.ArrayBuffer[String]()
+    while (stray.hasNext) {
+      val p = stray.next()
+      if (p.getFileName.toString.startsWith("file:")) hits += p.toString
+    }
+    assert(hits.isEmpty, s"literal file:* debris left in project CWD: ${hits.mkString(", ")}")
+  }
 
   test("localPath normalizes every file:-URI spelling; plain paths pass through") {
     assert(WarehouseIO.localPath("file:///tmp/wh").toString == "/tmp/wh")
