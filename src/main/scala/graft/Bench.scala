@@ -36,6 +36,18 @@ object Bench {
     "q_text_langid",
     "q_stream_windowed")
 
+  /** Second tracked metric (r9): the LLM-curation suite that landed in
+    * round 8 — filters, decontamination, LM scoring, incremental near-dup.
+    * A SEPARATE total so the headline set stays byte-stable for
+    * cross-round trend comparison while the curation ops get their own
+    * trend line. Timed in the same warm-up + best-of-N interleave. */
+  val curation: Seq[String] = Seq(
+    "q_text_repetition",
+    "q_text_boilerplate",
+    "q_decontaminate",
+    "q_text_unigram_logprob",
+    "q_dedup_minhash_incremental")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -55,7 +67,8 @@ object Bench {
     * spec-testable without forking a JVM (BenchContractSpec). */
   def run(spark: SparkSession, sfDir: String, timed: Seq[String],
           queries: Map[String, (SparkSession, String) => DataFrame],
-          passCount: Int = 3): (String, Map[String, String]) = {
+          passCount: Int = 3,
+          extraMetrics: Seq[(String, Seq[String])] = Nil): (String, Map[String, String]) = {
     // Execute via a noop-format write, not count(): a row count lets
     // Catalyst prune deterministic projections/sorts (ColumnPruning,
     // EliminateSorts), which would un-measure projection-only queries.
@@ -64,6 +77,9 @@ object Bench {
       queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // extra metrics ride the same warm-up and interleaved passes; their
+    // totals are reported under their own keys, never in headline_total
+    val allTimed = (timed ++ extraMetrics.flatMap(_._2)).distinct
 
     // Warm-up pass: executes every headline plan once so JIT + whole-stage
     // codegen class compilation + parquet footer caches are attributed to
@@ -72,7 +88,7 @@ object Bench {
     // constructs and executes its full DataFrame DAG), so it measures
     // steady-state engine throughput, the metric that matters for a
     // long-running cluster.
-    timed.foreach { name =>
+    allTimed.foreach { name =>
       try exec(name)
       catch { case t: Throwable => errs.getOrElseUpdate(name, brief(t)) }
     }
@@ -87,7 +103,7 @@ object Bench {
     // additive (GC, CPU contention), so the floor is the best estimate of
     // the code's actual cost.
     val passes = (1 to passCount).map { _ =>
-      timed.flatMap { name =>
+      allTimed.flatMap { name =>
         if (errs.contains(name)) None
         else {
           val t0 = System.nanoTime()
@@ -100,17 +116,22 @@ object Bench {
         }
       }.toMap
     }
-    val results = timed.filterNot(errs.contains).map(name =>
-      name -> passes.flatMap(_.get(name)).min)
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val best = allTimed.filterNot(errs.contains).map(name =>
+      name -> passes.flatMap(_.get(name)).min).toMap
+    def qsJson(names: Seq[String]): String =
+      names.flatMap(n => best.get(n).map(v => "\"" + n + f"\":$v%.3f"))
+        .mkString("{", ",", "}")
+    def totalOf(names: Seq[String]): Double =
+      names.flatMap(best.get).sum
+    val extraJson = extraMetrics.map { case (metric, names) =>
+      f""","$metric":${totalOf(names)}%.3f,"${metric}_queries":${qsJson(names)}"""
+    }.mkString
     val errJson =
       if (errs.isEmpty) ""
       else errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","partial":true,"errors":{""", ",", "}")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$errJson}"""
     (json, errs.toMap)
   }
 
@@ -122,9 +143,16 @@ object Bench {
     // argument, not an env var: `sbt -client` executes in the long-lived
     // server JVM, which never sees the invoking shell's environment.
     // The driver runs with no args, so the contract output is unchanged.
-    val timed = args.headOption
-      .map(_.split(",").map(_.trim).toSet)
-      .map(only => headline.filter(only)).getOrElse(headline)
+    val only = args.headOption.map(_.split(",").map(_.trim).toSet)
+    val timed = only.map(o => headline.filter(o)).getOrElse(headline)
+    // the curation metric rides the default (driver) run; an explicit
+    // query-list A/B run times exactly what was asked, nothing else
+    val extras = only match {
+      case None => Seq("curation_total" -> curation)
+      case Some(o) =>
+        val c = curation.filter(o)
+        if (c.isEmpty) Nil else Seq("curation_total" -> c)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
@@ -137,11 +165,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (json, errs) = run(spark, sfDir, timed, SparkEntry.queries)
+    val (json, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
     println(json)
     spark.stop()
     if (errs.nonEmpty) {
-      System.err.println(s"[bench] ${errs.size} of ${timed.size} queries FAILED: ${errs.keys.mkString(", ")}")
+      val nTimed = (timed ++ extras.flatMap(_._2)).distinct.size
+      System.err.println(s"[bench] ${errs.size} of $nTimed queries FAILED: ${errs.keys.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -165,9 +165,9 @@ object ScaleProbe {
       val queryStride = math.max(n / 256, 1)
       // SemDeDup is O(n²/k) BY DESIGN (intra-cell pairwise): probe with
       // k ∝ √n (the paper's regime) so per-cell population stays bounded.
-      // The quantizer rides the fused argmax expression as literals, so
-      // very large k needs a join-based assignment instead — documented
-      // limit, not probed here.
+      // (r9: the quantizer's former few-hundred-cell codegen-literal limit
+      // is gone — see the ivf_assign legs below — but this leg keeps its
+      // historical k ∝ √n/2 config for cross-round trend comparability.)
       timed("semantic_dedup", runs, opFilter) {
         val cells = math.max(8, math.sqrt(n).toInt / 2)
         ops.Ivf.semanticDedupPairs(emb, "doc_id", "embedding",
@@ -181,6 +181,32 @@ object ScaleProbe {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Ivf.topK(queries, emb, "doc_id", "embedding", k = 10,
           nCells = 32, nProbe = 4).count()
+      }
+      // r9 quantizer-scale legs: cell assignment is the O(n·k·dims) front
+      // of every IVF op and was the last documented 100 TB weak spot (the
+      // literal-composed argmax capped k at a few hundred cells). The
+      // fused single-plan-constant form is probed at k=4096 — the √n
+      // regime of a ~10⁷-vector corpus and 16× past the old limit — plus
+      // an equal-k A/B against the retained relational form at k=64,
+      // where both still compile. Assignment has no join/shuffle, so wall
+      // must grow ~linearly in n at fixed k.
+      timed("ivf_assign_bigk4096", runs, opFilter) {
+        val cents = ops.Ivf.seedCentroids(emb, "doc_id", "embedding", 4096)
+        ops.Ivf.assignCells(emb, "doc_id", "embedding", cents)
+          .agg(count(lit(1)), sum("cell")).collect()(0).getLong(0)
+      }
+      val smallCents =
+        if (opFilter("ivf_assign_fused_k64") || opFilter("ivf_assign_relational_k64"))
+          ops.Ivf.seedCentroids(emb, "doc_id", "embedding", 64)
+        else Nil
+      timed("ivf_assign_fused_k64", runs, opFilter) {
+        ops.Ivf.assignCells(emb, "doc_id", "embedding", smallCents)
+          .agg(count(lit(1)), sum("cell")).collect()(0).getLong(0)
+      }
+      timed("ivf_assign_relational_k64", runs, opFilter) {
+        emb.select(col("doc_id"), element_at(ops.Ivf.cellRanksRelational(
+            ops.Similarity.asDouble(col("embedding")), smallCents, 1), 1).as("cell"))
+          .agg(count(lit(1)), sum("cell")).collect()(0).getLong(0)
       }
       // Adversarial diameter probe (VERDICT r6 #3): a single PATH graph of
       // n nodes (diameter n-1) with hash-permuted node ids, so the min

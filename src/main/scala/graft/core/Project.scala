@@ -109,10 +109,23 @@ object Project {
         .copy(nodeType = NodeType.Snapshot, path = Some(root.relativize(p).toString))
     }
 
-    val tests = sqlFiles("tests").map { case (name, p) =>
-      TemplateResolver.parseModel(conf.name, name, Files.readString(p))
-        .copy(nodeType = NodeType.Test, path = Some(root.relativize(p).toString))
+    // project-file custom generic tests: SQL files under `tests/generic/`
+    // (reference: {% test <name>(model, column_name, ...) %} macros under
+    // tests/generic/, core/dbt/parser/schema_generic_tests.py +
+    // generic_test_builders.py:29-57). Registered into the TestRegistry at
+    // parse time so schema-declared column tests reference them by name
+    // exactly like built-ins; they are DEFINITIONS, not test nodes, so
+    // they're excluded from the singular-test walk below.
+    val genericDir = root.resolve("tests").resolve("generic")
+    sqlFiles("tests/generic").foreach { case (name, p) =>
+      graft.quality.GenericTests.registerSqlTest(name, Files.readString(p))
     }
+
+    val tests = sqlFiles("tests").filterNot(_._2.startsWith(genericDir))
+      .map { case (name, p) =>
+        TemplateResolver.parseModel(conf.name, name, Files.readString(p))
+          .copy(nodeType = NodeType.Test, path = Some(root.relativize(p).toString))
+      }
 
     // schema-declared per-column generic tests: `models/<model>.tests.conf`
     // (reference: schema.yml column tests, core/dbt/parser/

@@ -41,22 +41,33 @@ object Dedup {
     * pairs naturally with [[exact]]'s content_hash output materialized
     * incrementally). Statuses: `dup_of_corpus` (content already curated),
     * `dup_in_batch` (first occurrence wins within the batch),
-    * `new` (admit). The corpus side joins by shuffle, NOT broadcast —
-    * a production fingerprint table is corpus-sized; the join keys on the
-    * hash so both sides partition evenly regardless of content skew. */
+    * `new` (admit). The join keys on the hash, so both sides partition
+    * evenly regardless of content skew; Spark picks the join strategy
+    * adaptively — a fingerprint table small enough to broadcast SHOULD
+    * broadcast, and a corpus-sized one exceeds the threshold and
+    * shuffles. NULL-text rows carry no content to compare: they classify
+    * as `new` (admit; nothing to dedup against) and are EXCLUDED from
+    * the batch-rank window — otherwise every null-text doc would land in
+    * one window partition and each would spuriously mark its
+    * predecessors' content as its own duplicate. */
   def exactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                        corpusHashes: DataFrame, hashCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val hashed = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
     val ranked = hashed.withColumn("rn",
       row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
     val hist = corpusHashes.select(col(hashCol).as("content_hash")).distinct()
       .withColumn("__seen", lit(1))
-    ranked.join(hist, Seq("content_hash"), "left")
+    val classified = ranked.join(hist, Seq("content_hash"), "left")
       .select(col(idCol), col("content_hash"),
         when(col("__seen").isNotNull, "dup_of_corpus")
           .when(col("rn") > 1, "dup_in_batch")
           .otherwise("new").as("status"))
+    val nullText = newDocs.filter(col(textCol).isNull)
+      .select(col(idCol), lit(null).cast("string").as("content_hash"),
+        lit("new").as("status"))
+    classified.unionAll(nullText)
       .withColumn("is_new_content", col("status") === "new")
   }
 
@@ -83,10 +94,29 @@ object Dedup {
     * signature expressions are pure maps, so the relational form's
     * unconditional doc-keyed repartition — which existed to feed a
     * since-removed groupBy — would shuffle the whole text column for
-    * nothing on a properly-split 100 TB scan. */
+    * nothing on a properly-split 100 TB scan.
+    *
+    * The split estimate comes from the OPTIMIZED LOGICAL plan's leaf
+    * stats (scan bytes / maxPartitionBytes), not `df.rdd` — the r8 form
+    * planned the whole query a second time per call just to count
+    * partitions, pinned that plan past AQE's reach, and threw on
+    * streaming inputs. Streaming frames pass through untouched (a
+    * micro-batch's parallelism belongs to the source), so the fused
+    * signature ops compose into `foreachBatch`/`transform` pipelines. */
   private def ensureParallelism(df: DataFrame, idCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, col(idCol)) else df
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = df.queryExecution.optimizedPlan.collectLeaves().map { leaf =>
+      // sizeInBytes is file bytes for scans, an estimate elsewhere; an
+      // unknown (huge) size means "assume well-partitioned" — correct
+      // here, since the repartition only exists for provably-tiny scans
+      // BigInt math first: an unknown-stats leaf reports ~Long.MaxValue
+      // and must clamp, not overflow, before the toLong
+      (leaf.stats.sizeInBytes / maxSplit).max(BigInt(1)).min(BigInt(par)).toLong
+    }.sum
+    if (splits < par) df.repartition(par, col(idCol)) else df
   }
 
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
@@ -178,6 +208,9 @@ object Dedup {
       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5,
       maxBandFrequency: Option[Int] = None): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
+        s"the trailing ${k % bands} signature positions")
     // sigs is read 3× (band explode + two joins back) — cache it, then
     // eagerly materialize the (small, threshold-filtered) pair output via
     // localCheckpoint so the signature cache can be RELEASED before
@@ -268,6 +301,20 @@ object Dedup {
                          shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.5,
                          maxBandFrequency: Option[Int] = None): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
+        s"the trailing ${k % bands} signature positions")
+    // fail fast on a mismatched signature store: est_jaccard divides the
+    // position-agreement count by THIS call's k, and bandKeys slices by
+    // THIS call's k/bands — a store built with a different (k, shingleLen)
+    // would yield silently-wrong similarities, not an error. One limit-1
+    // probe of the store is cheap next to the batch it guards.
+    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
+          "was built with a different k than this call (and possibly a different " +
+          "shingleLen, which this check cannot see)")
+    }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
     try {
       val nb0 = newSigs.select(col("doc"),
@@ -484,19 +531,44 @@ object Dedup {
     * oracle-verified mode. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6,
+                   maxBlockFrequency: Option[Int] = None): DataFrame =
+    hammingPairs(simhashes(df, idCol, textCol), "doc", "sh",
+      maxHamming, nBlocks = SimhashBlocks, blockBits = SimhashBlockBits,
+      maxBlockFrequency = maxBlockFrequency)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+
+  /** Hamming near-dup pairs over ANY packed-bits signature column — the
+    * simhash block join generalized (r9) so perceptual image hashes
+    * (dHash/aHash, 64-bit: nBlocks=4, blockBits=16) ride the same
+    * machinery. Pigeonhole guarantee: two signatures within
+    * `maxHamming < nBlocks` differing bits agree on ≥1 whole block, so
+    * the block equi-join finds every true pair (candidate recall 1.0 at
+    * maxHamming ≤ nBlocks−1; the brute-force parity leg in ImageHashSpec
+    * checks exactly this). A larger maxHamming is the standard
+    * APPROXIMATE regime — candidates still need a shared block (the
+    * simhash gate config: hamming ≤ 6 over 4 blocks; its oracle banding
+    * is identical, so cross-engine results still match exactly). Null
+    * signatures (e.g. undecodable images) are excluded. The block
+    * self-join is the only data-sized shuffle; `maxBlockFrequency` caps
+    * degenerate blocks like every other bucketized family here.
+    *
+    * The signature is a single long — cheap enough to carry through the
+    * block join, saving two join stages vs a dedup-then-rejoin plan.
+    * Block key = blockIdx*2^blockBits + the block's bit slice, a LONG:
+    * equality is what blocks, so the numeric key yields the exact
+    * candidate set of the oracle's string key at 8-byte shuffle width. */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int, nBlocks: Int, blockBits: Int,
                    maxBlockFrequency: Option[Int] = None): DataFrame = {
-    // the signature is a single long — cheap enough to carry through the
-    // block join, saving two join stages vs a dedup-then-rejoin plan.
-    // Block key = blockIdx*2^15 + 15-bit slice, a LONG: equality is what
-    // blocks, so the numeric key yields the exact candidate set of the
-    // oracle's string key at an 8-byte shuffle width.
-    val blockMask = (1L << SimhashBlockBits) - 1
-    val blocked0 = simhashes(df, idCol, textCol).select(col("doc"), col("sh"),
-      explode(transform(sequence(lit(0), lit(SimhashBlocks - 1)), b =>
-        b.cast(LongType) * (1L << SimhashBlockBits) +
-          call_function("shiftright", col("sh"), b * SimhashBlockBits)
-            .bitwiseAND(lit(blockMask))))
-        .as("block"))
+    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    val blockMask = (1L << blockBits) - 1
+    val blocked0 = sigs.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__sig"),
+        explode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+          b.cast(LongType) * (1L << blockBits) +
+            call_function("shiftright", col(hashCol), b * blockBits)
+              .bitwiseAND(lit(blockMask))))
+          .as("block"))
     val blocked = maxBlockFrequency match {
       case None => blocked0
       case Some(cap) =>
@@ -505,12 +577,12 @@ object Dedup {
           .select("block")
         blocked0.join(broadcast(hot), Seq("block"), "left_anti")
     }
-    blocked.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-      .join(blocked.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("block"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    blocked.select(col("block"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+      .join(blocked.select(col("block"), col("__id").as("id_b"), col("__sig").as("sig_b")), Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   // ------------------------------------------------------ n-gram Jaccard

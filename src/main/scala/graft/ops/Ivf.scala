@@ -18,9 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Assign each vector its best cell among the centroid list (argmax of
-    * cosine, ties → lower centroid id). `rank` ≤ nProbe cells per row. */
-  private def cellRanks(v: Column, centroids: Seq[(Int, Array[Double])], nProbe: Int): Column = {
+  /** Assign each vector its `nProbe` best cells among the centroid list
+    * (by 6-decimal-rounded cosine, ties → lower centroid id) — ONE fused
+    * codegen call carrying the whole centroid matrix as a plan constant.
+    *
+    * This is the r9 scale fix for the quantizer's cell-count limit: the
+    * previous literal-composed argmax ([[cellRanksRelational]], retained
+    * below as the parity/oracle reference) generated k × dims scalar
+    * literals and stopped compiling usefully past a few hundred cells;
+    * the fused form is O(1) plan size at any k, so SemDeDup's k ∝ √n and
+    * multi-thousand-cell ANN configs work (see ScaleProbe ivf legs). */
+  private def cellRanks(v: Column, centroids: Seq[(Int, Array[Double])], nProbe: Int): Column =
+    graft.expressions.VectorExpressions.ivfCellRanks(
+      v, centroids.map(_._1).toArray, centroids.map(_._2).toArray, nProbe)
+
+  /** The original relational assignment — an `array_sort` over per-cell
+    * cosine structs, each centroid spelled as `dims` literals. Kept as
+    * the executable specification: IvfParitySpec pins the fused form to
+    * it bit-for-bit, and the DuckDB oracles reproduce exactly this
+    * cross-join + rank shape in SQL. Do NOT use on a data path with
+    * large k — its expression tree grows as k × dims (the limit the
+    * fused form removes). */
+  private[graft] def cellRanksRelational(v: Column, centroids: Seq[(Int, Array[Double])],
+                                         nProbe: Int): Column = {
     val scored = centroids.map { case (cid, cvec) =>
       struct(
         Similarity.cosine(v, array(cvec.map(lit): _*)).as("score"),
@@ -30,6 +50,18 @@ object Ivf {
     transform(
       slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
       s => -s.getField("neg_id"))
+  }
+
+  /** Cell assignment as a standalone operator: each row gets the id of
+    * its best cell (or its `nProbe` best cells when nProbe > 1, as an
+    * array) — the building block for cell-partitioned corpus layouts,
+    * SemDeDup blocking, and the ScaleProbe assignment legs. One narrow
+    * codegen projection; no join, no shuffle. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[(Int, Array[Double])], nProbe: Int = 1): DataFrame = {
+    val ranks = cellRanks(Similarity.asDouble(col(vecCol)), centroids, nProbe)
+    if (nProbe == 1) df.select(col(idCol), element_at(ranks, 1).as("cell"))
+    else df.select(col(idCol), ranks.as("cells"))
   }
 
   /** Deterministic quantizer seeds: the first `nCells` corpus vectors. */
@@ -52,9 +84,16 @@ object Ivf {
     * as a fused codegen projection, then a (cell, dim) partial-agg mean
     * whose result is nCells × dims rows (driver-tiny by construction;
     * the collect here is the quantizer, not the data path). Empty cells
-    * keep their previous centroid. Deterministic: same corpus + seeds →
-    * same quantizer, so training composes with the engine's
-    * reproducibility contract. */
+    * keep their previous centroid.
+    *
+    * Determinism: each mean is rounded to 6 decimals (the engine-wide
+    * cosine precision) before it becomes the next centroid, so the
+    * quantizer is stable under shuffle-fetch/merge order — the
+    * distributed avg() is not bit-deterministic, but its last-ulp jitter
+    * is orders of magnitude below the 1e-6 grid. (A mean sitting within
+    * float-noise of a .5e-6 boundary could still flip; same-corpus runs
+    * are reproducible in practice, bit-reproducibility is only
+    * guaranteed for the seeded quantizer.) */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, iters: Int): Seq[(Int, Array[Double])] = {
     val vecs = corpus.select(Similarity.asDouble(col(vecCol)).as("v")).persist()
@@ -64,7 +103,7 @@ object Ivf {
         val means = vecs
           .withColumn("cell", element_at(cellRanks(col("v"), cents, 1), 1))
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .groupBy("cell", "pos").agg(round(avg("x"), 6).as("m"))
           .collect()
           .groupBy(_.getAs[Int]("cell"))
           .map { case (cell, rows) =>

@@ -125,6 +125,140 @@ object Multimodal {
       }.toDF("asset_id", "n_bytes", "width", "height", "format")
   }
 
+  /** Deterministic PATTERNED image assets for the perceptual-hash path:
+    * a 9×8 grid (the dHash geometry) where every channel of cell (x, y)
+    * is `gray(id, x, y) = (id*31 + x*7 + y*13) % 256` — id-derivable
+    * arithmetic, so the DuckDB oracle can recompute the exact hash a
+    * correct decode of the real PNG bytes must produce (same trick as
+    * [[toImageAssets]]' dimension derivation). `scale` > 1 writes each
+    * grid cell as a scale×scale pixel block: the decoded image then has
+    * real downscaling work to do, and its hash must equal the scale=1
+    * hash bit-for-bit (ImageHashSpec pins this). */
+  def toPatternedImageAssets(docs: DataFrame, idCol: String, scale: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            9 * scale, 8 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 9) {
+              val g = ((id * 31 + gx * 7 + gy * 13) % 256).toInt
+              val rgb = (g << 16) | (g << 8) | g
+              var dy = 0
+              while (dy < scale) {
+                var dx = 0
+                while (dx < scale) {
+                  img.setRGB(gx * scale + dx, gy * scale + dy, rgb)
+                  dx += 1
+                }
+                dy += 1
+              }
+              gx += 1
+            }
+            gy += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, "image/png", out.toByteArray)
+        }
+      }.toDF("asset_id", "media_type", "payload")
+  }
+
+  /** Perceptual image hashes over the REAL decode path (r9 — closes the
+    * multimodal loop from decode to dedup): for each image payload,
+    * ImageIO decodes the actual pixels, an integer box-average downscales
+    * them to the canonical 9×8 grid, and two public perceptual hashes
+    * pack into 64-bit longs:
+    *
+    *  - `dhash` (difference hash): bit y*8+x = gray(x+1, y) > gray(x, y)
+    *    — gradient direction, robust to uniform brightness shifts.
+    *  - `ahash` (average hash): over the grid's 8×8 left block, bit
+    *    y*8+x = gray(x, y) > mean — coarse luminance layout.
+    *
+    * All arithmetic is integer (luma = (299r + 587g + 114b)/1000, means
+    * are floor divisions), so the hash is bit-deterministic across JVMs
+    * and recomputable in SQL by the oracle. Undecodable/non-image/too-
+    * small payloads degrade to null hashes per row, like
+    * [[decodeImagesBatched]]. Same mapPartitions batch seam. */
+  def imageHashesBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            val hashes: Option[(Long, Long)] =
+              if (mediaType == null || !mediaType.startsWith("image/")) None
+              else try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(
+                    Option(payload).getOrElse(Array.empty[Byte])))
+                if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+                else Some(Multimodal.perceptualHashes(img))
+              } catch { case _: Exception => None }
+            (id, hashes.map(_._1), hashes.map(_._2))
+          }
+        }
+      }.toDF("asset_id", "dhash", "ahash")
+  }
+
+  /** The grid + packing shared by the batched op above: pure integer
+    * math on the decoded pixels. Package-visible for ImageHashSpec. */
+  private[graft] def perceptualHashes(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Int](8, 9) // [y][x] integer box-average luma
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            sum += (299 * r + 587 * g + 114 * b) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    var dhash = 0L; var ahash = 0L
+    var aSum = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) { aSum += grid(yy)(xx); xx += 1 }
+      yy += 1
+    }
+    val mean = aSum / 64
+    yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val bit = yy * 8 + xx
+        if (grid(yy)(xx + 1) > grid(yy)(xx)) dhash |= (1L << bit)
+        if (grid(yy)(xx) > mean) ahash |= (1L << bit)
+        xx += 1
+      }
+      yy += 1
+    }
+    (dhash, ahash)
+  }
+
   /** Batch-shaped feature extraction via mapPartitions — the seam where a
     * native decoder (JNI batch API) plugs in. Batching amortizes per-call
     * overhead exactly like `mapInPandas` batches do for Python codecs.

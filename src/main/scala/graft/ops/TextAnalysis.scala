@@ -21,11 +21,41 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: letter runs, digits, and punctuation each count
-    * as one token — the standard cheap proxy for byte-pair-encoded length. */
+  /** Word pre-tokenizer for subword counting: letter runs, single digits,
+    * and single other non-space characters. */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Retained regex proxy (one token per pre-token word) — the cheap
+    * lower bound; superseded by the real [[bpeTokenCount]] for budgets. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Default BPE merge table, rank-ordered (dependencies resolve upward:
+    * a rule may reference tokens earlier rules created). Hand-curated
+    * from common English character pairs — the table's QUALITY is not
+    * the operator contract; its deterministic, declarable, cross-engine-
+    * replayable application is. A project swaps in trained merges via
+    * the `merges` parameter of [[bpeTokenCount]]. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "s" -> "t", "a" -> "r", "o" -> "u", "an" -> "d",
+    "in" -> "g", "a" -> "l", "i" -> "t", "o" -> "f", "e" -> "d",
+    "i" -> "s", "i" -> "on", "en" -> "t", "t" -> "o", "c" -> "o",
+    "co" -> "m", "l" -> "e", "a" -> "s", "h" -> "a", "w" -> "h",
+    "u" -> "r", "m" -> "a", "l" -> "l", "o" -> "w", "c" -> "h",
+    "l" -> "y", "s" -> "e", "d" -> "e", "p" -> "a", "e" -> "x",
+    "q" -> "u", "qu" -> "e", "u" -> "s", "f" -> "or", "er" -> "s",
+    "th" -> "at", "s" -> "h", "w" -> "i")
+
+  /** REAL byte-pair-encoding token count (r9): rank-ordered merge
+    * application over the word pre-tokens, as one codegen expression
+    * with the merge table as a plan constant. Deterministic and
+    * oracle-replayable — see BpeTokenCount's scaladoc for the algorithm
+    * and the rank-order ≡ priority-queue argument. */
+  def bpeTokenCount(text: Column,
+                    merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    graft.expressions.VectorExpressions.bpeTokenCount(text, merges)
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: the operator contract is the scoring machinery,

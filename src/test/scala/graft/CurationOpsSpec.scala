@@ -187,6 +187,53 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("incremental dedup: null-text rows admit as new, never classify each other as dups") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val hist = Seq("seen before").toDF("t").select(md5(col("t")).as("h"))
+    val batch = Seq((20L, Option("seen before")), (21L, None), (22L, None), (23L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "doc_id", "text", hist, "h")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Boolean]("is_new_content"))).toMap
+    assert(out(20L) == ("dup_of_corpus", false))
+    // distinct null-text docs share no content: none is a dup of another
+    Seq(21L, 22L, 23L).foreach(id => assert(out(id) == ("new", true), s"doc $id"))
+    assert(out.size == 4)
+  }
+
+  test("incremental minhash fails fast on a mismatched signature store") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val sigsK16 = Dedup.minhashSignatures(docs, "doc_id", "text", shingleLen = 5, k = 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIncremental(docs, "doc_id", "text", sigsK16, "doc", "sig", k = 32)
+    }
+    assert(e.getMessage.contains("signature store"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashIncremental(docs, "doc_id", "text", sigsK16, "doc", "sig",
+        k = 30, bands = 8)
+    }
+    assert(e2.getMessage.contains("multiple of bands"))
+  }
+
+  test("fused signature ops accept a streaming input (no df.rdd probe)") {
+    import graft.ops.Dedup
+    // r8 gated parallelism on df.rdd.getNumPartitions, which throws for
+    // streaming frames — the signature ops could not be composed into a
+    // streaming curation path at all. Plan construction must succeed and
+    // the query must run through the in-memory sink.
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+      .select(col("value").as("doc_id"),
+        concat(lit("stream doc body "), col("value")).as("text"))
+    val sigs = Dedup.minhashSignatures(stream, "doc_id", "text", shingleLen = 5, k = 16)
+    assert(sigs.isStreaming)
+    val q = sigs.writeStream.format("memory").queryName("sig_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination(30000)
+    assert(spark.table("sig_stream").schema.fieldNames.toSeq == Seq("doc", "sig"))
+  }
+
   test("incremental minhash equals the batch pair set restricted to cross pairs") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

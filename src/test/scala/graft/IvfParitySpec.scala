@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, Similarity}
+
+/** The fused IvfCellRanks expression (centroid matrix as ONE plan
+  * constant) must be BIT-IDENTICAL to the relational assignment it
+  * replaced — an array_sort over per-cell cosine structs, which the
+  * DuckDB oracles also mirror in SQL. Parity is checked on the fixture
+  * embeddings and on the edges where the two code paths could diverge:
+  * exact score ties (duplicate vectors), NaN scores (zero vectors),
+  * dimension mismatches (common-prefix accumulation), and nProbe > k.
+  * The fused path must additionally work at cell counts where the
+  * relational form's k×dims expression tree was the documented limit. */
+class IvfParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ranksOf(df: DataFrame, vecCol: String,
+                      centroids: Seq[(Int, Array[Double])], nProbe: Int,
+                      fused: Boolean): Map[Long, Seq[Int]] = {
+    val v = Similarity.asDouble(col(vecCol))
+    val ranks =
+      if (fused) graft.expressions.VectorExpressions.ivfCellRanks(
+        v, centroids.map(_._1).toArray, centroids.map(_._2).toArray, nProbe)
+      else Ivf.cellRanksRelational(v, centroids, nProbe)
+    df.select(col("vec_id"), ranks.as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+  }
+
+  private def assertParity(df: DataFrame, centroids: Seq[(Int, Array[Double])],
+                           nProbe: Int): Unit = {
+    val f = ranksOf(df, "embedding", centroids, nProbe, fused = true)
+    val r = ranksOf(df, "embedding", centroids, nProbe, fused = false)
+    assert(f.keySet == r.keySet)
+    f.foreach { case (id, cells) =>
+      assert(cells == r(id), s"cell ranks mismatch for vec $id at nProbe=$nProbe")
+    }
+  }
+
+  test("fused == relational on the fixture embeddings (gate + larger configs)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (nCells <- Seq(8, 64); nProbe <- Seq(1, 2, 4)) {
+      assertParity(e, Ivf.seedCentroids(e, "vec_id", "embedding", nCells), nProbe)
+    }
+  }
+
+  test("fused == relational on edge vectors: ties, zero vectors, dim mismatch, nProbe > k") {
+    import spark.implicits._
+    val edge = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)), // zero vector → NaN cosine vs every cell
+      (2L, Array(1.0f, 0.0f, 0.0f)), // duplicate of 0 → exact score ties
+      (3L, Array(0.70711f, 0.70711f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f)), // shorter than the centroids: common-prefix law
+      (6L, Array(0.0f, 0.0f, 1.0f, 9.0f))) // longer than the centroids
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.seedCentroids(edge, "vec_id", "embedding", 4)
+    for (nProbe <- Seq(1, 2, 4, 9)) assertParity(edge, cents, nProbe)
+  }
+
+  test("fused path works past the relational form's cell-count limit") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // every corpus vector as a centroid — k=500 cells, which the literal-
+    // composed form could not codegen usefully; each vector must pick
+    // itself (cosine 1.0 beats any distinct hash-random 64-dim vector,
+    // and ties — exact duplicates — break to the LOWEST centroid id, so
+    // allow ranks where the cell id is a duplicate's lower id)
+    val k = 500
+    val cents = Ivf.seedCentroids(e, "vec_id", "embedding", k)
+    val f = ranksOf(e, "embedding", cents, nProbe = 1, fused = true)
+    assert(f.size == 500)
+    f.foreach { case (id, cells) =>
+      assert(cells.length == 1)
+      assert(cells.head <= id, s"vec $id must land in its own (or a duplicate's) cell")
+    }
+    assert(f.count { case (id, cells) => cells.head == id } >= 490)
+  }
+}

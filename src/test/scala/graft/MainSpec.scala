@@ -130,6 +130,57 @@ class MainSpec extends AnyFunSuite {
     assert(audit.collect()(0).getString(0) == "alice")
   }
 
+  test("project-file custom generic tests: {% test %} macro + bare file, defaults, fail, store_failures") {
+    val dir = writeProject()
+    def put(rel: String, content: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    // reference-shaped macro file with a kwarg default
+    put("tests/generic/test_at_least.sql",
+      """{% test at_least(model, column_name, floor=0) %}
+        |select * from {{ model }} where {{ column_name }} < {{ floor }}
+        |{% endtest %}""".stripMargin)
+    // bare-SELECT form: name from the filename's test_ stem
+    put("tests/generic/test_no_nines.sql",
+      "select * from {{ model }} where {{ column_name }} = 9")
+    // default floor=0 passes on stg_payments.amount; floor=100 fails on
+    // revenue (alice 17) but warns + audits
+    put("models/staging/stg_payments.tests.conf",
+      """amount: at_least
+        |amount: unique where="customer = 'alice'"
+        |""".stripMargin)
+    put("models/marts/revenue.tests.conf",
+      """revenue: at_least floor=100 severity=warn store_failures=true
+        |revenue: no_nines
+        |""".stripMargin)
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString)
+    val out = sw.toString
+    assert(out.contains("PASS     test.shop.stg_payments_amount_at_least"), out)
+    assert(out.contains("WARN     test.shop.revenue_revenue_at_least"), out)
+    assert(out.contains("PASS     test.shop.revenue_revenue_no_nines"), out)
+    // store_failures persisted the failing rows of the FILE-defined test
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val audit = rm.read(Relation("graft", "main_graft_audit", "revenue_revenue_at_least"))
+    assert(audit.count() == 1)
+    assert(audit.collect()(0).getAs[Any]("customer") == "alice")
+    // definitions are NOT singular test nodes
+    assert(!out.contains("test.shop.test_at_least"), out)
+    // error severity fails the build
+    put("models/marts/revenue.tests.conf", "revenue: at_least floor=100\n")
+    val sw2 = new java.io.StringWriter()
+    val code2 = Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw2, true))
+    assert(code2 != 0, sw2.toString)
+    assert(sw2.toString.contains("FAIL     test.shop.revenue_revenue_at_least"), sw2.toString)
+  }
+
   test("model contracts: match builds + constraint tests, violation fails with mismatch table") {
     val dir = writeProject()
     Files.writeString(dir.resolve("models/marts/revenue.contract.conf"),

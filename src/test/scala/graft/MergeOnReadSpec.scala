@@ -352,6 +352,42 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rm.read(rel).count() == 29999)
   }
 
+  test("auto-compaction backfills pre-r8 manifests: the legacy delete-file scan runs at most once") {
+    import spark.implicits._
+    val (rm, rel, t) = mor("mor_upgrade")
+    spark.sql(s"UPDATE $t SET v = 'legacy' WHERE id = 21")
+    val st0 = rm.currentState(rel).get
+    assert(st0.deleteRows.nonEmpty, "precondition: current-format commit records counts")
+    // forge a pre-r8 history in place: strip add_delete_rows from the DML
+    // delta — byte-for-byte what the r7 serializer emitted for the same
+    // statement (an upgraded-in-place deployment's log)
+    val delta = java.nio.file.Paths.get(rm.path(rel))
+      .resolve("_graft_log").resolve(f"v${st0.version}%08d.json")
+    val txt = Files.readString(delta)
+    assert(txt.contains("add_delete_rows"))
+    Files.writeString(delta, txt.replaceAll(""""add_delete_rows":\{[^}]*\},""", ""))
+    assert(rm.currentState(rel).get.deleteRows.isEmpty, "precondition: legacy manifest")
+
+    val scans0 = org.apache.spark.sql.graft.source.GraftAutoCompact.deleteFileScans.get()
+    // a no-trigger DML on a DIFFERENT data file evaluates the ratio bound:
+    // the legacy file is footer-counted ONCE and the counts are written
+    // back into the manifest as a metadata-only commit
+    spark.sql(s"UPDATE $t SET v = 'a' WHERE id = 25001")
+    assert(org.apache.spark.sql.graft.source.GraftAutoCompact.deleteFileScans.get() > scans0,
+      "the first evaluation on an upgraded table pays the legacy scan")
+    val scans1 = org.apache.spark.sql.graft.source.GraftAutoCompact.deleteFileScans.get()
+    val st1 = rm.currentState(rel).get
+    assert(st1.deleteRows.keySet == st1.deletes.keySet,
+      s"backfill must cover every attached file: ${st1.deleteRows} vs ${st1.deletes.keySet}")
+    // second evaluation: counts ride the manifest now — zero delete-file reads
+    spark.sql(s"UPDATE $t SET v = 'b' WHERE id = 25002")
+    assert(org.apache.spark.sql.graft.source.GraftAutoCompact.deleteFileScans.get() == scans1,
+      "an upgraded table must never pay the legacy scan twice")
+    assert(rm.currentState(rel).get.deletes.nonEmpty, "no fold (bounds not crossed)")
+    assert(rm.read(rel).filter($"id" === 21L).select("v").as[String].head() == "legacy")
+    assert(rm.read(rel).count() == 30000)
+  }
+
   test("auto-compaction: delete_compaction=false disables folding entirely") {
     import spark.implicits._
     val (rm, rel, t) = mor("mor_autofold_off")
