@@ -131,11 +131,15 @@ object OpsQueries {
     }),
 
     // -------------------------------------------------- text analysis
+    // ws = whitespace tokens; pre = word pre-tokens (the old regex
+    // proxy); bpe = the REAL rank-ordered-merge BPE count (r9), which
+    // the oracle replays merge-for-merge via a recursive CTE
     "q_text_tokens" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         TA.tokenCount(col("text")).as("ws_tokens"),
-        TA.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        TA.bpeishTokenCount(col("text")).as("pre_tokens"),
+        TA.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -280,10 +284,12 @@ object OpsQueries {
     // budget-aligned block packing: docs in id order fill 1024-token
     // training sequences via a two-level prefix sum (no document-sized
     // single-partition window); the oracle reproduces the same global
-    // running-offset arithmetic in one window.
+    // running-offset arithmetic in one window. r9: budgets come from the
+    // REAL BPE token count — the number a trainer's tokenizer would see —
+    // so the packing gate now also re-proves the tokenizer end-to-end.
     "q_pack_sequences" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
-        TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+        TA.bpeTokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
           .as("n_tokens"))
       Packing.packSequences(docs, "doc_id", "n_tokens",
         budget = 1024L, bucketWidth = 128L)
@@ -406,6 +412,12 @@ object OpsQueries {
        |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** The default BPE merge table as a SQL VALUES list — one Scala source
+    * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
+  private def bpeMergesValues: String =
+    TA.DefaultBpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
 
   /** SemDeDup oracle, parameterized on the quantizer config — the same
     * cross-join + rounded-rank assignment shape at any cell count. */
@@ -689,10 +701,30 @@ object OpsQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_text_tokens" ->
-      s"""SELECT doc_id,
+      s"""WITH RECURSIVE
+         |mr(r, l, rt) AS (SELECT * FROM (VALUES $bpeMergesValues)),
+         |w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
+         |  FROM documents),
+         |-- marker-wrapped char string: \\x01 between tokens AND at both
+         |-- ends, so a merge rule's replace matches WHOLE tokens only and
+         |-- consecutive occurrences resolve left-to-right non-overlapping
+         |-- (replace()'s scan) — exactly the engine's BpeTokenCount pass
+         |rec(doc_id, s, r) AS (
+         |  SELECT doc_id, regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1), 0 FROM w
+         |  UNION ALL
+         |  SELECT rec.doc_id,
+         |    replace(rec.s, chr(1)||m.l||chr(1)||m.rt||chr(1), chr(1)||m.l||m.rt||chr(1)),
+         |    rec.r + 1
+         |  FROM rec JOIN mr m ON m.r = rec.r + 1),
+         |cnt AS (
+         |  SELECT doc_id, CAST(SUM(len(string_split(s, chr(1))) - 2) AS INTEGER) AS bpe_tokens
+         |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} GROUP BY doc_id)
+         |SELECT d.doc_id,
          |  len($toksSql) AS ws_tokens,
-         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS pre_tokens,
+         |  COALESCE(c.bpe_tokens, 0) AS bpe_tokens
+         |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val scores = TA.stopwords.map { case (lang, words) =>
@@ -922,9 +954,24 @@ object OpsQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+      s"""WITH RECURSIVE
+         |mr(r, l, rt) AS (SELECT * FROM (VALUES $bpeMergesValues)),
+         |w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
          |  FROM documents),
+         |rec(doc_id, s, r) AS (
+         |  SELECT doc_id, regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1), 0 FROM w
+         |  UNION ALL
+         |  SELECT rec.doc_id,
+         |    replace(rec.s, chr(1)||m.l||chr(1)||m.rt||chr(1), chr(1)||m.l||m.rt||chr(1)),
+         |    rec.r + 1
+         |  FROM rec JOIN mr m ON m.r = rec.r + 1),
+         |cnt AS (
+         |  SELECT doc_id, CAST(SUM(len(string_split(s, chr(1))) - 2) AS BIGINT) AS bpe
+         |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc_id, CAST(COALESCE(c.bpe, 0) AS BIGINT) AS n_tokens
+         |  FROM documents LEFT JOIN cnt c USING (doc_id)),
          |c AS (
          |  SELECT doc_id, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis => TA}
+
+/** The real BPE token count (r9): rank-ordered merge application over
+  * word pre-tokens. Hand-derived encodings pin the algorithm (merge
+  * order, left-to-right non-overlap, whole-token matching); edge texts
+  * pin the pre-tokenizer boundary behavior the DuckDB oracle must share
+  * (q_text_tokens / q_pack_sequences replay the same merge table via a
+  * recursive CTE). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def counts(texts: (Long, String)*): Map[Long, Int] = {
+    import spark.implicits._
+    texts.toSeq.toDF("id", "text")
+      .select(col("id"), TA.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("hand-derived encodings: merge order and non-overlap") {
+    val c = counts(
+      1L -> "the", // t h e -> th e (r1) -> the (r2): 1 token
+      2L -> "and", // a n d -> an d (r5) -> and (r15): 1
+      3L -> "that", // t h a t -> th a t (r1) -> th at (r8) -> that (r46): 1
+      4L -> "queue", // q u e u e -> qu e u e (r41) -> que u e (r42): 3
+      5L -> "llll", // l l l l -> ll ll (r33, left-to-right non-overlap): 2
+      6L -> "6502", // digits pre-tokenize singly: 4
+      7L -> "don't stop", // don=d,o,n->d,on(r7) =2; ' =1; t=1; stop=st,o,p->st,o,p? (s t o p -> st(r12) o p): 3 => 7
+      8L -> "the the the") // three words, 1 each
+    assert(c(1L) == 1, s"'the' -> ${c(1L)}")
+    assert(c(2L) == 1)
+    assert(c(3L) == 1)
+    assert(c(4L) == 3)
+    assert(c(5L) == 2, "left-to-right non-overlapping pass must merge (ll)(ll)")
+    assert(c(6L) == 4)
+    assert(c(7L) == 7)
+    assert(c(8L) == 3)
+  }
+
+  test("edges: empty, whitespace, multibyte, null") {
+    import spark.implicits._
+    val c = counts(
+      1L -> "",
+      2L -> "   \t\n ",
+      3L -> "héllo", // h + é + llo(l,l,o -> ll,o) = 1+1+2
+      4L -> "日本語", // three single-char non-alnum words
+      5L -> "a") // single letter
+    assert(c(1L) == 0 && c(2L) == 0)
+    assert(c(3L) == 4)
+    assert(c(4L) == 3)
+    assert(c(5L) == 1)
+    // null text -> null count (nullSafeEval)
+    val n = Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TA.bpeTokenCount(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("invariants on the fixture corpus: 1 <= word tokens <= word chars; memoization is pure") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = docs.select(
+      TA.bpeTokenCount(col("text")).as("bpe"),
+      TA.bpeishTokenCount(col("text")).as("pre"),
+      length(col("text")).as("chars"))
+      .collect()
+    rows.foreach { r =>
+      val (bpe, pre, chars) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(bpe >= pre, "BPE can never merge across word pre-tokens")
+      assert(bpe <= chars + 1, s"BPE count bounded by character count: $bpe vs $chars")
+    }
+    // memoized second pass returns identical counts (cache purity)
+    val again = docs.select(TA.bpeTokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == again.toSeq)
+    assert(rows.map(_.getInt(0)).distinct.length > 1, "counts must vary")
+  }
+
+  test("declarable merges: a different table changes the segmentation deterministically") {
+    val c1 = {
+      import spark.implicits._
+      Seq((1L, "abab")).toDF("id", "text")
+        .select(TA.bpeTokenCount(col("text"), Seq("a" -> "b", "ab" -> "ab")))
+        .collect()(0).getInt(0)
+    }
+    assert(c1 == 1, "a b a b -> ab ab -> abab")
+    val c2 = {
+      import spark.implicits._
+      Seq((1L, "abab")).toDF("id", "text")
+        .select(TA.bpeTokenCount(col("text"), Seq("b" -> "a")))
+        .collect()(0).getInt(0)
+    }
+    assert(c2 == 3, "a (ba) b under the alternate table")
+  }
+}
