@@ -26,6 +26,41 @@ object StreamQueries {
         .toDF()
         .select(col("user_id"), col("n_events"), round(col("total_value"), 4).as("total_value"))
         .orderBy("user_id")
+    }),
+
+    // r9: the streaming curation path run FOR REAL — readStream over the
+    // documents parquet, curateDocStream (watermark + quality gate + PII
+    // redact + in-stream content dedup), exactly-once foreachBatch append
+    // into a commit-log table, then the FINAL TABLE is what the oracle
+    // checks. Output columns are hash-determined (which duplicate "wins"
+    // the stream race is nondeterministic, but its text — and so every
+    // emitted column — is identical by construction), and n_copies == 1
+    // per hash asserts the sink deduplicated and appended exactly once.
+    "q_stream_curation" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.relations.RelationManager
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_scur").toString)
+      val rel = graft.core.Relation("graft", "main", "curated_stream")
+      val ckpt = Files.createTempDirectory("graft_scur_ck").toString
+      // the file stream source wants a DIRECTORY to watch — stage the
+      // fixture file into one (what a real ingest's landing dir is)
+      val landing = Files.createTempDirectory("graft_scur_in")
+      Files.copy(java.nio.file.Paths.get(s"$d/documents.parquet"),
+        landing.resolve("documents.parquet"))
+      val raw = s.read.parquet(landing.toString).schema
+      val docs = s.readStream.schema(raw).parquet(landing.toString)
+        .select(
+          col("doc_id").cast(org.apache.spark.sql.types.LongType).as("doc_id"),
+          col("text").cast(org.apache.spark.sql.types.StringType).as("text"))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val curated = StreamingOps.curateDocStream(docs, "ts", "1 hour", minQuality = 0.7)
+      val q = StreamingOps.appendToTable(curated, rm, rel, "curate_stream", ckpt)
+      q.processAllAvailable(); q.stop()
+      rm.read(rel)
+        .groupBy("content_hash")
+        .agg(count(lit(1)).as("n_copies"),
+          max(length(col("text"))).cast(org.apache.spark.sql.types.LongType).as("n_chars"))
+        .orderBy("content_hash")
     })
   )
 
@@ -58,6 +93,40 @@ object StreamQueries {
         |SELECT s.user_id, COUNT(*) AS n_events,
         |  round(SUM(value), 4) AS total_value
         |FROM s JOIN last_session USING (user_id, session_id)
-        |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
+        |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin,
+
+    // The streaming curation table's final state: quality gate on the RAW
+    // text, then the same email→ip→phone redaction chain, then distinct
+    // content — one row per curated hash. n_copies is the exactly-once +
+    // in-stream-dedup assertion: every hash must appear ONCE in the table.
+    "q_stream_curation" -> {
+      import graft.ops.PiiRedact
+      val toks =
+        """CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+          |     ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
+      s"""WITH qual AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      length(text)::DOUBLE AS n,
+         |      len($toks)::DOUBLE AS n_tok,
+         |      (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE AS punct,
+         |      len(list_filter($toks,
+         |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_hits
+         |    FROM documents) f
+         |  WHERE round(
+         |    least(n / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END) * 4.0, 1.0) * 0.3, 6) >= 0.7),
+         |red AS (
+         |  SELECT regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${PiiRedact.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${PiiRedact.Ipv4Pattern}', '[IP]', 'g'),
+         |    '${PiiRedact.PhonePattern}', '[PHONE]', 'g') AS rtext
+         |  FROM qual)
+         |SELECT DISTINCT md5(rtext) AS content_hash,
+         |  CAST(1 AS BIGINT) AS n_copies,
+         |  CAST(length(rtext) AS BIGINT) AS n_chars
+         |FROM red ORDER BY content_hash""".stripMargin
+    }
   )
 }
