@@ -127,7 +127,8 @@ object Multimodal {
 
   /** Deterministic PATTERNED image assets for the perceptual-hash path:
     * a 9×8 grid (the dHash geometry) where every channel of cell (x, y)
-    * is `gray(id, x, y) = (id*31 + x*7 + y*13) % 256` — id-derivable
+    * is `gray(id, x, y) = (id*(1 + x + 9*y) + x*7 + y*13) % 256` —
+    * id-derivable
     * arithmetic, so the DuckDB oracle can recompute the exact hash a
     * correct decode of the real PNG bytes must produce (same trick as
     * [[toImageAssets]]' dimension derivation). `scale` > 1 writes each
@@ -146,7 +147,7 @@ object Multimodal {
           while (gy < 8) {
             var gx = 0
             while (gx < 9) {
-              val g = ((id * 31 + gx * 7 + gy * 13) % 256).toInt
+              val g = ((id * (1 + gx + 9 * gy) + gx * 7 + gy * 13) % 256).toInt
               val rgb = (g << 16) | (g << 8) | g
               var dy = 0
               while (dy < scale) {

@@ -389,6 +389,20 @@ object OpsQueries {
       val corrupted = assets.withColumn("payload",
         when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
       Multimodal.imageHashesBatched(corrupted).orderBy("asset_id")
+    }),
+
+    // r9: hamming near-dup pairs over the dHash through the generalized
+    // block-LSH (4 blocks × 16 bits). maxHamming 3 < 4 blocks →
+    // pigeonhole-exact recall, so the oracle can be the brute-force
+    // xor/bit_count pair scan over the reconstructed hashes.
+    "q_multimodal_phash_pairs" -> ((s, d) => {
+      val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
+        .withColumn("payload",
+          when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
+      val sigs = Multimodal.imageHashesBatched(assets)
+      graft.ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
+        maxHamming = 3, nBlocks = 4, blockBits = 16)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1099,28 +1113,45 @@ object OpsQueries {
     // the 8×8 left block (floor). Bit 63 packs as the SIGNED long's top
     // bit (-2^63); aggregates CAST back to BIGINT (HUGEINT trap).
     "q_multimodal_phash" ->
-      """WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
-        |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
-        |grid AS (
-        |  SELECT d.doc_id, x.x, y.y, (d.doc_id*31 + x.x*7 + y.y*13) % 256 AS g
-        |  FROM documents d CROSS JOIN xs x CROSS JOIN ys y),
-        |nxt AS (
-        |  SELECT a.doc_id, a.x, a.y, a.g, b.g AS gn,
-        |    CASE WHEN a.y*8+a.x = 63 THEN -9223372036854775808
-        |         ELSE (1::BIGINT << (a.y*8+a.x)) END AS pw
-        |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |means AS (
-        |  SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS mean
-        |  FROM grid WHERE x < 8 GROUP BY doc_id),
-        |packed AS (
-        |  SELECT n.doc_id,
-        |    CAST(SUM(CASE WHEN n.gn > n.g THEN n.pw ELSE 0 END) AS BIGINT) AS dhash,
-        |    CAST(SUM(CASE WHEN n.g > m.mean THEN n.pw ELSE 0 END) AS BIGINT) AS ahash
-        |  FROM nxt n JOIN means m USING (doc_id) GROUP BY n.doc_id)
+      s"""$phashPackedCtes
         |SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE dhash END AS dhash,
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE ahash END AS ahash
-        |FROM packed ORDER BY asset_id""".stripMargin
+        |FROM packed ORDER BY asset_id""".stripMargin,
+
+    // exact pairs by brute force: at maxHamming 3 < 4 blocks the engine's
+    // block-LSH has recall 1.0 (pigeonhole), so blocked == brute force
+    "q_multimodal_phash_pairs" ->
+      s"""$phashPackedCtes,
+        |h AS (SELECT doc_id, dhash FROM packed WHERE doc_id % 100 <> 7)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** The perceptual-hash reconstruction CTEs shared by the phash oracles:
+    * recompute the 9×8 pattern grid from the id arithmetic and pack both
+    * hashes exactly as Multimodal.perceptualHashes does. */
+  private def phashPackedCtes: String =
+    """WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+      |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+      |grid AS (
+      |  SELECT d.doc_id, x.x, y.y, (d.doc_id*(1 + x.x + 9*y.y) + x.x*7 + y.y*13) % 256 AS g
+      |  FROM documents d CROSS JOIN xs x CROSS JOIN ys y),
+      |nxt AS (
+      |  SELECT a.doc_id, a.x, a.y, a.g, b.g AS gn,
+      |    CASE WHEN a.y*8+a.x = 63 THEN -9223372036854775808
+      |         ELSE (1::BIGINT << (a.y*8+a.x)) END AS pw
+      |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |means AS (
+      |  SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS mean
+      |  FROM grid WHERE x < 8 GROUP BY doc_id),
+      |packed AS (
+      |  SELECT n.doc_id,
+      |    CAST(SUM(CASE WHEN n.gn > n.g THEN n.pw ELSE 0 END) AS BIGINT) AS dhash,
+      |    CAST(SUM(CASE WHEN n.g > m.mean THEN n.pw ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM nxt n JOIN means m USING (doc_id) GROUP BY n.doc_id)""".stripMargin
 }
