@@ -166,6 +166,19 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r9: declarable linear quality classifier (fastText/LR filter
+    // shape) — the model is a (token, weight) RELATION + bias; the
+    // weights here derive from the stopword tables (en positive, other
+    // languages negative), merged per token like a trained model export
+    "q_text_classifier" -> ((s, d) => {
+      val s2 = s
+      import s2.implicits._
+      val weights = classifierWeights.toSeq.toDF("token", "weight")
+      graft.ops.Classifier.linearScore(Tables.documents(s, d), "doc_id", "text",
+        weights, bias = 0.0, threshold = 0.03)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style unigram LM surprise: corpus unigram distribution →
     // per-doc mean log-probability
     "q_text_unigram_logprob" -> ((s, d) => {
@@ -426,6 +439,21 @@ object OpsQueries {
        |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** Demo classifier model shared by q_text_classifier and its oracle:
+    * English stopwords +1.0, every other language's stopwords −0.5,
+    * summed per token (the merged-model semantics Classifier applies). */
+  private def classifierWeights: Map[String, Double] = {
+    val raw = TA.stopwords.flatMap { case (lang, words) =>
+      val w = if (lang == "en") 1.0 else -0.5
+      words.map(_ -> w)
+    }
+    raw.groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).sum }
+  }
+
+  private def classifierWeightsValues: String =
+    classifierWeights.toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(",")
 
   /** The default BPE merge table as a SQL VALUES list — one Scala source
     * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
@@ -784,6 +812,20 @@ object OpsQueries {
          |  md5(array_to_string(list_sort(list_distinct(
          |    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same (token, weight) relation as VALUES; decimal sums keep the
+    // fold bit-exact, z compares as pure arithmetic (no exp in the gate)
+    "q_text_classifier" ->
+      s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $classifierWeightsValues)),
+         |t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |s AS (SELECT t.doc_id, count(*) AS n,
+         |  CAST(SUM(CAST(COALESCE(w.wt, 0) AS DECIMAL(18,6))) AS DOUBLE) AS ws
+         |  FROM t LEFT JOIN w ON t.tok = w.tok GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+         |  round(0.0 + CASE WHEN s.n > 0 THEN ws / s.n ELSE 0.0 END, 6) AS quality_z,
+         |  round(0.0 + CASE WHEN s.n > 0 THEN ws / s.n ELSE 0.0 END, 6) >= 0.03 AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_text_unigram_logprob" ->
       s"""WITH tr AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -187,6 +187,27 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("linear classifier: mean token weight, merged duplicates, OOV=0, empty doc = bias") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    // 'good' declared twice (two model parts): weights must SUM to 1.5
+    val weights = Seq(("good", 1.0), ("good", 0.5), ("bad", -2.0)).toDF("token", "weight")
+    val docs = Seq(
+      (1L, "good good bad unknown"), // (1.5 + 1.5 - 2.0 + 0) / 4 = 0.25
+      (2L, "bad"), // -2.0
+      (3L, "unknown words only here"), // 0
+      (4L, "")) // no tokens -> bias
+      .toDF("doc_id", "text")
+    val out = Classifier.linearScore(docs, "doc_id", "text", weights,
+      bias = 0.1, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((4L, 0.35, true))) // 0.1 + 0.25
+    assert(out(2L) == ((1L, -1.9, false)))
+    assert(out(3L) == ((4L, 0.1, false)))
+    assert(out(4L) == ((0L, 0.1, false)))
+  }
+
   test("incremental dedup: null-text rows admit as new, never classify each other as dups") {
     import spark.implicits._
     import graft.ops.Dedup
