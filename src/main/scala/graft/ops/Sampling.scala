@@ -45,6 +45,40 @@ object Sampling {
     df.filter(hashUnit(col(idCol)) < weightExpr)
   }
 
+  /** Temperature-scaled source mixing (r9): the multilingual-training
+    * rebalance p_i ∝ n_i^α (Lample & Conneau 2019 XLM; Conneau et al.
+    * 2020 XLM-R §3): α = 1 keeps natural proportions, α → 0 flattens
+    * toward uniform, boosting small sources relative to big ones. The
+    * target corpus is `totalFraction` of the input; each source keeps
+    * min(1, target_i / n_i) of its rows via the same deterministic
+    * id-hash as [[weightedMix]] (so temperature mixes are reproducible
+    * and nested in totalFraction). Fractions round to 6 decimals — the
+    * engine-wide cross-engine precision — before filtering.
+    *
+    * Scale shape: one tiny per-source count aggregate (|sources| rows,
+    * broadcast back), then the embarrassingly-parallel hash filter —
+    * data shuffles zero times. Keep fractions are derived IN THE PLAN,
+    * so the op composes lazily; a 100 TB caller with a precomputed
+    * source-count table passes it via the explicit-weights
+    * [[weightedMix]] instead. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, totalFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val mass = counts.agg(
+      sum(pow(col("__n").cast(DoubleType), lit(alpha))).as("__mass"),
+      sum("__n").as("__total"))
+    val frac = counts.crossJoin(broadcast(mass))
+      .select(col(sourceCol),
+        // target_i = totalFraction·total·(n_i^α / mass); keep_i = target_i / n_i
+        round(least(lit(1.0),
+          lit(totalFraction) * col("__total").cast(DoubleType) *
+            pow(col("__n").cast(DoubleType), lit(alpha)) / col("__mass") /
+            col("__n").cast(DoubleType)), 6).as("__keep"))
+    df.join(broadcast(frac), Seq(sourceCol))
+      .filter(hashUnit(col(idCol)) < col("__keep"))
+      .drop("__keep")
+  }
+
   /** Per-stratum quota: keep at most `quota` rows per value of
     * `strataCol`, chosen by hash rank (deterministic, unbiased within the
     * stratum, stable under re-runs and data reshuffling). Adds

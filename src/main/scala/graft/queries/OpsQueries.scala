@@ -263,6 +263,23 @@ object OpsQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // r9: temperature-scaled mixing (p_i ∝ n_i^α) — the fixture's
+    // natural sources are uniform (25 docs each), which would make any
+    // α a no-op, so the query derives a SKEWED source column from the
+    // id and rebalances it at α = 0.5; small sources survive ~whole,
+    // the dominant one downsamples hardest
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("src",
+        when(col("doc_id") % 16 < 8, "web")
+          .when(col("doc_id") % 16 < 12, "books")
+          .when(col("doc_id") % 16 < 14, "wiki")
+          .when(col("doc_id") % 16 < 15, "code")
+          .otherwise("papers"))
+      Sampling.temperatureMix(docs, "src", "doc_id",
+        alpha = 0.5, totalFraction = 0.5)
+        .select("doc_id", "src").orderBy("doc_id")
+    }),
+
     // -------------------------------------------------------- sampling
     "q_sample_fraction" -> ((s, d) => {
       Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
@@ -947,6 +964,22 @@ object OpsQueries {
         |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 8 THEN 'web' WHEN doc_id % 16 < 12 THEN 'books'
+        |         WHEN doc_id % 16 < 14 THEN 'wiki' WHEN doc_id % 16 < 15 THEN 'code'
+        |         ELSE 'papers' END AS src
+        |  FROM documents),
+        |c AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+        |m AS (SELECT SUM(pow(n, 0.5)) AS mass, SUM(n) AS total FROM c),
+        |f AS (SELECT src, round(least(1.0, 0.5 * total * pow(n, 0.5) / mass / n), 6) AS keepf
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.src FROM d JOIN f USING (src)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |      / CAST(268435456 AS DOUBLE) < f.keepf
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_sample_fraction" ->
       """SELECT doc_id, lang FROM documents

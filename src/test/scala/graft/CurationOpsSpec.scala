@@ -187,6 +187,32 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("temperature mixing: alpha=1 is proportional, alpha->0 flattens, nested in totalFraction") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // skewed corpus: 800 'big' + 100 'small'
+    val docs = ((0L until 800L).map(i => (i, "big")) ++ (1000L until 1100L).map(i => (i, "small")))
+      .toDF("doc_id", "src")
+    def kept(alpha: Double, frac: Double): Map[String, Long] =
+      Sampling.temperatureMix(docs, "src", "doc_id", alpha, frac)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: natural proportions — both sources keep ~frac of themselves
+    val a1 = kept(1.0, 0.5)
+    assert(math.abs(a1("big") / 800.0 - a1("small") / 100.0) < 0.12,
+      s"alpha=1 must sample sources at ~equal rates: $a1")
+    // alpha=0.25: small source keeps a much larger share of itself
+    val a0 = kept(0.25, 0.5)
+    assert(a0("small") / 100.0 > 2 * (a0("big") / 800.0),
+      s"low alpha must flatten toward uniform: $a0")
+    // nested: the 30% mix is a subset of the 60% mix at the same alpha
+    val lo = Sampling.temperatureMix(docs, "src", "doc_id", 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.temperatureMix(docs, "src", "doc_id", 0.5, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "temperature mixes must nest in totalFraction")
+    assert(lo.nonEmpty && hi.size > lo.size)
+  }
+
   test("linear classifier: mean token weight, merged duplicates, OOV=0, empty doc = bias") {
     import spark.implicits._
     import graft.ops.Classifier
