@@ -195,6 +195,15 @@ object ScaleProbe {
         ops.Ivf.assignCells(emb, "doc_id", "embedding", cents)
           .agg(count(lit(1)), sum("cell")).collect()(0).getLong(0)
       }
+      // two-level at the same k=4096 (64 coarse × ~64 fine): 32× less
+      // assignment arithmetic than flat, fine matrix rides a JOIN as
+      // data — the k ≈ 10⁵ path where even one plan constant is too big
+      timed("ivf_assign_twolevel4096", runs, opFilter) {
+        val coarse = ops.Ivf.seedCentroids(emb, "doc_id", "embedding", 64)
+        val fine = ops.Ivf.seedFineCentroids(emb, "doc_id", "embedding", coarse, 4096)
+        ops.Ivf.assignCellsTwoLevel(emb, "doc_id", "embedding", coarse, fine)
+          .agg(count(lit(1)), sum("cell")).collect()(0).getLong(0)
+      }
       val smallCents =
         if (opFilter("ivf_assign_fused_k64") || opFilter("ivf_assign_relational_k64"))
           ops.Ivf.seedCentroids(emb, "doc_id", "embedding", 64)

@@ -64,6 +64,56 @@ object Ivf {
     else df.select(col(idCol), ranks.as("cells"))
   }
 
+  // ------------------------------------------------- two-level quantizer
+
+  /** Fine-centroid seeds for the two-level quantizer: the first `nFine`
+    * corpus vectors become fine centroids, each routed to its coarse
+    * cell by the SAME coarse assignment rows use. Returns a DataFrame
+    * (coarse_cell, cell, centroid) — the fine table is DATA, never a
+    * plan constant, which is the whole point at large k. */
+  def seedFineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        coarse: Seq[(Int, Array[Double])], nFine: Int): DataFrame =
+    corpus.filter(col(idCol) < nFine)
+      .select(col(idCol).cast("int").as("cell"),
+        Similarity.asDouble(col(vecCol)).as("centroid"))
+      .withColumn("coarse_cell",
+        element_at(cellRanks(col("centroid"), coarse, 1), 1))
+      .select("coarse_cell", "cell", "centroid")
+
+  /** Two-level cell assignment for cell counts past what even the fused
+    * single-constant quantizer should carry (the r9 SCALE.md note: at
+    * k ≈ 10⁵ × 1k dims the matrix itself is GBs of task payload).
+    * Level 1: ~√k coarse centroids ride the fused plan-constant argmax.
+    * Level 2: the row joins its coarse cell's fine centroids from the
+    * `fine` TABLE (coarse_cell, cell, centroid) and keeps its best by
+    * (rounded cosine desc, cell asc) — the same order every quantizer
+    * here uses — via one partial-aggregatable max_by, not a window, so
+    * the shuffle carries ~n rows, not n × fanout.
+    *
+    * Cost: n·(|coarse| + k/|coarse|)·dims vs the flat n·k·dims — 32×
+    * less arithmetic at k=4096/64 coarse — at the price of the fine
+    * join's row fan-out (k/|coarse| per row, aggregated map-side).
+    * Approximation contract (standard hierarchical IVF): the nearest
+    * coarse cell need not contain the globally nearest fine centroid,
+    * so assignment is approximate; a fine centroid's OWN vector always
+    * maps to itself (TwoLevelIvf spec pins both properties). */
+  def assignCellsTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                          coarse: Seq[(Int, Array[Double])],
+                          fine: DataFrame): DataFrame = {
+    val v = df.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
+      .withColumn("coarse_cell", element_at(cellRanks(col("__v"), coarse, 1), 1))
+    v.join(fine, Seq("coarse_cell"))
+      .select(col(idCol),
+        struct(
+          Similarity.cosine(col("__v"), col("centroid")).as("score"),
+          (-col("cell")).as("neg_cell"),
+          col("cell").as("cell")).as("__cand"))
+      .groupBy(col(idCol))
+      // max of (score, -cell, cell) is lexicographic: highest score,
+      // ties to the LOWEST cell id — cellRanks' exact order
+      .agg(max(col("__cand")).getField("cell").as("cell"))
+  }
+
   /** Deterministic quantizer seeds: the first `nCells` corpus vectors. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int): Seq[(Int, Array[Double])] =

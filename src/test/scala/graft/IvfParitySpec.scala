@@ -61,6 +61,38 @@ class IvfParitySpec extends AnyFunSuite {
     for (nProbe <- Seq(1, 2, 4, 9)) assertParity(edge, cents, nProbe)
   }
 
+  test("two-level assignment: self-routing, coarse consistency, flat agreement") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+    val fine = Ivf.seedFineCentroids(e, "vec_id", "embedding", coarse, 64)
+    val fineRouting = fine.collect()
+      .map(r => r.getInt(1) -> r.getInt(0)).toMap // cell -> coarse_cell
+    assert(fineRouting.size == 64)
+    val assigned = Ivf.assignCellsTwoLevel(e, "vec_id", "embedding", coarse, fine)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size == 500)
+    // a fine centroid's own vector maps to itself: its coarse routing is
+    // BY CONSTRUCTION the same as the centroid's, and cosine(v,v)=1 wins
+    (0L until 64L).foreach(id =>
+      assert(assigned(id) == id.toInt, s"fine centroid $id must self-assign"))
+    // every assignment respects the coarse routing (the approximation
+    // contract: only the row's own coarse cell's fine centroids compete)
+    val coarseOf = ranksOf(e, "embedding", coarse, 1, fused = true)
+    assigned.foreach { case (id, cell) =>
+      assert(fineRouting(cell) == coarseOf(id).head,
+        s"vec $id assigned to a fine cell outside its coarse cell")
+    }
+    // agreement with the flat 64-cell quantizer wherever flat's winner
+    // lives in the row's coarse cell (two-level == flat restricted)
+    val flat = ranksOf(e, "embedding", Ivf.seedCentroids(e, "vec_id", "embedding", 64),
+      1, fused = true)
+    val comparable = assigned.keys.filter(id => fineRouting(flat(id).head) == coarseOf(id).head)
+    assert(comparable.nonEmpty)
+    comparable.foreach(id =>
+      assert(assigned(id) == flat(id).head,
+        s"vec $id: two-level must equal flat when flat's winner is coarse-local"))
+  }
+
   test("fused path works past the relational form's cell-count limit") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // every corpus vector as a centroid — k=500 cells, which the literal-
