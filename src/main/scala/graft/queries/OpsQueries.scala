@@ -433,6 +433,30 @@ object OpsQueries {
       graft.ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
         maxHamming = 3, nBlocks = 4, blockBits = 16)
         .orderBy("id_a", "id_b")
+    }),
+
+    // r9: the multimodal dedup loop COMPOSED end-to-end — real PNG decode
+    // → dHash → hamming block-LSH pairs → connected components → keep
+    // the min-id survivor per cluster. Corrupt payloads (null hash) drop
+    // out of pairing but stay as singleton clusters of themselves — a
+    // corrupt object must never be "deduplicated away" by a hash default.
+    "q_multimodal_dedup_pipeline" -> ((s, d) => {
+      val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
+        .withColumn("payload",
+          when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
+      val sigs = Multimodal.imageHashesBatched(assets)
+      val pairs = graft.ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
+        maxHamming = 3, nBlocks = 4, blockBits = 16)
+      val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = sigs.select(col("asset_id"))
+        .join(comp.withColumnRenamed("node", "asset_id"), Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("component"), col("asset_id")).as("component"))
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "component")
+        .select(col("asset_id"), col("component"), col("cluster_size"),
+          (col("asset_id") === col("component")).as("is_survivor"))
+        .orderBy("asset_id")
     })
   )
 
@@ -1203,14 +1227,39 @@ object OpsQueries {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the composed loop: brute-force pairs → transitive closure →
+    // min-id component labels; corrupt assets label themselves
+    "q_multimodal_dedup_pipeline" ->
+      s"""$phashPackedCtes,
+        |h AS (SELECT doc_id, dhash FROM packed WHERE doc_id % 100 <> 7),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        |labeled AS (
+        |  SELECT d.doc_id AS asset_id, COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY component)
+        |SELECT asset_id, component, cluster_size,
+        |  asset_id = component AS is_survivor
+        |FROM labeled JOIN sizes USING (component) ORDER BY asset_id""".stripMargin
   )
 
   /** The perceptual-hash reconstruction CTEs shared by the phash oracles:
     * recompute the 9×8 pattern grid from the id arithmetic and pack both
     * hashes exactly as Multimodal.perceptualHashes does. */
   private def phashPackedCtes: String =
-    """WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+    """WITH RECURSIVE xs AS (SELECT unnest(generate_series(0, 8)) AS x),
       |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
       |grid AS (
       |  SELECT d.doc_id, x.x, y.y, (d.doc_id*(1 + x.x + 9*y.y) + x.x*7 + y.y*13) % 256 AS g
