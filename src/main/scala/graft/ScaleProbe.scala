@@ -154,6 +154,34 @@ object ScaleProbe {
         ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob")).collect()(0).getLong(0)
       }
+      // r9 curation additions: the classifier's vocab join + per-doc agg
+      // (here a tiny demo model; a trained vocab only widens the join
+      // build side) and the zero-shuffle temperature rebalance
+      timed("classifier_linear", runs, opFilter) {
+        import spark.implicits._
+        val weights = ops.TextAnalysis.stopwords.flatMap { case (lang, ws) =>
+          ws.map(_ -> (if (lang == "en") 1.0 else -0.5))
+        }.toDF("token", "weight")
+        ops.Classifier.linearScore(docs, "doc_id", "text", weights, 0.0, 0.03)
+          .agg(count(lit(1)),
+            sum(when(col("keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      timed("temperature_mix", runs, opFilter) {
+        ops.Sampling.temperatureMix(
+          docs.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16)) < 8)),
+          "src", "doc_id", alpha = 0.5, totalFraction = 0.5).count()
+      }
+      // perceptual-hash dedup at n/10 images (PNG encode+decode dominates
+      // corpus generation, not the operator under test — the reduced size
+      // keeps the default battery's wall sane; ratios stay comparable)
+      timed("image_phash_pairs", runs, opFilter) {
+        val assets = ops.Multimodal.toPatternedImageAssets(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id")
+        val sigs = ops.Multimodal.imageHashesBatched(assets)
+        ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
+          maxHamming = 3, nBlocks = 4, blockBits = 16,
+          maxBlockFrequency = Some(2000)).count()
+      }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.

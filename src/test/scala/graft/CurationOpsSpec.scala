@@ -187,6 +187,28 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("plan shapes: classifier joins by key, temperature mix broadcasts fractions, hamming pairs stay equi-joins") {
+    import spark.implicits._
+    import graft.ops.{Classifier, Dedup, Sampling}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val weights = Seq(("the", 1.0), ("der", -0.5)).toDF("token", "weight")
+    val cls = planOf(Classifier.linearScore(docs, "doc_id", "text", weights, 0.0, 0.0))
+    assert(!cls.contains("CartesianProduct") && !cls.contains("BroadcastNestedLoopJoin"),
+      s"classifier vocabulary lookup must be an equi-join:\n$cls")
+    val mixed = planOf(Sampling.temperatureMix(
+      docs.withColumn("src", concat(lit("s"), col("doc_id") % 3)), "src", "doc_id", 0.5, 0.5))
+    assert(mixed.contains("BroadcastHashJoin") && !mixed.contains("SortMergeJoin"),
+      s"per-source fractions must broadcast, never shuffle the data side:\n$mixed")
+    val sigs = Seq((1L, 5L), (2L, 5L), (3L, 1024L)).toDF("id", "h")
+    val hp = planOf(Dedup.hammingPairs(sigs, "id", "h", 3, 4, 16))
+    assert(!hp.contains("CartesianProduct") && !hp.contains("BroadcastNestedLoopJoin"),
+      s"hamming pairing must stay a block equi-join:\n$hp")
+  }
+
   test("temperature mixing: alpha=1 is proportional, alpha->0 flattens, nested in totalFraction") {
     import spark.implicits._
     import graft.ops.Sampling
