@@ -61,6 +61,65 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_copies"),
           max(length(col("text"))).cast(org.apache.spark.sql.types.LongType).as("n_chars"))
         .orderBy("content_hash")
+    }),
+
+    // r9: CONTINUOUS-INGEST near-dup dedup run for real — two ordered
+    // micro-batches (even ids land first, then odd ids), each batch
+    // classified against the signature store the PREVIOUS batches built,
+    // its own signatures then appended to the store. The final pair
+    // table must equal the batch semantics (odd batch vs even store),
+    // which is exactly what the oracle computes — stream ≡ batch for
+    // the incremental dedup path, the property a months-long ingest
+    // relies on.
+    "q_stream_neardup" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Dedup
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_snd_in")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_snd_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val it = Files.list(tmp).iterator()
+          var found: java.nio.file.Path = null
+          while (found == null && it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        }
+        val dst = landing.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      // the file source batches oldest-modified first
+      val t0 = 1700000000000L
+      stage("0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stage("1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_snd_wh").toString)
+      val storeRel = graft.core.Relation("graft", "main", "sig_store")
+      val pairsRel = graft.core.Relation("graft", "main", "neardup_pairs")
+      rm.writeTable(Dedup.minhashSignatures(docs.limit(0), "doc_id", "text", 5, 32),
+        storeRel) // empty store with the signature schema
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft_snd_ck").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val store = rm.read(storeRel)
+          val pairs = Dedup.minhashIncremental(batch, "doc_id", "text",
+            store, "doc", "sig", shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+          if (rm.exists(pairsRel)) rm.appendTable(pairs, pairsRel)
+          else rm.writeTable(pairs, pairsRel)
+          rm.appendTable(
+            Dedup.minhashSignatures(batch, "doc_id", "text", 5, 32), storeRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      rm.read(pairsRel).orderBy("doc", "corpus_doc")
     })
   )
 
@@ -127,6 +186,42 @@ object StreamQueries {
          |  CAST(1 AS BIGINT) AS n_copies,
          |  CAST(length(rtext) AS BIGINT) AS n_chars
          |FROM red ORDER BY content_hash""".stripMargin
+    },
+
+    // stream ≡ batch: batch 1 (even ids) pairs against an empty store →
+    // nothing; batch 2 (odd ids) pairs against the stored even
+    // signatures — so the final table is exactly the odd-vs-even
+    // incremental minhash pair set, the same SQL shape as
+    // q_dedup_minhash_incremental with the split flipped to id parity
+    "q_stream_neardup" -> {
+      val charShinglesSql =
+        """list_distinct(list_transform(
+          |    generate_series(1, greatest(length(text) - 4, 0)),
+          |    i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 7)) AS BIGINT)))""".stripMargin
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |nb AS (
+         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig WHERE doc % 2 <> 0),
+         |cb AS (
+         |  SELECT doc AS corpus_doc, sig AS csig, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig WHERE doc % 2 = 0),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc, cb.corpus_doc, nb.sig AS sig_a, cb.csig AS sig_b
+         |  FROM nb JOIN cb USING (band))
+         |SELECT doc, corpus_doc,
+         |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+         |ORDER BY doc, corpus_doc""".stripMargin
     }
   )
 }
