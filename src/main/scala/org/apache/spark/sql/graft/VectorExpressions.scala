@@ -172,6 +172,9 @@ object VectorExpressions {
   def simhashSignature(text: Column): Column =
     ExpressionUtils.column(SimhashSignature(ExpressionUtils.expression(text)))
 
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeTokenCount(ExpressionUtils.expression(text), merges))
 
@@ -626,6 +629,81 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `repetition_stats(text)` — the Gopher repetition raw counts in ONE
+  * pass per document (r9): struct(n_tokens, top2, dup2, top3) where
+  * top2/top3 are the most frequent bigram/trigram's occurrence count and
+  * dup2 the total mass of bigrams occurring more than once. Replaces the
+  * explode → (doc, gram) count → per-doc max/sum pipeline, which paid
+  * TWO full-corpus shuffles (bigrams + trigrams) for statistics that are
+  * strictly per-document — a per-row HashMap pass is O(tokens) with no
+  * shuffle at all. (The r8-era scale note preferred the explode for
+  * spreading one pathological document across the cluster, but per-doc
+  * work is linear in document length either way and the shuffle cost is
+  * corpus-sized; RepetitionParity in CurationOpsSpec pins bit-equality
+  * against the retained relational form, and therefore the unchanged
+  * DuckDB oracle.) */
+case class RepetitionStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("top3", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    RepetitionStats.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.RepetitionStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+    : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = TokenizerUtil.tokens(text)
+    val n = toks.length
+    var top2 = 0L; var dup2 = 0L; var top3 = 0L
+    if (n >= 2) {
+      val bi = new java.util.HashMap[String, Int](n * 2)
+      var i = 0
+      while (i < n - 1) {
+        val g = toks(i) + " " + toks(i + 1)
+        bi.put(g, bi.getOrDefault(g, 0) + 1)
+        i += 1
+      }
+      val it = bi.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c > top2) top2 = c
+        if (c > 1) dup2 += c
+      }
+    }
+    if (n >= 3) {
+      val tri = new java.util.HashMap[String, Int](n * 2)
+      var i = 0
+      while (i < n - 2) {
+        val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        tri.put(g, tri.getOrDefault(g, 0) + 1)
+        i += 1
+      }
+      val it = tri.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c > top3) top3 = c
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, top2, dup2, top3)
+  }
 }
 
 /** Shared tokenizer for the fused text expressions — one implementation

@@ -187,6 +187,26 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
   }
 
+  test("RepetitionParity: fused per-doc stats == relational explode form on fixture + edges") {
+    import spark.implicits._
+    import graft.ops.Repetition
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, Double, Double, Boolean)] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rows(Repetition.ngramRepetition(fixture, "doc_id", "text")) ==
+      rows(Repetition.ngramRepetitionRelational(fixture, "doc_id", "text")))
+    val edge = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"), (4L, "a b a b a b a b"),
+      (5L, "x y z x y z x y z x y z"), (6L, "  spaced   out\ttokens "),
+      (7L, "héllo wörld héllo wörld héllo wörld"))
+      .toDF("doc_id", "text")
+    val f = rows(Repetition.ngramRepetition(edge, "doc_id", "text"))
+    assert(f == rows(Repetition.ngramRepetitionRelational(edge, "doc_id", "text")))
+    assert(!f(4L)._5, "a fully-repetitive doc must be dropped")
+    assert(f(1L) == ((0L, 0.0, 0.0, 0.0, true)))
+  }
+
   test("plan shapes: classifier joins by key, temperature mix broadcasts fractions, hamming pairs stay equi-joins") {
     import spark.implicits._
     import graft.ops.{Classifier, Dedup, Sampling}
