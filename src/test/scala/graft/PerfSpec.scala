@@ -160,7 +160,7 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query side should broadcast:\n$plan")
   }
 
-  test("curation ops: no cartesian anywhere; repetition aggregates partially") {
+  test("curation ops: no cartesian anywhere; repetition is shuffle-free per-row work") {
     for (q <- Seq("q_text_repetition", "q_text_boilerplate", "q_decontaminate",
                   "q_split_cluster_safe", "q_mix_sources", "q_text_pii",
                   "q_text_unigram_logprob", "q_dedup_incremental",
@@ -169,12 +169,16 @@ class PlanQualitySpec extends AnyFunSuite {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
-    // the (doc, gram) count must partial-aggregate before its shuffle —
-    // map-side combine is what bounds a pathological repeated document
-    val rep = physicalPlan("q_text_repetition")
-    assert("partial_count".r.findAllIn(rep).nonEmpty ||
-      "HashAggregate".r.findAllIn(rep).size >= 4,
-      s"expected two-level aggregation with partials:\n$rep")
+    // r9: the per-doc stats ride ONE fused expression (RepetitionStats) —
+    // the plan must carry NO exchange beyond the gate query's output sort
+    // (the r8 form's partial-agg shuffle existed only to count row-local
+    // grams; RepetitionParity pins result equality against it)
+    val rep = physicalPlan("q_text_repetition").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange ".r.findAllIn(rep).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(rep).size
+    assert(exchanges == rangeEx,
+      s"fused repetition must not shuffle beyond the output sort:\n$rep")
+    assert(rep.contains("repetition_stats"), s"expected the fused expression:\n$rep")
   }
 
   test("mix/split/pii stay shuffle-free: pure per-row filters and projections") {
