@@ -77,6 +77,18 @@ object JoinQueries {
       Ivf.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nCells = 400, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // r9: the two-level (coarse→fine) quantizer's assignment, oracle-
+    // checked — 8 coarse cells route each vector to its cell's slice of
+    // the 64 fine centroids; the fine matrix is a joined TABLE, the
+    // k ≳ 10⁵ shape where even one plan constant is too big
+    "q_sim_assign_twolevel" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val fine = Ivf.seedFineCentroids(e, "vec_id", "embedding", coarse, 64)
+      Ivf.assignCellsTwoLevel(e, "vec_id", "embedding", coarse, fine)
+        .orderBy("vec_id")
     })
   )
 
@@ -119,7 +131,29 @@ object JoinQueries {
         |ORDER BY event_id""".stripMargin,
 
     "q_sim_topk_ivf" -> ivfTopKSql(nCells = 8, nProbe = 2),
-    "q_sim_topk_ivf_bigk" -> ivfTopKSql(nCells = 400, nProbe = 4)
+    "q_sim_topk_ivf_bigk" -> ivfTopKSql(nCells = 400, nProbe = 4),
+
+    // two-stage argmax: coarse rank-1 over the 8 seeds, then rank-1 over
+    // the routed slice of the 64 fine seeds — both on the rounded cosine
+    // with ties to the lower cell id, exactly the engine's order
+    "q_sim_assign_twolevel" -> {
+      val cosC = cosineSql("e.embedding", "c.cv")
+      val cosF = cosineSql("v.embedding", "f.fv")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |ca AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |coarse_of AS (SELECT vec_id, embedding, cid AS coarse_cell FROM ca WHERE rn = 1),
+         |fine AS (SELECT vec_id AS cell, embedding AS fv, coarse_cell
+         |         FROM coarse_of WHERE vec_id < 64),
+         |cand AS (
+         |  SELECT v.vec_id, f.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $cosF DESC, f.cell) AS rn
+         |  FROM coarse_of v JOIN fine f USING (coarse_cell))
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell
+         |FROM cand WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }
   )
 
   /** The IVF search oracle, parameterized on the quantizer config — one
