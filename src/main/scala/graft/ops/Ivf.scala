@@ -114,6 +114,56 @@ object Ivf {
       .agg(max(col("__cand")).getField("cell").as("cell"))
   }
 
+  /** IVF search through the two-level quantizer — the full ANN path at
+    * cell counts where the fine matrix must stay tabular: the corpus is
+    * bucketed by its two-level fine cell; a query probes its
+    * `nProbeCoarse` best coarse cells, ranks the fine centroids routed
+    * to them, keeps `nProbeFine`, and scans only those buckets through
+    * the cell equi-join (the only data-sized shuffle, same as [[topK]]).
+    * The per-query fine ranking runs over nProbeCoarse × (k/|coarse|)
+    * candidates — query-side tiny — and corpus bucketing is ONE
+    * partial-aggregatable pass ([[assignCellsTwoLevel]]'s shape with the
+    * vector carried through). Recall is the standard two-stage IVF
+    * trade: probes bound it, IvfParitySpec measures the floor. */
+  def topKTwoLevel(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   coarse: Seq[(Int, Array[Double])], fine: DataFrame,
+                   nProbeCoarse: Int = 2, nProbeFine: Int = 8): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        Similarity.asDouble(col(vecCol)).as("cv"))
+      .withColumn("coarse_cell", element_at(cellRanks(col("cv"), coarse, 1), 1))
+    val corpusCells = cv.join(fine, Seq("coarse_cell"))
+      .select(col("neighbor_id"), col("cv"),
+        struct(
+          Similarity.cosine(col("cv"), col("centroid")).as("score"),
+          (-col("cell")).as("neg_cell"),
+          col("cell").as("cell")).as("__cand"))
+      .groupBy(col("neighbor_id"))
+      .agg(max(col("__cand")).getField("cell").as("cell"),
+        any_value(col("cv")).as("cv")) // cv is key-determined: any == the value
+
+    val q = queries.select(col(idCol).as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv"))
+      .withColumn("coarse_cell",
+        explode(cellRanks(col("qv"), coarse, nProbeCoarse)))
+    val probedFine = q.join(fine, Seq("coarse_cell"))
+      .withColumn("fscore", Similarity.cosine(col("qv"), col("centroid")))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("fscore").desc, col("cell"))
+    val queryCells = probedFine
+      .withColumn("frank", row_number().over(wf))
+      .filter(col("frank") <= nProbeFine)
+      .select("query_id", "qv", "cell")
+
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Deterministic quantizer seeds: the first `nCells` corpus vectors. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int): Seq[(Int, Array[Double])] =

@@ -93,6 +93,36 @@ class IvfParitySpec extends AnyFunSuite {
         s"vec $id: two-level must equal flat when flat's winner is coarse-local"))
   }
 
+  test("two-level topK: valid ranking, probed-cells-only candidates, recall floor vs brute force") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+    val fine = Ivf.seedFineCentroids(e, "vec_id", "embedding", coarse, 64)
+    val queries = e.filter(col("vec_id") < 20)
+    val got = Ivf.topKTwoLevel(queries, e, "vec_id", "embedding", k = 5,
+      coarse, fine, nProbeCoarse = 4, nProbeFine = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.size == 20)
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"ranks must be contiguous for $q")
+      assert(sorted.length <= 5)
+      val cosines = sorted.map(_._4)
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"cosine must be non-increasing for $q")
+      assert(rows.forall(_._3 != q), "self-matches excluded")
+    }
+    // recall floor vs the exact answer: the probed-cell scan must find
+    // the true top-1 neighbor for most queries at these probe settings
+    // (empirically 100% on this fixture; assert a safe floor)
+    val brute = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hit = brute.count { case (q, n) =>
+      byQuery.get(q).exists(_.exists(_._3 == n))
+    }
+    assert(hit >= 14, s"two-level recall@top1 too low: $hit/20")
+  }
+
   test("fused path works past the relational form's cell-count limit") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // every corpus vector as a centroid — k=500 cells, which the literal-
