@@ -79,6 +79,33 @@ object Sampling {
       .drop("__keep")
   }
 
+  /** Epoch-based mixing with weights ABOVE 1 (r9): the training-mixture
+    * move public LLM recipes use for small high-quality sources (GPT-3's
+    * Table 2.2 sees Wikipedia ~3.4 epochs while the crawl sees < 1 —
+    * Brown et al. 2020). A weight w emits ⌊w⌋ full copies (epoch
+    * 1..⌊w⌋) plus a deterministic (w − ⌊w⌋) fraction at epoch ⌊w⌋+1,
+    * chosen by the same id-hash as [[weightedMix]] — so w ≤ 1 degrades
+    * to exactly weightedMix's kept set (at epoch 1), and raising a
+    * weight strictly grows the multiset. Output rows carry `epoch`, the
+    * column a training loader shuffles/schedules on.
+    *
+    * Scale shape: per-row generate + filter — zero shuffles, the weight
+    * table folds into the plan as a CASE; row amplification is exactly
+    * the declared oversampling. The `sequence(1, 0)` descending trap is
+    * guarded (w = 0 emits nothing). */
+  def epochMix(df: DataFrame, sourceCol: String, idCol: String,
+               weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .filter(col("__w") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), ceil(col("__w")).cast(IntegerType))))
+      .filter(col("epoch") <= floor(col("__w")) ||
+        hashUnit(col(idCol)) < col("__w") - floor(col("__w")))
+      .drop("__w")
+  }
+
   /** Per-stratum quota: keep at most `quota` rows per value of
     * `strataCol`, chosen by hash rank (deterministic, unbiased within the
     * stratum, stable under re-runs and data reshuffling). Adds

@@ -280,6 +280,16 @@ object OpsQueries {
         .select("doc_id", "src").orderBy("doc_id")
     }),
 
+    // r9: epoch mixing — weights above 1 oversample a source into full
+    // epochs + a deterministic fractional tail (GPT-3-style mixture)
+    "q_mix_epochs" -> ((s, d) => {
+      Sampling.epochMix(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4),
+        defaultWeight = 0.0)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // -------------------------------------------------------- sampling
     "q_sample_fraction" -> ((s, d) => {
       Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
@@ -988,6 +998,22 @@ object OpsQueries {
         |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.4 ELSE 0.0 END AS wt
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, wt,
+        |    unnest(generate_series(1, CAST(ceil(wt) AS INT))) AS epoch
+        |  FROM w WHERE wt > 0)
+        |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM e
+        |WHERE epoch <= floor(wt)
+        |   OR CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |      / CAST(268435456 AS DOUBLE) < wt - floor(wt)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH d AS (

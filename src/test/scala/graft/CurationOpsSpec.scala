@@ -255,6 +255,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("epoch mixing: full copies + deterministic fractional tail, w<=1 degrades to weightedMix") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "hq" else "crawl")).toDF("doc_id", "src")
+    val out = Sampling.epochMix(docs, "src", "doc_id",
+      Map("hq" -> 2.5, "crawl" -> 0.3), defaultWeight = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val hq = out.filter(_._2 == "hq")
+    // every hq doc appears at epochs 1 and 2; ~half also at epoch 3
+    assert(hq.count(_._3 == 1) == 100 && hq.count(_._3 == 2) == 100)
+    val tail3 = hq.filter(_._3 == 3).map(_._1).toSet
+    assert(tail3.size > 25 && tail3.size < 75, s"~50% fractional tail: ${tail3.size}")
+    assert(hq.forall(_._3 <= 3))
+    // w <= 1: exactly weightedMix's kept set, all at epoch 1
+    val crawl = out.filter(_._2 == "crawl")
+    assert(crawl.forall(_._3 == 1))
+    val wm = Sampling.weightedMix(docs.filter($"src" === "crawl"), "src", "doc_id",
+      Map("crawl" -> 0.3), 0.0).collect().map(_.getLong(0)).toSet
+    assert(crawl.map(_._1).toSet == wm)
+    // the epoch-3 tail is the SAME deterministic subset a 0.5 sample keeps
+    val half = Sampling.deterministicSample(docs.filter($"src" === "hq"), "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(tail3 == half)
+  }
+
   test("linear classifier: mean token weight, merged duplicates, OOV=0, empty doc = bias") {
     import spark.implicits._
     import graft.ops.Classifier
