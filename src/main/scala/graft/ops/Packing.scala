@@ -27,6 +27,35 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** Sliding-window token chunking (r9): split long documents into
+    * fixed-size token windows with overlap — the context-length
+    * preparation step that runs BEFORE packing when documents exceed the
+    * training sequence length (the standard public recipe: concat or
+    * chunk to context size, overlap preserves cross-boundary spans).
+    * Chunk `i` covers tokens [i·step, i·step + chunkTokens) with
+    * step = chunkTokens − overlapTokens; starts advance while < n, so
+    * the trailing chunk may be short. Token-less documents emit nothing.
+    *
+    * Scale shape: pure per-row work — tokenize once into a materialized
+    * column (the interpreted-HOF rule), one explode bounded by
+    * ⌈n/step⌉ per document, no shuffles. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), ceil(col("__n") / lit(step.toDouble)).cast("int") - 1)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * step)
+          .cast("int").as("n_chunk_tokens"))
+  }
+
   /** @param idCol     numeric document ordinal (packing order)
     * @param tokensCol per-document token count
     * @param budget    tokens per training sequence

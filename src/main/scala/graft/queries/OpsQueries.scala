@@ -280,6 +280,13 @@ object OpsQueries {
         .select("doc_id", "src").orderBy("doc_id")
     }),
 
+    // r9: context-length chunking — sliding 32-token windows, 8 overlap
+    "q_chunk_tokens" -> ((s, d) => {
+      Packing.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // r9: epoch mixing — weights above 1 oversample a source into full
     // epochs + a deterministic fractional tail (GPT-3-style mixture)
     "q_mix_epochs" -> ((s, d) => {
@@ -998,6 +1005,17 @@ object OpsQueries {
         |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(generate_series(0, CAST(ceil(len(toks) / 24.0) AS INT) - 1)) AS chunk_id
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text,
+         |  CAST(least(32, n - chunk_id*24) AS INTEGER) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_mix_epochs" ->
       """WITH w AS (

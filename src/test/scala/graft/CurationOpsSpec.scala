@@ -255,6 +255,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("token chunking: windows cover the stream, overlap reconstructs, edges behave") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "short doc"), // 2 tokens -> one chunk
+      (3L, ""), // no tokens -> no chunks
+      (4L, (1 to 32).map(i => s"u$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, "doc_id", "text",
+      chunkTokens = 32, overlapTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "short doc", 2)))
+    assert(byDoc(4L).map(_._2).toSeq == Seq(0, 1)) // starts 0 and 24 (< 32)
+    // doc 1: starts 0,24,48,72,96 -> 5 chunks; dropping each chunk's
+    // 8-token overlap prefix (after the first) reconstructs the stream
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.length == 5 && c1.map(_._4).toSeq == Seq(32, 32, 32, 28, 4))
+    val rebuilt = c1.head._3 +: c1.tail.map(_._3.split(" ").drop(8).mkString(" "))
+    assert(rebuilt.filter(_.nonEmpty).mkString(" ") ==
+      (1 to 100).map(i => s"t$i").mkString(" "))
+  }
+
   test("epoch mixing: full copies + deterministic fractional tail, w<=1 degrades to weightedMix") {
     import spark.implicits._
     import graft.ops.Sampling
