@@ -210,6 +210,13 @@ object ScaleProbe {
         ops.Ivf.topK(queries, emb, "doc_id", "embedding", k = 10,
           nCells = 32, nProbe = 4).count()
       }
+      timed("ann_ivf_topk_twolevel", runs, opFilter) {
+        val queries = emb.filter(col("doc_id") % queryStride === 0)
+        val coarse = ops.Ivf.seedCentroids(emb, "doc_id", "embedding", 32)
+        val fine = ops.Ivf.seedFineCentroids(emb, "doc_id", "embedding", coarse, 1024)
+        ops.Ivf.topKTwoLevel(queries, emb, "doc_id", "embedding", k = 10,
+          coarse, fine, nProbeCoarse = 4, nProbeFine = 16).count()
+      }
       // r9 quantizer-scale legs: cell assignment is the O(n·k·dims) front
       // of every IVF op and was the last documented 100 TB weak spot (the
       // literal-composed argmax capped k at a few hundred cells). The
