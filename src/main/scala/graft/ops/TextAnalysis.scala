@@ -57,6 +57,26 @@ object TextAnalysis {
                     merges: Seq[(String, String)] = DefaultBpeMerges): Column =
     graft.expressions.VectorExpressions.bpeTokenCount(text, merges)
 
+  /** C4-style markup stripping (r9): crawled text arrives with residual
+    * HTML — tags removed, the common entities decoded, whitespace
+    * squeezed (Raffel et al. 2020 §2.2's cleanup family). Both steps are
+    * plain regex/replace chains portable to the oracle; tag counting
+    * rides the same pattern so a pipeline can FILTER on markup density
+    * as well as clean it. */
+  val TagPattern = "<[^>]*>"
+
+  def markupTagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TagPattern), lit(0)))
+
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, lit(TagPattern), lit(" "))
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: the operator contract is the scoring machinery,
     * not lexicon quality. */

@@ -280,6 +280,22 @@ object OpsQueries {
         .select("doc_id", "src").orderBy("doc_id")
     }),
 
+    // r9: markup stripping — the fixture is tag-free, so tags/entities
+    // are PLANTED deterministically (the PII/URL trick), then counted,
+    // stripped, decoded, and whitespace-squeezed
+    "q_text_strip_markup" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("mtext", concat(
+        when(col("doc_id") % 4 === 0, lit("<div class=\"post\"><p>")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("</p></div>")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" &amp; more &lt;raw&gt;  text")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+        TA.markupTagCount(col("mtext")).as("n_tags"),
+        md5(TA.stripMarkup(col("mtext"))).as("clean_md5"),
+        length(TA.stripMarkup(col("mtext"))).as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
     // r9: context-length chunking — sliding 32-token windows, 8 overlap
     "q_chunk_tokens" -> ((s, d) => {
       Packing.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
@@ -1005,6 +1021,29 @@ object OpsQueries {
         |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_strip_markup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN '<div class="post"><p>' ELSE '' END) ||
+        |    text ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN ' &amp; more &lt;raw&gt;  text' ELSE '' END) AS mtext
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, mtext,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(mtext, '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&nbsp;', ' '),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(mtext, '<[^>]*>')) AS n_tags,
+        |  md5(clean) AS clean_md5,
+        |  length(clean) AS clean_len
+        |FROM stripped ORDER BY doc_id""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
