@@ -280,6 +280,29 @@ object OpsQueries {
         .select("doc_id", "src").orderBy("doc_id")
     }),
 
+    // r9 composed pipeline v2: the round's new operators chained in one
+    // lazy plan — markup strip → linear-classifier keep → context-length
+    // chunking — the same compose-bit-exactly proof q_curation_pipeline
+    // gives the r8 suite
+    "q_curation_pipeline_v2" -> ((s, d) => {
+      val s2 = s
+      import s2.implicits._
+      val aug = Tables.documents(s, d).withColumn("mtext", concat(
+        when(col("doc_id") % 4 === 0, lit("<div class=\"post\"><p>")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("</p></div>")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" &amp; more &lt;raw&gt;  text")).otherwise(lit(""))))
+      val clean = aug.select(col("doc_id"), TA.stripMarkup(col("mtext")).as("ctext"))
+      val weights = classifierWeights.toSeq.toDF("token", "weight")
+      val kept = clean.join(
+        graft.ops.Classifier.linearScore(clean, "doc_id", "ctext", weights,
+          bias = 0.0, threshold = 0.03)
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      Packing.chunkByTokens(kept, "doc_id", "ctext", chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // r9: markup stripping — the fixture is tag-free, so tags/entities
     // are PLANTED deterministically (the PII/URL trick), then counted,
     // stripped, decoded, and whitespace-squeezed
@@ -513,6 +536,11 @@ object OpsQueries {
        |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** Token expression over the pipeline-v2 CLEAN text column. */
+  private val cleanToksSql =
+    """CASE WHEN trim(ctext) = '' THEN CAST([] AS VARCHAR[])
+      |     ELSE string_split_regex(trim(ctext), '\s+') END""".stripMargin
 
   /** Demo classifier model shared by q_text_classifier and its oracle:
     * English stopwords +1.0, every other language's stopwords −0.5,
@@ -1021,6 +1049,37 @@ object OpsQueries {
         |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_curation_pipeline_v2" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 4 = 0 THEN '<div class="post"><p>' ELSE '' END) || text ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 0 THEN ' &amp; more &lt;raw&gt;  text' ELSE '' END) AS mtext
+         |  FROM documents),
+         |stripped AS (
+         |  SELECT doc_id, trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(mtext, '<[^>]*>', ' ', 'g'),
+         |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+         |    '\\s+', ' ', 'g')) AS ctext
+         |  FROM aug),
+         |w(tok, wt) AS (SELECT * FROM (VALUES $classifierWeightsValues)),
+         |t AS (SELECT doc_id, unnest($cleanToksSql) AS tok FROM stripped),
+         |sagg AS (SELECT t.doc_id, count(*) AS n,
+         |  CAST(SUM(CAST(COALESCE(w.wt, 0) AS DECIMAL(18,6))) AS DOUBLE) AS ws
+         |  FROM t LEFT JOIN w ON t.tok = w.tok GROUP BY t.doc_id),
+         |keep AS (SELECT s.doc_id FROM stripped s LEFT JOIN sagg USING (doc_id)
+         |  WHERE round(0.0 + CASE WHEN sagg.n > 0 THEN ws / sagg.n ELSE 0.0 END, 6) >= 0.03),
+         |tk AS (SELECT s.doc_id, ${cleanToksSql.replace("ctext", "s.ctext")} AS toks
+         |       FROM stripped s JOIN keep USING (doc_id)),
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |  unnest(generate_series(0, CAST(ceil(len(toks) / 24.0) AS INT) - 1)) AS chunk_id
+         |  FROM tk WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |  array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text,
+         |  CAST(least(32, n - chunk_id*24) AS INTEGER) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_text_strip_markup" ->
       """WITH aug AS (
