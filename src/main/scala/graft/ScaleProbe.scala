@@ -177,7 +177,7 @@ object ScaleProbe {
       timed("image_phash_pairs", runs, opFilter) {
         val assets = ops.Multimodal.toPatternedImageAssets(
           docs.filter(col("doc_id") % 10 === 0), "doc_id")
-        val sigs = ops.Multimodal.imageHashesBatched(assets)
+        val sigs = ops.Multimodal.imageHashesBatched(assets).localCheckpoint(true)
         ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
           maxHamming = 3, nBlocks = 4, blockBits = 16,
           maxBlockFrequency = Some(2000)).count()

@@ -97,9 +97,26 @@ object Ivf {
     * coarse cell need not contain the globally nearest fine centroid,
     * so assignment is approximate; a fine centroid's OWN vector always
     * maps to itself (TwoLevelIvf spec pins both properties). */
+  /** Every coarse cell must own at least one fine centroid: rows route
+    * to exactly one coarse cell, and the fine join is INNER — an
+    * uncovered cell would silently DROP every row assigned to it
+    * (r9 review finding). One |coarse|-sized distinct scan of the fine
+    * table, driver-tiny, before any data-sized work. */
+  private def requireFineCoverage(coarse: Seq[(Int, Array[Double])],
+                                  fine: DataFrame): Unit = {
+    val covered = fine.select("coarse_cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val missing = coarse.map(_._1).filterNot(covered)
+    require(missing.isEmpty,
+      s"coarse cells ${missing.mkString(", ")} own no fine centroids — " +
+        "rows routed there would silently vanish; re-seed or re-train the " +
+        "fine table so every coarse cell is covered")
+  }
+
   def assignCellsTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                           coarse: Seq[(Int, Array[Double])],
                           fine: DataFrame): DataFrame = {
+    requireFineCoverage(coarse, fine)
     val v = df.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v"))
       .withColumn("coarse_cell", element_at(cellRanks(col("__v"), coarse, 1), 1))
     v.join(fine, Seq("coarse_cell"))
@@ -129,6 +146,7 @@ object Ivf {
                    idCol: String, vecCol: String, k: Int,
                    coarse: Seq[(Int, Array[Double])], fine: DataFrame,
                    nProbeCoarse: Int = 2, nProbeFine: Int = 8): DataFrame = {
+    requireFineCoverage(coarse, fine) // else corpus rows silently vanish
     val cv = corpus.select(col(idCol).as("neighbor_id"),
         Similarity.asDouble(col(vecCol)).as("cv"))
       .withColumn("coarse_cell", element_at(cellRanks(col("cv"), coarse, 1), 1))

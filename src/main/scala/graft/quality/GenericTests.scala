@@ -180,7 +180,16 @@ object GenericTests {
     * Scala-defined tests use — schema declarations reference it by name
     * exactly like a built-in. The tested frame is exposed to the SQL via
     * a transient temp view; Spark analyzes eagerly, so the view is
-    * dropped as soon as the failing-rows frame is built. */
+    * dropped as soon as the failing-rows frame is built.
+    *
+    * Name collisions OVERRIDE, deliberately: in the reference a project
+    * macro named `test_unique` shadows the global built-in through
+    * macro-dispatch precedence (core/dbt/context/macros.py), so a
+    * project redefining a built-in here behaves the same. The registry
+    * is session-global, like the reference's macro namespace — two
+    * projects loaded in one session share it (last definition wins),
+    * which is also the reference's behavior for identically-named
+    * package macros. */
   def registerSqlTest(fileStem: String, content: String): String = {
     val (name, defaults, body) = parseSqlTestFile(fileStem, content)
     TestRegistry.register(name) { (df, column, args) =>

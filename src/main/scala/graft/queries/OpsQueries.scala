@@ -135,11 +135,20 @@ object OpsQueries {
     // proxy); bpe = the REAL rank-ordered-merge BPE count (r9), which
     // the oracle replays merge-for-merge via a recursive CTE
     "q_text_tokens" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      // adversarial suffix planted on every 9th doc: words with runs of
+      // the same merge pair (llll, banana, ...) — the case where a
+      // replace-ALL oracle formulation diverges from the engine's
+      // left-to-right sweep (r9 review finding; the raw fixture's 31
+      // distinct words never exercise it)
+      val aug = Tables.documents(s, d).withColumn("ptext",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" llll banana needed papa cocoa success")))
+          .otherwise(col("text")))
+      aug.select(
         col("doc_id"),
-        TA.tokenCount(col("text")).as("ws_tokens"),
-        TA.bpeishTokenCount(col("text")).as("pre_tokens"),
-        TA.bpeTokenCount(col("text")).as("bpe_tokens"))
+        TA.tokenCount(col("ptext")).as("ws_tokens"),
+        TA.bpeishTokenCount(col("ptext")).as("pre_tokens"),
+        TA.bpeTokenCount(col("ptext")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -485,7 +494,10 @@ object OpsQueries {
       val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
         .withColumn("payload",
           when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
-      val sigs = Multimodal.imageHashesBatched(assets)
+      // localCheckpoint: the signature frame feeds the block self-join
+      // (two reads) — without it every PNG decodes once per subtree
+      // (r9 review; decode dominates this op's cost)
+      val sigs = Multimodal.imageHashesBatched(assets).localCheckpoint(true)
       graft.ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
         maxHamming = 3, nBlocks = 4, blockBits = 16)
         .orderBy("id_a", "id_b")
@@ -500,7 +512,9 @@ object OpsQueries {
       val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
         .withColumn("payload",
           when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
-      val sigs = Multimodal.imageHashesBatched(assets)
+      // localCheckpoint: sigs feeds pairing, component node derivation,
+      // and the labeling join — 3+ subtrees, each a full re-decode without it
+      val sigs = Multimodal.imageHashesBatched(assets).localCheckpoint(true)
       val pairs = graft.ops.Dedup.hammingPairs(sigs, "asset_id", "dhash",
         maxHamming = 3, nBlocks = 4, blockBits = 16)
       val comp = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -537,6 +551,24 @@ object OpsQueries {
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |   sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
 
+  /** Planted-markup + strip CTEs shared by q_text_strip_markup and
+    * q_curation_pipeline_v2 — yields `stripped(doc_id, mtext?, ctext)`.
+    * One definition, or the two oracles drift apart under edits. */
+  private val markupStrippedCtes: String =
+    """aug AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0 THEN '<div class="post"><p>' ELSE '' END) || text ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN ' &amp; more &lt;raw&gt;  text' ELSE '' END) AS mtext
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, mtext, trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(mtext, '<[^>]*>', ' ', 'g'),
+      |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+      |    '\s+', ' ', 'g')) AS ctext
+      |  FROM aug)""".stripMargin
+
   /** Token expression over the pipeline-v2 CLEAN text column. */
   private val cleanToksSql =
     """CASE WHEN trim(ctext) = '' THEN CAST([] AS VARCHAR[])
@@ -556,6 +588,38 @@ object OpsQueries {
   private def classifierWeightsValues: String =
     classifierWeights.toSeq.sortBy(_._1)
       .map { case (t, w) => s"('$t', $w)" }.mkString(",")
+
+  /** BPE token-count CTE block shared by q_text_tokens and
+    * q_pack_sequences — must sit inside a WITH RECURSIVE clause and
+    * yields `cnt(doc_id, bpe)`. The recursion applies ONE occurrence per
+    * step (regexp_replace WITHOUT 'g'), re-running a rule while it still
+    * changes the string before advancing to the next rank: repeated
+    * leftmost single merges are provably the engine's left-to-right
+    * sweep (merging at j cannot create an earlier match — the merged
+    * token is a new string), whereas a replace-ALL pass shares the
+    * boundary marker between adjacent occurrences and skips every second
+    * one (a run of 8 identical tokens paired (1,2)(4,5)(7,8) — caught by
+    * the r9 review; the fixture's 31 distinct words never hit it). */
+  private def bpeCountCtes(textExpr: String = "text"): String =
+    s"""mr(r, l, rt) AS (SELECT * FROM (VALUES $bpeMergesValues)),
+       |wds AS (
+       |  SELECT doc_id, unnest(regexp_extract_all($textExpr, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
+       |  FROM documents),
+       |-- marker-wrapped char string: \\x01 between tokens AND at both
+       |-- ends, so a rule matches WHOLE tokens only
+       |rec(doc_id, s, r) AS (
+       |  SELECT doc_id, regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1), 1 FROM wds
+       |  UNION ALL
+       |  SELECT rec.doc_id,
+       |    CASE WHEN x.rp <> rec.s THEN x.rp ELSE rec.s END,
+       |    CASE WHEN x.rp <> rec.s THEN rec.r ELSE rec.r + 1 END
+       |  FROM rec JOIN mr m ON m.r = rec.r,
+       |    LATERAL (SELECT regexp_replace(rec.s,
+       |      chr(1)||m.l||chr(1)||m.rt||chr(1), chr(1)||m.l||m.rt||chr(1)) AS rp) x),
+       |cnt AS (
+       |  SELECT doc_id, CAST(SUM(len(string_split(s, chr(1))) - 2) AS BIGINT) AS bpe
+       |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} + 1 GROUP BY doc_id)"""
+      .stripMargin
 
   /** The default BPE merge table as a SQL VALUES list — one Scala source
     * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
@@ -844,31 +908,18 @@ object OpsQueries {
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "q_text_tokens" ->
+    "q_text_tokens" -> {
+      val plant = "CASE WHEN doc_id % 9 = 0 THEN text || ' llll banana needed papa cocoa success' ELSE text END"
+      val ptoks = toksSql.replace("text", "(" + plant + ")")
       s"""WITH RECURSIVE
-         |mr(r, l, rt) AS (SELECT * FROM (VALUES $bpeMergesValues)),
-         |w AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
-         |  FROM documents),
-         |-- marker-wrapped char string: \\x01 between tokens AND at both
-         |-- ends, so a merge rule's replace matches WHOLE tokens only and
-         |-- consecutive occurrences resolve left-to-right non-overlapping
-         |-- (replace()'s scan) — exactly the engine's BpeTokenCount pass
-         |rec(doc_id, s, r) AS (
-         |  SELECT doc_id, regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1), 0 FROM w
-         |  UNION ALL
-         |  SELECT rec.doc_id,
-         |    replace(rec.s, chr(1)||m.l||chr(1)||m.rt||chr(1), chr(1)||m.l||m.rt||chr(1)),
-         |    rec.r + 1
-         |  FROM rec JOIN mr m ON m.r = rec.r + 1),
-         |cnt AS (
-         |  SELECT doc_id, CAST(SUM(len(string_split(s, chr(1))) - 2) AS INTEGER) AS bpe_tokens
-         |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} GROUP BY doc_id)
+         |${bpeCountCtes("(" + plant + ")")}
          |SELECT d.doc_id,
-         |  len($toksSql) AS ws_tokens,
-         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS pre_tokens,
-         |  COALESCE(c.bpe_tokens, 0) AS bpe_tokens
-         |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+         |  len($ptoks) AS ws_tokens,
+         |  len(regexp_extract_all(($plant), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS pre_tokens,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE CAST(COALESCE(c.bpe, 0) AS INTEGER) END AS bpe_tokens
+         |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_text_langid" -> {
       val scores = TA.stopwords.map { case (lang, words) =>
@@ -1051,19 +1102,7 @@ object OpsQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_curation_pipeline_v2" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN doc_id % 4 = 0 THEN '<div class="post"><p>' ELSE '' END) || text ||
-         |    (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END) ||
-         |    (CASE WHEN doc_id % 6 = 0 THEN ' &amp; more &lt;raw&gt;  text' ELSE '' END) AS mtext
-         |  FROM documents),
-         |stripped AS (
-         |  SELECT doc_id, trim(regexp_replace(
-         |    replace(replace(replace(replace(replace(
-         |      regexp_replace(mtext, '<[^>]*>', ' ', 'g'),
-         |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
-         |    '\\s+', ' ', 'g')) AS ctext
-         |  FROM aug),
+      s"""WITH $markupStrippedCtes,
          |w(tok, wt) AS (SELECT * FROM (VALUES $classifierWeightsValues)),
          |t AS (SELECT doc_id, unnest($cleanToksSql) AS tok FROM stripped),
          |sagg AS (SELECT t.doc_id, count(*) AS n,
@@ -1082,26 +1121,11 @@ object OpsQueries {
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_text_strip_markup" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 4 = 0 THEN '<div class="post"><p>' ELSE '' END) ||
-        |    text ||
-        |    (CASE WHEN doc_id % 4 = 0 THEN '</p></div>' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 6 = 0 THEN ' &amp; more &lt;raw&gt;  text' ELSE '' END) AS mtext
-        |  FROM documents),
-        |stripped AS (
-        |  SELECT doc_id, mtext,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(
-        |        regexp_replace(mtext, '<[^>]*>', ' ', 'g'),
-        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |        '&quot;', '"'), '&nbsp;', ' '),
-        |      '\s+', ' ', 'g')) AS clean
-        |  FROM aug)
+      s"""WITH $markupStrippedCtes
         |SELECT doc_id,
         |  len(regexp_extract_all(mtext, '<[^>]*>')) AS n_tags,
-        |  md5(clean) AS clean_md5,
-        |  length(clean) AS clean_len
+        |  md5(ctext) AS clean_md5,
+        |  length(ctext) AS clean_len
         |FROM stripped ORDER BY doc_id""".stripMargin,
 
     "q_chunk_tokens" ->
@@ -1210,22 +1234,11 @@ object OpsQueries {
 
     "q_pack_sequences" ->
       s"""WITH RECURSIVE
-         |mr(r, l, rt) AS (SELECT * FROM (VALUES $bpeMergesValues)),
-         |w AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
-         |  FROM documents),
-         |rec(doc_id, s, r) AS (
-         |  SELECT doc_id, regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1), 0 FROM w
-         |  UNION ALL
-         |  SELECT rec.doc_id,
-         |    replace(rec.s, chr(1)||m.l||chr(1)||m.rt||chr(1), chr(1)||m.l||m.rt||chr(1)),
-         |    rec.r + 1
-         |  FROM rec JOIN mr m ON m.r = rec.r + 1),
-         |cnt AS (
-         |  SELECT doc_id, CAST(SUM(len(string_split(s, chr(1))) - 2) AS BIGINT) AS bpe
-         |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} GROUP BY doc_id),
+         |${bpeCountCtes()},
          |d AS (
-         |  SELECT doc_id, CAST(COALESCE(c.bpe, 0) AS BIGINT) AS n_tokens
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL THEN NULL
+         |         ELSE CAST(COALESCE(c.bpe, 0) AS BIGINT) END AS n_tokens
          |  FROM documents LEFT JOIN cnt c USING (doc_id)),
          |c AS (
          |  SELECT doc_id, n_tokens,

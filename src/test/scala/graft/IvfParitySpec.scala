@@ -93,6 +93,23 @@ class IvfParitySpec extends AnyFunSuite {
         s"vec $id: two-level must equal flat when flat's winner is coarse-local"))
   }
 
+  test("two-level assignment fails fast when a coarse cell owns no fine centroids") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+    val fine = Ivf.seedFineCentroids(e, "vec_id", "embedding", coarse, 64)
+    val someCell = fine.select("coarse_cell").head().getInt(0)
+    val holey = fine.filter(col("coarse_cell") =!= someCell)
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.assignCellsTwoLevel(e, "vec_id", "embedding", coarse, holey)
+    }
+    assert(ex.getMessage.contains("no fine centroids"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Ivf.topKTwoLevel(e.limit(2), e, "vec_id", "embedding", 3, coarse, holey)
+    }
+    assert(ex2.getMessage.contains("no fine centroids"))
+  }
+
   test("two-level topK: valid ranking, probed-cells-only candidates, recall floor vs brute force") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
