@@ -59,4 +59,53 @@ object Decontaminate {
         coalesce(col("hits"), lit(0L)).cast(LongType).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
+
+  /** Span-level decontamination (r9): EXCISE the overlapping token spans
+    * instead of dropping the whole document — the surgical variant for
+    * high-value documents where one leaked eval question shouldn't cost
+    * the other 10k tokens (Lee et al. 2022 §6 discusses substring-level
+    * removal; this is its word-n-gram form). Token position i is
+    * contaminated iff any n-window covering it matches a benchmark
+    * shingle; the output text is the KEPT tokens joined by single spaces
+    * (whitespace-normalized by construction — the same token-stream
+    * contract every text op here uses). Returns
+    * (id, clean_text, n_tokens, n_removed).
+    *
+    * Scale shape: same broadcast hash-probe as [[flagOverlap]] on the
+    * window side, plus one posexplode + anti-join and a per-doc
+    * sort_array(collect_list) rebuild — all doc-keyed partial-agg work;
+    * the training side still never shuffles for the PROBE, only for its
+    * own doc-keyed rebuild. */
+  def exciseOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val benchShingles = bench.select(explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
+      .distinct()
+    val probeSide = if (broadcastBench) broadcast(benchShingles) else benchShingles
+    // window starts are 0-BASED here (posexplode); window s covers
+    // token positions [s, s+n-1]
+    val windows = train.select(col(idCol), posexplode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
+    val covered = windows.join(probeSide, Seq("shingle"))
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = train.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    train.select(col(idCol), size(TextAnalysis.tokens(col(textCol)))
+        .cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

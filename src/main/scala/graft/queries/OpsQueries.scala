@@ -214,6 +214,18 @@ object OpsQueries {
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
+    // r9: span-level decontamination — excise the leaked windows, keep
+    // the document (Lee et al. 2022 §6's surgical variant)
+    "q_decontaminate_excise" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Decontaminate.exciseOverlap(train, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Decontaminate.flagOverlap(
@@ -1034,6 +1046,43 @@ object OpsQueries {
          |    THEN COALESCE(n_boiler, 0) * 1.0 / n_windows ELSE 0.0 END, 6) AS boilerplate_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // 0-based engine positions vs this oracle's 1-based list indexing:
+    // both cover the same token set, and the compare is on the rebuilt
+    // text + counts, not on positions
+    "q_decontaminate_excise" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(tk)-3, 0)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+         |  FROM t WHERE doc_id % 97 = 0),
+         |tw AS (
+         |  SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-3, 0))) AS s0, tk
+         |  FROM t WHERE doc_id % 97 <> 0),
+         |hits AS (
+         |  SELECT tw.doc_id, tw.s0 FROM tw
+         |  JOIN bsh ON (tk[s0] || ' ' || tk[s0+1] || ' ' || tk[s0+2] || ' ' || tk[s0+3]) = bsh.g),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(s0, s0+3)) AS pos FROM hits),
+         |toks_pos AS (
+         |  SELECT t.doc_id, p.pos, t.tk[p.pos] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS pos) p
+         |  WHERE t.doc_id % 97 <> 0),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM toks_pos tp
+         |  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  md5(COALESCE(r.clean_text, '')) AS clean_md5,
+         |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

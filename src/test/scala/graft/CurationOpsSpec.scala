@@ -255,6 +255,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("span excision: leaked windows removed, clean docs round-trip, full contamination empties") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    val bench = Seq((100L, "secret eval question here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words secret eval question here suffix words"), // one leaked span
+      (2L, "totally clean document text"),
+      (3L, "secret eval question here"), // fully contaminated
+      (4L, "secret eval question here and secret eval question here")) // two spans
+      .toDF("doc_id", "text")
+    val out = Decontaminate.exciseOverlap(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("prefix words suffix words", 8L, 4L)))
+    assert(out(2L) == (("totally clean document text", 4L, 0L)))
+    assert(out(3L) == (("", 4L, 4L)))
+    // doc 4: both 4-windows hit; 'and' sits inside covering windows of
+    // the phrase "here and secret eval"? no — only exact benchmark
+    // 4-grams match, so 'and' survives between the two excised spans
+    assert(out(4L) == (("and", 9L, 8L)))
+  }
+
   test("token chunking: windows cover the stream, overlap reconstructs, edges behave") {
     import spark.implicits._
     import graft.ops.Packing
