@@ -150,6 +150,12 @@ object ScaleProbe {
           n = 4, minOverlap = 1)
           .agg(count(lit(1)), sum("n_overlap")).collect()(0).getLong(0)
       }
+      timed("decontaminate_excise", runs, opFilter) {
+        val benchStride = math.max(n / 500, 1)
+        val bench = docs.filter(col("doc_id") % benchStride === 0)
+        ops.Decontaminate.exciseOverlap(docs, bench, "doc_id", "text", n = 4)
+          .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
+      }
       timed("unigram_logprob", runs, opFilter) {
         ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob")).collect()(0).getLong(0)
