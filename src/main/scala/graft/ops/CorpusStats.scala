@@ -39,4 +39,37 @@ object CorpusStats {
     sizes.join(med, "grp").join(p95, "grp")
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** Top-k word n-grams by corpus occurrence count (r10): the Zipf-head
+    * profile every dataset card and contamination review starts from
+    * (which phrases dominate the corpus, how heavy is the template
+    * head). Ties break on the n-gram string ascending so the cut at
+    * rank k is deterministic and oracle-stable. Returns
+    * (ngram, freq, doc_freq) — occurrence count and document frequency.
+    *
+    * Scale shape: fused per-doc shingling (one WordShingles pass), one
+    * partial-agg count keyed by n-gram, then a global top-k that runs as
+    * TakeOrdered (per-partition heads + driver merge of k rows), never a
+    * full sort of the n-gram vocabulary. doc_freq is computed ONLY for
+    * the k winners — the per-doc-distinct explode probes a broadcast of
+    * the k-row head, so the second pass aggregates k groups instead of
+    * re-counting the whole vocabulary (and never a countDistinct
+    * expand). */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    val occ = df.select(
+      explode(org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as("ngram"))
+    val top = occ.groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(k)
+    val docFreq = df.select(col(idCol).as("doc"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("ngram"))
+      .join(broadcast(top.select("ngram")), Seq("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+    top.join(docFreq, "ngram")
+      .orderBy(col("freq").desc, col("ngram"))
+      .select("ngram", "freq", "doc_freq")
+  }
 }

@@ -645,4 +645,65 @@ object Dedup {
         .localCheckpoint(true)
     } finally inv0.unpersist()
   }
+
+  /** Corpus-internal EXACT-substring dedup with excision (r10): any
+    * n-token window that occurs more than once anywhere in the corpus is
+    * kept at exactly ONE canonical occurrence and excised everywhere
+    * else — the fixed-window form of suffix-array ExactSubstr dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" §4.1, public; reference analog: none — the engine's
+    * training-data extension surface). Unlike document-level near-dup,
+    * this removes the duplicated PASSAGE (license header, quoted reply,
+    * syndicated paragraph) while keeping both documents.
+    *
+    * Canonical occurrence of a window = lexicographic min (id, start):
+    * deterministic, and self-repetition inside one document keeps only
+    * its first copy. A token position is excised iff some duplicated
+    * window covering it lost its ownership contest; kept tokens are
+    * rejoined by single spaces (the suite-wide token-stream contract).
+    * Returns (id, clean_text, n_tokens, n_removed).
+    *
+    * Scale shape: windows shuffle ONCE keyed by a 128-bit window hash
+    * (md5 — 64-bit would false-positive-merge distinct windows at
+    * ~10⁹⁺ windows and excision must never eat unique text) for the
+    * ownership aggregate; unique windows (the overwhelming majority) are
+    * filtered out BEFORE the join back, so the owner join's build side
+    * is duplicated-windows-only. No pair join anywhere: cost is
+    * O(total windows) regardless of how hot a window is — a corpus of
+    * one repeated sentence degrades to one big group, not n² pairs.
+    * The rebuild is the same doc-keyed posexplode + anti-join +
+    * sort_array(collect_list) shape as Decontaminate.exciseOverlap. */
+  def substringExcise(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val windows = df.select(col(idCol), posexplode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
+      .select(col(idCol), col("s"), md5(col("shingle")).as("h"))
+    val owners = windows
+      .groupBy("h")
+      .agg(min(struct(col(idCol).as("oid"), col("s").as("os"))).as("own"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("h"), col("own.oid").as("oid"), col("own.os").as("os"))
+    val losers = windows.join(owners, Seq("h"))
+      .filter(!(col(idCol) === col("oid") && col("s") === col("os")))
+    val covered = losers
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(TextAnalysis.tokens(col(textCol)))
+        .cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -62,6 +62,54 @@ object Repetition {
           .otherwise(lit(0.0)), 6))
   }
 
+  /** Line-level boilerplate EXCISION (r10): remove every line whose
+    * corpus-wide DOCUMENT frequency reaches `minDocFrequency`, keep the
+    * rest of the document — the removal step behind C4's "lines seen in
+    * more than one other page" rule (Raffel et al. 2020 §2.2) and the
+    * line-dedup pass modern web-corpus pipelines run before document
+    * near-dup (navigation chrome, cookie banners, subscribe footers).
+    * [[boilerplateProfile]] scores windows; this operator edits lines —
+    * detection vs surgery, same df machinery.
+    *
+    * Lines are `\n`-separated, trimmed, empties dropped; df counts each
+    * document once however often it repeats the line (per-doc distinct
+    * before the count, the same contract as boilerplateProfile's
+    * distinct shingles). Output rejoins kept lines with `\n` in original
+    * order: (id, clean_text, n_lines, n_removed).
+    *
+    * Scale shape: one explode keyed by doc, a distinct + partial-agg df
+    * count keyed by line, and an anti-join against the hot-line set —
+    * which is NOT broadcast blindly (df distribution unknown at 100 TB;
+    * a shuffle join degrades gracefully, the boilerplateProfile
+    * rationale). Never all-pairs; the doc-keyed rebuild is the same
+    * sort_array(collect_list) shape as the span-excision ops. */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            minDocFrequency: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
+      .select(col(idCol), col("ln"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "")
+    val hot = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFrequency)
+      .select(col("line"))
+    val rebuilt = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("ln"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val counts = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Gopher thresholds for the computed features (Table A1 uses character
     * fractions; these are the token-fraction analogs). */
   val TopBigramMax: Double = 0.20

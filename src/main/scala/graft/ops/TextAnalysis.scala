@@ -77,6 +77,15 @@ object TextAnalysis {
     trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
   }
 
+  /** Unicode canonicalization (r10): NFC composition + control/no-break
+    * characters to spaces + space-run collapse + trim, fused into one
+    * codegen pass per row (NormalizeText expression — see its scaladoc
+    * for the cross-engine NFC contract). Runs FIRST in a curation chain:
+    * hashing decomposed and precomposed spellings of the same text as
+    * two distinct documents silently defeats every downstream dedup. */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.normalizeText(text)
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: the operator contract is the scoring machinery,
     * not lexicon quality. */

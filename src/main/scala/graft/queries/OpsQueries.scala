@@ -211,6 +211,65 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r10: corpus-internal exact-substring dedup — every duplicated
+    // 8-token window keeps one canonical occurrence (min doc, then min
+    // start) and is excised everywhere else (Lee et al. 2022 §4.1's
+    // ExactSubstr, fixed-window form)
+    "q_dedup_substring_excise" -> ((s, d) => {
+      Dedup.substringExcise(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // r10: line-level boilerplate excision (C4's "seen elsewhere" lines) —
+    // the fixture is single-line, so multi-line docs are planted: a shared
+    // subscribe/rights footer on doc_id%3 (df ≈ 167 ≥ 5 → stripped) and a
+    // unique footnote on doc_id%5 (df = 1 → kept)
+    "q_text_strip_boilerplate" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("ltext", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today\nall rights reserved acme corp"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\ndocument footnote "), col("doc_id").cast(StringType)))
+          .otherwise(lit(""))))
+      Repetition.stripBoilerplateLines(aug, "doc_id", "ltext", minDocFrequency = 5L)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // r10: unicode canonicalization — planted decomposed accents (NFC
+    // must compose), control characters, and no-break spaces; the md5
+    // proves the normalized bytes, DuckDB's nfc_normalize (utf8proc)
+    // replays the same UAX #15 transform
+    "q_text_normalize" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("ptext", concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" cafe\u0301 re\u0301sume\u0301"))  // e + combining acute, NFD-shaped
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\tctrl\u0007chars\u001Fhere")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\u00A0nbsp\u00A0\u00A0run  end ")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+        md5(TA.normalizeText(col("ptext"))).as("norm_md5"),
+        length(TA.normalizeText(col("ptext"))).cast(LongType).as("n_chars"),
+        (TA.normalizeText(col("ptext")) =!= col("ptext")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    // r10: Zipf-head corpus profile — top-25 trigram phrases by
+    // occurrence count with their document frequencies, tie-broken on
+    // the phrase so the rank-25 cut is deterministic
+    "q_corpus_topk_ngrams" -> ((s, d) => {
+      graft.ops.CorpusStats.topNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 25)
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -1046,6 +1105,117 @@ object OpsQueries {
          |    THEN COALESCE(n_boiler, 0) * 1.0 / n_windows ELSE 0.0 END, 6) AS boilerplate_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // r10: corpus-internal exact-substring dedup — owner of each
+    // duplicated 8-token window = lexicographic min (doc, start), found
+    // here as min-doc-then-min-start (equivalent two-step form of the
+    // engine's min(struct)); positions are 1-based here vs the engine's
+    // 0-based posexplode, compared on rebuilt text + counts only
+    "q_dedup_substring_excise" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk
+         |      FROM t),
+         |g AS (SELECT doc_id, s,
+         |        list_aggregate(tk[s:s+7], 'string_agg', ' ') AS sh FROM w),
+         |own AS (SELECT sh, min(doc_id) AS odoc FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         |own2 AS (SELECT g.sh, o.odoc, min(g.s) AS os
+         |         FROM g JOIN own o ON g.sh = o.sh AND g.doc_id = o.odoc GROUP BY 1, 2),
+         |loser AS (SELECT g.doc_id, g.s FROM g JOIN own2 o ON g.sh = o.sh
+         |          WHERE NOT (g.doc_id = o.odoc AND g.s = o.os)),
+         |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+7)) AS pos FROM loser),
+         |toks_pos AS (
+         |  SELECT t.doc_id, p.pos, t.tk[p.pos] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS pos) p),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM toks_pos tp
+         |  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+         |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // r10: line-level boilerplate excision — df counts each DOCUMENT
+    // once (DISTINCT doc_id, line before the count), the engine's
+    // per-doc-distinct contract
+    "q_text_strip_boilerplate" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |      THEN chr(10) || 'subscribe to our newsletter today' ||
+         |           chr(10) || 'all rights reserved acme corp' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN chr(10) || 'document footnote ' || doc_id::VARCHAR ELSE '' END)
+         |    AS ltext
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id, ln, trim(line) AS line
+         |  FROM (SELECT doc_id, unnest(string_split(ltext, chr(10))) AS line,
+         |               generate_subscripts(string_split(ltext, chr(10)), 1) AS ln
+         |        FROM aug)
+         |  WHERE trim(line) <> ''),
+         |dfq AS (SELECT line, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
+         |kept AS (
+         |  SELECT l.doc_id, l.ln, l.line FROM lines l JOIN dfq USING (line)
+         |  WHERE dfq.df < 5),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text,
+         |    COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1)
+         |SELECT a.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+         |  CAST(COALESCE(nl.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(nl.n_lines, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM aug a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nl USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // r10: unicode canonicalization — nfc_normalize is utf8proc's UAX #15
+    // NFC, the same transform as java.text.Normalizer; control/no-break
+    // chars to spaces, space runs collapsed, ends trimmed
+    "q_text_normalize" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |      THEN ' caf' || chr(101) || chr(769) || ' r' || chr(101) || chr(769) ||
+         |           'sum' || chr(101) || chr(769) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 0
+         |      THEN chr(9) || 'ctrl' || chr(7) || 'chars' || chr(31) || 'here' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0
+         |      THEN chr(160) || 'nbsp' || chr(160) || chr(160) || 'run  end ' ELSE '' END)
+         |    AS ptext
+         |  FROM documents),
+         |norm AS (
+         |  SELECT doc_id, ptext, trim(regexp_replace(regexp_replace(
+         |    nfc_normalize(ptext),
+         |    '[\\x00-\\x1f\\x7f' || chr(160) || chr(8199) || chr(8239) || ']', ' ', 'g'),
+         |    ' +', ' ', 'g')) AS ntext
+         |  FROM aug)
+         |SELECT doc_id, md5(ntext) AS norm_md5,
+         |  CAST(length(ntext) AS BIGINT) AS n_chars,
+         |  ntext <> ptext AS changed
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // r10: Zipf-head profile — top-25 trigrams by occurrence, ties on
+    // the phrase ascending so the rank-25 cut is deterministic
+    "q_corpus_topk_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |  generate_series(1, greatest(len(tk)-2, 0)),
+         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram FROM t),
+         |top AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+         |        FROM g GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 25),
+         |dfq AS (SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+         |        FROM (SELECT DISTINCT doc_id, ngram FROM g) JOIN top USING (ngram)
+         |        GROUP BY 1)
+         |SELECT top.ngram, top.freq, dfq.doc_freq
+         |FROM top JOIN dfq USING (ngram)
+         |ORDER BY top.freq DESC, top.ngram""".stripMargin,
 
     // 0-based engine positions vs this oracle's 1-based list indexing:
     // both cover the same token set, and the compare is on the rebuilt

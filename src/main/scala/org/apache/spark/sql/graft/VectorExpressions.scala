@@ -195,6 +195,9 @@ object VectorExpressions {
   def textStats(text: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(text)))
 
+  def normalizeText(text: Column): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text)))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -879,5 +882,67 @@ object TextStats {
     val counts = StopwordScores.computeCounts(toks)
     org.apache.spark.sql.catalyst.InternalRow(
       nChars.toDouble, toks.length.toDouble, punct.toDouble, counts(enIdx).toDouble)
+  }
+}
+
+/** `normalize_text(text)` — the standard crawled-text canonicalization
+  * pass, fused into one codegen expression per row (r10): Unicode NFC
+  * composition (UAX #15 via java.text.Normalizer; é as e+◌́ and é as
+  * U+00E9 become one byte sequence, so downstream exact/near-dup hashing
+  * sees one document, not two), control characters (U+0000–U+001F,
+  * U+007F) and the no-break-space family (U+00A0, U+2007, U+202F)
+  * mapped to plain spaces, space runs collapsed, ends trimmed.
+  * Dedup-before-normalize silently splits byte-identical documents —
+  * this runs FIRST in the curation chain.
+  *
+  * Cross-engine contract: DuckDB's nfc_normalize (utf8proc) implements
+  * the same UAX #15 NFC, so the oracle reproduces the output
+  * byte-for-byte; NormalizeParity in CurationOpsSpec additionally pins
+  * planted decomposed/control/nbsp cases against hand-derived strings.
+  * Scale shape: per-row map work, no shuffle, stays inside
+  * whole-stage codegen. */
+case class NormalizeText(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(t: Any): Any =
+    NormalizeText.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.NormalizeText.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  private def isToSpace(cp: Int): Boolean =
+    cp < 0x20 || cp == 0x7f || cp == 0xa0 || cp == 0x2007 || cp == 0x202f
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+    : org.apache.spark.unsafe.types.UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      if (isToSpace(cp) || cp == ' ') {
+        // collapse lazily: emit one space only before the next kept char,
+        // which also drops leading/trailing runs without a second pass
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 }

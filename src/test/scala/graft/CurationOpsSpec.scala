@@ -648,6 +648,103 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == 15)
   }
 
+  test("substring excise: duplicated window keeps one canonical occurrence, unique text intact") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // 4-token windows; the passage "p1 p2 p3 p4" appears in docs 1, 2, 3
+    // → owner is (doc 1, its position); both later copies excised
+    val docs = Seq(
+      (1L, "a b c p1 p2 p3 p4 d e"),
+      (2L, "x y p1 p2 p3 p4 z w q"),
+      (3L, "p1 p2 p3 p4 only here"),
+      (4L, "entirely unique document body text"),
+      (5L, "tiny doc")) // shorter than n → no windows, untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.substringExcise(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c p1 p2 p3 p4 d e", 9L, 0L))) // canonical copy survives
+    assert(out(2L) == (("x y z w q", 9L, 4L)))
+    assert(out(3L) == (("only here", 6L, 4L)))
+    assert(out(4L) == (("entirely unique document body text", 5L, 0L)))
+    assert(out(5L) == (("tiny doc", 2L, 0L)))
+  }
+
+  test("substring excise: self-repetition inside one document keeps only the first copy") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // "r1 r2 r3 r4" at starts 0, 4, 8 — owner is start 0; the window at 4
+    // loses AND the windows straddling copies ("r3 r4 r1 r2" etc.) are
+    // themselves duplicated across the repeats, so everything past the
+    // first copy is covered by SOME losing window
+    val docs = Seq((1L, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4")).toDF("doc_id", "text")
+    val out = Dedup.substringExcise(docs, "doc_id", "text", n = 4).collect()(0)
+    assert(out.getString(1) == "r1 r2 r3 r4")
+    assert(out.getLong(2) == 12L && out.getLong(3) == 8L)
+  }
+
+  test("line boilerplate excision: hot lines stripped, per-doc-distinct df, order preserved") {
+    import spark.implicits._
+    import graft.ops.Repetition
+    // footer line in 3 docs (df=3 ≥ 3 → stripped); a line repeated TWICE
+    // in one doc counts df=1 (per-doc distinct) and survives; empties drop
+    val docs = Seq(
+      (1L, "unique body one\nshared footer line"),
+      (2L, "unique body two\n\nshared footer line"),
+      (3L, "unique body three\nshared footer line\nunique tail"),
+      (4L, "echo line\necho line\nmiddle text")) // echo df=1 → kept twice
+      .toDF("doc_id", "text")
+    val out = Repetition.stripBoilerplateLines(docs, "doc_id", "text", minDocFrequency = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique body one", 2L, 1L)))
+    assert(out(2L) == (("unique body two", 2L, 1L))) // empty line never counted
+    assert(out(3L) == (("unique body three\nunique tail", 3L, 1L)))
+    assert(out(4L) == (("echo line\necho line\nmiddle text", 3L, 0L)))
+  }
+
+  test("normalize: NFC composes, controls/nbsp collapse, idempotent, matches java reference") {
+    import spark.implicits._
+    import graft.ops.{TextAnalysis => TA}
+    val cases = Seq(
+      (1L, "café and café"),          // decomposed + precomposed é
+      (2L, "Ångström"),              // Å + ö decomposed
+      (3L, "tab\therebellunit"),     // controls → single spaces
+      (4L, "  lead nbsp  run trail "),
+      (5L, "  already   plain  text  "),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = cases.select(col("doc_id"), TA.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café and café") // both spellings now identical bytes
+    assert(out(2L) == "Ångström")
+    assert(out(3L) == "tab here bell unit")
+    assert(out(4L) == "lead nbsp run trail")
+    assert(out(5L) == "already plain text")
+    assert(out(6L) == "")
+    // idempotence + java.text.Normalizer agreement on the planted cases
+    val again = cases.select(col("doc_id"),
+      TA.normalizeText(TA.normalizeText(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    out.foreach { case (_, v) =>
+      assert(java.text.Normalizer.isNormalized(v, java.text.Normalizer.Form.NFC)) }
+  }
+
+  test("top-k ngrams: counts exact, tie cut deterministic, doc_freq distinct per doc") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    val docs = Seq(
+      (1L, "p q r p q r"),   // "p q r" twice in one doc (freq 2, df 1)
+      (2L, "p q r extra"),   // +1 occurrence, df 2
+      (3L, "a b c tail"),
+      (4L, "a b c tail")).toDF("doc_id", "text")
+    val out = CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // freq: "p q r"=3; "a b c"=2; "b c tail"=2; "q r p"=1; "r p q"=1; "q r extra"=1
+    assert(out(0) == (("p q r", 3L, 2L)))
+    assert(out(1) == (("a b c", 2L, 2L)))  // tie with "b c tail" breaks on string
+    assert(out(2) == (("b c tail", 2L, 2L)))
+  }
+
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
     val rep = SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
     val repRows = rep.collect()

@@ -181,6 +181,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rep.contains("repetition_stats"), s"expected the fused expression:\n$rep")
   }
 
+  test("r10 curation ops: excision joins never cartesian, normalize is pure per-row codegen") {
+    for (q <- Seq("q_dedup_substring_excise", "q_text_strip_boilerplate",
+                  "q_corpus_topk_ngrams")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
+      assert(!plan.contains("Window"), s"$q should not need a window:\n$plan")
+    }
+    // normalize is strictly per-row: one fused expression, no exchange
+    // beyond the gate query's output sort, and inside codegen
+    val norm = physicalPlan("q_text_normalize")
+    val exchanges = "Exchange ".r.findAllIn(norm).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(norm).size
+    assert(exchanges == rangeEx, s"normalize must not shuffle beyond the sort:\n$norm")
+    assert(norm.contains("normalize_text"), s"expected the fused expression:\n$norm")
+    // "*(n)" is toString's WholeStageCodegen marker — the expression must
+    // sit inside a codegen stage, not fall back to interpreted projection
+    assert(norm.linesIterator.exists(l => l.contains("*(") && l.contains("normalize_text")),
+      s"normalize must stay codegen:\n$norm")
+    // top-k runs as TakeOrdered, never a vocabulary-wide global sort
+    val topk = physicalPlan("q_corpus_topk_ngrams")
+    assert(topk.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered:\n$topk")
+  }
+
   test("mix/split/pii stay shuffle-free: pure per-row filters and projections") {
     for (q <- Seq("q_mix_sources", "q_split_assign", "q_text_pii")) {
       val plan = physicalPlan(q).split("== Initial Plan ==")(0)
