@@ -156,6 +156,25 @@ object ScaleProbe {
         ops.Decontaminate.exciseOverlap(docs, bench, "doc_id", "text", n = 4)
           .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
       }
+      // r10 corpus-internal ExactSubstr: the near-dup/exact-dup corpus
+      // slices are exactly the duplicated-window generators, so losing
+      // windows grow linearly with n — wall must track the window count
+      // (one md5-keyed shuffle + the doc-keyed rebuild), never pairs
+      timed("substring_excise", runs, opFilter) {
+        ops.Dedup.substringExcise(docs, "doc_id", "text", n = 8)
+          .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
+      }
+      // r10 line-level boilerplate: shared footers on 1/3 of docs (df
+      // grows with n, the hot-line regime) + a unique per-doc line
+      timed("strip_boilerplate_lines", runs, opFilter) {
+        val aug = docs.withColumn("ltext", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe to the newsletter\nall rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\nfootnote "), col("doc_id"))).otherwise(lit(""))))
+        ops.Repetition.stripBoilerplateLines(aug, "doc_id", "ltext", minDocFrequency = 5L)
+          .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
+      }
       timed("unigram_logprob", runs, opFilter) {
         ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob")).collect()(0).getLong(0)
