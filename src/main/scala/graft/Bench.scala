@@ -48,6 +48,16 @@ object Bench {
     "q_text_unigram_logprob",
     "q_dedup_minhash_incremental")
 
+  /** Third tracked metric (r10): the excision/canonicalization family —
+    * corpus-internal substring dedup, line boilerplate removal, unicode
+    * normalize, and the Zipf-head profile. Separate key, same rationale
+    * as `curation`: the earlier metrics stay byte-stable for trends. */
+  val excision: Seq[String] = Seq(
+    "q_dedup_substring_excise",
+    "q_text_strip_boilerplate",
+    "q_text_normalize",
+    "q_corpus_topk_ngrams")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -148,10 +158,11 @@ object Bench {
     // the curation metric rides the default (driver) run; an explicit
     // query-list A/B run times exactly what was asked, nothing else
     val extras = only match {
-      case None => Seq("curation_total" -> curation)
+      case None =>
+        Seq("curation_total" -> curation, "excision_total" -> excision)
       case Some(o) =>
-        val c = curation.filter(o)
-        if (c.isEmpty) Nil else Seq("curation_total" -> c)
+        Seq("curation_total" -> curation.filter(o),
+          "excision_total" -> excision.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -383,6 +383,35 @@ object OpsQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // r10: third composed pipeline — the order a real web-corpus pass
+    // runs the new operators: line-level boilerplate excision first
+    // (needs the line structure), unicode canonicalization second
+    // (collapses the newlines it no longer needs), corpus-internal
+    // exact-substring excision last (over canonical bytes). One lazy
+    // plan; the oracle replays all three stages.
+    "q_curation_pipeline_v3" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("ltext", concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" cafe\u0301 finale"))  // decomposed, NFC must compose it
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today\nall rights reserved acme corp"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\ndocument footnote "), col("doc_id").cast(StringType)))
+          .otherwise(lit(""))))
+      val lineClean = Repetition.stripBoilerplateLines(aug, "doc_id", "ltext",
+          minDocFrequency = 5L)
+        .select(col("doc_id"), col("clean_text"))
+      val norm = lineClean.select(col("doc_id"),
+        TA.normalizeText(col("clean_text")).as("ntext"))
+      Dedup.substringExcise(norm, "doc_id", "ntext", n = 8)
+        .select(col("doc_id"), md5(col("clean_text")).as("final_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // r9: markup stripping — the fixture is tag-free, so tags/entities
     // are PLANTED deterministically (the PII/URL trick), then counted,
     // stripped, decoded, and whitespace-squeezed
@@ -1174,6 +1203,66 @@ object OpsQueries {
          |  CAST(COALESCE(nl.n_lines, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
          |FROM aug a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nl USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin,
+
+    // r10: the three stages of q_curation_pipeline_v3 replayed in order —
+    // line df excision, NFC canonicalization, window-ownership excision
+    "q_curation_pipeline_v3" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |      THEN ' caf' || chr(101) || chr(769) || ' finale' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |      THEN chr(10) || 'subscribe to our newsletter today' ||
+         |           chr(10) || 'all rights reserved acme corp' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN chr(10) || 'document footnote ' || doc_id::VARCHAR ELSE '' END)
+         |    AS ltext
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id, ln, trim(line) AS line
+         |  FROM (SELECT doc_id, unnest(string_split(ltext, chr(10))) AS line,
+         |               generate_subscripts(string_split(ltext, chr(10)), 1) AS ln
+         |        FROM aug)
+         |  WHERE trim(line) <> ''),
+         |dfq AS (SELECT line, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
+         |keptl AS (SELECT l.doc_id, l.ln, l.line FROM lines l JOIN dfq USING (line)
+         |          WHERE dfq.df < 5),
+         |rebuiltl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text
+         |             FROM keptl GROUP BY doc_id),
+         |lineclean AS (SELECT a.doc_id, COALESCE(r.clean_text, '') AS ctext
+         |              FROM aug a LEFT JOIN rebuiltl r USING (doc_id)),
+         |norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(ctext),
+         |    '[\\x00-\\x1f\\x7f' || chr(160) || chr(8199) || chr(8239) || ']', ' ', 'g'),
+         |    ' +', ' ', 'g')) AS ntext
+         |  FROM lineclean),
+         |t AS (SELECT doc_id, CASE WHEN trim(ntext) = '' THEN CAST([] AS VARCHAR[])
+         |           ELSE string_split_regex(trim(ntext), '\\s+') END AS tk FROM norm),
+         |w AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk
+         |      FROM t),
+         |g AS (SELECT doc_id, s, list_aggregate(tk[s:s+7], 'string_agg', ' ') AS sh FROM w),
+         |own AS (SELECT sh, min(doc_id) AS odoc FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         |own2 AS (SELECT g.sh, o.odoc, min(g.s) AS os
+         |         FROM g JOIN own o ON g.sh = o.sh AND g.doc_id = o.odoc GROUP BY 1, 2),
+         |loser AS (SELECT g.doc_id, g.s FROM g JOIN own2 o ON g.sh = o.sh
+         |          WHERE NOT (g.doc_id = o.odoc AND g.s = o.os)),
+         |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+7)) AS pos FROM loser),
+         |toks_pos AS (
+         |  SELECT t.doc_id, p.pos, t.tk[p.pos] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.tk))) AS pos) p),
+         |kept2 AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM toks_pos tp
+         |  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt2 AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, COUNT(*) AS n_kept
+         |  FROM kept2 GROUP BY doc_id)
+         |SELECT d.doc_id, md5(COALESCE(r.clean, '')) AS final_md5,
+         |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt2 r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // r10: unicode canonicalization — nfc_normalize is utf8proc's UAX #15
     // NFC, the same transform as java.text.Normalizer; control/no-break

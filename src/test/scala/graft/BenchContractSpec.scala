@@ -56,6 +56,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(errs2.keySet == Set("dead"))
     assert(json2.contains("\"partial\":true") && json2.contains("\"good\":"))
     assert(json2.contains("\"curation_total\":0.000"))
+    // r10: two extra metrics serialize side by side, each with its own
+    // total + query block, still none of them in headline_total
+    val (json3, errs3) = Bench.run(spark, sf, Seq("good"),
+      Map("good" -> goodQ, "cur1" -> goodQ, "exc1" -> goodQ), passCount = 1,
+      extraMetrics = Seq("curation_total" -> Seq("cur1"),
+        "excision_total" -> Seq("exc1")))
+    assert(errs3.isEmpty)
+    assert(json3.contains("\"curation_total\":") &&
+      json3.contains("\"excision_total\":") &&
+      json3.contains("\"excision_total_queries\":{\"exc1\":"))
+    val headObj3 = json3.substring(json3.indexOf("\"queries\":"), json3.indexOf(",\"sf\""))
+    assert(!headObj3.contains("exc1") && !headObj3.contains("cur1"))
   }
 
   test("all queries broken: zero total, every name in errors") {
