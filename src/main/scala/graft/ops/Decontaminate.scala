@@ -72,24 +72,55 @@ object Decontaminate {
     * (id, clean_text, n_tokens, n_removed).
     *
     * Scale shape: same broadcast hash-probe as [[flagOverlap]] on the
-    * window side, plus one posexplode + anti-join and a per-doc
-    * sort_array(collect_list) rebuild — all doc-keyed partial-agg work;
-    * the training side still never shuffles for the PROBE, only for its
-    * own doc-keyed rebuild. */
+    * window side; matched window starts then collect per doc (matched
+    * windows only — far fewer rows than the token stream) and the
+    * excision itself is one fused codegen pass (ExciseWindows, r10).
+    * The training side still never shuffles for the PROBE, only for the
+    * doc-keyed start aggregation. The original token-level anti-join
+    * rebuild is retained below as the parity/oracle form. */
   def exciseOverlap(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int,
                     broadcastBench: Boolean = true): DataFrame = {
+    val matchedStarts = overlapStarts(train, bench, idCol, textCol, n, broadcastBench)
+      .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
+    train.select(col(idCol), col(textCol))
+      .join(matchedStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
+          col(textCol),
+          coalesce(col("starts"),
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType))),
+          n).as("__e"))
+      .select(col(idCol), col("__e.clean_text").as("clean_text"),
+        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
+  }
+
+  /** Training-doc window starts whose n-gram matches a benchmark shingle —
+    * shared by the fused and relational forms. Window starts are 0-BASED
+    * (posexplode); window s covers token positions [s, s+n-1]. */
+  private def overlapStarts(train: DataFrame, bench: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            broadcastBench: Boolean): DataFrame = {
     val benchShingles = bench.select(explode(
       org.apache.spark.sql.graft.VectorExpressions
         .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
       .distinct()
     val probeSide = if (broadcastBench) broadcast(benchShingles) else benchShingles
-    // window starts are 0-BASED here (posexplode); window s covers
-    // token positions [s, s+n-1]
-    val windows = train.select(col(idCol), posexplode(
+    train.select(col(idCol), posexplode(
       org.apache.spark.sql.graft.VectorExpressions
         .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
-    val covered = windows.join(probeSide, Seq("shingle"))
+      .join(probeSide, Seq("shingle"))
+      .select(col(idCol), col("s"))
+  }
+
+  /** Token-level anti-join rebuild — the independent reference the fused
+    * ExciseWindows pass is parity-tested against (ExciseParity in
+    * CurationOpsSpec); the DuckDB oracle mirrors this shape. */
+  private[graft] def exciseOverlapRelational(train: DataFrame, bench: DataFrame,
+                                             idCol: String, textCol: String, n: Int,
+                                             broadcastBench: Boolean = true): DataFrame = {
+    val covered = overlapStarts(train, bench, idCol, textCol, n, broadcastBench)
       .select(col(idCol), explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
       .distinct()
     val toks = train.select(col(idCol),

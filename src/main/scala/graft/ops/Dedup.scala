@@ -671,10 +671,30 @@ object Dedup {
     * is duplicated-windows-only. No pair join anywhere: cost is
     * O(total windows) regardless of how hot a window is — a corpus of
     * one repeated sentence degrades to one big group, not n² pairs.
-    * The rebuild is the same doc-keyed posexplode + anti-join +
-    * sort_array(collect_list) shape as Decontaminate.exciseOverlap. */
+    * The rebuild collects LOSING window starts per doc (orders of
+    * magnitude fewer rows than the token stream) and excises in one
+    * fused codegen pass (ExciseWindows) — the original token-level
+    * anti-join rebuild is retained below as the parity/oracle form. */
   def substringExcise(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
+    val loserStarts = substringLoserStarts(df, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
+    df.select(col(idCol), col(textCol))
+      .join(loserStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
+          col(textCol),
+          coalesce(col("starts"), array().cast(ArrayType(IntegerType))),
+          n).as("__e"))
+      .select(col(idCol), col("__e.clean_text").as("clean_text"),
+        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
+  }
+
+  /** The (id, s) occurrences that LOSE their window's ownership contest —
+    * shared by the fused and relational forms so both excise identical
+    * position sets. */
+  private def substringLoserStarts(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame = {
     val windows = df.select(col(idCol), posexplode(
       org.apache.spark.sql.graft.VectorExpressions
         .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
@@ -685,9 +705,18 @@ object Dedup {
         count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
       .select(col("h"), col("own.oid").as("oid"), col("own.os").as("os"))
-    val losers = windows.join(owners, Seq("h"))
+    windows.join(owners, Seq("h"))
       .filter(!(col(idCol) === col("oid") && col("s") === col("os")))
-    val covered = losers
+      .select(col(idCol), col("s"))
+  }
+
+  /** Token-level anti-join rebuild — the independent reference the fused
+    * ExciseWindows pass is parity-tested against (ExciseParity in
+    * CurationOpsSpec); the DuckDB oracle mirrors this shape. Not a hot
+    * path: it shuffles token-level rows twice for per-document work. */
+  private[graft] def substringExciseRelational(df: DataFrame, idCol: String,
+                                               textCol: String, n: Int): DataFrame = {
+    val covered = substringLoserStarts(df, idCol, textCol, n)
       .select(col(idCol), explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
       .distinct()
     val toks = df.select(col(idCol),

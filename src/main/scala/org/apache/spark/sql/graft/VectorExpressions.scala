@@ -198,6 +198,10 @@ object VectorExpressions {
   def normalizeText(text: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text)))
 
+  def exciseWindows(text: Column, starts: Column, n: Int): Column =
+    ExpressionUtils.column(ExciseWindows(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(starts), n))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -944,5 +948,80 @@ object NormalizeText {
       i += Character.charCount(cp)
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `excise_windows(text, starts)` — rebuild a document with every token
+  * covered by a losing/matched n-window removed, fused into one codegen
+  * pass per row (r10). `starts` is the array of 0-based window start
+  * positions to excise (each covering [s, s+n-1]); the output struct is
+  * (clean_text, n_tokens, n_removed) with kept tokens rejoined by single
+  * spaces — the token-stream contract of every excision op here.
+  *
+  * This replaces the relational rebuild (posexplode tokens → anti-join
+  * covered positions → sort_array(collect_list) re-aggregate), which
+  * shuffled TOKEN-level rows twice for what is per-document work: the
+  * fused form receives one doc-keyed array of window starts (losing
+  * windows only — orders of magnitude smaller than the token stream)
+  * and does the coverage expansion + rebuild in-row. The relational
+  * form is retained as the parity/oracle reference
+  * (Dedup.substringExciseRelational, Decontaminate.exciseOverlapRelational;
+  * ExciseParity in CurationOpsSpec pins equality). */
+case class ExciseWindows(left: Expression, right: Expression, n: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def prettyName: String = "excise_windows"
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    ExciseWindows.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      s.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = org.apache.spark.sql.graft.ExciseWindows.compute($t, $s, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ExciseWindows {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = TokenizerUtil.tokens(text)
+    val len = toks.length
+    val covered = new Array[Boolean](len)
+    var removed = 0
+    var i = 0
+    while (i < starts.numElements()) {
+      val s = starts.getInt(i)
+      var p = if (s < 0) 0 else s
+      val end = math.min(s + n - 1, len - 1)
+      while (p <= end) {
+        if (!covered(p)) { covered(p) = true; removed += 1 }
+        p += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(if (text.numBytes > 16) text.numBytes else 16)
+    var first = true
+    var k = 0
+    while (k < len) {
+      if (!covered(k)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(k))
+        first = false
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+      len.toLong, removed.toLong)
   }
 }

@@ -745,6 +745,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2) == (("b c tail", 2L, 2L)))
   }
 
+  test("ExciseParity: fused window excision == token-level anti-join rebuild on fixture + edges") {
+    import spark.implicits._
+    import graft.ops.{Decontaminate, Dedup}
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (100001L, ""), // no tokens
+      (100002L, "tiny"), // shorter than any window
+      (100003L, "e1 e2 e3 e4 e5 e6 e7 e8 e1 e2 e3 e4 e5 e6 e7 e8"), // self-repeat
+      (100004L, "  spaced   out   tokens   here  survive  normalization  of  whitespace  ok  "))
+      .toDF("doc_id", "text")
+    val docs = fixture.union(edges)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Dedup.substringExcise(docs, "doc_id", "text", n = 8)) ==
+      rows(Dedup.substringExciseRelational(docs, "doc_id", "text", n = 8)))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    assert(rows(Decontaminate.exciseOverlap(train, bench, "doc_id", "text", n = 4)) ==
+      rows(Decontaminate.exciseOverlapRelational(train, bench, "doc_id", "text", n = 4)))
+  }
+
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
     val rep = SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
     val repRows = rep.collect()
