@@ -54,6 +54,8 @@ object Bench {
     * as `curation`: the earlier metrics stay byte-stable for trends. */
   val excision: Seq[String] = Seq(
     "q_dedup_substring_excise",
+    "q_dedup_substring_incremental",
+    "q_dedup_edit_distance",
     "q_text_strip_boilerplate",
     "q_text_normalize",
     "q_corpus_topk_ngrams")

@@ -164,6 +164,30 @@ object ScaleProbe {
         ops.Dedup.substringExcise(docs, "doc_id", "text", n = 8)
           .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
       }
+      // r10 incremental substring excision: batch = 2/3 vs a window-hash
+      // store of the other 1/3, store MATERIALIZED outside the timing
+      // (a real ingest reads it from a table) — the minhash_incremental
+      // protocol
+      val winStore =
+        if (opFilter("substring_excise_incremental")) {
+          val st = ops.Dedup.windowHashes(
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", n = 8).persist()
+          st.count()
+          Some(st)
+        } else None
+      timed("substring_excise_incremental", runs, opFilter) {
+        ops.Dedup.substringExciseIncremental(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", n = 8,
+          winStore.get, "h")
+          .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
+      }
+      winStore.foreach(_.unpersist())
+      // r10 edit-distance verify: the near-dup slice mutates ~6 tokens
+      // (appended salts, ≈24 edits) → maxDistance 32 exercises both the
+      // accept and the banded-DP early-abandon path on every candidate
+      timed("edit_distance_pairs", runs, opFilter)(
+        ops.Dedup.editDistancePairs(docs, "doc_id", "text", maxDistance = 32,
+          maxBandFrequency = Some(2000)).count())
       // r10 line-level boilerplate: shared footers on 1/3 of docs (df
       // grows with n, the hot-line regime) + a unique per-doc line
       timed("strip_boilerplate_lines", runs, opFilter) {

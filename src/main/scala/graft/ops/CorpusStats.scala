@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus profiling: per-stratum token statistics (the dataset-card
   * numbers every training corpus ships with — doc counts, token mass,
@@ -38,6 +38,38 @@ object CorpusStats {
       .select(col("grp"), col("n_tokens").as("p95_tokens"))
     sizes.join(med, "grp").join(p95, "grp")
       .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Per-document top-k terms by tf-idf (r10): the dataset-card keyword
+    * surface (what is each document about, which terms distinguish it
+    * from the corpus). Classic tf·ln(N/df) weighting; scores are rounded
+    * to 6 decimals BEFORE ranking and ties break on the term ascending,
+    * so the per-doc cut is deterministic and engine-portable. Returns
+    * (id, term, tf, df, tfidf) — k rows per non-empty document.
+    *
+    * Scale shape: one explode + (doc, term) partial-agg for tf; document
+    * frequency from a per-doc-distinct pre-pass (never a countDistinct
+    * expand); N rides a 1-row count joined by broadcast; the final top-k
+    * is a doc-partitioned window — bounded by each document's distinct
+    * term count, no global sort. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(n)) // 1-row totals join, the unigramLogProb pattern
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast(DoubleType) / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Top-k word n-grams by corpus occurrence count (r10): the Zipf-head

@@ -254,6 +254,59 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Edit-distance-verified fuzzy dedup (r10): MinHash band blocking for
+    * candidates, then an EXACT Levenshtein verify — the high-precision
+    * companion of [[minhashLshPairs]] for near-identical documents
+    * (OCR variants, template instantiations, trailing-edit copies) where
+    * an estimated Jaccard is too coarse a verdict. Returns
+    * (doc_a, doc_b, edit_distance) for candidate pairs within
+    * `maxDistance`.
+    *
+    * Scale shape: identical banded equi-join candidate generation as
+    * minhashLshPairs (never all-pairs; `maxBandFrequency` cap available),
+    * and the verify uses Spark's THRESHOLDED levenshtein — the banded
+    * O(maxDistance·min(len)) algorithm that abandons a pair the moment
+    * its distance provably exceeds the bound, instead of filling the
+    * full O(len²) matrix for the overwhelmingly-non-duplicate majority.
+    * Text payloads join into the candidate set once per side. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDistance: Int,
+                        shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
+                        maxBandFrequency: Option[Int] = None): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
+    try {
+      val banded0 = sigs.select(col("doc"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+      val banded = maxBandFrequency match {
+        case None => banded0
+        case Some(cap) =>
+          val hot = banded0.groupBy("band")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+            .select("band")
+          banded0.join(broadcast(hot), Seq("band"), "left_anti")
+      }
+      val cand = banded.select(col("band"), col("doc").as("doc_a"))
+        .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(df.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), "doc_a")
+        .join(df.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), "doc_b")
+        // exact-safe pre-filter: |len(a) − len(b)| lower-bounds the edit
+        // distance, so length-mismatched candidates drop before paying
+        // the DP at all (no recall change — the verify would reject them)
+        .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDistance)
+        // 3-arg levenshtein: returns -1 the moment the distance provably
+        // exceeds maxDistance (banded DP), the exact value otherwise
+        .withColumn("edit_distance",
+          levenshtein(col("__ta"), col("__tb"), maxDistance))
+        .filter(col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
+  }
+
   /** Survivor selection by QUALITY: given near-dup components (any
     * [[connectedComponents]] output) and a per-document score, keep the
     * highest-scoring member of each cluster instead of the min-id one —
@@ -709,6 +762,68 @@ object Dedup {
       .filter(!(col(idCol) === col("oid") && col("s") === col("os")))
       .select(col(idCol), col("s"))
   }
+
+  /** Incremental exact-substring excision (r10): excise a NEW batch
+    * against a persisted window-hash store of the already-curated
+    * corpus — the continuous-ingest companion of [[substringExcise]]
+    * (same relationship as [[minhashIncremental]] to minhashLshPairs and
+    * [[exactIncremental]] to exact). A batch window occurrence loses if
+    * (a) its hash already exists in the corpus store — the corpus holds
+    * the canonical copy — or (b) it is duplicated WITHIN the batch, is
+    * not in the store, and is not the batch's own canonical occurrence
+    * (lexicographic min (doc, start), exactly [[substringExcise]]'s
+    * rule). Batch cost is O(batch windows), never O(corpus):
+    * the store join probes corpus state without re-hashing it.
+    *
+    * `corpusWindows` is the persisted store with one md5 window-hash
+    * column `hashCol` (produce new-batch store rows with
+    * [[windowHashes]] after excision). Returns the same
+    * (id, clean_text, n_tokens, n_removed) contract as substringExcise,
+    * rebuilt through the fused ExciseWindows pass. */
+  def substringExciseIncremental(batch: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 corpusWindows: DataFrame,
+                                 hashCol: String): DataFrame = {
+    val windows = batch.select(col(idCol), posexplode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
+      .select(col(idCol), col("s"), md5(col("shingle")).as("h"))
+    val store = corpusWindows.select(col(hashCol).as("h")).distinct()
+    val inStore = windows.join(store, Seq("h"), "left_semi")
+      .select(col(idCol), col("s"))
+    val freshWindows = windows.join(store, Seq("h"), "left_anti")
+    val owners = freshWindows
+      .groupBy("h")
+      .agg(min(struct(col(idCol).as("oid"), col("s").as("os"))).as("own"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("h"), col("own.oid").as("oid"), col("own.os").as("os"))
+    val batchLosers = freshWindows.join(owners, Seq("h"))
+      .filter(!(col(idCol) === col("oid") && col("s") === col("os")))
+      .select(col(idCol), col("s"))
+    val loserStarts = inStore.union(batchLosers).distinct()
+      .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
+    batch.select(col(idCol), col(textCol))
+      .join(loserStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
+          col(textCol),
+          coalesce(col("starts"), array().cast(ArrayType(IntegerType))),
+          n).as("__e"))
+      .select(col(idCol), col("__e.clean_text").as("clean_text"),
+        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
+  }
+
+  /** Distinct md5 window hashes of a corpus slice — the store-building
+    * helper for [[substringExciseIncremental]] (append these rows to the
+    * persisted window table after a batch lands). */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    df.select(explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
+      .select(md5(col("shingle")).as("h"))
+      .distinct()
 
   /** Token-level anti-join rebuild — the independent reference the fused
     * ExciseWindows pass is parity-tested against (ExciseParity in

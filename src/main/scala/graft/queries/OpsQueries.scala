@@ -222,6 +222,36 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r10: edit-distance-verified fuzzy dedup — MinHash band candidates,
+    // exact Levenshtein verdict within 16 edits
+    "q_dedup_edit_distance" -> ((s, d) => {
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // r10: incremental substring excision — docs ≡ 0 (mod 3) play the
+    // curated corpus (window-hash store); the rest arrive as the batch
+    "q_dedup_substring_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Dedup.windowHashes(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", n = 8)
+      Dedup.substringExciseIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", n = 8,
+        store, "h")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // r10: per-doc tf-idf keywords — top 3 terms per document, rounded
+    // scores ranked with term-ascending ties
+    "q_corpus_tfidf_terms" -> ((s, d) => {
+      graft.ops.CorpusStats.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text",
+        k = 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
     // r10: line-level boilerplate excision (C4's "seen elsewhere" lines) —
     // the fixture is single-line, so multi-line docs are planted: a shared
     // subscribe/rights footer on doc_id%3 (df ≈ 167 ≥ 5 → stripped) and a
@@ -1168,6 +1198,89 @@ object OpsQueries {
          |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
          |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // r10: fuzzy dedup — same banded candidate CTEs as
+    // q_dedup_minhash_lsh, Levenshtein verify instead of the signature
+    // estimate (DuckDB's levenshtein is the same unit-cost edit distance
+    // as Spark's)
+    "q_dedup_edit_distance" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = doc_a
+         |JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // r10: incremental substring excision — store = distinct window
+    // hashes of the corpus slice; batch windows lose on store membership
+    // or batch-internal ownership (min doc, then min start)
+    "q_dedup_substring_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk
+         |      FROM t),
+         |g AS (SELECT doc_id, s, md5(list_aggregate(tk[s:s+7], 'string_agg', ' ')) AS h FROM w),
+         |store AS (SELECT DISTINCT h FROM g WHERE doc_id % 3 = 0),
+         |batch AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
+         |fresh AS (SELECT b.* FROM batch b LEFT JOIN store st USING (h) WHERE st.h IS NULL),
+         |bown AS (SELECT h, min(doc_id) AS odoc FROM fresh GROUP BY 1 HAVING COUNT(*) > 1),
+         |bown2 AS (SELECT f.h, o.odoc, min(f.s) AS os
+         |          FROM fresh f JOIN bown o ON f.h = o.h AND f.doc_id = o.odoc GROUP BY 1, 2),
+         |loser AS (
+         |  SELECT b.doc_id, b.s FROM batch b JOIN store st USING (h)
+         |  UNION
+         |  SELECT f.doc_id, f.s FROM fresh f JOIN bown2 o ON f.h = o.h
+         |  WHERE NOT (f.doc_id = o.odoc AND f.s = o.os)),
+         |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+7)) AS pos FROM loser),
+         |bt AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+         |toks_pos AS (
+         |  SELECT bt.doc_id, p.pos, bt.tk[p.pos] AS tok
+         |  FROM bt, LATERAL (SELECT unnest(generate_series(1, len(bt.tk))) AS pos) p),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM toks_pos tp
+         |  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean, COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5,
+         |  CAST(len(t2.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t2.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d JOIN t t2 USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+         |WHERE d.doc_id % 3 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // r10: tf-idf keywords — rank on the ROUNDED score with
+    // term-ascending ties so the cut is deterministic on both engines
+    "q_corpus_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |terms AS (SELECT doc_id, unnest(tk) AS term FROM t),
+         |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |  round(tf * ln(n.n_docs * 1.0 / df), 6) AS tfidf
+         |  FROM tfc JOIN dfc USING (term), n),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
 
     // r10: line-level boilerplate excision — df counts each DOCUMENT
     // once (DISTINCT doc_id, line before the count), the engine's

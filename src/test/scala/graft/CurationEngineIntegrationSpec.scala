@@ -64,4 +64,39 @@ class CurationEngineIntegrationSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<content_hash:string"),
       s"fingerprint scan must prune to the hash column:\n$plan")
   }
+
+  test("incremental substring excision over a commit-log window store") {
+    import spark.implicits._
+    val rm = new RelationManager(spark,
+      Files.createTempDirectory("graft_winstore").toString)
+    val winRel = Relation("graft", "main", "corpus_windows")
+
+    // batch 1: batch-only excision, then persist its window hashes as
+    // the store table — the state a continuous ingest accumulates
+    val batch1 = Seq((1L, "w1 w2 w3 w4 first body tail")).toDF("doc_id", "text")
+    val clean1 = Dedup.substringExcise(batch1, "doc_id", "text", n = 4)
+    rm.writeTable(Dedup.windowHashes(
+      clean1.withColumnRenamed("clean_text", "text"), "doc_id", "text", n = 4), winRel)
+
+    // batch 2 repeats a batch-1 window → excised against the TABLE,
+    // without re-hashing batch-1 text (only the store's hash column reads)
+    val batch2 = Seq(
+      (10L, "w1 w2 w3 w4 second arrival here"),
+      (11L, "v1 v2 v3 v4 brand new content")).toDF("doc_id", "text")
+    val out2 = Dedup.substringExciseIncremental(batch2, "doc_id", "text", n = 4,
+      rm.read(winRel), "h")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out2(10L) == (("second arrival here", 4L)))
+    assert(out2(11L) == (("v1 v2 v3 v4 brand new content", 0L)))
+
+    // append batch 2's post-excision windows; a batch-3 repeat of
+    // batch-2 content now excises against the grown store
+    val clean2 = Seq((11L, "v1 v2 v3 v4 brand new content")).toDF("doc_id", "text")
+    rm.appendTable(Dedup.windowHashes(clean2, "doc_id", "text", n = 4), winRel)
+    val batch3 = Seq((20L, "v1 v2 v3 v4 third wave text")).toDF("doc_id", "text")
+    val out3 = Dedup.substringExciseIncremental(batch3, "doc_id", "text", n = 4,
+      rm.read(winRel), "h")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out3(20L) == "third wave text")
+  }
 }

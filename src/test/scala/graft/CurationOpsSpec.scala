@@ -745,6 +745,78 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2) == (("b c tail", 2L, 2L)))
   }
 
+  test("edit-distance pairs: near-identical docs verified exactly, distant candidates dropped") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),        // 1 insertion
+      (3L, base.replace("tok7", "zzz9")),          // few substitutions
+      (4L, (1 to 30).map(i => s"other$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 1)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) == 4)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // tightening the bound drops the 4-edit pair but keeps the 1-edit one
+    val tight = Dedup.editDistancePairs(docs, "doc_id", "text", maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((1L, 2L)) && !tight.contains((1L, 3L)))
+  }
+
+  test("incremental substring excision: store wins, batch canonical kept, empty store = batch-only") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = Seq((100L, "c1 c2 c3 c4 stored passage here now")).toDF("doc_id", "text")
+    val store = Dedup.windowHashes(corpus, "doc_id", "text", n = 4)
+    val batch = Seq(
+      // repeats a corpus window ("c1 c2 c3 c4" etc.) → excised even though
+      // it is the batch's first occurrence
+      (1L, "c1 c2 c3 c4 fresh tail tokens"),
+      // batch-internal dup not in store: doc 2 owns it, doc 3 loses
+      (2L, "b1 b2 b3 b4 unique left part"),
+      (3L, "pre b1 b2 b3 b4 post words"),
+      (4L, "wholly new content nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringExciseIncremental(batch, "doc_id", "text", n = 4, store, "h")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("fresh tail tokens", 7L, 4L)))
+    assert(out(2L) == (("b1 b2 b3 b4 unique left part", 7L, 0L)))
+    assert(out(3L) == (("pre post words", 7L, 4L)))
+    assert(out(4L) == (("wholly new content nothing shared", 5L, 0L)))
+    // empty store degrades exactly to batch-only substringExcise
+    val empty = store.filter(col("h").isNull)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(Dedup.substringExciseIncremental(batch, "doc_id", "text", n = 4, empty, "h")) ==
+      rows(Dedup.substringExcise(batch, "doc_id", "text", n = 4)))
+  }
+
+  test("tf-idf keywords: distinctive terms outrank common ones, deterministic k-cut") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    val docs = Seq(
+      (1L, "shared shared shared rare1"),
+      (2L, "shared shared unique2 unique2"),
+      (3L, "shared filler words")).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byDoc = out.groupBy(_._1)
+    // 'shared' is in every doc → ln(3/3)=0 score; rare terms win
+    assert(byDoc(1L).maxBy(_._5)._2 == "rare1")
+    val top2 = byDoc(2L).maxBy(_._5)
+    assert(top2._2 == "unique2" && top2._3 == 2L)
+    // df of 'shared' is 3, tf in doc 1 is 3, score 0
+    val shared1 = out.find(r => r._1 == 1L && r._2 == "shared").get
+    assert(shared1._3 == 3L && shared1._4 == 3L && shared1._5 == 0.0)
+    // every doc yields at most k rows
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
   test("ExciseParity: fused window excision == token-level anti-join rebuild on fixture + edges") {
     import spark.implicits._
     import graft.ops.{Decontaminate, Dedup}

@@ -183,10 +183,18 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("r10 curation ops: excision joins never cartesian, normalize is pure per-row codegen") {
     for (q <- Seq("q_dedup_substring_excise", "q_text_strip_boilerplate",
-                  "q_corpus_topk_ngrams")) {
+                  "q_corpus_topk_ngrams", "q_dedup_substring_incremental",
+                  "q_curation_pipeline_v3")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
       assert(!plan.contains("Window"), s"$q should not need a window:\n$plan")
+    }
+    // edit-distance verify joins texts into banded candidates — never a
+    // cartesian; tf-idf's only cross join is the broadcast 1-row N total
+    // (the unigramLogProb pattern), and its window is doc-partitioned
+    for (q <- Seq("q_dedup_edit_distance", "q_corpus_tfidf_terms")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
     // normalize is strictly per-row: one fused expression, no exchange
     // beyond the gate query's output sort, and inside codegen
