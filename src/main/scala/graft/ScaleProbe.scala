@@ -250,6 +250,21 @@ object ScaleProbe {
         ops.Ivf.semanticDedupPairs(emb, "doc_id", "embedding",
           threshold = 0.9, nCells = cells).count()
       }
+      // r10 PQ legs: encode is a subspace-exploded broadcast-codebook
+      // join (8 rows per vector), ADC a codes-vs-distance-table join —
+      // both must track n linearly at a FIXED 256-query batch
+      val pqBooks =
+        if (opFilter("pq_encode") || opFilter("pq_adc_topk"))
+          ops.Pq.seedCodebooks(emb, "doc_id", "embedding", nSub = 8, nCodes = 16)
+        else Nil
+      timed("pq_encode", runs, opFilter) {
+        ops.Pq.encode(emb, "doc_id", "embedding", pqBooks)
+          .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()(0).getLong(0)
+      }
+      timed("pq_adc_topk", runs, opFilter) {
+        val queries = emb.filter(col("doc_id") % queryStride === 0)
+        ops.Pq.topK(queries, emb, "doc_id", "embedding", k = 10, pqBooks).count()
+      }
       timed("ann_lsh_topk", runs, opFilter) {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Similarity.lshTopK(queries, emb, "doc_id", "embedding", k = 10).count()

@@ -29,6 +29,19 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashUnit(col(idCol)) < lit(fraction))
 
+  /** Exact-k deterministic sample (r10): the k rows with the smallest
+    * id-hash — a reproducible "give me exactly 10k eval docs" cut where
+    * a fraction filter's size varies with the corpus. Same md5 ranking
+    * key as [[deterministicSample]], so exact-k samples NEST across k
+    * (top-1k ⊂ top-10k) and sit inside the fraction sample whose
+    * threshold exceeds their max hash. Ties (hash collisions) break on
+    * the id, so the cut is total and engine-portable.
+    *
+    * Scale shape: plans as TakeOrdered (per-partition k-heads + driver
+    * merge of k rows) — never a global sort of the corpus. */
+  def exactKSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(hashUnit(col(idCol)), col(idCol)).limit(k)
+
   /** Weighted source mixing: per-source deterministic keep fractions —
     * the domain-mixture step of a training-data pipeline (e.g. keep all
     * of a high-quality source, 10% of a crawl). Same id-hash as

@@ -79,6 +79,29 @@ object JoinQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r10: product-quantization encode — every vector as 8 subspace
+    // codes against the seeded 16-codeword books (codes joined to a
+    // string so the compare is scalar)
+    "q_sim_pq_encode" -> ((s, d) => {
+      import graft.ops.Pq
+      val e = Tables.embeddings(s, d)
+      val books = Pq.seedCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      Pq.encode(e, "vec_id", "embedding", books)
+        .select(col("vec_id"), concat_ws("_", col("codes")).as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // r10: ADC search over the PQ codes — approximate squared-L2 via the
+    // query's codeword distance table, top-5 per query
+    "q_sim_topk_pq" -> ((s, d) => {
+      import graft.ops.Pq
+      val e = Tables.embeddings(s, d)
+      val books = Pq.seedCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      Pq.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, books)
+        .orderBy("query_id", "rank")
+    }),
+
     // r9: the two-level (coarse→fine) quantizer's assignment, oracle-
     // checked — 8 coarse cells route each vector to its cell's slice of
     // the 64 fine centroids; the fine matrix is a joined TABLE, the
@@ -133,6 +156,31 @@ object JoinQueries {
     "q_sim_topk_ivf" -> ivfTopKSql(nCells = 8, nProbe = 2),
     "q_sim_topk_ivf_bigk" -> ivfTopKSql(nCells = 400, nProbe = 4),
 
+    // PQ: seeded books = subvectors of rows id < 16; encode = rank-1
+    // codeword per (vector, subspace) on the rounded squared L2 with
+    // code-ascending ties — exactly the engine's min-struct order
+    "q_sim_pq_encode" ->
+      s"""$pqEncCtes
+         |SELECT vec_id, array_to_string(list(code ORDER BY sub), '_') AS codes
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_sim_topk_pq" ->
+      s"""$pqEncCtes,
+         |dtab AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+         |    round(list_sum(list_transform(generate_series(1, 8), i ->
+         |      (q.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE) *
+         |      (q.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE))), 6) AS d
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10),
+         |scored AS (SELECT dt.query_id, e2.vec_id AS neighbor_id,
+         |    round(SUM(dt.d), 6) AS adc_dist
+         |  FROM enc e2 JOIN dtab dt USING (sub, code)
+         |  WHERE dt.query_id <> e2.vec_id GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // two-stage argmax: coarse rank-1 over the 8 seeds, then rank-1 over
     // the routed slice of the 64 fine seeds — both on the rounded cosine
     // with ties to the lower cell id, exactly the engine's order
@@ -155,6 +203,22 @@ object JoinQueries {
          |FROM cand WHERE rn = 1 ORDER BY vec_id""".stripMargin
     }
   )
+
+  /** PQ encode CTEs shared by both PQ oracles: seeded books + the
+    * per-(vector, subspace) rank-1 codeword assignment. One definition,
+    * or the two oracles drift apart under edits. */
+  private val pqEncCtes: String =
+    """WITH cw AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
+      |books AS (SELECT s.sub, c.code, list_slice(c.embedding, s.sub*8+1, s.sub*8+8) AS cent
+      |          FROM (SELECT unnest(generate_series(0, 7)) AS sub) s CROSS JOIN cw c),
+      |enc0 AS (SELECT e.vec_id, b.sub, b.code,
+      |    round(list_sum(list_transform(generate_series(1, 8), i ->
+      |      (e.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE) *
+      |      (e.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE))), 6) AS d
+      |  FROM embeddings e CROSS JOIN books b),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+      |  FROM enc0) t WHERE rn = 1)""".stripMargin
 
   /** The IVF search oracle, parameterized on the quantizer config — one
     * SQL shape for the gate config and the big-k config. */

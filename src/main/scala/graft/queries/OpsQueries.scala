@@ -476,6 +476,13 @@ object OpsQueries {
     }),
 
     // -------------------------------------------------------- sampling
+    // r10: exact-k deterministic sample — the 50 smallest id-hashes,
+    // nested across k and inside any covering fraction sample
+    "q_sample_exact_k" -> ((s, d) => {
+      Sampling.exactKSample(Tables.documents(s, d), "doc_id", k = 50)
+        .select("doc_id", "lang")
+    }),
+
     "q_sample_fraction" -> ((s, d) => {
       Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
         .select("doc_id", "lang").orderBy("doc_id")
@@ -1591,6 +1598,12 @@ object OpsQueries {
         |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7)) AS BIGINT)
         |      / CAST(268435456 AS DOUBLE) < f.keepf
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_sample_exact_k" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+        |      / CAST(268435456 AS DOUBLE), doc_id
+        |LIMIT 50""".stripMargin,
 
     "q_sample_fraction" ->
       """SELECT doc_id, lang FROM documents

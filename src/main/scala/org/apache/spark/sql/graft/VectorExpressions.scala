@@ -198,6 +198,10 @@ object VectorExpressions {
   def normalizeText(text: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text)))
 
+  def l2DistanceSq(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2DistanceSq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def exciseWindows(text: Column, starts: Column, n: Int): Column =
     ExpressionUtils.column(ExciseWindows(
       ExpressionUtils.expression(text), ExpressionUtils.expression(starts), n))
@@ -1024,4 +1028,49 @@ object ExciseWindows {
       org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
       len.toLong, removed.toLong)
   }
+}
+
+/** `l2_distance_sq(a, b)` — squared Euclidean distance in one fused
+  * loop (r10), the PQ codebook metric (Jégou et al. 2011 product
+  * quantization; k-means on subvectors minimizes L2, not cosine). Same
+  * ascending-index accumulation as the DuckDB oracle's list_sum. */
+case class L2DistanceSq(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

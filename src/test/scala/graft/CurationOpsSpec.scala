@@ -817,6 +817,65 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("PQ: seeds encode to themselves, training reduces error, ADC prefers true neighbors") {
+    import spark.implicits._
+    import graft.ops.Pq
+    // 4 clusters spiked on separate dim blocks (the Ivf recovery corpus
+    // shape), 64-dim, 40 vectors; cluster structure lives in subspaces
+    val docs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(64)(d =>
+        (if (d / 16 == c) 1.0 else 0.05) + 0.001 * ((i * 7 + d) % 13))
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val books = Pq.seedCodebooks(docs, "vec_id", "embedding", nSub = 8, nCodes = 8)
+    assert(books.size == 64) // 8 subspaces x 8 codes
+    // a seed row's distance to its own codeword is 0 -> encodes to itself
+    val enc = Pq.encode(docs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0L until 8L).foreach(i => assert(enc(i).forall(_ == i.toInt), s"seed $i: ${enc(i)}"))
+    assert(enc.size == 40 && enc.values.forall(_.length == 8))
+
+    // quantization error (mean ADC self-distance proxy): train must not increase it
+    def qerr(bks: Seq[(Int, Int, Array[Double])]): Double = {
+      val codes = Pq.encode(docs, "vec_id", "embedding", bks)
+      val bmap = bks.map { case (m, c, cent) => (m, c) -> cent }.toMap
+      val vecs = docs.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      codes.collect().map { r =>
+        val v = vecs(r.getLong(0)); val cs = r.getSeq[Int](1)
+        cs.zipWithIndex.map { case (c, m) =>
+          val cent = bmap((m, c))
+          cent.indices.map(j => math.pow(v(m * 8 + j) - cent(j), 2)).sum
+        }.sum
+      }.sum / vecs.size
+    }
+    val e0 = qerr(books)
+    val e2 = qerr(Pq.train(docs, "vec_id", "embedding", nSub = 8, nCodes = 8, iters = 2))
+    assert(e2 <= e0 + 1e-9, s"training must not increase quantization error: $e0 -> $e2")
+
+    // ADC ranking puts same-cluster vectors first for every query
+    val out = Pq.topK(docs.filter(col("vec_id") < 4), docs, "vec_id", "embedding",
+      k = 3, books).collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      assert(r.getLong(2) % 4 == r.getLong(0) % 4,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(2)}")
+    }
+  }
+
+  test("exact-k sample: nested across k and inside the covering fraction sample") {
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val k10 = Sampling.exactKSample(docs, "doc_id", 10).collect().map(_.getLong(0)).toSet
+    val k50 = Sampling.exactKSample(docs, "doc_id", 50).collect().map(_.getLong(0)).toSet
+    assert(k10.size == 10 && k50.size == 50 && k10.subsetOf(k50))
+    val frac = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // half the corpus by hash must contain the 10 smallest hashes
+    assert(k10.subsetOf(frac))
+  }
+
   test("ExciseParity: fused window excision == token-level anti-join rebuild on fixture + edges") {
     import spark.implicits._
     import graft.ops.{Decontaminate, Dedup}

@@ -191,11 +191,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     // edit-distance verify joins texts into banded candidates — never a
     // cartesian; tf-idf's only cross join is the broadcast 1-row N total
-    // (the unigramLogProb pattern), and its window is doc-partitioned
-    for (q <- Seq("q_dedup_edit_distance", "q_corpus_tfidf_terms")) {
+    // (the unigramLogProb pattern), and its window is doc-partitioned;
+    // PQ's only cross joins are broadcast codebook/distance tables
+    // (driver-tiny by construction) — the corpus side joins codes only
+    for (q <- Seq("q_dedup_edit_distance", "q_corpus_tfidf_terms",
+                  "q_sim_pq_encode", "q_sim_topk_pq")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
+    // exact-k sampling plans as TakeOrdered — never a corpus-wide sort
+    assert(physicalPlan("q_sample_exact_k").contains("TakeOrderedAndProject"))
     // normalize is strictly per-row: one fused expression, no exchange
     // beyond the gate query's output sort, and inside codegen
     val norm = physicalPlan("q_text_normalize")
