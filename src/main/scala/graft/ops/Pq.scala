@@ -134,6 +134,52 @@ object Pq {
         col("__b.__sv").as("__sv"))
   }
 
+  /** IVF-ADC composed search (r10): [[Ivf]] prunes WHICH vectors to
+    * score (cell-restricted candidates, nProbe cells per query), PQ's
+    * ADC decides HOW CHEAPLY each candidate scores (codes vs the
+    * query's codeword distance table) — the standard IVFADC layout of
+    * Jégou et al. 2011 §IV, expressed as ordinary DataFrame piping over
+    * the two independently-gated operators. The corpus is touched as
+    * (cell, codes) rows only: 8 small ints + a cell id per vector.
+    * Returns (query_id, rank, neighbor_id, adc_dist). */
+  def topKWithIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  coarse: Seq[(Int, Array[Double])],
+                  books: Seq[(Int, Int, Array[Double])],
+                  nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val subDim = books.head._3.length
+    val corpusCells = Ivf.assignCells(corpus, idCol, vecCol, coarse)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val qAssigned = Ivf.assignCells(queries, idCol, vecCol, coarse, nProbe)
+    val queryCells =
+      if (nProbe == 1) qAssigned.select(col(idCol).as("query_id"), col("cell"))
+      else qAssigned.select(col(idCol).as("query_id"), explode(col("cells")).as("cell"))
+    val dtab = queries.select(col(idCol).as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("__q"))
+      .crossJoin(booksDf(spark, books))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(org.apache.spark.sql.graft.VectorExpressions.l2DistanceSq(
+          slice(col("__q"), col("sub") * subDim + 1, lit(subDim)),
+          col("cent")), 6).as("__d"))
+    val corpusSide = encode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(corpusCells, Seq("neighbor_id"))
+    val scored = corpusSide
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("__d")), 6).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
   /** ADC top-k search: every query's approximate squared L2 to every
     * corpus vector is the sum of per-subspace distances to the corpus
     * vector's codewords, looked up in the query's precomputed distance

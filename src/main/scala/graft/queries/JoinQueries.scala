@@ -102,6 +102,18 @@ object JoinQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r10: the IVFADC composition — IVF prunes (8 cells, 2 probes), ADC
+    // scores the cell-restricted candidates from codes alone
+    "q_sim_topk_ivf_pq" -> ((s, d) => {
+      import graft.ops.{Ivf, Pq}
+      val e = Tables.embeddings(s, d)
+      val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val books = Pq.seedCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+      Pq.topKWithIvf(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, coarse, books, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // r9: the two-level (coarse→fine) quantizer's assignment, oracle-
     // checked — 8 coarse cells route each vector to its cell's slice of
     // the 64 fine centroids; the fine matrix is a joined TABLE, the
@@ -184,6 +196,46 @@ object JoinQueries {
     // two-stage argmax: coarse rank-1 over the 8 seeds, then rank-1 over
     // the routed slice of the 64 fine seeds — both on the rounded cosine
     // with ties to the lower cell id, exactly the engine's order
+    // IVFADC: the ivf 'assigned' CTE routes both sides to cells; the pq
+    // CTEs score candidates from codes - cosine routing, L2 ADC scoring
+    "q_sim_topk_ivf_pq" -> {
+      val cosEC = cosineSql("e.embedding", "c.cvec")
+      s"""$pqEncCtes,
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cosEC DESC, c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |corpus_cells AS (
+         |  SELECT vec_id AS neighbor_id, cid AS cell FROM assigned WHERE rnk = 1),
+         |query_cells AS (
+         |  SELECT vec_id AS query_id, cid AS cell
+         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
+         |dtab AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+         |    round(list_sum(list_transform(generate_series(1, 8), i ->
+         |      (q.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE) *
+         |      (q.embedding[b.sub*8+i]::DOUBLE - b.cent[i]::DOUBLE))), 6) AS d
+         |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT q.query_id, cc.neighbor_id
+         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+         |  WHERE q.query_id <> cc.neighbor_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(SUM(dt.d), 6) AS adc_dist
+         |  FROM cand c
+         |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
+         |  JOIN dtab dt ON dt.query_id = c.query_id
+         |              AND dt.sub = e2.sub AND dt.code = e2.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_sim_assign_twolevel" -> {
       val cosC = cosineSql("e.embedding", "c.cv")
       val cosF = cosineSql("v.embedding", "f.fv")

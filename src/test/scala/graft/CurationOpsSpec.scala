@@ -864,6 +864,32 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: candidates cell-restricted, ADC distances identical to the flat PQ search") {
+    import spark.implicits._
+    import graft.ops.{Ivf, Pq}
+    val docs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(64)(d =>
+        (if (d / 16 == c) 1.0 else 0.05) + 0.001 * ((i * 7 + d) % 13))
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val coarse = Ivf.seedCentroids(docs, "vec_id", "embedding", 4)
+    val books = Pq.seedCodebooks(docs, "vec_id", "embedding", nSub = 8, nCodes = 8)
+    val queries = docs.filter(col("vec_id") < 4)
+    val composed = Pq.topKWithIvf(queries, docs, "vec_id", "embedding",
+      k = 3, coarse, books, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // every neighbor shares the query's (single probed) cell
+    val cells = Ivf.assignCells(docs, "vec_id", "embedding", coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    composed.keys.foreach { case (q, nb) =>
+      assert(cells(q) == cells(nb), s"query $q (cell ${cells(q)}) matched $nb (cell ${cells(nb)})") }
+    // ADC distances agree with the flat search wherever both report a pair
+    val flat = Pq.topK(queries, docs, "vec_id", "embedding", k = 40, books)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    composed.foreach { case (pair, d) => assert(flat(pair) == d, s"$pair: $d vs ${flat(pair)}") }
+  }
+
   test("exact-k sample: nested across k and inside the covering fraction sample") {
     import graft.ops.Sampling
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -195,7 +195,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // PQ's only cross joins are broadcast codebook/distance tables
     // (driver-tiny by construction) — the corpus side joins codes only
     for (q <- Seq("q_dedup_edit_distance", "q_corpus_tfidf_terms",
-                  "q_sim_pq_encode", "q_sim_topk_pq")) {
+                  "q_sim_pq_encode", "q_sim_topk_pq", "q_sim_topk_ivf_pq")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
