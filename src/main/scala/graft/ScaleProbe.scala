@@ -261,10 +261,21 @@ object ScaleProbe {
         ops.Pq.encode(emb, "doc_id", "embedding", pqBooks)
           .agg(count(lit(1)), sum(element_at(col("codes"), 1))).collect()(0).getLong(0)
       }
+      // ADC leg searches PRE-ENCODED codes (the production path): the
+      // store is materialized outside the timing, so the leg isolates
+      // the codes-vs-distance-table join — encode has its own leg above
+      val pqCodes =
+        if (opFilter("pq_adc_topk")) {
+          val c = ops.Pq.encode(emb, "doc_id", "embedding", pqBooks).persist()
+          c.count()
+          Some(c)
+        } else None
       timed("pq_adc_topk", runs, opFilter) {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
-        ops.Pq.topK(queries, emb, "doc_id", "embedding", k = 10, pqBooks).count()
+        ops.Pq.topK(queries, emb, "doc_id", "embedding", k = 10, pqBooks,
+          precomputedCodes = pqCodes).count()
       }
+      pqCodes.foreach(_.unpersist())
       timed("ann_lsh_topk", runs, opFilter) {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Similarity.lshTopK(queries, emb, "doc_id", "embedding", k = 10).count()

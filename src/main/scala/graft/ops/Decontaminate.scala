@@ -80,21 +80,9 @@ object Decontaminate {
     * rebuild is retained below as the parity/oracle form. */
   def exciseOverlap(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int,
-                    broadcastBench: Boolean = true): DataFrame = {
-    val matchedStarts = overlapStarts(train, bench, idCol, textCol, n, broadcastBench)
-      .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
-    train.select(col(idCol), col(textCol))
-      .join(matchedStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
-          col(textCol),
-          coalesce(col("starts"),
-            array().cast(org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.IntegerType))),
-          n).as("__e"))
-      .select(col(idCol), col("__e.clean_text").as("clean_text"),
-        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
-  }
+                    broadcastBench: Boolean = true): DataFrame =
+    Dedup.exciseByStarts(train, idCol, textCol,
+      overlapStarts(train, bench, idCol, textCol, n, broadcastBench), n)
 
   /** Training-doc window starts whose n-gram matches a benchmark shingle —
     * shared by the fused and relational forms. Window starts are 0-BASED

@@ -219,24 +219,7 @@ object Dedup {
     // (r1/r2 leak: persist was never released in a long-lived session).
     val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
     try {
-      val banded0 = sigs.select(col("doc"),
-        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-      val banded = maxBandFrequency match {
-        case None => banded0
-        case Some(cap) =>
-          // the hot-bucket list is tiny (p99.9 bucket size is ~35 on the
-          // measured corpus) — broadcast anti-join, no extra shuffle of
-          // the banded rows
-          val hot = banded0.groupBy("band")
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-            .select("band")
-          banded0.join(broadcast(hot), Seq("band"), "left_anti")
-      }
-      val cand = banded.select(col("band"), col("doc").as("doc_a"))
-        .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
+      bandedCandidates(sigs, bands, k / bands, maxBandFrequency)
         .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         // codegen'd agreement count, NOT size(filter(zip_with(...))):
@@ -254,6 +237,34 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Banded LSH candidate generation — the one shared implementation of
+    * band-explode → hot-bucket cap → bucket self-join (r10 review
+    * finding: minhashLshPairs and editDistancePairs carried verbatim
+    * copies that would drift under a cap-rule change). Input is a
+    * (doc, sig) signature frame; output the distinct (doc_a, doc_b)
+    * candidate pairs with doc_a < doc_b. */
+  private[graft] def bandedCandidates(sigs: DataFrame, bands: Int,
+                                      rowsPerBand: Int,
+                                      maxBandFrequency: Option[Int]): DataFrame = {
+    val banded0 = sigs.select(col("doc"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val banded = maxBandFrequency match {
+      case None => banded0
+      case Some(cap) =>
+        // the hot-bucket list is tiny (p99.9 bucket size is ~35 on the
+        // measured corpus) — broadcast anti-join, no extra shuffle of
+        // the banded rows
+        val hot = banded0.groupBy("band")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("band")
+        banded0.join(broadcast(hot), Seq("band"), "left_anti")
+    }
+    banded.select(col("band"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Edit-distance-verified fuzzy dedup (r10): MinHash band blocking for
     * candidates, then an EXACT Levenshtein verify — the high-precision
     * companion of [[minhashLshPairs]] for near-identical documents
@@ -268,7 +279,13 @@ object Dedup {
     * O(maxDistance·min(len)) algorithm that abandons a pair the moment
     * its distance provably exceeds the bound, instead of filling the
     * full O(len²) matrix for the overwhelmingly-non-duplicate majority.
-    * Text payloads join into the candidate set once per side. */
+    * Text payloads join into the candidate set once per side.
+    *
+    * Unit semantics: distances count Unicode CODEPOINTS (Spark's
+    * levenshtein) — 'é' vs 'e' is one edit. DuckDB's levenshtein counts
+    * BYTES (two edits for that pair), so the gate query projects both
+    * sides to ASCII before the verify; the operator itself is
+    * codepoint-exact. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDistance: Int,
                         shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
@@ -276,21 +293,7 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
     try {
-      val banded0 = sigs.select(col("doc"),
-        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-      val banded = maxBandFrequency match {
-        case None => banded0
-        case Some(cap) =>
-          val hot = banded0.groupBy("band")
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-            .select("band")
-          banded0.join(broadcast(hot), Seq("band"), "left_anti")
-      }
-      val cand = banded.select(col("band"), col("doc").as("doc_a"))
-        .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
+      bandedCandidates(sigs, bands, k / bands, maxBandFrequency)
         .join(df.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), "doc_a")
         .join(df.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), "doc_b")
         // exact-safe pre-filter: |len(a) − len(b)| lower-bounds the edit
@@ -729,18 +732,31 @@ object Dedup {
     * fused codegen pass (ExciseWindows) — the original token-level
     * anti-join rebuild is retained below as the parity/oracle form. */
   def substringExcise(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    val loserStarts = substringLoserStarts(df, idCol, textCol, n)
+                      n: Int): DataFrame =
+    exciseByStarts(df, idCol, textCol,
+      substringLoserStarts(df, idCol, textCol, n), n)
+
+  /** The shared fused-rebuild plumbing of every excision op (r10 review
+    * finding: three hand-maintained copies drift): collect the losing/
+    * matched window starts per doc, run one ExciseWindows pass, unpack
+    * the struct. NULL-text rows match the relational reference exactly —
+    * clean_text coalesces to '' while the counts stay null (the null
+    * struct's fields). */
+  private[ops] def exciseByStarts(df: DataFrame, idCol: String, textCol: String,
+                                  loserStarts: DataFrame, n: Int): DataFrame = {
+    val starts = loserStarts
       .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
     df.select(col(idCol), col(textCol))
-      .join(loserStarts, Seq(idCol), "left")
+      .join(starts, Seq(idCol), "left")
       .select(col(idCol),
         org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
           col(textCol),
           coalesce(col("starts"), array().cast(ArrayType(IntegerType))),
           n).as("__e"))
-      .select(col(idCol), col("__e.clean_text").as("clean_text"),
-        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
+      .select(col(idCol),
+        coalesce(col("__e.clean_text"), lit("")).as("clean_text"),
+        col("__e.n_tokens").as("n_tokens"),
+        col("__e.n_removed").as("n_removed"))
   }
 
   /** The (id, s) occurrences that LOSE their window's ownership contest —
@@ -788,7 +804,11 @@ object Dedup {
       org.apache.spark.sql.graft.VectorExpressions
         .wordShingles(col(textCol), n, distinct = false)).as(Seq("s", "shingle")))
       .select(col(idCol), col("s"), md5(col("shingle")).as("h"))
-    val store = corpusWindows.select(col(hashCol).as("h")).distinct()
+    // NO distinct over the store (r10 review finding): left_semi and
+    // left_anti are unaffected by duplicate hashes on the build side, and
+    // a distinct here would shuffle-aggregate the ENTIRE persisted store
+    // on every batch — the exact O(corpus) cost this op exists to avoid
+    val store = corpusWindows.select(col(hashCol).as("h"))
     val inStore = windows.join(store, Seq("h"), "left_semi")
       .select(col(idCol), col("s"))
     val freshWindows = windows.join(store, Seq("h"), "left_anti")
@@ -801,17 +821,10 @@ object Dedup {
     val batchLosers = freshWindows.join(owners, Seq("h"))
       .filter(!(col(idCol) === col("oid") && col("s") === col("os")))
       .select(col(idCol), col("s"))
-    val loserStarts = inStore.union(batchLosers).distinct()
-      .groupBy(col(idCol)).agg(collect_list(col("s")).as("starts"))
-    batch.select(col(idCol), col(textCol))
-      .join(loserStarts, Seq(idCol), "left")
-      .select(col(idCol),
-        org.apache.spark.sql.graft.VectorExpressions.exciseWindows(
-          col(textCol),
-          coalesce(col("starts"), array().cast(ArrayType(IntegerType))),
-          n).as("__e"))
-      .select(col(idCol), col("__e.clean_text").as("clean_text"),
-        col("__e.n_tokens").as("n_tokens"), col("__e.n_removed").as("n_removed"))
+    // inStore and batchLosers are disjoint by construction (losers come
+    // from the anti-joined side) and coverage marking is idempotent, so
+    // the union needs no dedup shuffle
+    exciseByStarts(batch, idCol, textCol, inStore.union(batchLosers), n)
   }
 
   /** Distinct md5 window hashes of a corpus slice — the store-building

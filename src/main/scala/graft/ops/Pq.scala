@@ -92,7 +92,7 @@ object Pq {
     var books = seedCodebooks(corpus, idCol, vecCol, nSub, nCodes)
     val subDim = books.head._3.length
     (1 to iters).foreach { _ =>
-      val assigned = encodeSub(corpus, idCol, vecCol, books)
+      val assigned = encodeSub(corpus, idCol, vecCol, books, carrySubvec = true)
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("__sv")).as(Seq("dim", "x")))
         .groupBy("sub", "code", "dim").agg(round(avg("x"), 6).as("m"))
@@ -110,10 +110,15 @@ object Pq {
     books
   }
 
-  /** (id, sub, code, __sv) assignment rows — encode's inner stage,
-    * shared with train so both use the identical argmin. */
+  /** Per-(id, sub) argmin assignment rows — encode's inner stage,
+    * shared with train so both use the identical argmin. Only train
+    * carries the subvector through the aggregate (`carrySubvec`): the
+    * encode path must shuffle (distance, code) alone, or the min-struct
+    * ships ~d doubles per vector — double the raw float payload — for a
+    * stage whose output is nSub small ints (r10 review finding). */
   private def encodeSub(corpus: DataFrame, idCol: String, vecCol: String,
-                        books: Seq[(Int, Int, Array[Double])]): DataFrame = {
+                        books: Seq[(Int, Int, Array[Double])],
+                        carrySubvec: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val nSub = books.map(_._1).max + 1
     val subDim = books.head._3.length
@@ -124,14 +129,19 @@ object Pq {
         explode(array((0 until nSub).map(lit): _*)).as("sub"))
       .select(col("__id"), col("sub"),
         slice(col("__v"), col("sub") * subDim + 1, lit(subDim)).as("__sv"))
-    subs.join(bdf, Seq("sub"))
+    val scored = subs.join(bdf, Seq("sub"))
       .select(col("__id"), col("sub"), col("code"), col("__sv"),
         round(org.apache.spark.sql.graft.VectorExpressions
           .l2DistanceSq(col("__sv"), col("cent")), 6).as("__d"))
-      .groupBy(col("__id"), col("sub"))
-      .agg(min(struct(col("__d"), col("code"), col("__sv"))).as("__b"))
-      .select(col("__id"), col("sub"), col("__b.code").as("code"),
-        col("__b.__sv").as("__sv"))
+    if (carrySubvec)
+      scored.groupBy(col("__id"), col("sub"))
+        .agg(min(struct(col("__d"), col("code"), col("__sv"))).as("__b"))
+        .select(col("__id"), col("sub"), col("__b.code").as("code"),
+          col("__b.__sv").as("__sv"))
+    else
+      scored.groupBy(col("__id"), col("sub"))
+        .agg(min(struct(col("__d"), col("code"))).as("__b"))
+        .select(col("__id"), col("sub"), col("__b.code").as("code"))
   }
 
   /** IVF-ADC composed search (r10): [[Ivf]] prunes WHICH vectors to
@@ -146,10 +156,13 @@ object Pq {
                   vecCol: String, k: Int,
                   coarse: Seq[(Int, Array[Double])],
                   books: Seq[(Int, Int, Array[Double])],
-                  nProbe: Int): DataFrame = {
+                  nProbe: Int,
+                  precomputedCodes: Option[DataFrame] = None,
+                  precomputedCells: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val subDim = books.head._3.length
-    val corpusCells = Ivf.assignCells(corpus, idCol, vecCol, coarse)
+    val corpusCells = precomputedCells
+      .getOrElse(Ivf.assignCells(corpus, idCol, vecCol, coarse))
       .select(col(idCol).as("neighbor_id"), col("cell"))
     val qAssigned = Ivf.assignCells(queries, idCol, vecCol, coarse, nProbe)
     val queryCells =
@@ -162,7 +175,8 @@ object Pq {
         round(org.apache.spark.sql.graft.VectorExpressions.l2DistanceSq(
           slice(col("__q"), col("sub") * subDim + 1, lit(subDim)),
           col("cent")), 6).as("__d"))
-    val corpusSide = encode(corpus, idCol, vecCol, books)
+    val corpusSide = precomputedCodes
+      .getOrElse(encode(corpus, idCol, vecCol, books))
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(corpusCells, Seq("neighbor_id"))
@@ -190,10 +204,17 @@ object Pq {
     * The distance table is queries × codebook (|Q|·nSub·nCodes rows) —
     * broadcast by construction since ADC exists precisely because the
     * query batch is small relative to the corpus. The corpus side joins
-    * CODES only. */
+    * CODES only.
+    *
+    * Pass `precomputedCodes` (the persisted [[encode]] output) in
+    * production: without it every search call re-encodes the raw corpus
+    * — fine for the oracle-closed gate queries, not for a 100 TB store
+    * whose whole point is that raw floats are read once at encode time
+    * (r10 review finding; same for topKWithIvf's `precomputedCells`). */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            vecCol: String, k: Int,
-           books: Seq[(Int, Int, Array[Double])]): DataFrame = {
+           books: Seq[(Int, Int, Array[Double])],
+           precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val nSub = books.map(_._1).max + 1
     val subDim = books.head._3.length
@@ -205,7 +226,8 @@ object Pq {
         round(org.apache.spark.sql.graft.VectorExpressions.l2DistanceSq(
           slice(col("__q"), col("sub") * subDim + 1, lit(subDim)),
           col("cent")), 6).as("__d"))
-    val codes = encode(corpus, idCol, vecCol, books)
+    val codes = precomputedCodes
+      .getOrElse(encode(corpus, idCol, vecCol, books))
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val scored = codes.join(broadcast(dtab), Seq("sub", "code"))

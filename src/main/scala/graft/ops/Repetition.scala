@@ -71,11 +71,17 @@ object Repetition {
     * [[boilerplateProfile]] scores windows; this operator edits lines —
     * detection vs surgery, same df machinery.
     *
-    * Lines are `\n`-separated, trimmed, empties dropped; df counts each
-    * document once however often it repeats the line (per-doc distinct
-    * before the count, the same contract as boilerplateProfile's
-    * distinct shingles). Output rejoins kept lines with `\n` in original
-    * order: (id, clean_text, n_lines, n_removed).
+    * Matching runs on the TRIMMED line (navigation chrome arrives with
+    * varying indentation); the rebuild keeps the RAW lines — including
+    * indentation and blank lines — so a document with zero boilerplate
+    * round-trips verbatim (r10 review finding: the first version
+    * rebuilt from trimmed lines and silently dropped blanks, mutating
+    * clean documents corpus-wide while reporting n_removed = 0).
+    * Blank lines are never boilerplate and never counted. df counts
+    * each document once however often it repeats the line (per-doc
+    * distinct before the count, the boilerplateProfile contract).
+    * Output: (id, clean_text, n_lines, n_removed) with n_lines the
+    * non-blank line count.
     *
     * Scale shape: one explode keyed by doc, a distinct + partial-agg df
     * count keyed by line, and an anti-join against the hot-line set —
@@ -87,19 +93,19 @@ object Repetition {
                             minDocFrequency: Long): DataFrame = {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
-      .select(col(idCol), col("ln"), trim(col("raw")).as("line"))
-      .filter(col("line") =!= "")
-    val hot = lines.select(col(idCol), col("line")).distinct()
+      .withColumn("line", trim(col("raw")))
+    val nonblank = lines.filter(col("line") =!= "")
+    val hot = nonblank.select(col(idCol), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFrequency)
       .select(col("line"))
     val rebuilt = lines.join(hot, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
-        array_join(transform(sort_array(collect_list(struct(col("ln"), col("line")))),
-          s => s.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val counts = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+        array_join(transform(sort_array(collect_list(struct(col("ln"), col("raw")))),
+          s => s.getField("raw")), "\n").as("clean_text"),
+        sum(when(trim(col("raw")) =!= "", 1L).otherwise(0L)).as("n_kept_nb"))
+    val counts = nonblank.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     df.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
@@ -107,7 +113,7 @@ object Repetition {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         (coalesce(col("n_lines"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          coalesce(col("n_kept_nb"), lit(0L))).as("n_removed"))
   }
 
   /** Gopher thresholds for the computed features (Table A1 uses character

@@ -223,9 +223,15 @@ object OpsQueries {
     }),
 
     // r10: edit-distance-verified fuzzy dedup — MinHash band candidates,
-    // exact Levenshtein verdict within 16 edits
+    // exact Levenshtein verdict within 16 edits. Both engines verify over
+    // an ASCII projection of the text: Spark counts CODEPOINTS while
+    // DuckDB counts BYTES ('é' vs 'e' is 1 vs 2 edits), so the gate pins
+    // the candidate + verify machinery on a unit-agreed projection; the
+    // operator itself is codepoint-exact (see its scaladoc)
     "q_dedup_edit_distance" -> ((s, d) => {
-      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+      val ascii = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
+      Dedup.editDistancePairs(ascii, "doc_id", "text",
         maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
         .orderBy("doc_a", "doc_b")
     }),
@@ -1207,12 +1213,15 @@ object OpsQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     // r10: fuzzy dedup — same banded candidate CTEs as
-    // q_dedup_minhash_lsh, Levenshtein verify instead of the signature
-    // estimate (DuckDB's levenshtein is the same unit-cost edit distance
-    // as Spark's)
+    // q_dedup_minhash_lsh over the ASCII projection (byte == codepoint
+    // there, so DuckDB's byte-based levenshtein agrees with Spark's
+    // codepoint-based one), Levenshtein verify instead of the estimate
     "q_dedup_edit_distance" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+      s"""WITH docs_ascii AS (
+         |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM docs_ascii),
          |sig AS (
          |  SELECT doc, list_transform(generate_series(0, 31), i ->
          |    CASE WHEN len(shs) = 0 THEN 2147483647
@@ -1229,8 +1238,8 @@ object OpsQueries {
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance
          |FROM cand
-         |JOIN documents ta ON ta.doc_id = doc_a
-         |JOIN documents tb ON tb.doc_id = doc_b
+         |JOIN docs_ascii ta ON ta.doc_id = doc_a
+         |JOIN docs_ascii tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1302,25 +1311,26 @@ object OpsQueries {
          |      THEN chr(10) || 'document footnote ' || doc_id::VARCHAR ELSE '' END)
          |    AS ltext
          |  FROM documents),
-         |lines AS (
-         |  SELECT doc_id, ln, trim(line) AS line
+         |rawlines AS (
+         |  SELECT doc_id, ln, line AS raw, trim(line) AS tline
          |  FROM (SELECT doc_id, unnest(string_split(ltext, chr(10))) AS line,
          |               generate_subscripts(string_split(ltext, chr(10)), 1) AS ln
-         |        FROM aug)
-         |  WHERE trim(line) <> ''),
-         |dfq AS (SELECT line, COUNT(*) AS df
-         |        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
-         |kept AS (
-         |  SELECT l.doc_id, l.ln, l.line FROM lines l JOIN dfq USING (line)
-         |  WHERE dfq.df < 5),
+         |        FROM aug)),
+         |nb AS (SELECT * FROM rawlines WHERE tline <> ''),
+         |dfq AS (SELECT tline, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, tline FROM nb) GROUP BY 1),
+         |hot AS (SELECT tline FROM dfq WHERE df >= 5),
+         |keptl AS (
+         |  SELECT r.doc_id, r.ln, r.raw FROM rawlines r
+         |  LEFT JOIN hot h ON r.tline = h.tline WHERE h.tline IS NULL),
          |rebuilt AS (
-         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text,
-         |    COUNT(*) AS n_kept
-         |  FROM kept GROUP BY doc_id),
-         |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1)
+         |  SELECT doc_id, string_agg(raw, chr(10) ORDER BY ln) AS clean_text,
+         |    CAST(sum(CASE WHEN trim(raw) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_nb
+         |  FROM keptl GROUP BY doc_id),
+         |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM nb GROUP BY 1)
          |SELECT a.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
          |  CAST(COALESCE(nl.n_lines, 0) AS BIGINT) AS n_lines,
-         |  CAST(COALESCE(nl.n_lines, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |  CAST(COALESCE(nl.n_lines, 0) - COALESCE(r.n_kept_nb, 0) AS BIGINT) AS n_removed
          |FROM aug a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nl USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin,
 
@@ -1338,17 +1348,18 @@ object OpsQueries {
          |      THEN chr(10) || 'document footnote ' || doc_id::VARCHAR ELSE '' END)
          |    AS ltext
          |  FROM documents),
-         |lines AS (
-         |  SELECT doc_id, ln, trim(line) AS line
+         |rawlines AS (
+         |  SELECT doc_id, ln, line AS raw, trim(line) AS tline
          |  FROM (SELECT doc_id, unnest(string_split(ltext, chr(10))) AS line,
          |               generate_subscripts(string_split(ltext, chr(10)), 1) AS ln
-         |        FROM aug)
-         |  WHERE trim(line) <> ''),
-         |dfq AS (SELECT line, COUNT(*) AS df
-         |        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
-         |keptl AS (SELECT l.doc_id, l.ln, l.line FROM lines l JOIN dfq USING (line)
-         |          WHERE dfq.df < 5),
-         |rebuiltl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS clean_text
+         |        FROM aug)),
+         |nb AS (SELECT * FROM rawlines WHERE tline <> ''),
+         |dfq AS (SELECT tline, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, tline FROM nb) GROUP BY 1),
+         |hot AS (SELECT tline FROM dfq WHERE df >= 5),
+         |keptl AS (SELECT r.doc_id, r.ln, r.raw FROM rawlines r
+         |          LEFT JOIN hot h ON r.tline = h.tline WHERE h.tline IS NULL),
+         |rebuiltl AS (SELECT doc_id, string_agg(raw, chr(10) ORDER BY ln) AS clean_text
          |             FROM keptl GROUP BY doc_id),
          |lineclean AS (SELECT a.doc_id, COALESCE(r.clean_text, '') AS ctext
          |              FROM aug a LEFT JOIN rebuiltl r USING (doc_id)),

@@ -686,19 +686,23 @@ class CurationOpsSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.ops.Repetition
     // footer line in 3 docs (df=3 ≥ 3 → stripped); a line repeated TWICE
-    // in one doc counts df=1 (per-doc distinct) and survives; empties drop
+    // in one doc counts df=1 (per-doc distinct) and survives; blanks are
+    // never boilerplate and never counted, but the rebuild PRESERVES
+    // them (and indentation) — a clean document round-trips verbatim
     val docs = Seq(
       (1L, "unique body one\nshared footer line"),
       (2L, "unique body two\n\nshared footer line"),
-      (3L, "unique body three\nshared footer line\nunique tail"),
-      (4L, "echo line\necho line\nmiddle text")) // echo df=1 → kept twice
+      (3L, "unique body three\n  shared footer line\nunique tail"), // indented match
+      (4L, "echo line\necho line\nmiddle text"), // echo df=1 → kept twice
+      (5L, "  indented code\n\n  done")) // no boilerplate → verbatim
       .toDF("doc_id", "text")
     val out = Repetition.stripBoilerplateLines(docs, "doc_id", "text", minDocFrequency = 3L)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out(1L) == (("unique body one", 2L, 1L)))
-    assert(out(2L) == (("unique body two", 2L, 1L))) // empty line never counted
-    assert(out(3L) == (("unique body three\nunique tail", 3L, 1L)))
+    assert(out(2L) == (("unique body two\n", 2L, 1L))) // blank kept, footer gone
+    assert(out(3L) == (("unique body three\nunique tail", 3L, 1L))) // trimmed match
     assert(out(4L) == (("echo line\necho line\nmiddle text", 3L, 0L)))
+    assert(out(5L) == (("  indented code\n\n  done", 2L, 0L))) // untouched verbatim
   }
 
   test("normalize: NFC composes, controls/nbsp collapse, idempotent, matches java reference") {
@@ -854,9 +858,16 @@ class CurationOpsSpec extends AnyFunSuite {
     val e2 = qerr(Pq.train(docs, "vec_id", "embedding", nSub = 8, nCodes = 8, iters = 2))
     assert(e2 <= e0 + 1e-9, s"training must not increase quantization error: $e0 -> $e2")
 
-    // ADC ranking puts same-cluster vectors first for every query
+    // ADC ranking puts same-cluster vectors first for every query —
+    // and the production precomputed-codes path returns the identical
+    // result to the inline-encode path
     val out = Pq.topK(docs.filter(col("vec_id") < 4), docs, "vec_id", "embedding",
       k = 3, books).collect()
+    val pre = Pq.topK(docs.filter(col("vec_id") < 4), docs, "vec_id", "embedding",
+      k = 3, books,
+      precomputedCodes = Some(Pq.encode(docs, "vec_id", "embedding", books)))
+      .collect()
+    assert(out.map(_.toSeq).toSeq == pre.map(_.toSeq).toSeq)
     assert(out.length == 12)
     out.foreach { r =>
       assert(r.getLong(2) % 4 == r.getLong(0) % 4,
@@ -911,14 +922,19 @@ class CurationOpsSpec extends AnyFunSuite {
       (100001L, ""), // no tokens
       (100002L, "tiny"), // shorter than any window
       (100003L, "e1 e2 e3 e4 e5 e6 e7 e8 e1 e2 e3 e4 e5 e6 e7 e8"), // self-repeat
-      (100004L, "  spaced   out   tokens   here  survive  normalization  of  whitespace  ok  "))
+      (100004L, "  spaced   out   tokens   here  survive  normalization  of  whitespace  ok  "),
+      (100005L, null.asInstanceOf[String])) // NULL text: clean_text '', null counts
       .toDF("doc_id", "text")
     val docs = fixture.union(edges)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(rows(Dedup.substringExcise(docs, "doc_id", "text", n = 8)) ==
-      rows(Dedup.substringExciseRelational(docs, "doc_id", "text", n = 8)))
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val fused = rows(Dedup.substringExcise(docs, "doc_id", "text", n = 8))
+    assert(fused == rows(Dedup.substringExciseRelational(docs, "doc_id", "text", n = 8)))
+    // the null-text row agrees between forms: '' text, null counts
+    assert(fused.find(_._1 == 100005L).get == ((100005L, "", -1L, -1L)))
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val train = docs.filter(col("doc_id") % 97 =!= 0)
     assert(rows(Decontaminate.exciseOverlap(train, bench, "doc_id", "text", n = 4)) ==
