@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -85,6 +85,33 @@ object TextAnalysis {
     * two distinct documents silently defeats every downstream dedup. */
   def normalizeText(text: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.normalizeText(text)
+
+  /** C4-style word-blocklist content filter (r10): count tokens whose
+    * lowercased form appears in a blocklist and keep documents with
+    * zero hits — the "contains any word on the list → drop the page"
+    * rule of Raffel et al. 2020 §2.2 (their list is external; the
+    * operator contract is the match machinery, so the list arrives as a
+    * one-column DataFrame). Companion of [[PiiRedact.urlProfile]]'s
+    * domain blocklist, at the token level.
+    *
+    * Scale shape: one token explode keyed by doc + an equi-join against
+    * the blocklist relation — joined as DATA, not a plan literal
+    * (production lists run to thousands of terms and get updated
+    * without recompiling), small enough that Spark broadcasts it; a
+    * doc-keyed partial-agg count, and clean docs report 0 explicitly
+    * via the left join back (no silent absence). */
+  def wordBlocklist(df: DataFrame, idCol: String, textCol: String,
+                    blocklist: DataFrame, wordCol: String): DataFrame = {
+    val toksX = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val words = blocklist.select(lower(col(wordCol)).as("__w")).distinct()
+    val hits = toksX.join(words, lower(col("tok")) === col("__w"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"))
+      .withColumn("blocklist_keep", col("n_blocked") === 0)
+  }
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: the operator contract is the scoring machinery,

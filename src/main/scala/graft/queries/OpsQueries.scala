@@ -352,6 +352,21 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r10: C4-style word-blocklist filter — blocked tokens planted on
+    // doc_id%13/%17, list joined as data, clean docs report 0
+    "q_text_blocklist" -> ((s, d) => {
+      val s2 = s
+      import s2.implicits._
+      val aug = Tables.documents(s, d).withColumn("ptext", concat(
+        col("text"),
+        when(col("doc_id") % 13 === 0, lit(" badword1 normal badword2"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" badword1")).otherwise(lit(""))))
+      val blocklist = Seq("badword1", "badword2", "badword3").toDF("word")
+      TA.wordBlocklist(aug, "doc_id", "ptext", blocklist, "word")
+        .orderBy("doc_id")
+    }),
+
     // C4-style domain blocklist: URLs planted deterministically (the
     // fixture is URL-free), hosts extracted by capture group, blocked
     // domains counted and the keep verdict derived
@@ -1486,6 +1501,21 @@ object OpsQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          |LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_blocklist" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 13 = 0 THEN ' badword1 normal badword2' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 17 = 0 THEN ' badword1' ELSE '' END) AS ptext
+         |  FROM documents),
+         |t AS (SELECT doc_id, CASE WHEN trim(ptext) = '' THEN CAST([] AS VARCHAR[])
+         |       ELSE string_split_regex(trim(ptext), '\\s+') END AS tk FROM aug),
+         |x AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |b AS (SELECT unnest(['badword1', 'badword2', 'badword3']) AS w),
+         |hits AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_blocked
+         |  FROM x JOIN b ON lower(x.tok) = b.w GROUP BY 1)
+         |SELECT a.doc_id, COALESCE(h.n_blocked, 0) AS n_blocked,
+         |  COALESCE(h.n_blocked, 0) = 0 AS blocklist_keep
+         |FROM aug a LEFT JOIN hits h USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "q_text_pii" -> {
       val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""

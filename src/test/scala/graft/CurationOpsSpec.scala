@@ -821,6 +821,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("word blocklist: case-insensitive token hits counted, clean docs keep with explicit 0") {
+    import spark.implicits._
+    import graft.ops.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, "totally clean document"),
+      (2L, "contains BadWord1 mixed case"),
+      (3L, "badword1 badword2 badword1 repeat hits"),
+      (4L, "badword1suffix is not a token match"),
+      (5L, "")).toDF("doc_id", "text")
+    val blocklist = Seq("BADWORD1", "badword2").toDF("word")
+    val out = TA.wordBlocklist(docs, "doc_id", "text", blocklist, "word")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((1L, false)))  // case-insensitive both sides
+    assert(out(3L) == ((3L, false)))  // occurrences, not distinct words
+    assert(out(4L) == ((0L, true)))   // whole-token match only
+    assert(out(5L) == ((0L, true)))
+  }
+
   test("PQ: seeds encode to themselves, training reduces error, ADC prefers true neighbors") {
     import spark.implicits._
     import graft.ops.Pq
