@@ -116,6 +116,45 @@ object Repetition {
           coalesce(col("n_kept_nb"), lit(0L))).as("n_removed"))
   }
 
+  /** Intra-document line dedup (r10): keep only the FIRST occurrence of
+    * each (trimmed) line within a document — the repeated-paragraph
+    * cleanup modern web-corpus pipelines run before any cross-document
+    * work (scraped pages repeat their own nav/refrain blocks; distinct
+    * from [[stripBoilerplateLines]], whose df is CORPUS-wide). Raw
+    * lines are preserved on the kept occurrences; blank lines are
+    * structure, never deduped. Output matches the line-op contract:
+    * (id, clean_text, n_lines, n_removed), n_lines counting non-blank
+    * lines.
+    *
+    * Scale shape: strictly per-document — one window partitioned by
+    * (doc, line) and a doc-keyed rebuild; no corpus-wide state, no
+    * cross-doc join, embarrassingly parallel. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(col("raw")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("ln"))
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(col("line") === "" || col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("ln"), col("raw")))),
+          s => s.getField("raw")), "\n").as("clean_text"),
+        sum(when(col("line") =!= "", 1L).otherwise(0L)).as("n_kept_nb"))
+    val counts = lines.filter(col("line") =!= "")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("n_kept_nb"), lit(0L))).as("n_removed"))
+  }
+
   /** Gopher thresholds for the computed features (Table A1 uses character
     * fractions; these are the token-fraction analogs). */
   val TopBigramMax: Double = 0.20

@@ -277,6 +277,22 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r10: intra-doc line dedup — a refrain line planted twice inside
+    // doc_id%6 (second copy dropped), a blank-line block on %9 (kept)
+    "q_text_dedup_lines" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("ltext", concat(
+        col("text"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\nrepeated refrain line\nmiddle text "),
+            col("doc_id").cast(StringType), lit("\nrepeated refrain line")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("\n\nafter blank")).otherwise(lit(""))))
+      Repetition.dedupLinesWithinDoc(aug, "doc_id", "ltext")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // r10: unicode canonicalization — planted decomposed accents (NFC
     // must compose), control characters, and no-break spaces; the md5
     // proves the normalized bytes, DuckDB's nfc_normalize (utf8proc)
@@ -1409,6 +1425,34 @@ object OpsQueries {
          |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
          |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt2 r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // r10: intra-doc line dedup — first occurrence per trimmed line
+    // within each doc; blanks never deduped; raw lines preserved
+    "q_text_dedup_lines" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 6 = 0
+         |    THEN chr(10) || 'repeated refrain line' || chr(10) || 'middle text ' ||
+         |         doc_id::VARCHAR || chr(10) || 'repeated refrain line' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 9 = 0 THEN chr(10) || chr(10) || 'after blank' ELSE '' END)
+         |  AS ltext FROM documents),
+         |rawlines AS (
+         |  SELECT doc_id, ln, line AS raw, trim(line) AS tline
+         |  FROM (SELECT doc_id, unnest(string_split(ltext, chr(10))) AS line,
+         |               generate_subscripts(string_split(ltext, chr(10)), 1) AS ln
+         |        FROM aug)),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER
+         |  (PARTITION BY doc_id, tline ORDER BY ln) AS rn FROM rawlines),
+         |keptl AS (SELECT doc_id, ln, raw, tline FROM ranked WHERE tline = '' OR rn = 1),
+         |rebuilt AS (SELECT doc_id, string_agg(raw, chr(10) ORDER BY ln) AS clean_text,
+         |  CAST(sum(CASE WHEN tline <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_nb
+         |  FROM keptl GROUP BY doc_id),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+         |       FROM rawlines WHERE tline <> '' GROUP BY 1)
+         |SELECT a.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5,
+         |  CAST(COALESCE(nb.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(nb.n_lines, 0) - COALESCE(r.n_kept_nb, 0) AS BIGINT) AS n_removed
+         |FROM aug a LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nb USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // r10: unicode canonicalization — nfc_normalize is utf8proc's UAX #15
     // NFC, the same transform as java.text.Normalizer; control/no-break

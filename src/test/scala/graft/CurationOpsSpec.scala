@@ -821,6 +821,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("intra-doc line dedup: first occurrence kept, blanks preserved, cross-doc repeats untouched") {
+    import spark.implicits._
+    import graft.ops.Repetition
+    val docs = Seq(
+      (1L, "refrain\nbody one\nrefrain\ntail"),        // 2nd refrain dropped
+      (2L, "refrain\nbody two"),                        // cross-doc repeat is fine
+      (3L, "a\n\n\na"),                                 // blanks kept, dup 'a' dropped
+      (4L, "  pad\npad\nunique")) // trimmed match: '  pad' and 'pad' dedup, first raw kept
+      .toDF("doc_id", "text")
+    val out = Repetition.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("refrain\nbody one\ntail", 4L, 1L)))
+    assert(out(2L) == (("refrain\nbody two", 2L, 0L)))
+    assert(out(3L) == (("a\n\n", 2L, 1L)))
+    assert(out(4L) == (("  pad\nunique", 3L, 1L)))
+  }
+
   test("word blocklist: case-insensitive token hits counted, clean docs keep with explicit 0") {
     import spark.implicits._
     import graft.ops.{TextAnalysis => TA}
