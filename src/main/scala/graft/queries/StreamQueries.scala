@@ -63,6 +63,65 @@ object StreamQueries {
         .orderBy("content_hash")
     }),
 
+    // r10: CONTINUOUS-INGEST substring excision run for real — two
+    // ordered micro-batches; each batch is excised against the window-
+    // hash store the PREVIOUS batches' CLEANED text built (the curated
+    // corpus holds every canonical window), then appends its own
+    // post-excision windows. The final cleaned table must equal the
+    // two-generation batch replay the oracle computes — stream ≡ batch
+    // for the excision path.
+    "q_stream_substring_incremental" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Dedup
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_ssx_in")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_ssx_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val it = Files.list(tmp).iterator()
+          var found: java.nio.file.Path = null
+          while (found == null && it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        }
+        val dst = landing.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L
+      stage("0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stage("1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_ssx_wh").toString)
+      val storeRel = graft.core.Relation("graft", "main", "window_store")
+      val cleanRel = graft.core.Relation("graft", "main", "cleaned_docs")
+      rm.writeTable(Dedup.windowHashes(docs.limit(0), "doc_id", "text", 8), storeRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft_ssx_ck").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cleaned = Dedup.substringExciseIncremental(batch, "doc_id", "text",
+            n = 8, rm.read(storeRel), "h").localCheckpoint(true)
+          if (rm.exists(cleanRel)) rm.appendTable(cleaned, cleanRel)
+          else rm.writeTable(cleaned, cleanRel)
+          rm.appendTable(Dedup.windowHashes(
+            cleaned.withColumnRenamed("clean_text", "text"), "doc_id", "text", 8),
+            storeRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      rm.read(cleanRel)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // r9: CONTINUOUS-INGEST near-dup dedup run for real — two ordered
     // micro-batches (even ids land first, then odd ids), each batch
     // classified against the signature store the PREVIOUS batches built,
@@ -193,6 +252,62 @@ object StreamQueries {
     // signatures — so the final table is exactly the odd-vs-even
     // incremental minhash pair set, the same SQL shape as
     // q_dedup_minhash_incremental with the split flipped to id parity
+    // r10: the stream's two generations replayed in order — batch 1
+    // excised batch-internally (empty store), its CLEANED text's windows
+    // become the store, batch 2 excised against store + batch-internal
+    "q_stream_substring_incremental" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),
+        |t1 AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS tk FROM b1),
+        |w1 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk FROM t1),
+        |g1 AS (SELECT doc_id, s, md5(list_aggregate(tk[s:s+7], 'string_agg', ' ')) AS h FROM w1),
+        |own1 AS (SELECT h, min(doc_id) AS odoc FROM g1 GROUP BY 1 HAVING COUNT(*) > 1),
+        |own1b AS (SELECT g.h, o.odoc, min(g.s) AS os
+        |          FROM g1 g JOIN own1 o ON g.h = o.h AND g.doc_id = o.odoc GROUP BY 1, 2),
+        |loser1 AS (SELECT g.doc_id, g.s FROM g1 g JOIN own1b o ON g.h = o.h
+        |           WHERE NOT (g.doc_id = o.odoc AND g.s = o.os)),
+        |cov1 AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+7)) AS pos FROM loser1),
+        |tp1 AS (SELECT t1.doc_id, p.pos, t1.tk[p.pos] AS tok
+        |        FROM t1, LATERAL (SELECT unnest(generate_series(1, len(t1.tk))) AS pos) p),
+        |kept1 AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp1 tp
+        |          LEFT JOIN cov1 c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+        |          WHERE c.pos IS NULL),
+        |clean1 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, COUNT(*) AS nk
+        |           FROM kept1 GROUP BY 1),
+        |out1 AS (SELECT t1.doc_id, COALESCE(c.ct, '') AS ct, len(t1.tk) AS nt,
+        |           len(t1.tk) - COALESCE(c.nk, 0) AS nr
+        |         FROM t1 LEFT JOIN clean1 c USING (doc_id)),
+        |ct1 AS (SELECT doc_id, CASE WHEN trim(ct) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(ct), '\s+') END AS tk FROM out1),
+        |gs AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk FROM ct1),
+        |store AS (SELECT DISTINCT md5(list_aggregate(tk[s:s+7], 'string_agg', ' ')) AS h FROM gs),
+        |t2 AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS tk FROM b2),
+        |w2 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk FROM t2),
+        |g2 AS (SELECT doc_id, s, md5(list_aggregate(tk[s:s+7], 'string_agg', ' ')) AS h FROM w2),
+        |fresh2 AS (SELECT g.* FROM g2 g LEFT JOIN store st USING (h) WHERE st.h IS NULL),
+        |own2 AS (SELECT h, min(doc_id) AS odoc FROM fresh2 GROUP BY 1 HAVING COUNT(*) > 1),
+        |own2b AS (SELECT f.h, o.odoc, min(f.s) AS os
+        |          FROM fresh2 f JOIN own2 o ON f.h = o.h AND f.doc_id = o.odoc GROUP BY 1, 2),
+        |loser2 AS (
+        |  SELECT g.doc_id, g.s FROM g2 g JOIN store st USING (h)
+        |  UNION
+        |  SELECT f.doc_id, f.s FROM fresh2 f JOIN own2b o ON f.h = o.h
+        |  WHERE NOT (f.doc_id = o.odoc AND f.s = o.os)),
+        |cov2 AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s+7)) AS pos FROM loser2),
+        |tp2 AS (SELECT t2.doc_id, p.pos, t2.tk[p.pos] AS tok
+        |        FROM t2, LATERAL (SELECT unnest(generate_series(1, len(t2.tk))) AS pos) p),
+        |kept2 AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp2 tp
+        |          LEFT JOIN cov2 c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+        |          WHERE c.pos IS NULL),
+        |clean2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, COUNT(*) AS nk
+        |           FROM kept2 GROUP BY 1),
+        |out2 AS (SELECT t2.doc_id, COALESCE(c.ct, '') AS ct, len(t2.tk) AS nt,
+        |           len(t2.tk) - COALESCE(c.nk, 0) AS nr
+        |         FROM t2 LEFT JOIN clean2 c USING (doc_id))
+        |SELECT doc_id, md5(ct) AS clean_md5, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(nr AS BIGINT) AS n_removed
+        |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2) u
+        |ORDER BY doc_id""".stripMargin,
+
     "q_stream_neardup" -> {
       val charShinglesSql =
         """list_distinct(list_transform(
