@@ -203,6 +203,12 @@ object ScaleProbe {
         ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob")).collect()(0).getLong(0)
       }
+      // r10: one LM order up — bigram + prefix count tables join on
+      // Zipf-bounded keys, wall must stay corpus-linear like unigram
+      timed("bigram_logprob", runs, opFilter) {
+        ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+          .agg(count(lit(1)), sum("avg_logprob2")).collect()(0).getLong(0)
+      }
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance

@@ -250,6 +250,54 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("avg_logprob"))
   }
 
+  /** Interpolated BIGRAM language-model scoring (r10): the next step
+    * from [[unigramLogProb]] toward CCNet's n-gram-LM perplexity filter
+    * (Wenzek et al. 2020 use a 5-gram KenLM; Jelinek-Mercer
+    * interpolation with the unigram model is the standard relational
+    * analog — Chen & Goodman 1999, public). Per bigram position:
+    * ln(λ·P(w2|w1) + (1−λ)·P(w2)) with MLE P(w2|w1) = c(w1 w2)/c(w1·)
+    * over the corpus's own bigram table (the unigram interpolant keeps
+    * every in-corpus bigram finite without a smoothing constant).
+    * Returns (id, n_bigrams, avg_logprob2); lower = more surprising.
+    *
+    * Scale shape: the unigramLogProb contract one order up — bigram
+    * explode (fused WordShingles), two Zipf-bounded partial-agg count
+    * tables, shuffle joins keyed on the bigram/prefix (never assumed
+    * broadcastable: web-scale bigram vocabularies run to 10¹⁰ types),
+    * one doc-keyed mean. Same honest-cost note: persist the count
+    * tables across a curation run at 100 TB. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val bigRows = df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), 2, distinct = false)).as("bg"))
+      .select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val cb = bigRows.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cp = bigRows.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val uni0 = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val totalDf = uni0.agg(sum("tf").cast(DoubleType).as("__total"))
+    val uni = uni0.crossJoin(broadcast(totalDf))
+    val scored = bigRows
+      .join(cb, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(log(
+          lit(lambda) * col("c2").cast(DoubleType) / col("c1") +
+            lit(1.0 - lambda) * col("tf").cast(DoubleType) / col("__total")))
+          .as("sum_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0, col("sum_lp") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("avg_logprob2"))
+  }
+
   /** Document fingerprint: order-insensitive content hash —
     * md5 over the sorted distinct lowercase token set. Collapses
     * whitespace/ordering variants to one key; pairs with exact dedup. */

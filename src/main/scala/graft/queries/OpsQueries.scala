@@ -195,6 +195,13 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r10: interpolated bigram LM — Jelinek-Mercer over the corpus's
+    // own bigram/unigram tables, lambda = 0.7
+    "q_text_bigram_logprob" -> ((s, d) => {
+      TA.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition profile (Rae et al. 2021 Table A1, token-
     // fraction analogs): explode + two-level groupBy, never a per-row
     // O(tokens × distinct) array scan
@@ -1545,6 +1552,28 @@ object OpsQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          |LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT unnest(tk) AS tok FROM t) u GROUP BY 1),
+         |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
+         |big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |        FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+         |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    ln(0.7 * cb.c2 / cp.c1 + (1.0 - 0.7) * uni.tf / n.total) AS lp
+         |  FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+         |  JOIN cp ON b.w1 = cp.w1
+         |  JOIN uni ON b.w2 = uni.tok, n),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        round(avg(lp), 6) AS avg_logprob2 FROM scored GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.avg_logprob2, 0.0) AS avg_logprob2
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_blocklist" ->
       s"""WITH aug AS (SELECT doc_id, text ||

@@ -838,6 +838,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(4L) == (("  pad\nunique", 3L, 1L)))
   }
 
+  test("bigram LM: frequent bigrams score higher, short docs report zero, hand-checked value") {
+    import spark.implicits._
+    import graft.ops.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, "a b a b"),   // 'a b' twice, 'b a' once
+      (2L, "a b c"),
+      (3L, "one"),       // no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = TA.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(3L) == ((0L, 0.0)) && out(4L) == ((0L, 0.0)))
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    // hand-derived: corpus bigrams: (a,b)=3, (b,a)=1, (b,c)=1; prefixes:
+    // a·=3, b·=2; unigrams: a=3, b=3, c=1, one=1 of N=8
+    def lp(c2: Double, c1: Double, tf: Double): Double =
+      math.log(0.7 * c2 / c1 + (1.0 - 0.7) * tf / 8.0)
+    val exp1 = BigDecimal((lp(3, 3, 3) * 2 + lp(1, 2, 3)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._2 - exp1) < 2e-6, s"${out(1L)._2} vs $exp1")
+    // the repeated-bigram doc is less surprising than the novel one
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("word blocklist: case-insensitive token hits counted, clean docs keep with explicit 0") {
     import spark.implicits._
     import graft.ops.{TextAnalysis => TA}
