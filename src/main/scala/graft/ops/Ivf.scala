@@ -176,17 +176,15 @@ object Ivf {
     val scored = queryCells.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    Similarity.rankTopK(scored, "cosine", k, ascending = false)
   }
 
-  /** Deterministic quantizer seeds: the first `nCells` corpus vectors. */
+  /** Deterministic quantizer seeds: the first `nCells` corpus vectors.
+    * Id read via cast-to-long so any integral id width works. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int): Seq[(Int, Array[Double])] =
     corpus.filter(col(idCol) < nCells)
-      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long"), Similarity.asDouble(col(vecCol)).as("v"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
@@ -276,9 +274,6 @@ object Ivf {
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    Similarity.rankTopK(scored, "cosine", k, ascending = false)
   }
 }

@@ -1,9 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 /** Product quantization for memory-efficient ANN (Jégou, Douze, Schmid
   * 2011, "Product Quantization for Nearest Neighbor Search" — public):
@@ -44,8 +42,10 @@ object Pq {
     * (nSub × nCodes × d/nSub doubles = d × nCodes total). */
   def seedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                     nSub: Int, nCodes: Int): Seq[(Int, Int, Array[Double])] = {
+    // id read via cast-to-long, not r.getLong: keeps the op agnostic to
+    // the source id's integral width (int32 ids fail a raw getLong)
     val rows = corpus.filter(col(idCol) < nCodes)
-      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long"), Similarity.asDouble(col(vecCol)).as("v"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
@@ -186,12 +186,7 @@ object Pq {
       .join(broadcast(dtab), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(round(sum(col("__d")), 6).as("adc_dist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
-        col("neighbor_id"), col("adc_dist"))
+    Similarity.rankTopK(scored, "adc_dist", k, ascending = true)
   }
 
   /** ADC top-k search: every query's approximate squared L2 to every
@@ -234,11 +229,6 @@ object Pq {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(round(sum(col("__d")), 6).as("adc_dist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
-        col("neighbor_id"), col("adc_dist"))
+    Similarity.rankTopK(scored, "adc_dist", k, ascending = true)
   }
 }

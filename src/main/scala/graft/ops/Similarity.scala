@@ -1,8 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKAggregate
 import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -38,6 +38,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(graft.expressions.VectorExpressions.cosineSimilarity(a, b), 6)
 
+  /** Rank scored (query_id, neighbor_id, `scoreName`) candidate rows
+    * into per-query top-k via the bounded [[TopKAggregate]] — a
+    * partial-aggregatable O(k)-state heap per query, replacing the
+    * `row_number()` rank window every search path used through r10.
+    * The window was the one flagged 100 TB scale-killer: ranking k≈50
+    * of 10⁹ candidates sorted (and spilled) a corpus-sized partition
+    * per query; the aggregate streams each candidate once, combines
+    * map-side, and shuffles only k pairs per query. Ordering — score
+    * ascending (`ascending = true`, distances) or descending
+    * (cosines), ties to the lower neighbor id — is byte-identical to
+    * the window form (TopKRankParitySpec pins it). */
+  def rankTopK(scored: DataFrame, scoreName: String, k: Int,
+               ascending: Boolean): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregate.topKByScore(
+        col(scoreName), col("neighbor_id"), k, ascending).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast(IntegerType).as("rank"),
+        col("__t.id").as("neighbor_id"),
+        col("__t.score").as(scoreName))
+
   /** Brute-force cosine top-k: queries × corpus cross join — exact, and
     * the right choice when queries are few (broadcast the query side).
     * O(|Q|·|C|·d): the baseline the ANN path is judged against. */
@@ -48,10 +70,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, ascending = false)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -84,10 +103,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, ascending = false)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets

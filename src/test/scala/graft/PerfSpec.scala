@@ -160,6 +160,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query side should broadcast:\n$plan")
   }
 
+  test("r11: every search top-k ranks via the bounded aggregate, never a rank window") {
+    // the r10 verdict's last flagged scale-killer: row_number() over
+    // partitionBy(query_id) sorts (and spills) a corpus-sized partition
+    // per query. The bounded TopKAggregate streams candidates through
+    // O(k) heap state with map-side partial aggregation instead — the
+    // plan must carry NO Window on any similarity search path, and the
+    // heap must plan as an ObjectHashAggregate (TypedImperativeAggregate
+    // outside sort-based fallback).
+    for (q <- Seq("q_sim_topk_brute", "q_sim_topk_lsh", "q_sim_topk_ivf",
+                  "q_sim_topk_ivf_bigk", "q_sim_topk_pq", "q_sim_topk_ivf_pq")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Window"), s"$q still ranks via a window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q should plan the bounded top-k heap as ObjectHashAggregate:\n$plan")
+    }
+  }
+
   test("curation ops: no cartesian anywhere; repetition is shuffle-free per-row work") {
     for (q <- Seq("q_text_repetition", "q_text_boilerplate", "q_decontaminate",
                   "q_split_cluster_safe", "q_mix_sources", "q_text_pii",
