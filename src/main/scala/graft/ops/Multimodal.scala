@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, plus batch-shaped feature
-  * extraction.
+  * `binary` columns with typed metadata, plus batch-shaped decode and
+  * feature extraction.
   *
-  * The actual media decode is STUBBED (no codec libraries in this
-  * container): `decodeStub` produces deterministic fake features from the
-  * raw bytes. Everything around it — schema, binary handling, partition
-  * sizing, the mapPartitions batch shape — is real and is exactly what a
-  * production pipeline swaps a JNI/FFmpeg/JPEG decoder into.
+  * The image path is REAL end-to-end: javax.imageio (pure JVM) parses the
+  * actual payload bytes for dimension audit ([[decodeImagesBatched]]),
+  * perceptual dedup hashes ([[imageHashesBatched]]), and feature vectors
+  * ([[imageFeaturesBatched]] — pooled-luma grid + per-channel color
+  * histogram). Video/audio codecs aren't in this container; their decode
+  * would drop into the same mapPartitions batch seam.
   */
 object Multimodal {
 
@@ -40,15 +41,14 @@ object Multimodal {
         col(sourceCol).as("source"),
         md5(substring(col(textCol).cast(BinaryType), 1, 16)).as("header_md5")).as("meta"))
 
-  /** STUB decode: a real implementation would decode the payload
-    * (image → pixels, audio → samples) here. The deterministic fake reads
-    * the first 4 payload bytes as a pseudo "feature vector" so the whole
-    * pipeline (schema, pruning, downstream joins) is exercised end-to-end.
-    * Built-ins only → stays in codegen. */
-  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    // decode the whole payload (UTF-8) then take CHARACTER code points —
-    // decoding only a byte prefix could split a multi-byte sequence, and
-    // the batched path + oracle both use per-character semantics
+  /** Content-prefix features of an OPAQUE payload (no media decode —
+    * these are honest byte-level features, useful as a cheap pre-filter
+    * before any codec runs): the first 4 character code points of the
+    * UTF-8-decoded payload, scaled by 1/255 (ASCII lands in [0, 1];
+    * higher code points exceed it). Decoding the whole
+    * payload then indexing CHARACTERS (not a byte prefix) avoids
+    * splitting a multi-byte sequence. Built-ins only → stays in codegen. */
+  def byteFeatures(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(sequence(lit(1), lit(4)), i =>
       coalesce(ascii(payload.cast(StringType).substr(i.cast(IntegerType), lit(1))),
         lit(0)).cast(DoubleType) / 255.0)
@@ -87,7 +87,7 @@ object Multimodal {
     * decoded format name; non-image or undecodable payloads yield nulls
     * (a corrupt object in a 100 TB lake must degrade to a null row, not
     * kill the batch). Same mapPartitions batch shape as
-    * [[extractFeaturesBatched]] — a JNI/FFmpeg decoder drops into the
+    * [[imageFeaturesBatched]] — a JNI/FFmpeg decoder drops into the
     * same loop. */
   def decodeImagesBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = assets.sparkSession
@@ -260,29 +260,111 @@ object Multimodal {
     (dhash, ahash)
   }
 
-  /** Batch-shaped feature extraction via mapPartitions — the seam where a
-    * native decoder (JNI batch API) plugs in. Batching amortizes per-call
-    * overhead exactly like `mapInPandas` batches do for Python codecs.
-    * The per-row work here is the same deterministic stub as decodeStub. */
-  def extractFeaturesBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+  /** REAL image feature vectors over the real decode (closes the last
+    * fake component from r11): ImageIO parses the payload pixels, then two
+    * classical global descriptors concatenate into one `array<double>`:
+    *
+    *  - pooled-luma grid (`gridH` × `gridW` integer box-averages of the
+    *    luma plane, row-major, normalized /255) — coarse spatial layout,
+    *    the same downscale geometry as [[perceptualHashes]];
+    *  - per-channel color histogram (`histBins` equal-width bins per R/G/B
+    *    channel, as pixel fractions) — global color distribution.
+    *
+    * All binning is integer arithmetic (luma = (299r+587g+114b)/1000,
+    * pooled cell = floor(sum/n), bin = c*histBins/256) so the vector is
+    * bit-deterministic across JVMs and SQL-recomputable by the oracle on
+    * the patterned synthetic PNGs. Undecodable / non-image / sub-grid
+    * payloads degrade to a null row (a corrupt object in a 100 TB lake
+    * must not kill the batch). Same mapPartitions batch seam as the other
+    * decode ops — a native (JNI/FFmpeg) batch decoder drops into the same
+    * loop. Output: (asset_id, width, height, features). */
+  def imageFeaturesBatched(
+      assets: DataFrame,
+      gridW: Int = 3,
+      gridH: Int = 2,
+      histBins: Int = 4,
+      batchSize: Int = 256): DataFrame = {
+    require(gridW > 0 && gridH > 0 && histBins > 0 && 256 % histBins == 0,
+      s"grid must be positive and histBins must divide 256, got ${(gridW, gridH, histBins)}")
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("asset_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // ??? real decoder call-site: decode(batch.map(_._2)) — stubbed
-          // with a deterministic fake so plumbing is testable end-to-end:
-          batch.map { case (id, payload) =>
-            val bytes = Option(payload).getOrElse(Array.empty[Byte])
-            // character code points, matching decodeStub and the SQL oracle
-            // (signed-byte values would diverge on any non-ASCII payload)
-            val chars = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-            val feats = (0 until 4).map(i =>
-              (if (i < chars.length) chars.charAt(i).toDouble else 0.0) / 255.0).toArray
-            (id, bytes.length.toLong, feats)
+          batch.map { case (id, mediaType, payload) =>
+            val decoded: Option[(Int, Int, Array[Double])] =
+              if (mediaType == null || !mediaType.startsWith("image/")) None
+              else try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(
+                    Option(payload).getOrElse(Array.empty[Byte])))
+                if (img == null || img.getWidth < gridW || img.getHeight < gridH) None
+                else Some((img.getWidth, img.getHeight,
+                  Multimodal.imageFeatures(img, gridW, gridH, histBins)))
+              } catch { case _: Exception => None }
+            (id, decoded.map(_._1), decoded.map(_._2), decoded.map(_._3))
           }
         }
-      }.toDF("asset_id", "n_bytes", "features")
+      }.toDF("asset_id", "width", "height", "features")
+  }
+
+  /** The descriptor math shared by the batched op above: pure integer
+    * binning on decoded pixels. Package-visible for the spec. Layout:
+    * positions [0, gridW*gridH) pooled luma row-major; then histBins
+    * red fractions, histBins green, histBins blue. */
+  private[graft] def imageFeatures(
+      img: java.awt.image.BufferedImage,
+      gridW: Int, gridH: Int, histBins: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](gridW * gridH + 3 * histBins)
+    var gy = 0
+    while (gy < gridH) {
+      var gx = 0
+      while (gx < gridW) {
+        val x0 = gx * w / gridW; val x1 = (gx + 1) * w / gridW
+        val y0 = gy * h / gridH; val y1 = (gy + 1) * h / gridH
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            sum += (299 * r + 587 * g + 114 * b) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gridW + gx) = (sum / n).toDouble / 255.0
+        gx += 1
+      }
+      gy += 1
+    }
+    val counts = Array.ofDim[Long](3, histBins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        counts(0)((((rgb >> 16) & 0xFF) * histBins) / 256) += 1
+        counts(1)((((rgb >> 8) & 0xFF) * histBins) / 256) += 1
+        counts(2)(((rgb & 0xFF) * histBins) / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w.toLong * h).toDouble
+    var ch = 0
+    while (ch < 3) {
+      var b = 0
+      while (b < histBins) {
+        out(gridW * gridH + ch * histBins + b) = counts(ch)(b).toDouble / total
+        b += 1
+      }
+      ch += 1
+    }
+    out
   }
 }

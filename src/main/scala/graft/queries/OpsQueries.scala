@@ -623,8 +623,8 @@ object OpsQueries {
     // ----------------------------------------------------- multimodal
     "q_multimodal_assets" -> ((s, d) => {
       val assets = Multimodal.toAssets(Tables.documents(s, d), "doc_id", "text", "source")
-      val feats = Multimodal.extractFeaturesBatched(assets)
-      assets.join(feats, "asset_id")
+      val withFeats = assets.withColumn("features", Multimodal.byteFeatures(col("payload")))
+      withFeats
         .select(
           col("asset_id"), col("media_type"),
           col("meta.n_bytes").as("n_bytes"),
@@ -665,6 +665,21 @@ object OpsQueries {
       val corrupted = assets.withColumn("payload",
         when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
       Multimodal.imageHashesBatched(corrupted).orderBy("asset_id")
+    }),
+
+    // r12: REAL feature vectors over the real decode — pooled-luma grid
+    // (3×2 integer box-averages) + per-channel color histogram (4 bins),
+    // all integer binning, so the oracle recomputes the exact vector from
+    // the patterned-PNG arithmetic. posexplode_outer keeps corrupt assets
+    // as one (id, null, null) row — null degradation must stay visible.
+    "q_multimodal_features" -> ((s, d) => {
+      val assets = Multimodal.toPatternedImageAssets(Tables.documents(s, d), "doc_id")
+      val corrupted = assets.withColumn("payload",
+        when(col("asset_id") % 100 === 7, lit("not a png".getBytes)).otherwise(col("payload")))
+      Multimodal.imageFeaturesBatched(corrupted)
+        .select(col("asset_id"), posexplode_outer(col("features")))
+        .toDF("asset_id", "pos", "value")
+        .orderBy("asset_id", "pos")
     }),
 
     // r9: hamming near-dup pairs over the dHash through the generalized
@@ -1920,6 +1935,37 @@ object OpsQueries {
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE dhash END AS dhash,
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE ahash END AS ahash
         |FROM packed ORDER BY asset_id""".stripMargin,
+
+    // pooled-luma cells: (SUM(g)//12)/255.0 over each 3×4 block of the
+    // pattern grid (grayscale → luma == g exactly); histograms: g//64
+    // bins as fractions of 72 pixels, identical across R/G/B. Corrupt
+    // assets surface as ONE (id, null, null) row, not 18 null rows.
+    "q_multimodal_features" ->
+      """WITH xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+        |grid AS (
+        |  SELECT d.doc_id, x.x, y.y, (d.doc_id*(1 + x.x + 9*y.y) + x.x*7 + y.y*13) % 256 AS g
+        |  FROM documents d CROSS JOIN xs x CROSS JOIN ys y),
+        |cells AS (
+        |  SELECT doc_id, CAST((y//4)*3 + (x//3) AS INTEGER) AS pos,
+        |    (SUM(g) // 12) / 255.0 AS value
+        |  FROM grid GROUP BY doc_id, (y//4)*3 + (x//3)),
+        |bins AS (SELECT unnest(generate_series(0, 3)) AS bin),
+        |chs AS (SELECT unnest(generate_series(0, 2)) AS ch),
+        |counts AS (
+        |  SELECT doc_id, g // 64 AS bin, COUNT(*) AS c FROM grid GROUP BY doc_id, g // 64),
+        |hist AS (
+        |  SELECT d.doc_id, CAST(6 + ch.ch*4 + b.bin AS INTEGER) AS pos,
+        |    COALESCE(c.c, 0) / 72.0 AS value
+        |  FROM documents d CROSS JOIN chs ch CROSS JOIN bins b
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin),
+        |feats AS (SELECT * FROM cells UNION ALL SELECT * FROM hist),
+        |fin AS (
+        |  SELECT doc_id, pos, value FROM feats WHERE doc_id % 100 <> 7
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 100 = 7)
+        |SELECT doc_id AS asset_id, pos, value FROM fin ORDER BY asset_id, pos""".stripMargin,
 
     // exact pairs by brute force: at maxHamming 3 < 4 blocks the engine's
     // block-LSH has recall 1.0 (pigeonhole), so blocked == brute force

@@ -73,6 +73,71 @@ class ImageHashSpec extends AnyFunSuite {
       s"missing: ${brute -- blocked}, extra: ${blocked -- brute}")
   }
 
+  test("image features: hand-computed descriptor on a known 3x2 color image") {
+    import spark.implicits._
+    // one pixel per pooled cell (gridW=3, gridH=2) so the luma grid is
+    // the per-pixel luma; histogram over 6 pixels is countable by hand
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00); img.setRGB(2, 0, 0x0000FF)
+    img.setRGB(0, 1, 0xFFFFFF); img.setRGB(1, 1, 0x000000); img.setRGB(2, 1, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val assets = Seq((1L, "image/png", out.toByteArray))
+      .toDF("asset_id", "media_type", "payload")
+    val row = Multimodal.imageFeaturesBatched(assets).collect()(0)
+    assert(row.getAs[Int]("width") == 3 && row.getAs[Int]("height") == 2)
+    val feats = row.getSeq[Double](row.fieldIndex("features")).toSeq
+    // luma: red (299*255)/1000=76, green 149, blue 29, white 255, black 0, gray 128
+    val expLuma = Seq(76, 149, 29, 255, 0, 128).map(_ / 255.0)
+    // each channel sees three 0s (bin 0), one 128 (bin 2), two 255s (bin 3)
+    val expHist = Seq(3, 0, 1, 2).map(_ / 6.0)
+    assert(feats == expLuma ++ expHist ++ expHist ++ expHist,
+      s"got $feats")
+  }
+
+  test("image features: 2x-scaled pattern yields the identical vector (exact box average)") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    def feats(scale: Int): Map[Long, Seq[Double]] =
+      Multimodal.imageFeaturesBatched(
+        Multimodal.toPatternedImageAssets(docs, "doc_id", scale))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("features")).toSeq).toMap
+    val base = feats(1)
+    val scaled = feats(2)
+    assert(base.nonEmpty && base.keySet == scaled.keySet)
+    base.foreach { case (id, f) =>
+      assert(f != null && f.length == 6 + 12, s"asset $id must decode")
+      assert(scaled(id) == f, s"scale-invariant descriptor must be exact for asset $id")
+      val histSum = f.drop(6).sum
+      assert(math.abs(histSum - 3.0) < 1e-9, s"3 channel hists must each sum to 1: $histSum")
+    }
+    assert(base.values.toSet.size > 1, "features must vary across assets")
+  }
+
+  test("image features: undecodable, non-image, and null payloads degrade to null rows") {
+    import spark.implicits._
+    val png = Multimodal.toPatternedImageAssets(
+      Seq(1L).toDF("id"), "id").collect()(0).getAs[Array[Byte]]("payload")
+    val assets = Seq(
+      (1L, "image/png", png),
+      (2L, "image/png", "garbage".getBytes),
+      (3L, "audio/wav", png),
+      (4L, "image/png", null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.imageFeaturesBatched(assets)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
+  test("image features: batch size does not change results") {
+    val docs = Tables.documents(spark, sf).limit(25)
+    val assets = Multimodal.toPatternedImageAssets(docs, "doc_id")
+    val a = Multimodal.imageFeaturesBatched(assets, batchSize = 7)
+      .orderBy("asset_id").collect().map(_.toString).toSeq
+    val b = Multimodal.imageFeaturesBatched(assets, batchSize = 64)
+      .orderBy("asset_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("end-to-end: near-identical images pair, corrupt rows drop out") {
     import spark.implicits._
     // 2 identical patterns (hamming 0) + 58 distinct ids; patterns repeat

