@@ -60,6 +60,20 @@ object Bench {
     "q_text_normalize",
     "q_corpus_topk_ngrams")
 
+  /** Accumulates executor CPU nanoseconds across all tasks (r12 — the
+    * host-noise-immune second axis: wall time on this box swings ±20%
+    * with ambient load, but CPU time only counts cycles the tasks
+    * actually burned, so an untouched query whose wall spikes while its
+    * CPU holds flat is adjudicated as box noise in one line). */
+  private final class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -93,6 +107,16 @@ object Bench {
     // totals are reported under their own keys, never in headline_total
     val allTimed = (timed ++ extraMetrics.flatMap(_._2)).distinct
 
+    // per-query executor CPU time rides the same passes as a second,
+    // host-noise-immune axis; the bus must drain before each read because
+    // task-end events are delivered asynchronously
+    val cpuListener = new CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    def cpuNow(): Long = {
+      org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
+      cpuListener.cpuNs.get()
+    }
+
     // Warm-up pass: executes every headline plan once so JIT + whole-stage
     // codegen class compilation + parquet footer caches are attributed to
     // startup, not to the measured pass. The timed pass rebuilds each plan
@@ -118,18 +142,26 @@ object Bench {
       allTimed.flatMap { name =>
         if (errs.contains(name)) None
         else {
+          val c0 = cpuNow()
           val t0 = System.nanoTime()
           val ok =
             try { exec(name); true }
             catch { case t: Throwable => errs.getOrElseUpdate(name, brief(t)); false }
           val elapsed = (System.nanoTime() - t0) / 1e9
+          val cpu = (cpuNow() - c0) / 1e9 // drained AFTER elapsed is fixed
           spark.catalog.clearCache() // no persisted-frame leakage between queries
-          if (ok) Some(name -> elapsed) else None
+          if (ok) Some(name -> (elapsed, cpu)) else None
         }
       }.toMap
     }
+    spark.sparkContext.removeSparkListener(cpuListener)
     val best = allTimed.filterNot(errs.contains).map(name =>
-      name -> passes.flatMap(_.get(name)).min).toMap
+      name -> passes.flatMap(_.get(name).map(_._1)).min).toMap
+    // min for CPU too: same strictly-additive-noise floor argument (a
+    // descheduled-but-runnable thread still accrues no CPU, but GC and
+    // memory-pressure cycles do inflate it)
+    val bestCpu = allTimed.filterNot(errs.contains).map(name =>
+      name -> passes.flatMap(_.get(name).map(_._2)).min).toMap
     def qsJson(names: Seq[String]): String =
       names.flatMap(n => best.get(n).map(v => "\"" + n + f"\":$v%.3f"))
         .mkString("{", ",", "}")
@@ -138,12 +170,25 @@ object Bench {
     val extraJson = extraMetrics.map { case (metric, names) =>
       f""","$metric":${totalOf(names)}%.3f,"${metric}_queries":${qsJson(names)}"""
     }.mkString
+    // CPU axis: one flat per-query map over every timed query plus a
+    // total per metric group — placed AFTER "sf" so the wall-time
+    // "queries" block (sliced by trend tooling as queries..sf) is stable
+    def cpuQsJson(names: Seq[String]): String =
+      names.flatMap(n => bestCpu.get(n).map(v => "\"" + n + f"\":$v%.3f"))
+        .mkString("{", ",", "}")
+    def cpuTotalOf(names: Seq[String]): Double = names.flatMap(bestCpu.get).sum
+    val cpuJson =
+      f""","headline_cpu_total":${cpuTotalOf(timed)}%.3f""" +
+        extraMetrics.map { case (metric, names) =>
+          f""","${metric}_cpu":${cpuTotalOf(names)}%.3f"""
+        }.mkString +
+        s""","cpu_queries":${cpuQsJson(allTimed)}"""
     val errJson =
       if (errs.isEmpty) ""
       else errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","partial":true,"errors":{""", ",", "}")
     val json =
-      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$errJson}"""
+      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$cpuJson$errJson}"""
     (json, errs.toMap)
   }
 

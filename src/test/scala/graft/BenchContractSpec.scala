@@ -70,6 +70,26 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!headObj3.contains("exc1") && !headObj3.contains("cur1"))
   }
 
+  test("cpu axis: headline_cpu_total + cpu_queries present, broken queries excluded") {
+    val (json, errs) = Bench.run(spark, sf, Seq("good", "dead"),
+      Map("good" -> goodQ, "dead" -> brokenQ, "cur1" -> goodQ), passCount = 1,
+      extraMetrics = Seq("curation_total" -> Seq("cur1")))
+    assert(errs.keySet == Set("dead"))
+    assert(json.contains("\"headline_cpu_total\":"))
+    assert(json.contains("\"curation_total_cpu\":"))
+    val cpuStart = json.indexOf("\"cpu_queries\":")
+    val cpuObj = json.substring(cpuStart, json.indexOf("}", cpuStart) + 1)
+    assert(cpuObj.contains("\"good\":") && cpuObj.contains("\"cur1\":"))
+    assert(!cpuObj.contains("dead"))
+    // cpu fields sit AFTER "sf": the wall "queries".."sf" slice used by
+    // trend tooling must never contain cpu entries
+    assert(json.indexOf("\"headline_cpu_total\"") > json.indexOf(",\"sf\""))
+    // values are parseable non-negative numbers
+    val cpuTotal = "\"headline_cpu_total\":([0-9.]+)".r
+      .findFirstMatchIn(json).get.group(1).toDouble
+    assert(cpuTotal >= 0.0)
+  }
+
   test("all queries broken: zero total, every name in errors") {
     val (json, errs) = Bench.run(spark, sf, Seq("d1", "d2"),
       Map("d1" -> brokenQ, "d2" -> brokenQ), passCount = 1)
