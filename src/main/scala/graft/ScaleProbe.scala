@@ -298,6 +298,58 @@ object ScaleProbe {
         ops.Ivf.topKTwoLevel(queries, emb, "doc_id", "embedding", k = 10,
           coarse, fine, nProbeCoarse = 4, nProbeFine = 16).count()
       }
+      // r12 rank-stage A/B: the bounded top-k aggregate vs the r10 rank
+      // window it replaced, over the SAME materialized scored-candidates
+      // frame (vectors projected away — only id/id/score persists), so
+      // the pair isolates the RANK stage. Three shapes: brute (n
+      // candidates per query — the window's worst case: a corpus-sized
+      // sort partition), ivfshape (bucket-restricted to ~n/8 per query,
+      // the nProbe=4-of-32 regime), adc (ascending distances, the PQ
+      // ordering). Aggregate over computed columns per the probe rules.
+      val rankLegs = Seq("rank_topk_agg_brute", "rank_topk_window_brute",
+        "rank_topk_agg_ivfshape", "rank_topk_window_ivfshape",
+        "rank_topk_agg_adc", "rank_topk_window_adc")
+      val scoredForRank =
+        if (rankLegs.exists(opFilter)) {
+          val q = emb.filter(col("doc_id") % queryStride === 0)
+            .select(col("doc_id").as("query_id"),
+              ops.Similarity.asDouble(col("embedding")).as("qv"))
+          val c = emb.select(col("doc_id").as("neighbor_id"),
+            ops.Similarity.asDouble(col("embedding")).as("cv"))
+          val s = broadcast(q).crossJoin(c)
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("cosine", ops.Similarity.cosine(col("qv"), col("cv")))
+            .select("query_id", "neighbor_id", "cosine").persist()
+          s.count()
+          Some(s)
+        } else None
+      def rankViaWindow(scored: DataFrame, scoreName: String, k: Int,
+                        ascending: Boolean): DataFrame = {
+        val ord = if (ascending) col(scoreName).asc else col(scoreName).desc
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(ord, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      }
+      def rankAggOf(df: DataFrame): Long =
+        df.agg(count(lit(1)), sum("rank"), sum("neighbor_id")).collect()(0).getLong(0)
+      timed("rank_topk_agg_brute", runs, opFilter)(rankAggOf(
+        ops.Similarity.rankTopK(scoredForRank.get, "cosine", 10, ascending = false)))
+      timed("rank_topk_window_brute", runs, opFilter)(rankAggOf(
+        rankViaWindow(scoredForRank.get, "cosine", 10, ascending = false)))
+      def ivfShaped = scoredForRank.get
+        .filter(pmod(xxhash64(col("neighbor_id"), lit("cell")), lit(32)) < 4)
+      timed("rank_topk_agg_ivfshape", runs, opFilter)(rankAggOf(
+        ops.Similarity.rankTopK(ivfShaped, "cosine", 10, ascending = false)))
+      timed("rank_topk_window_ivfshape", runs, opFilter)(rankAggOf(
+        rankViaWindow(ivfShaped, "cosine", 10, ascending = false)))
+      def adcShaped = scoredForRank.get
+        .withColumn("dist", lit(1.0) - col("cosine"))
+        .select("query_id", "neighbor_id", "dist")
+      timed("rank_topk_agg_adc", runs, opFilter)(rankAggOf(
+        ops.Similarity.rankTopK(adcShaped, "dist", 10, ascending = true)))
+      timed("rank_topk_window_adc", runs, opFilter)(rankAggOf(
+        rankViaWindow(adcShaped, "dist", 10, ascending = true)))
+      scoredForRank.foreach(_.unpersist())
       // r9 quantizer-scale legs: cell assignment is the O(n·k·dims) front
       // of every IVF op and was the last documented 100 TB weak spot (the
       // literal-composed argmax capped k at a few hundred cells). The

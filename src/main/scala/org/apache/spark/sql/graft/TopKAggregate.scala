@@ -30,9 +30,24 @@ final class TopKState(val k: Int, val asc: Boolean) {
   val ids = new Array[Long](math.max(k, 1))
   var size = 0
 
+  /** Spark's nan-safe double ordering (NaN above every finite value,
+    * -0.0 == 0.0), NOT java.lang.Double.compare (which puts -0.0 below
+    * 0.0 — a tie under the window ORDER BY this heap must mirror). Raw
+    * IEEE comparisons would make NaN unbeatable in BOTH directions and
+    * an inconsistent sortWith comparator. */
+  @inline private def cmpScore(s1: Double, s2: Double): Int = {
+    val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+    if ((n1 && n2) || s1 == s2) 0
+    else if (n1) 1
+    else if (n2) -1
+    else if (s1 > s2) 1 else -1
+  }
+
   /** True iff (s1, i1) ranks strictly WORSE than (s2, i2). */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    if (s1 != s2) { if (asc) s1 > s2 else s1 < s2 } else i1 > i2
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = cmpScore(s1, s2)
+    if (c != 0) { if (asc) c > 0 else c < 0 } else i1 > i2
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {

@@ -30,11 +30,14 @@ class TopKRankParitySpec extends AnyFunSuite {
         col("neighbor_id").cast("long").as("neighbor_id"), col(scoreName))
   }
 
-  private def collectKeyed(df: DataFrame, scoreName: String): Set[(Long, Int, Long, Double)] =
+  // scores compare by BIT PATTERN: tuple equality uses primitive == on
+  // Double fields, under which NaN != NaN would false-fail the NaN rows
+  private def collectKeyed(df: DataFrame, scoreName: String): Set[(Long, Int, Long, Long)] =
     df.select(col("query_id").cast("long"), col("rank").cast("int"),
         col("neighbor_id").cast("long"), col(scoreName).cast("double"))
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
       .toSet
 
   private def assertParity(scored: DataFrame, scoreName: String, k: Int,
@@ -76,6 +79,43 @@ class TopKRankParitySpec extends AnyFunSuite {
       .repartition(7) // force partial buffers + merge + serde across tasks
     for (k <- Seq(1, 5, 30, 100); asc <- Seq(true, false)) {
       assertParity(scored, "dist", k, asc)
+    }
+  }
+
+  test("NaN scores: aggregate == rank window in BOTH orders (nan-safe compare)") {
+    import spark.implicits._
+    // NaN is reachable: CosineSimilarity yields 0/0 = NaN on a zero-norm
+    // vector. Spark's window ORDER BY sorts NaN above every finite double
+    // (last ascending, FIRST descending); raw IEEE comparisons in the heap
+    // made NaN unbeatable in both directions — r11 ADVICE item.
+    val rows =
+      Seq((1L, 1L, 0.3), (1L, 2L, Double.NaN), (1L, 3L, 0.9), (1L, 4L, Double.NaN),
+        (1L, 5L, 0.1),
+        // query 2: all NaN → rank purely by id in both orders
+        (2L, 1L, Double.NaN), (2L, 2L, Double.NaN), (2L, 3L, Double.NaN),
+        // query 3: -0.0 vs 0.0 must TIE (id breaks it), not order by sign bit
+        (3L, 7L, 0.0), (3L, 8L, -0.0), (3L, 9L, Double.NaN))
+    val scored = rows.toDF("query_id", "neighbor_id", "dist").repartition(5)
+    for (k <- Seq(1, 2, 3, 10); asc <- Seq(true, false)) {
+      assertParity(scored, "dist", k, asc)
+    }
+  }
+
+  test("null scores/ids are skipped == window over the null-filtered input") {
+    import spark.implicits._
+    // The search paths never emit null candidate rows (cosine over
+    // non-null embeddings); this pins the aggregate's skip-nulls choice
+    // as equivalent to ranking the null-free input, rather than leaving
+    // it a comment — r11 ADVICE item.
+    val rows: Seq[(Long, java.lang.Long, java.lang.Double)] =
+      Seq((1L, 1L, 0.5), (1L, 2L, null), (1L, null, 0.25), (1L, 3L, 0.75),
+        (2L, null, null), (2L, 4L, 0.125))
+    val scored = rows.toDF("query_id", "neighbor_id", "dist")
+    val filtered = scored.filter(col("dist").isNotNull && col("neighbor_id").isNotNull)
+    for (k <- Seq(1, 5); asc <- Seq(true, false)) {
+      val agg = collectKeyed(Similarity.rankTopK(scored, "dist", k, asc), "dist")
+      val win = collectKeyed(windowForm(filtered, "dist", k, asc), "dist")
+      assert(agg == win, s"null-skip parity broke (k=$k asc=$asc)")
     }
   }
 
