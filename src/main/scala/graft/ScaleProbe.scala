@@ -209,6 +209,24 @@ object ScaleProbe {
         ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob2")).collect()(0).getLong(0)
       }
+      // r12 external-LM scoring: logprob tables from a 1/3 held slice,
+      // MATERIALIZED outside the timing (a real run loads a trained
+      // artifact) — the leg isolates the probe-side explode + the
+      // (w1,w2)/w2-keyed shuffle joins, bigram_logprob's scale shape
+      val lmTabs =
+        if (opFilter("external_lm_logprob")) {
+          val (u, b) = ops.TextAnalysis.lmTables(
+            docs.filter(col("doc_id") % 3 === 0), "text")
+          val up = u.persist(); val bp = b.persist()
+          up.count(); bp.count()
+          Some((up, bp))
+        } else None
+      timed("external_lm_logprob", runs, opFilter) {
+        ops.TextAnalysis.externalLmLogProb(docs, "doc_id", "text",
+          lmTabs.get._1, lmTabs.get._2)
+          .agg(count(lit(1)), sum("avg_logprob_lm")).collect()(0).getLong(0)
+      }
+      lmTabs.foreach { case (u, b) => u.unpersist(); b.unpersist() }
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance

@@ -298,6 +298,71 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("avg_logprob2"))
   }
 
+  /** Build declarable (unigram, bigram) log-probability tables from a
+    * training corpus — the model-as-DATA form of [[bigramLogProb]]'s
+    * internal counts (the BPE-merges pattern: a trained artifact is a
+    * table the pipeline declares, not code). Returns
+    * `(unigrams(tok, lp), bigrams(w1, w2, lp2))` with `lp = ln(tf/total)`
+    * and `lp2 = ln(c(w1 w2)/c(w1·))` — the ARPA-style MLE logprobs.
+    * Persist both at 100 TB: they are Zipf-bounded and reused across the
+    * whole curation run. */
+  def lmTables(train: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val uni0 = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val totalDf = uni0.agg(sum("tf").cast(DoubleType).as("__total"))
+    val unigrams = uni0.crossJoin(broadcast(totalDf))
+      .select(col("tok"), log(col("tf").cast(DoubleType) / col("__total")).as("lp"))
+    val bigRows = train.select(
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), 2, distinct = false)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val cb = bigRows.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cp = bigRows.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bigrams = cb.join(cp, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("c2").cast(DoubleType) / col("c1")).as("lp2"))
+    (unigrams, bigrams)
+  }
+
+  /** Score documents against an EXTERNAL (held) language model declared
+    * as data: `unigrams(tok, lp)` + `bigrams(w1, w2, lp2)` logprob tables
+    * (from [[lmTables]] or any ARPA-style artifact loaded as parquet).
+    * Per bigram position: ln(λ·exp(lp2) + (1−λ)·exp(lp)), with an unseen
+    * bigram contributing 0 to the λ term and an unseen (OOV) unigram
+    * flooring at exp(`oovLogProb`) — held-out scoring must stay finite on
+    * vocabulary the model never saw. When the tables ARE the scoring
+    * corpus's own counts this reduces to [[bigramLogProb]] (spec-pinned
+    * to 1e-6, the output rounding grain). Same join discipline as
+    * bigramLogProb: shuffle joins keyed on (w1,w2)/w2 — an external LM
+    * can run to 10¹⁰ bigram types, never assumed broadcastable. */
+  def externalLmLogProb(df: DataFrame, idCol: String, textCol: String,
+                        unigrams: DataFrame, bigrams: DataFrame,
+                        lambda: Double = 0.7,
+                        oovLogProb: Double = -20.0): DataFrame = {
+    val bigRows = df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), 2, distinct = false)).as("bg"))
+      .select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val scored = bigRows
+      .join(bigrams.select(col("w1"), col("w2"), col("lp2")), Seq("w1", "w2"), "left")
+      .join(unigrams.select(col("tok").as("w2"), col("lp")), Seq("w2"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(log(
+          lit(lambda) * coalesce(exp(col("lp2")), lit(0.0)) +
+            lit(1.0 - lambda) * coalesce(exp(col("lp")), exp(lit(oovLogProb)))))
+          .as("sum_lp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0, col("sum_lp") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("avg_logprob_lm"))
+  }
+
   /** Document fingerprint: order-insensitive content hash —
     * md5 over the sorted distinct lowercase token set. Collapses
     * whitespace/ordering variants to one key; pairs with exact dedup. */

@@ -202,6 +202,17 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: EXTERNAL LM scoring — logprob tables trained on a held slice
+    // (doc_id % 3 == 0) declared as data, every doc scored against them
+    // with OOV flooring; the model-as-artifact path CCNet actually runs
+    // (a KenLM trained elsewhere), vs the self-scoring of bigram_logprob
+    "q_text_lm_external" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition profile (Rae et al. 2021 Table A1, token-
     // fraction analogs): explode + two-level groupBy, never a per-row
     // O(tokens × distinct) array scan
@@ -1587,6 +1598,36 @@ object OpsQueries {
          |        round(avg(lp), 6) AS avg_logprob2 FROM scored GROUP BY 1)
          |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
          |  COALESCE(a.avg_logprob2, 0.0) AS avg_logprob2
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // external-LM scoring: the held slice's MLE logprob tables, then
+    // every doc scored with left joins + the exp(-20) OOV floor —
+    // exp/ln roundtrips must agree bitwise with the JVM (empirically
+    // pinned by this gate, like ln in the unigram/bigram oracles)
+    "q_text_lm_external" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |held AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT unnest(tk) AS tok FROM held) u GROUP BY 1),
+         |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
+         |unilp AS (SELECT tok, ln(tf / total) AS lp FROM uni, n),
+         |hbig AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+         |         FROM held, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM hbig GROUP BY 1, 2),
+         |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM hbig GROUP BY 1),
+         |bilp AS (SELECT cb.w1, cb.w2, ln(cb.c2 / cp.c1) AS lp2 FROM cb JOIN cp USING (w1)),
+         |big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |        FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    ln(0.7 * COALESCE(exp(bl.lp2), 0.0) + (1.0 - 0.7) * COALESCE(exp(ul.lp), exp(-20.0))) AS lp
+         |  FROM big b LEFT JOIN bilp bl ON b.w1 = bl.w1 AND b.w2 = bl.w2
+         |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        round(avg(lp), 6) AS avg_logprob_lm FROM scored GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling, Splits}
+import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling, Splits, TextAnalysis}
 
 /** Curation-layer operators: Gopher-style repetition filters, benchmark
   * decontamination, weighted source mixing. */
@@ -1013,5 +1013,43 @@ class CurationOpsSpec extends AnyFunSuite {
     val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
     val n = mix.count()
     assert(n > 0 && n < total, s"mixture must be a strict non-empty subset, got $n of $total")
+  }
+
+  test("external LM scoring == self-scoring when the tables ARE the corpus counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (uni, bi) = TextAnalysis.lmTables(docs, "text")
+    val ext = TextAnalysis.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val self = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ext.keySet == self.keySet && ext.nonEmpty)
+    ext.foreach { case (id, (nb, lp)) =>
+      val (nbS, lpS) = self(id)
+      assert(nb == nbS, s"doc $id bigram count drifted: $nb vs $nbS")
+      // exp(ln(x)) round-trips at ~1 ulp; equality is pinned at the
+      // 1e-6 output rounding grain, not bitwise
+      assert(math.abs(lp - lpS) <= 1e-6 + 1e-12,
+        s"doc $id: external $lp vs self $lpS")
+    }
+  }
+
+  test("external LM scoring: unseen bigrams fall back, OOV floors to oovLogProb") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.lmTables(train, "text")
+    val eval = Seq(
+      (10L, "the cat sat"),      // all bigrams in-model
+      (11L, "cat the"),          // tokens known, bigram unseen → unigram term only
+      (12L, "zzz qqq"),          // fully OOV → floor exactly: ln(0.3*exp(-20))
+      (13L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.externalLmLogProb(eval, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(10L)._1 == 2 && out(10L)._2 > out(11L)._2,
+      s"in-model text must outscore unseen-bigram text: $out")
+    val floor = math.log((1.0 - 0.7) * math.exp(-20.0))
+    assert(out(12L)._1 == 1 &&
+      math.abs(out(12L)._2 - (math.rint(floor * 1e6) / 1e6)) < 1e-9,
+      s"fully-OOV doc must score the floor $floor, got ${out(12L)}")
+    assert(out(13L) == ((0L, 0.0)), "empty doc: zero bigrams, zero score")
   }
 }
