@@ -497,6 +497,30 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: fuzzy-dedup pipeline v4 — the verify-then-cluster loop
+    // COMPOSED as one lazy plan: minhash-banded candidates → banded-DP
+    // edit-distance verify (on the unit-agreed ASCII projection; DuckDB
+    // levenshtein counts bytes) → connected components over VERIFIED
+    // pairs only → quality-aware survivor per cluster. Composition is
+    // where edge rows historically drifted (r10 review caught 3), hence
+    // the full DuckDB reproduction rather than per-stage gates alone.
+    "q_curation_pipeline_v4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ascii = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
+      val verified = Dedup.editDistancePairs(ascii, "doc_id", "text",
+        maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
+      val comp = Dedup.connectedComponents(verified, "doc_a", "doc_b")
+      val scored = docs.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+      val kept = Dedup.keepBest(scored, "doc_id", "quality", comp)
+      val sizes = kept.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      kept.join(sizes, "component")
+        .select(col("doc_id"), col("component"), col("quality"),
+          col("cluster_size"), col("is_survivor"))
+        .orderBy("doc_id")
+    }),
+
     // r9: markup stripping — the fixture is tag-free, so tags/entities
     // are PLANTED deterministically (the PII/URL trick), then counted,
     // stripped, decoded, and whitespace-squeezed
@@ -1458,6 +1482,62 @@ object OpsQueries {
          |  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
          |FROM documents d JOIN t USING (doc_id) LEFT JOIN rebuilt2 r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // r12 fuzzy-dedup pipeline v4: banded candidates on the ASCII
+    // projection, levenshtein-verified pairs (<= 16), transitive closure,
+    // quality survivors — each CTE mirrors the per-stage oracles
+    "q_curation_pipeline_v4" ->
+      s"""WITH RECURSIVE docs_ascii AS (
+         |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+         |  FROM documents),
+         |sh AS (SELECT doc_id AS doc, $charShinglesSql AS shs FROM docs_ascii),
+         |sig AS (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN docs_ascii ta ON ta.doc_id = doc_a
+         |  JOIN docs_ascii tb ON tb.doc_id = doc_b
+         |  WHERE levenshtein(ta.text, tb.text) <= 16),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |qual AS (
+         |  SELECT doc_id, round(
+         |    least(length(text) / 500.0, 1.0) * 0.4 +
+         |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+         |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+         |      ELSE 0 END) * 5.0) * 0.3 +
+         |    least((CASE WHEN len($toksSql) > 0
+         |      THEN len(list_filter($toksSql,
+         |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($toksSql)
+         |      ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+         |  FROM documents),
+         |labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+         |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |          FROM labeled GROUP BY component)
+         |SELECT l.doc_id, l.component, q.quality, s.cluster_size,
+         |  (ROW_NUMBER() OVER (PARTITION BY l.component ORDER BY q.quality DESC, l.doc_id)) = 1
+         |    AS is_survivor
+         |FROM labeled l JOIN qual q USING (doc_id) JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin,
 
     // r10: intra-doc line dedup — first occurrence per trimmed line
     // within each doc; blanks never deduped; raw lines preserved

@@ -216,6 +216,18 @@ class PlanQualitySpec extends AnyFunSuite {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cross join:\n$plan")
     }
+    // r12 fuzzy-dedup pipeline v4: the composed verify-then-cluster loop
+    // must stay cartesian-free end-to-end (banded candidates + verified
+    // pairs + CC + survivor); its only window is the component-keyed
+    // survivor pick, whose partitions are cluster-sized, never corpus-
+    // sized (editDistancePairs localCheckpoints, so assert the live
+    // downstream plan too)
+    locally {
+      val plan = physicalPlan("q_curation_pipeline_v4")
+      assert(!plan.contains("CartesianProduct"),
+        s"q_curation_pipeline_v4 has a cross join:\n$plan")
+    }
+
     // exact-k sampling plans as TakeOrdered — never a corpus-wide sort
     assert(physicalPlan("q_sample_exact_k").contains("TakeOrderedAndProject"))
     // normalize is strictly per-row: one fused expression, no exchange
