@@ -209,6 +209,19 @@ object ScaleProbe {
         ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
           .agg(count(lit(1)), sum("avg_logprob2")).collect()(0).getLong(0)
       }
+      // r12 skew probe: every 5th token replaced by one word → ~20% of
+      // all bigram positions share the Zipf-head prefix. The hardened
+      // bigramLogProb joins positions on the composite (w1, w2) key, so
+      // the leg's wall must stay close to the unskewed bigram_logprob
+      // leg above (a bare-w1 join would funnel 20% of the corpus into
+      // one partition and straggle)
+      timed("bigram_logprob_skew20", runs, opFilter) {
+        val skewed = docs.select(col("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            (t, i) => when(i % 5 === 0, lit("the")).otherwise(t))).as("text"))
+        ops.TextAnalysis.bigramLogProb(skewed, "doc_id", "text")
+          .agg(count(lit(1)), sum("avg_logprob2")).collect()(0).getLong(0)
+      }
       // r12 external-LM scoring: logprob tables from a 1/3 held slice,
       // MATERIALIZED outside the timing (a real run loads a trained
       // artifact) — the leg isolates the probe-side explode + the

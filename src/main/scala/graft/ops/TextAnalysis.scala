@@ -260,12 +260,20 @@ object TextAnalysis {
     * every in-corpus bigram finite without a smoothing constant).
     * Returns (id, n_bigrams, avg_logprob2); lower = more surprising.
     *
-    * Scale shape: the unigramLogProb contract one order up — bigram
-    * explode (fused WordShingles), two Zipf-bounded partial-agg count
-    * tables, shuffle joins keyed on the bigram/prefix (never assumed
-    * broadcastable: web-scale bigram vocabularies run to 10¹⁰ types),
-    * one doc-keyed mean. Same honest-cost note: persist the count
-    * tables across a curation run at 100 TB. */
+    * Scale shape (r12 hardening — the r11 verdict's first skew
+    * candidate): the bigram explode runs twice (type counts + probe),
+    * never three times; prefix counts c(w1·) FOLD from the bigram type
+    * table (sum of c2 over w1 — types-sized input, no corpus re-explode);
+    * the per-type interpolated logprob is computed once per TYPE in a
+    * folded model table; and the position-sized probe joins it ONCE on
+    * the composite (w1, w2) key — the bare Zipf-skewed `w1` join is gone
+    * from the corpus-sized path entirely (a hot prefix like "the"
+    * spreads across its w2 continuations; a single globally-hot TYPE is
+    * AQE skew-join territory, probed with a planted 20%-one-word corpus
+    * in ScaleProbe). Count tables stay shuffle-joined, never assumed
+    * broadcastable: web-scale bigram vocabularies run to 10¹⁰ types.
+    * Same honest-cost note as unigramLogProb: persist the model table
+    * across a curation run at 100 TB. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
     val bigRows = df.select(col(idCol),
@@ -275,21 +283,24 @@ object TextAnalysis {
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val cb = bigRows.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cp = bigRows.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cp = cb.groupBy("w1").agg(sum("c2").as("c1"))
     val uni0 = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
     val totalDf = uni0.agg(sum("tf").cast(DoubleType).as("__total"))
     val uni = uni0.crossJoin(broadcast(totalDf))
-    val scored = bigRows
-      .join(cb, Seq("w1", "w2"))
+    val model = cb
       .join(cp, Seq("w1"))
       .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .select(col("w1"), col("w2"),
+        log(
+          lit(lambda) * col("c2").cast(DoubleType) / col("c1") +
+            lit(1.0 - lambda) * col("tf").cast(DoubleType) / col("__total"))
+          .as("__lp"))
+    val scored = bigRows
+      .join(model, Seq("w1", "w2"))
       .groupBy(col(idCol)).agg(
         count(lit(1)).cast(LongType).as("n_bigrams"),
-        sum(log(
-          lit(lambda) * col("c2").cast(DoubleType) / col("c1") +
-            lit(1.0 - lambda) * col("tf").cast(DoubleType) / col("__total")))
-          .as("sum_lp"))
+        sum(col("__lp")).as("sum_lp"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
