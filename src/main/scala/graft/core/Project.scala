@@ -395,29 +395,44 @@ object Project {
   private[core] def parseUnitFile(pkg: String, lines: Seq[String], path: String): Seq[Node] = {
     val out = collection.mutable.ArrayBuffer.empty[Node]
     var name: String = null
-    var givens = collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+    // a `format sql` suffix on a given/expect header switches that block
+    // from the CSV grammar to a literal SQL SELECT (the reference's
+    // UnitTestFormat.SQL, unit_test_definition.py:26-29)
+    var givens = collection.mutable.LinkedHashMap.empty[String, (StringBuilder, Boolean)]
     var expect = new StringBuilder
+    var expectSql = false
     var target: StringBuilder = null
     def flush(): Unit = if (name != null) {
       require(expect.nonEmpty, s"unit test '$name' has no expect block")
+      val expectKey = if (expectSql) "unit_expect_sql" else "unit_expect"
       out += Node(NodeType.Unit, pkg, name,
         config = NodeConfig(materialized = "unit",
-          meta = givens.map { case (r, b) => s"unit_given.$r" -> b.toString }.toMap +
-            ("unit_expect" -> expect.toString)),
+          meta = givens.map { case (r, (b, isSql)) =>
+            (if (isSql) s"unit_given_sql.$r" else s"unit_given.$r") -> b.toString
+          }.toMap + (expectKey -> expect.toString)),
         path = Some(path),
-        checksum = md5(givens.values.map(_.toString).mkString + expect))
+        checksum = md5(givens.map { case (r, (b, isSql)) => s"$r:$isSql:$b" }.mkString +
+          s"$expectSql:$expect"))
       name = null
       givens = collection.mutable.LinkedHashMap.empty
       expect = new StringBuilder
+      expectSql = false
       target = null
     }
     lines.map(_.trim).filterNot(_.startsWith("#")).foreach {
       case l if l.startsWith("test ") => flush(); name = l.stripPrefix("test ").trim
       case l if l.startsWith("given ") =>
-        val ref = l.stripPrefix("given ").trim
+        val spec = l.stripPrefix("given ").trim
+        val (ref, isSql) = spec.split("\\s+format\\s+", 2) match {
+          case Array(r, "sql") => (r.trim, true)
+          case Array(r, f) => throw new IllegalArgumentException(
+            s"unit file $path: unknown fixture format '$f' for given '$r' (only 'sql')")
+          case _ => (spec, false)
+        }
         target = new StringBuilder
-        givens += ref -> target
-      case "expect"       => target = expect
+        givens += ref -> (target, isSql)
+      case "expect" => target = expect; expectSql = false
+      case "expect format sql" => target = expect; expectSql = true
       case l if l.isEmpty => ()
       case l =>
         require(target != null, s"unit file $path: row outside given/expect block: $l")

@@ -18,15 +18,21 @@ import graft.compile.TemplateResolver
   */
 object UnitTests {
 
-  /** One input fixture: rows given as column→value maps (dict format);
-    * values may be Int/Long/Double/String/Boolean/null. */
-  final case class Fixture(ref: String, rows: Seq[Map[String, Any]])
+  /** One input fixture: rows given as column→value maps (dict/csv
+    * format; values may be Int/Long/Double/String/Boolean/null), OR a
+    * SQL SELECT (`sql` set, rows ignored) — the reference's
+    * `format: sql` fixture (unit_test_definition.py:26-29), the form
+    * that lets a fixture express casts, intervals, and generated rows
+    * the CSV grammar can't. */
+  final case class Fixture(ref: String, rows: Seq[Map[String, Any]],
+                           sql: Option[String] = None)
 
   final case class UnitTest(
       name: String,
       model: Node,
       given: Seq[Fixture],
-      expect: Seq[Map[String, Any]])
+      expect: Seq[Map[String, Any]],
+      expectSql: Option[String] = None)
 
   final case class UnitResult(name: String, passed: Boolean,
                               actualOnly: Seq[Row], expectedOnly: Seq[Row]) {
@@ -121,7 +127,16 @@ object UnitTests {
           vars: Map[String, String] = Map.empty): UnitResult = {
     val viewPrefix = s"__graft_unit_${test.name.replaceAll("[^A-Za-z0-9_]", "_")}"
     val fixtureViews = test.given.map { f =>
-      val df = fixtureDf(spark, f.rows, realSchemas.get(f.ref))
+      val df = f.sql match {
+        case Some(q) =>
+          // SQL-format fixture: run the SELECT, then conform to the real
+          // dependency schema when known (same safe_cast(null) fill as
+          // the dict path — a fixture may give only the columns it cares
+          // about in either format)
+          val raw = spark.sql(q)
+          realSchemas.get(f.ref).map(conformDf(raw, _)).getOrElse(raw)
+        case None => fixtureDf(spark, f.rows, realSchemas.get(f.ref))
+      }
       val view = s"${viewPrefix}_${f.ref}"
       df.createOrReplaceTempView(view)
       f.ref -> view
@@ -139,9 +154,25 @@ object UnitTests {
       case _ => throw new IllegalArgumentException("unit tests require a SQL model")
     }
     val actual = spark.sql(sql)
-    val expected = fixtureDf(spark, test.expect, Some(actual.schema))
+    val expected = test.expectSql match {
+      case Some(q) => conformDf(spark.sql(q), actual.schema)
+      case None    => fixtureDf(spark, test.expect, Some(actual.schema))
+    }
     val actualOnly = actual.exceptAll(expected).collect().toSeq
     val expectedOnly = expected.exceptAll(actual).collect().toSeq
     UnitResult(test.name, actualOnly.isEmpty && expectedOnly.isEmpty, actualOnly, expectedOnly)
+  }
+
+  /** Conform a SQL-fixture frame to a known schema: present columns cast
+    * to the target type, missing columns null-filled — the same
+    * safe_cast behavior [[fixtureDf]] applies to dict rows. Extra
+    * columns are dropped (the dict path ignores them the same way). */
+  private def conformDf(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 }

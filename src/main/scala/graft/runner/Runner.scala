@@ -517,8 +517,13 @@ final class Runner(
             case (k, v) if k.startsWith("unit_given.") =>
               graft.quality.UnitTests.Fixture(
                 k.stripPrefix("unit_given."), graft.quality.UnitTests.csvRows(v))
+            case (k, v) if k.startsWith("unit_given_sql.") =>
+              graft.quality.UnitTests.Fixture(
+                k.stripPrefix("unit_given_sql."), Nil, sql = Some(v))
           }.toSeq
-          val expect = graft.quality.UnitTests.csvRows(node.config.meta("unit_expect"))
+          val expectSql = node.config.meta.get("unit_expect_sql")
+          val expect = node.config.meta.get("unit_expect")
+            .map(graft.quality.UnitTests.csvRows).getOrElse(Nil)
           // schema-aware fixture conformance when the real dep is built
           val realSchemas = model.dependsOn.flatMap(manifest.get)
             .filter(d => NodeType.refable(d.nodeType))
@@ -527,7 +532,7 @@ final class Runner(
               if (rm.exists(r)) Some(d.name -> rm.read(r).schema) else None
             }.toMap
           val res = graft.quality.UnitTests.run(spark,
-            graft.quality.UnitTests.UnitTest(node.name, model, given, expect),
+            graft.quality.UnitTests.UnitTest(node.name, model, given, expect, expectSql),
             realSchemas, vars)
           RunResult(node.uniqueId, if (res.passed) "pass" else "fail",
             start, Instant.now(),

@@ -251,6 +251,55 @@ class MainSpec extends AnyFunSuite {
     assert(sw2.toString.contains("SKIPPED  model.shop.revenue"))
   }
 
+  test("SQL-format unit-test fixtures: given/expect as SELECTs, pass then fail") {
+    val dir = writeProject()
+    // given is a literal SELECT (the reference's format: sql fixture) —
+    // a shape the CSV grammar can't express (generated rows via UNION,
+    // explicit casts); expect stays csv to prove the formats mix
+    Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
+      """test revenue_unit_sql
+        |given stg_payments format sql
+        |select 1 as id, 'alice' as customer, 10 as amount, date '2024-01-01' as paid_at
+        |union all select 2, 'bob', 99, date '2024-01-02'
+        |union all select 3, 'carol', 4, date '2024-01-03'
+        |expect format sql
+        |select 'alice' as customer, 10 as revenue
+        |union all select 'bob', 99
+        |""".stripMargin)
+    val sw = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true)) == 0, sw.toString)
+    assert(sw.toString.contains("PASS     unit_test.shop.revenue_unit_sql"))
+    assert(sw.toString.contains("SUCCESS  model.shop.revenue"))
+
+    // wrong expectation (sql form) fails the unit and blocks the model
+    Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
+      """test revenue_unit_sql
+        |given stg_payments format sql
+        |select 1 as id, 'alice' as customer, 10 as amount, date '2024-01-01' as paid_at
+        |expect format sql
+        |select 'alice' as customer, 11 as revenue
+        |""".stripMargin)
+    val sw2 = new java.io.StringWriter()
+    assert(Main.execute(spark,
+      Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw2, true)) == 1)
+    assert(sw2.toString.contains("FAIL     unit_test.shop.revenue_unit_sql"))
+    assert(sw2.toString.contains("SKIPPED  model.shop.revenue"))
+
+    // unknown format is a loud parse error, not a silent csv fallback
+    Files.writeString(dir.resolve("models/marts/revenue.unit.conf"),
+      """test revenue_unit_bad
+        |given stg_payments format yaml
+        |x
+        |expect
+        |customer,revenue
+        |""".stripMargin)
+    val ex = intercept[IllegalArgumentException](Project.load(dir.toString))
+    assert(ex.getMessage.contains("unknown fixture format"), ex.getMessage)
+  }
+
   test("views persist across sessions: downstream-only selection re-registers the view chain") {
     val dir = writeProject()
     val sw = new java.io.StringWriter()
