@@ -11,6 +11,48 @@ import graft.streaming.StreamingOps
   */
 object StreamQueries {
 
+  /** Stage a frame as ONE parquet file in `landing` with a pinned mtime
+    * (the file source batches oldest-modified first). The single part
+    * file is REQUIRED — a missing part used to NPE at Files.move (r11
+    * ADVICE) — and the write-stage temp dir is deleted after the move.
+    * Shared by every staged-ingest stream query. */
+  private def stageAsFile(landing: java.nio.file.Path, name: String,
+                          df: DataFrame, mtime: Long): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stage")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val it = Files.list(tmp).iterator()
+        var found: java.nio.file.Path = null
+        while (found == null && it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+        found
+      }
+      require(part != null,
+        s"staging '$name': the parquet write produced no part file in $tmp")
+      val dst = landing.resolve(name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Best-effort recursive delete for the landing/checkpoint dirs a
+    * finished stream no longer needs. Warehouse dirs are NOT deleted:
+    * the returned frame reads them lazily after this call returns. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_windowed" -> ((s, d) => {
       StreamingOps.windowedCounts(Tables.events(s, d), "1 hour")
@@ -56,6 +98,8 @@ object StreamQueries {
       val curated = StreamingOps.curateDocStream(docs, "ts", "1 hour", minQuality = 0.7)
       val q = StreamingOps.appendToTable(curated, rm, rel, "curate_stream", ckpt)
       q.processAllAvailable(); q.stop()
+      deleteRecursively(landing)
+      deleteRecursively(java.nio.file.Paths.get(ckpt))
       rm.read(rel)
         .groupBy("content_hash")
         .agg(count(lit(1)).as("n_copies"),
@@ -75,26 +119,11 @@ object StreamQueries {
       import graft.ops.Dedup
       import graft.relations.RelationManager
       val landing = Files.createTempDirectory("graft_ssx_in")
+      val ckpt = Files.createTempDirectory("graft_ssx_ck")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_ssx_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val it = Files.list(tmp).iterator()
-          var found: java.nio.file.Path = null
-          while (found == null && it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found = p
-          }
-          found
-        }
-        val dst = landing.resolve(name)
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
       val t0 = 1700000000000L
-      stage("0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
-      stage("1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
 
       val rm = new RelationManager(s, Files.createTempDirectory("graft_ssx_wh").toString)
       val storeRel = graft.core.Relation("graft", "main", "window_store")
@@ -104,7 +133,7 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
         .writeStream
-        .option("checkpointLocation", Files.createTempDirectory("graft_ssx_ck").toString)
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val cleaned = Dedup.substringExciseIncremental(batch, "doc_id", "text",
             n = 8, rm.read(storeRel), "h").localCheckpoint(true)
@@ -116,6 +145,7 @@ object StreamQueries {
         }
         .start()
       q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
       rm.read(cleanRel)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_tokens"), col("n_removed"))
@@ -135,27 +165,12 @@ object StreamQueries {
       import graft.ops.Dedup
       import graft.relations.RelationManager
       val landing = Files.createTempDirectory("graft_snd_in")
+      val ckpt = Files.createTempDirectory("graft_snd_ck")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_snd_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val it = Files.list(tmp).iterator()
-          var found: java.nio.file.Path = null
-          while (found == null && it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet")) found = p
-          }
-          found
-        }
-        val dst = landing.resolve(name)
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
       // the file source batches oldest-modified first
       val t0 = 1700000000000L
-      stage("0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
-      stage("1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
 
       val rm = new RelationManager(s, Files.createTempDirectory("graft_snd_wh").toString)
       val storeRel = graft.core.Relation("graft", "main", "sig_store")
@@ -166,7 +181,7 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
         .writeStream
-        .option("checkpointLocation", Files.createTempDirectory("graft_snd_ck").toString)
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val store = rm.read(storeRel)
           val pairs = Dedup.minhashIncremental(batch, "doc_id", "text",
@@ -178,6 +193,7 @@ object StreamQueries {
         }
         .start()
       q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
       rm.read(pairsRel).orderBy("doc", "corpus_doc")
     })
   )

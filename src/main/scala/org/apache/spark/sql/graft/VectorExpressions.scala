@@ -1005,7 +1005,14 @@ object ExciseWindows {
     var i = 0
     while (i < starts.numElements()) {
       val s = starts.getInt(i)
-      var p = if (s < 0) 0 else s
+      // starts are 0-based token positions produced by the engine's own
+      // window generators; a negative value is a caller bug and clamping
+      // it would silently excise a DIFFERENT window — fail loudly (r11
+      // ADVICE). Starts at/past the token count are well-defined no-ops
+      // (the window has nothing left to cover) and stay permitted.
+      if (s < 0) throw new IllegalArgumentException(
+        s"excise_windows: negative window start $s (starts are 0-based token positions)")
+      var p = s
       val end = math.min(s + n - 1, len - 1)
       while (p <= end) {
         if (!covered(p)) { covered(p) = true; removed += 1 }

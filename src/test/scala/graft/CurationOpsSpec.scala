@@ -915,7 +915,13 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     val e0 = qerr(books)
     val e2 = qerr(Pq.train(docs, "vec_id", "embedding", nSub = 8, nCodes = 8, iters = 2))
-    assert(e2 <= e0 + 1e-9, s"training must not increase quantization error: $e0 -> $e2")
+    // Lloyd guarantees non-increase of the TRUE objective, but train
+    // rounds means to the engine-wide 1e-6 grid (oracle replayability),
+    // perturbing each centroid coordinate by <= 5e-7; across 64 dims the
+    // per-vector squared-distance drift is bounded by ~2*64*|v-c|*5e-7
+    // ~ 6e-5. Slack sits above that bound and far below any real
+    // regression signal (r11 ADVICE: 1e-9 was latently flaky).
+    assert(e2 <= e0 + 1e-4, s"training must not increase quantization error: $e0 -> $e2")
 
     // ADC ranking puts same-cluster vectors first for every query —
     // and the production precomputed-codes path returns the identical
@@ -998,6 +1004,25 @@ class CurationOpsSpec extends AnyFunSuite {
     val train = docs.filter(col("doc_id") % 97 =!= 0)
     assert(rows(Decontaminate.exciseOverlap(train, bench, "doc_id", "text", n = 4)) ==
       rows(Decontaminate.exciseOverlapRelational(train, bench, "doc_id", "text", n = 4)))
+  }
+
+  test("ExciseWindows: negative start fails loudly, past-end start is a no-op") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    def excise(starts: Seq[Int]) =
+      df.select(org.apache.spark.sql.graft.VectorExpressions
+          .exciseWindows(col("text"), typedLit(starts), 2).as("o"))
+        .select(col("o.clean_text"), col("o.n_removed")).collect()(0)
+    // a start at/past the token count has nothing to cover — defined no-op
+    val past = excise(Seq(7))
+    assert(past.getString(0) == "a b c d e" && past.getLong(1) == 0L)
+    // a negative start would have silently excised [0, s+n-1] (a
+    // DIFFERENT window) before the r12 fix — now a loud caller error
+    val ex = intercept[Exception](excise(Seq(-1)))
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(m => m != null && m.contains("negative window start")),
+      s"expected the loud negative-start error, got: $ex")
   }
 
   test("repetition/decontamination gate queries are non-degenerate at sf0.001") {
