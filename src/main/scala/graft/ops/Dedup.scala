@@ -838,6 +838,53 @@ object Dedup {
       .select(md5(col("shingle")).as("h"))
       .distinct()
 
+  // ------------------------------------------------------ store GC (r12)
+
+  /** OWNER-CARRYING window-hash store: (idCol, h) rows, hashes distinct
+    * within each document — the garbage-collectable form of
+    * [[windowHashes]]. [[substringExciseIncremental]] accepts it
+    * unchanged (its membership joins are left_semi/left_anti on `h`, so
+    * per-owner duplicate hashes change nothing), and [[compactStore]]
+    * can drop a departed document's rows — impossible for the bare
+    * distinct-hash set, where a hash shared between a deleted and a
+    * surviving document must NOT be dropped (subtracting the deleted
+    * docs' hashes over-deletes; the StoreCompaction spec pins the
+    * difference). */
+  def windowHashStore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol), explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
+      .select(col(idCol), md5(col("shingle")).as("h"))
+
+  /** Owner-carrying content-fingerprint store — the GC-able feed for
+    * [[exactIncremental]] (which projects + distincts the hash column,
+    * so owners ride along for free). */
+  def fingerprintStore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("h"))
+
+  /** Store maintenance: every persisted store the incremental ops
+    * accumulate (signature store (doc, sig), band index, window-hash
+    * store, fingerprint store) grows forever while documents are deleted
+    * from the corpus. `compactStore` keeps only rows whose OWNING doc is
+    * still live — one semi-join keyed on the owner id, O(store), no
+    * store-wide aggregate, no text recompute. `live` is the current
+    * corpus id set (or the change feed's surviving side); the spec pins
+    * store-after-deletes+compact ≡ store-rebuilt-from-scratch. */
+  def compactStore(store: DataFrame, ownerCol: String,
+                   live: DataFrame, liveIdCol: String): DataFrame =
+    store.join(live.select(col(liveIdCol).as(ownerCol)).distinct(),
+      Seq(ownerCol), "left_semi")
+
+  /** Change-feed form of [[compactStore]]: drop rows owned by the docs a
+    * CDC delete batch names (one anti-join; same rebuild-equivalence
+    * when `deleted` is exactly the departed id set). */
+  def compactStoreByDeleted(store: DataFrame, ownerCol: String,
+                            deleted: DataFrame, deletedIdCol: String): DataFrame =
+    store.join(deleted.select(col(deletedIdCol).as(ownerCol)).distinct(),
+      Seq(ownerCol), "left_anti")
+
   /** Token-level anti-join rebuild — the independent reference the fused
     * ExciseWindows pass is parity-tested against (ExciseParity in
     * CurationOpsSpec); the DuckDB oracle mirrors this shape. Not a hot

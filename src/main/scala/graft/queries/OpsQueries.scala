@@ -254,6 +254,19 @@ object OpsQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // r12: store maintenance — the owner-carrying window-hash store of
+    // the full corpus, compacted after docs ≡ 1 (mod 4) leave; the
+    // contract (compaction ≡ rebuild from survivors) is what the oracle
+    // recomputes. StoreCompactionSpec covers the shared-hash case and
+    // the CDC-driven form.
+    "q_dedup_compact_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val full = Dedup.windowHashStore(docs, "doc_id", "text", n = 8)
+      val live = docs.filter(col("doc_id") % 4 =!= 1).select("doc_id")
+      Dedup.compactStore(full, "doc_id", live, "doc_id")
+        .orderBy("doc_id", "h")
+    }),
+
     // r10: incremental substring excision — docs ≡ 0 (mod 3) play the
     // curated corpus (window-hash store); the rest arrive as the batch
     "q_dedup_substring_incremental" -> ((s, d) => {
@@ -1330,6 +1343,16 @@ object OpsQueries {
          |JOIN docs_ascii tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // r12 store compaction ≡ rebuild-from-survivors: per-doc distinct
+    // window hashes of the live slice
+    "q_dedup_compact_store" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id % 4 <> 1),
+         |w AS (SELECT doc_id, unnest(generate_series(1, greatest(len(tk)-7, 0))) AS s, tk
+         |      FROM t),
+         |g AS (SELECT DISTINCT doc_id, md5(list_aggregate(tk[s:s+7], 'string_agg', ' ')) AS h
+         |      FROM w)
+         |SELECT doc_id, h FROM g ORDER BY doc_id, h""".stripMargin,
 
     // r10: incremental substring excision — store = distinct window
     // hashes of the corpus slice; batch windows lose on store membership

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Relation
+import graft.ops.Dedup
+import graft.relations.RelationManager
+
+/** Store maintenance (r12 — VERDICT task 10): the persisted stores the
+  * incremental dedup ops accumulate (window-hash store, fingerprint
+  * store, signature store) grow forever while the corpus they index
+  * loses documents. `compactStore` drops a departed owner's rows with
+  * one semi-join; the contract pinned here is store-after-deletes+
+  * compact ≡ store-rebuilt-from-scratch, plus the shared-hash case that
+  * makes owner-carrying stores necessary in the first place. */
+class StoreCompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("compacted window store == store rebuilt from the surviving corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val full = Dedup.windowHashStore(docs, "doc_id", "text", n = 8)
+    val live = docs.filter(col("doc_id") % 4 =!= 1)
+    val compacted = Dedup.compactStore(full, "doc_id", live.select("doc_id"), "doc_id")
+    val rebuilt = Dedup.windowHashStore(live, "doc_id", "text", n = 8)
+    assert(sameRows(compacted, rebuilt),
+      "compaction must equal a from-scratch rebuild of the live slice")
+    assert(compacted.count() < full.count(), "deletes must actually shrink the store")
+    // the change-feed form agrees: anti-join on the departed ids
+    val deleted = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    assert(sameRows(
+      Dedup.compactStoreByDeleted(full, "doc_id", deleted, "doc_id"), rebuilt))
+  }
+
+  test("shared window survives its co-owner's deletion; naive hash subtraction over-deletes") {
+    import spark.implicits._
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"intro $run tail1"),
+      (2L, s"other lead $run tail2")).toDF("doc_id", "text")
+    val batch = Seq((10L, s"fresh $run suffix")).toDF("doc_id", "text")
+    val store = Dedup.windowHashStore(docs, "doc_id", "text", n = 8)
+    // doc 1 leaves the corpus; doc 2 still owns the shared window
+    val live = Seq(2L).toDF("doc_id")
+    val compacted = Dedup.compactStore(store, "doc_id", live, "doc_id")
+    val out = Dedup.substringExciseIncremental(batch, "doc_id", "text", n = 8,
+      compacted, "h").collect()(0)
+    assert(out.getAs[Long]("n_removed") == 8L,
+      s"the surviving owner must keep the shared window live in the store: $out")
+    // the bare distinct-hash store has no owners: subtracting the deleted
+    // doc's hashes drops the SHARED window and the batch keeps duplicate
+    // text — the over-delete that motivates the owner-carrying form
+    val naive = Dedup.windowHashes(docs, "doc_id", "text", n = 8)
+      .join(Dedup.windowHashes(docs.filter(col("doc_id") === 1L), "doc_id", "text", n = 8),
+        Seq("h"), "left_anti")
+    val naiveOut = Dedup.substringExciseIncremental(batch, "doc_id", "text", n = 8,
+      naive, "h").collect()(0)
+    assert(naiveOut.getAs[Long]("n_removed") == 0L,
+      s"hash subtraction must demonstrably over-delete here: $naiveOut")
+  }
+
+  test("fingerprint and signature stores compact to their rebuilt forms; ops accept them unchanged") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val live = docs.filter(col("doc_id") % 3 =!= 1)
+    // fingerprint store: exactIncremental classifies identically against
+    // the compacted owned store and a store built fresh from live docs
+    val fullFp = Dedup.fingerprintStore(docs, "doc_id", "text")
+    val compactFp = Dedup.compactStore(fullFp, "doc_id", live.select("doc_id"), "doc_id")
+    assert(sameRows(compactFp, Dedup.fingerprintStore(live, "doc_id", "text")))
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    val viaCompacted = Dedup.exactIncremental(batch, "doc_id", "text", compactFp, "h")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaRebuilt = Dedup.exactIncremental(batch, "doc_id", "text",
+      Dedup.fingerprintStore(live, "doc_id", "text"), "h")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaCompacted == viaRebuilt && viaCompacted.nonEmpty)
+    // signature store (already owner-keyed as (doc, sig)): same equivalence
+    val fullSig = Dedup.minhashSignatures(docs, "doc_id", "text", shingleLen = 5, k = 32)
+    val compactSig = Dedup.compactStore(fullSig, "doc", live.select("doc_id"), "doc_id")
+    assert(sameRows(compactSig,
+      Dedup.minhashSignatures(live, "doc_id", "text", shingleLen = 5, k = 32)))
+  }
+
+  test("change-feed-driven compaction: CDC delete rows drive the anti-join") {
+    import spark.implicits._
+    val rm = new RelationManager(spark, Files.createTempDirectory("graft_gc").toString)
+    val rel = Relation("graft", "main", "gc_corpus")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    rm.writeTable(docs, rel, statsCols = Seq("doc_id"))
+    val store = Dedup.windowHashStore(rm.read(rel), "doc_id", "text", n = 8)
+      .localCheckpoint(true) // freeze the store BEFORE the corpus mutates
+    val v0 = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM ${rm.catalogName}.main.gc_corpus WHERE doc_id % 5 = 2")
+    val v1 = rm.currentVersion(rel).get
+    // the feed's delete side IS the departed id set
+    val deleted = rm.readRowChanges(rel, v0, v1)
+      .filter(col("_change_type") === "delete").select("doc_id")
+    val compacted = Dedup.compactStoreByDeleted(store, "doc_id", deleted, "doc_id")
+    val rebuilt = Dedup.windowHashStore(rm.read(rel), "doc_id", "text", n = 8)
+    assert(sameRows(compacted, rebuilt),
+      "CDC-driven compaction must equal a rebuild from the current snapshot")
+  }
+}
