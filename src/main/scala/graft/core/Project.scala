@@ -431,8 +431,18 @@ object Project {
         }
         target = new StringBuilder
         givens += ref -> (target, isSql)
-      case "expect" => target = expect; expectSql = false
-      case "expect format sql" => target = expect; expectSql = true
+      // any `expect ...` header line must parse or fail loudly — a typo
+      // ('expect format csv', stray spacing) silently falling through to
+      // the data-row branch would append into the PREVIOUS given block
+      case l if l == "expect" || l.startsWith("expect ") =>
+        l.stripPrefix("expect").trim.split("\\s+").toSeq match {
+          case Seq("")              => target = expect; expectSql = false
+          case Seq("format", "sql") => target = expect; expectSql = true
+          case Seq("format", f) => throw new IllegalArgumentException(
+            s"unit file $path: unknown fixture format '$f' for expect (only 'sql')")
+          case other => throw new IllegalArgumentException(
+            s"unit file $path: bad expect header 'expect ${other.mkString(" ")}'")
+        }
       case l if l.isEmpty => ()
       case l =>
         require(target != null, s"unit file $path: row outside given/expect block: $l")

@@ -29,6 +29,34 @@ object Multimodal {
       StructField("source", StringType, nullable = true),
       StructField("header_md5", StringType, nullable = true))), nullable = true)))
 
+  /** Decode an image payload with a HEADER-ONLY size pre-check: the
+    * format header's declared dimensions are read before any pixel
+    * allocation, and anything past `maxPixels` (default 2^26 ≈ 67 MP,
+    * ~256 MB of ARGB ints) is rejected as undecodable. Without the
+    * check, a decompression-bomb PNG declaring 100000×100000 makes
+    * ImageIO.read allocate ~40 GB and die with OutOfMemoryError —
+    * killing the task, not degrading the row, which breaks the
+    * corrupt-object contract every batched decode op documents. Shared
+    * by the hash and feature seams. */
+  private[graft] def readImageBounded(bytes: Array[Byte],
+                                      maxPixels: Long = 1L << 26): Option[java.awt.image.BufferedImage] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
   /** Wrap a text table as binary assets (the driver's documents stand in
     * for media payloads; byte-identical round trip). */
   def toAssets(docs: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame =
@@ -196,11 +224,9 @@ object Multimodal {
             val hashes: Option[(Long, Long)] =
               if (mediaType == null || !mediaType.startsWith("image/")) None
               else try {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(
-                    Option(payload).getOrElse(Array.empty[Byte])))
-                if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-                else Some(Multimodal.perceptualHashes(img))
+                Multimodal.readImageBounded(Option(payload).getOrElse(Array.empty[Byte]))
+                  .filter(img => img.getWidth >= 9 && img.getHeight >= 8)
+                  .map(Multimodal.perceptualHashes)
               } catch { case _: Exception => None }
             (id, hashes.map(_._1), hashes.map(_._2))
           }
@@ -296,12 +322,10 @@ object Multimodal {
             val decoded: Option[(Int, Int, Array[Double])] =
               if (mediaType == null || !mediaType.startsWith("image/")) None
               else try {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(
-                    Option(payload).getOrElse(Array.empty[Byte])))
-                if (img == null || img.getWidth < gridW || img.getHeight < gridH) None
-                else Some((img.getWidth, img.getHeight,
-                  Multimodal.imageFeatures(img, gridW, gridH, histBins)))
+                Multimodal.readImageBounded(Option(payload).getOrElse(Array.empty[Byte]))
+                  .filter(img => img.getWidth >= gridW && img.getHeight >= gridH)
+                  .map(img => (img.getWidth, img.getHeight,
+                    Multimodal.imageFeatures(img, gridW, gridH, histBins)))
               } catch { case _: Exception => None }
             (id, decoded.map(_._1), decoded.map(_._2), decoded.map(_._3))
           }

@@ -329,7 +329,10 @@ object TextAnalysis {
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val cb = bigRows.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cp = bigRows.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // prefix counts fold from the TYPE table (bigramLogProb's r12
+    // discipline): a second groupBy over bigRows would re-run the
+    // corpus-sized explode — Spark does no CSE across branches
+    val cp = cb.groupBy("w1").agg(sum("c2").as("c1"))
     val bigrams = cb.join(cp, "w1")
       .select(col("w1"), col("w2"),
         log(col("c2").cast(DoubleType) / col("c1")).as("lp2"))

@@ -23,13 +23,16 @@ object StreamQueries {
     try {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = {
-        val it = Files.list(tmp).iterator()
-        var found: java.nio.file.Path = null
-        while (found == null && it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) found = p
-        }
-        found
+        val listing = Files.list(tmp) // stream holds an open dir handle
+        try {
+          val it = listing.iterator()
+          var found: java.nio.file.Path = null
+          while (found == null && it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          found
+        } finally listing.close()
       }
       require(part != null,
         s"staging '$name': the parquet write produced no part file in $tmp")
@@ -45,12 +48,22 @@ object StreamQueries {
     * the returned frame reads them lazily after this call returns. */
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    // genuinely best-effort: the query's RESULTS are already correct by
+    // the time cleanup runs, so a cleanup hiccup (racing checkpoint file,
+    // lingering handle) must never fail the gate — swallow, don't throw
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { f =>
+            try Files.deleteIfExists(f)
+            catch { case _: java.io.IOException => () }
+          }
+        finally walk.close()
+      }
+      // walk iteration wraps IO failures in UncheckedIOException — still
+      // cleanup-only territory, still swallowed
+    } catch { case _: Exception => () }
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

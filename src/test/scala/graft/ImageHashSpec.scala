@@ -128,6 +128,20 @@ class ImageHashSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("bounded decode: header dimensions past the pixel cap reject before allocation") {
+    import spark.implicits._
+    val png = Multimodal.toPatternedImageAssets(
+      Seq(1L).toDF("id"), "id").collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.readImageBounded(png).nonEmpty, "a sane image decodes")
+    // the cap is checked against the HEADER's declared size, before any
+    // pixel buffer exists — the decompression-bomb guard (a 100000x100000
+    // PNG header would otherwise drive a ~40 GB allocation and OOM the
+    // task instead of degrading the row)
+    assert(Multimodal.readImageBounded(png, maxPixels = 10).isEmpty)
+    assert(Multimodal.readImageBounded("garbage".getBytes).isEmpty)
+    assert(Multimodal.readImageBounded(Array.empty[Byte]).isEmpty)
+  }
+
   test("image features: batch size does not change results") {
     val docs = Tables.documents(spark, sf).limit(25)
     val assets = Multimodal.toPatternedImageAssets(docs, "doc_id")
