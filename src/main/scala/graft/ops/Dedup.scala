@@ -404,6 +404,75 @@ object Dedup {
     } finally newSigs.unpersist()
   }
 
+  /** Persisted BAND INDEX: (band, doc) rows exploded once from a
+    * signature store — the ingest artifact [[minhashIncremental]]'s
+    * scaladoc promises at 100 TB, now an actual API (r12). Build it when
+    * the store lands (or append each batch's slice), persist it as a
+    * table, and every subsequent ingest probes it with one equi-join
+    * instead of re-exploding the entire corpus signature table per
+    * batch. Owner-carrying (doc) → [[compactStore]] GC applies. */
+  def bandIndex(corpusSigs: DataFrame, idCol: String, sigCol: String,
+                bands: Int = 8, k: Int = 32): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    corpusSigs.select(col(idCol).as("doc"),
+      explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
+      .select("band", "doc")
+  }
+
+  /** [[minhashIncremental]] against a PERSISTED band index: candidate
+    * (doc, corpus_doc) pairs come from the batch-bands ⋈ index equi-join
+    * — O(batch) probe rows against a ready table — and the corpus
+    * signature store is then joined for the CANDIDATES ONLY to verify
+    * est_jaccard. Byte-identical output to [[minhashIncremental]] when
+    * `index` was built from `corpusSigs` with the same (bands, k)
+    * (StoreCompactionSpec pins it); the difference is purely the plan:
+    * the per-batch corpus-wide band explode is gone, which is the whole
+    * point of persisting the index. The hot-band cap counts batch + index
+    * rows, matching the fused form's recall contract. */
+  def minhashIncrementalFromIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                                  index: DataFrame,
+                                  corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
+                                  shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
+                                  threshold: Double = 0.5,
+                                  maxBandFrequency: Option[Int] = None): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
+        s"the trailing ${k % bands} signature positions")
+    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
+          "was built with a different k than this call")
+    }
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
+    try {
+      val nb0 = newSigs.select(col("doc"),
+        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+      val cb0 = index.select(col("band"), col("doc").as("corpus_doc"))
+      val (nb, cb) = maxBandFrequency match {
+        case None => (nb0, cb0)
+        case Some(cap) =>
+          val hot = nb0.select("band").unionAll(cb0.select("band"))
+            .groupBy("band").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > cap).select("band")
+            .localCheckpoint(true)
+          (nb0.join(broadcast(hot), Seq("band"), "left_anti"),
+            cb0.join(broadcast(hot), Seq("band"), "left_anti"))
+      }
+      val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"), col(sigCol).as("csig"))
+      nb.join(cb, Seq("band"))
+        .select("doc", "corpus_doc").distinct()
+        .join(newSigs, "doc")
+        .join(cs, "corpus_doc")
+        .withColumn("est_jaccard",
+          org.apache.spark.sql.graft.VectorExpressions
+            .signatureAgreement(col("sig"), col("csig"))
+            .cast(DoubleType) / k)
+        .filter(col("est_jaccard") >= threshold)
+        .select("doc", "corpus_doc", "est_jaccard")
+        .localCheckpoint(true)
+    } finally newSigs.unpersist()
+  }
+
   // ------------------------------------------------- dedup clustering
 
   /** Connected components over an undirected edge list — the clustering
@@ -876,6 +945,9 @@ object Dedup {
                    live: DataFrame, liveIdCol: String): DataFrame =
     store.join(live.select(col(liveIdCol).as(ownerCol)).distinct(),
       Seq(ownerCol), "left_semi")
+      // USING joins surface the key column first; a maintenance op must
+      // hand back the store's own column order (append-compatible)
+      .select(store.columns.map(col).toSeq: _*)
 
   /** Change-feed form of [[compactStore]]: drop rows owned by the docs a
     * CDC delete batch names (one anti-join; same rebuild-equivalence
@@ -884,6 +956,7 @@ object Dedup {
                             deleted: DataFrame, deletedIdCol: String): DataFrame =
     store.join(deleted.select(col(deletedIdCol).as(ownerCol)).distinct(),
       Seq(ownerCol), "left_anti")
+      .select(store.columns.map(col).toSeq: _*)
 
   /** Token-level anti-join rebuild — the independent reference the fused
     * ExciseWindows pass is parity-tested against (ExciseParity in

@@ -87,6 +87,21 @@ object OpsQueries {
         .orderBy("doc", "corpus_doc")
     }),
 
+    // r12: the same incremental ingest through the PERSISTED band index
+    // (band → doc artifact, one corpus explode amortized across every
+    // future batch) — output must be identical to q_dedup_minhash_incremental,
+    // and the oracle is literally the same SQL
+    "q_dedup_minhash_from_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", shingleLen = 5, k = 32)
+      val idx = Dedup.bandIndex(corpusSigs, "doc", "sig", bands = 8, k = 32)
+      Dedup.minhashIncrementalFromIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", idx, corpusSigs, "doc", "sig",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .orderBy("doc", "corpus_doc")
+    }),
+
     // per-source token statistics with exact order statistics
     "q_corpus_stats" -> ((s, d) => {
       graft.ops.CorpusStats.tokenStatsBy(Tables.documents(s, d), "source", "text")
@@ -1071,31 +1086,11 @@ object OpsQueries {
         |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_minhash_incremental" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |nb AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig WHERE doc % 3 <> 0),
-         |cb AS (
-         |  SELECT doc AS corpus_doc, sig AS csig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig WHERE doc % 3 = 0),
-         |cand AS (
-         |  SELECT DISTINCT nb.doc, cb.corpus_doc, nb.sig AS sig_a, cb.csig AS sig_b
-         |  FROM nb JOIN cb USING (band))
-         |SELECT doc, corpus_doc,
-         |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
-         |FROM cand
-         |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
-         |ORDER BY doc, corpus_doc""".stripMargin,
+    "q_dedup_minhash_incremental" -> minhashIncrementalOracleSql,
+
+    // the from-index path is DEFINED as plan-only: identical output,
+    // identical oracle (the index is the same band relation, persisted)
+    "q_dedup_minhash_from_index" -> minhashIncrementalOracleSql,
 
     "q_corpus_stats" ->
       s"""WITH toks AS (
@@ -2147,6 +2142,34 @@ object OpsQueries {
         |  asset_id = component AS is_survivor
         |FROM labeled JOIN sizes USING (component) ORDER BY asset_id""".stripMargin
   )
+
+  /** Incremental minhash ingest oracle, shared verbatim by the direct
+    * and persisted-band-index forms (same semantics, different plan). */
+  private def minhashIncrementalOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+       |sig AS (
+       |  SELECT doc, list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(shs) = 0 THEN 2147483647
+       |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+       |    END) AS sig
+       |  FROM sh),
+       |nb AS (
+       |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM sig WHERE doc % 3 <> 0),
+       |cb AS (
+       |  SELECT doc AS corpus_doc, sig AS csig, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM sig WHERE doc % 3 = 0),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc, cb.corpus_doc, nb.sig AS sig_a, cb.csig AS sig_b
+       |  FROM nb JOIN cb USING (band))
+       |SELECT doc, corpus_doc,
+       |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
+       |FROM cand
+       |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+       |ORDER BY doc, corpus_doc""".stripMargin
 
   /** The perceptual-hash reconstruction CTEs shared by the phash oracles:
     * recompute the 9×8 pattern grid from the id arithmetic and pack both

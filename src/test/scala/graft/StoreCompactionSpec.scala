@@ -86,6 +86,36 @@ class StoreCompactionSpec extends AnyFunSuite {
       Dedup.minhashSignatures(live, "doc_id", "text", shingleLen = 5, k = 32)))
   }
 
+  test("persisted band index: ingest from index == direct incremental; compaction applies") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", shingleLen = 5, k = 32)
+    val idx = Dedup.bandIndex(sigs, "doc", "sig")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc", "corpus_doc").collect().map(_.toString).toSeq
+    val direct = rows(Dedup.minhashIncremental(batch, "doc_id", "text",
+      sigs, "doc", "sig"))
+    val viaIdx = rows(Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+      idx, sigs, "doc", "sig"))
+    assert(direct == viaIdx && direct.nonEmpty,
+      s"index-probed ingest must match the direct form (${direct.size} vs ${viaIdx.size})")
+    // hot-band cap: same recall contract through either path
+    val directCap = rows(Dedup.minhashIncremental(batch, "doc_id", "text",
+      sigs, "doc", "sig", maxBandFrequency = Some(5)))
+    val viaIdxCap = rows(Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+      idx, sigs, "doc", "sig", maxBandFrequency = Some(5)))
+    assert(directCap == viaIdxCap)
+    // the index carries its owner → GC equals a rebuild from survivors
+    val liveCorpus = corpus.filter(col("doc_id") % 2 === 0)
+    val ca = Dedup.compactStore(idx, "doc", liveCorpus.select("doc_id"), "doc_id")
+    val cb = Dedup.bandIndex(Dedup.minhashSignatures(liveCorpus, "doc_id", "text",
+      shingleLen = 5, k = 32), "doc", "sig")
+    assert(sameRows(ca, cb),
+      s"counts ${ca.count()} vs ${cb.count()}; a-b=${ca.exceptAll(cb).take(3).toSeq}; " +
+        s"b-a=${cb.exceptAll(ca).take(3).toSeq}")
+  }
+
   test("change-feed-driven compaction: CDC delete rows drive the anti-join") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_gc").toString)
