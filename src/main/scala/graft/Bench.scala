@@ -60,20 +60,6 @@ object Bench {
     "q_text_normalize",
     "q_corpus_topk_ngrams")
 
-  /** Accumulates executor CPU nanoseconds across all tasks (r12 — the
-    * host-noise-immune second axis: wall time on this box swings ±20%
-    * with ambient load, but CPU time only counts cycles the tasks
-    * actually burned, so an untouched query whose wall spikes while its
-    * CPU holds flat is adjudicated as box noise in one line). */
-  private final class CpuTimeListener extends org.apache.spark.scheduler.SparkListener {
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onTaskEnd(
-        taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = taskEnd.taskMetrics
-      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
-    }
-  }
-
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -108,9 +94,10 @@ object Bench {
     val allTimed = (timed ++ extraMetrics.flatMap(_._2)).distinct
 
     // per-query executor CPU time rides the same passes as a second,
-    // host-noise-immune axis; the bus must drain before each read because
-    // task-end events are delivered asynchronously
-    val cpuListener = new CpuTimeListener
+    // host-noise-immune axis (an untouched query whose wall spikes while
+    // its CPU holds flat adjudicates as box noise in one line); the bus
+    // must drain before each read — task-end events deliver async
+    val cpuListener = new org.apache.spark.graft.CpuTimeAccumulator
     spark.sparkContext.addSparkListener(cpuListener)
     def cpuNow(): Long = {
       org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)

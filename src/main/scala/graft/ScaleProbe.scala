@@ -51,14 +51,21 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
   }
 
-  private def timed(name: String, runs: scala.collection.mutable.Buffer[(String, Double)],
+  // executor-CPU second axis (r12, shared with Bench): installed by main
+  // once the session exists; until then reads 0 so `timed` stays callable
+  private var cpuNow: () => Long = () => 0L
+
+  private def timed(name: String,
+                    runs: scala.collection.mutable.Buffer[(String, Double, Double)],
                     opFilter: String => Boolean = _ => true)
                    (body: => Long): Unit = if (opFilter(name)) {
+    val c0 = cpuNow()
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
-    runs += (name -> sec)
-    println(f"[probe] $name%-28s $sec%8.2f s   ($rows rows)")
+    val cpu = (cpuNow() - c0) / 1e9
+    runs += ((name, sec, cpu))
+    println(f"[probe] $name%-28s $sec%8.2f s  cpu $cpu%8.2f s   ($rows rows)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,13 +81,19 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuAcc = new org.apache.spark.graft.CpuTimeAccumulator
+    spark.sparkContext.addSparkListener(cpuAcc)
+    cpuNow = () => {
+      org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
+      cpuAcc.cpuNs.get()
+    }
 
-    val results = scala.collection.mutable.Map.empty[Int, Seq[(String, Double)]]
+    val results = scala.collection.mutable.Map.empty[Int, Seq[(String, Double, Double)]]
     sizes.foreach { n =>
       println(s"== corpus n=$n ==")
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside the timings
-      val runs = scala.collection.mutable.Buffer.empty[(String, Double)]
+      val runs = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
       // band cap ON (the 100 TB configuration): without it the hottest
       // band bucket at 150k docs holds 20% of the corpus and the self-
       // join implies 1.3e9 rows (BandDiag; SCALE.md round-6 note)
@@ -465,9 +478,10 @@ object ScaleProbe {
       val lo = sizes.min; val hi = sizes.max
       val factor = hi.toDouble / lo
       println(f"== growth ($lo -> $hi docs, ${factor}%.0fx) ==")
-      results(lo).zip(results(hi)).foreach { case ((name, a), (_, b)) =>
+      results(lo).zip(results(hi)).foreach { case ((name, a, ac), (_, b, bc)) =>
+        val cpuNote = if (ac > 0 && bc > 0) f" cpu ${bc / ac}%.2fx" else ""
         println(f"[probe] $name%-28s ${b / a}%6.2fx wall for ${factor}%.0fx data " +
-          f"(per-doc ratio ${(b / a) / factor}%4.2f)")
+          f"(per-doc ratio ${(b / a) / factor}%4.2f)$cpuNote")
       }
     }
     spark.stop()

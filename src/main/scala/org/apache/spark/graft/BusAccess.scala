@@ -13,3 +13,17 @@ object BusAccess {
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: Exception => () }
 }
+
+/** Accumulates executor CPU nanoseconds across all task ends — the
+  * shared second measurement axis for Bench and ScaleProbe (wall time on
+  * the bench host swings ±20% with ambient load; CPU only counts cycles
+  * the tasks burned). Read via [[BusAccess.waitUntilListenerBusEmpty]]
+  * first: task-end events are delivered asynchronously. */
+class CpuTimeAccumulator extends org.apache.spark.scheduler.SparkListener {
+  val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onTaskEnd(
+      taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+  }
+}
