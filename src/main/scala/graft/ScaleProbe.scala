@@ -121,7 +121,7 @@ object ScaleProbe {
       // join-back — so an unpersisted frame would recompute O(corpus)
       // signatures inside the timing, polluting the batch-side signal)
       val corpusSigs =
-        if (opFilter("minhash_incremental")) {
+        if (opFilter("minhash_incremental") || opFilter("minhash_incremental_indexed")) {
           val s = ops.Dedup.minhashSignatures(
             docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
             shingleLen = 5, k = 32).persist()
@@ -133,27 +133,24 @@ object ScaleProbe {
           "doc_id", "text", corpusSigs.get, "doc", "sig",
           maxBandFrequency = Some(2000)).count()
       }
-      corpusSigs.foreach(_.unpersist())
       // r12 A/B: the same ingest probing a PERSISTED band index (band →
       // doc, materialized outside the timing like a real ingest reads
-      // it) — isolates what the per-batch corpus-wide band explode was
+      // it, built from the SAME persisted signature set as the direct
+      // leg) — isolates what the per-batch corpus-wide band explode was
       // costing the direct leg above
       val bandIdx =
         if (opFilter("minhash_incremental_indexed")) {
-          val sigs = ops.Dedup.minhashSignatures(
-            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-            shingleLen = 5, k = 32).persist()
-          sigs.count()
-          val idx = ops.Dedup.bandIndex(sigs, "doc", "sig").persist()
+          val idx = ops.Dedup.bandIndex(corpusSigs.get, "doc", "sig").persist()
           idx.count()
-          Some((sigs, idx))
+          Some(idx)
         } else None
       timed("minhash_incremental_indexed", runs, opFilter) {
         ops.Dedup.minhashIncrementalFromIndex(docs.filter(col("doc_id") % 3 =!= 0),
-          "doc_id", "text", bandIdx.get._2, bandIdx.get._1, "doc", "sig",
+          "doc_id", "text", bandIdx.get, corpusSigs.get, "doc", "sig",
           maxBandFrequency = Some(2000)).count()
       }
-      bandIdx.foreach { case (s2, i2) => s2.unpersist(); i2.unpersist() }
+      bandIdx.foreach(_.unpersist())
+      corpusSigs.foreach(_.unpersist())
       timed("sequence_packing", runs, opFilter) {
         val withTokens = docs.withColumn("n_tokens",
           (size(split(col("text"), " "))).cast("long"))

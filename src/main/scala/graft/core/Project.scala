@@ -432,9 +432,11 @@ object Project {
         target = new StringBuilder
         givens += ref -> (target, isSql)
       // any `expect ...` header line must parse or fail loudly — a typo
-      // ('expect format csv', stray spacing) silently falling through to
-      // the data-row branch would append into the PREVIOUS given block
-      case l if l == "expect" || l.startsWith("expect ") =>
+      // ('expect format csv', stray spacing, tabs) silently falling
+      // through to the data-row branch would append into the PREVIOUS
+      // given block; match the first whitespace-split token, not a
+      // literal space
+      case l if l.split("\\s+").headOption.contains("expect") =>
         l.stripPrefix("expect").trim.split("\\s+").toSeq match {
           case Seq("")              => target = expect; expectSql = false
           case Seq("format", "sql") => target = expect; expectSql = true

@@ -356,53 +356,16 @@ object Dedup {
                          corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
                          shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.5,
-                         maxBandFrequency: Option[Int] = None): DataFrame = {
-    require(k % bands == 0,
-      s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
-        s"the trailing ${k % bands} signature positions")
-    // fail fast on a mismatched signature store: est_jaccard divides the
-    // position-agreement count by THIS call's k, and bandKeys slices by
-    // THIS call's k/bands — a store built with a different (k, shingleLen)
-    // would yield silently-wrong similarities, not an error. One limit-1
-    // probe of the store is cheap next to the batch it guards.
-    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
-          "was built with a different k than this call (and possibly a different " +
-          "shingleLen, which this check cannot see)")
-    }
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
-    try {
-      val nb0 = newSigs.select(col("doc"),
-        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-      val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"), col(sigCol).as("csig"))
-      val cb0 = cs.select(col("corpus_doc"),
-        explode(bandKeys(col("csig"), bands, k / bands)).as("band"))
-      val (nb, cb) = maxBandFrequency match {
-        case None => (nb0, cb0)
-        case Some(cap) =>
-          val hot = nb0.select("band").unionAll(cb0.select("band"))
-            .groupBy("band").agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > cap).select("band")
-            // tiny by construction (only saturated buckets) — materialize
-            // once so the two anti-joins don't each recount every band
-            .localCheckpoint(true)
-          (nb0.join(broadcast(hot), Seq("band"), "left_anti"),
-            cb0.join(broadcast(hot), Seq("band"), "left_anti"))
-      }
-      nb.join(cb, Seq("band"))
-        .select("doc", "corpus_doc").distinct()
-        .join(newSigs, "doc")
-        .join(cs, "corpus_doc")
-        .withColumn("est_jaccard",
-          org.apache.spark.sql.graft.VectorExpressions
-            .signatureAgreement(col("sig"), col("csig"))
-            .cast(DoubleType) / k)
-        .filter(col("est_jaccard") >= threshold)
-        .select("doc", "corpus_doc", "est_jaccard")
-        .localCheckpoint(true)
-    } finally newSigs.unpersist()
-  }
+                         maxBandFrequency: Option[Int] = None): DataFrame =
+    // the direct form IS the from-index form with the band relation
+    // derived inline (one implementation — r12 review: the duplicated
+    // cap/verify chains were a divergence risk); persisting the band
+    // relation as a table is the only difference, and the only cost
+    // difference: the inline derivation re-explodes the corpus per batch
+    minhashIncrementalFromIndex(newDocs, idCol, textCol,
+      bandIndex(corpusSigs, corpusIdCol, sigCol, bands, k),
+      corpusSigs, corpusIdCol, sigCol, shingleLen, k, bands, threshold,
+      maxBandFrequency)
 
   /** Persisted BAND INDEX: (band, doc) rows exploded once from a
     * signature store — the ingest artifact [[minhashIncremental]]'s
@@ -414,6 +377,15 @@ object Dedup {
   def bandIndex(corpusSigs: DataFrame, idCol: String, sigCol: String,
                 bands: Int = 8, k: Int = 32): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    // same fail-fast as the incremental entry points: an index sliced
+    // with a k that doesn't match the store's signature length would
+    // produce band keys no batch can ever hit — every near-dup silently
+    // admitted, zero candidates, no error
+    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
+          "was built with a different k than this index build")
+    }
     corpusSigs.select(col(idCol).as("doc"),
       explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
       .select("band", "doc")

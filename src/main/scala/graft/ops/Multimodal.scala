@@ -42,6 +42,9 @@ object Multimodal {
                                       maxPixels: Long = 1L << 26): Option[java.awt.image.BufferedImage] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // createImageInputStream is documented to return null when no SPI
+    // can wrap the input — degrade, don't NPE in the finally close()
+    if (in == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) None
