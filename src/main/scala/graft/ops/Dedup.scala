@@ -71,6 +71,55 @@ object Dedup {
       .withColumn("is_new_content", col("status") === "new")
   }
 
+  /** Declarable Bloom membership ARTIFACT over corpus content (r12): a
+    * compact, broadcastable "definitely not in the corpus" oracle built
+    * once per corpus generation (driver-held, like PQ codebooks — a ~1.2
+    * GB filter covers 10⁹ docs at 1% fpp). Build it over the SAME corpus
+    * as the fingerprint store or the no-false-negatives pre-filter
+    * contract of [[exactIncrementalBloom]] does not hold. */
+  def contentBloom(corpus: DataFrame, textCol: String,
+                   expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+
+  /** [[exactIncremental]] with a Bloom PRE-FILTER: rows the broadcast
+    * filter rules out ("definitely new content") bypass the fingerprint-
+    * store join entirely — at a realistic ingest, most of the batch —
+    * so the store-keyed shuffle carries only the maybe-duplicate
+    * minority. Bloom filters have no false negatives, so the output is
+    * IDENTICAL to the unfiltered form (StoreCompactionSpec pins it; the
+    * gate reuses the same oracle): false positives just pay the join and
+    * come back unmatched. The probe is a codegen expression carrying the
+    * filter via a plan reference object, not a UDF. */
+  def exactIncrementalBloom(newDocs: DataFrame, idCol: String, textCol: String,
+                            corpusHashes: DataFrame, hashCol: String,
+                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .bloomMightContainLong(xxhash64(col(textCol)), bloom).as("__maybe"))
+    val ranked = hashed.withColumn("rn",
+      row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
+    val hist = corpusHashes.select(col(hashCol).as("content_hash")).distinct()
+      .withColumn("__seen", lit(1))
+    val maybe = ranked.filter(col("__maybe"))
+      .join(hist, Seq("content_hash"), "left")
+    val fresh = ranked.filter(!col("__maybe"))
+      .withColumn("__seen", lit(null).cast("int"))
+    val classified = maybe.unionByName(fresh)
+      .select(col(idCol), col("content_hash"),
+        when(col("__seen").isNotNull, "dup_of_corpus")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new").as("status"))
+    val nullText = newDocs.filter(col(textCol).isNull)
+      .select(col(idCol), lit(null).cast("string").as("content_hash"),
+        lit("new").as("status"))
+    classified.unionAll(nullText)
+      .withColumn("is_new_content", col("status") === "new")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Modulus keeping a*h+b inside 63 bits for h < 2^28, a < 2^21 —

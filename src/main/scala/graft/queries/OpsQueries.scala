@@ -76,6 +76,19 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: the same exact-dedup ingest behind a broadcast Bloom
+    // pre-filter — definite-new rows bypass the store join; no false
+    // negatives ⇒ identical output, same oracle
+    "q_dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val hist = corpus.select(md5(col("text")).as("h"))
+      val bloom = Dedup.contentBloom(corpus, "text", expectedItems = 100000L)
+      Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", hist, "h", bloom)
+        .orderBy("doc_id")
+    }),
+
     // incremental NEAR-dup: the new batch (doc_id % 3 <> 0) against the
     // persisted signature table of the historical corpus (doc_id % 3 = 0)
     "q_dedup_minhash_incremental" -> ((s, d) => {
@@ -1074,17 +1087,11 @@ object OpsQueries {
          |FROM labeled JOIN qual USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_incremental" ->
-      """WITH hist AS (
-        |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0),
-        |nw AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0),
-        |r AS (SELECT doc_id, content_hash,
-        |  ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM nw)
-        |SELECT doc_id, content_hash,
-        |  CASE WHEN content_hash IN (SELECT content_hash FROM hist) THEN 'dup_of_corpus'
-        |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
-        |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" -> exactIncrementalOracleSql,
+
+    // the Bloom pre-filter is plan-only (no false negatives): identical
+    // semantics, identical oracle
+    "q_dedup_incremental_bloom" -> exactIncrementalOracleSql,
 
     "q_dedup_minhash_incremental" -> minhashIncrementalOracleSql,
 
@@ -2142,6 +2149,20 @@ object OpsQueries {
         |  asset_id = component AS is_survivor
         |FROM labeled JOIN sizes USING (component) ORDER BY asset_id""".stripMargin
   )
+
+  /** Exact-dedup ingest oracle, shared verbatim by the direct and
+    * Bloom-pre-filtered forms (same semantics, different plan). */
+  private def exactIncrementalOracleSql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0),
+      |nw AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0),
+      |r AS (SELECT doc_id, content_hash,
+      |  ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM nw)
+      |SELECT doc_id, content_hash,
+      |  CASE WHEN content_hash IN (SELECT content_hash FROM hist) THEN 'dup_of_corpus'
+      |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
+      |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Incremental minhash ingest oracle, shared verbatim by the direct
     * and persisted-band-index forms (same semantics, different plan). */

@@ -4,11 +4,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, LongType}
 
 /** Custom Catalyst expressions for the vector-similarity hot path
   * (builder-prompt extension preference (b): a native `Expression` with
@@ -206,6 +206,11 @@ object VectorExpressions {
     ExpressionUtils.column(ExciseWindows(
       ExpressionUtils.expression(text), ExpressionUtils.expression(starts), n))
 
+  def bloomMightContainLong(key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(BloomMightContainLong(
+      ExpressionUtils.expression(key), bloom))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -215,6 +220,38 @@ object VectorExpressions {
     registry.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs.head, exprs(1)), "built-in")
   }
+}
+
+/** `bloom_might_contain_long(key)` — membership probe against a
+  * broadcast Bloom artifact (r12): the ingest PRE-FILTER that lets
+  * definite-new content skip the fingerprint-store join entirely. The
+  * filter object rides the expression instance via `addReferenceObj`
+  * (the IVF-centroid/BPE-merges pattern — O(1) plan and codegen size at
+  * any filter size); `stringArgs` hides the blob from explain. No false
+  * negatives by Bloom construction, so a verify step behind it is
+  * output-identical to the unfiltered form (Dedup.exactIncrementalBloom
+  * parity). */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+  // keep the serialized filter out of explain/toString
+  override def stringArgs: Iterator[Any] = Iterator(child, s"bloom(${bloom.bitSize()} bits)")
+
+  override def nullSafeEval(k: Any): Any =
+    bloom.mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, k => s"${ev.value} = $ref.mightContainLong($k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `minhash_signature(text)` — the whole MinHash signature (k affine mins

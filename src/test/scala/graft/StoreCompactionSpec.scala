@@ -117,6 +117,33 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(sameRows(ca, cb), "compacted band index must equal the live rebuild")
   }
 
+  test("bloom pre-filtered exact ingest == unfiltered; corpus membership never missed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val hist = corpus.select(md5(col("text")).as("h"))
+    val bloom = Dedup.contentBloom(corpus, "text", expectedItems = 10000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val plain = rows(Dedup.exactIncremental(batch, "doc_id", "text", hist, "h"))
+    val pre = rows(Dedup.exactIncrementalBloom(batch, "doc_id", "text", hist, "h", bloom))
+    assert(plain == pre && plain.nonEmpty,
+      "bloom has no false negatives, so the pre-filtered form must be identical")
+    // planted case: exact corpus copy, batch-internal dup pair, fresh doc,
+    // and a null-text row — every status class through the bloom path
+    val c2 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val h2 = c2.select(md5(col("text")).as("h"))
+    val b2 = Dedup.contentBloom(c2, "text", expectedItems = 100L)
+    val batch2: Seq[(Long, String)] = Seq((10L, "alpha beta"), (11L, "fresh one"),
+      (12L, "fresh one"), (13L, null))
+    val out = Dedup.exactIncrementalBloom(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", h2, "h", b2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "dup_of_corpus", 11L -> "new",
+      12L -> "dup_in_batch", 13L -> "new"), out.toString)
+  }
+
   test("change-feed-driven compaction: CDC delete rows drive the anti-join") {
     import spark.implicits._
     val rm = new RelationManager(spark, Files.createTempDirectory("graft_gc").toString)
