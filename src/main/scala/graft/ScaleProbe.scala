@@ -51,21 +51,26 @@ object ScaleProbe {
         length(col("text")).cast("long").as("n_chars"))
   }
 
-  // executor-CPU second axis (r12, shared with Bench): installed by main
-  // once the session exists; until then reads 0 so `timed` stays callable
-  private var cpuNow: () => Long = () => 0L
+  // executor-CPU + shuffle-record axes (r12, shared with Bench):
+  // installed by main once the session exists; until then reads 0 so
+  // `timed` stays callable. Shuffle-write records are the DETERMINISTIC
+  // axis — wall and even CPU swing with ambient load, but a plan shape
+  // either moves the rows or it doesn't.
+  private var metricsNow: () => (Long, Long) = () => (0L, 0L)
 
   private def timed(name: String,
-                    runs: scala.collection.mutable.Buffer[(String, Double, Double)],
+                    runs: scala.collection.mutable.Buffer[(String, Double, Double, Long)],
                     opFilter: String => Boolean = _ => true)
                    (body: => Long): Unit = if (opFilter(name)) {
-    val c0 = cpuNow()
+    val (c0, s0) = metricsNow()
     val t0 = System.nanoTime()
     val rows = body
     val sec = (System.nanoTime() - t0) / 1e9
-    val cpu = (cpuNow() - c0) / 1e9
-    runs += ((name, sec, cpu))
-    println(f"[probe] $name%-28s $sec%8.2f s  cpu $cpu%8.2f s   ($rows rows)")
+    val (c1, s1) = metricsNow()
+    val cpu = (c1 - c0) / 1e9
+    val shuf = s1 - s0
+    runs += ((name, sec, cpu, shuf))
+    println(f"[probe] $name%-28s $sec%8.2f s  cpu $cpu%8.2f s  shuffle $shuf%12d rows  ($rows rows)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,17 +88,17 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val cpuAcc = new org.apache.spark.graft.CpuTimeAccumulator
     spark.sparkContext.addSparkListener(cpuAcc)
-    cpuNow = () => {
+    metricsNow = () => {
       org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
-      cpuAcc.cpuNs.get()
+      (cpuAcc.cpuNs.get(), cpuAcc.shuffleRecords.get())
     }
 
-    val results = scala.collection.mutable.Map.empty[Int, Seq[(String, Double, Double)]]
+    val results = scala.collection.mutable.Map.empty[Int, Seq[(String, Double, Double, Long)]]
     sizes.foreach { n =>
       println(s"== corpus n=$n ==")
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside the timings
-      val runs = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
+      val runs = scala.collection.mutable.Buffer.empty[(String, Double, Double, Long)]
       // band cap ON (the 100 TB configuration): without it the hottest
       // band bucket at 150k docs holds 20% of the corpus and the self-
       // join implies 1.3e9 rows (BandDiag; SCALE.md round-6 note)
@@ -151,6 +156,69 @@ object ScaleProbe {
       }
       bandIdx.foreach(_.unpersist())
       corpusSigs.foreach(_.unpersist())
+      // r12 A/B: exact-dedup ingest with and without the broadcast Bloom
+      // pre-filter. Store (distinct md5 fingerprints) AND filter are
+      // MATERIALIZED outside the timing — both are corpus-generation
+      // artifacts a real ingest loads — so the pair isolates what the
+      // pre-filter saves on the batch side: definitely-new rows (most of
+      // this corpus: ~60% unique + near-dup mutations) skip the
+      // store-keyed join entirely. Aggregate over status (not count) so
+      // the left join can't be eliminated.
+      val fpStore =
+        if (opFilter("exact_incremental") || opFilter("exact_incremental_bloom")) {
+          val st = docs.filter(col("doc_id") % 3 === 0)
+            .select(md5(col("text")).as("h")).distinct().persist()
+          st.count()
+          Some(st)
+        } else None
+      val fpBloom =
+        if (opFilter("exact_incremental_bloom") || opFilter("exact_incremental_bloom_smj"))
+          Some(ops.Dedup.fingerprintBloom(fpStore.get, "h",
+            expectedItems = math.max(n / 3, 1000).toLong))
+        else None
+      def ingestAgg(df: DataFrame): Long =
+        df.agg(count(lit(1)),
+          sum(when(col("is_new_content"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      timed("exact_incremental", runs, opFilter)(ingestAgg(
+        ops.Dedup.exactIncremental(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", fpStore.get, "h")))
+      timed("exact_incremental_bloom", runs, opFilter)(ingestAgg(
+        ops.Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", fpStore.get, "h", fpBloom.get)))
+      // same A/B in the BIG-STORE regime the filter exists for: store =
+      // 90% of the corpus, batch = 10% (a realistic history:ingest
+      // ratio), broadcast capped at 1 MB so the store is past any
+      // broadcast threshold — the plain form distincts+shuffles+sorts
+      // the WHOLE store per batch, the restructured bloom form only
+      // STREAMS it (semi-probe with the maybe-key set on the build
+      // side, matched set riding back via AQE broadcast).
+      val bigLegs = Seq("exact_incremental_bigstore", "exact_incremental_bloom_bigstore")
+      val bigStore =
+        if (bigLegs.exists(opFilter)) {
+          val st = docs.filter(col("doc_id") % 10 =!= 9)
+            .select(md5(col("text")).as("h")).distinct().persist()
+          st.count()
+          Some(st)
+        } else None
+      val bigBloom =
+        if (opFilter("exact_incremental_bloom_bigstore"))
+          Some(ops.Dedup.fingerprintBloom(bigStore.get, "h",
+            expectedItems = math.max(n, 1000).toLong))
+        else None
+      if (bigLegs.exists(opFilter)) {
+        val thresholdWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
+        try {
+          timed("exact_incremental_bigstore", runs, opFilter)(ingestAgg(
+            ops.Dedup.exactIncremental(docs.filter(col("doc_id") % 10 === 9),
+              "doc_id", "text", bigStore.get, "h")))
+          timed("exact_incremental_bloom_bigstore", runs, opFilter)(ingestAgg(
+            ops.Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 10 === 9),
+              "doc_id", "text", bigStore.get, "h", bigBloom.get)))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdWas)
+      }
+      bigStore.foreach(_.unpersist())
+      fpStore.foreach(_.unpersist())
       timed("sequence_packing", runs, opFilter) {
         val withTokens = docs.withColumn("n_tokens",
           (size(split(col("text"), " "))).cast("long"))
@@ -475,10 +543,11 @@ object ScaleProbe {
       val lo = sizes.min; val hi = sizes.max
       val factor = hi.toDouble / lo
       println(f"== growth ($lo -> $hi docs, ${factor}%.0fx) ==")
-      results(lo).zip(results(hi)).foreach { case ((name, a, ac), (_, b, bc)) =>
+      results(lo).zip(results(hi)).foreach { case ((name, a, ac, as_), (_, b, bc, bs)) =>
         val cpuNote = if (ac > 0 && bc > 0) f" cpu ${bc / ac}%.2fx" else ""
+        val shufNote = if (as_ > 0 && bs > 0) f" shuffle ${bs.toDouble / as_}%.2fx" else ""
         println(f"[probe] $name%-28s ${b / a}%6.2fx wall for ${factor}%.0fx data " +
-          f"(per-doc ratio ${(b / a) / factor}%4.2f)$cpuNote")
+          f"(per-doc ratio ${(b / a) / factor}%4.2f)$cpuNote$shufNote")
       }
     }
     spark.stop()

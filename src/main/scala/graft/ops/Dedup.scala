@@ -71,44 +71,58 @@ object Dedup {
       .withColumn("is_new_content", col("status") === "new")
   }
 
-  /** Declarable Bloom membership ARTIFACT over corpus content (r12): a
-    * compact, broadcastable "definitely not in the corpus" oracle built
-    * once per corpus generation (driver-held, like PQ codebooks — a ~1.2
-    * GB filter covers 10⁹ docs at 1% fpp). Build it over the SAME corpus
-    * as the fingerprint store or the no-false-negatives pre-filter
-    * contract of [[exactIncrementalBloom]] does not hold. */
-  def contentBloom(corpus: DataFrame, textCol: String,
-                   expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    corpus.filter(col(textCol).isNotNull)
-      .select(xxhash64(col(textCol)).as("__k"))
+  /** Declarable Bloom membership ARTIFACT over the persisted fingerprint
+    * store (r12): a compact, broadcastable "definitely not in the
+    * corpus" oracle built once per corpus generation (driver-held, like
+    * PQ codebooks — a ~1.2 GB filter covers 10⁹ fingerprints at 1% fpp).
+    * Keys on `xxhash64(fingerprint)` — the store column the ingest
+    * already computes, NOT a second full-text hash pass. Build it over
+    * the SAME store [[exactIncrementalBloom]] classifies against or the
+    * no-false-negatives pre-filter contract does not hold. */
+  def fingerprintBloom(corpusHashes: DataFrame, hashCol: String,
+                       expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpusHashes.filter(col(hashCol).isNotNull)
+      .select(xxhash64(col(hashCol)).as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
 
-  /** [[exactIncremental]] with a Bloom PRE-FILTER: rows the broadcast
-    * filter rules out ("definitely new content") bypass the fingerprint-
-    * store join entirely — at a realistic ingest, most of the batch —
-    * so the store-keyed shuffle carries only the maybe-duplicate
-    * minority. Bloom filters have no false negatives, so the output is
-    * IDENTICAL to the unfiltered form (StoreCompactionSpec pins it; the
-    * gate reuses the same oracle): false positives just pay the join and
-    * come back unmatched. The probe is a codegen expression carrying the
-    * filter via a plan reference object, not a UDF. */
+  /** [[exactIncremental]] with a Bloom PRE-FILTER, restructured so the
+    * fingerprint store is only ever STREAMED: rows the broadcast filter
+    * rules out ("definitely new content" — at a realistic ingest, most
+    * of the batch) never touch the store at all, and the maybe-duplicate
+    * minority probes it as a SEMI join with the small key set on the
+    * build side. The plain form's per-batch O(store) distinct+shuffle is
+    * gone — the only store-sized work left is one column scan, and the
+    * matched set (⊆ maybe keys) rides back as a runtime-small join AQE
+    * flips to broadcast. The bloom probe keys on xxhash64 of the md5
+    * fingerprint the ingest computes anyway (no second full-text hash),
+    * via a codegen expression carrying the filter as a plan reference
+    * object, not a UDF. Bloom filters have no false negatives, so output
+    * is IDENTICAL to the unfiltered form (StoreCompactionSpec pins it;
+    * the gate reuses the same oracle): false positives just pay the
+    * probe and come back unmatched. The intra-batch rank window stays on
+    * the full batch — two copies of brand-new content must still resolve
+    * dup_in_batch among themselves — and its hash partitioning is reused
+    * by the matched-set join (no second batch shuffle). */
   def exactIncrementalBloom(newDocs: DataFrame, idCol: String, textCol: String,
                             corpusHashes: DataFrame, hashCol: String,
                             bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = newDocs.filter(col(textCol).isNotNull)
-      .select(col(idCol), md5(col(textCol)).as("content_hash"),
-        org.apache.spark.sql.graft.VectorExpressions
-          .bloomMightContainLong(xxhash64(col(textCol)), bloom).as("__maybe"))
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("__maybe", org.apache.spark.sql.graft.VectorExpressions
+        .bloomMightContainLong(xxhash64(col("content_hash")), bloom))
     val ranked = hashed.withColumn("rn",
       row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
-    val hist = corpusHashes.select(col(hashCol).as("content_hash")).distinct()
+    val maybeKeys = hashed.filter(col("__maybe"))
+      .select(col("content_hash")).distinct()
+    // store-side: one streaming scan, semi-probed by the small key set
+    // (AQE picks the broadcast build at runtime — an explicit broadcast
+    // hint would OOM on an adversarial all-duplicate batch)
+    val matched = corpusHashes.select(col(hashCol).as("content_hash"))
+      .join(maybeKeys, Seq("content_hash"), "leftsemi")
+      .distinct()
       .withColumn("__seen", lit(1))
-    val maybe = ranked.filter(col("__maybe"))
-      .join(hist, Seq("content_hash"), "left")
-    val fresh = ranked.filter(!col("__maybe"))
-      .withColumn("__seen", lit(null).cast("int"))
-    val classified = maybe.unionByName(fresh)
+    val classified = ranked.join(matched, Seq("content_hash"), "left")
       .select(col(idCol), col("content_hash"),
         when(col("__seen").isNotNull, "dup_of_corpus")
           .when(col("rn") > 1, "dup_in_batch")

@@ -377,6 +377,54 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("avg_logprob_lm"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): split
+    * LM-scored documents into head / middle / tail quality terciles PER
+    * GROUP (CCNet buckets per language — multilingual corpora have
+    * incomparable perplexity scales). Input is any scored frame (e.g.
+    * [[externalLmLogProb]] output); `lpCol` is the per-token mean
+    * log-probability, so head = highest lp = lowest perplexity. Adds
+    * `perplexity` (= exp(−lp), the word-level perplexity) and
+    * `ppl_bucket`.
+    *
+    * Cutoffs are VALUE-BASED rank order statistics, not per-doc ntiles:
+    * the value at rank ⌈n·f⌉ of the group's lp sorted descending. Docs
+    * tied at a cutoff value all take the better bucket — equal scores
+    * always land in equal buckets, which a rank-ntile would not
+    * guarantee — and no quantile interpolation arithmetic enters the
+    * contract (engine-portable, like CorpusStats' order statistics).
+    *
+    * Scale shape: cutoff derivation ranks within each group — bounded
+    * by the largest language, and at 100 TB the documented knob is the
+    * same as CorpusStats': swap the rank for `percentile_approx` over
+    * (group) and keep the assignment unchanged. Assignment itself is a
+    * broadcast join of the per-group cutoff table (rows = |groups| × 2)
+    * against the scored frame — per-row, window-free, embarrassingly
+    * parallel on the corpus-sized path. */
+  def perplexityBuckets(scored: DataFrame, idCol: String, groupCol: String,
+                        lpCol: String,
+                        headFraction: Double = 1.0 / 3.0,
+                        middleFraction: Double = 2.0 / 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val ranked = scored.select(col(groupCol), col(lpCol))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
+      .join(sizes, Seq(groupCol))
+    val c1 = ranked
+      .filter(col("rn") === ceil(col("n_docs") * lit(headFraction)).cast(LongType))
+      .select(col(groupCol), col(lpCol).as("__cut1"))
+    val c2 = ranked
+      .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
+      .select(col(groupCol), col(lpCol).as("__cut2"))
+    scored.join(broadcast(c1), Seq(groupCol)).join(broadcast(c2), Seq(groupCol))
+      .withColumn("perplexity", round(exp(-col(lpCol)), 6))
+      .withColumn("ppl_bucket",
+        when(col(lpCol) >= col("__cut1"), "head")
+          .when(col(lpCol) >= col("__cut2"), "middle")
+          .otherwise("tail"))
+      .drop("__cut1", "__cut2")
+  }
+
   /** Document fingerprint: order-insensitive content hash —
     * md5 over the sorted distinct lowercase token set. Collapses
     * whitespace/ordering variants to one key; pairs with exact dedup. */

@@ -83,7 +83,7 @@ object OpsQueries {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val hist = corpus.select(md5(col("text")).as("h"))
-      val bloom = Dedup.contentBloom(corpus, "text", expectedItems = 100000L)
+      val bloom = Dedup.fingerprintBloom(hist, "h", expectedItems = 100000L)
       Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", hist, "h", bloom)
         .orderBy("doc_id")
@@ -238,6 +238,21 @@ object OpsQueries {
       val docs = Tables.documents(s, d)
       val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
       TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .orderBy("doc_id")
+    }),
+
+    // r12: CCNet head/middle/tail perplexity terciles PER LANGUAGE over
+    // the external-LM scores — value-based rank cutoffs (ties take the
+    // better bucket), unscoreable docs (0 bigrams) excluded
+    "q_text_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      val scored = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .filter(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm")
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob_lm",
+          "perplexity", "ppl_bucket")
         .orderBy("doc_id")
     }),
 
@@ -1711,30 +1726,30 @@ object OpsQueries {
     // exp/ln roundtrips must agree bitwise with the JVM (empirically
     // pinned by this gate, like ln in the unigram/bigram oracles)
     "q_text_lm_external" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |held AS (SELECT * FROM t WHERE doc_id % 3 = 0),
-         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
-         |        FROM (SELECT unnest(tk) AS tok FROM held) u GROUP BY 1),
-         |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
-         |unilp AS (SELECT tok, ln(tf / total) AS lp FROM uni, n),
-         |hbig AS (SELECT tk[i] AS w1, tk[i+1] AS w2
-         |         FROM held, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
-         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM hbig GROUP BY 1, 2),
-         |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM hbig GROUP BY 1),
-         |bilp AS (SELECT cb.w1, cb.w2, ln(cb.c2 / cp.c1) AS lp2 FROM cb JOIN cp USING (w1)),
-         |big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-         |        FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
-         |scored AS (
-         |  SELECT b.doc_id,
-         |    ln(0.7 * COALESCE(exp(bl.lp2), 0.0) + (1.0 - 0.7) * COALESCE(exp(ul.lp), exp(-20.0))) AS lp
-         |  FROM big b LEFT JOIN bilp bl ON b.w1 = bl.w1 AND b.w2 = bl.w2
-         |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |        round(avg(lp), 6) AS avg_logprob_lm FROM scored GROUP BY 1)
+      s"""$externalLmCtes
          |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
          |  COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-language perplexity terciles over the external-LM scores:
+    // value-based rank cutoffs (value at rank ceil(n*f) of lp DESC),
+    // ties take the better bucket, 0-bigram docs excluded
+    "q_text_ppl_buckets" ->
+      s"""$externalLmCtes,
+         |sc AS (SELECT d.doc_id, d.lang, a.n_bigrams, a.avg_logprob_lm
+         |       FROM documents d JOIN agg a USING (doc_id) WHERE a.n_bigrams > 0),
+         |sizes AS (SELECT lang, COUNT(*) AS n_docs FROM sc GROUP BY 1),
+         |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM sc),
+         |c1 AS (SELECT r.lang, r.avg_logprob_lm AS cut1 FROM r JOIN sizes s USING (lang)
+         |       WHERE rn = CAST(ceil(s.n_docs * (1.0/3.0)) AS BIGINT)),
+         |c2 AS (SELECT r.lang, r.avg_logprob_lm AS cut2 FROM r JOIN sizes s USING (lang)
+         |       WHERE rn = CAST(ceil(s.n_docs * (2.0/3.0)) AS BIGINT))
+         |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_logprob_lm,
+         |  round(exp(-sc.avg_logprob_lm), 6) AS perplexity,
+         |  CASE WHEN sc.avg_logprob_lm >= c1.cut1 THEN 'head'
+         |       WHEN sc.avg_logprob_lm >= c2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM sc JOIN c1 USING (lang) JOIN c2 USING (lang) ORDER BY doc_id""".stripMargin,
 
     "q_text_blocklist" ->
       s"""WITH aug AS (SELECT doc_id, text ||
@@ -2149,6 +2164,34 @@ object OpsQueries {
         |  asset_id = component AS is_survivor
         |FROM labeled JOIN sizes USING (component) ORDER BY asset_id""".stripMargin
   )
+
+  /** External-LM scoring CTE chain (held slice's MLE logprob tables,
+    * every doc scored with left joins + the exp(-20) OOV floor — exp/ln
+    * roundtrips agree bitwise with the JVM, pinned by the lm_external
+    * gate), ending at `agg(doc_id, n_bigrams, avg_logprob_lm)`. Shared
+    * by q_text_lm_external and the perplexity-bucket oracle built on
+    * top of the same scores. */
+  private def externalLmCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |held AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT unnest(tk) AS tok FROM held) u GROUP BY 1),
+       |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
+       |unilp AS (SELECT tok, ln(tf / total) AS lp FROM uni, n),
+       |hbig AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |         FROM held, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM hbig GROUP BY 1, 2),
+       |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM hbig GROUP BY 1),
+       |bilp AS (SELECT cb.w1, cb.w2, ln(cb.c2 / cp.c1) AS lp2 FROM cb JOIN cp USING (w1)),
+       |big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |        FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    ln(0.7 * COALESCE(exp(bl.lp2), 0.0) + (1.0 - 0.7) * COALESCE(exp(ul.lp), exp(-20.0))) AS lp
+       |  FROM big b LEFT JOIN bilp bl ON b.w1 = bl.w1 AND b.w2 = bl.w2
+       |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        round(avg(lp), 6) AS avg_logprob_lm FROM scored GROUP BY 1)""".stripMargin
 
   /** Exact-dedup ingest oracle, shared verbatim by the direct and
     * Bloom-pre-filtered forms (same semantics, different plan). */

@@ -14,16 +14,24 @@ object BusAccess {
     catch { case _: Exception => () }
 }
 
-/** Accumulates executor CPU nanoseconds across all task ends — the
-  * shared second measurement axis for Bench and ScaleProbe (wall time on
-  * the bench host swings ±20% with ambient load; CPU only counts cycles
-  * the tasks burned). Read via [[BusAccess.waitUntilListenerBusEmpty]]
-  * first: task-end events are delivered asynchronously. */
+/** Accumulates executor CPU nanoseconds and shuffle-write records across
+  * all task ends — the shared measurement axes for Bench and ScaleProbe.
+  * Wall time on the bench host swings ±20% with ambient load and CPU
+  * time itself inflates 2-3× under heavy SMT contention; shuffle-write
+  * records are the fully DETERMINISTIC structural axis (a plan shape
+  * either moves the rows or it doesn't), so A/B legs comparing plan
+  * shapes read it first. Read via
+  * [[BusAccess.waitUntilListenerBusEmpty]] first: task-end events are
+  * delivered asynchronously. */
 class CpuTimeAccumulator extends org.apache.spark.scheduler.SparkListener {
   val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
   override def onTaskEnd(
       taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
-    if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    if (m != null) {
+      cpuNs.addAndGet(m.executorCpuTime)
+      shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+    }
   }
 }

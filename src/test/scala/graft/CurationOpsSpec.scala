@@ -1077,4 +1077,42 @@ class CurationOpsSpec extends AnyFunSuite {
       s"fully-OOV doc must score the floor $floor, got ${out(12L)}")
     assert(out(13L) == ((0L, 0.0)), "empty doc: zero bigrams, zero score")
   }
+
+  test("perplexity buckets: per-group terciles, cutoff ties take the better bucket") {
+    import spark.implicits._
+    // group A: 6 docs with distinct scores → clean 2/2/2 split
+    // group B: scores tied ACROSS the middle cutoff — every tied doc
+    //   must take the better bucket (value-based, not rank-based)
+    val scored = Seq(
+      (1L, "a", -1.0), (2L, "a", -2.0), (3L, "a", -3.0),
+      (4L, "a", -4.0), (5L, "a", -5.0), (6L, "a", -6.0),
+      (10L, "b", -1.0), (11L, "b", -2.0), (12L, "b", -2.0),
+      (13L, "b", -2.0), (14L, "b", -2.0), (15L, "b", -9.0)
+    ).toDF("doc_id", "grp", "lp")
+    val out = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    assert(out(1L) == "head" && out(2L) == "head", out.toString)
+    assert(out(3L) == "middle" && out(4L) == "middle")
+    assert(out(5L) == "tail" && out(6L) == "tail")
+    // B: rank-2 value (cut1) = -2.0 — docs 11-14 all tie it → all head
+    assert(out(10L) == "head")
+    assert(Seq(11L, 12L, 13L, 14L).forall(out(_) == "head"),
+      s"docs tied at the head cutoff value must all be head: $out")
+    assert(out(15L) == "tail")
+  }
+
+  test("perplexity buckets: singleton and all-tied groups degrade to head; perplexity = exp(-lp)") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "solo", -2.5),
+      (2L, "flat", -3.0), (3L, "flat", -3.0), (4L, "flat", -3.0)
+    ).toDF("doc_id", "grp", "lp")
+    val rows = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("ppl_bucket"), r.getAs[Double]("perplexity"))).toMap
+    assert(rows(1L)._1 == "head", "a single-doc group is its own head")
+    assert(Seq(2L, 3L, 4L).forall(rows(_)._1 == "head"),
+      "an all-tied group has one cutoff value shared by every doc")
+    assert(math.abs(rows(1L)._2 - math.rint(math.exp(2.5) * 1e6) / 1e6) < 1e-12)
+  }
 }

@@ -154,6 +154,43 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fused shingle production must be a pure map:\n$shinglePlan")
   }
 
+  test("r12: bloom ingest streams the store — no sort-merge join at any store size") {
+    // the regime the pre-filter exists for: fingerprint store past the
+    // broadcast threshold, batch (and so the maybe-key set) below it.
+    // The plain form's left join against the store must sort-merge (the
+    // store side sorts per batch); the restructured bloom form probes
+    // the store as a SEMI join with the SMALL key set on the build side
+    // and the matched set rides back as a broadcast — the store is only
+    // ever STREAMED, so the plan carries NO SortMergeJoin.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // ~100k synthetic fingerprints (~5 MB) — past the 64 KB threshold —
+    // plus every 5th doc's real fingerprint, so the maybe-key set is
+    // NON-empty and the probe joins actually execute (with zero maybe
+    // keys AQE empty-relation-propagates the store scan away wholesale)
+    val store = spark.range(100000).select(md5(col("id").cast("string")).as("h"))
+      .union(docs.filter(col("doc_id") % 5 === 0).select(md5(col("text")).as("h")))
+    val bloom = graft.ops.Dedup.fingerprintBloom(store, "h", expectedItems = 100000L)
+    val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    try {
+      val plain = graft.ops.Dedup.exactIncremental(docs, "doc_id", "text", store, "h")
+      plain.collect()
+      val plainPlan = plain.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plainPlan.contains("SortMergeJoin"),
+        s"precondition: the plain form must be in the sort-merge regime:\n$plainPlan")
+      val pre = graft.ops.Dedup.exactIncrementalBloom(
+        docs, "doc_id", "text", store, "h", bloom)
+      pre.collect()
+      val prePlan = pre.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!prePlan.contains("SortMergeJoin"),
+        s"bloom form must never sort the store:\n$prePlan")
+      assert(prePlan.contains("BroadcastHashJoin"),
+        s"maybe-key semi probe and matched set must broadcast:\n$prePlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+  }
+
   test("brute-force topk broadcasts the query side, not the corpus") {
     val plan = physicalPlan("q_sim_topk_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

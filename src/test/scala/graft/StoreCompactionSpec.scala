@@ -122,7 +122,7 @@ class StoreCompactionSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 3 === 0)
     val hist = corpus.select(md5(col("text")).as("h"))
-    val bloom = Dedup.contentBloom(corpus, "text", expectedItems = 10000L)
+    val bloom = Dedup.fingerprintBloom(hist, "h", expectedItems = 10000L)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect().map(_.toString).toSeq
     val batch = docs.filter(col("doc_id") % 3 =!= 0)
@@ -134,7 +134,7 @@ class StoreCompactionSpec extends AnyFunSuite {
     // and a null-text row — every status class through the bloom path
     val c2 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val h2 = c2.select(md5(col("text")).as("h"))
-    val b2 = Dedup.contentBloom(c2, "text", expectedItems = 100L)
+    val b2 = Dedup.fingerprintBloom(h2, "h", expectedItems = 100L)
     val batch2: Seq[(Long, String)] = Seq((10L, "alpha beta"), (11L, "fresh one"),
       (12L, "fresh one"), (13L, null))
     val out = Dedup.exactIncrementalBloom(batch2.toDF("doc_id", "text"),
