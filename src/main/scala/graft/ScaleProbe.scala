@@ -338,6 +338,14 @@ object ScaleProbe {
           .agg(count(lit(1)), sum("avg_logprob_lm")).collect()(0).getLong(0)
       }
       lmTabs.foreach { case (u, b) => u.unpersist(); b.unpersist() }
+      // r12 DSIR: two explode+bucket aggregates (model, bounded by 4096
+      // buckets) + one explode + broadcast probe + doc-keyed agg —
+      // bigram_logprob's linear shape with a constant-size model
+      timed("dsir_logweights", runs, opFilter) {
+        ops.Dsir.logWeights(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+          .agg(count(lit(1)), sum("log_weight")).collect()(0).getLong(0)
+      }
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance

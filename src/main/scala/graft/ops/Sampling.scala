@@ -134,4 +134,36 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Top-fraction selection by a SCORE column (r12): flags the best
+    * `fraction` of rows with `top_selected`, where "best" is highest
+    * score (or lowest with `ascending = true`). The selection step
+    * importance-weighted data selection (DSIR) and any scorer-then-cut
+    * pipeline need.
+    *
+    * Cutoff semantics mirror [[graft.ops.TextAnalysis.perplexityBuckets]]:
+    * the VALUE at rank ⌈n·fraction⌉ of the score sorted in keep-order —
+    * rows tied at the cutoff value are all selected, so equal scores
+    * always get equal verdicts, and no quantile interpolation arithmetic
+    * enters the contract. The cutoff derivation is one global rank
+    * (bounded sort; at 100 TB swap it for `percentile_approx` — the
+    * CorpusStats knob — and keep the assignment unchanged); assignment
+    * is a 1-row broadcast comparison, embarrassingly parallel. */
+  def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
+                         ascending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val n = df.select(count(lit(1)).as("__n"))
+    val cut = df.select(col(scoreCol))
+      .withColumn("__rn", row_number().over(Window.orderBy(ord)))
+      .crossJoin(broadcast(n))
+      .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
+      .select(col(scoreCol).as("__cut"))
+    val keep = if (ascending) col(scoreCol) <= col("__cut")
+               else col(scoreCol) >= col("__cut")
+    df.crossJoin(broadcast(cut))
+      .withColumn("top_selected", keep)
+      .drop("__cut")
+  }
 }

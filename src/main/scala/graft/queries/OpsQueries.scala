@@ -629,6 +629,17 @@ object OpsQueries {
         .orderBy("lang", "sample_rank")
     }),
 
+    // r12: DSIR importance-resampling selection — hashed unigram+bigram
+    // bucket distributions (target = doc_id % 7 slice vs the full raw
+    // corpus), per-doc importance log-weights, top-25% of scoreable docs
+    // kept by per-feature mean (value-at-rank cutoff, ties kept)
+    "q_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", fraction = 0.25)
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test assignment: per-row hash cut
     "q_split_assign" -> ((s, d) => {
       graft.ops.Splits.assign(Tables.documents(s, d), "doc_id",
@@ -1910,6 +1921,40 @@ object OpsQueries {
         |  FROM documents) t
         |WHERE sample_rank <= 40
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |feats AS (
+         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |fb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM feats),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM tc),
+         |trr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM rc),
+         |model AS (
+         |  SELECT rc.b,
+         |    ln((COALESCE(tc.ct, 0) + 1.0) / (total_t + 4096.0)) -
+         |    ln((rc.cr + 1.0) / (total_r + 4096.0)) AS lw
+         |  FROM rc LEFT JOIN tc USING (b), tt, trr),
+         |dscored AS (
+         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
+         |  FROM fb JOIN model m USING (b) GROUP BY 1),
+         |w AS (SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |        round(COALESCE(s.sum_lw, 0.0), 6) AS log_weight,
+         |        round(CASE WHEN COALESCE(s.n_feats, 0) > 0
+         |          THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
+         |      FROM documents d LEFT JOIN dscored s USING (doc_id)),
+         |sc AS (SELECT * FROM w WHERE n_feats > 0),
+         |nn AS (SELECT COUNT(*) AS n FROM sc),
+         |cut AS (SELECT avg_log_weight AS c FROM (
+         |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM sc) r, nn
+         |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT))
+         |SELECT w.doc_id, w.n_feats, w.log_weight, w.avg_log_weight,
+         |  CASE WHEN w.n_feats > 0 THEN w.avg_log_weight >= cut.c ELSE FALSE END AS dsir_keep
+         |FROM w, cut ORDER BY w.doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id,

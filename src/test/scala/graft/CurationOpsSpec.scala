@@ -1115,4 +1115,43 @@ class CurationOpsSpec extends AnyFunSuite {
       "an all-tied group has one cutoff value shared by every doc")
     assert(math.abs(rows(1L)._2 - math.rint(math.exp(2.5) * 1e6) / 1e6) < 1e-12)
   }
+
+  test("topFractionByScore: value-at-rank cutoff, ties all selected, bad fractions rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 9.0), (2L, 7.0), (3L, 7.0), (4L, 7.0), (5L, 1.0),
+      (6L, 0.0)).toDF("id", "s")
+    // n=6, fraction .25 → rank ceil(1.5)=2 → cutoff = 7.0; every doc
+    // tied at 7.0 selects (value-based), so 4 of 6 despite fraction .25
+    val out = Sampling.topFractionByScore(df, "s", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false), out.toString)
+    // ascending: best = lowest; ceil(6*0.1)=1 → cutoff 0.0 → only id 6
+    val asc = Sampling.topFractionByScore(df, "s", 0.1, ascending = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(asc(6L) && asc.values.count(identity) == 1)
+    intercept[IllegalArgumentException](Sampling.topFractionByScore(df, "s", 0.0))
+    intercept[IllegalArgumentException](Sampling.topFractionByScore(df, "s", 1.5))
+  }
+
+  test("DSIR: target-like docs outrank off-target docs; empty docs never selected") {
+    import spark.implicits._
+    // target vocabulary: cooking; off-target: finance. Raw mixes both
+    // plus an empty doc.
+    val target = Seq((100L, "flour sugar butter eggs oven bake whisk"),
+      (101L, "simmer garlic onion olive oil salt pepper stir")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "bake the flour and sugar with butter in the oven"),
+      (2L, "whisk eggs with sugar then simmer with garlic"),
+      (3L, "quarterly earnings beat analyst estimates on revenue"),
+      (4L, "bond yields rose as markets priced rate hikes"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.ops.Dsir.select(raw, target, "doc_id", "text", fraction = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("avg_log_weight"), r.getAs[Boolean]("dsir_keep"))).toMap
+    assert(out(1L)._1 > out(3L)._1 && out(2L)._1 > out(4L)._1,
+      s"cooking docs must outscore finance docs: $out")
+    assert(out(1L)._2 && out(2L)._2 && !out(3L)._2 && !out(4L)._2, out.toString)
+    assert(!out(5L)._2 && out(5L)._1 == 0.0, "empty doc: weight 0, never selected")
+  }
 }
