@@ -94,4 +94,48 @@ object Packing {
     packed.groupBy("seq_id").agg(
       count(lit(1)).as("n_docs"),
       sum(col(tokensCol).cast(LongType)).as("n_tokens"))
+
+  /** Token-balanced OUTPUT SHARDING (r12): assign every document to one
+    * of `nShards` output shards so that (a) the corpus is deterministically
+    * shuffled — shard order is the md5 id-hash order, decorrelating any
+    * source/time locality in ids, the standard pre-training global
+    * shuffle — and (b) every shard carries the same token mass to within
+    * one document (shard k owns the token-offset window
+    * [k·size, (k+1)·size), size = ⌈total/nShards⌉, a doc belongs where
+    * its first token falls). The step that turns a curated corpus into
+    * balanced training files; a writer partitions by `shard_id` and
+    * orders by `shard_offset`.
+    *
+    * Scale: same two-level prefix sum as [[packSequences]], but ordered
+    * and bucketed by the HASH key (buckets = contiguous hash ranges, so
+    * bucket order is sort order): one shuffle by hash bucket, a window
+    * per bucket, one tiny window over bucket totals, and the offsets +
+    * 1-row total broadcast back. No single-partition pass ever sees
+    * document-sized data. */
+  def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
+                  nShards: Int, hashBuckets: Int = 4096): DataFrame = {
+    require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
+    val keyed = df
+      .withColumn("__t", col(tokensCol).cast(LongType))
+      .withColumn("__hk", Sampling.hashUnit(col(idCol)))
+      .withColumn("__bucket", floor(col("__hk") * hashBuckets).cast(LongType))
+    val w1 = Window.partitionBy("__bucket").orderBy(col("__hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("__local_cum", sum("__t").over(w1))
+    val w2 = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__bucket").agg(sum("__t").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(w2), lit(0L)))
+      .select("__bucket", "__off")
+    val total = keyed.agg(coalesce(sum("__t"), lit(0L)).as("__total"))
+    local.join(broadcast(offsets), "__bucket").crossJoin(broadcast(total))
+      .withColumn("__ssz",
+        greatest(expr(s"(__total + ${nShards - 1}) div $nShards"), lit(1L)))
+      .withColumn("__start", col("__local_cum") + col("__off") - col("__t"))
+      .withColumn("shard_id",
+        least(expr("__start div __ssz"), lit((nShards - 1).toLong)))
+      .withColumn("shard_offset", col("__start") - col("shard_id") * col("__ssz"))
+      .drop("__t", "__hk", "__bucket", "__local_cum", "__off", "__total",
+        "__ssz", "__start")
+  }
 }

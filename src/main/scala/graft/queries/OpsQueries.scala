@@ -675,6 +675,18 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: token-balanced output sharding — deterministic hash-order
+    // global shuffle + equal-token-mass contiguous split into 16 shards
+    "q_shard_assign" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+      Packing.shardAssign(docs, "doc_id", "n_tokens", nShards = 16,
+        hashBuckets = 64)
+        .select("doc_id", "n_tokens", "shard_id", "shard_offset")
+        .orderBy("doc_id")
+    }),
+
     // -------------------------------------- composed training pipeline
     // The flagship composition: quality-filter → exact-dedup survivors →
     // token counts → budget-aligned sequence packing, all as one lazy
@@ -2018,6 +2030,20 @@ object OpsQueries {
          |  CAST(strt // 1024 AS BIGINT) AS seq_id,
          |  CAST(strt - (strt // 1024) * 1024 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+         |    / CAST(268435456 AS DOUBLE) AS hk FROM t),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
+         |    - n_tokens AS BIGINT) AS strt FROM h),
+         |tot AS (SELECT GREATEST(CAST((COALESCE(sum(n_tokens), 0) + 15) // 16 AS BIGINT), 1) AS ssz FROM h)
+         |SELECT doc_id, n_tokens,
+         |  CAST(LEAST(strt // ssz, 15) AS BIGINT) AS shard_id,
+         |  CAST(strt - LEAST(strt // ssz, 15) * ssz AS BIGINT) AS shard_offset
+         |FROM c, tot ORDER BY doc_id""".stripMargin,
 
     "q_train_pipeline" ->
       s"""WITH f AS (

@@ -283,6 +283,51 @@ class OpsSpec extends AnyFunSuite {
     assert(bySeq.filter(_._1 < lastSeq).values.forall(_ >= budget - maxDoc + 1))
   }
 
+  test("shardAssign: hash-order sequential reference, balanced mass, all shards present") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 2000L).map(i => (i, 1L + rnd.nextInt(300).toLong))
+      .toDF("doc_id", "n_tokens")
+    val nShards = 8
+    val out = Packing.shardAssign(docs, "doc_id", "n_tokens", nShards,
+      hashBuckets = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("shard_offset")))
+
+    // reference: sequential scan in md5-hash order (the op's contract)
+    def hk(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 28).toDouble
+    }
+    val seq = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (i, _) => (hk(i), i) }
+    val total = seq.map(_._2).sum
+    val ssz = math.max((total + nShards - 1) / nShards, 1L)
+    var cum = 0L
+    val ref = seq.map { case (i, t) =>
+      val start = cum; cum += t
+      val sid = math.min(start / ssz, (nShards - 1).toLong)
+      (i, t, sid, start - sid * ssz)
+    }.sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == ref, "two-level must equal hash-order scan")
+
+    // balance: every shard within one max-doc of the ideal size
+    val maxDoc = out.map(_._2).max
+    val byShard = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.keySet == (0L until nShards.toLong).toSet, "every shard used")
+    assert(byShard.values.forall(m => m <= ssz + maxDoc - 1),
+      s"shard overflow past one doc: $byShard (ssz=$ssz)")
+    // zero-token docs and empty input degrade cleanly
+    val z = Packing.shardAssign(Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 4).collect()
+    assert(z.length == 2)
+    assert(Packing.shardAssign(Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 4).count() == 0)
+  }
+
   test("connectedComponents agrees with union-find on random graphs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
