@@ -40,7 +40,8 @@ object Main {
       positional: Seq[String] = Nil,
       port: Int = 8080,
       inline: Option[String] = None,
-      clusterBy: Seq[String] = Nil)
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var sawCmd = false
@@ -63,6 +64,7 @@ object Main {
       case "--inline" :: v :: t => loop(t, acc.copy(inline = Some(v)))
       case "--cluster-by" :: v :: t => loop(t, acc.copy(clusterBy =
         acc.clusterBy ++ v.split(",").map(_.trim).filter(_.nonEmpty)))
+      case "--zorder" :: t => loop(t, acc.copy(zorder = true))
       case "--vars" :: v :: t => loop(t, acc.copy(vars = acc.vars ++
         v.split(",").flatMap(_.split("=", 2) match {
           case Array(k, vv) => Some(k -> vv); case _ => None
@@ -324,9 +326,11 @@ object Main {
                 if (args.clusterBy.nonEmpty) args.clusterBy
                 else n.config.meta.get("cluster_by").toSeq
                   .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-              rm.optimize(rel, clusterBy = cluster)
+              rm.optimize(rel, clusterBy = cluster, zorder = args.zorder)
               out.println(s"OPTIMIZED ${n.uniqueId}" +
-                (if (cluster.nonEmpty) s" (clustered by ${cluster.mkString(",")})" else ""))
+                (if (cluster.nonEmpty)
+                  s" (${if (args.zorder && cluster.size > 1) "z-ordered" else "clustered"} by ${cluster.mkString(",")})"
+                else ""))
             }
           }
         0

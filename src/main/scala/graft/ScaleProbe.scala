@@ -423,6 +423,24 @@ object ScaleProbe {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Similarity.lshTopK(queries, emb, "doc_id", "embedding", k = 10).count()
       }
+      // r12 SQ8 leg searches PRE-ENCODED codes (the production path,
+      // the pq_adc_topk protocol): bounds + code store materialized
+      // outside the timing, the leg isolates the broadcast-query scan
+      // over codes + the bounded top-k rank
+      val sq8Store =
+        if (opFilter("ann_sq8_topk")) {
+          val (lo, span) = ops.Sq8.trainBounds(emb, "embedding")
+          val c = ops.Sq8.encode(emb, "doc_id", "embedding", lo, span).persist()
+          c.count()
+          Some((lo, span, c))
+        } else None
+      timed("ann_sq8_topk", runs, opFilter) {
+        val queries = emb.filter(col("doc_id") % queryStride === 0)
+        val (lo, span, c) = sq8Store.get
+        ops.Sq8.topK(queries, emb, "doc_id", "embedding", k = 10, lo, span,
+          precomputedCodes = Some(c)).count()
+      }
+      sq8Store.foreach(_._3.unpersist())
       timed("ann_ivf_topk", runs, opFilter) {
         val queries = emb.filter(col("doc_id") % queryStride === 0)
         ops.Ivf.topK(queries, emb, "doc_id", "embedding", k = 10,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Scalar 8-bit quantization (SQ8) for ANN — the compression tier every
+  * public vector library ships between raw floats and [[Pq]]: each
+  * dimension quantizes independently into 256 uniform cells over its
+  * corpus-wide [min, max] range (8× compression at full dimensional
+  * resolution, vs PQ's 32× at subspace resolution; see e.g. the
+  * ScalarQuantizer of the public FAISS codebase and Lucene's int8 HNSW
+  * vectors — pattern reference only). Search is asymmetric: the raw
+  * query scores against cell MIDPOINTS, halving the expected
+  * quantization error vs symmetric code-vs-code distance.
+  *
+  * Determinism mirror of [[Pq]]/[[Ivf]]: bounds are exact per-dim
+  * min/max (one aggregate, no iteration, trivially oracle-reproducible);
+  * encode and distance arithmetic orders are pinned in the fused
+  * expressions; distances round to the engine-wide 1e-6 grid before
+  * every rank/tie decision.
+  *
+  * Scale shape: training is ONE posexplode + per-dim min/max aggregate
+  * (dims × 1 rows — driver-tiny); encode is a pure fused map (no join,
+  * no shuffle — the bounds ride the expression as a plan constant);
+  * search broadcasts the query batch against corpus CODES and ranks
+  * through the bounded [[Similarity.rankTopK]] aggregate — raw corpus
+  * floats are read once at encode time and never again. */
+object Sq8 {
+
+  /** Exact per-dimension bounds: (lo array, span array), span = hi − lo.
+    * Driver-held artifact (dims doubles), the PQ-codebook pattern. */
+  def trainBounds(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "trainBounds: empty corpus")
+    (rows.map(_._2), rows.map { case (_, l, h) => h - l })
+  }
+
+  /** Encode every corpus vector to per-dim uint8 codes: (id, codes).
+    * Pure map — persist the output as the searchable store. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             lo: Array[Double], span: Array[Double]): DataFrame =
+    corpus.select(col(idCol),
+      VectorExpressions.sq8Encode(
+        Similarity.asDouble(col(vecCol)), lo, span).as("codes"))
+
+  /** Asymmetric top-k search over SQ8 codes: (query_id, rank,
+    * neighbor_id, sq8_dist) — k rows per query, self-matches excluded,
+    * rounded-distance ascending rank with neighbor-ascending ties.
+    * Pass `precomputedCodes` (the persisted [[encode]] output) in
+    * production — the [[Pq.topK]] raw-floats-read-once contract. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+           vecCol: String, k: Int,
+           lo: Array[Double], span: Array[Double],
+           precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val codes = precomputedCodes
+      .getOrElse(encode(corpus, idCol, vecCol, lo, span))
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("__q"))
+    val scored = broadcast(q).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorExpressions.sq8AdcDistanceSq(
+          col("__q"), col("codes"), lo, span), 6).as("sq8_dist"))
+    Similarity.rankTopK(scored, "sq8_dist", k, ascending = true)
+  }
+}

@@ -114,6 +114,29 @@ object JoinQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r12: scalar 8-bit quantization encode — exact per-dim min/max
+    // bounds, 256 uniform cells per dim (codes joined to a string so
+    // the compare is scalar)
+    "q_sim_sq8_encode" -> ((s, d) => {
+      import graft.ops.Sq8
+      val e = Tables.embeddings(s, d)
+      val (lo, span) = Sq8.trainBounds(e, "embedding")
+      Sq8.encode(e, "vec_id", "embedding", lo, span)
+        .select(col("vec_id"), concat_ws("_", col("codes")).as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // r12: asymmetric SQ8 search — raw query vs cell-midpoint
+    // reconstructions, top-5 per query on the rounded squared L2
+    "q_sim_topk_sq8" -> ((s, d) => {
+      import graft.ops.Sq8
+      val e = Tables.embeddings(s, d)
+      val (lo, span) = Sq8.trainBounds(e, "embedding")
+      Sq8.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, lo, span)
+        .orderBy("query_id", "rank")
+    }),
+
     // r9: the two-level (coarse→fine) quantizer's assignment, oracle-
     // checked — 8 coarse cells route each vector to its cell's slice of
     // the 64 fine centroids; the fine matrix is a joined TABLE, the
@@ -236,6 +259,31 @@ object JoinQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // SQ8: exact per-dim min/max bounds, floor((x-lo)/span*256) clamped
+    // to [0,255] (degenerate dims encode 0) — the engine's pinned
+    // arithmetic order, replayed per dimension
+    "q_sim_sq8_encode" ->
+      s"""$sq8EncCtes
+         |SELECT vec_id, array_to_string(codes, '_') AS codes
+         |FROM enc ORDER BY vec_id""".stripMargin,
+
+    // asymmetric search: raw query vs cell midpoints lo + (c+0.5)*span/256,
+    // list_sum over ascending dims = the fused loop's accumulation order
+    "q_sim_topk_sq8" ->
+      s"""$sq8EncCtes,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), d ->
+         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e.codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
+         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e.codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6) AS sq8_dist
+         |  FROM embeddings q CROSS JOIN enc e, bv
+         |  WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id)
+         |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_sim_assign_twolevel" -> {
       val cosC = cosineSql("e.embedding", "c.cv")
       val cosF = cosineSql("v.embedding", "f.fv")
@@ -259,6 +307,21 @@ object JoinQueries {
   /** PQ encode CTEs shared by both PQ oracles: seeded books + the
     * per-(vector, subspace) rank-1 codeword assignment. One definition,
     * or the two oracles drift apart under edits. */
+  /** SQ8 encode CTEs shared by both SQ8 oracles: exact per-dim bounds,
+    * bound LISTS (ascending dim — the fused expressions' plan-constant
+    * arrays), and per-vector code lists. */
+  private val sq8EncCtes: String =
+    """WITH vals AS (
+      |  SELECT vec_id, d, embedding[d]::DOUBLE AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) g),
+      |bounds AS (SELECT d, min(x) AS lo, max(x) - min(x) AS span FROM vals GROUP BY 1),
+      |bv AS (SELECT list(lo ORDER BY d) AS lov, list(span ORDER BY d) AS spanv FROM bounds),
+      |enc AS (
+      |  SELECT vec_id, list(CASE WHEN span <= 0 THEN 0
+      |    ELSE LEAST(GREATEST(CAST(floor((x - lo) / span * 256.0) AS INTEGER), 0), 255) END
+      |    ORDER BY d) AS codes
+      |  FROM vals JOIN bounds USING (d) GROUP BY vec_id)""".stripMargin
+
   private val pqEncCtes: String =
     """WITH cw AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
       |books AS (SELECT s.sub, c.code, list_slice(c.embedding, s.sub*8+1, s.sub*8+8) AS cent

@@ -211,6 +211,20 @@ object VectorExpressions {
     ExpressionUtils.column(BloomMightContainLong(
       ExpressionUtils.expression(key), bloom))
 
+  def quantileBin(v: Column, cuts: Array[Double]): Column =
+    ExpressionUtils.column(QuantileBin(ExpressionUtils.expression(v), cuts))
+
+  def zInterleave(bins: Column, bits: Int): Column =
+    ExpressionUtils.column(ZInterleave(ExpressionUtils.expression(bins), bits))
+
+  def sq8Encode(vec: Column, lo: Array[Double], span: Array[Double]): Column =
+    ExpressionUtils.column(Sq8Encode(ExpressionUtils.expression(vec), lo, span))
+
+  def sq8AdcDistanceSq(q: Column, codes: Column,
+                       lo: Array[Double], span: Array[Double]): Column =
+    ExpressionUtils.column(Sq8AdcDistanceSq(
+      ExpressionUtils.expression(q), ExpressionUtils.expression(codes), lo, span))
+
   /** Register both for SQL use: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -252,6 +266,172 @@ case class BloomMightContainLong(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `quantile_bin(v)` — rank a double into the bin defined by a sorted
+  * boundary table (bin = count of boundaries ≤ v, binary search): the
+  * per-column step of Z-order clustering, mapping a skewed value
+  * distribution onto near-uniform bin occupancy so interleaved bits
+  * carry real locality. Boundaries ride the expression as a plan
+  * constant (the [[IvfCellRanks]] pattern). */
+case class QuantileBin(child: Expression, cuts: Array[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "quantile_bin"
+  override def stringArgs: Iterator[Any] = Iterator(child, s"cuts=${cuts.length}")
+
+  override def nullSafeEval(v: Any): Any = bin(v.asInstanceOf[Double])
+
+  def bin(v: Double): Int = {
+    var lo = 0; var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qbin", this, classOf[QuantileBin].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bin($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `z_interleave(bins)` — Morton code: interleave the low `bits` bits of
+  * each bin in the input array into one long, so a range sort on the
+  * result gives every participating column locality (the Z-ORDER curve
+  * of Delta/Iceberg OPTIMIZE, public). Bit b of column i lands at
+  * position b·ncols + (ncols−1−i): earlier columns take the more
+  * significant interleaved positions. */
+case class ZInterleave(child: Expression, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_interleave"
+
+  override def nullSafeEval(v: Any): Any = z(v.asInstanceOf[ArrayData])
+
+  def z(bins: ArrayData): Long = {
+    val k = bins.numElements()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < k) {
+        val bit = (bins.getInt(i) >> b) & 1
+        out |= bit.toLong << (b * k + (k - 1 - i))
+        i += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zint", this, classOf[ZInterleave].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.z($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sq8_encode(vec)` — scalar (per-dimension) 8-bit quantization: the
+  * memory tier between raw floats and PQ (8× compression at full
+  * dimensional resolution, vs PQ's 32× at subspace resolution — the
+  * standard SQ8 layout every public ANN library ships alongside PQ).
+  * code[d] = ⌊(x[d] − lo[d]) / span[d] · 256⌋ clamped to [0, 255];
+  * degenerate dims (span ≤ 0) encode 0. The per-dim bounds ride the
+  * expression instance (the [[IvfCellRanks]] plan-constant pattern);
+  * arithmetic order is pinned — (x − lo) / span · 256, floor, clamp —
+  * so an external engine replays codes bit-for-bit. */
+case class Sq8Encode(child: Expression, lo: Array[Double], span: Array[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(lo.length == span.length, "lo and span must align")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+  override def stringArgs: Iterator[Any] = Iterator(child, s"dims=${lo.length}")
+
+  override def nullSafeEval(v: Any): Any = encode(v.asInstanceOf[ArrayData])
+
+  def encode(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Int](n)
+    var d = 0
+    while (d < n) {
+      if (span(d) > 0) {
+        val c = math.floor((v.getDouble(d) - lo(d)) / span(d) * 256.0).toInt
+        out(d) = if (c < 0) 0 else if (c > 255) 255 else c
+      }
+      d += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8enc", this, classOf[Sq8Encode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sq8_adc_distance_sq(q, codes)` — asymmetric squared L2 between a raw
+  * query vector and an SQ8-encoded corpus vector: each code reconstructs
+  * to its cell midpoint lo[d] + (code[d] + 0.5) · span[d] / 256 and the
+  * fused loop accumulates (q[d] − r)² in ascending dimension order (the
+  * [[CosineSimilarity]] order contract, so the oracle replays it
+  * exactly). One pass, no reconstructed array materialized. */
+case class Sq8AdcDistanceSq(left: Expression, right: Expression,
+                            lo: Array[Double], span: Array[Double])
+  extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adc_distance_sq"
+  override def stringArgs: Iterator[Any] = Iterator(left, right, s"dims=${lo.length}")
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    dist(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  def dist(q: ArrayData, codes: ArrayData): Double = {
+    val n = math.min(math.min(q.numElements(), codes.numElements()), lo.length)
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      val r = lo(d) + (codes.getInt(d) + 0.5) * span(d) / 256.0
+      val t = q.getDouble(d) - r
+      acc += t * t
+      d += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8adc", this, classOf[Sq8AdcDistanceSq].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $ref.dist($q, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_signature(text)` — the whole MinHash signature (k affine mins

@@ -1116,6 +1116,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(rows(1L)._2 - math.rint(math.exp(2.5) * 1e6) / 1e6) < 1e-12)
   }
 
+  test("SQ8: hand-computed codes, clamp at range max, degenerate dim encodes 0") {
+    import spark.implicits._
+    import graft.ops.Sq8
+    val vecs = Seq(
+      (0L, Seq(0.0, 10.0, 7.0)),
+      (1L, Seq(1.0, 20.0, 7.0)),
+      (2L, Seq(2.0, 30.0, 7.0))).toDF("vec_id", "embedding")
+    val (lo, span) = Sq8.trainBounds(vecs, "embedding")
+    assert(lo.toSeq == Seq(0.0, 10.0, 7.0) && span.toSeq == Seq(2.0, 20.0, 0.0))
+    val codes = Sq8.encode(vecs, "vec_id", "embedding", lo, span)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim1: (0,1,2)/2*256 → 0, 128, clamp(256)=255; dim2: 0, 128, 255;
+    // dim3 degenerate (span 0) → 0 everywhere
+    assert(codes(0L) == Seq(0, 0, 0), codes.toString)
+    assert(codes(1L) == Seq(128, 128, 0))
+    assert(codes(2L) == Seq(255, 255, 0))
+  }
+
+  test("SQ8 topk: midpoint reconstruction ranks well-separated clusters like exact L2") {
+    import spark.implicits._
+    import graft.ops.Sq8
+    // two tight clusters far apart: SQ8's per-dim cells are ~span/256 —
+    // far smaller than the cluster gap, so the quantized ranking must
+    // agree with exact L2 on which cluster each query's top-3 come from
+    val mk = (id: Long, base: Double) =>
+      (id, Seq(base + id * 0.001, base - id * 0.001, base, base))
+    val corpus = ((0L to 4L).map(mk(_, 0.0)) ++ (10L to 14L).map(mk(_, 100.0)))
+      .toDF("vec_id", "embedding")
+    val (lo, span) = Sq8.trainBounds(corpus, "embedding")
+    val out = Sq8.topK(corpus.filter(col("vec_id") === 0L || col("vec_id") === 10L),
+      corpus, "vec_id", "embedding", k = 3, lo, span)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sq8_dist")))
+    assert(out.length == 6)
+    assert(out.filter(_._1 == 0L).forall(t => t._3 >= 1L && t._3 <= 4L),
+      s"query 0's neighbors must stay in its cluster: ${out.toSeq}")
+    assert(out.filter(_._1 == 10L).forall(t => t._3 >= 11L && t._3 <= 14L),
+      s"query 10's neighbors must stay in its cluster: ${out.toSeq}")
+    assert(out.forall(_._4 >= 0.0), "squared distance is non-negative")
+    assert(!out.exists(t => t._1 == t._3), "self-matches excluded")
+  }
+
   test("topFractionByScore: value-at-rank cutoff, ties all selected, bad fractions rejected") {
     import spark.implicits._
     val df = Seq((1L, 9.0), (2L, 7.0), (3L, 7.0), (4L, 7.0), (5L, 1.0),
