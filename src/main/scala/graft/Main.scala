@@ -327,10 +327,12 @@ object Main {
                 else n.config.meta.get("cluster_by").toSeq
                   .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               rm.optimize(rel, clusterBy = cluster, zorder = args.zorder)
+              val how =
+                if (graft.relations.RelationManager.zorderApplies(cluster, args.zorder))
+                  "z-ordered"
+                else "clustered"
               out.println(s"OPTIMIZED ${n.uniqueId}" +
-                (if (cluster.nonEmpty)
-                  s" (${if (args.zorder && cluster.size > 1) "z-ordered" else "clustered"} by ${cluster.mkString(",")})"
-                else ""))
+                (if (cluster.nonEmpty) s" ($how by ${cluster.mkString(",")})" else ""))
             }
           }
         0

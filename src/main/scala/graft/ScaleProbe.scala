@@ -172,7 +172,7 @@ object ScaleProbe {
           Some(st)
         } else None
       val fpBloom =
-        if (opFilter("exact_incremental_bloom") || opFilter("exact_incremental_bloom_smj"))
+        if (opFilter("exact_incremental_bloom"))
           Some(ops.Dedup.fingerprintBloom(fpStore.get, "h",
             expectedItems = math.max(n / 3, 1000).toLong))
         else None

@@ -45,21 +45,34 @@ object Dedup {
     * evenly regardless of content skew; Spark picks the join strategy
     * adaptively — a fingerprint table small enough to broadcast SHOULD
     * broadcast, and a corpus-sized one exceeds the threshold and
-    * shuffles. NULL-text rows carry no content to compare: they classify
-    * as `new` (admit; nothing to dedup against) and are EXCLUDED from
-    * the batch-rank window — otherwise every null-text doc would land in
-    * one window partition and each would spuriously mark its
-    * predecessors' content as its own duplicate. */
+    * shuffles. NULL-text semantics live on [[classifyIngest]], the
+    * scaffolding shared with [[exactIncrementalBloom]]. */
   def exactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
-                       corpusHashes: DataFrame, hashCol: String): DataFrame = {
+                       corpusHashes: DataFrame, hashCol: String): DataFrame =
+    classifyIngest(newDocs, idCol, textCol)(_ =>
+      corpusHashes.select(col(hashCol).as("content_hash")).distinct())
+
+  /** The ingest classification scaffolding shared by [[exactIncremental]]
+    * and [[exactIncrementalBloom]] — ONE copy of the rank window, the
+    * status when-chain, and the null-text contract, so the two forms
+    * (pinned output-identical by StoreCompactionSpec) cannot drift.
+    * `seenOf(hashed)` derives the distinct corpus-seen hash set, given
+    * the batch's (id, content_hash) rows to pre-filter against.
+    *
+    * NULL-text rows carry no content to compare: they classify as `new`
+    * (admit; nothing to dedup against) and are EXCLUDED from the
+    * batch-rank window — otherwise every null-text doc would land in one
+    * window partition and each would spuriously mark its predecessors'
+    * content as its own duplicate. */
+  private def classifyIngest(newDocs: DataFrame, idCol: String, textCol: String)
+                            (seenOf: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = newDocs.filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("content_hash"))
     val ranked = hashed.withColumn("rn",
       row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
-    val hist = corpusHashes.select(col(hashCol).as("content_hash")).distinct()
-      .withColumn("__seen", lit(1))
-    val classified = ranked.join(hist, Seq("content_hash"), "left")
+    val seen = seenOf(hashed).withColumn("__seen", lit(1))
+    val classified = ranked.join(seen, Seq("content_hash"), "left")
       .select(col(idCol), col("content_hash"),
         when(col("__seen").isNotNull, "dup_of_corpus")
           .when(col("rn") > 1, "dup_in_batch")
@@ -105,34 +118,19 @@ object Dedup {
     * by the matched-set join (no second batch shuffle). */
   def exactIncrementalBloom(newDocs: DataFrame, idCol: String, textCol: String,
                             corpusHashes: DataFrame, hashCol: String,
-                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = newDocs.filter(col(textCol).isNotNull)
-      .select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .withColumn("__maybe", org.apache.spark.sql.graft.VectorExpressions
-        .bloomMightContainLong(xxhash64(col("content_hash")), bloom))
-    val ranked = hashed.withColumn("rn",
-      row_number().over(Window.partitionBy("content_hash").orderBy(col(idCol))))
-    val maybeKeys = hashed.filter(col("__maybe"))
-      .select(col("content_hash")).distinct()
-    // store-side: one streaming scan, semi-probed by the small key set
-    // (AQE picks the broadcast build at runtime — an explicit broadcast
-    // hint would OOM on an adversarial all-duplicate batch)
-    val matched = corpusHashes.select(col(hashCol).as("content_hash"))
-      .join(maybeKeys, Seq("content_hash"), "leftsemi")
-      .distinct()
-      .withColumn("__seen", lit(1))
-    val classified = ranked.join(matched, Seq("content_hash"), "left")
-      .select(col(idCol), col("content_hash"),
-        when(col("__seen").isNotNull, "dup_of_corpus")
-          .when(col("rn") > 1, "dup_in_batch")
-          .otherwise("new").as("status"))
-    val nullText = newDocs.filter(col(textCol).isNull)
-      .select(col(idCol), lit(null).cast("string").as("content_hash"),
-        lit("new").as("status"))
-    classified.unionAll(nullText)
-      .withColumn("is_new_content", col("status") === "new")
-  }
+                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    classifyIngest(newDocs, idCol, textCol) { hashed =>
+      val maybeKeys = hashed
+        .filter(org.apache.spark.sql.graft.VectorExpressions
+          .bloomMightContainLong(xxhash64(col("content_hash")), bloom))
+        .select(col("content_hash")).distinct()
+      // store-side: one streaming scan, semi-probed by the small key set
+      // (AQE picks the broadcast build at runtime — an explicit broadcast
+      // hint would OOM on an adversarial all-duplicate batch)
+      corpusHashes.select(col(hashCol).as("content_hash"))
+        .join(maybeKeys, Seq("content_hash"), "leftsemi")
+        .distinct()
+    }
 
   // ------------------------------------------------------------- MinHash
 

@@ -153,17 +153,22 @@ object Sampling {
                          ascending: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
+    // NULL scores carry no rank signal: they are excluded from both the
+    // denominator and the cutoff derivation, and are never selected —
+    // counting them would shift the cutoff rank (or land it ON a null,
+    // making every verdict NULL)
+    val scored = df.select(col(scoreCol)).filter(col(scoreCol).isNotNull)
     val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
-    val n = df.select(count(lit(1)).as("__n"))
-    val cut = df.select(col(scoreCol))
+    val n = scored.select(count(lit(1)).as("__n"))
+    val cut = scored
       .withColumn("__rn", row_number().over(Window.orderBy(ord)))
       .crossJoin(broadcast(n))
       .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
       .select(col(scoreCol).as("__cut"))
-    val keep = if (ascending) col(scoreCol) <= col("__cut")
-               else col(scoreCol) >= col("__cut")
-    df.crossJoin(broadcast(cut))
-      .withColumn("top_selected", keep)
+    val cmp = if (ascending) col(scoreCol) <= col("__cut")
+              else col(scoreCol) >= col("__cut")
+    df.join(broadcast(cut), lit(true), "left")
+      .withColumn("top_selected", coalesce(cmp, lit(false)))
       .drop("__cut")
   }
 }

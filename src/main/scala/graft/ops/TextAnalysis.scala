@@ -405,8 +405,12 @@ object TextAnalysis {
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sizes = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
-    val ranked = scored.select(col(groupCol), col(lpCol))
+    // rows with a NULL group (e.g. language ID failed) can't join a
+    // cutoff table — they pass through with perplexity computed and a
+    // NULL bucket rather than silently vanishing into the inner joins
+    val grouped = scored.filter(col(groupCol).isNotNull)
+    val sizes = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val ranked = grouped.select(col(groupCol), col(lpCol))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
       .join(sizes, Seq(groupCol))
@@ -416,13 +420,18 @@ object TextAnalysis {
     val c2 = ranked
       .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
       .select(col(groupCol), col(lpCol).as("__cut2"))
-    scored.join(broadcast(c1), Seq(groupCol)).join(broadcast(c2), Seq(groupCol))
+    val bucketed = grouped
+      .join(broadcast(c1), Seq(groupCol)).join(broadcast(c2), Seq(groupCol))
       .withColumn("perplexity", round(exp(-col(lpCol)), 6))
       .withColumn("ppl_bucket",
         when(col(lpCol) >= col("__cut1"), "head")
           .when(col(lpCol) >= col("__cut2"), "middle")
           .otherwise("tail"))
       .drop("__cut1", "__cut2")
+    bucketed.unionByName(
+      scored.filter(col(groupCol).isNull)
+        .withColumn("perplexity", round(exp(-col(lpCol)), 6))
+        .withColumn("ppl_bucket", lit(null).cast(StringType)))
   }
 
   /** Document fingerprint: order-insensitive content hash —

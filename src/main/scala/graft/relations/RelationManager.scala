@@ -761,7 +761,7 @@ final class RelationManager(
       // plan-constant expressions, and the rewrite stays the same ONE
       // range shuffle as the linear form.
       val clustered =
-        if (zorder && clusterBy.size > 1) {
+        if (RelationManager.zorderApplies(clusterBy, zorder)) {
           import org.apache.spark.sql.functions.col
           base.withColumn("__graft_z", zValueColumn(base, clusterBy))
             .repartitionByRange(n, col("__graft_z"))
@@ -800,6 +800,17 @@ final class RelationManager(
   private def zValueColumn(df: DataFrame, cols: Seq[String],
                            bits: Int = 8): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    // fail loud on non-numeric columns: cast("double") on a string is
+    // NULL row-by-row, which would silently bin that column 0 everywhere
+    // — no clustering, no error, and a worse layout than the linear form
+    val nonNumeric = cols.filter { c =>
+      !df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    require(nonNumeric.isEmpty,
+      s"z-order needs numeric columns; got $nonNumeric " +
+        "(cast dates/timestamps to epoch numbers, use linear clusterBy for strings)")
+    require(bits * cols.size <= 64,
+      s"z-order: ${cols.size} columns at $bits bits exceed one 64-bit key")
     val nb = 1 << bits
     val fracs = (1 until nb).map(i => i.toDouble / nb).toArray
     val aggs = cols.map(c =>
@@ -982,6 +993,12 @@ final class RelationManager(
 }
 
 object RelationManager {
+  /** Whether an optimize(clusterBy, zorder) call takes the Morton path —
+    * the ONE definition of the applicability rule, shared with the CLI's
+    * reporting so the message can never drift from the behavior. */
+  def zorderApplies(clusterBy: Seq[String], zorder: Boolean): Boolean =
+    zorder && clusterBy.size > 1
+
   /** Engine surface for a BARE table directory (the connector's
     * path-based tables): split `dir` into (root, schema, identifier) so
     * the full machinery — optimize, vacuum, readFiles — addresses

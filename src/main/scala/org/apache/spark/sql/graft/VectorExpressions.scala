@@ -323,6 +323,11 @@ case class ZInterleave(child: Expression, bits: Int)
 
   def z(bins: ArrayData): Long = {
     val k = bins.numElements()
+    // JVM long shifts wrap mod 64 — past 64 interleaved bits the key
+    // silently collides bit-planes, so fail loud instead
+    if (bits * k > 64)
+      throw new IllegalArgumentException(
+        s"z_interleave: $k columns at $bits bits exceed one 64-bit key")
     var out = 0L
     var b = 0
     while (b < bits) {

@@ -1114,6 +1114,15 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L).forall(rows(_)._1 == "head"),
       "an all-tied group has one cutoff value shared by every doc")
     assert(math.abs(rows(1L)._2 - math.rint(math.exp(2.5) * 1e6) / 1e6) < 1e-12)
+    // a NULL group (lang ID failed) passes through with a NULL bucket
+    // instead of vanishing into the cutoff joins
+    val withNull = Seq((1L, Option("g"), -1.0), (2L, Option("g"), -2.0),
+      (3L, Option.empty[String], -1.5)).toDF("doc_id", "grp", "lp")
+    val nOut = TextAnalysis.perplexityBuckets(withNull, "doc_id", "grp", "lp")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("ppl_bucket"))).toMap
+    assert(nOut.size == 3 && nOut(3L).isEmpty && nOut(1L).contains("head"),
+      nOut.toString)
   }
 
   test("SQ8: hand-computed codes, clamp at range max, degenerate dim encodes 0") {
@@ -1174,6 +1183,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(asc(6L) && asc.values.count(identity) == 1)
     intercept[IllegalArgumentException](Sampling.topFractionByScore(df, "s", 0.0))
     intercept[IllegalArgumentException](Sampling.topFractionByScore(df, "s", 1.5))
+    // NULL scores neither rank nor count: cutoff derives from the 2
+    // scoreable rows (ceil(2*0.5)=1 → cutoff 9.0), nulls never selected
+    val withNulls = Seq((1L, Some(9.0)), (2L, Some(1.0)), (3L, None),
+      (4L, None), (5L, None)).toDF("id", "s")
+    val nv = Sampling.topFractionByScore(withNulls, "s", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(nv == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false), nv.toString)
+    // all-null scores: empty cutoff degrades to nothing selected, no rows lost
+    val allNull = Sampling.topFractionByScore(
+      Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "s"), "s", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(allNull == Map(1L -> false, 2L -> false), allNull.toString)
   }
 
   test("DSIR: target-like docs outrank off-target docs; empty docs never selected") {

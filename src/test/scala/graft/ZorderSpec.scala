@@ -96,4 +96,25 @@ class ZorderSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(bins == Seq(0, 1, 1, 2, 2), bins.toString)
   }
+
+  test("z-order fails loud on string columns and on > 64 interleaved bits") {
+    import spark.implicits._
+    val rm = new RelationManager(spark,
+      Files.createTempDirectory("graft_zorder_guard").toString)
+    val rel = Relation("graft", "zorder", "strings")
+    rm.writeTable(Seq((1L, "a"), (2L, "b")).toDF("x", "s"), rel,
+      statsCols = Seq("x", "s"))
+    // a string column would cast("double") to NULL row-by-row → bin 0
+    // everywhere → silently unclustered; must reject instead
+    val e = intercept[IllegalArgumentException](
+      rm.optimize(rel, clusterBy = Seq("x", "s"), zorder = true))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+    // 9 columns × 8 bits > 64: the Morton key cannot hold it
+    import org.apache.spark.sql.graft.VectorExpressions
+    val wide = Seq(1).toDF("v")
+      .select(VectorExpressions.zInterleave(
+        array((0 until 9).map(_ => col("v")): _*), 8))
+    val err = intercept[Exception](wide.collect())
+    assert(err.toString.contains("64") || err.getCause != null)
+  }
 }
