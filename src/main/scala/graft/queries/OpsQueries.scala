@@ -629,6 +629,28 @@ object OpsQueries {
         .orderBy("lang", "sample_rank")
     }),
 
+    // r12 composed pipeline v5: LM score → per-language perplexity
+    // buckets → drop the tail tercile → token-balanced 8-shard
+    // assignment of the survivors, one lazy plan over four
+    // independently-gated operators
+    "q_curation_pipeline_v5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      val scored = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .filter(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
+      val kept = TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm")
+        .filter(col("ppl_bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("ppl_bucket"),
+          TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_tokens"))
+      Packing.shardAssign(kept, "doc_id", "n_tokens", nShards = 8,
+        hashBuckets = 64)
+        .select("doc_id", "lang", "ppl_bucket", "n_tokens",
+          "shard_id", "shard_offset")
+        .orderBy("doc_id")
+    }),
+
     // r12: DSIR importance-resampling selection — hashed unigram+bigram
     // bucket distributions (target = doc_id % 7 slice vs the full raw
     // corpus), per-doc importance log-weights, top-25% of scoreable docs
@@ -1759,20 +1781,31 @@ object OpsQueries {
     // value-based rank cutoffs (value at rank ceil(n*f) of lp DESC),
     // ties take the better bucket, 0-bigram docs excluded
     "q_text_ppl_buckets" ->
-      s"""$externalLmCtes,
-         |sc AS (SELECT d.doc_id, d.lang, a.n_bigrams, a.avg_logprob_lm
-         |       FROM documents d JOIN agg a USING (doc_id) WHERE a.n_bigrams > 0),
-         |sizes AS (SELECT lang, COUNT(*) AS n_docs FROM sc GROUP BY 1),
-         |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM sc),
-         |c1 AS (SELECT r.lang, r.avg_logprob_lm AS cut1 FROM r JOIN sizes s USING (lang)
-         |       WHERE rn = CAST(ceil(s.n_docs * (1.0/3.0)) AS BIGINT)),
-         |c2 AS (SELECT r.lang, r.avg_logprob_lm AS cut2 FROM r JOIN sizes s USING (lang)
-         |       WHERE rn = CAST(ceil(s.n_docs * (2.0/3.0)) AS BIGINT))
-         |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_logprob_lm,
-         |  round(exp(-sc.avg_logprob_lm), 6) AS perplexity,
-         |  CASE WHEN sc.avg_logprob_lm >= c1.cut1 THEN 'head'
-         |       WHEN sc.avg_logprob_lm >= c2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-         |FROM sc JOIN c1 USING (lang) JOIN c2 USING (lang) ORDER BY doc_id""".stripMargin,
+      s"""$pplBucketCtes
+         |SELECT doc_id, lang, n_bigrams, avg_logprob_lm,
+         |  round(exp(-avg_logprob_lm), 6) AS perplexity, ppl_bucket
+         |FROM bucketed ORDER BY doc_id""".stripMargin,
+
+    // composed v5: LM score → per-language perplexity buckets → drop the
+    // tail tercile → token-balanced 8-shard assignment of the survivors;
+    // every stage an independently-gated operator, one full reproduction
+    "q_curation_pipeline_v5" ->
+      s"""$pplBucketCtes,
+         |kept AS (
+         |  SELECT b.doc_id, b.lang, b.ppl_bucket,
+         |    CAST(len(t.tk) AS BIGINT) AS n_tokens
+         |  FROM bucketed b JOIN t USING (doc_id) WHERE b.ppl_bucket <> 'tail'),
+         |hsh AS (SELECT kept.*,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+         |    / CAST(268435456 AS DOUBLE) AS hk FROM kept),
+         |cum AS (SELECT doc_id, lang, ppl_bucket, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
+         |    - n_tokens AS BIGINT) AS strt FROM hsh),
+         |tot AS (SELECT GREATEST(CAST((COALESCE(sum(n_tokens), 0) + 7) // 8 AS BIGINT), 1) AS ssz FROM hsh)
+         |SELECT doc_id, lang, ppl_bucket, n_tokens,
+         |  CAST(LEAST(strt // ssz, 7) AS BIGINT) AS shard_id,
+         |  CAST(strt - LEAST(strt // ssz, 7) * ssz AS BIGINT) AS shard_offset
+         |FROM cum, tot ORDER BY doc_id""".stripMargin,
 
     "q_text_blocklist" ->
       s"""WITH aug AS (SELECT doc_id, text ||
@@ -2263,6 +2296,27 @@ object OpsQueries {
        |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |        round(avg(lp), 6) AS avg_logprob_lm FROM scored GROUP BY 1)""".stripMargin
+
+  /** Perplexity-bucket CTE chain on top of [[externalLmCtes]]: scoreable
+    * docs with language, per-language tercile cutoffs (value at rank
+    * ⌈n·f⌉, lp DESC), ending at `bucketed(doc_id, lang, n_bigrams,
+    * avg_logprob_lm, ppl_bucket)`. Shared by q_text_ppl_buckets and the
+    * v5 pipeline. */
+  private def pplBucketCtes: String =
+    s"""$externalLmCtes,
+       |sc AS (SELECT d.doc_id, d.lang, a.n_bigrams, a.avg_logprob_lm
+       |       FROM documents d JOIN agg a USING (doc_id) WHERE a.n_bigrams > 0),
+       |sizes AS (SELECT lang, COUNT(*) AS n_docs FROM sc GROUP BY 1),
+       |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM sc),
+       |c1 AS (SELECT r.lang, r.avg_logprob_lm AS cut1 FROM r JOIN sizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (1.0/3.0)) AS BIGINT)),
+       |c2 AS (SELECT r.lang, r.avg_logprob_lm AS cut2 FROM r JOIN sizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (2.0/3.0)) AS BIGINT)),
+       |bucketed AS (
+       |  SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_logprob_lm,
+       |    CASE WHEN sc.avg_logprob_lm >= c1.cut1 THEN 'head'
+       |         WHEN sc.avg_logprob_lm >= c2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |  FROM sc JOIN c1 USING (lang) JOIN c2 USING (lang))""".stripMargin
 
   /** Exact-dedup ingest oracle, shared verbatim by the direct and
     * Bloom-pre-filtered forms (same semantics, different plan). */
