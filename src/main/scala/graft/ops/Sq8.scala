@@ -49,6 +49,43 @@ object Sq8 {
       VectorExpressions.sq8Encode(
         Similarity.asDouble(col(vecCol)), lo, span).as("codes"))
 
+  /** IVF-SQ8 composed search: [[Ivf]] prunes WHICH vectors to score
+    * (cell-restricted candidates, nProbe cells per query), SQ8 decides
+    * HOW CHEAPLY each candidate scores (codes vs the raw query through
+    * the fused midpoint distance) — the IVF-ADC layout at scalar
+    * granularity, ordinary DataFrame piping over the two
+    * independently-gated operators. The corpus is touched as (cell,
+    * codes) rows only. Returns (query_id, rank, neighbor_id, sq8_dist). */
+  def topKWithIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  coarse: Seq[(Int, Array[Double])],
+                  lo: Array[Double], span: Array[Double],
+                  nProbe: Int,
+                  precomputedCodes: Option[DataFrame] = None,
+                  precomputedCells: Option[DataFrame] = None): DataFrame = {
+    val corpusCells = precomputedCells
+      .getOrElse(Ivf.assignCells(corpus, idCol, vecCol, coarse))
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val qAssigned = Ivf.assignCells(queries, idCol, vecCol, coarse, nProbe)
+    val queryCells =
+      if (nProbe == 1) qAssigned.select(col(idCol).as("query_id"), col("cell"))
+      else qAssigned.select(col(idCol).as("query_id"), explode(col("cells")).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("__q"))
+    val codes = precomputedCodes
+      .getOrElse(encode(corpus, idCol, vecCol, lo, span))
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(corpusCells, Seq("neighbor_id"))
+    val scored = codes
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorExpressions.sq8AdcDistanceSq(
+          col("__q"), col("codes"), lo, span), 6).as("sq8_dist"))
+    Similarity.rankTopK(scored, "sq8_dist", k, ascending = true)
+  }
+
   /** Asymmetric top-k search over SQ8 codes: (query_id, rank,
     * neighbor_id, sq8_dist) — k rows per query, self-matches excluded,
     * rounded-distance ascending rank with neighbor-ascending ties.

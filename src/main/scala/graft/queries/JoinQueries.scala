@@ -137,6 +137,18 @@ object JoinQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r12: the IVF-SQ8 composition — IVF prunes (8 cells, 2 probes),
+    // SQ8 scores the cell-restricted candidates from codes alone
+    "q_sim_topk_ivf_sq8" -> ((s, d) => {
+      import graft.ops.Sq8
+      val e = Tables.embeddings(s, d)
+      val coarse = Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val (lo, span) = Sq8.trainBounds(e, "embedding")
+      Sq8.topKWithIvf(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, coarse, lo, span, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // r9: the two-level (coarse→fine) quantizer's assignment, oracle-
     // checked — 8 coarse cells route each vector to its cell's slice of
     // the 64 fine centroids; the fine matrix is a joined TABLE, the
@@ -283,6 +295,42 @@ object JoinQueries {
          |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-SQ8: cosine routing CTEs (the ivf_pq 'assigned' shape) +
+    // SQ8 midpoint scoring of the cell-restricted candidates
+    "q_sim_topk_ivf_sq8" -> {
+      val cosEC = cosineSql("e.embedding", "c.cvec")
+      s"""$sq8EncCtes,
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cosEC DESC, c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |corpus_cells AS (
+         |  SELECT vec_id AS neighbor_id, cid AS cell FROM assigned WHERE rnk = 1),
+         |query_cells AS (
+         |  SELECT vec_id AS query_id, cid AS cell
+         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
+         |cand AS (
+         |  SELECT q.query_id, cc.neighbor_id
+         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+         |  WHERE q.query_id <> cc.neighbor_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(list_sum(list_transform(generate_series(1, 64), d ->
+         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e2.codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
+         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e2.codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6) AS sq8_dist
+         |  FROM cand c
+         |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id, bv)
+         |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_sim_assign_twolevel" -> {
       val cosC = cosineSql("e.embedding", "c.cv")

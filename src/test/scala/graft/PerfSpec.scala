@@ -207,7 +207,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // outside sort-based fallback).
     for (q <- Seq("q_sim_topk_brute", "q_sim_topk_lsh", "q_sim_topk_ivf",
                   "q_sim_topk_ivf_bigk", "q_sim_topk_pq", "q_sim_topk_ivf_pq",
-                  "q_sim_topk_sq8")) {
+                  "q_sim_topk_sq8", "q_sim_topk_ivf_sq8")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("Window"), s"$q still ranks via a window:\n$plan")
       assert(plan.contains("ObjectHashAggregate"),
