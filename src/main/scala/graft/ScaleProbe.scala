@@ -224,6 +224,15 @@ object ScaleProbe {
           (size(split(col("text"), " "))).cast("long"))
         ops.Packing.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048).count()
       }
+      // r12 token-balanced sharding: hash-bucketed two-level prefix sum —
+      // one shuffle by hash bucket + broadcast offsets, wall must track
+      // corpus size linearly like sequence_packing above
+      timed("shard_assign", runs, opFilter) {
+        val withTokens = docs.withColumn("n_tokens",
+          (size(split(col("text"), " "))).cast("long"))
+        ops.Packing.shardAssign(withTokens, "doc_id", "n_tokens", nShards = 64)
+          .agg(count(lit(1)), sum("shard_id")).collect()(0).getLong(0)
+      }
       // NOTE: .count() would measure NOTHING for these two — both ops end
       // in a left join to a unique-keyed aggregate, which Spark's outer-
       // join elimination prunes wholesale when the joined columns go
