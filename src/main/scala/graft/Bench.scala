@@ -60,6 +60,17 @@ object Bench {
     "q_text_normalize",
     "q_corpus_topk_ngrams")
 
+  /** Fourth tracked metric (r12): the scoring-and-selection family —
+    * DSIR importance weighting, perplexity bucketing, token-balanced
+    * sharding, quantized search, and their 4-stage composition. Separate
+    * key, same rationale: earlier metrics stay byte-stable for trends. */
+  val selection: Seq[String] = Seq(
+    "q_dsir_select",
+    "q_text_ppl_buckets",
+    "q_shard_assign",
+    "q_sim_topk_sq8",
+    "q_curation_pipeline_v5")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -193,10 +204,12 @@ object Bench {
     // query-list A/B run times exactly what was asked, nothing else
     val extras = only match {
       case None =>
-        Seq("curation_total" -> curation, "excision_total" -> excision)
+        Seq("curation_total" -> curation, "excision_total" -> excision,
+          "selection_total" -> selection)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
-          "excision_total" -> excision.filter(o)).filter(_._2.nonEmpty)
+          "excision_total" -> excision.filter(o),
+          "selection_total" -> selection.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
