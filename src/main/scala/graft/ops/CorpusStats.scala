@@ -104,4 +104,57 @@ object CorpusStats {
       .orderBy(col("freq").desc, col("ngram"))
       .select("ngram", "freq", "doc_freq")
   }
+
+  /** Per-group K-MINIMUM-VALUES distinct-token sketch rows (r12 — the
+    * mergeable artifact): the k smallest md5-unit hashes of the group's
+    * DISTINCT tokens, via the bounded [[graft.ops.Similarity.rankTopK]]
+    * aggregate (O(k) state per group, map-side combine — the same heap
+    * that ranks ANN candidates). Returns (group, rank, h, u); union two
+    * corpora's rows and re-rank to merge (KMV sets compose under
+    * min-k-of-union). */
+  def kmvMinHashes(df: DataFrame, groupCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val hashed = df.select(col(groupCol).as("query_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("query_id"),
+        conv(substring(md5(col("tok")), 1, 7), 16, 10).cast(LongType)
+          .as("neighbor_id"))
+      .distinct()
+      .withColumn("u",
+        col("neighbor_id").cast(DoubleType) / lit((1L << 28).toDouble))
+    Similarity.rankTopK(hashed, "u", k, ascending = true)
+      .select(col("query_id").as(groupCol), col("rank"),
+        col("neighbor_id").as("h"), col("u"))
+  }
+
+  /** KMV distinct-count estimate per group (Bar-Yossef et al. 2002,
+    * "Counting Distinct Elements in a Data Stream" — public): with
+    * u₍ₖ₎ the k-th smallest unit hash of the distinct tokens,
+    * n̂ = (k−1)/u₍ₖ₎; a group with fewer than k distinct hashes reports
+    * the exact count. Engine-portable by construction (md5-prefix unit
+    * hashes, no sketch library constants), so the DuckDB oracle replays
+    * the estimate EXACTLY — unlike HLL-library sketches whose register
+    * layouts differ per engine. Relative error ~1/√(k−2) (~12.5% at
+    * k=64, ~3% at k=1024): the dataset-card ndv tier for 100 TB corpora
+    * where exact per-group distinct counts need a vocabulary-sized
+    * shuffle; the sketch rows are the persistable, UNION-mergeable
+    * artifact. */
+  def kmvNdvBy(df: DataFrame, groupCol: String, textCol: String,
+               k: Int = 64): DataFrame =
+    kmvEstimate(kmvMinHashes(df, groupCol, textCol, k), groupCol, k)
+
+  /** Estimate from sketch rows (possibly a union of several corpora's
+    * [[kmvMinHashes]] — re-ranks, so merged sets fold to min-k first). */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val reranked = Similarity.rankTopK(
+      sketch.select(col(groupCol).as("query_id"), col("h").as("neighbor_id"),
+        col("u")).distinct(),
+      "u", k, ascending = true)
+    reranked.groupBy("query_id").agg(
+      count(lit(1)).as("__n"),
+      max(when(col("rank") === k, col("u"))).as("__uk"))
+      .select(col("query_id").as(groupCol),
+        round(when(col("__n") < k, col("__n").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")), 6).as("ndv_est"))
+  }
 }

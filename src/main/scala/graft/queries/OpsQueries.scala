@@ -121,6 +121,14 @@ object OpsQueries {
         .orderBy("source")
     }),
 
+    // r12: KMV distinct-count sketch — engine-portable md5-unit min-k
+    // (k=16 < the fixture's closed 31-token vocabulary, so the (k−1)/u_k
+    // estimator path is exercised, not just the exact-count fallback)
+    "q_corpus_ndv_kmv" -> ((s, d) => {
+      graft.ops.CorpusStats.kmvNdvBy(Tables.documents(s, d), "lang", "text",
+        k = 16).orderBy("lang")
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.45, planes = 4, dims = 64)
@@ -1174,6 +1182,20 @@ object OpsQueries {
          |JOIN (SELECT grp, n_tokens FROM j WHERE rn = CAST(ceil(n_docs * 0.95) AS BIGINT)) p
          |  ON s.grp = p.grp
          |ORDER BY source""".stripMargin,
+
+    // KMV: k-th smallest md5-unit hash of the distinct tokens per group;
+    // (k−1)/u_k, exact count when the group has fewer than k hashes
+    "q_corpus_ndv_kmv" ->
+      s"""WITH tr AS (SELECT lang AS grp, unnest($toksSql) AS tok FROM documents),
+         |dh AS (SELECT DISTINCT grp, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM tr),
+         |u AS (SELECT grp, h, h / CAST(268435456 AS DOUBLE) AS u,
+         |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u, h) AS rn,
+         |  COUNT(*) OVER (PARTITION BY grp) AS cnt FROM dh)
+         |SELECT grp AS lang,
+         |  round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+         |    ELSE 15.0 / u END, 6) AS ndv_est
+         |FROM u WHERE rn = CASE WHEN cnt < 16 THEN cnt ELSE 16 END
+         |ORDER BY lang""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

@@ -1125,6 +1125,33 @@ class CurationOpsSpec extends AnyFunSuite {
       nOut.toString)
   }
 
+  test("KMV ndv sketch: estimate within theory bounds, merge == direct, small groups exact") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    // synthetic: group A has 5000 distinct tokens, group B has 7 — the
+    // estimator path and the exact-count fallback in one frame
+    val docs = ((0 until 5000).map(i => ("a", s"tok$i")) ++
+      (0 until 200).map(i => ("b", s"w${i % 7}")))
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+      .grouped(50).map(ch => (ch.head._2, ch.map(_._3).mkString(" ")))
+      .toSeq.toDF("grp", "text")
+    val est = CorpusStats.kmvNdvBy(docs, "grp", "text", k = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("b") == 7.0, s"below-k group must report the exact count: $est")
+    // k=256 → relative error ~1/sqrt(254) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est("a") - 5000.0) / 5000.0 < 0.25,
+      s"estimate ${est("a")} too far from 5000")
+
+    // merge law: union of two halves' sketch rows re-ranked == direct
+    val h1 = CorpusStats.kmvMinHashes(docs.filter(length(col("text")) % 2 === 0),
+      "grp", "text", k = 256)
+    val h2 = CorpusStats.kmvMinHashes(docs.filter(length(col("text")) % 2 =!= 0),
+      "grp", "text", k = 256)
+    val merged = CorpusStats.kmvEstimate(h1.unionByName(h2), "grp", k = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == est, s"merged $merged must equal direct $est")
+  }
+
   test("SQ8: hand-computed codes, clamp at range max, degenerate dim encodes 0") {
     import spark.implicits._
     import graft.ops.Sq8
