@@ -377,6 +377,66 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("avg_logprob_lm"))
   }
 
+  /** Gopher document-quality rule battery (Rae et al. 2021 Table A1 —
+    * public): the structural filters that complement [[qualityScore]]'s
+    * continuous signal — word-count bounds, mean word length bounds,
+    * symbol-to-word ratio (`#`/`...`), bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word fraction, and
+    * minimum distinct stop-word types. Emits every feature, one boolean
+    * per rule family folded into `gopher_keep`. Thresholds default to
+    * the paper's values and are declarable per corpus.
+    *
+    * Scale shape: pure per-row work over MATERIALIZED token/line arrays
+    * (the interpreted-HOF rule — tokenize/split once, then the lambdas
+    * walk attributes), zero shuffles; embarrassingly parallel. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.1,
+                         maxEllipsisFrac: Double = 0.3,
+                         minAlphaFrac: Double = 0.8,
+                         minStopTypes: Int = 2): DataFrame = {
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = df.select(col(idCol),
+      coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__tk", tokens(col("__t")))
+      .withColumn("__lines", split(col("__t"), "\n"))
+    val nW = size(col("__tk"))
+    val nL = size(col("__lines"))
+    val feats = base.select(col(idCol),
+      nW.cast(LongType).as("n_words"),
+      round(when(nW > 0,
+        aggregate(col("__tk"), lit(0L), (acc, x) => acc + length(x))
+          .cast(DoubleType) / nW).otherwise(lit(0.0)), 6).as("mean_word_len"),
+      round(when(nW > 0,
+        ((length(col("__t")) - length(replace(col("__t"), lit("#"), lit("")))) +
+          (length(col("__t")) - length(replace(col("__t"), lit("..."), lit("")))) / lit(3))
+          .cast(DoubleType) / nW).otherwise(lit(0.0)), 6).as("symbol_ratio"),
+      round(when(nL > 0,
+        size(filter(col("__lines"), l => trim(l).rlike("^[-*•]")))
+          .cast(DoubleType) / nL).otherwise(lit(0.0)), 6).as("bullet_frac"),
+      round(when(nL > 0,
+        size(filter(col("__lines"), l => trim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast(DoubleType) / nL).otherwise(lit(0.0)), 6).as("ellipsis_frac"),
+      round(when(nW > 0,
+        size(filter(col("__tk"), x => x.rlike("[A-Za-z]")))
+          .cast(DoubleType) / nW).otherwise(lit(0.0)), 6).as("alpha_frac"),
+      size(array_intersect(
+        array_distinct(transform(col("__tk"), x => lower(x))),
+        array(stopSet.map(lit): _*))).cast(LongType).as("n_stop_types"))
+    feats.withColumn("gopher_keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stop_types") >= minStopTypes)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): split
     * LM-scored documents into head / middle / tail quality terciles PER
     * GROUP (CCNet buckets per language — multilingual corpora have

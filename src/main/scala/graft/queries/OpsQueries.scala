@@ -264,6 +264,23 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: Gopher document-quality rule battery over planted structure
+    // (bullet lines on doc_id % 11, an ellipsis line on % 13, symbol/
+    // non-alpha junk on % 17); paper thresholds except minStopTypes = 1
+    // (the synthetic fixture's closed vocabulary carries one stop type)
+    "q_text_gopher_quality" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit("\n- bullet one\n- bullet two\n* bullet three")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\ntrailing thought...")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" ### #hash zz11 42")).otherwise(lit(""))).as("ptext"))
+      TA.gopherQualityFlags(aug, "doc_id", "ptext", minStopTypes = 1)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition profile (Rae et al. 2021 Table A1, token-
     // fraction analogs): explode + two-level groupBy, never a per-row
     // O(tokens × distinct) array scan
@@ -1319,6 +1336,38 @@ object OpsQueries {
          |  round(CASE WHEN COALESCE(n_tokens, 0) > 0
          |    THEN sum_lp / n_tokens ELSE 0.0 END, 6) AS avg_logprob
          |FROM documents d LEFT JOIN scored USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher_quality" -> {
+      val ptoks = """(CASE WHEN trim(ptext) = '' THEN CAST([] AS VARCHAR[])
+                    | ELSE string_split_regex(trim(ptext), '\s+') END)""".stripMargin
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' || chr(10) || '* bullet three' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 17 = 0 THEN ' ### #hash zz11 42' ELSE '' END) AS ptext
+         |  FROM documents),
+         |t AS (SELECT doc_id, ptext, $ptoks AS tk,
+         |  string_split(ptext, chr(10)) AS lines FROM aug),
+         |f AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  round(CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+         |  round(CASE WHEN len(tk) > 0 THEN
+         |    ((length(ptext) - length(replace(ptext, '#', ''))) +
+         |     (length(ptext) - length(replace(ptext, '...', ''))) / 3)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS symbol_ratio,
+         |  round(CASE WHEN len(lines) > 0 THEN
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+         |  round(CASE WHEN len(lines) > 0 THEN
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS ellipsis_frac,
+         |  round(CASE WHEN len(tk) > 0 THEN
+         |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS alpha_frac,
+         |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+         |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_types
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop_types,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+         |   AND alpha_frac >= 0.8 AND n_stop_types >= 1) AS gopher_keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),

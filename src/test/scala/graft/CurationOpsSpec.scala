@@ -1125,6 +1125,33 @@ class CurationOpsSpec extends AnyFunSuite {
       nOut.toString)
   }
 
+  test("Gopher quality flags: each rule family fires on its planted violation") {
+    import spark.implicits._
+    val good = (("the quick brown " * 20) + "fox of and that").trim // 63 words, stopful
+    val docs = Seq(
+      (1L, good),
+      (2L, good + "\n- a\n- b\n- c\n- d"),               // bullet lines > 10%
+      (3L, good + ("\nmore thoughts..." * 3)),            // ellipsis lines > 30%
+      (4L, good + (" ##########" * 3)),                   // symbol ratio > 0.1
+      (5L, good + (" 1111 2222 3333 4444 5555" * 4)),     // alpha frac < 0.8
+      (6L, "short doc"),                                  // word count < 50
+      (7L, "")                                            // empty: everything 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
+      minStopTypes = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("gopher_keep")).toMap
+    assert(out(1L), s"clean doc must keep: $out")
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(!out(_)),
+      s"every planted violation must drop its doc: $out")
+    // the features behind two of the verdicts, hand-checked
+    val f = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(f(2L).getAs[Double]("bullet_frac") == 0.8) // 4 of 5 lines
+    assert(f(1L).getAs[Long]("n_stop_types") == 4L)   // the/of/and/that
+    assert(f(7L).getAs[Long]("n_words") == 0L)
+  }
+
   test("KMV ndv sketch: estimate within theory bounds, merge == direct, small groups exact") {
     import spark.implicits._
     import graft.ops.CorpusStats
