@@ -238,6 +238,25 @@ object MatQueries {
         .orderBy("o_orderkey")
     }),
 
+    // r12: OPTIMIZE ZORDER roundtrip — a Morton rewrite on (o_custkey,
+    // o_totalprice) must move bytes, never rows: the post-rewrite read
+    // equals the source relationally, while ZorderSpec separately proves
+    // the multi-column file pruning the rewrite exists for. Filtered
+    // through BOTH clustered columns so a stats-pruning bug (wrongly
+    // dropped file) surfaces as missing rows here, not just in specs.
+    "q_mat_zorder" -> ((s, d) => {
+      val rm = scratch(s)
+      val rel = Relation("graft", "main", "orders_z")
+      rm.writeTable(Tables.orders(s, d), rel,
+        statsCols = Seq("o_custkey", "o_totalprice"))
+      rm.optimize(rel, clusterBy = Seq("o_custkey", "o_totalprice"),
+        targetFileBytes = 64L * 1024, zorder = true)
+      rm.read(rel)
+        .filter(col("o_custkey") % 10 === 3 && col("o_totalprice") > 50000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // ------------------------------------------------- V2 write surface (r4)
     // A graft table written by the ENGINE, appended to by plain Spark SQL
     // (INSERT INTO through the V2 catalog — any Spark job can do this), then
@@ -381,6 +400,11 @@ object MatQueries {
         |  COUNT(*) AS n_items
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+
+    "q_mat_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey % 10 = 3 AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_v2_sql_write" ->
       """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
