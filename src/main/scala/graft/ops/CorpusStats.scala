@@ -124,7 +124,11 @@ object CorpusStats {
         col("neighbor_id").cast(DoubleType) / lit((1L << 28).toDouble))
     Similarity.rankTopK(hashed, "u", k, ascending = true)
       .select(col("query_id").as(groupCol), col("rank"),
-        col("neighbor_id").as("h"), col("u"))
+        col("neighbor_id").as("h"), col("u"),
+        // the sketch is self-describing: estimating a k=64 sketch at
+        // k=256 would silently hit the exact-count branch and report
+        // 128 for a million — kmvEstimate validates against this
+        lit(k).as("sketch_k"))
   }
 
   /** KMV distinct-count estimate per group (Bar-Yossef et al. 2002,
@@ -141,20 +145,35 @@ object CorpusStats {
     * artifact. */
   def kmvNdvBy(df: DataFrame, groupCol: String, textCol: String,
                k: Int = 64): DataFrame =
-    kmvEstimate(kmvMinHashes(df, groupCol, textCol, k), groupCol, k)
+    // direct path: the min-k rows are already ranked — aggregate them
+    // straight, no second distinct + rank shuffle (that pass exists for
+    // the merge case, where unions must re-fold to min-k)
+    estimateFromRanked(kmvMinHashes(df, groupCol, textCol, k)
+      .select(col(groupCol).as("query_id"), col("rank"), col("u")), groupCol, k)
 
   /** Estimate from sketch rows (possibly a union of several corpora's
-    * [[kmvMinHashes]] — re-ranks, so merged sets fold to min-k first). */
-  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    * [[kmvMinHashes]] — re-ranks, so merged sets fold to min-k first).
+    * `k` comes from the rows' own `sketch_k` and must be uniform: mixing
+    * sketch sizes (or estimating at a larger k than the sketch holds)
+    * would silently take the exact-count branch with a truncated set. */
+  def kmvEstimate(sketch: DataFrame, groupCol: String): DataFrame = {
+    val ks = sketch.select(col("sketch_k")).distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"kmvEstimate: sketches built with different k cannot merge: ${ks.toSeq}")
+    val k = ks.head
     val reranked = Similarity.rankTopK(
       sketch.select(col(groupCol).as("query_id"), col("h").as("neighbor_id"),
         col("u")).distinct(),
       "u", k, ascending = true)
-    reranked.groupBy("query_id").agg(
+    estimateFromRanked(reranked, groupCol, k)
+  }
+
+  private def estimateFromRanked(ranked: DataFrame, groupCol: String,
+                                 k: Int): DataFrame =
+    ranked.groupBy("query_id").agg(
       count(lit(1)).as("__n"),
       max(when(col("rank") === k, col("u"))).as("__uk"))
       .select(col("query_id").as(groupCol),
         round(when(col("__n") < k, col("__n").cast(DoubleType))
           .otherwise(lit((k - 1).toDouble) / col("__uk")), 6).as("ndv_est"))
-  }
 }

@@ -380,11 +380,13 @@ object TextAnalysis {
   /** Gopher document-quality rule battery (Rae et al. 2021 Table A1 —
     * public): the structural filters that complement [[qualityScore]]'s
     * continuous signal — word-count bounds, mean word length bounds,
-    * symbol-to-word ratio (`#`/`...`), bullet-started and
-    * ellipsis-ended line fractions, alphabetic-word fraction, and
-    * minimum distinct stop-word types. Emits every feature, one boolean
-    * per rule family folded into `gopher_keep`. Thresholds default to
-    * the paper's values and are declarable per corpus.
+    * hash and ellipsis symbol-to-word ratios (tested SEPARATELY, the
+    * paper's "either" wording; ellipsis counts both `...` and `…`),
+    * bullet-started (> 90% drops) and ellipsis-ended (> 30% drops) line
+    * fractions, alphabetic-word fraction, and minimum distinct
+    * stop-word types. Emits every feature, one boolean per rule family
+    * folded into `gopher_keep`. Thresholds default to the paper's
+    * values and are declarable per corpus.
     *
     * Scale shape: pure per-row work over MATERIALIZED token/line arrays
     * (the interpreted-HOF rule — tokenize/split once, then the lambdas
@@ -394,7 +396,7 @@ object TextAnalysis {
                          minMeanWordLen: Double = 3.0,
                          maxMeanWordLen: Double = 10.0,
                          maxSymbolRatio: Double = 0.1,
-                         maxBulletFrac: Double = 0.1,
+                         maxBulletFrac: Double = 0.9,
                          maxEllipsisFrac: Double = 0.3,
                          minAlphaFrac: Double = 0.8,
                          minStopTypes: Int = 2): DataFrame = {
@@ -405,15 +407,19 @@ object TextAnalysis {
       .withColumn("__lines", split(col("__t"), "\n"))
     val nW = size(col("__tk"))
     val nL = size(col("__lines"))
+    def occurrences(of: String): Column =
+      (length(col("__t")) - length(replace(col("__t"), lit(of), lit("")))) / lit(of.length)
     val feats = base.select(col(idCol),
       nW.cast(LongType).as("n_words"),
       round(when(nW > 0,
         aggregate(col("__tk"), lit(0L), (acc, x) => acc + length(x))
           .cast(DoubleType) / nW).otherwise(lit(0.0)), 6).as("mean_word_len"),
       round(when(nW > 0,
-        ((length(col("__t")) - length(replace(col("__t"), lit("#"), lit("")))) +
-          (length(col("__t")) - length(replace(col("__t"), lit("..."), lit("")))) / lit(3))
-          .cast(DoubleType) / nW).otherwise(lit(0.0)), 6).as("symbol_ratio"),
+        occurrences("#").cast(DoubleType) / nW)
+        .otherwise(lit(0.0)), 6).as("hash_ratio"),
+      round(when(nW > 0,
+        (occurrences("...") + occurrences("…")).cast(DoubleType) / nW)
+        .otherwise(lit(0.0)), 6).as("ellipsis_ratio"),
       round(when(nL > 0,
         size(filter(col("__lines"), l => trim(l).rlike("^[-*•]")))
           .cast(DoubleType) / nL).otherwise(lit(0.0)), 6).as("bullet_frac"),
@@ -430,7 +436,8 @@ object TextAnalysis {
       col("n_words") >= minWords && col("n_words") <= maxWords &&
         col("mean_word_len") >= minMeanWordLen &&
         col("mean_word_len") <= maxMeanWordLen &&
-        col("symbol_ratio") <= maxSymbolRatio &&
+        col("hash_ratio") <= maxSymbolRatio &&
+        col("ellipsis_ratio") <= maxSymbolRatio &&
         col("bullet_frac") <= maxBulletFrac &&
         col("ellipsis_frac") <= maxEllipsisFrac &&
         col("alpha_frac") >= minAlphaFrac &&

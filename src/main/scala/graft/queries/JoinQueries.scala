@@ -285,9 +285,7 @@ object JoinQueries {
       s"""$sq8EncCtes,
          |scored AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    round(list_sum(list_transform(generate_series(1, 64), d ->
-         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e.codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
-         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e.codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6) AS sq8_dist
+         |    ${sq8DistSql("q.embedding", "e.codes")} AS sq8_dist
          |  FROM embeddings q CROSS JOIN enc e, bv
          |  WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id)
          |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
@@ -319,9 +317,7 @@ object JoinQueries {
          |  WHERE q.query_id <> cc.neighbor_id),
          |scored AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |    round(list_sum(list_transform(generate_series(1, 64), d ->
-         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e2.codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
-         |      (q.embedding[d]::DOUBLE - (bv.lov[d] + (e2.codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6) AS sq8_dist
+         |    ${sq8DistSql("q.embedding", "e2.codes")} AS sq8_dist
          |  FROM cand c
          |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
          |  JOIN embeddings q ON q.vec_id = c.query_id, bv)
@@ -355,6 +351,14 @@ object JoinQueries {
   /** PQ encode CTEs shared by both PQ oracles: seeded books + the
     * per-(vector, subspace) rank-1 codeword assignment. One definition,
     * or the two oracles drift apart under edits. */
+  /** SQ8 asymmetric midpoint distance — ONE definition shared by both
+    * SQ8 oracles (raw query dims vs lo + (code+0.5)·span/256, list_sum
+    * over ascending dims = the fused loop's accumulation order). */
+  private def sq8DistSql(q: String, codes: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 64), d ->
+       |      ($q[d]::DOUBLE - (bv.lov[d] + ($codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
+       |      ($q[d]::DOUBLE - (bv.lov[d] + ($codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6)""".stripMargin
+
   /** SQ8 encode CTEs shared by both SQ8 oracles: exact per-dim bounds,
     * bound LISTS (ascending dim — the fused expressions' plan-constant
     * arrays), and per-vector code lists. */

@@ -268,6 +268,9 @@ object OpsQueries {
     // (bullet lines on doc_id % 11, an ellipsis line on % 13, symbol/
     // non-alpha junk on % 17); paper thresholds except minStopTypes = 1
     // (the synthetic fixture's closed vocabulary carries one stop type)
+    // and maxBulletFrac = 0.5 (the planted fractions sit at 0.6-0.75 —
+    // below the paper's 0.9 — so the declared-threshold knob is what
+    // makes the bullet rule fire at all on this fixture)
     "q_text_gopher_quality" -> ((s, d) => {
       val aug = Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"),
@@ -277,7 +280,8 @@ object OpsQueries {
             lit("\ntrailing thought...")).otherwise(lit("")),
           when(col("doc_id") % 17 === 0,
             lit(" ### #hash zz11 42")).otherwise(lit(""))).as("ptext"))
-      TA.gopherQualityFlags(aug, "doc_id", "ptext", minStopTypes = 1)
+      TA.gopherQualityFlags(aug, "doc_id", "ptext",
+        maxBulletFrac = 0.5, minStopTypes = 1)
         .orderBy("doc_id")
     }),
 
@@ -1351,8 +1355,10 @@ object OpsQueries {
          |  CAST(len(tk) AS BIGINT) AS n_words,
          |  round(CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
          |  round(CASE WHEN len(tk) > 0 THEN
-         |    ((length(ptext) - length(replace(ptext, '#', ''))) +
-         |     (length(ptext) - length(replace(ptext, '...', ''))) / 3)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS symbol_ratio,
+         |    ((length(ptext) - length(replace(ptext, '#', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS hash_ratio,
+         |  round(CASE WHEN len(tk) > 0 THEN
+         |    ((length(ptext) - length(replace(ptext, '...', ''))) / 3 +
+         |     (length(ptext) - length(replace(ptext, '…', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS ellipsis_ratio,
          |  round(CASE WHEN len(lines) > 0 THEN
          |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
          |  round(CASE WHEN len(lines) > 0 THEN
@@ -1362,9 +1368,9 @@ object OpsQueries {
          |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
          |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_types
          |  FROM t)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop_types,
+         |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop_types,
          |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+         |   AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND bullet_frac <= 0.5 AND ellipsis_frac <= 0.3
          |   AND alpha_frac >= 0.8 AND n_stop_types >= 1) AS gopher_keep
          |FROM f ORDER BY doc_id""".stripMargin
     },

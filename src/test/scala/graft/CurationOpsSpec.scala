@@ -1137,19 +1137,32 @@ class CurationOpsSpec extends AnyFunSuite {
       (6L, "short doc"),                                  // word count < 50
       (7L, "")                                            // empty: everything 0
     ).toDF("doc_id", "text")
+    // bullet threshold tightened below the planted 0.8 so the rule
+    // fires; every other rule at the paper defaults
     val out = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
-      minStopTypes = 2)
+      maxBulletFrac = 0.5, minStopTypes = 2)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Boolean]("gopher_keep")).toMap
     assert(out(1L), s"clean doc must keep: $out")
     assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(!out(_)),
       s"every planted violation must drop its doc: $out")
-    // the features behind two of the verdicts, hand-checked
+    // the features behind the verdicts, hand-checked (paper defaults)
     val f = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(f(2L).getAs[Double]("bullet_frac") == 0.8) // 4 of 5 lines
+    assert(f(2L).getAs[Boolean]("gopher_keep"),
+      "paper default is 0.9: an 80%-bullet doc KEEPS under pure defaults")
     assert(f(1L).getAs[Long]("n_stop_types") == 4L)   // the/of/and/that
     assert(f(7L).getAs[Long]("n_words") == 0L)
+    // hash and ellipsis ratios test SEPARATELY (the paper's "either"):
+    // doc 4's violation is hash-only, its ellipsis_ratio stays 0
+    assert(f(4L).getAs[Double]("hash_ratio") > 0.1 &&
+      f(4L).getAs[Double]("ellipsis_ratio") == 0.0)
+    // unicode ellipsis counts toward the symbol ratio too
+    val uni = TextAnalysis.gopherQualityFlags(
+      Seq((1L, "a b …" )).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(uni.getAs[Double]("ellipsis_ratio") > 0.3)
   }
 
   test("KMV ndv sketch: estimate within theory bounds, merge == direct, small groups exact") {
@@ -1169,14 +1182,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(est("a") - 5000.0) / 5000.0 < 0.25,
       s"estimate ${est("a")} too far from 5000")
 
-    // merge law: union of two halves' sketch rows re-ranked == direct
-    val h1 = CorpusStats.kmvMinHashes(docs.filter(length(col("text")) % 2 === 0),
-      "grp", "text", k = 256)
-    val h2 = CorpusStats.kmvMinHashes(docs.filter(length(col("text")) % 2 =!= 0),
-      "grp", "text", k = 256)
-    val merged = CorpusStats.kmvEstimate(h1.unionByName(h2), "grp", k = 256)
+    // merge law: union of two halves' sketch rows re-ranked == direct.
+    // Split on the md5 of the text (NOT length parity — a generator can
+    // make every length share one parity, leaving a silently-empty half)
+    val even = substring(md5(col("text")), 1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    val h1 = CorpusStats.kmvMinHashes(docs.filter(even), "grp", "text", k = 256)
+    val h2 = CorpusStats.kmvMinHashes(docs.filter(!even), "grp", "text", k = 256)
+    assert(h1.count() > 0 && h2.count() > 0, "both halves must contribute")
+    val merged = CorpusStats.kmvEstimate(h1.unionByName(h2), "grp")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(merged == est, s"merged $merged must equal direct $est")
+    // mixing sketch sizes would silently truncate into the exact-count
+    // branch — the self-described k must reject the union loud
+    val hSmall = CorpusStats.kmvMinHashes(docs, "grp", "text", k = 64)
+    intercept[IllegalArgumentException](
+      CorpusStats.kmvEstimate(h1.unionByName(hSmall), "grp").collect())
   }
 
   test("SQ8: hand-computed codes, clamp at range max, degenerate dim encodes 0") {
