@@ -102,6 +102,35 @@ object Decontaminate {
       .select(col(idCol), col("s"))
   }
 
+  /** SEMANTIC decontamination (r12): flag training items whose EMBEDDING
+    * sits within cosine `threshold` of any eval-set embedding — catches
+    * the paraphrased/translated benchmark leakage n-gram overlap is
+    * blind to (the public eval-contamination literature's motivating
+    * case; the mechanism is [[Similarity]]'s cosine machinery pointed at
+    * an eval set). Returns every training id with its max eval cosine
+    * (−1 when the eval set is empty) and `semantic_clean`.
+    *
+    * Scale shape mirrors [[flagOverlap]]: eval sets are SMALL by
+    * construction, so the eval side broadcasts and the training side —
+    * the 100 TB side — never shuffles for the probe; one fused cosine
+    * per (train, eval) pair, then a doc-keyed partial-agg max. Same
+    * `broadcastBench = false` escape hatch for corpus-sized sweeps. */
+  def flagSemanticOverlap(train: DataFrame, evalSet: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double,
+                          broadcastBench: Boolean = true): DataFrame = {
+    val t = train.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__tv"))
+    val e0 = evalSet.select(Similarity.asDouble(col(vecCol)).as("__ev"))
+    val e = if (broadcastBench) broadcast(e0) else e0
+    val scored = t.crossJoin(e)
+      .select(col(idCol),
+        round(Similarity.cosine(col("__tv"), col("__ev")), 6).as("__cos"))
+      .groupBy(col(idCol)).agg(max(col("__cos")).as("max_eval_cosine"))
+    train.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("max_eval_cosine"), lit(-1.0)).as("max_eval_cosine"))
+      .withColumn("semantic_clean", col("max_eval_cosine") < threshold)
+  }
+
   /** Token-level anti-join rebuild — the independent reference the fused
     * ExciseWindows pass is parity-tested against (ExciseParity in
     * CurationOpsSpec); the DuckDB oracle mirrors this shape. */

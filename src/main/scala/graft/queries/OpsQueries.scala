@@ -135,6 +135,16 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // r12: SEMANTIC decontamination — train embeddings vs a broadcast
+    // eval slice (vec_id % 50), max-cosine flag at 0.45
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Decontaminate.flagSemanticOverlap(
+        e.filter(col("vec_id") % 50 =!= 0), e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup: IVF-cell-blocked pairwise cosine (seeded quantizer so
     // the oracle can reproduce the argmax assignment)
     "q_dedup_semantic" -> ((s, d) => {
@@ -1227,6 +1237,16 @@ object OpsQueries {
          |FROM v a JOIN v b USING (bucket)
          |WHERE a.id < b.id AND ${cosineSql("a.embedding", "b.embedding")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+         |sc AS (SELECT tr.vec_id,
+         |    max(${cosineSql("tr.embedding", "ev.embedding")}) AS max_eval_cosine
+         |  FROM tr CROSS JOIN ev GROUP BY 1)
+         |SELECT tr.vec_id, COALESCE(sc.max_eval_cosine, -1.0) AS max_eval_cosine,
+         |  COALESCE(sc.max_eval_cosine, -1.0) < 0.45 AS semantic_clean
+         |FROM tr LEFT JOIN sc USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     "q_dedup_semantic" -> semanticDedupSql(nCells = 8, threshold = "0.45"),
     "q_dedup_semantic_bigk" -> semanticDedupSql(nCells = 64, threshold = "0.4"),

@@ -1125,6 +1125,33 @@ class CurationOpsSpec extends AnyFunSuite {
       nOut.toString)
   }
 
+  test("semantic decontamination: planted leak flagged, orthogonal clean, eval side broadcasts") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    val evalSet = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),  // near-copy of the eval vector
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),  // orthogonal
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0))  // opposite
+    ).toDF("vec_id", "embedding")
+    val out = Decontaminate.flagSemanticOverlap(train, evalSet,
+      "vec_id", "embedding", threshold = 0.8)
+    out.collect() // finalize AQE before reading the plan
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!rows(1L)._2 && rows(1L)._1 > 0.99, s"near-copy must flag: $rows")
+    assert(rows(2L)._2 && rows(2L)._1 == 0.0)
+    assert(rows(3L)._2 && rows(3L)._1 == -1.0, "opposite vector: cosine -1, clean")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the eval side must broadcast:\n$plan")
+    // empty eval set: everything clean at the -1 sentinel
+    val none = Decontaminate.flagSemanticOverlap(train,
+      evalSet.filter(col("vec_id") < 0), "vec_id", "embedding", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(none.values.forall(_ == -1.0), none.toString)
+  }
+
   test("Gopher quality flags: each rule family fires on its planted violation") {
     import spark.implicits._
     val good = (("the quick brown " * 20) + "fox of and that").trim // 63 words, stopful
