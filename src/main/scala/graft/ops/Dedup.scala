@@ -93,10 +93,16 @@ object Dedup {
     * the SAME store [[exactIncrementalBloom]] classifies against or the
     * no-false-negatives pre-filter contract does not hold. */
   def fingerprintBloom(corpusHashes: DataFrame, hashCol: String,
-                       expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    corpusHashes.filter(col(hashCol).isNotNull)
+                       expectedItems: Long, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = corpusHashes.filter(col(hashCol).isNotNull)
       .select(xxhash64(col(hashCol)).as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
+    // an EMPTY store (first ingest bootstrap) must yield a valid
+    // all-zero filter — stat.bloomFilter over zero rows returns a
+    // degenerate one whose probe NPEs ("buf is null")
+    if (keys.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    else keys.stat.bloomFilter("__k", expectedItems, fpp)
+  }
 
   /** [[exactIncremental]] with a Bloom PRE-FILTER, restructured so the
     * fingerprint store is only ever STREAMED: rows the broadcast filter

@@ -165,6 +165,58 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: CONTINUOUS-INGEST exact dedup through the Bloom pre-filter —
+    // two ordered micro-batches; each generation REBUILDS the broadcast
+    // Bloom artifact from the persisted fingerprint store (the
+    // per-generation artifact refresh a real pipeline runs), classifies
+    // its batch against store+filter, appends the classifications, and
+    // admits its new content's fingerprints. The final classification
+    // table must equal the two-generation batch replay the oracle
+    // computes — stream ≡ batch for the bloom-ingest path, and the
+    // no-false-negatives contract holds across generations.
+    "q_stream_dedup_bloom" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Dedup
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sbl_in")
+      val ckpt = Files.createTempDirectory("graft_sbl_ck")
+      // the fixture has zero exact duplicates — plant a canonical block
+      // on doc_id % 7 so dup_in_batch (later % 7 evens in gen 1) AND
+      // dup_of_corpus (every % 7 odd in gen 2) both occur
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("planted duplicate content block"))
+          .otherwise(col("text")).as("text"))
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sbl_wh").toString)
+      val storeRel = graft.core.Relation("graft", "main", "fp_store")
+      val outRel = graft.core.Relation("graft", "main", "classified_docs")
+      rm.writeTable(docs.limit(0).select(md5(col("text")).as("h")), storeRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val store = rm.read(storeRel)
+          val bloom = Dedup.fingerprintBloom(store, "h", expectedItems = 100000L)
+          val classified = Dedup.exactIncrementalBloom(batch, "doc_id", "text",
+            store, "h", bloom).localCheckpoint(true)
+          if (rm.exists(outRel)) rm.appendTable(classified, outRel)
+          else rm.writeTable(classified, outRel)
+          rm.appendTable(classified.filter(col("is_new_content"))
+            .select(col("content_hash").as("h")), storeRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(outRel)
+        .select("doc_id", "content_hash", "status", "is_new_content")
+        .orderBy("doc_id")
+    }),
+
     // r9: CONTINUOUS-INGEST near-dup dedup run for real — two ordered
     // micro-batches (even ids land first, then odd ids), each batch
     // classified against the signature store the PREVIOUS batches built,
@@ -284,6 +336,34 @@ object StreamQueries {
     // r10: the stream's two generations replayed in order — batch 1
     // excised batch-internally (empty store), its CLEANED text's windows
     // become the store, batch 2 excised against store + batch-internal
+    // two-generation replay of the bloom ingest: gen 1 (evens) vs an
+    // empty store, its admitted fingerprints become gen 2's store —
+    // the bloom pre-filter has no false negatives, so the stream's
+    // classifications equal this plain replay
+    "q_stream_dedup_bloom" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'planted duplicate content block' ELSE text END AS text
+        |  FROM documents),
+        |g1r AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM aug WHERE doc_id % 2 = 0),
+        |g1 AS (SELECT doc_id, content_hash,
+        |  CASE WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
+        |  rn = 1 AS is_new_content FROM g1r),
+        |store1 AS (SELECT DISTINCT content_hash FROM g1 WHERE is_new_content),
+        |g2r AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM aug WHERE doc_id % 2 <> 0),
+        |g2 AS (SELECT doc_id, content_hash,
+        |  CASE WHEN content_hash IN (SELECT content_hash FROM store1) THEN 'dup_of_corpus'
+        |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status,
+        |  (content_hash NOT IN (SELECT content_hash FROM store1) AND rn = 1) AS is_new_content FROM g2r)
+        |SELECT doc_id, content_hash, status, is_new_content FROM g1
+        |UNION ALL SELECT doc_id, content_hash, status, is_new_content FROM g2
+        |ORDER BY doc_id""".stripMargin,
+
     "q_stream_substring_incremental" ->
       """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 <> 0),

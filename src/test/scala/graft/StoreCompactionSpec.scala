@@ -142,6 +142,15 @@ class StoreCompactionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out == Map(10L -> "dup_of_corpus", 11L -> "new",
       12L -> "dup_in_batch", 13L -> "new"), out.toString)
+    // first-ingest bootstrap: an EMPTY store must yield a valid all-zero
+    // filter (stat.bloomFilter over zero rows returns one whose probe
+    // NPEs) and classify everything new/dup_in_batch
+    val bEmpty = Dedup.fingerprintBloom(h2.limit(0), "h", expectedItems = 100L)
+    val boot = Dedup.exactIncrementalBloom(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", h2.limit(0), "h", bEmpty)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(boot == Map(10L -> "new", 11L -> "new",
+      12L -> "dup_in_batch", 13L -> "new"), boot.toString)
   }
 
   test("change-feed-driven compaction: CDC delete rows drive the anti-join") {
