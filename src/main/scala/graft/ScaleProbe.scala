@@ -397,6 +397,17 @@ object ScaleProbe {
       // (r9: the quantizer's former few-hundred-cell codegen-literal limit
       // is gone — see the ivf_assign legs below — but this leg keeps its
       // historical k ∝ √n/2 config for cross-round trend comparability.)
+      // r12 semantic decontamination: fixed 256-vector eval set (eval
+      // suites don't grow with the corpus), so wall isolates the
+      // training-side broadcast probe — decontaminate's scale shape on
+      // embeddings
+      timed("semantic_decon", runs, opFilter) {
+        val evalSet = emb.filter(col("doc_id") % queryStride === 0)
+        ops.Decontaminate.flagSemanticOverlap(emb, evalSet,
+          "doc_id", "embedding", threshold = 0.9)
+          .agg(count(lit(1)),
+            sum(when(col("semantic_clean"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
       timed("semantic_dedup", runs, opFilter) {
         val cells = math.max(8, math.sqrt(n).toInt / 2)
         ops.Ivf.semanticDedupPairs(emb, "doc_id", "embedding",
