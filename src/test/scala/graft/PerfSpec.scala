@@ -191,6 +191,35 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
   }
 
+  test("r12: selection-family plan shapes — broadcast models and cutoffs, no cartesian") {
+    // DSIR: the bucket model is bounded by the declared nBuckets and
+    // must BROADCAST (a data-sized model would shuffle the corpus);
+    // the cutoff ride-back is a 1-row broadcast; no cartesian anywhere
+    val dsir = physicalPlan("q_dsir_select")
+    assert(!dsir.contains("CartesianProduct"), s"q_dsir_select cartesian:\n$dsir")
+    assert(dsir.contains("BroadcastHashJoin") || dsir.contains("BroadcastExchange"),
+      s"dsir model must broadcast:\n$dsir")
+    // perplexity buckets: assignment joins the per-group cutoff tables
+    // as broadcasts (rows = |groups| x 2), never a data-sized shuffle
+    val ppl = physicalPlan("q_text_ppl_buckets")
+    assert(!ppl.contains("CartesianProduct"), s"q_text_ppl_buckets cartesian:\n$ppl")
+    assert(ppl.contains("BroadcastHashJoin"),
+      s"cutoff tables must broadcast:\n$ppl")
+    // sharding: the packing contract — documents shuffle ONCE by hash
+    // bucket; single-partition exchanges carry bucket totals / the 1-row
+    // grand total, never document-sized data
+    val shard = physicalPlan("q_shard_assign")
+    assert(shard.contains("Exchange hashpartitioning(__bucket"),
+      s"shard must shuffle by hash bucket:\n$shard")
+    val singles = "Exchange SinglePartition".r.findAllIn(shard).toSeq.size
+    assert(singles <= 2, s"expected only the offsets+total tiny exchanges:\n$shard")
+    "Exchange SinglePartition".r.findAllIn(shard).matchData.foreach { m =>
+      val after = shard.substring(m.end).split("\n").take(4).mkString("\n")
+      assert(after.contains("HashAggregate"),
+        s"a single-partition exchange must consume aggregates, not documents:\n$shard")
+    }
+  }
+
   test("brute-force topk broadcasts the query side, not the corpus") {
     val plan = physicalPlan("q_sim_topk_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
