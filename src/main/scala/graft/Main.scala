@@ -326,9 +326,14 @@ object Main {
                 if (args.clusterBy.nonEmpty) args.clusterBy
                 else n.config.meta.get("cluster_by").toSeq
                   .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-              rm.optimize(rel, clusterBy = cluster, zorder = args.zorder)
+              // layout is declarable per model, like cluster_by itself:
+              // meta `zorder: true` opts the model into the Morton
+              // rewrite; the --zorder flag forces it for the run
+              val z = args.zorder ||
+                n.config.meta.get("zorder").exists(_.trim.equalsIgnoreCase("true"))
+              rm.optimize(rel, clusterBy = cluster, zorder = z)
               val how =
-                if (graft.relations.RelationManager.zorderApplies(cluster, args.zorder))
+                if (graft.relations.RelationManager.zorderApplies(cluster, z))
                   "z-ordered"
                 else "clustered"
               out.println(s"OPTIMIZED ${n.uniqueId}" +

@@ -682,6 +682,27 @@ class MainSpec extends AnyFunSuite {
       sw.toString)
     assert(rm.read(rel).orderBy("customer").collect().toSeq == rows,
       "optimize must not change table content")
+    // --zorder on numeric columns (the payments SEED — stg_payments is
+    // a view, no table to rewrite): Morton rewrite, content unchanged,
+    // message reports the layout the manager actually applied
+    val relS = Relation("graft", "main", "payments")
+    val rowsS = rm.read(relS).orderBy("id").collect().toSeq
+    val swZ = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "optimize", project = dir.toString,
+      select = Seq("payments"), clusterBy = Seq("id", "amount"), zorder = true),
+      new java.io.PrintWriter(swZ, true)) == 0, swZ.toString)
+    assert(swZ.toString.contains("OPTIMIZED seed.shop.payments (z-ordered by id,amount)"),
+      swZ.toString)
+    assert(rm.read(relS).orderBy("id").collect().toSeq == rowsS,
+      "z-order must not change table content")
+    // --zorder over a string column fails loud (a silent no-op layout
+    // would be worse than the linear clustering the same command
+    // without the flag produces)
+    val e = intercept[IllegalArgumentException](
+      Main.execute(spark, Main.Args(command = "optimize", project = dir.toString,
+        select = Seq("revenue"), clusterBy = Seq("customer", "revenue"), zorder = true),
+        new java.io.PrintWriter(new java.io.StringWriter(), true)))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
   }
 
   test("run-operation, debug, clean commands") {
