@@ -75,8 +75,26 @@ object Sampling {
     * source-count table passes it via the explicit-weights
     * [[weightedMix]] instead. */
   def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
-                     alpha: Double, totalFraction: Double): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+                     alpha: Double, totalFraction: Double): DataFrame =
+    temperatureMixImpl(df, sourceCol, idCol, count(lit(1)), alpha, totalFraction)
+
+  /** [[temperatureMix]] over TOKEN mass (r12): p_i ∝ T_i^α with T_i the
+    * source's token total — training mixtures budget TOKENS, not
+    * documents (XLM-R/Gopher mixture tables are token-denominated; a
+    * long-document source is otherwise overweighted doc-wise). The keep
+    * decision stays the same per-doc id-hash, so mixes remain nested
+    * and reproducible; when every document has equal length this
+    * reduces exactly to [[temperatureMix]] (spec-pinned). */
+  def temperatureMixByTokens(df: DataFrame, sourceCol: String, idCol: String,
+                             tokensCol: String, alpha: Double,
+                             totalFraction: Double): DataFrame =
+    temperatureMixImpl(df, sourceCol, idCol,
+      sum(col(tokensCol).cast(LongType)), alpha, totalFraction)
+
+  private def temperatureMixImpl(df: DataFrame, sourceCol: String, idCol: String,
+                                 massAgg: Column, alpha: Double,
+                                 totalFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(massAgg.as("__n"))
     val mass = counts.agg(
       sum(pow(col("__n").cast(DoubleType), lit(alpha))).as("__mass"),
       sum("__n").as("__total"))

@@ -540,6 +540,22 @@ object OpsQueries {
         .select("doc_id", "src").orderBy("doc_id")
     }),
 
+    // r12: token-denominated temperature mixing — same source split,
+    // fractions derived from TOKEN mass instead of doc counts
+    "q_mix_temperature_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("src",
+        when(col("doc_id") % 16 < 8, "web")
+          .when(col("doc_id") % 16 < 12, "books")
+          .when(col("doc_id") % 16 < 14, "wiki")
+          .when(col("doc_id") % 16 < 15, "code")
+          .otherwise("papers"))
+        .withColumn("n_tokens", TA.tokenCount(col("text"))
+          .cast(org.apache.spark.sql.types.LongType))
+      Sampling.temperatureMixByTokens(docs, "src", "doc_id", "n_tokens",
+        alpha = 0.5, totalFraction = 0.5)
+        .select("doc_id", "src", "n_tokens").orderBy("doc_id")
+    }),
+
     // r9 composed pipeline v2: the round's new operators chained in one
     // lazy plan — markup strip → linear-classifier keep → context-length
     // chunking — the same compose-bit-exactly proof q_curation_pipeline
@@ -2041,6 +2057,23 @@ object OpsQueries {
         |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7)) AS BIGINT)
         |      / CAST(268435456 AS DOUBLE) < f.keepf
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_mix_temperature_tokens" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 16 < 8 THEN 'web' WHEN doc_id % 16 < 12 THEN 'books'
+         |         WHEN doc_id % 16 < 14 THEN 'wiki' WHEN doc_id % 16 < 15 THEN 'code'
+         |         ELSE 'papers' END AS src,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT src, CAST(SUM(n_tokens) AS BIGINT) AS n FROM d GROUP BY src),
+         |m AS (SELECT SUM(pow(n, 0.5)) AS mass, SUM(n) AS total FROM c),
+         |f AS (SELECT src, round(least(1.0, 0.5 * total * pow(n, 0.5) / mass / n), 6) AS keepf
+         |      FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.src, d.n_tokens FROM d JOIN f USING (src)
+         |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7)) AS BIGINT)
+         |      / CAST(268435456 AS DOUBLE) < f.keepf
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_sample_exact_k" ->
       """SELECT doc_id, lang FROM documents

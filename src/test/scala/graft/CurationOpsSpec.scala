@@ -1125,6 +1125,30 @@ class CurationOpsSpec extends AnyFunSuite {
       nOut.toString)
   }
 
+  test("token-mass temperature mix: long-doc sources downweight; uniform lengths reduce to doc mix") {
+    import spark.implicits._
+    // two sources, equal DOC counts, 'long' has 10x the tokens: at
+    // alpha=0 the target token mass is equal per source, so the
+    // long-doc source must keep ~1/10 the documents
+    val docs = ((0L until 200L).map(i => (i, "short", 10L)) ++
+      (200L until 400L).map(i => (i, "long", 100L)))
+      .toDF("doc_id", "src", "n_tokens")
+    val kept = Sampling.temperatureMixByTokens(docs, "src", "doc_id", "n_tokens",
+      alpha = 0.0, totalFraction = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = kept("long").toDouble / kept("short")
+    assert(ratio < 0.35, s"long-doc source must keep far fewer docs: $kept")
+    // uniform doc length: token mixing IS doc mixing (same kept set)
+    val uniform = docs.withColumn("n_tokens", lit(25L))
+    val byTok = Sampling.temperatureMixByTokens(uniform, "src", "doc_id",
+      "n_tokens", alpha = 0.5, totalFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byDoc = Sampling.temperatureMix(uniform, "src", "doc_id",
+      alpha = 0.5, totalFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byTok == byDoc, "equal lengths must reduce to the doc-count mix")
+  }
+
   test("semantic decontamination: planted leak flagged, orthogonal clean, eval side broadcasts") {
     import spark.implicits._
     import graft.ops.Decontaminate
