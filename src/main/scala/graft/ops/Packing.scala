@@ -112,6 +112,49 @@ object Packing {
     * per bucket, one tiny window over bucket totals, and the offsets +
     * 1-row total broadcast back. No single-partition pass ever sees
     * document-sized data. */
+  /** LENGTH-BUCKETED BATCHING (r12): group documents of similar token
+    * length into fixed-size training batches — the sorted-batching /
+    * bucketed-batching padding-efficiency move every public seq2seq
+    * recipe ships: a batch's padding waste is bounded by its length
+    * spread, which bucketing bounds by `bucketWidth − 1`. Within each
+    * length bucket documents order by the md5 id-hash (deterministic
+    * shuffle — no correlation between batch membership and corpus
+    * position), and consecutive `batchSize` docs form a batch. Returns
+    * input + (length_bucket, batch_id, batch_pos); batch_id is dense
+    * within its bucket.
+    *
+    * Scale: per-bucket dense positions via the same two-level scheme as
+    * [[shardAssign]], but keyed on (length_bucket, hash-sub-bucket):
+    * row_number windows only ever see one sub-bucket's rows (~n/4096),
+    * the per-(bucket, sub) totals fold through a tiny window, and
+    * offsets broadcast back — no window over a whole length bucket,
+    * which at 100 TB can hold billions of documents. */
+  def bucketedBatches(df: DataFrame, idCol: String, tokensCol: String,
+                      bucketWidth: Long, batchSize: Int,
+                      hashBuckets: Int = 4096): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketedBatches: need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
+    val keyed = df
+      .withColumn("length_bucket",
+        expr(s"CAST($tokensCol AS BIGINT) div $bucketWidth"))
+      .withColumn("__hk", Sampling.hashUnit(col(idCol)))
+      .withColumn("__sub", floor(col("__hk") * hashBuckets).cast(LongType))
+    val w1 = Window.partitionBy("length_bucket", "__sub")
+      .orderBy(col("__hk"), col(idCol))
+    val local = keyed.withColumn("__local_pos", row_number().over(w1))
+    val w2 = Window.partitionBy("length_bucket").orderBy("__sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("length_bucket", "__sub")
+      .agg(count(lit(1)).as("__ct"))
+      .withColumn("__off", coalesce(sum("__ct").over(w2), lit(0L)))
+      .select("length_bucket", "__sub", "__off")
+    local.join(broadcast(offsets), Seq("length_bucket", "__sub"))
+      .withColumn("__pos", col("__off") + col("__local_pos") - 1)
+      .withColumn("batch_id", expr(s"__pos div $batchSize"))
+      .withColumn("batch_pos", col("__pos") - col("batch_id") * batchSize)
+      .drop("__hk", "__sub", "__local_pos", "__off", "__pos")
+  }
+
   def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
                   nShards: Int, hashBuckets: Int = 4096): DataFrame = {
     require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")

@@ -764,6 +764,19 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r12: length-bucketed batching — similar-length docs into 8-doc
+    // batches (padding spread bounded by the 16-token bucket width),
+    // hash-shuffled within each bucket
+    "q_batch_by_length" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+      Packing.bucketedBatches(docs, "doc_id", "n_tokens",
+        bucketWidth = 16L, batchSize = 8, hashBuckets = 64)
+        .select("doc_id", "n_tokens", "length_bucket", "batch_id", "batch_pos")
+        .orderBy("doc_id")
+    }),
+
     // -------------------------------------- composed training pipeline
     // The flagship composition: quality-filter → exact-dedup survivors →
     // token counts → budget-aligned sequence packing, all as one lazy
@@ -2193,6 +2206,17 @@ object OpsQueries {
          |  CAST(strt // 1024 AS BIGINT) AS seq_id,
          |  CAST(strt - (strt // 1024) * 1024 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_batch_by_length" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens, n_tokens // 16 AS length_bucket,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7)) AS BIGINT)
+         |    / CAST(268435456 AS DOUBLE) AS hk FROM t),
+         |p AS (SELECT doc_id, n_tokens, length_bucket,
+         |  ROW_NUMBER() OVER (PARTITION BY length_bucket ORDER BY hk, doc_id) - 1 AS pos FROM h)
+         |SELECT doc_id, n_tokens, CAST(length_bucket AS BIGINT) AS length_bucket,
+         |  CAST(pos // 8 AS BIGINT) AS batch_id, CAST(pos % 8 AS BIGINT) AS batch_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_shard_assign" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),

@@ -328,6 +328,44 @@ class OpsSpec extends AnyFunSuite {
       "doc_id", "n_tokens", 4).count() == 0)
   }
 
+  test("bucketedBatches: two-level positions equal per-bucket hash-order scan; batches full and tight") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 1500L).map(i => (i, 1L + rnd.nextInt(200).toLong))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.bucketedBatches(docs, "doc_id", "n_tokens",
+      bucketWidth = 32L, batchSize = 16, hashBuckets = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("length_bucket"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("batch_pos")))
+
+    def hk(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 28).toDouble
+    }
+    val ref = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2 / 32).toSeq.flatMap { case (bucket, ds) =>
+        ds.sortBy { case (i, _) => (hk(i), i) }.zipWithIndex.map {
+          case ((i, t), pos) =>
+            (i, t, bucket, pos.toLong / 16, pos.toLong % 16)
+        }
+      }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == ref, "two-level must equal per-bucket scan")
+
+    // every doc in a batch shares the bucket; spread < bucketWidth;
+    // all but the last batch of each bucket are full
+    val byBatch = out.groupBy(t => (t._3, t._4))
+    assert(byBatch.values.forall(b => b.map(_._2).max - b.map(_._2).min < 32))
+    byBatch.groupBy(_._1._1).foreach { case (_, batches) =>
+      val maxId = batches.keys.map(_._2).max
+      batches.filter(_._1._2 < maxId).values.foreach(b =>
+        assert(b.length == 16, "only the last batch of a bucket may be short"))
+    }
+  }
+
   test("connectedComponents agrees with union-find on random graphs (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
