@@ -233,6 +233,15 @@ object ScaleProbe {
         ops.Packing.shardAssign(withTokens, "doc_id", "n_tokens", nShards = 64)
           .agg(count(lit(1)), sum("shard_id")).collect()(0).getLong(0)
       }
+      // r12 length-bucketed batching: the (length_bucket, sub) two-level
+      // shape — one composite-keyed shuffle + broadcast offsets, linear
+      timed("bucketed_batches", runs, opFilter) {
+        val withTokens = docs.withColumn("n_tokens",
+          (size(split(col("text"), " "))).cast("long"))
+        ops.Packing.bucketedBatches(withTokens, "doc_id", "n_tokens",
+          bucketWidth = 16L, batchSize = 32)
+          .agg(count(lit(1)), sum("batch_id")).collect()(0).getLong(0)
+      }
       // NOTE: .count() would measure NOTHING for these two — both ops end
       // in a left join to a unique-keyed aggregate, which Spark's outer-
       // join elimination prunes wholesale when the joined columns go
