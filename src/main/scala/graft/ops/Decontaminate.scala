@@ -107,8 +107,10 @@ object Decontaminate {
     * the paraphrased/translated benchmark leakage n-gram overlap is
     * blind to (the public eval-contamination literature's motivating
     * case; the mechanism is [[Similarity]]'s cosine machinery pointed at
-    * an eval set). Returns every training id with its max eval cosine
-    * (−1 when the eval set is empty) and `semantic_clean`.
+    * an eval set). Returns every training id with its max eval cosine —
+    * NULL when the eval set is empty (distinguishable from a legitimate
+    * −1.0 against an anti-parallel eval vector; no evidence → clean) —
+    * and `semantic_clean`.
     *
     * Scale shape mirrors [[flagOverlap]]: eval sets are SMALL by
     * construction, so the eval side broadcasts and the training side —
@@ -122,13 +124,12 @@ object Decontaminate {
     val e0 = evalSet.select(Similarity.asDouble(col(vecCol)).as("__ev"))
     val e = if (broadcastBench) broadcast(e0) else e0
     val scored = t.crossJoin(e)
-      .select(col(idCol),
-        round(Similarity.cosine(col("__tv"), col("__ev")), 6).as("__cos"))
+      // Similarity.cosine already rounds to the 1e-6 grid
+      .select(col(idCol), Similarity.cosine(col("__tv"), col("__ev")).as("__cos"))
       .groupBy(col(idCol)).agg(max(col("__cos")).as("max_eval_cosine"))
     train.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("max_eval_cosine"), lit(-1.0)).as("max_eval_cosine"))
-      .withColumn("semantic_clean", col("max_eval_cosine") < threshold)
+      .withColumn("semantic_clean",
+        coalesce(col("max_eval_cosine") < threshold, lit(true)))
   }
 
   /** Token-level anti-join rebuild — the independent reference the fused

@@ -112,6 +112,22 @@ object Packing {
     * per bucket, one tiny window over bucket totals, and the offsets +
     * 1-row total broadcast back. No single-partition pass ever sees
     * document-sized data. */
+  def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
+                  nShards: Int, hashBuckets: Int = 4096): DataFrame = {
+    require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
+    val keyed = df.withColumn("__t", col(tokensCol).cast(LongType))
+    val local = hashOrderedPrefix(keyed, idCol, Nil, col("__t"), hashBuckets)
+    val total = keyed.agg(coalesce(sum("__t"), lit(0L)).as("__total"))
+    local.crossJoin(broadcast(total))
+      .withColumn("__ssz",
+        greatest(expr(s"(__total + ${nShards - 1}) div $nShards"), lit(1L)))
+      .withColumn("__start", col("__prefix") - col("__t"))
+      .withColumn("shard_id",
+        least(expr("__start div __ssz"), lit((nShards - 1).toLong)))
+      .withColumn("shard_offset", col("__start") - col("shard_id") * col("__ssz"))
+      .drop("__t", "__prefix", "__total", "__ssz", "__start")
+  }
+
   /** LENGTH-BUCKETED BATCHING (r12): group documents of similar token
     * length into fixed-size training batches — the sorted-batching /
     * bucketed-batching padding-efficiency move every public seq2seq
@@ -121,64 +137,69 @@ object Packing {
     * shuffle — no correlation between batch membership and corpus
     * position), and consecutive `batchSize` docs form a batch. Returns
     * input + (length_bucket, batch_id, batch_pos); batch_id is dense
-    * within its bucket.
+    * within its bucket. Rows with a NULL token count pass through with
+    * NULL batch columns rather than silently vanishing into the offsets
+    * join.
     *
-    * Scale: per-bucket dense positions via the same two-level scheme as
-    * [[shardAssign]], but keyed on (length_bucket, hash-sub-bucket):
-    * row_number windows only ever see one sub-bucket's rows (~n/4096),
-    * the per-(bucket, sub) totals fold through a tiny window, and
-    * offsets broadcast back — no window over a whole length bucket,
-    * which at 100 TB can hold billions of documents. */
+    * Scale: per-bucket dense positions via [[hashOrderedPrefix]] keyed
+    * on (length_bucket, hash-sub-bucket): windows only ever see one
+    * sub-bucket's rows (~n/4096), the per-(bucket, sub) totals fold
+    * through a tiny window, and offsets broadcast back — no window over
+    * a whole length bucket, which at 100 TB can hold billions of
+    * documents. */
   def bucketedBatches(df: DataFrame, idCol: String, tokensCol: String,
                       bucketWidth: Long, batchSize: Int,
                       hashBuckets: Int = 4096): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0,
       s"bucketedBatches: need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
-    val keyed = df
+    val bucketed = df.filter(col(tokensCol).isNotNull)
       .withColumn("length_bucket",
         expr(s"CAST($tokensCol AS BIGINT) div $bucketWidth"))
-      .withColumn("__hk", Sampling.hashUnit(col(idCol)))
-      .withColumn("__sub", floor(col("__hk") * hashBuckets).cast(LongType))
-    val w1 = Window.partitionBy("length_bucket", "__sub")
-      .orderBy(col("__hk"), col(idCol))
-    val local = keyed.withColumn("__local_pos", row_number().over(w1))
-    val w2 = Window.partitionBy("length_bucket").orderBy("__sub")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("length_bucket", "__sub")
-      .agg(count(lit(1)).as("__ct"))
-      .withColumn("__off", coalesce(sum("__ct").over(w2), lit(0L)))
-      .select("length_bucket", "__sub", "__off")
-    local.join(broadcast(offsets), Seq("length_bucket", "__sub"))
-      .withColumn("__pos", col("__off") + col("__local_pos") - 1)
+    val batched = hashOrderedPrefix(bucketed, idCol, Seq("length_bucket"),
+      lit(1L), hashBuckets)
+      .withColumn("__pos", col("__prefix") - 1)
       .withColumn("batch_id", expr(s"__pos div $batchSize"))
       .withColumn("batch_pos", col("__pos") - col("batch_id") * batchSize)
-      .drop("__hk", "__sub", "__local_pos", "__off", "__pos")
+      .drop("__prefix", "__pos")
+    batched.unionByName(
+      df.filter(col(tokensCol).isNull)
+        .withColumn("length_bucket", lit(null).cast(LongType))
+        .withColumn("batch_id", lit(null).cast(LongType))
+        .withColumn("batch_pos", lit(null).cast(LongType)))
   }
 
-  def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
-                  nShards: Int, hashBuckets: Int = 4096): DataFrame = {
-    require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
+  /** The hash-ordered two-level prefix machinery shared by
+    * [[shardAssign]] (running token sums, global) and
+    * [[bucketedBatches]] (dense positions per length bucket): order rows
+    * by (md5 id-hash, id) within each `partitionCols` group, and return
+    * the INCLUSIVE running sum of `measure` as `__prefix` — computed as
+    * a per-(partition, hash-sub-bucket) window plus a tiny window over
+    * the sub-bucket totals, with the offsets broadcast back, so no
+    * window ever sees more than ~n/hashBuckets rows. One definition so
+    * an ordering or edge fix cannot drift between the two callers.
+    * ([[packSequences]] keeps its own copy deliberately: its contract is
+    * id-ORDER packing with id-range buckets, not hash order.) */
+  private def hashOrderedPrefix(df: DataFrame, idCol: String,
+                                partitionCols: Seq[String], measure: Column,
+                                hashBuckets: Int): DataFrame = {
+    val parts = partitionCols.map(col)
     val keyed = df
-      .withColumn("__t", col(tokensCol).cast(LongType))
+      .withColumn("__m", measure.cast(LongType))
       .withColumn("__hk", Sampling.hashUnit(col(idCol)))
-      .withColumn("__bucket", floor(col("__hk") * hashBuckets).cast(LongType))
-    val w1 = Window.partitionBy("__bucket").orderBy(col("__hk"), col(idCol))
+      .withColumn("__sub", floor(col("__hk") * hashBuckets).cast(LongType))
+    val w1 = Window.partitionBy(parts :+ col("__sub"): _*)
+      .orderBy(col("__hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = keyed.withColumn("__local_cum", sum("__t").over(w1))
-    val w2 = Window.orderBy("__bucket")
+    val local = keyed.withColumn("__local_cum", sum("__m").over(w1))
+    val w2 = (if (parts.isEmpty) Window.orderBy("__sub")
+              else Window.partitionBy(parts: _*).orderBy("__sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("__bucket").agg(sum("__t").as("__bt"))
+    val offsets = keyed.groupBy(parts :+ col("__sub"): _*)
+      .agg(sum("__m").as("__bt"))
       .withColumn("__off", coalesce(sum("__bt").over(w2), lit(0L)))
-      .select("__bucket", "__off")
-    val total = keyed.agg(coalesce(sum("__t"), lit(0L)).as("__total"))
-    local.join(broadcast(offsets), "__bucket").crossJoin(broadcast(total))
-      .withColumn("__ssz",
-        greatest(expr(s"(__total + ${nShards - 1}) div $nShards"), lit(1L)))
-      .withColumn("__start", col("__local_cum") + col("__off") - col("__t"))
-      .withColumn("shard_id",
-        least(expr("__start div __ssz"), lit((nShards - 1).toLong)))
-      .withColumn("shard_offset", col("__start") - col("shard_id") * col("__ssz"))
-      .drop("__t", "__hk", "__bucket", "__local_cum", "__off", "__total",
-        "__ssz", "__start")
+      .select((partitionCols :+ "__sub" :+ "__off").map(col): _*)
+    local.join(broadcast(offsets), partitionCols :+ "__sub")
+      .withColumn("__prefix", col("__local_cum") + col("__off"))
+      .drop("__m", "__hk", "__sub", "__local_cum", "__off")
   }
 }

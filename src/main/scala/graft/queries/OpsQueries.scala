@@ -1273,8 +1273,8 @@ object OpsQueries {
          |sc AS (SELECT tr.vec_id,
          |    max(${cosineSql("tr.embedding", "ev.embedding")}) AS max_eval_cosine
          |  FROM tr CROSS JOIN ev GROUP BY 1)
-         |SELECT tr.vec_id, COALESCE(sc.max_eval_cosine, -1.0) AS max_eval_cosine,
-         |  COALESCE(sc.max_eval_cosine, -1.0) < 0.45 AS semantic_clean
+         |SELECT tr.vec_id, sc.max_eval_cosine,
+         |  COALESCE(sc.max_eval_cosine < 0.45, TRUE) AS semantic_clean
          |FROM tr LEFT JOIN sc USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     "q_dedup_semantic" -> semanticDedupSql(nCells = 8, threshold = "0.45"),

@@ -1165,15 +1165,17 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
     assert(!rows(1L)._2 && rows(1L)._1 > 0.99, s"near-copy must flag: $rows")
     assert(rows(2L)._2 && rows(2L)._1 == 0.0)
-    assert(rows(3L)._2 && rows(3L)._1 == -1.0, "opposite vector: cosine -1, clean")
+    assert(rows(3L)._2 && rows(3L)._1 == -1.0,
+      "anti-parallel vector: a REAL cosine of -1, clean — distinguishable from the empty-eval NULL")
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the eval side must broadcast:\n$plan")
-    // empty eval set: everything clean at the -1 sentinel
+    // empty eval set: no evidence → NULL score, everything clean
     val none = Decontaminate.flagSemanticOverlap(train,
       evalSet.filter(col("vec_id") < 0), "vec_id", "embedding", 0.8)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(none.values.forall(_ == -1.0), none.toString)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getBoolean(2))).toMap
+    assert(none.values.forall(v => v._1 && v._2),
+      s"empty eval set: NULL score + clean, got $none")
   }
 
   test("Gopher quality flags: each rule family fires on its planted violation") {

@@ -668,6 +668,13 @@ class MainSpec extends AnyFunSuite {
 
   test("optimize command compacts a model's table; --cluster-by range-clusters it") {
     val dir = writeProject()
+    // a model that DECLARES its layout (meta cluster_by + zorder), the
+    // dbt-config path — optimize with no flags must apply the Morton
+    // rewrite and report it
+    Files.createDirectories(dir.resolve("models/marts"))
+    Files.writeString(dir.resolve("models/marts/zsorted.sql"),
+      """{{ config(materialized='table', cluster_by='id,amount', zorder='true') }}
+        |select id, amount from {{ ref('stg_payments') }}""".stripMargin)
     val sw0 = new java.io.StringWriter()
     assert(Main.execute(spark, Main.Args(command = "build", project = dir.toString),
       new java.io.PrintWriter(sw0, true)) == 0, sw0.toString)
@@ -695,6 +702,17 @@ class MainSpec extends AnyFunSuite {
       swZ.toString)
     assert(rm.read(relS).orderBy("id").collect().toSeq == rowsS,
       "z-order must not change table content")
+    // meta-declared layout: no flags at all, the model's own config
+    // drives the Morton rewrite
+    val relZ = Relation("graft", "main", "zsorted")
+    val rowsZ = rm.read(relZ).orderBy("id").collect().toSeq
+    val swM = new java.io.StringWriter()
+    assert(Main.execute(spark, Main.Args(command = "optimize", project = dir.toString,
+      select = Seq("zsorted")),
+      new java.io.PrintWriter(swM, true)) == 0, swM.toString)
+    assert(swM.toString.contains("OPTIMIZED model.shop.zsorted (z-ordered by id,amount)"),
+      swM.toString)
+    assert(rm.read(relZ).orderBy("id").collect().toSeq == rowsZ)
     // --zorder over a string column fails loud (a silent no-op layout
     // would be worse than the linear clustering the same command
     // without the flag produces)
