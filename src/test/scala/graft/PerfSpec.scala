@@ -209,8 +209,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // bucket; single-partition exchanges carry bucket totals / the 1-row
     // grand total, never document-sized data
     val shard = physicalPlan("q_shard_assign")
-    assert(shard.contains("Exchange hashpartitioning(__bucket"),
-      s"shard must shuffle by hash bucket:\n$shard")
+    assert(shard.contains("Exchange hashpartitioning(__sub"),
+      s"shard must shuffle by hash sub-bucket:\n$shard")
     val singles = "Exchange SinglePartition".r.findAllIn(shard).toSeq.size
     assert(singles <= 2, s"expected only the offsets+total tiny exchanges:\n$shard")
     "Exchange SinglePartition".r.findAllIn(shard).matchData.foreach { m =>
