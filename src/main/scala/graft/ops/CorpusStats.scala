@@ -20,10 +20,30 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object CorpusStats {
 
   /** Per-group: n_docs, total_tokens, median_tokens (lower median: the
-    * ⌈n/2⌉-th smallest), p95_tokens (the ⌈0.95·n⌉-th smallest). */
-  def tokenStatsBy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    * ⌈n/2⌉-th smallest), p95_tokens (the ⌈0.95·n⌉-th smallest).
+    *
+    * `approx = true` is the 100 TB knob the header names: both order
+    * statistics come from `percentile_approx` in ONE map-side-combining
+    * aggregate (no per-group sort shuffle, no hot partition when one
+    * stratum dominates). percentile_approx at quantile p returns the
+    * value at ascending rank ⌈p·n⌉ — exactly this function's lower-median
+    * (⌈n/2⌉ = ⌈0.5·n⌉) and p95 conventions — so with `accuracy` ≥ the
+    * largest group it is bit-identical to the exact path
+    * (ApproxCutoffSpec pins it); beyond that, rank error ≤ n/accuracy. */
+  def tokenStatsBy(df: DataFrame, groupCol: String, textCol: String,
+                   approx: Boolean = false, accuracy: Int = 100000): DataFrame = {
     val toks = df.select(col(groupCol).as("grp"),
       TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+    if (approx) {
+      return toks.groupBy("grp").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(accuracy))
+          .as("median_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.95), lit(accuracy))
+          .as("p95_tokens"))
+        .withColumnRenamed("grp", groupCol)
+    }
     val sizes = toks.groupBy("grp").agg(
       count(lit(1)).as("n_docs"),
       sum("n_tokens").as("total_tokens"))
@@ -158,6 +178,11 @@ object CorpusStats {
     * would silently take the exact-count branch with a truncated set. */
   def kmvEstimate(sketch: DataFrame, groupCol: String): DataFrame = {
     val ks = sketch.select(col("sketch_k")).distinct().collect().map(_.getInt(0))
+    // an empty sketch frame estimates nothing: zero groups in, zero
+    // estimate rows out (NOT a uniform-k failure — there is no k)
+    if (ks.isEmpty)
+      return sketch.select(col(groupCol),
+        lit(null).cast(DoubleType).as("ndv_est")).limit(0)
     require(ks.length == 1,
       s"kmvEstimate: sketches built with different k cannot merge: ${ks.toSeq}")
     val k = ks.head

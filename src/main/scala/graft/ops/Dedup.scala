@@ -440,7 +440,15 @@ object Dedup {
     * the store lands (or append each batch's slice), persist it as a
     * table, and every subsequent ingest probes it with one equi-join
     * instead of re-exploding the entire corpus signature table per
-    * batch. Owner-carrying (doc) → [[compactStore]] GC applies. */
+    * batch. Owner-carrying (doc) → [[compactStore]] GC applies.
+    *
+    * The rows are SELF-DESCRIBING (`index_bands`, `index_k` — the
+    * kmvMinHashes `sketch_k` pattern): band keys hash (bands, k)-sliced
+    * signature segments, so probing an index built with different
+    * parameters yields keys no batch can ever hit — every near-dup
+    * silently admitted with zero candidates and no error.
+    * [[minhashIncrementalFromIndex]] validates these columns instead of
+    * trusting the caller. */
   def bandIndex(corpusSigs: DataFrame, idCol: String, sigCol: String,
                 bands: Int = 8, k: Int = 32): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
@@ -455,7 +463,8 @@ object Dedup {
     }
     corpusSigs.select(col(idCol).as("doc"),
       explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
-      .select("band", "doc")
+      .select(col("band"), col("doc"),
+        lit(bands).as("index_bands"), lit(k).as("index_k"))
   }
 
   /** [[minhashIncremental]] against a PERSISTED band index: candidate
@@ -481,6 +490,21 @@ object Dedup {
       require(r.getInt(0) == k,
         s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
           "was built with a different k than this call")
+    }
+    // an index built with different (bands, k) produces band keys no
+    // batch hash can collide with: zero candidates, every near-dup
+    // silently admitted. The index rows describe their own build
+    // parameters ([[bandIndex]]) precisely so this call can refuse a
+    // mismatched artifact instead of silently losing all recall.
+    require(index.columns.contains("index_bands") && index.columns.contains("index_k"),
+      "index is missing its self-describing index_bands/index_k columns — " +
+        "build it with Dedup.bandIndex (a bare (band, doc) relation cannot " +
+        "be validated against this call's (bands, k))")
+    index.select(col("index_bands"), col("index_k")).head(1).foreach { r =>
+      require(r.getInt(0) == bands && r.getInt(1) == k,
+        s"band index was built with (bands=${r.getInt(0)}, k=${r.getInt(1)}) " +
+          s"but this ingest probes with (bands=$bands, k=$k) — mismatched band " +
+          "keys would silently produce zero candidates")
     }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
     try {

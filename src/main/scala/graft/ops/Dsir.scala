@@ -29,9 +29,11 @@ import org.apache.spark.sql.types._
   * the bucket model rides a broadcast (≤ nBuckets rows), and scoring is
   * one explode + broadcast probe + per-doc aggregate: no data-sized
   * shuffle except the doc-keyed partial agg. Docs with zero features
-  * score 0 and are never selected. The model tables are reusable
-  * artifacts — persist them across a curation run at 100 TB instead of
-  * rebuilding per query. */
+  * score 0 and are never selected. The model is a PERSISTABLE artifact:
+  * [[buildModel]] emits the complete nBuckets-row table once per
+  * curation run, and [[logWeights]]/[[select]] accept it via
+  * `precomputedModel` (the `Pq.topK precomputedCodes` contract) so
+  * repeat queries score with ONE corpus explode and no model rebuild. */
 object Dsir {
 
   private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
@@ -46,31 +48,93 @@ object Dsir {
         % nBuckets).as("b"))
   }
 
-  /** Per-raw-document DSIR importance weights against a target sample:
-    * (id, n_feats, log_weight, avg_log_weight). Both corpora must share
-    * the text column semantics; `target` is typically a small trusted
-    * slice. */
-  def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
+  /** The DSIR bucket model as a PERSISTED artifact: the COMPLETE
+    * nBuckets-row table (b, lw, model_buckets) where
+    * lw = ln p̂_target(b) − ln p̂_raw(b), add-α smoothed on both sides so
+    * buckets unseen in either corpus stay finite — completeness is what
+    * lets a later batch score features the model-build corpus never
+    * produced. Self-describing `model_buckets` (the bandIndex /
+    * kmvMinHashes pattern): scoring hashes features MOD nBuckets, so a
+    * model built at a different width would silently mis-bin every
+    * feature — [[logWeights]] validates instead of trusting the caller.
+    *
+    * Scale: output is exactly nBuckets rows (declared constant) from two
+    * explode + bucket-count aggregates; build once per curation run,
+    * write it as a table, and every subsequent selection query skips the
+    * target pass and the model join build entirely. */
+  def buildModel(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, nBuckets: Int = 4096,
                  smoothing: Double = 1.0): DataFrame = {
-    val rawFeats = featureBuckets(raw, idCol, textCol, nBuckets)
+    val rawCounts = featureBuckets(raw, idCol, textCol, nBuckets)
+      .groupBy("b").agg(count(lit(1)).as("cr"))
     val targetCounts = featureBuckets(target, idCol, textCol, nBuckets)
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawCounts = rawFeats.groupBy("b").agg(count(lit(1)).as("cr"))
+    modelFromCounts(raw.sparkSession, rawCounts, targetCounts, nBuckets, smoothing)
+  }
+
+  private def modelFromCounts(spark: org.apache.spark.sql.SparkSession,
+                              rawCounts: DataFrame, targetCounts: DataFrame,
+                              nBuckets: Int, smoothing: Double): DataFrame = {
     val totalT = targetCounts.agg(
       coalesce(sum("ct"), lit(0L)).cast(DoubleType).as("__total_t"))
     val totalR = rawCounts.agg(
       coalesce(sum("cr"), lit(0L)).cast(DoubleType).as("__total_r"))
-    // raw-side buckets drive the model (every scored feature has cr ≥ 1);
-    // target-missing buckets smooth to α
-    val model = rawCounts
+    // complete bucket domain: every feature any batch can ever hash to
+    // has a row, so scoring is a total function of the artifact
+    spark.range(nBuckets).select(col("id").as("b"))
+      .join(rawCounts, Seq("b"), "left")
       .join(targetCounts, Seq("b"), "left")
       .crossJoin(broadcast(totalT)).crossJoin(broadcast(totalR))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(smoothing)) /
             (col("__total_t") + lit(smoothing * nBuckets))) -
-          log((col("cr") + lit(smoothing)) /
-            (col("__total_r") + lit(smoothing * nBuckets)))).as("lw"))
+          log((coalesce(col("cr"), lit(0L)) + lit(smoothing)) /
+            (col("__total_r") + lit(smoothing * nBuckets)))).as("lw"),
+        lit(nBuckets).as("model_buckets"))
+  }
+
+  /** Per-raw-document DSIR importance weights against a target sample:
+    * (id, n_feats, log_weight, avg_log_weight). Both corpora must share
+    * the text column semantics; `target` is typically a small trusted
+    * slice.
+    *
+    * With `precomputedModel` (a persisted [[buildModel]] table) the
+    * target pass and model build are skipped and the corpus explodes
+    * exactly once — the production shape for repeat queries over one
+    * curation run. Inline (None), the model derives from `raw`+`target`
+    * here, and the feature explode is localCheckpoint-materialized ONCE
+    * and shared by the model's raw-count aggregate and the scoring join
+    * (it previously re-ran the unigram+bigram explode — the most
+    * expensive pass — twice). Byte-identical either way when the model
+    * was built from the same (raw, target, nBuckets, smoothing)
+    * (DsirModelSpec pins it). */
+  def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, nBuckets: Int = 4096,
+                 smoothing: Double = 1.0,
+                 precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val (rawFeats, model) = precomputedModel match {
+      case Some(m) =>
+        // mis-matched bucket width silently mis-bins every scored
+        // feature (hash is MOD model_buckets) — refuse, don't trust
+        require(m.columns.contains("model_buckets") && m.columns.contains("lw"),
+          "precomputedModel is not a Dsir.buildModel artifact: missing " +
+            "lw/model_buckets columns")
+        m.select(col("model_buckets")).head(1).foreach { r =>
+          require(r.getInt(0) == nBuckets,
+            s"precomputed DSIR model was built with nBuckets=${r.getInt(0)} " +
+              s"but this call scores with nBuckets=$nBuckets — every feature " +
+              "would silently land in the wrong bucket")
+        }
+        (featureBuckets(raw, idCol, textCol, nBuckets), m.select("b", "lw"))
+      case None =>
+        val feats = featureBuckets(raw, idCol, textCol, nBuckets)
+          .localCheckpoint(true)
+        val rawCounts = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+        val targetCounts = featureBuckets(target, idCol, textCol, nBuckets)
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        (feats, modelFromCounts(raw.sparkSession, rawCounts, targetCounts,
+          nBuckets, smoothing).select("b", "lw"))
+    }
     val scored = rawFeats.join(broadcast(model), Seq("b"))
       .groupBy(col("__id")).agg(
         count(lit(1)).cast(LongType).as("n_feats"),
@@ -88,14 +152,25 @@ object Dsir {
     * scoreable documents by per-feature mean importance weight
     * (`dsir_keep`); zero-feature documents are never selected. The
     * deterministic analog of the paper's Gumbel-noise resampling — at
-    * equal fractions the kept set is the highest-importance mass. */
+    * equal fractions the kept set is the highest-importance mass.
+    *
+    * `approx`/`accuracy` ride through to
+    * [[Sampling.topFractionByScore]]: the exact cutoff is a global rank
+    * window (single-partition sort — the 100 TB killer); approx derives
+    * the same cutoff via one percentile_approx aggregate, bit-identical
+    * while accuracy ≥ corpus size. `precomputedModel` rides through to
+    * [[logWeights]]. */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, fraction: Double, nBuckets: Int = 4096,
-             smoothing: Double = 1.0): DataFrame = {
-    val weighted = logWeights(raw, target, idCol, textCol, nBuckets, smoothing)
+             smoothing: Double = 1.0,
+             approx: Boolean = false, accuracy: Int = 100000,
+             precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val weighted = logWeights(raw, target, idCol, textCol, nBuckets,
+      smoothing, precomputedModel)
     val scoreable = weighted.filter(col("n_feats") > 0)
     val flagged = Sampling
-      .topFractionByScore(scoreable, "avg_log_weight", fraction)
+      .topFractionByScore(scoreable, "avg_log_weight", fraction,
+        approx = approx, accuracy = accuracy)
       .withColumnRenamed("top_selected", "dsir_keep")
     flagged.unionByName(
       weighted.filter(col("n_feats") === 0)

@@ -104,7 +104,10 @@ object Packing {
     * [k·size, (k+1)·size), size = ⌈total/nShards⌉, a doc belongs where
     * its first token falls). The step that turns a curated corpus into
     * balanced training files; a writer partitions by `shard_id` and
-    * orders by `shard_offset`.
+    * orders by `shard_offset`. Rows with a NULL token count have no
+    * token mass to place: they pass through with NULL
+    * shard_id/shard_offset (the [[bucketedBatches]] contract) rather
+    * than silently poisoning the prefix sums.
     *
     * Scale: same two-level prefix sum as [[packSequences]], but ordered
     * and bucketed by the HASH key (buckets = contiguous hash ranges, so
@@ -115,10 +118,11 @@ object Packing {
   def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
                   nShards: Int, hashBuckets: Int = 4096): DataFrame = {
     require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
-    val keyed = df.withColumn("__t", col(tokensCol).cast(LongType))
+    val keyed = df.filter(col(tokensCol).isNotNull)
+      .withColumn("__t", col(tokensCol).cast(LongType))
     val local = hashOrderedPrefix(keyed, idCol, Nil, col("__t"), hashBuckets)
     val total = keyed.agg(coalesce(sum("__t"), lit(0L)).as("__total"))
-    local.crossJoin(broadcast(total))
+    val sharded = local.crossJoin(broadcast(total))
       .withColumn("__ssz",
         greatest(expr(s"(__total + ${nShards - 1}) div $nShards"), lit(1L)))
       .withColumn("__start", col("__prefix") - col("__t"))
@@ -126,6 +130,10 @@ object Packing {
         least(expr("__start div __ssz"), lit((nShards - 1).toLong)))
       .withColumn("shard_offset", col("__start") - col("shard_id") * col("__ssz"))
       .drop("__t", "__prefix", "__total", "__ssz", "__start")
+    sharded.unionByName(
+      df.filter(col(tokensCol).isNull)
+        .withColumn("shard_id", lit(null).cast(LongType))
+        .withColumn("shard_offset", lit(null).cast(LongType)))
   }
 
   /** LENGTH-BUCKETED BATCHING (r12): group documents of similar token

@@ -163,12 +163,17 @@ object Sampling {
     * the VALUE at rank ⌈n·fraction⌉ of the score sorted in keep-order —
     * rows tied at the cutoff value are all selected, so equal scores
     * always get equal verdicts, and no quantile interpolation arithmetic
-    * enters the contract. The cutoff derivation is one global rank
-    * (bounded sort; at 100 TB swap it for `percentile_approx` — the
-    * CorpusStats knob — and keep the assignment unchanged); assignment
-    * is a 1-row broadcast comparison, embarrassingly parallel. */
+    * enters the contract. The default cutoff derivation is one global
+    * rank — a single-partition sort of every score, fine to ~10⁸ rows
+    * and a wall at 100 TB; `approx = true` derives the same cutoff via
+    * `percentile_approx` (one map-side-combining aggregate, no global
+    * sort), bit-identical to the rank while `accuracy` ≥ n and within
+    * rank error n/accuracy beyond. Assignment is a 1-row broadcast
+    * comparison either way, embarrassingly parallel. */
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
-                         ascending: Boolean = false): DataFrame = {
+                         ascending: Boolean = false,
+                         approx: Boolean = false,
+                         accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
     // NULL scores carry no rank signal: they are excluded from both the
@@ -176,13 +181,31 @@ object Sampling {
     // counting them would shift the cutoff rank (or land it ON a null,
     // making every verdict NULL)
     val scored = df.select(col(scoreCol)).filter(col(scoreCol).isNotNull)
-    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
-    val n = scored.select(count(lit(1)).as("__n"))
-    val cut = scored
-      .withColumn("__rn", row_number().over(Window.orderBy(ord)))
-      .crossJoin(broadcast(n))
-      .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
-      .select(col(scoreCol).as("__cut"))
+    val cut =
+      if (approx) {
+        // the exact path's GLOBAL rank window shuffles every score into
+        // ONE partition for a full sort — the 100 TB killer. The approx
+        // cutoff is one map-side-combining aggregate: value at rank
+        // ⌈f·n⌉ in selection order ≡ (ascending) percentile_approx(s, f);
+        // (descending) −percentile_approx(−s, f) — the negation maps the
+        // descending rank onto the same ascending ⌈f·n⌉ convention with
+        // no off-by-one at integer f·n. With accuracy ≥ n this is
+        // bit-identical to the rank (ApproxCutoffSpec); beyond that,
+        // rank error ≤ n/accuracy — the knob the scaladoc trades on.
+        val agg = if (ascending)
+          percentile_approx(col(scoreCol), lit(fraction), lit(accuracy))
+        else
+          -percentile_approx(-col(scoreCol), lit(fraction), lit(accuracy))
+        scored.select(agg.as("__cut"))
+      } else {
+        val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+        val n = scored.select(count(lit(1)).as("__n"))
+        scored
+          .withColumn("__rn", row_number().over(Window.orderBy(ord)))
+          .crossJoin(broadcast(n))
+          .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
+          .select(col(scoreCol).as("__cut"))
+      }
     val cmp = if (ascending) col(scoreCol) <= col("__cut")
               else col(scoreCol) >= col("__cut")
     df.join(broadcast(cut), lit(true), "left")

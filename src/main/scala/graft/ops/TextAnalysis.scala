@@ -460,35 +460,61 @@ object TextAnalysis {
     * guarantee — and no quantile interpolation arithmetic enters the
     * contract (engine-portable, like CorpusStats' order statistics).
     *
-    * Scale shape: cutoff derivation ranks within each group — bounded
-    * by the largest language, and at 100 TB the documented knob is the
-    * same as CorpusStats': swap the rank for `percentile_approx` over
-    * (group) and keep the assignment unchanged. Assignment itself is a
+    * Scale shape: the default (`approx = false`) cutoff derivation ranks
+    * within each group — bounded by the largest language, which at web
+    * scale is NOT a bound (English is most of a web corpus: one
+    * partition sorts most of the data). `approx = true` swaps the rank
+    * window for a per-group `percentile_approx` aggregate — one
+    * map-side-combining pass, no per-group sort, no single hot
+    * partition — and keeps the assignment unchanged. The quantile maps
+    * exactly onto the rank convention (value at descending rank ⌈n·f⌉ ≡
+    * −percentile_approx(−lp, f), which at ascending rank ⌈f·n⌉ of the
+    * negated scores is the same element — no off-by-one at integer n·f),
+    * so with `accuracy` ≥ group size the approx path is bit-identical to
+    * the exact one (ApproxCutoffSpec pins it); at 100 TB dial accuracy
+    * to the t-digest-style memory/error trade. Assignment itself is a
     * broadcast join of the per-group cutoff table (rows = |groups| × 2)
     * against the scored frame — per-row, window-free, embarrassingly
-    * parallel on the corpus-sized path. */
+    * parallel on the corpus-sized path.
+    *
+    * Rows with a NULL group (language ID failed) or a NULL score (no
+    * scoreable tokens) carry no rank signal: both pass through with a
+    * NULL `ppl_bucket` (and NULL perplexity for NULL lp) instead of
+    * shifting the cutoff ranks — a NULL lp landing ON a cutoff rank
+    * would null both cutoffs and silently bucket the whole group as
+    * 'tail'. */
   def perplexityBuckets(scored: DataFrame, idCol: String, groupCol: String,
                         lpCol: String,
                         headFraction: Double = 1.0 / 3.0,
-                        middleFraction: Double = 2.0 / 3.0): DataFrame = {
+                        middleFraction: Double = 2.0 / 3.0,
+                        approx: Boolean = false,
+                        accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // rows with a NULL group (e.g. language ID failed) can't join a
-    // cutoff table — they pass through with perplexity computed and a
-    // NULL bucket rather than silently vanishing into the inner joins
-    val grouped = scored.filter(col(groupCol).isNotNull)
-    val sizes = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
-    val ranked = grouped.select(col(groupCol), col(lpCol))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
-      .join(sizes, Seq(groupCol))
-    val c1 = ranked
-      .filter(col("rn") === ceil(col("n_docs") * lit(headFraction)).cast(LongType))
-      .select(col(groupCol), col(lpCol).as("__cut1"))
-    val c2 = ranked
-      .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
-      .select(col(groupCol), col(lpCol).as("__cut2"))
+    val grouped = scored.filter(col(groupCol).isNotNull && col(lpCol).isNotNull)
+    val cuts =
+      if (approx) {
+        // value at DESCENDING rank ⌈n·f⌉ = −(value at ascending rank
+        // ⌈f·n⌉ of the negated scores) = −percentile_approx(−lp, f)
+        grouped.groupBy(col(groupCol)).agg(
+          (-percentile_approx(-col(lpCol), lit(headFraction), lit(accuracy)))
+            .as("__cut1"),
+          (-percentile_approx(-col(lpCol), lit(middleFraction), lit(accuracy)))
+            .as("__cut2"))
+      } else {
+        val sizes = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+        val ranked = grouped.select(col(groupCol), col(lpCol))
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
+          .join(sizes, Seq(groupCol))
+        ranked
+          .filter(col("rn") === ceil(col("n_docs") * lit(headFraction)).cast(LongType))
+          .select(col(groupCol), col(lpCol).as("__cut1"))
+          .join(ranked
+            .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
+            .select(col(groupCol), col(lpCol).as("__cut2")), Seq(groupCol))
+      }
     val bucketed = grouped
-      .join(broadcast(c1), Seq(groupCol)).join(broadcast(c2), Seq(groupCol))
+      .join(broadcast(cuts), Seq(groupCol))
       .withColumn("perplexity", round(exp(-col(lpCol)), 6))
       .withColumn("ppl_bucket",
         when(col(lpCol) >= col("__cut1"), "head")
@@ -496,7 +522,7 @@ object TextAnalysis {
           .otherwise("tail"))
       .drop("__cut1", "__cut2")
     bucketed.unionByName(
-      scored.filter(col(groupCol).isNull)
+      scored.filter(col(groupCol).isNull || col(lpCol).isNull)
         .withColumn("perplexity", round(exp(-col(lpCol)), 6))
         .withColumn("ppl_bucket", lit(null).cast(StringType)))
   }

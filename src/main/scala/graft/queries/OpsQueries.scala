@@ -121,6 +121,14 @@ object OpsQueries {
         .orderBy("source")
     }),
 
+    // r13: approx order statistics — one percentile_approx aggregate,
+    // no per-group rank sort; bit-identical to the exact ranks while
+    // accuracy >= the largest group
+    "q_corpus_stats_approx" -> ((s, d) => {
+      graft.ops.CorpusStats.tokenStatsBy(Tables.documents(s, d), "source", "text",
+        approx = true).orderBy("source")
+    }),
+
     // r12: KMV distinct-count sketch — engine-portable md5-unit min-k
     // (k=16 < the fixture's closed 31-token vocabulary, so the (k−1)/u_k
     // estimator path is exercised, not just the exact-count fallback)
@@ -269,6 +277,24 @@ object OpsQueries {
         .filter(col("n_bigrams") > 0)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm")
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob_lm",
+          "perplexity", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
+    // r13: the approx-cutoff path — per-language percentile_approx
+    // aggregate instead of the per-language rank window (the 100 TB
+    // shape: at web scale one language IS most of the corpus, so the
+    // per-group sort has a single hot partition); bit-identical to the
+    // exact rank while accuracy >= the largest language
+    "q_text_ppl_buckets_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      val scored = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .filter(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm",
+        approx = true)
         .select("doc_id", "lang", "n_bigrams", "avg_logprob_lm",
           "perplexity", "ppl_bucket")
         .orderBy("doc_id")
@@ -714,6 +740,30 @@ object OpsQueries {
       val docs = Tables.documents(s, d)
       graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", fraction = 0.25)
+        .orderBy("doc_id")
+    }),
+
+    // r13: the same selection through a PERSISTED bucket model (built
+    // once via Dsir.buildModel, self-describing model_buckets) — the
+    // production shape where the target pass and model build amortize
+    // across a curation run; output must be identical to q_dsir_select
+    "q_dsir_from_model" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ops.Dsir.buildModel(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", fraction = 0.25, precomputedModel = Some(model))
+        .orderBy("doc_id")
+    }),
+
+    // r13: the approx-cutoff path — percentile_approx aggregate instead
+    // of the global rank window (the 100 TB shape); bit-identical to the
+    // exact rank while accuracy >= corpus size, so the oracle is the
+    // exact-path SQL
+    "q_dsir_select_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", fraction = 0.25, approx = true)
         .orderBy("doc_id")
     }),
 
@@ -1227,21 +1277,10 @@ object OpsQueries {
     // identical oracle (the index is the same band relation, persisted)
     "q_dedup_minhash_from_index" -> minhashIncrementalOracleSql,
 
-    "q_corpus_stats" ->
-      s"""WITH toks AS (
-         |  SELECT source AS grp, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
-         |sizes AS (SELECT grp, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |  FROM toks GROUP BY 1),
-         |r AS (SELECT grp, n_tokens,
-         |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens) AS rn FROM toks),
-         |j AS (SELECT r.grp, r.n_tokens, r.rn, s.n_docs FROM r JOIN sizes s ON r.grp = s.grp)
-         |SELECT s.grp AS source, s.n_docs, s.total_tokens,
-         |  m.n_tokens AS median_tokens, p.n_tokens AS p95_tokens
-         |FROM sizes s
-         |JOIN (SELECT grp, n_tokens FROM j WHERE rn = (n_docs + 1) // 2) m ON s.grp = m.grp
-         |JOIN (SELECT grp, n_tokens FROM j WHERE rn = CAST(ceil(n_docs * 0.95) AS BIGINT)) p
-         |  ON s.grp = p.grp
-         |ORDER BY source""".stripMargin,
+    "q_corpus_stats" -> corpusStatsOracleSql,
+    // approx order statistics: bit-identical to the exact ranks while
+    // accuracy >= the largest group — same oracle
+    "q_corpus_stats_approx" -> corpusStatsOracleSql,
 
     // KMV: k-th smallest md5-unit hash of the distinct tokens per group;
     // (k−1)/u_k, exact count when the group has fewer than k hashes
@@ -1906,11 +1945,10 @@ object OpsQueries {
     // per-language perplexity terciles over the external-LM scores:
     // value-based rank cutoffs (value at rank ceil(n*f) of lp DESC),
     // ties take the better bucket, 0-bigram docs excluded
-    "q_text_ppl_buckets" ->
-      s"""$pplBucketCtes
-         |SELECT doc_id, lang, n_bigrams, avg_logprob_lm,
-         |  round(exp(-avg_logprob_lm), 6) AS perplexity, ppl_bucket
-         |FROM bucketed ORDER BY doc_id""".stripMargin,
+    "q_text_ppl_buckets" -> pplBucketsOracleSql,
+    // approx cutoff path: bit-identical to the exact per-language rank
+    // while accuracy >= the largest language — same oracle
+    "q_text_ppl_buckets_approx" -> pplBucketsOracleSql,
 
     // composed v5: LM score → per-language perplexity buckets → drop the
     // tail tercile → token-balanced 8-shard assignment of the survivors;
@@ -2110,39 +2148,14 @@ object OpsQueries {
         |WHERE sample_rank <= 40
         |ORDER BY lang, sample_rank""".stripMargin,
 
-    "q_dsir_select" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |feats AS (
-         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM t)
-         |  UNION ALL
-         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
-         |fb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM feats),
-         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
-         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
-         |tt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM tc),
-         |trr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM rc),
-         |model AS (
-         |  SELECT rc.b,
-         |    ln((COALESCE(tc.ct, 0) + 1.0) / (total_t + 4096.0)) -
-         |    ln((rc.cr + 1.0) / (total_r + 4096.0)) AS lw
-         |  FROM rc LEFT JOIN tc USING (b), tt, trr),
-         |dscored AS (
-         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
-         |  FROM fb JOIN model m USING (b) GROUP BY 1),
-         |w AS (SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
-         |        round(COALESCE(s.sum_lw, 0.0), 6) AS log_weight,
-         |        round(CASE WHEN COALESCE(s.n_feats, 0) > 0
-         |          THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
-         |      FROM documents d LEFT JOIN dscored s USING (doc_id)),
-         |sc AS (SELECT * FROM w WHERE n_feats > 0),
-         |nn AS (SELECT COUNT(*) AS n FROM sc),
-         |cut AS (SELECT avg_log_weight AS c FROM (
-         |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM sc) r, nn
-         |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT))
-         |SELECT w.doc_id, w.n_feats, w.log_weight, w.avg_log_weight,
-         |  CASE WHEN w.n_feats > 0 THEN w.avg_log_weight >= cut.c ELSE FALSE END AS dsir_keep
-         |FROM w, cut ORDER BY w.doc_id""".stripMargin,
+    "q_dsir_select" -> dsirSelectOracleSql,
+    // the from-model / approx-cutoff paths are DEFINED as plan-only
+    // variants: identical output (the model is the same bucket table,
+    // persisted; the approx cutoff is bit-identical to the rank while
+    // accuracy >= corpus size), so the oracle is literally the same SQL
+    "q_dsir_from_model" -> dsirSelectOracleSql,
+    "q_dsir_select_approx" -> dsirSelectOracleSql,
+
 
     "q_split_assign" ->
       """SELECT doc_id,
@@ -2488,6 +2501,62 @@ object OpsQueries {
 
   /** Incremental minhash ingest oracle, shared verbatim by the direct
     * and persisted-band-index forms (same semantics, different plan). */
+  private def pplBucketsOracleSql: String =
+    s"""$pplBucketCtes
+       |SELECT doc_id, lang, n_bigrams, avg_logprob_lm,
+       |  round(exp(-avg_logprob_lm), 6) AS perplexity, ppl_bucket
+       |FROM bucketed ORDER BY doc_id""".stripMargin
+
+  private def corpusStatsOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT source AS grp, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+       |sizes AS (SELECT grp, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM toks GROUP BY 1),
+       |r AS (SELECT grp, n_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens) AS rn FROM toks),
+       |j AS (SELECT r.grp, r.n_tokens, r.rn, s.n_docs FROM r JOIN sizes s ON r.grp = s.grp)
+       |SELECT s.grp AS source, s.n_docs, s.total_tokens,
+       |  m.n_tokens AS median_tokens, p.n_tokens AS p95_tokens
+       |FROM sizes s
+       |JOIN (SELECT grp, n_tokens FROM j WHERE rn = (n_docs + 1) // 2) m ON s.grp = m.grp
+       |JOIN (SELECT grp, n_tokens FROM j WHERE rn = CAST(ceil(n_docs * 0.95) AS BIGINT)) p
+       |  ON s.grp = p.grp
+       |ORDER BY source""".stripMargin
+
+  private def dsirSelectOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |feats AS (
+         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |fb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM feats),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM tc),
+         |trr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM rc),
+         |model AS (
+         |  SELECT rc.b,
+         |    ln((COALESCE(tc.ct, 0) + 1.0) / (total_t + 4096.0)) -
+         |    ln((rc.cr + 1.0) / (total_r + 4096.0)) AS lw
+         |  FROM rc LEFT JOIN tc USING (b), tt, trr),
+         |dscored AS (
+         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
+         |  FROM fb JOIN model m USING (b) GROUP BY 1),
+         |w AS (SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |        round(COALESCE(s.sum_lw, 0.0), 6) AS log_weight,
+         |        round(CASE WHEN COALESCE(s.n_feats, 0) > 0
+         |          THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
+         |      FROM documents d LEFT JOIN dscored s USING (doc_id)),
+         |sc AS (SELECT * FROM w WHERE n_feats > 0),
+         |nn AS (SELECT COUNT(*) AS n FROM sc),
+         |cut AS (SELECT avg_log_weight AS c FROM (
+         |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM sc) r, nn
+         |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT))
+         |SELECT w.doc_id, w.n_feats, w.log_weight, w.avg_log_weight,
+         |  CASE WHEN w.n_feats > 0 THEN w.avg_log_weight >= cut.c ELSE FALSE END AS dsir_keep
+         |FROM w, cut ORDER BY w.doc_id""".stripMargin
+
   private def minhashIncrementalOracleSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),

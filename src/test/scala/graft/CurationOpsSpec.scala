@@ -1250,6 +1250,12 @@ class CurationOpsSpec extends AnyFunSuite {
     val hSmall = CorpusStats.kmvMinHashes(docs, "grp", "text", k = 64)
     intercept[IllegalArgumentException](
       CorpusStats.kmvEstimate(h1.unionByName(hSmall), "grp").collect())
+    // an EMPTY sketch frame is zero groups, not a mixed-k failure:
+    // estimates nothing, schema intact (r12 ADVICE — the uniform-k
+    // require used to fire with a misleading 'different k: List()')
+    val emptyEst = CorpusStats.kmvEstimate(h1.limit(0), "grp")
+    assert(emptyEst.count() == 0)
+    assert(emptyEst.columns.toSeq == Seq("grp", "ndv_est"))
   }
 
   test("SQ8: hand-computed codes, clamp at range max, degenerate dim encodes 0") {

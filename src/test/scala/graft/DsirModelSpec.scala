@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dsir
+
+/** r13 (VERDICT task 2): the DSIR bucket model as a production artifact.
+  * Contracts pinned: (1) scoring against a precomputed [[Dsir.buildModel]]
+  * table — including one that round-tripped through parquet — is
+  * byte-identical to the inline path; (2) the artifact is self-describing
+  * and a bucket-width mismatch fails LOUD (the hash is MOD model_buckets,
+  * so a silent mismatch mis-bins every feature); (3) the model is the
+  * COMPLETE nBuckets-row domain, so a batch whose features never appeared
+  * in the model-build corpus still scores (smoothed), rather than
+  * silently dropping from the inner scoring join. */
+class DsirModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("from-model scoring == inline, incl. through a parquet round-trip") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val inline = Dsir.select(docs, target, "doc_id", "text", fraction = 0.25)
+    val model = Dsir.buildModel(docs, target, "doc_id", "text")
+    val viaModel = Dsir.select(docs, target, "doc_id", "text", fraction = 0.25,
+      precomputedModel = Some(model))
+    assert(sameRows(inline, viaModel), "precomputed-model scoring must be " +
+      "byte-identical to the inline path")
+    // the artifact survives persistence: write → read → score
+    val dir = Files.createTempDirectory("dsir_model").toString
+    try {
+      model.write.mode("overwrite").parquet(dir)
+      val reread = spark.read.parquet(dir)
+      val viaParquet = Dsir.select(docs, target, "doc_id", "text",
+        fraction = 0.25, precomputedModel = Some(reread))
+      assert(sameRows(inline, viaParquet),
+        "a parquet-round-tripped model must score identically")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("model is the complete bucket domain; logWeights == from-model logWeights") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val model = Dsir.buildModel(docs, target, "doc_id", "text", nBuckets = 512)
+    assert(model.count() == 512L, "buildModel must emit every bucket row")
+    assert(model.columns.toSet == Set("b", "lw", "model_buckets"))
+    assert(sameRows(
+      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 512),
+      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 512,
+        precomputedModel = Some(model))))
+  }
+
+  test("a batch disjoint from the model-build corpus still scores every feature") {
+    import spark.implicits._
+    val buildCorpus = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    val model = Dsir.buildModel(buildCorpus, target, "doc_id", "text",
+      nBuckets = 64)
+    // tokens the build corpus never produced: with a raw-buckets-only
+    // model these would vanish from the inner scoring join (n_feats
+    // undercounted); the complete-domain model scores them smoothed
+    val batch = Seq((100L, "zeta eta theta")).toDF("doc_id", "text")
+    val out = Dsir.logWeights(batch, target, "doc_id", "text", nBuckets = 64,
+      precomputedModel = Some(model)).collect()
+    assert(out.length == 1)
+    // 3 unigrams + 2 bigrams = 5 features, every one scored
+    assert(out.head.getAs[Long]("n_feats") == 5L,
+      s"unseen features must still score against the smoothed model: ${out.head}")
+  }
+
+  test("bucket-width mismatch and non-artifact frames fail loud") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val m512 = Dsir.buildModel(docs, target, "doc_id", "text", nBuckets = 512)
+    val eWidth = intercept[IllegalArgumentException] {
+      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 4096,
+        precomputedModel = Some(m512))
+    }
+    assert(eWidth.getMessage.contains("nBuckets=512"), eWidth.getMessage)
+    val eShape = intercept[IllegalArgumentException] {
+      Dsir.logWeights(docs, target, "doc_id", "text",
+        precomputedModel = Some(Seq((1L, 0.5)).toDF("b", "lw")))
+    }
+    assert(eShape.getMessage.contains("model_buckets"), eShape.getMessage)
+  }
+}

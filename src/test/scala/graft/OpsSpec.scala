@@ -326,6 +326,18 @@ class OpsSpec extends AnyFunSuite {
     assert(z.length == 2)
     assert(Packing.shardAssign(Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"),
       "doc_id", "n_tokens", 4).count() == 0)
+    // NULL token counts carry no mass to place: they pass through with
+    // NULL shard columns (the bucketedBatches contract) and must not
+    // poison the prefix sums of the placeable rows (r12 ADVICE)
+    val withNull = Packing.shardAssign(
+      Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(5L)))
+        .toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[Any]("shard_id")), Option(r.getAs[Any]("shard_offset")))).toMap
+    assert(withNull.size == 3)
+    assert(withNull(2L) == (None, None), s"NULL-token doc must carry NULL shard: $withNull")
+    assert(withNull(1L)._1.isDefined && withNull(3L)._1.isDefined,
+      s"placeable docs must still shard: $withNull")
   }
 
   test("bucketedBatches: two-level positions equal per-bucket hash-order scan; batches full and tight") {

@@ -117,6 +117,28 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(sameRows(ca, cb), "compacted band index must equal the live rebuild")
   }
 
+  test("band index is self-describing: (bands, k) mismatch and bare relations fail loud") {
+    // r12 ADVICE: an index built with different (bands, k) produces band
+    // keys no batch can hit — zero candidates, every near-dup silently
+    // admitted. The index rows carry their build parameters and the
+    // from-index ingest validates them.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", shingleLen = 5, k = 32)
+    val idx4 = Dedup.bandIndex(sigs, "doc", "sig", bands = 4, k = 32)
+    val eBands = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+        idx4, sigs, "doc", "sig", bands = 8, k = 32).collect()
+    }
+    assert(eBands.getMessage.contains("bands=4"), eBands.getMessage)
+    val eBare = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+        idx4.select("band", "doc"), sigs, "doc", "sig", bands = 4, k = 32).collect()
+    }
+    assert(eBare.getMessage.contains("index_bands"), eBare.getMessage)
+  }
+
   test("bloom pre-filtered exact ingest == unfiltered; corpus membership never missed") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
