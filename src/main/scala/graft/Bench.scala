@@ -224,12 +224,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val (json, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
+    // self-defense against tail-capture truncation (BENCH_r12.json lost
+    // its headline_total header to a capture window that started mid-
+    // line): persist the artifact to a sidecar file, print it once here,
+    // and print it AGAIN as the process's final stdout line — after
+    // spark.stop()'s shutdown logging, so nothing can push its head out
+    // of a fixed-size tail window. Consumers taking the first OR the
+    // last JSON line both get a complete artifact.
+    try {
+      val side = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(side.getParent)
+      java.nio.file.Files.write(side, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] artifact sidecar: ${side.toAbsolutePath}")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] sidecar write failed (stdout still carries the artifact): ${brief(t)}")
+    }
     println(json)
     spark.stop()
     if (errs.nonEmpty) {
       val nTimed = (timed ++ extras.flatMap(_._2)).distinct.size
       System.err.println(s"[bench] ${errs.size} of $nTimed queries FAILED: ${errs.keys.mkString(", ")}")
+      println(json)
       sys.exit(1)
     }
+    println(json)
   }
 }
