@@ -364,6 +364,91 @@ object ScaleProbe {
           "doc_id", "text")
           .agg(count(lit(1)), sum("log_weight")).collect()(0).getLong(0)
       }
+      // r13: scoring against a PRE-BUILT model artifact (built outside
+      // the timing — a real run loads a persisted table). The leg's
+      // shuffle axis vs dsir_logweights above quantifies what the
+      // artifact saves: the model-build explode+aggregate is gone and
+      // exactly one corpus explode remains (the doc-keyed score agg)
+      val dsirModel =
+        if (opFilter("dsir_score_from_model"))
+          Some(ops.Dsir.buildModel(docs, docs.filter(col("doc_id") % 7 === 0),
+            "doc_id", "text").localCheckpoint(true))
+        else None
+      timed("dsir_score_from_model", runs, opFilter) {
+        ops.Dsir.logWeights(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", precomputedModel = dsirModel)
+          .agg(count(lit(1)), sum("log_weight")).collect()(0).getLong(0)
+      }
+      // r13 selection-cutoff legs (VERDICT r12 "what's wrong #1"): the
+      // corpus is SINGLE-LANGUAGE by construction — the web-scale worst
+      // case where "bounded by the largest language" is no bound. The
+      // exact leg's global/per-group rank window shuffles every score
+      // into ONE partition; the approx leg must show that sort gone on
+      // the deterministic shuffle axis (expected: exact ≈ 2n+ rows,
+      // approx ≈ partial-agg sketch rows only)
+      val probeScore = (pmod(xxhash64(col("doc_id"), lit("sc")), lit(1000000))
+        .cast("double") / 1000000.0).as("s")
+      timed("select_cutoff_exact", runs, opFilter) {
+        ops.Sampling.topFractionByScore(docs.select(col("doc_id"), probeScore),
+          "s", 0.25)
+          .agg(count(lit(1)),
+            sum(when(col("top_selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      timed("select_cutoff_approx", runs, opFilter) {
+        ops.Sampling.topFractionByScore(docs.select(col("doc_id"), probeScore),
+          "s", 0.25, approx = true)
+          .agg(count(lit(1)),
+            sum(when(col("top_selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      timed("ppl_buckets_exact", runs, opFilter) {
+        ops.TextAnalysis.perplexityBuckets(
+          docs.select(col("doc_id"), col("lang"), (-probeScore).as("lp")),
+          "doc_id", "lang", "lp")
+          .agg(count(lit(1)), count(col("ppl_bucket"))).collect()(0).getLong(0)
+      }
+      timed("ppl_buckets_approx", runs, opFilter) {
+        ops.TextAnalysis.perplexityBuckets(
+          docs.select(col("doc_id"), col("lang"), (-probeScore).as("lp")),
+          "doc_id", "lang", "lp", approx = true)
+          .agg(count(lit(1)), count(col("ppl_bucket"))).collect()(0).getLong(0)
+      }
+      // r13 incremental selection ingest: a FIXED 5k-doc batch scored
+      // against held artifacts (LM tables + cutoffs built from the n-doc
+      // corpus OUTSIDE the timing). The corpus never moves at ingest
+      // time: the leg's shuffle rows track batch + vocabulary size, not
+      // corpus rows — the O(batch) contract of a nightly ingest
+      val selArts =
+        if (opFilter("select_ingest_fixedbatch") ||
+            opFilter("select_ingest_fixedbatch_bcast")) {
+          val (u, b) = ops.TextAnalysis.lmTables(docs, "text")
+          val refScored = ops.TextAnalysis.externalLmLogProb(docs, "doc_id",
+            "text", u, b).filter(col("n_bigrams") > 0)
+            .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          val cuts = ops.TextAnalysis.perplexityCutoffs(refScored, "lang",
+            "avg_logprob_lm", approx = true)
+          val up = u.persist(); val bp = b.persist(); val cp = cuts.persist()
+          up.count(); bp.count(); cp.count()
+          Some((up, bp, cp))
+        } else None
+      timed("select_ingest_fixedbatch", runs, opFilter) {
+        ops.TextAnalysis.lmSelectIngest(docs.filter(col("doc_id") < 5000),
+          "doc_id", "text", "lang",
+          selArts.get._1, selArts.get._2, selArts.get._3)
+          .agg(count(lit(1)),
+            sum(when(col("selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      // same ingest with the LM artifacts broadcast (the synthetic vocab
+      // grows with the corpus, so the default leg's shuffled LM join is
+      // vocab-dominated — this leg pins the fits-in-memory fast path
+      // where ONLY the batch rows ever shuffle)
+      timed("select_ingest_fixedbatch_bcast", runs, opFilter) {
+        ops.TextAnalysis.lmSelectIngest(docs.filter(col("doc_id") < 5000),
+          "doc_id", "text", "lang",
+          broadcast(selArts.get._1), broadcast(selArts.get._2), selArts.get._3)
+          .agg(count(lit(1)),
+            sum(when(col("selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+      selArts.foreach { case (u, b, c) => u.unpersist(); b.unpersist(); c.unpersist() }
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated query-name filter for local
+    // single-query iteration (the Bench `only` convention). The driver
+    // calls with two args — contract output unchanged.
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +27,9 @@ object Verify {
     // nonzero at the end — a partial sweep must be machine-detectable
     // from the artifact alone, not only from a stderr line.
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

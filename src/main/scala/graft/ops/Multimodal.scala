@@ -394,4 +394,201 @@ object Multimodal {
     }
     out
   }
+
+  // ------------------------------------------------- audio (r13)
+
+  /** Deterministic AUDIO assets (r13 — the second real modality): each
+    * row id becomes a real RIFF/WAVE file — canonical 44-byte header +
+    * 16-bit mono PCM — whose content is pure id arithmetic, which is
+    * what makes the REAL byte-level decode oracle-checkable (DuckDB
+    * can't parse a WAV, but it can recompute `8000 + id % 4 * 4000`):
+    *   - sample rate: 8000 + (id % 4) · 4000 Hz
+    *   - (48 + id % 3) windows of 160 samples each
+    *   - window `w` is a period-8 square wave at amplitude
+    *     A(id, w) = 4000 + (((id % 16)·31 + w·17) % 89) · 64, so ids
+    *     congruent mod 16 share an amplitude ENVELOPE (the planted
+    *     near-dup groups [[audioFingerprintsBatched]] pairs up), and
+    *     ids ≡ 0 (mod 80) perturb one window by +5000 — larger than
+    *     both envelope step sizes (+17·64 / −72·64), so depending on
+    *     the neighboring step directions it flips 0, 1, or 2 delta
+    *     bits: the near-but-not-exact fingerprint class
+    *   - ids ≡ 0 (mod 101) are CORRUPT (payload truncated to 10 bytes):
+    *     every decode-side op must degrade them to null rows
+    * Generated on executors inside mapPartitions, like
+    * [[toImageAssets]]. */
+  def toWavAssets(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = 8000 + (id % 4).toInt * 4000
+          val nWindows = 48 + (id % 3).toInt
+          val nSamples = nWindows * 160
+          val data = new Array[Byte](nSamples * 2)
+          var w = 0
+          while (w < nWindows) {
+            val amp = wavAmplitude(id, w)
+            var t = 0
+            while (t < 160) {
+              val s = if ((t / 4) % 2 == 0) amp else -amp
+              val i = (w * 160 + t) * 2
+              data(i) = (s & 0xFF).toByte
+              data(i + 1) = ((s >> 8) & 0xFF).toByte
+              t += 1
+            }
+            w += 1
+          }
+          val full = wavBytes(rate, data)
+          val payload = if (id % 101 == 0) full.take(10) else full
+          (id, "audio/wav", payload)
+        }
+      }.toDF("asset_id", "media_type", "payload")
+  }
+
+  /** The per-window amplitude law of [[toWavAssets]] — one definition
+    * shared by the generator and the spec's hand-computed expectations. */
+  private[graft] def wavAmplitude(id: Long, w: Int): Int = {
+    val base = 4000 + ((((id % 16) * 31 + w * 17) % 89) * 64).toInt
+    if (id % 80 == 0 && w == (id % 47).toInt + 1) base + 5000 else base
+  }
+
+  /** Canonical 44-byte PCM WAV envelope around a 16-bit mono sample
+    * payload. */
+  private def wavBytes(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = 2 // mono × 16 bit
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
+  /** Bounded RIFF/WAVE parse (the [[readImageBounded]] contract for
+    * audio): walks the chunk list, validates the fmt chunk (16-bit
+    * mono/stereo PCM only), and rejects payloads whose DECLARED data
+    * size exceeds `maxBytes` BEFORE allocating samples — a hostile
+    * header claiming 4 GB must degrade the row, not OOM the task.
+    * Returns (sampleRate, channels, bitsPerSample, samples). */
+  private[graft] def readWavBounded(bytes: Array[Byte],
+                                    maxBytes: Long = 1L << 26): Option[(Int, Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String =
+      new String(bytes, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(pos)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size.toLong > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = bb.getShort(pos + 8).toInt
+          val channels = bb.getShort(pos + 10).toInt
+          val rate = bb.getInt(pos + 12)
+          val bits = bb.getShort(pos + 22).toInt
+          if (audioFormat != 1 || bits != 16 || channels < 1 || channels > 2 ||
+            rate <= 0) return None
+          fmt = Some((rate, channels, bits))
+        case "data" =>
+          if (size.toLong > maxBytes) return None
+          data = Some((pos + 8, size))
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    for ((rate, channels, bits) <- fmt; (off, size) <- data) yield {
+      val n = size / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = bb.getShort(off + i * 2); i += 1 }
+      (rate, channels, bits, samples)
+    }
+  }
+
+  /** REAL audio decode behind the batched seam: the RIFF header and PCM
+    * payload of each asset are parsed from the actual bytes; corrupt /
+    * non-audio payloads degrade to a null row. Output: (asset_id,
+    * sample_rate, n_channels, bits_per_sample, n_samples, duration_ms)
+    * — all BIGINT so the oracle compares without width coercion. */
+  def decodeWavBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            val decoded =
+              if (mediaType == null || !mediaType.startsWith("audio/")) None
+              else try readWavBounded(payload)
+              catch { case _: Exception => None }
+            decoded match {
+              case Some((rate, ch, bits, samples)) =>
+                val n = samples.length.toLong / ch
+                (id, Some(rate.toLong), Some(ch.toLong), Some(bits.toLong),
+                  Some(n), Some(n * 1000L / rate))
+              case None => (id, None, None, None, None, None)
+            }
+          }
+        }
+      }.toDF("asset_id", "sample_rate", "n_channels", "bits_per_sample",
+        "n_samples", "duration_ms")
+  }
+
+  /** Energy-envelope audio fingerprint: mean |sample| per 160-sample
+    * window (pure integer — a constant-amplitude window's mean IS its
+    * amplitude, exactly), then a 47-bit delta code (bit w = 1 iff
+    * energy(w) > energy(w−1), w ∈ [1, 47]) packed into a long. Similar
+    * loudness CONTOURS — the thing that survives re-encoding — map to
+    * small hamming distances, so near-dup detection is
+    * [[graft.ops.Dedup.hammingPairs]] over the `afp` column (the
+    * dHash/phash_pairs shape, hot-block caps and all). Corrupt payloads
+    * degrade to a null fingerprint, which the pair stage filters. */
+  def audioFingerprintsBatched(assets: DataFrame, windowSamples: Int = 160,
+                               batchSize: Int = 256): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            val decoded =
+              if (mediaType == null || !mediaType.startsWith("audio/")) None
+              else try readWavBounded(payload)
+              catch { case _: Exception => None }
+            decoded match {
+              case Some((_, _, _, samples)) if samples.length >= 2 * windowSamples =>
+                val nW = samples.length / windowSamples
+                val energy = Array.tabulate(nW) { w =>
+                  var sum = 0L
+                  var t = w * windowSamples
+                  val end = t + windowSamples
+                  while (t < end) { sum += math.abs(samples(t).toLong); t += 1 }
+                  sum / windowSamples
+                }
+                var fp = 0L
+                var w = 1
+                while (w < nW && w <= 47) {
+                  if (energy(w) > energy(w - 1)) fp |= 1L << w
+                  w += 1
+                }
+                (id, Some(nW.toLong), Some(fp))
+              case _ => (id, None, None)
+            }
+          }
+        }
+      }.toDF("asset_id", "n_windows", "afp")
+  }
 }

@@ -488,43 +488,111 @@ object TextAnalysis {
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
                         approx: Boolean = false,
+                        accuracy: Int = 100000): DataFrame =
+    assignPplBuckets(scored, groupCol, lpCol,
+      perplexityCutoffs(scored, groupCol, lpCol, headFraction, middleFraction,
+        approx, accuracy))
+
+  /** The per-group cutoff table (group, cut_head, cut_middle) as a
+    * PERSISTABLE artifact (r13): derive it once from a reference corpus
+    * and [[assignPplBuckets]] any later batch against it — the
+    * incremental-selection shape where a nightly ingest never re-ranks
+    * the historical corpus. Same value-at-rank semantics as
+    * [[perplexityBuckets]] (which is literally cutoffs + assignment);
+    * `approx` swaps the per-group rank window for percentile_approx
+    * exactly as documented there. NULL group / NULL score rows carry no
+    * rank signal and are excluded here (they pass through assignment
+    * with a NULL bucket). */
+  def perplexityCutoffs(scored: DataFrame, groupCol: String, lpCol: String,
+                        headFraction: Double = 1.0 / 3.0,
+                        middleFraction: Double = 2.0 / 3.0,
+                        approx: Boolean = false,
                         accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = scored.filter(col(groupCol).isNotNull && col(lpCol).isNotNull)
-    val cuts =
-      if (approx) {
-        // value at DESCENDING rank ⌈n·f⌉ = −(value at ascending rank
-        // ⌈f·n⌉ of the negated scores) = −percentile_approx(−lp, f)
-        grouped.groupBy(col(groupCol)).agg(
-          (-percentile_approx(-col(lpCol), lit(headFraction), lit(accuracy)))
-            .as("__cut1"),
-          (-percentile_approx(-col(lpCol), lit(middleFraction), lit(accuracy)))
-            .as("__cut2"))
-      } else {
-        val sizes = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
-        val ranked = grouped.select(col(groupCol), col(lpCol))
-          .withColumn("rn", row_number()
-            .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
-          .join(sizes, Seq(groupCol))
-        ranked
-          .filter(col("rn") === ceil(col("n_docs") * lit(headFraction)).cast(LongType))
-          .select(col(groupCol), col(lpCol).as("__cut1"))
-          .join(ranked
-            .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
-            .select(col(groupCol), col(lpCol).as("__cut2")), Seq(groupCol))
-      }
+    if (approx) {
+      // value at DESCENDING rank ⌈n·f⌉ = −(value at ascending rank
+      // ⌈f·n⌉ of the negated scores) = −percentile_approx(−lp, f)
+      grouped.groupBy(col(groupCol)).agg(
+        (-percentile_approx(-col(lpCol), lit(headFraction), lit(accuracy)))
+          .as("cut_head"),
+        (-percentile_approx(-col(lpCol), lit(middleFraction), lit(accuracy)))
+          .as("cut_middle"))
+    } else {
+      val sizes = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      val ranked = grouped.select(col(groupCol), col(lpCol))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy(col(groupCol)).orderBy(col(lpCol).desc)))
+        .join(sizes, Seq(groupCol))
+      ranked
+        .filter(col("rn") === ceil(col("n_docs") * lit(headFraction)).cast(LongType))
+        .select(col(groupCol), col(lpCol).as("cut_head"))
+        .join(ranked
+          .filter(col("rn") === ceil(col("n_docs") * lit(middleFraction)).cast(LongType))
+          .select(col(groupCol), col(lpCol).as("cut_middle")), Seq(groupCol))
+    }
+  }
+
+  /** Bucket assignment against a held cutoff table ([[perplexityCutoffs]]
+    * output, possibly read back from a persisted artifact): adds
+    * `perplexity` and `ppl_bucket` to every input row. Per-row,
+    * window-free, one broadcast left join — the corpus/batch-sized path
+    * is embarrassingly parallel at any scale. Rows with a NULL group, a
+    * NULL score, or a group ABSENT from the cutoff table (a language the
+    * reference corpus never saw) take a NULL bucket instead of silently
+    * vanishing into an inner join. */
+  def assignPplBuckets(scored: DataFrame, groupCol: String, lpCol: String,
+                       cutoffs: DataFrame): DataFrame = {
+    val grouped = scored.filter(col(groupCol).isNotNull && col(lpCol).isNotNull)
     val bucketed = grouped
-      .join(broadcast(cuts), Seq(groupCol))
+      .join(broadcast(cutoffs), Seq(groupCol), "left")
       .withColumn("perplexity", round(exp(-col(lpCol)), 6))
       .withColumn("ppl_bucket",
-        when(col(lpCol) >= col("__cut1"), "head")
-          .when(col(lpCol) >= col("__cut2"), "middle")
+        when(col("cut_head").isNull, lit(null).cast(StringType))
+          .when(col(lpCol) >= col("cut_head"), "head")
+          .when(col(lpCol) >= col("cut_middle"), "middle")
           .otherwise("tail"))
-      .drop("__cut1", "__cut2")
+      .drop("cut_head", "cut_middle")
     bucketed.unionByName(
       scored.filter(col(groupCol).isNull || col(lpCol).isNull)
         .withColumn("perplexity", round(exp(-col(lpCol)), 6))
         .withColumn("ppl_bucket", lit(null).cast(StringType)))
+  }
+
+  /** INCREMENTAL LM-quality selection ingest (r13 — VERDICT task 4):
+    * score a new batch against HELD artifacts — the [[lmTables]] logprob
+    * tables and a [[perplexityCutoffs]] table, both persisted once per
+    * curation run — and flag the keepers, touching ONLY the batch. The
+    * incremental analog of the batch LM-score → bucket → drop-tail
+    * pipeline (v5): no corpus re-scoring, no cutoff re-ranking, ever.
+    * Returns batch ids + (lang, n_bigrams, avg_logprob_lm, perplexity,
+    * ppl_bucket, selected). Unscoreable docs (zero bigrams) and docs
+    * whose language the cutoff artifact doesn't cover take a NULL
+    * bucket and are never selected — surfaced, not dropped.
+    *
+    * Scale shape: one batch-sized bigram explode joined against the
+    * vocabulary-sized LM tables (O(batch + vocab) shuffle — the corpus
+    * never moves), then a broadcast cutoff comparison. When the LM
+    * tables fit executor memory (a trained LM artifact usually does),
+    * pass them pre-wrapped in `functions.broadcast(...)`: the vocab side
+    * then never shuffles either and the ingest is O(batch) on the
+    * shuffle axis — both shapes pinned by SCALE.md r13 probe legs. */
+  def lmSelectIngest(batch: DataFrame, idCol: String, textCol: String,
+                     langCol: String, unigrams: DataFrame, bigrams: DataFrame,
+                     cutoffs: DataFrame,
+                     dropBuckets: Seq[String] = Seq("tail")): DataFrame = {
+    val scored = externalLmLogProb(batch, idCol, textCol, unigrams, bigrams)
+      .join(batch.select(col(idCol), col(langCol)), Seq(idCol))
+    val assigned = assignPplBuckets(
+      scored.filter(col("n_bigrams") > 0), langCol, "avg_logprob_lm", cutoffs)
+    // zero-bigram docs: avg_logprob_lm 0.0 is a sentinel, not a score —
+    // bucketing it would rank unscoreable docs as (usually) head
+    val unscoreable = scored.filter(col("n_bigrams") === 0)
+      .withColumn("perplexity", lit(null).cast(DoubleType))
+      .withColumn("ppl_bucket", lit(null).cast(StringType))
+    assigned.unionByName(unscoreable)
+      .withColumn("selected",
+        coalesce(!col("ppl_bucket").isin(dropBuckets: _*), lit(false)))
   }
 
   /** Document fingerprint: order-insensitive content hash —

@@ -936,6 +936,35 @@ object OpsQueries {
         .orderBy("asset_id", "pos")
     }),
 
+    // r13: REAL audio decode — every asset is an actual RIFF/WAVE file
+    // whose header fields derive from id arithmetic (the toImageAssets
+    // convention: DuckDB can't parse a WAV, but it can recompute
+    // 8000 + id%4*4000), parsed back from the real bytes; planted
+    // corrupt payloads (id % 101, truncated header) must degrade to
+    // null rows, never vanish or kill the batch
+    "q_multimodal_audio_decode" -> ((s, d) => {
+      Multimodal.decodeWavBatched(
+        Multimodal.toWavAssets(Tables.documents(s, d), "doc_id"))
+        .orderBy("asset_id")
+    }),
+
+    // r13: audio near-dup pairs — energy-envelope fingerprints (mean
+    // |sample| per 160-sample window, 47-bit delta code) over the real
+    // PCM decode, paired through the same block-LSH as the image
+    // hashes. maxHamming 2 < 4 blocks → pigeonhole-exact recall, so the
+    // oracle is the brute-force xor/bit_count scan over fingerprints it
+    // recomputes from the generator's amplitude law. Planted structure:
+    // ids ≡ (mod 16) share an envelope (hamming 0), ids ≡ 0 (mod 80)
+    // perturb one window (hamming 1-2), corrupt ids drop out as nulls.
+    "q_audio_fingerprint_pairs" -> ((s, d) => {
+      val sigs = Multimodal.audioFingerprintsBatched(
+        Multimodal.toWavAssets(Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true) // feeds the block self-join twice; decode once
+      Dedup.hammingPairs(sigs, "asset_id", "afp",
+        maxHamming = 2, nBlocks = 4, blockBits = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // r9: hamming near-dup pairs over the dHash through the generalized
     // block-LSH (4 blocks × 16 bits). maxHamming 3 < 4 blocks →
     // pigeonhole-exact recall, so the oracle can be the brute-force
@@ -2368,6 +2397,41 @@ object OpsQueries {
         |  CASE WHEN doc_id % 100 = 7 THEN NULL ELSE ahash END AS ahash
         |FROM packed ORDER BY asset_id""".stripMargin,
 
+    // audio decode: every header field is id arithmetic — a decoder that
+    // misparses the real RIFF bytes can't reproduce it; corrupt plants
+    // (truncated header) must surface as null rows
+    "q_multimodal_audio_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END AS n_channels,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST((48 + doc_id % 3) * 160 AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL
+        |       ELSE CAST(((48 + doc_id % 3) * 160 * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // audio envelope near-dups: the oracle recomputes each asset's
+    // 47-bit delta fingerprint from the generator's amplitude law (a
+    // window's mean |sample| IS its amplitude — integer-exact), then
+    // brute-force pairs on bit_count(xor); the Spark side must arrive at
+    // the same fingerprints from the REAL decoded PCM bytes, and the
+    // 4-block LSH at maxHamming 2 is pigeonhole-exact
+    "q_audio_fingerprint_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0),
+        |amp AS (SELECT i.doc_id, g.w,
+        |    4000 + (((i.doc_id % 16) * 31 + g.w * 17) % 89) * 64 +
+        |    CASE WHEN i.doc_id % 80 = 0 AND g.w = i.doc_id % 47 + 1 THEN 5000 ELSE 0 END AS a
+        |  FROM ids i, (SELECT unnest(generate_series(0, 47)) AS w) g),
+        |bits AS (SELECT a1.doc_id, a1.w, CASE WHEN a1.a > a0.a THEN 1 ELSE 0 END AS bit
+        |  FROM amp a1 JOIN amp a0 ON a1.doc_id = a0.doc_id AND a0.w = a1.w - 1
+        |  WHERE a1.w BETWEEN 1 AND 47),
+        |fp AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << w) AS BIGINT) AS afp FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // pooled-luma cells: (SUM(g)//12)/255.0 over each 3×4 block of the
     // pattern grid (grayscale → luma == g exactly); histograms: g//64
     // bins as fractions of 72 pixels, identical across R/G/B. Corrupt
@@ -2442,7 +2506,10 @@ object OpsQueries {
     * gate), ending at `agg(doc_id, n_bigrams, avg_logprob_lm)`. Shared
     * by q_text_lm_external and the perplexity-bucket oracle built on
     * top of the same scores. */
-  private def externalLmCtes: String =
+  // private[queries]: the r13 incremental-selection stream gate
+  // (StreamQueries) scores against the same held LM, so its oracle
+  // builds on the same CTE chain — one definition or they drift
+  private[queries] def externalLmCtes: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |held AS (SELECT * FROM t WHERE doc_id % 3 = 0),
        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
@@ -2499,8 +2566,8 @@ object OpsQueries {
       |  (content_hash NOT IN (SELECT content_hash FROM hist) AND rn = 1) AS is_new_content
       |FROM r ORDER BY doc_id""".stripMargin
 
-  /** Incremental minhash ingest oracle, shared verbatim by the direct
-    * and persisted-band-index forms (same semantics, different plan). */
+  /** Perplexity-bucket oracle, shared verbatim by the exact and
+    * approx-cutoff forms (same semantics, different plan). */
   private def pplBucketsOracleSql: String =
     s"""$pplBucketCtes
        |SELECT doc_id, lang, n_bigrams, avg_logprob_lm,
@@ -2557,6 +2624,8 @@ object OpsQueries {
          |  CASE WHEN w.n_feats > 0 THEN w.avg_log_weight >= cut.c ELSE FALSE END AS dsir_keep
          |FROM w, cut ORDER BY w.doc_id""".stripMargin
 
+  /** Incremental minhash ingest oracle, shared verbatim by the direct
+    * and persisted-band-index forms (same semantics, different plan). */
   private def minhashIncrementalOracleSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),

@@ -217,6 +217,73 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // r13: CONTINUOUS-INGEST LM-quality selection — the incremental
+    // analog of the v5 batch pipeline. The LM logprob tables and the
+    // per-language perplexity cutoffs are built ONCE from the reference
+    // corpus (doc_id % 3 == 0) and PERSISTED as warehouse tables; two
+    // ordered micro-batches of new docs are then each scored and
+    // bucketed against the held artifacts (read back per generation —
+    // the artifact-refresh shape of q_stream_dedup_bloom) and appended.
+    // Scoring is stateless given the artifacts, so the final table must
+    // equal the one-shot batch replay the oracle computes: stream ≡
+    // batch for the selection-ingest path, and no corpus re-scoring or
+    // cutoff re-ranking ever runs.
+    "q_stream_select" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.TextAnalysis
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_ssel_in")
+      val ckpt = Files.createTempDirectory("graft_ssel_ck")
+      // plant an artifact-uncovered language on a few BATCH rows (never
+      // on reference rows — they'd grow their own cutoff group): those
+      // docs must surface with a NULL bucket, never silently vanish
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 =!= 0 && col("doc_id") % 97 === 0, lit("xx"))
+          .otherwise(col("lang")).as("lang"))
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      val batchDocs = docs.filter(col("doc_id") % 3 =!= 0)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", batchDocs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", batchDocs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_ssel_wh").toString)
+      val uniRel = graft.core.Relation("graft", "main", "lm_unigrams")
+      val biRel = graft.core.Relation("graft", "main", "lm_bigrams")
+      val cutRel = graft.core.Relation("graft", "main", "ppl_cutoffs")
+      val outRel = graft.core.Relation("graft", "main", "selected_docs")
+      // artifact build: once, from the reference corpus only; the
+      // cutoffs derive from the reference scored against the PERSISTED
+      // LM tables (the artifact path, not the in-memory frames)
+      val (uni, bi) = TextAnalysis.lmTables(ref, "text")
+      rm.writeTable(uni, uniRel)
+      rm.writeTable(bi, biRel)
+      val refScored = TextAnalysis.externalLmLogProb(ref, "doc_id", "text",
+        rm.read(uniRel), rm.read(biRel))
+        .filter(col("n_bigrams") > 0)
+        .join(ref.select("doc_id", "lang"), Seq("doc_id"))
+      rm.writeTable(TextAnalysis.perplexityCutoffs(refScored, "lang",
+        "avg_logprob_lm"), cutRel)
+      val q = s.readStream.schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val out = TextAnalysis.lmSelectIngest(batch, "doc_id", "text", "lang",
+            rm.read(uniRel), rm.read(biRel), rm.read(cutRel))
+            .localCheckpoint(true)
+          if (rm.exists(outRel)) rm.appendTable(out, outRel)
+          else rm.writeTable(out, outRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(outRel)
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob_lm",
+          "perplexity", "ppl_bucket", "selected")
+        .orderBy("doc_id")
+    }),
+
     // r9: CONTINUOUS-INGEST near-dup dedup run for real — two ordered
     // micro-batches (even ids land first, then odd ids), each batch
     // classified against the signature store the PREVIOUS batches built,
@@ -264,6 +331,37 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // incremental LM-quality selection: the stream's two generations are
+    // stateless given the held artifacts, so the oracle is the one-shot
+    // batch replay — reference-corpus LM + reference-derived cutoffs
+    // (OpsQueries.externalLmCtes, one definition), assignment over the
+    // batch slice; planted 'xx' docs and uncovered languages take NULL
+    "q_stream_select" ->
+      s"""${OpsQueries.externalLmCtes},
+         |refsc AS (SELECT d.doc_id, d.lang, a.avg_logprob_lm
+         |          FROM documents d JOIN agg a USING (doc_id)
+         |          WHERE d.doc_id % 3 = 0 AND a.n_bigrams > 0),
+         |rsz AS (SELECT lang, COUNT(*) AS n_docs FROM refsc GROUP BY 1),
+         |rr AS (SELECT refsc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM refsc),
+         |rc1 AS (SELECT rr.lang, rr.avg_logprob_lm AS cut1 FROM rr JOIN rsz USING (lang)
+         |        WHERE rn = CAST(ceil(n_docs * (1.0/3.0)) AS BIGINT)),
+         |rc2 AS (SELECT rr.lang, rr.avg_logprob_lm AS cut2 FROM rr JOIN rsz USING (lang)
+         |        WHERE rn = CAST(ceil(n_docs * (2.0/3.0)) AS BIGINT)),
+         |b AS (SELECT d.doc_id,
+         |      CASE WHEN d.doc_id % 97 = 0 THEN 'xx' ELSE d.lang END AS lang,
+         |      COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |      COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm
+         |      FROM documents d LEFT JOIN agg a USING (doc_id) WHERE d.doc_id % 3 <> 0),
+         |sel AS (SELECT b.doc_id, b.lang, b.n_bigrams, b.avg_logprob_lm,
+         |  CASE WHEN b.n_bigrams > 0 THEN round(exp(-b.avg_logprob_lm), 6) END AS perplexity,
+         |  CASE WHEN b.n_bigrams = 0 OR rc1.cut1 IS NULL THEN NULL
+         |       WHEN b.avg_logprob_lm >= rc1.cut1 THEN 'head'
+         |       WHEN b.avg_logprob_lm >= rc2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |  FROM b LEFT JOIN rc1 USING (lang) LEFT JOIN rc2 USING (lang))
+         |SELECT doc_id, lang, n_bigrams, avg_logprob_lm, perplexity, ppl_bucket,
+         |  (ppl_bucket IS NOT NULL AND ppl_bucket <> 'tail') AS selected
+         |FROM sel ORDER BY doc_id""".stripMargin,
+
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal}
+
+/** r13 (VERDICT task 5): the audio modality — real RIFF/WAVE bytes end
+  * to end. The generator emits actual PCM files (not metadata rows), the
+  * decode parses the actual bytes back, and the energy-envelope
+  * fingerprint is integer-pinned against the generator's amplitude law,
+  * so a drifting parser or a float sneaking into the energy math fails
+  * loudly here before it reaches the oracle gate. Ids come from a plain
+  * range (not the fixture) so every planted class — mod-16 envelope
+  * groups, mod-80 perturbations, mod-101 corruption — is present at a
+  * known density regardless of fixture scale. */
+class AudioSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val N = 500L
+
+  private def assets = Multimodal.toWavAssets(
+    spark.range(N).toDF("doc_id"), "doc_id")
+
+  test("generated WAVs parse back: header fields and window energies match the id arithmetic") {
+    val rows = assets.filter(col("asset_id") < 10 && col("asset_id") % 101 =!= 0)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, payload) =>
+      val Some((rate, channels, bits, samples)) = Multimodal.readWavBounded(payload)
+      assert(rate == 8000 + (id % 4).toInt * 4000, s"id=$id rate=$rate")
+      assert(channels == 1 && bits == 16)
+      assert(samples.length == (48 + (id % 3).toInt) * 160, s"id=$id n=${samples.length}")
+      // a constant-amplitude square-wave window's mean |sample| IS its
+      // amplitude, exactly — integer division included
+      (0 until 3).foreach { w =>
+        val sum = (0 until 160).map(t => math.abs(samples(w * 160 + t).toLong)).sum
+        assert(sum / 160 == Multimodal.wavAmplitude(id, w),
+          s"id=$id window=$w energy ${sum / 160} != amplitude law")
+      }
+    }
+  }
+
+  test("bounded decode: truncation, garbage, wrong format, and declared-size bombs degrade to None") {
+    val good = assets.filter(col("asset_id") === 1).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(Multimodal.readWavBounded(good).isDefined)
+    assert(Multimodal.readWavBounded(good.take(10)).isEmpty, "truncated header")
+    assert(Multimodal.readWavBounded("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.readWavBounded(null).isEmpty)
+    // declared data size past the cap must be rejected BEFORE allocation
+    assert(Multimodal.readWavBounded(good, maxBytes = 100).isEmpty, "size bomb")
+    // a header whose declared chunk size overruns the actual payload is
+    // corrupt, not a read-past-the-end crash
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue) // data chunk size field of the canonical layout
+    assert(Multimodal.readWavBounded(lying).isEmpty, "overrunning chunk size")
+    // non-PCM format code rejected
+    val alaw = good.clone()
+    java.nio.ByteBuffer.wrap(alaw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 6) // fmt tag: A-law
+    assert(Multimodal.readWavBounded(alaw).isEmpty, "non-PCM format")
+  }
+
+  test("fingerprints match the amplitude law bit for bit; corrupt assets null out") {
+    val fps = Multimodal.audioFingerprintsBatched(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (Option(r.getAs[Any]("n_windows")), Option(r.getAs[Any]("afp")))).toMap
+    assert(fps.keySet == (0L until N).toSet, "every asset surfaces exactly once")
+    (0L until N).foreach { id =>
+      if (id % 101 == 0) assert(fps(id) == ((None, None)), s"corrupt id=$id must null out")
+      else {
+        var expected = 0L
+        (1 to 47).foreach { w =>
+          if (Multimodal.wavAmplitude(id, w) > Multimodal.wavAmplitude(id, w - 1))
+            expected |= 1L << w
+        }
+        assert(fps(id)._2.contains(expected), s"id=$id fingerprint drifted")
+        assert(fps(id)._1.contains(48 + id % 3), s"id=$id n_windows")
+      }
+    }
+  }
+
+  test("envelope near-dup pairs: mod-16 groups pair at hamming 0, perturbed ids within 2") {
+    val sigs = Multimodal.audioFingerprintsBatched(assets).localCheckpoint(true)
+    val pairs = Dedup.hammingPairs(sigs, "asset_id", "afp",
+      maxHamming = 2, nBlocks = 4, blockBits = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.nonEmpty)
+    // exact-envelope mates (same id % 16, neither perturbed nor corrupt)
+    // must pair at hamming 0
+    val g1 = (0L until N).filter(i => i % 16 == 1 && i % 80 != 0 && i % 101 != 0).take(2)
+    assert(pairs.exists(p => p._1 == g1(0) && p._2 == g1(1) && p._3 == 0),
+      s"mates ${g1.toList} must pair at hamming 0")
+    // perturbed ids must still reach their group within the threshold
+    val perturbed = pairs.filter(p =>
+      (p._1 % 80 == 0 || p._2 % 80 == 0) && p._3 > 0)
+    assert(perturbed.nonEmpty,
+      "perturbed ids must pair with their group at nonzero hamming")
+    assert(pairs.forall(_._3 <= 2))
+    // corrupt ids never appear on either side
+    assert(pairs.forall(p => p._1 % 101 != 0 && p._2 % 101 != 0))
+  }
+}

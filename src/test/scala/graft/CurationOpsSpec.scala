@@ -1078,6 +1078,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(13L) == ((0L, 0.0)), "empty doc: zero bigrams, zero score")
   }
 
+  test("perplexityBuckets == perplexityCutoffs + assignPplBuckets (one cutoff definition)") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "a", -1.0), (2L, "a", -2.0), (3L, "a", -3.0),
+      (4L, "a", -4.0), (5L, "b", -1.5), (6L, "b", -2.5), (7L, "b", -3.5)
+    ).toDF("doc_id", "grp", "lp")
+    for (ap <- Seq(false, true)) {
+      val composed = TextAnalysis.assignPplBuckets(scored, "grp", "lp",
+        TextAnalysis.perplexityCutoffs(scored, "grp", "lp", approx = ap))
+      val direct = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp",
+        approx = ap)
+      assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+        s"approx=$ap: the composed artifact path must equal perplexityBuckets")
+    }
+  }
+
+  test("lmSelectIngest: held artifacts select; unscoreable/uncovered docs surface NULL, never vanish") {
+    import spark.implicits._
+    // reference corpus (one language): 6 scoreable docs → 2/2/2 terciles
+    val ref = (1L to 6L).map(i =>
+      (i, ("alpha beta gamma " * i.toInt).trim, "en")).toDF("doc_id", "text", "lang")
+    val (uni, bi) = TextAnalysis.lmTables(ref, "text")
+    val refScored = TextAnalysis.externalLmLogProb(ref, "doc_id", "text", uni, bi)
+      .filter(col("n_bigrams") > 0)
+      .join(ref.select("doc_id", "lang"), Seq("doc_id"))
+    val cutoffs = TextAnalysis.perplexityCutoffs(refScored, "lang", "avg_logprob_lm")
+    // batch: in-model doc (head-quality), OOV-heavy doc (tail-quality),
+    // empty doc (unscoreable), uncovered language, NULL language
+    val batch = Seq(
+      (10L, "alpha beta gamma alpha beta", Some("en")),
+      (11L, "zzz qqq www rrr ttt yyy uuu", Some("en")),
+      (12L, "", Some("en")),
+      (13L, "alpha beta gamma", Some("xx")),
+      (14L, "alpha beta gamma", Option.empty[String])
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmSelectIngest(batch, "doc_id", "text", "lang",
+      uni, bi, cutoffs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("ppl_bucket")), r.getAs[Boolean]("selected")))).toMap
+    assert(out.size == 5, s"no batch row may vanish: $out")
+    assert(out(10L)._1.contains("head") && out(10L)._2,
+      s"in-model doc must select: $out")
+    assert(out(11L)._1.contains("tail") && !out(11L)._2,
+      s"OOV-heavy doc must be tail, dropped: $out")
+    assert(out(12L) == ((None, false)), s"unscoreable doc: NULL bucket, never selected: $out")
+    assert(out(13L) == ((None, false)), s"uncovered language: NULL bucket, never selected: $out")
+    assert(out(14L) == ((None, false)), s"NULL language: NULL bucket, never selected: $out")
+  }
+
   test("perplexity buckets: per-group terciles, cutoff ties take the better bucket") {
     import spark.implicits._
     // group A: 6 docs with distinct scores → clean 2/2/2 split
