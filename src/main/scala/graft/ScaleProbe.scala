@@ -674,6 +674,66 @@ object ScaleProbe {
         println(s"[probe] cc_chain_diameter           rounds=$iters (diameter ${n - 1})")
         ncomp
       }
+      // r13 (VERDICT task 7): the z-order skipping WIN at probe scale —
+      // ZorderSpec pins the semantics at 65k rows; this leg records the
+      // files-SKIPPED payoff on a real manifest via the same skipByStats
+      // the connector's scan consumes. Table: n rows, two independent
+      // hash columns, written twice and OPTIMIZE'd linear vs Morton at
+      // equal target file size; predicates: a 10%-selective point-ish
+      // range on the TRAILING column (linear layouts cannot prune it)
+      // and the 2-column box (the z-order query shape).
+      if (opFilter("zorder_skipping")) {
+        import graft.core.Relation
+        import graft.relations.RelationManager
+        import org.apache.spark.sql.graft.source.GraftSourceTable
+        import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+        val whDir = java.nio.file.Files.createTempDirectory("graft_zprobe")
+        try {
+          val rm = new RelationManager(spark, whDir.toString)
+          val table = spark.range(n.toLong).select(
+            col("id").as("rid"),
+            pmod(xxhash64(col("id"), lit("zx")), lit(1000000L)).as("x"),
+            pmod(xxhash64(col("id"), lit("zy")), lit(1000000L)).as("y"),
+            md5(col("id").cast("string")).as("payload"))
+          // target sized for ~64 files at any probe n (scaled by rows)
+          val target = math.max(64L * 1024, n.toLong * 60 / 64)
+          def layout(name: String, zorder: Boolean): Relation = {
+            val rel = Relation("graft", "zprobe", name)
+            rm.writeTable(table, rel, statsCols = Seq("x", "y"))
+            rm.optimize(rel, clusterBy = Seq("x", "y"),
+              targetFileBytes = target, zorder = zorder)
+            rel
+          }
+          val t0 = System.nanoTime()
+          val lin = layout("linear", zorder = false)
+          val tLin = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val zo = layout("morton", zorder = true)
+          val tZo = (System.nanoTime() - t1) / 1e9
+          val boxLo = 400000L; val boxHi = 500000L // 10% of each dim
+          val xOnly = Seq(GreaterThanOrEqual("x", boxLo), LessThanOrEqual("x", boxHi))
+          val yOnly = Seq(GreaterThanOrEqual("y", boxLo), LessThanOrEqual("y", boxHi))
+          val box = xOnly ++ yOnly
+          def survivors(rel: Relation, fs: Seq[org.apache.spark.sql.sources.Filter]) = {
+            val st = GraftSourceTable.resolve(rm.path(rel).toString, None)
+            (GraftSourceTable.skipByStats(st, fs).size, st.files.size)
+          }
+          val (lx, lt) = survivors(lin, xOnly)
+          val (ly, _) = survivors(lin, yOnly); val (lb, _) = survivors(lin, box)
+          val (zx, zt) = survivors(zo, xOnly)
+          val (zy, _) = survivors(zo, yOnly); val (zb, _) = survivors(zo, box)
+          println(f"[probe] zorder_skipping rewrite linear $tLin%.2f s / morton $tZo%.2f s; " +
+            s"survivors of $lt (linear) / $zt (morton) files — " +
+            s"x-range: $lx vs $zx; y-range: $ly vs $zy; 2-col box: $lb vs $zb")
+        } finally {
+          try {
+            val walk = java.nio.file.Files.walk(whDir)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
+        }
+      }
       docs.unpersist()
       results(n) = runs.toSeq
     }
