@@ -71,6 +71,12 @@ object Bench {
     "q_sim_topk_sq8",
     "q_curation_pipeline_v5")
 
+  /** Fifth tracked metric (r13): the full-recipe composed pipeline —
+    * every stage family end to end (rules, LM buckets, DSIR, fuzzy
+    * dedup, decontamination). Separate key, same rationale: earlier
+    * metrics stay byte-stable for trends. */
+  val pipeline: Seq[String] = Seq("q_curation_pipeline_v6")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -205,11 +211,12 @@ object Bench {
     val extras = only match {
       case None =>
         Seq("curation_total" -> curation, "excision_total" -> excision,
-          "selection_total" -> selection)
+          "selection_total" -> selection, "pipeline_total" -> pipeline)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
-          "selection_total" -> selection.filter(o)).filter(_._2.nonEmpty)
+          "selection_total" -> selection.filter(o),
+          "pipeline_total" -> pipeline.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

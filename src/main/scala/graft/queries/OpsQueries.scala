@@ -732,6 +732,48 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r13 composed pipeline v6 — the FULL public curation recipe
+    // (C4/RefinedWeb shape) as one gated end-to-end keep/drop audit:
+    //   1 langid (predicted == declared)     5 external-LM ppl tail drop
+    //   2 Gopher structural battery          6 DSIR importance cut
+    //   3 repetition battery                 7 fuzzy dedup (v4 shape)
+    //   4 word blocklist (planted %13)       8 decontamination vs bench
+    // Stages 1-4 are per-doc rules (cascade ≡ intersection); stages 5-8
+    // are population-dependent and derive their cutoffs/models/pairs
+    // from the SURVIVORS of the previous stage — the real pipeline
+    // shape, where a cutoff moves when an earlier rule moves. Docs
+    // ≡ 0 (mod 97) are the held-out eval bench (never candidates, their
+    // shingles drive stage 8). Output: one audit row per candidate doc
+    // with every stage verdict, the first failing stage, and final_keep
+    // — the per-doc ledger the _stats gate aggregates into attrition.
+    "q_curation_pipeline_v6" -> ((s, d) => {
+      curationV6(s, d).orderBy("doc_id")
+    }),
+
+    // the attrition ledger of v6: docs entering / surviving each stage
+    // in recipe order — the table every public curation paper prints
+    "q_curation_pipeline_v6_stats" -> ((s, d) => {
+      val audit = curationV6(s, d)
+      val stages = Seq("langid", "gopher", "repetition", "blocklist",
+        "perplexity", "dsir", "dedup", "decontamination")
+      val frames = stages.zipWithIndex.map { case (stage, i) =>
+        // docs entering a stage = docs that failed no EARLIER stage;
+        // kept = entering and not dropped here
+        val earlier = stages.take(i)
+        val entering =
+          if (earlier.isEmpty) audit
+          else audit.filter(col("drop_stage").isNull ||
+            !col("drop_stage").isin(earlier: _*))
+        entering.agg(
+          lit(i + 1).cast(org.apache.spark.sql.types.LongType).as("stage_order"),
+          lit(stage).as("stage"),
+          count(lit(1)).as("n_in"),
+          sum(when(col("drop_stage").isNull ||
+            col("drop_stage") =!= stage, 1L).otherwise(0L)).as("n_kept"))
+      }
+      frames.reduce(_ unionByName _).orderBy("stage_order")
+    }),
+
     // r12: DSIR importance-resampling selection — hashed unigram+bigram
     // bucket distributions (target = doc_id % 7 slice vs the full raw
     // corpus), per-doc importance log-weights, top-25% of scoreable docs
@@ -1982,6 +2024,31 @@ object OpsQueries {
     // composed v5: LM score → per-language perplexity buckets → drop the
     // tail tercile → token-balanced 8-shard assignment of the survivors;
     // every stage an independently-gated operator, one full reproduction
+    // v6: the full-recipe audit — the CTE chain replays all eight stages
+    // with each population-dependent stage re-scoped to its predecessor's
+    // survivors, then the per-doc ledger and its attrition aggregation
+    "q_curation_pipeline_v6" ->
+      s"""$curationV6AuditCtes
+         |SELECT doc_id, lang, lang_ok, gopher_ok, rep_ok, block_ok,
+         |  ppl_bucket, CAST(dsir_keep AS VARCHAR) AS dsir_keep,
+         |  CAST(dup_survivor AS VARCHAR) AS dup_survivor,
+         |  CAST(contaminated AS VARCHAR) AS contaminated, drop_stage,
+         |  drop_stage IS NULL AS final_keep
+         |FROM audit ORDER BY doc_id""".stripMargin,
+
+    "q_curation_pipeline_v6_stats" ->
+      s"""$curationV6AuditCtes,
+         |ao AS (SELECT *, CASE drop_stage WHEN 'langid' THEN 1 WHEN 'gopher' THEN 2
+         |  WHEN 'repetition' THEN 3 WHEN 'blocklist' THEN 4 WHEN 'perplexity' THEN 5
+         |  WHEN 'dsir' THEN 6 WHEN 'dedup' THEN 7 WHEN 'decontamination' THEN 8
+         |  ELSE 9 END AS dord FROM audit)
+         |SELECT CAST(s.ord AS BIGINT) AS stage_order, s.name AS stage,
+         |  CAST(count(*) FILTER (WHERE ao.dord >= s.ord) AS BIGINT) AS n_in,
+         |  CAST(count(*) FILTER (WHERE ao.dord > s.ord) AS BIGINT) AS n_kept
+         |FROM (VALUES (1,'langid'),(2,'gopher'),(3,'repetition'),(4,'blocklist'),
+         |  (5,'perplexity'),(6,'dsir'),(7,'dedup'),(8,'decontamination')) AS s(ord, name), ao
+         |GROUP BY s.ord, s.name ORDER BY stage_order""".stripMargin,
+
     "q_curation_pipeline_v5" ->
       s"""$pplBucketCtes,
          |kept AS (
@@ -2568,6 +2635,388 @@ object OpsQueries {
 
   /** Perplexity-bucket oracle, shared verbatim by the exact and
     * approx-cutoff forms (same semantics, different plan). */
+  // one definition of the v6 planted texts, shared by the Spark query
+  // and its oracle — a one-character drift fails every stage downstream
+  private val v6CloneTemplate: String =
+    "the archive that holds these records spans decades with careful " +
+      "notes about weather crops prices travel letters maps sketches " +
+      "recipes songs stories games tools fabrics metals spices powders " +
+      "liquids engines wheels bridges towers markets harbors vessels " +
+      "journeys seasons harvest winter spring summer autumn morning " +
+      "evening midday twilight shadows colors sounds voices whispers " +
+      "echoes signals beacons lanterns candles mirrors windows doorways " +
+      "gardens meadows forests rivers copy "
+  private val v6LoopText: String = Seq.fill(40)("the data").mkString(" ")
+
+  /** The v6 audit frame shared by q_curation_pipeline_v6 (per-doc rows)
+    * and its _stats aggregation — one definition or the ledger drifts
+    * from the audit. Stage semantics documented at the gate entry. */
+  private def curationV6(s: SparkSession, d: String): DataFrame = {
+    val s2 = s
+    import s2.implicits._
+    val raw = Tables.documents(s, d)
+    // Plants (mirrored CASE-for-CASE in the oracle) — the fixture has no
+    // near-duplicates and no degenerate repetition, so two drop classes
+    // could never fire without them:
+    //  - ids ≡ 21 (mod 105 = 3·5·7): five TEMPLATE CLONES differing only
+    //    in a trailing id token — pairwise levenshtein ≤ 4, one dedup
+    //    cluster. 105's factors thread them through the population-
+    //    dependent stages: ≡ 0 (mod 3) puts their bigrams in the held LM
+    //    (scoreable, head bucket), ≡ 0 (mod 7) puts them in the DSIR
+    //    target (their features carry target mass, so the cut keeps
+    //    them) — they reach stage 7 and all but the best drop there.
+    //  - ids ≡ 36 (mod 111): a degenerate two-word loop — passes langid
+    //    (stopword-heavy), gopher (80 words, clean structure), then
+    //    fails the repetition battery (top-bigram fraction 1.0).
+    //  - ids ≡ 0 (mod 13): blocklist terms (the q_text_blocklist plant).
+    val cloneText = concat(lit(v6CloneTemplate), col("doc_id").cast(StringType))
+    val loopText = lit(v6LoopText)
+    val aug = raw.select(col("doc_id"),
+      when(col("doc_id") % 105 === 21 || col("doc_id") % 111 === 36, lit("en"))
+        .otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 105 === 21, cloneText)
+        .when(col("doc_id") % 111 === 36, loopText)
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 13 === 0, lit(" badword1 normal badword2"))
+            .otherwise(lit("")))).as("text"))
+    val bench = aug.filter(col("doc_id") % 97 === 0)
+    val pop = aug.filter(col("doc_id") % 97 =!= 0)
+
+    // stages 1-4: per-doc rules, computed independently on the full
+    // candidate population (cascade == intersection for per-doc flags)
+    val langOk = pop.select(col("doc_id"),
+      (TA.languageId(col("text")) === col("lang")).as("lang_ok"))
+    val gopherOk = TA.gopherQualityFlags(pop, "doc_id", "text",
+      minWords = 60, minStopTypes = 1)
+      .select(col("doc_id"), col("gopher_keep").as("gopher_ok"))
+    val repOk = Repetition.ngramRepetition(pop, "doc_id", "text")
+      .select(col("doc_id"), col("repetition_keep").as("rep_ok"))
+    val blockOk = TA.wordBlocklist(pop, "doc_id", "text",
+      Seq("badword1", "badword2", "badword3").toDF("word"), "word")
+      .select(col("doc_id"), col("blocklist_keep").as("block_ok"))
+    // stage boundaries are MATERIALIZATION points (localCheckpoint —
+    // the minhashIncrementalFromIndex pattern): each population-
+    // dependent stage consumes its predecessor several times (cutoff
+    // derivation + assignment + survivor join), and the dedup stage's
+    // connected-components iterations re-execute their whole input
+    // lineage per round — unsevered, the composed plan re-derives the
+    // rule battery and LM scoring dozens of times. A real curation run
+    // persists each stage as a table; the checkpoint is the same shape.
+    val rules = pop.select("doc_id", "lang")
+      .join(langOk, "doc_id").join(gopherOk, "doc_id")
+      .join(repOk, "doc_id").join(blockOk, "doc_id")
+      .withColumn("rules_pass",
+        col("lang_ok") && col("gopher_ok") && col("rep_ok") && col("block_ok"))
+      .localCheckpoint(true)
+    val ruleSurvivors = pop
+      .join(rules.filter(col("rules_pass")).select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+
+    // stage 5: external-LM perplexity tail drop — LM reference held from
+    // the population's %3 slice; terciles derive from the RULE SURVIVORS
+    val (uni, bi) = TA.lmTables(pop.filter(col("doc_id") % 3 === 0), "text")
+    val scored = TA.externalLmLogProb(ruleSurvivors, "doc_id", "text", uni, bi)
+      .join(ruleSurvivors.select("doc_id", "lang"), Seq("doc_id"))
+    val bucketed = TA.perplexityBuckets(
+      scored.filter(col("n_bigrams") > 0), "doc_id", "lang", "avg_logprob_lm")
+      .select(col("doc_id"), col("ppl_bucket"))
+      .localCheckpoint(true)
+    val pplSurvivors = ruleSurvivors.join(
+      bucketed.filter(col("ppl_bucket") =!= "tail").select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+
+    // stage 6: DSIR importance cut over the ppl survivors (target = the
+    // population's %7 slice, a fixed trusted reference)
+    val dsir = graft.ops.Dsir.select(pplSurvivors,
+      pop.filter(col("doc_id") % 7 === 0), "doc_id", "text", fraction = 0.5)
+      .select(col("doc_id"), col("dsir_keep"))
+      .localCheckpoint(true)
+    val dsirSurvivors = pplSurvivors.join(
+      dsir.filter(col("dsir_keep")).select("doc_id"), "doc_id")
+      .localCheckpoint(true)
+
+    // stage 7: fuzzy dedup (the v4 shape) among the DSIR survivors —
+    // ASCII projection for engine-parity levenshtein, keep-best by
+    // quality score
+    val ascii = dsirSurvivors.select(col("doc_id"),
+      regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
+    val pairs = Dedup.editDistancePairs(ascii, "doc_id", "text",
+      maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val qual = dsirSurvivors.select(col("doc_id"),
+      TA.qualityScore(col("text")).as("quality"))
+    val kept = Dedup.keepBest(qual, "doc_id", "quality", comp)
+      .select(col("doc_id"), col("is_survivor").as("dup_survivor"))
+      .localCheckpoint(true)
+    val dupSurvivors = dsirSurvivors.join(
+      kept.filter(col("dup_survivor")).select("doc_id"), "doc_id")
+
+    // stage 8: decontamination — 4-shingle overlap vs the held bench
+    val decon = Decontaminate.flagOverlap(dupSurvivors, bench,
+      "doc_id", "text", n = 4, minOverlap = 1)
+      .select(col("doc_id"), col("contaminated"))
+
+    // the audit itself is the reusable artifact: the per-doc gate reads
+    // it once, the _stats gate aggregates it eight times
+    rules
+      .join(bucketed, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .withColumn("drop_stage",
+        when(!col("lang_ok"), "langid")
+          .when(!col("gopher_ok"), "gopher")
+          .when(!col("rep_ok"), "repetition")
+          .when(!col("block_ok"), "blocklist")
+          .when(col("ppl_bucket").isNull || col("ppl_bucket") === "tail",
+            "perplexity")
+          .when(!col("dsir_keep"), "dsir")
+          .when(!col("dup_survivor"), "dedup")
+          .when(col("contaminated"), "decontamination")
+          .otherwise(lit(null).cast(StringType)))
+      .withColumn("final_keep", col("drop_stage").isNull)
+      // the stage-6..8 verdicts are NULLABLE booleans (NULL = the doc
+      // never reached the stage); as strings ('true'/'false'/NULL) the
+      // two engines' pandas conversions agree — a nullable BOOLEAN
+      // converts to None on one side and NaN on the other
+      .select(col("doc_id"), col("lang"), col("lang_ok"), col("gopher_ok"),
+        col("rep_ok"), col("block_ok"), col("ppl_bucket"),
+        col("dsir_keep").cast(StringType).as("dsir_keep"),
+        col("dup_survivor").cast(StringType).as("dup_survivor"),
+        col("contaminated").cast(StringType).as("contaminated"),
+        col("drop_stage"), col("final_keep"))
+      .localCheckpoint(true)
+  }
+
+  /** The v6 audit CTE chain (DuckDB), ending at the MATERIALIZED `audit`
+    * relation — shared by the per-doc and attrition oracles. The
+    * MATERIALIZED hints mirror the Spark side's stage checkpoints:
+    * DuckDB inlines plain CTEs per reference, which would re-derive the
+    * whole upstream chain at every stage exactly like the unsevered
+    * Spark plan did. Stage SQL bodies are the per-stage gate oracles
+    * (langid / gopher / repetition / blocklist / external-LM buckets /
+    * DSIR / v4 dedup / decontamination) re-scoped to each stage's
+    * survivor population. */
+  private def curationV6AuditCtes: String = {
+    val scores = TA.stopwords.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tk, t -> t IN ($inList))) AS score_$l"
+    }.mkString(",\n  ")
+    val best = s"greatest(${TA.stopwords.map(l => s"score_${l._1}").mkString(", ")})"
+    val pick = TA.stopwords.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH RECURSIVE aug AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 105 = 21 OR doc_id % 111 = 36 THEN 'en' ELSE lang END AS lang,
+       |    CASE WHEN doc_id % 105 = 21 THEN '$v6CloneTemplate' || doc_id::VARCHAR
+       |         WHEN doc_id % 111 = 36 THEN '$v6LoopText'
+       |         ELSE text || (CASE WHEN doc_id % 13 = 0 THEN ' badword1 normal badword2' ELSE '' END)
+       |    END AS text
+       |  FROM documents),
+       |bench AS MATERIALIZED (SELECT * FROM aug WHERE doc_id % 97 = 0),
+       |pop AS MATERIALIZED (SELECT * FROM aug WHERE doc_id % 97 <> 0),
+       |pt AS MATERIALIZED (SELECT doc_id, lang, text,
+       |  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |       ELSE string_split_regex(trim(text), '\\s+') END AS tk,
+       |  string_split(text, chr(10)) AS lines FROM pop),
+       |lsc AS (SELECT doc_id, lang,
+       |  $scores
+       |  FROM pt),
+       |l1 AS (SELECT doc_id,
+       |  (CASE $pick ELSE 'und' END) = lang AS lang_ok FROM lsc),
+       |gf AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  round(CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    ((length(text) - length(replace(text, '#', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS hash_ratio,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    ((length(text) - length(replace(text, '...', ''))) / 3 +
+       |     (length(text) - length(replace(text, '…', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS ellipsis_ratio,
+       |  round(CASE WHEN len(lines) > 0 THEN
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+       |  round(CASE WHEN len(lines) > 0 THEN
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS ellipsis_frac,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS alpha_frac,
+       |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+       |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_types
+       |  FROM pt),
+       |g1 AS (SELECT doc_id,
+       |  (n_words >= 60 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |   AND alpha_frac >= 0.8 AND n_stop_types >= 1) AS gopher_ok FROM gf),
+       |rbase AS (SELECT doc_id, len(tk) AS n_tokens FROM pt),
+       |rbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1])) AS g FROM pt),
+       |rbgs AS (SELECT doc_id, max(c) AS top2, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+       |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM rbg GROUP BY 1, 2) GROUP BY 1),
+       |rtg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM pt),
+       |rtgs AS (SELECT doc_id, max(c) AS top3
+       |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM rtg GROUP BY 1, 2) GROUP BY 1),
+       |r1 AS (SELECT b.doc_id,
+       |  (round(CASE WHEN b.n_tokens > 0 THEN least(COALESCE(top2, 0) * 2.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.20
+       |   AND round(CASE WHEN b.n_tokens > 0 THEN least(COALESCE(top3, 0) * 3.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.18
+       |   AND round(CASE WHEN b.n_tokens > 1 THEN COALESCE(dup2, 0) * 1.0 / (b.n_tokens - 1) ELSE 0.0 END, 6) <= 0.50)
+       |  AS rep_ok
+       |  FROM rbase b LEFT JOIN rbgs USING (doc_id) LEFT JOIN rtgs USING (doc_id)),
+       |bx AS (SELECT doc_id, unnest(tk) AS tok FROM pt),
+       |bw AS (SELECT unnest(['badword1', 'badword2', 'badword3']) AS w),
+       |bhits AS (SELECT bx.doc_id, COUNT(*) AS n_blocked FROM bx JOIN bw ON lower(bx.tok) = bw.w GROUP BY 1),
+       |b1 AS (SELECT p.doc_id, COALESCE(h.n_blocked, 0) = 0 AS block_ok
+       |  FROM pt p LEFT JOIN bhits h USING (doc_id)),
+       |rules AS MATERIALIZED (SELECT p.doc_id, p.lang, l1.lang_ok, g1.gopher_ok, r1.rep_ok, b1.block_ok,
+       |  (l1.lang_ok AND g1.gopher_ok AND r1.rep_ok AND b1.block_ok) AS rules_pass
+       |  FROM pt p JOIN l1 USING (doc_id) JOIN g1 USING (doc_id) JOIN r1 USING (doc_id) JOIN b1 USING (doc_id)),
+       |rsurv AS MATERIALIZED (SELECT p.* FROM pt p JOIN rules USING (doc_id) WHERE rules.rules_pass),
+       |held AS (SELECT * FROM pt WHERE doc_id % 3 = 0),
+       |uni AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT unnest(tk) AS tok FROM held) u GROUP BY 1),
+       |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
+       |unilp AS MATERIALIZED (SELECT tok, ln(tf / total) AS lp FROM uni, n),
+       |hbig AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |         FROM held, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |hcb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM hbig GROUP BY 1, 2),
+       |hcp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM hbig GROUP BY 1),
+       |bilp AS MATERIALIZED (SELECT hcb.w1, hcb.w2, ln(hcb.c2 / hcp.c1) AS lp2 FROM hcb JOIN hcp USING (w1)),
+       |sbig AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |        FROM rsurv, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |sscored AS (
+       |  SELECT b.doc_id,
+       |    ln(0.7 * COALESCE(exp(bl.lp2), 0.0) + (1.0 - 0.7) * COALESCE(exp(ul.lp), exp(-20.0))) AS lp
+       |  FROM sbig b LEFT JOIN bilp bl ON b.w1 = bl.w1 AND b.w2 = bl.w2
+       |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
+       |sagg AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        round(avg(lp), 6) AS avg_logprob_lm FROM sscored GROUP BY 1),
+       |psc AS (SELECT r.doc_id, r.lang, a.avg_logprob_lm
+       |       FROM rsurv r JOIN sagg a USING (doc_id) WHERE a.n_bigrams > 0),
+       |psizes AS (SELECT lang, COUNT(*) AS n_docs FROM psc GROUP BY 1),
+       |pr AS (SELECT psc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM psc),
+       |pc1 AS (SELECT pr.lang, pr.avg_logprob_lm AS cut1 FROM pr JOIN psizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (1.0/3.0)) AS BIGINT)),
+       |pc2 AS (SELECT pr.lang, pr.avg_logprob_lm AS cut2 FROM pr JOIN psizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (2.0/3.0)) AS BIGINT)),
+       |bucketed AS MATERIALIZED (
+       |  SELECT psc.doc_id,
+       |    CASE WHEN psc.avg_logprob_lm >= pc1.cut1 THEN 'head'
+       |         WHEN psc.avg_logprob_lm >= pc2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |  FROM psc JOIN pc1 USING (lang) JOIN pc2 USING (lang)),
+       |psurv AS MATERIALIZED (SELECT r.* FROM rsurv r JOIN bucketed b USING (doc_id) WHERE b.ppl_bucket <> 'tail'),
+       |dtgt AS (SELECT doc_id, tk FROM pt WHERE doc_id % 7 = 0),
+       |dfeat_r AS (
+       |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM psurv)
+       |  UNION ALL
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+       |  FROM psurv, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |dfeat_t AS (
+       |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM dtgt)
+       |  UNION ALL
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+       |  FROM dtgt, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |dfb_r AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM dfeat_r),
+       |dfb_t AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM dfeat_t),
+       |dtc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM dfb_t GROUP BY 1),
+       |drc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM dfb_r GROUP BY 1),
+       |dtt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM dtc),
+       |dtr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM drc),
+       |dmodel AS MATERIALIZED (
+       |  SELECT drc.b,
+       |    ln((COALESCE(dtc.ct, 0) + 1.0) / (total_t + 4096.0)) -
+       |    ln((drc.cr + 1.0) / (total_r + 4096.0)) AS lw
+       |  FROM drc LEFT JOIN dtc USING (b), dtt, dtr),
+       |dscored AS (
+       |  SELECT dfb_r.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
+       |  FROM dfb_r JOIN dmodel m USING (b) GROUP BY 1),
+       |dw AS MATERIALIZED (SELECT p.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+       |        round(CASE WHEN COALESCE(s.n_feats, 0) > 0
+       |          THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
+       |      FROM psurv p LEFT JOIN dscored s USING (doc_id)),
+       |dsc AS (SELECT * FROM dw WHERE n_feats > 0),
+       |dnn AS (SELECT COUNT(*) AS n FROM dsc),
+       |dcut AS (SELECT avg_log_weight AS c FROM (
+       |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM dsc) r, dnn
+       |  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)),
+       |dsir AS MATERIALIZED (SELECT dw.doc_id,
+       |  CASE WHEN dw.n_feats > 0 THEN dw.avg_log_weight >= dcut.c ELSE FALSE END AS dsir_keep
+       |  FROM dw, dcut),
+       |dsurv AS MATERIALIZED (SELECT p.* FROM psurv p JOIN dsir USING (doc_id) WHERE dsir.dsir_keep),
+       |dascii AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text FROM dsurv),
+       |ksh AS (SELECT doc_id AS doc, $charShinglesSql AS shs FROM dascii),
+       |ksig AS (
+       |  SELECT doc, list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(shs) = 0 THEN 2147483647
+       |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+       |    END) AS sig
+       |  FROM ksh),
+       |kbanded AS (
+       |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM ksig),
+       |kcand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM kbanded a JOIN kbanded b USING (band) WHERE a.doc < b.doc),
+       |kpairs AS (
+       |  SELECT doc_a, doc_b FROM kcand
+       |  JOIN dascii ta ON ta.doc_id = doc_a
+       |  JOIN dascii tb ON tb.doc_id = doc_b
+       |  WHERE levenshtein(ta.text, tb.text) <= 16),
+       |kedges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM kpairs
+       |  UNION SELECT doc_b, doc_a FROM kpairs),
+       |kreach(a, b) AS (
+       |  SELECT a, b FROM kedges
+       |  UNION
+       |  SELECT r.a, e.b FROM kreach r JOIN kedges e ON r.b = e.a),
+       |kcomp AS (SELECT a AS doc, least(a, min(b)) AS component FROM kreach GROUP BY a),
+       |kqual AS (
+       |  SELECT doc_id, round(
+       |    least(length(text) / 500.0, 1.0) * 0.4 +
+       |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+       |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+       |      ELSE 0 END) * 5.0) * 0.3 +
+       |    least((CASE WHEN len(tk) > 0
+       |      THEN len(list_filter(tk,
+       |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(tk)
+       |      ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+       |  FROM dsurv),
+       |klabeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM dsurv d LEFT JOIN kcomp c ON d.doc_id = c.doc),
+       |kept AS MATERIALIZED (
+       |  SELECT l.doc_id,
+       |    (ROW_NUMBER() OVER (PARTITION BY l.component ORDER BY q.quality DESC, l.doc_id)) = 1 AS dup_survivor
+       |  FROM klabeled l JOIN kqual q USING (doc_id)),
+       |ksurv AS MATERIALIZED (SELECT d.* FROM dsurv d JOIN kept USING (doc_id) WHERE kept.dup_survivor),
+       |dsh AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(tk)-3, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingles FROM ksurv),
+       |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |  generate_series(1, greatest(len($toksSql)-3, 0)),
+       |  i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2] || ' ' || ($toksSql)[i+3]))) AS shingle FROM bench),
+       |dhits AS (SELECT t.doc_id, COUNT(*) AS n FROM
+       |  (SELECT doc_id, unnest(shingles) AS shingle FROM dsh) t JOIN bsh USING (shingle) GROUP BY 1),
+       |decon AS (SELECT k.doc_id, COALESCE(h.n, 0) >= 1 AS contaminated
+       |  FROM ksurv k LEFT JOIN dhits h USING (doc_id)),
+       |audit AS MATERIALIZED (
+       |  SELECT r.doc_id, r.lang, r.lang_ok, r.gopher_ok, r.rep_ok, r.block_ok,
+       |    bk.ppl_bucket, ds.dsir_keep, kp.dup_survivor, dc.contaminated,
+       |    CASE WHEN NOT r.lang_ok THEN 'langid'
+       |         WHEN NOT r.gopher_ok THEN 'gopher'
+       |         WHEN NOT r.rep_ok THEN 'repetition'
+       |         WHEN NOT r.block_ok THEN 'blocklist'
+       |         WHEN bk.ppl_bucket IS NULL OR bk.ppl_bucket = 'tail' THEN 'perplexity'
+       |         WHEN NOT ds.dsir_keep THEN 'dsir'
+       |         WHEN NOT kp.dup_survivor THEN 'dedup'
+       |         WHEN dc.contaminated THEN 'decontamination'
+       |         ELSE NULL END AS drop_stage
+       |  FROM rules r
+       |  LEFT JOIN bucketed bk USING (doc_id)
+       |  LEFT JOIN dsir ds USING (doc_id)
+       |  LEFT JOIN kept kp USING (doc_id)
+       |  LEFT JOIN decon dc USING (doc_id))""".stripMargin
+  }
+
   private def pplBucketsOracleSql: String =
     s"""$pplBucketCtes
        |SELECT doc_id, lang, n_bigrams, avg_logprob_lm,

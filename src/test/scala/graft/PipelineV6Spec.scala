@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** r13 (VERDICT task 8): the full-recipe composed pipeline. The DuckDB
+  * gate pins every per-doc value; what this spec pins is the
+  * COMPOSITION contract that a value hash can't express directly:
+  * every stage class actually fires, the attrition ledger is internally
+  * consistent with the per-doc audit (n_kept of stage i IS n_in of
+  * stage i+1, the last n_kept IS the final-keep count), and the two
+  * planted structures thread through exactly as designed (clones reach
+  * the dedup stage and lose all but their best member; the degenerate
+  * loop docs pass langid+gopher and die at repetition). Runs at the
+  * gate's own sf0.01 — the planted mod classes need ~500 ids to exist. */
+class PipelineV6Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private val stages = Seq("langid", "gopher", "repetition", "blocklist",
+    "perplexity", "dsir", "dedup", "decontamination")
+
+  private lazy val audit =
+    SparkEntry.queries("q_curation_pipeline_v6")(spark, sf).collect()
+  private lazy val ledger =
+    SparkEntry.queries("q_curation_pipeline_v6_stats")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("stage_order"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_kept")))
+      .sortBy(_._1)
+
+  test("every stage of the recipe fires at least once") {
+    val dropped = audit.flatMap(r => Option(r.getAs[String]("drop_stage"))).toSet
+    assert(dropped == stages.toSet,
+      s"stages with zero attrition defeat the composition test: " +
+        s"missing ${stages.toSet -- dropped}")
+  }
+
+  test("attrition ledger is the audit, chained: n_kept(i) == n_in(i+1); tail == final keeps") {
+    assert(ledger.map(t => (t._1, t._2)).toSeq ==
+      stages.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) },
+      "ledger must list the eight stages in recipe order")
+    ledger.sliding(2).foreach {
+      case Array((_, s1, _, kept1), (_, s2, in2, _)) =>
+        assert(kept1 == in2, s"survivors of $s1 ($kept1) must enter $s2 ($in2)")
+      case _ => ()
+    }
+    assert(ledger.head._3 == audit.length,
+      "every candidate doc enters stage 1")
+    val finalKeeps = audit.count(_.getAs[Boolean]("final_keep"))
+    assert(ledger.last._4 == finalKeeps,
+      s"last n_kept ${ledger.last._4} must equal final_keep count $finalKeeps")
+    // per-stage drops in the audit reconcile with the ledger
+    ledger.foreach { case (_, stage, nIn, nKept) =>
+      val drops = audit.count(r => r.getAs[String]("drop_stage") == stage)
+      assert(nIn - nKept == drops,
+        s"$stage: ledger drop ${nIn - nKept} != audit drop $drops")
+    }
+  }
+
+  test("planted clones reach dedup and lose all but the best; loop docs die at repetition") {
+    val clones = audit.filter(_.getAs[Long]("doc_id") % 105 == 21)
+    assert(clones.length >= 4, "need the planted clone family at this sf")
+    assert(clones.count(_.getAs[String]("dup_survivor") == "true") == 1,
+      "exactly one clone survives dedup")
+    assert(clones.count(_.getAs[String]("drop_stage") == "dedup") == clones.length - 1,
+      s"the other clones must drop at dedup: ${clones.map(_.toString).toList}")
+    val loops = audit.filter(_.getAs[Long]("doc_id") % 111 == 36)
+    assert(loops.nonEmpty)
+    assert(loops.forall(r => r.getAs[String]("drop_stage") == "repetition" &&
+      r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("gopher_ok")),
+      "loop docs must pass langid+gopher and die at repetition")
+  }
+
+  test("verdict ordering: a doc never carries a verdict for a stage it did not reach") {
+    // stage indices: 0 langid … 4 perplexity, 5 dsir, 6 dedup, 7 decon;
+    // kept docs get stages.length
+    audit.foreach { r =>
+      val dropIdx = Option(r.getAs[String]("drop_stage"))
+        .map(stages.indexOf).getOrElse(stages.length)
+      if (dropIdx < 4) assert(r.getAs[String]("ppl_bucket") == null, r.toString)
+      if (dropIdx < 5) assert(r.getAs[String]("dsir_keep") == null, r.toString)
+      else if (dropIdx == 5) assert(r.getAs[String]("dsir_keep") == "false", r.toString)
+      if (dropIdx < 6) assert(r.getAs[String]("dup_survivor") == null, r.toString)
+      else if (dropIdx == 6) assert(r.getAs[String]("dup_survivor") == "false", r.toString)
+      if (dropIdx < 7) assert(r.getAs[String]("contaminated") == null, r.toString)
+      else assert(r.getAs[String]("contaminated") != null, r.toString)
+    }
+  }
+}
