@@ -11,6 +11,15 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    // a typo'd name would otherwise run an EMPTY sweep that exits 0 and
+    // looks green — the exact silent-partial-sweep this main's failure
+    // policy exists to prevent
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "check SparkEntry.queries for the exact names")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -27,7 +27,7 @@ object CorpusStats {
     * aggregate (no per-group sort shuffle, no hot partition when one
     * stratum dominates). percentile_approx at quantile p returns the
     * value at ascending rank ⌈p·n⌉ — exactly this function's lower-median
-    * (⌈n/2⌉ = ⌈0.5·n⌉) and p95 conventions — so with `accuracy` ≥ the
+    * (⌈n/2⌉ = ⌈0.5·n⌉) and p95 conventions — so with `accuracy` ≥ 2× the
     * largest group it is bit-identical to the exact path
     * (ApproxCutoffSpec pins it); beyond that, rank error ≤ n/accuracy. */
   def tokenStatsBy(df: DataFrame, groupCol: String, textCol: String,

@@ -500,11 +500,22 @@ object Dedup {
       "index is missing its self-describing index_bands/index_k columns — " +
         "build it with Dedup.bandIndex (a bare (band, doc) relation cannot " +
         "be validated against this call's (bands, k))")
-    index.select(col("index_bands"), col("index_k")).head(1).foreach { r =>
-      require(r.getInt(0) == bands && r.getInt(1) == k,
-        s"band index was built with (bands=${r.getInt(0)}, k=${r.getInt(1)}) " +
-          s"but this ingest probes with (bands=$bands, k=$k) — mismatched band " +
-          "keys would silently produce zero candidates")
+    // DISTINCT across all rows, not head(1): bandIndex maintenance
+    // appends per-batch slices, and a slice rebuilt with different
+    // parameters would hide behind the first row while its band keys
+    // silently match nothing (the kmvEstimate uniform-k discipline)
+    val builds = index.select(col("index_bands").cast(IntegerType),
+      col("index_k").cast(IntegerType)).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    require(builds.length <= 1,
+      s"band index mixes build parameters ${builds.toSeq.sorted} — an appended " +
+        "slice was built with a different (bands, k); its rows silently " +
+        "produce zero candidates")
+    builds.foreach { case (ib, ik) =>
+      require(ib == bands && ik == k,
+        s"band index was built with (bands=$ib, k=$ik) but this ingest " +
+          s"probes with (bands=$bands, k=$k) — mismatched band keys would " +
+          "silently produce zero candidates")
     }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
     try {

@@ -115,16 +115,27 @@ object Dsir {
     val (rawFeats, model) = precomputedModel match {
       case Some(m) =>
         // mis-matched bucket width silently mis-bins every scored
-        // feature (hash is MOD model_buckets) — refuse, don't trust
+        // feature (hash is MOD model_buckets) — refuse, don't trust.
+        // ONE aggregate job validates width uniformity AND the complete-
+        // domain row count: a model table appended twice would otherwise
+        // pass a first-row check and silently double n_feats/log_weight
+        // through duplicate join matches. The cast keeps the check loud
+        // (not a ClassCastException) for an artifact whose width column
+        // was re-written as BIGINT.
         require(m.columns.contains("model_buckets") && m.columns.contains("lw"),
           "precomputedModel is not a Dsir.buildModel artifact: missing " +
             "lw/model_buckets columns")
-        m.select(col("model_buckets")).head(1).foreach { r =>
-          require(r.getInt(0) == nBuckets,
-            s"precomputed DSIR model was built with nBuckets=${r.getInt(0)} " +
-              s"but this call scores with nBuckets=$nBuckets — every feature " +
-              "would silently land in the wrong bucket")
-        }
+        val builds = m.groupBy(col("model_buckets").cast(IntegerType).as("w"))
+          .agg(count(lit(1)).as("rows")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+        require(builds.length == 1 && builds.head._1 == nBuckets,
+          s"precomputed DSIR model carries widths ${builds.map(_._1).toSeq.sorted} " +
+            s"but this call scores with nBuckets=$nBuckets — every feature " +
+            "would silently land in the wrong bucket")
+        require(builds.head._2 == nBuckets.toLong,
+          s"precomputed DSIR model holds ${builds.head._2} rows for " +
+            s"$nBuckets buckets — a duplicated/truncated artifact would " +
+            "silently corrupt n_feats and log_weight through the scoring join")
         (featureBuckets(raw, idCol, textCol, nBuckets), m.select("b", "lw"))
       case None =>
         val feats = featureBuckets(raw, idCol, textCol, nBuckets)
@@ -158,7 +169,7 @@ object Dsir {
     * [[Sampling.topFractionByScore]]: the exact cutoff is a global rank
     * window (single-partition sort — the 100 TB killer); approx derives
     * the same cutoff via one percentile_approx aggregate, bit-identical
-    * while accuracy ≥ corpus size. `precomputedModel` rides through to
+    * while accuracy ≥ 2× corpus size (±n/accuracy ranks beyond). `precomputedModel` rides through to
     * [[logWeights]]. */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, fraction: Double, nBuckets: Int = 4096,

@@ -118,8 +118,13 @@ object Packing {
   def shardAssign(df: DataFrame, idCol: String, tokensCol: String,
                   nShards: Int, hashBuckets: Int = 4096): DataFrame = {
     require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
-    val keyed = df.filter(col(tokensCol).isNotNull)
-      .withColumn("__t", col(tokensCol).cast(LongType))
+    // split on the CAST result, not the raw column: a non-null value
+    // that casts to NULL (a string "n/a" token count) would otherwise
+    // take the placed path, where least() skips its NULL division and
+    // parks it in the last shard with a NULL offset
+    val castTokens = col(tokensCol).cast(LongType)
+    val keyed = df.filter(castTokens.isNotNull)
+      .withColumn("__t", castTokens)
     val local = hashOrderedPrefix(keyed, idCol, Nil, col("__t"), hashBuckets)
     val total = keyed.agg(coalesce(sum("__t"), lit(0L)).as("__total"))
     val sharded = local.crossJoin(broadcast(total))
@@ -131,7 +136,7 @@ object Packing {
       .withColumn("shard_offset", col("__start") - col("shard_id") * col("__ssz"))
       .drop("__t", "__prefix", "__total", "__ssz", "__start")
     sharded.unionByName(
-      df.filter(col(tokensCol).isNull)
+      df.filter(castTokens.isNull)
         .withColumn("shard_id", lit(null).cast(LongType))
         .withColumn("shard_offset", lit(null).cast(LongType)))
   }
@@ -160,9 +165,11 @@ object Packing {
                       hashBuckets: Int = 4096): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0,
       s"bucketedBatches: need positive bucketWidth/batchSize, got $bucketWidth/$batchSize")
-    val bucketed = df.filter(col(tokensCol).isNotNull)
-      .withColumn("length_bucket",
-        expr(s"CAST($tokensCol AS BIGINT) div $bucketWidth"))
+    // same cast-split as shardAssign: an uncastable token count would
+    // otherwise form a NULL length bucket and take batch positions there
+    val castTokens = col(tokensCol).cast(LongType)
+    val bucketed = df.filter(castTokens.isNotNull)
+      .withColumn("length_bucket", expr(s"CAST($tokensCol AS BIGINT) div $bucketWidth"))
     val batched = hashOrderedPrefix(bucketed, idCol, Seq("length_bucket"),
       lit(1L), hashBuckets)
       .withColumn("__pos", col("__prefix") - 1)
@@ -170,7 +177,7 @@ object Packing {
       .withColumn("batch_pos", col("__pos") - col("batch_id") * batchSize)
       .drop("__prefix", "__pos")
     batched.unionByName(
-      df.filter(col(tokensCol).isNull)
+      df.filter(castTokens.isNull)
         .withColumn("length_bucket", lit(null).cast(LongType))
         .withColumn("batch_id", lit(null).cast(LongType))
         .withColumn("batch_pos", lit(null).cast(LongType)))

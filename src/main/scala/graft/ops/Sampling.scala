@@ -167,8 +167,9 @@ object Sampling {
     * rank — a single-partition sort of every score, fine to ~10⁸ rows
     * and a wall at 100 TB; `approx = true` derives the same cutoff via
     * `percentile_approx` (one map-side-combining aggregate, no global
-    * sort), bit-identical to the rank while `accuracy` ≥ n and within
-    * rank error n/accuracy beyond. Assignment is a 1-row broadcast
+    * sort), bit-identical to the rank while `accuracy` ≥ 2n (the GK
+    * sketch keeps zero rank slack below n ≤ accuracy/2) and within
+    * ±n/accuracy ranks beyond. Assignment is a 1-row broadcast
     * comparison either way, embarrassingly parallel. */
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
                          ascending: Boolean = false,
@@ -189,9 +190,11 @@ object Sampling {
         // ⌈f·n⌉ in selection order ≡ (ascending) percentile_approx(s, f);
         // (descending) −percentile_approx(−s, f) — the negation maps the
         // descending rank onto the same ascending ⌈f·n⌉ convention with
-        // no off-by-one at integer f·n. With accuracy ≥ n this is
-        // bit-identical to the rank (ApproxCutoffSpec); beyond that,
-        // rank error ≤ n/accuracy — the knob the scaladoc trades on.
+        // no off-by-one at integer f·n. With accuracy ≥ 2n this is
+        // bit-identical to the rank (GK-sketch delta stays 0 below
+        // n ≤ accuracy/2 — ApproxCutoffSpec pins it at the boundary);
+        // beyond that, rank error ≤ n/accuracy — the knob the scaladoc
+        // trades on.
         val agg = if (ascending)
           percentile_approx(col(scoreCol), lit(fraction), lit(accuracy))
         else

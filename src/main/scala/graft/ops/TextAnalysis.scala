@@ -470,8 +470,9 @@ object TextAnalysis {
     * exactly onto the rank convention (value at descending rank ⌈n·f⌉ ≡
     * −percentile_approx(−lp, f), which at ascending rank ⌈f·n⌉ of the
     * negated scores is the same element — no off-by-one at integer n·f),
-    * so with `accuracy` ≥ group size the approx path is bit-identical to
-    * the exact one (ApproxCutoffSpec pins it); at 100 TB dial accuracy
+    * so with `accuracy` ≥ 2× the largest group the approx path is
+    * bit-identical to the exact one (ApproxCutoffSpec pins it; ±n/accuracy
+    * ranks beyond); at 100 TB dial accuracy
     * to the t-digest-style memory/error trade. Assignment itself is a
     * broadcast join of the per-group cutoff table (rows = |groups| × 2)
     * against the scored frame — per-row, window-free, embarrassingly

@@ -53,6 +53,16 @@ class ApproxCutoffSpec extends AnyFunSuite {
     assert(sameRows(
       Sampling.topFractionByScore(allNull, "s", 0.5),
       Sampling.topFractionByScore(allNull, "s", 0.5, approx = true)))
+    // the guarantee BOUNDARY: exactness holds while accuracy >= 2n (the
+    // GK sketch keeps zero rank slack below n <= accuracy/2); pin it at
+    // accuracy == 2n exactly, where a drifting implementation detail
+    // (delta assignment at compression) would first surface (r13 review)
+    val big = (1L to 5000L).map(i => (i, ((i * 2654435761L) % 100003L).toDouble))
+      .toDF("id", "s")
+    assert(sameRows(
+      Sampling.topFractionByScore(big, "s", 0.25),
+      Sampling.topFractionByScore(big, "s", 0.25, approx = true, accuracy = 10000)),
+      "approx must be exact at the accuracy == 2n boundary")
   }
 
   test("topFractionByScore approx: no global single-partition rank window in the plan") {

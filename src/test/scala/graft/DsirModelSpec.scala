@@ -85,11 +85,20 @@ class DsirModelSpec extends AnyFunSuite {
       Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 4096,
         precomputedModel = Some(m512))
     }
-    assert(eWidth.getMessage.contains("nBuckets=512"), eWidth.getMessage)
+    assert(eWidth.getMessage.contains("512") &&
+      eWidth.getMessage.contains("nBuckets=4096"), eWidth.getMessage)
     val eShape = intercept[IllegalArgumentException] {
       Dsir.logWeights(docs, target, "doc_id", "text",
         precomputedModel = Some(Seq((1L, 0.5)).toDF("b", "lw")))
     }
     assert(eShape.getMessage.contains("model_buckets"), eShape.getMessage)
+    // a model table accidentally appended twice passes a first-row width
+    // check but doubles n_feats/log_weight through duplicate join
+    // matches — the row-count invariant must refuse it loudly (r13 review)
+    val eDup = intercept[IllegalArgumentException] {
+      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 512,
+        precomputedModel = Some(m512.unionByName(m512)))
+    }
+    assert(eDup.getMessage.contains("1024 rows"), eDup.getMessage)
   }
 }

@@ -338,6 +338,24 @@ class OpsSpec extends AnyFunSuite {
     assert(withNull(2L) == (None, None), s"NULL-token doc must carry NULL shard: $withNull")
     assert(withNull(1L)._1.isDefined && withNull(3L)._1.isDefined,
       s"placeable docs must still shard: $withNull")
+    // string-typed token counts (CSV ingest): valid values shard through
+    // the cast split; malformed values fail LOUD under this engine's
+    // ANSI casts rather than silently parking in the last shard — and
+    // the passthrough split keys on the CAST result so a null-producing
+    // cast (non-ANSI deployments, try_cast semantics) degrades to the
+    // NULL contract, never to a misplaced row (r13 review)
+    val strTyped = Packing.shardAssign(
+      Seq((1L, "5"), (2L, null.asInstanceOf[String]), (3L, "7"))
+        .toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("shard_id"))).toMap
+    assert(strTyped(2L).isEmpty && strTyped(1L).isDefined && strTyped(3L).isDefined,
+      strTyped.toString)
+    val eCast = intercept[Exception](Packing.shardAssign(
+      Seq((1L, "5"), (2L, "n/a")).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 2).collect())
+    assert(eCast.getMessage.contains("CAST_INVALID_INPUT") ||
+      Option(eCast.getCause).exists(_.getMessage.contains("CAST_INVALID_INPUT")),
+      eCast.toString)
   }
 
   test("bucketedBatches: two-level positions equal per-bucket hash-order scan; batches full and tight") {

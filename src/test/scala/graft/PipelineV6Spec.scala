@@ -64,7 +64,12 @@ class PipelineV6Spec extends AnyFunSuite {
       "exactly one clone survives dedup")
     assert(clones.count(_.getAs[String]("drop_stage") == "dedup") == clones.length - 1,
       s"the other clones must drop at dedup: ${clones.map(_.toString).toList}")
-    val loops = audit.filter(_.getAs[Long]("doc_id") % 111 == 36)
+    // the plant when-chain gives the CLONE branch precedence where the
+    // residue classes intersect (first at doc_id 1701 — absent at this
+    // sf, but the fixture regenerates between rounds), so exclude it
+    // here exactly as the plant does
+    val loops = audit.filter(r => r.getAs[Long]("doc_id") % 111 == 36 &&
+      r.getAs[Long]("doc_id") % 105 != 21)
     assert(loops.nonEmpty)
     assert(loops.forall(r => r.getAs[String]("drop_stage") == "repetition" &&
       r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("gopher_ok")),

@@ -137,6 +137,16 @@ class StoreCompactionSpec extends AnyFunSuite {
         idx4.select("band", "doc"), sigs, "doc", "sig", bands = 4, k = 32).collect()
     }
     assert(eBare.getMessage.contains("index_bands"), eBare.getMessage)
+    // a HETEROGENEOUS index (appended slice built with different
+    // parameters) must reject even when its FIRST row matches this
+    // call's (bands, k) — head(1) validation would wave it through while
+    // the mismatched slice silently matches nothing (r13 review)
+    val idx8 = Dedup.bandIndex(sigs, "doc", "sig", bands = 8, k = 32)
+    val eMixed = intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+        idx8.unionByName(idx4), sigs, "doc", "sig", bands = 8, k = 32).collect()
+    }
+    assert(eMixed.getMessage.contains("mixes build parameters"), eMixed.getMessage)
   }
 
   test("bloom pre-filtered exact ingest == unfiltered; corpus membership never missed") {
