@@ -159,6 +159,35 @@ object Dsir {
           .otherwise(lit(0.0)), 6).as("avg_log_weight"))
   }
 
+  /** [[logWeights]] against a persisted [[buildModel]] artifact, with no
+    * target parameter to ignore — the scoring half of [[selectIngest]]. */
+  def logWeightsFromModel(batch: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame, nBuckets: Int = 4096): DataFrame =
+    logWeights(batch, batch, idCol, textCol, nBuckets,
+      precomputedModel = Some(model))
+
+  /** INCREMENTAL DSIR selection ingest (r13): score a new batch against
+    * a HELD model table and flag keepers against a HELD cutoff value
+    * ([[Sampling.scoreCutoff]] output) — no target pass, no model
+    * rebuild, no cutoff re-rank, ever; the batch is the only data-sized
+    * input (one explode + broadcast model probe + doc-keyed agg + 1-row
+    * broadcast compare). The DSIR analog of
+    * [[TextAnalysis.lmSelectIngest]]: together they make the whole
+    * selection family artifact-driven. Zero-feature docs are never
+    * selected. */
+  def selectIngest(batch: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, cutoff: DataFrame,
+                   nBuckets: Int = 4096): DataFrame = {
+    val weighted = logWeightsFromModel(batch, idCol, textCol, model, nBuckets)
+    val flagged = Sampling
+      .selectByCutoff(weighted.filter(col("n_feats") > 0), "avg_log_weight",
+        cutoff)
+      .withColumnRenamed("top_selected", "dsir_keep")
+    flagged.unionByName(
+      weighted.filter(col("n_feats") === 0)
+        .withColumn("dsir_keep", lit(false)))
+  }
+
   /** [[logWeights]] + the selection cut: flags the top `fraction` of
     * scoreable documents by per-feature mean importance weight
     * (`dsir_keep`); zero-feature documents are never selected. The

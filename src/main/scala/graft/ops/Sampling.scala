@@ -174,45 +174,74 @@ object Sampling {
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
                          ascending: Boolean = false,
                          approx: Boolean = false,
-                         accuracy: Int = 100000): DataFrame = {
+                         accuracy: Int = 100000): DataFrame =
+    selectByCutoff(df, scoreCol,
+      scoreCutoff(df, scoreCol, fraction, ascending, approx, accuracy),
+      ascending)
+
+  /** The top-fraction cutoff VALUE as a one-row PERSISTABLE artifact
+    * (r13 — the perplexityCutoffs pattern for ungrouped scores): derive
+    * it once from a reference corpus, persist it, and
+    * [[selectByCutoff]] any later batch against it — the incremental
+    * shape where a nightly ingest never re-ranks history. Returns one
+    * row (cut_value); an EMPTY scoreable input yields one row with a
+    * NULL cut_value, under which assignment selects nothing.
+    *
+    * NULL scores carry no rank signal: they are excluded from both the
+    * denominator and the cutoff derivation (counting them would shift
+    * the cutoff rank, or land it ON a null and null every verdict).
+    *
+    * Cutoff semantics: the VALUE at rank ⌈n·fraction⌉ of the score in
+    * selection order. The exact path is a GLOBAL rank window — every
+    * score shuffles into ONE partition for a full sort, fine to ~10⁸
+    * rows and a wall at 100 TB; `approx = true` derives the same value
+    * via percentile_approx (one map-side-combining aggregate): value at
+    * rank ⌈f·n⌉ ≡ (ascending) percentile_approx(s, f); (descending)
+    * −percentile_approx(−s, f) — the negation maps the descending rank
+    * onto the same ascending ⌈f·n⌉ convention with no off-by-one at
+    * integer f·n. Bit-identical to the rank while accuracy ≥ 2n
+    * (GK-sketch delta stays 0 below n ≤ accuracy/2 — ApproxCutoffSpec
+    * pins the boundary); rank error ≤ n/accuracy beyond. */
+  def scoreCutoff(df: DataFrame, scoreCol: String, fraction: Double,
+                  ascending: Boolean = false,
+                  approx: Boolean = false,
+                  accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
-    // NULL scores carry no rank signal: they are excluded from both the
-    // denominator and the cutoff derivation, and are never selected —
-    // counting them would shift the cutoff rank (or land it ON a null,
-    // making every verdict NULL)
     val scored = df.select(col(scoreCol)).filter(col(scoreCol).isNotNull)
-    val cut =
-      if (approx) {
-        // the exact path's GLOBAL rank window shuffles every score into
-        // ONE partition for a full sort — the 100 TB killer. The approx
-        // cutoff is one map-side-combining aggregate: value at rank
-        // ⌈f·n⌉ in selection order ≡ (ascending) percentile_approx(s, f);
-        // (descending) −percentile_approx(−s, f) — the negation maps the
-        // descending rank onto the same ascending ⌈f·n⌉ convention with
-        // no off-by-one at integer f·n. With accuracy ≥ 2n this is
-        // bit-identical to the rank (GK-sketch delta stays 0 below
-        // n ≤ accuracy/2 — ApproxCutoffSpec pins it at the boundary);
-        // beyond that, rank error ≤ n/accuracy — the knob the scaladoc
-        // trades on.
-        val agg = if (ascending)
-          percentile_approx(col(scoreCol), lit(fraction), lit(accuracy))
-        else
-          -percentile_approx(-col(scoreCol), lit(fraction), lit(accuracy))
-        scored.select(agg.as("__cut"))
-      } else {
-        val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
-        val n = scored.select(count(lit(1)).as("__n"))
-        scored
-          .withColumn("__rn", row_number().over(Window.orderBy(ord)))
-          .crossJoin(broadcast(n))
-          .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
-          .select(col(scoreCol).as("__cut"))
-      }
-    val cmp = if (ascending) col(scoreCol) <= col("__cut")
-              else col(scoreCol) >= col("__cut")
-    df.join(broadcast(cut), lit(true), "left")
+    if (approx) {
+      val agg = if (ascending)
+        percentile_approx(col(scoreCol), lit(fraction), lit(accuracy))
+      else
+        -percentile_approx(-col(scoreCol), lit(fraction), lit(accuracy))
+      scored.select(agg.cast(DoubleType).as("cut_value"))
+    } else {
+      val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+      val n = scored.select(count(lit(1)).as("__n"))
+      // exact path emits zero rows on empty input; normalize to the
+      // one-NULL-row artifact contract via a left join from a 1-row seed
+      val cut = scored
+        .withColumn("__rn", row_number().over(Window.orderBy(ord)))
+        .crossJoin(broadcast(n))
+        .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
+        .select(col(scoreCol).cast(DoubleType).as("cut_value"))
+      df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("__seed"))
+        .join(broadcast(cut), lit(true), "left")
+        .select(coalesce(col("cut_value"), col("__seed")).as("cut_value"))
+    }
+  }
+
+  /** Assignment against a held cutoff artifact ([[scoreCutoff]] output,
+    * possibly read back from a persisted table): flags `top_selected`
+    * on every input row with one broadcast comparison — per-row,
+    * window-free, embarrassingly parallel on the batch at any scale.
+    * NULL scores (and a NULL cut_value) are never selected. */
+  def selectByCutoff(df: DataFrame, scoreCol: String, cutoff: DataFrame,
+                     ascending: Boolean = false): DataFrame = {
+    val cmp = if (ascending) col(scoreCol) <= col("cut_value")
+              else col(scoreCol) >= col("cut_value")
+    df.join(broadcast(cutoff), lit(true), "left")
       .withColumn("top_selected", coalesce(cmp, lit(false)))
-      .drop("__cut")
+      .drop("cut_value")
   }
 }

@@ -1057,7 +1057,7 @@ object OpsQueries {
   // DuckDB string_split_regex('', ...) returns [''] (len 1) while Spark's
   // tokens('') is [] — without the CASE, a regenerated fixture containing
   // one empty/whitespace-only document diverges every token-count oracle
-  private val toksSql =
+  private[queries] val toksSql =
     """CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
       |     ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
 

@@ -284,6 +284,61 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // r13: CONTINUOUS-INGEST DSIR selection — the importance-resampling
+    // analog of q_stream_select, completing the artifact-driven
+    // selection family. The bucket model (Dsir.buildModel over the
+    // reference corpus vs its %7 trusted slice) and the score cutoff
+    // (Sampling.scoreCutoff at the top quarter of the reference's own
+    // scores) are built ONCE and PERSISTED; two ordered micro-batches
+    // of new docs are each scored and flagged against the held
+    // artifacts and appended. Scoring is stateless given the artifacts,
+    // so the final table must equal the one-shot batch replay the
+    // oracle computes.
+    "q_stream_dsir" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Dsir, Sampling}
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sdsr_in")
+      val ckpt = Files.createTempDirectory("graft_sdsr_ck")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ref = docs.filter(col("doc_id") % 3 === 0)
+      val batchDocs = docs.filter(col("doc_id") % 3 =!= 0)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", batchDocs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", batchDocs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sdsr_wh").toString)
+      val modelRel = graft.core.Relation("graft", "main", "dsir_model")
+      val cutRel = graft.core.Relation("graft", "main", "dsir_cutoff")
+      val outRel = graft.core.Relation("graft", "main", "dsir_classified")
+      rm.writeTable(Dsir.buildModel(ref, ref.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text"), modelRel)
+      // the cutoff derives from the REFERENCE scored against the
+      // PERSISTED model — the artifact path end to end
+      val refWeighted = Dsir.logWeightsFromModel(ref, "doc_id", "text",
+        rm.read(modelRel))
+      rm.writeTable(Sampling.scoreCutoff(
+        refWeighted.filter(col("n_feats") > 0), "avg_log_weight",
+        fraction = 0.25), cutRel)
+      val q = s.readStream.schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val out = Dsir.selectIngest(batch, "doc_id", "text",
+            rm.read(modelRel), rm.read(cutRel)).localCheckpoint(true)
+          if (rm.exists(outRel)) rm.appendTable(out, outRel)
+          else rm.writeTable(out, outRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(outRel)
+        .select("doc_id", "n_feats", "log_weight", "avg_log_weight", "dsir_keep")
+        .orderBy("doc_id")
+    }),
+
     // r9: CONTINUOUS-INGEST near-dup dedup run for real — two ordered
     // micro-batches (even ids land first, then odd ids), each batch
     // classified against the signature store the PREVIOUS batches built,
@@ -361,6 +416,58 @@ object StreamQueries {
          |SELECT doc_id, lang, n_bigrams, avg_logprob_lm, perplexity, ppl_bucket,
          |  (ppl_bucket IS NOT NULL AND ppl_bucket <> 'tail') AS selected
          |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // incremental DSIR: stateless given (model, cutoff) artifacts → the
+    // oracle is the one-shot replay. The model is the COMPLETE 4096-row
+    // domain (generate_series left-joined to the counts) exactly as
+    // Dsir.buildModel emits it, so unseen batch features score smoothed.
+    "q_stream_dsir" ->
+      s"""WITH t AS (SELECT doc_id, ${OpsQueries.toksSql} AS tk FROM documents),
+         |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+         |feats_ref AS (
+         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM ref)
+         |  UNION ALL
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM ref, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |fb_ref AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM feats_ref),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb_ref WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb_ref GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM tc),
+         |trr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM rc),
+         |model AS (
+         |  SELECT g.b,
+         |    ln((COALESCE(tc.ct, 0) + 1.0) / (total_t + 4096.0)) -
+         |    ln((COALESCE(rc.cr, 0) + 1.0) / (total_r + 4096.0)) AS lw
+         |  FROM (SELECT unnest(generate_series(0, 4095)) AS b) g
+         |  LEFT JOIN rc ON g.b = rc.b LEFT JOIN tc ON g.b = tc.b, tt, trr),
+         |refsc AS (
+         |  SELECT fb_ref.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
+         |  FROM fb_ref JOIN model m USING (b) GROUP BY 1),
+         |refw AS (SELECT r.doc_id,
+         |    round(CASE WHEN s.n_feats > 0 THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
+         |  FROM ref r JOIN refsc s USING (doc_id) WHERE s.n_feats > 0),
+         |nn AS (SELECT COUNT(*) AS n FROM refw),
+         |cut AS (SELECT avg_log_weight AS c FROM (
+         |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM refw) r, nn
+         |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)),
+         |batch AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+         |feats_b AS (
+         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM batch)
+         |  UNION ALL
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+         |  FROM batch, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+         |fb_b AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM feats_b),
+         |bsc AS (
+         |  SELECT fb_b.doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(m.lw) AS sum_lw
+         |  FROM fb_b JOIN model m USING (b) GROUP BY 1),
+         |w AS (SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |        round(COALESCE(s.sum_lw, 0.0), 6) AS log_weight,
+         |        round(CASE WHEN COALESCE(s.n_feats, 0) > 0
+         |          THEN s.sum_lw / s.n_feats ELSE 0.0 END, 6) AS avg_log_weight
+         |      FROM (SELECT doc_id FROM batch) d LEFT JOIN bsc s USING (doc_id))
+         |SELECT w.doc_id, w.n_feats, w.log_weight, w.avg_log_weight,
+         |  CASE WHEN w.n_feats > 0 THEN w.avg_log_weight >= cut.c ELSE FALSE END AS dsir_keep
+         |FROM w, cut ORDER BY w.doc_id""".stripMargin,
 
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -101,4 +101,42 @@ class DsirModelSpec extends AnyFunSuite {
     }
     assert(eDup.getMessage.contains("1024 rows"), eDup.getMessage)
   }
+
+  test("selectIngest: held model + held cutoff flag a batch; artifacts survive parquet") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val model = Dsir.buildModel(ref, ref.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text")
+    val cutoff = graft.ops.Sampling.scoreCutoff(
+      Dsir.logWeightsFromModel(ref, "doc_id", "text", model)
+        .filter(col("n_feats") > 0), "avg_log_weight", fraction = 0.25)
+    val dir = Files.createTempDirectory("dsir_ingest").toString
+    try {
+      model.write.parquet(s"$dir/model")
+      cutoff.write.parquet(s"$dir/cutoff")
+      val m = spark.read.parquet(s"$dir/model")
+      val c = spark.read.parquet(s"$dir/cutoff")
+      import spark.implicits._
+      // batch: a ref-like doc (in-distribution), and an EMPTY doc
+      val batch = docs.filter(col("doc_id") % 3 =!= 0).limit(5)
+        .unionByName(Seq((100000L, "")).toDF("doc_id", "text"))
+      val out = Dsir.selectIngest(batch, "doc_id", "text", m, c)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feats"), r.getAs[Boolean]("dsir_keep")))).toMap
+      assert(out.size == 6, s"no batch row may vanish: $out")
+      assert(out(100000L) == ((0L, false)), "zero-feature docs never select")
+      // the verdict IS the held-cutoff comparison: recompute it directly
+      val cutVal = c.collect()(0).getDouble(0)
+      val direct = Dsir.logWeightsFromModel(batch, "doc_id", "text", m)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_feats") > 0 &&
+            r.getAs[Double]("avg_log_weight") >= cutVal)).toMap
+      assert(out.view.mapValues(_._2).toMap == direct,
+        s"ingest verdicts must equal the held-cutoff comparison: $out vs $direct")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
