@@ -10,7 +10,9 @@ import graft.ops.{AsOfJoin, Ivf}
   */
 object JoinQueries {
 
-  private def cosineSql(a: String, b: String): String =
+  // private[queries]: the r13 ANN-ingest stream gate (StreamQueries)
+  // replays the same cosine/SQ8 arithmetic in its oracle
+  private[queries] def cosineSql(a: String, b: String): String =
     s"""round(
        |  list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
        |  (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
@@ -354,7 +356,7 @@ object JoinQueries {
   /** SQ8 asymmetric midpoint distance — ONE definition shared by both
     * SQ8 oracles (raw query dims vs lo + (code+0.5)·span/256, list_sum
     * over ascending dims = the fused loop's accumulation order). */
-  private def sq8DistSql(q: String, codes: String): String =
+  private[queries] def sq8DistSql(q: String, codes: String): String =
     s"""round(list_sum(list_transform(generate_series(1, 64), d ->
        |      ($q[d]::DOUBLE - (bv.lov[d] + ($codes[d] + 0.5) * bv.spanv[d] / 256.0)) *
        |      ($q[d]::DOUBLE - (bv.lov[d] + ($codes[d] + 0.5) * bv.spanv[d] / 256.0)))), 6)""".stripMargin

@@ -1355,17 +1355,7 @@ object OpsQueries {
 
     // KMV: k-th smallest md5-unit hash of the distinct tokens per group;
     // (k−1)/u_k, exact count when the group has fewer than k hashes
-    "q_corpus_ndv_kmv" ->
-      s"""WITH tr AS (SELECT lang AS grp, unnest($toksSql) AS tok FROM documents),
-         |dh AS (SELECT DISTINCT grp, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM tr),
-         |u AS (SELECT grp, h, h / CAST(268435456 AS DOUBLE) AS u,
-         |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u, h) AS rn,
-         |  COUNT(*) OVER (PARTITION BY grp) AS cnt FROM dh)
-         |SELECT grp AS lang,
-         |  round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
-         |    ELSE 15.0 / u END, 6) AS ndv_est
-         |FROM u WHERE rn = CASE WHEN cnt < 16 THEN cnt ELSE 16 END
-         |ORDER BY lang""".stripMargin,
+    "q_corpus_ndv_kmv" -> kmvNdvOracleSql,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (
@@ -3016,6 +3006,22 @@ object OpsQueries {
        |  LEFT JOIN kept kp USING (doc_id)
        |  LEFT JOIN decon dc USING (doc_id))""".stripMargin
   }
+
+  /** KMV ndv oracle — shared verbatim by the direct estimate and the r13
+    * streaming sketch-ingest gate: KMV sets compose under min-k-of-union
+    * (the merge law CurationOpsSpec pins), so the accumulated sketch
+    * table's estimate IS the one-shot corpus estimate. */
+  private[queries] def kmvNdvOracleSql: String =
+    s"""WITH tr AS (SELECT lang AS grp, unnest($toksSql) AS tok FROM documents),
+       |dh AS (SELECT DISTINCT grp, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h FROM tr),
+       |u AS (SELECT grp, h, h / CAST(268435456 AS DOUBLE) AS u,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u, h) AS rn,
+       |  COUNT(*) OVER (PARTITION BY grp) AS cnt FROM dh)
+       |SELECT grp AS lang,
+       |  round(CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+       |    ELSE 15.0 / u END, 6) AS ndv_est
+       |FROM u WHERE rn = CASE WHEN cnt < 16 THEN cnt ELSE 16 END
+       |ORDER BY lang""".stripMargin
 
   private def pplBucketsOracleSql: String =
     s"""$pplBucketCtes

@@ -284,6 +284,126 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // r13: CONTINUOUS-INGEST distinct-count sketches — the dataset-card
+    // ndv numbers maintained incrementally: each micro-batch appends its
+    // own per-language KMV min-k rows (one batch-sized pass, the corpus
+    // never re-reads), and the estimate re-ranks the accumulated sketch
+    // table. KMV sets compose under min-k-of-union (the merge law the
+    // spec pins), so the final estimates must equal the one-shot corpus
+    // estimate — the oracle is q_corpus_ndv_kmv's SQL verbatim.
+    "q_stream_ndv_sketch" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.CorpusStats
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sndv_in")
+      val ckpt = Files.createTempDirectory("graft_sndv_ck")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sndv_wh").toString)
+      val sketchRel = graft.core.Relation("graft", "main", "ndv_sketch")
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = CorpusStats.kmvMinHashes(batch, "lang", "text", k = 16)
+            .localCheckpoint(true)
+          if (rm.exists(sketchRel)) rm.appendTable(rows, sketchRel)
+          else rm.writeTable(rows, sketchRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      CorpusStats.kmvEstimate(rm.read(sketchRel), "lang").orderBy("lang")
+    }),
+
+    // r13: CONTINUOUS-INGEST ANN store — the vector-store analog of the
+    // dedup ingests: quantizer artifacts (coarse centroids = the initial
+    // store's first 8 vectors; SQ8 bounds = the store's exact min/max)
+    // are trained ONCE on the initial store and PERSISTED; two ordered
+    // micro-batches of new vectors are each encoded and cell-assigned
+    // against the reloaded artifacts (raw floats read once, at ingest)
+    // and appended to the codes/cells tables; the final search runs
+    // ENTIRELY from the accumulated artifacts via precomputedCodes/
+    // precomputedCells. Encoding is stateless given the artifacts, so
+    // the search must equal the one-shot store-parameterized build the
+    // oracle computes — stream ≡ batch for the ANN-store path.
+    // Out-of-range batch values clamp to the store's code range (0/255),
+    // exercised by construction since the store's bounds never saw the
+    // batch.
+    "q_stream_ann_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Ivf, Similarity, Sq8}
+      import graft.relations.RelationManager
+      val s2 = s
+      import s2.implicits._
+      val landing = Files.createTempDirectory("graft_sann_in")
+      val ckpt = Files.createTempDirectory("graft_sann_ck")
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val store = vecs.filter(col("vec_id") % 3 === 0)
+      val batchVecs = vecs.filter(col("vec_id") % 3 =!= 0)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", batchVecs.filter(col("vec_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", batchVecs.filter(col("vec_id") % 2 =!= 0), t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sann_wh").toString)
+      val centRel = graft.core.Relation("graft", "main", "ann_centroids")
+      val boundsRel = graft.core.Relation("graft", "main", "ann_bounds")
+      val codesRel = graft.core.Relation("graft", "main", "ann_codes")
+      val cellsRel = graft.core.Relation("graft", "main", "ann_cells")
+      // artifacts from the initial store only (ids < 24 = its first 8
+      // vectors; cell ids stay the raw vector ids — assignCells takes
+      // arbitrary ids, and the oracle reproduces them directly)
+      val centroids0 = store.filter(col("vec_id") < 24)
+        .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val (lo0, span0) = Sq8.trainBounds(store, "embedding")
+      rm.writeTable(centroids0.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cid", "cvec"), centRel)
+      rm.writeTable(Seq((lo0.toSeq, span0.toSeq)).toDF("lov", "spanv"), boundsRel)
+      def loadCentroids(): Seq[(Int, Array[Double])] =
+        rm.read(centRel).collect()
+          .map(r => (r.getAs[Int]("cid"),
+            r.getSeq[Double](r.fieldIndex("cvec")).toArray)).sortBy(_._1).toSeq
+      def loadBounds(): (Array[Double], Array[Double]) = {
+        val r = rm.read(boundsRel).collect()(0)
+        (r.getSeq[Double](r.fieldIndex("lov")).toArray,
+          r.getSeq[Double](r.fieldIndex("spanv")).toArray)
+      }
+      // bootstrap: the store's own codes and cells
+      rm.writeTable(Sq8.encode(store, "vec_id", "embedding", lo0, span0), codesRel)
+      rm.writeTable(Ivf.assignCells(store, "vec_id", "embedding", centroids0), cellsRel)
+      val q = s.readStream.schema(batchVecs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // artifacts reloaded per generation — the refresh shape
+          val cents = loadCentroids()
+          val (lo, span) = loadBounds()
+          rm.appendTable(Sq8.encode(batch, "vec_id", "embedding", lo, span)
+            .localCheckpoint(true), codesRel)
+          rm.appendTable(Ivf.assignCells(batch, "vec_id", "embedding", cents)
+            .localCheckpoint(true), cellsRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val cents = loadCentroids()
+      val (lo, span) = loadBounds()
+      Sq8.topKWithIvf(vecs.filter(col("vec_id") < 10), vecs,
+        "vec_id", "embedding", k = 5, cents, lo, span, nProbe = 2,
+        precomputedCodes = Some(rm.read(codesRel)),
+        precomputedCells = Some(rm.read(cellsRel)))
+        .orderBy("query_id", "rank")
+    }),
+
     // r13: CONTINUOUS-INGEST DSIR selection — the importance-resampling
     // analog of q_stream_select, completing the artifact-driven
     // selection family. The bucket model (Dsir.buildModel over the
@@ -416,6 +536,57 @@ object StreamQueries {
          |SELECT doc_id, lang, n_bigrams, avg_logprob_lm, perplexity, ppl_bucket,
          |  (ppl_bucket IS NOT NULL AND ppl_bucket <> 'tail') AS selected
          |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // sketch ingest: min-k-of-union ≡ min-k of the whole corpus, so the
+    // accumulated sketch table estimates exactly what a one-shot pass
+    // would — q_corpus_ndv_kmv's oracle verbatim
+    "q_stream_ndv_sketch" -> OpsQueries.kmvNdvOracleSql,
+
+    // ANN store ingest: encoding/assignment are stateless given the
+    // store-trained artifacts, so the oracle is the one-shot build with
+    // bounds from the %3 store slice and centroids = its first 8 vectors
+    "q_stream_ann_ingest" -> {
+      val cosEC = JoinQueries.cosineSql("e.embedding", "c.cvec")
+      s"""WITH vals AS (
+         |  SELECT vec_id, d, embedding[d]::DOUBLE AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) g),
+         |bounds AS (SELECT d, min(x) AS lo, max(x) - min(x) AS span
+         |  FROM vals WHERE vec_id % 3 = 0 GROUP BY 1),
+         |bv AS (SELECT list(lo ORDER BY d) AS lov, list(span ORDER BY d) AS spanv FROM bounds),
+         |enc AS (
+         |  SELECT vec_id, list(CASE WHEN span <= 0 THEN 0
+         |    ELSE LEAST(GREATEST(CAST(floor((x - lo) / span * 256.0) AS INTEGER), 0), 255) END
+         |    ORDER BY d) AS codes
+         |  FROM vals JOIN bounds USING (d) GROUP BY vec_id),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id % 3 = 0 AND vec_id < 24),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cosEC DESC, c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |corpus_cells AS (
+         |  SELECT vec_id AS neighbor_id, cid AS cell FROM assigned WHERE rnk = 1),
+         |query_cells AS (
+         |  SELECT vec_id AS query_id, cid AS cell
+         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
+         |cand AS (
+         |  SELECT q.query_id, cc.neighbor_id
+         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+         |  WHERE q.query_id <> cc.neighbor_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${JoinQueries.sq8DistSql("q.embedding", "e2.codes")} AS sq8_dist
+         |  FROM cand c
+         |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id, bv)
+         |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // incremental DSIR: stateless given (model, cutoff) artifacts → the
     // oracle is the one-shot replay. The model is the COMPLETE 4096-row
