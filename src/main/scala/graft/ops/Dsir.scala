@@ -177,16 +177,17 @@ object Dsir {
     * selected. */
   def selectIngest(batch: DataFrame, idCol: String, textCol: String,
                    model: DataFrame, cutoff: DataFrame,
-                   nBuckets: Int = 4096): DataFrame = {
-    val weighted = logWeightsFromModel(batch, idCol, textCol, model, nBuckets)
-    val flagged = Sampling
-      .selectByCutoff(weighted.filter(col("n_feats") > 0), "avg_log_weight",
-        cutoff)
-      .withColumnRenamed("top_selected", "dsir_keep")
-    flagged.unionByName(
-      weighted.filter(col("n_feats") === 0)
-        .withColumn("dsir_keep", lit(false)))
-  }
+                   nBuckets: Int = 4096): DataFrame =
+    // ONE scoring branch: a filter/union split over the weighted frame
+    // would execute the batch explode + model probe twice per action
+    // (Spark dedupes no shared subplans) — the zero-feature guard folds
+    // into the verdict instead (a 0-feature doc scores 0.0, which can
+    // exceed a negative cutoff, so the n_feats conjunct is load-bearing)
+    Sampling.selectByCutoff(
+      logWeightsFromModel(batch, idCol, textCol, model, nBuckets),
+      "avg_log_weight", cutoff)
+      .withColumn("dsir_keep", col("top_selected") && col("n_feats") > 0)
+      .drop("top_selected")
 
   /** [[logWeights]] + the selection cut: flags the top `fraction` of
     * scoreable documents by per-feature mean importance weight
@@ -207,13 +208,15 @@ object Dsir {
              precomputedModel: Option[DataFrame] = None): DataFrame = {
     val weighted = logWeights(raw, target, idCol, textCol, nBuckets,
       smoothing, precomputedModel)
-    val scoreable = weighted.filter(col("n_feats") > 0)
-    val flagged = Sampling
-      .topFractionByScore(scoreable, "avg_log_weight", fraction,
-        approx = approx, accuracy = accuracy)
-      .withColumnRenamed("top_selected", "dsir_keep")
-    flagged.unionByName(
-      weighted.filter(col("n_feats") === 0)
-        .withColumn("dsir_keep", lit(false)))
+    // cutoff derives from the SCOREABLE docs only (zero-feature docs'
+    // 0.0 sentinel scores would shift the rank denominator); the
+    // verdict is then one assignment branch over the whole frame — the
+    // selectIngest shape, not a filter/union split that would execute
+    // the scoring lineage twice per action
+    val cut = Sampling.scoreCutoff(weighted.filter(col("n_feats") > 0),
+      "avg_log_weight", fraction, approx = approx, accuracy = accuracy)
+    Sampling.selectByCutoff(weighted, "avg_log_weight", cut)
+      .withColumn("dsir_keep", col("top_selected") && col("n_feats") > 0)
+      .drop("top_selected")
   }
 }

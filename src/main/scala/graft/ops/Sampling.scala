@@ -225,9 +225,9 @@ object Sampling {
         .crossJoin(broadcast(n))
         .filter(col("__rn") === ceil(col("__n") * lit(fraction)).cast(LongType))
         .select(col(scoreCol).cast(DoubleType).as("cut_value"))
-      df.sparkSession.range(1).select(lit(null).cast(DoubleType).as("__seed"))
+      df.sparkSession.range(1)
         .join(broadcast(cut), lit(true), "left")
-        .select(coalesce(col("cut_value"), col("__seed")).as("cut_value"))
+        .select(col("cut_value"))
     }
   }
 
@@ -235,13 +235,36 @@ object Sampling {
     * possibly read back from a persisted table): flags `top_selected`
     * on every input row with one broadcast comparison — per-row,
     * window-free, embarrassingly parallel on the batch at any scale.
-    * NULL scores (and a NULL cut_value) are never selected. */
+    * NULL scores (and a NULL cut_value) are never selected.
+    *
+    * The artifact is normalized to ONE row before joining: extra columns
+    * are projected away, and a multi-row cutoff table (refreshed via
+    * append instead of overwrite) raises at execution instead of
+    * silently duplicating every input row with conflicting verdicts —
+    * the same appended-artifact guard Dsir's model validation applies,
+    * kept LAZY here because this op composes inside larger plans. The
+    * comparison runs at double precision (scores are doubles throughout
+    * this engine; integral scores past 2⁵³ are outside the contract),
+    * and joins under a reserved internal name so an input frame already
+    * carrying a `cut_value` audit column never collides. */
   def selectByCutoff(df: DataFrame, scoreCol: String, cutoff: DataFrame,
                      ascending: Boolean = false): DataFrame = {
-    val cmp = if (ascending) col(scoreCol) <= col("cut_value")
-              else col(scoreCol) >= col("cut_value")
-    df.join(broadcast(cutoff), lit(true), "left")
+    require(cutoff.columns.contains("cut_value"),
+      "cutoff is not a scoreCutoff artifact: missing the cut_value column")
+    val one = cutoff
+      .agg(min(col("cut_value").cast(DoubleType)).as("__minc"),
+        count(lit(1)).as("__rows"))
+      .select(
+        when(col("__rows") <= 1, col("__minc"))
+          .otherwise(raise_error(concat(
+            lit("selectByCutoff: cutoff artifact holds "),
+            col("__rows").cast(StringType),
+            lit(" rows — refreshed via append instead of overwrite?"))))
+          .as("__cut"))
+    val cmp = if (ascending) col(scoreCol) <= col("__cut")
+              else col(scoreCol) >= col("__cut")
+    df.join(broadcast(one), lit(true), "left")
       .withColumn("top_selected", coalesce(cmp, lit(false)))
-      .drop("cut_value")
+      .drop("__cut")
   }
 }

@@ -119,8 +119,11 @@ class DsirModelSpec extends AnyFunSuite {
       val m = spark.read.parquet(s"$dir/model")
       val c = spark.read.parquet(s"$dir/cutoff")
       import spark.implicits._
-      // batch: a ref-like doc (in-distribution), and an EMPTY doc
-      val batch = docs.filter(col("doc_id") % 3 =!= 0).limit(5)
+      // batch: a ref-like doc (in-distribution), and an EMPTY doc.
+      // orderBy before limit: an unordered limit may pick different rows
+      // in the two collects below (r13 review)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .orderBy("doc_id").limit(5)
         .unionByName(Seq((100000L, "")).toDF("doc_id", "text"))
       val out = Dsir.selectIngest(batch, "doc_id", "text", m, c)
         .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -135,6 +138,13 @@ class DsirModelSpec extends AnyFunSuite {
             r.getAs[Double]("avg_log_weight") >= cutVal)).toMap
       assert(out.view.mapValues(_._2).toMap == direct,
         s"ingest verdicts must equal the held-cutoff comparison: $out vs $direct")
+      // an appended (2-row) cutoff artifact must raise at execution, not
+      // silently duplicate every batch row with conflicting verdicts
+      val eMulti = intercept[Exception](
+        Dsir.selectIngest(batch, "doc_id", "text", m, c.unionByName(c)).collect())
+      assert(eMulti.getMessage.contains("cutoff artifact holds") ||
+        Option(eMulti.getCause).exists(_.getMessage.contains("cutoff artifact holds")),
+        eMulti.toString)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
