@@ -390,7 +390,7 @@ object ScaleProbe {
         .cast("double") / 1000000.0).as("s")
       timed("select_cutoff_exact", runs, opFilter) {
         ops.Sampling.topFractionByScore(docs.select(col("doc_id"), probeScore),
-          "s", 0.25)
+          "s", 0.25, approx = false)
           .agg(count(lit(1)),
             sum(when(col("top_selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
       }
@@ -403,13 +403,25 @@ object ScaleProbe {
       timed("ppl_buckets_exact", runs, opFilter) {
         ops.TextAnalysis.perplexityBuckets(
           docs.select(col("doc_id"), col("lang"), (-probeScore).as("lp")),
-          "doc_id", "lang", "lp")
+          "doc_id", "lang", "lp", approx = false)
           .agg(count(lit(1)), count(col("ppl_bucket"))).collect()(0).getLong(0)
       }
       timed("ppl_buckets_approx", runs, opFilter) {
         ops.TextAnalysis.perplexityBuckets(
           docs.select(col("doc_id"), col("lang"), (-probeScore).as("lp")),
           "doc_id", "lang", "lp", approx = true)
+          .agg(count(lit(1)), count(col("ppl_bucket"))).collect()(0).getLong(0)
+      }
+      // r14: the LITERAL v6 cutoff stage (the factored function the
+      // composed pipeline materializes, riding the approx default) —
+      // its shuffle must stay flat as the corpus grows 10×: the cutoff
+      // is a partial-agg sketch, the assignment a broadcast join, so
+      // only sketch/aggregate rows ever cross the wire (the exact twin
+      // is ppl_buckets_exact: ~2n rows into one partition)
+      timed("v6_ppl_stage_approx", runs, opFilter) {
+        queries.OpsQueries.v6PplStage(
+          docs.select(col("doc_id"), col("lang"),
+            lit(5L).as("n_bigrams"), (-probeScore).as("avg_logprob_lm")))
           .agg(count(lit(1)), count(col("ppl_bucket"))).collect()(0).getLong(0)
       }
       // r13 incremental selection ingest: a FIXED 5k-doc batch scored

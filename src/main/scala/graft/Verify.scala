@@ -63,7 +63,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map honors the same filter as the parquet dumps (r14,
+    // ADVICE): an all-queries oracle_sql.json next to a filtered output
+    // dir would make a local check.py replay report every unfiltered
+    // query as a missing output instead of skipping it
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }

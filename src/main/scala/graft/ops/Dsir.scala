@@ -196,15 +196,17 @@ object Dsir {
     * equal fractions the kept set is the highest-importance mass.
     *
     * `approx`/`accuracy` ride through to
-    * [[Sampling.topFractionByScore]]: the exact cutoff is a global rank
-    * window (single-partition sort — the 100 TB killer); approx derives
+    * [[Sampling.topFractionByScore]]: the exact cutoff (`approx =
+    * false`, opt-in as of r14) is a global rank
+    * window (single-partition sort — the 100 TB killer); the DEFAULT
+    * derives
     * the same cutoff via one percentile_approx aggregate, bit-identical
     * while accuracy ≥ 2× corpus size (±n/accuracy ranks beyond). `precomputedModel` rides through to
     * [[logWeights]]. */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, fraction: Double, nBuckets: Int = 4096,
              smoothing: Double = 1.0,
-             approx: Boolean = false, accuracy: Int = 100000,
+             approx: Boolean = true, accuracy: Int = 100000,
              precomputedModel: Option[DataFrame] = None): DataFrame = {
     val weighted = logWeights(raw, target, idCol, textCol, nBuckets,
       smoothing, precomputedModel)

@@ -163,17 +163,18 @@ object Sampling {
     * the VALUE at rank ⌈n·fraction⌉ of the score sorted in keep-order —
     * rows tied at the cutoff value are all selected, so equal scores
     * always get equal verdicts, and no quantile interpolation arithmetic
-    * enters the contract. The default cutoff derivation is one global
-    * rank — a single-partition sort of every score, fine to ~10⁸ rows
-    * and a wall at 100 TB; `approx = true` derives the same cutoff via
-    * `percentile_approx` (one map-side-combining aggregate, no global
-    * sort), bit-identical to the rank while `accuracy` ≥ 2n (the GK
-    * sketch keeps zero rank slack below n ≤ accuracy/2) and within
-    * ±n/accuracy ranks beyond. Assignment is a 1-row broadcast
-    * comparison either way, embarrassingly parallel. */
+    * enters the contract. The DEFAULT cutoff derivation (r14) is
+    * `percentile_approx` — one map-side-combining aggregate, no global
+    * sort — bit-identical to the exact rank while `accuracy` ≥ 2n (the
+    * GK sketch keeps zero rank slack below n ≤ accuracy/2) and within
+    * ±n/accuracy ranks beyond. `approx = false` opts into the exact
+    * global rank — a single-partition sort of every score, fine to
+    * ~10⁸ rows for oracle-exactness debugging but a wall at 100 TB, so
+    * it is NOT what a default caller inherits. Assignment is a 1-row
+    * broadcast comparison either way, embarrassingly parallel. */
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
                          ascending: Boolean = false,
-                         approx: Boolean = false,
+                         approx: Boolean = true,
                          accuracy: Int = 100000): DataFrame =
     selectByCutoff(df, scoreCol,
       scoreCutoff(df, scoreCol, fraction, ascending, approx, accuracy),
@@ -192,9 +193,10 @@ object Sampling {
     * the cutoff rank, or land it ON a null and null every verdict).
     *
     * Cutoff semantics: the VALUE at rank ⌈n·fraction⌉ of the score in
-    * selection order. The exact path is a GLOBAL rank window — every
-    * score shuffles into ONE partition for a full sort, fine to ~10⁸
-    * rows and a wall at 100 TB; `approx = true` derives the same value
+    * selection order. The exact path (`approx = false`, opt-in as of
+    * r14) is a GLOBAL rank window — every score shuffles into ONE
+    * partition for a full sort, fine to ~10⁸ rows and a wall at
+    * 100 TB; the DEFAULT derives the same value
     * via percentile_approx (one map-side-combining aggregate): value at
     * rank ⌈f·n⌉ ≡ (ascending) percentile_approx(s, f); (descending)
     * −percentile_approx(−s, f) — the negation maps the descending rank
@@ -204,7 +206,7 @@ object Sampling {
     * pins the boundary); rank error ≤ n/accuracy beyond. */
   def scoreCutoff(df: DataFrame, scoreCol: String, fraction: Double,
                   ascending: Boolean = false,
-                  approx: Boolean = false,
+                  approx: Boolean = true,
                   accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")

@@ -460,10 +460,11 @@ object TextAnalysis {
     * guarantee — and no quantile interpolation arithmetic enters the
     * contract (engine-portable, like CorpusStats' order statistics).
     *
-    * Scale shape: the default (`approx = false`) cutoff derivation ranks
+    * Scale shape: the exact (`approx = false`, opt-in as of r14) cutoff
+    * derivation ranks
     * within each group — bounded by the largest language, which at web
     * scale is NOT a bound (English is most of a web corpus: one
-    * partition sorts most of the data). `approx = true` swaps the rank
+    * partition sorts most of the data). The DEFAULT swaps the rank
     * window for a per-group `percentile_approx` aggregate — one
     * map-side-combining pass, no per-group sort, no single hot
     * partition — and keeps the assignment unchanged. The quantile maps
@@ -488,7 +489,7 @@ object TextAnalysis {
                         lpCol: String,
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
-                        approx: Boolean = false,
+                        approx: Boolean = true,
                         accuracy: Int = 100000): DataFrame =
     assignPplBuckets(scored, groupCol, lpCol,
       perplexityCutoffs(scored, groupCol, lpCol, headFraction, middleFraction,
@@ -507,7 +508,7 @@ object TextAnalysis {
   def perplexityCutoffs(scored: DataFrame, groupCol: String, lpCol: String,
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
-                        approx: Boolean = false,
+                        approx: Boolean = true,
                         accuracy: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = scored.filter(col(groupCol).isNotNull && col(lpCol).isNotNull)

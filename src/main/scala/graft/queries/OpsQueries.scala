@@ -282,11 +282,29 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r14: the exact-rank path, now OPT-IN (approx=false) — pins the
+    // per-language rank-window twin that the approx default must stay
+    // bit-identical to at gate scale (oracle: the same rank SQL)
+    "q_text_ppl_buckets_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      val scored = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+        .filter(col("n_bigrams") > 0)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm",
+        approx = false)
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob_lm",
+          "perplexity", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
     // r13: the approx-cutoff path — per-language percentile_approx
     // aggregate instead of the per-language rank window (the 100 TB
     // shape: at web scale one language IS most of the corpus, so the
     // per-group sort has a single hot partition); bit-identical to the
-    // exact rank while accuracy >= the largest language
+    // exact rank while accuracy >= the largest language. As of r14
+    // this is also the DEFAULT (q_text_ppl_buckets rides it with no
+    // flag); kept as the explicit-knob pin.
     "q_text_ppl_buckets_approx" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
@@ -720,7 +738,11 @@ object OpsQueries {
       val scored = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
         .filter(col("n_bigrams") > 0)
         .join(docs.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
-      val kept = TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm")
+      // r14: the cutoff rides percentile_approx (explicit here though it
+      // is now also the default) — no per-language rank window in the
+      // composed plan; bit-identical to the rank at accuracy >= 2n
+      val kept = TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm",
+        approx = true)
         .filter(col("ppl_bucket") =!= "tail")
         .select(col("doc_id"), col("lang"), col("ppl_bucket"),
           TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
@@ -798,10 +820,21 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r14: the exact-rank path, now OPT-IN (approx=false) — pins the
+    // global rank-window twin the approx default must stay bit-identical
+    // to at gate scale
+    "q_dsir_select_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", fraction = 0.25, approx = false)
+        .orderBy("doc_id")
+    }),
+
     // r13: the approx-cutoff path — percentile_approx aggregate instead
     // of the global rank window (the 100 TB shape); bit-identical to the
     // exact rank while accuracy >= corpus size, so the oracle is the
-    // exact-path SQL
+    // exact-path SQL. As of r14 this is also the DEFAULT (q_dsir_select
+    // rides it with no flag); kept as the explicit-knob pin.
     "q_dsir_select_approx" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.ops.Dsir.select(docs, docs.filter(col("doc_id") % 7 === 0),
@@ -2007,8 +2040,10 @@ object OpsQueries {
     // value-based rank cutoffs (value at rank ceil(n*f) of lp DESC),
     // ties take the better bucket, 0-bigram docs excluded
     "q_text_ppl_buckets" -> pplBucketsOracleSql,
-    // approx cutoff path: bit-identical to the exact per-language rank
+    // approx cutoff path (the default as of r14) and the opt-in exact
+    // rank twin: bit-identical to the exact per-language rank
     // while accuracy >= the largest language — same oracle
+    "q_text_ppl_buckets_exact" -> pplBucketsOracleSql,
     "q_text_ppl_buckets_approx" -> pplBucketsOracleSql,
 
     // composed v5: LM score → per-language perplexity buckets → drop the
@@ -2241,6 +2276,7 @@ object OpsQueries {
     // accuracy >= corpus size), so the oracle is literally the same SQL
     "q_dsir_from_model" -> dsirSelectOracleSql,
     "q_dsir_select_approx" -> dsirSelectOracleSql,
+    "q_dsir_select_exact" -> dsirSelectOracleSql,
 
 
     "q_split_assign" ->
@@ -2638,6 +2674,26 @@ object OpsQueries {
       "gardens meadows forests rivers copy "
   private val v6LoopText: String = Seq.fill(40)("the data").mkString(" ")
 
+  /** v6 stage 5 (per-language perplexity terciles, approx cutoffs) as
+    * the UN-checkpointed frame — factored out of [[curationV6]] so the
+    * plan spec can assert the composed cutoff plan shape (no
+    * partition-less rank window; percentile_approx aggregate) on the
+    * exact frame the pipeline materializes, which the localCheckpoint
+    * boundary would otherwise hide from the final plan. */
+  private[graft] def v6PplStage(scored: DataFrame): DataFrame =
+    TA.perplexityBuckets(
+      scored.filter(col("n_bigrams") > 0), "doc_id", "lang", "avg_logprob_lm",
+      approx = true)
+      .select(col("doc_id"), col("ppl_bucket"))
+
+  /** v6 stage 6 (DSIR importance cut, approx cutoff) — un-checkpointed,
+    * factored for the same plan-spec reason as [[v6PplStage]]. */
+  private[graft] def v6DsirStage(pplSurvivors: DataFrame,
+                                 target: DataFrame): DataFrame =
+    graft.ops.Dsir.select(pplSurvivors, target, "doc_id", "text",
+      fraction = 0.5, approx = true)
+      .select(col("doc_id"), col("dsir_keep"))
+
   /** The v6 audit frame shared by q_curation_pipeline_v6 (per-doc rows)
     * and its _stats aggregation — one definition or the ledger drifts
     * from the audit. Stage semantics documented at the gate entry. */
@@ -2707,19 +2763,21 @@ object OpsQueries {
     val (uni, bi) = TA.lmTables(pop.filter(col("doc_id") % 3 === 0), "text")
     val scored = TA.externalLmLogProb(ruleSurvivors, "doc_id", "text", uni, bi)
       .join(ruleSurvivors.select("doc_id", "lang"), Seq("doc_id"))
-    val bucketed = TA.perplexityBuckets(
-      scored.filter(col("n_bigrams") > 0), "doc_id", "lang", "avg_logprob_lm")
-      .select(col("doc_id"), col("ppl_bucket"))
-      .localCheckpoint(true)
+    // r14: both population-dependent cutoffs (here and stage 6) ride
+    // percentile_approx — explicit though it is now also the default;
+    // the composed recipe carries NO partition-less rank window
+    // (PerfSpec pins the stage plans via v6PplStage/v6DsirStage, which
+    // exist so the assert sees the PRE-checkpoint plan), and at gate
+    // scale the approx cutoffs are bit-identical to the rank
+    // (accuracy >= 2n)
+    val bucketed = v6PplStage(scored).localCheckpoint(true)
     val pplSurvivors = ruleSurvivors.join(
       bucketed.filter(col("ppl_bucket") =!= "tail").select("doc_id"), "doc_id")
       .localCheckpoint(true)
 
     // stage 6: DSIR importance cut over the ppl survivors (target = the
     // population's %7 slice, a fixed trusted reference)
-    val dsir = graft.ops.Dsir.select(pplSurvivors,
-      pop.filter(col("doc_id") % 7 === 0), "doc_id", "text", fraction = 0.5)
-      .select(col("doc_id"), col("dsir_keep"))
+    val dsir = v6DsirStage(pplSurvivors, pop.filter(col("doc_id") % 7 === 0))
       .localCheckpoint(true)
     val dsirSurvivors = pplSurvivors.join(
       dsir.filter(col("dsir_keep")).select("doc_id"), "doc_id")

@@ -29,7 +29,8 @@ class ApproxCutoffSpec extends AnyFunSuite {
     // case), 1/3 → fractional rank, 1.0 → everything
     val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "s")
     for (f <- Seq(0.25, 1.0 / 3.0, 0.9, 1.0); asc <- Seq(false, true)) {
-      val exact = Sampling.topFractionByScore(df, "s", f, ascending = asc)
+      val exact = Sampling.topFractionByScore(df, "s", f, ascending = asc,
+        approx = false)
       val approx = Sampling.topFractionByScore(df, "s", f, ascending = asc,
         approx = true)
       assert(sameRows(exact, approx),
@@ -46,12 +47,12 @@ class ApproxCutoffSpec extends AnyFunSuite {
     val withNulls = Seq((1L, Some(9.0)), (2L, Some(1.0)), (3L, None))
       .toDF("id", "s")
     assert(sameRows(
-      Sampling.topFractionByScore(withNulls, "s", 0.5),
+      Sampling.topFractionByScore(withNulls, "s", 0.5, approx = false),
       Sampling.topFractionByScore(withNulls, "s", 0.5, approx = true)))
     // all-null: approx's 1-row NULL cutoff degrades like exact's empty one
     val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "s")
     assert(sameRows(
-      Sampling.topFractionByScore(allNull, "s", 0.5),
+      Sampling.topFractionByScore(allNull, "s", 0.5, approx = false),
       Sampling.topFractionByScore(allNull, "s", 0.5, approx = true)))
     // the guarantee BOUNDARY: exactness holds while accuracy >= 2n (the
     // GK sketch keeps zero rank slack below n <= accuracy/2); pin it at
@@ -60,7 +61,7 @@ class ApproxCutoffSpec extends AnyFunSuite {
     val big = (1L to 5000L).map(i => (i, ((i * 2654435761L) % 100003L).toDouble))
       .toDF("id", "s")
     assert(sameRows(
-      Sampling.topFractionByScore(big, "s", 0.25),
+      Sampling.topFractionByScore(big, "s", 0.25, approx = false),
       Sampling.topFractionByScore(big, "s", 0.25, approx = true, accuracy = 10000)),
       "approx must be exact at the accuracy == 2n boundary")
   }
@@ -68,7 +69,7 @@ class ApproxCutoffSpec extends AnyFunSuite {
   test("topFractionByScore approx: no global single-partition rank window in the plan") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, (i * 37 % 1000).toDouble)).toDF("id", "s")
-    val exactPlan = Sampling.topFractionByScore(df, "s", 0.25)
+    val exactPlan = Sampling.topFractionByScore(df, "s", 0.25, approx = false)
       .queryExecution.executedPlan.toString
     val approxPlan = Sampling.topFractionByScore(df, "s", 0.25, approx = true)
       .queryExecution.executedPlan.toString
@@ -93,7 +94,8 @@ class ApproxCutoffSpec extends AnyFunSuite {
       (13L, "b", -2.0), (14L, "b", -2.0), (15L, "b", -9.0)) ++
       (20L to 26L).map(i => (i, "c", -(i.toDouble / 3.0))))
       .toDF("doc_id", "grp", "lp")
-    val exact = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp")
+    val exact = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp",
+      approx = false)
     val approx = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "lp",
       approx = true)
     assert(sameRows(exact, approx),

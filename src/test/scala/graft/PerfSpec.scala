@@ -220,6 +220,50 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r14: composed v6 cutoff stages carry NO partition-less rank window") {
+    // The r13 verdict's one open scale-killer: the composed pipelines
+    // defaulted onto the exact global/per-language rank window. v5/v6
+    // now ride percentile_approx (also the operator default); this pins
+    // the PRE-checkpoint stage plans (the checkpoint boundary hides the
+    // stages from the final v6 plan), built via the same factored stage
+    // functions curationV6 materializes.
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "en", 5L, -1.2), (2L, "en", 3L, -2.4), (3L, "en", 4L, -0.8),
+      (4L, "de", 6L, -1.9), (5L, "de", 2L, -0.4), (6L, "de", 7L, -3.1))
+      .toDF("doc_id", "lang", "n_bigrams", "avg_logprob_lm")
+    val ppl = graft.queries.OpsQueries.v6PplStage(scored)
+    ppl.collect()
+    val pplPlan = ppl.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!pplPlan.contains("Window"),
+      s"v6 perplexity stage still ranks via a window:\n$pplPlan")
+    assert(pplPlan.contains("percentile_approx") ||
+      pplPlan.contains("approx_percentile"),
+      s"v6 perplexity stage must derive cutoffs via percentile_approx:\n$pplPlan")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"),
+      (3L, "eta theta iota kappa"), (4L, "alpha gamma eta theta"))
+      .toDF("doc_id", "text")
+    val dsir = graft.queries.OpsQueries.v6DsirStage(docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+    dsir.collect()
+    val dsirPlan = dsir.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!dsirPlan.contains("Window"),
+      s"v6 DSIR stage still ranks via a window:\n$dsirPlan")
+    assert(dsirPlan.contains("percentile_approx") ||
+      dsirPlan.contains("approx_percentile"),
+      s"v6 DSIR stage must derive its cutoff via percentile_approx:\n$dsirPlan")
+    // and the default path of the standalone gates inherits the same
+    // shape — a 100 TB caller passing no flag gets no rank window
+    Seq("q_dsir_select", "q_text_ppl_buckets").foreach { q =>
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Window"),
+        s"$q default path still carries a rank window:\n$plan")
+    }
+  }
+
   test("brute-force topk broadcasts the query side, not the corpus") {
     val plan = physicalPlan("q_sim_topk_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
