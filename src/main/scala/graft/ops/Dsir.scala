@@ -116,27 +116,47 @@ object Dsir {
       case Some(m) =>
         // mis-matched bucket width silently mis-bins every scored
         // feature (hash is MOD model_buckets) — refuse, don't trust.
-        // ONE aggregate job validates width uniformity AND the complete-
+        // ONE aggregate validates width uniformity AND the complete-
         // domain row count: a model table appended twice would otherwise
         // pass a first-row check and silently double n_feats/log_weight
         // through duplicate join matches. The cast keeps the check loud
         // (not a ClassCastException) for an artifact whose width column
         // was re-written as BIGINT.
+        //
+        // The check is LAZY (r14): this op composes inside larger plans,
+        // and an eager .collect() guard re-executes the model lineage at
+        // every query CONSTRUCTION — the selectByCutoff raise_error-in-
+        // plan shape instead makes validation execute WITH the query
+        // (one nBuckets-row aggregate, zero jobs at plan time, loud at
+        // runtime on violation). The guard value is CONSUMED by the
+        // model projection (when(__model_ok === 1, lw)) so column
+        // pruning can never drop the validating aggregate; when valid,
+        // __model_ok is always 1 and lw rides through unchanged.
         require(m.columns.contains("model_buckets") && m.columns.contains("lw"),
           "precomputedModel is not a Dsir.buildModel artifact: missing " +
             "lw/model_buckets columns")
-        val builds = m.groupBy(col("model_buckets").cast(IntegerType).as("w"))
-          .agg(count(lit(1)).as("rows")).collect()
-          .map(r => (r.getInt(0), r.getLong(1)))
-        require(builds.length == 1 && builds.head._1 == nBuckets,
-          s"precomputed DSIR model carries widths ${builds.map(_._1).toSeq.sorted} " +
-            s"but this call scores with nBuckets=$nBuckets — every feature " +
-            "would silently land in the wrong bucket")
-        require(builds.head._2 == nBuckets.toLong,
-          s"precomputed DSIR model holds ${builds.head._2} rows for " +
-            s"$nBuckets buckets — a duplicated/truncated artifact would " +
-            "silently corrupt n_feats and log_weight through the scoring join")
-        (featureBuckets(raw, idCol, textCol, nBuckets), m.select("b", "lw"))
+        val guard = m.agg(
+          count(lit(1)).as("__rows"),
+          min(col("model_buckets").cast(IntegerType)).as("__wmin"),
+          max(col("model_buckets").cast(IntegerType)).as("__wmax"))
+          .select(
+            when(col("__wmin") === nBuckets && col("__wmax") === nBuckets &&
+                 col("__rows") === nBuckets.toLong, lit(1))
+              .otherwise(raise_error(concat(
+                lit("precomputed DSIR model is not a clean buildModel " +
+                  s"artifact for nBuckets=$nBuckets: widths ["),
+                col("__wmin").cast(StringType), lit(".."),
+                col("__wmax").cast(StringType), lit("], rows "),
+                col("__rows").cast(StringType),
+                lit(" — a mis-matched width mis-bins every feature; a " +
+                  "duplicated/truncated artifact corrupts n_feats and " +
+                  "log_weight through the scoring join"))))
+              .as("__model_ok"))
+        val validated = m.select(col("b"), col("lw"))
+          .crossJoin(broadcast(guard))
+          .select(col("b"),
+            when(col("__model_ok") === 1, col("lw")).as("lw"))
+        (featureBuckets(raw, idCol, textCol, nBuckets), validated)
       case None =>
         val feats = featureBuckets(raw, idCol, textCol, nBuckets)
           .localCheckpoint(true)

@@ -76,17 +76,37 @@ class DsirModelSpec extends AnyFunSuite {
       s"unseen features must still score against the smoothed model: ${out.head}")
   }
 
-  test("bucket-width mismatch and non-artifact frames fail loud") {
+  test("bucket-width mismatch and non-artifact frames fail loud — lazily, with the query") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val target = docs.filter(col("doc_id") % 7 === 0)
     val m512 = Dsir.buildModel(docs, target, "doc_id", "text", nBuckets = 512)
-    val eWidth = intercept[IllegalArgumentException] {
-      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 4096,
-        precomputedModel = Some(m512))
+    // r14 (VERDICT task 5): validation executes WITH the query — plan
+    // CONSTRUCTION fires zero Spark jobs (the r13 shape ran an eager
+    // .collect() aggregate per composed query construction)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
+    spark.sparkContext.addSparkListener(listener)
+    val badWidth =
+      try {
+        val p = Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 4096,
+          precomputedModel = Some(m512))
+        Thread.sleep(500) // listener bus is async; a submitted job would land
+        assert(jobs.get() == 0,
+          s"plan construction must fire no Spark job, saw ${jobs.get()}")
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // ... and the violation still raises loudly, at execution
+    val eWidth = intercept[Exception] { badWidth.collect() }
     assert(eWidth.getMessage.contains("512") &&
       eWidth.getMessage.contains("nBuckets=4096"), eWidth.getMessage)
+    // a frame that is not a buildModel artifact at all fails at
+    // construction — a schema check needs no job
     val eShape = intercept[IllegalArgumentException] {
       Dsir.logWeights(docs, target, "doc_id", "text",
         precomputedModel = Some(Seq((1L, 0.5)).toDF("b", "lw")))
@@ -95,11 +115,11 @@ class DsirModelSpec extends AnyFunSuite {
     // a model table accidentally appended twice passes a first-row width
     // check but doubles n_feats/log_weight through duplicate join
     // matches — the row-count invariant must refuse it loudly (r13 review)
-    val eDup = intercept[IllegalArgumentException] {
+    val eDup = intercept[Exception] {
       Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 512,
-        precomputedModel = Some(m512.unionByName(m512)))
+        precomputedModel = Some(m512.unionByName(m512))).collect()
     }
-    assert(eDup.getMessage.contains("1024 rows"), eDup.getMessage)
+    assert(eDup.getMessage.contains("rows 1024"), eDup.getMessage)
   }
 
   test("selectIngest: held model + held cutoff flag a batch; artifacts survive parquet") {
