@@ -97,7 +97,7 @@ object Bench {
   def run(spark: SparkSession, sfDir: String, timed: Seq[String],
           queries: Map[String, (SparkSession, String) => DataFrame],
           passCount: Int = 3,
-          extraMetrics: Seq[(String, Seq[String])] = Nil): (String, Map[String, String]) = {
+          extraMetrics: Seq[(String, Seq[String])] = Nil): (String, String, Map[String, String]) = {
     // Execute via a noop-format write, not count(): a row count lets
     // Catalyst prune deterministic projections/sorts (ColumnPruning,
     // EliminateSorts), which would un-measure projection-only queries.
@@ -193,7 +193,29 @@ object Bench {
         .mkString(""","partial":true,"errors":{""", ",", "}")
     val json =
       f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$cpuJson$errJson}"""
-    (json, errs.toMap)
+    // COMPACT twin (r14): the driver stores only the last ~2000 chars of
+    // stdout, and the full artifact (per-query wall + cpu + extra-metric
+    // breakdowns) outgrew that window in r12/r13 — the captured tail
+    // started mid-object and parsed as null. The compact line keeps the
+    // complete driver contract (metric/value/unit/queries/sf) plus the
+    // extra-metric and cpu TOTALS, drops the secondary breakdowns (they
+    // live in the full line and the target/bench.json sidecar), and is
+    // printed as the process's FINAL stdout line so a bounded tail
+    // window always contains one complete parseable artifact.
+    val extraTotalsJson = extraMetrics.map { case (metric, names) =>
+      f""","$metric":${totalOf(names)}%.3f"""
+    }.mkString
+    val cpuTotalsJson =
+      f""","headline_cpu_total":${cpuTotalOf(timed)}%.3f""" +
+        extraMetrics.map { case (metric, names) =>
+          f""","${metric}_cpu":${cpuTotalOf(names)}%.3f"""
+        }.mkString
+    val errNamesJson =
+      if (errs.isEmpty) ""
+      else errs.keys.map(jq).mkString(""","partial":true,"failed":[""", ",", "]")
+    val compact =
+      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraTotalsJson$cpuTotalsJson$errNamesJson}"""
+    (json, compact, errs.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -230,14 +252,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (json, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
-    // self-defense against tail-capture truncation (BENCH_r12.json lost
-    // its headline_total header to a capture window that started mid-
-    // line): persist the artifact to a sidecar file, print it once here,
-    // and print it AGAIN as the process's final stdout line — after
-    // spark.stop()'s shutdown logging, so nothing can push its head out
-    // of a fixed-size tail window. Consumers taking the first OR the
-    // last JSON line both get a complete artifact.
+    val (json, compact, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
+    // Tail-capture self-defense, v2 (r14): the driver stores only the
+    // last ~2000 chars of stdout, which the FULL artifact outgrew (the
+    // r13 capture started mid-object → parsed null). The full artifact
+    // goes to the target/bench.json sidecar and ONE full stdout line
+    // (for whole-stream consumers); the process's FINAL line — after
+    // spark.stop()'s shutdown logging — is the COMPACT artifact, sized
+    // to fit a bounded tail window while keeping the complete driver
+    // contract (metric/value/unit/queries/sf + metric totals). Exactly
+    // one full and one compact line per run: a consumer that greps all
+    // JSON lines no longer double-counts (r13 ADVICE).
     try {
       val side = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(side.getParent)
@@ -251,9 +276,9 @@ object Bench {
     if (errs.nonEmpty) {
       val nTimed = (timed ++ extras.flatMap(_._2)).distinct.size
       System.err.println(s"[bench] ${errs.size} of $nTimed queries FAILED: ${errs.keys.mkString(", ")}")
-      println(json)
+      println(compact)
       sys.exit(1)
     }
-    println(json)
+    println(compact)
   }
 }

@@ -429,10 +429,15 @@ object Dedup {
     // cap/verify chains were a divergence risk); persisting the band
     // relation as a table is the only difference, and the only cost
     // difference: the inline derivation re-explodes the corpus per batch
-    minhashIncrementalFromIndex(newDocs, idCol, textCol,
+    // validateIndex = false: the index literals are constructed HERE
+    // from this call's own (bands, k) — correct by construction, and
+    // the distinct-across-rows validation would force an extra full
+    // corpus band explode per ingest batch just to re-read them (r14,
+    // ADVICE)
+    minhashIncrementalFromIndexImpl(newDocs, idCol, textCol,
       bandIndex(corpusSigs, corpusIdCol, sigCol, bands, k),
       corpusSigs, corpusIdCol, sigCol, shingleLen, k, bands, threshold,
-      maxBandFrequency)
+      maxBandFrequency, validateIndex = false)
 
   /** Persisted BAND INDEX: (band, doc) rows exploded once from a
     * signature store — the ingest artifact [[minhashIncremental]]'s
@@ -482,7 +487,23 @@ object Dedup {
                                   corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
                                   shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
                                   threshold: Double = 0.5,
-                                  maxBandFrequency: Option[Int] = None): DataFrame = {
+                                  maxBandFrequency: Option[Int] = None): DataFrame =
+    minhashIncrementalFromIndexImpl(newDocs, idCol, textCol, index,
+      corpusSigs, corpusIdCol, sigCol, shingleLen, k, bands, threshold,
+      maxBandFrequency, validateIndex = true)
+
+  /** Shared implementation: `validateIndex = false` is reserved for the
+    * inline [[minhashIncremental]] wrapper, whose index literals are
+    * correct by construction — every PERSISTED index (the public
+    * from-index entry point) is validated. */
+  private def minhashIncrementalFromIndexImpl(
+                                  newDocs: DataFrame, idCol: String, textCol: String,
+                                  index: DataFrame,
+                                  corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
+                                  shingleLen: Int, k: Int, bands: Int,
+                                  threshold: Double,
+                                  maxBandFrequency: Option[Int],
+                                  validateIndex: Boolean): DataFrame = {
     require(k % bands == 0,
       s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
         s"the trailing ${k % bands} signature positions")
@@ -496,26 +517,28 @@ object Dedup {
     // silently admitted. The index rows describe their own build
     // parameters ([[bandIndex]]) precisely so this call can refuse a
     // mismatched artifact instead of silently losing all recall.
-    require(index.columns.contains("index_bands") && index.columns.contains("index_k"),
-      "index is missing its self-describing index_bands/index_k columns — " +
-        "build it with Dedup.bandIndex (a bare (band, doc) relation cannot " +
-        "be validated against this call's (bands, k))")
-    // DISTINCT across all rows, not head(1): bandIndex maintenance
-    // appends per-batch slices, and a slice rebuilt with different
-    // parameters would hide behind the first row while its band keys
-    // silently match nothing (the kmvEstimate uniform-k discipline)
-    val builds = index.select(col("index_bands").cast(IntegerType),
-      col("index_k").cast(IntegerType)).distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    require(builds.length <= 1,
-      s"band index mixes build parameters ${builds.toSeq.sorted} — an appended " +
-        "slice was built with a different (bands, k); its rows silently " +
-        "produce zero candidates")
-    builds.foreach { case (ib, ik) =>
-      require(ib == bands && ik == k,
-        s"band index was built with (bands=$ib, k=$ik) but this ingest " +
-          s"probes with (bands=$bands, k=$k) — mismatched band keys would " +
-          "silently produce zero candidates")
+    if (validateIndex) {
+      require(index.columns.contains("index_bands") && index.columns.contains("index_k"),
+        "index is missing its self-describing index_bands/index_k columns — " +
+          "build it with Dedup.bandIndex (a bare (band, doc) relation cannot " +
+          "be validated against this call's (bands, k))")
+      // DISTINCT across all rows, not head(1): bandIndex maintenance
+      // appends per-batch slices, and a slice rebuilt with different
+      // parameters would hide behind the first row while its band keys
+      // silently match nothing (the kmvEstimate uniform-k discipline)
+      val builds = index.select(col("index_bands").cast(IntegerType),
+        col("index_k").cast(IntegerType)).distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      require(builds.length <= 1,
+        s"band index mixes build parameters ${builds.toSeq.sorted} — an appended " +
+          "slice was built with a different (bands, k); its rows silently " +
+          "produce zero candidates")
+      builds.foreach { case (ib, ik) =>
+        require(ib == bands && ik == k,
+          s"band index was built with (bands=$ib, k=$ik) but this ingest " +
+            s"probes with (bands=$bands, k=$k) — mismatched band keys would " +
+            "silently produce zero candidates")
+      }
     }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
     try {

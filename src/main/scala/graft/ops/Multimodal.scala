@@ -545,7 +545,7 @@ object Multimodal {
         "n_samples", "duration_ms")
   }
 
-  /** Energy-envelope audio fingerprint: mean |sample| per 160-sample
+  /** Energy-envelope audio fingerprint: mean |sample| per 160-FRAME
     * window (pure integer — a constant-amplitude window's mean IS its
     * amplitude, exactly), then a 47-bit delta code (bit w = 1 iff
     * energy(w) > energy(w−1), w ∈ [1, 47]) packed into a long. Similar
@@ -553,7 +553,16 @@ object Multimodal {
     * small hamming distances, so near-dup detection is
     * [[graft.ops.Dedup.hammingPairs]] over the `afp` column (the
     * dHash/phash_pairs shape, hot-block caps and all). Corrupt payloads
-    * degrade to a null fingerprint, which the pair stage filters. */
+    * degrade to a null fingerprint, which the pair stage filters.
+    *
+    * Channel contract (r14, ADVICE): windows count FRAMES, and a
+    * frame's energy contribution is the mean |sample| ACROSS channels —
+    * a stereo asset's loudness contour, not an interleaved L/R zigzag
+    * (windowing the raw interleaved array would silently halve every
+    * window and mix channel phases). Mono output is bit-identical to
+    * the pre-r14 definition (ch = 1 makes frames ≡ samples); a stereo
+    * file whose channels are identical fingerprints exactly like its
+    * mono downmix (AudioSpec pins both). */
   def audioFingerprintsBatched(assets: DataFrame, windowSamples: Int = 160,
                                batchSize: Int = 256): DataFrame = {
     require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
@@ -569,14 +578,19 @@ object Multimodal {
               else try readWavBounded(payload)
               catch { case _: Exception => None }
             decoded match {
-              case Some((_, _, _, samples)) if samples.length >= 2 * windowSamples =>
-                val nW = samples.length / windowSamples
+              case Some((_, ch, _, samples))
+                  if samples.length / ch >= 2 * windowSamples =>
+                // frames, not raw interleaved samples: window w covers
+                // frames [w·W, (w+1)·W); its energy is the mean |sample|
+                // over windowSamples·ch interleaved values — exact
+                // integer math, and ≡ the old definition when ch == 1
+                val nW = samples.length / ch / windowSamples
                 val energy = Array.tabulate(nW) { w =>
                   var sum = 0L
-                  var t = w * windowSamples
-                  val end = t + windowSamples
+                  var t = w * windowSamples * ch
+                  val end = t + windowSamples * ch
                   while (t < end) { sum += math.abs(samples(t).toLong); t += 1 }
-                  sum / windowSamples
+                  sum / (windowSamples.toLong * ch)
                 }
                 var fp = 0L
                 var w = 1

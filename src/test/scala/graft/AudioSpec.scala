@@ -101,4 +101,69 @@ class AudioSpec extends AnyFunSuite {
     // corrupt ids never appear on either side
     assert(pairs.forall(p => p._1 % 101 != 0 && p._2 % 101 != 0))
   }
+
+  /** 44-byte canonical header around 16-bit STEREO interleaved PCM —
+    * the generator is mono-only, so the stereo contract needs its own
+    * bytes (r14, ADVICE: the raw interleaved array must not be windowed
+    * as if it were frames). */
+  private def stereoWav(rate: Int, left: Array[Short],
+                        right: Array[Short]): Array[Byte] = {
+    require(left.length == right.length)
+    val data = new Array[Byte](left.length * 4)
+    var i = 0
+    while (i < left.length) {
+      val l = left(i); val r = right(i)
+      data(i * 4) = (l & 0xFF).toByte
+      data(i * 4 + 1) = ((l >> 8) & 0xFF).toByte
+      data(i * 4 + 2) = (r & 0xFF).toByte
+      data(i * 4 + 3) = ((r >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2) // PCM, stereo
+      .putInt(rate).putInt(rate * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
+  test("stereo fingerprints: frames average across channels; identical-channel stereo == mono") {
+    import spark.implicits._
+    val mono = assets.filter(col("asset_id") === 1).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val Some((rate, 1, _, samples)) = Multimodal.readWavBounded(mono)
+    // L == R == the mono payload: the loudness contour is the mono one,
+    // so the fingerprint AND window count must match bit for bit
+    val dup = stereoWav(rate, samples, samples)
+    // asymmetric channels, constant per window: frame energy must be the
+    // cross-channel mean (L+R)/2, not an interleaved L/R zigzag (which
+    // would also halve the window count)
+    val nW = samples.length / 160
+    val left = Array.fill[Short](samples.length)(1000)
+    val right = new Array[Short](samples.length)
+    (0 until nW).foreach { w =>
+      val amp: Short = if (w % 2 == 0) 3000 else 500
+      (0 until 160).foreach(t => right(w * 160 + t) = amp)
+    }
+    val asym = stereoWav(rate, left, right)
+    val out = Multimodal.audioFingerprintsBatched(Seq(
+      (1L, "audio/wav", mono), (2L, "audio/wav", dup), (3L, "audio/wav", asym))
+      .toDF("asset_id", "media_type", "payload"))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (Option(r.getAs[Any]("n_windows")), Option(r.getAs[Any]("afp")))).toMap
+    assert(out(2L) == out(1L),
+      s"identical-channel stereo must fingerprint exactly like mono: ${out(1L)} vs ${out(2L)}")
+    assert(out(3L)._1.contains(nW.toLong),
+      s"stereo windows must count frames, not interleaved samples: ${out(3L)}")
+    var expected = 0L
+    val e = (0 until nW).map(w => (1000 + (if (w % 2 == 0) 3000 else 500)) / 2)
+    (1 until math.min(nW, 48)).foreach(w => if (e(w) > e(w - 1)) expected |= 1L << w)
+    assert(out(3L)._2.contains(expected),
+      s"stereo energy must be the cross-channel mean: ${out(3L)}")
+  }
 }

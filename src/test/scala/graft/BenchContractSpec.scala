@@ -18,7 +18,7 @@ class BenchContractSpec extends AnyFunSuite {
     (s, d) => Tables.nation(s, d).selectExpr("no_such_column + 1")
 
   test("clean run: no partial flag, all queries timed, rc-equivalent empty errs") {
-    val (json, errs) = Bench.run(spark, sf, Seq("good"), Map("good" -> goodQ), passCount = 1)
+    val (json, _, errs) = Bench.run(spark, sf, Seq("good"), Map("good" -> goodQ), passCount = 1)
     assert(errs.isEmpty)
     assert(!json.contains("\"partial\""))
     assert(json.contains("\"good\":"))
@@ -26,7 +26,7 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("broken query: excluded from timings/total, err recorded, partial flag set") {
-    val (json, errs) = Bench.run(spark, sf,
+    val (json, _, errs) = Bench.run(spark, sf,
       Seq("good", "dead"), Map("good" -> goodQ, "dead" -> brokenQ), passCount = 1)
     assert(errs.keySet == Set("dead"))
     assert(json.contains("\"partial\":true"))
@@ -40,7 +40,7 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("extra metric: own total + query block, never counted in headline_total") {
-    val (json, errs) = Bench.run(spark, sf, Seq("good"),
+    val (json, _, errs) = Bench.run(spark, sf, Seq("good"),
       Map("good" -> goodQ, "cur1" -> goodQ, "cur2" -> goodQ), passCount = 1,
       extraMetrics = Seq("curation_total" -> Seq("cur1", "cur2")))
     assert(errs.isEmpty)
@@ -50,7 +50,7 @@ class BenchContractSpec extends AnyFunSuite {
     val headObj = json.substring(json.indexOf("\"queries\":"), json.indexOf(",\"sf\""))
     assert(headObj.contains("\"good\":") && !headObj.contains("cur1"))
     // a broken curation query flags the run partial but leaves headline timed
-    val (json2, errs2) = Bench.run(spark, sf, Seq("good"),
+    val (json2, _, errs2) = Bench.run(spark, sf, Seq("good"),
       Map("good" -> goodQ, "dead" -> brokenQ), passCount = 1,
       extraMetrics = Seq("curation_total" -> Seq("dead")))
     assert(errs2.keySet == Set("dead"))
@@ -58,7 +58,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(json2.contains("\"curation_total\":0.000"))
     // r10: two extra metrics serialize side by side, each with its own
     // total + query block, still none of them in headline_total
-    val (json3, errs3) = Bench.run(spark, sf, Seq("good"),
+    val (json3, _, errs3) = Bench.run(spark, sf, Seq("good"),
       Map("good" -> goodQ, "cur1" -> goodQ, "exc1" -> goodQ), passCount = 1,
       extraMetrics = Seq("curation_total" -> Seq("cur1"),
         "excision_total" -> Seq("exc1")))
@@ -71,7 +71,7 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("cpu axis: headline_cpu_total + cpu_queries present, broken queries excluded") {
-    val (json, errs) = Bench.run(spark, sf, Seq("good", "dead"),
+    val (json, _, errs) = Bench.run(spark, sf, Seq("good", "dead"),
       Map("good" -> goodQ, "dead" -> brokenQ, "cur1" -> goodQ), passCount = 1,
       extraMetrics = Seq("curation_total" -> Seq("cur1")))
     assert(errs.keySet == Set("dead"))
@@ -90,8 +90,37 @@ class BenchContractSpec extends AnyFunSuite {
     assert(cpuTotal >= 0.0)
   }
 
+  test("compact artifact: complete contract, totals only, bounded size, failures as names") {
+    // r14: the driver stores only the last ~2000 chars of stdout, so the
+    // FINAL printed line is the compact twin — full contract fields,
+    // extra-metric + cpu TOTALS, no per-query breakdowns beyond the
+    // headline block, failures as a name list (messages live in the
+    // full artifact + sidecar)
+    val (full, compact, errs) = Bench.run(spark, sf, Seq("good", "dead"),
+      Map("good" -> goodQ, "dead" -> brokenQ, "cur1" -> goodQ), passCount = 1,
+      extraMetrics = Seq("curation_total" -> Seq("cur1")))
+    assert(errs.keySet == Set("dead"))
+    assert(compact.contains("\"metric\":\"headline_total\"") &&
+      compact.contains("\"unit\":\"sec\"") &&
+      compact.contains("\"queries\":{") && compact.contains("\"good\":") &&
+      compact.contains(",\"sf\":"))
+    assert(compact.contains("\"curation_total\":") &&
+      compact.contains("\"headline_cpu_total\":") &&
+      compact.contains("\"curation_total_cpu\":"))
+    assert(!compact.contains("curation_total_queries") &&
+      !compact.contains("cpu_queries"),
+      s"compact must drop the secondary breakdowns: $compact")
+    assert(compact.contains("\"partial\":true") &&
+      compact.contains("\"failed\":[\"dead\"]"))
+    assert(compact.length < full.length)
+    // both lines must be self-delimiting JSON objects
+    Seq(full, compact).foreach { j =>
+      assert(j.startsWith("{") && j.endsWith("}"), j)
+    }
+  }
+
   test("all queries broken: zero total, every name in errors") {
-    val (json, errs) = Bench.run(spark, sf, Seq("d1", "d2"),
+    val (json, _, errs) = Bench.run(spark, sf, Seq("d1", "d2"),
       Map("d1" -> brokenQ, "d2" -> brokenQ), passCount = 1)
     assert(errs.keySet == Set("d1", "d2"))
     assert(json.contains("\"value\":0.000"))
