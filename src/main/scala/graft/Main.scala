@@ -101,6 +101,9 @@ object Main {
   /** Testable core: returns the process exit code. */
   def execute(spark: SparkSession, args: Args, out: java.io.PrintWriter): Int = {
     if (args.command == "init") return initProject(args, out)
+    // library-shipped native model functions must be registered before
+    // the load resolves `fn:` declarations (parse-time fail-fast)
+    graft.ops.CurationRecipe.installNatives()
     val loaded = Project.load(args.project)
     Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,

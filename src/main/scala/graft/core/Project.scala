@@ -104,6 +104,68 @@ object Project {
     }
     val contractTests = contracts.values.flatMap(_._2).toSeq
 
+    // native-code models: `models/<name>.native.conf` (SURVEY §2.5 — the
+    // engine's Python-model replacement as a PROJECT file, r14). The body
+    // is a registered Scala function ([[NativeRegistry]]), so the file
+    // declares what a regex scan cannot see in code: dependencies and
+    // config. Lines (colon-separated; ref/source repeat):
+    //   fn: <registered native name>        (required)
+    //   ref: <model name>                   (dependency, repeatable)
+    //   source: <source>.<table>            (dependency, repeatable)
+    //   materialized: table|incremental|view  (default table — a native
+    //     view cannot persist a compiled SELECT for fresh sessions, so
+    //     the persistent default is what a DAG consumer expects)
+    //   incremental_strategy / unique_key / tags / meta.<k>: as config()
+    val nativeFiles = {
+      val d = root.resolve("models")
+      if (!Files.isDirectory(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(_.toString.endsWith(".native.conf")).toSeq.sortBy(_.toString)
+    }
+    val nativeModels = nativeFiles.map { p =>
+      val name = stem(p).stripSuffix(".native")
+      val content = Files.readString(p)
+      val lines = Files.readAllLines(p).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          l.split(":", 2) match {
+            case Array(k, v) => k.trim -> v.trim
+            case _ => throw new IllegalArgumentException(
+              s"bad native model line in $p: $l")
+          }
+        }.toSeq
+      val kv = lines.filterNot(l => l._1 == "ref" || l._1 == "source").toMap
+      val fnName = kv.getOrElse("fn", throw new IllegalArgumentException(
+        s"$p: native model needs 'fn: <NativeRegistry name>'"))
+      val srcs = lines.collect { case ("source", v) =>
+        v.split("\\.", 2) match {
+          case Array(s, t) => (s.trim, t.trim)
+          case _ => throw new IllegalArgumentException(
+            s"$p: source line needs <source>.<table>: $v")
+        }
+      }
+      Node(NodeType.Model, conf.name, name,
+        // resolved at parse time: a typo'd fn fails the load, not the run
+        code = Some(NativeCode(NativeRegistry(fnName))),
+        config = NodeConfig(
+          materialized = kv.getOrElse("materialized", "table"),
+          incrementalStrategy = kv.get("incremental_strategy"),
+          uniqueKey = kv.get("unique_key").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          tags = kv.get("tags").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
+          meta = lines.collect {
+            case (k, v) if k.startsWith("meta.") => k.stripPrefix("meta.") -> v
+          }.toMap),
+        refs = lines.collect { case ("ref", v) => v },
+        sources = srcs,
+        path = Some(root.relativize(p).toString),
+        fqn = conf.name +: relFqn(root.resolve("models"), p, name),
+        // the fn body is opaque — the registry name + declaration file
+        // stand in for a content hash (state:modified sees conf edits)
+        checksum = md5(fnName + "\n" + content))
+    }
+
     val snapshots = sqlFiles("snapshots").map { case (name, p) =>
       TemplateResolver.parseModel(conf.name, name, Files.readString(p))
         .copy(nodeType = NodeType.Snapshot, path = Some(root.relativize(p).toString))
@@ -268,7 +330,7 @@ object Project {
 
     // testedNode resolves against the FULL refable set — a singular test's
     // first ref may be a seed or snapshot, not only a model
-    val refable = (models ++ snapshots ++ seeds)
+    val refable = (models ++ nativeModels ++ snapshots ++ seeds)
       .filter(n => NodeType.refable(n.nodeType))
       .map(n => n.name -> n.uniqueId).toMap
     // a tests.conf line and a contract constraint may synthesize the same
@@ -283,7 +345,7 @@ object Project {
     // ref('model') and two-arg ref('pkg','model') both resolve across
     // packages (reference: package resolution core/dbt/deps/, installed
     // projects parse like the root project)
-    val own = modelsWithUnits ++ snapshots ++ testsLinked ++ seeds ++
+    val own = modelsWithUnits ++ nativeModels ++ snapshots ++ testsLinked ++ seeds ++
       sourceNodes ++ exposureNodes ++ unitLinked ++ semanticNodes ++ savedQueryNodes
     val ownIds = own.map(_.uniqueId).toSet
     val packageNodes = conf.packages.toSeq.sortBy(_._1).flatMap { case (_, dir) =>

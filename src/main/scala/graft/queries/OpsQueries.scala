@@ -772,6 +772,27 @@ object OpsQueries {
       curationV6(s, d).orderBy("doc_id")
     }),
 
+    // r14 (VERDICT task 2): the SAME v6 recipe run BY the engine's own
+    // DAG. The checked-in examples/curation project — native-code stage
+    // models (CurationRecipe fns via NativeRegistry), SQL survivor
+    // models, generic tests on the audit table, the rule battery as an
+    // incremental merge model — is staged with its source pointed at
+    // this gate's sf dir and built through the real CLI path
+    // (Main.execute "build": scheduling, test-blocking edges,
+    // artifacts). The gate row is the RUNNER-materialized audit table,
+    // checked against the identical v6 DuckDB oracle — the integration
+    // proof that the dbt-parity engine and the ops layer compose.
+    "q_curation_project" -> ((s, d) => {
+      val proj = stageCurationProject(d)
+      val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+      val code = graft.Main.execute(s, graft.Main.Args(
+        command = "build", project = proj), sink)
+      require(code == 0, s"graft build of the curation project exited $code")
+      new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+        .read(graft.core.Relation("graft", "main", "audit"))
+        .orderBy("doc_id")
+    }),
+
     // the attrition ledger of v6: docs entering / surviving each stage
     // in recipe order — the table every public curation paper prints
     "q_curation_pipeline_v6_stats" -> ((s, d) => {
@@ -2061,6 +2082,17 @@ object OpsQueries {
          |  drop_stage IS NULL AS final_keep
          |FROM audit ORDER BY doc_id""".stripMargin,
 
+    // r14: the DAG-project form materializes the SAME recipe stage by
+    // stage through the Runner — identical audit, identical oracle
+    "q_curation_project" ->
+      s"""$curationV6AuditCtes
+         |SELECT doc_id, lang, lang_ok, gopher_ok, rep_ok, block_ok,
+         |  ppl_bucket, CAST(dsir_keep AS VARCHAR) AS dsir_keep,
+         |  CAST(dup_survivor AS VARCHAR) AS dup_survivor,
+         |  CAST(contaminated AS VARCHAR) AS contaminated, drop_stage,
+         |  drop_stage IS NULL AS final_keep
+         |FROM audit ORDER BY doc_id""".stripMargin,
+
     "q_curation_pipeline_v6_stats" ->
       s"""$curationV6AuditCtes,
          |ao AS (SELECT *, CASE drop_stage WHEN 'langid' THEN 1 WHEN 'gopher' THEN 2
@@ -2663,177 +2695,95 @@ object OpsQueries {
     * approx-cutoff forms (same semantics, different plan). */
   // one definition of the v6 planted texts, shared by the Spark query
   // and its oracle — a one-character drift fails every stage downstream
-  private val v6CloneTemplate: String =
-    "the archive that holds these records spans decades with careful " +
-      "notes about weather crops prices travel letters maps sketches " +
-      "recipes songs stories games tools fabrics metals spices powders " +
-      "liquids engines wheels bridges towers markets harbors vessels " +
-      "journeys seasons harvest winter spring summer autumn morning " +
-      "evening midday twilight shadows colors sounds voices whispers " +
-      "echoes signals beacons lanterns candles mirrors windows doorways " +
-      "gardens meadows forests rivers copy "
-  private val v6LoopText: String = Seq.fill(40)("the data").mkString(" ")
+  // the plant constants live with the recipe (one definition backs the
+  // composed gate, the examples/curation DAG project, and this oracle)
+  private def v6CloneTemplate: String = graft.ops.CurationRecipe.cloneTemplate
+  private def v6LoopText: String = graft.ops.CurationRecipe.loopText
 
-  /** v6 stage 5 (per-language perplexity terciles, approx cutoffs) as
-    * the UN-checkpointed frame — factored out of [[curationV6]] so the
-    * plan spec can assert the composed cutoff plan shape (no
-    * partition-less rank window; percentile_approx aggregate) on the
-    * exact frame the pipeline materializes, which the localCheckpoint
-    * boundary would otherwise hide from the final plan. */
+  /** v6 stage 5 / stage 6 cutoff frames (pre-checkpoint) — thin
+    * delegates to [[graft.ops.CurationRecipe]] kept so the plan spec can
+    * assert the composed cutoff plan shape (no partition-less rank
+    * window; percentile_approx aggregate) on the exact frames the
+    * pipeline materializes, which the localCheckpoint boundary would
+    * otherwise hide from the final plan. */
   private[graft] def v6PplStage(scored: DataFrame): DataFrame =
-    TA.perplexityBuckets(
-      scored.filter(col("n_bigrams") > 0), "doc_id", "lang", "avg_logprob_lm",
-      approx = true)
-      .select(col("doc_id"), col("ppl_bucket"))
-
-  /** v6 stage 6 (DSIR importance cut, approx cutoff) — un-checkpointed,
-    * factored for the same plan-spec reason as [[v6PplStage]]. */
+    graft.ops.CurationRecipe.pplBuckets(scored)
   private[graft] def v6DsirStage(pplSurvivors: DataFrame,
                                  target: DataFrame): DataFrame =
-    graft.ops.Dsir.select(pplSurvivors, target, "doc_id", "text",
-      fraction = 0.5, approx = true)
-      .select(col("doc_id"), col("dsir_keep"))
+    graft.ops.CurationRecipe.dsirCut(pplSurvivors, target)
+
+  /** Stage the checked-in examples/curation project into a temp dir
+    * with its corpus source rewritten to `sfDir` (the committed conf
+    * hardcodes sf0.001 for direct CLI use); everything else is copied
+    * byte-for-byte so the gate exercises exactly the committed project.
+    * Returns the staged project dir. */
+  private[graft] def stageCurationProject(sfDir: String): String = {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = JP.get("examples/curation")
+    require(JF.isDirectory(src),
+      "examples/curation is missing — the gate stages the checked-in project")
+    val dst = JF.createTempDirectory("graft_curation_project")
+    JF.walk(src).iterator().asScala
+      .filter(p => JF.isRegularFile(p) &&
+        !src.relativize(p).toString.startsWith("target"))
+      .foreach { p =>
+        val rel = src.relativize(p)
+        val to = dst.resolve(rel.toString)
+        JF.createDirectories(to.getParent)
+        if (rel.toString == "graft_project.conf") {
+          val rewritten = JF.readString(p).linesIterator.map {
+            case l if l.trim.startsWith("sources.corpus") =>
+              s"sources.corpus = $sfDir"
+            case l => l
+          }.mkString("", "\n", "\n")
+          JF.writeString(to, rewritten)
+        } else JF.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    dst.toString
+  }
 
   /** The v6 audit frame shared by q_curation_pipeline_v6 (per-doc rows)
     * and its _stats aggregation — one definition or the ledger drifts
-    * from the audit. Stage semantics documented at the gate entry. */
+    * from the audit. The stage functions themselves live in
+    * [[graft.ops.CurationRecipe]] (r14): the SAME functions back the
+    * `examples/curation` DAG project, where the Runner materializes each
+    * stage as a table — this composed form chains them lazily with
+    * localCheckpoint stage boundaries instead (each population-dependent
+    * stage consumes its predecessor several times, and the dedup stage's
+    * connected-components iterations re-execute their whole input
+    * lineage per round; a real run persists stages as tables, which is
+    * exactly what the project form does). Stage and plant semantics:
+    * CurationRecipe scaladoc + the gate entry. */
   private def curationV6(s: SparkSession, d: String): DataFrame = {
-    val s2 = s
-    import s2.implicits._
-    val raw = Tables.documents(s, d)
-    // Plants (mirrored CASE-for-CASE in the oracle) — the fixture has no
-    // near-duplicates and no degenerate repetition, so two drop classes
-    // could never fire without them:
-    //  - ids ≡ 21 (mod 105 = 3·5·7): five TEMPLATE CLONES differing only
-    //    in a trailing id token — pairwise levenshtein ≤ 4, one dedup
-    //    cluster. 105's factors thread them through the population-
-    //    dependent stages: ≡ 0 (mod 3) puts their bigrams in the held LM
-    //    (scoreable, head bucket), ≡ 0 (mod 7) puts them in the DSIR
-    //    target (their features carry target mass, so the cut keeps
-    //    them) — they reach stage 7 and all but the best drop there.
-    //  - ids ≡ 36 (mod 111): a degenerate two-word loop — passes langid
-    //    (stopword-heavy), gopher (80 words, clean structure), then
-    //    fails the repetition battery (top-bigram fraction 1.0).
-    //  - ids ≡ 0 (mod 13): blocklist terms (the q_text_blocklist plant).
-    val cloneText = concat(lit(v6CloneTemplate), col("doc_id").cast(StringType))
-    val loopText = lit(v6LoopText)
-    val aug = raw.select(col("doc_id"),
-      when(col("doc_id") % 105 === 21 || col("doc_id") % 111 === 36, lit("en"))
-        .otherwise(col("lang")).as("lang"),
-      when(col("doc_id") % 105 === 21, cloneText)
-        .when(col("doc_id") % 111 === 36, loopText)
-        .otherwise(concat(col("text"),
-          when(col("doc_id") % 13 === 0, lit(" badword1 normal badword2"))
-            .otherwise(lit("")))).as("text"))
-    val bench = aug.filter(col("doc_id") % 97 === 0)
-    val pop = aug.filter(col("doc_id") % 97 =!= 0)
-
-    // stages 1-4: per-doc rules, computed independently on the full
-    // candidate population (cascade == intersection for per-doc flags)
-    val langOk = pop.select(col("doc_id"),
-      (TA.languageId(col("text")) === col("lang")).as("lang_ok"))
-    val gopherOk = TA.gopherQualityFlags(pop, "doc_id", "text",
-      minWords = 60, minStopTypes = 1)
-      .select(col("doc_id"), col("gopher_keep").as("gopher_ok"))
-    val repOk = Repetition.ngramRepetition(pop, "doc_id", "text")
-      .select(col("doc_id"), col("repetition_keep").as("rep_ok"))
-    val blockOk = TA.wordBlocklist(pop, "doc_id", "text",
-      Seq("badword1", "badword2", "badword3").toDF("word"), "word")
-      .select(col("doc_id"), col("blocklist_keep").as("block_ok"))
-    // stage boundaries are MATERIALIZATION points (localCheckpoint —
-    // the minhashIncrementalFromIndex pattern): each population-
-    // dependent stage consumes its predecessor several times (cutoff
-    // derivation + assignment + survivor join), and the dedup stage's
-    // connected-components iterations re-execute their whole input
-    // lineage per round — unsevered, the composed plan re-derives the
-    // rule battery and LM scoring dozens of times. A real curation run
-    // persists each stage as a table; the checkpoint is the same shape.
-    val rules = pop.select("doc_id", "lang")
-      .join(langOk, "doc_id").join(gopherOk, "doc_id")
-      .join(repOk, "doc_id").join(blockOk, "doc_id")
-      .withColumn("rules_pass",
-        col("lang_ok") && col("gopher_ok") && col("rep_ok") && col("block_ok"))
-      .localCheckpoint(true)
-    val ruleSurvivors = pop
-      .join(rules.filter(col("rules_pass")).select("doc_id"), "doc_id")
-      .localCheckpoint(true)
-
-    // stage 5: external-LM perplexity tail drop — LM reference held from
-    // the population's %3 slice; terciles derive from the RULE SURVIVORS
-    val (uni, bi) = TA.lmTables(pop.filter(col("doc_id") % 3 === 0), "text")
-    val scored = TA.externalLmLogProb(ruleSurvivors, "doc_id", "text", uni, bi)
-      .join(ruleSurvivors.select("doc_id", "lang"), Seq("doc_id"))
-    // r14: both population-dependent cutoffs (here and stage 6) ride
-    // percentile_approx — explicit though it is now also the default;
-    // the composed recipe carries NO partition-less rank window
-    // (PerfSpec pins the stage plans via v6PplStage/v6DsirStage, which
-    // exist so the assert sees the PRE-checkpoint plan), and at gate
-    // scale the approx cutoffs are bit-identical to the rank
-    // (accuracy >= 2n)
+    import graft.ops.{CurationRecipe => CR}
+    val aug = CR.augment(Tables.documents(s, d))
+    val bench = CR.bench(aug)
+    val pop = CR.pop(aug)
+    // stages 1-4: the per-doc rule battery
+    val rules = CR.rules(pop).localCheckpoint(true)
+    val ruleSurvivors = CR.ruleSurvivors(pop, rules).localCheckpoint(true)
+    // stage 5: external-LM perplexity tail drop — LM held from the
+    // population's %3 slice; terciles derive from the RULE SURVIVORS
+    // via the approx cutoff (no rank window — PerfSpec pins v6PplStage)
+    val (uni, bi) = CR.lmTables(pop)
+    val scored = CR.scoredLm(ruleSurvivors, uni, bi)
     val bucketed = v6PplStage(scored).localCheckpoint(true)
-    val pplSurvivors = ruleSurvivors.join(
-      bucketed.filter(col("ppl_bucket") =!= "tail").select("doc_id"), "doc_id")
+    val pplSurvivors = CR.pplSurvivors(ruleSurvivors, bucketed)
       .localCheckpoint(true)
-
-    // stage 6: DSIR importance cut over the ppl survivors (target = the
-    // population's %7 slice, a fixed trusted reference)
-    val dsir = v6DsirStage(pplSurvivors, pop.filter(col("doc_id") % 7 === 0))
+    // stage 6: DSIR importance cut (target = the population's %7 slice)
+    val dsir = v6DsirStage(pplSurvivors, CR.dsirTarget(pop))
       .localCheckpoint(true)
-    val dsirSurvivors = pplSurvivors.join(
-      dsir.filter(col("dsir_keep")).select("doc_id"), "doc_id")
+    val dsirSurvivors = CR.dsirSurvivors(pplSurvivors, dsir)
       .localCheckpoint(true)
-
-    // stage 7: fuzzy dedup (the v4 shape) among the DSIR survivors —
-    // ASCII projection for engine-parity levenshtein, keep-best by
-    // quality score
-    val ascii = dsirSurvivors.select(col("doc_id"),
-      regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
-    val pairs = Dedup.editDistancePairs(ascii, "doc_id", "text",
-      maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
-    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    val qual = dsirSurvivors.select(col("doc_id"),
-      TA.qualityScore(col("text")).as("quality"))
-    val kept = Dedup.keepBest(qual, "doc_id", "quality", comp)
-      .select(col("doc_id"), col("is_survivor").as("dup_survivor"))
-      .localCheckpoint(true)
-    val dupSurvivors = dsirSurvivors.join(
-      kept.filter(col("dup_survivor")).select("doc_id"), "doc_id")
-
-    // stage 8: decontamination — 4-shingle overlap vs the held bench
-    val decon = Decontaminate.flagOverlap(dupSurvivors, bench,
-      "doc_id", "text", n = 4, minOverlap = 1)
-      .select(col("doc_id"), col("contaminated"))
-
+    // stage 7: fuzzy dedup (v4 shape), keep-best by quality
+    val kept = CR.dedupKept(dsirSurvivors).localCheckpoint(true)
+    val dupSurvivors = CR.dupSurvivors(dsirSurvivors, kept)
+    // stage 8: decontamination vs the held bench
+    val decon = CR.decontaminate(dupSurvivors, bench)
     // the audit itself is the reusable artifact: the per-doc gate reads
     // it once, the _stats gate aggregates it eight times
-    rules
-      .join(bucketed, Seq("doc_id"), "left")
-      .join(dsir, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
-      .join(decon, Seq("doc_id"), "left")
-      .withColumn("drop_stage",
-        when(!col("lang_ok"), "langid")
-          .when(!col("gopher_ok"), "gopher")
-          .when(!col("rep_ok"), "repetition")
-          .when(!col("block_ok"), "blocklist")
-          .when(col("ppl_bucket").isNull || col("ppl_bucket") === "tail",
-            "perplexity")
-          .when(!col("dsir_keep"), "dsir")
-          .when(!col("dup_survivor"), "dedup")
-          .when(col("contaminated"), "decontamination")
-          .otherwise(lit(null).cast(StringType)))
-      .withColumn("final_keep", col("drop_stage").isNull)
-      // the stage-6..8 verdicts are NULLABLE booleans (NULL = the doc
-      // never reached the stage); as strings ('true'/'false'/NULL) the
-      // two engines' pandas conversions agree — a nullable BOOLEAN
-      // converts to None on one side and NaN on the other
-      .select(col("doc_id"), col("lang"), col("lang_ok"), col("gopher_ok"),
-        col("rep_ok"), col("block_ok"), col("ppl_bucket"),
-        col("dsir_keep").cast(StringType).as("dsir_keep"),
-        col("dup_survivor").cast(StringType).as("dup_survivor"),
-        col("contaminated").cast(StringType).as("contaminated"),
-        col("drop_stage"), col("final_keep"))
-      .localCheckpoint(true)
+    CR.audit(rules, bucketed, dsir, kept, decon).localCheckpoint(true)
   }
 
   /** The v6 audit CTE chain (DuckDB), ending at the MATERIALIZED `audit`

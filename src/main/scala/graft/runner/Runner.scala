@@ -168,7 +168,17 @@ final class Runner(
         val df =
           if (d.isEphemeral) buildDf(d)
           else {
-            val base = spark.table(resolveRelationName(d))
+            // a source dep lives as the session view registerSources
+            // created (`<source>_<table>`), not in the warehouse — the
+            // same name compileSql's resolveSource hands SQL models
+            val base = d.nodeType match {
+              case NodeType.Source =>
+                val (s0, t0) = d.sources.headOption.getOrElse(
+                  throw new IllegalStateException(
+                    s"source node ${d.uniqueId} missing its (source, table)"))
+                spark.table(s"${s0}_$t0")
+              case _ => spark.table(resolveRelationName(d))
+            }
             (sampleWindow, d.config.eventTime) match {
               case (Some((s, e)), Some(et)) =>
                 import org.apache.spark.sql.functions.{col, lit}

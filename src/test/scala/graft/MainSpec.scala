@@ -847,3 +847,78 @@ class ExposureDocsSpec extends AnyFunSuite {
       cat.contains("\"id\":\"row_count\",\"label\":\"Row Count\",\"value\":1"))
   }
 }
+
+/** r14 (VERDICT task 2): the examples/curation project — the v6 recipe
+  * as DAG nodes (native-code stage models resolved via NativeRegistry,
+  * SQL survivor models, generic tests on the audit, the rule battery as
+  * an incremental merge model) — built through the REAL CLI path. The
+  * oracle-grade output equivalence is the q_curation_project gate; this
+  * spec pins the CLI behaviors around it: scheduling order, test
+  * results, artifacts, and incremental idempotence on re-run. */
+class CurationProjectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("graft build runs the curation DAG: natives + SQL + tests + incremental re-run") {
+    val dir = graft.queries.OpsQueries.stageCurationProject("/root/testdata/sf0.001")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark,
+      Main.Args(command = "build", project = dir, threads = 4),
+      new java.io.PrintWriter(sw, true))
+    val out = sw.toString
+    assert(code == 0, out)
+    // every stage model materialized by the Runner
+    Seq("aug", "pop", "bench", "rules", "rule_survivors", "lm_uni", "lm_bi",
+      "scored", "bucketed", "ppl_survivors", "dsir", "dsir_survivors",
+      "dedup_kept", "dup_survivors", "decon", "audit").foreach { m =>
+      assert(out.contains(s"SUCCESS  model.curation.$m"), s"missing $m in:\n$out")
+    }
+    // the audit's generic tests all pass
+    Seq("audit_doc_id_not_null", "audit_doc_id_unique",
+      "audit_final_keep_not_null", "audit_drop_stage_accepted_values")
+      .foreach { t =>
+        assert(out.contains(s"PASS     test.curation.$t"), s"missing $t in:\n$out")
+      }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "target", "run_results.json")))
+
+    // the Runner-built audit == the composed-query audit, row for row
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    val built = rm.read(Relation("graft", "main", "audit"))
+    val composed = SparkEntry.queries("q_curation_pipeline_v6")(
+      spark, "/root/testdata/sf0.001")
+    assert(built.exceptAll(composed).isEmpty && composed.exceptAll(built).isEmpty,
+      "project-built audit diverged from the composed v6 audit")
+    val n1 = built.count()
+    assert(n1 > 0)
+
+    // incremental idempotence: a second build merges the rule battery on
+    // doc_id (same population -> same verdicts, no duplicate rows) and
+    // the audit reproduces byte-for-byte
+    val sw2 = new java.io.StringWriter()
+    val code2 = Main.execute(spark,
+      Main.Args(command = "build", project = dir, threads = 4),
+      new java.io.PrintWriter(sw2, true))
+    assert(code2 == 0, sw2.toString)
+    import org.apache.spark.sql.functions.col
+    val rules2 = rm.read(Relation("graft", "main", "rules"))
+    assert(rules2.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "incremental merge re-run must not duplicate rule rows")
+    val built2 = rm.read(Relation("graft", "main", "audit"))
+    assert(built2.exceptAll(composed).isEmpty && composed.exceptAll(built2).isEmpty,
+      "audit drifted on the incremental re-run")
+  }
+
+  test("a typo'd native fn fails at parse time with the known names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_native_typo")
+    java.nio.file.Files.writeString(dir.resolve("graft_project.conf"),
+      "name = typo\n")
+    val models = dir.resolve("models")
+    java.nio.file.Files.createDirectories(models)
+    java.nio.file.Files.writeString(models.resolve("x.native.conf"),
+      "fn: curation_augmnt\n")
+    graft.ops.CurationRecipe.installNatives()
+    val e = intercept[NoSuchElementException](Project.load(dir.toString))
+    assert(e.getMessage.contains("curation_augmnt") &&
+      e.getMessage.contains("curation_augment"), e.getMessage)
+  }
+}
