@@ -41,6 +41,36 @@ object Sq8 {
     (rows.map(_._2), rows.map { case (_, l, h) => h - l })
   }
 
+  /** DRIFT MONITOR (r14): the fraction of a batch's dimension-values
+    * falling OUTSIDE the held [lo, lo+span] bounds. Every such value
+    * clamps to code 0/255 at encode time, so under distribution drift
+    * the store's recall degrades SILENTLY — drifted vectors pile onto
+    * the boundary codes and become mutually indistinguishable. A
+    * continuous ingest computes this per batch and, past a declared
+    * threshold, retrains bounds/centroids and re-encodes the
+    * accumulated store (the artifacts are plain tables — the rebuild is
+    * [[trainBounds]] + [[encode]] + Ivf.assignCells over the
+    * store-of-record; q_stream_ann_retrain gates the full loop and
+    * QuantizedRecallSpec pins the recall recovery). One O(batch·dims)
+    * map-side-combining aggregate; driver-scalar result — this is an
+    * ingest-control decision, not a data output. Empty batch → 0.0. */
+  def clampFraction(batch: DataFrame, vecCol: String,
+                    lo: Array[Double], span: Array[Double]): Double = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bounds = lo.indices.map(i => (i, lo(i), lo(i) + span(i)))
+      .toDF("dim", "__lo", "__hi")
+    val row = batch
+      .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .join(broadcast(bounds), Seq("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("__lo") || col("x") > col("__hi"), 1L)
+          .otherwise(0L)).as("c"))
+      .collect()(0)
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0)
+  }
+
   /** Encode every corpus vector to per-dim uint8 codes: (id, codes).
     * Pure map — persist the output as the searchable store. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,

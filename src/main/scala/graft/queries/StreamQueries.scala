@@ -404,6 +404,111 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r14 (VERDICT task 4): ANN-store DRIFT DEFENSE. q_stream_ann_ingest
+    // clamps out-of-range batch values to code 0/255 against bounds
+    // trained once on the initial store — under distribution drift every
+    // drifted vector piles onto the boundary codes and recall degrades
+    // SILENTLY. This ingest adds the defense loop: the store-of-record
+    // (raw vectors) accumulates alongside the codes, each batch's
+    // Sq8.clampFraction is compared against a declared threshold (0.2),
+    // and a crossing triggers the RETRAIN path — bounds + centroids
+    // re-derived from the accumulated store, codes/cells tables rebuilt
+    // from it (trainBounds + encode + assignCells over plain tables).
+    // Batch 1 is in-distribution (clamp ≈ 0, appends against held
+    // artifacts); batch 2 is PLANTED DRIFT (every dim shifted +2.0f —
+    // entirely above the store's hi, clamp ≈ 1.0 → retrain). Because the
+    // retrain re-encodes everything, the final artifacts equal a
+    // one-shot build over the full post-drift corpus with the same
+    // deterministic rules (bounds = global min/max, centroids = the 8
+    // smallest vec_ids) — which is exactly what the oracle computes:
+    // stream-with-retrain ≡ batch-rebuilt.
+    "q_stream_ann_retrain" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Ivf, Similarity, Sq8}
+      import graft.relations.RelationManager
+      val s2 = s
+      import s2.implicits._
+      val landing = Files.createTempDirectory("graft_sret_in")
+      val ckpt = Files.createTempDirectory("graft_sret_ck")
+      val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val store = vecs.filter(col("vec_id") % 3 === 0)
+      val batch1 = vecs.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 2 === 0)
+      // the drifted generation: +2.0f per dim (float add — IEEE-single
+      // identical in Spark and DuckDB), entirely outside the store's hi
+      val batch2 = vecs.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 2 =!= 0)
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(2.0f)))
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", batch1, t0)
+      stageAsFile(landing, "1.parquet", batch2, t0 + 600000L)
+
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sret_wh").toString)
+      val centRel = graft.core.Relation("graft", "main", "annr_centroids")
+      val boundsRel = graft.core.Relation("graft", "main", "annr_bounds")
+      val codesRel = graft.core.Relation("graft", "main", "annr_codes")
+      val cellsRel = graft.core.Relation("graft", "main", "annr_cells")
+      val vecsRel = graft.core.Relation("graft", "main", "annr_vectors")
+      def centroidsOf(df: org.apache.spark.sql.DataFrame, n: Int): Seq[(Int, Array[Double])] =
+        df.orderBy("vec_id").limit(n)
+          .select(col("vec_id").cast(org.apache.spark.sql.types.LongType),
+            Similarity.asDouble(col("embedding")).as("v"))
+          .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toSeq
+      def loadCentroids(): Seq[(Int, Array[Double])] =
+        rm.read(centRel).collect()
+          .map(r => (r.getAs[Int]("cid"),
+            r.getSeq[Double](r.fieldIndex("cvec")).toArray)).sortBy(_._1).toSeq
+      def loadBounds(): (Array[Double], Array[Double]) = {
+        val r = rm.read(boundsRel).collect()(0)
+        (r.getSeq[Double](r.fieldIndex("lov")).toArray,
+          r.getSeq[Double](r.fieldIndex("spanv")).toArray)
+      }
+      def writeArtifacts(all: org.apache.spark.sql.DataFrame): Unit = {
+        val (lo, span) = Sq8.trainBounds(all, "embedding")
+        val cents = centroidsOf(all, 8)
+        rm.writeTable(cents.map { case (c, v) => (c, v.toSeq) }
+          .toDF("cid", "cvec"), centRel)
+        rm.writeTable(Seq((lo.toSeq, span.toSeq)).toDF("lov", "spanv"), boundsRel)
+        rm.writeTable(Sq8.encode(all, "vec_id", "embedding", lo, span)
+          .localCheckpoint(true), codesRel)
+        rm.writeTable(Ivf.assignCells(all, "vec_id", "embedding", cents)
+          .localCheckpoint(true), cellsRel)
+      }
+      // bootstrap: artifacts + store-of-record from the initial store
+      rm.writeTable(store, vecsRel)
+      writeArtifacts(store)
+      val q = s.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val b = batch.localCheckpoint(true)
+          rm.appendTable(b, vecsRel) // store-of-record first: retrain reads it
+          val (lo, span) = loadBounds()
+          if (Sq8.clampFraction(b, "embedding", lo, span) > 0.2) {
+            // RETRAIN: every artifact re-derived from the accumulated
+            // store; the appended history re-encodes under the new bounds
+            writeArtifacts(rm.read(vecsRel))
+          } else {
+            rm.appendTable(Sq8.encode(b, "vec_id", "embedding", lo, span)
+              .localCheckpoint(true), codesRel)
+            rm.appendTable(Ivf.assignCells(b, "vec_id", "embedding", loadCentroids())
+              .localCheckpoint(true), cellsRel)
+          }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val cents = loadCentroids()
+      val (lo, span) = loadBounds()
+      val all = rm.read(vecsRel)
+      Sq8.topKWithIvf(all.filter(col("vec_id") < 10), all,
+        "vec_id", "embedding", k = 5, cents, lo, span, nProbe = 2,
+        precomputedCodes = Some(rm.read(codesRel)),
+        precomputedCells = Some(rm.read(cellsRel)))
+        .orderBy("query_id", "rank")
+    }),
+
     // r13: CONTINUOUS-INGEST DSIR selection — the importance-resampling
     // analog of q_stream_select, completing the artifact-driven
     // selection family. The bucket model (Dsir.buildModel over the
@@ -581,6 +686,62 @@ object StreamQueries {
          |  FROM cand c
          |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
          |  JOIN embeddings q ON q.vec_id = c.query_id, bv)
+         |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // ANN-store drift retrain (r14): batch 2's planted +2.0f shift trips
+    // the clamp-fraction threshold, and the retrain path re-derives every
+    // artifact from the accumulated store-of-record and re-encodes the
+    // whole history — so the final state is EXACTLY a one-shot build over
+    // the post-drift corpus with the same deterministic rules (bounds =
+    // global per-dim min/max, centroids = the 8 smallest vec_ids):
+    // stream-with-retrain ≡ batch-rebuilt. Float +2 is IEEE-single
+    // identical in both engines before the ::DOUBLE widen.
+    "q_stream_ann_retrain" -> {
+      val cosEC = JoinQueries.cosineSql("e.embedding", "c.cvec")
+      s"""WITH emb2 AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 3 <> 0 AND vec_id % 2 <> 0
+         |      THEN list_transform(embedding, x -> x + 2::FLOAT)
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings),
+         |vals AS (
+         |  SELECT vec_id, d, embedding[d]::DOUBLE AS x
+         |  FROM emb2, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) g),
+         |bounds AS (SELECT d, min(x) AS lo, max(x) - min(x) AS span
+         |  FROM vals GROUP BY 1),
+         |bv AS (SELECT list(lo ORDER BY d) AS lov, list(span ORDER BY d) AS spanv FROM bounds),
+         |enc AS (
+         |  SELECT vec_id, list(CASE WHEN span <= 0 THEN 0
+         |    ELSE LEAST(GREATEST(CAST(floor((x - lo) / span * 256.0) AS INTEGER), 0), 255) END
+         |    ORDER BY d) AS codes
+         |  FROM vals JOIN bounds USING (d) GROUP BY vec_id),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM emb2 WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $cosEC DESC, c.cid) AS rnk
+         |  FROM emb2 e CROSS JOIN cents c),
+         |corpus_cells AS (
+         |  SELECT vec_id AS neighbor_id, cid AS cell FROM assigned WHERE rnk = 1),
+         |query_cells AS (
+         |  SELECT vec_id AS query_id, cid AS cell
+         |  FROM assigned WHERE vec_id < 10 AND rnk <= 2),
+         |cand AS (
+         |  SELECT q.query_id, cc.neighbor_id
+         |  FROM query_cells q JOIN corpus_cells cc USING (cell)
+         |  WHERE q.query_id <> cc.neighbor_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${JoinQueries.sq8DistSql("q.embedding", "e2.codes")} AS sq8_dist
+         |  FROM cand c
+         |  JOIN enc e2 ON e2.vec_id = c.neighbor_id
+         |  JOIN emb2 q ON q.vec_id = c.query_id, bv)
          |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY sq8_dist, neighbor_id) AS rank

@@ -177,4 +177,41 @@ class QuantizedRecallSpec extends AnyFunSuite {
     info(f"planted ivf-sq8 mate-precision@5 = $pIvf%.3f")
     assert(pIvf >= 0.9, f"IVF-SQ8 confused planted clusters: $pIvf%.3f < 0.9")
   }
+
+  test("drift defense: stale bounds destroy recall, clampFraction detects it, retrain recovers") {
+    // r14 (VERDICT task 4). Planted drift: the fixture vectors shifted
+    // +2.0f per dim become the drifted generation (ids 0..n-1, the
+    // queries); the originals are the store (ids +10000). Under the
+    // STORE-trained bounds every drifted dim clamps to code 255 — all
+    // drifted vectors encode identically, so their mutual distances
+    // vanish and recall collapses to tie-order noise. The clampFraction
+    // monitor separates the regimes (≈1.0 vs 0.0 against the declared
+    // 0.2 threshold), and retraining bounds on the accumulated union —
+    // exactly what q_stream_ann_retrain's ingest does — recovers recall.
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val store = e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+    val union = store.unionByName(drifted).localCheckpoint(true)
+    val unionVecs = union.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = exactTopK(unionVecs, 10)
+
+    val (loS, spanS) = Sq8.trainBounds(store, "embedding")
+    val fracDrift = Sq8.clampFraction(drifted, "embedding", loS, spanS)
+    val fracStore = Sq8.clampFraction(store, "embedding", loS, spanS)
+    info(f"clampFraction drifted=$fracDrift%.3f in-distribution=$fracStore%.3f")
+    assert(fracDrift > 0.2, f"planted drift must trip the threshold: $fracDrift%.3f")
+    assert(fracStore == 0.0, f"the store never clamps against its own bounds: $fracStore%.3f")
+
+    val stale = recallOf(Sq8.topK(union.filter(col("vec_id") < 10), union,
+      "vec_id", "embedding", k = K, loS, spanS), exact)
+    val (loR, spanR) = Sq8.trainBounds(union, "embedding")
+    val recovered = recallOf(Sq8.topK(union.filter(col("vec_id") < 10), union,
+      "vec_id", "embedding", k = K, loR, spanR), exact)
+    info(f"recall@5 stale=$stale%.3f retrained=$recovered%.3f")
+    assert(stale < 0.5, f"stale bounds should have destroyed recall: $stale%.3f")
+    assert(recovered >= 0.8, f"retrain must recover recall: $recovered%.3f < 0.8")
+    assert(recovered > stale)
+  }
 }
