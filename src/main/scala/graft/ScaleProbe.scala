@@ -351,8 +351,10 @@ object ScaleProbe {
           Some((up, bp))
         } else None
       timed("external_lm_logprob", runs, opFilter) {
+        // strategy pinned: this leg's historical meaning is the shuffled
+        // vocab join (its 929x shuffle growth IS the measurement)
         ops.TextAnalysis.externalLmLogProb(docs, "doc_id", "text",
-          lmTabs.get._1, lmTabs.get._2)
+          lmTabs.get._1, lmTabs.get._2, strategy = "shuffle")
           .agg(count(lit(1)), sum("avg_logprob_lm")).collect()(0).getLong(0)
       }
       lmTabs.foreach { case (u, b) => u.unpersist(); b.unpersist() }
@@ -445,7 +447,8 @@ object ScaleProbe {
       timed("select_ingest_fixedbatch", runs, opFilter) {
         ops.TextAnalysis.lmSelectIngest(docs.filter(col("doc_id") < 5000),
           "doc_id", "text", "lang",
-          selArts.get._1, selArts.get._2, selArts.get._3)
+          selArts.get._1, selArts.get._2, selArts.get._3,
+          strategy = "shuffle")
           .agg(count(lit(1)),
             sum(when(col("selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
       }
@@ -454,9 +457,11 @@ object ScaleProbe {
       // vocab-dominated — this leg pins the fits-in-memory fast path
       // where ONLY the batch rows ever shuffle)
       timed("select_ingest_fixedbatch_bcast", runs, opFilter) {
+        // the regime is now a declared knob, not a caller-side hint (r14)
         ops.TextAnalysis.lmSelectIngest(docs.filter(col("doc_id") < 5000),
           "doc_id", "text", "lang",
-          broadcast(selArts.get._1), broadcast(selArts.get._2), selArts.get._3)
+          selArts.get._1, selArts.get._2, selArts.get._3,
+          strategy = "broadcast")
           .agg(count(lit(1)),
             sum(when(col("selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
       }

@@ -339,6 +339,23 @@ object TextAnalysis {
     (unigrams, bigrams)
   }
 
+  /** Resolve a held LM artifact's declared join strategy (r14):
+    * "broadcast" hints it outright, "shuffle" leaves the keyed join,
+    * "auto" broadcasts iff the optimizer's size estimate fits the
+    * declared threshold (plan-time only — no job; an unstatted derived
+    * frame estimates large and takes the safe shuffle path). */
+  private def lmStrategized(artifact: DataFrame, strategy: String,
+                            thresholdBytes: Long): DataFrame =
+    strategy match {
+      case "broadcast" => broadcast(artifact)
+      case "shuffle"   => artifact
+      case "auto" =>
+        val est = artifact.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= BigInt(thresholdBytes)) broadcast(artifact) else artifact
+      case other => throw new IllegalArgumentException(
+        s"LM artifact join strategy must be auto|broadcast|shuffle: $other")
+    }
+
   /** Score documents against an EXTERNAL (held) language model declared
     * as data: `unigrams(tok, lp)` + `bigrams(w1, w2, lp2)` logprob tables
     * (from [[lmTables]] or any ARPA-style artifact loaded as parquet).
@@ -347,13 +364,27 @@ object TextAnalysis {
     * flooring at exp(`oovLogProb`) — held-out scoring must stay finite on
     * vocabulary the model never saw. When the tables ARE the scoring
     * corpus's own counts this reduces to [[bigramLogProb]] (spec-pinned
-    * to 1e-6, the output rounding grain). Same join discipline as
-    * bigramLogProb: shuffle joins keyed on (w1,w2)/w2 — an external LM
-    * can run to 10¹⁰ bigram types, never assumed broadcastable. */
+    * to 1e-6, the output rounding grain).
+    *
+    * Join-regime DECLARATION (r14, VERDICT task 6 — previously folk
+    * knowledge at the call site): `strategy` picks how the LM tables
+    * meet the batch's bigram rows. "shuffle" keys the joins on
+    * (w1,w2)/w2 — the bigramLogProb discipline, correct at any vocab
+    * size (an external LM can run to 10¹⁰ bigram types). "broadcast"
+    * ships the tables to every executor — when a trained artifact fits
+    * executor memory, ONLY the batch rows ever shuffle (SCALE.md pins a
+    * 939× shuffle collapse on the probe leg, and the ~16M-row-vocab
+    * cliff where broadcast build time kills it). "auto" (default)
+    * decides from the tables' optimizer size estimate against
+    * `broadcastThresholdBytes` — persisted artifacts carry real file
+    * sizes, derived frames without stats estimate large and safely take
+    * the shuffle path. */
   def externalLmLogProb(df: DataFrame, idCol: String, textCol: String,
                         unigrams: DataFrame, bigrams: DataFrame,
                         lambda: Double = 0.7,
-                        oovLogProb: Double = -20.0): DataFrame = {
+                        oovLogProb: Double = -20.0,
+                        strategy: String = "auto",
+                        broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
     val bigRows = df.select(col(idCol),
         explode(org.apache.spark.sql.graft.VectorExpressions
           .wordShingles(col(textCol), 2, distinct = false)).as("bg"))
@@ -361,8 +392,10 @@ object TextAnalysis {
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val scored = bigRows
-      .join(bigrams.select(col("w1"), col("w2"), col("lp2")), Seq("w1", "w2"), "left")
-      .join(unigrams.select(col("tok").as("w2"), col("lp")), Seq("w2"), "left")
+      .join(lmStrategized(bigrams.select(col("w1"), col("w2"), col("lp2")),
+        strategy, broadcastThresholdBytes), Seq("w1", "w2"), "left")
+      .join(lmStrategized(unigrams.select(col("tok").as("w2"), col("lp")),
+        strategy, broadcastThresholdBytes), Seq("w2"), "left")
       .groupBy(col(idCol)).agg(
         count(lit(1)).cast(LongType).as("n_bigrams"),
         sum(log(
@@ -573,17 +606,22 @@ object TextAnalysis {
     * bucket and are never selected — surfaced, not dropped.
     *
     * Scale shape: one batch-sized bigram explode joined against the
-    * vocabulary-sized LM tables (O(batch + vocab) shuffle — the corpus
-    * never moves), then a broadcast cutoff comparison. When the LM
-    * tables fit executor memory (a trained LM artifact usually does),
-    * pass them pre-wrapped in `functions.broadcast(...)`: the vocab side
-    * then never shuffles either and the ingest is O(batch) on the
-    * shuffle axis — both shapes pinned by SCALE.md r13 probe legs. */
+    * vocabulary-sized LM tables, then a broadcast cutoff comparison.
+    * `strategy` DECLARES the LM-join regime (r14 — rides through to
+    * [[externalLmLogProb]]): "shuffle" is O(batch + vocab) on the
+    * shuffle axis (the corpus never moves); "broadcast" is O(batch)
+    * when the trained artifact fits executor memory; "auto" (default)
+    * picks from the artifact's size estimate against
+    * `broadcastThresholdBytes` — both regimes pinned by SCALE.md probe
+    * legs, including the ~16M-row-vocab broadcast cliff. */
   def lmSelectIngest(batch: DataFrame, idCol: String, textCol: String,
                      langCol: String, unigrams: DataFrame, bigrams: DataFrame,
                      cutoffs: DataFrame,
-                     dropBuckets: Seq[String] = Seq("tail")): DataFrame = {
-    val scored = externalLmLogProb(batch, idCol, textCol, unigrams, bigrams)
+                     dropBuckets: Seq[String] = Seq("tail"),
+                     strategy: String = "auto",
+                     broadcastThresholdBytes: Long = 64L << 20): DataFrame = {
+    val scored = externalLmLogProb(batch, idCol, textCol, unigrams, bigrams,
+      strategy = strategy, broadcastThresholdBytes = broadcastThresholdBytes)
       .join(batch.select(col(idCol), col(langCol)), Seq(idCol))
     val assigned = assignPplBuckets(
       scored.filter(col("n_bigrams") > 0), langCol, "avg_logprob_lm", cutoffs)

@@ -267,6 +267,27 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r14 (VERDICT task 6): the LM-join regime is now a DECLARED knob
+    // (strategy = auto | broadcast | shuffle) instead of a caller-side
+    // broadcast() hint — these two rows pin both regimes to the same
+    // oracle (the join strategy is a plan choice, never a result choice;
+    // SCALE.md probes both: O(batch) shuffle for broadcast vs the
+    // vocab-dominated shuffle join, and the ~16M-row broadcast cliff)
+    "q_text_lm_external_bcast" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      TA.externalLmLogProb(docs, "doc_id", "text", uni, bi,
+        strategy = "broadcast")
+        .orderBy("doc_id")
+    }),
+    "q_text_lm_external_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+      TA.externalLmLogProb(docs, "doc_id", "text", uni, bi,
+        strategy = "shuffle")
+        .orderBy("doc_id")
+    }),
+
     // r12: CCNet head/middle/tail perplexity terciles PER LANGUAGE over
     // the external-LM scores — value-based rank cutoffs (ties take the
     // better bucket), unscoreable docs (0 bigrams) excluded
@@ -2051,6 +2072,19 @@ object OpsQueries {
     // exp/ln roundtrips must agree bitwise with the JVM (empirically
     // pinned by this gate, like ln in the unigram/bigram oracles)
     "q_text_lm_external" ->
+      s"""$externalLmCtes
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // both declared LM-join regimes produce the same rows — same oracle
+    "q_text_lm_external_bcast" ->
+      s"""$externalLmCtes
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_text_lm_external_shuffle" ->
       s"""$externalLmCtes
          |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
          |  COALESCE(a.avg_logprob_lm, 0.0) AS avg_logprob_lm

@@ -264,6 +264,40 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r14: LM-artifact join strategy is a declared knob, not folk knowledge") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val (uni, bi) = graft.ops.TextAnalysis.lmTables(
+      docs.filter(col("doc_id") % 3 === 0), "text")
+    def logicalPlan(strategy: String): String =
+      graft.ops.TextAnalysis.externalLmLogProb(docs, "doc_id", "text", uni, bi,
+        strategy = strategy).queryExecution.optimizedPlan.toString
+    // "broadcast" plants a hint on each of the two LM-table joins over
+    // whatever the artifact plans already carry internally (lmTables'
+    // 1-row total rides its own broadcast crossJoin) — so the contract
+    // is the DELTA vs the shuffle plan, asserted at the LOGICAL level
+    // (AQE may still runtime-convert a small shuffle join, which is
+    // exactly the behavior "shuffle" defers to instead of forcing)
+    def hints(plan: String): Int =
+      "strategy=broadcast".r.findAllIn(plan).size
+    val base = hints(logicalPlan("shuffle"))
+    assert(hints(logicalPlan("broadcast")) == base + 2,
+      s"broadcast strategy must hint exactly the two LM-table joins " +
+        s"(baseline $base):\n${logicalPlan("broadcast")}")
+    val e = intercept[IllegalArgumentException](logicalPlan("bcast"))
+    assert(e.getMessage.contains("auto|broadcast|shuffle"), e.getMessage)
+    // auto under a zero threshold must take the safe shuffle path
+    val autoTiny = graft.ops.TextAnalysis.externalLmLogProb(docs, "doc_id",
+      "text", uni, bi, broadcastThresholdBytes = 0L)
+      .queryExecution.optimizedPlan.toString
+    assert(hints(autoTiny) == base,
+      s"auto under a zero threshold must not hint the LM joins:\n$autoTiny")
+    val auto = graft.ops.TextAnalysis.externalLmLogProb(docs, "doc_id", "text",
+      uni, bi).queryExecution.optimizedPlan.toString
+    info(s"auto at the default threshold chose " +
+      (if (hints(auto) > base) "broadcast" else "shuffle"))
+  }
+
   test("brute-force topk broadcasts the query side, not the corpus") {
     val plan = physicalPlan("q_sim_topk_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
