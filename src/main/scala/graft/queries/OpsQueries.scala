@@ -1258,6 +1258,79 @@ object OpsQueries {
          |  )) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** Shared edit-distance candidate prefix (through `prefilt`) for the
+    * two levenshtein-verified oracles. r14 sweep fix: levenshtein over
+    * the raw 1.4M banded candidates at sf0.1 ran past any budget; two
+    * SOUND prefilters cut it to the near-identical pairs (12.7 s for
+    * the full closure, 256 verified pairs — identical output):
+    *   - |len(a) − len(b)| ≤ 16 (levenshtein ≥ length difference);
+    *   - |shingles(a) ∩ shingles(b)| ≥ max(|A|,|B|) − 80: one edit
+    *     changes the CONTENT of at most 5 overlapping 5-char windows
+    *     (an indel shifts positions, but shifted windows keep their
+    *     substring content), so ≤ 16 edits disturb ≤ 80 distinct
+    *     shingles; hash collisions only inflate the intersection, so
+    *     the bound stays sound.
+    * Stage CTEs are AS MATERIALIZED (each is consumed repeatedly).
+    * Emitted WITHOUT the WITH keyword for RECURSIVE consumers. */
+  private def editDistancePairCtes: String =
+    s"""docs_ascii AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+       |  FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id AS doc, $charShinglesSql AS shs FROM docs_ascii),
+       |sig AS MATERIALIZED (
+       |  SELECT doc, list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(shs) = 0 THEN 2147483647
+       |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+       |    END) AS sig
+       |  FROM sh),
+       |banded AS MATERIALIZED (
+       |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM sig),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+       |prefilt AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN docs_ascii la ON la.doc_id = doc_a JOIN docs_ascii lb ON lb.doc_id = doc_b
+       |  JOIN sh sa ON sa.doc = doc_a JOIN sh sb ON sb.doc = doc_b
+       |  WHERE abs(length(la.text) - length(lb.text)) <= 16
+       |    AND len(list_intersect(sa.shs, sb.shs)) >= greatest(len(sa.shs), len(sb.shs)) - 80)""".stripMargin
+
+  /** Shared minhash-LSH candidate/verify CTE prefix (through `pairs`)
+    * for the four banded-dedup oracles. r14 shape fix for the sf0.1
+    * sweep: the old form dragged both 32-element sig ARRAYS through the
+    * candidate DISTINCT (1.4M rows at sf0.1 — DuckDB spent >10 min on
+    * array-keyed dedup) and, being plain CTEs, re-derived the whole
+    * chain at every reference. Now: cand dedups bare (doc_a, doc_b)
+    * ints, the sigs join back only for the agreement verify, and the
+    * stage CTEs are AS MATERIALIZED (the Spark side's localCheckpoint
+    * discipline, NOTES r13) — 10.4 s for the full closure at sf0.1.
+    * Emitted WITHOUT the WITH keyword so closure consumers can prefix
+    * WITH RECURSIVE. */
+  private def minhashPairCtes: String =
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
+       |sig AS MATERIALIZED (
+       |  SELECT doc, list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(shs) = 0 THEN 2147483647
+       |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+       |    END) AS sig
+       |  FROM sh),
+       |banded AS MATERIALIZED (
+       |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM sig),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, est_jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |      len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est_jaccard
+       |    FROM cand JOIN sig sa ON cand.doc_a = sa.doc JOIN sig sb ON cand.doc_b = sb.doc) t
+       |  WHERE est_jaccard >= 0.5)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1267,46 +1340,12 @@ object OpsQueries {
         |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc)
-         |SELECT doc_a, doc_b,
-         |  len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est_jaccard
-         |FROM cand
-         |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+      s"""WITH $minhashPairCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+      s"""WITH RECURSIVE $minhashPairCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -1365,24 +1404,7 @@ object OpsQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_keep_best" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+      s"""WITH RECURSIVE $minhashPairCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -1681,27 +1703,10 @@ object OpsQueries {
     // there, so DuckDB's byte-based levenshtein agrees with Spark's
     // codepoint-based one), Levenshtein verify instead of the estimate
     "q_dedup_edit_distance" ->
-      s"""WITH docs_ascii AS (
-         |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM docs_ascii),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc)
+      s"""WITH $editDistancePairCtes
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance
-         |FROM cand
+         |FROM prefilt
          |JOIN docs_ascii ta ON ta.doc_id = doc_a
          |JOIN docs_ascii tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 16
@@ -1873,25 +1878,9 @@ object OpsQueries {
     // projection, levenshtein-verified pairs (<= 16), transitive closure,
     // quality survivors — each CTE mirrors the per-stage oracles
     "q_curation_pipeline_v4" ->
-      s"""WITH RECURSIVE docs_ascii AS (
-         |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
-         |  FROM documents),
-         |sh AS (SELECT doc_id AS doc, $charShinglesSql AS shs FROM docs_ascii),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
+      s"""WITH RECURSIVE $editDistancePairCtes,
+         |pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM prefilt
          |  JOIN docs_ascii ta ON ta.doc_id = doc_a
          |  JOIN docs_ascii tb ON tb.doc_id = doc_b
          |  WHERE levenshtein(ta.text, tb.text) <= 16),
@@ -2354,24 +2343,7 @@ object OpsQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_split_cluster_safe" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM documents),
-         |sig AS (
-         |  SELECT doc, list_transform(generate_series(0, 31), i ->
-         |    CASE WHEN len(shs) = 0 THEN 2147483647
-         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
-         |    END) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc, sig, unnest(list_transform(generate_series(0, 7), b ->
-         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5),
+      s"""WITH RECURSIVE $minhashPairCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
