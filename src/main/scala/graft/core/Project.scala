@@ -125,7 +125,7 @@ object Project {
     val nativeModels = nativeFiles.map { p =>
       val name = stem(p).stripSuffix(".native")
       val content = Files.readString(p)
-      val lines = Files.readAllLines(p).asScala
+      val lines = content.linesIterator
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           l.split(":", 2) match {
@@ -134,6 +134,15 @@ object Project {
               s"bad native model line in $p: $l")
           }
         }.toSeq
+      // same fail-fast discipline as the fn lookup: a typo'd config key
+      // would otherwise silently change materialization (r14 review)
+      val knownKeys = Set("fn", "ref", "source", "materialized",
+        "incremental_strategy", "unique_key", "tags")
+      lines.foreach { case (k, _) =>
+        require(knownKeys(k) || k.startsWith("meta."),
+          s"$p: unknown native model key '$k' — known: " +
+            (knownKeys.toSeq.sorted :+ "meta.<k>").mkString(", "))
+      }
       val kv = lines.filterNot(l => l._1 == "ref" || l._1 == "source").toMap
       val fnName = kv.getOrElse("fn", throw new IllegalArgumentException(
         s"$p: native model needs 'fn: <NativeRegistry name>'"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,7 +112,7 @@ object Dsir {
                  textCol: String, nBuckets: Int = 4096,
                  smoothing: Double = 1.0,
                  precomputedModel: Option[DataFrame] = None): DataFrame = {
-    val (rawFeats, model) = precomputedModel match {
+    val (rawFeats, model, guardOpt) = precomputedModel match {
       case Some(m) =>
         // mis-matched bucket width silently mis-bins every scored
         // feature (hash is MOD model_buckets) — refuse, don't trust.
@@ -132,6 +132,17 @@ object Dsir {
         // model projection (when(__model_ok === 1, lw)) so column
         // pruning can never drop the validating aggregate; when valid,
         // __model_ok is always 1 and lw rides through unchanged.
+        // Empty-relation defense (r14 review): the guard is consumed by
+        // BOTH the model projection and the FINAL output projection. The
+        // model-side consumption alone is deletable — a model artifact
+        // Catalyst knows (or AQE learns) is empty propagates emptiness
+        // over the crossJoin and scoring join, silently zeroing every
+        // weight where r13's eager check threw. The final-frame
+        // consumption survives that: the guard is a GLOBAL aggregate
+        // (one row even over an empty model), so its crossJoin onto the
+        // output can only vanish if the batch itself is empty — and an
+        // empty batch yields an empty, uncorruptible result (the one
+        // documented miss; DsirModelSpec pins both sides).
         require(m.columns.contains("model_buckets") && m.columns.contains("lw"),
           "precomputedModel is not a Dsir.buildModel artifact: missing " +
             "lw/model_buckets columns")
@@ -142,11 +153,14 @@ object Dsir {
           .select(
             when(col("__wmin") === nBuckets && col("__wmax") === nBuckets &&
                  col("__rows") === nBuckets.toLong, lit(1))
+              // coalesce every fragment: an EMPTY model artifact yields
+              // NULL __wmin/__wmax, and concat-with-NULL would null the
+              // whole diagnostic out of the raise (r14 review)
               .otherwise(raise_error(concat(
                 lit("precomputed DSIR model is not a clean buildModel " +
                   s"artifact for nBuckets=$nBuckets: widths ["),
-                col("__wmin").cast(StringType), lit(".."),
-                col("__wmax").cast(StringType), lit("], rows "),
+                coalesce(col("__wmin").cast(StringType), lit("none")), lit(".."),
+                coalesce(col("__wmax").cast(StringType), lit("none")), lit("], rows "),
                 col("__rows").cast(StringType),
                 lit(" — a mis-matched width mis-bins every feature; a " +
                   "duplicated/truncated artifact corrupts n_feats and " +
@@ -156,7 +170,7 @@ object Dsir {
           .crossJoin(broadcast(guard))
           .select(col("b"),
             when(col("__model_ok") === 1, col("lw")).as("lw"))
-        (featureBuckets(raw, idCol, textCol, nBuckets), validated)
+        (featureBuckets(raw, idCol, textCol, nBuckets), validated, Some(guard))
       case None =>
         val feats = featureBuckets(raw, idCol, textCol, nBuckets)
           .localCheckpoint(true)
@@ -164,19 +178,27 @@ object Dsir {
         val targetCounts = featureBuckets(target, idCol, textCol, nBuckets)
           .groupBy("b").agg(count(lit(1)).as("ct"))
         (feats, modelFromCounts(raw.sparkSession, rawCounts, targetCounts,
-          nBuckets, smoothing).select("b", "lw"))
+          nBuckets, smoothing).select("b", "lw"), None)
     }
     val scored = rawFeats.join(broadcast(model), Seq("b"))
       .groupBy(col("__id")).agg(
         count(lit(1)).cast(LongType).as("n_feats"),
         sum("lw").as("__sum_lw"))
-    raw.select(col(idCol))
+    val base = raw.select(col(idCol))
       .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        round(coalesce(col("__sum_lw"), lit(0.0)), 6).as("log_weight"),
-        round(when(col("n_feats") > 0, col("__sum_lw") / col("n_feats"))
-          .otherwise(lit(0.0)), 6).as("avg_log_weight"))
+    def out(df: DataFrame, ok: Column): DataFrame = df.select(col(idCol),
+      when(ok, coalesce(col("n_feats"), lit(0L))).as("n_feats"),
+      when(ok, round(coalesce(col("__sum_lw"), lit(0.0)), 6)).as("log_weight"),
+      when(ok, round(when(col("n_feats") > 0, col("__sum_lw") / col("n_feats"))
+        .otherwise(lit(0.0)), 6)).as("avg_log_weight"))
+    guardOpt match {
+      // the final-frame consumption (see the empty-relation defense
+      // note above): ok is identically true on the happy path, so the
+      // wrap changes no value — it exists to keep the validating
+      // aggregate alive even when the model side plans away
+      case Some(g) => out(base.crossJoin(broadcast(g)), col("__model_ok") === 1)
+      case None    => out(base, lit(true))
+    }
   }
 
   /** [[logWeights]] against a persisted [[buildModel]] artifact, with no

@@ -60,13 +60,24 @@ object Sq8 {
     import spark.implicits._
     val bounds = lo.indices.map(i => (i, lo(i), lo(i) + span(i)))
       .toDF("dim", "__lo", "__hi")
+    // LEFT join + loud refusal on uncovered dims (r14 review): an inner
+    // join would silently drop batch dimensions the bounds never saw —
+    // drift concentrated in NEW dimensions would read as 0.0 and never
+    // trigger a retrain, the exact silent degradation this monitor
+    // exists to defend against (the Dsir-width/Dedup-index artifact
+    // discipline: refuse a mismatched artifact, don't trust it).
     val row = batch
       .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
-      .join(broadcast(bounds), Seq("dim"))
+      .join(broadcast(bounds), Seq("dim"), "left")
       .agg(count(lit(1)).as("n"),
         sum(when(col("x") < col("__lo") || col("x") > col("__hi"), 1L)
-          .otherwise(0L)).as("c"))
+          .otherwise(0L)).as("c"),
+        sum(when(col("__lo").isNull, 1L).otherwise(0L)).as("uncovered"))
       .collect()(0)
+    require(row.getLong(2) == 0L,
+      s"clampFraction: batch vectors carry ${row.getLong(2)} dimension-values " +
+        s"outside the ${lo.length}-dim trained bounds — the artifact does not " +
+        "describe this batch's dimensionality; retrain bounds before monitoring")
     if (row.getLong(0) == 0L) 0.0
     else row.getLong(1).toDouble / row.getLong(0)
   }

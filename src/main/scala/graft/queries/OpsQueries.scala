@@ -805,13 +805,36 @@ object OpsQueries {
     // proof that the dbt-parity engine and the ops layer compose.
     "q_curation_project" -> ((s, d) => {
       val proj = stageCurationProject(d)
-      val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
-      val code = graft.Main.execute(s, graft.Main.Args(
-        command = "build", project = proj), sink)
-      require(code == 0, s"graft build of the curation project exited $code")
-      new graft.relations.RelationManager(s, s"$proj/target/warehouse")
-        .read(graft.core.Relation("graft", "main", "audit"))
-        .orderBy("doc_id")
+      // Main.execute mutates shared-session state (registerSources flips
+      // spark.sql.legacy.parquet.nanosAsLong and registers corpus_*
+      // views): snapshot + restore so later queries in the same sweep
+      // see the session they'd see standalone, and MATERIALIZE the audit
+      // so the staged project dir (and its warehouse) can be deleted
+      // before returning instead of leaking per invocation (r14 review)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        val code = graft.Main.execute(s, graft.Main.Args(
+          command = "build", project = proj), sink)
+        require(code == 0, s"graft build of the curation project exited $code")
+        new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+          .read(graft.core.Relation("graft", "main", "audit"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally {
+        // registerSources registered EVERY parquet under the source dir
+        // as a corpus_* view — drop them all
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(proj))
+      }
     }),
 
     // the attrition ledger of v6: docs entering / surviving each stage

@@ -83,24 +83,35 @@ class DsirModelSpec extends AnyFunSuite {
     val m512 = Dsir.buildModel(docs, target, "doc_id", "text", nBuckets = 512)
     // r14 (VERDICT task 5): validation executes WITH the query — plan
     // CONSTRUCTION fires zero Spark jobs (the r13 shape ran an eager
-    // .collect() aggregate per composed query construction)
+    // .collect() aggregate per composed query construction). Counted
+    // under a dedicated JOB GROUP so a concurrent suite's jobs on the
+    // shared session can never false-fail this (r14 review): any job
+    // this thread's construction fired would carry the group id.
+    val group = s"dsir-plan-construction-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
     val badWidth =
       try {
+        spark.sparkContext.setJobGroup(group, "dsir plan construction probe")
         val p = Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 4096,
           precomputedModel = Some(m512))
         Thread.sleep(500) // listener bus is async; a submitted job would land
         assert(jobs.get() == 0,
           s"plan construction must fire no Spark job, saw ${jobs.get()}")
         p
-      } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
     // ... and the violation still raises loudly, at execution
     val eWidth = intercept[Exception] { badWidth.collect() }
     assert(eWidth.getMessage.contains("512") &&
@@ -120,6 +131,23 @@ class DsirModelSpec extends AnyFunSuite {
         precomputedModel = Some(m512.unionByName(m512))).collect()
     }
     assert(eDup.getMessage.contains("rows 1024"), eDup.getMessage)
+    // empty-relation defense (r14 review): a model artifact the PLANNER
+    // knows is empty would delete the model-side guard consumption via
+    // empty propagation — the final-frame consumption must still raise,
+    // with a real diagnostic (an empty model's NULL width bounds must
+    // not null the concat'd message away)
+    val eEmpty = intercept[Exception] {
+      Dsir.logWeights(docs, target, "doc_id", "text", nBuckets = 512,
+        precomputedModel = Some(m512.filter(lit(false)))).collect()
+    }
+    assert(eEmpty.getMessage != null &&
+      eEmpty.getMessage.contains("rows 0") &&
+      eEmpty.getMessage.contains("none"), eEmpty.getMessage)
+    // ... and the one documented miss: a batch the planner knows is
+    // empty yields an empty (uncorruptible) frame without validating
+    val emptyBatch = Dsir.logWeights(docs.filter(lit(false)), target,
+      "doc_id", "text", nBuckets = 4096, precomputedModel = Some(m512))
+    assert(emptyBatch.collect().isEmpty)
   }
 
   test("selectIngest: held model + held cutoff flag a batch; artifacts survive parquet") {
