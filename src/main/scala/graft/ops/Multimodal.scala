@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus batch-shaped decode and
   * feature extraction.
   *
-  * The image path is REAL end-to-end: javax.imageio (pure JVM) parses the
-  * actual payload bytes for dimension audit ([[decodeImagesBatched]]),
-  * perceptual dedup hashes ([[imageHashesBatched]]), and feature vectors
-  * ([[imageFeaturesBatched]] — pooled-luma grid + per-channel color
-  * histogram). Video/audio codecs aren't in this container; their decode
-  * would drop into the same mapPartitions batch seam.
+  * All three modalities are REAL end-to-end over pure-JVM parsers of
+  * actual payload bytes — images via javax.imageio
+  * ([[decodeImagesBatched]], [[imageHashesBatched]],
+  * [[imageFeaturesBatched]]), audio via the bounded RIFF/PCM WAV parser
+  * ([[decodeWavBatched]], [[audioFingerprintsBatched]]), video via the
+  * bounded YUV4MPEG2 parser ([[decodeY4mBatched]],
+  * [[frameSampleBatched]], [[videoFingerprintsBatched]]). A JNI/FFmpeg
+  * codec for compressed containers would drop into the same
+  * mapPartitions batch seam.
   */
 object Multimodal {
 
@@ -604,5 +607,230 @@ object Multimodal {
           }
         }
       }.toDF("asset_id", "n_windows", "afp")
+  }
+
+  // ------------------------------------------------------------ video
+
+  /** Deterministic VIDEO assets (r14 — the third real modality,
+    * completing image/audio/video): each row id becomes a real
+    * YUV4MPEG2 (Y4M) stream — the public uncompressed interchange
+    * format every video toolchain reads (plain ASCII header
+    * `YUV4MPEG2 W.. H.. F..:.. ...` + per-frame `FRAME\n` markers +
+    * raw planar 4:2:0 YUV), chosen for the same reason as WAV: the
+    * bytes are REAL (a drifting parser fails loudly) while the content
+    * is pure id arithmetic DuckDB can recompute:
+    *   - 16×16 at F(24 + (id % 4)·6):1 — fps 24/30/36/42
+    *   - 48 + id % 3 frames
+    *   - frame `f` is a ±4 checkerboard around luma
+    *     L(id, f) = 16 + (((id % 16)·31 + f·17) % 89)·2, so a frame's
+    *     MEAN luma is exactly L (128 pixels each side of the
+    *     checkerboard — the decoder must actually read the plane), ids
+    *     congruent mod 16 share a luma ENVELOPE (the planted near-dup
+    *     groups), and ids ≡ 0 (mod 80) perturb one frame by +40
+    *   - chroma planes constant 128 (present, parsed, skipped)
+    *   - ids ≡ 0 (mod 101) are CORRUPT (payload truncated to 10 bytes)
+    * Generated on executors inside mapPartitions, like [[toWavAssets]]. */
+  def toY4mAssets(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16; val h = 16
+          val fps = 24 + (id % 4).toInt * 6
+          val nFrames = 48 + (id % 3).toInt
+          val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+            .getBytes("US-ASCII")
+          val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+          val marker = "FRAME\n".getBytes("US-ASCII")
+          val out = java.nio.ByteBuffer.allocate(
+            header.length + nFrames * (marker.length + frameBytes))
+          out.put(header)
+          var f = 0
+          while (f < nFrames) {
+            out.put(marker)
+            val luma = videoLuma(id, f)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = if ((x + y) % 2 == 0) luma + 4 else luma - 4
+                out.put(v.toByte)
+                x += 1
+              }
+              y += 1
+            }
+            var c = 0
+            while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
+            f += 1
+          }
+          val full = out.array()
+          val payload = if (id % 101 == 0) full.take(10) else full
+          (id, "video/x-yuv4mpeg", payload)
+        }
+      }.toDF("asset_id", "media_type", "payload")
+  }
+
+  /** The per-frame mean-luma law of [[toY4mAssets]] — one definition
+    * shared by the generator and the spec's expectations. */
+  private[graft] def videoLuma(id: Long, f: Int): Int = {
+    val base = 16 + ((((id % 16) * 31 + f * 17) % 89) * 2).toInt
+    if (id % 80 == 0 && f == (id % 47).toInt + 1) base + 40 else base
+  }
+
+  /** Bounded YUV4MPEG2 parse (the [[readWavBounded]] contract for
+    * video): reads the ASCII header (W/H/F required, 4:2:0 colorspaces
+    * only), validates the declared geometry BEFORE allocating planes (a
+    * hostile header claiming an 8K×8K frame must degrade the row, not
+    * OOM the task), then walks `FRAME` markers extracting each Y plane;
+    * any truncated or malformed frame degrades the whole asset to None.
+    * Returns (width, height, fpsNum, fpsDen, yPlanes). */
+  private[graft] def readY4mBounded(bytes: Array[Byte],
+                                    maxBytes: Long = 1L << 26): Option[(Int, Int, Int, Int, Array[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 10) return None
+    // header line: bounded scan — a payload with no newline in the
+    // first 256 bytes is not a Y4M stream
+    val hEnd = bytes.indexOf('\n'.toByte)
+    if (hEnd < 9 || hEnd > 256) return None
+    val header = new String(bytes, 0, hEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts.head != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var cs = "C420jpeg"
+    try parts.tail.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'F' =>
+          val Array(a, b) = p.substring(1).split(":", 2)
+          fn = a.toInt; fd = b.toInt
+        case 'C' => cs = p
+        case _   => () // interlace/aspect/extension tags: tolerated
+      }
+    } catch { case _: Exception => return None }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    if (!cs.startsWith("C420")) return None // 4:2:0 family only
+    if (w % 2 != 0 || h % 2 != 0) return None
+    val frameBytes = w.toLong * h + 2L * (w / 2) * (h / 2)
+    if (frameBytes > maxBytes) return None
+    val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = hEnd + 1
+    while (pos < bytes.length) {
+      // FRAME marker, optional parameters, terminated by '\n'
+      if (pos + 5 > bytes.length ||
+          new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+      var mEnd = pos + 5
+      while (mEnd < bytes.length && bytes(mEnd) != '\n'.toByte) mEnd += 1
+      if (mEnd >= bytes.length) return None
+      val dataStart = mEnd + 1
+      if (dataStart + frameBytes > bytes.length) return None
+      planes += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + w * h)
+      pos = dataStart + frameBytes.toInt
+    }
+    if (planes.isEmpty) return None
+    Some((w, h, fn, fd, planes.toArray))
+  }
+
+  /** REAL video decode behind the batched seam: header + frame walk
+    * over the actual bytes; corrupt / non-video payloads degrade to a
+    * null row. Output: (asset_id, width, height, fps_num, fps_den,
+    * n_frames, duration_ms) — all BIGINT for the oracle compare. */
+  def decodeY4mBatched(assets: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            decodedY4m(mediaType, payload) match {
+              case Some((w, h, fn, fd, planes)) =>
+                val n = planes.length.toLong
+                (id, Some(w.toLong), Some(h.toLong), Some(fn.toLong),
+                  Some(fd.toLong), Some(n), Some(n * 1000L * fd / fn))
+              case None => (id, None, None, None, None, None, None)
+            }
+          }
+        }
+      }.toDF("asset_id", "width", "height", "fps_num", "fps_den",
+        "n_frames", "duration_ms")
+  }
+
+  private def decodedY4m(mediaType: String, payload: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Array[Byte]])] =
+    if (mediaType == null || !mediaType.startsWith("video/")) None
+    else try readY4mBounded(payload)
+    catch { case _: Exception => None }
+
+  /** Frame sampling — the training-pipeline primitive (every Nth frame
+    * of every asset, as rows): (asset_id, frame_idx, mean_luma), where
+    * mean_luma is the integer mean of the frame's Y plane (unsigned).
+    * Corrupt assets surface as ONE (id, null, null) row — the
+    * [[imageFeaturesBatched]] convention — never vanish. The real
+    * decode-and-subsample shape: payloads are read ONCE, only sampled
+    * frames produce rows, and downstream per-frame featurization joins
+    * on (asset_id, frame_idx). */
+  def frameSampleBatched(assets: DataFrame, everyNth: Int = 3,
+                         batchSize: Int = 256): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive: $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, mediaType, payload) =>
+            decodedY4m(mediaType, payload) match {
+              case Some((w, h, _, _, planes)) =>
+                (0 until planes.length by everyNth).map { f =>
+                  var sum = 0L
+                  val pl = planes(f)
+                  var i = 0
+                  while (i < pl.length) { sum += pl(i) & 0xFF; i += 1 }
+                  (id, Some(f.toLong), Some(sum / (w.toLong * h)))
+                }
+              case None => Seq((id, Option.empty[Long], Option.empty[Long]))
+            }
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "mean_luma")
+  }
+
+  /** Luma-envelope video fingerprint: per-frame integer mean luma, then
+    * the 47-bit delta code of [[audioFingerprintsBatched]] (bit f = 1
+    * iff luma(f) > luma(f−1)) packed into a long — similar BRIGHTNESS
+    * CONTOURS (the signal that survives re-encoding) land at small
+    * hamming distances, so near-dup detection is the same banded
+    * [[graft.ops.Dedup.hammingPairs]] as images and audio. Corrupt
+    * payloads degrade to a null fingerprint. */
+  def videoFingerprintsBatched(assets: DataFrame,
+                               batchSize: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mediaType, payload) =>
+            decodedY4m(mediaType, payload) match {
+              case Some((w, h, _, _, planes)) if planes.length >= 2 =>
+                val luma = planes.map { pl =>
+                  var sum = 0L
+                  var i = 0
+                  while (i < pl.length) { sum += pl(i) & 0xFF; i += 1 }
+                  sum / (w.toLong * h)
+                }
+                var fp = 0L
+                var f = 1
+                while (f < luma.length && f <= 47) {
+                  if (luma(f) > luma(f - 1)) fp |= 1L << f
+                  f += 1
+                }
+                (id, Some(planes.length.toLong), Some(fp))
+              case _ => (id, None, None)
+            }
+          }
+        }
+      }.toDF("asset_id", "n_frames", "vfp")
   }
 }

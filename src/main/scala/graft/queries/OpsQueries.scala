@@ -1105,6 +1105,45 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // r14: the THIRD real modality — VIDEO as actual YUV4MPEG2 bytes
+    // (public uncompressed interchange format: ASCII header + FRAME
+    // markers + planar 4:2:0), parsed back by the bounded Y4M reader;
+    // header fields are id arithmetic, corrupt plants (id % 101,
+    // truncated) degrade to null rows
+    "q_multimodal_video_decode" -> ((s, d) => {
+      Multimodal.decodeY4mBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
+        .orderBy("asset_id")
+    }),
+
+    // r14: frame sampling — every 3rd frame of every asset as a row
+    // with its integer mean luma (the generator's ±4 checkerboard
+    // cancels exactly, so the mean IS the luma law and the decoder must
+    // actually sum the real plane bytes); corrupt assets surface as one
+    // (id, null, null) row
+    "q_video_frame_sample" -> ((s, d) => {
+      Multimodal.frameSampleBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"),
+        everyNth = 3)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // r14: video near-dup pairs — 47-bit luma-envelope delta
+    // fingerprints over the real frame decode, paired through the same
+    // block-LSH as images and audio (maxHamming 2 < 4 blocks →
+    // pigeonhole-exact, so the oracle is the brute-force xor scan over
+    // fingerprints recomputed from the luma law). Planted structure
+    // mirrors audio: ids ≡ (mod 16) share an envelope, ids ≡ 0 (mod 80)
+    // perturb one frame, corrupt ids drop out as nulls.
+    "q_video_fingerprint_pairs" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprintsBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true) // feeds the block self-join twice; decode once
+      Dedup.hammingPairs(sigs, "asset_id", "vfp",
+        maxHamming = 2, nBlocks = 4, blockBits = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // r9: hamming near-dup pairs over the dHash through the generalized
     // block-LSH (4 blocks × 16 bits). maxHamming 3 < 4 blocks →
     // pigeonhole-exact recall, so the oracle can be the brute-force
@@ -2584,6 +2623,60 @@ object OpsQueries {
         |  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // video decode: every header field is id arithmetic — a decoder that
+    // misparses the real Y4M bytes can't reproduce it; truncated plants
+    // surface as null rows. duration = frames·1000·den/num (integer)
+    "q_multimodal_video_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(24 + (doc_id % 4) * 6 AS BIGINT) END AS fps_num,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END AS fps_den,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(48 + doc_id % 3 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL
+        |       ELSE CAST((48 + doc_id % 3) * 1000 // (24 + (doc_id % 4) * 6) AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // frame sampling: every 3rd frame's integer mean luma — the ±4
+    // checkerboard cancels over the 256-pixel plane, so the mean is
+    // exactly the generator's luma law (+ the mod-80 perturbation)
+    "q_video_frame_sample" ->
+      """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
+        |luma AS (SELECT i.doc_id, g.f,
+        |    16 + (((i.doc_id % 16) * 31 + g.f * 17) % 89) * 2 +
+        |    CASE WHEN i.doc_id % 80 = 0 AND g.f = i.doc_id % 47 + 1 THEN 40 ELSE 0 END AS l
+        |  FROM ids i JOIN (SELECT unnest(generate_series(0, 49)) AS f) g ON g.f < i.nf
+        |  WHERE g.f % 3 = 0),
+        |fin AS (
+        |  SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(l AS BIGINT) AS mean_luma FROM luma
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM documents WHERE doc_id % 101 = 0)
+        |SELECT doc_id AS asset_id, frame_idx, mean_luma FROM fin
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // video envelope near-dups: the oracle recomputes each asset's
+    // 47-bit delta fingerprint from the luma law (a frame's mean luma IS
+    // the law — integer-exact), then brute-force pairs on
+    // bit_count(xor); the Spark side must arrive at the same
+    // fingerprints from the REAL decoded planes, and the 4-block LSH at
+    // maxHamming 2 is pigeonhole-exact
+    "q_video_fingerprint_pairs" ->
+      """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
+        |luma AS (SELECT i.doc_id, g.f,
+        |    16 + (((i.doc_id % 16) * 31 + g.f * 17) % 89) * 2 +
+        |    CASE WHEN i.doc_id % 80 = 0 AND g.f = i.doc_id % 47 + 1 THEN 40 ELSE 0 END AS l
+        |  FROM ids i JOIN (SELECT unnest(generate_series(0, 47)) AS f) g ON g.f < i.nf),
+        |bits AS (SELECT a1.doc_id, a1.f, CASE WHEN a1.l > a0.l THEN 1 ELSE 0 END AS bit
+        |  FROM luma a1 JOIN luma a0 ON a1.doc_id = a0.doc_id AND a0.f = a1.f - 1
+        |  WHERE a1.f BETWEEN 1 AND 47),
+        |fp AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << f) AS BIGINT) AS vfp FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.vfp, b.vfp)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     // pooled-luma cells: (SUM(g)//12)/255.0 over each 3×4 block of the
