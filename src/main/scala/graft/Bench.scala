@@ -77,6 +77,15 @@ object Bench {
     * metrics stay byte-stable for trends. */
   val pipeline: Seq[String] = Seq("q_curation_pipeline_v6")
 
+  /** Sixth tracked metric (r14): the multimodal decode family — one
+    * representative real-bytes query per modality (PNG hash pairs, WAV
+    * envelope pairs, Y4M frame sampling). Separate key, same rationale:
+    * earlier metrics stay byte-stable for trends. */
+  val multimodal: Seq[String] = Seq(
+    "q_multimodal_phash_pairs",
+    "q_audio_fingerprint_pairs",
+    "q_video_frame_sample")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -233,12 +242,14 @@ object Bench {
     val extras = only match {
       case None =>
         Seq("curation_total" -> curation, "excision_total" -> excision,
-          "selection_total" -> selection, "pipeline_total" -> pipeline)
+          "selection_total" -> selection, "pipeline_total" -> pipeline,
+          "multimodal_total" -> multimodal)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
           "selection_total" -> selection.filter(o),
-          "pipeline_total" -> pipeline.filter(o)).filter(_._2.nonEmpty)
+          "pipeline_total" -> pipeline.filter(o),
+          "multimodal_total" -> multimodal.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

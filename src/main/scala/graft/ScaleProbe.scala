@@ -494,6 +494,26 @@ object ScaleProbe {
           maxHamming = 3, nBlocks = 4, blockBits = 16,
           maxBlockFrequency = Some(2000)).count()
       }
+      // r14 video legs at n/10 assets (Y4M generation — ~18 KB of real
+      // bytes per asset — dominates corpus build, same rationale as the
+      // image leg): frame sampling is a pure decode map (expect ~linear
+      // wall, output-only shuffle); fingerprint pairs ride the banded
+      // hamming join with the mod-16 envelope groups as planted hot keys
+      timed("video_frame_sample", runs, opFilter) {
+        ops.Multimodal.frameSampleBatched(
+          ops.Multimodal.toY4mAssets(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id"), everyNth = 3)
+          .agg(count(lit(1)), sum("mean_luma")).collect()(0).getLong(0)
+      }
+      timed("video_fingerprint_pairs", runs, opFilter) {
+        val sigs = ops.Multimodal.videoFingerprintsBatched(
+          ops.Multimodal.toY4mAssets(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id"))
+          .localCheckpoint(true)
+        ops.Dedup.hammingPairs(sigs, "asset_id", "vfp",
+          maxHamming = 2, nBlocks = 4, blockBits = 16,
+          maxBlockFrequency = Some(2000)).count()
+      }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.
