@@ -511,7 +511,7 @@ object ScaleProbe {
             docs.filter(col("doc_id") % 10 === 0), "doc_id"))
           .localCheckpoint(true)
         ops.Dedup.hammingPairs(sigs, "asset_id", "vfp",
-          maxHamming = 2, nBlocks = 4, blockBits = 16,
+          maxHamming = 2, nBlocks = 3, blockBits = 16,
           maxBlockFrequency = Some(2000)).count()
       }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so

@@ -783,17 +783,24 @@ object Multimodal {
             decodedY4m(mediaType, payload) match {
               case Some((w, h, _, _, planes)) =>
                 (0 until planes.length by everyNth).map { f =>
-                  var sum = 0L
-                  val pl = planes(f)
-                  var i = 0
-                  while (i < pl.length) { sum += pl(i) & 0xFF; i += 1 }
-                  (id, Some(f.toLong), Some(sum / (w.toLong * h)))
+                  (id, Some(f.toLong), Some(planeMeanLuma(planes(f), w, h)))
                 }
               case None => Seq((id, Option.empty[Long], Option.empty[Long]))
             }
           }
         }
       }.toDF("asset_id", "frame_idx", "mean_luma")
+  }
+
+  /** Integer mean luma of one Y plane (unsigned bytes) — ONE definition
+    * shared by [[frameSampleBatched]] and [[videoFingerprintsBatched]]
+    * so the two gates can never desynchronize on rounding or unsigned
+    * handling (r14 review). */
+  private def planeMeanLuma(pl: Array[Byte], w: Int, h: Int): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < pl.length) { sum += pl(i) & 0xFF; i += 1 }
+    sum / (w.toLong * h)
   }
 
   /** Luma-envelope video fingerprint: per-frame integer mean luma, then
@@ -814,12 +821,7 @@ object Multimodal {
           batch.map { case (id, mediaType, payload) =>
             decodedY4m(mediaType, payload) match {
               case Some((w, h, _, _, planes)) if planes.length >= 2 =>
-                val luma = planes.map { pl =>
-                  var sum = 0L
-                  var i = 0
-                  while (i < pl.length) { sum += pl(i) & 0xFF; i += 1 }
-                  sum / (w.toLong * h)
-                }
+                val luma = planes.map(planeMeanLuma(_, w, h))
                 var fp = 0L
                 var f = 1
                 while (f < luma.length && f <= 47) {

@@ -70,9 +70,12 @@ object Sq8 {
       .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
       .join(broadcast(bounds), Seq("dim"), "left")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("x") < col("__lo") || col("x") > col("__hi"), 1L)
-          .otherwise(0L)).as("c"),
-        sum(when(col("__lo").isNull, 1L).otherwise(0L)).as("uncovered"))
+        // coalesce: SUM over an EMPTY batch is NULL, and getLong on it
+        // would NPE before the documented empty->0.0 return (r14 review)
+        coalesce(sum(when(col("x") < col("__lo") || col("x") > col("__hi"), 1L)
+          .otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(col("__lo").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("uncovered"))
       .collect()(0)
     require(row.getLong(2) == 0L,
       s"clampFraction: batch vectors carry ${row.getLong(2)} dimension-values " +

@@ -1091,7 +1091,10 @@ object OpsQueries {
     // r13: audio near-dup pairs — energy-envelope fingerprints (mean
     // |sample| per 160-sample window, 47-bit delta code) over the real
     // PCM decode, paired through the same block-LSH as the image
-    // hashes. maxHamming 2 < 4 blocks → pigeonhole-exact recall, so the
+    // hashes. THREE 16-bit blocks cover the fingerprint's occupied bits
+    // 1..47 (r14 review: a fourth block over the always-zero bits 48-63
+    // keyed every asset identically — a degenerate full self-join);
+    // maxHamming 2 < 3 blocks keeps recall pigeonhole-exact, so the
     // oracle is the brute-force xor/bit_count scan over fingerprints it
     // recomputes from the generator's amplitude law. Planted structure:
     // ids ≡ (mod 16) share an envelope (hamming 0), ids ≡ 0 (mod 80)
@@ -1101,7 +1104,7 @@ object OpsQueries {
         Multimodal.toWavAssets(Tables.documents(s, d), "doc_id"))
         .localCheckpoint(true) // feeds the block self-join twice; decode once
       Dedup.hammingPairs(sigs, "asset_id", "afp",
-        maxHamming = 2, nBlocks = 4, blockBits = 16)
+        maxHamming = 2, nBlocks = 3, blockBits = 16)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1130,9 +1133,10 @@ object OpsQueries {
 
     // r14: video near-dup pairs — 47-bit luma-envelope delta
     // fingerprints over the real frame decode, paired through the same
-    // block-LSH as images and audio (maxHamming 2 < 4 blocks →
-    // pigeonhole-exact, so the oracle is the brute-force xor scan over
-    // fingerprints recomputed from the luma law). Planted structure
+    // block-LSH as images and audio (three 16-bit blocks covering the
+    // occupied bits 1..47 — maxHamming 2 < 3 blocks → pigeonhole-exact,
+    // so the oracle is the brute-force xor scan over fingerprints
+    // recomputed from the luma law). Planted structure
     // mirrors audio: ids ≡ (mod 16) share an envelope, ids ≡ 0 (mod 80)
     // perturb one frame, corrupt ids drop out as nulls.
     "q_video_fingerprint_pairs" -> ((s, d) => {
@@ -1140,7 +1144,7 @@ object OpsQueries {
         Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
         .localCheckpoint(true) // feeds the block self-join twice; decode once
       Dedup.hammingPairs(sigs, "asset_id", "vfp",
-        maxHamming = 2, nBlocks = 4, blockBits = 16)
+        maxHamming = 2, nBlocks = 3, blockBits = 16)
         .orderBy("id_a", "id_b")
     }),
 

@@ -83,7 +83,7 @@ class AudioSpec extends AnyFunSuite {
   test("envelope near-dup pairs: mod-16 groups pair at hamming 0, perturbed ids within 2") {
     val sigs = Multimodal.audioFingerprintsBatched(assets).localCheckpoint(true)
     val pairs = Dedup.hammingPairs(sigs, "asset_id", "afp",
-      maxHamming = 2, nBlocks = 4, blockBits = 16)
+      maxHamming = 2, nBlocks = 3, blockBits = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Int]("hamming")))
     assert(pairs.nonEmpty)

@@ -124,7 +124,7 @@ class VideoSpec extends AnyFunSuite {
     }
     val sigs = Multimodal.videoFingerprintsBatched(assets).localCheckpoint(true)
     val pairs = Dedup.hammingPairs(sigs, "asset_id", "vfp",
-      maxHamming = 2, nBlocks = 4, blockBits = 16)
+      maxHamming = 2, nBlocks = 3, blockBits = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Int]("hamming")))
     assert(pairs.nonEmpty)
