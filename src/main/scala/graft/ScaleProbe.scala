@@ -514,6 +514,44 @@ object ScaleProbe {
           maxHamming = 2, nBlocks = 3, blockBits = 16,
           maxBlockFrequency = Some(2000)).count()
       }
+      // r14 hamming ingest legs: fingerprints MATERIALIZED outside the
+      // timing (a real ingest reads both sides from tables — the
+      // corpusSigs discipline), so the legs time the candidate join
+      // itself. Direct vs persisted-block-index A/B isolates the
+      // per-batch store-wide block explode, like the minhash pair.
+      val vSigs =
+        if (opFilter("hamming_incremental") || opFilter("hamming_incremental_indexed")) {
+          val sg = ops.Multimodal.videoFingerprintsBatched(
+            ops.Multimodal.toY4mAssets(
+              docs.filter(col("doc_id") % 10 === 0), "doc_id")).persist()
+          sg.count()
+          Some(sg)
+        } else None
+      timed("hamming_incremental", runs, opFilter) {
+        ops.Dedup.hammingIncremental(
+          vSigs.get.filter(col("asset_id") % 3 =!= 0), "asset_id", "vfp",
+          vSigs.get.filter(col("asset_id") % 3 === 0), "asset_id", "vfp",
+          maxHamming = 2, nBlocks = 3, blockBits = 16,
+          maxBlockFrequency = Some(2000)).count()
+      }
+      val vIdx =
+        if (opFilter("hamming_incremental_indexed")) {
+          val ix = ops.Dedup.hammingBlockIndex(
+            vSigs.get.filter(col("asset_id") % 3 === 0), "asset_id", "vfp",
+            nBlocks = 3, blockBits = 16).persist()
+          ix.count()
+          Some(ix)
+        } else None
+      timed("hamming_incremental_indexed", runs, opFilter) {
+        ops.Dedup.hammingIncrementalFromIndex(
+          vSigs.get.filter(col("asset_id") % 3 =!= 0), "asset_id", "vfp",
+          vIdx.get,
+          vSigs.get.filter(col("asset_id") % 3 === 0), "asset_id", "vfp",
+          maxHamming = 2, nBlocks = 3, blockBits = 16,
+          maxBlockFrequency = Some(2000)).count()
+      }
+      vIdx.foreach(_.unpersist())
+      vSigs.foreach(_.unpersist())
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.

@@ -807,6 +807,135 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Persisted BLOCK INDEX over a fingerprint store — the
+    * [[bandIndex]] discipline for the hamming family (r14): (block,
+    * doc) rows exploded once from a store of packed-bits signatures
+    * (image dHash, audio/video envelope fingerprints). Build it when
+    * the store lands (or append each batch's slice), persist it as a
+    * table, and every subsequent ingest probes it with one equi-join
+    * instead of re-exploding the entire store per batch.
+    * Owner-carrying (doc) → [[compactStore]] GC applies.
+    *
+    * SELF-DESCRIBING (`index_blocks`, `index_bits`): block keys encode
+    * (blockIdx, bit-slice) under the build's geometry, so probing an
+    * index built with different (nBlocks, blockBits) yields keys no
+    * batch can ever hit — every near-dup silently admitted with zero
+    * candidates and no error. [[hammingIncrementalFromIndex]] validates
+    * these columns instead of trusting the caller. Null signatures are
+    * excluded (an undecodable asset owns no blocks). */
+  def hammingBlockIndex(storeSigs: DataFrame, idCol: String, hashCol: String,
+                        nBlocks: Int, blockBits: Int): DataFrame = {
+    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    val blockMask = (1L << blockBits) - 1
+    storeSigs.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+          b.cast(LongType) * (1L << blockBits) +
+            call_function("shiftright", col(hashCol), b * blockBits)
+              .bitwiseAND(lit(blockMask)))).as("block"))
+      .select(col("block"), col("doc"),
+        lit(nBlocks).as("index_blocks"), lit(blockBits).as("index_bits"))
+  }
+
+  /** INCREMENTAL hamming near-dup ingest: pair a NEW batch of packed-bit
+    * fingerprints against a persisted fingerprint STORE — O(batch) probe
+    * rows, never an all-corpus self-join. The modality analog of
+    * [[minhashIncremental]]: a nightly media ingest fingerprints only
+    * its new assets and probes the store's block index. Returns
+    * (doc, store_doc, hamming) with hamming ≤ maxHamming; the same
+    * pigeonhole recall contract as [[hammingPairs]]
+    * (exact while maxHamming < nBlocks). */
+  def hammingIncremental(newSigs: DataFrame, idCol: String, hashCol: String,
+                         storeSigs: DataFrame, storeIdCol: String, storeHashCol: String,
+                         maxHamming: Int, nBlocks: Int, blockBits: Int,
+                         maxBlockFrequency: Option[Int] = None): DataFrame =
+    // the direct form IS the from-index form with the block relation
+    // derived inline (one implementation — the minhashIncremental
+    // discipline); validateIndex = false: the literals are constructed
+    // here from this call's own geometry, correct by construction
+    hammingIncrementalFromIndexImpl(newSigs, idCol, hashCol,
+      hammingBlockIndex(storeSigs, storeIdCol, storeHashCol, nBlocks, blockBits),
+      storeSigs, storeIdCol, storeHashCol, maxHamming, nBlocks, blockBits,
+      maxBlockFrequency, validateIndex = false)
+
+  /** [[hammingIncremental]] against a PERSISTED block index: candidate
+    * (doc, store_doc) pairs come from the batch-blocks ⋈ index equi-join
+    * and the store signatures join back for the CANDIDATES ONLY to
+    * verify the exact hamming distance. Byte-identical output to the
+    * direct form when `index` was built from `storeSigs` with the same
+    * geometry (StoreCompactionSpec pins it); the difference is purely
+    * the plan — the per-batch store-wide block explode is gone. */
+  def hammingIncrementalFromIndex(newSigs: DataFrame, idCol: String, hashCol: String,
+                                  index: DataFrame,
+                                  storeSigs: DataFrame, storeIdCol: String, storeHashCol: String,
+                                  maxHamming: Int, nBlocks: Int, blockBits: Int,
+                                  maxBlockFrequency: Option[Int] = None): DataFrame =
+    hammingIncrementalFromIndexImpl(newSigs, idCol, hashCol, index,
+      storeSigs, storeIdCol, storeHashCol, maxHamming, nBlocks, blockBits,
+      maxBlockFrequency, validateIndex = true)
+
+  private def hammingIncrementalFromIndexImpl(
+      newSigs: DataFrame, idCol: String, hashCol: String,
+      index: DataFrame,
+      storeSigs: DataFrame, storeIdCol: String, storeHashCol: String,
+      maxHamming: Int, nBlocks: Int, blockBits: Int,
+      maxBlockFrequency: Option[Int],
+      validateIndex: Boolean): DataFrame = {
+    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    if (validateIndex) {
+      require(index.columns.contains("index_blocks") && index.columns.contains("index_bits"),
+        "index is missing its self-describing index_blocks/index_bits columns — " +
+          "build it with Dedup.hammingBlockIndex (a bare (block, doc) relation " +
+          "cannot be validated against this call's geometry)")
+      // DISTINCT across all rows, not head(1) — the bandIndex appended-
+      // slice discipline: a slice rebuilt under a different geometry
+      // would hide behind the first row while its keys match nothing
+      val builds = index.select(col("index_blocks").cast(IntegerType),
+        col("index_bits").cast(IntegerType)).distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      require(builds.length <= 1,
+        s"hamming block index mixes geometries ${builds.toSeq.sorted} — an " +
+          "appended slice was built with different (nBlocks, blockBits); its " +
+          "rows silently produce zero candidates")
+      builds.foreach { case (ib, ik) =>
+        require(ib == nBlocks && ik == blockBits,
+          s"hamming block index was built with (nBlocks=$ib, blockBits=$ik) " +
+            s"but this ingest probes with (nBlocks=$nBlocks, blockBits=$blockBits) " +
+            "— mismatched block keys would silently produce zero candidates")
+      }
+    }
+    val blockMask = (1L << blockBits) - 1
+    val nb0 = newSigs.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("doc"), col(hashCol).as("__sig"),
+        explode(transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+          b.cast(LongType) * (1L << blockBits) +
+            call_function("shiftright", col(hashCol), b * blockBits)
+              .bitwiseAND(lit(blockMask)))).as("block"))
+    val cb0 = index.select(col("block"), col("doc").as("store_doc"))
+    // the hot-block cap counts batch + index rows together — the
+    // minhashIncrementalFromIndex recall contract
+    val (nb, cb) = maxBlockFrequency match {
+      case None => (nb0, cb0)
+      case Some(cap) =>
+        val hot = nb0.select("block").unionAll(cb0.select("block"))
+          .groupBy("block").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > cap).select("block")
+          .localCheckpoint(true)
+        (nb0.join(broadcast(hot), Seq("block"), "left_anti"),
+          cb0.join(broadcast(hot), Seq("block"), "left_anti"))
+    }
+    val ss = storeSigs.filter(col(storeHashCol).isNotNull)
+      .select(col(storeIdCol).as("store_doc"), col(storeHashCol).as("__ssig"))
+    nb.select("doc", "block").join(cb, Seq("block"))
+      .select("doc", "store_doc").distinct()
+      .join(newSigs.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as("doc"), col(hashCol).as("__sig")), Seq("doc"))
+      .join(ss, Seq("store_doc"))
+      .withColumn("hamming", bit_count(col("__sig").bitwiseXOR(col("__ssig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc", "store_doc", "hamming")
+  }
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs via inverted-index join: distinct word

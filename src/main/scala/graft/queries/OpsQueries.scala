@@ -1148,6 +1148,41 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // r14: INCREMENTAL hamming ingest — a new batch of video
+    // fingerprints probed against a persisted fingerprint STORE (ids
+    // ≡ 0 mod 3): O(batch) probe rows via the block equi-join, never an
+    // all-corpus self-join. Pigeonhole-exact at maxHamming 2 < 3
+    // covering blocks, so the oracle is the brute-force batch × store
+    // xor scan over law-recomputed fingerprints.
+    "q_dedup_hamming_incremental" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprintsBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true)
+      Dedup.hammingIncremental(
+        sigs.filter(col("asset_id") % 3 =!= 0), "asset_id", "vfp",
+        sigs.filter(col("asset_id") % 3 === 0), "asset_id", "vfp",
+        maxHamming = 2, nBlocks = 3, blockBits = 16)
+        .orderBy("doc", "store_doc")
+    }),
+
+    // r14: the same ingest through a PERSISTED self-describing block
+    // index (Dedup.hammingBlockIndex — the bandIndex artifact for the
+    // modality fingerprint family): plan-only variant, identical output,
+    // identical oracle; the per-batch store-wide block explode is gone
+    "q_dedup_hamming_from_index" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprintsBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true)
+      val store = sigs.filter(col("asset_id") % 3 === 0)
+      Dedup.hammingIncrementalFromIndex(
+        sigs.filter(col("asset_id") % 3 =!= 0), "asset_id", "vfp",
+        Dedup.hammingBlockIndex(store, "asset_id", "vfp",
+          nBlocks = 3, blockBits = 16).localCheckpoint(true),
+        store, "asset_id", "vfp",
+        maxHamming = 2, nBlocks = 3, blockBits = 16)
+        .orderBy("doc", "store_doc")
+    }),
+
     // r9: hamming near-dup pairs over the dHash through the generalized
     // block-LSH (4 blocks × 16 bits). maxHamming 3 < 4 blocks →
     // pigeonhole-exact recall, so the oracle can be the brute-force
@@ -1323,6 +1358,23 @@ object OpsQueries {
          |    ((CAST(('0x' || substr(md5('plane_${p}_' || (d-1)::VARCHAR), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0)
          |  )) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  private def hammingIncrementalOracleSql: String =
+    """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
+      |luma AS (SELECT i.doc_id, g.f,
+      |    16 + (((i.doc_id % 16) * 31 + g.f * 17) % 89) * 2 +
+      |    CASE WHEN i.doc_id % 80 = 0 AND g.f = i.doc_id % 47 + 1 THEN 40 ELSE 0 END AS l
+      |  FROM ids i JOIN (SELECT unnest(generate_series(0, 47)) AS f) g ON g.f < i.nf),
+      |bits AS (SELECT a1.doc_id, a1.f, CASE WHEN a1.l > a0.l THEN 1 ELSE 0 END AS bit
+      |  FROM luma a1 JOIN luma a0 ON a1.doc_id = a0.doc_id AND a0.f = a1.f - 1
+      |  WHERE a1.f BETWEEN 1 AND 47),
+      |fp AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << f) AS BIGINT) AS vfp FROM bits GROUP BY 1)
+      |SELECT b.doc_id AS doc, s.doc_id AS store_doc,
+      |  CAST(bit_count(xor(b.vfp, s.vfp)) AS INTEGER) AS hamming
+      |FROM (SELECT * FROM fp WHERE doc_id % 3 <> 0) b
+      |CROSS JOIN (SELECT * FROM fp WHERE doc_id % 3 = 0) s
+      |WHERE bit_count(xor(b.vfp, s.vfp)) <= 2
+      |ORDER BY doc, store_doc""".stripMargin
 
   /** Shared edit-distance candidate prefix (through `prefilt`) for the
     * two levenshtein-verified oracles. r14 sweep fix: levenshtein over
@@ -2682,6 +2734,12 @@ object OpsQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.vfp, b.vfp)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental hamming ingest: batch (ids % 3 != 0) vs store fingerprints
+    // recomputed from the luma law; both the direct and the persisted-
+    // block-index forms are DEFINED as the same result — one oracle
+    "q_dedup_hamming_incremental" -> hammingIncrementalOracleSql,
+    "q_dedup_hamming_from_index" -> hammingIncrementalOracleSql,
 
     // pooled-luma cells: (SUM(g)//12)/255.0 over each 3×4 block of the
     // pattern grid (grayscale → luma == g exactly); histograms: g//64

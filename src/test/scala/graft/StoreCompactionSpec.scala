@@ -204,4 +204,58 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(sameRows(compacted, rebuilt),
       "CDC-driven compaction must equal a rebuild from the current snapshot")
   }
+
+  test("hamming ingest: direct == from-index == brute force; geometry validated; caps wired") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // real video fingerprints: store = ids % 3 == 0, batch = the rest
+    val sigs = Multimodal.videoFingerprintsBatched(
+      Multimodal.toY4mAssets(spark.range(300).toDF("doc_id"), "doc_id"))
+      .localCheckpoint(true)
+    val store = sigs.filter(col("asset_id") % 3 === 0)
+    val batch = sigs.filter(col("asset_id") % 3 =!= 0)
+    val direct = Dedup.hammingIncremental(batch, "asset_id", "vfp",
+      store, "asset_id", "vfp", maxHamming = 2, nBlocks = 3, blockBits = 16)
+    val idx = Dedup.hammingBlockIndex(store, "asset_id", "vfp",
+      nBlocks = 3, blockBits = 16).localCheckpoint(true)
+    val viaIndex = Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
+      idx, store, "asset_id", "vfp", maxHamming = 2, nBlocks = 3, blockBits = 16)
+    assert(sameRows(direct, viaIndex),
+      "persisted-index ingest must equal the direct incremental")
+    // pigeonhole exactness vs driver-side brute force (maxHamming 2 < 3 blocks)
+    val bs = batch.collect().flatMap(r =>
+      Option(r.getAs[Any]("vfp")).map(v => r.getLong(0) -> v.asInstanceOf[Long]))
+    val ss = store.collect().flatMap(r =>
+      Option(r.getAs[Any]("vfp")).map(v => r.getLong(0) -> v.asInstanceOf[Long]))
+    val brute = (for {
+      (b, bv) <- bs; (st, sv) <- ss
+      h = java.lang.Long.bitCount(bv ^ sv) if h <= 2
+    } yield (b, st, h)).toSet
+    val got = direct.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(got == brute, s"ingest pairs != brute force: ${got.size} vs ${brute.size}")
+    // corrupt (null-fingerprint) assets appear on NEITHER side
+    assert(got.forall { case (a, b, _) => a % 101 != 0 && b % 101 != 0 })
+    // self-description: mismatched geometry and bare relations fail loud
+    val eGeom = intercept[IllegalArgumentException] {
+      Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
+        idx, store, "asset_id", "vfp", maxHamming = 2, nBlocks = 4, blockBits = 16)
+    }
+    assert(eGeom.getMessage.contains("nBlocks=3") &&
+      eGeom.getMessage.contains("nBlocks=4"), eGeom.getMessage)
+    val eBare = intercept[IllegalArgumentException] {
+      Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
+        idx.select("block", "doc"), store, "asset_id", "vfp",
+        maxHamming = 2, nBlocks = 3, blockBits = 16)
+    }
+    assert(eBare.getMessage.contains("index_blocks"), eBare.getMessage)
+    // hot-block cap wired: capping at 1 kills every multi-member block,
+    // so the capped run returns a subset (fewer or equal pairs)
+    val capped = Dedup.hammingIncremental(batch, "asset_id", "vfp",
+      store, "asset_id", "vfp", maxHamming = 2, nBlocks = 3, blockBits = 16,
+      maxBlockFrequency = Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(capped.subsetOf(got) && capped.size < got.size,
+      s"cap must prune hot-block candidates: ${capped.size} vs ${got.size}")
+  }
 }
