@@ -1359,7 +1359,7 @@ object OpsQueries {
          |  )) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
-  private def hammingIncrementalOracleSql: String =
+  private[queries] def hammingIncrementalOracleSql: String =
     """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
       |luma AS (SELECT i.doc_id, g.f,
       |    16 + (((i.doc_id % 16) * 31 + g.f * 17) % 89) * 2 +

@@ -572,6 +572,54 @@ object StreamQueries {
     // which is exactly what the oracle computes — stream ≡ batch for
     // the incremental dedup path, the property a months-long ingest
     // relies on.
+    // r14: CONTINUOUS hamming ingest — the modality analog of
+    // q_stream_neardup: each micro-batch of video ASSETS is
+    // fingerprinted once, probed against the accumulated fingerprint
+    // store via Dedup.hammingIncremental (O(batch) block probe), and
+    // its fingerprints appended. Generation 1 (ids ≡ 0 mod 3) meets an
+    // empty store — zero pairs; generation 2 (the rest) pairs against
+    // the mod-3 store, so the oracle is exactly the batch gate's
+    // brute-force batch × store xor scan (an even/odd split would be
+    // DEGENERATE: planted envelope mates differ by multiples of 16 and
+    // always share parity, so cross-parity pairs are empty).
+    "q_stream_hamming_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Dedup, Multimodal}
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_shm_in")
+      val ckpt = Files.createTempDirectory("graft_shm_ck")
+      val assets = Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id")
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", assets.filter(col("asset_id") % 3 === 0), t0)
+      stageAsFile(landing, "1.parquet", assets.filter(col("asset_id") % 3 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_shm_wh").toString)
+      val storeRel = graft.core.Relation("graft", "main", "vfp_store")
+      val pairsRel = graft.core.Relation("graft", "main", "hamming_pairs")
+      rm.writeTable(Multimodal.videoFingerprintsBatched(assets.limit(0)),
+        storeRel) // empty store with the fingerprint schema
+      val q = s.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // fingerprint the batch ONCE (payload bytes decoded here and
+          // never again — the store holds fingerprints, not media)
+          val sigs = Multimodal.videoFingerprintsBatched(batch)
+            .localCheckpoint(true)
+          val pairs = Dedup.hammingIncremental(sigs, "asset_id", "vfp",
+            rm.read(storeRel), "asset_id", "vfp",
+            maxHamming = 2, nBlocks = 3, blockBits = 16)
+          if (rm.exists(pairsRel)) rm.appendTable(pairs, pairsRel)
+          else rm.writeTable(pairs, pairsRel)
+          rm.appendTable(sigs, storeRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(pairsRel).orderBy("doc", "store_doc")
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       import java.nio.file.Files
       import graft.ops.Dedup
@@ -953,6 +1001,12 @@ object StreamQueries {
         |  CAST(nr AS BIGINT) AS n_removed
         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2) u
         |ORDER BY doc_id""".stripMargin,
+
+    // continuous hamming ingest: generation 1 (ids ≡ 0 mod 3) meets an
+    // empty store, generation 2 pairs against the mod-3 store — so the
+    // accumulated pairs table equals the one-shot batch ingest, and the
+    // oracle is literally q_dedup_hamming_incremental's
+    "q_stream_hamming_ingest" -> OpsQueries.hammingIncrementalOracleSql,
 
     "q_stream_neardup" -> {
       val charShinglesSql =
