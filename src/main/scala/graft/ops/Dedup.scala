@@ -460,14 +460,21 @@ object Dedup {
     // same fail-fast as the incremental entry points: an index sliced
     // with a k that doesn't match the store's signature length would
     // produce band keys no batch can ever hit — every near-dup silently
-    // admitted, zero candidates, no error
-    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
-          "was built with a different k than this index build")
-    }
+    // admitted, zero candidates, no error. The check is IN-PLAN and
+    // PER-ROW (r15, VERDICT task 2): the r14 form ran an eager one-row
+    // head(1) job at query CONSTRUCTION — a plan-time Spark job per call,
+    // the anti-pattern the DSIR lazy-validation fix removed — and only
+    // ever saw the first row. Wrapping the signature consumed by the
+    // band-key slice costs zero extra scans, fires on the first
+    // offending row at execution, and validates EVERY row.
     corpusSigs.select(col(idCol).as("doc"),
-      explode(bandKeys(col(sigCol), bands, k / bands)).as("band"))
+      explode(bandKeys(
+        when(size(col(sigCol)) === k, col(sigCol))
+          .otherwise(raise_error(concat(
+            lit("corpus signature length "), size(col(sigCol)).cast(StringType),
+            lit(s" != k=$k — the signature store was built with a different " +
+              "k than this index build")))),
+        bands, k / bands)).as("band"))
       .select(col("band"), col("doc"),
         lit(bands).as("index_bands"), lit(k).as("index_k"))
   }
@@ -507,67 +514,86 @@ object Dedup {
     require(k % bands == 0,
       s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
         s"the trailing ${k % bands} signature positions")
-    corpusSigs.select(size(col(sigCol)).as("__len")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"corpus signature length ${r.getInt(0)} != k=$k — the signature store " +
-          "was built with a different k than this call")
-    }
     // an index built with different (bands, k) produces band keys no
     // batch hash can collide with: zero candidates, every near-dup
     // silently admitted. The index rows describe their own build
     // parameters ([[bandIndex]]) precisely so this call can refuse a
-    // mismatched artifact instead of silently losing all recall.
+    // mismatched artifact instead of silently losing all recall. The
+    // structural half (are the columns there at all?) is a schema check —
+    // free at construction; the VALUE half is in-plan and per-row (r15,
+    // VERDICT task 2): the r14 form ran distinct().collect() over the
+    // entire index's metadata columns at query CONSTRUCTION — an eager
+    // O(index) Spark job per ingest batch on a function sold as
+    // O(batch). Wrapping the band key each index row contributes costs
+    // zero extra scans, fires at execution on the FIRST row whose build
+    // parameters differ from this probe's, and covers appended slices by
+    // construction (every slice row is checked, not a sampled one).
     if (validateIndex) {
       require(index.columns.contains("index_bands") && index.columns.contains("index_k"),
         "index is missing its self-describing index_bands/index_k columns — " +
           "build it with Dedup.bandIndex (a bare (band, doc) relation cannot " +
           "be validated against this call's (bands, k))")
-      // DISTINCT across all rows, not head(1): bandIndex maintenance
-      // appends per-batch slices, and a slice rebuilt with different
-      // parameters would hide behind the first row while its band keys
-      // silently match nothing (the kmvEstimate uniform-k discipline)
-      val builds = index.select(col("index_bands").cast(IntegerType),
-        col("index_k").cast(IntegerType)).distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
-      require(builds.length <= 1,
-        s"band index mixes build parameters ${builds.toSeq.sorted} — an appended " +
-          "slice was built with a different (bands, k); its rows silently " +
-          "produce zero candidates")
-      builds.foreach { case (ib, ik) =>
-        require(ib == bands && ik == k,
-          s"band index was built with (bands=$ib, k=$ik) but this ingest " +
-            s"probes with (bands=$bands, k=$k) — mismatched band keys would " +
-            "silently produce zero candidates")
-      }
     }
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k).persist()
-    try {
-      val nb0 = newSigs.select(col("doc"),
+    // fully LAZY plan (r15): the former persist()/localCheckpoint pair
+    // materialized the whole ingest at CONSTRUCTION. The batch signature
+    // rides THROUGH the band explode instead (the hammingIncremental
+    // __sig pattern — k ints × bands per batch doc on a batch-only,
+    // narrow stage), so the signature computation runs once per action
+    // with no cached state to leak and no plan-time job. Severing for
+    // iterative consumers (CC loops) is the caller's checkpoint.
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k)
+    locally {
+      val nb0 = newSigs.select(col("doc"), col("sig"),
         explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
-      val cb0 = index.select(col("band"), col("doc").as("corpus_doc"))
+      val cb0 =
+        if (!validateIndex) index.select(col("band"), col("doc").as("corpus_doc"))
+        else index.select(
+          when(col("index_bands") === bands && col("index_k") === k, col("band"))
+            .otherwise(raise_error(concat(
+              lit("band index slice built with (bands="),
+              col("index_bands").cast(StringType),
+              lit(", k="), col("index_k").cast(StringType),
+              lit(s") but this ingest probes with (bands=$bands, k=$k) — " +
+                "an appended slice with mismatched parameters would " +
+                "otherwise silently produce zero candidates"))))
+            .as("band"),
+          col("doc").as("corpus_doc"))
       val (nb, cb) = maxBandFrequency match {
         case None => (nb0, cb0)
         case Some(cap) =>
+          // lazy too (no checkpoint): the two identical broadcast(hot)
+          // subplans canonicalize equal, so ReuseExchange computes the
+          // hot-band aggregate once per action
           val hot = nb0.select("band").unionAll(cb0.select("band"))
             .groupBy("band").agg(count(lit(1)).as("__n"))
             .filter(col("__n") > cap).select("band")
-            .localCheckpoint(true)
           (nb0.join(broadcast(hot), Seq("band"), "left_anti"),
             cb0.join(broadcast(hot), Seq("band"), "left_anti"))
       }
-      val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"), col(sigCol).as("csig"))
+      // per-candidate-row store validation (the former eager head(1)
+      // probe): a store built with a different k mis-sizes every
+      // agreement denominator — any candidate row exposes it; store rows
+      // that never become candidates are never consumed, so no wrong
+      // output can escape unchecked
+      val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"),
+        when(size(col(sigCol)) === k, col(sigCol))
+          .otherwise(raise_error(concat(
+            lit("corpus signature length "), size(col(sigCol)).cast(StringType),
+            lit(s" != k=$k — the signature store was built with a different " +
+              "k than this call")))).as("csig"))
+      // candidate dedup keeps the batch signature (first() — sig is
+      // functionally dependent on doc) so newSigs is consumed exactly once
       nb.join(cb, Seq("band"))
-        .select("doc", "corpus_doc").distinct()
-        .join(newSigs, "doc")
-        .join(cs, "corpus_doc")
+        .groupBy(col("doc"), col("corpus_doc"))
+        .agg(first(col("sig")).as("sig"))
+        .join(cs, Seq("corpus_doc"))
         .withColumn("est_jaccard",
           org.apache.spark.sql.graft.VectorExpressions
             .signatureAgreement(col("sig"), col("csig"))
             .cast(DoubleType) / k)
         .filter(col("est_jaccard") >= threshold)
         .select("doc", "corpus_doc", "est_jaccard")
-        .localCheckpoint(true)
-    } finally newSigs.unpersist()
+    }
   }
 
   // ------------------------------------------------- dedup clustering
@@ -782,7 +808,7 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int, nBlocks: Int, blockBits: Int,
                    maxBlockFrequency: Option[Int] = None): DataFrame = {
-    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    requireBlockGeometry(nBlocks, blockBits)
     val blockMask = (1L << blockBits) - 1
     val blocked0 = sigs.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("__id"), col(hashCol).as("__sig"),
@@ -823,9 +849,22 @@ object Dedup {
     * candidates and no error. [[hammingIncrementalFromIndex]] validates
     * these columns instead of trusting the caller. Null signatures are
     * excluded (an undecodable asset owns no blocks). */
+  /** Shared guard for the packed-long block family: `blockBits` must stay
+    * in [1, 63] — at 64, `(1L << 64) - 1` is 0 under JVM shift-count
+    * masking, so every block key silently collapses to 0 and the
+    * candidate join degenerates to a full cross product (r14 ADVICE). */
+  private def requireBlockGeometry(nBlocks: Int, blockBits: Int): Unit = {
+    require(blockBits >= 1 && blockBits < 64,
+      s"blockBits=$blockBits must be in [1, 63] — at 64 the block mask " +
+        "(1L << 64) - 1 is 0 under JVM shift semantics, collapsing every " +
+        "block key to 0 (a full cross-product candidate join)")
+    require(nBlocks >= 1 && nBlocks * blockBits <= 64,
+      s"$nBlocks×$blockBits bits exceed a long")
+  }
+
   def hammingBlockIndex(storeSigs: DataFrame, idCol: String, hashCol: String,
                         nBlocks: Int, blockBits: Int): DataFrame = {
-    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    requireBlockGeometry(nBlocks, blockBits)
     val blockMask = (1L << blockBits) - 1
     storeSigs.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("doc"),
@@ -881,28 +920,18 @@ object Dedup {
       maxHamming: Int, nBlocks: Int, blockBits: Int,
       maxBlockFrequency: Option[Int],
       validateIndex: Boolean): DataFrame = {
-    require(nBlocks * blockBits <= 64, s"$nBlocks×$blockBits bits exceed a long")
+    requireBlockGeometry(nBlocks, blockBits)
+    // structural check at construction (schema-only, no job); the VALUE
+    // check is in-plan and per-row — the bandIndex r15 discipline: the
+    // r14 distinct().collect() ran an eager O(index) job at query
+    // CONSTRUCTION per ingest batch. Every index row's declared geometry
+    // is checked where its block key is consumed: zero extra scans,
+    // appended slices covered by construction, loud at execution.
     if (validateIndex) {
       require(index.columns.contains("index_blocks") && index.columns.contains("index_bits"),
         "index is missing its self-describing index_blocks/index_bits columns — " +
           "build it with Dedup.hammingBlockIndex (a bare (block, doc) relation " +
           "cannot be validated against this call's geometry)")
-      // DISTINCT across all rows, not head(1) — the bandIndex appended-
-      // slice discipline: a slice rebuilt under a different geometry
-      // would hide behind the first row while its keys match nothing
-      val builds = index.select(col("index_blocks").cast(IntegerType),
-        col("index_bits").cast(IntegerType)).distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
-      require(builds.length <= 1,
-        s"hamming block index mixes geometries ${builds.toSeq.sorted} — an " +
-          "appended slice was built with different (nBlocks, blockBits); its " +
-          "rows silently produce zero candidates")
-      builds.foreach { case (ib, ik) =>
-        require(ib == nBlocks && ik == blockBits,
-          s"hamming block index was built with (nBlocks=$ib, blockBits=$ik) " +
-            s"but this ingest probes with (nBlocks=$nBlocks, blockBits=$blockBits) " +
-            "— mismatched block keys would silently produce zero candidates")
-      }
     }
     val blockMask = (1L << blockBits) - 1
     val nb0 = newSigs.filter(col(hashCol).isNotNull)
@@ -911,25 +940,41 @@ object Dedup {
           b.cast(LongType) * (1L << blockBits) +
             call_function("shiftright", col(hashCol), b * blockBits)
               .bitwiseAND(lit(blockMask)))).as("block"))
-    val cb0 = index.select(col("block"), col("doc").as("store_doc"))
+    val cb0 =
+      if (!validateIndex) index.select(col("block"), col("doc").as("store_doc"))
+      else index.select(
+        when(col("index_blocks") === nBlocks && col("index_bits") === blockBits,
+          col("block"))
+          .otherwise(raise_error(concat(
+            lit("hamming block index slice built with (nBlocks="),
+            col("index_blocks").cast(StringType),
+            lit(", blockBits="), col("index_bits").cast(StringType),
+            lit(s") but this ingest probes with (nBlocks=$nBlocks, " +
+              s"blockBits=$blockBits) — an appended slice with mismatched " +
+              "geometry would otherwise silently produce zero candidates"))))
+          .as("block"),
+        col("doc").as("store_doc"))
     // the hot-block cap counts batch + index rows together — the
     // minhashIncrementalFromIndex recall contract
     val (nb, cb) = maxBlockFrequency match {
       case None => (nb0, cb0)
       case Some(cap) =>
+        // lazy (r15 — no checkpoint): the two identical broadcast(hot)
+        // subplans canonicalize equal, so ReuseExchange computes the
+        // hot-block aggregate once per action
         val hot = nb0.select("block").unionAll(cb0.select("block"))
           .groupBy("block").agg(count(lit(1)).as("__n"))
           .filter(col("__n") > cap).select("block")
-          .localCheckpoint(true)
         (nb0.join(broadcast(hot), Seq("block"), "left_anti"),
           cb0.join(broadcast(hot), Seq("block"), "left_anti"))
     }
     val ss = storeSigs.filter(col(storeHashCol).isNotNull)
       .select(col(storeIdCol).as("store_doc"), col(storeHashCol).as("__ssig"))
-    nb.select("doc", "block").join(cb, Seq("block"))
-      .select("doc", "store_doc").distinct()
-      .join(newSigs.filter(col(hashCol).isNotNull)
-        .select(col(idCol).as("doc"), col(hashCol).as("__sig")), Seq("doc"))
+    // candidate dedup keeps the batch signature (first() — __sig is
+    // functionally dependent on doc), consuming newSigs exactly once
+    nb.join(cb, Seq("block"))
+      .groupBy(col("doc"), col("store_doc"))
+      .agg(first(col("__sig")).as("__sig"))
       .join(ss, Seq("store_doc"))
       .withColumn("hamming", bit_count(col("__sig").bitwiseXOR(col("__ssig"))))
       .filter(col("hamming") <= maxHamming)

@@ -66,6 +66,17 @@ object Sq8 {
     // trigger a retrain, the exact silent degradation this monitor
     // exists to defend against (the Dsir-width/Dedup-index artifact
     // discipline: refuse a mismatched artifact, don't trust it).
+    // BOTH directions checked (r14 ADVICE): the left-join `uncovered`
+    // count catches batch dims the bounds never saw; the per-vector size
+    // check catches the mirror image — vectors carrying FEWER dims than
+    // the bounds (a truncated-embedding regression), whose drift would
+    // otherwise be computed over the present dims only and under-report
+    // clamping. Per-vector (not max-dim-index) so a mixed batch where
+    // full vectors mask truncated ones still refuses, including vectors
+    // truncated to empty (which posexplode makes invisible).
+    val sizeChk = batch.agg(
+      coalesce(sum(when(size(Similarity.asDouble(col(vecCol)))
+        =!= lit(lo.length), 1L).otherwise(0L)), lit(0L)).as("missized"))
     val row = batch
       .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
       .join(broadcast(bounds), Seq("dim"), "left")
@@ -76,11 +87,17 @@ object Sq8 {
           .otherwise(0L)), lit(0L)).as("c"),
         coalesce(sum(when(col("__lo").isNull, 1L).otherwise(0L)), lit(0L))
           .as("uncovered"))
+      .crossJoin(sizeChk)
       .collect()(0)
     require(row.getLong(2) == 0L,
       s"clampFraction: batch vectors carry ${row.getLong(2)} dimension-values " +
         s"outside the ${lo.length}-dim trained bounds — the artifact does not " +
         "describe this batch's dimensionality; retrain bounds before monitoring")
+    require(row.getLong(3) == 0L,
+      s"clampFraction: ${row.getLong(3)} batch vectors carry a dimensionality " +
+        s"other than the trained bounds' ${lo.length} — truncated embeddings " +
+        "would under-report clamping over the missing dims; retrain bounds " +
+        "before monitoring")
     if (row.getLong(0) == 0L) 0.0
     else row.getLong(1).toDouble / row.getLong(0)
   }

@@ -2664,7 +2664,8 @@ object OpsQueries {
     // window's mean |sample| IS its amplitude — integer-exact), then
     // brute-force pairs on bit_count(xor); the Spark side must arrive at
     // the same fingerprints from the REAL decoded PCM bytes, and the
-    // 4-block LSH at maxHamming 2 is pigeonhole-exact
+    // block LSH (three 16-bit blocks covering bits 1..47) at
+    // maxHamming 2 is pigeonhole-exact
     "q_audio_fingerprint_pairs" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0),
         |amp AS (SELECT i.doc_id, g.w,
@@ -2717,8 +2718,9 @@ object OpsQueries {
     // 47-bit delta fingerprint from the luma law (a frame's mean luma IS
     // the law — integer-exact), then brute-force pairs on
     // bit_count(xor); the Spark side must arrive at the same
-    // fingerprints from the REAL decoded planes, and the 4-block LSH at
-    // maxHamming 2 is pigeonhole-exact
+    // fingerprints from the REAL decoded planes, and the block LSH
+    // (three 16-bit blocks covering bits 1..47) at maxHamming 2 is
+    // pigeonhole-exact
     "q_video_fingerprint_pairs" ->
       """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
         |luma AS (SELECT i.doc_id, g.f,

@@ -204,6 +204,25 @@ class QuantizedRecallSpec extends AnyFunSuite {
     assert(fracDrift > 0.2, f"planted drift must trip the threshold: $fracDrift%.3f")
     assert(fracStore == 0.0, f"the store never clamps against its own bounds: $fracStore%.3f")
 
+    // dimensionality coverage is checked in BOTH directions (r14 ADVICE):
+    // extra dims the bounds never saw refuse, and TRUNCATED embeddings
+    // refuse too — a mixed batch where full vectors would mask the
+    // truncated ones, and the empty-vector edge posexplode cannot see
+    val truncated = store.limit(8).select(col("vec_id"),
+      slice(col("embedding"), 1, 4).as("embedding"))
+    val mixed = store.limit(8).unionByName(truncated)
+    val eTrunc = intercept[IllegalArgumentException] {
+      Sq8.clampFraction(mixed, "embedding", loS, spanS)
+    }
+    assert(eTrunc.getMessage.contains("truncated"), eTrunc.getMessage)
+    val emptyVec = store.limit(2).select(col("vec_id"),
+      slice(col("embedding"), 1, 0).as("embedding"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Sq8.clampFraction(store.limit(8).unionByName(emptyVec),
+        "embedding", loS, spanS)
+    }
+    assert(eEmpty.getMessage.contains("truncated"), eEmpty.getMessage)
+
     val stale = recallOf(Sq8.topK(union.filter(col("vec_id") < 10), union,
       "vec_id", "embedding", k = K, loS, spanS), exact)
     val (loR, spanR) = Sq8.trainBounds(union, "embedding")

@@ -117,21 +117,61 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(sameRows(ca, cb), "compacted band index must equal the live rebuild")
   }
 
-  test("band index is self-describing: (bands, k) mismatch and bare relations fail loud") {
+  /** Assert `build` fires ZERO Spark jobs (the DsirModelSpec lazy-
+    * validation discipline, r15 — VERDICT task 2): from-index ingest
+    * construction must not run eager probe/validation jobs. Counted
+    * under a dedicated job group so concurrent suites on the shared
+    * session can never false-fail this. */
+  private def assertNoConstructionJobs[A](what: String)(build: => A): A = {
+    val group = s"$what-plan-construction-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, s"$what construction probe")
+      val built = build
+      Thread.sleep(500) // listener bus is async; a submitted job would land
+      assert(jobs.get() == 0,
+        s"$what construction must fire no Spark job, saw ${jobs.get()}")
+      built
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("band index is self-describing: (bands, k) mismatch and bare relations fail loud — lazily") {
     // r12 ADVICE: an index built with different (bands, k) produces band
     // keys no batch can hit — zero candidates, every near-dup silently
     // admitted. The index rows carry their build parameters and the
-    // from-index ingest validates them.
+    // from-index ingest validates them — IN-PLAN as of r15: construction
+    // fires zero jobs (the r14 shape ran an eager O(index)
+    // distinct().collect() per ingest batch), and the violation raises
+    // at execution from the first offending row.
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 3 === 0)
     val batch = docs.filter(col("doc_id") % 3 =!= 0)
     val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", shingleLen = 5, k = 32)
+      .localCheckpoint(true)
     val idx4 = Dedup.bandIndex(sigs, "doc", "sig", bands = 4, k = 32)
-    val eBands = intercept[IllegalArgumentException] {
+      .localCheckpoint(true)
+    val badBands = assertNoConstructionJobs("minhash-from-index") {
       Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
-        idx4, sigs, "doc", "sig", bands = 8, k = 32).collect()
+        idx4, sigs, "doc", "sig", bands = 8, k = 32)
     }
-    assert(eBands.getMessage.contains("bands=4"), eBands.getMessage)
+    val eBands = intercept[Exception] { badBands.collect() }
+    assert(eBands.getMessage.contains("bands=4") &&
+      eBands.getMessage.contains("bands=8"), eBands.getMessage)
+    // structural violation (not a bandIndex artifact at all) is a schema
+    // check — free at construction, still loud there
     val eBare = intercept[IllegalArgumentException] {
       Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
         idx4.select("band", "doc"), sigs, "doc", "sig", bands = 4, k = 32).collect()
@@ -140,13 +180,26 @@ class StoreCompactionSpec extends AnyFunSuite {
     // a HETEROGENEOUS index (appended slice built with different
     // parameters) must reject even when its FIRST row matches this
     // call's (bands, k) — head(1) validation would wave it through while
-    // the mismatched slice silently matches nothing (r13 review)
+    // the mismatched slice silently matches nothing (r13 review). The
+    // per-row form covers it by construction: every slice row is checked.
     val idx8 = Dedup.bandIndex(sigs, "doc", "sig", bands = 8, k = 32)
-    val eMixed = intercept[IllegalArgumentException] {
+    val eMixed = intercept[Exception] {
       Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
         idx8.unionByName(idx4), sigs, "doc", "sig", bands = 8, k = 32).collect()
     }
-    assert(eMixed.getMessage.contains("mixes build parameters"), eMixed.getMessage)
+    assert(eMixed.getMessage.contains("bands=4"), eMixed.getMessage)
+    // the store-side signature-length check is per-candidate-row too: a
+    // store built with a different k fails loud at execution, not via an
+    // eager one-row probe job at construction
+    val sigs16 = Dedup.minhashSignatures(corpus, "doc_id", "text",
+      shingleLen = 5, k = 16).localCheckpoint(true)
+    val badStore = assertNoConstructionJobs("minhash-from-index-store") {
+      Dedup.minhashIncrementalFromIndex(batch, "doc_id", "text",
+        idx8, sigs16, "doc", "sig", bands = 8, k = 32)
+    }
+    val eStore = intercept[Exception] { badStore.collect() }
+    assert(eStore.getMessage.contains("signature length 16") &&
+      eStore.getMessage.contains("k=32"), eStore.getMessage)
   }
 
   test("bloom pre-filtered exact ingest == unfiltered; corpus membership never missed") {
@@ -236,11 +289,14 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(got == brute, s"ingest pairs != brute force: ${got.size} vs ${brute.size}")
     // corrupt (null-fingerprint) assets appear on NEITHER side
     assert(got.forall { case (a, b, _) => a % 101 != 0 && b % 101 != 0 })
-    // self-description: mismatched geometry and bare relations fail loud
-    val eGeom = intercept[IllegalArgumentException] {
+    // self-description: mismatched geometry fails loud — lazily (r15:
+    // construction fires zero jobs; the per-row in-plan check raises at
+    // execution); a bare relation is a schema check, loud at construction
+    val badGeom = assertNoConstructionJobs("hamming-from-index") {
       Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
         idx, store, "asset_id", "vfp", maxHamming = 2, nBlocks = 4, blockBits = 16)
     }
+    val eGeom = intercept[Exception] { badGeom.collect() }
     assert(eGeom.getMessage.contains("nBlocks=3") &&
       eGeom.getMessage.contains("nBlocks=4"), eGeom.getMessage)
     val eBare = intercept[IllegalArgumentException] {
@@ -249,6 +305,17 @@ class StoreCompactionSpec extends AnyFunSuite {
         maxHamming = 2, nBlocks = 3, blockBits = 16)
     }
     assert(eBare.getMessage.contains("index_blocks"), eBare.getMessage)
+    // blockBits=64 would collapse every block key to 0 under JVM shift
+    // masking — a full cross-product candidate join (r14 ADVICE): refused
+    val eBits = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(store, "asset_id", "vfp",
+        maxHamming = 2, nBlocks = 1, blockBits = 64)
+    }
+    assert(eBits.getMessage.contains("[1, 63]"), eBits.getMessage)
+    val eBitsIdx = intercept[IllegalArgumentException] {
+      Dedup.hammingBlockIndex(store, "asset_id", "vfp", nBlocks = 1, blockBits = 64)
+    }
+    assert(eBitsIdx.getMessage.contains("[1, 63]"), eBitsIdx.getMessage)
     // hot-block cap wired: capping at 1 kills every multi-member block,
     // so the capped run returns a subset (fewer or equal pairs)
     val capped = Dedup.hammingIncremental(batch, "asset_id", "vfp",
