@@ -104,6 +104,7 @@ object Main {
     // library-shipped native model functions must be registered before
     // the load resolves `fn:` declarations (parse-time fail-fast)
     graft.ops.CurationRecipe.installNatives()
+    graft.ops.CurationIngest.installNatives()
     val loaded = Project.load(args.project)
     Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,

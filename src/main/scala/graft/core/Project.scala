@@ -135,14 +135,28 @@ object Project {
           }
         }.toSeq
       // same fail-fast discipline as the fn lookup: a typo'd config key
-      // would otherwise silently change materialization (r14 review)
+      // would otherwise silently change materialization (r14 review).
+      // event_time/batch_size/begin/lookback (r15): microbatch-
+      // materialized native models declare the same event-time config as
+      // SQL config() — the incremental-ingest DAG surface.
       val knownKeys = Set("fn", "ref", "source", "materialized",
-        "incremental_strategy", "unique_key", "tags")
+        "incremental_strategy", "unique_key", "tags",
+        "event_time", "batch_size", "begin", "lookback")
       lines.foreach { case (k, _) =>
         require(knownKeys(k) || k.startsWith("meta."),
           s"$p: unknown native model key '$k' — known: " +
             (knownKeys.toSeq.sorted :+ "meta.<k>").mkString(", "))
       }
+      // duplicate scalar keys fail the load like unknown keys do (r14
+      // ADVICE): lines.toMap would silently last-win a file carrying two
+      // `fn:`/`materialized:` lines — contrary to this file's loud-
+      // failure discipline (only ref/source legitimately repeat)
+      lines.filterNot(l => l._1 == "ref" || l._1 == "source")
+        .groupBy(_._1).foreach { case (k, vs) =>
+          require(vs.length == 1,
+            s"$p: native model key '$k' declared ${vs.length} times — " +
+              "scalar keys take exactly one value (only ref/source repeat)")
+        }
       val kv = lines.filterNot(l => l._1 == "ref" || l._1 == "source").toMap
       val fnName = kv.getOrElse("fn", throw new IllegalArgumentException(
         s"$p: native model needs 'fn: <NativeRegistry name>'"))
@@ -161,6 +175,10 @@ object Project {
           incrementalStrategy = kv.get("incremental_strategy"),
           uniqueKey = kv.get("unique_key").toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          eventTime = kv.get("event_time"),
+          batchSize = kv.get("batch_size"),
+          begin = kv.get("begin").map(java.time.Instant.parse),
+          lookback = kv.get("lookback").map(_.toInt).getOrElse(1),
           tags = kv.get("tags").toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
           meta = lines.collect {

@@ -837,6 +837,69 @@ object OpsQueries {
       }
     }),
 
+    // r15 (VERDICT task 1): INGEST through the engine's own DAG. The
+    // checked-in examples/curation_incremental project — HELD artifacts
+    // as materialized_view models, every stage a MICROBATCH model on
+    // event_ts (generation = doc_id % 2 → day), the near-dup ledger
+    // self-referencing via the Runner's `this` dep — is staged against
+    // this gate's sf dir and built TWICE through the real CLI path with
+    // the run window advanced one day per build (--vars run_end=…, the
+    // reference's --event-time-end). The gate row is the ACCUMULATED
+    // audit table, checked against a two-generation DuckDB replay
+    // oracle; the O(batch) claim is proved inline from the commit log
+    // (build 2 advances each stage exactly one version whose added
+    // files live only in the day-2 partition; every artifact MV stays
+    // at its build-1 version — "fresh").
+    "q_curation_project_incremental" -> ((s, d) => {
+      val proj = stageProject("examples/curation_incremental", d)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        def build(runEnd: String): Unit = {
+          val code = graft.Main.execute(s, graft.Main.Args(
+            command = "build", project = proj,
+            vars = Map("run_end" -> runEnd)), sink)
+          require(code == 0,
+            s"graft build (run_end=$runEnd) of the incremental curation project exited $code")
+        }
+        val rm = new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+        val stages = Seq("rules", "scored", "dsir", "ledger", "audit")
+        val artifacts = Seq("lm_uni", "lm_bi", "ppl_cuts", "dsir_model", "dsir_cut")
+        def rel(n: String) = graft.core.Relation("graft", "main", n)
+        build("2025-01-02T00:00:00Z")
+        val after1 = (stages ++ artifacts).map(n => n -> rm.currentState(rel(n)).get).toMap
+        build("2025-01-03T00:00:00Z")
+        stages.foreach { n =>
+          val (v1, v2) = (after1(n), rm.currentState(rel(n)).get)
+          require(v2.version == v1.version + 1,
+            s"$n: expected exactly one new commit for the new generation, " +
+              s"got v${v1.version} -> v${v2.version}")
+          val added = v2.files.filterNot(v1.files.toSet)
+          require(added.nonEmpty && added.forall(_.contains("__graft_batch=2025-01-02")),
+            s"$n: build 2 must add ONLY day-2 partition files, added: $added")
+          require(v1.files.forall(v2.files.toSet),
+            s"$n: build 2 must not rewrite day-1 files")
+        }
+        artifacts.foreach { n =>
+          require(rm.currentState(rel(n)).get.version == after1(n).version,
+            s"artifact $n must stay frozen (mv 'fresh') across nightly builds")
+        }
+        rm.read(rel("audit")).drop("__graft_batch")
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally {
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        def rm0(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm0))
+          f.delete(); ()
+        }
+        rm0(new java.io.File(proj))
+      }
+    }),
+
     // the attrition ledger of v6: docs entering / surviving each stage
     // in recipe order — the table every public curation paper prints
     "q_curation_pipeline_v6_stats" -> ((s, d) => {
@@ -2234,6 +2297,16 @@ object OpsQueries {
          |  drop_stage IS NULL AS final_keep
          |FROM audit ORDER BY doc_id""".stripMargin,
 
+    // r15: the incremental-ingest DAG project — the accumulated audit
+    // table vs the two-generation replay (see curationIncrementalAuditCtes)
+    "q_curation_project_incremental" ->
+      s"""$curationIncrementalAuditCtes
+         |SELECT doc_id, event_ts, lang, lang_ok, gopher_ok, rep_ok, block_ok,
+         |  ppl_bucket, CAST(dsir_keep AS VARCHAR) AS dsir_keep,
+         |  CAST(dup_prior AS VARCHAR) AS dup_prior, drop_stage,
+         |  drop_stage IS NULL AS final_keep
+         |FROM audit ORDER BY doc_id""".stripMargin,
+
     "q_curation_pipeline_v6_stats" ->
       s"""$curationV6AuditCtes,
          |ao AS (SELECT *, CASE drop_stage WHEN 'langid' THEN 1 WHEN 'gopher' THEN 2
@@ -2903,12 +2976,19 @@ object OpsQueries {
     * hardcodes sf0.001 for direct CLI use); everything else is copied
     * byte-for-byte so the gate exercises exactly the committed project.
     * Returns the staged project dir. */
-  private[graft] def stageCurationProject(sfDir: String): String = {
+  private[graft] def stageCurationProject(sfDir: String): String =
+    stageProject("examples/curation", sfDir)
+
+  /** Stage a checked-in example project into a temp dir with its
+    * `sources.corpus` line rewritten to the gate's sf dir (target/
+    * excluded — a previously-run example's warehouse must not leak into
+    * the gate). */
+  private[graft] def stageProject(srcDir: String, sfDir: String): String = {
     import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val src = JP.get("examples/curation")
+    val src = JP.get(srcDir)
     require(JF.isDirectory(src),
-      "examples/curation is missing — the gate stages the checked-in project")
+      s"$srcDir is missing — the gate stages the checked-in project")
     val dst = JF.createTempDirectory("graft_curation_project")
     JF.walk(src).iterator().asScala
       .filter(p => JF.isRegularFile(p) &&
@@ -3199,6 +3279,207 @@ object OpsQueries {
        |  LEFT JOIN dsir ds USING (doc_id)
        |  LEFT JOIN kept kp USING (doc_id)
        |  LEFT JOIN decon dc USING (doc_id))""".stripMargin
+  }
+
+  /** The two-generation INGEST replay oracle (r15 — the
+    * q_curation_project_incremental gate). Generation = doc_id % 2 →
+    * event day; artifacts (LM tables, perplexity cutoffs, DSIR model +
+    * cutoff) derive from the BOOTSTRAP generation's held slices only,
+    * and every stage verdict is a pure function of those frozen
+    * artifacts and the doc's generation prefix — so the per-generation
+    * ingest the Runner executes equals this one-shot replay. The dedup
+    * ordering rule is explicit data ordering: a survivor is dup_prior
+    * iff some banded candidate with a lexicographically earlier
+    * (event_ts, doc_id) matches at est_jaccard ≥ 0.5 — within-batch and
+    * store-probe pairs are the same predicate restricted to equal /
+    * smaller event days. Stage SQL bodies reuse the v6 audit CTE forms
+    * re-scoped to the ingest populations. */
+  private def curationIncrementalAuditCtes: String = {
+    val scores = TA.stopwords.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tk, t -> t IN ($inList))) AS score_$l"
+    }.mkString(",\n  ")
+    val best = s"greatest(${TA.stopwords.map(l => s"score_${l._1}").mkString(", ")})"
+    val pick = TA.stopwords.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH aug AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 1 DAY * (doc_id % 2) AS event_ts,
+       |    CASE WHEN doc_id % 105 = 21 OR doc_id % 111 = 36 THEN 'en' ELSE lang END AS lang,
+       |    CASE WHEN doc_id % 105 = 21 THEN '$v6CloneTemplate' || doc_id::VARCHAR
+       |         WHEN doc_id % 111 = 36 THEN '$v6LoopText'
+       |         ELSE text || (CASE WHEN doc_id % 13 = 0 THEN ' badword1 normal badword2' ELSE '' END)
+       |    END AS text
+       |  FROM documents),
+       |pt AS MATERIALIZED (SELECT doc_id, event_ts, lang, text,
+       |  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |       ELSE string_split_regex(trim(text), '\\s+') END AS tk,
+       |  string_split(text, chr(10)) AS lines FROM aug),
+       |lsc AS (SELECT doc_id, lang,
+       |  $scores
+       |  FROM pt),
+       |l1 AS (SELECT doc_id,
+       |  (CASE $pick ELSE 'und' END) = lang AS lang_ok FROM lsc),
+       |gf AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  round(CASE WHEN len(tk) > 0 THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    ((length(text) - length(replace(text, '#', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS hash_ratio,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    ((length(text) - length(replace(text, '...', ''))) / 3 +
+       |     (length(text) - length(replace(text, '…', ''))) / 1)::DOUBLE / len(tk) ELSE 0.0 END, 6) AS ellipsis_ratio,
+       |  round(CASE WHEN len(lines) > 0 THEN
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+       |  round(CASE WHEN len(lines) > 0 THEN
+       |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS ellipsis_frac,
+       |  round(CASE WHEN len(tk) > 0 THEN
+       |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(tk) ELSE 0.0 END, 6) AS alpha_frac,
+       |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+       |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_types
+       |  FROM pt),
+       |g1 AS (SELECT doc_id,
+       |  (n_words >= 60 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |   AND alpha_frac >= 0.8 AND n_stop_types >= 1) AS gopher_ok FROM gf),
+       |rbase AS (SELECT doc_id, len(tk) AS n_tokens FROM pt),
+       |rbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1])) AS g FROM pt),
+       |rbgs AS (SELECT doc_id, max(c) AS top2, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+       |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM rbg GROUP BY 1, 2) GROUP BY 1),
+       |rtg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM pt),
+       |rtgs AS (SELECT doc_id, max(c) AS top3
+       |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM rtg GROUP BY 1, 2) GROUP BY 1),
+       |r1 AS (SELECT b.doc_id,
+       |  (round(CASE WHEN b.n_tokens > 0 THEN least(COALESCE(top2, 0) * 2.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.20
+       |   AND round(CASE WHEN b.n_tokens > 0 THEN least(COALESCE(top3, 0) * 3.0 / b.n_tokens, 1.0) ELSE 0.0 END, 6) <= 0.18
+       |   AND round(CASE WHEN b.n_tokens > 1 THEN COALESCE(dup2, 0) * 1.0 / (b.n_tokens - 1) ELSE 0.0 END, 6) <= 0.50)
+       |  AS rep_ok
+       |  FROM rbase b LEFT JOIN rbgs USING (doc_id) LEFT JOIN rtgs USING (doc_id)),
+       |bx AS (SELECT doc_id, unnest(tk) AS tok FROM pt),
+       |bwl AS (SELECT unnest(['badword1', 'badword2', 'badword3']) AS w),
+       |bhits AS (SELECT bx.doc_id, COUNT(*) AS n_blocked FROM bx JOIN bwl ON lower(bx.tok) = bwl.w GROUP BY 1),
+       |b1 AS (SELECT p.doc_id, COALESCE(h.n_blocked, 0) = 0 AS block_ok
+       |  FROM pt p LEFT JOIN bhits h USING (doc_id)),
+       |rules AS MATERIALIZED (SELECT p.doc_id, p.event_ts, p.lang, l1.lang_ok, g1.gopher_ok, r1.rep_ok, b1.block_ok,
+       |  (l1.lang_ok AND g1.gopher_ok AND r1.rep_ok AND b1.block_ok) AS rules_pass
+       |  FROM pt p JOIN l1 USING (doc_id) JOIN g1 USING (doc_id) JOIN r1 USING (doc_id) JOIN b1 USING (doc_id)),
+       |rsurv AS MATERIALIZED (SELECT p.* FROM pt p JOIN rules USING (doc_id) WHERE rules.rules_pass),
+       |held AS (SELECT * FROM pt WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
+       |uni AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT unnest(tk) AS tok FROM held) u GROUP BY 1),
+       |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM uni),
+       |unilp AS MATERIALIZED (SELECT tok, ln(tf / total) AS lp FROM uni, n),
+       |hbig AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+       |         FROM held, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |hcb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM hbig GROUP BY 1, 2),
+       |hcp AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM hbig GROUP BY 1),
+       |bilp AS MATERIALIZED (SELECT hcb.w1, hcb.w2, ln(hcb.c2 / hcp.c1) AS lp2 FROM hcb JOIN hcp USING (w1)),
+       |sbig AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |        FROM rsurv, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |sscored AS (
+       |  SELECT b.doc_id,
+       |    ln(0.7 * COALESCE(exp(bl.lp2), 0.0) + (1.0 - 0.7) * COALESCE(exp(ul.lp), exp(-20.0))) AS lp
+       |  FROM sbig b LEFT JOIN bilp bl ON b.w1 = bl.w1 AND b.w2 = bl.w2
+       |  LEFT JOIN unilp ul ON b.w2 = ul.tok),
+       |sagg AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        round(avg(lp), 6) AS avg_logprob_lm FROM sscored GROUP BY 1),
+       |bpsc AS (SELECT r.doc_id, r.lang, a.avg_logprob_lm
+       |       FROM rsurv r JOIN sagg a USING (doc_id)
+       |       WHERE a.n_bigrams > 0 AND r.doc_id % 2 = 0),
+       |psizes AS (SELECT lang, COUNT(*) AS n_docs FROM bpsc GROUP BY 1),
+       |pr AS (SELECT bpsc.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_logprob_lm DESC) AS rn FROM bpsc),
+       |pc1 AS (SELECT pr.lang, pr.avg_logprob_lm AS cut1 FROM pr JOIN psizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (1.0/3.0)) AS BIGINT)),
+       |pc2 AS (SELECT pr.lang, pr.avg_logprob_lm AS cut2 FROM pr JOIN psizes s USING (lang)
+       |       WHERE rn = CAST(ceil(s.n_docs * (2.0/3.0)) AS BIGINT)),
+       |lmsel AS MATERIALIZED (
+       |  SELECT r.doc_id,
+       |    CASE WHEN a.n_bigrams = 0 OR pc1.cut1 IS NULL THEN NULL
+       |         WHEN a.avg_logprob_lm >= pc1.cut1 THEN 'head'
+       |         WHEN a.avg_logprob_lm >= pc2.cut2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |  FROM rsurv r JOIN sagg a USING (doc_id)
+       |  LEFT JOIN pc1 ON r.lang = pc1.lang LEFT JOIN pc2 ON r.lang = pc2.lang),
+       |psurv AS MATERIALIZED (SELECT r.* FROM rsurv r JOIN lmsel USING (doc_id)
+       |  WHERE lmsel.ppl_bucket IS NOT NULL AND lmsel.ppl_bucket <> 'tail'),
+       |bpop AS (SELECT doc_id, tk FROM pt WHERE doc_id % 2 = 0),
+       |dtgt AS (SELECT doc_id, tk FROM bpop WHERE doc_id % 7 = 0),
+       |dfeat_b AS (
+       |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM bpop)
+       |  UNION ALL
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+       |  FROM bpop, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |dfeat_t AS (
+       |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM dtgt)
+       |  UNION ALL
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+       |  FROM dtgt, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |dfb_b AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM dfeat_b),
+       |dfb_t AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM dfeat_t),
+       |dtc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM dfb_t GROUP BY 1),
+       |drc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM dfb_b GROUP BY 1),
+       |dtt AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS total_t FROM dtc),
+       |dtr AS (SELECT CAST(COALESCE(sum(cr), 0) AS DOUBLE) AS total_r FROM drc),
+       |dmodel AS MATERIALIZED (
+       |  SELECT dom.b,
+       |    ln((COALESCE(dtc.ct, 0) + 1.0) / (total_t + 4096.0)) -
+       |    ln((COALESCE(drc.cr, 0) + 1.0) / (total_r + 4096.0)) AS lw
+       |  FROM (SELECT unnest(generate_series(0, 4095)) AS b) dom
+       |  LEFT JOIN dtc USING (b) LEFT JOIN drc USING (b), dtt, dtr),
+       |bws AS (SELECT dfb_b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |        round(sum(m.lw) / count(*), 6) AS avg_log_weight
+       |        FROM dfb_b JOIN dmodel m USING (b) GROUP BY 1),
+       |dnn AS (SELECT COUNT(*) AS n FROM bws),
+       |dcut AS (SELECT avg_log_weight AS c FROM (
+       |    SELECT avg_log_weight, ROW_NUMBER() OVER (ORDER BY avg_log_weight DESC) AS rn FROM bws) r, dnn
+       |  WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)),
+       |pfeat AS (
+       |  SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM psurv)
+       |  UNION ALL
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS f
+       |  FROM psurv, LATERAL (SELECT unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i) g),
+       |pfb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 7)) AS BIGINT) % 4096 AS b FROM pfeat),
+       |pws AS (SELECT pfb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |        round(sum(m.lw) / count(*), 6) AS avg_log_weight
+       |        FROM pfb JOIN dmodel m USING (b) GROUP BY 1),
+       |dsir AS MATERIALIZED (SELECT p.doc_id,
+       |  COALESCE(w.n_feats, 0) > 0 AND w.avg_log_weight >= dcut.c AS dsir_keep
+       |  FROM psurv p LEFT JOIN pws w USING (doc_id), dcut),
+       |dsurv AS MATERIALIZED (SELECT p.* FROM psurv p JOIN dsir USING (doc_id) WHERE dsir.dsir_keep),
+       |ksh AS (SELECT doc_id AS doc, event_ts, $charShinglesSql AS shs FROM dsurv),
+       |ksig AS MATERIALIZED (
+       |  SELECT doc, event_ts, list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(shs) = 0 THEN 2147483647
+       |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+       |    END) AS sig
+       |  FROM ksh),
+       |kband AS (
+       |  SELECT doc, event_ts, sig, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+       |  FROM ksig),
+       |kdup AS (
+       |  SELECT DISTINCT a.doc
+       |  FROM kband a JOIN kband b USING (band)
+       |  WHERE (b.event_ts < a.event_ts OR (b.event_ts = a.event_ts AND b.doc < a.doc))
+       |    AND len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i])) / 32.0 >= 0.5),
+       |ledger AS MATERIALIZED (
+       |  SELECT d.doc_id, d.doc_id IN (SELECT doc FROM kdup) AS dup_prior FROM dsurv d),
+       |audit AS MATERIALIZED (
+       |  SELECT r.doc_id, r.event_ts, r.lang, r.lang_ok, r.gopher_ok, r.rep_ok, r.block_ok,
+       |    l.ppl_bucket, d.dsir_keep, g.dup_prior,
+       |    CASE WHEN NOT r.lang_ok THEN 'langid'
+       |         WHEN NOT r.gopher_ok THEN 'gopher'
+       |         WHEN NOT r.rep_ok THEN 'repetition'
+       |         WHEN NOT r.block_ok THEN 'blocklist'
+       |         WHEN l.ppl_bucket IS NULL OR l.ppl_bucket = 'tail' THEN 'perplexity'
+       |         WHEN NOT d.dsir_keep THEN 'dsir'
+       |         WHEN g.dup_prior THEN 'dedup'
+       |         ELSE NULL END AS drop_stage
+       |  FROM rules r
+       |  LEFT JOIN lmsel l USING (doc_id)
+       |  LEFT JOIN dsir d USING (doc_id)
+       |  LEFT JOIN ledger g USING (doc_id))""".stripMargin
   }
 
   /** KMV ndv oracle — shared verbatim by the direct estimate and the r13

@@ -91,15 +91,26 @@ final class Runner(
     name
   }
 
-  /** Wrap a resolved relation in the sample/event-time window filter when
-    * the dependency declares an event_time column. */
-  private def applySample(dep: Node, name: String): String =
-    emptyWrap((sampleWindow, dep.config.eventTime) match {
-      case (Some((s, e)), Some(et)) =>
-        s"(select * from $name where $et >= timestamp'${java.sql.Timestamp.from(s)}'" +
-          s" and $et < timestamp'${java.sql.Timestamp.from(e)}')"
-      case _ => name
+  /** Wrap a resolved relation in the sample and/or microbatch event-time
+    * window filters when the dependency declares an event_time column.
+    * The batch window is the reference's microbatch ref-filter injection
+    * (core/dbt/context/providers.py:245-296): inside a microbatch model,
+    * every ref to an event-time-carrying input reads ONLY the current
+    * batch's rows — the predicate reaches the scan, so per-batch work is
+    * O(batch), not O(history). {{ this }} is deliberately NOT filtered
+    * (reference semantics: a self-referencing microbatch model reads its
+    * full accumulated state). */
+  private def applySample(dep: Node, name: String,
+                          batchWindow: Option[(Instant, Instant)] = None): String = {
+    def wrap(inner: String, w: (Instant, Instant), et: String): String =
+      s"(select * from $inner where $et >= timestamp'${java.sql.Timestamp.from(w._1)}'" +
+        s" and $et < timestamp'${java.sql.Timestamp.from(w._2)}')"
+    val windows = (sampleWindow.toSeq ++ batchWindow.toSeq)
+    emptyWrap(dep.config.eventTime match {
+      case Some(et) => windows.foldLeft(name)((n, w) => wrap(n, w, et))
+      case None     => name
     })
+  }
 
   /** --empty: inputs become zero-row subqueries (schemas intact). */
   private def emptyWrap(name: String): String =
@@ -108,7 +119,8 @@ final class Runner(
   /** Compile a SQL node: render refs/sources and recursively inline
     * ephemeral deps as CTEs (reference: Compiler._recursively_prepend_ctes
     * core/dbt/compilation.py:493-587, inject_ctes_into_sql :761-829). */
-  def compileSql(node: Node, isIncremental: Boolean = false): String = {
+  def compileSql(node: Node, isIncremental: Boolean = false,
+                 batchWindow: Option[(Instant, Instant)] = None): String = {
     val cteNames = collection.mutable.LinkedHashMap.empty[String, String]
     def resolveRef(name: String): String = {
       val dep = manifest.byName(name).getOrElse(
@@ -129,8 +141,16 @@ final class Runner(
           }
           cteNames += cte -> depSql
         }
-        cte
-      } else applySample(dep, resolveRelationName(dep))
+        // an ephemeral dep declaring event_time gets the batch window
+        // too — the inlined CTE is this model's input exactly like a
+        // table ref (the sample window already applied the same way)
+        (batchWindow, dep.config.eventTime) match {
+          case (Some(w), Some(et)) =>
+            s"(select * from $cte where $et >= timestamp'${java.sql.Timestamp.from(w._1)}'" +
+              s" and $et < timestamp'${java.sql.Timestamp.from(w._2)}')"
+          case _ => cte
+        }
+      } else applySample(dep, resolveRelationName(dep), batchWindow)
     }
     def renderBody(sql: String, n: Node, isIncremental: Boolean): String =
       TemplateResolver.render(sql, TemplateResolver.Context(
@@ -160,13 +180,32 @@ final class Runner(
     }
   }
 
-  /** Build (but don't execute) a node's DataFrame. */
-  def buildDf(node: Node, isIncremental: Boolean = false): DataFrame = node.code match {
-    case Some(SqlCode(_)) => spark.sql(compileSql(node, isIncremental))
+  /** Build (but don't execute) a node's DataFrame. `batchWindow` is the
+    * current microbatch's [start, end): dependencies that declare an
+    * event_time column are filtered to it — the reference's microbatch
+    * ref-filter injection (core/dbt/context/providers.py:245-296), which
+    * is what keeps a batch's work O(batch) instead of O(history): the
+    * predicate reaches the dep's scan. */
+  def buildDf(node: Node, isIncremental: Boolean = false,
+              batchWindow: Option[(Instant, Instant)] = None): DataFrame = node.code match {
+    case Some(SqlCode(_)) => spark.sql(compileSql(node, isIncremental, batchWindow))
     case Some(NativeCode(fn)) =>
+      def windowFilter(df: DataFrame, et: Option[String]): DataFrame = {
+        import org.apache.spark.sql.functions.{col, lit}
+        (sampleWindow.toSeq ++ batchWindow.toSeq).foldLeft(df) { (d, w) =>
+          et match {
+            case Some(c) => d.filter(col(c) >= lit(java.sql.Timestamp.from(w._1)) &&
+              col(c) < lit(java.sql.Timestamp.from(w._2)))
+            case None => d
+          }
+        }
+      }
       val deps = node.dependsOn.flatMap(manifest.get).map { d =>
         val df =
-          if (d.isEphemeral) buildDf(d)
+          if (d.isEphemeral)
+            // the window applies to the inlined frame too (and recurses,
+            // so an ephemeral chain's own event-time deps stay pruned)
+            windowFilter(buildDf(d, batchWindow = batchWindow), d.config.eventTime)
           else {
             // a source dep lives as the session view registerSources
             // created (`<source>_<table>`), not in the warehouse — the
@@ -179,17 +218,26 @@ final class Runner(
                 spark.table(s"${s0}_$t0")
               case _ => spark.table(resolveRelationName(d))
             }
-            (sampleWindow, d.config.eventTime) match {
-              case (Some((s, e)), Some(et)) =>
-                import org.apache.spark.sql.functions.{col, lit}
-                base.filter(col(et) >= lit(java.sql.Timestamp.from(s)) &&
-                  col(et) < lit(java.sql.Timestamp.from(e)))
-              case _ => base
-            }
+            windowFilter(base, d.config.eventTime)
           }
         d.name -> df
       }.toMap
-      fn(spark, deps)
+      // native models get `this` — the model's own existing relation
+      // (the reference's dbt.this for Python models, providers.py:1566):
+      // the incremental/microbatch self-reference an ingest-ledger model
+      // probes its accumulated state through. Resolved FRESH per call
+      // (rm.read, not a pinned temp view) so batch k+1 of one microbatch
+      // run sees batch k's commit; deliberately NEVER batch-filtered
+      // (reference: {{ this }} is exempt from the microbatch ref filter).
+      // Absent on the initial build — the fn branches on
+      // deps.contains("this"), mirroring is_incremental().
+      val relSelf = relationFor(node)
+      val withThis =
+        if (node.config.materialized == "incremental" && !deps.contains("this")
+            && rm.exists(relSelf))
+          deps + ("this" -> rm.read(relSelf))
+        else deps
+      fn(spark, withThis)
     case None => throw new IllegalStateException(s"${node.name} has no code")
   }
 
@@ -419,7 +467,12 @@ final class Runner(
               val cfg = node.config
               val et = cfg.eventTime.getOrElse(throw new IllegalArgumentException(
                 s"microbatch model ${node.name} requires event_time"))
-              val runEnd = cfg.meta.get("run_end").map(Instant.parse).getOrElse(Instant.now())
+              // run end: model config, else the run-level `run_end` var
+              // (the reference's --event-time-end flag: one knob advances
+              // every microbatch model's window per scheduled run), else
+              // wall-clock now
+              val runEnd = cfg.meta.get("run_end").orElse(vars.get("run_end"))
+                .map(Instant.parse).getOrElse(Instant.now())
               val full = fullRefresh || cfg.fullRefresh
               if (full && rm.exists(rel)) rm.drop(rel)
               val checkpoint = if (full) None else rm.readCheckpoint(rel)
@@ -448,7 +501,10 @@ final class Runner(
                 case None          => if (selfRef) 1 else threads
               }
               graft.materializations.Microbatch.run(rm, rel,
-                b => buildDf(node, isIncremental = isInc)
+                // the batch window reaches BOTH the model's event-time-
+                // declaring refs (injected filters — per-batch work stays
+                // O(batch)) and its own output frame
+                b => buildDf(node, isIncremental = isInc, batchWindow = Some(b))
                   .filter(graft.materializations.Microbatch.eventTimeFilter(et, b)),
                 cfg, runEnd, checkpoint,
                 concurrency = slots)

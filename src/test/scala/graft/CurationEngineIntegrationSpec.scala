@@ -65,6 +65,82 @@ class CurationEngineIntegrationSpec extends AnyFunSuite {
       s"fingerprint scan must prune to the hash column:\n$plan")
   }
 
+  test("incremental curation project: nightly build touches only the new generation; replay law holds") {
+    // r15 (VERDICT task 1): the examples/curation_incremental project
+    // run twice through the REAL CLI path with the run window advanced
+    // one day per build. Proofs:
+    //   1. build 2 advances every microbatch stage exactly ONE commit
+    //      whose added files live only in the day-2 partition (commit-
+    //      log file counts — the O(batch) nightly claim), day-1 files
+    //      untouched;
+    //   2. every artifact MV reports "fresh" (version unchanged);
+    //   3. REPLAY LAW: the accumulated audit of the two incremental
+    //      builds equals a from-scratch single build over both days;
+    //   4. re-running build 2 is a no-op (checkpoint caught up).
+    val sf = "/root/testdata/sf0.001"
+    def runBuild(proj: String, runEnd: String): Seq[String] = {
+      val buf = new java.io.StringWriter()
+      val code = graft.Main.execute(spark, graft.Main.Args(
+        command = "build", project = proj,
+        vars = Map("run_end" -> runEnd)),
+        new java.io.PrintWriter(buf, true))
+      assert(code == 0, s"build run_end=$runEnd failed:\n$buf")
+      buf.toString.linesIterator.toSeq
+    }
+    val nanosWas = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val projA = graft.queries.OpsQueries.stageProject("examples/curation_incremental", sf)
+    val projB = graft.queries.OpsQueries.stageProject("examples/curation_incremental", sf)
+    try {
+      def rel(n: String) = Relation("graft", "main", n)
+      val stages = Seq("rules", "scored", "dsir", "ledger", "audit")
+      val artifacts = Seq("lm_uni", "lm_bi", "ppl_cuts", "dsir_model", "dsir_cut")
+      val rmA = new RelationManager(spark, s"$projA/target/warehouse")
+      runBuild(projA, "2025-01-02T00:00:00Z")
+      val after1 = (stages ++ artifacts).map(n => n -> rmA.currentState(rel(n)).get).toMap
+      val log2 = runBuild(projA, "2025-01-03T00:00:00Z")
+      stages.foreach { n =>
+        val (v1, v2) = (after1(n), rmA.currentState(rel(n)).get)
+        assert(v2.version == v1.version + 1,
+          s"$n: nightly build must commit exactly once (v${v1.version} -> v${v2.version})")
+        val added = v2.files.filterNot(v1.files.toSet)
+        assert(added.nonEmpty && added.forall(_.contains("__graft_batch=2025-01-02")),
+          s"$n: build 2 added non-day-2 files: $added")
+        assert(v1.files.forall(v2.files.toSet), s"$n: build 2 rewrote day-1 files")
+      }
+      artifacts.foreach { n =>
+        assert(rmA.currentState(rel(n)).get.version == after1(n).version,
+          s"artifact $n must stay frozen across nightly builds")
+      }
+      assert(artifacts.forall(n => log2.exists(l => l.contains(s".$n") && l.contains("fresh"))),
+        s"every artifact MV must report fresh on build 2:\n${log2.mkString("\n")}")
+      // replay law: incremental two-build audit == one-shot full build
+      val rmB = new RelationManager(spark, s"$projB/target/warehouse")
+      runBuild(projB, "2025-01-03T00:00:00Z")
+      def rows(rm: RelationManager) = rm.read(rel("audit"))
+        .drop("__graft_batch").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      val (inc, full) = (rows(rmA), rows(rmB))
+      assert(inc == full && inc.nonEmpty,
+        s"two incremental builds must equal the one-shot replay (${inc.size} vs ${full.size})")
+      // idempotency: same run_end again → checkpoint caught up, no commit
+      val v2 = rmA.currentState(rel("audit")).get.version
+      runBuild(projA, "2025-01-03T00:00:00Z")
+      assert(rmA.currentState(rel("audit")).get.version == v2,
+        "re-running the same window must be a microbatch no-op")
+    } finally {
+      graft.Tables.names.foreach(n => spark.catalog.dropTempView(s"corpus_$n"))
+      nanosWas match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      def rm0(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm0))
+        f.delete(); ()
+      }
+      rm0(new java.io.File(projA)); rm0(new java.io.File(projB))
+    }
+  }
+
   test("incremental substring excision over a commit-log window store") {
     import spark.implicits._
     val rm = new RelationManager(spark,
