@@ -1246,6 +1246,25 @@ object OpsQueries {
         .orderBy("doc", "store_doc")
     }),
 
+    // r15 (VERDICT task 4): GC of the persisted hamming block index —
+    // after survivor selection drops ids ≡ 1 (mod 4), compactStore's
+    // owner semi-join must leave EXACTLY the index a from-scratch
+    // rebuild over the survivors would produce (the q_dedup_compact_store
+    // law for the modality fingerprint family). The oracle IS that
+    // rebuild: fingerprints recomputed from the luma law for the
+    // surviving ids, exploded into the same 3×16-bit self-describing
+    // block rows.
+    "q_dedup_hamming_compact" -> ((s, d) => {
+      val sigs = Multimodal.videoFingerprintsBatched(
+        Multimodal.toY4mAssets(Tables.documents(s, d), "doc_id"))
+        .localCheckpoint(true)
+      val idx = Dedup.hammingBlockIndex(sigs, "asset_id", "vfp",
+        nBlocks = 3, blockBits = 16)
+      Dedup.compactStore(idx, "doc",
+        sigs.filter(col("asset_id") % 4 =!= 1).select("asset_id"), "asset_id")
+        .orderBy("doc", "block")
+    }),
+
     // r9: hamming near-dup pairs over the dHash through the generalized
     // block-LSH (4 blocks × 16 bits). maxHamming 3 < 4 blocks →
     // pigeonhole-exact recall, so the oracle can be the brute-force
@@ -2815,6 +2834,26 @@ object OpsQueries {
     // block-index forms are DEFINED as the same result — one oracle
     "q_dedup_hamming_incremental" -> hammingIncrementalOracleSql,
     "q_dedup_hamming_from_index" -> hammingIncrementalOracleSql,
+
+    // compacted block index == index rebuilt from the survivors: the
+    // oracle recomputes survivor fingerprints from the luma law and
+    // explodes the same 3×16-bit self-describing block rows
+    "q_dedup_hamming_compact" ->
+      """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents
+        |  WHERE doc_id % 101 <> 0 AND doc_id % 4 <> 1),
+        |luma AS (SELECT i.doc_id, g.f,
+        |    16 + (((i.doc_id % 16) * 31 + g.f * 17) % 89) * 2 +
+        |    CASE WHEN i.doc_id % 80 = 0 AND g.f = i.doc_id % 47 + 1 THEN 40 ELSE 0 END AS l
+        |  FROM ids i JOIN (SELECT unnest(generate_series(0, 47)) AS f) g ON g.f < i.nf),
+        |bits AS (SELECT a1.doc_id, a1.f, CASE WHEN a1.l > a0.l THEN 1 ELSE 0 END AS bit
+        |  FROM luma a1 JOIN luma a0 ON a1.doc_id = a0.doc_id AND a0.f = a1.f - 1
+        |  WHERE a1.f BETWEEN 1 AND 47),
+        |fp AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << f) AS BIGINT) AS vfp FROM bits GROUP BY 1)
+        |SELECT CAST(b.b AS BIGINT) * 65536 + ((fp.vfp >> (b.b * 16)) & 65535) AS block,
+        |  fp.doc_id AS doc,
+        |  CAST(3 AS INTEGER) AS index_blocks, CAST(16 AS INTEGER) AS index_bits
+        |FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS b) b
+        |ORDER BY doc, block""".stripMargin,
 
     // pooled-luma cells: (SUM(g)//12)/255.0 over each 3×4 block of the
     // pattern grid (grayscale → luma == g exactly); histograms: g//64

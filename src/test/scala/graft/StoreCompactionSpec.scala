@@ -258,6 +258,51 @@ class StoreCompactionSpec extends AnyFunSuite {
       "CDC-driven compaction must equal a rebuild from the current snapshot")
   }
 
+  test("hamming block index GC: CDC delete feed drives compaction to the survivor rebuild") {
+    // r15 (VERDICT task 4): the minhash-band-index GC law for the
+    // modality fingerprint family, driven by a REAL change feed — a
+    // commit-log asset table takes a DELETE, the feed's delete side
+    // names the departed owners, and compactStoreByDeleted leaves
+    // exactly the index a from-scratch rebuild over the surviving
+    // assets produces.
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val rm = new RelationManager(spark,
+      Files.createTempDirectory("graft_hamming_gc").toString)
+    val rel = Relation("graft", "main", "video_assets")
+    rm.writeTable(spark.range(240).toDF("doc_id"), rel, statsCols = Seq("doc_id"))
+    def indexOf(assets: org.apache.spark.sql.DataFrame) =
+      Dedup.hammingBlockIndex(
+        Multimodal.videoFingerprintsBatched(
+          Multimodal.toY4mAssets(assets, "doc_id")),
+        "asset_id", "vfp", nBlocks = 3, blockBits = 16)
+    // freeze the index BEFORE the corpus mutates (the windowHashStore
+    // CDC test's discipline)
+    val idx = indexOf(rm.read(rel)).localCheckpoint(true)
+    val v0 = rm.currentVersion(rel).get
+    spark.sql(s"DELETE FROM ${rm.catalogName}.main.video_assets WHERE doc_id % 5 = 2")
+    val v1 = rm.currentVersion(rel).get
+    val deleted = rm.readRowChanges(rel, v0, v1)
+      .filter(col("_change_type") === "delete").select("doc_id")
+    val compacted = Dedup.compactStoreByDeleted(idx, "doc", deleted, "doc_id")
+    val rebuilt = indexOf(rm.read(rel))
+    assert(sameRows(compacted, rebuilt),
+      "CDC-driven index compaction must equal a rebuild from the current snapshot")
+    assert(compacted.count() < idx.count(), "deletes must actually shrink the index")
+    // the compacted index still serves from-index ingest byte-identically
+    // to one built fresh over the survivors
+    val batch = Multimodal.videoFingerprintsBatched(
+      Multimodal.toY4mAssets(spark.range(240, 300).toDF("doc_id"), "doc_id"))
+      .localCheckpoint(true)
+    val store = Multimodal.videoFingerprintsBatched(
+      Multimodal.toY4mAssets(rm.read(rel), "doc_id")).localCheckpoint(true)
+    val viaCompacted = Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
+      compacted, store, "asset_id", "vfp", maxHamming = 2, nBlocks = 3, blockBits = 16)
+    val viaRebuilt = Dedup.hammingIncrementalFromIndex(batch, "asset_id", "vfp",
+      rebuilt, store, "asset_id", "vfp", maxHamming = 2, nBlocks = 3, blockBits = 16)
+    assert(sameRows(viaCompacted, viaRebuilt) && viaCompacted.count() > 0)
+  }
+
   test("hamming ingest: direct == from-index == brute force; geometry validated; caps wired") {
     import spark.implicits._
     import graft.ops.Multimodal
