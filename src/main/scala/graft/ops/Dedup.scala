@@ -1042,6 +1042,61 @@ object Dedup {
     } finally inv0.unpersist()
   }
 
+  /** SET-OVERLAP near-dup pairs over any (owner, key) relation (r15 —
+    * VERDICT task 3's frame-level clip matcher, factored generic): the
+    * inverted-index candidate shape of [[ngramJaccardPairs]] scored by
+    * the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard —
+    * the containment metric, 1.0 when one set is a subset of the other,
+    * which is exactly what a TRIMMED clip is to its source (Jaccard
+    * punishes the trim by the length difference; containment doesn't).
+    * Input rows are (id, key) with multiplicity ignored (set semantics:
+    * the index is DISTINCT per owner); NULL keys are excluded (a corrupt
+    * asset's sentinel row owns no keys). Returns
+    * (id_a, id_b, n_shared, overlap) for pairs at overlap ≥ `minOverlap`.
+    *
+    * Scale shape: candidates come from the key equi-join — never an
+    * all-pairs cross join (the gate's plan assert pins it);
+    * `maxKeyFrequency` caps hot keys exactly like the n-gram df-cap
+    * (set sizes stay exact, the intersection can only undercount, so
+    * capped overlap is a lower bound). For video: feed it
+    * (asset_id, frame hash) rows from [[Multimodal.frameSampleBatched]]
+    * — on real footage the key is a per-frame perceptual hash (the
+    * image dHash operator); on the synthetic fixture the frame's mean
+    * luma IS its content law, and a checkerboard frame's gradient hash
+    * is constant by construction, so the gate keys on mean_luma. */
+  def setOverlapPairs(df: DataFrame, idCol: String, keyCol: String,
+                      minOverlap: Double = 0.9,
+                      maxKeyFrequency: Option[Int] = None): DataFrame = {
+    val inv0 = df.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("doc"), col(keyCol).as("k")).distinct()
+      .persist()
+    try {
+      // sizes from the UNCAPPED index — min(|A|,|B|) must stay exact
+      val sizes = inv0.groupBy("doc").agg(count(lit(1)).as("n_keys"))
+      val inv = maxKeyFrequency match {
+        case Some(cap) =>
+          val keep = inv0.groupBy("k").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select("k")
+          inv0.join(keep, "k")
+        case None => inv0
+      }
+      val common = inv.select(col("k"), col("doc").as("id_a"))
+        .join(inv.select(col("k"), col("doc").as("id_b")), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      common
+        .join(sizes.select(col("doc").as("id_a"), col("n_keys").as("n_a")), "id_a")
+        .join(sizes.select(col("doc").as("id_b"), col("n_keys").as("n_b")), "id_b")
+        .withColumn("overlap",
+          round(col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")), 6))
+        .filter(col("overlap") >= minOverlap)
+        .select("id_a", "id_b", "n_shared", "overlap")
+        // eager materialization (pair-sized output) so the index cache
+        // releases in the finally — the ngramJaccardPairs discipline
+        .localCheckpoint(true)
+    } finally inv0.unpersist()
+  }
+
   /** Corpus-internal EXACT-substring dedup with excision (r10): any
     * n-token window that occurs more than once anywhere in the corpus is
     * kept at exactly ONE canonical occurrence and excised everywhere

@@ -671,6 +671,60 @@ object Multimodal {
       }.toDF("asset_id", "media_type", "payload")
   }
 
+  /** TRIMMED-CLIP plants (r15 — VERDICT task 3): for each input id, a
+    * new asset (`id + idOffset`) whose content is the SAME clip with its
+    * first `dropFrames` frames cut — local frame f plays the base law's
+    * frame f + dropFrames, and the frame count shrinks accordingly. The
+    * whole-asset luma-envelope fingerprint provably misses these (the
+    * 47-bit delta code shifts by dropFrames positions — VideoSpec pins
+    * hamming > maxHamming for every planted pair), which is exactly the
+    * blindness the FRAME-level q_video_framedup_pairs gate exists to
+    * catch. Corruption follows the BASE id's rule (a trim of a corrupt
+    * asset is corrupt) so the oracle's id arithmetic stays one modulus. */
+  def toY4mTrimmedAssets(docs: DataFrame, idCol: String,
+                         dropFrames: Int, idOffset: Long): DataFrame = {
+    require(dropFrames >= 1 && dropFrames <= 40,
+      s"dropFrames=$dropFrames must leave a non-trivial clip (1..40)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { base =>
+          val w = 16; val h = 16
+          val fps = 24 + (base % 4).toInt * 6
+          val nFrames = 48 + (base % 3).toInt - dropFrames
+          val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+            .getBytes("US-ASCII")
+          val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+          val marker = "FRAME\n".getBytes("US-ASCII")
+          val out = java.nio.ByteBuffer.allocate(
+            header.length + nFrames * (marker.length + frameBytes))
+          out.put(header)
+          var f = 0
+          while (f < nFrames) {
+            out.put(marker)
+            val luma = videoLuma(base, f + dropFrames)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = if ((x + y) % 2 == 0) luma + 4 else luma - 4
+                out.put(v.toByte)
+                x += 1
+              }
+              y += 1
+            }
+            var c = 0
+            while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
+            f += 1
+          }
+          val full = out.array()
+          val payload = if (base % 101 == 0) full.take(10) else full
+          (base + idOffset, "video/x-yuv4mpeg", payload)
+        }
+      }.toDF("asset_id", "media_type", "payload")
+  }
+
   /** The per-frame mean-luma law of [[toY4mAssets]] — one definition
     * shared by the generator and the spec's expectations. */
   private[graft] def videoLuma(id: Long, f: Int): Int = {

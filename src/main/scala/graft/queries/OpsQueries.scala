@@ -1246,6 +1246,31 @@ object OpsQueries {
         .orderBy("doc", "store_doc")
     }),
 
+    // r15 (VERDICT task 3): FRAME-LEVEL video near-dup — the
+    // whole-asset luma envelope is blind to trimmed clips (its 47-bit
+    // delta code shifts with the cut; VideoSpec proves the planted
+    // family lands at hamming > 2), so this gate matches clips by FRAME
+    // CONTENT: real decode → every-3rd-frame sample → per-frame content
+    // key (mean luma — the fixture's per-frame law; on real footage the
+    // key is the per-frame perceptual dHash, which a checkerboard frame
+    // collapses by construction) → inverted-index set overlap scored by
+    // the CONTAINMENT coefficient |A∩B|/min(|A|,|B|), 1.0 for a trim.
+    // Corpus = the base assets PLUS planted trimmed clips (ids ≡ 5 mod
+    // 100, first 9 frames cut, id + 1000000). Oracle: brute-force pair
+    // scan over law-derived frame sets. Candidates come from the frame-
+    // key equi-join — the no-cartesian plan assert lives in VideoSpec.
+    "q_video_framedup_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val assets = Multimodal.toY4mAssets(docs, "doc_id").unionByName(
+        Multimodal.toY4mTrimmedAssets(docs.filter(col("doc_id") % 100 === 5),
+          "doc_id", dropFrames = 9, idOffset = 1000000L))
+      val frames = Multimodal.frameSampleBatched(assets, everyNth = 3)
+        .filter(col("frame_idx").isNotNull)
+      Dedup.setOverlapPairs(frames.select(col("asset_id"), col("mean_luma")),
+        "asset_id", "mean_luma", minOverlap = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // r15 (VERDICT task 4): GC of the persisted hamming block index —
     // after survivor selection drops ids ≡ 1 (mod 4), compactStore's
     // owner semi-join must leave EXACTLY the index a from-scratch
@@ -2834,6 +2859,30 @@ object OpsQueries {
     // block-index forms are DEFINED as the same result — one oracle
     "q_dedup_hamming_incremental" -> hammingIncrementalOracleSql,
     "q_dedup_hamming_from_index" -> hammingIncrementalOracleSql,
+
+    // frame-level clip near-dup: brute-force pair scan over frame-key
+    // SETS derived from the luma law — base assets plus the planted
+    // trimmed clips (base%100=5, 9 frames cut, id+1000000; corruption
+    // follows the base id). Containment |A∩B|/min(|A|,|B|) ≥ 0.9.
+    "q_video_framedup_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 48 + doc_id % 3 AS nf, 0 AS off
+        |  FROM documents WHERE doc_id % 101 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, doc_id AS base, 48 + doc_id % 3 - 9 AS nf, 9 AS off
+        |  FROM documents WHERE doc_id % 100 = 5 AND doc_id % 101 <> 0),
+        |fs AS (
+        |  SELECT i.id, list_distinct(list_transform(
+        |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
+        |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
+        |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
+        |  FROM ids i)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(len(list_intersect(a.ks, b.ks)) AS BIGINT) AS n_shared,
+        |  round(len(list_intersect(a.ks, b.ks)) / least(len(a.ks), len(b.ks)), 6) AS overlap
+        |FROM fs a JOIN fs b ON a.id < b.id
+        |WHERE len(list_intersect(a.ks, b.ks)) / least(len(a.ks), len(b.ks)) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // compacted block index == index rebuilt from the survivors: the
     // oracle recomputes survivor fingerprints from the luma law and

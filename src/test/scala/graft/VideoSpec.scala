@@ -134,4 +134,62 @@ class VideoSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 2))
     assert(pairs.forall(p => p._1 % 101 != 0 && p._2 % 101 != 0))
   }
+
+  test("trimmed clips: the envelope provably misses them; frame-level overlap catches them at 1.0") {
+    // r15 (VERDICT task 3). The planted trims (first 9 frames cut,
+    // id + 1000000, corruption following the base id) shift the 47-bit
+    // delta code, so the whole-asset envelope lands OUTSIDE the banded
+    // join's maxHamming=2 radius for every planted pair — the blindness
+    // the frame-level operator exists to close.
+    val baseIds = (0L until N).filter(i => i % 100 == 5 && i % 101 != 0)
+    val bases = assets.filter(col("asset_id") % 100 === 5)
+    val trims = Multimodal.toY4mTrimmedAssets(
+      spark.range(N).toDF("doc_id").filter(col("doc_id") % 100 === 5),
+      "doc_id", dropFrames = 9, idOffset = 1000000L)
+    // 1) trimmed bytes are REAL Y4M: parse back, frame f = base frame f+9
+    val Some((w, h, _, _, planes)) = Multimodal.readY4mBounded(
+      trims.filter(col("asset_id") === 1000005L)
+        .collect()(0).getAs[Array[Byte]]("payload"))
+    assert(w == 16 && h == 16 && planes.length == 48 + (5 % 3) - 9)
+    (0 until 3).foreach { f =>
+      val mean = planes(f).map(_ & 0xFF).map(_.toLong).sum / 256
+      assert(mean == Multimodal.videoLuma(5L, f + 9),
+        s"trim frame $f must play base frame ${f + 9}")
+    }
+    // 2) the envelope MISSES: every (base, trim) fingerprint pair is
+    //    beyond the gate's maxHamming=2
+    val fp = Multimodal.videoFingerprintsBatched(bases.unionByName(trims))
+      .collect().flatMap(r => Option(r.getAs[Any]("vfp"))
+        .map(v => r.getAs[Long]("asset_id") -> v.asInstanceOf[Long])).toMap
+    baseIds.foreach { b =>
+      val d = java.lang.Long.bitCount(fp(b) ^ fp(b + 1000000L))
+      assert(d > 2, s"envelope must miss the planted trim of $b (hamming $d)")
+    }
+    // 3) the frame-level operator CATCHES: containment 1.0 per plant
+    val frames = Multimodal.frameSampleBatched(bases.unionByName(trims))
+      .filter(col("frame_idx").isNotNull)
+    val dupPlan = Dedup.setOverlapPairs(
+      frames.select(col("asset_id"), col("mean_luma")),
+      "asset_id", "mean_luma", minOverlap = 0.9)
+    val dup = dupPlan.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("overlap")))
+    baseIds.foreach { b =>
+      assert(dup.exists(p => p._1 == b && p._2 == b + 1000000L && p._4 == 1.0),
+        s"frame-level overlap must pair $b with its trim at 1.0")
+    }
+    // 4) no-cartesian plan assert: candidates come from the frame-key
+    //    equi-join, never an all-pairs join
+    val plan = dupPlan.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame-dup candidate generation must be an equi-join:\n$plan")
+    // 5) hot-key cap wired: capping at 1 kills every shared key — the
+    //    capped run is a strict subset (here: empty)
+    val capped = Dedup.setOverlapPairs(
+      frames.select(col("asset_id"), col("mean_luma")),
+      "asset_id", "mean_luma", minOverlap = 0.9, maxKeyFrequency = Some(1))
+      .collect()
+    assert(capped.isEmpty, s"cap=1 must prune every multi-owner key")
+  }
 }
