@@ -415,6 +415,13 @@ object Multimodal {
     *     both envelope step sizes (+17·64 / −72·64), so depending on
     *     the neighboring step directions it flips 0, 1, or 2 delta
     *     bits: the near-but-not-exact fingerprint class
+    *   - ids ≡ 3 (mod 10) are STEREO (r15 — VERDICT task 6: the r14
+    *     per-frame channel downmix finally meets generator bytes): two
+    *     interleaved 16-bit channels, L playing the asset's own
+    *     amplitude law A(id, w) and R playing the NEXT window's
+    *     A(id, w+1) — so the downmixed frame energy is exactly
+    *     ⌊(A(id,w) + A(id,w+1)) / 2⌋, a genuinely different envelope
+    *     (a moving average) the oracle recomputes with one CASE
     *   - ids ≡ 0 (mod 101) are CORRUPT (payload truncated to 10 bytes):
     *     every decode-side op must degrade them to null rows
     * Generated on executors inside mapPartitions, like
@@ -427,22 +434,30 @@ object Multimodal {
         ids.map { id =>
           val rate = 8000 + (id % 4).toInt * 4000
           val nWindows = 48 + (id % 3).toInt
-          val nSamples = nWindows * 160
-          val data = new Array[Byte](nSamples * 2)
+          val channels = if (id % 10 == 3) 2 else 1
+          val nFrames = nWindows * 160
+          val data = new Array[Byte](nFrames * 2 * channels)
           var w = 0
           while (w < nWindows) {
-            val amp = wavAmplitude(id, w)
+            // channel c of window w plays A(id, w + c): mono keeps the
+            // pre-r15 bytes EXACTLY; stereo's R channel leads by one
+            // window so the cross-channel mean is a moving average
+            val amps = Array.tabulate(channels)(c => wavAmplitude(id, w + c))
             var t = 0
             while (t < 160) {
-              val s = if ((t / 4) % 2 == 0) amp else -amp
-              val i = (w * 160 + t) * 2
-              data(i) = (s & 0xFF).toByte
-              data(i + 1) = ((s >> 8) & 0xFF).toByte
+              var c = 0
+              while (c < channels) {
+                val s = if ((t / 4) % 2 == 0) amps(c) else -amps(c)
+                val i = ((w * 160 + t) * channels + c) * 2
+                data(i) = (s & 0xFF).toByte
+                data(i + 1) = ((s >> 8) & 0xFF).toByte
+                c += 1
+              }
               t += 1
             }
             w += 1
           }
-          val full = wavBytes(rate, data)
+          val full = wavBytes(rate, data, channels)
           val payload = if (id % 101 == 0) full.take(10) else full
           (id, "audio/wav", payload)
         }
@@ -456,16 +471,17 @@ object Multimodal {
     if (id % 80 == 0 && w == (id % 47).toInt + 1) base + 5000 else base
   }
 
-  /** Canonical 44-byte PCM WAV envelope around a 16-bit mono sample
-    * payload. */
-  private def wavBytes(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+  /** Canonical 44-byte PCM WAV envelope around a 16-bit interleaved
+    * sample payload (mono or stereo). */
+  private def wavBytes(sampleRate: Int, data: Array[Byte],
+                       channels: Int = 1): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val blockAlign = 2 // mono × 16 bit
+    val blockAlign = 2 * channels
     out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1) // PCM, mono
+      .putShort(1).putShort(channels.toShort) // PCM
       .putInt(sampleRate).putInt(sampleRate * blockAlign)
       .putShort(blockAlign.toShort).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(data.length)

@@ -1161,7 +1161,11 @@ object OpsQueries {
     // oracle is the brute-force xor/bit_count scan over fingerprints it
     // recomputes from the generator's amplitude law. Planted structure:
     // ids ≡ (mod 16) share an envelope (hamming 0), ids ≡ 0 (mod 80)
-    // perturb one window (hamming 1-2), corrupt ids drop out as nulls.
+    // perturb one window (hamming 1-2), corrupt ids drop out as nulls,
+    // and ids ≡ 3 (mod 10) are STEREO (r15) — their downmixed envelope
+    // is the moving average ⌊(A(w)+A(w+1))/2⌋, recomputed by the oracle,
+    // so the per-frame channel downmix is exercised by generator BYTES,
+    // not only by the spec's hand-built stereo fixtures.
     "q_audio_fingerprint_pairs" -> ((s, d) => {
       val sigs = Multimodal.audioFingerprintsBatched(
         Multimodal.toWavAssets(Tables.documents(s, d), "doc_id"))
@@ -2769,7 +2773,9 @@ object OpsQueries {
     "q_multimodal_audio_decode" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) END AS sample_rate,
-        |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END AS n_channels,
+        |  CASE WHEN doc_id % 101 = 0 THEN NULL
+        |       WHEN doc_id % 10 = 3 THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END AS n_channels,
         |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS bits_per_sample,
         |  CASE WHEN doc_id % 101 = 0 THEN NULL ELSE CAST((48 + doc_id % 3) * 160 AS BIGINT) END AS n_samples,
         |  CASE WHEN doc_id % 101 = 0 THEN NULL
@@ -2785,10 +2791,14 @@ object OpsQueries {
     // maxHamming 2 is pigeonhole-exact
     "q_audio_fingerprint_pairs" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0),
-        |amp AS (SELECT i.doc_id, g.w,
+        |ampl AS (SELECT i.doc_id, g.w,
         |    4000 + (((i.doc_id % 16) * 31 + g.w * 17) % 89) * 64 +
         |    CASE WHEN i.doc_id % 80 = 0 AND g.w = i.doc_id % 47 + 1 THEN 5000 ELSE 0 END AS a
-        |  FROM ids i, (SELECT unnest(generate_series(0, 47)) AS w) g),
+        |  FROM ids i, (SELECT unnest(generate_series(0, 48)) AS w) g),
+        |amp AS (SELECT a0.doc_id, a0.w,
+        |    CASE WHEN a0.doc_id % 10 = 3 THEN (a0.a + a1.a) // 2 ELSE a0.a END AS a
+        |  FROM ampl a0 JOIN ampl a1 ON a0.doc_id = a1.doc_id AND a1.w = a0.w + 1
+        |  WHERE a0.w <= 47),
         |bits AS (SELECT a1.doc_id, a1.w, CASE WHEN a1.a > a0.a THEN 1 ELSE 0 END AS bit
         |  FROM amp a1 JOIN amp a0 ON a1.doc_id = a0.doc_id AND a0.w = a1.w - 1
         |  WHERE a1.w BETWEEN 1 AND 47),

@@ -27,14 +27,25 @@ class AudioSpec extends AnyFunSuite {
     rows.foreach { case (id, payload) =>
       val Some((rate, channels, bits, samples)) = Multimodal.readWavBounded(payload)
       assert(rate == 8000 + (id % 4).toInt * 4000, s"id=$id rate=$rate")
-      assert(channels == 1 && bits == 16)
-      assert(samples.length == (48 + (id % 3).toInt) * 160, s"id=$id n=${samples.length}")
+      // ids ≡ 3 (mod 10) are the planted STEREO assets (r15): channel c
+      // of window w plays A(id, w + c); everything else is bit-identical
+      // to the pre-r15 mono bytes
+      val expectCh = if (id % 10 == 3) 2 else 1
+      assert(channels == expectCh && bits == 16, s"id=$id channels=$channels")
+      assert(samples.length == (48 + (id % 3).toInt) * 160 * expectCh,
+        s"id=$id n=${samples.length}")
       // a constant-amplitude square-wave window's mean |sample| IS its
-      // amplitude, exactly — integer division included
+      // amplitude, exactly — integer division included; a stereo
+      // window's cross-channel mean is ⌊(A(w) + A(w+1)) / 2⌋
       (0 until 3).foreach { w =>
-        val sum = (0 until 160).map(t => math.abs(samples(w * 160 + t).toLong)).sum
-        assert(sum / 160 == Multimodal.wavAmplitude(id, w),
-          s"id=$id window=$w energy ${sum / 160} != amplitude law")
+        val span = 160 * expectCh
+        val sum = (0 until span).map(t => math.abs(samples(w * span + t).toLong)).sum
+        val expected =
+          if (expectCh == 2)
+            (Multimodal.wavAmplitude(id, w) + Multimodal.wavAmplitude(id, w + 1)) / 2
+          else Multimodal.wavAmplitude(id, w)
+        assert(sum / span == expected,
+          s"id=$id window=$w energy ${sum / span} != amplitude law")
       }
     }
   }
@@ -66,16 +77,22 @@ class AudioSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("asset_id") ->
         (Option(r.getAs[Any]("n_windows")), Option(r.getAs[Any]("afp")))).toMap
     assert(fps.keySet == (0L until N).toSet, "every asset surfaces exactly once")
+    // one energy law for both channel layouts: a stereo window's
+    // cross-channel mean is the moving average ⌊(A(w) + A(w+1)) / 2⌋
+    def energy(id: Long, w: Int): Long =
+      if (id % 10 == 3)
+        (Multimodal.wavAmplitude(id, w) + Multimodal.wavAmplitude(id, w + 1)) / 2L
+      else Multimodal.wavAmplitude(id, w).toLong
     (0L until N).foreach { id =>
       if (id % 101 == 0) assert(fps(id) == ((None, None)), s"corrupt id=$id must null out")
       else {
         var expected = 0L
         (1 to 47).foreach { w =>
-          if (Multimodal.wavAmplitude(id, w) > Multimodal.wavAmplitude(id, w - 1))
-            expected |= 1L << w
+          if (energy(id, w) > energy(id, w - 1)) expected |= 1L << w
         }
         assert(fps(id)._2.contains(expected), s"id=$id fingerprint drifted")
-        assert(fps(id)._1.contains(48 + id % 3), s"id=$id n_windows")
+        assert(fps(id)._1.contains(48 + id % 3),
+          s"id=$id n_windows must count FRAMES for stereo too")
       }
     }
   }
