@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.StringType
   *
   * Generations: event_ts = 2025-01-01 + (doc_id % 2) days — generation 0
   * (even ids) is the bootstrap day, generation 1 (odd ids) the nightly
-  * increment. The [[CurationRecipe.augment]] plants thread both
+  * increment. The [[graft.fixtures.CurationPlants]] plants thread both
   * generations: the mod-105 template clones alternate parity, so the
   * ledger sees within-batch duplicates on day 1 AND store-probe
   * duplicates on day 2; every even clone id is ≡ 0 (mod 6) and
@@ -58,11 +58,12 @@ object CurationIngest {
 
   private def ts(i: Instant) = lit(java.sql.Timestamp.from(i))
 
-  /** Stage 0: [[CurationRecipe.augment]] plants + the generation clock.
-    * Ephemeral in the project (inlined into consumers), declaring
-    * event_time so the microbatch window reaches the source scan. */
+  /** Stage 0: normalization + the [[graft.fixtures.CurationPlants]]
+    * plants + the generation clock. Ephemeral in the project (inlined
+    * into consumers), declaring event_time so the microbatch window
+    * reaches the source scan. */
   def feed(rawDocs: DataFrame): DataFrame =
-    CurationRecipe.augment(rawDocs)
+    graft.fixtures.CurationPlants.augment(rawDocs)
       .withColumn("event_ts",
         to_timestamp(date_add(to_date(ts(begin)), (col("doc_id") % 2).cast("int"))))
 

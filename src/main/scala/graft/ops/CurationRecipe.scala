@@ -25,51 +25,25 @@ import org.apache.spark.sql.types.StringType
   * (accuracy ≥ 2n), at 100 TB they are one map-side-combining aggregate
   * instead of a single-partition sort.
   *
-  * Plant semantics (mirrored CASE-for-CASE in the DuckDB oracle) — the
-  * fixture has no near-duplicates and no degenerate repetition, so two
-  * drop classes could never fire without them:
-  *   - ids ≡ 21 (mod 105 = 3·5·7): five TEMPLATE CLONES differing only
-  *     in a trailing id token — pairwise levenshtein ≤ 4, one dedup
-  *     cluster. 105's factors thread them through the population-
-  *     dependent stages: ≡ 0 (mod 3) puts their bigrams in the held LM
-  *     (scoreable, head bucket), ≡ 0 (mod 7) puts them in the DSIR
-  *     target — they reach stage 7 and all but the best drop there.
-  *   - ids ≡ 36 (mod 111): a degenerate two-word loop — passes langid
-  *     (stopword-heavy), gopher (80 words, clean structure), then fails
-  *     the repetition battery (top-bigram fraction 1.0).
-  *   - ids ≡ 0 (mod 13): blocklist terms (the q_text_blocklist plant).
+  * The recipe takes its corpus AS-IS: the fixture plants the gates and
+  * example projects rely on (template clones mod 105, degenerate loop
+  * mod 111, blocklist terms mod 13) live in
+  * [[graft.fixtures.CurationPlants]] (r15 — plant arithmetic is gate
+  * scaffolding, not product behavior) and compose in front of the
+  * recipe where a gate or example needs them.
   */
 object CurationRecipe {
 
-  private[graft] val cloneTemplate: String =
-    "the archive that holds these records spans decades with careful " +
-      "notes about weather crops prices travel letters maps sketches " +
-      "recipes songs stories games tools fabrics metals spices powders " +
-      "liquids engines wheels bridges towers markets harbors vessels " +
-      "journeys seasons harvest winter spring summer autumn morning " +
-      "evening midday twilight shadows colors sounds voices whispers " +
-      "echoes signals beacons lanterns candles mirrors windows doorways " +
-      "gardens meadows forests rivers copy "
-  private[graft] val loopText: String = Seq.fill(40)("the data").mkString(" ")
-
-  /** Stage 0: dtype normalization + the planted rows (see object doc).
-    * Takes the RAW documents frame (a source parquet scan or
-    * Tables.documents output — the casts are idempotent). */
-  def augment(rawDocs: DataFrame): DataFrame = {
+  /** Stage 0: dtype NORMALIZATION only (idempotent casts over a raw
+    * documents frame — a source parquet scan or Tables.documents
+    * output). Fixture planting is [[graft.fixtures.CurationPlants]]'s
+    * job, composed by the gates/examples, not by the recipe. */
+  def normalize(rawDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val raw = rawDocs.select(
+    rawDocs.select(
       col("doc_id").cast(LongType).as("doc_id"),
       col("text").cast(StringType).as("text"),
       col("lang").cast(StringType).as("lang"))
-    raw.select(col("doc_id"),
-      when(col("doc_id") % 105 === 21 || col("doc_id") % 111 === 36, lit("en"))
-        .otherwise(col("lang")).as("lang"),
-      when(col("doc_id") % 105 === 21,
-        concat(lit(cloneTemplate), col("doc_id").cast(StringType)))
-        .when(col("doc_id") % 111 === 36, lit(loopText))
-        .otherwise(concat(col("text"),
-          when(col("doc_id") % 13 === 0, lit(" badword1 normal badword2"))
-            .otherwise(lit("")))).as("text"))
   }
 
   /** The held-out eval bench: never a candidate; drives stage 8. */
@@ -220,9 +194,12 @@ object CurationRecipe {
     * project's ref lines must satisfy. Idempotent. */
   def installNatives(): Unit = {
     import graft.core.NativeRegistry.register
-    // deps: the source table (corpus_documents by default source naming)
+    // deps: the source table (corpus_documents by default source naming).
+    // The FIXTURE stage: normalization is the recipe's, the plants are
+    // CurationPlants' — registered here because the checked-in example
+    // projects (gate fixtures themselves) declare it as their stage 0.
     register("curation_augment") { (_, deps) =>
-      augment(deps.values.headOption.getOrElse(
+      graft.fixtures.CurationPlants.augment(deps.values.headOption.getOrElse(
         throw new IllegalArgumentException(
           "curation_augment needs one source/ref dependency (the raw documents)")))
     }

@@ -3054,8 +3054,8 @@ object OpsQueries {
   // and its oracle — a one-character drift fails every stage downstream
   // the plant constants live with the recipe (one definition backs the
   // composed gate, the examples/curation DAG project, and this oracle)
-  private def v6CloneTemplate: String = graft.ops.CurationRecipe.cloneTemplate
-  private def v6LoopText: String = graft.ops.CurationRecipe.loopText
+  private def v6CloneTemplate: String = graft.fixtures.CurationPlants.cloneTemplate
+  private def v6LoopText: String = graft.fixtures.CurationPlants.loopText
 
   /** v6 stage 5 / stage 6 cutoff frames (pre-checkpoint) — thin
     * delegates to [[graft.ops.CurationRecipe]] kept so the plan spec can
@@ -3121,7 +3121,7 @@ object OpsQueries {
     * CurationRecipe scaladoc + the gate entry. */
   private def curationV6(s: SparkSession, d: String): DataFrame = {
     import graft.ops.{CurationRecipe => CR}
-    val aug = CR.augment(Tables.documents(s, d))
+    val aug = graft.fixtures.CurationPlants.augment(Tables.documents(s, d))
     val bench = CR.bench(aug)
     val pop = CR.pop(aug)
     // stages 1-4: the per-doc rule battery
