@@ -86,6 +86,18 @@ object Bench {
     "q_audio_fingerprint_pairs",
     "q_video_frame_sample")
 
+  /** Seventh tracked metric (r15 — VERDICT task 5): the ENGINE-DAG path.
+    * q_curation_project builds examples/curation end to end through the
+    * real CLI (parse → schedule → materialize every stage as a table →
+    * run the generic tests), so this number tracks the Runner's
+    * integration overhead against the hand-composed v6 query in
+    * `pipeline_total` — scheduling, commit-log writes, test nodes and
+    * all. Separate key, same rationale: earlier metrics stay
+    * byte-stable for trends. Per-model timings ride the sidecar's
+    * `project_models` block (one extra instrumented build after the
+    * timed passes — run_results carries per-node execution seconds). */
+  val project: Seq[String] = Seq("q_curation_project")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -243,13 +255,14 @@ object Bench {
       case None =>
         Seq("curation_total" -> curation, "excision_total" -> excision,
           "selection_total" -> selection, "pipeline_total" -> pipeline,
-          "multimodal_total" -> multimodal)
+          "multimodal_total" -> multimodal, "project_total" -> project)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
           "selection_total" -> selection.filter(o),
           "pipeline_total" -> pipeline.filter(o),
-          "multimodal_total" -> multimodal.filter(o)).filter(_._2.nonEmpty)
+          "multimodal_total" -> multimodal.filter(o),
+          "project_total" -> project.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -263,7 +276,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (json, compact, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
+    val (json0, compact, errs) = run(spark, sfDir, timed, SparkEntry.queries, extraMetrics = extras)
+    // per-model timings for the engine-DAG metric (r15): ONE extra
+    // instrumented build after the timed passes — the Runner's own
+    // run_results carries per-node execution seconds. Sidecar/full-line
+    // only (the compact line must stay inside the driver's tail window).
+    val projectModels: String =
+      if (only.isDefined) "" // A/B runs time exactly what was asked
+      else try {
+        val proj = graft.queries.OpsQueries.stageCurationProject(sfDir)
+        try {
+          val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+          val code = graft.Main.execute(spark, graft.Main.Args(
+            command = "build", project = proj), sink)
+          require(code == 0, s"instrumented project build exited $code")
+          val doc = graft.core.Json.obj(graft.core.Json.parse(
+            java.nio.file.Files.readString(
+              java.nio.file.Paths.get(proj, "target", "run_results.json"))))
+          val entries = graft.core.Json.arr(doc("results")).map(graft.core.Json.obj)
+            .map { r =>
+              val id = graft.core.Json.str(r("unique_id"))
+              val t = r("execution_time") match {
+                case d: Double => d; case l: Long => l.toDouble; case _ => 0.0
+              }
+              "\"" + id.split("\\.").last + f"\":$t%.3f"
+            }
+          s""","project_models":${entries.mkString("{", ",", "}")}"""
+        } finally {
+          def rm0(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm0))
+            f.delete(); ()
+          }
+          rm0(new java.io.File(proj))
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] project_models skipped: ${brief(t)}")
+        ""
+      }
+    val json = if (projectModels.isEmpty) json0
+      else json0.stripSuffix("}") + projectModels + "}"
     // Tail-capture self-defense, v2 (r14): the driver stores only the
     // last ~2000 chars of stdout, which the FULL artifact outgrew (the
     // r13 capture started mid-object → parsed null). The full artifact

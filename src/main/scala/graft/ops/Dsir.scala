@@ -248,7 +248,7 @@ object Dsir {
   def select(raw: DataFrame, target: DataFrame, idCol: String,
              textCol: String, fraction: Double, nBuckets: Int = 4096,
              smoothing: Double = 1.0,
-             approx: Boolean = true, accuracy: Int = 100000,
+             approx: Boolean = true, accuracy: Int = 1000000,
              precomputedModel: Option[DataFrame] = None): DataFrame = {
     val weighted = logWeights(raw, target, idCol, textCol, nBuckets,
       smoothing, precomputedModel)

@@ -175,7 +175,7 @@ object Sampling {
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
                          ascending: Boolean = false,
                          approx: Boolean = true,
-                         accuracy: Int = 100000): DataFrame =
+                         accuracy: Int = 1000000): DataFrame =
     selectByCutoff(df, scoreCol,
       scoreCutoff(df, scoreCol, fraction, ascending, approx, accuracy),
       ascending)
@@ -207,7 +207,7 @@ object Sampling {
   def scoreCutoff(df: DataFrame, scoreCol: String, fraction: Double,
                   ascending: Boolean = false,
                   approx: Boolean = true,
-                  accuracy: Int = 100000): DataFrame = {
+                  accuracy: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
     val scored = df.select(col(scoreCol)).filter(col(scoreCol).isNotNull)

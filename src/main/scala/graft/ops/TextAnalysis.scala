@@ -523,7 +523,7 @@ object TextAnalysis {
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
                         approx: Boolean = true,
-                        accuracy: Int = 100000): DataFrame =
+                        accuracy: Int = 1000000): DataFrame =
     assignPplBuckets(scored, groupCol, lpCol,
       perplexityCutoffs(scored, groupCol, lpCol, headFraction, middleFraction,
         approx, accuracy))
@@ -542,7 +542,7 @@ object TextAnalysis {
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
                         approx: Boolean = true,
-                        accuracy: Int = 100000): DataFrame = {
+                        accuracy: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = scored.filter(col(groupCol).isNotNull && col(lpCol).isNotNull)
     if (approx) {
