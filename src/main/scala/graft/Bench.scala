@@ -302,13 +302,7 @@ object Bench {
               "\"" + id.split("\\.").last + f"\":$t%.3f"
             }
           s""","project_models":${entries.mkString("{", ",", "}")}"""
-        } finally {
-          def rm0(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm0))
-            f.delete(); ()
-          }
-          rm0(new java.io.File(proj))
-        }
+        } finally graft.queries.OpsQueries.deleteDir(proj)
       } catch { case t: Throwable =>
         System.err.println(s"[bench] project_models skipped: ${brief(t)}")
         ""

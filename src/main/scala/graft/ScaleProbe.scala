@@ -552,6 +552,20 @@ object ScaleProbe {
       }
       vIdx.foreach(_.unpersist())
       vSigs.foreach(_.unpersist())
+      // r15 frame-level clip matcher: n clips × 16 frame keys, clips in
+      // groups of 3 sharing their frame sets (the near-dup density knob)
+      // — keys are 64-bit hashes like real per-frame perceptual hashes,
+      // so the key space scales with the corpus and owners-per-key stays
+      // ~3: candidate volume is linear in n (the inverted-index shape;
+      // the hot-key cap exists for degenerate key spaces, not this one)
+      timed("framedup_pairs", runs, opFilter) {
+        val frames = docs.select(col("doc_id").as("asset_id"),
+          explode(sequence(lit(0), lit(15))).as("f"))
+          .select(col("asset_id"),
+            xxhash64(floor(col("asset_id") / 3).cast("long"), col("f")).as("fkey"))
+        ops.Dedup.setOverlapPairs(frames, "asset_id", "fkey",
+          minOverlap = 0.9).count()
+      }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.

@@ -31,7 +31,7 @@ object CorpusStats {
     * largest group it is bit-identical to the exact path
     * (ApproxCutoffSpec pins it); beyond that, rank error ≤ n/accuracy. */
   def tokenStatsBy(df: DataFrame, groupCol: String, textCol: String,
-                   approx: Boolean = false, accuracy: Int = 100000): DataFrame = {
+                   approx: Boolean = false, accuracy: Int = 1000000): DataFrame = {
     val toks = df.select(col(groupCol).as("grp"),
       TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
     if (approx) {

@@ -155,17 +155,25 @@ object CurationIngest {
              prior: Option[DataFrame]): DataFrame = {
     val batch = feedBatch.join(
       dsirBatch.filter(col("dsir_keep")).select("doc_id"), "doc_id")
+    // fingerprinted ONCE, literally: the batch signatures materialize
+    // here (an eager batch-sized job — this fn runs inside a
+    // materialization, not a composed query) and feed the within-batch
+    // pairs, the store probe, AND the persisted ledger row through the
+    // precomputed-signatures seam (r15 review: the first cut shingled
+    // and hashed the batch three times)
     val sigs = Dedup.minhashSignatures(batch, "doc_id", "text",
-      shingleLen = 5, k = 32)
+      shingleLen = 5, k = 32).localCheckpoint(true)
     val within = Dedup.minhashLshPairs(batch, "doc_id", "text",
-      shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+      shingleLen = 5, k = 32, bands = 8, threshold = 0.5,
+      precomputedSigs = Some(sigs))
       .select(col("doc_b").as("doc_id")).distinct()
     val fromStore = prior match {
       case None => None
       case Some(st) =>
         val pairs = Dedup.minhashIncremental(batch, "doc_id", "text",
           st.select(col("doc_id").as("doc"), col("sig")), "doc", "sig",
-          shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+          shingleLen = 5, k = 32, bands = 8, threshold = 0.5,
+          precomputedNewSigs = Some(sigs))
         // lexicographic (event_ts, doc_id) ordering on the pair data
         Some(pairs
           .join(batch.select(col("doc_id").as("doc"),

@@ -274,7 +274,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5,
-      maxBandFrequency: Option[Int] = None): DataFrame = {
+      maxBandFrequency: Option[Int] = None,
+      // already-computed (doc, sig) signatures for this exact
+      // (shingleLen, k) — the Pq precomputedCodes contract (r15): an
+      // ingest that persists signatures anyway must not shingle+hash the
+      // batch a second time here
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0,
       s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
         s"the trailing ${k % bands} signature positions")
@@ -284,7 +289,8 @@ object Dedup {
     // returning; without the checkpoint the lazy result would still
     // reference the cache and unpersist would force a full recompute
     // (r1/r2 leak: persist was never released in a long-lived session).
-    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, k).persist()
+    val sigs = precomputedSigs
+      .getOrElse(minhashSignatures(df, idCol, textCol, shingleLen, k)).persist()
     try {
       bandedCandidates(sigs, bands, k / bands, maxBandFrequency)
         .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -423,7 +429,11 @@ object Dedup {
                          corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
                          shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.5,
-                         maxBandFrequency: Option[Int] = None): DataFrame =
+                         maxBandFrequency: Option[Int] = None,
+                         // already-computed batch (doc, sig) signatures
+                         // for this exact (shingleLen, k) — see
+                         // minhashLshPairs.precomputedSigs (r15)
+                         precomputedNewSigs: Option[DataFrame] = None): DataFrame =
     // the direct form IS the from-index form with the band relation
     // derived inline (one implementation — r12 review: the duplicated
     // cap/verify chains were a divergence risk); persisting the band
@@ -437,7 +447,8 @@ object Dedup {
     minhashIncrementalFromIndexImpl(newDocs, idCol, textCol,
       bandIndex(corpusSigs, corpusIdCol, sigCol, bands, k),
       corpusSigs, corpusIdCol, sigCol, shingleLen, k, bands, threshold,
-      maxBandFrequency, validateIndex = false)
+      maxBandFrequency, validateIndex = false,
+      precomputedNewSigs = precomputedNewSigs)
 
   /** Persisted BAND INDEX: (band, doc) rows exploded once from a
     * signature store — the ingest artifact [[minhashIncremental]]'s
@@ -466,10 +477,13 @@ object Dedup {
     // the anti-pattern the DSIR lazy-validation fix removed — and only
     // ever saw the first row. Wrapping the signature consumed by the
     // band-key slice costs zero extra scans, fires on the first
-    // offending row at execution, and validates EVERY row.
+    // offending row at execution, and validates EVERY row. NULL
+    // signatures pass THROUGH the guard (bandKeys over NULL explodes to
+    // zero rows — the pre-r15 skip semantics; a degraded doc owns no
+    // bands, it is not a k mismatch).
     corpusSigs.select(col(idCol).as("doc"),
       explode(bandKeys(
-        when(size(col(sigCol)) === k, col(sigCol))
+        when(col(sigCol).isNull || size(col(sigCol)) === k, col(sigCol))
           .otherwise(raise_error(concat(
             lit("corpus signature length "), size(col(sigCol)).cast(StringType),
             lit(s" != k=$k — the signature store was built with a different " +
@@ -510,7 +524,8 @@ object Dedup {
                                   shingleLen: Int, k: Int, bands: Int,
                                   threshold: Double,
                                   maxBandFrequency: Option[Int],
-                                  validateIndex: Boolean): DataFrame = {
+                                  validateIndex: Boolean,
+                                  precomputedNewSigs: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0,
       s"k=$k must be a multiple of bands=$bands — banding would silently drop " +
         s"the trailing ${k % bands} signature positions")
@@ -541,10 +556,22 @@ object Dedup {
     // narrow stage), so the signature computation runs once per action
     // with no cached state to leak and no plan-time job. Severing for
     // iterative consumers (CC loops) is the caller's checkpoint.
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen, k)
+    val newSigs = precomputedNewSigs
+      .getOrElse(minhashSignatures(newDocs, idCol, textCol, shingleLen, k))
     locally {
+      // caller-supplied batch signatures get the same per-row length
+      // guard as the store side (mis-sized sigs would silently produce
+      // band keys that match nothing); our own minhashSignatures output
+      // is correct by construction
+      val batchSig =
+        if (precomputedNewSigs.isEmpty) col("sig")
+        else when(col("sig").isNull || size(col("sig")) === k, col("sig"))
+          .otherwise(raise_error(concat(
+            lit("precomputed batch signature length "),
+            size(col("sig")).cast(StringType),
+            lit(s" != k=$k — built with a different k than this call"))))
       val nb0 = newSigs.select(col("doc"), col("sig"),
-        explode(bandKeys(col("sig"), bands, k / bands)).as("band"))
+        explode(bandKeys(batchSig, bands, k / bands)).as("band"))
       val cb0 =
         if (!validateIndex) index.select(col("band"), col("doc").as("corpus_doc"))
         else index.select(
@@ -574,9 +601,11 @@ object Dedup {
       // probe): a store built with a different k mis-sizes every
       // agreement denominator — any candidate row exposes it; store rows
       // that never become candidates are never consumed, so no wrong
-      // output can escape unchecked
+      // output can escape unchecked. NULL signatures pass through (a
+      // degraded row yields a NULL agreement the threshold filter drops
+      // — the pre-r15 skip semantics, not a k mismatch).
       val cs = corpusSigs.select(col(corpusIdCol).as("corpus_doc"),
-        when(size(col(sigCol)) === k, col(sigCol))
+        when(col(sigCol).isNull || size(col(sigCol)) === k, col(sigCol))
           .otherwise(raise_error(concat(
             lit("corpus signature length "), size(col(sigCol)).cast(StringType),
             lit(s" != k=$k — the signature store was built with a different " +
@@ -1071,30 +1100,43 @@ object Dedup {
       .select(col(idCol).as("doc"), col(keyCol).as("k")).distinct()
       .persist()
     try {
-      // sizes from the UNCAPPED index — min(|A|,|B|) must stay exact
-      val sizes = inv0.groupBy("doc").agg(count(lit(1)).as("n_keys"))
-      val inv = maxKeyFrequency match {
-        case Some(cap) =>
-          val keep = inv0.groupBy("k").agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= cap).select("k")
-          inv0.join(keep, "k")
-        case None => inv0
-      }
-      val common = inv.select(col("k"), col("doc").as("id_a"))
-        .join(inv.select(col("k"), col("doc").as("id_b")), Seq("k"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      common
-        .join(sizes.select(col("doc").as("id_a"), col("n_keys").as("n_a")), "id_a")
-        .join(sizes.select(col("doc").as("id_b"), col("n_keys").as("n_b")), "id_b")
-        .withColumn("overlap",
-          round(col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")), 6))
-        .filter(col("overlap") >= minOverlap)
-        .select("id_a", "id_b", "n_shared", "overlap")
+      setOverlapPairsFrame(inv0, minOverlap, maxKeyFrequency)
         // eager materialization (pair-sized output) so the index cache
         // releases in the finally — the ngramJaccardPairs discipline
         .localCheckpoint(true)
     } finally inv0.unpersist()
+  }
+
+  /** The LAZY pair frame over a prepared (doc, k) DISTINCT inverted
+    * index — split out so the plan-shape spec can assert the candidate
+    * join on the real implementation (the public entry point's
+    * localCheckpoint truncates its executedPlan to a scan, which would
+    * make a plan assert on it vacuous — r15 review). */
+  private[graft] def setOverlapPairsFrame(inv0: DataFrame, minOverlap: Double,
+                                          maxKeyFrequency: Option[Int]): DataFrame = {
+    // sizes from the UNCAPPED index — min(|A|,|B|) must stay exact
+    val sizes = inv0.groupBy("doc").agg(count(lit(1)).as("n_keys"))
+    val inv = maxKeyFrequency match {
+      case Some(cap) =>
+        val keep = inv0.groupBy("k").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("k")
+        inv0.join(keep, "k")
+      case None => inv0
+    }
+    val common = inv.select(col("k"), col("doc").as("id_a"))
+      .join(inv.select(col("k"), col("doc").as("id_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    common
+      .join(sizes.select(col("doc").as("id_a"), col("n_keys").as("n_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("n_keys").as("n_b")), "id_b")
+      // threshold on the UNROUNDED ratio (the oracle's predicate — a
+      // rounded filter would admit pairs up to 5e-7 below minOverlap);
+      // rounding is output formatting only
+      .withColumn("__ov", col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+      .filter(col("__ov") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("__ov"), 6).as("overlap"))
   }
 
   /** Corpus-internal EXACT-substring dedup with excision (r10): any

@@ -652,39 +652,47 @@ object Multimodal {
     docs.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val w = 16; val h = 16
-          val fps = 24 + (id % 4).toInt * 6
-          val nFrames = 48 + (id % 3).toInt
-          val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
-            .getBytes("US-ASCII")
-          val frameBytes = w * h + 2 * (w / 2) * (h / 2)
-          val marker = "FRAME\n".getBytes("US-ASCII")
-          val out = java.nio.ByteBuffer.allocate(
-            header.length + nFrames * (marker.length + frameBytes))
-          out.put(header)
-          var f = 0
-          while (f < nFrames) {
-            out.put(marker)
-            val luma = videoLuma(id, f)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = if ((x + y) % 2 == 0) luma + 4 else luma - 4
-                out.put(v.toByte)
-                x += 1
-              }
-              y += 1
-            }
-            var c = 0
-            while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
-            f += 1
-          }
-          val full = out.array()
+          val full = y4mStream(24 + (id % 4).toInt * 6, 48 + (id % 3).toInt,
+            f => videoLuma(id, f))
           val payload = if (id % 101 == 0) full.take(10) else full
           (id, "video/x-yuv4mpeg", payload)
         }
       }.toDF("asset_id", "media_type", "payload")
+  }
+
+  /** ONE Y4M byte-format writer (16×16, 4:2:0, ±4 checkerboard around a
+    * per-frame luma) shared by [[toY4mAssets]] and [[toY4mTrimmedAssets]]
+    * — two copies of the header/marker/plane layout would have to drift
+    * together or silently break the trim/base byte parity the frame-dup
+    * gate depends on (r15 review). */
+  private def y4mStream(fps: Int, nFrames: Int, lumaOf: Int => Int): Array[Byte] = {
+    val w = 16; val h = 16
+    val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + frameBytes))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(marker)
+      val luma = lumaOf(f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = if ((x + y) % 2 == 0) luma + 4 else luma - 4
+          out.put(v.toByte)
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
+      f += 1
+    }
+    out.array()
   }
 
   /** TRIMMED-CLIP plants (r15 — VERDICT task 3): for each input id, a
@@ -706,35 +714,9 @@ object Multimodal {
     docs.select(col(idCol).cast(LongType)).as[Long]
       .mapPartitions { ids =>
         ids.map { base =>
-          val w = 16; val h = 16
-          val fps = 24 + (base % 4).toInt * 6
-          val nFrames = 48 + (base % 3).toInt - dropFrames
-          val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
-            .getBytes("US-ASCII")
-          val frameBytes = w * h + 2 * (w / 2) * (h / 2)
-          val marker = "FRAME\n".getBytes("US-ASCII")
-          val out = java.nio.ByteBuffer.allocate(
-            header.length + nFrames * (marker.length + frameBytes))
-          out.put(header)
-          var f = 0
-          while (f < nFrames) {
-            out.put(marker)
-            val luma = videoLuma(base, f + dropFrames)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = if ((x + y) % 2 == 0) luma + 4 else luma - 4
-                out.put(v.toByte)
-                x += 1
-              }
-              y += 1
-            }
-            var c = 0
-            while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
-            f += 1
-          }
-          val full = out.array()
+          val full = y4mStream(24 + (base % 4).toInt * 6,
+            48 + (base % 3).toInt - dropFrames,
+            f => videoLuma(base, f + dropFrames))
           val payload = if (base % 101 == 0) full.take(10) else full
           (base + idOffset, "video/x-yuv4mpeg", payload)
         }

@@ -66,28 +66,34 @@ object Sq8 {
     // trigger a retrain, the exact silent degradation this monitor
     // exists to defend against (the Dsir-width/Dedup-index artifact
     // discipline: refuse a mismatched artifact, don't trust it).
-    // BOTH directions checked (r14 ADVICE): the left-join `uncovered`
-    // count catches batch dims the bounds never saw; the per-vector size
-    // check catches the mirror image — vectors carrying FEWER dims than
-    // the bounds (a truncated-embedding regression), whose drift would
-    // otherwise be computed over the present dims only and under-report
-    // clamping. Per-vector (not max-dim-index) so a mixed batch where
-    // full vectors mask truncated ones still refuses, including vectors
-    // truncated to empty (which posexplode makes invisible).
-    val sizeChk = batch.agg(
-      coalesce(sum(when(size(Similarity.asDouble(col(vecCol)))
-        =!= lit(lo.length), 1L).otherwise(0L)), lit(0L)).as("missized"))
+    // BOTH directions checked (r14 ADVICE) in ONE batch pass (r15
+    // review: the first cut ran a second full scan for the size check):
+    // the left-join `uncovered` count catches batch dims the bounds
+    // never saw; the per-vector size check catches the mirror image —
+    // vectors carrying FEWER dims than the bounds (a truncated-embedding
+    // regression), whose drift would otherwise be computed over the
+    // present dims only and under-report clamping. posexplode_OUTER
+    // keeps empty/null vectors as one null-dim row, so the size check
+    // sees them too (plain posexplode would make them invisible); each
+    // vector's size check is counted once, on its dim-0 row or its
+    // null-dim sentinel row.
     val row = batch
-      .select(posexplode(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(size(Similarity.asDouble(col(vecCol))).as("__sz"),
+        posexplode_outer(Similarity.asDouble(col(vecCol))).as(Seq("dim", "x")))
       .join(broadcast(bounds), Seq("dim"), "left")
-      .agg(count(lit(1)).as("n"),
+      .agg(
         // coalesce: SUM over an EMPTY batch is NULL, and getLong on it
         // would NPE before the documented empty->0.0 return (r14 review)
-        coalesce(sum(when(col("x") < col("__lo") || col("x") > col("__hi"), 1L)
+        coalesce(sum(when(col("dim").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n"),
+        coalesce(sum(when(col("dim").isNotNull &&
+          (col("x") < col("__lo") || col("x") > col("__hi")), 1L)
           .otherwise(0L)), lit(0L)).as("c"),
-        coalesce(sum(when(col("__lo").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("uncovered"))
-      .crossJoin(sizeChk)
+        coalesce(sum(when(col("dim").isNotNull && col("__lo").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("uncovered"),
+        coalesce(sum(when((col("dim").isNull || col("dim") === 0) &&
+          coalesce(col("__sz"), lit(-1)) =!= lit(lo.length), 1L)
+          .otherwise(0L)), lit(0L)).as("missized"))
       .collect()(0)
     require(row.getLong(2) == 0L,
       s"clampFraction: batch vectors carry ${row.getLong(2)} dimension-values " +

@@ -829,11 +829,7 @@ object OpsQueries {
           case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
           case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         }
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(proj))
+        deleteDir(proj)
       }
     }),
 
@@ -892,11 +888,7 @@ object OpsQueries {
           case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
           case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         }
-        def rm0(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm0))
-          f.delete(); ()
-        }
-        rm0(new java.io.File(proj))
+        deleteDir(proj)
       }
     }),
 
@@ -3076,6 +3068,17 @@ object OpsQueries {
     * Returns the staged project dir. */
   private[graft] def stageCurationProject(sfDir: String): String =
     stageProject("examples/curation", sfDir)
+
+  /** Recursive temp-dir cleanup for staged projects — ONE definition
+    * shared by the project gates, the bench's instrumented build, and
+    * the integration spec (r15 review: four private copies). */
+  private[graft] def deleteDir(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
 
   /** Stage a checked-in example project into a temp dir with its
     * `sources.corpus` line rewritten to the gate's sf dir (target/

@@ -91,6 +91,36 @@ final class Runner(
     name
   }
 
+  /** UTC timestamp literal for rendered window predicates. NOT
+    * java.sql.Timestamp.toString — that renders in the JVM-DEFAULT
+    * timezone while Spark parses the literal in the SESSION timezone
+    * (UTC here), which would silently shift every injected window on a
+    * non-UTC JVM: a row near a batch boundary gets excluded from its own
+    * batch's input window AND from the next batch's output filter —
+    * permanently dropped (r15 review). */
+  private def tsLiteral(i: Instant): String = {
+    val s = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC).format(i)
+    s"timestamp'$s'"
+  }
+
+  /** Rendered event-time window filters (sample + microbatch batch) for
+    * a dependency that declares event_time — shared by the table-ref and
+    * ephemeral-CTE paths so the two can never diverge on which windows
+    * apply (r15 review: the first ephemeral wrap skipped the sample
+    * window). */
+  private def windowWrap(inner: String, dep: Node,
+                         batchWindow: Option[(Instant, Instant)]): String =
+    dep.config.eventTime match {
+      case Some(et) =>
+        (sampleWindow.toSeq ++ batchWindow.toSeq).foldLeft(inner) { (n, w) =>
+          s"(select * from $n where $et >= ${tsLiteral(w._1)}" +
+            s" and $et < ${tsLiteral(w._2)})"
+        }
+      case None => inner
+    }
+
   /** Wrap a resolved relation in the sample and/or microbatch event-time
     * window filters when the dependency declares an event_time column.
     * The batch window is the reference's microbatch ref-filter injection
@@ -101,16 +131,8 @@ final class Runner(
     * (reference semantics: a self-referencing microbatch model reads its
     * full accumulated state). */
   private def applySample(dep: Node, name: String,
-                          batchWindow: Option[(Instant, Instant)] = None): String = {
-    def wrap(inner: String, w: (Instant, Instant), et: String): String =
-      s"(select * from $inner where $et >= timestamp'${java.sql.Timestamp.from(w._1)}'" +
-        s" and $et < timestamp'${java.sql.Timestamp.from(w._2)}')"
-    val windows = (sampleWindow.toSeq ++ batchWindow.toSeq)
-    emptyWrap(dep.config.eventTime match {
-      case Some(et) => windows.foldLeft(name)((n, w) => wrap(n, w, et))
-      case None     => name
-    })
-  }
+                          batchWindow: Option[(Instant, Instant)] = None): String =
+    emptyWrap(windowWrap(name, dep, batchWindow))
 
   /** --empty: inputs become zero-row subqueries (schemas intact). */
   private def emptyWrap(name: String): String =
@@ -141,15 +163,10 @@ final class Runner(
           }
           cteNames += cte -> depSql
         }
-        // an ephemeral dep declaring event_time gets the batch window
-        // too — the inlined CTE is this model's input exactly like a
-        // table ref (the sample window already applied the same way)
-        (batchWindow, dep.config.eventTime) match {
-          case (Some(w), Some(et)) =>
-            s"(select * from $cte where $et >= timestamp'${java.sql.Timestamp.from(w._1)}'" +
-              s" and $et < timestamp'${java.sql.Timestamp.from(w._2)}')"
-          case _ => cte
-        }
+        // an ephemeral dep declaring event_time gets the SAME window
+        // wrap as a table ref (sample AND batch) — the inlined CTE is
+        // this model's input exactly like a relation
+        windowWrap(cte, dep, batchWindow)
       } else applySample(dep, resolveRelationName(dep), batchWindow)
     }
     def renderBody(sql: String, n: Node, isIncremental: Boolean): String =

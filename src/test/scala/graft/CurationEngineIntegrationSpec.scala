@@ -133,11 +133,8 @@ class CurationEngineIntegrationSpec extends AnyFunSuite {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
-      def rm0(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm0))
-        f.delete(); ()
-      }
-      rm0(new java.io.File(projA)); rm0(new java.io.File(projB))
+      graft.queries.OpsQueries.deleteDir(projA)
+      graft.queries.OpsQueries.deleteDir(projB)
     }
   }
 

@@ -362,14 +362,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
-  test("incremental minhash fails fast on a mismatched signature store") {
+  test("incremental minhash fails loud on a mismatched signature store — lazily as of r15") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
     val sigsK16 = Dedup.minhashSignatures(docs, "doc_id", "text", shingleLen = 5, k = 16)
-    val e = intercept[IllegalArgumentException] {
-      Dedup.minhashIncremental(docs, "doc_id", "text", sigsK16, "doc", "sig", k = 32)
+    // the store-length check is in-plan and per-row (r15 — construction
+    // fires zero jobs; the r14 form ran an eager head(1) probe job):
+    // the violation raises at execution from the store rows the index
+    // build consumes
+    val e = intercept[Exception] {
+      Dedup.minhashIncremental(docs, "doc_id", "text", sigsK16, "doc", "sig",
+        k = 32).collect()
     }
     assert(e.getMessage.contains("signature store"))
+    // structural parameter violations stay loud at construction
     val e2 = intercept[IllegalArgumentException] {
       Dedup.minhashIncremental(docs, "doc_id", "text", sigsK16, "doc", "sig",
         k = 30, bands = 8)

@@ -178,10 +178,16 @@ class VideoSpec extends AnyFunSuite {
       assert(dup.exists(p => p._1 == b && p._2 == b + 1000000L && p._4 == 1.0),
         s"frame-level overlap must pair $b with its trim at 1.0")
     }
-    // 4) no-cartesian plan assert: candidates come from the frame-key
-    //    equi-join, never an all-pairs join
-    val plan = dupPlan.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
+    // 4) no-cartesian plan assert — on the PRE-checkpoint frame (the
+    //    public entry point eagerly checkpoints, so its executedPlan is
+    //    a scan and any assert on it would be vacuous — r15 review):
+    //    candidates must come from the frame-key equi-join, never an
+    //    all-pairs join
+    val inv = frames.select(col("asset_id").as("doc"),
+      col("mean_luma").as("k")).distinct()
+    val plan = Dedup.setOverlapPairsFrame(inv, 0.9, None)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && !plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"frame-dup candidate generation must be an equi-join:\n$plan")
     // 5) hot-key cap wired: capping at 1 kills every shared key — the
