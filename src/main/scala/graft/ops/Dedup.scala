@@ -588,12 +588,17 @@ object Dedup {
       val (nb, cb) = maxBandFrequency match {
         case None => (nb0, cb0)
         case Some(cap) =>
-          // lazy too (no checkpoint): the two identical broadcast(hot)
-          // subplans canonicalize equal, so ReuseExchange computes the
-          // hot-band aggregate once per action
+          // the CAPPED path keeps its eager checkpoint: the hot-band
+          // aggregate feeds two anti-joins, and exchange reuse does NOT
+          // collapse the two broadcast builds in practice (r15 probe:
+          // removing this doubled the leg's CPU). The zero-jobs-at-
+          // construction contract covers the exact/capless path the
+          // oracle gates exercise; the cap is the at-scale knob and has
+          // always paid this one plan-time job.
           val hot = nb0.select("band").unionAll(cb0.select("band"))
             .groupBy("band").agg(count(lit(1)).as("__n"))
             .filter(col("__n") > cap).select("band")
+            .localCheckpoint(true)
           (nb0.join(broadcast(hot), Seq("band"), "left_anti"),
             cb0.join(broadcast(hot), Seq("band"), "left_anti"))
       }
@@ -988,12 +993,15 @@ object Dedup {
     val (nb, cb) = maxBlockFrequency match {
       case None => (nb0, cb0)
       case Some(cap) =>
-        // lazy (r15 — no checkpoint): the two identical broadcast(hot)
-        // subplans canonicalize equal, so ReuseExchange computes the
-        // hot-block aggregate once per action
+        // the CAPPED path keeps its eager checkpoint — see the
+        // minhash twin: the hot aggregate feeds two anti-joins and
+        // exchange reuse does not collapse the two broadcast builds in
+        // practice (r15 probe: CPU doubled without it). Zero-jobs-at-
+        // construction covers the capless path the gates exercise.
         val hot = nb0.select("block").unionAll(cb0.select("block"))
           .groupBy("block").agg(count(lit(1)).as("__n"))
           .filter(col("__n") > cap).select("block")
+          .localCheckpoint(true)
         (nb0.join(broadcast(hot), Seq("block"), "left_anti"),
           cb0.join(broadcast(hot), Seq("block"), "left_anti"))
     }
