@@ -99,8 +99,11 @@ final class Runner(
     * batch's input window AND from the next batch's output filter —
     * permanently dropped (r15 review). */
   private def tsLiteral(i: Instant): String = {
+    // microsecond precision — the same grain as the native path's
+    // lit(java.sql.Timestamp), so the SQL and native dep windows can
+    // never disagree on a sub-millisecond boundary
     val s = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
       .withZone(java.time.ZoneOffset.UTC).format(i)
     s"timestamp'$s'"
   }
