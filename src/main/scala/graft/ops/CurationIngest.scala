@@ -60,8 +60,13 @@ object CurationIngest {
 
   /** Stage 0: normalization + the [[graft.fixtures.CurationPlants]]
     * plants + the generation clock. Ephemeral in the project (inlined
-    * into consumers), declaring event_time so the microbatch window
-    * reaches the source scan. */
+    * into consumers), declaring event_time so the Runner injects each
+    * batch's window directly above the source scan. Scale note: the
+    * fixture DERIVES event_ts from doc_id, so the injected predicate
+    * evaluates just above the projection (every stage still touches
+    * only the batch's rows — downstream compute is O(batch)); a real
+    * deployment's event_time is a physical/partition column, where the
+    * same injected predicate additionally prunes files at the scan. */
   def feed(rawDocs: DataFrame): DataFrame =
     graft.fixtures.CurationPlants.augment(rawDocs)
       .withColumn("event_ts",

@@ -1115,6 +1115,66 @@ object Dedup {
     } finally inv0.unpersist()
   }
 
+  /** INCREMENTAL set-overlap ingest: pair a NEW batch's (id, key) rows
+    * against a PERSISTED key store — the [[minhashIncremental]] shape
+    * for the containment family (a nightly clip ingest extracts frame
+    * keys for its new assets only and probes the store's inverted
+    * index; the store is owner-carrying, so [[compactStore]] GC
+    * applies). Returns (doc, store_doc, n_shared, overlap) at overlap ≥
+    * `minOverlap`, overlap = |A∩B| / min(|A|,|B|) over DISTINCT key
+    * sets — identical pair verdicts to the batch [[setOverlapPairs]]
+    * restricted to batch×store (the replay law a gate can check).
+    *
+    * Scale shape: candidates come from the batch-keys ⋈ store equi-join
+    * (O(batch) probe rows against a ready table); the store-side set
+    * sizes are an O(store) aggregate per call — persist them alongside
+    * the store and pass `storeSizes` (a (doc, n_keys) frame, the
+    * precomputed-artifact contract) to make the whole call O(batch).
+    * `maxKeyFrequency` caps hot keys counted over batch + store rows
+    * together, the cross-family cap contract. */
+  def setOverlapIncremental(batch: DataFrame, idCol: String, keyCol: String,
+                            store: DataFrame, storeIdCol: String, storeKeyCol: String,
+                            minOverlap: Double = 0.9,
+                            maxKeyFrequency: Option[Int] = None,
+                            storeSizes: Option[DataFrame] = None): DataFrame = {
+    val nb0 = batch.filter(col(keyCol).isNotNull)
+      .select(col(idCol).as("doc"), col(keyCol).as("k")).distinct()
+      .persist()
+    try {
+      val cb0 = store.filter(col(storeKeyCol).isNotNull)
+        .select(col(storeIdCol).as("store_doc"), col(storeKeyCol).as("k"))
+        .distinct()
+      // sizes from the UNCAPPED sides — min(|A|,|B|) must stay exact
+      val nSizes = nb0.groupBy("doc").agg(count(lit(1)).as("n_a"))
+      val sSizes = storeSizes
+        .map(_.select(col(storeIdCol).as("store_doc"), col("n_keys").as("n_b")))
+        .getOrElse(cb0.groupBy("store_doc").agg(count(lit(1)).as("n_b")))
+      val (nb, cb) = maxKeyFrequency match {
+        case None => (nb0, cb0)
+        case Some(cap) =>
+          // eager checkpoint on the capped path only — the hot list
+          // feeds two anti-joins and exchange reuse does not collapse
+          // the builds (the minhash/hamming cap lesson, SCALE.md r15)
+          val hot = nb0.select("k").unionAll(cb0.select("k"))
+            .groupBy("k").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > cap).select("k")
+            .localCheckpoint(true)
+          (nb0.join(broadcast(hot), Seq("k"), "left_anti"),
+            cb0.join(broadcast(hot), Seq("k"), "left_anti"))
+      }
+      nb.join(cb, Seq("k"))
+        .groupBy("doc", "store_doc").agg(count(lit(1)).as("n_shared"))
+        .join(nSizes, "doc")
+        .join(sSizes, Seq("store_doc"))
+        .withColumn("__ov",
+          col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+        .filter(col("__ov") >= minOverlap)
+        .select(col("doc"), col("store_doc"), col("n_shared"),
+          round(col("__ov"), 6).as("overlap"))
+        .localCheckpoint(true)
+    } finally nb0.unpersist()
+  }
+
   /** The LAZY pair frame over a prepared (doc, k) DISTINCT inverted
     * index — split out so the plan-shape spec can assert the candidate
     * join on the real implementation (the public entry point's

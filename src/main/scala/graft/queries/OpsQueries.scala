@@ -1267,6 +1267,26 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // r15: the INGEST form of the frame-level clip matcher — a batch of
+    // NEW (trimmed) clips probes the persisted frame-key store of the
+    // base corpus: O(batch) probe rows via the key equi-join, verdicts
+    // identical to the one-shot matcher restricted to batch×store.
+    // Every planted trim must land on its base at containment 1.0.
+    "q_video_framedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def keysOf(assets: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameSampleBatched(assets, everyNth = 3)
+          .filter(col("frame_idx").isNotNull)
+          .select(col("asset_id"), col("mean_luma"))
+      Dedup.setOverlapIncremental(
+        keysOf(Multimodal.toY4mTrimmedAssets(
+          docs.filter(col("doc_id") % 100 === 5), "doc_id",
+          dropFrames = 9, idOffset = 1000000L)), "asset_id", "mean_luma",
+        keysOf(Multimodal.toY4mAssets(docs, "doc_id")), "asset_id", "mean_luma",
+        minOverlap = 0.9)
+        .orderBy("doc", "store_doc")
+    }),
+
     // r15 (VERDICT task 4): GC of the persisted hamming block index —
     // after survivor selection drops ids ≡ 1 (mod 4), compactStore's
     // owner semi-join must leave EXACTLY the index a from-scratch
@@ -2885,6 +2905,33 @@ object OpsQueries {
         |FROM fs a JOIN fs b ON a.id < b.id
         |WHERE len(list_intersect(a.ks, b.ks)) / least(len(a.ks), len(b.ks)) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ingest form: trims (batch) × bases (store), same containment law
+    "q_video_framedup_incremental" ->
+      """WITH bids AS (
+        |  SELECT doc_id + 1000000 AS id, doc_id AS base, 48 + doc_id % 3 - 9 AS nf, 9 AS off
+        |  FROM documents WHERE doc_id % 100 = 5 AND doc_id % 101 <> 0),
+        |sids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 48 + doc_id % 3 AS nf, 0 AS off
+        |  FROM documents WHERE doc_id % 101 <> 0),
+        |bfs AS (
+        |  SELECT i.id, list_distinct(list_transform(
+        |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
+        |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
+        |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
+        |  FROM bids i),
+        |sfs AS (
+        |  SELECT i.id, list_distinct(list_transform(
+        |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
+        |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
+        |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
+        |  FROM sids i)
+        |SELECT b.id AS doc, s.id AS store_doc,
+        |  CAST(len(list_intersect(b.ks, s.ks)) AS BIGINT) AS n_shared,
+        |  round(len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)), 6) AS overlap
+        |FROM bfs b CROSS JOIN sfs s
+        |WHERE len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)) >= 0.9
+        |ORDER BY doc, store_doc""".stripMargin,
 
     // compacted block index == index rebuilt from the survivors: the
     // oracle recomputes survivor fingerprints from the luma law and

@@ -198,4 +198,55 @@ class VideoSpec extends AnyFunSuite {
       .collect()
     assert(capped.isEmpty, s"cap=1 must prune every multi-owner key")
   }
+
+  test("frame-dup ingest: batch vs store == one-shot restricted; size artifact identical; GC applies") {
+    // r15: the containment family's O(batch) ingest form. Law: probing
+    // the trims (batch) against the base corpus's frame-key store gives
+    // EXACTLY the one-shot matcher's verdicts restricted to batch×store
+    // pairs; a persisted (doc, n_keys) size artifact changes nothing;
+    // the store is owner-carrying so compactStore GC applies.
+    def keysOf(a: org.apache.spark.sql.DataFrame) =
+      Multimodal.frameSampleBatched(a).filter(col("frame_idx").isNotNull)
+        .select(col("asset_id"), col("mean_luma"))
+    val trims = Multimodal.toY4mTrimmedAssets(
+      spark.range(N).toDF("doc_id").filter(col("doc_id") % 100 === 5),
+      "doc_id", dropFrames = 9, idOffset = 1000000L)
+    val storeKeys = keysOf(assets).localCheckpoint(true)
+    val batchKeys = keysOf(trims).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("overlap"))).toSet
+    val inc = rows(Dedup.setOverlapIncremental(batchKeys, "asset_id", "mean_luma",
+      storeKeys, "asset_id", "mean_luma", minOverlap = 0.9)
+      .select("doc", "store_doc", "n_shared", "overlap"))
+    val oneShot = rows(Dedup.setOverlapPairs(
+      storeKeys.unionByName(batchKeys), "asset_id", "mean_luma", minOverlap = 0.9)
+      // restrict to batch×store: trims carry the big id offset, so they
+      // are always id_b in the one-shot (id_a < id_b) output
+      .filter(col("id_b") >= 1000000L && col("id_a") < 1000000L)
+      .select(col("id_b"), col("id_a"), col("n_shared"), col("overlap")))
+    assert(inc == oneShot && inc.nonEmpty,
+      s"ingest must equal the one-shot restriction (${inc.size} vs ${oneShot.size})")
+    // every planted trim lands on its base at containment 1.0
+    (0L until N).filter(i => i % 100 == 5 && i % 101 != 0).foreach { b =>
+      assert(inc.exists(p => p._1 == b + 1000000L && p._2 == b && p._4 == 1.0),
+        s"trim of $b must hit its base at 1.0")
+    }
+    // the persisted size artifact (distinct keys per owner) is
+    // output-identical — the O(batch) production shape
+    val sizes = storeKeys.groupBy("asset_id")
+      .agg(countDistinct(col("mean_luma")).as("n_keys"))
+    val viaSizes = rows(Dedup.setOverlapIncremental(batchKeys, "asset_id", "mean_luma",
+      storeKeys, "asset_id", "mean_luma", minOverlap = 0.9,
+      storeSizes = Some(sizes))
+      .select("doc", "store_doc", "n_shared", "overlap"))
+    assert(viaSizes == inc, "persisted size artifact must change nothing")
+    // owner-carrying store: GC == rebuild from the survivors
+    val live = spark.range(N).toDF("doc_id").filter(col("doc_id") % 4 =!= 1)
+    val compacted = Dedup.compactStore(storeKeys, "asset_id",
+      live, "doc_id")
+    val rebuilt = keysOf(Multimodal.toY4mAssets(live, "doc_id"))
+    assert(compacted.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(compacted).isEmpty,
+      "compacted frame-key store must equal the survivor rebuild")
+  }
 }
