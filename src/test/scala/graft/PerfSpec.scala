@@ -264,6 +264,36 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r15: incremental curation stage plans are window-free end to end") {
+    // The ingest project's whole point: per-batch stages score against
+    // HELD artifacts, so no stage derives a cutoff at all — every
+    // per-batch plan must be rank-window-free (assignment joins +
+    // per-doc aggregates only). Pinned on the same factored stage
+    // functions the Runner materializes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val feed = graft.ops.CurationIngest.feed(
+      Seq((1L, "alpha beta gamma delta text", "en"),
+        (2L, "epsilon zeta eta theta text", "en"),
+        (3L, "iota kappa lambda mu text", "de"))
+        .toDF("doc_id", "text", "lang"))
+    val (uni, bi) = graft.ops.TextAnalysis.lmTables(feed, "text")
+    val cuts = Seq(("en", -1.0, -2.0)).toDF("lang", "cut_head", "cut_middle")
+    val rules = graft.ops.CurationIngest.rules(feed)
+    val scored = graft.ops.CurationIngest.scored(feed, rules, uni, bi, cuts)
+    val model = graft.ops.Dsir.buildModel(feed, feed.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val cut = Seq(0.0).toDF("cut_value")
+    val dsir = graft.ops.CurationIngest.dsir(feed, scored, model, cut)
+    Seq("scored" -> scored, "dsir" -> dsir).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Window"),
+        s"ingest stage $name carries a rank window:\n$plan")
+    }
+  }
+
   test("r14: LM-artifact join strategy is a declared knob, not folk knowledge") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
