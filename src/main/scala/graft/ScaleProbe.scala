@@ -558,14 +558,33 @@ object ScaleProbe {
       // so the key space scales with the corpus and owners-per-key stays
       // ~3: candidate volume is linear in n (the inverted-index shape;
       // the hot-key cap exists for degenerate key spaces, not this one)
+      def clipFrames = docs.select(col("doc_id").as("asset_id"),
+        explode(sequence(lit(0), lit(15))).as("f"))
+        .select(col("asset_id"),
+          xxhash64(floor(col("asset_id") / 3).cast("long"), col("f")).as("fkey"))
       timed("framedup_pairs", runs, opFilter) {
-        val frames = docs.select(col("doc_id").as("asset_id"),
-          explode(sequence(lit(0), lit(15))).as("f"))
-          .select(col("asset_id"),
-            xxhash64(floor(col("asset_id") / 3).cast("long"), col("f")).as("fkey"))
-        ops.Dedup.setOverlapPairs(frames, "asset_id", "fkey",
+        ops.Dedup.setOverlapPairs(clipFrames, "asset_id", "fkey",
           minOverlap = 0.9).count()
       }
+      // ingest form: a 10% batch of new clips probes the persisted 90%
+      // key store; store AND its (doc, n_keys) size artifact are ready
+      // tables (persisted outside timing — the storeSizes contract), so
+      // the timed work is the O(batch) probe itself
+      val fdStore =
+        if (opFilter("framedup_incremental")) {
+          val st = clipFrames.filter(col("asset_id") % 10 =!= 0).persist()
+          val sz = st.groupBy(col("asset_id"))
+            .agg(count_distinct(col("fkey")).as("n_keys")).persist()
+          st.count(); sz.count()
+          Some((st, sz))
+        } else None
+      timed("framedup_incremental", runs, opFilter) {
+        ops.Dedup.setOverlapIncremental(
+          clipFrames.filter(col("asset_id") % 10 === 0), "asset_id", "fkey",
+          fdStore.get._1, "asset_id", "fkey",
+          minOverlap = 0.9, storeSizes = Some(fdStore.get._2)).count()
+      }
+      fdStore.foreach { case (st, sz) => st.unpersist(); sz.unpersist() }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so
       // wall growth isolates corpus-side cost (bucketing + per-bucket
       // candidate scan), the shape a 100 TB embedding store serves.

@@ -719,6 +719,68 @@ object Dedup {
     (out, iter)
   }
 
+  /** INCREMENTAL connected components — cluster maintenance under
+    * continuous ingest: fold a batch of NEW near-dup edges into a
+    * PERSISTED component assignment without revisiting the original
+    * pair graph (whose edges a months-long ingest never stores; only
+    * the star-forest assignment survives, which is equivalent for
+    * connectivity). `assignment` is a (node, component) labeling with
+    * min-id roots — exactly [[connectedComponents]]'s output contract
+    * (roots may appear as their own rows or only as labels; both work).
+    *
+    * Law (the gate's oracle): if `assignment` labels CC(E₁), the result
+    * labels CC(E₁ ∪ E₂) over nodes(assignment) ∪ nodes(E₂) — star edges
+    * preserve connectivity, so no information the original pairs carried
+    * is lost.
+    *
+    * Scale shape: each new edge endpoint is projected to its current
+    * component via two hash joins on the store (absent nodes keep
+    * themselves), same-component edges drop out, and the star iteration
+    * runs ONLY over the contracted graph — O(|E₂|) rows, never the
+    * store. The merge map (old root → new root, ≤ 2|E₂| entries) is
+    * broadcast for a single map-side remap pass over the assignment:
+    * no shuffle of the store, no O(E₁) term anywhere. With
+    * `deltaOnly=true` the output is just the CHANGED labels plus the
+    * new nodes — O(batch)-sized, the shape a commit-log `merge`
+    * materialization wants (file-pruned upsert of touched rows only). */
+  def connectedComponentsIncremental(assignment: DataFrame, nodeCol: String, compCol: String,
+                                     newEdges: DataFrame, aCol: String, bCol: String,
+                                     maxIter: Int = 50,
+                                     deltaOnly: Boolean = false): DataFrame = {
+    val assign = assignment.select(col(nodeCol).as("node"), col(compCol).as("component"))
+    val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // project endpoints onto their current components; unseen nodes are
+    // their own (singleton) component — ids stay min-rooted because a
+    // genuinely new node id cannot be any store cluster's root
+    val projected = ea
+      .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
+      .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("ca"),
+        coalesce(col("cb"), col("b")).as("cb"))
+    val contracted = projected.filter(col("ca") =!= col("cb"))
+    // star contraction over the batch-sized contracted graph only; the
+    // merge map is eager by nature (the iteration is driver-controlled)
+    // and batch-bounded, so pin it once for the two consumers below
+    val merged = connectedComponents(contracted, "ca", "cb", maxIter)
+      .localCheckpoint(true)
+    val remap = merged
+      .select(col("node").as("component"), col("component").as("__new"))
+      .filter(col("component") =!= col("__new"))
+    val oldRows = if (deltaOnly) {
+      assign.join(broadcast(remap), Seq("component"), "inner")
+        .select(col("node"), col("__new").as("component"))
+    } else {
+      assign.join(broadcast(remap), Seq("component"), "left")
+        .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+    }
+    val newNodes = ea.select(col("a").as("node"))
+      .union(ea.select(col("b").as("node"))).distinct()
+      .join(assign.select("node"), Seq("node"), "left_anti")
+      .join(broadcast(merged.withColumnRenamed("component", "__new")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__new"), col("node")).as("component"))
+    oldRows.unionByName(newNodes)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** Number of SimHash signature bits. 60, not 64: the signature must be

@@ -53,6 +53,35 @@ object OpsQueries {
         .select("doc", "component", "cluster_size").orderBy("doc")
     }),
 
+    // r15: cluster maintenance under INGEST — the pair graph arrives in
+    // two generations ((doc_a+doc_b) even first); generation 1 is
+    // clustered once and only its star-forest ASSIGNMENT survives (a
+    // months-long ingest never stores the raw pairs), then generation
+    // 2's edges fold in through connectedComponentsIncremental: a
+    // batch-sized contracted-graph star iteration plus one broadcast
+    // remap over the store, no O(original pairs) term. The result must
+    // be the one-shot clustering over ALL pairs — connectivity is the
+    // only thing the assignment keeps, and it is enough.
+    "q_dedup_clusters_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // pair generation is the expensive stage and both generations
+      // read it — pin it once (pair-sized output)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .localCheckpoint(true)
+      val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
+      val store = Dedup.connectedComponents(
+        pairs.filter(gen === 0), "doc_a", "doc_b")
+      val comp = Dedup.connectedComponentsIncremental(store, "node", "component",
+        pairs.filter(gen =!= 0), "doc_a", "doc_b")
+      val labeled = docs.select(col("doc_id").as("doc"))
+        .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("component"), col("doc")).as("component"))
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "component")
+        .select("doc", "component", "cluster_size").orderBy("doc")
+    }),
+
     // quality-aware survivor selection: keep the highest-quality member
     // of each near-dup cluster, not the min id
     "q_dedup_keep_best" -> ((s, d) => {
@@ -1482,6 +1511,27 @@ object OpsQueries {
          |  )) > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** Transitive-closure clustering oracle over the full MinHash pair
+    * graph — shared by the one-shot gate and the incremental
+    * (fold-new-edges-into-a-persisted-assignment) gate, which are
+    * DEFINED as the same labeling. */
+  private[queries] def dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT d.doc_id AS doc, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+       |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY component)
+       |SELECT doc, component, cluster_size
+       |FROM labeled JOIN sizes USING (component) ORDER BY doc""".stripMargin
+
   private[queries] def hammingIncrementalOracleSql: String =
     """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
       |luma AS (SELECT i.doc_id, g.f,
@@ -1497,6 +1547,38 @@ object OpsQueries {
       |FROM (SELECT * FROM fp WHERE doc_id % 3 <> 0) b
       |CROSS JOIN (SELECT * FROM fp WHERE doc_id % 3 = 0) s
       |WHERE bit_count(xor(b.vfp, s.vfp)) <= 2
+      |ORDER BY doc, store_doc""".stripMargin
+
+  /** Frame-level clip-ingest oracle (trims × bases under the containment
+    * law, frame-key sets derived from the luma/trim plant arithmetic) —
+    * shared by the batch ingest gate and its continuous (stream) form,
+    * which are DEFINED as the same result: the stream's first generation
+    * probes an empty store (no pairs), its second probes exactly the
+    * base corpus. */
+  private[queries] def framedupIncrementalOracleSql: String =
+    """WITH bids AS (
+      |  SELECT doc_id + 1000000 AS id, doc_id AS base, 48 + doc_id % 3 - 9 AS nf, 9 AS off
+      |  FROM documents WHERE doc_id % 100 = 5 AND doc_id % 101 <> 0),
+      |sids AS (
+      |  SELECT doc_id AS id, doc_id AS base, 48 + doc_id % 3 AS nf, 0 AS off
+      |  FROM documents WHERE doc_id % 101 <> 0),
+      |bfs AS (
+      |  SELECT i.id, list_distinct(list_transform(
+      |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
+      |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
+      |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
+      |  FROM bids i),
+      |sfs AS (
+      |  SELECT i.id, list_distinct(list_transform(
+      |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
+      |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
+      |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
+      |  FROM sids i)
+      |SELECT b.id AS doc, s.id AS store_doc,
+      |  CAST(len(list_intersect(b.ks, s.ks)) AS BIGINT) AS n_shared,
+      |  round(len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)), 6) AS overlap
+      |FROM bfs b CROSS JOIN sfs s
+      |WHERE len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)) >= 0.9
       |ORDER BY doc, store_doc""".stripMargin
 
   /** Shared edit-distance candidate prefix (through `prefilt`) for the
@@ -1585,22 +1667,12 @@ object OpsQueries {
          |SELECT doc_a, doc_b, est_jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
-         |labeled AS (
-         |  SELECT d.doc_id AS doc, COALESCE(c.component, d.doc_id) AS component
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
-         |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY component)
-         |SELECT doc, component, cluster_size
-         |FROM labeled JOIN sizes USING (component) ORDER BY doc""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersOracleSql,
+
+    // cluster maintenance under ingest is DEFINED as the one-shot
+    // clustering over all pairs — the generation split is invisible to
+    // the oracle (connectivity is all the star-forest store keeps)
+    "q_dedup_clusters_incremental" -> dedupClustersOracleSql,
 
     "q_dedup_simhash" ->
       s"""WITH hashes AS (
@@ -2907,31 +2979,7 @@ object OpsQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // ingest form: trims (batch) × bases (store), same containment law
-    "q_video_framedup_incremental" ->
-      """WITH bids AS (
-        |  SELECT doc_id + 1000000 AS id, doc_id AS base, 48 + doc_id % 3 - 9 AS nf, 9 AS off
-        |  FROM documents WHERE doc_id % 100 = 5 AND doc_id % 101 <> 0),
-        |sids AS (
-        |  SELECT doc_id AS id, doc_id AS base, 48 + doc_id % 3 AS nf, 0 AS off
-        |  FROM documents WHERE doc_id % 101 <> 0),
-        |bfs AS (
-        |  SELECT i.id, list_distinct(list_transform(
-        |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
-        |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
-        |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
-        |  FROM bids i),
-        |sfs AS (
-        |  SELECT i.id, list_distinct(list_transform(
-        |    list_filter(generate_series(0, 49), f -> f % 3 = 0 AND f < i.nf),
-        |    f -> 16 + (((i.base % 16) * 31 + (f + i.off) * 17) % 89) * 2 +
-        |         CASE WHEN i.base % 80 = 0 AND (f + i.off) = i.base % 47 + 1 THEN 40 ELSE 0 END)) AS ks
-        |  FROM sids i)
-        |SELECT b.id AS doc, s.id AS store_doc,
-        |  CAST(len(list_intersect(b.ks, s.ks)) AS BIGINT) AS n_shared,
-        |  round(len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)), 6) AS overlap
-        |FROM bfs b CROSS JOIN sfs s
-        |WHERE len(list_intersect(b.ks, s.ks)) / least(len(b.ks), len(s.ks)) >= 0.9
-        |ORDER BY doc, store_doc""".stripMargin,
+    "q_video_framedup_incremental" -> framedupIncrementalOracleSql,
 
     // compacted block index == index rebuilt from the survivors: the
     // oracle recomputes survivor fingerprints from the luma law and

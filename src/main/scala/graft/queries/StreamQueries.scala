@@ -620,6 +620,66 @@ object StreamQueries {
       rm.read(pairsRel).orderBy("doc", "store_doc")
     }),
 
+    // r15: CONTINUOUS frame-level clip ingest — the stream form of
+    // q_video_framedup_incremental, run in the fully O(batch) production
+    // shape: alongside the frame-key store the loop maintains the
+    // persisted (asset, n_keys) SIZE artifact, so no micro-batch ever
+    // pays an O(store) set-size aggregate (the storeSizes contract of
+    // Dedup.setOverlapIncremental). Generation 1 = the base corpus
+    // (empty store — zero pairs), generation 2 = the planted trimmed
+    // clips, so the final pair table is exactly the batch ingest gate's
+    // trims × bases containment oracle.
+    "q_stream_framedup_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Dedup, Multimodal}
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sfd_in")
+      val ckpt = Files.createTempDirectory("graft_sfd_ck")
+      val docs = Tables.documents(s, d)
+      val bases = Multimodal.toY4mAssets(docs, "doc_id")
+      val trims = Multimodal.toY4mTrimmedAssets(
+        docs.filter(col("doc_id") % 100 === 5), "doc_id",
+        dropFrames = 9, idOffset = 1000000L)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", bases, t0)
+      stageAsFile(landing, "1.parquet", trims, t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sfd_wh").toString)
+      val storeRel = graft.core.Relation("graft", "main", "frame_key_store")
+      val sizesRel = graft.core.Relation("graft", "main", "frame_key_sizes")
+      val pairsRel = graft.core.Relation("graft", "main", "framedup_pairs")
+      def keysOf(assets: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameSampleBatched(assets, everyNth = 3)
+          .filter(col("frame_idx").isNotNull)
+          .select(col("asset_id"), col("mean_luma")).distinct()
+      rm.writeTable(keysOf(bases.limit(0)), storeRel)
+      rm.writeTable(keysOf(bases.limit(0))
+        .groupBy("asset_id").agg(count(lit(1)).as("n_keys")), sizesRel)
+      val q = s.readStream.schema(bases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // decode + frame-sample the batch ONCE; the store holds frame
+          // keys and per-asset key counts, never media bytes
+          val keys = keysOf(batch).localCheckpoint(true)
+          val pairs = Dedup.setOverlapIncremental(
+            keys, "asset_id", "mean_luma",
+            rm.read(storeRel), "asset_id", "mean_luma",
+            minOverlap = 0.9,
+            storeSizes = Some(rm.read(sizesRel)))
+          if (rm.exists(pairsRel)) rm.appendTable(pairs, pairsRel)
+          else rm.writeTable(pairs, pairsRel)
+          rm.appendTable(keys, storeRel)
+          rm.appendTable(
+            keys.groupBy("asset_id").agg(count(lit(1)).as("n_keys")), sizesRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(pairsRel).orderBy("doc", "store_doc")
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       import java.nio.file.Files
       import graft.ops.Dedup
@@ -1007,6 +1067,11 @@ object StreamQueries {
     // accumulated pairs table equals the one-shot batch ingest, and the
     // oracle is literally q_dedup_hamming_incremental's
     "q_stream_hamming_ingest" -> OpsQueries.hammingIncrementalOracleSql,
+
+    // stream ≡ batch for the frame-level clip ingest: generation 1
+    // (bases) probes an empty store, generation 2 (trims) probes exactly
+    // the base corpus — the batch ingest gate's oracle verbatim
+    "q_stream_framedup_ingest" -> OpsQueries.framedupIncrementalOracleSql,
 
     "q_stream_neardup" -> {
       val charShinglesSql =

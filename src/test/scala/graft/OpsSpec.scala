@@ -422,6 +422,63 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("connectedComponentsIncremental: fold ≡ one-shot on random seeded graphs, delta merges to full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 40 + rnd.nextInt(40)
+      val all = Seq.fill(30 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (all.nonEmpty) {
+        val (gen1, gen2) = all.partition { case (a, b) => (a + b) % 2 == 0 }
+        val oneShot = Dedup.connectedComponents(all.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val store =
+          if (gen1.nonEmpty) Dedup.connectedComponents(gen1.toDF("a", "b"), "a", "b")
+          else Seq.empty[(Long, Long)].toDF("node", "component")
+        val inc = Dedup.connectedComponentsIncremental(store, "node", "component",
+          gen2.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc == oneShot)
+        // delta form: changed + new labels merged over the store equal
+        // the full output — the commit-log merge materialization's shape
+        val delta = Dedup.connectedComponentsIncremental(store, "node", "component",
+          gen2.toDF("a", "b"), "a", "b", deltaOnly = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val storeMap = store.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(storeMap ++ delta == oneShot)
+      }
+    }
+  }
+
+  test("connectedComponentsIncremental: edge cases — empty store, empty batch, known-edge idempotency") {
+    import spark.implicits._
+    val emptyAssign = Seq.empty[(Long, Long)].toDF("node", "component")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    // empty store: the fold IS a one-shot clustering of the batch
+    val fromEmpty = Dedup.connectedComponentsIncremental(
+      emptyAssign, "node", "component", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromEmpty == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val store = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "component")
+    // empty batch: assignment unchanged
+    val noBatch = Dedup.connectedComponentsIncremental(store, "node", "component",
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noBatch == fromEmpty)
+    // re-ingesting already-known edges changes nothing, and the delta
+    // form proves it touched zero store rows
+    assert(Dedup.connectedComponentsIncremental(store, "node", "component",
+      edges, "a", "b", deltaOnly = true).count() == 0)
+    // a single bridging edge merges two clusters; only the larger-rooted
+    // cluster's rows appear in the delta
+    val bridged = Dedup.connectedComponentsIncremental(store, "node", "component",
+      Seq((3L, 11L)).toDF("a", "b"), "a", "b", deltaOnly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bridged == Map(10L -> 1L, 11L -> 1L))
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {
