@@ -98,6 +98,21 @@ object Bench {
     * timed passes — run_results carries per-node execution seconds). */
   val project: Seq[String] = Seq("q_curation_project")
 
+  /** Eighth tracked metric (r15): the O(batch) INGEST family — the
+    * nightly-pipeline shape where a new corpus batch probes persisted
+    * artifacts and stores instead of recomputing over the corpus. One
+    * representative per store kind: band-index minhash ingest,
+    * block-index hamming ingest, frame-key containment ingest,
+    * cluster-assignment fold, and artifact-driven DSIR selection.
+    * Separate key, same rationale: earlier metrics stay byte-stable
+    * for trends. */
+  val ingest: Seq[String] = Seq(
+    "q_dedup_minhash_from_index",
+    "q_dedup_hamming_from_index",
+    "q_video_framedup_incremental",
+    "q_dedup_clusters_incremental",
+    "q_dsir_from_model")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -255,14 +270,16 @@ object Bench {
       case None =>
         Seq("curation_total" -> curation, "excision_total" -> excision,
           "selection_total" -> selection, "pipeline_total" -> pipeline,
-          "multimodal_total" -> multimodal, "project_total" -> project)
+          "multimodal_total" -> multimodal, "project_total" -> project,
+          "ingest_total" -> ingest)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
           "selection_total" -> selection.filter(o),
           "pipeline_total" -> pipeline.filter(o),
           "multimodal_total" -> multimodal.filter(o),
-          "project_total" -> project.filter(o)).filter(_._2.nonEmpty)
+          "project_total" -> project.filter(o),
+          "ingest_total" -> ingest.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

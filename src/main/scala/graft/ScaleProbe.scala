@@ -119,6 +119,29 @@ object ScaleProbe {
           maxBandFrequency = Some(2000))
         ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").count()
       }
+      // ingest form: fold a 10% edge batch into the persisted assignment
+      // built from the other 90% (materialized outside timing — a real
+      // ingest reads the star forest from a table). Synthetic hash graph,
+      // 2n edges over n nodes, so probe cost isolates the fold itself:
+      // endpoint projection (two store hash joins), the contracted
+      // batch-sized star iteration, and the broadcast remap.
+      val ccSplit = pmod(col("doc_a") + col("doc_b"), lit(10))
+      def ccEdges = spark.range((2L * n).toLong).toDF("i")
+        .select(pmod(xxhash64(col("i"), lit("cce_a")), lit(n.toLong)).as("doc_a"),
+          pmod(xxhash64(col("i"), lit("cce_b")), lit(n.toLong)).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val ccStore =
+        if (opFilter("cc_incremental")) {
+          val st = ops.Dedup.connectedComponents(
+            ccEdges.filter(ccSplit =!= 0), "doc_a", "doc_b").persist()
+          st.count()
+          Some(st)
+        } else None
+      timed("cc_incremental", runs, opFilter) {
+        ops.Dedup.connectedComponentsIncremental(ccStore.get, "node", "component",
+          ccEdges.filter(ccSplit === 0), "doc_a", "doc_b").count()
+      }
+      ccStore.foreach(_.unpersist())
       // batch = 2/3 of corpus vs a signature store of the other 1/3 —
       // the continuous-ingest shape. The corpus signatures are MATERIALIZED
       // before the timed block (a real ingest reads them from a table, and
@@ -572,7 +595,10 @@ object ScaleProbe {
       // the timed work is the O(batch) probe itself
       val fdStore =
         if (opFilter("framedup_incremental")) {
-          val st = clipFrames.filter(col("asset_id") % 10 =!= 0).persist()
+          // the persisted-store contract: distinct keys + size artifact,
+          // both maintained incrementally by a real ingest (outside timing)
+          val st = clipFrames.filter(col("asset_id") % 10 =!= 0)
+            .distinct().persist()
           val sz = st.groupBy(col("asset_id"))
             .agg(count_distinct(col("fkey")).as("n_keys")).persist()
           st.count(); sz.count()
@@ -582,7 +608,8 @@ object ScaleProbe {
         ops.Dedup.setOverlapIncremental(
           clipFrames.filter(col("asset_id") % 10 === 0), "asset_id", "fkey",
           fdStore.get._1, "asset_id", "fkey",
-          minOverlap = 0.9, storeSizes = Some(fdStore.get._2)).count()
+          minOverlap = 0.9, storeSizes = Some(fdStore.get._2),
+          storeKeysDistinct = true).count()
       }
       fdStore.foreach { case (st, sz) => st.unpersist(); sz.unpersist() }
       // ANN legs: a FIXED 256-query batch against the n-doc corpus, so

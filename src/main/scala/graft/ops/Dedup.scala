@@ -781,6 +781,82 @@ object Dedup {
     oldRows.unionByName(newNodes)
   }
 
+  /** INCREMENTAL survivor selection — the ingest companion of
+    * [[keepBest]]: fold a batch of new near-dup edges plus newly scored
+    * documents into a PERSISTED survivor table (exactly [[keepBest]]'s
+    * output: id, component, score, is_survivor) and re-rank ONLY the
+    * components the batch touched. A merge can dethrone a survivor in
+    * the absorbing cluster (the absorbed copy may score higher), so
+    * membership-changed components re-rank wholesale; every other row
+    * carries over verbatim.
+    *
+    * Law (the gate's oracle): if `survivors` is keepBest over
+    * (oldScored, CC(E₁)), the result is keepBest over
+    * (oldScored ∪ newScored, CC(E₁ ∪ E₂)) — survivor choice depends
+    * only on final membership and scores, both of which the store and
+    * the batch carry.
+    *
+    * Scale shape: same contracted-graph fold as
+    * [[connectedComponentsIncremental]] (star iteration over O(|E₂|)
+    * rows, broadcast root-remap over the store), then a broadcast
+    * semi-join on the batch-bounded affected-root set selects the rows
+    * to re-rank — the single rank window runs over
+    * O(affected-cluster-sizes) rows, never the store. With
+    * `deltaOnly=true` the output is just the re-ranked affected rows
+    * plus the new documents — the commit-log merge-materialization
+    * upsert shape (unique key = id). */
+  def keepBestIncremental(survivors: DataFrame, idCol: String, scoreCol: String,
+                          newScored: DataFrame,
+                          newEdges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50,
+                          deltaOnly: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = survivors.select(
+      col(idCol), col("component"), col(scoreCol), col("is_survivor"))
+    val assign = store.select(col(idCol).as("node"), col("component"))
+    val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // endpoints project to their current components; already-connected
+    // edges drop out — they cannot change membership, hence survivors
+    val projected = ea
+      .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
+      .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("ca"),
+        coalesce(col("cb"), col("b")).as("cb"))
+    val contracted = projected.filter(col("ca") =!= col("cb"))
+    val merged = connectedComponents(contracted, "ca", "cb", maxIter)
+      .localCheckpoint(true)
+    // every final root a genuine merge produced — batch-bounded, and the
+    // absorbing min-rooted cluster is included (its survivor may change)
+    val affectedRoots = merged.select("component").distinct()
+    val remap = merged
+      .select(col("node").as("component"), col("component").as("__new"))
+      .filter(col("component") =!= col("__new"))
+    val relabeled = store.join(broadcast(remap), Seq("component"), "left")
+      .select(col(idCol), coalesce(col("__new"), col("component")).as("component"),
+        col(scoreCol), col("is_survivor"))
+    val affectedOld = relabeled
+      .join(broadcast(affectedRoots), Seq("component"), "left_semi")
+    // new docs take their merged label when an edge touched them,
+    // themselves otherwise (batch singletons rank alone → survivors)
+    val newRows = newScored.select(col(idCol), col(scoreCol))
+      .join(broadcast(merged.withColumnRenamed("node", idCol)
+        .withColumnRenamed("component", "__new")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__new"), col(idCol)).as("component"),
+        col(scoreCol))
+    val w = Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val reranked = affectedOld.drop("is_survivor").unionByName(newRows)
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col(scoreCol), col("is_survivor"))
+    if (deltaOnly) reranked
+    else relabeled
+      .join(broadcast(affectedRoots), Seq("component"), "left_anti")
+      // the USING anti-join reorders columns (key first) — restore
+      // keepBest's output contract order
+      .select(col(idCol), col("component"), col(scoreCol), col("is_survivor"))
+      .unionByName(reranked)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** Number of SimHash signature bits. 60, not 64: the signature must be
@@ -1198,14 +1274,33 @@ object Dedup {
                             store: DataFrame, storeIdCol: String, storeKeyCol: String,
                             minOverlap: Double = 0.9,
                             maxKeyFrequency: Option[Int] = None,
-                            storeSizes: Option[DataFrame] = None): DataFrame = {
+                            storeSizes: Option[DataFrame] = None,
+                            // the store already holds DISTINCT (doc, key)
+                            // rows — true for any store maintained by this
+                            // ingest (each batch appends its distinct keys
+                            // under never-repeating doc ids), and it removes
+                            // the ONE remaining O(store) shuffle term: the
+                            // defensive dedup's exchange (SCALE.md r15 —
+                            // 2.16M of the 150k leg's 2.19M shuffled rows
+                            // were exactly this pass; the candidate join
+                            // itself broadcasts the batch side)
+                            storeKeysDistinct: Boolean = false): DataFrame = {
     val nb0 = batch.filter(col(keyCol).isNotNull)
       .select(col(idCol).as("doc"), col(keyCol).as("k")).distinct()
       .persist()
+    // materialize the batch keys BEFORE composing the joins: a
+    // persisted-but-unmaterialized batch side makes the composed query
+    // bypass the caches of persisted store-side frames and recompute
+    // them wholesale — an O(store) shuffle hiding in a function sold as
+    // O(batch) (SCALE.md r15: 2.16M of the 150k probe leg's shuffled
+    // rows were exactly this; one batch-sized job restores cache hits
+    // everywhere). Table-backed stores never hit this, cache-backed
+    // callers do; the function is eager by contract either way.
+    nb0.count()
     try {
-      val cb0 = store.filter(col(storeKeyCol).isNotNull)
+      val cb1 = store.filter(col(storeKeyCol).isNotNull)
         .select(col(storeIdCol).as("store_doc"), col(storeKeyCol).as("k"))
-        .distinct()
+      val cb0 = if (storeKeysDistinct) cb1 else cb1.distinct()
       // sizes from the UNCAPPED sides — min(|A|,|B|) must stay exact
       val nSizes = nb0.groupBy("doc").agg(count(lit(1)).as("n_a"))
       val sSizes = storeSizes

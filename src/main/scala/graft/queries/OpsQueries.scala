@@ -95,6 +95,35 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r15: SURVIVOR maintenance under ingest — documents with
+    // doc_id ≡ 7 (mod 10) arrive later, along with every pair that
+    // touches them plus the odd-sum pairs among the old docs; the store
+    // is the one-shot keep-best over the first generation, then
+    // keepBestIncremental folds the batch: contracted-graph CC fold,
+    // broadcast root remap, and a rank window over ONLY the components
+    // the batch touched. The result must equal the one-shot keep-best
+    // over everything — a merge can dethrone the absorbing cluster's
+    // survivor, which is exactly what the re-rank scope must catch.
+    "q_dedup_keep_best_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .localCheckpoint(true)
+      def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 7
+      val scored = docs.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+      val gen1 = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")) &&
+        pmod(col("doc_a") + col("doc_b"), lit(2)) === 0)
+      val gen2 = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")) ||
+        pmod(col("doc_a") + col("doc_b"), lit(2)) =!= 0)
+      val store = Dedup.keepBest(
+        scored.filter(!isNew(col("doc_id"))), "doc_id", "quality",
+        Dedup.connectedComponents(gen1, "doc_a", "doc_b"))
+      Dedup.keepBestIncremental(store, "doc_id", "quality",
+        scored.filter(isNew(col("doc_id"))), gen2, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // cross-batch incremental dedup: docs ≡ 0 (mod 3) play the historical
     // corpus (fingerprint table); the rest arrive as the new batch
     "q_dedup_incremental" -> ((s, d) => {
@@ -1532,6 +1561,40 @@ object OpsQueries {
        |SELECT doc, component, cluster_size
        |FROM labeled JOIN sizes USING (component) ORDER BY doc""".stripMargin
 
+  /** Quality-ranked survivor-selection oracle over the full MinHash pair
+    * graph — shared by the one-shot keep-best gate and the incremental
+    * (fold-new-edges-and-docs-into-a-persisted-survivor-table) gate,
+    * which are DEFINED as the same labeling. */
+  private[queries] def keepBestOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |qual AS (
+       |  SELECT doc_id, round(
+       |    least(length(text) / 500.0, 1.0) * 0.4 +
+       |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+       |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
+       |      ELSE 0 END) * 5.0) * 0.3 +
+       |    least((CASE WHEN len($toksSql) > 0
+       |      THEN len(list_filter($toksSql,
+       |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($toksSql)
+       |      ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+       |  FROM documents),
+       |labeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
+       |SELECT doc_id, component, quality,
+       |  (ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id)) = 1
+       |    AS is_survivor
+       |FROM labeled JOIN qual USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private[queries] def hammingIncrementalOracleSql: String =
     """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
       |luma AS (SELECT i.doc_id, g.f,
@@ -1716,35 +1779,12 @@ object OpsQueries {
          |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_keep_best" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT a AS doc, least(a, min(b)) AS component FROM reach GROUP BY a),
-         |qual AS (
-         |  SELECT doc_id, round(
-         |    least(length(text) / 500.0, 1.0) * 0.4 +
-         |    greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-         |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE / length(text)
-         |      ELSE 0 END) * 5.0) * 0.3 +
-         |    least((CASE WHEN len($toksSql) > 0
-         |      THEN len(list_filter($toksSql,
-         |        t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len($toksSql)
-         |      ELSE 0 END) * 4.0, 1.0) * 0.3, 6) AS quality
-         |  FROM documents),
-         |labeled AS (
-         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)
-         |SELECT doc_id, component, quality,
-         |  (ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id)) = 1
-         |    AS is_survivor
-         |FROM labeled JOIN qual USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" -> keepBestOracleSql,
+
+    // survivor maintenance under ingest is DEFINED as the one-shot
+    // keep-best over all docs and pairs — the store/batch split is
+    // invisible to the oracle (membership + scores decide survivors)
+    "q_dedup_keep_best_incremental" -> keepBestOracleSql,
 
     "q_dedup_incremental" -> exactIncrementalOracleSql,
 

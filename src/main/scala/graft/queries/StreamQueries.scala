@@ -667,7 +667,11 @@ object StreamQueries {
             keys, "asset_id", "mean_luma",
             rm.read(storeRel), "asset_id", "mean_luma",
             minOverlap = 0.9,
-            storeSizes = Some(rm.read(sizesRel)))
+            storeSizes = Some(rm.read(sizesRel)),
+            // every batch appends its DISTINCT keys under new asset ids,
+            // so the store stays distinct — skip the defensive dedup's
+            // O(store) exchange
+            storeKeysDistinct = true)
           if (rm.exists(pairsRel)) rm.appendTable(pairs, pairsRel)
           else rm.writeTable(pairs, pairsRel)
           rm.appendTable(keys, storeRel)
@@ -678,6 +682,59 @@ object StreamQueries {
       q.processAllAvailable(); q.stop()
       deleteRecursively(landing); deleteRecursively(ckpt)
       rm.read(pairsRel).orderBy("doc", "store_doc")
+    }),
+
+    // r15: CONTINUOUS cluster maintenance — the stream form of
+    // q_dedup_clusters_incremental run in the merge-materialization
+    // shape: each micro-batch of near-dup edges folds into the
+    // PERSISTED assignment table via connectedComponentsIncremental's
+    // deltaOnly output (changed + new labels, O(batch ∪ touched
+    // components) rows), upserted through the commit log's file-pruned
+    // MERGE — no batch rewrites the store wholesale, and the raw pair
+    // graph is never persisted at all. Final labeling must equal the
+    // one-shot clustering over every edge.
+    "q_stream_clusters_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Dedup
+      import graft.relations.RelationManager
+      import graft.materializations.Materializations
+      val landing = Files.createTempDirectory("graft_sci_in")
+      val ckpt = Files.createTempDirectory("graft_sci_ck")
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(true)
+      val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", pairs.filter(gen === 0), t0)
+      stageAsFile(landing, "1.parquet", pairs.filter(gen =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sci_wh").toString)
+      val assignRel = graft.core.Relation("graft", "main", "cluster_assignment")
+      rm.writeTable(pairs.limit(0)
+        .select(col("doc_a").as("node"), col("doc_b").as("component")), assignRel)
+      val q = s.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val delta = Dedup.connectedComponentsIncremental(
+            rm.read(assignRel), "node", "component",
+            batch, "doc_a", "doc_b", deltaOnly = true)
+          Materializations.mergeInto(rm, assignRel, delta,
+            uniqueKey = Seq("node"), updateColumns = Seq("component"))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val comp = rm.read(assignRel)
+      val labeled = docs.select(col("doc_id").as("doc"))
+        .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("component"), col("doc")).as("component"))
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "component")
+        .select("doc", "component", "cluster_size").orderBy("doc")
     }),
 
     "q_stream_neardup" -> ((s, d) => {
@@ -1072,6 +1129,10 @@ object StreamQueries {
     // (bases) probes an empty store, generation 2 (trims) probes exactly
     // the base corpus — the batch ingest gate's oracle verbatim
     "q_stream_framedup_ingest" -> OpsQueries.framedupIncrementalOracleSql,
+
+    // continuous cluster maintenance ≡ the one-shot clustering over all
+    // pairs — same oracle as q_dedup_clusters(_incremental)
+    "q_stream_clusters_ingest" -> OpsQueries.dedupClustersOracleSql,
 
     "q_stream_neardup" -> {
       val charShinglesSql =

@@ -479,6 +479,62 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bridged == Map(10L -> 1L, 11L -> 1L))
   }
+
+  test("keepBestIncremental: fold ≡ one-shot on random seeded graphs, delta merges to full") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    for (_ <- 1 to 5) {
+      val n = 40 + rnd.nextInt(40)
+      // deterministic score law so both clusterings rank identically
+      val scored = (0L until n).map(i => (i, (i * 37 % 100) / 10.0)).toDF("id", "score")
+      val all = Seq.fill(30 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val isNew = (i: Long) => i % 10 == 7
+      val (gen2a, gen1a) = all.partition { case (a, b) =>
+        isNew(a) || isNew(b) || (a + b) % 2 != 0 }
+      val oneShot = rowsOf(Dedup.keepBest(scored, "id", "score",
+        Dedup.connectedComponents(all.toDF("a", "b"), "a", "b")))
+      val store = Dedup.keepBest(scored.filter(!col("id").isin((0L until n).filter(isNew): _*)),
+        "id", "score",
+        if (gen1a.nonEmpty) Dedup.connectedComponents(gen1a.toDF("a", "b"), "a", "b")
+        else Seq.empty[(Long, Long)].toDF("node", "component"))
+      val newScored = scored.filter(col("id").isin((0L until n).filter(isNew): _*))
+      val inc = rowsOf(Dedup.keepBestIncremental(store, "id", "score",
+        newScored, gen2a.toDF("a", "b"), "a", "b"))
+      assert(inc == oneShot)
+      val delta = rowsOf(Dedup.keepBestIncremental(store, "id", "score",
+        newScored, gen2a.toDF("a", "b"), "a", "b", deltaOnly = true))
+      assert(rowsOf(store) ++ delta == oneShot)
+    }
+  }
+
+  test("keepBestIncremental: a merge dethrones the absorbing cluster's survivor; delta is minimal") {
+    import spark.implicits._
+    val store = Dedup.keepBest(
+      Seq((1L, 5.0), (2L, 3.0), (4L, 1.0)).toDF("id", "score"), "id", "score",
+      Seq((1L, 1L), (2L, 1L)).toDF("node", "component"))
+    // new doc 7 (score 9.0) bridges into {1,2}: survivor flips 1 → 7
+    val out = Dedup.keepBestIncremental(store, "id", "score",
+      Seq((7L, 9.0)).toDF("id", "score"),
+      Seq((2L, 7L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(out == Set((1L, 1L, false), (2L, 1L, false), (7L, 1L, true), (4L, 4L, true)))
+    // untouched singleton 4 stays out of the delta; all affected rows in
+    val delta = Dedup.keepBestIncremental(store, "id", "score",
+      Seq((7L, 9.0)).toDF("id", "score"),
+      Seq((2L, 7L)).toDF("a", "b"), "a", "b", deltaOnly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(delta == Set((1L, 1L, false), (2L, 1L, false), (7L, 1L, true)))
+    // edge-less scored batch: new docs survive alone, store untouched
+    val solo = Dedup.keepBestIncremental(store, "id", "score",
+      Seq((17L, 0.5)).toDF("id", "score"),
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", deltaOnly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(solo == Set((17L, 17L, true)))
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {

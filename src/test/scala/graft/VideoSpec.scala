@@ -241,6 +241,13 @@ class VideoSpec extends AnyFunSuite {
       storeSizes = Some(sizes))
       .select("doc", "store_doc", "n_shared", "overlap"))
     assert(viaSizes == inc, "persisted size artifact must change nothing")
+    // a store already holding DISTINCT keys may skip the defensive dedup
+    // (the last O(store) shuffle term) — output-identical by contract
+    val viaDistinct = rows(Dedup.setOverlapIncremental(batchKeys, "asset_id", "mean_luma",
+      storeKeys.distinct(), "asset_id", "mean_luma", minOverlap = 0.9,
+      storeSizes = Some(sizes), storeKeysDistinct = true)
+      .select("doc", "store_doc", "n_shared", "overlap"))
+    assert(viaDistinct == inc, "pre-distincted store must change nothing")
     // owner-carrying store: GC == rebuild from the survivors
     val live = spark.range(N).toDF("doc_id").filter(col("doc_id") % 4 =!= 1)
     val compacted = Dedup.compactStore(storeKeys, "asset_id",
