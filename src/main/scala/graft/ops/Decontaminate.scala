@@ -60,6 +60,78 @@ object Decontaminate {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** The corpus's distinct word-shingle inverted index — the persisted
+    * artifact [[flagOverlapIncremental]] probes. One row per (doc,
+    * distinct shingle); built once by corpus ingest and maintained
+    * incrementally (new corpus docs append their rows; [[graft.ops.Dedup
+    * .compactStore]] GCs dropped owners — it is the same owner-carrying
+    * store family as the frame-key and band indexes). */
+  def corpusShingleIndex(train: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    train.select(col(idCol), explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
+
+  /** INCREMENTAL decontamination under BENCHMARK-REGISTRY growth — the
+    * inverse ingest of the usual corpus-batch shape: the corpus is the
+    * persisted 100 TB side and the NEW arrival is a benchmark suite
+    * (a fresh eval set published, a new held-out split registered).
+    * Re-running [[flagOverlap]] would rescan the corpus text; this folds
+    * the batch against two persisted artifacts instead:
+    *
+    * - `corpusIndex`: [[corpusShingleIndex]]'s (id, shingle) rows,
+    * - `benchShingles`: the accumulated DISTINCT benchmark shingle set,
+    * - `ledger`: [[flagOverlap]]'s (id, n_overlap, contaminated) output
+    *   over the benchmark suites registered so far.
+    *
+    * Law (the gate's oracle): folding suites one at a time yields
+    * exactly flagOverlap(corpus, union of all suites). Exactness comes
+    * from the FRESH-shingle anti-join: only shingles never seen in any
+    * earlier suite can add hits, so per-doc increments partition the
+    * union's distinct-shingle overlap — no double counting, no
+    * inclusion–exclusion.
+    *
+    * Scale shape: the batch's distinct shingles anti-join the bench
+    * store (batch-sized build side), the fresh set broadcasts into one
+    * probe of the corpus INDEX (a column-pruned scan, never the text),
+    * and the ledger updates via a batch-bounded increment join —
+    * `deltaOnly=true` returns only the changed rows (the commit-log
+    * merge upsert shape). Returns (ledger', freshShingles): the caller
+    * appends freshShingles to the bench store, exactly the batch-append
+    * discipline every other ingest store here uses.
+    *
+    * `broadcastBench = false` degrades the index probe to a shuffle
+    * join for corpus-sized "benchmarks" (cross-corpus sweeps), same
+    * guard as [[flagOverlap]]. */
+  def flagOverlapIncremental(ledger: DataFrame, idCol: String,
+                             corpusIndex: DataFrame,
+                             benchShingles: DataFrame,
+                             newBench: DataFrame, textCol: String, n: Int,
+                             minOverlap: Int,
+                             broadcastBench: Boolean = true,
+                             deltaOnly: Boolean = false): (DataFrame, DataFrame) = {
+    val newSh = newBench.select(explode(
+      org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = true)).as("shingle"))
+      .distinct()
+    // batch-sized, feeds two consumers (the index probe and the caller's
+    // bench-store append) — pin it once
+    val fresh = newSh
+      .join(benchShingles.select("shingle"), Seq("shingle"), "left_anti")
+      .localCheckpoint(true)
+    val probeSide = if (broadcastBench) broadcast(fresh) else fresh
+    val inc = corpusIndex.join(probeSide, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__inc"))
+    val joined = ledger
+      .select(col(idCol), col("n_overlap"))
+      .join(inc, Seq(idCol), if (deltaOnly) "inner" else "left")
+      .select(col(idCol),
+        (col("n_overlap") + coalesce(col("__inc"), lit(0L)))
+          .cast(LongType).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+    (joined, fresh)
+  }
+
   /** Span-level decontamination (r9): EXCISE the overlapping token spans
     * instead of dropping the whole document — the surgical variant for
     * high-value documents where one leaked eval question shouldn't cost

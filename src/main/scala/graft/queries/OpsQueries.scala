@@ -582,6 +582,31 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r15: decontamination under BENCHMARK-REGISTRY growth — the bench
+    // docs arrive as two suites (even multiples of 97 first); the ledger
+    // is flagOverlap over suite 1, then suite 2 folds in against the
+    // persisted corpus shingle INDEX and the accumulated bench shingle
+    // set: fresh shingles only (the anti-join makes per-doc increments
+    // partition the union's distinct-shingle overlap), one index probe,
+    // no corpus-text rescan. Result ≡ the one-shot flag over the union.
+    "q_decontaminate_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val gen1 = docs.filter(col("doc_id") % 194 === 0)
+      val gen2 = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") % 194 =!= 0)
+      val index = Decontaminate.corpusShingleIndex(corpus, "doc_id", "text", n = 4)
+        .localCheckpoint(true)
+      val benchStore = Decontaminate
+        .corpusShingleIndex(gen1, "doc_id", "text", n = 4)
+        .select("shingle").distinct()
+      val ledger = Decontaminate.flagOverlap(corpus, gen1,
+        "doc_id", "text", n = 4, minOverlap = 1)
+      val (updated, _) = Decontaminate.flagOverlapIncremental(
+        ledger, "doc_id", index, benchStore, gen2, "text", n = 4,
+        minOverlap = 1)
+      updated.orderBy("doc_id")
+    }),
+
     // PII scrub: the fixture corpus is PII-free, so deterministic emails/
     // phones/IPs are planted first (same arithmetic in the oracle) — the
     // md5 of the redacted text proves the scrub byte-for-byte
@@ -1595,6 +1620,23 @@ object OpsQueries {
        |FROM labeled JOIN qual USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Word-4-gram contamination oracle (docs ≡ 0 (mod 97) are the
+    * benchmark side) — shared by the one-shot flag gate and the
+    * incremental (fold-new-suites-into-a-persisted-ledger) gate, which
+    * are DEFINED as the same labeling over the suite union. */
+  private[queries] def decontaminateOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(t)-3, 0)),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles FROM toks),
+       |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT t.doc_id, COUNT(*) AS n FROM train t JOIN bench USING (shingle) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n, 0) AS n_overlap, COALESCE(n, 0) >= 1 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private[queries] def hammingIncrementalOracleSql: String =
     """WITH ids AS (SELECT doc_id, 48 + doc_id % 3 AS nf FROM documents WHERE doc_id % 101 <> 0),
       |luma AS (SELECT i.doc_id, g.f,
@@ -2374,18 +2416,11 @@ object OpsQueries {
          |WHERE d.doc_id % 97 <> 0
          |ORDER BY d.doc_id""".stripMargin,
 
-    "q_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(
-         |  generate_series(1, greatest(len(t)-3, 0)),
-         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles FROM toks),
-         |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
-         |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
-         |hits AS (SELECT t.doc_id, COUNT(*) AS n FROM train t JOIN bench USING (shingle) GROUP BY 1)
-         |SELECT d.doc_id, COALESCE(n, 0) AS n_overlap, COALESCE(n, 0) >= 1 AS contaminated
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
-         |LEFT JOIN hits USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    // folding benchmark suites one at a time is DEFINED as the one-shot
+    // flag over their union — the suite split is invisible to the oracle
+    "q_decontaminate_incremental" -> decontaminateOracleSql,
+
+    "q_decontaminate" -> decontaminateOracleSql,
 
     "q_text_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

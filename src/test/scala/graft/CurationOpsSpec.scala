@@ -86,6 +86,51 @@ class CurationOpsSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("incremental decontamination: suite folds == one-shot over the union; fresh shingles only") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta tail"),
+      (2L, "completely unrelated text with no overlap here"),
+      (3L, "beta gamma delta epsilon and more"),
+      (4L, "omega psi chi phi upsilon extras")).toDF("doc_id", "text")
+    val suite1 = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // suite 2 repeats a suite-1 shingle (beta gamma delta epsilon) AND
+    // adds a fresh one — the repeat must NOT recount
+    val suite2 = Seq((200L, "beta gamma delta epsilon omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val index = Decontaminate.corpusShingleIndex(train, "doc_id", "text", 4)
+    val store1 = Decontaminate.corpusShingleIndex(suite1, "doc_id", "text", 4)
+      .select("shingle").distinct()
+    val ledger1 = Decontaminate.flagOverlap(train, suite1, "doc_id", "text", 4, 1)
+    val (ledger2, fresh) = Decontaminate.flagOverlapIncremental(
+      ledger1, "doc_id", index, store1, suite2, "text", 4, minOverlap = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val oneShot = rows(Decontaminate.flagOverlap(
+      train, suite1.unionByName(suite2), "doc_id", "text", 4, 1))
+    assert(rows(ledger2) == oneShot)
+    // doc 3's suite-2 shingle was already counted from suite 1 —
+    // unchanged; doc 4 gains its one fresh hit (omega psi chi phi)
+    assert(rows(ledger2)(3L) == ((1L, true)) && rows(ledger2)(4L) == ((1L, true)))
+    // fresh excludes every suite-1 shingle
+    val freshSet = fresh.collect().map(_.getString(0)).toSet
+    val store1Set = store1.collect().map(_.getString(0)).toSet
+    assert(freshSet.nonEmpty && freshSet.intersect(store1Set).isEmpty)
+    // delta form: only incremented docs, merge over the ledger == full
+    val (delta, _) = Decontaminate.flagOverlapIncremental(
+      ledger1, "doc_id", index, store1, suite2, "text", 4, minOverlap = 1,
+      deltaOnly = true)
+    assert(rows(ledger1) ++ rows(delta) == oneShot)
+    assert(!rows(delta).contains(2L) && !rows(delta).contains(3L),
+      "clean and unchanged docs stay out of the delta")
+    // an all-repeat suite is a no-op: empty fresh set, empty delta
+    val (delta2, fresh2) = Decontaminate.flagOverlapIncremental(
+      ledger1, "doc_id", index, store1,
+      Seq((300L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "text", 4, minOverlap = 1, deltaOnly = true)
+    assert(fresh2.isEmpty && delta2.isEmpty)
+  }
+
   test("weighted mix: nested across weights, exact at the extremes") {
     import spark.implicits._
     val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
