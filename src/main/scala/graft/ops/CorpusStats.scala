@@ -125,6 +125,50 @@ object CorpusStats {
       .select("ngram", "freq", "doc_freq")
   }
 
+  /** The n-gram COUNT STORE — the persisted artifact behind
+    * [[topNgrams]] under continuous ingest: one row per distinct n-gram
+    * with its corpus occurrence count and document frequency. Both
+    * columns are ADDITIVE under document batches (new docs never repeat
+    * ids, so per-batch doc_freq contributions are disjoint), which makes
+    * the fold exact — no sketch, no refresh. Call on a batch to get its
+    * contribution rows; [[ngramCountsDelta]] merges them into the store
+    * in the O(batch) upsert shape. */
+  def ngramCountStore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val occ = df.select(
+      explode(org.apache.spark.sql.graft.VectorExpressions
+        .wordShingles(col(textCol), n, distinct = false)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+    val dfq = df.select(col(idCol).as("doc"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+    occ.join(dfq, "ngram").select("ngram", "freq", "doc_freq")
+  }
+
+  /** Fold a batch's [[ngramCountStore]] rows into the persisted store:
+    * returns ONLY the upsert rows (batch n-grams with store counts
+    * added) — O(batch-distinct-n-grams) output, the commit-log MERGE
+    * shape (unique key = ngram; untouched store rows never move). The
+    * store side is probed by one key join; at warehouse scale the MERGE
+    * materialization's planning scan prunes it to the touched files. */
+  def ngramCountsDelta(store: DataFrame, batchCounts: DataFrame): DataFrame =
+    batchCounts
+      .join(store.select(col("ngram"), col("freq").as("__f"),
+        col("doc_freq").as("__d")), Seq("ngram"), "left")
+      .select(col("ngram"),
+        (col("freq") + coalesce(col("__f"), lit(0L))).as("freq"),
+        (col("doc_freq") + coalesce(col("__d"), lit(0L))).as("doc_freq"))
+
+  /** Top-k view over the count store: TakeOrdered on (freq desc, ngram)
+    * — per-partition heads + a driver merge of k rows, never a full
+    * vocabulary sort. Folding batches through [[ngramCountsDelta]] and
+    * cutting here equals [[topNgrams]] over the concatenated corpus
+    * (the incremental gate's oracle law). */
+  def topNgramsFromStore(store: DataFrame, k: Int): DataFrame =
+    store.orderBy(col("freq").desc, col("ngram")).limit(k)
+      .select("ngram", "freq", "doc_freq")
+
   /** Per-group K-MINIMUM-VALUES distinct-token sketch rows (r12 — the
     * mergeable artifact): the k smallest md5-unit hashes of the group's
     * DISTINCT tokens, via the bounded [[graft.ops.Similarity.rankTopK]]

@@ -558,6 +558,27 @@ object OpsQueries {
         n = 3, k = 25)
     }),
 
+    // r15: the Zipf-head profile under INGEST — documents arrive in two
+    // generations (even ids first); the persisted n-gram count store
+    // (occurrence + doc frequency, both additive across doc batches)
+    // folds the second batch via the O(batch) upsert delta, and the
+    // top-k cut over the store must equal the one-shot profile. No
+    // sketch: the counts are exact by additivity.
+    "q_corpus_topk_ngrams_incremental" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val store = CorpusStats.ngramCountStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+        .localCheckpoint(true)
+      val delta = CorpusStats.ngramCountsDelta(store,
+        CorpusStats.ngramCountStore(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", n = 3))
+      val merged = store.join(delta.select("ngram"), Seq("ngram"), "left_anti")
+        .select("ngram", "freq", "doc_freq")
+        .unionByName(delta)
+      CorpusStats.topNgramsFromStore(merged, k = 25)
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -1620,6 +1641,24 @@ object OpsQueries {
        |FROM labeled JOIN qual USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Corpus Zipf-head oracle (top-25 word trigrams by occurrence, ties
+    * on the n-gram string) — shared by the one-shot profile gate and
+    * the incremental (fold-batch-counts-into-a-persisted-store) gate,
+    * which are DEFINED as the same cut (counts are additive). */
+  private[queries] def topkNgramsOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(
+       |  generate_series(1, greatest(len(tk)-2, 0)),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram FROM t),
+       |top AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+       |        FROM g GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 25),
+       |dfq AS (SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+       |        FROM (SELECT DISTINCT doc_id, ngram FROM g) JOIN top USING (ngram)
+       |        GROUP BY 1)
+       |SELECT top.ngram, top.freq, dfq.doc_freq
+       |FROM top JOIN dfq USING (ngram)
+       |ORDER BY top.freq DESC, top.ngram""".stripMargin
+
   /** Word-4-gram contamination oracle (docs ≡ 0 (mod 97) are the
     * benchmark side) — shared by the one-shot flag gate and the
     * incremental (fold-new-suites-into-a-persisted-ledger) gate, which
@@ -2365,19 +2404,11 @@ object OpsQueries {
 
     // r10: Zipf-head profile — top-25 trigrams by occurrence, ties on
     // the phrase ascending so the rank-25 cut is deterministic
-    "q_corpus_topk_ngrams" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(list_transform(
-         |  generate_series(1, greatest(len(tk)-2, 0)),
-         |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram FROM t),
-         |top AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq
-         |        FROM g GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 25),
-         |dfq AS (SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
-         |        FROM (SELECT DISTINCT doc_id, ngram FROM g) JOIN top USING (ngram)
-         |        GROUP BY 1)
-         |SELECT top.ngram, top.freq, dfq.doc_freq
-         |FROM top JOIN dfq USING (ngram)
-         |ORDER BY top.freq DESC, top.ngram""".stripMargin,
+    "q_corpus_topk_ngrams" -> topkNgramsOracleSql,
+
+    // the count store's additivity makes the fold exact — the generation
+    // split is invisible to the oracle
+    "q_corpus_topk_ngrams_incremental" -> topkNgramsOracleSql,
 
     // 0-based engine positions vs this oracle's 1-based list indexing:
     // both cover the same token set, and the compare is on the rebuilt

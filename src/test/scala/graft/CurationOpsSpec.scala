@@ -504,6 +504,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("median_tokens") == 2L && b.getAs[Long]("p95_tokens") == 7L)
   }
 
+  test("ngram count store: fold == one-shot top-k; delta touches only batch ngrams; counts additive") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox sleeps"),
+      (2L, "a quick brown fox jumps again and the quick brown fox rests"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    val oneShot = CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val store = CorpusStats.ngramCountStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3)
+    val batch = CorpusStats.ngramCountStore(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3)
+    val delta = CorpusStats.ngramCountsDelta(store, batch)
+    // the delta is exactly the batch's ngram set — untouched store rows
+    // never appear (the O(batch) upsert contract)
+    assert(delta.select("ngram").exceptAll(batch.select("ngram")).isEmpty &&
+      batch.select("ngram").exceptAll(delta.select("ngram")).isEmpty)
+    // "quick brown fox" occurs in both generations: delta row = sum
+    val qbf = delta.filter(col("ngram") === "quick brown fox").collect()(0)
+    assert(qbf.getLong(1) == 4L && qbf.getLong(2) == 3L)
+    val merged = store.join(delta.select("ngram"), Seq("ngram"), "left_anti")
+      .select("ngram", "freq", "doc_freq").unionByName(delta)
+    val folded = CorpusStats.topNgramsFromStore(merged, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(folded == oneShot)
+    // empty batch: delta empty, store unchanged through the merge shape
+    val emptyDelta = CorpusStats.ngramCountsDelta(store,
+      CorpusStats.ngramCountStore(docs.limit(0), "doc_id", "text", 3))
+    assert(emptyDelta.isEmpty)
+  }
+
   test("boilerplate profile counts corpus-wide hot windows per document") {
     import spark.implicits._
     // "copyright acme corp" appears in 5 docs → hot at minDocFrequency=5;
