@@ -30,6 +30,23 @@ object OpsQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // r15: SimHash under ingest — the TEXT modality riding the same
+    // generic hamming machinery as the video/image fingerprints
+    // (hammingIncremental is signature-agnostic): a batch of new doc
+    // signatures probes the persisted signature store via the 4×15-bit
+    // block equi-join, candidates-only verify. Signatures computed once
+    // and pinned (the fingerprint-once ingest discipline).
+    "q_dedup_simhash_incremental" -> ((s, d) => {
+      val sigs = Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint(true)
+      Dedup.hammingIncremental(
+        sigs.filter(col("doc") % 3 === 0), "doc", "sh",
+        sigs.filter(col("doc") % 3 =!= 0), "doc", "sh",
+        maxHamming = 6, nBlocks = Dedup.SimhashBlocks,
+        blockBits = Dedup.SimhashBlockBits)
+        .orderBy("doc", "store_doc")
+    }),
+
     "q_dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.4)
@@ -1839,6 +1856,32 @@ object OpsQueries {
          |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the ingest form: batch (doc ≡ 0 mod 3) × store candidates through
+    // the SAME block banding — at maxHamming 6 > nBlocks−1 the banding
+    // is part of the operator's definition, so the oracle reproduces it
+    "q_dedup_simhash_incremental" ->
+      s"""WITH hashes AS (
+         |  SELECT doc_id AS doc,
+         |    list_transform(list_distinct($toksSql),
+         |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), k ->
+         |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> k) & 1) = 1)) > len(hs)
+         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
+         |  FROM hashes),
+         |blocked AS (
+         |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->
+         |    b::VARCHAR || ':' || ((sh >> (b*15)) & 32767)::VARCHAR)) AS block
+         |  FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc, b.doc AS store_doc, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM blocked a JOIN blocked b USING (block)
+         |  WHERE a.doc % 3 = 0 AND b.doc % 3 <> 0)
+         |SELECT doc, store_doc, bit_count(xor(sh_a, sh_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+         |ORDER BY doc, store_doc""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (
