@@ -1253,15 +1253,19 @@ object Dedup {
     } finally inv0.unpersist()
   }
 
-  /** INCREMENTAL set-overlap ingest: pair a NEW batch's (id, key) rows
-    * against a PERSISTED key store — the [[minhashIncremental]] shape
-    * for the containment family (a nightly clip ingest extracts frame
-    * keys for its new assets only and probes the store's inverted
-    * index; the store is owner-carrying, so [[compactStore]] GC
-    * applies). Returns (doc, store_doc, n_shared, overlap) at overlap ≥
-    * `minOverlap`, overlap = |A∩B| / min(|A|,|B|) over DISTINCT key
-    * sets — identical pair verdicts to the batch [[setOverlapPairs]]
-    * restricted to batch×store (the replay law a gate can check).
+  /** INCREMENTAL set-measure ingest (the shared candidate chain behind
+    * [[setOverlapIncremental]] and [[ngramJaccardIncremental]] — r15:
+    * the two differ ONLY in the final measure, so one implementation
+    * carries the cap/size/cache discipline): pair a NEW batch's
+    * (id, key) rows against a PERSISTED key store — the
+    * [[minhashIncremental]] shape for the set families (a nightly clip
+    * ingest extracts frame keys for its new assets only and probes the
+    * store's inverted index; the store is owner-carrying, so
+    * [[compactStore]] GC applies). `finish` receives
+    * (doc, store_doc, n_shared, n_a, n_b) candidate counts over
+    * DISTINCT key sets and projects/thresholds the measure — identical
+    * pair verdicts to the one-shot operator restricted to batch×store
+    * (the replay law the gates check).
     *
     * Scale shape: candidates come from the batch-keys ⋈ store equi-join
     * (O(batch) probe rows against a ready table); the store-side set
@@ -1270,21 +1274,21 @@ object Dedup {
     * precomputed-artifact contract) to make the whole call O(batch).
     * `maxKeyFrequency` caps hot keys counted over batch + store rows
     * together, the cross-family cap contract. */
-  def setOverlapIncremental(batch: DataFrame, idCol: String, keyCol: String,
-                            store: DataFrame, storeIdCol: String, storeKeyCol: String,
-                            minOverlap: Double = 0.9,
-                            maxKeyFrequency: Option[Int] = None,
-                            storeSizes: Option[DataFrame] = None,
-                            // the store already holds DISTINCT (doc, key)
-                            // rows — true for any store maintained by this
-                            // ingest (each batch appends its distinct keys
-                            // under never-repeating doc ids), and it removes
-                            // the ONE remaining O(store) shuffle term: the
-                            // defensive dedup's exchange (SCALE.md r15 —
-                            // 2.16M of the 150k leg's 2.19M shuffled rows
-                            // were exactly this pass; the candidate join
-                            // itself broadcasts the batch side)
-                            storeKeysDistinct: Boolean = false): DataFrame = {
+  private def setIncrementalImpl(batch: DataFrame, idCol: String, keyCol: String,
+                                 store: DataFrame, storeIdCol: String, storeKeyCol: String,
+                                 maxKeyFrequency: Option[Int],
+                                 storeSizes: Option[DataFrame],
+                                 // the store already holds DISTINCT (doc, key)
+                                 // rows — true for any store maintained by this
+                                 // ingest (each batch appends its distinct keys
+                                 // under never-repeating doc ids), and it removes
+                                 // the ONE remaining O(store) shuffle term: the
+                                 // defensive dedup's exchange (SCALE.md r15 —
+                                 // 2.16M of the 150k leg's 2.19M shuffled rows
+                                 // were exactly this pass; the candidate join
+                                 // itself broadcasts the batch side)
+                                 storeKeysDistinct: Boolean)
+                                (finish: DataFrame => DataFrame): DataFrame = {
     val nb0 = batch.filter(col(keyCol).isNotNull)
       .select(col(idCol).as("doc"), col(keyCol).as("k")).distinct()
       .persist()
@@ -1319,18 +1323,82 @@ object Dedup {
           (nb0.join(broadcast(hot), Seq("k"), "left_anti"),
             cb0.join(broadcast(hot), Seq("k"), "left_anti"))
       }
-      nb.join(cb, Seq("k"))
+      val counts = nb.join(cb, Seq("k"))
         .groupBy("doc", "store_doc").agg(count(lit(1)).as("n_shared"))
         .join(nSizes, "doc")
         .join(sSizes, Seq("store_doc"))
+      finish(counts).localCheckpoint(true)
+    } finally nb0.unpersist()
+  }
+
+  /** CONTAINMENT measure over the shared ingest candidate chain —
+    * overlap = |A∩B| / min(|A|,|B|); see the scaladoc above
+    * [[setIncrementalImpl]] for the contract and scale shape. */
+  def setOverlapIncremental(batch: DataFrame, idCol: String, keyCol: String,
+                            store: DataFrame, storeIdCol: String, storeKeyCol: String,
+                            minOverlap: Double = 0.9,
+                            maxKeyFrequency: Option[Int] = None,
+                            storeSizes: Option[DataFrame] = None,
+                            storeKeysDistinct: Boolean = false): DataFrame =
+    setIncrementalImpl(batch, idCol, keyCol, store, storeIdCol, storeKeyCol,
+      maxKeyFrequency, storeSizes, storeKeysDistinct) { counts =>
+      counts
         .withColumn("__ov",
           col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
         .filter(col("__ov") >= minOverlap)
         .select(col("doc"), col("store_doc"), col("n_shared"),
           round(col("__ov"), 6).as("overlap"))
-        .localCheckpoint(true)
-    } finally nb0.unpersist()
+    }
+
+  /** INCREMENTAL n-gram Jaccard ingest — [[ngramJaccardPairs]]' O(batch)
+    * form, completing the family matrix: a batch of NEW documents is
+    * shingled ONCE (fused WordShingles, hashed to 60-bit-injective
+    * xxhash64 longs exactly like the one-shot) and probes the PERSISTED
+    * corpus shingle-hash index (`store`: (doc, sh64) DISTINCT rows —
+    * owner-carrying, so [[compactStore]] GC applies; maintained by
+    * appending each batch's rows). Returns (doc, store_doc, jaccard) at
+    * jaccard ≥ `threshold` over DISTINCT shingle sets — identical pair
+    * verdicts to the batch [[ngramJaccardPairs]] restricted to
+    * batch×store (the replay law the gate checks; note the ROUNDED
+    * value is thresholded, matching the one-shot and its oracle).
+    *
+    * Scale shape: same candidate chain as [[setOverlapIncremental]]
+    * (batch keys broadcast into the store probe; `storeSizes` = the
+    * persisted (doc, n_keys) artifact removes the per-call store
+    * aggregate; `maxKeyFrequency` is the cross-family hot-key cap);
+    * only the measure differs — |A∩B| / (|A|+|B|−|A∩B|) instead of
+    * containment. */
+  def ngramJaccardIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                              store: DataFrame, storeIdCol: String, storeKeyCol: String,
+                              n: Int = 3, threshold: Double = 0.4,
+                              maxKeyFrequency: Option[Int] = None,
+                              storeSizes: Option[DataFrame] = None,
+                              storeKeysDistinct: Boolean = false): DataFrame = {
+    val batchKeys = newDocs.select(col(idCol),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__sh64"))
+    setIncrementalImpl(batchKeys, idCol, "__sh64",
+      store, storeIdCol, storeKeyCol,
+      maxKeyFrequency, storeSizes, storeKeysDistinct) { counts =>
+      counts
+        .withColumn("jaccard",
+          round(col("n_shared").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_shared")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("doc", "store_doc", "jaccard")
+    }
   }
+
+  /** The corpus shingle-hash index behind [[ngramJaccardIncremental]]:
+    * one (doc, sh64) row per distinct word n-gram per document — what
+    * corpus ingest persists and appends to. */
+  def ngramShingleIndex(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .wordShingles(col(textCol), n, distinct = true)).as("__s"))
+      .select(col("doc"), xxhash64(col("__s")).as("sh64"))
 
   /** The LAZY pair frame over a prepared (doc, k) DISTINCT inverted
     * index — split out so the plan-shape spec can assert the candidate

@@ -101,6 +101,24 @@ object OpsQueries {
 
     // quality-aware survivor selection: keep the highest-quality member
     // of each near-dup cluster, not the min id
+    // r15: n-gram Jaccard under ingest — the last set family to get the
+    // O(batch) form: new docs (doc ≡ 0 mod 3) are shingled once and
+    // probe the persisted corpus shingle-hash index with the size
+    // artifact, only the measure differing from the containment ingest
+    // (shared candidate chain, setIncrementalImpl).
+    "q_dedup_ngram_jaccard_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Dedup.ngramShingleIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", n = 3)
+        .localCheckpoint(true)
+      val sizes = store.groupBy("doc").agg(count(lit(1)).as("n_keys"))
+      Dedup.ngramJaccardIncremental(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        store, "doc", "sh64", n = 3, threshold = 0.4,
+        storeSizes = Some(sizes), storeKeysDistinct = true)
+        .orderBy("doc", "store_doc")
+    }),
+
     "q_dedup_keep_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -1902,6 +1920,29 @@ object OpsQueries {
          |JOIN sizes sb ON doc_b = sb.doc
          |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ingest form: batch (doc ≡ 0 mod 3) × store through the same
+    // distinct-shingle sets and rounded-threshold law
+    "q_dedup_ngram_jaccard_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1] || ' ' || ($toksSql)[i+2])) AS shingles
+         |  FROM documents),
+         |sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+         |inv AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+         |common AS (
+         |  SELECT a.doc AS doc, b.doc AS store_doc, COUNT(*) AS n_common
+         |  FROM inv a JOIN inv b USING (shingle)
+         |  WHERE a.doc % 3 = 0 AND b.doc % 3 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT c.doc, c.store_doc,
+         |  round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common c
+         |JOIN sizes sa ON c.doc = sa.doc
+         |JOIN sizes sb ON c.store_doc = sb.doc
+         |WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.4
+         |ORDER BY c.doc, c.store_doc""".stripMargin,
 
     "q_dedup_keep_best" -> keepBestOracleSql,
 

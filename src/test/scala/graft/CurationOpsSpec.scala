@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, PiiRedact, Repetition, Sampling, Splits, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, PiiRedact, Repetition, Sampling, Splits, TextAnalysis}
 
 /** Curation-layer operators: Gopher-style repetition filters, benchmark
   * decontamination, weighted source mixing. */
@@ -502,6 +502,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.getAs[Long]("median_tokens") == 10L && a.getAs[Long]("p95_tokens") == 19L)
     val b = out(1)
     assert(b.getAs[Long]("median_tokens") == 2L && b.getAs[Long]("p95_tokens") == 7L)
+  }
+
+  test("ngramJaccardIncremental == one-shot restricted to batch×store; size artifact changes nothing") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      val base = (i / 3) * 3
+      val words = (0 until 12).map(w => s"w${base}_${w}")
+      // members of a group share most words; one mutated tail word each
+      (i, (words.dropRight(1) :+ s"tail_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val oneShot = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cross = oneShot.flatMap { case (a, b, j) =>
+      if (a % 3 == 0 && b % 3 != 0) Some((a, b, j))
+      else if (b % 3 == 0 && a % 3 != 0) Some((b, a, j))
+      else None
+    }
+    val store = Dedup.ngramShingleIndex(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 3)
+    val inc = Dedup.ngramJaccardIncremental(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      store, "doc", "sh64", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == cross && inc.nonEmpty,
+      s"ingest must equal the one-shot restriction (${inc.size} vs ${cross.size})")
+    val sizes = store.groupBy("doc").agg(count(lit(1)).as("n_keys"))
+    val viaSizes = Dedup.ngramJaccardIncremental(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      store, "doc", "sh64", n = 3, threshold = 0.3,
+      storeSizes = Some(sizes), storeKeysDistinct = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSizes == inc, "persisted size artifact must change nothing")
   }
 
   test("ngram count store: fold == one-shot top-k; delta touches only batch ngrams; counts additive") {
