@@ -383,6 +383,38 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** INCREMENTAL edit-distance-verified dedup — [[editDistancePairs]]'
+    * O(batch) form: the batch's MinHash signatures band-join the
+    * PERSISTED corpus signature store for candidates (the
+    * [[minhashIncremental]] chain with threshold 0 — every banded
+    * candidate reaches the verify; the estimator is not the filter
+    * here), then the exact banded-DP levenshtein verifies CANDIDATES
+    * ONLY against the corpus text table (an O(candidates) keyed probe
+    * of a ready table — the only corpus-text touch, never a scan).
+    * Returns (doc, store_doc, edit_distance ≤ maxDistance) — the
+    * one-shot [[editDistancePairs]] restricted to batch×store.
+    *
+    * `corpusTexts` must carry (corpusIdCol, textCol) with the SAME text
+    * normalization the signatures were built from (the gate's ASCII
+    * fold — levenshtein is byte-level). Same length + banded-DP
+    * pre-filters as the one-shot: sound, recall-free. */
+  def editDistanceIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                              corpusSigs: DataFrame, corpusIdCol: String, sigCol: String,
+                              corpusTexts: DataFrame,
+                              maxDistance: Int,
+                              shingleLen: Int = 5, k: Int = 32, bands: Int = 8,
+                              maxBandFrequency: Option[Int] = None): DataFrame =
+    minhashIncremental(newDocs, idCol, textCol, corpusSigs, corpusIdCol, sigCol,
+      shingleLen, k, bands, threshold = 0.0, maxBandFrequency)
+      .join(newDocs.select(col(idCol).as("doc"), col(textCol).as("__ta")), "doc")
+      .join(corpusTexts.select(col(corpusIdCol).as("corpus_doc"),
+        col(textCol).as("__tb")), "corpus_doc")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDistance)
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxDistance))
+      .filter(col("edit_distance") >= 0)
+      .select(col("doc"), col("corpus_doc").as("store_doc"), col("edit_distance"))
+
   /** Survivor selection by QUALITY: given near-dup components (any
     * [[connectedComponents]] output) and a per-document score, keep the
     * highest-scoring member of each cluster instead of the min-id one —

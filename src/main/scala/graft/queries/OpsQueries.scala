@@ -494,6 +494,24 @@ object OpsQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // r15: edit-distance-verified dedup under ingest — batch signatures
+    // band-join the persisted corpus signature store (threshold 0: every
+    // banded candidate reaches the verify), then the banded-DP
+    // levenshtein runs on CANDIDATES ONLY against the corpus text table.
+    "q_dedup_edit_distance_incremental" -> ((s, d) => {
+      val ascii = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "?").as("text"))
+      val corpus = ascii.filter(col("doc_id") % 3 === 0)
+      val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        shingleLen = 5, k = 32)
+      Dedup.editDistanceIncremental(
+        ascii.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        corpusSigs, "doc", "sig",
+        corpus.select(col("doc_id").as("doc"), col("text")),
+        maxDistance = 16, shingleLen = 5, k = 32, bands = 8)
+        .orderBy("doc", "store_doc")
+    }),
+
     // r12: store maintenance — the owner-carrying window-hash store of
     // the full corpus, compacted after docs ≡ 1 (mod 4) leave; the
     // contract (compaction ≡ rebuild from survivors) is what the oracle
@@ -1773,8 +1791,11 @@ object OpsQueries {
     *     shingles; hash collisions only inflate the intersection, so
     *     the bound stays sound.
     * Stage CTEs are AS MATERIALIZED (each is consumed repeatedly).
-    * Emitted WITHOUT the WITH keyword for RECURSIVE consumers. */
-  private def editDistancePairCtes: String =
+    * Emitted WITHOUT the WITH keyword for RECURSIVE consumers.
+    * `pairPredicate` picks the pair space: `a.doc < b.doc` (one-shot)
+    * or a batch×store split (the r15 ingest gate). */
+  private def editDistancePairCtes(
+      pairPredicate: String = "a.doc < b.doc"): String =
     s"""docs_ascii AS MATERIALIZED (
        |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
        |  FROM documents),
@@ -1791,7 +1812,7 @@ object OpsQueries {
        |  FROM sig),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-       |  FROM banded a JOIN banded b USING (band) WHERE a.doc < b.doc),
+       |  FROM banded a JOIN banded b USING (band) WHERE $pairPredicate),
        |prefilt AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM cand
        |  JOIN docs_ascii la ON la.doc_id = doc_a JOIN docs_ascii lb ON lb.doc_id = doc_b
@@ -2221,7 +2242,7 @@ object OpsQueries {
     // there, so DuckDB's byte-based levenshtein agrees with Spark's
     // codepoint-based one), Levenshtein verify instead of the estimate
     "q_dedup_edit_distance" ->
-      s"""WITH $editDistancePairCtes
+      s"""WITH ${editDistancePairCtes()}
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance
          |FROM prefilt
@@ -2229,6 +2250,18 @@ object OpsQueries {
          |JOIN docs_ascii tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ingest form: batch (doc ≢ 0 mod 3) × store candidates through the
+    // same banding and sound prefilters
+    "q_dedup_edit_distance_incremental" ->
+      s"""WITH ${editDistancePairCtes("a.doc % 3 <> 0 AND b.doc % 3 = 0")}
+         |SELECT doc_a AS doc, doc_b AS store_doc,
+         |  CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_distance
+         |FROM prefilt
+         |JOIN docs_ascii ta ON ta.doc_id = doc_a
+         |JOIN docs_ascii tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 16
+         |ORDER BY doc, store_doc""".stripMargin,
 
     // r12 store compaction ≡ rebuild-from-survivors: per-doc distinct
     // window hashes of the live slice
@@ -2396,7 +2429,7 @@ object OpsQueries {
     // projection, levenshtein-verified pairs (<= 16), transitive closure,
     // quality survivors — each CTE mirrors the per-stage oracles
     "q_curation_pipeline_v4" ->
-      s"""WITH RECURSIVE $editDistancePairCtes,
+      s"""WITH RECURSIVE ${editDistancePairCtes()},
          |pairs AS MATERIALIZED (
          |  SELECT doc_a, doc_b FROM prefilt
          |  JOIN docs_ascii ta ON ta.doc_id = doc_a

@@ -536,6 +536,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(viaSizes == inc, "persisted size artifact must change nothing")
   }
 
+  test("editDistanceIncremental == one-shot restricted to batch×store") {
+    import spark.implicits._
+    val docs = (0L until 24L).map { i =>
+      val base = (i / 3) * 3
+      // group members are one-character edits of each other
+      (i, s"the shared sentence body for group $base with marker ${i % 3}")
+    }.toDF("doc_id", "text")
+    val oneShot = Dedup.editDistancePairs(docs, "doc_id", "text", maxDistance = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cross = oneShot.flatMap { case (a, b, e) =>
+      if (a % 3 != 0 && b % 3 == 0) Some((a, b, e))
+      else if (b % 3 != 0 && a % 3 == 0) Some((b, a, e))
+      else None
+    }
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val inc = Dedup.editDistanceIncremental(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 32), "doc", "sig",
+      corpus.select(col("doc_id").as("doc"), col("text")), maxDistance = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == cross && inc.nonEmpty,
+      s"ingest must equal the one-shot restriction (${inc.size} vs ${cross.size})")
+  }
+
   test("ngram count store: fold == one-shot top-k; delta touches only batch ngrams; counts additive") {
     import spark.implicits._
     import graft.ops.CorpusStats
