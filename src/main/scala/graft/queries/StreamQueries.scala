@@ -737,6 +737,74 @@ object StreamQueries {
         .select("doc", "component", "cluster_size").orderBy("doc")
     }),
 
+    // r15: CONTINUOUS survivor selection — the full keep-best pipeline
+    // as a stream: each micro-batch of NEW documents is quality-scored
+    // and signature-fingerprinted ONCE; near-dup edges come from the
+    // batch-vs-store band join (minhashIncremental, the O(batch) probe)
+    // plus the batch-internal pair join, and keepBestIncremental folds
+    // them into the PERSISTED survivor table through the commit log's
+    // file-pruned MERGE (deltaOnly: only touched components move — a
+    // merge can dethrone an absorbed cluster's survivor, which is
+    // exactly what the delta carries). The raw pair graph is never
+    // persisted; the signature store grows by batch appends. Final
+    // table ≡ the one-shot keep-best over the whole corpus.
+    "q_stream_keep_best_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{Dedup, TextAnalysis}
+      import graft.relations.RelationManager
+      import graft.materializations.Materializations
+      val landing = Files.createTempDirectory("graft_skb_in")
+      val ckpt = Files.createTempDirectory("graft_skb_ck")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_skb_wh").toString)
+      val sigRel = graft.core.Relation("graft", "main", "sig_store")
+      val survRel = graft.core.Relation("graft", "main", "survivors")
+      rm.writeTable(
+        Dedup.minhashSignatures(docs.limit(0), "doc_id", "text", 5, 32), sigRel)
+      rm.writeTable(Dedup.keepBest(
+        docs.limit(0).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality",
+        docs.limit(0).select(col("doc_id").as("node"), col("doc_id").as("component"))),
+        survRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+          // fingerprint + score the batch ONCE
+          val batch = batch0.localCheckpoint(true)
+          val sigs = Dedup.minhashSignatures(batch, "doc_id", "text", 5, 32)
+            .localCheckpoint(true)
+          val cross = Dedup.minhashIncremental(batch, "doc_id", "text",
+            rm.read(sigRel), "doc", "sig",
+            shingleLen = 5, k = 32, bands = 8, threshold = 0.5,
+            precomputedNewSigs = Some(sigs))
+            .select(col("doc").as("doc_a"), col("corpus_doc").as("doc_b"))
+          val inner = Dedup.minhashLshPairs(batch, "doc_id", "text",
+            shingleLen = 5, k = 32, bands = 8, threshold = 0.5,
+            precomputedSigs = Some(sigs))
+            .select("doc_a", "doc_b")
+          val scored = batch.select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          val delta = Dedup.keepBestIncremental(
+            rm.read(survRel), "doc_id", "quality",
+            scored, cross.unionByName(inner), "doc_a", "doc_b",
+            deltaOnly = true)
+          Materializations.mergeInto(rm, survRel, delta,
+            uniqueKey = Seq("doc_id"), updateColumns = Nil)
+          rm.appendTable(sigs, sigRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      rm.read(survRel).orderBy("doc_id")
+    }),
+
     "q_stream_neardup" -> ((s, d) => {
       import java.nio.file.Files
       import graft.ops.Dedup
@@ -1133,6 +1201,10 @@ object StreamQueries {
     // continuous cluster maintenance ≡ the one-shot clustering over all
     // pairs — same oracle as q_dedup_clusters(_incremental)
     "q_stream_clusters_ingest" -> OpsQueries.dedupClustersOracleSql,
+
+    // continuous survivor selection ≡ the one-shot keep-best over the
+    // whole corpus — the generation split is invisible to the oracle
+    "q_stream_keep_best_ingest" -> OpsQueries.keepBestOracleSql,
 
     "q_stream_neardup" -> {
       val charShinglesSql =

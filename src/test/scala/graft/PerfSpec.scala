@@ -264,6 +264,56 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r15: ingest-fold plan shapes — broadcast remaps over the store, windows component-partitioned") {
+    import spark.implicits._
+    val store = (0L until 400L).map(i => (i, i / 4 * 4)).toDF("node", "component")
+    val edges = Seq((1L, 5L), (9L, 13L), (900L, 901L)).toDF("a", "b")
+    // CC fold: the store is touched only by broadcast joins (remap +
+    // endpoint projection build sides are batch-bounded) — a sort-merge
+    // or cartesian anywhere means an O(store) shuffle crept in
+    val full = graft.ops.Dedup.connectedComponentsIncremental(
+      store, "node", "component", edges, "a", "b")
+    full.collect()
+    val plan = full.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"CC fold must broadcast batch-derived sides over the store:\n$plan")
+    // keep-best fold: same join discipline, and the re-rank window is
+    // partitioned by component — never the partition-less global window
+    val surv = graft.ops.Dedup.keepBest(
+      (0L until 400L).map(i => (i, (i % 7).toDouble)).toDF("id", "score"),
+      "id", "score", store)
+    val kb = graft.ops.Dedup.keepBestIncremental(surv, "id", "score",
+      Seq((900L, 9.0)).toDF("id", "score"), edges, "a", "b")
+    kb.collect()
+    val kplan = kb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!kplan.contains("SortMergeJoin") && !kplan.contains("CartesianProduct"),
+      s"keep-best fold must broadcast batch-derived sides:\n$kplan")
+    val windowSpecs = kplan.split("windowspecdefinition\\(").drop(1)
+    assert(windowSpecs.nonEmpty &&
+      windowSpecs.forall(_.take(60).contains("component")),
+      s"the re-rank window must partition by component:\n$kplan")
+    // decontamination registry fold: the corpus index is probed by a
+    // BROADCAST of the fresh-shingle set, never shuffled for the join
+    val ledger = Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "n_overlap")
+      .withColumn("contaminated",
+        org.apache.spark.sql.functions.col("n_overlap") >= 1)
+    val index = Seq((1L, "alpha beta gamma delta"), (2L, "x y z w"))
+      .toDF("doc_id", "text")
+    val (updated, _) = graft.ops.Decontaminate.flagOverlapIncremental(
+      ledger, "doc_id",
+      graft.ops.Decontaminate.corpusShingleIndex(index, "doc_id", "text", 4),
+      Seq("alpha beta gamma delta").toDF("shingle"),
+      Seq((9L, "alpha beta gamma delta extra")).toDF("doc_id", "text"),
+      "text", 4, minOverlap = 1)
+    updated.collect()
+    val dplan = updated.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!dplan.contains("SortMergeJoin") && !dplan.contains("CartesianProduct"),
+      s"registry fold must broadcast the fresh-shingle probe:\n$dplan")
+  }
+
   test("r15: incremental curation stage plans are window-free end to end") {
     // The ingest project's whole point: per-batch stages score against
     // HELD artifacts, so no stage derives a cutoff at all — every
