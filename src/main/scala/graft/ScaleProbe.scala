@@ -295,6 +295,56 @@ object ScaleProbe {
         ops.Decontaminate.exciseOverlap(docs, bench, "doc_id", "text", n = 4)
           .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
       }
+      // r15 registry fold: a FIXED new benchmark suite folds into the
+      // persisted ledger through the corpus shingle INDEX + bench
+      // shingle store (both materialized outside timing — real folds
+      // read tables). Wall growth isolates the index probe, the
+      // corpus-sized side; shuffle must track the batch, not the index.
+      val deconStore =
+        if (opFilter("decontaminate_registry_fold")) {
+          val benchStride = math.max(n / 500, 1)
+          val oldBench = docs.filter(col("doc_id") % benchStride === 0
+            && col("doc_id") % (2 * benchStride) === 0)
+          val idx = ops.Decontaminate
+            .corpusShingleIndex(docs, "doc_id", "text", 4).persist()
+          val shs = ops.Decontaminate
+            .corpusShingleIndex(oldBench, "doc_id", "text", 4)
+            .select("shingle").distinct().persist()
+          val led = ops.Decontaminate.flagOverlap(docs, oldBench,
+            "doc_id", "text", 4, 1).persist()
+          idx.count(); shs.count(); led.count()
+          Some((idx, shs, led))
+        } else None
+      timed("decontaminate_registry_fold", runs, opFilter) {
+        val benchStride = math.max(n / 500, 1)
+        val newBench = docs.filter(col("doc_id") % benchStride === 0
+          && col("doc_id") % (2 * benchStride) =!= 0)
+        val (idx, shs, led) = deconStore.get
+        ops.Decontaminate.flagOverlapIncremental(led, "doc_id",
+          idx, shs, newBench, "text", 4, minOverlap = 1)._1
+          .agg(count(lit(1)), sum("n_overlap")).collect()(0).getLong(0)
+      }
+      deconStore.foreach { case (a, b, c) =>
+        a.unpersist(); b.unpersist(); c.unpersist() }
+      // r15 jaccard ingest: 10% doc batch vs the persisted corpus
+      // shingle-hash index + size artifact (materialized outside timing)
+      val jacStore =
+        if (opFilter("ngram_jaccard_incremental")) {
+          val idx = ops.Dedup.ngramShingleIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3)
+            .persist()
+          val sz = idx.groupBy("doc").agg(count(lit(1)).as("n_keys")).persist()
+          idx.count(); sz.count()
+          Some((idx, sz))
+        } else None
+      timed("ngram_jaccard_incremental", runs, opFilter) {
+        val (idx, sz) = jacStore.get
+        ops.Dedup.ngramJaccardIncremental(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          idx, "doc", "sh64", n = 3, threshold = 0.4,
+          storeSizes = Some(sz), storeKeysDistinct = true).count()
+      }
+      jacStore.foreach { case (a, b) => a.unpersist(); b.unpersist() }
       // r10 corpus-internal ExactSubstr: the near-dup/exact-dup corpus
       // slices are exactly the duplicated-window generators, so losing
       // windows grow linearly with n — wall must track the window count

@@ -271,6 +271,14 @@ final class RelationManager(
     spark.conf.set(s"spark.sql.catalog.$name.root", abs)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // one-side shuffle into the bucket layout (r15): a COMPUTED frame —
+    // an ingest batch past the broadcast threshold — joining a bucketed
+    // store shuffles ONLY itself (Exchange keygroupedpartitioning over
+    // GraftBoundBucket); the store side streams from its BatchScan with
+    // no exchange. This is the beyond-broadcast regime of every
+    // *Incremental op: O(batch) shuffle against an arbitrarily large
+    // bucketed index (BucketingSpec pins the plan).
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     name
   }
 

@@ -487,6 +487,36 @@ class BucketingSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  test("r15: a computed batch one-side-shuffles into a bucketed store (the beyond-broadcast ingest regime)") {
+    // the *Incremental ops' scale path when the batch outgrows the
+    // broadcast threshold (SCALE.md r15: the jaccard 150k leg shuffled
+    // the whole 16M-row index once its batch passed 10MB): persist the
+    // index BUCKETED on the key and only the batch shuffles — into the
+    // store's own bucket layout (Exchange keygroupedpartitioning over
+    // GraftBoundBucket); the store streams from its BatchScan.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val rm = new RelationManager(spark,
+      java.nio.file.Files.createTempDirectory("graft_osb").toString)
+    val rel = Relation("graft", "bkt", "shingle_idx")
+    val idx = spark.range(50000L).toDF("doc")
+      .select(col("doc"), xxhash64(col("doc")).as("sh64"))
+    rm.writeBucketedTable(idx, rel, 8, Seq("sh64"))
+    noBroadcast {
+      val batch = spark.range(3000L).toDF("bdoc")
+        .select(col("bdoc"), xxhash64(col("bdoc") * 3L).as("sh64"))
+      val joined = rm.read(rel).join(batch, "sh64")
+      val plan = finalPlan(joined)
+      assert(plan.contains("Exchange keygroupedpartitioning"),
+        s"the batch side must shuffle into the store's bucket layout:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"the store side must stream from its BatchScan, never reshuffle:\n$plan")
+      // rows match the plain shuffled join over the raw frames
+      assert(joined.count() ==
+        idx.join(spark.range(3000L).toDF("bdoc")
+          .select(col("bdoc"), xxhash64(col("bdoc") * 3L).as("sh64")), "sh64").count())
+    }
+  }
+
   test("co-bucketed commit-log tables join without a shuffle (storage-partitioned join)") {
     val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_bkt").toString)
     val sf = "/root/testdata/sf0.001"
