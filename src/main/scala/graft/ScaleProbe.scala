@@ -345,6 +345,33 @@ object ScaleProbe {
           storeSizes = Some(sz), storeKeysDistinct = true).count()
       }
       jacStore.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+      // r15 beyond-broadcast regime: the SAME jaccard ingest against a
+      // BUCKETED store table with broadcast disabled — the batch must
+      // one-side shuffle into the store's bucket layout (keygrouped
+      // exchange), so shuffle records track the BATCH at any corpus size
+      // instead of the 18.3M-row both-sides exchange the 150k unbucketed
+      // leg pays once its batch outgrows the broadcast threshold.
+      if (opFilter("ngram_jaccard_incremental_bucketed")) {
+        import graft.relations.RelationManager
+        val whDir = java.nio.file.Files.createTempDirectory("graft_jprobe")
+        val rm = new RelationManager(spark, whDir.toString)
+        val rel = graft.core.Relation("graft", "main", "jac_idx_b")
+        rm.writeBucketedTable(ops.Dedup.ngramShingleIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3),
+          rel, 32, Seq("sh64"))
+        val szB = rm.read(rel).groupBy("doc")
+          .agg(count(lit(1)).as("n_keys")).persist()
+        szB.count()
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try timed("ngram_jaccard_incremental_bucketed", runs, opFilter) {
+          ops.Dedup.ngramJaccardIncremental(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            rm.read(rel), "doc", "sh64", n = 3, threshold = 0.4,
+            storeSizes = Some(szB), storeKeysDistinct = true).count()
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        szB.unpersist()
+      }
       // r10 corpus-internal ExactSubstr: the near-dup/exact-dup corpus
       // slices are exactly the duplicated-window generators, so losing
       // windows grow linearly with n — wall must track the window count
