@@ -771,7 +771,12 @@ object Dedup {
     * runs ONLY over the contracted graph — O(|E₂|) rows, never the
     * store. The merge map (old root → new root, ≤ 2|E₂| entries) is
     * broadcast for a single map-side remap pass over the assignment:
-    * no shuffle of the store, no O(E₁) term anywhere. With
+    * no shuffle of the store, no O(E₁) term anywhere. The broadcasts
+    * are EXPLICIT and batch-bounded by contract — a degenerate "batch"
+    * approaching the store's size should run the one-shot
+    * [[connectedComponents]] instead (same guidance for
+    * [[keepBestIncremental]], whose remap/affected-root broadcasts
+    * share this bound). With
     * `deltaOnly=true` the output is just the CHANGED labels plus the
     * new nodes — O(batch)-sized, the shape a commit-log `merge`
     * materialization wants (file-pruned upsert of touched rows only). */
