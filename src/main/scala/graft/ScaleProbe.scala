@@ -369,8 +369,18 @@ object ScaleProbe {
             docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
             rm.read(rel), "doc", "sh64", n = 3, threshold = 0.4,
             storeSizes = Some(szB), storeKeysDistinct = true).count()
-        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-        szB.unpersist()
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          szB.unpersist()
+          // drop the temp warehouse (the zorder leg's discipline — a
+          // multi-size sweep would otherwise stack index dirs in /tmp)
+          try {
+            val walk = java.nio.file.Files.walk(whDir)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
+        }
       }
       // r10 corpus-internal ExactSubstr: the near-dup/exact-dup corpus
       // slices are exactly the duplicated-window generators, so losing

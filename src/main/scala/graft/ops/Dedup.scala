@@ -786,23 +786,7 @@ object Dedup {
                                      deltaOnly: Boolean = false): DataFrame = {
     val assign = assignment.select(col(nodeCol).as("node"), col(compCol).as("component"))
     val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
-    // project endpoints onto their current components; unseen nodes are
-    // their own (singleton) component — ids stay min-rooted because a
-    // genuinely new node id cannot be any store cluster's root
-    val projected = ea
-      .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
-      .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
-      .select(coalesce(col("ca"), col("a")).as("ca"),
-        coalesce(col("cb"), col("b")).as("cb"))
-    val contracted = projected.filter(col("ca") =!= col("cb"))
-    // star contraction over the batch-sized contracted graph only; the
-    // merge map is eager by nature (the iteration is driver-controlled)
-    // and batch-bounded, so pin it once for the two consumers below
-    val merged = connectedComponents(contracted, "ca", "cb", maxIter)
-      .localCheckpoint(true)
-    val remap = merged
-      .select(col("node").as("component"), col("component").as("__new"))
-      .filter(col("component") =!= col("__new"))
+    val (merged, remap) = foldContractedGraph(assign, ea, maxIter)
     val oldRows = if (deltaOnly) {
       assign.join(broadcast(remap), Seq("component"), "inner")
         .select(col("node"), col("__new").as("component"))
@@ -816,6 +800,34 @@ object Dedup {
       .join(broadcast(merged.withColumnRenamed("component", "__new")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__new"), col("node")).as("component"))
     oldRows.unionByName(newNodes)
+  }
+
+  /** The shared contracted-graph fold core of
+    * [[connectedComponentsIncremental]] and [[keepBestIncremental]]
+    * (r15 review: two hand-maintained copies of the min-root fold are
+    * the same divergence risk as the r12 minhash cap/verify chains):
+    * project batch edge endpoints onto their current components
+    * (unseen nodes are their own singleton component — ids stay
+    * min-rooted because a genuinely new node id cannot be any store
+    * cluster's root), drop already-connected edges, star-contract the
+    * batch-sized residue, and return (merged labels over the
+    * contracted nodes, the old-root → new-root remap). `merged` is
+    * eager by nature (the star iteration is driver-controlled) and
+    * batch-bounded, pinned once for its consumers. */
+  private def foldContractedGraph(assign: DataFrame, ea: DataFrame,
+                                  maxIter: Int): (DataFrame, DataFrame) = {
+    val projected = ea
+      .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
+      .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("ca"),
+        coalesce(col("cb"), col("b")).as("cb"))
+    val contracted = projected.filter(col("ca") =!= col("cb"))
+    val merged = connectedComponents(contracted, "ca", "cb", maxIter)
+      .localCheckpoint(true)
+    val remap = merged
+      .select(col("node").as("component"), col("component").as("__new"))
+      .filter(col("component") =!= col("__new"))
+    (merged, remap)
   }
 
   /** INCREMENTAL survivor selection — the ingest companion of
@@ -852,22 +864,12 @@ object Dedup {
       col(idCol), col("component"), col(scoreCol), col("is_survivor"))
     val assign = store.select(col(idCol).as("node"), col("component"))
     val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
-    // endpoints project to their current components; already-connected
-    // edges drop out — they cannot change membership, hence survivors
-    val projected = ea
-      .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
-      .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
-      .select(coalesce(col("ca"), col("a")).as("ca"),
-        coalesce(col("cb"), col("b")).as("cb"))
-    val contracted = projected.filter(col("ca") =!= col("cb"))
-    val merged = connectedComponents(contracted, "ca", "cb", maxIter)
-      .localCheckpoint(true)
+    // already-connected edges drop out inside the fold — they cannot
+    // change membership, hence survivors
+    val (merged, remap) = foldContractedGraph(assign, ea, maxIter)
     // every final root a genuine merge produced — batch-bounded, and the
     // absorbing min-rooted cluster is included (its survivor may change)
     val affectedRoots = merged.select("component").distinct()
-    val remap = merged
-      .select(col("node").as("component"), col("component").as("__new"))
-      .filter(col("component") =!= col("__new"))
     val relabeled = store.join(broadcast(remap), Seq("component"), "left")
       .select(col(idCol), coalesce(col("__new"), col("component")).as("component"),
         col(scoreCol), col("is_survivor"))

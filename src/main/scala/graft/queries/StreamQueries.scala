@@ -719,9 +719,12 @@ object StreamQueries {
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // pin the delta once: mergeInto consumes its source several
+          // times (key bounds, planning scan, update/insert branches)
           val delta = Dedup.connectedComponentsIncremental(
             rm.read(assignRel), "node", "component",
             batch, "doc_a", "doc_b", deltaOnly = true)
+            .localCheckpoint(true)
           Materializations.mergeInto(rm, assignRel, delta,
             uniqueKey = Seq("node"), updateColumns = Seq("component"))
         }
@@ -791,10 +794,13 @@ object StreamQueries {
             .select("doc_a", "doc_b")
           val scored = batch.select(col("doc_id"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
+          // pin the delta once: mergeInto consumes its source several
+          // times (key bounds, planning scan, update/insert branches)
           val delta = Dedup.keepBestIncremental(
             rm.read(survRel), "doc_id", "quality",
             scored, cross.unionByName(inner), "doc_a", "doc_b",
             deltaOnly = true)
+            .localCheckpoint(true)
           Materializations.mergeInto(rm, survRel, delta,
             uniqueKey = Seq("doc_id"), updateColumns = Nil)
           rm.appendTable(sigs, sigRel)
