@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical retrieval for corpus curation and RAG-style data pipelines:
+  * an inverted POSTING INDEX as the persisted artifact, exact Okapi
+  * BM25 top-k scored from it, and reciprocal-rank fusion of ranked
+  * runs (the standard hybrid lexical+vector combiner).
+  *
+  * Public sources: BM25 per Robertson & Zaragoza 2009 ("The
+  * Probabilistic Relevance Framework: BM25 and Beyond"), with the
+  * non-negative idf variant ln(1 + (N − df + ½)/(df + ½)) that Lucene
+  * popularized; reciprocal-rank fusion per Cormack, Clarke & Büttcher
+  * 2009 (SIGIR), score = Σ_runs 1/(k₀ + rank). The reference engine has
+  * no retrieval surface — this family belongs to the training-data-
+  * pipeline side (retrieval-based curation, contamination review,
+  * hybrid search over curated corpora).
+  *
+  * Scale shape: the index is one explode + (term, doc) partial-count —
+  * embarrassingly parallel, and APPEND-ONLY additive under document
+  * batches (new batches never repeat doc ids, so their posting rows are
+  * disjoint from the store's: the ingest fold is a pure append, no
+  * upsert, no rebuild). Scoring touches only the postings of the query
+  * terms (one equi-join against a broadcast term set), never the whole
+  * index; corpus-level constants (N, avgdl) ride a 1-row broadcast; the
+  * per-query cut is the O(k)-state [[Similarity.rankTopK]] heap, not a
+  * rank window. Hot query terms (stopwords) fan out by their document
+  * frequency — the optional `maxDfFraction` elides terms seen in more
+  * than that fraction of documents (classic df-based stopword pruning;
+  * a semantic knob, off by default and off in every gate).
+  */
+object Retrieval {
+
+  /** Posting rows `(term, doc_id, tf, dl)` — one row per distinct
+    * (term, document) pair with the term frequency and the document's
+    * token length (denormalized onto the posting row, the Lucene-norms
+    * layout, so scoring never joins back to a document table).
+    * Tokenization is the engine-wide whitespace law
+    * ([[TextAnalysis.tokens]]). Documents with no tokens produce no
+    * postings (they can never match a query). */
+  def postingIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl") // dl is functionally determined by doc_id
+      .agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** Document-length rows `(doc_id, dl)` — the corpus-statistics
+    * artifact behind N and avgdl. Kept SEPARATE from the postings so
+    * the 1-row stats aggregate scans two thin columns, not the index;
+    * empty documents appear here (dl = 0) and count toward N/avgdl even
+    * though they carry no postings. Append-only additive, like
+    * [[postingIndex]]. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("dl"))
+
+  /** Exact Okapi BM25 top-k per query, scored FROM the persisted
+    * artifacts: score(q, d) = Σ_{t ∈ q} qtf(t) · idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)) ≥ 0. Scores are rounded to
+    * 6 decimals BEFORE ranking and ties break on the lower doc id, so
+    * the rank-k cut is deterministic and oracle-portable. Returns
+    * `(query_id, rank, doc_id, score)`, ≤ k rows per query — only
+    * documents sharing at least one term with the query are candidates
+    * (a document matching nothing scores 0 by definition and is never
+    * materialized).
+    *
+    * Plan: query terms explode + per-(query, term) count → the DISTINCT
+    * term set broadcasts against the postings (the only corpus-sized
+    * scan, pruned to 4 columns); per-term document frequencies aggregate
+    * from that already-filtered slice (exact — postings hold one row per
+    * (term, doc)); N/avgdl ride a broadcast 1-row aggregate of the
+    * doc-length artifact; the final cut is the O(k) heap aggregate.
+    * `maxDfFraction` < 1 drops query terms with df > fraction·N before
+    * candidate generation — the df-pruning knob for stopword-heavy
+    * queries at corpus scale (changes semantics; default keeps all). */
+  def bm25TopK(postings: DataFrame, docLens: DataFrame,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFraction: Double = 1.0): DataFrame = {
+    val stats = docLens.agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      avg(col("dl").cast(DoubleType)).as("__avgdl"))
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+        explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val touched = postings.join(broadcast(qTerms.select("term").distinct()), "term")
+    val dfPerTerm = touched.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = touched
+      .join(broadcast(dfPerTerm), "term")
+      .join(broadcast(qTerms), "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast(DoubleType) <= lit(maxDfFraction) * col("__n"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("__contrib",
+        col("qtf").cast(DoubleType) * col("__idf") *
+          (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+          (col("tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast(DoubleType) / col("__avgdl"))))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+    Similarity.rankTopK(scored, "score", k, ascending = false)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs
+    * `(query_id, doc_id, rank)` into one top-k list by
+    * rrf = Σ_runs 1/(k₀ + rank) — rank-based, so lexical BM25 scores and
+    * vector cosines fuse without calibration. A document present in only
+    * some runs contributes only those terms (the standard convention).
+    * Scores round to 6 decimals before ranking, ties to the lower doc
+    * id. Returns `(query_id, rank, doc_id, rrf)`.
+    *
+    * Scale shape: a union of k-bounded runs (each ≤ k·|queries| rows) →
+    * one small groupBy sum → the O(k) heap cut. Nothing here touches a
+    * corpus. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val normalized = runs.map(_.select(col("query_id"),
+      col("doc_id").as("neighbor_id"),
+      (lit(1.0) / (lit(rrfK.toDouble) + col("rank").cast(DoubleType)))
+        .as("__r")))
+    val scored = normalized.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("__r")), 6).as("rrf"))
+    Similarity.rankTopK(scored, "rrf", k, ascending = false)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("rrf"))
+  }
+}

@@ -277,6 +277,75 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ------------------------------------------------ lexical retrieval
+    // r15: exact Okapi BM25 top-10 from the posting-index artifact —
+    // queries are the first 6 tokens of every 37th document, scored
+    // against the whole corpus (the query's own document ranking high is
+    // the expected near-dup-retrieval sanity signal, not excluded)
+    "q_retrieval_bm25_topk" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // r15: the posting index under INGEST — documents arrive in two
+    // generations (even ids first); because batches never repeat doc
+    // ids, posting and doc-length rows are disjoint across batches and
+    // the fold is a PURE APPEND (no upsert, no df/avgdl refresh — both
+    // derive at query time from the folded artifacts). Scoring from the
+    // appended store must equal the one-shot law (shared oracle).
+    "q_retrieval_bm25_incremental" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val gen1 = docs.filter(col("doc_id") % 2 === 0)
+      val gen2 = docs.filter(col("doc_id") % 2 =!= 0)
+      val postStore = Retrieval.postingIndex(gen1, "doc_id", "text")
+        .localCheckpoint(true)
+      val dlStore = Retrieval.docLengths(gen1, "doc_id", "text")
+        .localCheckpoint(true)
+      val postings = postStore.unionByName(
+        Retrieval.postingIndex(gen2, "doc_id", "text"))
+      val docLens = dlStore.unionByName(
+        Retrieval.docLengths(gen2, "doc_id", "text"))
+      val queries = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      Retrieval.bm25TopK(postings, docLens, queries, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // r15: hybrid retrieval — reciprocal-rank fusion of the BM25 top-10
+    // (first 8 tokens of docs 0–9 as queries) with the brute-force
+    // cosine top-10 over the aligned embeddings (vec_id ≡ doc_id in the
+    // fixture). Rank-based fusion needs no score calibration; the
+    // vector run excludes self (bruteForceTopK's contract), the lexical
+    // run does not — fusion is defined over whatever the runs return.
+    "q_retrieval_hybrid_rrf" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 8), " ").as("qtext"))
+      val lexRun = Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+        .select("query_id", "doc_id", "rank")
+      val vecRun = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lexRun, vecRun), k = 10, rrfK = 60)
+        .orderBy("query_id", "rank")
+    }),
+
     // -------------------------------------------------- text analysis
     // ws = whitespace tokens; pre = word pre-tokens (the old regex
     // proxy); bpe = the REAL rank-ordered-merge BPE count (r9), which
@@ -1517,6 +1586,46 @@ object OpsQueries {
     """CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
       |     ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
 
+  /** Okapi BM25 CTE block replaying Retrieval.bm25TopK's arithmetic
+    * EXPRESSION-FOR-EXPRESSION (left-assoc products, (1.2 + 1.0) instead
+    * of a 2.2 literal, ln of the non-negative idf) so round(·, 6) agrees
+    * bit-for-bit. `querySel` filters the query documents; queries are
+    * the first `prefixTokens` whitespace tokens. Emits `lexranked`
+    * (query_id, doc_id, score, rank). */
+  private def bm25Ctes(querySel: String, prefixTokens: Int): String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |                 AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM t),
+       |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |               unnest(tk) AS term FROM t)
+       |  GROUP BY 1, 2, 3),
+       |qt AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS qtf
+       |  FROM (SELECT doc_id AS query_id, unnest(tk[1:$prefixTokens]) AS term
+       |        FROM t WHERE $querySel)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+       |contrib AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    CAST(qt.qtf AS DOUBLE) *
+       |      ln(1.0 + (s.n - CAST(d.df AS DOUBLE) + 0.5) /
+       |                (CAST(d.df AS DOUBLE) + 0.5)) *
+       |      (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |      (CAST(p.tf AS DOUBLE) +
+       |       1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)) AS c
+       |  FROM qt JOIN post p USING (term) JOIN dfq d USING (term), stats s),
+       |lexscored AS (SELECT query_id, doc_id, round(SUM(c), 6) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |lexranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM lexscored)""".stripMargin
+
+  private val bm25TopkOracleSql: String =
+    s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)}
+       |SELECT query_id, rank, doc_id, score FROM lexranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val charShinglesSql =
     """list_distinct(list_transform(
       |    generate_series(1, greatest(length(text) - 4, 0)),
@@ -2041,6 +2150,39 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // r15: exact BM25 over the posting-index artifact; the incremental
+    // gate shares the law — a pure-append fold of disjoint-doc-id
+    // batches is definitionally the one-shot index
+    "q_retrieval_bm25_topk" -> bm25TopkOracleSql,
+    "q_retrieval_bm25_incremental" -> bm25TopkOracleSql,
+
+    // r15: reciprocal-rank fusion of the BM25 top-10 and the brute
+    // cosine top-10 (vec_id ≡ doc_id); 1/(60 + rank) summed over the
+    // runs a document appears in, re-ranked on the rounded fused score
+    "q_retrieval_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes("doc_id < 10", 8)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |vecscored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${cosineSql("qv", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE query_id <> e.vec_id),
+         |vecranked AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM vecscored),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    round(SUM(1.0 / (60.0 + CAST(rank AS DOUBLE))), 6) AS rrf
+         |  FROM (SELECT query_id, doc_id, rank FROM lexranked WHERE rank <= 10
+         |        UNION ALL
+         |        SELECT query_id, neighbor_id AS doc_id, rank FROM vecranked
+         |        WHERE rank <= 10)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused) f
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_text_tokens" -> {
       val plant = "CASE WHEN doc_id % 9 = 0 THEN text || ' llll banana needed papa cocoa success' ELSE text END"

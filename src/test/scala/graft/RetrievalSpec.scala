@@ -1,0 +1,155 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+/** Lexical-retrieval operators: posting-index artifact shape, exact
+  * Okapi BM25 against the hand formula, the pure-append ingest law,
+  * deterministic tie-breaking, df-based stopword elision, RRF fusion
+  * math, and the no-cartesian plan shape. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry date elderberry fig"),
+      (3L, "")).toDF("id", "text")
+  }
+
+  private def oneQuery(text: String): DataFrame = {
+    import spark.implicits._
+    Seq((100L, text)).toDF("qid", "qtext")
+  }
+
+  test("posting index: one row per (term, doc) with tf and dl; empty docs absent") {
+    val rows = Retrieval.postingIndex(corpus, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(
+      ("apple", 0L, 2L, 3L), ("banana", 0L, 1L, 3L),
+      ("banana", 1L, 1L, 2L), ("cherry", 1L, 1L, 2L),
+      ("cherry", 2L, 1L, 4L), ("date", 2L, 1L, 4L),
+      ("elderberry", 2L, 1L, 4L), ("fig", 2L, 1L, 4L)))
+  }
+
+  test("doc lengths include empty documents (they count toward N and avgdl)") {
+    val dl = Retrieval.docLengths(corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dl == Set((0L, 3L), (1L, 2L), (2L, 4L), (3L, 0L)))
+  }
+
+  test("bm25TopK matches the hand-computed Okapi formula") {
+    val out = Retrieval.bm25TopK(
+      Retrieval.postingIndex(corpus, "id", "text"),
+      Retrieval.docLengths(corpus, "id", "text"),
+      oneQuery("apple cherry"), "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // N = 4 docs, avgdl = (3 + 2 + 4 + 0) / 4 = 2.25
+    val n = 4.0; val avgdl = 2.25; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def score(qtf: Double, df: Double, tf: Double, dl: Double) =
+      BigDecimal(qtf * idf(df) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = score(1, 1, 2, 3) // apple: df 1, tf 2 in doc 0 (dl 3)
+    val d1 = score(1, 2, 1, 2) // cherry: df 2, tf 1 in doc 1 (dl 2)
+    val d2 = score(1, 2, 1, 4) // cherry: df 2, tf 1 in doc 2 (dl 4)
+    assert(d0 > d1 && d1 > d2, s"fixture must rank 0 > 1 > 2: $d0 $d1 $d2")
+    assert(out.toSeq == Seq((100L, 1, 0L, d0), (100L, 2, 1L, d1), (100L, 3, 2L, d2)))
+  }
+
+  test("query term frequency multiplies the contribution") {
+    val once = Retrieval.bm25TopK(
+      Retrieval.postingIndex(corpus, "id", "text"),
+      Retrieval.docLengths(corpus, "id", "text"),
+      oneQuery("date"), "qid", "qtext", k = 1).head().getDouble(3)
+    val twice = Retrieval.bm25TopK(
+      Retrieval.postingIndex(corpus, "id", "text"),
+      Retrieval.docLengths(corpus, "id", "text"),
+      oneQuery("date date"), "qid", "qtext", k = 1).head().getDouble(3)
+    assert(math.abs(twice - 2.0 * once) < 2e-6, s"$twice vs 2×$once")
+  }
+
+  test("posting/doc-length fold over disjoint doc batches is a pure append ≡ one-shot") {
+    val gen1 = corpus.filter(col("id") % 2 === 0)
+    val gen2 = corpus.filter(col("id") % 2 =!= 0)
+    val folded = Retrieval.bm25TopK(
+      Retrieval.postingIndex(gen1, "id", "text")
+        .unionByName(Retrieval.postingIndex(gen2, "id", "text")),
+      Retrieval.docLengths(gen1, "id", "text")
+        .unionByName(Retrieval.docLengths(gen2, "id", "text")),
+      oneQuery("apple cherry banana"), "qid", "qtext", k = 10)
+      .collect().toSeq.map(_.toSeq)
+    val oneShot = Retrieval.bm25TopK(
+      Retrieval.postingIndex(corpus, "id", "text"),
+      Retrieval.docLengths(corpus, "id", "text"),
+      oneQuery("apple cherry banana"), "qid", "qtext", k = 10)
+      .collect().toSeq.map(_.toSeq)
+    assert(folded == oneShot)
+  }
+
+  test("equal rounded scores break ties on the lower doc id") {
+    import spark.implicits._
+    // identical (tf, dl) for the query term → identical scores
+    val docs = Seq((7L, "xray yankee"), (5L, "xray zulu")).toDF("id", "text")
+    val out = Retrieval.bm25TopK(
+      Retrieval.postingIndex(docs, "id", "text"),
+      Retrieval.docLengths(docs, "id", "text"),
+      oneQuery("xray"), "qid", "qtext", k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 5L), (2, 7L)))
+  }
+
+  test("maxDfFraction elides saturated terms before candidate generation") {
+    import spark.implicits._
+    val docs = Seq((0L, "the apple"), (1L, "the banana"),
+      (2L, "the cherry"), (3L, "the date")).toDF("id", "text")
+    val full = Retrieval.bm25TopK(
+      Retrieval.postingIndex(docs, "id", "text"),
+      Retrieval.docLengths(docs, "id", "text"),
+      oneQuery("the apple"), "qid", "qtext", k = 10)
+    assert(full.count() == 4, "df = N term matches every document at the default")
+    val pruned = Retrieval.bm25TopK(
+      Retrieval.postingIndex(docs, "id", "text"),
+      Retrieval.docLengths(docs, "id", "text"),
+      oneQuery("the apple"), "qid", "qtext", k = 10, maxDfFraction = 0.5)
+    val rows = pruned.collect().map(r => (r.getLong(2), r.getInt(1)))
+    assert(rows.toSeq == Seq((0L, 1)),
+      s"'the' (df 4 > 0.5·4) must drop; only 'apple' matches: ${rows.toSeq}")
+  }
+
+  test("rrfFuse sums 1/(k0 + rank) across runs; single-run docs count once") {
+    import spark.implicits._
+    val runA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(runA, runB), k = 10, rrfK = 60)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s11 = r6(1.0 / 62 + 1.0 / 61) // rank 2 in A, rank 1 in B
+    val s10 = r6(1.0 / 61)
+    val s12 = r6(1.0 / 62)
+    assert(out.toSeq == Seq((1, 11L, s11), (2, 10L, s10), (3, 12L, s12)))
+  }
+
+  test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("qtext"))
+    val plan = Retrieval.bm25TopK(
+      Retrieval.postingIndex(docs, "doc_id", "text"),
+      Retrieval.docLengths(docs, "doc_id", "text"),
+      q, "query_id", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-term set must broadcast against the postings")
+  }
+}
