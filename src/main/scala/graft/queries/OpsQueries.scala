@@ -1621,7 +1621,7 @@ object OpsQueries {
        |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
        |  FROM lexscored)""".stripMargin
 
-  private val bm25TopkOracleSql: String =
+  private[queries] val bm25TopkOracleSql: String =
     s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)}
        |SELECT query_id, rank, doc_id, score FROM lexranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin

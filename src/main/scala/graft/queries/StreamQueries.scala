@@ -620,6 +620,51 @@ object StreamQueries {
       rm.read(pairsRel).orderBy("doc", "store_doc")
     }),
 
+    // r15: CONTINUOUS posting-index ingest — the stream form of the
+    // retrieval family. Documents arrive in two generations; each
+    // micro-batch tokenizes ONCE and appends its posting and doc-length
+    // rows (disjoint doc ids → the fold is a pure append, the
+    // Retrieval.postingIndex additivity law). Serving then scores BM25
+    // from the folded store tables — N, avgdl, and df all derive at
+    // query time, so no statistic ever needs a refresh pass. Shares the
+    // one-shot oracle law: a folded index IS the one-shot index.
+    "q_stream_retrieval_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sri_in")
+      val ckpt = Files.createTempDirectory("graft_sri_ck")
+      val docs = Tables.documents(s, d)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sri_wh").toString)
+      val postRel = graft.core.Relation("graft", "main", "posting_store")
+      val dlRel = graft.core.Relation("graft", "main", "doclen_store")
+      rm.writeTable(Retrieval.postingIndex(docs.limit(0), "doc_id", "text"), postRel)
+      rm.writeTable(Retrieval.docLengths(docs.limit(0), "doc_id", "text"), dlRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // tokenize the batch once; both artifacts are append-only
+          rm.appendTable(Retrieval.postingIndex(batch, "doc_id", "text"), postRel)
+          rm.appendTable(Retrieval.docLengths(batch, "doc_id", "text"), dlRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val queries = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("qtext"))
+      Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel),
+        queries, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // r15: CONTINUOUS frame-level clip ingest — the stream form of
     // q_video_framedup_incremental, run in the fully O(batch) production
     // shape: alongside the frame-key store the loop maintains the
@@ -1198,6 +1243,10 @@ object StreamQueries {
     // accumulated pairs table equals the one-shot batch ingest, and the
     // oracle is literally q_dedup_hamming_incremental's
     "q_stream_hamming_ingest" -> OpsQueries.hammingIncrementalOracleSql,
+
+    // the folded posting store is definitionally the one-shot index —
+    // the stream gate shares the one-shot BM25 law
+    "q_stream_retrieval_ingest" -> OpsQueries.bm25TopkOracleSql,
 
     // stream ≡ batch for the frame-level clip ingest: generation 1
     // (bases) probes an empty store, generation 2 (trims) probes exactly
