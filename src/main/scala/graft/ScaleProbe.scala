@@ -576,6 +576,34 @@ object ScaleProbe {
             sum(when(col("selected"), 1L).otherwise(0L))).collect()(0).getLong(0)
       }
       selArts.foreach { case (u, b, c) => u.unpersist(); b.unpersist(); c.unpersist() }
+      // r15 retrieval family: index build (linear in corpus), BM25
+      // serving against a HELD index (cost tracks postings-of-query-
+      // terms — with a flat synthetic vocabulary that is ~terms/|V| of
+      // the index per query, the honest lexical-matching cost), and the
+      // fixed-batch ingest, which by the pure-append law never probes
+      // the store at all — its shuffle rows must track the batch only,
+      // CONSTANT across corpus sizes
+      val retArts =
+        if (opFilter("bm25_topk_held64")) {
+          val p = ops.Retrieval.postingIndex(docs, "doc_id", "text").persist()
+          val l = ops.Retrieval.docLengths(docs, "doc_id", "text").persist()
+          p.count(); l.count()
+          Some((p, l))
+        } else None
+      timed("bm25_index_build", runs, opFilter)(
+        ops.Retrieval.postingIndex(docs, "doc_id", "text").count())
+      timed("bm25_topk_held64", runs, opFilter) {
+        val qs = docs.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+              .as("qtext"))
+        ops.Retrieval.bm25TopK(retArts.get._1, retArts.get._2,
+          qs, "query_id", "qtext", k = 10).count()
+      }
+      retArts.foreach { case (p, l) => p.unpersist(); l.unpersist() }
+      timed("bm25_ingest_fixedbatch", runs, opFilter)(
+        ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
+          "doc_id", "text").count())
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance
