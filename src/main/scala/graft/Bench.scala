@@ -113,6 +113,13 @@ object Bench {
     "q_dedup_clusters_incremental",
     "q_dsir_from_model")
 
+  /** Ninth tracked metric (r15 s3): lexical retrieval — BM25 serving
+    * from the posting-index artifact and the RRF hybrid with the cosine
+    * top-k. Separate key, same byte-stability rationale. */
+  val retrieval: Seq[String] = Seq(
+    "q_retrieval_bm25_topk",
+    "q_retrieval_hybrid_rrf")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -271,7 +278,7 @@ object Bench {
         Seq("curation_total" -> curation, "excision_total" -> excision,
           "selection_total" -> selection, "pipeline_total" -> pipeline,
           "multimodal_total" -> multimodal, "project_total" -> project,
-          "ingest_total" -> ingest)
+          "ingest_total" -> ingest, "retrieval_total" -> retrieval)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
@@ -279,7 +286,8 @@ object Bench {
           "pipeline_total" -> pipeline.filter(o),
           "multimodal_total" -> multimodal.filter(o),
           "project_total" -> project.filter(o),
-          "ingest_total" -> ingest.filter(o)).filter(_._2.nonEmpty)
+          "ingest_total" -> ingest.filter(o),
+          "retrieval_total" -> retrieval.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -151,5 +151,8 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       "the query-term set must broadcast against the postings")
+    // the per-query cut must be the O(k)-state heap aggregate, never a
+    // rank window over a corpus-sized partition
+    assert(!plan.contains("Window"), s"rank window in bm25 plan:\n$plan")
   }
 }
