@@ -57,6 +57,82 @@ object TextAnalysis {
                     merges: Seq[(String, String)] = DefaultBpeMerges): Column =
     graft.expressions.VectorExpressions.bpeTokenCount(text, merges)
 
+  /** Apply ONE merge rule (l, r) → l+r to a symbol-array column as a
+    * single left-to-right non-overlapping sweep — the same law
+    * [[bpeTokenCount]]'s codegen expression applies per rank (a run
+    * `llll` under (l,l) becomes [ll, ll], never [ll, l, l] or a
+    * re-merged [llll]). Pure fold, no UDF: the accumulator's last
+    * symbol merges with the current one iff the pair matches; the
+    * size-0 guard is a SEQUENTIAL CaseWhen branch, so the negative
+    * element_at never evaluates under ANSI. */
+  private[graft] def applyBpeMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast(ArrayType(StringType)), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** TRAIN a byte-pair-encoding merge table from the corpus (Sennrich
+    * et al. 2016, "Neural Machine Translation of Rare Words with
+    * Subword Units" — public): iteratively count adjacent symbol pairs
+    * over the word-frequency table and merge the most frequent, ties to
+    * the lexicographically smaller (lhs, rhs). Every adjacent POSITION
+    * counts (overlapping runs included), the standard trainer
+    * convention. Returns `(merge_rank, lhs, rhs, pair_freq)` —
+    * `nMerges` rows, fewer if the pair space exhausts first. The result
+    * feeds [[bpeTokenCount]] directly (collect lhs/rhs in rank order).
+    *
+    * Scale shape: training runs over the DISTINCT-WORD frequency table
+    * (Zipf-small: the 100 TB corpus's word explode collapses map-side
+    * into a vocabulary-sized frame), never the corpus text — one
+    * corpus-sized tokenize+count up front, then `nMerges` iterations of
+    * (pair-count, 1-row argmax collect, fold-apply) over the vocab
+    * frame, each localCheckpointed to keep the plan flat. The
+    * driver-held loop is the [[graft.ops.Ivf.train]] / Lloyd-iteration
+    * pattern: per-iteration state (the argmax) is one row, the heavy
+    * lifting stays distributed. */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // word-frequency table; words split into single-codepoint symbols
+    // ((?<=.) splits between chars and drops no content; BMP contract —
+    // the same one the oracle's regex char-wrap rides)
+    var vocab = df.select(
+        explode(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+          .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // Spark's split passes limit -1, which KEEPS the trailing empty
+      // string "(?<=.)" produces after the last char — strip it, or a
+      // phantom '' symbol pollutes every word's final pair
+      .select(filter(split(col("word"), "(?<=.)"), _ =!= "").as("syms"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // adjacent pairs at every position, weighted by word frequency
+      val best = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("lhs"), col("p.1").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, c))
+        vocab = vocab.select(applyBpeMerge(col("syms"), l, r).as("syms"),
+          col("freq")).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+  }
+
   /** C4-style markup stripping (r9): crawled text arrives with residual
     * HTML — tags removed, the common entities decoded, whitespace
     * squeezed (Raffel et al. 2020 §2.2's cleanup family). Both steps are

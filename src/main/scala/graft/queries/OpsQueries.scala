@@ -672,6 +672,16 @@ object OpsQueries {
         .orderBy("doc_id")
     }),
 
+    // r15 s3: TRAIN a BPE merge table from the corpus (Sennrich 2016) —
+    // 8 iterations of most-frequent-adjacent-pair over the word-
+    // frequency table, ties to the lexicographically smaller pair. The
+    // oracle replays each learned iteration with a marker-string
+    // fixpoint replace over the same word-frequency table.
+    "q_text_bpe_train" -> ((s, d) => {
+      TA.bpeTrainMerges(Tables.documents(s, d), "text", nMerges = 8)
+        .orderBy("merge_rank")
+    }),
+
     // r10: Zipf-head corpus profile — top-25 trigram phrases by
     // occurrence count with their document frequencies, tie-broken on
     // the phrase so the rank-25 cut is deterministic
@@ -1707,6 +1717,63 @@ object OpsQueries {
        |  FROM rec WHERE r = ${TA.DefaultBpeMerges.length} + 1 GROUP BY doc_id)"""
       .stripMargin
 
+  /** BPE TRAINING oracle (r15 s3): replay `nMerges` iterations of
+    * count-argmax-apply over the word-frequency table. Each iteration
+    * re-derives adjacent-pair counts (every position, overlapping runs
+    * included — the trainer convention), picks the argmax with
+    * (cnt DESC, lhs, rhs) ties, and applies that ONE merge to fixpoint
+    * via the marker-string replace (a small recursive CTE per
+    * iteration: plain `replace` is one left-to-right pass that consumes
+    * the shared marker of a run, so repeated application to fixpoint is
+    * what equals the engine's single accumulator sweep — the `llll`
+    * lesson from the bpeCountCtes recursion). `replace`, not
+    * regexp_replace: learned symbols include punctuation pre-tokens
+    * that are regex metacharacters. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      // the learned pattern for this iteration, as SQL fragments over b$i
+      val pat = s"chr(1) || b.l || chr(1) || b.rt || chr(1)"
+      val rep = s"chr(1) || b.l || b.rt || chr(1)"
+      // AS MATERIALIZED on every reused stage: without it DuckDB
+      // inlines w{i-1} into pr/wr/w and re-evaluation compounds
+      // across the 8 iterations (the r14 closure-oracle lesson —
+      // 8 min → seconds at sf0.1)
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT tk, freq, unnest(generate_series(2, len(tk) - 2)) AS j
+         |  FROM (SELECT string_split(s, chr(1)) AS tk, freq FROM $prev)),
+         |p$i AS (SELECT tk[j] AS l, tk[j + 1] AS rt, SUM(freq) AS cnt
+         |  FROM pr$i GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT l, rt, cnt FROM p$i ORDER BY cnt DESC, l, rt LIMIT 1),
+         |wr$i(s, freq) AS (
+         |  SELECT s, freq FROM $prev
+         |  UNION ALL
+         |  SELECT replace(wr.s, $pat, $rep), wr.freq
+         |  FROM wr$i wr JOIN b$i b ON TRUE
+         |  WHERE replace(wr.s, $pat, $rep) <> wr.s),
+         |w$i AS MATERIALIZED (
+         |  SELECT s, freq FROM wr$i wr LEFT JOIN b$i b ON TRUE
+         |  WHERE b.l IS NULL OR replace(wr.s, $pat, $rep) = wr.s)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to nMerges).map { i =>
+      s"SELECT $i AS merge_rank, l AS lhs, rt AS rhs, CAST(cnt AS BIGINT) AS pair_freq FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
+       |    FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1) AS s,
+       |              freq FROM wf),
+       |$iters
+       |SELECT merge_rank, lhs, rhs, pair_freq FROM (
+       |  $ranks)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The default BPE merge table as a SQL VALUES list — one Scala source
     * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
   private def bpeMergesValues: String =
@@ -2150,6 +2217,9 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // r15 s3: learned BPE merges — unrolled count-argmax-apply replay
+    "q_text_bpe_train" -> bpeTrainOracleSql(8),
 
     // r15: exact BM25 over the posting-index artifact; the incremental
     // gate shares the law — a pure-append fold of disjoint-doc-id

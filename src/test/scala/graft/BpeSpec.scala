@@ -92,4 +92,63 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(c2 == 3, "a (ba) b under the alternate table")
   }
+
+  // ---- trainer (r15 s3): learn the merge table from the corpus ----
+
+  test("bpeTrainMerges learns the hand-derivable sequence with counts") {
+    import spark.implicits._
+    // words: aaab ×2, ab ×1
+    // iter1: (a,a) 4 (two positions per aaab) vs (a,b) 3 → aa
+    // iter2: over [aa,a,b]×2 + [a,b]: (a,b) 3 beats (aa,a) 2 → ab
+    // iter3: over [aa,ab]×2 + [ab]: (aa,ab) 2
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("id", "text")
+    val out = TA.bpeTrainMerges(docs, "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("applyBpeMerge is the single left-to-right non-overlapping sweep") {
+    import spark.implicits._
+    def apply1(word: String, l: String, r: String): Seq[String] =
+      Seq(word).toDF("w")
+        .select(TA.applyBpeMerge(
+          filter(split(col("w"), "(?<=.)"), _ =!= ""), l, r).as("s"))
+        .collect()(0).getSeq[String](0)
+    assert(apply1("llll", "l", "l") == Seq("ll", "ll"))
+    assert(apply1("lll", "l", "l") == Seq("ll", "l"))
+    assert(apply1("abab", "a", "b") == Seq("ab", "ab"))
+    assert(apply1("x", "a", "b") == Seq("x"))
+  }
+
+  test("trainer stops when the pair space exhausts; ties break on the smaller pair") {
+    import spark.implicits._
+    // single-char words only → zero adjacent pairs → empty merge table
+    val singles = Seq((1L, "a b c d")).toDF("id", "text")
+    assert(TA.bpeTrainMerges(singles, "text", nMerges = 4).count() == 0)
+    // xy and ab both appear twice → tie; (a,b) < (x,y) lexicographically
+    val tied = Seq((1L, "xy ab xy ab")).toDF("id", "text")
+    val first = TA.bpeTrainMerges(tied, "text", nMerges = 1)
+      .collect()(0)
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+
+  test("trained merges feed bpeTokenCount (trainer apply law ≡ tokenizer law)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("id", "text")
+    val merges = TA.bpeTrainMerges(docs, "text", nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // encoding "aaab" under [(a,a),(a,b),(aa,ab)] → [aaab]: 1 token;
+    // "ab" → [ab]: 1; "aab" → [aa, b]: 2 (ab can't form — a is consumed)
+    val c = counts0(merges, "aaab ab aab")
+    assert(c == 1 + 1 + 2, s"got $c")
+  }
+
+  private def counts0(merges: Seq[(String, String)], text: String): Int = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(TA.bpeTokenCount(col("text"), merges).as("n"))
+      .collect()(0).getInt(0)
+  }
 }
