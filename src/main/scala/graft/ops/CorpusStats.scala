@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Corpus profiling: per-stratum token statistics (the dataset-card
   * numbers every training corpus ships with — doc counts, token mass,
@@ -245,4 +245,69 @@ object CorpusStats {
       .select(col("query_id").as(groupCol),
         round(when(col("__n") < k, col("__n").cast(DoubleType))
           .otherwise(lit((k - 1).toDouble) / col("__uk")), 6).as("ndv_est"))
+
+  /** COUNT-MIN SKETCH rows (Cormode & Muthukrishnan 2005, "An Improved
+    * Data Stream Summary: The Count-Min Sketch and its Applications" —
+    * public): `depth` hash rows of `width` counters over the corpus's
+    * token occurrences, stored SPARSE (only touched buckets) and
+    * self-describing (sketch_depth/sketch_width ride every row, the KMV
+    * convention). The bounded-memory tier of the frequency family: the
+    * exact [[ngramCountStore]] is vocabulary-sized, the CMS is depth ×
+    * width rows FOREVER, with one-sided error (estimates never
+    * undercount; overcount ≤ εN with ε = e/width at failure prob
+    * e^-depth). Counters are ADDITIVE — [[cmsMerge]] folds batch
+    * sketches exactly, so the continuous-ingest story is the n-gram
+    * store's upsert with a hard memory bound. Hashes are the engine's
+    * md5-prefix law (row-salted), so a DuckDB oracle replays estimates
+    * EXACTLY — integer arithmetic end to end. */
+  def cmsSketch(df: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 2048): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row_idx"),
+        col("tok"))
+      .select(col("row_idx"), cmsBucket(col("row_idx"), col("tok"), width))
+      .groupBy("row_idx", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("sketch_depth", lit(depth))
+      .withColumn("sketch_width", lit(width))
+
+  /** Row-salted md5-prefix bucket — mirrored verbatim by the oracle. */
+  private def cmsBucket(rowIdx: Column, tok: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit("cms_"), rowIdx.cast(StringType),
+      lit("_"), tok)), 1, 7), 16, 10).cast(LongType), lit(width.toLong))
+      .as("bucket")
+
+  /** Fold sketches built with the SAME geometry: counters add. Mixing
+    * geometries is a hard error (a bucket id only means something
+    * within its own depth × width grid). */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    val all = sketches.reduce(_ unionByName _)
+    val geom = all.select("sketch_depth", "sketch_width").distinct().collect()
+    require(geom.length <= 1,
+      s"cmsMerge: sketches with different geometry cannot fold: ${geom.toSeq}")
+    all.groupBy("row_idx", "bucket", "sketch_depth", "sketch_width")
+      .agg(sum("cnt").as("cnt"))
+      .select("row_idx", "bucket", "cnt", "sketch_depth", "sketch_width")
+  }
+
+  /** Point-estimate token frequencies from the sketch: for each probe
+    * token, min over the depth rows of its bucket counter (absent
+    * bucket = 0). The sketch side is depth × width rows AT MOST —
+    * broadcast by construction, so probing never shuffles the batch.
+    * Returns (tok, est_freq); est_freq ≥ the true count always. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  tokCol: String): DataFrame = {
+    val geom = sketch.select("sketch_depth", "sketch_width").distinct().collect()
+    require(geom.length == 1,
+      s"cmsEstimate: need one sketch geometry, got ${geom.toSeq}")
+    val (depth, width) = (geom(0).getInt(0), geom(0).getInt(1))
+    probes.select(col(tokCol).as("tok")).distinct()
+      .select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_idx"))
+      .select(col("tok"), col("row_idx"),
+        cmsBucket(col("row_idx"), col("tok"), width))
+      .join(broadcast(sketch.select("row_idx", "bucket", "cnt")),
+        Seq("row_idx", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_freq"))
+  }
 }

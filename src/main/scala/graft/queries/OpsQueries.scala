@@ -711,6 +711,49 @@ object OpsQueries {
       CorpusStats.topNgramsFromStore(merged, k = 25)
     }),
 
+    // r15 s3: count-min sketch — the BOUNDED-MEMORY tier of the
+    // frequency family (depth × width counters forever vs the
+    // vocabulary-sized exact store). Estimates replay exactly in DuckDB
+    // (row-salted md5-prefix buckets, integer min) and never
+    // undercount: the gate emits est vs exact side by side.
+    "q_corpus_cms_estimate" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val sk = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 2048)
+      val probes = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      val exact = docs.select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_freq"))
+      CorpusStats.cmsEstimate(sk, probes, "tok")
+        .join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("est_freq"),
+          coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+        .orderBy("tok")
+    }),
+
+    // r15 s3: the CMS under INGEST — counters are additive, so the
+    // two-generation fold through cmsMerge must estimate identically to
+    // the one-shot sketch (shared oracle law; exact by integer
+    // additivity, no refresh pass)
+    "q_corpus_cms_incremental" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val sk = CorpusStats.cmsMerge(
+        CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 === 0), "text",
+          depth = 4, width = 2048).localCheckpoint(true),
+        CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0), "text",
+          depth = 4, width = 2048))
+      val probes = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      val exact = docs.select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_freq"))
+      CorpusStats.cmsEstimate(sk, probes, "tok")
+        .join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("est_freq"),
+          coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+        .orderBy("tok")
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -1774,6 +1817,31 @@ object OpsQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Count-min sketch oracle (r15 s3): rebuild the depth×width counter
+    * grid with the row-salted md5-prefix bucket law, probe with min over
+    * the rows — integer arithmetic end to end, so est_freq is replayed
+    * exactly. Shared by the one-shot and the merged-fold gates (counter
+    * additivity makes the generation split invisible to the law). */
+  private val cmsOracleSql: String = {
+    val bucket = (tok: String) =>
+      s"CAST(('0x' || substr(md5('cms_' || CAST(row_idx AS VARCHAR) || '_' || $tok), 1, 7)) AS BIGINT) % 2048"
+    s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS tok FROM documents),
+       |rws AS (SELECT unnest(generate_series(0, 3)) AS row_idx),
+       |cms AS MATERIALIZED (
+       |  SELECT row_idx, ${bucket("tok")} AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks, rws GROUP BY 1, 2),
+       |probe AS (SELECT DISTINCT tok
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 101 = 0)),
+       |pb AS (SELECT tok, row_idx, ${bucket("tok")} AS bucket FROM probe, rws),
+       |est AS (SELECT tok, MIN(COALESCE(cnt, 0)) AS est_freq
+       |  FROM pb LEFT JOIN cms USING (row_idx, bucket) GROUP BY 1),
+       |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_freq
+       |  FROM toks GROUP BY 1)
+       |SELECT tok, est_freq, COALESCE(exact_freq, 0) AS exact_freq
+       |FROM est LEFT JOIN exact USING (tok) ORDER BY tok""".stripMargin
+  }
+
   /** The default BPE merge table as a SQL VALUES list — one Scala source
     * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
   private def bpeMergesValues: String =
@@ -2220,6 +2288,12 @@ object OpsQueries {
 
     // r15 s3: learned BPE merges — unrolled count-argmax-apply replay
     "q_text_bpe_train" -> bpeTrainOracleSql(8),
+
+    // r15 s3: count-min sketch estimates — integer replay of the
+    // row-salted md5 bucket law; the incremental gate shares it (fold
+    // additivity makes the split invisible)
+    "q_corpus_cms_estimate" -> cmsOracleSql,
+    "q_corpus_cms_incremental" -> cmsOracleSql,
 
     // r15: exact BM25 over the posting-index artifact; the incremental
     // gate shares the law — a pure-append fold of disjoint-doc-id

@@ -535,6 +535,53 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
     assert(solo == Set((17L, 17L, true)))
   }
+
+  // ---- count-min sketch (r15 s3) ----
+
+  test("CMS estimates never undercount and are exact absent collisions") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    val docs = Seq((1L, "apple apple banana"), (2L, "apple cherry")).toDF("id", "text")
+    val sk = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 1024)
+    val probes = Seq("apple", "banana", "cherry", "absent").toDF("tok")
+    val est = CorpusStats.cmsEstimate(sk, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1024 buckets vs 4 tokens: no collisions, estimates are exact;
+    // the never-seen token reads 0 from untouched buckets
+    assert(est == Map("apple" -> 3L, "banana" -> 1L, "cherry" -> 1L, "absent" -> 0L),
+      s"got $est")
+  }
+
+  test("CMS merge of disjoint batches estimates like the one-shot sketch") {
+    import graft.ops.CorpusStats
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 512)
+    val folded = CorpusStats.cmsMerge(
+      CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 === 0), "text",
+        depth = 4, width = 512),
+      CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0), "text",
+        depth = 4, width = 512))
+    val probes = docs.limit(5)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val a = CorpusStats.cmsEstimate(one, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = CorpusStats.cmsEstimate(folded, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+    // one-sided error on the real fixture: estimate ≥ exact everywhere
+    val exact = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.forall { case (t, e) => e >= exact.getOrElse(t, 0L) })
+  }
+
+  test("CMS geometry mismatches are hard errors") {
+    import graft.ops.CorpusStats
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+    val a = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 512)
+    val b = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 1024)
+    intercept[IllegalArgumentException](CorpusStats.cmsMerge(a, b))
+  }
 }
 
 class VectorExpressionsSpec extends AnyFunSuite {
