@@ -583,6 +583,11 @@ object ScaleProbe {
       // fixed-batch ingest, which by the pure-append law never probes
       // the store at all — its shuffle rows must track the batch only,
       // CONSTANT across corpus sizes
+      timed("bm25_index_build", runs, opFilter)(
+        ops.Retrieval.postingIndex(docs, "doc_id", "text").count())
+      // held artifacts persist AFTER the build leg: persist() registers
+      // the plan in the CacheManager and an identical build plan would
+      // silently time a cached scan (the r15 s3 probe lesson)
       val retArts =
         if (opFilter("bm25_topk_held64")) {
           val p = ops.Retrieval.postingIndex(docs, "doc_id", "text").persist()
@@ -590,8 +595,6 @@ object ScaleProbe {
           p.count(); l.count()
           Some((p, l))
         } else None
-      timed("bm25_index_build", runs, opFilter)(
-        ops.Retrieval.postingIndex(docs, "doc_id", "text").count())
       timed("bm25_topk_held64", runs, opFilter) {
         val qs = docs.filter(col("doc_id") < 64)
           .select(col("doc_id").as("query_id"),
@@ -604,6 +607,30 @@ object ScaleProbe {
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())
+      // r15 s3: count-min sketch — build is the one corpus-sized pass
+      // (shuffle bounded by d×w partials per partition, NOT corpus
+      // rows); estimating against a held sketch is probe-set-sized
+      timed("cms_sketch_build", runs, opFilter)(
+        ops.CorpusStats.cmsSketch(docs, "text").count())
+      // persist AFTER the build leg — same cache-contamination guard as
+      // the retrieval artifacts above
+      val cmsArts =
+        if (opFilter("cms_estimate_held")) {
+          val sk = ops.CorpusStats.cmsSketch(docs, "text").persist()
+          sk.count(); Some(sk)
+        } else None
+      timed("cms_estimate_held", runs, opFilter) {
+        val probes = docs.filter(col("doc_id") < 64)
+          .select(explode(ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        ops.CorpusStats.cmsEstimate(cmsArts.get, probes, "tok").count()
+      }
+      cmsArts.foreach(_.unpersist())
+      // r15 s3: BPE trainer — the corpus term is ONE tokenize+count into
+      // the word-frequency table; the 4 learned iterations run over that
+      // Zipf-small vocab frame (the synthetic generator's vocabulary
+      // grows ~linearly in n via mutation suffixes, the worst case)
+      timed("bpe_train4", runs, opFilter)(
+        ops.TextAnalysis.bpeTrainMerges(docs, "text", nMerges = 4).count())
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance
