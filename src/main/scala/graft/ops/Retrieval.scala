@@ -82,18 +82,33 @@ object Retrieval {
   def bm25TopK(postings: DataFrame, docLens: DataFrame,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
-               maxDfFraction: Double = 1.0): DataFrame = {
+               maxDfFraction: Double = 1.0,
+               strategy: String = "broadcast"): DataFrame = {
+    // Declared join regime for the query side (the lmSelectIngest
+    // convention): "broadcast" pins the few-queries serving shape (the
+    // term set and per-(query, term) rows ship to the postings);
+    // "shuffle" keys the probe on the term for BATCH query workloads
+    // whose term set exceeds the broadcast threshold — correct at any
+    // query volume, one term-keyed exchange of the query side (the
+    // postings shuffle too unless the store is bucketed on term, the
+    // SCALE.md regime-2 answer).
+    val side: DataFrame => DataFrame = strategy match {
+      case "broadcast" => broadcast
+      case "shuffle" => identity
+      case other => throw new IllegalArgumentException(
+        s"BM25 query-side join strategy must be broadcast|shuffle: $other")
+    }
     val stats = docLens.agg(
       count(lit(1)).cast(DoubleType).as("__n"),
       avg(col("dl").cast(DoubleType)).as("__avgdl"))
     val qTerms = queries.select(col(qIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
-    val touched = postings.join(broadcast(qTerms.select("term").distinct()), "term")
+    val touched = postings.join(side(qTerms.select("term").distinct()), "term")
     val dfPerTerm = touched.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = touched
-      .join(broadcast(dfPerTerm), "term")
-      .join(broadcast(qTerms), "term")
+      .join(side(dfPerTerm), "term")
+      .join(side(qTerms), "term")
       .crossJoin(broadcast(stats))
       .filter(col("df").cast(DoubleType) <= lit(maxDfFraction) * col("__n"))
       .withColumn("__idf",
@@ -110,6 +125,55 @@ object Retrieval {
     Similarity.rankTopK(scored, "score", k, ascending = false)
       .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
         col("score"))
+  }
+
+  /** POSITIONAL posting rows `(term, doc_id, positions, dl)` — the
+    * phrase-capable index layout: one row per distinct (term, document)
+    * with the 1-based token positions in document order. Same
+    * append-only additivity as [[postingIndex]] (new batches never
+    * repeat doc ids); positions make exact-phrase verification a pure
+    * array computation at serve time, no text re-scan. */
+  def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
+        posexplode(col("__toks")).as(Seq("__p0", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(sort_array(collect_list(col("__p0") + 1)).as("positions"))
+      .select("term", "doc_id", "positions", "dl")
+
+  /** Exact-phrase matching from the positional index: a document
+    * matches when some start position p has the phrase's i-th token at
+    * p+i for every i. Returns `(query_id, doc_id, n_occurrences)` —
+    * one row per matching document, counting distinct start positions.
+    *
+    * Plan: phrase tokens explode with their offsets; ONE equi-join
+    * against the index on the term (broadcast phrase-term set — phrase
+    * workloads are query-shaped); per (query, doc, offset) the position
+    * list shifts by the offset, and the per-(query, doc) intersection
+    * of the shifted lists IS the set of valid starts — a fold over at
+    * most phrase-length arrays, never a positions self-join. A doc
+    * missing ANY phrase term contributes fewer than m offsets and is
+    * dropped by the completeness check. */
+  def phraseMatch(index: DataFrame, queries: DataFrame,
+                  qIdCol: String, qTextCol: String): DataFrame = {
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+        posexplode(TextAnalysis.tokens(col(qTextCol))).as(Seq("off", "term")))
+    val qLens = queries.select(col(qIdCol).as("query_id"),
+      TextAnalysis.tokenCount(col(qTextCol)).as("m"))
+    val shifted = index.join(broadcast(qTerms), "term")
+      .select(col("query_id"), col("doc_id"), col("off"),
+        transform(col("positions"), p => p - col("off")).as("starts"))
+    shifted.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("__n_offsets"),
+        aggregate(collect_list(col("starts")), lit(null).cast("array<int>"),
+          (acc, x) => when(acc.isNull, x).otherwise(array_intersect(acc, x)))
+          .as("__starts"))
+      .join(broadcast(qLens), "query_id")
+      // every phrase offset present AND at least one common start
+      .filter(col("__n_offsets") === col("m") && size(col("__starts")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("__starts")).cast(LongType).as("n_occurrences"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs

@@ -321,6 +321,40 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r15 s3: the DECLARED shuffle regime for batch query workloads —
+    // same scores as the broadcast path by construction (shared
+    // oracle); the strategy only moves the join plan
+    "q_retrieval_bm25_shuffle" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10, strategy = "shuffle")
+        .orderBy("query_id", "rank")
+    }),
+
+    // r15 s3: exact-phrase matching from the POSITIONAL index — the
+    // phrase's i-th token must sit at start+i; occurrences counted as
+    // distinct start positions, verified by pure array intersection
+    // (no text re-scan, no positions self-join on the engine side; the
+    // oracle uses the 3-way positional join formulation)
+    "q_retrieval_phrase" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 53 === 0)
+        .filter(size(TA.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 3), " ").as("qtext"))
+      Retrieval.phraseMatch(
+        Retrieval.positionalIndex(docs, "doc_id", "text"),
+        queries, "query_id", "qtext")
+        .orderBy("query_id", "doc_id")
+    }),
+
     // r15: hybrid retrieval — reciprocal-rank fusion of the BM25 top-10
     // (first 8 tokens of docs 0–9 as queries) with the brute-force
     // cosine top-10 over the aligned embeddings (vec_id ≡ doc_id in the
@@ -2300,6 +2334,22 @@ object OpsQueries {
     // batches is definitionally the one-shot index
     "q_retrieval_bm25_topk" -> bm25TopkOracleSql,
     "q_retrieval_bm25_incremental" -> bm25TopkOracleSql,
+    "q_retrieval_bm25_shuffle" -> bm25TopkOracleSql,
+
+    // r15 s3: exact-phrase occurrences via the 3-way positional join
+    "q_retrieval_phrase" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents),
+         |q AS (SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
+         |      FROM t WHERE doc_id % 53 = 0 AND len(tk) >= 3),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p
+         |  FROM t),
+         |occ AS (SELECT q.query_id, a.doc_id, a.p
+         |  FROM q JOIN pos a ON a.term = q.t1
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = q.t2
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.term = q.t3)
+         |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
 
     // r15: reciprocal-rank fusion of the BM25 top-10 and the brute
     // cosine top-10 (vec_id ≡ doc_id); 1/(60 + rank) summed over the

@@ -123,6 +123,64 @@ class RetrievalSpec extends AnyFunSuite {
       s"'the' (df 4 > 0.5·4) must drop; only 'apple' matches: ${rows.toSeq}")
   }
 
+  test("shuffle strategy returns the broadcast path's rows; bad strategy is a hard error") {
+    val args = (Retrieval.postingIndex(corpus, "id", "text"),
+      Retrieval.docLengths(corpus, "id", "text"),
+      oneQuery("apple cherry banana"))
+    val bcast = Retrieval.bm25TopK(args._1, args._2, args._3, "qid", "qtext",
+      k = 10).collect().toSeq.map(_.toSeq)
+    val shuf = Retrieval.bm25TopK(args._1, args._2, args._3, "qid", "qtext",
+      k = 10, strategy = "shuffle").collect().toSeq.map(_.toSeq)
+    assert(bcast == shuf && bcast.nonEmpty)
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(args._1, args._2, args._3, "qid", "qtext",
+        k = 10, strategy = "sortmerge"))
+  }
+
+  test("phraseMatch counts distinct start positions, overlapping runs included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),       // "a a" starts at 1 and 2
+      (2L, "a b a a"),       // "a a" starts at 3
+      (3L, "b b b"),         // no match
+      (4L, "a x a")          // terms present, never adjacent
+    ).toDF("id", "text")
+    val out = Retrieval.phraseMatch(
+      Retrieval.positionalIndex(docs, "id", "text"),
+      oneQuery("a a"), "qid", "qtext")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L), s"got $out")
+  }
+
+  test("phraseMatch requires every phrase term at its offset (repeated terms too)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x z"),   // "x y x" at 1
+      (2L, "x y q x"),   // y at 2 but x not at 3
+      (3L, "y x y")      // phrase terms present, wrong offsets
+    ).toDF("id", "text")
+    val out = Retrieval.phraseMatch(
+      Retrieval.positionalIndex(docs, "id", "text"),
+      oneQuery("x y x"), "qid", "qtext")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> 1L), s"got $out")
+  }
+
+  test("positional index is append-additive like the flat index") {
+    val gen1 = corpus.filter(col("id") % 2 === 0)
+    val gen2 = corpus.filter(col("id") % 2 =!= 0)
+    val folded = Retrieval.phraseMatch(
+      Retrieval.positionalIndex(gen1, "id", "text")
+        .unionByName(Retrieval.positionalIndex(gen2, "id", "text")),
+      oneQuery("cherry date"), "qid", "qtext")
+      .collect().toSeq.map(_.toSeq)
+    val oneShot = Retrieval.phraseMatch(
+      Retrieval.positionalIndex(corpus, "id", "text"),
+      oneQuery("cherry date"), "qid", "qtext")
+      .collect().toSeq.map(_.toSeq)
+    assert(folded == oneShot && oneShot.nonEmpty)
+  }
+
   test("rrfFuse sums 1/(k0 + rank) across runs; single-run docs count once") {
     import spark.implicits._
     val runA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
