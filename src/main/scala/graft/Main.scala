@@ -105,6 +105,7 @@ object Main {
     // the load resolves `fn:` declarations (parse-time fail-fast)
     graft.ops.CurationRecipe.installNatives()
     graft.ops.CurationIngest.installNatives()
+    graft.ops.Retrieval.installNatives()
     val loaded = Project.load(args.project)
     Project.registerSources(spark, loaded.config)
     val rm = new RelationManager(spark,

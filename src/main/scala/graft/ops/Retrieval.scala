@@ -176,6 +176,32 @@ object Retrieval {
         size(col("__starts")).cast(LongType).as("n_occurrences"))
   }
 
+  /** Library-shipped native-model functions for retrieval projects (the
+    * CurationRecipe.installNatives pattern): a graft project declares
+    * the posting-index/doc-length artifacts as TABLE models, a query
+    * model, and BM25 serving as a ref-composed native — the
+    * `examples/retrieval` project the q_retrieval_project gate builds
+    * through the engine's own Runner. */
+  def installNatives(): Unit = {
+    import graft.core.NativeRegistry.register
+    def one(deps: Map[String, DataFrame]): DataFrame =
+      deps.values.headOption.getOrElse(throw new IllegalArgumentException(
+        "retrieval native needs one source/ref dependency (the documents)"))
+    register("retrieval_posting_index")((_, deps) =>
+      postingIndex(one(deps), "doc_id", "text"))
+    register("retrieval_doc_lengths")((_, deps) =>
+      docLengths(one(deps), "doc_id", "text"))
+    // the gate's query law: every 37th document's first 6 tokens
+    register("retrieval_queries")((_, deps) =>
+      one(deps).filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+            .as("qtext")))
+    register("retrieval_bm25_top10")((_, deps) =>
+      bm25TopK(deps("postings"), deps("doc_lens"), deps("queries"),
+        "query_id", "qtext", k = 10))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs
     * `(query_id, doc_id, rank)` into one top-k list by
     * rrf = Σ_runs 1/(k₀ + rank) — rank-based, so lexical BM25 scores and

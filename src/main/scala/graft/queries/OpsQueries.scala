@@ -1116,6 +1116,33 @@ object OpsQueries {
     // artifacts). The gate row is the RUNNER-materialized audit table,
     // checked against the identical v6 DuckDB oracle — the integration
     // proof that the dbt-parity engine and the ops layer compose.
+    // r15 s3: the retrieval family through the engine's own DAG — the
+    // checked-in examples/retrieval project (posting-index/doc-length
+    // artifacts as table models, BM25 serving as a ref-composed native,
+    // generic tests on both) built by Main.execute; the served table
+    // must equal the hand-composed q_retrieval_bm25_topk's oracle.
+    "q_retrieval_project" -> ((s, d) => {
+      val proj = stageProject("examples/retrieval", d)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        val code = graft.Main.execute(s, graft.Main.Args(
+          command = "build", project = proj), sink)
+        require(code == 0, s"graft build of the retrieval project exited $code")
+        new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+          .read(graft.core.Relation("graft", "main", "bm25_top10"))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally {
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        deleteDir(proj)
+      }
+    }),
+
     "q_curation_project" -> ((s, d) => {
       val proj = stageCurationProject(d)
       // Main.execute mutates shared-session state (registerSources flips
@@ -2335,6 +2362,8 @@ object OpsQueries {
     "q_retrieval_bm25_topk" -> bm25TopkOracleSql,
     "q_retrieval_bm25_incremental" -> bm25TopkOracleSql,
     "q_retrieval_bm25_shuffle" -> bm25TopkOracleSql,
+    // the Runner-built serving table obeys the same law
+    "q_retrieval_project" -> bm25TopkOracleSql,
 
     // r15 s3: exact-phrase occurrences via the 3-way positional join
     "q_retrieval_phrase" ->

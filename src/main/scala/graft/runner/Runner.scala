@@ -220,7 +220,14 @@ final class Runner(
           }
         }
       }
-      val deps = node.dependsOn.flatMap(manifest.get).map { d =>
+      // test-BLOCKING edges (a tested upstream's tests gate this node's
+      // run) are scheduling-only: a test node has no readable relation,
+      // so it must not become a deps entry (r15 s3 — surfaced by the
+      // first native model depending on a TESTED model; SQL models were
+      // never exposed because compileSql only references refable deps)
+      val deps = node.dependsOn.flatMap(manifest.get)
+        .filter(d => d.nodeType != NodeType.Test)
+        .map { d =>
         val df =
           if (d.isEphemeral)
             // the window applies to the inlined frame too (and recurses,
