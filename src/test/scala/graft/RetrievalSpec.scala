@@ -166,6 +166,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L), s"got $out")
   }
 
+  test("phraseMatch plan: one broadcast term join, no cartesian, no window") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = docs.filter(col("doc_id") % 53 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("qtext"))
+    val plan = Retrieval.phraseMatch(
+      Retrieval.positionalIndex(docs, "doc_id", "text"), q, "query_id", "qtext")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in phrase plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "phrase terms must broadcast against the positional index")
+    assert(!plan.contains("Window"), s"window in phrase plan:\n$plan")
+  }
+
   test("positional index is append-additive like the flat index") {
     val gen1 = corpus.filter(col("id") % 2 === 0)
     val gen2 = corpus.filter(col("id") % 2 =!= 0)
