@@ -276,38 +276,51 @@ object CorpusStats {
       lit("_"), tok)), 1, 7), 16, 10).cast(LongType), lit(width.toLong))
       .as("bucket")
 
-  /** Fold sketches built with the SAME geometry: counters add. Mixing
-    * geometries is a hard error (a bucket id only means something
+  /** Guard a sketch's counter column with an IN-PLAN geometry check:
+    * every row's self-described (depth, width) must equal the declared
+    * one, enforced by raise_error at EXECUTION (the selectByCutoff /
+    * from-index discipline — zero jobs at plan construction, every row
+    * checked, strictly stronger than an eager distinct().collect()
+    * that re-ran the whole sketch plan just to read two values —
+    * r15 s3 review catch). */
+  private def cmsGuarded(sketch: DataFrame, depth: Int, width: Int): DataFrame =
+    sketch.select(col("row_idx"), col("bucket"),
+      when(col("sketch_depth") === depth && col("sketch_width") === width,
+        col("cnt"))
+        .otherwise(raise_error(concat(
+          lit(s"CMS geometry mismatch: expected ${depth}x$width, row has "),
+          col("sketch_depth").cast(StringType), lit("x"),
+          col("sketch_width").cast(StringType)))
+          .cast(LongType))
+        .as("cnt"))
+
+  /** Fold sketches built with the SAME declared geometry: counters add.
+    * A row from a differently-shaped sketch is a hard error at
+    * execution (in-plan, per row — a bucket id only means something
     * within its own depth × width grid). */
-  def cmsMerge(sketches: DataFrame*): DataFrame = {
-    val all = sketches.reduce(_ unionByName _)
-    val geom = all.select("sketch_depth", "sketch_width").distinct().collect()
-    require(geom.length <= 1,
-      s"cmsMerge: sketches with different geometry cannot fold: ${geom.toSeq}")
-    all.groupBy("row_idx", "bucket", "sketch_depth", "sketch_width")
-      .agg(sum("cnt").as("cnt"))
+  def cmsMerge(depth: Int, width: Int, sketches: DataFrame*): DataFrame =
+    sketches.map(cmsGuarded(_, depth, width)).reduce(_ unionByName _)
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+      .withColumn("sketch_depth", lit(depth))
+      .withColumn("sketch_width", lit(width))
       .select("row_idx", "bucket", "cnt", "sketch_depth", "sketch_width")
-  }
 
   /** Point-estimate token frequencies from the sketch: for each probe
     * token, min over the depth rows of its bucket counter (absent
-    * bucket = 0). The sketch side is depth × width rows AT MOST —
-    * broadcast by construction, so probing never shuffles the batch.
-    * Returns (tok, est_freq); est_freq ≥ the true count always. */
-  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
-                  tokCol: String): DataFrame = {
-    val geom = sketch.select("sketch_depth", "sketch_width").distinct().collect()
-    require(geom.length == 1,
-      s"cmsEstimate: need one sketch geometry, got ${geom.toSeq}")
-    val (depth, width) = (geom(0).getInt(0), geom(0).getInt(1))
+    * bucket = 0). The declared geometry shapes the probe plan and is
+    * verified in-plan against every sketch row consumed. The sketch
+    * side is depth × width rows AT MOST — broadcast by construction,
+    * so probing never shuffles the batch. Returns (tok, est_freq);
+    * est_freq ≥ the true count always. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokCol: String,
+                  depth: Int = 4, width: Int = 2048): DataFrame =
     probes.select(col(tokCol).as("tok")).distinct()
       .select(col("tok"),
         explode(sequence(lit(0), lit(depth - 1))).as("row_idx"))
       .select(col("tok"), col("row_idx"),
         cmsBucket(col("row_idx"), col("tok"), width))
-      .join(broadcast(sketch.select("row_idx", "bucket", "cnt")),
+      .join(broadcast(cmsGuarded(sketch, depth, width)),
         Seq("row_idx", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_freq"))
-  }
 }

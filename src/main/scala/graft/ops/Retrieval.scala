@@ -176,6 +176,19 @@ object Retrieval {
         size(col("__starts")).cast(LongType).as("n_occurrences"))
   }
 
+  /** The gate family's shared query law — documents with id ≡ 0 (mod
+    * `modulo`), query text = the first `prefixTokens` whitespace
+    * tokens. ONE definition feeding the hand-composed gates, the
+    * stream-ingest gate, and the example project's native (the oracle
+    * mirrors it as a SQL constant), so a law change cannot silently
+    * split the call sites (r15 s3 review catch). */
+  def prefixQueries(docs: DataFrame, idCol: String, textCol: String,
+                    modulo: Int, prefixTokens: Int): DataFrame =
+    docs.filter(col(idCol) % modulo === 0)
+      .select(col(idCol).as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col(textCol)), 1, prefixTokens),
+          " ").as("qtext"))
+
   /** Library-shipped native-model functions for retrieval projects (the
     * CurationRecipe.installNatives pattern): a graft project declares
     * the posting-index/doc-length artifacts as TABLE models, a query
@@ -184,19 +197,19 @@ object Retrieval {
     * through the engine's own Runner. */
   def installNatives(): Unit = {
     import graft.core.NativeRegistry.register
-    def one(deps: Map[String, DataFrame]): DataFrame =
-      deps.values.headOption.getOrElse(throw new IllegalArgumentException(
-        "retrieval native needs one source/ref dependency (the documents)"))
+    def one(deps: Map[String, DataFrame]): DataFrame = {
+      require(deps.size == 1,
+        "retrieval native needs exactly one source/ref dependency (the " +
+          s"documents); got ${deps.keys.toSeq.sorted.mkString(", ")}")
+      deps.values.head
+    }
     register("retrieval_posting_index")((_, deps) =>
       postingIndex(one(deps), "doc_id", "text"))
     register("retrieval_doc_lengths")((_, deps) =>
       docLengths(one(deps), "doc_id", "text"))
     // the gate's query law: every 37th document's first 6 tokens
     register("retrieval_queries")((_, deps) =>
-      one(deps).filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
-            .as("qtext")))
+      prefixQueries(one(deps), "doc_id", "text", modulo = 37, prefixTokens = 6))
     register("retrieval_bm25_top10")((_, deps) =>
       bm25TopK(deps("postings"), deps("doc_lens"), deps("queries"),
         "query_id", "qtext", k = 10))

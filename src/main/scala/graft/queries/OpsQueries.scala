@@ -285,9 +285,8 @@ object OpsQueries {
     "q_retrieval_bm25_topk" -> ((s, d) => {
       import graft.ops.Retrieval
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
       Retrieval.bm25TopK(
         Retrieval.postingIndex(docs, "doc_id", "text"),
         Retrieval.docLengths(docs, "doc_id", "text"),
@@ -314,9 +313,8 @@ object OpsQueries {
         Retrieval.postingIndex(gen2, "doc_id", "text"))
       val docLens = dlStore.unionByName(
         Retrieval.docLengths(gen2, "doc_id", "text"))
-      val queries = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
       Retrieval.bm25TopK(postings, docLens, queries, "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -327,9 +325,8 @@ object OpsQueries {
     "q_retrieval_bm25_shuffle" -> ((s, d) => {
       import graft.ops.Retrieval
       val docs = Tables.documents(s, d)
-      val queries = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(TA.tokens(col("text")), 1, 6), " ").as("qtext"))
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
       Retrieval.bm25TopK(
         Retrieval.postingIndex(docs, "doc_id", "text"),
         Retrieval.docLengths(docs, "doc_id", "text"),
@@ -712,7 +709,15 @@ object OpsQueries {
     // oracle replays each learned iteration with a marker-string
     // fixpoint replace over the same word-frequency table.
     "q_text_bpe_train" -> ((s, d) => {
-      TA.bpeTrainMerges(Tables.documents(s, d), "text", nMerges = 8)
+      // adversarial plant on every 3rd doc: a 27-symbol run (odd, ≥ 5 —
+      // the case where a replace-ALL oracle formulation diverges from
+      // the engine's left-to-right sweep) + an alternating chain, so a
+      // repeated-symbol merge is LEARNED and its apply law exercised
+      val aug = Tables.documents(s, d).withColumn("ptext",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" lllllllllllllllllllllllllll ababababa")))
+          .otherwise(col("text")))
+      TA.bpeTrainMerges(aug, "ptext", nMerges = 8)
         .orderBy("merge_rank")
     }),
 
@@ -772,7 +777,7 @@ object OpsQueries {
     "q_corpus_cms_incremental" -> ((s, d) => {
       import graft.ops.CorpusStats
       val docs = Tables.documents(s, d)
-      val sk = CorpusStats.cmsMerge(
+      val sk = CorpusStats.cmsMerge(4, 2048,
         CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 === 0), "text",
           depth = 4, width = 2048).localCheckpoint(true),
         CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0), "text",
@@ -1833,7 +1838,8 @@ object OpsQueries {
     * lesson from the bpeCountCtes recursion). `replace`, not
     * regexp_replace: learned symbols include punctuation pre-tokens
     * that are regex metacharacters. */
-  private def bpeTrainOracleSql(nMerges: Int): String = {
+  private def bpeTrainOracleSql(nMerges: Int,
+                                textExpr: String = "text"): String = {
     val iters = (1 to nMerges).map { i =>
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       // the learned pattern for this iteration, as SQL fragments over b$i
@@ -1842,7 +1848,20 @@ object OpsQueries {
       // AS MATERIALIZED on every reused stage: without it DuckDB
       // inlines w{i-1} into pr/wr/w and re-evaluation compounds
       // across the 8 iterations (the r14 closure-oracle lesson —
-      // 8 min → seconds at sf0.1)
+      // 8 min → seconds at sf0.1).
+      // The apply step merges ONE LEFTMOST occurrence per recursion
+      // step (strpos + substring surgery, no regex — learned symbols
+      // include regex metacharacters). Leftmost-single iteration is
+      // PROVABLY the engine's single left-to-right sweep: a merged
+      // token l+r is strictly longer than l and r, so it can never be
+      // a side of a later match — every match involves only original
+      // symbols, and repeatedly taking the leftmost one IS greedy
+      // left-to-right matching. A replace-ALL fixpoint is NOT: on an
+      // odd run of 5+ repeated symbols ('lllll' under (l,l)) the scan
+      // resumes after the consumed shared marker and yields
+      // [ll, l, ll] where the sweep gives [ll, ll, l] — same multiset,
+      // different adjacency, different next-iteration pair counts
+      // (r15 s3 review catch; the planted 21-l run guards it).
       s"""pr$i AS MATERIALIZED (
          |  SELECT tk, freq, unnest(generate_series(2, len(tk) - 2)) AS j
          |  FROM (SELECT string_split(s, chr(1)) AS tk, freq FROM $prev)),
@@ -1853,12 +1872,14 @@ object OpsQueries {
          |wr$i(s, freq) AS (
          |  SELECT s, freq FROM $prev
          |  UNION ALL
-         |  SELECT replace(wr.s, $pat, $rep), wr.freq
+         |  SELECT substr(wr.s, 1, strpos(wr.s, $pat) - 1) || $rep ||
+         |           substr(wr.s, strpos(wr.s, $pat) + len($pat)),
+         |         wr.freq
          |  FROM wr$i wr JOIN b$i b ON TRUE
-         |  WHERE replace(wr.s, $pat, $rep) <> wr.s),
+         |  WHERE strpos(wr.s, $pat) > 0),
          |w$i AS MATERIALIZED (
          |  SELECT s, freq FROM wr$i wr LEFT JOIN b$i b ON TRUE
-         |  WHERE b.l IS NULL OR replace(wr.s, $pat, $rep) = wr.s)"""
+         |  WHERE b.l IS NULL OR strpos(wr.s, $pat) = 0)"""
         .stripMargin
     }.mkString(",\n")
     val ranks = (1 to nMerges).map { i =>
@@ -1867,7 +1888,7 @@ object OpsQueries {
     s"""WITH RECURSIVE
        |wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
+       |    SELECT unnest(regexp_extract_all($textExpr, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS word
        |    FROM documents)
        |  GROUP BY 1),
        |w0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') || chr(1) AS s,
@@ -2348,7 +2369,9 @@ object OpsQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // r15 s3: learned BPE merges — unrolled count-argmax-apply replay
-    "q_text_bpe_train" -> bpeTrainOracleSql(8),
+    // over the planted corpus (odd-run + alternating-chain adversaries)
+    "q_text_bpe_train" -> bpeTrainOracleSql(8,
+      "(CASE WHEN doc_id % 3 = 0 THEN text || ' lllllllllllllllllllllllllll ababababa' ELSE text END)"),
 
     // r15 s3: count-min sketch estimates — integer replay of the
     // row-salted md5 bucket law; the incremental gate shares it (fold

@@ -656,10 +656,8 @@ object StreamQueries {
         .start()
       q.processAllAvailable(); q.stop()
       deleteRecursively(landing); deleteRecursively(ckpt)
-      val queries = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("query_id"),
-          array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
-            .as("qtext"))
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
       Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel),
         queries, "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")

@@ -117,6 +117,11 @@ class BpeSpec extends AnyFunSuite {
         .collect()(0).getSeq[String](0)
     assert(apply1("llll", "l", "l") == Seq("ll", "ll"))
     assert(apply1("lll", "l", "l") == Seq("ll", "l"))
+    // odd run ≥ 5: the greedy sweep leaves the SINGLE at the end —
+    // [ll, ll, l], never [ll, l, ll] (the arrangement a replace-all
+    // fixpoint oracle produces; adjacency feeds the next iteration's
+    // pair counts, so arrangement is part of the law)
+    assert(apply1("lllll", "l", "l") == Seq("ll", "ll", "l"))
     assert(apply1("abab", "a", "b") == Seq("ab", "ab"))
     assert(apply1("x", "a", "b") == Seq("x"))
   }

@@ -544,7 +544,7 @@ class OpsSpec extends AnyFunSuite {
     val docs = Seq((1L, "apple apple banana"), (2L, "apple cherry")).toDF("id", "text")
     val sk = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 1024)
     val probes = Seq("apple", "banana", "cherry", "absent").toDF("tok")
-    val est = CorpusStats.cmsEstimate(sk, probes, "tok")
+    val est = CorpusStats.cmsEstimate(sk, probes, "tok", depth = 4, width = 1024)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // 1024 buckets vs 4 tokens: no collisions, estimates are exact;
     // the never-seen token reads 0 from untouched buckets
@@ -556,16 +556,16 @@ class OpsSpec extends AnyFunSuite {
     import graft.ops.CorpusStats
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val one = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 512)
-    val folded = CorpusStats.cmsMerge(
+    val folded = CorpusStats.cmsMerge(4, 512,
       CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 === 0), "text",
         depth = 4, width = 512),
       CorpusStats.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0), "text",
         depth = 4, width = 512))
-    val probes = docs.limit(5)
+    val probes = docs.filter(col("doc_id") < 5)
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val a = CorpusStats.cmsEstimate(one, probes, "tok")
+    val a = CorpusStats.cmsEstimate(one, probes, "tok", depth = 4, width = 512)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val b = CorpusStats.cmsEstimate(folded, probes, "tok")
+    val b = CorpusStats.cmsEstimate(folded, probes, "tok", depth = 4, width = 512)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b && a.nonEmpty)
     // one-sided error on the real fixture: estimate ≥ exact everywhere
@@ -575,12 +575,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall { case (t, e) => e >= exact.getOrElse(t, 0L) })
   }
 
-  test("CMS geometry mismatches are hard errors") {
+  test("CMS geometry mismatches raise in-plan at execution, zero construction jobs") {
     import graft.ops.CorpusStats
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
     val a = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 512)
     val b = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 1024)
-    intercept[IllegalArgumentException](CorpusStats.cmsMerge(a, b))
+    // construction is pure plan composition (the eager distinct().collect()
+    // geometry scan is gone); the per-row guard fires on the first action
+    val merged = CorpusStats.cmsMerge(4, 512, a, b)
+    val ex = intercept[Exception](merged.collect())
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("geometry mismatch") ||
+        Option(ex.getCause).exists(_.getMessage.contains("geometry mismatch"))),
+      s"expected the in-plan geometry guard to fire: $ex")
   }
 }
 
