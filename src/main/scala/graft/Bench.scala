@@ -118,7 +118,8 @@ object Bench {
     * top-k. Separate key, same byte-stability rationale. */
   val retrieval: Seq[String] = Seq(
     "q_retrieval_bm25_topk",
-    "q_retrieval_hybrid_rrf")
+    "q_retrieval_hybrid_rrf",
+    "q_retrieval_phrase")
 
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
