@@ -1904,7 +1904,7 @@ object OpsQueries {
     * the rows — integer arithmetic end to end, so est_freq is replayed
     * exactly. Shared by the one-shot and the merged-fold gates (counter
     * additivity makes the generation split invisible to the law). */
-  private val cmsOracleSql: String = {
+  private[queries] val cmsOracleSql: String = {
     val bucket = (tok: String) =>
       s"CAST(('0x' || substr(md5('cms_' || CAST(row_idx AS VARCHAR) || '_' || $tok), 1, 7)) AS BIGINT) % 2048"
     s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS tok FROM documents),

@@ -663,6 +663,52 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r15 s3: CONTINUOUS count-min ingest — each micro-batch builds its
+    // own d×w sketch rows and MERGE-upserts them into the persisted
+    // counter grid via cmsMerge (counters additive, geometry declared +
+    // guarded in-plan). The store is bounded at d×w rows FOREVER, so
+    // every batch's upsert is bounded too — the sketch's whole point.
+    // Serving estimates from the folded grid ≡ the one-shot law.
+    "q_stream_cms_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.CorpusStats
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_scms_in")
+      val ckpt = Files.createTempDirectory("graft_scms_ck")
+      val docs = Tables.documents(s, d)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_scms_wh").toString)
+      val skRel = graft.core.Relation("graft", "main", "cms_store")
+      rm.writeTable(CorpusStats.cmsSketch(docs.limit(0), "text",
+        depth = 4, width = 2048), skRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val folded = CorpusStats.cmsMerge(4, 2048,
+            rm.read(skRel),
+            CorpusStats.cmsSketch(batch, "text", depth = 4, width = 2048))
+          rm.writeTable(folded.localCheckpoint(true), skRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val probes = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val exact = docs.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_freq"))
+      CorpusStats.cmsEstimate(rm.read(skRel), probes, "tok",
+        depth = 4, width = 2048)
+        .join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("est_freq"),
+          coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+        .orderBy("tok")
+    }),
+
     // r15: CONTINUOUS frame-level clip ingest — the stream form of
     // q_video_framedup_incremental, run in the fully O(batch) production
     // shape: alongside the frame-key store the loop maintains the
@@ -1245,6 +1291,9 @@ object StreamQueries {
     // the folded posting store is definitionally the one-shot index —
     // the stream gate shares the one-shot BM25 law
     "q_stream_retrieval_ingest" -> OpsQueries.bm25TopkOracleSql,
+
+    // counter additivity makes the batch split invisible to the law
+    "q_stream_cms_ingest" -> OpsQueries.cmsOracleSql,
 
     // stream ≡ batch for the frame-level clip ingest: generation 1
     // (bases) probes an empty store, generation 2 (trims) probes exactly
