@@ -575,6 +575,50 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall { case (t, e) => e >= exact.getOrElse(t, 0L) })
   }
 
+  test("CMS estimate/merge construction fires zero Spark jobs (listener-asserted)") {
+    import graft.ops.CorpusStats
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sk = CorpusStats.cmsSketch(docs, "text", depth = 4, width = 512)
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    // the r15 s3 review shape ran an eager distinct().collect() geometry
+    // scan (re-running the whole sketch plan) per merge/estimate call;
+    // the declared-geometry + in-plan-guard form is pure plan
+    // composition. Job-group-scoped so concurrent suites can't
+    // false-fail this (the DsirModelSpec pattern).
+    val group = s"cms-plan-construction-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val est =
+      try {
+        spark.sparkContext.setJobGroup(group, "cms plan construction probe")
+        val merged = CorpusStats.cmsMerge(4, 512, sk, sk)
+        val e = CorpusStats.cmsEstimate(merged, probes, "tok",
+          depth = 4, width = 512)
+        Thread.sleep(500) // listener bus is async; a submitted job would land
+        assert(jobs.get() == 0,
+          s"plan construction must fire no Spark job, saw ${jobs.get()}")
+        e
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // the composed plan still executes correctly (double-counted merge)
+    val one = CorpusStats.cmsEstimate(sk, probes, "tok", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val two = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == one.map { case (t, c) => t -> 2 * c })
+  }
+
   test("CMS geometry mismatches raise in-plan at execution, zero construction jobs") {
     import graft.ops.CorpusStats
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
