@@ -176,6 +176,33 @@ object Retrieval {
         size(col("__starts")).cast(LongType).as("n_occurrences"))
   }
 
+  /** Rank-quality evaluation of a retrieval run against relevance
+    * judgments (the measurement half every retrieval deployment needs):
+    * per query, the rank of the FIRST relevant hit within the top `k`,
+    * its reciprocal rank (0 when no relevant document ranks ≤ k — the
+    * standard MRR convention), and the hit@k flag. Aggregate MRR /
+    * recall@k are one `avg` over the result. `run` carries
+    * (query_id, doc_id, rank); `qrels` carries the relevant
+    * (query_id, doc_id) pairs — every distinct qrels query gets a row,
+    * so unserved queries score 0 instead of silently vanishing.
+    * Returns `(query_id, first_rel_rank, rr, hit)`; rr rounds to 6
+    * decimals (engine-portable). Pure k-bounded relational work: one
+    * equi-join of the k·|queries| run against qrels, a min per query,
+    * nothing corpus-sized. */
+  def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val hits = run.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col("doc_id")).distinct(),
+        Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(min(col("rank")).as("first_rel_rank"))
+    qrels.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        round(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast(DoubleType))
+          .otherwise(lit(0.0)), 6).as("rr"),
+        col("first_rel_rank").isNotNull.as("hit"))
+  }
+
   /** The gate family's shared query law — documents with id ≡ 0 (mod
     * `modulo`), query text = the first `prefixTokens` whitespace
     * tokens. ONE definition feeding the hand-composed gates, the

@@ -352,6 +352,23 @@ object OpsQueries {
         .orderBy("query_id", "doc_id")
     }),
 
+    // r15 s3: retrieval evaluation — known-item search (each query's
+    // relevant document is the one its text was cut from): per-query
+    // first relevant rank, reciprocal rank, hit@10 from the BM25 run
+    "q_retrieval_eval" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      val run = Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+      val qrels = queries.select(col("query_id"), col("query_id").as("doc_id"))
+      Retrieval.evalRun(run, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // r15: hybrid retrieval — reciprocal-rank fusion of the BM25 top-10
     // (first 8 tokens of docs 0–9 as queries) with the brute-force
     // cosine top-10 over the aligned embeddings (vec_id ≡ doc_id in the
@@ -2387,6 +2404,24 @@ object OpsQueries {
     "q_retrieval_bm25_shuffle" -> bm25TopkOracleSql,
     // the Runner-built serving table obeys the same law
     "q_retrieval_project" -> bm25TopkOracleSql,
+
+    // r15 s3: known-item evaluation of the BM25 run — reciprocal rank
+    // of the source document within the top 10
+    "q_retrieval_eval" ->
+      s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)},
+         |qrels AS (SELECT doc_id AS query_id, doc_id FROM documents
+         |  WHERE doc_id % 37 = 0),
+         |hits AS (SELECT r.query_id, MIN(r.rank) AS first_rel_rank
+         |  FROM lexranked r JOIN qrels q
+         |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+         |  WHERE r.rank <= 10 GROUP BY 1)
+         |SELECT q.query_id, h.first_rel_rank,
+         |  round(CASE WHEN h.first_rel_rank IS NOT NULL
+         |    THEN 1.0::DOUBLE / h.first_rel_rank ELSE 0.0::DOUBLE END, 6) AS rr,
+         |  h.first_rel_rank IS NOT NULL AS hit
+         |FROM (SELECT DISTINCT query_id FROM qrels) q
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // r15 s3: exact-phrase occurrences via the 3-way positional join
     "q_retrieval_phrase" ->

@@ -210,6 +210,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 11L, s11), (2, 10L, s10), (3, 12L, s12)))
   }
 
+  test("evalRun: reciprocal rank of the first relevant hit, zero on miss, every qrels query present") {
+    import spark.implicits._
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // q1: relevant at 3
+      (2L, 20L, 1), (2L, 21L, 2),                 // q2: relevant at 1 AND 2 → min
+      (3L, 30L, 1),                               // q3: relevant never retrieved
+      (4L, 40L, 11)                               // q4: relevant beyond k
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 12L), (2L, 20L), (2L, 21L), (3L, 99L), (4L, 40L), (5L, 50L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalRun(run, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      1L -> ((3, r6(1.0 / 3), true)),
+      2L -> ((1, 1.0, true)),
+      3L -> ((-1, 0.0, false)),   // retrieved docs never relevant
+      4L -> ((-1, 0.0, false)),   // relevant doc ranked past k
+      5L -> ((-1, 0.0, false))),  // query never served at all
+      s"got $out")
+  }
+
   test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val q = docs.filter(col("doc_id") % 37 === 0)
