@@ -607,6 +607,25 @@ object ScaleProbe {
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())
+      // r15 s3: the positional index and phrase serving — build linear
+      // like the flat index; matching against a HELD index touches only
+      // the postings of the phrase terms and verifies by array
+      // intersection (no positions self-join)
+      timed("positional_index_build", runs, opFilter)(
+        ops.Retrieval.positionalIndex(docs, "doc_id", "text").count())
+      val posArts =
+        if (opFilter("phrase_match_held64")) {
+          val p = ops.Retrieval.positionalIndex(docs, "doc_id", "text").persist()
+          p.count(); Some(p)
+        } else None
+      timed("phrase_match_held64", runs, opFilter) {
+        val qs = docs.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 3), " ")
+              .as("qtext"))
+        ops.Retrieval.phraseMatch(posArts.get, qs, "query_id", "qtext").count()
+      }
+      posArts.foreach(_.unpersist())
       // r15 s3: count-min sketch — build is the one corpus-sized pass
       // (shuffle bounded by d×w partials per partition, NOT corpus
       // rows); estimating against a held sketch is probe-set-sized
