@@ -607,6 +607,52 @@ object ScaleProbe {
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())
+      // r15 s3 (late): the beyond-broadcast BM25 serving regime —
+      // strategy="shuffle" with broadcast disabled, once against a
+      // PLAIN posting frame (both sides exchange on the term) and once
+      // against a 32-bucket graft store on term (the one-side
+      // KeyGrouped shuffle: only the query side moves). The shuffle-
+      // record pair is the regime-2 receipt for term-keyed serving.
+      if (opFilter("bm25_shuffle_unbucketed") || opFilter("bm25_shuffle_bucketed")) {
+        val dls = ops.Retrieval.docLengths(docs, "doc_id", "text").persist()
+        dls.count()
+        def qs64 = docs.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+              .as("qtext"))
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          timed("bm25_shuffle_unbucketed", runs, opFilter) {
+            ops.Retrieval.bm25TopK(
+              ops.Retrieval.postingIndex(docs, "doc_id", "text"), dls,
+              qs64, "query_id", "qtext", k = 10, strategy = "shuffle").count()
+          }
+          if (opFilter("bm25_shuffle_bucketed")) {
+            import graft.relations.RelationManager
+            val whDir = java.nio.file.Files.createTempDirectory("graft_bm25b")
+            val rm = new RelationManager(spark, whDir.toString)
+            val rel = graft.core.Relation("graft", "main", "postings_b")
+            rm.writeBucketedTable(
+              ops.Retrieval.postingIndex(docs, "doc_id", "text"),
+              rel, 32, Seq("term"))
+            try timed("bm25_shuffle_bucketed", runs, opFilter) {
+              ops.Retrieval.bm25TopK(rm.read(rel), dls,
+                qs64, "query_id", "qtext", k = 10, strategy = "shuffle").count()
+            } finally {
+              try {
+                val walk = java.nio.file.Files.walk(whDir)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+                finally walk.close()
+              } catch { case _: java.io.IOException => () }
+            }
+          }
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          dls.unpersist()
+        }
+      }
       // r15 s3: the positional index and phrase serving — build linear
       // like the flat index; matching against a HELD index touches only
       // the postings of the phrase terms and verifies by array
