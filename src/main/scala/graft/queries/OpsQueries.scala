@@ -319,6 +319,33 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r15 s3: serving from the PERSISTED bucketed store — the posting
+    // index written as a term-bucketed graft table and scored through
+    // the V2 read path with the shuffle strategy (the 100 TB batch-
+    // serving composition the regime-2 probe measures). Same law as
+    // every other BM25 gate; only the storage and join plan move.
+    "q_retrieval_bm25_store" -> ((s, d) => {
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val docs = Tables.documents(s, d)
+      val whDir = java.nio.file.Files.createTempDirectory("graft_bm25s_wh").toString
+      val rm = new RelationManager(s, whDir)
+      try {
+        val postRel = graft.core.Relation("graft", "main", "postings_b")
+        val dlRel = graft.core.Relation("graft", "main", "doc_lens")
+        rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+          postRel, 8, Seq("term"))
+        rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+        // MATERIALIZE before the finally deletes the temp warehouse
+        Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel),
+          Retrieval.prefixQueries(docs, "doc_id", "text",
+            modulo = 37, prefixTokens = 6),
+          "query_id", "qtext", k = 10, strategy = "shuffle")
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteDir(whDir)
+    }),
+
     // r15 s3: the DECLARED shuffle regime for batch query workloads —
     // same scores as the broadcast path by construction (shared
     // oracle); the strategy only moves the join plan
@@ -1757,6 +1784,23 @@ object OpsQueries {
        |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
        |  FROM lexscored)""".stripMargin
 
+  /** Exact-phrase oracle — shared by the one-shot gate and the
+    * positional-store stream-ingest gate (append additivity makes the
+    * split invisible). */
+  private[queries] val phraseOracleSql: String =
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents),
+         |q AS (SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
+         |      FROM t WHERE doc_id % 53 = 0 AND len(tk) >= 3),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p
+         |  FROM t),
+         |occ AS (SELECT q.query_id, a.doc_id, a.p
+         |  FROM q JOIN pos a ON a.term = q.t1
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = q.t2
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.term = q.t3)
+         |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+
   private[queries] val bm25TopkOracleSql: String =
     s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)}
        |SELECT query_id, rank, doc_id, score FROM lexranked
@@ -2402,6 +2446,7 @@ object OpsQueries {
     "q_retrieval_bm25_topk" -> bm25TopkOracleSql,
     "q_retrieval_bm25_incremental" -> bm25TopkOracleSql,
     "q_retrieval_bm25_shuffle" -> bm25TopkOracleSql,
+    "q_retrieval_bm25_store" -> bm25TopkOracleSql,
     // the Runner-built serving table obeys the same law
     "q_retrieval_project" -> bm25TopkOracleSql,
 
@@ -2424,19 +2469,7 @@ object OpsQueries {
          |ORDER BY query_id""".stripMargin,
 
     // r15 s3: exact-phrase occurrences via the 3-way positional join
-    "q_retrieval_phrase" ->
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents),
-         |q AS (SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
-         |      FROM t WHERE doc_id % 53 = 0 AND len(tk) >= 3),
-         |pos AS MATERIALIZED (
-         |  SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p
-         |  FROM t),
-         |occ AS (SELECT q.query_id, a.doc_id, a.p
-         |  FROM q JOIN pos a ON a.term = q.t1
-         |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = q.t2
-         |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.term = q.t3)
-         |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-         |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
+    "q_retrieval_phrase" -> phraseOracleSql,
 
     // r15: reciprocal-rank fusion of the BM25 top-10 and the brute
     // cosine top-10 (vec_id ≡ doc_id); 1/(60 + rank) summed over the

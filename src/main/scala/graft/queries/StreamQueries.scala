@@ -663,6 +663,44 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r15 s3: CONTINUOUS positional-index ingest — the phrase-capable
+    // store under the same pure-append law as the flat posting index
+    // (disjoint doc ids; positions are per-document, so batches never
+    // touch each other's rows). Phrase serving from the folded store ≡
+    // the one-shot law.
+    "q_stream_phrase_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sph_in")
+      val ckpt = Files.createTempDirectory("graft_sph_ck")
+      val docs = Tables.documents(s, d)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sph_wh").toString)
+      val idxRel = graft.core.Relation("graft", "main", "positional_store")
+      rm.writeTable(Retrieval.positionalIndex(docs.limit(0), "doc_id", "text"), idxRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          rm.appendTable(Retrieval.positionalIndex(batch, "doc_id", "text"), idxRel)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      val queries = docs.filter(col("doc_id") % 53 === 0)
+        .filter(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3), " ")
+            .as("qtext"))
+      Retrieval.phraseMatch(rm.read(idxRel), queries, "query_id", "qtext")
+        .orderBy("query_id", "doc_id")
+    }),
+
     // r15 s3: CONTINUOUS count-min ingest — each micro-batch builds its
     // own d×w sketch rows and MERGE-upserts them into the persisted
     // counter grid via cmsMerge (counters additive, geometry declared +
@@ -1294,6 +1332,9 @@ object StreamQueries {
 
     // counter additivity makes the batch split invisible to the law
     "q_stream_cms_ingest" -> OpsQueries.cmsOracleSql,
+
+    // the appended positional store is definitionally the one-shot index
+    "q_stream_phrase_ingest" -> OpsQueries.phraseOracleSql,
 
     // stream ≡ batch for the frame-level clip ingest: generation 1
     // (bases) probes an empty store, generation 2 (trims) probes exactly
