@@ -639,14 +639,7 @@ object ScaleProbe {
             try timed("bm25_shuffle_bucketed", runs, opFilter) {
               ops.Retrieval.bm25TopK(rm.read(rel), dls,
                 qs64, "query_id", "qtext", k = 10, strategy = "shuffle").count()
-            } finally {
-              try {
-                val walk = java.nio.file.Files.walk(whDir)
-                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                  .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-                finally walk.close()
-              } catch { case _: java.io.IOException => () }
-            }
+            } finally graft.queries.OpsQueries.deleteDir(whDir.toString)
           }
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)

@@ -180,8 +180,11 @@ object Retrieval {
     * judgments (the measurement half every retrieval deployment needs):
     * per query, the rank of the FIRST relevant hit within the top `k`,
     * its reciprocal rank (0 when no relevant document ranks ≤ k — the
-    * standard MRR convention), and the hit@k flag. Aggregate MRR /
-    * recall@k are one `avg` over the result. `run` carries
+    * standard MRR convention), and the hit@k flag. Aggregate MRR and
+    * SUCCESS@k (hit rate) are one `avg` over the result — note avg(hit)
+    * is success@k, not recall@k, when a query has several relevant
+    * documents (recall@k needs the retrieved-relevant COUNT per query;
+    * extend the hits aggregate if a multi-relevant qrels needs it). `run` carries
     * (query_id, doc_id, rank); `qrels` carries the relevant
     * (query_id, doc_id) pairs — every distinct qrels query gets a row,
     * so unserved queries score 0 instead of silently vanishing.

@@ -648,10 +648,19 @@ object StreamQueries {
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          // tokenize the batch once; both artifacts are append-only
-          rm.appendTable(Retrieval.postingIndex(batch, "doc_id", "text"), postRel)
-          rm.appendTable(Retrieval.docLengths(batch, "doc_id", "text"), dlRel)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // tokenize the batch once; both artifacts are append-only.
+          // Replay guard (the StreamingOps.appendToTable discipline): a
+          // batch retried after its commit would otherwise DOUBLE the
+          // tf/dl rows and corrupt every downstream score
+          try {
+            if (rm.lastTxn(postRel, "sri_post").forall(_ < batchId))
+              rm.appendTable(Retrieval.postingIndex(batch, "doc_id", "text"),
+                postRel, txn = Map("sri_post" -> batchId))
+            if (rm.lastTxn(dlRel, "sri_dl").forall(_ < batchId))
+              rm.appendTable(Retrieval.docLengths(batch, "doc_id", "text"),
+                dlRel, txn = Map("sri_dl" -> batchId))
+          } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
       q.processAllAvailable(); q.stop()
@@ -686,8 +695,15 @@ object StreamQueries {
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          rm.appendTable(Retrieval.positionalIndex(batch, "doc_id", "text"), idxRel)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // replay guard: a duplicated (term, doc) positional row would
+          // make phraseMatch's offset-completeness check REJECT the doc
+          // (silent match loss, not just dup output)
+          try {
+            if (rm.lastTxn(idxRel, "sph_idx").forall(_ < batchId))
+              rm.appendTable(Retrieval.positionalIndex(batch, "doc_id", "text"),
+                idxRel, txn = Map("sph_idx" -> batchId))
+          } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
       q.processAllAvailable(); q.stop()
@@ -726,11 +742,20 @@ object StreamQueries {
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val folded = CorpusStats.cmsMerge(4, 2048,
-            rm.read(skRel),
-            CorpusStats.cmsSketch(batch, "text", depth = 4, width = 2048))
-          rm.writeTable(folded.localCheckpoint(true), skRel)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // replay guard: this sink is read-merge-WRITE, so an unguarded
+          // retry would permanently double-count the batch's tokens (an
+          // over-count the sketch's one-sided error masks but the gate's
+          // oracle would catch)
+          try {
+            if (rm.lastTxn(skRel, "scms").forall(_ < batchId)) {
+              val folded = CorpusStats.cmsMerge(4, 2048,
+                rm.read(skRel),
+                CorpusStats.cmsSketch(batch, "text", depth = 4, width = 2048))
+              rm.writeTable(folded.localCheckpoint(true), skRel,
+                txn = Map("scms" -> batchId))
+            }
+          } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
       q.processAllAvailable(); q.stop()

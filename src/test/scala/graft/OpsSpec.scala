@@ -604,7 +604,9 @@ class OpsSpec extends AnyFunSuite {
         val merged = CorpusStats.cmsMerge(4, 512, sk, sk)
         val e = CorpusStats.cmsEstimate(merged, probes, "tok",
           depth = 4, width = 512)
-        Thread.sleep(500) // listener bus is async; a submitted job would land
+        // drain the async bus deterministically — a fixed sleep can only
+        // ever FALSE-PASS (a late-landing job event escapes the assert)
+        org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
         assert(jobs.get() == 0,
           s"plan construction must fire no Spark job, saw ${jobs.get()}")
         e
