@@ -303,8 +303,9 @@ object ScaleProbe {
       val deconStore =
         if (opFilter("decontaminate_registry_fold")) {
           val benchStride = math.max(n / 500, 1)
-          val oldBench = docs.filter(col("doc_id") % benchStride === 0
-            && col("doc_id") % (2 * benchStride) === 0)
+          // even multiples of benchStride (newBench below takes the odd
+          // ones — the % (2·stride) = 0 test alone encodes the split)
+          val oldBench = docs.filter(col("doc_id") % (2 * benchStride) === 0)
           val idx = ops.Decontaminate
             .corpusShingleIndex(docs, "doc_id", "text", 4).persist()
           val shs = ops.Decontaminate

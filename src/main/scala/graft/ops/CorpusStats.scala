@@ -217,23 +217,27 @@ object CorpusStats {
 
   /** Estimate from sketch rows (possibly a union of several corpora's
     * [[kmvMinHashes]] — re-ranks, so merged sets fold to min-k first).
-    * `k` comes from the rows' own `sketch_k` and must be uniform: mixing
-    * sketch sizes (or estimating at a larger k than the sketch holds)
-    * would silently take the exact-count branch with a truncated set. */
-  def kmvEstimate(sketch: DataFrame, groupCol: String): DataFrame = {
-    val ks = sketch.select(col("sketch_k")).distinct().collect().map(_.getInt(0))
-    // an empty sketch frame estimates nothing: zero groups in, zero
-    // estimate rows out (NOT a uniform-k failure — there is no k)
-    if (ks.isEmpty)
-      return sketch.select(col(groupCol),
-        lit(null).cast(DoubleType).as("ndv_est")).limit(0)
-    require(ks.length == 1,
-      s"kmvEstimate: sketches built with different k cannot merge: ${ks.toSeq}")
-    val k = ks.head
-    val reranked = Similarity.rankTopK(
-      sketch.select(col(groupCol).as("query_id"), col("h").as("neighbor_id"),
-        col("u")).distinct(),
-      "u", k, ascending = true)
+    * `k` is the DECLARED sketch size (the [[cmsEstimate]] geometry
+    * convention): every consumed row's self-described `sketch_k` must
+    * equal it, enforced by a per-row when/raise_error IN the plan —
+    * zero jobs at query construction (the old form ran an eager
+    * `distinct().collect()` over the sketch lineage just to read k,
+    * O(plan) for a lazily-composed sketch — r15 verdict). Mixing sketch
+    * sizes, or declaring a k the rows weren't built with, would
+    * silently take the exact-count branch with a truncated set — the
+    * guard makes it a hard execution error instead. An empty sketch
+    * frame estimates nothing (zero groups in, zero rows out). */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val guarded = sketch.select(col(groupCol).as("query_id"),
+      col("h").as("neighbor_id"),
+      when(col("sketch_k") === k, col("u"))
+        .otherwise(raise_error(concat(
+          lit(s"KMV sketch size mismatch: estimating at k=$k, row built with k="),
+          col("sketch_k").cast(StringType)))
+          .cast(DoubleType))
+        .as("u"))
+    val reranked = Similarity.rankTopK(guarded.distinct(), "u", k,
+      ascending = true)
     estimateFromRanked(reranked, groupCol, k)
   }
 

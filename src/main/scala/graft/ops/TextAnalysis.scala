@@ -125,11 +125,16 @@ object TextAnalysis {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
+        val prev = vocab
         vocab = vocab.select(applyBpeMerge(col("syms"), l, r).as("syms"),
           col("freq")).localCheckpoint(true)
+        // the new checkpoint is materialized (eager); drop the superseded
+        // copy or nMerges+1 vocab frames pile up in block-manager storage
+        prev.unpersist()
         rank += 1
       }
     }
+    vocab.unpersist() // merges are driver-held; the final frame is not returned
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
   }
 

@@ -317,7 +317,7 @@ object StreamQueries {
         .start()
       q.processAllAvailable(); q.stop()
       deleteRecursively(landing); deleteRecursively(ckpt)
-      CorpusStats.kmvEstimate(rm.read(sketchRel), "lang").orderBy("lang")
+      CorpusStats.kmvEstimate(rm.read(sketchRel), "lang", k = 16).orderBy("lang")
     }),
 
     // r13: CONTINUOUS-INGEST ANN store — the vector-store analog of the
@@ -806,14 +806,22 @@ object StreamQueries {
       rm.writeTable(keysOf(bases.limit(0)), storeRel)
       rm.writeTable(keysOf(bases.limit(0))
         .groupBy("asset_id").agg(count(lit(1)).as("n_keys")), sizesRel)
+      rm.writeTable(Dedup.setOverlapIncremental(
+        keysOf(bases.limit(0)), "asset_id", "mean_luma",
+        keysOf(bases.limit(0)), "asset_id", "mean_luma",
+        minOverlap = 0.9), pairsRel)
       val q = s.readStream.schema(bases.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           // decode + frame-sample the batch ONCE; the store holds frame
-          // keys and per-asset key counts, never media bytes
+          // keys and per-asset key counts, never media bytes.
+          // Replay guard (the StreamingOps.appendToTable discipline):
+          // a retried batch would otherwise double-append store keys —
+          // and with storeKeysDistinct=true the duplicated store rows
+          // silently inflate n_shared and emit wrong/duplicate pairs
           val keys = keysOf(batch).localCheckpoint(true)
           val pairs = Dedup.setOverlapIncremental(
             keys, "asset_id", "mean_luma",
@@ -824,11 +832,16 @@ object StreamQueries {
             // so the store stays distinct — skip the defensive dedup's
             // O(store) exchange
             storeKeysDistinct = true)
-          if (rm.exists(pairsRel)) rm.appendTable(pairs, pairsRel)
-          else rm.writeTable(pairs, pairsRel)
-          rm.appendTable(keys, storeRel)
-          rm.appendTable(
-            keys.groupBy("asset_id").agg(count(lit(1)).as("n_keys")), sizesRel)
+          try {
+            if (rm.lastTxn(pairsRel, "sfd_pairs").forall(_ < batchId))
+              rm.appendTable(pairs, pairsRel, txn = Map("sfd_pairs" -> batchId))
+            if (rm.lastTxn(storeRel, "sfd_keys").forall(_ < batchId))
+              rm.appendTable(keys, storeRel, txn = Map("sfd_keys" -> batchId))
+            if (rm.lastTxn(sizesRel, "sfd_sizes").forall(_ < batchId))
+              rm.appendTable(
+                keys.groupBy("asset_id").agg(count(lit(1)).as("n_keys")),
+                sizesRel, txn = Map("sfd_sizes" -> batchId))
+          } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
       q.processAllAvailable(); q.stop()
@@ -930,7 +943,7 @@ object StreamQueries {
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, batchId: Long) =>
           // fingerprint + score the batch ONCE
           val batch = batch0.localCheckpoint(true)
           val sigs = Dedup.minhashSignatures(batch, "doc_id", "text", 5, 32)
@@ -955,7 +968,14 @@ object StreamQueries {
             .localCheckpoint(true)
           Materializations.mergeInto(rm, survRel, delta,
             uniqueKey = Seq("doc_id"), updateColumns = Nil)
-          rm.appendTable(sigs, sigRel)
+          // replay guard: the survivor upsert above is idempotent
+          // (mergeInto), but a replayed batch would double the
+          // signature-store rows, doubling band-join candidates on
+          // every later batch
+          try {
+            if (rm.lastTxn(sigRel, "skb_sigs").forall(_ < batchId))
+              rm.appendTable(sigs, sigRel, txn = Map("skb_sigs" -> batchId))
+          } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
       q.processAllAvailable(); q.stop()

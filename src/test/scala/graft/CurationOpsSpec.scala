@@ -1431,18 +1431,26 @@ class CurationOpsSpec extends AnyFunSuite {
     val h1 = CorpusStats.kmvMinHashes(docs.filter(even), "grp", "text", k = 256)
     val h2 = CorpusStats.kmvMinHashes(docs.filter(!even), "grp", "text", k = 256)
     assert(h1.count() > 0 && h2.count() > 0, "both halves must contribute")
-    val merged = CorpusStats.kmvEstimate(h1.unionByName(h2), "grp")
+    val merged = CorpusStats.kmvEstimate(h1.unionByName(h2), "grp", k = 256)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(merged == est, s"merged $merged must equal direct $est")
     // mixing sketch sizes would silently truncate into the exact-count
-    // branch — the self-described k must reject the union loud
+    // branch — the self-described k must reject the union loud. r16:
+    // the check is a per-row in-plan raise_error (the cmsGuarded
+    // pattern), so constructing the estimate fires ZERO jobs (the old
+    // form ran distinct().collect() over the sketch lineage) and the
+    // mismatch surfaces at execution
     val hSmall = CorpusStats.kmvMinHashes(docs, "grp", "text", k = 64)
-    intercept[IllegalArgumentException](
-      CorpusStats.kmvEstimate(h1.unionByName(hSmall), "grp").collect())
+    val mixed = ConstructionJobProbe.assertNoConstructionJobs(spark, "kmv-estimate") {
+      CorpusStats.kmvEstimate(h1.unionByName(hSmall), "grp", k = 256)
+    }
+    val eMixed = intercept[Exception](mixed.collect())
+    assert(eMixed.getMessage.contains("k=256") &&
+      eMixed.getMessage.contains("k=64"), eMixed.getMessage)
     // an EMPTY sketch frame is zero groups, not a mixed-k failure:
     // estimates nothing, schema intact (r12 ADVICE — the uniform-k
     // require used to fire with a misleading 'different k: List()')
-    val emptyEst = CorpusStats.kmvEstimate(h1.limit(0), "grp")
+    val emptyEst = CorpusStats.kmvEstimate(h1.limit(0), "grp", k = 256)
     assert(emptyEst.count() == 0)
     assert(emptyEst.columns.toSeq == Seq("grp", "ndv_est"))
   }

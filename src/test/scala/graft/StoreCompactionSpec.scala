@@ -117,36 +117,12 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(sameRows(ca, cb), "compacted band index must equal the live rebuild")
   }
 
-  /** Assert `build` fires ZERO Spark jobs (the DsirModelSpec lazy-
-    * validation discipline, r15 — VERDICT task 2): from-index ingest
-    * construction must not run eager probe/validation jobs. Counted
-    * under a dedicated job group so concurrent suites on the shared
-    * session can never false-fail this. */
-  private def assertNoConstructionJobs[A](what: String)(build: => A): A = {
-    val group = s"$what-plan-construction-${System.nanoTime()}"
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        if (js.properties != null &&
-            group == js.properties.getProperty("spark.jobGroup.id"))
-          jobs.incrementAndGet()
-        ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      spark.sparkContext.setJobGroup(group, s"$what construction probe")
-      val built = build
-      Thread.sleep(500) // listener bus is async; a submitted job would land
-      assert(jobs.get() == 0,
-        s"$what construction must fire no Spark job, saw ${jobs.get()}")
-      built
-    } finally {
-      spark.sparkContext.clearJobGroup()
-      spark.sparkContext.removeSparkListener(listener)
-    }
-  }
+  /** From-index ingest construction must not run eager probe/validation
+    * jobs (r15 — VERDICT task 2); shared impl in
+    * [[ConstructionJobProbe]] since CurationOpsSpec pins the KMV
+    * estimate path the same way (r16). */
+  private def assertNoConstructionJobs[A](what: String)(build: => A): A =
+    ConstructionJobProbe.assertNoConstructionJobs(spark, what)(build)
 
   test("band index is self-describing: (bands, k) mismatch and bare relations fail loud — lazily") {
     // r12 ADVICE: an index built with different (bands, k) produces band
