@@ -180,30 +180,38 @@ object Retrieval {
     * judgments (the measurement half every retrieval deployment needs):
     * per query, the rank of the FIRST relevant hit within the top `k`,
     * its reciprocal rank (0 when no relevant document ranks ≤ k — the
-    * standard MRR convention), and the hit@k flag. Aggregate MRR and
-    * SUCCESS@k (hit rate) are one `avg` over the result — note avg(hit)
-    * is success@k, not recall@k, when a query has several relevant
-    * documents (recall@k needs the retrieved-relevant COUNT per query;
-    * extend the hits aggregate if a multi-relevant qrels needs it). `run` carries
-    * (query_id, doc_id, rank); `qrels` carries the relevant
-    * (query_id, doc_id) pairs — every distinct qrels query gets a row,
-    * so unserved queries score 0 instead of silently vanishing.
-    * Returns `(query_id, first_rel_rank, rr, hit)`; rr rounds to 6
-    * decimals (engine-portable). Pure k-bounded relational work: one
-    * equi-join of the k·|queries| run against qrels, a min per query,
+    * standard MRR convention), the hit@k flag, AND the recall@k triple
+    * (r16 — the r15-documented gap): `n_rel` distinct relevant
+    * documents, `n_rel_retrieved` of them ranked ≤ k, and their
+    * quotient `recall`. Aggregate MRR / success@k / recall@k are each
+    * one `avg` over the result — avg(hit) is success@k, avg(recall) is
+    * recall@k, and the two genuinely differ under multi-relevant qrels
+    * (a query with 3 relevant docs and 1 retrieved scores hit=1,
+    * recall=⅓). `run` carries (query_id, doc_id, rank); `qrels` carries
+    * the relevant (query_id, doc_id) pairs — every distinct qrels query
+    * gets a row, so unserved queries score 0 instead of silently
+    * vanishing. Returns `(query_id, first_rel_rank, rr, hit, n_rel,
+    * n_rel_retrieved, recall)`; rr/recall round to 6 decimals
+    * (engine-portable). Pure k-bounded relational work: one equi-join
+    * of the k·|queries| run against qrels, one aggregate per query side,
     * nothing corpus-sized. */
   def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
     val hits = run.filter(col("rank") <= k)
-      .join(qrels.select(col("query_id"), col("doc_id")).distinct(),
-        Seq("query_id", "doc_id"))
-      .groupBy("query_id").agg(min(col("rank")).as("first_rel_rank"))
-    qrels.select("query_id").distinct()
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(min(col("rank")).as("first_rel_rank"),
+        count(lit(1)).as("__n_hit"))
+    rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("first_rel_rank"),
         round(when(col("first_rel_rank").isNotNull,
           lit(1.0) / col("first_rel_rank").cast(DoubleType))
           .otherwise(lit(0.0)), 6).as("rr"),
-        col("first_rel_rank").isNotNull.as("hit"))
+        col("first_rel_rank").isNotNull.as("hit"),
+        col("n_rel"),
+        coalesce(col("__n_hit"), lit(0L)).as("n_rel_retrieved"),
+        round(coalesce(col("__n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_rel").cast(DoubleType), 6).as("recall"))
   }
 
   /** The gate family's shared query law — documents with id ≡ 0 (mod

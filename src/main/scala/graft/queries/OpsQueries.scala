@@ -381,7 +381,9 @@ object OpsQueries {
 
     // r15 s3: retrieval evaluation — known-item search (each query's
     // relevant document is the one its text was cut from): per-query
-    // first relevant rank, reciprocal rank, hit@10 from the BM25 run
+    // first relevant rank, reciprocal rank, hit@10 from the BM25 run.
+    // r16: plus the recall@k triple (n_rel = 1 here, so recall ≡ hit —
+    // the multi-relevant discrimination lives in the _recall twin)
     "q_retrieval_eval" -> ((s, d) => {
       import graft.ops.Retrieval
       val docs = Tables.documents(s, d)
@@ -392,6 +394,31 @@ object OpsQueries {
         Retrieval.docLengths(docs, "doc_id", "text"),
         queries, "query_id", "qtext", k = 10)
       val qrels = queries.select(col("query_id"), col("query_id").as("doc_id"))
+      Retrieval.evalRun(run, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
+    // r16 (VERDICT task 4): recall@k under MULTI-RELEVANT qrels — each
+    // query's relevant set is its source document plus the existing
+    // neighbors at +1/+3 (the closed per-group vocabulary makes
+    // neighbors genuine lexical near-matches, so partial retrieval
+    // actually occurs). success@k (hit) and recall diverge here: a
+    // query retrieving only its own doc scores hit=1, recall=⅓ — the
+    // discrimination the known-item fixture can't express.
+    "q_retrieval_eval_recall" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      val run = Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+      val qrels = queries.select(col("query_id"))
+        .withColumn("__off", explode(array(lit(0L), lit(1L), lit(3L))))
+        .select(col("query_id"), (col("query_id") + col("__off")).as("doc_id"))
+        .join(docs.select("doc_id"), Seq("doc_id")) // only docs that exist
+        .select("query_id", "doc_id")
       Retrieval.evalRun(run, qrels, k = 10)
         .orderBy("query_id")
     }),
@@ -1806,6 +1833,33 @@ object OpsQueries {
        |SELECT query_id, rank, doc_id, score FROM lexranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Retrieval-evaluation oracle tail over a pluggable qrels CTE —
+    * shared by the known-item gate (n_rel = 1, recall ≡ hit) and the
+    * multi-relevant recall twin (r16), replaying Retrieval.evalRun's
+    * first-rank / reciprocal-rank / hit / recall law over the BM25
+    * top-10 run. */
+  private def retrievalEvalOracleSql(qrelsSql: String): String =
+    s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)},
+       |qrels AS ($qrelsSql),
+       |rel AS (SELECT DISTINCT query_id, doc_id FROM qrels),
+       |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+       |  FROM rel GROUP BY 1),
+       |hits AS (SELECT r.query_id, MIN(r.rank) AS first_rel_rank,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rel_retrieved
+       |  FROM lexranked r JOIN rel q
+       |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+       |  WHERE r.rank <= 10 GROUP BY 1)
+       |SELECT n.query_id, h.first_rel_rank,
+       |  round(CASE WHEN h.first_rel_rank IS NOT NULL
+       |    THEN 1.0::DOUBLE / h.first_rel_rank ELSE 0.0::DOUBLE END, 6) AS rr,
+       |  h.first_rel_rank IS NOT NULL AS hit,
+       |  n.n_rel,
+       |  COALESCE(h.n_rel_retrieved, CAST(0 AS BIGINT)) AS n_rel_retrieved,
+       |  round(COALESCE(h.n_rel_retrieved, CAST(0 AS BIGINT))::DOUBLE /
+       |    n.n_rel::DOUBLE, 6) AS recall
+       |FROM nrel n LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   private val charShinglesSql =
     """list_distinct(list_transform(
       |    generate_series(1, greatest(length(text) - 4, 0)),
@@ -2451,22 +2505,15 @@ object OpsQueries {
     "q_retrieval_project" -> bm25TopkOracleSql,
 
     // r15 s3: known-item evaluation of the BM25 run — reciprocal rank
-    // of the source document within the top 10
-    "q_retrieval_eval" ->
-      s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)},
-         |qrels AS (SELECT doc_id AS query_id, doc_id FROM documents
-         |  WHERE doc_id % 37 = 0),
-         |hits AS (SELECT r.query_id, MIN(r.rank) AS first_rel_rank
-         |  FROM lexranked r JOIN qrels q
-         |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
-         |  WHERE r.rank <= 10 GROUP BY 1)
-         |SELECT q.query_id, h.first_rel_rank,
-         |  round(CASE WHEN h.first_rel_rank IS NOT NULL
-         |    THEN 1.0::DOUBLE / h.first_rel_rank ELSE 0.0::DOUBLE END, 6) AS rr,
-         |  h.first_rel_rank IS NOT NULL AS hit
-         |FROM (SELECT DISTINCT query_id FROM qrels) q
-         |LEFT JOIN hits h USING (query_id)
-         |ORDER BY query_id""".stripMargin,
+    // of the source document within the top 10; r16 adds the recall@k
+    // triple (n_rel = 1 here) and the multi-relevant _recall twin
+    "q_retrieval_eval" -> retrievalEvalOracleSql(
+      "SELECT doc_id AS query_id, doc_id FROM documents WHERE doc_id % 37 = 0"),
+    "q_retrieval_eval_recall" -> retrievalEvalOracleSql(
+      """SELECT q.doc_id AS query_id, d.doc_id
+        |  FROM documents q JOIN documents d
+        |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
+        |  WHERE q.doc_id % 37 = 0""".stripMargin),
 
     // r15 s3: exact-phrase occurrences via the 3-way positional join
     "q_retrieval_phrase" -> phraseOracleSql,

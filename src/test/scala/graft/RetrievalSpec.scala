@@ -233,6 +233,25 @@ class RetrievalSpec extends AnyFunSuite {
       4L -> ((-1, 0.0, false)),   // relevant doc ranked past k
       5L -> ((-1, 0.0, false))),  // query never served at all
       s"got $out")
+    // recall@k triple (r16): n_rel counts DISTINCT relevant docs, recall
+    // = retrieved-relevant / n_rel — q2 retrieves BOTH its relevant docs
+    // (recall 1 with n_rel 2), and a multi-relevant partial case below
+    val rec = Retrieval.evalRun(run, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(rec == Map(
+      1L -> ((1L, 1L, 1.0)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((1L, 0L, 0.0)),
+      4L -> ((1L, 0L, 0.0)),
+      5L -> ((1L, 0L, 0.0))), s"got $rec")
+    // hit vs recall genuinely diverge under partial multi-relevant
+    // retrieval: q1 has 3 relevant docs, retrieves 2 of them ≤ k
+    val qrels2 = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("query_id", "doc_id")
+    val part = Retrieval.evalRun(run, qrels2, k = 10).collect().head
+    assert(part.getBoolean(3) && part.getLong(4) == 3L &&
+      part.getLong(5) == 2L && part.getDouble(6) == r6(2.0 / 3),
+      s"partial recall row: $part")
   }
 
   test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
