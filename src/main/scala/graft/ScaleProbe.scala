@@ -605,6 +605,38 @@ object ScaleProbe {
           qs, "query_id", "qtext", k = 10).count()
       }
       retArts.foreach { case (p, l) => p.unpersist(); l.unpersist() }
+      // r16: the Zipf-head stopword receipt — planted ultra-common
+      // tokens (zipfa on every doc → df = N, zipfb on half) ride all 64
+      // queries. The df-elision leg must COLLAPSE candidate CPU and
+      // shuffle vs its unfiltered twin: elided terms die at the first
+      // contrib join (Retrieval.bm25TopK r16) instead of riding three
+      // joins and the scoring arithmetic — the unfiltered twin scores
+      // ~64·N hot-term rows, the elided one only the ordinary-term
+      // postings.
+      val zipfArts =
+        if (opFilter("bm25_zipf_nofilter") || opFilter("bm25_zipf_stopword")) {
+          val zdocs = docs.select(col("doc_id"),
+            concat(col("text"), lit(" zipfa"),
+              when(col("doc_id") % 2 === 0, lit(" zipfb")).otherwise(lit("")))
+              .as("text"))
+          val p = ops.Retrieval.postingIndex(zdocs, "doc_id", "text").persist()
+          val l = ops.Retrieval.docLengths(zdocs, "doc_id", "text").persist()
+          p.count(); l.count()
+          Some((p, l))
+        } else None
+      def zipfQs = docs.filter(col("doc_id") < 64)
+        .select(col("doc_id").as("query_id"),
+          concat(array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 4), " "),
+            lit(" zipfa zipfb")).as("qtext"))
+      timed("bm25_zipf_nofilter", runs, opFilter) {
+        ops.Retrieval.bm25TopK(zipfArts.get._1, zipfArts.get._2, zipfQs,
+          "query_id", "qtext", k = 10).count()
+      }
+      timed("bm25_zipf_stopword", runs, opFilter) {
+        ops.Retrieval.bm25TopK(zipfArts.get._1, zipfArts.get._2, zipfQs,
+          "query_id", "qtext", k = 10, maxDfFraction = 0.3).count()
+      }
+      zipfArts.foreach { case (p, l) => p.unpersist(); l.unpersist() }
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())

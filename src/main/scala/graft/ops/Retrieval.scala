@@ -104,13 +104,40 @@ object Retrieval {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    // The candidate slice feeds TWO consumers (the df aggregate and the
+    // contrib join). Without a shared exchange each consumer re-derives
+    // it — two full scans of the corpus-sized posting index, which IS
+    // the serving cost once the index dwarfs the candidates (r16: the
+    // 150k probe spent ~2× index-scan CPU here). The explicit
+    // repartition makes the two subtrees share one physical exchange
+    // (ReusedExchange), so the index is scanned ONCE and only
+    // candidate rows (Σ_t df(t) — batch-shaped, never index-shaped)
+    // move. Keyed on (term, doc) rather than term alone: a stopword's
+    // whole posting list on one key would be the classic straggler —
+    // hashing in the doc spreads hot terms across partitions, and the
+    // df aggregate's own exchange above the partial count is
+    // #terms×#partitions rows, noise. Under the bucketed-store regime
+    // the join output is already candidates, so this never exchanges
+    // store rows either.
     val touched = postings.join(side(qTerms.select("term").distinct()), "term")
+      .repartition(col("term"), col("doc_id"))
     val dfPerTerm = touched.groupBy("term").agg(count(lit(1)).as("df"))
+    // df-elision prunes the TERM LIST, not the scored rows (r16): an
+    // elided hot term's posting rows die at the first contrib join
+    // below instead of riding three joins and the scoring arithmetic
+    // just to be filtered at the end — on a Zipf corpus the stopword
+    // fanout IS the candidate CPU, so the cut point matters. (The df
+    // aggregate above still scans the hot term's postings once — df is
+    // defined over them — but that is one count, not a score.)
+    val dfKept =
+      if (maxDfFraction >= 1.0) dfPerTerm
+      else dfPerTerm.crossJoin(broadcast(stats))
+        .filter(col("df").cast(DoubleType) <= lit(maxDfFraction) * col("__n"))
+        .select("term", "df")
     val contrib = touched
-      .join(side(dfPerTerm), "term")
+      .join(side(dfKept), "term")
       .join(side(qTerms), "term")
       .crossJoin(broadcast(stats))
-      .filter(col("df").cast(DoubleType) <= lit(maxDfFraction) * col("__n"))
       .withColumn("__idf",
         log(lit(1.0) + (col("__n") - col("df").cast(DoubleType) + lit(0.5)) /
           (col("df").cast(DoubleType) + lit(0.5))))

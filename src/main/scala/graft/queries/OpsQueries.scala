@@ -361,6 +361,35 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r16 (VERDICT task 3): df-based stopword elision UNDER A ZIPF
+    // HEAD — planted ultra-common tokens (zipfa on every doc → df ≈
+    // 1.0·N, zipfb on half, zipfc on 5%) ride every query;
+    // maxDfFraction = 0.3 drops the first two (and any base-vocabulary
+    // term above the cut) BEFORE candidate generation, so hot terms
+    // never fan out across their posting lists. The knob changes
+    // semantics — this gate is what pins them (it was off in every
+    // r15 gate); the oracle replays the identical df filter.
+    "q_retrieval_bm25_stopword" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val aug = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"), lit(" zipfa"),
+        when(col("doc_id") % 2 === 0, lit(" zipfb")).otherwise(lit("")),
+        when(col("doc_id") % 20 === 0, lit(" zipfc")).otherwise(lit("")))
+        .as("ztext"))
+      // every query carries all three hot terms plus 4 ordinary tokens
+      // (plants append AFTER the text and every doc has ≥ 6 tokens, so
+      // the first-4 slice of the planted text is the base prefix)
+      val queries = aug.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat(array_join(slice(TA.tokens(col("ztext")), 1, 4), " "),
+            lit(" zipfa zipfb zipfc")).as("qtext"))
+      Retrieval.bm25TopK(
+        Retrieval.postingIndex(aug, "doc_id", "ztext"),
+        Retrieval.docLengths(aug, "doc_id", "ztext"),
+        queries, "query_id", "qtext", k = 10, maxDfFraction = 0.3)
+        .orderBy("query_id", "rank")
+    }),
+
     // r15 s3: exact-phrase matching from the POSITIONAL index — the
     // phrase's i-th token must sit at start+i; occurrences counted as
     // distinct start positions, verified by pure array intersection
@@ -1780,10 +1809,23 @@ object OpsQueries {
     * EXPRESSION-FOR-EXPRESSION (left-assoc products, (1.2 + 1.0) instead
     * of a 2.2 literal, ln of the non-negative idf) so round(·, 6) agrees
     * bit-for-bit. `querySel` filters the query documents; queries are
-    * the first `prefixTokens` whitespace tokens. Emits `lexranked`
+    * the first `prefixTokens` whitespace tokens plus any `qExtraTerms`
+    * (the Zipf-stopword gate appends its planted hot tokens — r16).
+    * `docsFrom` lets a caller prepend a text-planting CTE aliased back
+    * to (doc_id, text); `maxDfFraction` replays the engine's df-based
+    * stopword elision filter. Emits `lexranked`
     * (query_id, doc_id, score, rank). */
-  private def bm25Ctes(querySel: String, prefixTokens: Int): String =
-    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  private def bm25Ctes(querySel: String, prefixTokens: Int,
+                       docsFrom: String = "documents",
+                       qExtraTerms: Seq[String] = Nil,
+                       maxDfFraction: Option[Double] = None): String = {
+    val qTermList =
+      if (qExtraTerms.isEmpty) s"tk[1:$prefixTokens]"
+      else s"list_concat(tk[1:$prefixTokens], [${
+        qExtraTerms.map(t => s"'$t'").mkString(", ")}])"
+    val dfFilter = maxDfFraction
+      .map(f => s"\n  WHERE CAST(d.df AS DOUBLE) <= $f * s.n").getOrElse("")
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM $docsFrom),
        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |                 AVG(CAST(len(tk) AS DOUBLE)) AS avgdl FROM t),
        |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1791,7 +1833,7 @@ object OpsQueries {
        |               unnest(tk) AS term FROM t)
        |  GROUP BY 1, 2, 3),
        |qt AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS qtf
-       |  FROM (SELECT doc_id AS query_id, unnest(tk[1:$prefixTokens]) AS term
+       |  FROM (SELECT doc_id AS query_id, unnest($qTermList) AS term
        |        FROM t WHERE $querySel)
        |  GROUP BY 1, 2),
        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
@@ -1804,12 +1846,13 @@ object OpsQueries {
        |      (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
        |      (CAST(p.tf AS DOUBLE) +
        |       1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)) AS c
-       |  FROM qt JOIN post p USING (term) JOIN dfq d USING (term), stats s),
+       |  FROM qt JOIN post p USING (term) JOIN dfq d USING (term), stats s$dfFilter),
        |lexscored AS (SELECT query_id, doc_id, round(SUM(c), 6) AS score
        |  FROM contrib GROUP BY 1, 2),
        |lexranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
        |  FROM lexscored)""".stripMargin
+  }
 
   /** Exact-phrase oracle — shared by the one-shot gate and the
     * positional-store stream-ingest gate (append additivity makes the
@@ -2503,6 +2546,20 @@ object OpsQueries {
     "q_retrieval_bm25_store" -> bm25TopkOracleSql,
     // the Runner-built serving table obeys the same law
     "q_retrieval_project" -> bm25TopkOracleSql,
+
+    // r16: BM25 with the df-elision knob ON over the planted Zipf head —
+    // same CTE block with the plant and the engine's df filter replayed
+    "q_retrieval_bm25_stopword" ->
+      s"""WITH zaug AS (SELECT doc_id,
+         |    text || ' zipfa' ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN ' zipfb' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 20 = 0 THEN ' zipfc' ELSE '' END) AS text
+         |  FROM documents),
+         |${bm25Ctes("doc_id % 37 = 0", 4, docsFrom = "zaug",
+             qExtraTerms = Seq("zipfa", "zipfb", "zipfc"),
+             maxDfFraction = Some(0.3))}
+         |SELECT query_id, rank, doc_id, score FROM lexranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // r15 s3: known-item evaluation of the BM25 run — reciprocal rank
     // of the source document within the top 10; r16 adds the recall@k
