@@ -130,6 +130,29 @@ object Microbatch {
     val batches = buildBatches(start, runEnd, size)
     val partCol = "__graft_batch"
 
+    // Declarable bucketing for microbatch STORES (r16): meta
+    // buckets/bucket_by declare the layout once at table bootstrap — an
+    // empty v0 commit carrying only the schema and the bucket
+    // declaration (filter(false) prunes the build plan to nothing, no
+    // data job). Every staged batch afterwards routes through the
+    // declared layout (stage() reads the current version's bucketing,
+    // and commitStagedPartitions keys replacement on the LOGICAL
+    // partition, so `_bucket=` dirs nest inside each batch partition).
+    // This is what lets an append-only ingest store — the retrieval
+    // posting index — accumulate O(batch) per nightly run AND serve
+    // storage-partitioned joins from its bucket layout.
+    config.meta.get("buckets").map(_.toInt).foreach { n =>
+      if (!rm.exists(rel) && batches.nonEmpty) {
+        val cols = config.meta.getOrElse("bucket_by",
+          throw new IllegalArgumentException(s"buckets=$n needs bucket_by"))
+          .split("\\s*\\|\\s*").toSeq
+        val empty = build(batches.head).filter(lit(false))
+          .withColumn(partCol, lit(null).cast("string"))
+        rm.writeTable(empty, rel, partitionBy = Seq(partCol),
+          statsCols = cols, bucketBy = cols, buckets = n)
+      }
+    }
+
     def stageOne(b: (Instant, Instant)): graft.relations.Staged = {
       val df = build(b)
         .withColumn(partCol, date_format(date_trunc(size match {

@@ -278,6 +278,45 @@ object Retrieval {
     register("retrieval_bm25_top10")((_, deps) =>
       bm25TopK(deps("postings"), deps("doc_lens"), deps("queries"),
         "query_id", "qtext", k = 10))
+
+    // --- the INGEST project's stage fns (r16 — VERDICT task 1): the
+    // nightly counterpart of the one-shot retrieval project, mirroring
+    // examples/curation_incremental's discipline. `ri_feed` stamps the
+    // two-generation event clock (2025-01-01 + doc_id%2 days); the
+    // posting/doc-length stages are MICROBATCH models whose per-batch
+    // output carries event_ts (the Runner's batch window filters both
+    // the feed ref and the output frame), and their stores are
+    // PURE-APPEND additive — each nightly batch commits one event-time
+    // partition, never touching prior generations' files (the
+    // q_retrieval_project_incremental gate proves it from the commit
+    // log). The posting store declares an 8-bucket term layout
+    // (meta.buckets in the project conf → the microbatch bootstrap
+    // declaration), so the accumulated artifact is simultaneously
+    // O(batch) to maintain and bucket-served at scale. Serving and the
+    // query law are ordinary table models: df/N/avgdl legitimately
+    // shift with every generation, so serving RECOMPUTES from the
+    // accumulated stores by design.
+    register("ri_feed") { (_, deps) =>
+      one(deps).withColumn("event_ts",
+        to_timestamp(date_add(
+          to_date(lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("2025-01-01T00:00:00Z")))),
+          (col("doc_id") % 2).cast("int"))))
+    }
+    register("ri_postings")((_, deps) =>
+      postingIndex(deps("feed"), "doc_id", "text")
+        .join(deps("feed").select("doc_id", "event_ts"), Seq("doc_id")))
+    register("ri_doc_lens")((_, deps) =>
+      docLengths(deps("feed"), "doc_id", "text")
+        .join(deps("feed").select("doc_id", "event_ts"), Seq("doc_id")))
+    register("ri_queries")((_, deps) =>
+      prefixQueries(deps("feed"), "doc_id", "text",
+        modulo = 37, prefixTokens = 6))
+    register("ri_bm25_top10")((_, deps) =>
+      bm25TopK(
+        deps("postings").select("term", "doc_id", "tf", "dl"),
+        deps("doc_lens").select("doc_id", "dl"),
+        deps("queries"), "query_id", "qtext", k = 10))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs

