@@ -177,6 +177,7 @@ object Bench {
       catch { case t: Throwable => errs.getOrElseUpdate(name, brief(t)) }
     }
     spark.catalog.clearCache()
+    graft.queries.GatePhases.reset() // warm-up build records don't count
 
     // Best-of-N, pass-interleaved: each pass times every query once, and a
     // query reports its MINIMUM across passes. A transient load spike on
@@ -197,8 +198,12 @@ object Bench {
             catch { case t: Throwable => errs.getOrElseUpdate(name, brief(t)); false }
           val elapsed = (System.nanoTime() - t0) / 1e9
           val cpu = (cpuNow() - c0) / 1e9 // drained AFTER elapsed is fixed
+          // eager store-build seconds the gate recorded this invocation
+          // (0 for gates that never call in) — drained per query so one
+          // gate's scaffolding can't leak into the next
+          val build = graft.queries.GatePhases.drain(name)
           spark.catalog.clearCache() // no persisted-frame leakage between queries
-          if (ok) Some(name -> (elapsed, cpu)) else None
+          if (ok) Some(name -> (elapsed, cpu, build)) else None
         }
       }.toMap
     }
@@ -210,6 +215,17 @@ object Bench {
     // memory-pressure cycles do inflate it)
     val bestCpu = allTimed.filterNot(errs.contains).map(name =>
       name -> passes.flatMap(_.get(name).map(_._2)).min).toMap
+    // build/fold split (r16 — the ingest group's number was 65% in-gate
+    // store scaffolding, hiding fold regressions): min independently per
+    // phase (same additive-noise floor argument); reported only for
+    // gates that recorded a build, full-line/sidecar only. The group
+    // totals above stay byte-compatible for trends.
+    val phases = allTimed.filterNot(errs.contains).flatMap { name =>
+      val obs = passes.flatMap(_.get(name))
+      if (obs.exists(_._3 > 0.0005))
+        Some(name -> (obs.map(_._3).min, obs.map(o => o._1 - o._3).min))
+      else None
+    }
     def qsJson(names: Seq[String]): String =
       names.flatMap(n => best.get(n).map(v => "\"" + n + f"\":$v%.3f"))
         .mkString("{", ",", "}")
@@ -231,12 +247,17 @@ object Bench {
           f""","${metric}_cpu":${cpuTotalOf(names)}%.3f"""
         }.mkString +
         s""","cpu_queries":${cpuQsJson(allTimed)}"""
+    val phasesJson =
+      if (phases.isEmpty) ""
+      else phases.map { case (n, (b, f)) =>
+        "\"" + n + f"""\":{"build_s":$b%.3f,"fold_s":$f%.3f}"""
+      }.mkString(""","phases":{""", ",", "}")
     val errJson =
       if (errs.isEmpty) ""
       else errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
         .mkString(""","partial":true,"errors":{""", ",", "}")
     val json =
-      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$cpuJson$errJson}"""
+      f"""{"metric":"headline_total","value":${totalOf(timed)}%.3f,"unit":"sec","queries":${qsJson(timed)},"sf":"$sfDir"$extraJson$cpuJson$phasesJson$errJson}"""
     // COMPACT twin (r14): the driver stores only the last ~2000 chars of
     // stdout, and the full artifact (per-query wall + cpu + extra-metric
     // breakdowns) outgrew that window in r12/r13 — the captured tail
