@@ -783,10 +783,11 @@ object Dedup {
   def connectedComponentsIncremental(assignment: DataFrame, nodeCol: String, compCol: String,
                                      newEdges: DataFrame, aCol: String, bCol: String,
                                      maxIter: Int = 50,
-                                     deltaOnly: Boolean = false): DataFrame = {
+                                     deltaOnly: Boolean = false,
+                                     maxContractedNodes: Long = 8L * 1000 * 1000): DataFrame = {
     val assign = assignment.select(col(nodeCol).as("node"), col(compCol).as("component"))
     val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val (merged, remap) = foldContractedGraph(assign, ea, maxIter)
+    val (merged, remap) = foldContractedGraph(assign, ea, maxIter, maxContractedNodes)
     val oldRows = if (deltaOnly) {
       assign.join(broadcast(remap), Seq("component"), "inner")
         .select(col("node"), col("__new").as("component"))
@@ -813,9 +814,21 @@ object Dedup {
     * batch-sized residue, and return (merged labels over the
     * contracted nodes, the old-root → new-root remap). `merged` is
     * eager by nature (the star iteration is driver-controlled) and
-    * batch-bounded, pinned once for its consumers. */
+    * batch-bounded, pinned once for its consumers.
+    *
+    * Degenerate-batch guard (r16 — VERDICT task 7): the fold's merge
+    * maps are EXPLICIT broadcasts, so a "batch" approaching the store's
+    * scale melts the driver, and the old contract was documentation
+    * only. The guard bounds what is physically broadcast — the
+    * contracted node count, read off the already-materialized frame
+    * (one cached count, no extra scan of store OR batch) — and fails
+    * loud past `maxContractedNodes` with the run-the-one-shot guidance.
+    * An absolute broadcast bound, not a store ratio: the broadcast is
+    * the quantity that pages, and a ratio would cost an O(store) count
+    * per fold to guard the same hazard. */
   private def foldContractedGraph(assign: DataFrame, ea: DataFrame,
-                                  maxIter: Int): (DataFrame, DataFrame) = {
+                                  maxIter: Int,
+                                  maxContractedNodes: Long): (DataFrame, DataFrame) = {
     val projected = ea
       .join(assign.select(col("node").as("a"), col("component").as("ca")), Seq("a"), "left")
       .join(assign.select(col("node").as("b"), col("component").as("cb")), Seq("b"), "left")
@@ -824,6 +837,13 @@ object Dedup {
     val contracted = projected.filter(col("ca") =!= col("cb"))
     val merged = connectedComponents(contracted, "ca", "cb", maxIter)
       .localCheckpoint(true)
+    val n = merged.count() // cached — the checkpoint already materialized it
+    require(n <= maxContractedNodes,
+      s"incremental fold: the contracted batch graph has $n nodes, past the " +
+        s"declared broadcast bound maxContractedNodes=$maxContractedNodes — a " +
+        "batch this size approaches the one-shot regime: run " +
+        "connectedComponents/keepBest over the full edge set instead, or " +
+        "raise the bound if the driver can hold the merge-map broadcast")
     val remap = merged
       .select(col("node").as("component"), col("component").as("__new"))
       .filter(col("component") =!= col("__new"))
@@ -858,7 +878,8 @@ object Dedup {
                           newScored: DataFrame,
                           newEdges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          deltaOnly: Boolean = false): DataFrame = {
+                          deltaOnly: Boolean = false,
+                          maxContractedNodes: Long = 8L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val store = survivors.select(
       col(idCol), col("component"), col(scoreCol), col("is_survivor"))
@@ -866,7 +887,7 @@ object Dedup {
     val ea = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
     // already-connected edges drop out inside the fold — they cannot
     // change membership, hence survivors
-    val (merged, remap) = foldContractedGraph(assign, ea, maxIter)
+    val (merged, remap) = foldContractedGraph(assign, ea, maxIter, maxContractedNodes)
     // every final root a genuine merge produced — batch-bounded, and the
     // absorbing min-rooted cluster is included (its survivor may change)
     val affectedRoots = merged.select("component").distinct()
@@ -1256,9 +1277,18 @@ object Dedup {
     } finally inv0.unpersist()
   }
 
-  /** SET-OVERLAP near-dup pairs over any (owner, key) relation (r15 —
-    * VERDICT task 3's frame-level clip matcher, factored generic): the
-    * inverted-index candidate shape of [[ngramJaccardPairs]] scored by
+  /** SET-OVERLAP near-dup pairs over any (owner, key) relation.
+    * DEPLOYMENT NOTE FIRST (r15 verdict, r16 promotion): candidates grow
+    * with owners-per-key SQUARED and `maxKeyFrequency` defaults to None
+    * (oracle-exact mode) — on real data a handful of degenerate keys (a
+    * black frame, a silence window, an empty-string shingle) can each
+    * own millions of assets and the candidate join explodes; ALWAYS set
+    * `maxKeyFrequency` in production (capped overlap only undercounts —
+    * a safe lower bound).
+    *
+    * (r15 — VERDICT task 3's frame-level clip matcher, factored
+    * generic): the inverted-index candidate shape of
+    * [[ngramJaccardPairs]] scored by
     * the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard —
     * the containment metric, 1.0 when one set is a subset of the other,
     * which is exactly what a TRIMMED clip is to its source (Jaccard

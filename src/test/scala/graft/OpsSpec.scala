@@ -452,6 +452,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate-batch guard: a store-scale batch trips the contracted-node bound loud (r16)") {
+    import spark.implicits._
+    val store = (0L until 20L).map(i => (i, i / 2 * 2)).toDF("node", "component")
+    // a "batch" chaining every store cluster together contracts to a
+    // node set the size of the store's root set — exactly the shape the
+    // one-shot operator should handle; the declared broadcast bound
+    // fails loud instead of silently melting the driver
+    val batch = (0L until 18L by 2).map(i => (i, i + 2)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsIncremental(store, "node", "component",
+        batch, "a", "b", maxContractedNodes = 4)
+    }
+    assert(e.getMessage.contains("maxContractedNodes=4") &&
+      e.getMessage.contains("one-shot"), e.getMessage)
+    // keepBest shares the fold, hence the guard
+    val surv = store.select(col("node").as("doc_id"), col("component"),
+      (col("node") % 7).cast("double").as("quality"),
+      (col("node") === col("component")).as("is_survivor"))
+    val ek = intercept[IllegalArgumentException] {
+      Dedup.keepBestIncremental(surv, "doc_id", "quality",
+        surv.limit(0).select(col("doc_id"), col("quality")),
+        batch, "a", "b", maxContractedNodes = 4)
+    }
+    assert(ek.getMessage.contains("maxContractedNodes=4"), ek.getMessage)
+    // the default bound leaves ordinary folds untouched
+    assert(Dedup.connectedComponentsIncremental(store, "node", "component",
+      batch, "a", "b").count() == 20)
+  }
+
   test("connectedComponentsIncremental: edge cases — empty store, empty batch, known-edge idempotency") {
     import spark.implicits._
     val emptyAssign = Seq.empty[(Long, Long)].toDF("node", "component")
