@@ -134,7 +134,9 @@ object Microbatch {
     // buckets/bucket_by declare the layout once at table bootstrap — an
     // empty v0 commit carrying only the schema and the bucket
     // declaration (filter(false) prunes the build plan to nothing, no
-    // data job). Every staged batch afterwards routes through the
+    // data job — for a LAZY build fn; a native model that eagerly
+    // materializes inside its body would pay that build once extra at
+    // bootstrap, so keep bucketed microbatch bodies lazy). Every staged batch afterwards routes through the
     // declared layout (stage() reads the current version's bucketing,
     // and commitStagedPartitions keys replacement on the LOGICAL
     // partition, so `_bucket=` dirs nest inside each batch partition).
