@@ -590,7 +590,7 @@ object ScaleProbe {
       // the plan in the CacheManager and an identical build plan would
       // silently time a cached scan (the r15 s3 probe lesson)
       val retArts =
-        if (opFilter("bm25_topk_held64")) {
+        if (opFilter("bm25_topk_held64") || opFilter("bm25_stats_held64")) {
           val p = ops.Retrieval.postingIndex(docs, "doc_id", "text").persist()
           val l = ops.Retrieval.docLengths(docs, "doc_id", "text").persist()
           p.count(); l.count()
@@ -604,6 +604,25 @@ object ScaleProbe {
         ops.Retrieval.bm25TopK(retArts.get._1, retArts.get._2,
           qs, "query_id", "qtext", k = 10).count()
       }
+      // r16: serving with df from the persisted term-stats artifact —
+      // the df aggregate disappears and the index feeds ONE consumer
+      // (no shared exchange, one scan); A/B against bm25_topk_held64
+      // isolates the artifact's saving
+      val tsArt =
+        if (opFilter("bm25_stats_held64")) {
+          val ts = ops.Retrieval.termStats(docs, "text").persist()
+          ts.count(); Some(ts)
+        } else None
+      timed("bm25_stats_held64", runs, opFilter) {
+        val qs = docs.filter(col("doc_id") < 64)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+              .as("qtext"))
+        ops.Retrieval.bm25TopK(retArts.get._1, retArts.get._2,
+          qs, "query_id", "qtext", k = 10,
+          precomputedTermStats = tsArt).count()
+      }
+      tsArt.foreach(_.unpersist())
       retArts.foreach { case (p, l) => p.unpersist(); l.unpersist() }
       // r16: the Zipf-head stopword receipt — planted ultra-common
       // tokens (zipfa on every doc → df = N, zipfb on half) ride all 64

@@ -59,6 +59,23 @@ object Retrieval {
     docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("dl"))
 
+  /** TERM-STATISTICS artifact `(term, df)` — per-term document
+    * frequency for one document batch (r16): each document counts once
+    * per distinct term it contains. ADDITIVE under the same
+    * disjoint-doc-id law as the posting store: batches never repeat doc
+    * ids, so per-batch df rows SUM to the corpus df — the store is
+    * pure-append and serving aggregates only the query terms' rows.
+    * Deletion is a negative append: `termStats(deletedDocs)` negated
+    * folds the departed documents out exactly (the counting-CRDT form;
+    * [[graft.ops.Dedup.compactStoreByDeleted]] does not apply — df
+    * rows are term-owned, not doc-owned). Vocabulary-sized (Zipf-small
+    * vs the corpus), so the serving-side probe is an artifact scan,
+    * never an index pass. */
+  def termStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Exact Okapi BM25 top-k per query, scored FROM the persisted
     * artifacts: score(q, d) = Σ_{t ∈ q} qtf(t) · idf(t) ·
     * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
@@ -78,12 +95,19 @@ object Retrieval {
     * doc-length artifact; the final cut is the O(k) heap aggregate.
     * `maxDfFraction` < 1 drops query terms with df > fraction·N before
     * candidate generation — the df-pruning knob for stopword-heavy
-    * queries at corpus scale (changes semantics; default keeps all). */
+    * queries at corpus scale (changes semantics; default keeps all).
+    * `precomputedTermStats` (r16) supplies df from the persisted
+    * [[termStats]] artifact instead: the df aggregate disappears, the
+    * index feeds exactly one consumer (one scan, no shared exchange),
+    * and elision cuts hot terms before their postings are read at all
+    * — the 100 TB serving plan when the ingest pipeline maintains the
+    * additive stats store. */
   def bm25TopK(postings: DataFrame, docLens: DataFrame,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
                maxDfFraction: Double = 1.0,
-               strategy: String = "broadcast"): DataFrame = {
+               strategy: String = "broadcast",
+               precomputedTermStats: Option[DataFrame] = None): DataFrame = {
     // Declared join regime for the query side (the lmSelectIngest
     // convention): "broadcast" pins the few-queries serving shape (the
     // term set and per-(query, term) rows ship to the postings);
@@ -104,38 +128,51 @@ object Retrieval {
     val qTerms = queries.select(col(qIdCol).as("query_id"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
-    // The candidate slice feeds TWO consumers (the df aggregate and the
-    // contrib join). Without a shared exchange each consumer re-derives
-    // it — two full scans of the corpus-sized posting index, which IS
-    // the serving cost once the index dwarfs the candidates (r16: the
-    // 150k probe spent ~2× index-scan CPU here). The explicit
-    // repartition makes the two subtrees share one physical exchange
-    // (ReusedExchange), so the index is scanned ONCE and only
-    // candidate rows (Σ_t df(t) — batch-shaped, never index-shaped)
-    // move. Keyed on (term, doc) rather than term alone: a stopword's
-    // whole posting list on one key would be the classic straggler —
-    // hashing in the doc spreads hot terms across partitions, and the
-    // df aggregate's own exchange above the partial count is
-    // #terms×#partitions rows, noise. Under the bucketed-store regime
-    // the join output is already candidates, so this never exchanges
-    // store rows either.
-    val touched = postings.join(side(qTerms.select("term").distinct()), "term")
-      .repartition(col("term"), col("doc_id"))
-    val dfPerTerm = touched.groupBy("term").agg(count(lit(1)).as("df"))
     // df-elision prunes the TERM LIST, not the scored rows (r16): an
     // elided hot term's posting rows die at the first contrib join
     // below instead of riding three joins and the scoring arithmetic
     // just to be filtered at the end — on a Zipf corpus the stopword
-    // fanout IS the candidate CPU, so the cut point matters. (The df
-    // aggregate above still scans the hot term's postings once — df is
-    // defined over them — but that is one count, not a score.)
-    val dfKept =
-      if (maxDfFraction >= 1.0) dfPerTerm
-      else dfPerTerm.crossJoin(broadcast(stats))
+    // fanout IS the candidate CPU, so the cut point matters.
+    def elide(dfq: DataFrame): DataFrame =
+      if (maxDfFraction >= 1.0) dfq
+      else dfq.crossJoin(broadcast(stats))
         .filter(col("df").cast(DoubleType) <= lit(maxDfFraction) * col("__n"))
         .select("term", "df")
-    val contrib = touched
-      .join(side(dfKept), "term")
+    val scoredInput = precomputedTermStats match {
+      case Some(ts) =>
+        // df from the PERSISTED additive artifact ([[termStats]] —
+        // per-batch rows sum to the corpus df under the disjoint-doc-id
+        // ingest law, so the store may hold one row per (batch, term)):
+        // the query terms' rows aggregate from a vocabulary-sized scan,
+        // elision happens BEFORE the index is touched at all (a
+        // stopword's postings are never read, not even for a count),
+        // and the index feeds exactly ONE consumer — no df aggregate,
+        // no shared exchange, one scan, the deployed serving plan.
+        // Caller contract: `ts` must describe exactly these postings
+        // (a stale artifact silently shifts idf — fold them together).
+        val dfq = ts.join(side(qTerms.select("term").distinct()), "term")
+          .groupBy("term").agg(sum(col("df")).as("df"))
+        postings.join(side(elide(dfq)), "term")
+      case None =>
+        // Self-contained form: df computed from the touched slice. The
+        // slice feeds TWO consumers (the df aggregate and the contrib
+        // join); without a shared exchange each re-derives it — two
+        // full scans of the corpus-sized posting index, which IS the
+        // serving cost once the index dwarfs the candidates (r16: the
+        // 150k probe spent ~2× index-scan CPU here). The explicit
+        // repartition makes the subtrees share one physical exchange
+        // (ReusedExchange): index scanned ONCE, only candidate rows
+        // (Σ_t df(t) — batch-shaped) move. Keyed on (term, doc) rather
+        // than term alone: a stopword's whole posting list on one key
+        // would be the classic straggler. Under the bucketed-store
+        // regime the join output is already candidates, so this never
+        // exchanges store rows either.
+        val touched = postings.join(side(qTerms.select("term").distinct()), "term")
+          .repartition(col("term"), col("doc_id"))
+        val dfPerTerm = touched.groupBy("term").agg(count(lit(1)).as("df"))
+        touched.join(side(elide(dfPerTerm)), "term")
+    }
+    val contrib = scoredInput
       .join(side(qTerms), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",

@@ -367,6 +367,30 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r16: BM25 served with df from the PERSISTED term-statistics
+    // artifact — per-batch (term, df) rows are ADDITIVE under the
+    // disjoint-doc-id ingest law (each doc counts once per distinct
+    // term), so the two generations' artifacts fold by pure append and
+    // serving aggregates only the query terms' rows. The df aggregate
+    // over the index disappears (one index scan, single consumer);
+    // scores must equal the self-contained law (shared oracle).
+    "q_retrieval_bm25_stats" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val statsStore = Retrieval.termStats(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        .unionByName(Retrieval.termStats(
+          docs.filter(col("doc_id") % 2 =!= 0), "text"))
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10,
+        precomputedTermStats = Some(statsStore))
+        .orderBy("query_id", "rank")
+    }),
+
     // r16 (VERDICT task 3): df-based stopword elision UNDER A ZIPF
     // HEAD — planted ultra-common tokens (zipfa on every doc → df ≈
     // 1.0·N, zipfb on half, zipfc on 5%) ride every query;
@@ -2649,6 +2673,8 @@ object OpsQueries {
     // r16: the two-generation microbatch ingest folds to the one-shot
     // index by the pure-append law — same serving oracle
     "q_retrieval_project_incremental" -> bm25TopkOracleSql,
+    // r16: df from the additive term-stats artifact ≡ df computed
+    "q_retrieval_bm25_stats" -> bm25TopkOracleSql,
 
     // r16: posting-store GC — serving from the compacted stores must
     // equal a rebuild over the survivors (df and N/avgdl shift when

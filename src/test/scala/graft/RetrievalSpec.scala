@@ -105,6 +105,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 5L), (2, 7L)))
   }
 
+  test("termStats artifact: per-batch rows sum to corpus df; artifact serving ≡ computed, elision included") {
+    import spark.implicits._
+    // additivity under the disjoint-doc-id law: per-batch df rows fold
+    // by pure append, summing to the corpus df
+    val direct = Retrieval.termStats(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = Retrieval.termStats(corpus.filter(col("id") % 2 === 0), "text")
+      .unionByName(Retrieval.termStats(corpus.filter(col("id") % 2 =!= 0), "text"))
+    val refolded = folded.groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refolded == direct && direct.nonEmpty)
+    // serving from the (unaggregated!) appended store equals the
+    // self-contained path bit for bit
+    def serve(ts: Option[org.apache.spark.sql.DataFrame], frac: Double) =
+      Retrieval.bm25TopK(
+        Retrieval.postingIndex(corpus, "id", "text"),
+        Retrieval.docLengths(corpus, "id", "text"),
+        oneQuery("apple cherry banana"), "qid", "qtext", k = 10,
+        maxDfFraction = frac, precomputedTermStats = ts)
+        .collect().toSeq.map(_.toSeq)
+    assert(serve(Some(folded), 1.0) == serve(None, 1.0))
+    assert(serve(None, 1.0).nonEmpty)
+    // elision from the artifact agrees with elision computed — and the
+    // artifact path never touches an elided term's postings at all
+    assert(serve(Some(folded), 0.4) == serve(None, 0.4))
+    // deletion as a NEGATIVE append (the counting-CRDT form): folding
+    // -termStats(departed) leaves exactly the survivors' stats
+    val deleted = corpus.filter(col("id") === 0L)
+    val afterGc = folded.unionByName(
+      Retrieval.termStats(deleted, "text")
+        .select(col("term"), (-col("df")).as("df")))
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuilt = Retrieval.termStats(corpus.filter(col("id") =!= 0L), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterGc == rebuilt)
+  }
+
   test("maxDfFraction elides saturated terms before candidate generation") {
     import spark.implicits._
     val docs = Seq((0L, "the apple"), (1L, "the banana"),
