@@ -446,6 +446,44 @@ object OpsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r16: posting-store GC through the ENGINE'S OWN SQL DML — the
+    // production form of q_retrieval_compact: the stores live as graft
+    // tables (postings term-bucketed), the CDC deletion runs as
+    // `DELETE FROM` through the V2 row-level path (copy-on-write with
+    // file pruning, time travel retained, bucket layout restaged), and
+    // serving from the post-DML tables must equal the survivor-rebuild
+    // law (same oracle — df/N/avgdl shift with the departed docs).
+    "q_retrieval_compact_dml" -> ((s, d) => {
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val docs = Tables.documents(s, d)
+      val whDir = java.nio.file.Files.createTempDirectory("graft_rgc_wh").toString
+      val rm = new RelationManager(s, whDir)
+      try {
+        val postRel = graft.core.Relation("graft", "main", "postings_gc")
+        val dlRel = graft.core.Relation("graft", "main", "doc_lens_gc")
+        rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+          postRel, 8, Seq("term"))
+        rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+        val cat = rm.catalogName
+        s.sql(s"DELETE FROM $cat.main.postings_gc WHERE doc_id % 4 = 1")
+        s.sql(s"DELETE FROM $cat.main.doc_lens_gc WHERE doc_id % 4 = 1")
+        // the DML rewrite must keep the declared bucket routing — the
+        // store still serves the regime-2 plan after GC
+        val ps = rm.currentState(postRel).get
+        require(ps.buckets == 8 &&
+          ps.files.nonEmpty && ps.files.forall(_.contains("_bucket=")),
+          s"bucket layout must survive the GC rewrite: ${ps.files.take(3)}")
+        val queries = Retrieval.prefixQueries(
+          docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text",
+          modulo = 37, prefixTokens = 6)
+        Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel), queries,
+          "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteDir(whDir)
+    }),
+
     // r15 s3: exact-phrase matching from the POSITIONAL index — the
     // phrase's i-th token must sit at start+i; occurrences counted as
     // distinct start positions, verified by pure array intersection
@@ -2000,6 +2038,14 @@ object OpsQueries {
        |SELECT query_id, rank, doc_id, score FROM lexranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Survivor-rebuild serving oracle shared by the frame-level GC gate
+    * and its engine-DML twin (r16). */
+  private val retrievalCompactOracleSql: String =
+    s"""WITH surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+       |${bm25Ctes("doc_id % 37 = 0", 6, docsFrom = "surv")}
+       |SELECT query_id, rank, doc_id, score FROM lexranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Retrieval-evaluation oracle tail over a pluggable qrels CTE —
     * shared by the known-item gate (n_rel = 1, recall ≡ hit) and the
     * multi-relevant recall twin (r16), replaying Retrieval.evalRun's
@@ -2678,12 +2724,11 @@ object OpsQueries {
 
     // r16: posting-store GC — serving from the compacted stores must
     // equal a rebuild over the survivors (df and N/avgdl shift when
-    // docs leave, so score-level equality is the strong form)
-    "q_retrieval_compact" ->
-      s"""WITH surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
-         |${bm25Ctes("doc_id % 37 = 0", 6, docsFrom = "surv")}
-         |SELECT query_id, rank, doc_id, score FROM lexranked
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // docs leave, so score-level equality is the strong form); the
+    // _dml twin runs the same deletion through the engine's V2
+    // row-level DELETE on the bucketed graft tables
+    "q_retrieval_compact" -> retrievalCompactOracleSql,
+    "q_retrieval_compact_dml" -> retrievalCompactOracleSql,
 
     // r16: BM25 with the df-elision knob ON over the planted Zipf head —
     // same CTE block with the plant and the engine's df filter replayed
