@@ -312,9 +312,16 @@ object Retrieval {
     // the gate's query law: every 37th document's first 6 tokens
     register("retrieval_queries")((_, deps) =>
       prefixQueries(one(deps), "doc_id", "text", modulo = 37, prefixTokens = 6))
+    // the term-stats artifact as a DAG node (r16) — serving reads df
+    // from it instead of aggregating the touched postings (the
+    // artifact-serving plan; bm25TopK's scaladoc has the trade)
+    register("retrieval_term_stats")((_, deps) =>
+      termStats(one(deps), "text"))
     register("retrieval_bm25_top10")((_, deps) =>
       bm25TopK(deps("postings"), deps("doc_lens"), deps("queries"),
-        "query_id", "qtext", k = 10))
+        "query_id", "qtext", k = 10,
+        precomputedTermStats =
+          deps.get("term_stats").map(_.select("term", "df"))))
 
     // --- the INGEST project's stage fns (r16 — VERDICT task 1): the
     // nightly counterpart of the one-shot retrieval project, mirroring
@@ -349,11 +356,22 @@ object Retrieval {
     register("ri_queries")((_, deps) =>
       prefixQueries(deps("feed"), "doc_id", "text",
         modulo = 37, prefixTokens = 6))
+    // per-batch term stats keyed on the batch's event day — the
+    // microbatch form of [[termStats]]: each generation's (term, df)
+    // rows land in their own event-time partition (pure append), and
+    // serving sums the query terms' rows across partitions (exact by
+    // the disjoint-doc-id additivity law)
+    register("ri_term_stats")((_, deps) =>
+      deps("feed").select(col("event_ts"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .groupBy("event_ts", "term").agg(count(lit(1)).as("df")))
     register("ri_bm25_top10")((_, deps) =>
       bm25TopK(
         deps("postings").select("term", "doc_id", "tf", "dl"),
         deps("doc_lens").select("doc_id", "dl"),
-        deps("queries"), "query_id", "qtext", k = 10))
+        deps("queries"), "query_id", "qtext", k = 10,
+        precomputedTermStats =
+          deps.get("term_stats").map(_.select("term", "df"))))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs

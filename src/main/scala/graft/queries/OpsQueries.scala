@@ -1459,7 +1459,7 @@ object OpsQueries {
         }
         val rm = new graft.relations.RelationManager(s, s"$proj/target/warehouse")
         def rel(n: String) = graft.core.Relation("graft", "main", n)
-        val stores = Seq("postings", "doc_lens")
+        val stores = Seq("postings", "doc_lens", "term_stats")
         build("2025-01-02T00:00:00Z")
         val after1 = stores.map(n => n -> rm.currentState(rel(n)).get).toMap
         build("2025-01-03T00:00:00Z")
