@@ -641,18 +641,22 @@ object StreamQueries {
       val rm = new RelationManager(s, Files.createTempDirectory("graft_sri_wh").toString)
       val postRel = graft.core.Relation("graft", "main", "posting_store")
       val dlRel = graft.core.Relation("graft", "main", "doclen_store")
+      val tsRel = graft.core.Relation("graft", "main", "termstats_store")
       rm.writeTable(Retrieval.postingIndex(docs.limit(0), "doc_id", "text"), postRel)
       rm.writeTable(Retrieval.docLengths(docs.limit(0), "doc_id", "text"), dlRel)
+      rm.writeTable(Retrieval.termStats(docs.limit(0), "text"), tsRel)
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          // tokenize the batch once; both artifacts are append-only.
+          // tokenize the batch once; all three artifacts are
+          // append-only (per-batch term-stats rows are ADDITIVE under
+          // the disjoint-doc-id law — serving sums them, r16).
           // Replay guard (the StreamingOps.appendToTable discipline): a
           // batch retried after its commit would otherwise DOUBLE the
-          // tf/dl rows and corrupt every downstream score
+          // tf/dl/df rows and corrupt every downstream score
           try {
             if (rm.lastTxn(postRel, "sri_post").forall(_ < batchId))
               rm.appendTable(Retrieval.postingIndex(batch, "doc_id", "text"),
@@ -660,6 +664,9 @@ object StreamQueries {
             if (rm.lastTxn(dlRel, "sri_dl").forall(_ < batchId))
               rm.appendTable(Retrieval.docLengths(batch, "doc_id", "text"),
                 dlRel, txn = Map("sri_dl" -> batchId))
+            if (rm.lastTxn(tsRel, "sri_ts").forall(_ < batchId))
+              rm.appendTable(Retrieval.termStats(batch, "text"),
+                tsRel, txn = Map("sri_ts" -> batchId))
           } catch { case _: graft.relations.StaleTxnException => () }
         }
         .start()
@@ -667,8 +674,11 @@ object StreamQueries {
       deleteRecursively(landing); deleteRecursively(ckpt)
       val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
         modulo = 37, prefixTokens = 6)
+      // serve with df from the streamed stats store — the folded rows
+      // must sum to the one-shot df (shared oracle)
       Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel),
-        queries, "query_id", "qtext", k = 10)
+        queries, "query_id", "qtext", k = 10,
+        precomputedTermStats = Some(rm.read(tsRel)))
         .orderBy("query_id", "rank")
     }),
 

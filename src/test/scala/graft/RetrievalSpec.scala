@@ -292,6 +292,38 @@ class RetrievalSpec extends AnyFunSuite {
       s"partial recall row: $part")
   }
 
+  test("plan shape: artifact serving never exchanges on the term — the index feeds one consumer") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("qtext"))
+    // pin the artifacts (a deployment reads them from TABLES — an
+    // inline index build would contribute its own construction
+    // exchange and mask the serving plan under test)
+    val post = Retrieval.postingIndex(docs, "doc_id", "text").localCheckpoint(true)
+    val lens = Retrieval.docLengths(docs, "doc_id", "text").localCheckpoint(true)
+    val ts = Retrieval.termStats(docs, "text").localCheckpoint(true)
+    val plan = Retrieval.bm25TopK(post, lens, q, "query_id", "qtext", k = 10,
+      precomputedTermStats = Some(ts))
+      .queryExecution.executedPlan.toString
+    // the self-contained path carries the shared (term, doc) candidate
+    // exchange (two consumers of the touched slice); the artifact path
+    // must NOT — candidates never move (the remaining term-keyed
+    // exchanges are the query-distinct and the vocab-bounded artifact
+    // aggregate, both tiny by construction)
+    assert(!"hashpartitioning\\(term#\\d+L?, doc_id".r.findFirstIn(plan).isDefined,
+      s"artifact serving must not repartition candidates:\n$plan")
+    // ...and the posting index is scanned exactly ONCE (the
+    // self-contained path scans it twice without the shared exchange —
+    // identify its scan by the tf column, unique to the posting schema)
+    val postScans = plan.linesIterator
+      .count(l => l.contains("Scan ExistingRDD") && l.contains("tf#"))
+    assert(postScans == 1, s"posting index must feed one consumer, saw $postScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+  }
+
   test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val q = docs.filter(col("doc_id") % 37 === 0)
