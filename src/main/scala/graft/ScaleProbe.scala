@@ -632,16 +632,19 @@ object ScaleProbe {
       // joins and the scoring arithmetic — the unfiltered twin scores
       // ~64·N hot-term rows, the elided one only the ordinary-term
       // postings.
+      val zipfOps = Seq("bm25_zipf_nofilter", "bm25_zipf_stopword",
+        "bm25_zipf_stats_stopword")
       val zipfArts =
-        if (opFilter("bm25_zipf_nofilter") || opFilter("bm25_zipf_stopword")) {
+        if (zipfOps.exists(opFilter)) {
           val zdocs = docs.select(col("doc_id"),
             concat(col("text"), lit(" zipfa"),
               when(col("doc_id") % 2 === 0, lit(" zipfb")).otherwise(lit("")))
               .as("text"))
           val p = ops.Retrieval.postingIndex(zdocs, "doc_id", "text").persist()
           val l = ops.Retrieval.docLengths(zdocs, "doc_id", "text").persist()
-          p.count(); l.count()
-          Some((p, l))
+          val t = ops.Retrieval.termStats(zdocs, "text").persist()
+          p.count(); l.count(); t.count()
+          Some((p, l, t))
         } else None
       def zipfQs = docs.filter(col("doc_id") < 64)
         .select(col("doc_id").as("query_id"),
@@ -655,7 +658,16 @@ object ScaleProbe {
         ops.Retrieval.bm25TopK(zipfArts.get._1, zipfArts.get._2, zipfQs,
           "query_id", "qtext", k = 10, maxDfFraction = 0.3).count()
       }
-      zipfArts.foreach { case (p, l) => p.unpersist(); l.unpersist() }
+      // the deployed Zipf-serving configuration: df from the persisted
+      // stats artifact AND elision — a stopword dies in the
+      // vocab-bounded artifact aggregate, its postings never read, and
+      // the index feeds one consumer with no candidate exchange
+      timed("bm25_zipf_stats_stopword", runs, opFilter) {
+        ops.Retrieval.bm25TopK(zipfArts.get._1, zipfArts.get._2, zipfQs,
+          "query_id", "qtext", k = 10, maxDfFraction = 0.3,
+          precomputedTermStats = zipfArts.map(_._3)).count()
+      }
+      zipfArts.foreach { case (p, l, t) => p.unpersist(); l.unpersist(); t.unpersist() }
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())

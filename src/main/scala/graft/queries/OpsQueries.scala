@@ -502,6 +502,31 @@ object OpsQueries {
         .orderBy("query_id", "doc_id")
     }),
 
+    // r16: exact-phrase serving from the PERSISTED term-bucketed
+    // positional store through the V2 read path — the regime-2
+    // composition for the phrase family (the flat index got it in r15
+    // s3 as q_retrieval_bm25_store). Same law as q_retrieval_phrase;
+    // only the storage moves.
+    "q_retrieval_phrase_store" -> ((s, d) => {
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val docs = Tables.documents(s, d)
+      val whDir = java.nio.file.Files.createTempDirectory("graft_phs_wh").toString
+      val rm = new RelationManager(s, whDir)
+      try {
+        val idxRel = graft.core.Relation("graft", "main", "positional_b")
+        rm.writeBucketedTable(Retrieval.positionalIndex(docs, "doc_id", "text"),
+          idxRel, 8, Seq("term"))
+        val queries = docs.filter(col("doc_id") % 53 === 0)
+          .filter(size(TA.tokens(col("text"))) >= 3)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TA.tokens(col("text")), 1, 3), " ").as("qtext"))
+        Retrieval.phraseMatch(rm.read(idxRel), queries, "query_id", "qtext")
+          .orderBy("query_id", "doc_id")
+          .localCheckpoint(true)
+      } finally deleteDir(whDir)
+    }),
+
     // r15 s3: retrieval evaluation — known-item search (each query's
     // relevant document is the one its text was cut from): per-query
     // first relevant rank, reciprocal rank, hit@10 from the BM25 run.
@@ -2755,8 +2780,10 @@ object OpsQueries {
         |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
         |  WHERE q.doc_id % 37 = 0""".stripMargin),
 
-    // r15 s3: exact-phrase occurrences via the 3-way positional join
+    // r15 s3: exact-phrase occurrences via the 3-way positional join;
+    // the r16 _store twin serves from the bucketed graft table
     "q_retrieval_phrase" -> phraseOracleSql,
+    "q_retrieval_phrase_store" -> phraseOracleSql,
 
     // r15: reciprocal-rank fusion of the BM25 top-10 and the brute
     // cosine top-10 (vec_id ≡ doc_id); 1/(60 + rank) summed over the
