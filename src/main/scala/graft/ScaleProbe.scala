@@ -734,6 +734,13 @@ object ScaleProbe {
       // rows); estimating against a held sketch is probe-set-sized
       timed("cms_sketch_build", runs, opFilter)(
         ops.CorpusStats.cmsSketch(docs, "text").count())
+      // r16: the quantile tier — decimal log-binned histogram build;
+      // shuffle bounded by bins × partitions (the d×w-constant story
+      // for order statistics)
+      timed("hist_sketch_build", runs, opFilter)(
+        ops.CorpusStats.histogramSketch(
+          docs.select((length(col("text")).cast("long") * col("doc_id"))
+            .as("v")), "v").count())
       // persist AFTER the build leg — same cache-contamination guard as
       // the retrieval artifacts above
       val cmsArts =

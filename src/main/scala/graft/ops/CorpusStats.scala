@@ -327,4 +327,94 @@ object CorpusStats {
         Seq("row_idx", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_freq"))
+
+  /** DECIMAL LOG-BINNED HISTOGRAM sketch rows (r16) — the QUANTILE tier
+    * of the sketch family (KMV answers distinct counts, the CMS answers
+    * frequencies; this answers "what is p99 document length" from a
+    * bounded-memory artifact maintained under ingest). The bin of a
+    * non-negative long x is its decimal shape: (digit count, first
+    * `leadDigits` digits) — the HdrHistogram idea (public: Tene's
+    * log-bucketed latency histograms) carried out in DECIMAL via string
+    * ops, because `length(cast(x as string))` and `substring` are
+    * bit-exact in every engine while `floor(log2(x))` flips at exact
+    * powers (ln(8)/ln(2) < 3 in IEEE — the boundary an oracle replay
+    * dies on). Relative bin resolution 10^-(leadDigits-1) (≤ 10% at the
+    * default 2; values under 10^leadDigits are EXACT). Counts are
+    * ADDITIVE — [[histogramMerge]] folds batch sketches exactly, and
+    * the grid is bounded at 9·10^(leadDigits-1) bins per decade
+    * FOREVER, the CMS's continuous-ingest story for order statistics.
+    * Negative values are an in-plan hard error (the bin law covers
+    * non-negative longs: lengths, token counts, byte sizes). */
+  def histogramSketch(df: DataFrame, valueCol: String,
+                      leadDigits: Int = 2): DataFrame = {
+    require(leadDigits >= 1 && leadDigits <= 4,
+      s"leadDigits must lie in [1, 4]: $leadDigits")
+    val x = col(valueCol).cast(LongType)
+    val guarded = when(x >= 0, x)
+      .otherwise(raise_error(concat(
+        lit("histogramSketch: negative value "), x.cast(StringType),
+        lit(" — the decimal bin law covers non-negative longs only")))
+        .cast(LongType))
+    val s = guarded.cast(StringType)
+    df.select(length(s).as("bin_d"),
+        substring(s, 1, leadDigits).cast(LongType).as("bin_lead"))
+      .groupBy("bin_d", "bin_lead").agg(count(lit(1)).as("cnt"))
+      .withColumn("sketch_lead", lit(leadDigits))
+  }
+
+  /** In-plan geometry guard for histogram rows (the [[cmsGuarded]]
+    * discipline: per row, at execution, zero jobs at construction). */
+  private def histGuarded(sketch: DataFrame, leadDigits: Int): DataFrame =
+    sketch.select(col("bin_d"), col("bin_lead"),
+      when(col("sketch_lead") === leadDigits, col("cnt"))
+        .otherwise(raise_error(concat(
+          lit(s"histogram lead-digit mismatch: expected $leadDigits, row has "),
+          col("sketch_lead").cast(StringType)))
+          .cast(LongType))
+        .as("cnt"))
+
+  /** Fold histogram sketches built with the same declared `leadDigits`:
+    * counts add (bins are disjoint decimal shapes, so the fold is exact
+    * — not an approximation like merged quantile digests). */
+  def histogramMerge(leadDigits: Int, sketches: DataFrame*): DataFrame =
+    sketches.map(histGuarded(_, leadDigits)).reduce(_ unionByName _)
+      .groupBy("bin_d", "bin_lead").agg(sum("cnt").as("cnt"))
+      .withColumn("sketch_lead", lit(leadDigits))
+      .select("bin_d", "bin_lead", "cnt", "sketch_lead")
+
+  /** Quantile estimates from the sketch: for each q ∈ (0, 1], the LOWER
+    * BOUND of the bin holding the ascending rank-⌈q·N⌉ value (returning
+    * the bin's lower bound, not an interpolation, keeps the answer a
+    * deterministic integer any engine reproduces; true quantile ∈
+    * [est, est·(1 + 10^-(leadDigits-1))) by the bin law). Accepts
+    * unaggregated per-batch rows (sums per bin first — the additive
+    * law). The cum window runs over the BIN GRID — hundreds of rows by
+    * the boundedness argument above — so the single-partition window is
+    * driver noise, never a corpus-sized sort. */
+  def histogramQuantiles(sketch: DataFrame, qs: Seq[Double],
+                         leadDigits: Int = 2): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val bins = histGuarded(sketch, leadDigits)
+      .groupBy("bin_d", "bin_lead").agg(sum("cnt").as("cnt"))
+    val cum = bins.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bin_d", "bin_lead")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(bins.agg(sum(col("cnt")).as("__n"))))
+    // rank = ceil(q·N) as DOUBLE arithmetic on both engines (an oracle
+    // replaying this in DECIMAL diverges at products like 0.9·500,
+    // which are > the decimal value in IEEE — the VALUES cast matters)
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >=
+        greatest(ceil(col("q") * col("__n").cast(DoubleType)), lit(1L)))
+      .groupBy("q")
+      .agg(min(struct(col("bin_d"), col("bin_lead"))).as("__b"))
+      .select(col("q"),
+        (col("__b.bin_lead") *
+          pow(lit(10.0), (col("__b.bin_d") -
+            length(col("__b.bin_lead").cast(StringType))).cast(DoubleType)))
+          .cast(LongType).as("est_value"))
+  }
 }

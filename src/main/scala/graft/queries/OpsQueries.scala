@@ -1012,6 +1012,47 @@ object OpsQueries {
         .orderBy("tok")
     }),
 
+    // r16: the QUANTILE tier of the sketch family — decimal log-binned
+    // histogram of the corpus's ws-token counts (string-shape binning:
+    // (digit count, first 2 digits) — bit-exact in every engine, unlike
+    // floor(log2) which flips at exact powers in IEEE), quantile = the
+    // lower bound of the bin holding rank ⌈q·N⌉. Bounded at ≤ 90 bins
+    // per decade forever; values under 100 are EXACT.
+    "q_corpus_hist_quantiles" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      // value law: token count × doc_id — the fixture's raw counts are
+      // all < 100 where 2-lead-digit bins are EXACT, so the product
+      // spreads the distribution across ~6 decades and the gate
+      // actually exercises the approximate binning (r12 lesson:
+      // estimator gates must reach the estimator); doc_id = 0 lands in
+      // the zero bin
+      val vals = Tables.documents(s, d)
+        .select((TA.tokenCount(col("text")).cast(LongType) * col("doc_id"))
+          .as("v"))
+      CorpusStats.histogramQuantiles(
+        CorpusStats.histogramSketch(vals, "v"), Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
+    // r16: the histogram under INGEST — bin counts are additive over
+    // disjoint batches (decimal shapes partition the value space), so
+    // the two-generation fold must answer identically to the one-shot
+    // sketch (shared oracle; exact by integer additivity)
+    "q_corpus_hist_incremental" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      def sk(f: org.apache.spark.sql.DataFrame) =
+        CorpusStats.histogramSketch(
+          f.select((TA.tokenCount(col("text")).cast(LongType) * col("doc_id"))
+            .as("v")), "v")
+      CorpusStats.histogramQuantiles(
+        CorpusStats.histogramMerge(2,
+          sk(docs.filter(col("doc_id") % 2 === 0)).localCheckpoint(true),
+          sk(docs.filter(col("doc_id") % 2 =!= 0))),
+        Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -2257,6 +2298,28 @@ object OpsQueries {
     * the rows — integer arithmetic end to end, so est_freq is replayed
     * exactly. Shared by the one-shot and the merged-fold gates (counter
     * additivity makes the generation split invisible to the law). */
+  /** Decimal log-binned histogram quantile oracle (r16) — shared by the
+    * one-shot, incremental, and stream gates (bin counts are additive,
+    * so every fold answers the one-shot law). */
+  private[queries] val histQuantilesOracleSql: String =
+    s"""WITH t AS (SELECT len($toksSql) * doc_id AS x FROM documents),
+       |b AS (SELECT length(CAST(x AS VARCHAR)) AS bin_d,
+       |         CAST(substr(CAST(x AS VARCHAR), 1, 2) AS BIGINT) AS bin_lead,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM t GROUP BY 1, 2),
+       |c AS (SELECT *, SUM(cnt) OVER (ORDER BY bin_d, bin_lead) AS cum,
+       |         SUM(cnt) OVER () AS n FROM b),
+       |qv(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+       |                 (CAST(0.99 AS DOUBLE))),
+       |hit AS (SELECT qv.q, MIN(c.bin_d * 100 + c.bin_lead) AS k
+       |  FROM c, qv
+       |  WHERE c.cum >= GREATEST(CAST(CEIL(qv.q * CAST(c.n AS DOUBLE)) AS BIGINT), 1)
+       |  GROUP BY 1)
+       |SELECT q, CAST((k % 100) *
+       |    POW(10, (k // 100) - length(CAST(k % 100 AS VARCHAR))) AS BIGINT)
+       |  AS est_value
+       |FROM hit ORDER BY q""".stripMargin
+
   private[queries] val cmsOracleSql: String = {
     val bucket = (tok: String) =>
       s"CAST(('0x' || substr(md5('cms_' || CAST(row_idx AS VARCHAR) || '_' || $tok), 1, 7)) AS BIGINT) % 2048"
@@ -2731,6 +2794,14 @@ object OpsQueries {
     // additivity makes the split invisible)
     "q_corpus_cms_estimate" -> cmsOracleSql,
     "q_corpus_cms_incremental" -> cmsOracleSql,
+
+    // r16: decimal log-binned histogram quantiles — the oracle replays
+    // the string-shape bin law, the cumulative rank cut (DOUBLE
+    // arithmetic for q·N: a DECIMAL product would round differently at
+    // ties like 0.9·500), and the lower-bound decode from the encoded
+    // min bin (bin_d·100 + bin_lead is monotone for 2 lead digits)
+    "q_corpus_hist_quantiles" -> histQuantilesOracleSql,
+    "q_corpus_hist_incremental" -> histQuantilesOracleSql,
 
     // r15: exact BM25 over the posting-index artifact; the incremental
     // gate shares the law — a pure-append fold of disjoint-doc-id

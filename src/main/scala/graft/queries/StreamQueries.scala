@@ -733,6 +733,52 @@ object StreamQueries {
     // guarded in-plan). The store is bounded at d×w rows FOREVER, so
     // every batch's upsert is bounded too — the sketch's whole point.
     // Serving estimates from the folded grid ≡ the one-shot law.
+    // r16: CONTINUOUS histogram ingest — the quantile tier's stream
+    // form: each micro-batch's decimal-bin counts MERGE-fold into the
+    // persisted grid (bounded at ≤ 90 bins/decade forever; counts
+    // additive, fold exact). Quantiles from the folded grid ≡ the
+    // one-shot law (shared oracle).
+    "q_stream_hist_ingest" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.{CorpusStats, TextAnalysis}
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_shq_in")
+      val ckpt = Files.createTempDirectory("graft_shq_ck")
+      val docs = Tables.documents(s, d)
+      val t0 = 1700000000000L
+      stageAsFile(landing, "0.parquet", docs.filter(col("doc_id") % 2 === 0), t0)
+      stageAsFile(landing, "1.parquet", docs.filter(col("doc_id") % 2 =!= 0), t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_shq_wh").toString)
+      val hRel = graft.core.Relation("graft", "main", "hist_store")
+      def vals(f: org.apache.spark.sql.DataFrame) =
+        f.select((TextAnalysis.tokenCount(col("text"))
+          .cast(org.apache.spark.sql.types.LongType) * col("doc_id")).as("v"))
+      rm.writeTable(CorpusStats.histogramSketch(vals(docs.limit(0)), "v"), hRel)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // read-merge-WRITE sink: the replay guard keeps a retried
+          // batch from double-counting its documents
+          try {
+            if (rm.lastTxn(hRel, "shq").forall(_ < batchId)) {
+              val folded = CorpusStats.histogramMerge(2,
+                rm.read(hRel),
+                CorpusStats.histogramSketch(vals(batch), "v"))
+              rm.writeTable(folded.localCheckpoint(true), hRel,
+                txn = Map("shq" -> batchId))
+            }
+          } catch { case _: graft.relations.StaleTxnException => () }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      CorpusStats.histogramQuantiles(rm.read(hRel), Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     "q_stream_cms_ingest" -> ((s, d) => {
       import java.nio.file.Files
       import graft.ops.CorpusStats
@@ -1387,6 +1433,10 @@ object StreamQueries {
 
     // counter additivity makes the batch split invisible to the law
     "q_stream_cms_ingest" -> OpsQueries.cmsOracleSql,
+
+    // the folded histogram grid is definitionally the one-shot sketch
+    // (bin counts additive over disjoint batches)
+    "q_stream_hist_ingest" -> OpsQueries.histQuantilesOracleSql,
 
     // the appended positional store is definitionally the one-shot index
     "q_stream_phrase_ingest" -> OpsQueries.phraseOracleSql,

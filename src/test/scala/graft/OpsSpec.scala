@@ -604,6 +604,51 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall { case (t, e) => e >= exact.getOrElse(t, 0L) })
   }
 
+  test("histogram sketch: exact under 100, lower-bound law above, merge ≡ one-shot, guards loud (r16)") {
+    import spark.implicits._
+    import graft.ops.CorpusStats
+    // hand-computed bins: values < 100 are exact (2 lead digits); the
+    // multi-decade values report their bin's LOWER BOUND
+    val vals = Seq(5L, 7L, 123L, 4567L, 89012L).toDF("v")
+    val sk = CorpusStats.histogramSketch(vals, "v")
+    val est = CorpusStats.histogramQuantiles(sk, Seq(0.2, 0.6, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // rank 1 → 5 (exact), rank 3 → 123 → bin (3, 12) → 120,
+    // rank 5 → 89012 → bin (5, 89) → 89000
+    assert(est == Map(0.2 -> 5L, 0.6 -> 120L, 1.0 -> 89000L), s"got $est")
+    // the lower bound never exceeds the true rank value, and the true
+    // value sits within one bin width (10% at 2 lead digits)
+    assert(est(0.6) <= 123 && 123 < est(0.6) * 1.1)
+    // merge of disjoint halves answers like the one-shot sketch
+    val folded = CorpusStats.histogramMerge(2,
+      CorpusStats.histogramSketch(vals.filter(col("v") < 100), "v"),
+      CorpusStats.histogramSketch(vals.filter(col("v") >= 100), "v"))
+    val viaFold = CorpusStats.histogramQuantiles(folded, Seq(0.2, 0.6, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(viaFold == est)
+    // a zero lands in its own exact bin and counts toward ranks
+    val withZero = CorpusStats.histogramQuantiles(
+      CorpusStats.histogramSketch(Seq(0L, 50L).toDF("v"), "v"), Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(withZero == Map(0.5 -> 0L, 1.0 -> 50L))
+    // mixed lead-digit geometry fails loud at EXECUTION; construction
+    // fires zero jobs (the cmsGuarded discipline)
+    val mixed = ConstructionJobProbe.assertNoConstructionJobs(spark, "hist-merge") {
+      CorpusStats.histogramQuantiles(
+        CorpusStats.histogramMerge(2, sk,
+          CorpusStats.histogramSketch(vals, "v", leadDigits = 3)), Seq(0.5))
+    }
+    val eMixed = intercept[Exception](mixed.collect())
+    assert(eMixed.getMessage.contains("expected 2"), eMixed.getMessage)
+    // negative values are an in-plan hard error, not a silent drop
+    val eNeg = intercept[Exception](
+      CorpusStats.histogramSketch(Seq(-3L).toDF("v"), "v").collect())
+    assert(eNeg.getMessage.contains("negative"), eNeg.getMessage)
+    // quantile domain validated
+    intercept[IllegalArgumentException](
+      CorpusStats.histogramQuantiles(sk, Seq(0.0)))
+  }
+
   test("CMS estimate/merge construction fires zero Spark jobs (listener-asserted)") {
     import graft.ops.CorpusStats
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
