@@ -347,19 +347,35 @@ object CorpusStats {
     * non-negative longs: lengths, token counts, byte sizes). */
   def histogramSketch(df: DataFrame, valueCol: String,
                       leadDigits: Int = 2): DataFrame = {
+    val (d, lead) = histBinCols(col(valueCol), leadDigits)
+    df.select(d.as("bin_d"), lead.as("bin_lead"))
+      .groupBy("bin_d", "bin_lead").agg(count(lit(1)).as("cnt"))
+      .withColumn("sketch_lead", lit(leadDigits))
+  }
+
+  /** Per-STRATUM histogram rows `(grp, bin_d, bin_lead, cnt,
+    * sketch_lead)` — the dataset-card shape ([[tokenStatsBy]] is
+    * per-group; so is its sketch tier). Same additivity and bounds per
+    * group. */
+  def histogramSketchBy(df: DataFrame, groupCol: String, valueCol: String,
+                        leadDigits: Int = 2): DataFrame = {
+    val (d, lead) = histBinCols(col(valueCol), leadDigits)
+    df.select(col(groupCol).as("grp"), d.as("bin_d"), lead.as("bin_lead"))
+      .groupBy("grp", "bin_d", "bin_lead").agg(count(lit(1)).as("cnt"))
+      .withColumn("sketch_lead", lit(leadDigits))
+  }
+
+  private def histBinCols(value: Column, leadDigits: Int): (Column, Column) = {
     require(leadDigits >= 1 && leadDigits <= 4,
       s"leadDigits must lie in [1, 4]: $leadDigits")
-    val x = col(valueCol).cast(LongType)
+    val x = value.cast(LongType)
     val guarded = when(x >= 0, x)
       .otherwise(raise_error(concat(
         lit("histogramSketch: negative value "), x.cast(StringType),
         lit(" — the decimal bin law covers non-negative longs only")))
         .cast(LongType))
     val s = guarded.cast(StringType)
-    df.select(length(s).as("bin_d"),
-        substring(s, 1, leadDigits).cast(LongType).as("bin_lead"))
-      .groupBy("bin_d", "bin_lead").agg(count(lit(1)).as("cnt"))
-      .withColumn("sketch_lead", lit(leadDigits))
+    (length(s), substring(s, 1, leadDigits).cast(LongType))
   }
 
   /** In-plan geometry guard for histogram rows (the [[cmsGuarded]]
@@ -411,10 +427,46 @@ object CorpusStats {
         greatest(ceil(col("q") * col("__n").cast(DoubleType)), lit(1L)))
       .groupBy("q")
       .agg(min(struct(col("bin_d"), col("bin_lead"))).as("__b"))
-      .select(col("q"),
-        (col("__b.bin_lead") *
-          pow(lit(10.0), (col("__b.bin_d") -
-            length(col("__b.bin_lead").cast(StringType))).cast(DoubleType)))
-          .cast(LongType).as("est_value"))
+      .select(col("q"), histLowerBound.as("est_value"))
   }
+
+  /** Per-stratum quantiles from [[histogramSketchBy]] rows: `(grp, q,
+    * est_value)` — the cum window partitions by the stratum, so no
+    * single-partition sort ever sees more than one group's bin grid. */
+  def histogramQuantilesBy(sketch: DataFrame, qs: Seq[Double],
+                           leadDigits: Int = 2): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val bins = sketch.select(col("grp"), col("bin_d"), col("bin_lead"),
+      when(col("sketch_lead") === leadDigits, col("cnt"))
+        .otherwise(raise_error(concat(
+          lit(s"histogram lead-digit mismatch: expected $leadDigits, row has "),
+          col("sketch_lead").cast(StringType)))
+          .cast(LongType))
+        .as("cnt"))
+      .groupBy("grp", "bin_d", "bin_lead").agg(sum("cnt").as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("bin_d", "bin_lead")
+    val cum = bins
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("cnt").over(
+        Window.partitionBy("grp")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter(col("cum") >=
+        greatest(ceil(col("q") * col("__n").cast(DoubleType)), lit(1L)))
+      .groupBy("grp", "q")
+      .agg(min(struct(col("bin_d"), col("bin_lead"))).as("__b"))
+      .select(col("grp"), col("q"), histLowerBound.as("est_value"))
+  }
+
+  /** Decode a bin struct `__b = (bin_d, bin_lead)` to its lower bound:
+    * lead · 10^(d − digits(lead)). */
+  private def histLowerBound: Column =
+    (col("__b.bin_lead") *
+      pow(lit(10.0), (col("__b.bin_d") -
+        length(col("__b.bin_lead").cast(StringType))).cast(DoubleType)))
+      .cast(LongType)
 }

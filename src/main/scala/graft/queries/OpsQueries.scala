@@ -1053,6 +1053,19 @@ object OpsQueries {
         .orderBy("q")
     }),
 
+    // r16: the per-STRATUM histogram — quantiles by language, the
+    // actual dataset-card shape (tokenStatsBy's sketch tier); the cum
+    // window partitions by the stratum so no global sort exists
+    "q_corpus_hist_by_lang" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val vals = Tables.documents(s, d).select(col("lang"),
+        (TA.tokenCount(col("text")).cast(LongType) * col("doc_id")).as("v"))
+      CorpusStats.histogramQuantilesBy(
+        CorpusStats.histogramSketchBy(vals, "lang", "v"), Seq(0.5, 0.99))
+        .select(col("grp").as("lang"), col("q"), col("est_value"))
+        .orderBy("lang", "q")
+    }),
+
     // benchmark decontamination: docs ≡ 0 (mod 97) act as the eval set;
     // every remaining training doc reports its distinct shared-4-gram
     // count (0 for clean — no silent absence) + the contamination flag
@@ -2802,6 +2815,27 @@ object OpsQueries {
     // min bin (bin_d·100 + bin_lead is monotone for 2 lead digits)
     "q_corpus_hist_quantiles" -> histQuantilesOracleSql,
     "q_corpus_hist_incremental" -> histQuantilesOracleSql,
+
+    // r16: the per-language form — same law with the cum/total windows
+    // partitioned by the stratum
+    "q_corpus_hist_by_lang" ->
+      s"""WITH t AS (SELECT lang, len($toksSql) * doc_id AS x FROM documents),
+         |b AS (SELECT lang, length(CAST(x AS VARCHAR)) AS bin_d,
+         |         CAST(substr(CAST(x AS VARCHAR), 1, 2) AS BIGINT) AS bin_lead,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY 1, 2, 3),
+         |c AS (SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin_d, bin_lead) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY lang) AS n FROM b),
+         |qv(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+         |hit AS (SELECT c.lang, qv.q, MIN(c.bin_d * 100 + c.bin_lead) AS k
+         |  FROM c, qv
+         |  WHERE c.cum >= GREATEST(CAST(CEIL(qv.q * CAST(c.n AS DOUBLE)) AS BIGINT), 1)
+         |  GROUP BY 1, 2)
+         |SELECT lang, q, CAST((k % 100) *
+         |    POW(10, (k // 100) - length(CAST(k % 100 AS VARCHAR))) AS BIGINT)
+         |  AS est_value
+         |FROM hit ORDER BY lang, q""".stripMargin,
 
     // r15: exact BM25 over the posting-index artifact; the incremental
     // gate shares the law — a pure-append fold of disjoint-doc-id
