@@ -1559,6 +1559,15 @@ object OpsQueries {
             s"${ps.bucketBy}/${ps.buckets}")
         require(ps.files.nonEmpty && ps.files.forall(_.contains("/_bucket=")),
           "every posting-store file must route through the bucket layout")
+        // a CATCH-UP build at the unchanged window is a store no-op:
+        // the checkpoint leaves zero batches, so no store commits —
+        // the idempotency half of the O(batch) story (r16, third build)
+        val before3 = stores.map(n => rm.currentState(rel(n)).get.version)
+        build("2025-01-03T00:00:00Z")
+        val after3 = stores.map(n => rm.currentState(rel(n)).get.version)
+        require(after3 == before3,
+          s"a same-window catch-up build must not commit to the stores: " +
+            s"$before3 -> $after3")
         rm.read(rel("bm25_top10"))
           .orderBy("query_id", "rank").localCheckpoint(true)
       } finally {
