@@ -144,14 +144,29 @@ object Microbatch {
     // posting index — accumulate O(batch) per nightly run AND serve
     // storage-partitioned joins from its bucket layout.
     config.meta.get("buckets").map(_.toInt).foreach { n =>
-      if (!rm.exists(rel) && batches.nonEmpty) {
-        val cols = config.meta.getOrElse("bucket_by",
-          throw new IllegalArgumentException(s"buckets=$n needs bucket_by"))
-          .split("\\s*\\|\\s*").toSeq
-        val empty = build(batches.head).filter(lit(false))
-          .withColumn(partCol, lit(null).cast("string"))
-        rm.writeTable(empty, rel, partitionBy = Seq(partCol),
-          statsCols = cols, bucketBy = cols, buckets = n)
+      val cols = config.meta.getOrElse("bucket_by",
+        throw new IllegalArgumentException(s"buckets=$n needs bucket_by"))
+        .split("\\s*\\|\\s*").toSeq
+      if (!rm.exists(rel)) {
+        if (batches.nonEmpty) {
+          val empty = build(batches.head).filter(lit(false))
+            .withColumn(partCol, lit(null).cast("string"))
+          rm.writeTable(empty, rel, partitionBy = Seq(partCol),
+            statsCols = cols, bucketBy = cols, buckets = n)
+        }
+      } else {
+        // the layout is fixed at bootstrap: a declaration added or
+        // changed AFTER the table exists would otherwise be silently
+        // ignored (staged batches route through bucketingOf(current))
+        // while the operator believes the store serves the declared
+        // layout — fail loud instead (r16 review)
+        val st = rm.currentState(rel).get
+        require(st.buckets == n && st.bucketBy == cols,
+          s"microbatch store ${rel.render}: declared bucketing " +
+            s"${cols.mkString("|")} x $n does not match the existing table's " +
+            s"${if (st.buckets > 0) st.bucketBy.mkString("|") + " x " + st.buckets
+            else "unbucketed layout"} — bucket layout is fixed at " +
+            "bootstrap; full-refresh the model to re-declare it")
       }
     }
 

@@ -369,7 +369,13 @@ object CorpusStats {
     require(leadDigits >= 1 && leadDigits <= 4,
       s"leadDigits must lie in [1, 4]: $leadDigits")
     val x = value.cast(LongType)
-    val guarded = when(x >= 0, x)
+    // nulls and negatives each fail with their OWN message (a null is a
+    // data-quality gap, not a sign error — the bare x >= 0 guard would
+    // route nulls to "negative value null", r16 review)
+    val guarded = when(x.isNull,
+        raise_error(lit("histogramSketch: null value — filter or " +
+          "coalesce missing values before sketching")).cast(LongType))
+      .when(x >= 0, x)
       .otherwise(raise_error(concat(
         lit("histogramSketch: negative value "), x.cast(StringType),
         lit(" — the decimal bin law covers non-negative longs only")))
@@ -379,24 +385,28 @@ object CorpusStats {
   }
 
   /** In-plan geometry guard for histogram rows (the [[cmsGuarded]]
-    * discipline: per row, at execution, zero jobs at construction). */
-  private def histGuarded(sketch: DataFrame, leadDigits: Int): DataFrame =
-    sketch.select(col("bin_d"), col("bin_lead"),
+    * discipline: per row, at execution, zero jobs at construction).
+    * `keyCols` carries any stratum columns through (the By-form). */
+  private def histGuarded(sketch: DataFrame, leadDigits: Int,
+                          keyCols: Seq[String] = Nil): DataFrame =
+    sketch.select((keyCols.map(col) ++ Seq(col("bin_d"), col("bin_lead"),
       when(col("sketch_lead") === leadDigits, col("cnt"))
         .otherwise(raise_error(concat(
           lit(s"histogram lead-digit mismatch: expected $leadDigits, row has "),
           col("sketch_lead").cast(StringType)))
           .cast(LongType))
-        .as("cnt"))
+        .as("cnt"))): _*)
 
   /** Fold histogram sketches built with the same declared `leadDigits`:
     * counts add (bins are disjoint decimal shapes, so the fold is exact
     * — not an approximation like merged quantile digests). */
-  def histogramMerge(leadDigits: Int, sketches: DataFrame*): DataFrame =
+  def histogramMerge(leadDigits: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "histogramMerge needs at least one sketch")
     sketches.map(histGuarded(_, leadDigits)).reduce(_ unionByName _)
       .groupBy("bin_d", "bin_lead").agg(sum("cnt").as("cnt"))
       .withColumn("sketch_lead", lit(leadDigits))
       .select("bin_d", "bin_lead", "cnt", "sketch_lead")
+  }
 
   /** Quantile estimates from the sketch: for each q ∈ (0, 1], the LOWER
     * BOUND of the bin holding the ascending rank-⌈q·N⌉ value (returning
@@ -439,13 +449,7 @@ object CorpusStats {
       s"quantiles must lie in (0, 1]: $qs")
     val spark = sketch.sparkSession
     import spark.implicits._
-    val bins = sketch.select(col("grp"), col("bin_d"), col("bin_lead"),
-      when(col("sketch_lead") === leadDigits, col("cnt"))
-        .otherwise(raise_error(concat(
-          lit(s"histogram lead-digit mismatch: expected $leadDigits, row has "),
-          col("sketch_lead").cast(StringType)))
-          .cast(LongType))
-        .as("cnt"))
+    val bins = histGuarded(sketch, leadDigits, keyCols = Seq("grp"))
       .groupBy("grp", "bin_d", "bin_lead").agg(sum("cnt").as("cnt"))
     val w = Window.partitionBy("grp").orderBy("bin_d", "bin_lead")
     val cum = bins

@@ -95,10 +95,23 @@ object TextAnalysis {
                      nMerges: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // pin each round's vocab as a cached RDD and rebuild the frame from
+    // it (the connectedComponents `sever` pattern): keeps every round's
+    // plan flat AND releasable — Dataset.unpersist on a
+    // localCheckpoint(true) frame does NOT free its block-manager
+    // storage (uncacheQuery never tracks RDD-level checkpoint
+    // persistence; verified empirically on Spark 4.1.2 in the r16
+    // review), so the old checkpoint-per-round form silently pinned
+    // nMerges+1 vocab copies until GC
+    def pin(d: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = d.rdd.cache()
+      (spark.createDataFrame(r, d.schema), r)
+    }
     // word-frequency table; words split into single-codepoint symbols
     // ((?<=.) splits between chars and drops no content; BMP contract —
     // the same one the oracle's regex char-wrap rides)
-    var vocab = df.select(
+    var (vocab, vocabRdd) = pin(df.select(
         explode(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
           .as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -106,8 +119,7 @@ object TextAnalysis {
       // string "(?<=.)" produces after the last char — strip it, or a
       // phantom '' symbol pollutes every word's final pair
       .select(filter(split(col("word"), "(?<=.)"), _ =!= "").as("syms"),
-        col("freq"))
-      .localCheckpoint(true)
+        col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -125,16 +137,18 @@ object TextAnalysis {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, c))
-        val prev = vocab
-        vocab = vocab.select(applyBpeMerge(col("syms"), l, r).as("syms"),
-          col("freq")).localCheckpoint(true)
-        // the new checkpoint is materialized (eager); drop the superseded
-        // copy or nMerges+1 vocab frames pile up in block-manager storage
-        prev.unpersist()
+        val (v2, v2Rdd) = pin(vocab.select(
+          applyBpeMerge(col("syms"), l, r).as("syms"), col("freq")))
+        // materialize the new cache BEFORE releasing its parent — an
+        // empty v2 cache with an unpersisted parent would refill by
+        // recomputing the whole round chain from the corpus
+        v2Rdd.count()
+        vocabRdd.unpersist() // RDD-level: actually releases the blocks
+        vocab = v2; vocabRdd = v2Rdd
         rank += 1
       }
     }
-    vocab.unpersist() // merges are driver-held; the final frame is not returned
+    vocabRdd.unpersist() // merges are driver-held; the frame is not returned
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
   }
 

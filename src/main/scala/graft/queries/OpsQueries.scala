@@ -85,16 +85,15 @@ object OpsQueries {
       // a nightly deployment reads both from persisted tables. Recorded
       // as build phase (r16) so the bench sidecar separates them from
       // the fold this gate exists to watch.
+      val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
       val (pairs, store) = GatePhases.build("q_dedup_clusters_incremental") {
         // pair generation is the expensive stage and both generations
         // read it — pin it once (pair-sized output)
         val p = Dedup.minhashLshPairs(docs, "doc_id", "text",
           shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
           .localCheckpoint(true)
-        val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
         (p, Dedup.connectedComponents(p.filter(gen === 0), "doc_a", "doc_b"))
       }
-      val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
       val comp = Dedup.connectedComponentsIncremental(store, "node", "component",
         pairs.filter(gen =!= 0), "doc_a", "doc_b")
       val labeled = docs.select(col("doc_id").as("doc"))

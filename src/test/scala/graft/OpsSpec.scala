@@ -644,9 +644,17 @@ class OpsSpec extends AnyFunSuite {
     val eNeg = intercept[Exception](
       CorpusStats.histogramSketch(Seq(-3L).toDF("v"), "v").collect())
     assert(eNeg.getMessage.contains("negative"), eNeg.getMessage)
-    // quantile domain validated
+    // a NULL gets its own message (a data-quality gap, not a sign error)
+    val eNull = intercept[Exception](
+      CorpusStats.histogramSketch(
+        Seq(Some(1L), None).toDF("v"), "v").collect())
+    assert(eNull.getMessage.contains("null value"), eNull.getMessage)
+    // quantile domain validated; zero sketches fail with a domain message
     intercept[IllegalArgumentException](
       CorpusStats.histogramQuantiles(sk, Seq(0.0)))
+    val eEmpty = intercept[IllegalArgumentException](
+      CorpusStats.histogramMerge(2))
+    assert(eEmpty.getMessage.contains("at least one sketch"), eEmpty.getMessage)
   }
 
   test("CMS estimate/merge construction fires zero Spark jobs (listener-asserted)") {

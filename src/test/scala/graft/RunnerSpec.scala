@@ -265,6 +265,18 @@ class RunnerSpec extends AnyFunSuite {
     // function of the key)
     val byBucket = rm.read(rel).count()
     assert(byBucket == 4)
+    // the layout is fixed at bootstrap: re-declaring a DIFFERENT
+    // geometry against the existing table fails loud instead of being
+    // silently ignored (r16 review)
+    val cfg8 = cfg.copy(meta = Map("buckets" -> "8", "bucket_by" -> "k"))
+    val eGeom = intercept[IllegalArgumentException] {
+      Microbatch.run(rm, rel, build, cfg8,
+        java.time.Instant.parse("2024-01-04T00:00:00Z"),
+        checkpoint = rm.readCheckpoint(rel))
+    }
+    assert(eGeom.getMessage.contains("fixed at") &&
+      eGeom.getMessage.contains("x 8") && eGeom.getMessage.contains("x 4"),
+      eGeom.getMessage)
   }
 
   test("microbatch reprocessed batch with vanished source rows clears its stale partition") {
