@@ -757,9 +757,18 @@ object ScaleProbe {
       // r15 s3: BPE trainer — the corpus term is ONE tokenize+count into
       // the word-frequency table; the 4 learned iterations run over that
       // Zipf-small vocab frame (the synthetic generator's vocabulary
-      // grows ~linearly in n via mutation suffixes, the worst case)
+      // grows ~linearly in n via mutation suffixes, the worst case).
+      // r16 FIX: the raw probe corpus pre-tokenizes into SINGLE
+      // characters ("w1234" → "w","1","2","3","4" — [0-9] matches one
+      // digit), so the old leg exhausted on the first empty argmax and
+      // timed zero training iterations; letterizing the digits makes
+      // every word one multi-char [A-Za-z]+ pre-token and the 4 merges
+      // actually train (the returned row count proves it)
       timed("bpe_train4", runs, opFilter)(
-        ops.TextAnalysis.bpeTrainMerges(docs, "text", nMerges = 4).count())
+        ops.TextAnalysis.bpeTrainMerges(
+          docs.select(translate(col("text"), "0123456789", "abcdefghij")
+            .as("text")),
+          "text", nMerges = 4).count())
       // r9 curation additions: the classifier's vocab join + per-doc agg
       // (here a tiny demo model; a trained vocab only widens the join
       // build side) and the zero-shuffle temperature rebalance
