@@ -120,7 +120,15 @@ object Microbatch {
       config: NodeConfig,
       runEnd: Instant,
       checkpoint: Option[Instant] = None,
-      concurrency: Int = 4): Seq[(Instant, Instant)] = {
+      concurrency: Int = 4,
+      // schema-only build for the bucketed-store bootstrap commit (r17 —
+      // VERDICT r16 task 5): the caller supplies a variant of `build`
+      // whose INPUTS are zero-row (the Runner's limit(0) pre-pass), so a
+      // native body that materializes eagerly inside its own code path
+      // still costs nothing at bootstrap. Absent, the bootstrap falls
+      // back to build + filter(false) — pruned to nothing for lazy
+      // bodies, one extra build for eager ones.
+      bootstrapBuild: Option[((Instant, Instant)) => DataFrame] = None): Seq[(Instant, Instant)] = {
     val size = parseBatchSize(config.batchSize.getOrElse("day"))
     val et = config.eventTime.getOrElse(
       throw new IllegalArgumentException("microbatch requires event_time"))
@@ -133,41 +141,58 @@ object Microbatch {
     // Declarable bucketing for microbatch STORES (r16): meta
     // buckets/bucket_by declare the layout once at table bootstrap — an
     // empty v0 commit carrying only the schema and the bucket
-    // declaration (filter(false) prunes the build plan to nothing, no
-    // data job — for a LAZY build fn; a native model that eagerly
-    // materializes inside its body would pay that build once extra at
-    // bootstrap, so keep bucketed microbatch bodies lazy). Every staged batch afterwards routes through the
+    // declaration. The schema probe prefers `bootstrapBuild` (the
+    // Runner's limit(0)-inputs pre-pass, r17), under which even a native
+    // body that materializes eagerly inside its own code builds against
+    // zero-row inputs; without it, filter(false) prunes a LAZY build
+    // plan to nothing. Every staged batch afterwards routes through the
     // declared layout (stage() reads the current version's bucketing,
     // and commitStagedPartitions keys replacement on the LOGICAL
     // partition, so `_bucket=` dirs nest inside each batch partition).
     // This is what lets an append-only ingest store — the retrieval
     // posting index — accumulate O(batch) per nightly run AND serve
     // storage-partitioned joins from its bucket layout.
-    config.meta.get("buckets").map(_.toInt).foreach { n =>
-      val cols = config.meta.getOrElse("bucket_by",
-        throw new IllegalArgumentException(s"buckets=$n needs bucket_by"))
-        .split("\\s*\\|\\s*").toSeq
-      if (!rm.exists(rel)) {
-        if (batches.nonEmpty) {
-          val empty = build(batches.head).filter(lit(false))
-            .withColumn(partCol, lit(null).cast("string"))
-          rm.writeTable(empty, rel, partitionBy = Seq(partCol),
-            statsCols = cols, bucketBy = cols, buckets = n)
+    config.meta.get("buckets").map(_.toInt) match {
+      case Some(n) =>
+        val cols = config.meta.getOrElse("bucket_by",
+          throw new IllegalArgumentException(s"buckets=$n needs bucket_by"))
+          .split("\\s*\\|\\s*").toSeq
+        if (!rm.exists(rel)) {
+          if (batches.nonEmpty) {
+            val empty = bootstrapBuild.getOrElse(build)(batches.head)
+              .filter(lit(false))
+              .withColumn(partCol, lit(null).cast("string"))
+            rm.writeTable(empty, rel, partitionBy = Seq(partCol),
+              statsCols = cols, bucketBy = cols, buckets = n)
+          }
+        } else {
+          // the layout is fixed at bootstrap: a declaration added or
+          // changed AFTER the table exists would otherwise be silently
+          // ignored (staged batches route through bucketingOf(current))
+          // while the operator believes the store serves the declared
+          // layout — fail loud instead (r16 review)
+          val st = rm.currentState(rel).get
+          require(st.buckets == n && st.bucketBy == cols,
+            s"microbatch store ${rel.render}: declared bucketing " +
+              s"${cols.mkString("|")} x $n does not match the existing table's " +
+              s"${if (st.buckets > 0) st.bucketBy.mkString("|") + " x " + st.buckets
+              else "unbucketed layout"} — bucket layout is fixed at " +
+              "bootstrap; full-refresh the model to re-declare it")
         }
-      } else {
-        // the layout is fixed at bootstrap: a declaration added or
-        // changed AFTER the table exists would otherwise be silently
-        // ignored (staged batches route through bucketingOf(current))
-        // while the operator believes the store serves the declared
-        // layout — fail loud instead (r16 review)
-        val st = rm.currentState(rel).get
-        require(st.buckets == n && st.bucketBy == cols,
-          s"microbatch store ${rel.render}: declared bucketing " +
-            s"${cols.mkString("|")} x $n does not match the existing table's " +
-            s"${if (st.buckets > 0) st.bucketBy.mkString("|") + " x " + st.buckets
-            else "unbucketed layout"} — bucket layout is fixed at " +
-            "bootstrap; full-refresh the model to re-declare it")
-      }
+      case None =>
+        // the guard must be symmetric (r16 ADVICE): REMOVING the
+        // declaration from an existing bucketed store is as silent as
+        // adding one — staged batches keep routing through the persisted
+        // layout (stage() reads bucketingOf(currentState)) while the
+        // operator believes the store is unbucketed. Same fix: fail loud.
+        rm.currentState(rel).filter(_.buckets > 0).foreach { st =>
+          throw new IllegalArgumentException(
+            s"microbatch store ${rel.render}: config declares no bucketing " +
+              s"but the existing table carries ${st.bucketBy.mkString("|")} x " +
+              s"${st.buckets} (staged batches would keep routing through it) — " +
+              "bucket layout is fixed at bootstrap; full-refresh the model " +
+              "to drop it")
+        }
     }
 
     def stageOne(b: (Instant, Instant)): graft.relations.Staged = {

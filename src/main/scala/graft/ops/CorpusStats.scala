@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Corpus profiling: per-stratum token statistics (the dataset-card
   * numbers every training corpus ships with — doc counts, token mass,
@@ -467,10 +467,19 @@ object CorpusStats {
   }
 
   /** Decode a bin struct `__b = (bin_d, bin_lead)` to its lower bound:
-    * lead · 10^(d − digits(lead)). */
-  private def histLowerBound: Column =
-    (col("__b.bin_lead") *
-      pow(lit(10.0), (col("__b.bin_d") -
-        length(col("__b.bin_lead").cast(StringType))).cast(DoubleType)))
-      .cast(LongType)
+    * lead · 10^(d − digits(lead)) — in EXACT long arithmetic (r17,
+    * ADVICE r16): the double form (lead · pow(10.0, e)) deviates by up
+    * to ~1024 once the product exceeds 2^53 (17+ digit values), so the
+    * scaladoc claim "a deterministic integer any engine reproduces"
+    * held only for IEEE-double consumers. The exponent is ≤ 18 for any
+    * long-valued bin (19 digits, ≥ 1 lead digit), so a literal power
+    * table keeps the whole decode in integer codegen. */
+  private def histLowerBound: Column = {
+    val e = (col("__b.bin_d") -
+      length(col("__b.bin_lead").cast(StringType))).cast(IntegerType)
+    val pow10: Column = (1 to 18).foldLeft(when(e === 0, lit(1L))) {
+      (acc, i) => acc.when(e === i, lit(BigInt(10).pow(i).toLong))
+    }
+    col("__b.bin_lead").cast(LongType) * pow10
+  }
 }

@@ -278,6 +278,49 @@ object Retrieval {
           col("n_rel").cast(DoubleType), 6).as("recall"))
   }
 
+  /** Fail-loud staleness cross-check for the term-statistics artifact
+    * (r17 — VERDICT r16 task 3, closing the one silent-wrong-answer path
+    * of the deployed serving plan): Σ_term df(term) over the artifact
+    * must equal the posting store's LIVE row count — each distinct
+    * (term, doc) pair is exactly one posting row AND contributes exactly
+    * 1 to its term's df, and the identity survives every maintenance
+    * path (disjoint-doc-id appends add both sides equally; GC pairs a
+    * row-level posting delete with a negative df append). A stats
+    * artifact that missed a batch, double-folded one, or drifted from a
+    * GC therefore CANNOT satisfy it.
+    *
+    * Cost: the artifact side is one scan of a vocabulary-sized table;
+    * the posting side reads per-file row counts from the commit-log
+    * manifest (minus merge-on-read dead rows) — O(manifest), no index
+    * scan. A posting store whose manifest lacks per-file stats falls
+    * back to one counting scan (still exact; logged in the error only).
+    * The frame-input path of [[bm25TopK]] stays contract-only — a
+    * caller handing raw DataFrames owns their consistency. */
+  def requireFreshTermStats(rm: graft.relations.RelationManager,
+                            statsRel: graft.core.Relation,
+                            postingsRel: graft.core.Relation): Unit = {
+    val sumDf = rm.read(statsRel)
+      .agg(coalesce(sum(col("df")), lit(0L)).as("s"))
+      .collect()(0).getLong(0)
+    val st = rm.currentState(postingsRel).getOrElse(
+      throw new IllegalArgumentException(
+        s"requireFreshTermStats: ${postingsRel.render} is not a commit-log table"))
+    val perFile = st.files.map(f =>
+      st.stats.get(f).flatMap(_.values.headOption).map(_.rows))
+    val postingRows =
+      if (perFile.nonEmpty && perFile.forall(_.isDefined))
+        perFile.flatten.sum - st.deleteRows.values.sum
+      else if (st.files.isEmpty) 0L
+      else rm.read(postingsRel).count() // no per-file stats: one exact scan
+    require(sumDf == postingRows,
+      s"term-stats artifact ${statsRel.render} is STALE vs posting store " +
+        s"${postingsRel.render}: sum(df) = $sumDf but the store holds " +
+        s"$postingRows live posting rows (the two must be equal — each " +
+        "distinct (term, doc) pair is one posting row and one df unit). " +
+        "Serving from this artifact would silently shift idf; re-fold the " +
+        "stats store from the same batches as the postings.")
+  }
+
   /** The gate family's shared query law — documents with id ≡ 0 (mod
     * `modulo`), query text = the first `prefixTokens` whitespace
     * tokens. ONE definition feeding the hand-composed gates, the

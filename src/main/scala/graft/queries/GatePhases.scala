@@ -18,9 +18,19 @@ package graft.queries
 object GatePhases {
   private val buildNs = scala.collection.mutable.Map.empty[String, Long]
 
+  // attribution keys are gate-name string literals inside query closures
+  // (r16 VERDICT "what's wrong" #4): a gate rename would silently zero
+  // its build/fold sidecar split. One line of defense: a recorded key
+  // must name a registered query. Lazy — SparkEntry.queries is fully
+  // constructed before any closure can call build().
+  private lazy val knownQueries: Set[String] = graft.SparkEntry.queries.keySet
+
   /** Record the wall-clock of an eager store-build block under `query`
     * (cumulative — a gate may build several artifacts). */
   def build[A](query: String)(body: => A): A = {
+    require(knownQueries(query),
+      s"GatePhases.build('$query'): not a registered SparkEntry query — " +
+        "a renamed gate must rename its build-attribution key with it")
     val t0 = System.nanoTime()
     try body
     finally synchronized {

@@ -1567,6 +1567,11 @@ object OpsQueries {
         require(after3 == before3,
           s"a same-window catch-up build must not commit to the stores: " +
             s"$before3 -> $after3")
+        // the deployed serving plan's self-check (r17): Σdf over the
+        // term-stats artifact == the posting store's live row count —
+        // O(manifest) on the posting side, vocab-sized on the stats side
+        graft.ops.Retrieval.requireFreshTermStats(rm,
+          rel("term_stats"), rel("postings"))
         rm.read(rel("bm25_top10"))
           .orderBy("query_id", "rank").localCheckpoint(true)
       } finally {

@@ -137,9 +137,25 @@ final class Runner(
                           batchWindow: Option[(Instant, Instant)] = None): String =
     emptyWrap(windowWrap(name, dep, batchWindow))
 
+  /** Thread-local --empty override: the microbatch bucketed-store
+    * bootstrap builds its schema-only v0 commit with every input limited
+    * to zero rows (r17 — removes the eager-native-body hazard: the body
+    * runs, but over empty inputs, so even an in-body materialization
+    * costs nothing). Thread-local, not a field: nodes run concurrently
+    * on the task pool, and the bootstrap build happens synchronously on
+    * its node's thread. */
+  private val forceEmptyInputs = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def withEmptyInputs[A](body: => A): A = {
+    forceEmptyInputs.set(true)
+    try body finally forceEmptyInputs.set(false)
+  }
+  private def inputsEmpty: Boolean = emptyRun || forceEmptyInputs.get()
+
   /** --empty: inputs become zero-row subqueries (schemas intact). */
   private def emptyWrap(name: String): String =
-    if (emptyRun) s"(select * from $name limit 0)" else name
+    if (inputsEmpty) s"(select * from $name limit 0)" else name
 
   /** Compile a SQL node: render refs/sources and recursively inline
     * ephemeral deps as CTEs (reference: Compiler._recursively_prepend_ctes
@@ -225,8 +241,18 @@ final class Runner(
       // so it must not become a deps entry (r15 s3 — surfaced by the
       // first native model depending on a TESTED model; SQL models were
       // never exposed because compileSql only references refable deps)
+      // --empty / the bootstrap pre-pass applies to NATIVE inputs too
+      // (r17): dep frames are limited to zero rows, so the body builds
+      // its full schema without moving data — the DataFrame form of the
+      // SQL path's zero-row subquery wrap
+      def maybeEmpty(df: DataFrame): DataFrame =
+        if (inputsEmpty) df.limit(0) else df
+      // scheduling-only edges never become deps entries: a test node has
+      // no readable relation (r15 s3), and an OPERATION node (r17) is a
+      // DML step, not a frame — both order the run, neither feeds data
       val deps = node.dependsOn.flatMap(manifest.get)
-        .filter(d => d.nodeType != NodeType.Test)
+        .filter(d => d.nodeType != NodeType.Test &&
+          d.nodeType != NodeType.Operation)
         .map { d =>
         val df =
           if (d.isEphemeral)
@@ -247,7 +273,7 @@ final class Runner(
             }
             windowFilter(base, d.config.eventTime)
           }
-        d.name -> df
+        d.name -> maybeEmpty(df)
       }.toMap
       // native models get `this` — the model's own existing relation
       // (the reference's dbt.this for Python models, providers.py:1566):
@@ -534,7 +560,13 @@ final class Runner(
                 b => buildDf(node, isIncremental = isInc, batchWindow = Some(b))
                   .filter(graft.materializations.Microbatch.eventTimeFilter(et, b)),
                 cfg, runEnd, checkpoint,
-                concurrency = slots)
+                concurrency = slots,
+                // schema-only bootstrap for bucket-declared stores (r17):
+                // every input limited to zero rows, so an eager native
+                // body costs nothing at the v0 declaration commit
+                bootstrapBuild = Some(b => withEmptyInputs {
+                  buildDf(node, isIncremental = isInc, batchWindow = Some(b))
+                }))
             case "incremental" =>
               Materializations.incremental(rm, rel,
                 inc => buildDf(node, isIncremental = inc),

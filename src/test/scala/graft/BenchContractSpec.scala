@@ -17,6 +17,17 @@ class BenchContractSpec extends AnyFunSuite {
   private def brokenQ: (SparkSession, String) => DataFrame =
     (s, d) => Tables.nation(s, d).selectExpr("no_such_column + 1")
 
+  test("GatePhases.build rejects a key that is not a registered query (r17 — silent-attribution-drop guard)") {
+    // a registered gate records fine...
+    assert(graft.queries.GatePhases.build("q_dsir_from_model")(42) == 42)
+    assert(graft.queries.GatePhases.drain("q_dsir_from_model") >= 0.0)
+    // ...a renamed/typo'd key fails loud instead of silently zeroing the
+    // gate's build/fold sidecar split
+    val e = intercept[IllegalArgumentException](
+      graft.queries.GatePhases.build("q_renamed_gate_typo")(42))
+    assert(e.getMessage.contains("not a registered SparkEntry query"), e.getMessage)
+  }
+
   test("clean run: no partial flag, all queries timed, rc-equivalent empty errs") {
     val (json, _, errs) = Bench.run(spark, sf, Seq("good"), Map("good" -> goodQ), passCount = 1)
     assert(errs.isEmpty)

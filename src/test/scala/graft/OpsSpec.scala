@@ -626,6 +626,16 @@ class OpsSpec extends AnyFunSuite {
     val viaFold = CorpusStats.histogramQuantiles(folded, Seq(0.2, 0.6, 1.0))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(viaFold == est)
+    // 19-digit values decode their lower bound in EXACT long arithmetic
+    // (r17, ADVICE r16): 8912345678901234567 → bin (19, 89) → exactly
+    // 89 · 10^17, independent of any consumer's floating-point model
+    // (the old double decode happened to be exact at 2 lead digits —
+    // lead · 5^e < 2^53 — but the scaladoc's "deterministic integer"
+    // claim now holds by construction, not by mantissa accounting)
+    val big = CorpusStats.histogramQuantiles(
+      CorpusStats.histogramSketch(Seq(8912345678901234567L).toDF("v"), "v"),
+      Seq(1.0)).collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(big == Map(1.0 -> 8900000000000000000L), s"got $big")
     // a zero lands in its own exact bin and counts toward ranks
     val withZero = CorpusStats.histogramQuantiles(
       CorpusStats.histogramSketch(Seq(0L, 50L).toDF("v"), "v"), Seq(0.5, 1.0))

@@ -143,6 +143,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(afterGc == rebuilt)
   }
 
+  test("requireFreshTermStats: stale artifact fails loud, fresh passes, GC-paired maintenance stays consistent (r17)") {
+    import java.nio.file.Files
+    val whDir = Files.createTempDirectory("graft_rfts").toString
+    val rm = new graft.relations.RelationManager(spark, whDir)
+    val postRel = graft.core.Relation("graft", "main", "rfts_postings")
+    val statsRel = graft.core.Relation("graft", "main", "rfts_stats")
+    val gen1 = corpus.filter(col("id") % 2 === 0)
+    val gen2 = corpus.filter(col("id") % 2 =!= 0)
+    // full postings, but a stats artifact that MISSED generation 2 —
+    // the silent-idf-shift scenario the guard exists for
+    rm.writeBucketedTable(Retrieval.postingIndex(corpus, "id", "text"),
+      postRel, 4, Seq("term"))
+    rm.writeTable(Retrieval.termStats(gen1, "text"), statsRel)
+    val eStale = intercept[IllegalArgumentException](
+      Retrieval.requireFreshTermStats(rm, statsRel, postRel))
+    assert(eStale.getMessage.contains("STALE") &&
+      eStale.getMessage.contains("sum(df)"), eStale.getMessage)
+    // folding the missing batch in (pure append) restores the invariant
+    rm.appendTable(Retrieval.termStats(gen2, "text"), statsRel)
+    Retrieval.requireFreshTermStats(rm, statsRel, postRel)
+    // GC pairing: a row-level posting delete plus the matching negative
+    // df append keeps the identity; the delete ALONE breaks it
+    spark.sql(s"DELETE FROM ${rm.catalogName}.main.rfts_postings WHERE doc_id = 0")
+    val eHalf = intercept[IllegalArgumentException](
+      Retrieval.requireFreshTermStats(rm, statsRel, postRel))
+    assert(eHalf.getMessage.contains("STALE"), eHalf.getMessage)
+    rm.appendTable(
+      Retrieval.termStats(corpus.filter(col("id") === 0), "text")
+        .select(col("term"), (-col("df")).as("df")), statsRel)
+    Retrieval.requireFreshTermStats(rm, statsRel, postRel)
+    // a non-table postings relation is a loud error, not a silent pass
+    val eNone = intercept[IllegalArgumentException](
+      Retrieval.requireFreshTermStats(rm, statsRel,
+        graft.core.Relation("graft", "main", "rfts_missing")))
+    assert(eNone.getMessage.contains("not a commit-log table"), eNone.getMessage)
+  }
+
   test("maxDfFraction elides saturated terms before candidate generation") {
     import spark.implicits._
     val docs = Seq((0L, "the apple"), (1L, "the banana"),

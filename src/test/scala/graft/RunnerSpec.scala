@@ -277,6 +277,67 @@ class RunnerSpec extends AnyFunSuite {
     assert(eGeom.getMessage.contains("fixed at") &&
       eGeom.getMessage.contains("x 8") && eGeom.getMessage.contains("x 4"),
       eGeom.getMessage)
+    // the guard is symmetric (r17, ADVICE r16): REMOVING the declaration
+    // from an existing bucketed store fails loud too — staged batches
+    // would keep routing through the persisted layout while the operator
+    // believes the store is unbucketed
+    val cfgNone = cfg.copy(meta = Map.empty)
+    val eDrop = intercept[IllegalArgumentException] {
+      Microbatch.run(rm, rel, build, cfgNone,
+        java.time.Instant.parse("2024-01-04T00:00:00Z"),
+        checkpoint = rm.readCheckpoint(rel))
+    }
+    assert(eDrop.getMessage.contains("declares no bucketing") &&
+      eDrop.getMessage.contains("x 4"), eDrop.getMessage)
+  }
+
+  test("bucketed microbatch bootstrap builds its v0 schema against zero-row inputs (eager native body pays nothing)") {
+    // r17 (VERDICT r16 task 5): the bootstrap's schema probe previously
+    // invoked the full model body with filter(false) ABOVE it — lazy
+    // bodies pruned to nothing, but a native body that materializes
+    // eagerly inside its own code (checkpoint, count, cache) paid one
+    // full extra build at bootstrap. The Runner now hands the bootstrap
+    // a limit(0)-inputs pre-pass: the body still runs, but over empty
+    // dep frames.
+    val rm = newRm()
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq((t("2024-01-01 05:00:00"), "ka", 1.0), (t("2024-01-02 07:00:00"), "kb", 2.0))
+      .toDF("ts", "k", "v").createOrReplaceTempView("mbz_src")
+    // an EAGER native body: materializes its input frame per invocation
+    // and records the row count it saw
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.core.NativeRegistry.register("mbz_eager") { (_, deps) =>
+      val in = deps("feed")
+      val n = in.count() // the eager materialization
+      seen.synchronized { seen += n }
+      in.select($"ts", $"k", $"v")
+    }
+    val nodes = Seq(
+      Node(NodeType.Model, "p", "feed",
+        code = Some(SqlCode("select * from mbz_src")),
+        config = NodeConfig(materialized = "ephemeral", eventTime = Some("ts"))),
+      Node(NodeType.Model, "p", "store",
+        code = Some(NativeCode(graft.core.NativeRegistry("mbz_eager"))),
+        config = NodeConfig(materialized = "incremental",
+          incrementalStrategy = Some("microbatch"),
+          eventTime = Some("ts"), batchSize = Some("day"), lookback = 0,
+          begin = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+          meta = Map("buckets" -> "2", "bucket_by" -> "k",
+            "run_end" -> "2024-01-03T00:00:00Z", "concurrent_batches" -> "false")),
+        refs = Seq("feed")))
+    val mf = Manifest(nodes).processRefs()
+    val runner = new Runner(spark, rm, mf)
+    val res = runner.run(Seq("store"))
+    assert(res.forall(_.status == "success"), res.mkString("\n"))
+    val rel = Relation("graft", "main", "store")
+    val st = rm.currentState(rel).get
+    assert(st.buckets == 2 && rm.read(rel).count() == 2)
+    // invocations: bootstrap + 2 batches; the BOOTSTRAP invocation must
+    // have seen ZERO input rows (the limit(0) pre-pass), while the two
+    // real batches saw one row each
+    assert(seen.sorted.toSeq == Seq(0L, 1L, 1L),
+      s"bootstrap must build against empty inputs, saw: $seen")
   }
 
   test("microbatch reprocessed batch with vanished source rows clears its stale partition") {
