@@ -1,0 +1,30 @@
+{{ config(schedule='build') }}
+
+-- Fold the deletion feed out of the retrieval stores through the
+-- engine's SQL DML surface. Statement order is the idempotency
+-- contract: the compensating term-stats append runs FIRST, witnessed
+-- by doc_lens (a doc already folded out compensates nothing), and the
+-- doc_lens delete runs LAST because it IS the witness. Re-running the
+-- whole operation against unchanged stores is a no-op.
+INSERT INTO {{ ref('term_stats') }} (event_ts, term, df, __graft_batch)
+SELECT event_ts, term, -count(*) AS df,
+       date_format(event_ts, "yyyy-MM-dd'T'HH") AS __graft_batch
+FROM (
+  SELECT d.doc_id, d.event_ts,
+         explode(array_distinct(CASE WHEN trim(d.text) = ''
+           THEN array() ELSE split(trim(d.text), '\\s+') END)) AS term
+  FROM {{ ref('deletions') }} d
+  WHERE EXISTS (SELECT 1 FROM {{ ref('doc_lens') }} l
+                WHERE l.doc_id = d.doc_id)
+)
+GROUP BY event_ts, term
+
+;;
+
+DELETE FROM {{ ref('postings') }}
+WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})
+
+;;
+
+DELETE FROM {{ ref('doc_lens') }}
+WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})

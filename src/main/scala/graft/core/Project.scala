@@ -141,7 +141,7 @@ object Project {
       // SQL config() — the incremental-ingest DAG surface.
       val knownKeys = Set("fn", "ref", "source", "materialized",
         "incremental_strategy", "unique_key", "tags",
-        "event_time", "batch_size", "begin", "lookback")
+        "event_time", "batch_size", "begin", "lookback", "after")
       lines.foreach { case (k, _) =>
         require(knownKeys(k) || k.startsWith("meta."),
           s"$p: unknown native model key '$k' — known: " +
@@ -151,13 +151,13 @@ object Project {
       // ADVICE): lines.toMap would silently last-win a file carrying two
       // `fn:`/`materialized:` lines — contrary to this file's loud-
       // failure discipline (only ref/source legitimately repeat)
-      lines.filterNot(l => l._1 == "ref" || l._1 == "source")
+      lines.filterNot(l => Set("ref", "source", "after")(l._1))
         .groupBy(_._1).foreach { case (k, vs) =>
           require(vs.length == 1,
             s"$p: native model key '$k' declared ${vs.length} times — " +
-              "scalar keys take exactly one value (only ref/source repeat)")
+              "scalar keys take exactly one value (only ref/source/after repeat)")
         }
-      val kv = lines.filterNot(l => l._1 == "ref" || l._1 == "source").toMap
+      val kv = lines.filterNot(l => Set("ref", "source", "after")(l._1)).toMap
       val fnName = kv.getOrElse("fn", throw new IllegalArgumentException(
         s"$p: native model needs 'fn: <NativeRegistry name>'"))
       val srcs = lines.collect { case ("source", v) =>
@@ -183,7 +183,14 @@ object Project {
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet,
           meta = lines.collect {
             case (k, v) if k.startsWith("meta.") => k.stripPrefix("meta.") -> v
-          }.toMap),
+          }.toMap ++
+            // `after: <operation>` — scheduling-only edge to a scheduled
+            // operation (r17); normalized into meta so the shared
+            // post-pass below resolves SQL and native declarations alike
+            (lines.collect { case ("after", v) => v } match {
+              case Nil => Map.empty[String, String]
+              case xs  => Map("after" -> xs.mkString("|"))
+            })),
         refs = lines.collect { case ("ref", v) => v },
         sources = srcs,
         path = Some(root.relativize(p).toString),
@@ -215,6 +222,34 @@ object Project {
         TemplateResolver.parseModel(conf.name, name, Files.readString(p))
           .copy(nodeType = NodeType.Test, path = Some(root.relativize(p).toString))
       }
+
+    // SCHEDULED operations (r17): an `operations/<name>.sql` file
+    // declaring `{{ config(schedule='build') }}` becomes a first-class
+    // OPERATION node in the manifest — refs extracted like a model, so
+    // the scheduler orders it after the relations it maintains; its
+    // statements (`;;`-separated) execute as DML through the V2 catalog
+    // (the production shape for store GC: a deletion feed drives
+    // row-level deletes / negative appends on persisted stores as part
+    // of the nightly DAG). Operations WITHOUT the declaration stay
+    // manual — invoked by `run-operation <name>` exactly as before
+    // (reference: run-operation core/dbt/cli/main.py:653 +
+    // task/run_operation.py; hook config core/dbt/hooks.py,
+    // artifacts/resources/v1/config.py:86-94 — dbt schedules that work
+    // via on-run-end hooks; the explicit schedule declaration is this
+    // engine's DAG-native form of the same contract).
+    val operationNodes = sqlFiles("operations").flatMap { case (name, p) =>
+      val node = TemplateResolver.parseModel(conf.name, name, Files.readString(p))
+      node.config.meta.get("schedule") match {
+        case None => None // manual: run-operation only
+        case Some("build") => Some(node.copy(
+          nodeType = NodeType.Operation,
+          config = node.config.copy(materialized = "operation"),
+          path = Some(root.relativize(p).toString)))
+        case Some(other) => throw new IllegalArgumentException(
+          s"$p: schedule='$other' — the only scheduled trigger is 'build' " +
+            "(omit the config to keep the operation manual/run-operation)")
+      }
+    }
 
     // schema-declared per-column generic tests: `models/<model>.tests.conf`
     // (reference: schema.yml column tests, core/dbt/parser/
@@ -372,8 +407,26 @@ object Project {
     // ref('model') and two-arg ref('pkg','model') both resolve across
     // packages (reference: package resolution core/dbt/deps/, installed
     // projects parse like the root project)
-    val own = modelsWithUnits ++ nativeModels ++ snapshots ++ testsLinked ++ seeds ++
-      sourceNodes ++ exposureNodes ++ unitLinked ++ semanticNodes ++ savedQueryNodes
+    val own0 = modelsWithUnits ++ nativeModels ++ snapshots ++ testsLinked ++ seeds ++
+      sourceNodes ++ exposureNodes ++ unitLinked ++ semanticNodes ++
+      savedQueryNodes ++ operationNodes
+    // resolve `after:` / config(after=...) scheduling-only edges to the
+    // named scheduled operations (r17): the consumer runs AFTER the
+    // operation's DML, without reading it as a data dependency (the
+    // Runner's buildDf excludes Operation deps from the frame map)
+    val opIds = operationNodes.map(n => n.name -> n.uniqueId).toMap
+    val own = own0.map { n =>
+      n.config.meta.get("after") match {
+        case None => n
+        case Some(names) =>
+          val ids = names.split("\\s*\\|\\s*").filter(_.nonEmpty).map { nm =>
+            opIds.getOrElse(nm, throw new NoSuchElementException(
+              s"${n.uniqueId}: after='$nm' names no scheduled operation " +
+                s"(known: ${opIds.keys.toSeq.sorted.mkString(", ")})"))
+          }
+          n.copy(dependsOn = (n.dependsOn ++ ids).distinct)
+      }
+    }
     val ownIds = own.map(_.uniqueId).toSet
     val packageNodes = conf.packages.toSeq.sortBy(_._1).flatMap { case (_, dir) =>
       load(dir).manifest.nodes.values

@@ -415,6 +415,38 @@ object Retrieval {
         deps("queries"), "query_id", "qtext", k = 10,
         precomputedTermStats =
           deps.get("term_stats").map(_.select("term", "df"))))
+    // regime-2 serving through the project (r17 — VERDICT task 2): the
+    // posting store is bucket-declared at bootstrap precisely so batch
+    // query workloads can join it WITHOUT broadcasting the query side —
+    // the V2 read reports the store's KeyGroupedPartitioning, so the
+    // storage-partitioned join streams store rows from their buckets
+    // (one query-side exchange, no store-side exchange — the SCALE.md
+    // regime-2 receipts). Same law, same oracle; only the join plan moves.
+    register("ri_bm25_top10_shuffle")((_, deps) =>
+      bm25TopK(
+        deps("postings").select("term", "doc_id", "tf", "dl"),
+        deps("doc_lens").select("doc_id", "dl"),
+        deps("queries"), "query_id", "qtext", k = 10,
+        strategy = "shuffle",
+        precomputedTermStats =
+          deps.get("term_stats").map(_.select("term", "df"))))
+
+    // --- the GC project's stage fns (r17 — VERDICT task 1): the
+    // deletion-driven counterpart of examples/retrieval_incremental.
+    // A curation pass drops documents (ids ≡ 1 mod 4 — the CDC feed
+    // `rgc_deletions`, carrying text + event_ts so the compensating
+    // term-stats append can re-derive each departed doc's distinct
+    // terms); the SCHEDULED `gc_compact` operation then folds them out
+    // of all three stores through the engine's own SQL DML (row-level
+    // DELETE on postings/doc_lens, negative append on term_stats),
+    // and serving recomputes over the survivors. The query law reads
+    // survivors only, mirroring the survivor-rebuild oracle.
+    register("rgc_deletions")((_, deps) =>
+      deps("feed").filter(col("doc_id") % 4 === 1)
+        .select("doc_id", "text", "event_ts"))
+    register("rgc_queries")((_, deps) =>
+      prefixQueries(deps("feed").filter(col("doc_id") % 4 =!= 1),
+        "doc_id", "text", modulo = 37, prefixTokens = 6))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any ranked runs

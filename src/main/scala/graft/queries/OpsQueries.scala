@@ -1584,6 +1584,95 @@ object OpsQueries {
       }
     }),
 
+    // r17 (VERDICT task 1): deletion-driven store GC as a SCHEDULED DAG
+    // OPERATION. The checked-in examples/retrieval_gc project — the
+    // incremental-ingest retrieval stores plus a CDC `deletions` model
+    // and the `gc_compact` operation (config schedule='build'), whose
+    // three `;;`-statements fold departed documents out through the
+    // engine's own SQL DML (negative term-stats append witnessed by
+    // doc_lens, then row-level DELETEs on postings/doc_lens; serving
+    // ordered behind it via `after:`) — is staged against this gate's
+    // sf dir and built THREE times through the real CLI (two
+    // generations + a same-window catch-up). The gate row is the served
+    // bm25_top10 table against the survivor-rebuild oracle; the commit
+    // log proves the stores advanced via row-level deletes / pure
+    // appends (day-1 posting files survive build 2's GC untouched —
+    // file-pruned copy-on-write, never a rebuild; term_stats never
+    // removes a file; the microbatch checkpoints survive the DML), and
+    // the Σdf-vs-posting-rows invariant holds through GC because the
+    // operation pairs every posting delete with its compensating
+    // negative df append.
+    "q_retrieval_project_gc" -> ((s, d) => {
+      val proj = stageProject("examples/retrieval_gc", d)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        def build(runEnd: String): Unit = {
+          val code = graft.Main.execute(s, graft.Main.Args(
+            command = "build", project = proj,
+            vars = Map("run_end" -> runEnd)), sink)
+          require(code == 0,
+            s"graft build (run_end=$runEnd) of the retrieval GC project exited $code")
+        }
+        val rm = new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+        def rel(n: String) = graft.core.Relation("graft", "main", n)
+        def storeMass(): (Long, Long, Long) = {
+          val postRows = rm.read(rel("postings")).count()
+          val sd = rm.read(rel("term_stats"))
+            .agg(coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
+          val dlRows = rm.read(rel("doc_lens")).count()
+          (postRows, sd, dlRows)
+        }
+        build("2025-01-02T00:00:00Z")
+        val p1 = rm.currentState(rel("postings")).get
+        val t1 = rm.currentState(rel("term_stats")).get
+        // the declared bucket layout survives the GC rewrite — the store
+        // still serves the regime-2 plan after forgetting
+        require(p1.buckets == 8 && p1.bucketBy == Seq("term"),
+          s"bucket layout must survive GC: ${p1.bucketBy}/${p1.buckets}")
+        require(p1.files.nonEmpty && p1.files.forall(_.contains("/_bucket=")),
+          s"every post-GC posting file must route through the bucket layout")
+        build("2025-01-03T00:00:00Z")
+        val p2 = rm.currentState(rel("postings")).get
+        val t2 = rm.currentState(rel("term_stats")).get
+        // row-level, file-pruned forgetting — NOT a rebuild: build 2's GC
+        // only touches generation-2 documents (generation 1's departed in
+        // build 1), so every day-1 posting file survives build 2 intact
+        require(p1.files.forall(p2.files.toSet),
+          s"build 2 must not rewrite day-1 posting files: missing " +
+            s"${p1.files.filterNot(p2.files.toSet)}")
+        // the term-stats store only ever APPENDS (ingest partitions plus
+        // negative compensation rows) — no file is ever rewritten
+        require(t1.files.forall(t2.files.toSet),
+          "term_stats must advance by pure appends")
+        // the microbatch checkpoints survived the DML — deltas, not
+        // drop+rebuild (a rebuild would have reset them)
+        require(rm.readCheckpoint(rel("postings"))
+          .contains(java.time.Instant.parse("2025-01-03T00:00:00Z")),
+          "posting-store checkpoint must survive GC")
+        // catch-up build at the unchanged window: ingest commits nothing
+        // and the GC operation compensates nothing twice (the doc_lens
+        // EXISTS witness) — serving-visible store mass is unchanged
+        val massBefore = storeMass()
+        build("2025-01-03T00:00:00Z")
+        require(storeMass() == massBefore,
+          s"catch-up build must not change store mass: $massBefore -> ${storeMass()}")
+        // the Σdf == live-posting-rows invariant holds THROUGH GC —
+        // every posting delete was paired with its negative df append
+        graft.ops.Retrieval.requireFreshTermStats(rm,
+          rel("term_stats"), rel("postings"))
+        rm.read(rel("bm25_top10"))
+          .orderBy("query_id", "rank").localCheckpoint(true)
+      } finally {
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        deleteDir(proj)
+      }
+    }),
+
     // the attrition ledger of v6: docs entering / surviving each stage
     // in recipe order — the table every public curation paper prints
     "q_curation_pipeline_v6_stats" -> ((s, d) => {
@@ -2872,6 +2961,9 @@ object OpsQueries {
     // row-level DELETE on the bucketed graft tables
     "q_retrieval_compact" -> retrievalCompactOracleSql,
     "q_retrieval_compact_dml" -> retrievalCompactOracleSql,
+    // r17: the same survivor-rebuild serving law, with the deletion
+    // running as a SCHEDULED DAG operation inside examples/retrieval_gc
+    "q_retrieval_project_gc" -> retrievalCompactOracleSql,
 
     // r16: BM25 with the df-elision knob ON over the planted Zipf head —
     // same CTE block with the plant and the engine's df filter replayed

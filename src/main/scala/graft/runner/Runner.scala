@@ -401,6 +401,59 @@ final class Runner(
       thisRelation = "",
       vars = vars))
 
+  /** A ref target's DML-ABLE name: commit-log tables resolve through the
+    * V2 catalog — the name `DELETE FROM` / `INSERT INTO` / `MERGE INTO`
+    * accept, with row-level semantics, bucket-layout restaging, and time
+    * travel riding the same commit protocol as engine writes. Views and
+    * not-yet-committed relations fall back to the session temp view
+    * (readable, not DML-able — a DML statement against one fails in
+    * analysis, loudly). Used by SCHEDULED operations (r17), whose whole
+    * point is store maintenance through the SQL DML surface. */
+  private def dmlNameFor(name: String): String = {
+    val dep = manifest.byName(name).getOrElse(
+      throw new NoSuchElementException(s"unknown ref '$name'"))
+    val rel = relationFor(dep)
+    if (rm.currentState(rel).isDefined)
+      s"${rm.catalogName}.`${rel.schema}`.`${rel.identifier}`"
+    else resolveRelationName(dep)
+  }
+
+  /** Execute a SCHEDULED operation node (r17): `;;`-separated statements
+    * render with refs resolved to DML-able (catalog-qualified) names and
+    * run strictly in order — a GC operation can append its compensating
+    * rows (e.g. negative term-stats) BEFORE the delete that would erase
+    * the evidence, making the whole operation idempotently re-runnable
+    * against the stores' own state. Returns (statements run, rows). */
+  private def runOperationNode(node: Node): (Int, Long) = {
+    val raw = node.code match {
+      case Some(SqlCode(s)) => s
+      case _ => throw new IllegalStateException(
+        s"operation ${node.name} must be a SQL file")
+    }
+    val rendered = raw.split(";;").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(stmt => TemplateResolver.render(stmt, TemplateResolver.Context(
+        resolveRef = dmlNameFor,
+        resolveSource = (s, t) => s"${s}_$t",
+        thisRelation = "",
+        vars = vars)))
+      .map(_.trim).filter(_.nonEmpty).toSeq // config-only fragment → empty
+    val rows = rendered.map(s => spark.sql(s).collect().length.toLong).sum
+    // ENGINE commits re-register a relation's session view ("a data
+    // commit supersedes any prior view materialization" — commit()), but
+    // connector commits happen inside Spark's V2 writer and don't: a
+    // downstream consumer in the SAME session would keep reading the
+    // view pinned at the last engine commit — pre-DML state. The
+    // operation knows exactly which relations it may have mutated (its
+    // refs), so refresh them.
+    node.dependsOn.flatMap(manifest.get)
+      .filter(d => NodeType.refable(d.nodeType) && !d.isEphemeral)
+      .foreach { d =>
+        val r = relationFor(d)
+        if (rm.currentState(r).isDefined) rm.register(r)
+      }
+    (rendered.size, rows)
+  }
+
   private def runHooks(node: Node, hooks: Seq[String]): Unit =
     hooks.foreach(h => spark.sql(renderSnippet(node, h)).collect())
 
@@ -732,6 +785,12 @@ final class Runner(
           runHooks(node, node.config.postHooks)
           RunResult(node.uniqueId, "success", start, Instant.now(),
             s"${sq.exports.size} exports")
+        case NodeType.Operation =>
+          runHooks(node, node.config.preHooks)
+          val (nStmts, _) = runOperationNode(node)
+          runHooks(node, node.config.postHooks)
+          RunResult(node.uniqueId, "success", start, Instant.now(),
+            s"$nStmts statements")
         case _ =>
           RunResult(node.uniqueId, "success", start, Instant.now(), "no-op")
       }

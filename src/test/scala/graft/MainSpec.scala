@@ -747,6 +747,69 @@ class MainSpec extends AnyFunSuite {
     assert(!Files.exists(dir.resolve("target")))
   }
 
+  test("scheduled operation: DAG-ordered DML node, after-edge, idempotent re-run; unscheduled stays manual (r17)") {
+    val dir = Files.createTempDirectory("graft_opnode")
+    def put(rel: String, content: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("graft_project.conf", "name = opproj\n")
+    put("models/base.sql",
+      "{{ config(materialized='table') }}\n" +
+        "select * from (values (1, 'keep'), (2, 'drop'), (3, 'keep')) as t(id, v)")
+    put("models/doomed.sql",
+      "{{ config(materialized='table') }}\nselect 2 as id")
+    // the scheduled operation: refs order it AFTER base and doomed;
+    // two ;;-statements, the second a row-level DELETE through the V2
+    // catalog name dmlNameFor resolves refs to
+    put("operations/trim.sql",
+      "{{ config(schedule='build') }}\n" +
+        "select count(*) from {{ ref('base') }} ;;\n" +
+        "DELETE FROM {{ ref('base') }} WHERE id IN (SELECT id FROM {{ ref('doomed') }})")
+    // a downstream model ordered AFTER the operation via config(after=...)
+    // must see the post-DML state through its ref
+    put("models/served.sql",
+      "{{ config(materialized='table', after='trim') }}\n" +
+        "select count(*) as n from {{ ref('base') }}")
+    // an UNSCHEDULED operation must NOT run during build (back-compat:
+    // manual run-operation only) — it would empty base if it did
+    put("operations/nuke.sql", "DELETE FROM {{ ref('base') }} WHERE true")
+    def exec(a: Main.Args): (Int, String) = {
+      val sw = new java.io.StringWriter()
+      (Main.execute(spark, a, new java.io.PrintWriter(sw, true)), sw.toString)
+    }
+    val (c1, out1) = exec(Main.Args(command = "build", project = dir.toString))
+    assert(c1 == 0, out1)
+    assert(out1.contains("operation.opproj.trim") && out1.contains("2 statements"), out1)
+    assert(!out1.contains("nuke"), out1)
+    val rm = new graft.relations.RelationManager(spark, s"$dir/target/warehouse")
+    def served = rm.read(graft.core.Relation("graft", "main", "served"))
+      .collect()(0).getLong(0)
+    assert(served == 2L, s"served must count post-DML rows, got $served")
+    assert(rm.read(graft.core.Relation("graft", "main", "base")).count() == 2)
+    // re-run: the DELETE matches nothing (idempotent), served unchanged
+    val (c2, _) = exec(Main.Args(command = "build", project = dir.toString))
+    assert(c2 == 0)
+    assert(served == 2L)
+    // `run` executes models only — the operation is excluded like the
+    // reference's task RUNNER_MAP
+    val (c3, out3) = exec(Main.Args(command = "run", project = dir.toString))
+    assert(c3 == 0 && !out3.contains("operation."), out3)
+    // a bogus trigger fails the LOAD, not the run
+    put("operations/bad.sql", "{{ config(schedule='hourly') }}\nselect 1")
+    val eBad = intercept[IllegalArgumentException](
+      exec(Main.Args(command = "build", project = dir.toString)))
+    assert(eBad.getMessage.contains("schedule='hourly'"), eBad.getMessage)
+    Files.delete(dir.resolve("operations/bad.sql"))
+    // after= naming a nonexistent operation fails the load loudly
+    put("models/orphan.sql",
+      "{{ config(materialized='table', after='ghost') }}\nselect 1 as id")
+    val eGhost = intercept[NoSuchElementException](
+      exec(Main.Args(command = "build", project = dir.toString)))
+    assert(eGhost.getMessage.contains("after='ghost'"), eGhost.getMessage)
+  }
+
   test("private models are only referenceable inside their group") {
     val dir = Files.createTempDirectory("graft_access")
     Files.writeString(dir.resolve("graft_project.conf"), "name = acc\n")
