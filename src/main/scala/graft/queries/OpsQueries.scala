@@ -1584,6 +1584,63 @@ object OpsQueries {
       }
     }),
 
+    // r17 (VERDICT task 2): REGIME-2 serving through the project — the
+    // posting store is bucket-declared at bootstrap precisely so batch
+    // query workloads can serve beyond the broadcast threshold, and this
+    // gate exercises that composition END TO END through the engine's
+    // own DAG: the checked-in examples/retrieval_incremental project is
+    // built ONCE for both generations (one run, two microbatches) with
+    // autoBroadcastJoinThreshold = -1, so the bm25_top10_shuffle model
+    // (strategy='shuffle') commits rows that actually traveled the
+    // storage-partitioned join. The plan receipt is asserted on the
+    // same frame composition the Runner hands the native: the probe
+    // side shuffles INTO the store's bucket layout (Exchange
+    // keygroupedpartitioning) while the store streams from its
+    // BatchScan. Same law, same oracle as every BM25 gate.
+    "q_retrieval_project_regime2" -> ((s, d) => {
+      val proj = stageProject("examples/retrieval_incremental", d)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        val code = graft.Main.execute(s, graft.Main.Args(
+          command = "build", project = proj,
+          // one run covers both generations: two day batches
+          vars = Map("run_end" -> "2025-01-03T00:00:00Z")), sink)
+        require(code == 0, s"graft build of the regime-2 project exited $code")
+        val rm = new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+        def rel(n: String) = graft.core.Relation("graft", "main", n)
+        // plan receipt on the Runner's own dep frames (rm.read is what
+        // the registered session views wrap): probe side keygrouped into
+        // the store layout, store side scan-streamed
+        import graft.ops.Retrieval
+        val servePlanDf = Retrieval.bm25TopK(
+          rm.read(rel("postings")).select("term", "doc_id", "tf", "dl"),
+          rm.read(rel("doc_lens")).select("doc_id", "dl"),
+          rm.read(rel("queries")), "query_id", "qtext", k = 10,
+          strategy = "shuffle",
+          precomputedTermStats =
+            Some(rm.read(rel("term_stats")).select("term", "df")))
+        servePlanDf.collect()
+        val plan = servePlanDf.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        require(plan.contains("Exchange keygroupedpartitioning"),
+          s"regime-2 serving must shuffle the probe side into the store's " +
+            s"bucket layout:\n$plan")
+        rm.read(rel("bm25_top10_shuffle"))
+          .orderBy("query_id", "rank").localCheckpoint(true)
+      } finally {
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        deleteDir(proj)
+      }
+    }),
+
     // r17 (VERDICT task 1): deletion-driven store GC as a SCHEDULED DAG
     // OPERATION. The checked-in examples/retrieval_gc project — the
     // incremental-ingest retrieval stores plus a CDC `deletions` model
@@ -2964,6 +3021,9 @@ object OpsQueries {
     // r17: the same survivor-rebuild serving law, with the deletion
     // running as a SCHEDULED DAG operation inside examples/retrieval_gc
     "q_retrieval_project_gc" -> retrievalCompactOracleSql,
+    // r17: regime-2 (storage-partitioned) serving through the project —
+    // only the join plan moves, the law is the shared BM25 one
+    "q_retrieval_project_regime2" -> bm25TopkOracleSql,
 
     // r16: BM25 with the df-elision knob ON over the planted Zipf head —
     // same CTE block with the plant and the engine's df filter replayed
