@@ -121,6 +121,15 @@ object Bench {
     "q_retrieval_hybrid_rrf",
     "q_retrieval_phrase")
 
+  /** Tenth tracked metric (r17 — VERDICT task 7): the DEPLOYED serving
+    * plan — BM25 with df from the persisted term-stats artifact
+    * (q_retrieval_bm25_stats: one index scan, no candidate exchange,
+    * constant-size serving shuffle). `retrieval_total` times the
+    * self-contained form; this key gives the artifact form its own
+    * trend line while keeping retrieval_total byte-stable per the
+    * bench's convention. */
+  val retrievalStats: Seq[String] = Seq("q_retrieval_bm25_stats")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -300,7 +309,8 @@ object Bench {
         Seq("curation_total" -> curation, "excision_total" -> excision,
           "selection_total" -> selection, "pipeline_total" -> pipeline,
           "multimodal_total" -> multimodal, "project_total" -> project,
-          "ingest_total" -> ingest, "retrieval_total" -> retrieval)
+          "ingest_total" -> ingest, "retrieval_total" -> retrieval,
+          "retrieval_stats_total" -> retrievalStats)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
@@ -309,7 +319,8 @@ object Bench {
           "multimodal_total" -> multimodal.filter(o),
           "project_total" -> project.filter(o),
           "ingest_total" -> ingest.filter(o),
-          "retrieval_total" -> retrieval.filter(o)).filter(_._2.nonEmpty)
+          "retrieval_total" -> retrieval.filter(o),
+          "retrieval_stats_total" -> retrievalStats.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -668,6 +668,52 @@ object ScaleProbe {
           precomputedTermStats = zipfArts.map(_._3)).count()
       }
       zipfArts.foreach { case (p, l, t) => p.unpersist(); l.unpersist(); t.unpersist() }
+      // r17 (VERDICT r16 "what's wrong" #2): the BUCKETED store under
+      // the same Zipf head, served regime-2 with the elision knob OFF —
+      // a term-bucketed layout puts a stopword's whole posting list in
+      // ONE bucket, the same skew shape that made the term-keyed
+      // exchange a straggler in r16. Either AQE/bucket parallelism
+      // absorbs it (receipt: wall tracks the unbucketed shuffle twin)
+      // or the deployment note "set maxDfFraction under Zipf" gets
+      // teeth. The knob-on twin shows what elision buys in this regime
+      // (the stopword bucket's postings still stream from the scan —
+      // elision kills them at the first join, not at the read).
+      if (opFilter("bm25_zipf_bucketed_nofilter") ||
+          opFilter("bm25_zipf_bucketed_stopword")) {
+        val zdocs = docs.select(col("doc_id"),
+          concat(col("text"), lit(" zipfa"),
+            when(col("doc_id") % 2 === 0, lit(" zipfb")).otherwise(lit("")))
+            .as("text"))
+        val zdls = ops.Retrieval.docLengths(zdocs, "doc_id", "text").persist()
+        val zts = ops.Retrieval.termStats(zdocs, "text").persist()
+        zdls.count(); zts.count()
+        import graft.relations.RelationManager
+        val whDir = java.nio.file.Files.createTempDirectory("graft_zipfb")
+        val rm = new RelationManager(spark, whDir.toString)
+        val rel = graft.core.Relation("graft", "main", "postings_zb")
+        rm.writeBucketedTable(
+          ops.Retrieval.postingIndex(zdocs, "doc_id", "text"),
+          rel, 32, Seq("term"))
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          timed("bm25_zipf_bucketed_nofilter", runs, opFilter) {
+            ops.Retrieval.bm25TopK(rm.read(rel), zdls, zipfQs,
+              "query_id", "qtext", k = 10, strategy = "shuffle",
+              precomputedTermStats = Some(zts)).count()
+          }
+          timed("bm25_zipf_bucketed_stopword", runs, opFilter) {
+            ops.Retrieval.bm25TopK(rm.read(rel), zdls, zipfQs,
+              "query_id", "qtext", k = 10, strategy = "shuffle",
+              maxDfFraction = 0.3,
+              precomputedTermStats = Some(zts)).count()
+          }
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          zdls.unpersist(); zts.unpersist()
+          graft.queries.OpsQueries.deleteDir(whDir.toString)
+        }
+      }
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())

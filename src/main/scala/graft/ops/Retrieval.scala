@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -276,6 +276,52 @@ object Retrieval {
         coalesce(col("__n_hit"), lit(0L)).as("n_rel_retrieved"),
         round(coalesce(col("__n_hit"), lit(0L)).cast(DoubleType) /
           col("n_rel").cast(DoubleType), 6).as("recall"))
+  }
+
+  /** Graded-relevance evaluation: nDCG@k (Järvelin & Kekäläinen 2002,
+    * "Cumulated Gain-Based Evaluation of IR Techniques" — public; the
+    * exponential-gain form Burges 2005 popularized). Per query:
+    * DCG@k = Σ_{retrieved relevant, rank ≤ k} (2^grade − 1) / log₂(rank+1),
+    * IDCG@k = the same sum over the ideal ordering (grades descending,
+    * ties to the lower doc id, top k), nDCG = DCG/IDCG (0 when IDCG = 0 —
+    * a query whose qrels carry no positive grade). This is the rung the
+    * binary metrics can't express: recall@k treats a grade-3 and a
+    * grade-1 document identically, so two runs with equal recall rank
+    * DIFFERENTLY under nDCG when one surfaces the higher-graded document
+    * earlier (RetrievalSpec pins exactly that discrimination).
+    *
+    * `run` carries (query_id, doc_id, rank); `qrels` carries (query_id,
+    * doc_id, grade) with integer grades ≥ 0. Every distinct qrels query
+    * gets a row (unserved queries score 0, the evalRun convention).
+    * dcg/idcg/ndcg round to 6 decimals (engine-portable — the shared
+    * ln-based discount is replayed expression-for-expression by the
+    * DuckDB oracle, the BM25 arithmetic discipline). Scale shape: one
+    * equi-join of the k-bounded run against qrels and one qrels-sized
+    * window partitioned by query — nothing corpus-sized. */
+  def ndcgAtK(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = qrels.select(col("query_id"), col("doc_id"),
+      col("grade").cast(LongType).as("grade")).distinct()
+    def gain(g: Column): Column = pow(lit(2.0), g.cast(DoubleType)) - lit(1.0)
+    def disc(rank: Column): Column =
+      log(rank.cast(DoubleType) + lit(1.0)) / log(lit(2.0))
+    val dcg = run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(sum(gain(col("grade")) / disc(col("rank"))).as("__dcg"))
+    val ideal = rel
+      .withColumn("__i", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("grade").desc, col("doc_id"))))
+      .filter(col("__i") <= k)
+      .groupBy("query_id")
+      .agg(sum(gain(col("grade")) / disc(col("__i"))).as("__idcg"))
+    ideal.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(when(col("__idcg") > 0.0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
   }
 
   /** Fail-loud staleness cross-check for the term-statistics artifact

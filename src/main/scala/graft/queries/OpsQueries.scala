@@ -570,6 +570,37 @@ object OpsQueries {
         .orderBy("query_id")
     }),
 
+    // r17 (VERDICT task 6): GRADED relevance — nDCG@10 over the same
+    // multi-relevant fixture with grades attached (source doc = 3,
+    // +1 neighbor = 2, +3 neighbor = 1): DCG sums (2^g − 1)/log₂(r+1)
+    // over retrieved relevant docs, IDCG over the ideal ordering, and
+    // the quotient is the rank-position-sensitive number recall@k
+    // cannot express (two runs with equal recall order differently
+    // under nDCG when one surfaces the higher-graded doc earlier —
+    // RetrievalSpec pins the discrimination on a closed fixture).
+    "q_retrieval_eval_ndcg" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      val run = Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+      val qrels = queries.select(col("query_id"))
+        .withColumn("__off", explode(array(lit(0L), lit(1L), lit(3L))))
+        .select(col("query_id"),
+          (col("query_id") + col("__off")).as("doc_id"),
+          // grade law: 0 → 3, 1 → 2, 3 → 1
+          when(col("__off") === 0L, lit(3L))
+            .when(col("__off") === 1L, lit(2L))
+            .otherwise(lit(1L)).as("grade"))
+        .join(docs.select("doc_id"), Seq("doc_id")) // only docs that exist
+        .select("query_id", "doc_id", "grade")
+      Retrieval.ndcgAtK(run, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // r15: hybrid retrieval — reciprocal-rank fusion of the BM25 top-10
     // (first 8 tokens of docs 0–9 as queries) with the brute-force
     // cosine top-10 over the aligned embeddings (vec_id ≡ doc_id in the
@@ -3049,6 +3080,43 @@ object OpsQueries {
         |  FROM documents q JOIN documents d
         |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
         |  WHERE q.doc_id % 37 = 0""".stripMargin),
+
+    // r17: nDCG@10 over the graded fixture — the oracle replays the
+    // gain (2^g − 1) and the shared ln-based log₂ discount expression-
+    // for-expression (the BM25 arithmetic discipline), ideal ordering
+    // ties to the lower doc id like the engine's window
+    "q_retrieval_eval_ndcg" ->
+      s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)},
+         |qrels AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id,
+         |    CAST(CASE WHEN d.doc_id = q.doc_id THEN 3
+         |              WHEN d.doc_id = q.doc_id + 1 THEN 2
+         |              ELSE 1 END AS BIGINT) AS grade
+         |  FROM documents q JOIN documents d
+         |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
+         |  WHERE q.doc_id % 37 = 0),
+         |hits AS (
+         |  SELECT r.query_id,
+         |    SUM((power(2.0, CAST(g.grade AS DOUBLE)) - 1.0) /
+         |        (ln(CAST(r.rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg
+         |  FROM lexranked r JOIN qrels g
+         |    ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+         |  WHERE r.rank <= 10 GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id,
+         |    SUM((power(2.0, CAST(grade AS DOUBLE)) - 1.0) /
+         |        (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))) AS idcg
+         |  FROM (SELECT query_id, grade, row_number() OVER
+         |          (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS i
+         |        FROM qrels)
+         |  WHERE i <= 10 GROUP BY 1)
+         |SELECT n.query_id,
+         |  round(COALESCE(h.dcg, 0.0), 6) AS dcg,
+         |  round(n.idcg, 6) AS idcg,
+         |  round(CASE WHEN n.idcg > 0.0
+         |    THEN COALESCE(h.dcg, 0.0) / n.idcg ELSE 0.0 END, 6) AS ndcg
+         |FROM ideal n LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // r15 s3: exact-phrase occurrences via the 3-way positional join;
     // the r16 _store twin serves from the bucketed graft table

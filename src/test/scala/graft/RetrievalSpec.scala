@@ -143,6 +143,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(afterGc == rebuilt)
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG; orders runs recall@k cannot distinguish (r17)") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // one query, two relevant docs with different grades
+    val qrels = Seq((1L, 10L, 3L), (1L, 20L, 1L)).toDF("query_id", "doc_id", "grade")
+    // run X surfaces the LOW-grade doc first; run Y the high-grade one
+    val runX = Seq((1L, 20L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val runY = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    // recall@10 cannot tell them apart: both retrieve both relevant docs
+    val recX = Retrieval.evalRun(runX, qrels.select("query_id", "doc_id"), 10)
+      .collect()(0).getDouble(6)
+    val recY = Retrieval.evalRun(runY, qrels.select("query_id", "doc_id"), 10)
+      .collect()(0).getDouble(6)
+    assert(recX == 1.0 && recY == 1.0)
+    // nDCG does: hand-computed from the formula
+    val ln2 = math.log(2.0)
+    val dcgX = 1.0 / (math.log(2.0) / ln2) + 7.0 / (math.log(3.0) / ln2)
+    val dcgY = 7.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(3.0) / ln2)
+    val idcg = 7.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(3.0) / ln2)
+    val x = Retrieval.ndcgAtK(runX, qrels, 10).collect()(0)
+    val y = Retrieval.ndcgAtK(runY, qrels, 10).collect()(0)
+    assert(x.getDouble(1) == r6(dcgX) && x.getDouble(2) == r6(idcg) &&
+      x.getDouble(3) == r6(dcgX / idcg), s"run X: $x")
+    assert(y.getDouble(3) == 1.0, s"run Y is the ideal ordering: $y")
+    assert(y.getDouble(3) > x.getDouble(3),
+      "nDCG must prefer the run that surfaces the higher grade earlier")
+    // a query with no positive-grade qrels scores 0, not NaN; an
+    // unserved query still gets its row (evalRun convention)
+    val qrels0 = Seq((1L, 10L, 0L), (2L, 30L, 2L)).toDF("query_id", "doc_id", "grade")
+    val z = Retrieval.ndcgAtK(runX, qrels0, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(z == Map(1L -> 0.0, 2L -> 0.0), s"got $z")
+    // rank beyond k contributes nothing
+    val far = Seq((1L, 10L, 11)).toDF("query_id", "doc_id", "rank")
+    assert(Retrieval.ndcgAtK(far, qrels, 10).collect()(0).getDouble(3) == 0.0)
+  }
+
   test("requireFreshTermStats: stale artifact fails loud, fresh passes, GC-paired maintenance stays consistent (r17)") {
     import java.nio.file.Files
     val whDir = Files.createTempDirectory("graft_rfts").toString
