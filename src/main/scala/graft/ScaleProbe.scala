@@ -679,7 +679,8 @@ object ScaleProbe {
       // (the stopword bucket's postings still stream from the scan —
       // elision kills them at the first join, not at the read).
       if (opFilter("bm25_zipf_bucketed_nofilter") ||
-          opFilter("bm25_zipf_bucketed_stopword")) {
+          opFilter("bm25_zipf_bucketed_stopword") ||
+          opFilter("bm25_zipf_bucketed_nofilter_pcd")) {
         val zdocs = docs.select(col("doc_id"),
           concat(col("text"), lit(" zipfa"),
             when(col("doc_id") % 2 === 0, lit(" zipfb")).otherwise(lit("")))
@@ -708,6 +709,18 @@ object ScaleProbe {
               maxDfFraction = 0.3,
               precomputedTermStats = Some(zts)).count()
           }
+          // Spark's own SPJ-skew lever: partially-clustered distribution
+          // splits the skewed store side across input splits instead of
+          // pinning one bucket to one task — the candidate fix if the
+          // plain leg stragglers (r17)
+          val pcd = "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+          val prevPcd = spark.conf.get(pcd, "false")
+          spark.conf.set(pcd, "true")
+          try timed("bm25_zipf_bucketed_nofilter_pcd", runs, opFilter) {
+            ops.Retrieval.bm25TopK(rm.read(rel), zdls, zipfQs,
+              "query_id", "qtext", k = 10, strategy = "shuffle",
+              precomputedTermStats = Some(zts)).count()
+          } finally spark.conf.set(pcd, prevPcd)
         } finally {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
           zdls.unpersist(); zts.unpersist()

@@ -116,6 +116,19 @@ object Retrieval {
     // query volume, one term-keyed exchange of the query side (the
     // postings shuffle too unless the store is bucketed on term, the
     // SCALE.md regime-2 answer).
+    //
+    // DEPLOYMENT CONTRACT, measured (SCALE.md r17): a TERM-bucketed
+    // store puts a hot term's whole posting list in ONE bucket, and the
+    // storage-partitioned join pins that bucket to one task — under a
+    // planted Zipf head at 450k docs the knob-off bucketed regime ran
+    // 43 s wall / 153 CPU (1.8× the wall of the unbucketed shuffle twin
+    // on 3.7× LESS CPU — a pure straggler), Spark's partially-clustered
+    // distribution did NOT absorb it (41 s, 2× shuffle from
+    // replication), while maxDfFraction = 0.3 collapsed it to
+    // 4 s / 49 CPU. Zipf-headed corpora served regime-2 from a
+    // term-bucketed store MUST set maxDfFraction (or pre-strip
+    // stopwords); the hazard is latency-shaped only — CPU stays below
+    // the unbucketed twin either way.
     val side: DataFrame => DataFrame = strategy match {
       case "broadcast" => broadcast
       case "shuffle" => identity
