@@ -392,11 +392,15 @@ final class Runner(
 
   /** Render a project-level operation snippet: refs/sources/vars resolve,
     * no {{ this }} (operations have no target relation) — the engine's
-    * run-operation surface (reference: core/dbt/task/run_operation.py). */
+    * run-operation surface (reference: core/dbt/task/run_operation.py).
+    * Refs resolve to DML-ABLE names (r17 — the same resolution as
+    * scheduled operation nodes), so a maintenance operation invoked
+    * manually (`run-operation gc_compact`) can DELETE/INSERT/MERGE the
+    * same stores the scheduled form does; reads through the V2 name are
+    * equivalent AND see connector commits a pinned temp view would miss. */
   def renderOperation(sql: String): String =
     TemplateResolver.render(sql, TemplateResolver.Context(
-      resolveRef = name => resolveRelationName(manifest.byName(name).getOrElse(
-        throw new NoSuchElementException(s"unknown ref '$name'"))),
+      resolveRef = dmlNameFor,
       resolveSource = (s, t) => s"${s}_$t",
       thisRelation = "",
       vars = vars))

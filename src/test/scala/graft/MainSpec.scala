@@ -796,6 +796,17 @@ class MainSpec extends AnyFunSuite {
     // reference's task RUNNER_MAP
     val (c3, out3) = exec(Main.Args(command = "run", project = dir.toString))
     assert(c3 == 0 && !out3.contains("operation."), out3)
+    // the MANUAL path resolves refs to the same DML-able names (r17):
+    // run-operation can execute the unscheduled maintenance DML
+    val (c4, out4) = exec(Main.Args(command = "run-operation",
+      project = dir.toString, positional = Seq("nuke")))
+    assert(c4 == 0, out4)
+    assert(rm.read(graft.core.Relation("graft", "main", "base")).count() == 0,
+      "manual run-operation must execute the DELETE through the V2 name")
+    // restore base for the re-load assertions below
+    val (c5, _) = exec(Main.Args(command = "build", project = dir.toString,
+      select = Seq("base")))
+    assert(c5 == 0)
     // a bogus trigger fails the LOAD, not the run
     put("operations/bad.sql", "{{ config(schedule='hourly') }}\nselect 1")
     val eBad = intercept[IllegalArgumentException](
