@@ -501,6 +501,28 @@ object OpsQueries {
         .orderBy("query_id", "doc_id")
     }),
 
+    // r17: POSITIONAL-store GC under document deletion — the last store
+    // family without a forgetting path: position rows are doc-owned, so
+    // the same CDC anti-join (compactStoreByDeleted) applies; serving
+    // equivalence against a survivor rebuild is the oracle (phrase
+    // matching has no corpus statistics, so unlike BM25 the only thing
+    // deletion can change is which documents match).
+    "q_retrieval_phrase_compact" -> ((s, d) => {
+      import graft.ops.{Dedup, Retrieval}
+      val docs = Tables.documents(s, d)
+      val deleted = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+      val index = Dedup.compactStoreByDeleted(
+        Retrieval.positionalIndex(docs, "doc_id", "text"), "doc_id",
+        deleted, "doc_id")
+      val surv = docs.filter(col("doc_id") % 4 =!= 1)
+      val queries = surv.filter(col("doc_id") % 53 === 0)
+        .filter(size(TA.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 3), " ").as("qtext"))
+      Retrieval.phraseMatch(index, queries, "query_id", "qtext")
+        .orderBy("query_id", "doc_id")
+    }),
+
     // r16: exact-phrase serving from the PERSISTED term-bucketed
     // positional store through the V2 read path — the regime-2
     // composition for the phrase family (the flat index got it in r15
@@ -2285,11 +2307,12 @@ object OpsQueries {
        |  FROM lexscored)""".stripMargin
   }
 
-  /** Exact-phrase oracle — shared by the one-shot gate and the
+  /** Exact-phrase oracle — shared by the one-shot gate, the
     * positional-store stream-ingest gate (append additivity makes the
-    * split invisible). */
-  private[queries] val phraseOracleSql: String =
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM documents),
+    * split invisible), and — over a survivor CTE (r17) — the
+    * positional-store GC gate. */
+  private[queries] def phraseOracle(docsFrom: String): String =
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS tk FROM $docsFrom),
          |q AS (SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
          |      FROM t WHERE doc_id % 53 = 0 AND len(tk) >= 3),
          |pos AS MATERIALIZED (
@@ -2301,6 +2324,8 @@ object OpsQueries {
          |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.term = q.t3)
          |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
          |FROM occ GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+
+  private[queries] val phraseOracleSql: String = phraseOracle("documents")
 
   private[queries] val bm25TopkOracleSql: String =
     s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)}
@@ -3122,6 +3147,9 @@ object OpsQueries {
     // the r16 _store twin serves from the bucketed graft table
     "q_retrieval_phrase" -> phraseOracleSql,
     "q_retrieval_phrase_store" -> phraseOracleSql,
+    // r17: positional-store GC — same law over the survivors
+    "q_retrieval_phrase_compact" -> phraseOracle(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1)"),
 
     // r15: reciprocal-rank fusion of the BM25 top-10 and the brute
     // cosine top-10 (vec_id ≡ doc_id); 1/(60 + rank) summed over the

@@ -380,14 +380,23 @@ final class Runner(
   /** Render a standalone SQL snippet (hook) in a node's context —
     * ref/source/this resolve exactly as in the node body (reference:
     * pre_hooks/post_hooks core/dbt/context/providers.py:1482-1487,
-    * on-run-start/end core/dbt/hooks.py). */
+    * on-run-start/end core/dbt/hooks.py). {{ this }} resolves to the
+    * node's DML-ABLE name when its relation is a committed table (r17):
+    * the reference's canonical post-hook pattern is row-level DML on
+    * self (`delete from {{ this }} where …`), which a session temp view
+    * cannot accept. Refs stay read-shaped (sample-window wrapped). */
   def renderSnippet(node: Node, sql: String): String =
     TemplateResolver.render(sql, TemplateResolver.Context(
       resolveRef = name => applySample(
         manifest.byName(name).getOrElse(throw new NoSuchElementException(s"unknown ref '$name'")),
         resolveRelationName(manifest.byName(name).get)),
       resolveSource = (s, t) => s"${s}_$t",
-      thisRelation = resolveRelationName(node),
+      thisRelation = {
+        val rel = relationFor(node)
+        if (rm.currentState(rel).isDefined)
+          s"${rm.catalogName}.`${rel.schema}`.`${rel.identifier}`"
+        else resolveRelationName(node)
+      },
       vars = vars))
 
   /** Render a project-level operation snippet: refs/sources/vars resolve,
@@ -458,8 +467,16 @@ final class Runner(
     (rendered.size, rows)
   }
 
-  private def runHooks(node: Node, hooks: Seq[String]): Unit =
+  private def runHooks(node: Node, hooks: Seq[String]): Unit = {
     hooks.foreach(h => spark.sql(renderSnippet(node, h)).collect())
+    // a hook may have mutated {{ this }} through the V2 DML path, whose
+    // connector commit does not re-register the session view (engine
+    // commits do) — refresh so same-session consumers read post-hook state
+    if (hooks.nonEmpty) {
+      val rel = relationFor(node)
+      if (rm.currentState(rel).isDefined) rm.register(rel)
+    }
+  }
 
   private def runNode(node: Node): RunResult = {
     val start = Instant.now()

@@ -192,4 +192,23 @@ class HooksSpec extends AnyFunSuite {
     assert(spark.table("post_audit").collect()(0).getLong(0) == 2L)
     assert(spark.table("run_started").count() == 1 && spark.table("run_ended").count() == 1)
   }
+
+  test("post-hook row-level DML on {{ this }} — the reference's canonical self-maintenance pattern (r17)") {
+    val rm = new RelationManager(spark, java.nio.file.Files.createTempDirectory("graft_hookdml").toString)
+    val base = TemplateResolver.parseModel("pkg", "trimmed",
+      "{{ config(materialized='table') }}\n" +
+        "select * from (values (1), (2), (3)) as t(id)")
+    val hooked = base.copy(config = base.config.copy(
+      postHooks = Seq("DELETE FROM {{ this }} WHERE id = 2")))
+    // a downstream consumer in the SAME run must see the post-hook state
+    val down = TemplateResolver.parseModel("pkg", "downstream",
+      "{{ config(materialized='table') }}\nselect count(*) as n from {{ ref('trimmed') }}")
+    val manifest = Manifest(Seq(hooked, down)).processRefs()
+    val results = new Runner(spark, rm, manifest).run()
+    assert(results.forall(_.status == "success"), results.mkString(";"))
+    assert(rm.read(Relation("graft", "main", "trimmed")).count() == 2)
+    assert(rm.read(Relation("graft", "main", "downstream"))
+      .collect()(0).getLong(0) == 2L,
+      "downstream must read the post-hook (post-DML) state")
+  }
 }
