@@ -153,9 +153,13 @@ object Main {
         // `run` executes models only — seeds/snapshots/tests have their own
         // tasks (reference: dbt task RUNNER_MAP semantics)
         report(runner.run(args.select, args.exclude,
+          onRunStart = loaded.config.onRunStart,
+          onRunEnd = loaded.config.onRunEnd,
           resourceTypes = Set(NodeType.Model)))
       case "build" =>
-        report(runner.run(args.select, args.exclude, withTestEdges = true))
+        report(runner.run(args.select, args.exclude, withTestEdges = true,
+          onRunStart = loaded.config.onRunStart,
+          onRunEnd = loaded.config.onRunEnd))
       case "test" =>
         // data tests AND unit tests, like the reference's test task
         report(runner.run(

@@ -42,7 +42,14 @@ object Project {
         * sub-project loads under its own package name and its nodes become
         * ref-able (reference: core/dbt/deps/ local packages; git/hub
         * resolution is out of scope in a zero-egress build). */
-      packages: Map[String, String] = Map.empty)
+      packages: Map[String, String] = Map.empty,
+      /** `on_run_start.<name> = <sql>` / `on_run_end.<name> = <sql>` —
+        * run-level hooks executed once per run/build invocation, in key
+        * order; ref()/source() resolve like operations (reference:
+        * on-run-start / on-run-end in dbt_project.yml,
+        * core/dbt/hooks.py). */
+      onRunStart: Seq[String] = Nil,
+      onRunEnd: Seq[String] = Nil)
 
   final case class Loaded(config: Config, manifest: Manifest)
 
@@ -459,7 +466,11 @@ object Project {
       freshness = kv.collect { case (k, v) if k.startsWith("freshness.") =>
         k.stripPrefix("freshness.") -> v },
       packages = kv.collect { case (k, v) if k.startsWith("packages.") =>
-        k.stripPrefix("packages.") -> v })
+        k.stripPrefix("packages.") -> v },
+      onRunStart = kv.toSeq.filter(_._1.startsWith("on_run_start."))
+        .sortBy(_._1).map(_._2),
+      onRunEnd = kv.toSeq.filter(_._1.startsWith("on_run_end."))
+        .sortBy(_._1).map(_._2))
   }
 
   /** Register every `<dir>/<table>.parquet` as a `<source>_<table>` session

@@ -833,12 +833,12 @@ final class Runner(
           // `build` = everything executable (reference: task RUNNER_MAPs,
           // core/dbt/task/build.py:38-47)
           resourceTypes: Set[NodeType] = NodeType.executable): Seq[RunResult] = {
-    // on-run-start hooks (reference: core/dbt/hooks.py; run in task/run.py)
-    onRunStart.foreach(h => spark.sql(TemplateResolver.render(h,
-      TemplateResolver.Context(
-        resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),
-        resolveSource = (s, t) => s"${s}_$t",
-        thisRelation = "", vars = vars))).collect())
+    // on-run-start hooks (reference: core/dbt/hooks.py; run in
+    // task/run.py). ref()/source() resolve like operations (r17 — the
+    // reference's on-run-start/end context carries ref): DML-able names
+    // for committed tables, and a ref to a never-built relation fails
+    // in analysis, loudly.
+    onRunStart.foreach(h => spark.sql(renderOperation(h)).collect())
     val selected0 = Selector.select(manifest, select, exclude,
       previousState, previousResults)
     val selected = selected0.filter(id =>
@@ -915,11 +915,7 @@ final class Runner(
           s"fail-fast: run aborted after $failedName failed"))
       }
     }
-    onRunEnd.foreach(h => spark.sql(TemplateResolver.render(h,
-      TemplateResolver.Context(
-        resolveRef = n => throw new IllegalArgumentException("no ref() in run-level hooks"),
-        resolveSource = (s, t) => s"${s}_$t",
-        thisRelation = "", vars = vars))).collect())
+    onRunEnd.foreach(h => spark.sql(renderOperation(h)).collect())
     // deterministic report order
     results.values().asScala.toSeq.sortBy(_.uniqueId)
   }

@@ -821,6 +821,25 @@ class MainSpec extends AnyFunSuite {
     assert(eGhost.getMessage.contains("after='ghost'"), eGhost.getMessage)
   }
 
+  test("project-declared on_run_start/on_run_end hooks run once per build, refs resolve (r17)") {
+    val dir = Files.createTempDirectory("graft_runhooks")
+    Files.writeString(dir.resolve("graft_project.conf"),
+      """name = rh
+        |on_run_start.mark = create or replace temp view rh_started as select 1 as ok
+        |on_run_end.audit = create or replace temp view rh_audit as select count(*) as n from {{ ref('m') }}
+        |""".stripMargin)
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("models/m.sql"),
+      "{{ config(materialized='table') }}\nselect * from (values (1), (2)) as t(id)")
+    val sw = new java.io.StringWriter()
+    val code = Main.execute(spark, Main.Args(command = "build", project = dir.toString),
+      new java.io.PrintWriter(sw, true))
+    assert(code == 0, sw.toString)
+    assert(spark.table("rh_started").count() == 1)
+    assert(spark.table("rh_audit").collect()(0).getLong(0) == 2L,
+      "on_run_end must resolve ref() to the built relation")
+  }
+
   test("private models are only referenceable inside their group") {
     val dir = Files.createTempDirectory("graft_access")
     Files.writeString(dir.resolve("graft_project.conf"), "name = acc\n")
