@@ -28,3 +28,15 @@ WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})
 
 DELETE FROM {{ ref('doc_lens') }}
 WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})
+
+;;
+
+-- reclaim: departed documents' bytes leave STORAGE too, not only the
+-- serving view — the catalog's stored-procedure surface (CALL) runs
+-- the commit-log vacuum inside the same scheduled operation.
+-- keep_versions=2 retains one step of time travel past the GC commit.
+CALL {{ var('graft_catalog') }}.system.vacuum(table => 'main.postings', keep_versions => 2)
+
+;;
+
+CALL {{ var('graft_catalog') }}.system.vacuum(table => 'main.doc_lens', keep_versions => 2)

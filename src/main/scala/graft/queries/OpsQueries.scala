@@ -1771,6 +1771,12 @@ object OpsQueries {
         // every posting delete was paired with its negative df append
         graft.ops.Retrieval.requireFreshTermStats(rm,
           rel("term_stats"), rel("postings"))
+        // storage reclaim composed in-DAG (r17): the operation's CALL
+        // system.vacuum(keep_versions => 2) truncated older manifests —
+        // departed documents' bytes leave storage inside the same
+        // scheduled operation, not in a separate lifecycle pass
+        require(rm.history(rel("postings"), limit = 10).size <= 2,
+          "gc_compact's vacuum must have truncated old posting versions")
         rm.read(rel("bm25_top10"))
           .orderBy("query_id", "rank").localCheckpoint(true)
       } finally {

@@ -412,7 +412,10 @@ final class Runner(
       resolveRef = dmlNameFor,
       resolveSource = (s, t) => s"${s}_$t",
       thisRelation = "",
-      vars = vars))
+      // the warehouse's V2 catalog name as a built-in var (r17): what a
+      // maintenance statement needs to CALL the catalog's stored
+      // procedures ({{ var('graft_catalog') }}.system.vacuum(...))
+      vars = vars + ("graft_catalog" -> rm.catalogName)))
 
   /** A ref target's DML-ABLE name: commit-log tables resolve through the
     * V2 catalog — the name `DELETE FROM` / `INSERT INTO` / `MERGE INTO`
@@ -448,7 +451,7 @@ final class Runner(
         resolveRef = dmlNameFor,
         resolveSource = (s, t) => s"${s}_$t",
         thisRelation = "",
-        vars = vars)))
+        vars = vars + ("graft_catalog" -> rm.catalogName))))
       .map(_.trim).filter(_.nonEmpty).toSeq // config-only fragment → empty
     val rows = rendered.map(s => spark.sql(s).collect().length.toLong).sum
     // ENGINE commits re-register a relation's session view ("a data

@@ -50,7 +50,8 @@ import graft.relations.CommitLog
   * `get_relation` surface (manifest.json §macro.dbt.*) — here a real
   * Spark catalog rather than an adapter shim.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -123,6 +124,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def tableExists(ident: Identifier): Boolean =
     ms.tableLocation(schemaOf(ident.namespace), ident.name).isDefined
+
+  // ----------------------------------------------- stored procedures (r17)
+  // the `CALL <cat>.system.<proc>(...)` maintenance surface — vacuum /
+  // optimize / history as plain SQL statements (the Iceberg convention;
+  // Spark's procedure SPIP). See [[GraftProcedures]].
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = ident.namespace.sameElements(Array("system"))
+    (if (known) GraftProcedures.load(ident.name, root) else None).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure: $catName.${(ident.namespace :+ ident.name).mkString(".")} " +
+          s"— known: ${GraftProcedures.Names.map(n => s"$catName.system.$n").mkString(", ")}"))
+  }
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
