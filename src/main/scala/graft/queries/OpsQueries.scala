@@ -623,6 +623,29 @@ object OpsQueries {
         .orderBy("query_id")
     }),
 
+    // r17: MAP — per-query average precision at 10 over the same
+    // multi-relevant fixture (trec_eval convention: Σ P@r over relevant
+    // hits / TOTAL n_rel). The position-sensitivity complement to
+    // recall@k within the binary-relevance regime, completing the eval
+    // suite (MRR / success@k / recall@k / nDCG@k / AP@k).
+    "q_retrieval_eval_map" -> ((s, d) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(s, d)
+      val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      val run = Retrieval.bm25TopK(
+        Retrieval.postingIndex(docs, "doc_id", "text"),
+        Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10)
+      val qrels = queries.select(col("query_id"))
+        .withColumn("__off", explode(array(lit(0L), lit(1L), lit(3L))))
+        .select(col("query_id"), (col("query_id") + col("__off")).as("doc_id"))
+        .join(docs.select("doc_id"), Seq("doc_id"))
+        .select("query_id", "doc_id")
+      Retrieval.apAtK(run, qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // r15: hybrid retrieval — reciprocal-rank fusion of the BM25 top-10
     // (first 8 tokens of docs 0–9 as queries) with the brute-force
     // cosine top-10 over the aligned embeddings (vec_id ≡ doc_id in the
@@ -3111,6 +3134,34 @@ object OpsQueries {
         |  FROM documents q JOIN documents d
         |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
         |  WHERE q.doc_id % 37 = 0""".stripMargin),
+
+    // r17: AP@10 over the multi-relevant fixture — Σ P@r over relevant
+    // hits divided by the query's TOTAL relevant count (trec_eval)
+    "q_retrieval_eval_map" ->
+      s"""WITH ${bm25Ctes("doc_id % 37 = 0", 6)},
+         |qrels AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id
+         |  FROM documents q JOIN documents d
+         |    ON d.doc_id IN (q.doc_id, q.doc_id + 1, q.doc_id + 3)
+         |  WHERE q.doc_id % 37 = 0),
+         |rel AS (SELECT DISTINCT query_id, doc_id FROM qrels),
+         |hits AS (
+         |  SELECT r.query_id, r.rank, row_number() OVER
+         |    (PARTITION BY r.query_id ORDER BY r.rank) AS i
+         |  FROM lexranked r JOIN rel q
+         |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+         |  WHERE r.rank <= 10),
+         |agg AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    SUM(CAST(i AS DOUBLE) / CAST(rank AS DOUBLE)) AS p_sum
+         |  FROM hits GROUP BY 1),
+         |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM rel GROUP BY 1)
+         |SELECT n.query_id, n.n_rel,
+         |  COALESCE(a.n_hit, CAST(0 AS BIGINT)) AS n_rel_retrieved,
+         |  round(COALESCE(a.p_sum, 0.0) / CAST(n.n_rel AS DOUBLE), 6) AS ap
+         |FROM nrel n LEFT JOIN agg a USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // r17: nDCG@10 over the graded fixture — the oracle replays the
     // gain (2^g − 1) and the shared ln-based log₂ discount expression-

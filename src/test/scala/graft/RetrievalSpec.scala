@@ -181,6 +181,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.ndcgAtK(far, qrels, 10).collect()(0).getDouble(3) == 0.0)
   }
 
+  test("apAtK: hand-computed average precision, trec_eval n_rel denominator (r17)") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: relevant {10, 20, 99}; run hits 10 at rank 1 and 20 at rank 3
+    // → AP = (1/1 + 2/3) / 3 (the unretrieved 99 costs the denominator)
+    val run = Seq((1L, 10L, 1), (1L, 55L, 2), (1L, 20L, 3),
+      (2L, 70L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 20L), (1L, 99L), (2L, 42L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.apAtK(run, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 2L, r6((1.0 + 2.0 / 3.0) / 3.0))),
+      2L -> ((1L, 0L, 0.0))), s"got $out")
+    // rank beyond k contributes nothing
+    val far = Seq((1L, 10L, 11)).toDF("query_id", "doc_id", "rank")
+    assert(Retrieval.apAtK(far, qrels, 10)
+      .filter(col("query_id") === 1L).collect()(0).getDouble(3) == 0.0)
+  }
+
   test("requireFreshTermStats: stale artifact fails loud, fresh passes, GC-paired maintenance stays consistent (r17)") {
     import java.nio.file.Files
     val whDir = Files.createTempDirectory("graft_rfts").toString
