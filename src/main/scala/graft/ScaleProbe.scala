@@ -727,6 +727,61 @@ object ScaleProbe {
           graft.queries.OpsQueries.deleteDir(whDir.toString)
         }
       }
+      // r17: GC cost on the TERM-bucketed posting store — doc-keyed
+      // deletes are the worst case for a term-clustered layout (every
+      // bucket file holds some deleted docs' postings, so copy-on-write
+      // rewrites O(store)); merge-on-read writes positional deletes
+      // instead (O(deleted rows), no data-file rewrite) at the price of
+      // an anti-merge on the serve path. The leg pair measures the GC
+      // itself and the post-GC serve under each mode — the deployment
+      // trade for nightly forgetting on bucketed stores.
+      val gcOps = Seq("retrieval_gc_cow", "retrieval_gc_mor",
+        "bm25_after_gc_cow", "bm25_after_gc_mor")
+      if (gcOps.exists(opFilter)) {
+        import graft.relations.RelationManager
+        def gcLeg(mode: String, cowName: String, serveName: String): Unit = {
+          val whDir = java.nio.file.Files.createTempDirectory(s"graft_gc$mode")
+          val rm = new RelationManager(spark, whDir.toString)
+          val rel = graft.core.Relation("graft", "main", "postings_gc")
+          val dlRel = graft.core.Relation("graft", "main", "doc_lens_gc")
+          rm.writeBucketedTable(
+            ops.Retrieval.postingIndex(docs, "doc_id", "text"),
+            rel, 32, Seq("term"))
+          rm.writeTable(ops.Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+          if (mode == "mor") {
+            rm.setTableProperties(rel, Map("row_level_mode" -> "merge-on-read",
+              "delete_compaction" -> "false"))
+            rm.setTableProperties(dlRel, Map("row_level_mode" -> "merge-on-read",
+              "delete_compaction" -> "false"))
+          }
+          val cat = rm.catalogName
+          val before = rm.currentState(rel).get.files.toSet
+          try {
+            timed(cowName, runs, opFilter) {
+              spark.sql(s"DELETE FROM $cat.main.postings_gc WHERE doc_id % 4 = 1")
+              spark.sql(s"DELETE FROM $cat.main.doc_lens_gc WHERE doc_id % 4 = 1")
+              val st = rm.currentState(rel).get
+              val kept = st.files.count(before)
+              println(s"[probe]   $cowName: posting files kept ${kept}/${before.size}" +
+                s" (delete files: ${st.deletes.values.map(_.size).sum})")
+              kept.toLong
+            }
+            timed(serveName, runs, opFilter) {
+              val qs = docs.filter(col("doc_id") % 4 =!= 1)
+                .filter(col("doc_id") < 256)
+                .select(col("doc_id").as("query_id"),
+                  array_join(slice(ops.TextAnalysis.tokens(col("text")), 1, 6), " ")
+                    .as("qtext"))
+              ops.Retrieval.bm25TopK(rm.read(rel), rm.read(dlRel), qs,
+                "query_id", "qtext", k = 10).count()
+            }
+          } finally graft.queries.OpsQueries.deleteDir(whDir.toString)
+        }
+        if (opFilter("retrieval_gc_cow") || opFilter("bm25_after_gc_cow"))
+          gcLeg("cow", "retrieval_gc_cow", "bm25_after_gc_cow")
+        if (opFilter("retrieval_gc_mor") || opFilter("bm25_after_gc_mor"))
+          gcLeg("mor", "retrieval_gc_mor", "bm25_after_gc_mor")
+      }
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())

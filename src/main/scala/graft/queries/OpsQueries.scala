@@ -483,6 +483,48 @@ object OpsQueries {
       } finally deleteDir(whDir)
     }),
 
+    // r17: posting-store GC through MERGE-ON-READ — doc-keyed deletes
+    // are the WORST case for a term-bucketed copy-on-write rewrite
+    // (every bucket file holds some departed docs' postings → O(store)
+    // rewrite; the 450k probe measured 4.4M shuffled rows and a full
+    // 1024-file rewrite), while MoR writes positional delete files and
+    // rewrites NOTHING (zero shuffle) at the price of the read-side
+    // anti-merge. Same survivor-rebuild serving oracle; the gate also
+    // asserts no data file was rewritten — the O(deleted-rows) claim.
+    "q_retrieval_compact_mor" -> ((s, d) => {
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val docs = Tables.documents(s, d)
+      val whDir = java.nio.file.Files.createTempDirectory("graft_rgm_wh").toString
+      val rm = new RelationManager(s, whDir)
+      try {
+        val postRel = graft.core.Relation("graft", "main", "postings_mor")
+        val dlRel = graft.core.Relation("graft", "main", "doc_lens_mor")
+        rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+          postRel, 8, Seq("term"))
+        rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+        Seq(postRel, dlRel).foreach(r => rm.setTableProperties(r,
+          Map("row_level_mode" -> "merge-on-read",
+            "delete_compaction" -> "false")))
+        val before = rm.currentState(postRel).get.files.toSet
+        val cat = rm.catalogName
+        s.sql(s"DELETE FROM $cat.main.postings_mor WHERE doc_id % 4 = 1")
+        s.sql(s"DELETE FROM $cat.main.doc_lens_mor WHERE doc_id % 4 = 1")
+        val ps = rm.currentState(postRel).get
+        require(ps.files.toSet == before,
+          "MoR GC must rewrite no posting data file")
+        require(ps.deletes.nonEmpty,
+          "MoR GC must attach positional delete files")
+        val queries = Retrieval.prefixQueries(
+          docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text",
+          modulo = 37, prefixTokens = 6)
+        Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel), queries,
+          "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteDir(whDir)
+    }),
+
     // r15 s3: exact-phrase matching from the POSITIONAL index — the
     // phrase's i-th token must sit at start+i; occurrences counted as
     // distinct start positions, verified by pure array intersection
@@ -3103,6 +3145,9 @@ object OpsQueries {
     // row-level DELETE on the bucketed graft tables
     "q_retrieval_compact" -> retrievalCompactOracleSql,
     "q_retrieval_compact_dml" -> retrievalCompactOracleSql,
+    // r17: the merge-on-read twin — positional deletes, no data-file
+    // rewrite (the O(deleted-rows) GC for bucketed stores)
+    "q_retrieval_compact_mor" -> retrievalCompactOracleSql,
     // r17: the same survivor-rebuild serving law, with the deletion
     // running as a SCHEDULED DAG operation inside examples/retrieval_gc
     "q_retrieval_project_gc" -> retrievalCompactOracleSql,

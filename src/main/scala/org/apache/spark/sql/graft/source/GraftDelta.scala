@@ -96,7 +96,20 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
       s"_graft_stage_v2d_${java.util.UUID.randomUUID().toString.take(8)}")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-      val dataFac = GraftPublish.factory(dir, st, writeSchema, stageDir)
+      // a pure-DELETE delta write carries an EMPTY write schema — no
+      // insert row will ever arrive — but the insert-side factory
+      // resolves the table's layout columns against the write schema in
+      // its constructor, so a MoR DELETE on a bucketed or partitioned
+      // store crashed before writing a single delete position (r17,
+      // found by the retrieval_gc_mor probe leg: FIELD_NOT_FOUND on the
+      // bucket column). Strip the layout for the insert factory when
+      // there is nothing to route; UPDATE/MERGE writes carry the full
+      // row schema and keep their layout-aware routing.
+      val stForInserts =
+        if (writeSchema.isEmpty)
+          st.copy(partitionBy = Nil, bucketBy = Nil, buckets = 0, statsCols = Nil)
+        else st
+      val dataFac = GraftPublish.factory(dir, stForInserts, writeSchema, stageDir)
       // a second parquet writer factory for the (file, pos) delete schema
       val spark = SparkSession.active
       val job = Job.getInstance(spark.sessionState.newHadoopConf())

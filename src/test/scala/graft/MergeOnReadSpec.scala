@@ -219,10 +219,23 @@ class MergeOnReadSpec extends AnyFunSuite {
       s"re-inserts must route through partition+bucket layout: $added")
     assert(rm.read(rel).count() == 2000)
     assert(rm.read(rel).filter($"id" === 5L).select("v").as[String].head() == "u")
+    // a PURE DELETE's delta write carries an EMPTY write schema — the
+    // insert-side factory must not resolve layout columns against it
+    // (r17 fix: MoR DELETE on any bucketed/partitioned store crashed
+    // with FIELD_NOT_FOUND before writing a single delete position,
+    // found by the retrieval_gc_mor probe leg)
+    spark.sql(s"DELETE FROM $t WHERE id % 10 = 3")
+    val afterDel = rm.currentState(rel).get
+    assert(after.files.forall(afterDel.files.contains),
+      "MoR DELETE must rewrite no data file")
+    assert(afterDel.deletes.nonEmpty && rm.read(rel).count() == 1800)
     // fold + verify layout intact
     rm.optimize(rel)
     assert(rm.currentState(rel).get.deletes.isEmpty)
-    assert(rm.read(rel).count() == 2000)
+    assert(rm.read(rel).count() == 1800)
+    assert(rm.currentState(rel).get.files.forall(f =>
+      f.contains("p=") && f.contains("_bucket=")),
+      "optimize must restore clean files inside the declared layout")
   }
 
   test("racing same-row UPDATEs never duplicate the row (delete-attachment conflict check)") {
