@@ -651,6 +651,27 @@ final class Runner(
             case other =>
               throw new IllegalArgumentException(s"materialized: $other")
           }
+          // declared table properties (r17 — the dbt-spark adapter's
+          // `tblproperties` config): `tblprops.<k>` in config()/meta
+          // lands on the committed table, e.g. tblprops.row_level_mode =
+          // merge-on-read turns a store's SQL DML into positional
+          // deletes (the O(deleted-rows) GC mode for bucketed stores —
+          // SCALE.md r17). Applied only when a declared key differs from
+          // the table's current value, so an unchanged incremental /
+          // microbatch build commits nothing extra (the O(batch) gates'
+          // idempotency discipline).
+          val tblProps = node.config.meta.collect {
+            case (k, v) if k.startsWith("tblprops.") =>
+              k.stripPrefix("tblprops.") -> v
+          }
+          if (tblProps.nonEmpty && node.config.materialized != "ephemeral") {
+            val cur = rm.currentState(rel).getOrElse(
+              throw new IllegalArgumentException(
+                s"${node.name}: tblprops declared but the model is not a " +
+                  s"commit-log table (materialized: ${node.config.materialized})"))
+            if (tblProps.exists { case (k, v) => !cur.props.get(k).contains(v) })
+              rm.setTableProperties(rel, tblProps)
+          }
           runHooks(node, node.config.postHooks)
           RunResult(node.uniqueId, "success", start, Instant.now(), runMessage)
         case NodeType.Test =>

@@ -291,6 +291,42 @@ class RunnerSpec extends AnyFunSuite {
       eDrop.getMessage.contains("x 4"), eDrop.getMessage)
   }
 
+  test("tblprops config lands on the committed table; unchanged values commit nothing extra (r17)") {
+    val rm = newRm()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("tp_src")
+    val node = TemplateResolver.parseModel("p", "tp_store",
+      "{{ config(materialized='table', " +
+        "tblprops.row_level_mode='merge-on-read') }}\nselect * from tp_src")
+    val mf = Manifest(Seq(node)).processRefs()
+    val runner = new Runner(spark, rm, mf)
+    assert(runner.run().forall(_.status == "success"))
+    val rel = Relation("graft", "main", "tp_store")
+    val st1 = rm.currentState(rel).get
+    assert(st1.props.get("row_level_mode").contains("merge-on-read"))
+    // the property is LIVE: SQL DELETE goes merge-on-read (no data file
+    // rewritten, positional deletes attached)
+    spark.sql(s"DELETE FROM ${rm.catalogName}.main.tp_store WHERE id = 2")
+    val st2 = rm.currentState(rel).get
+    assert(st1.files.forall(st2.files.toSet) && st2.deletes.nonEmpty)
+    assert(rm.read(rel).count() == 2)
+    // a rebuild re-declares the same value: exactly ONE commit (the
+    // write), no extra property commit
+    assert(runner.run().forall(_.status == "success"))
+    val st3 = rm.currentState(rel).get
+    assert(st3.version == st2.version + 1,
+      s"unchanged tblprops must not add a commit: v${st2.version} -> v${st3.version}")
+    assert(st3.props.get("row_level_mode").contains("merge-on-read"),
+      "properties carry forward across rebuild commits")
+    // declaring tblprops on a non-table materialization fails loud
+    val bad = TemplateResolver.parseModel("p", "tp_view",
+      "{{ config(materialized='view', tblprops.k='v') }}\nselect * from tp_src")
+    val res = new Runner(spark, rm, Manifest(Seq(bad)).processRefs()).run()
+    assert(res.exists(r => r.status == "error" &&
+      r.message.contains("not a commit-log table")), res.mkString(";"))
+  }
+
   test("bucketed microbatch bootstrap builds its v0 schema against zero-row inputs (eager native body pays nothing)") {
     // r17 (VERDICT r16 task 5): the bootstrap's schema probe previously
     // invoked the full model body with filter(false) ABOVE it — lazy
