@@ -1810,12 +1810,17 @@ object OpsQueries {
         build("2025-01-03T00:00:00Z")
         val p2 = rm.currentState(rel("postings")).get
         val t2 = rm.currentState(rel("term_stats")).get
-        // row-level, file-pruned forgetting — NOT a rebuild: build 2's GC
-        // only touches generation-2 documents (generation 1's departed in
-        // build 1), so every day-1 posting file survives build 2 intact
+        // O(deleted-rows) forgetting — NOT a rebuild: the stores are
+        // merge-on-read (tblprops), so the GC DELETEs rewrite NO data
+        // file, ever — every build-1 file survives build 2 verbatim and
+        // the departures live as positional delete attachments
         require(p1.files.forall(p2.files.toSet),
-          s"build 2 must not rewrite day-1 posting files: missing " +
+          s"build 2 must not rewrite posting data files: missing " +
             s"${p1.files.filterNot(p2.files.toSet)}")
+        require(p2.deletes.nonEmpty,
+          "MoR GC must leave positional delete attachments on the store")
+        require(p2.props.get("row_level_mode").contains("merge-on-read"),
+          "the declared tblprops must be live on the committed store")
         // the term-stats store only ever APPENDS (ingest partitions plus
         // negative compensation rows) — no file is ever rewritten
         require(t1.files.forall(t2.files.toSet),
