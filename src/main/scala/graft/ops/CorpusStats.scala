@@ -160,6 +160,21 @@ object CorpusStats {
         (col("freq") + coalesce(col("__f"), lit(0L))).as("freq"),
         (col("doc_freq") + coalesce(col("__d"), lit(0L))).as("doc_freq"))
 
+  /** The DELETION form of every additive count artifact (r17 — the
+    * counting-CRDT law the retrieval term-stats store introduced,
+    * generalized): negate the departing documents' own artifact and
+    * FOLD — the very merge that ingests a batch forgets one, because
+    * each store is a pure integer sum over disjoint document batches.
+    * Applies to the whole family: n-gram counts (freq, doc_freq), CMS
+    * counters (cnt), histogram bins (cnt), term stats (df). A fully
+    * departed key folds to zero (harmless to every consumer: top-k cuts
+    * it, CMS min reads 0, a zero histogram bin shifts no rank) — drop
+    * zero rows opportunistically when compacting the store. */
+  def negated(artifact: DataFrame, countCols: String*): DataFrame = {
+    require(countCols.nonEmpty, "negated needs at least one count column")
+    countCols.foldLeft(artifact)((df, c) => df.withColumn(c, -col(c)))
+  }
+
   /** Top-k view over the count store: TakeOrdered on (freq desc, ngram)
     * — per-partition heads + a driver merge of k rows, never a full
     * vocabulary sort. Folding batches through [[ngramCountsDelta]] and

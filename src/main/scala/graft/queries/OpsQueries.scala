@@ -1086,6 +1086,69 @@ object OpsQueries {
       CorpusStats.topNgramsFromStore(merged, k = 25)
     }),
 
+    // r17: the count store FORGETS — deletion is the negated fold (the
+    // counting-CRDT law, now a library helper: `negated` + the same
+    // upsert delta that ingests a batch). Fully departed n-grams fold
+    // to zero and are dropped by the compaction cut; the top-k over the
+    // folded store must equal a survivor rebuild.
+    "q_corpus_topk_ngrams_forget" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val store = CorpusStats.ngramCountStore(docs, "doc_id", "text", n = 3)
+        .localCheckpoint(true)
+      val departing = CorpusStats.negated(
+        CorpusStats.ngramCountStore(docs.filter(col("doc_id") % 4 === 1),
+          "doc_id", "text", n = 3), "freq", "doc_freq")
+      val delta = CorpusStats.ngramCountsDelta(store, departing)
+      val merged = store.join(delta.select("ngram"), Seq("ngram"), "left_anti")
+        .select("ngram", "freq", "doc_freq")
+        .unionByName(delta)
+        .filter(col("freq") > 0) // compaction cut: fully departed keys
+      CorpusStats.topNgramsFromStore(merged, k = 25)
+    }),
+
+    // r17: the CMS FORGETS — counters are linear, so merging the
+    // departing docs' negated sketch yields exactly the survivor
+    // sketch; estimates must replay the survivor-corpus law.
+    "q_corpus_cms_forget" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      val surv = docs.filter(col("doc_id") % 4 =!= 1)
+      val sk = CorpusStats.cmsMerge(4, 2048,
+        CorpusStats.cmsSketch(docs, "text", depth = 4, width = 2048)
+          .localCheckpoint(true),
+        CorpusStats.negated(
+          CorpusStats.cmsSketch(docs.filter(col("doc_id") % 4 === 1), "text",
+            depth = 4, width = 2048), "cnt"))
+      val probes = surv.filter(col("doc_id") % 101 === 0)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      val exact = surv.select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_freq"))
+      CorpusStats.cmsEstimate(sk, probes, "tok")
+        .join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("est_freq"),
+          coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+        .orderBy("tok")
+    }),
+
+    // r17: the HISTOGRAM FORGETS — bin counts are additive integers, so
+    // the negated-fold quantiles must equal a survivor rebuild (zeroed
+    // bins shift no rank).
+    "q_corpus_hist_forget" -> ((s, d) => {
+      import graft.ops.CorpusStats
+      val docs = Tables.documents(s, d)
+      def sk(f: org.apache.spark.sql.DataFrame) =
+        CorpusStats.histogramSketch(
+          f.select((TA.tokenCount(col("text")).cast(LongType) * col("doc_id"))
+            .as("v")), "v")
+      CorpusStats.histogramQuantiles(
+        CorpusStats.histogramMerge(2,
+          sk(docs).localCheckpoint(true),
+          CorpusStats.negated(sk(docs.filter(col("doc_id") % 4 === 1)), "cnt")),
+        Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
     // r15 s3: count-min sketch — the BOUNDED-MEMORY tier of the
     // frequency family (depth × width counters forever vs the
     // vocabulary-sized exact store). Estimates replay exactly in DuckDB
@@ -2605,8 +2668,8 @@ object OpsQueries {
   /** Decimal log-binned histogram quantile oracle (r16) — shared by the
     * one-shot, incremental, and stream gates (bin counts are additive,
     * so every fold answers the one-shot law). */
-  private[queries] val histQuantilesOracleSql: String =
-    s"""WITH t AS (SELECT len($toksSql) * doc_id AS x FROM documents),
+  private[queries] def histQuantilesOracle(docsFrom: String): String =
+    s"""WITH t AS (SELECT len($toksSql) * doc_id AS x FROM $docsFrom),
        |b AS (SELECT length(CAST(x AS VARCHAR)) AS bin_d,
        |         CAST(substr(CAST(x AS VARCHAR), 1, 2) AS BIGINT) AS bin_lead,
        |         CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2624,17 +2687,20 @@ object OpsQueries {
        |  AS est_value
        |FROM hit ORDER BY q""".stripMargin
 
-  private[queries] val cmsOracleSql: String = {
+  private[queries] val histQuantilesOracleSql: String =
+    histQuantilesOracle("documents")
+
+  private[queries] def cmsOracle(docsFrom: String): String = {
     val bucket = (tok: String) =>
       s"CAST(('0x' || substr(md5('cms_' || CAST(row_idx AS VARCHAR) || '_' || $tok), 1, 7)) AS BIGINT) % 2048"
-    s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS tok FROM documents),
+    s"""WITH toks AS MATERIALIZED (SELECT unnest($toksSql) AS tok FROM $docsFrom),
        |rws AS (SELECT unnest(generate_series(0, 3)) AS row_idx),
        |cms AS MATERIALIZED (
        |  SELECT row_idx, ${bucket("tok")} AS bucket,
        |         CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM toks, rws GROUP BY 1, 2),
        |probe AS (SELECT DISTINCT tok
-       |  FROM (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 101 = 0)),
+       |  FROM (SELECT unnest($toksSql) AS tok FROM $docsFrom WHERE doc_id % 101 = 0)),
        |pb AS (SELECT tok, row_idx, ${bucket("tok")} AS bucket FROM probe, rws),
        |est AS (SELECT tok, MIN(COALESCE(cnt, 0)) AS est_freq
        |  FROM pb LEFT JOIN cms USING (row_idx, bucket) GROUP BY 1),
@@ -2643,6 +2709,8 @@ object OpsQueries {
        |SELECT tok, est_freq, COALESCE(exact_freq, 0) AS exact_freq
        |FROM est LEFT JOIN exact USING (tok) ORDER BY tok""".stripMargin
   }
+
+  private[queries] val cmsOracleSql: String = cmsOracle("documents")
 
   /** The default BPE merge table as a SQL VALUES list — one Scala source
     * of truth (TA.DefaultBpeMerges) feeding engine and oracle. */
@@ -2744,8 +2812,8 @@ object OpsQueries {
     * on the n-gram string) — shared by the one-shot profile gate and
     * the incremental (fold-batch-counts-into-a-persisted-store) gate,
     * which are DEFINED as the same cut (counts are additive). */
-  private[queries] def topkNgramsOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  private[queries] def topkNgramsOracle(docsFrom: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM $docsFrom),
        |g AS (SELECT doc_id, unnest(list_transform(
        |  generate_series(1, greatest(len(tk)-2, 0)),
        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram FROM t),
@@ -2757,6 +2825,8 @@ object OpsQueries {
        |SELECT top.ngram, top.freq, dfq.doc_freq
        |FROM top JOIN dfq USING (ngram)
        |ORDER BY top.freq DESC, top.ngram""".stripMargin
+
+  private[queries] def topkNgramsOracleSql: String = topkNgramsOracle("documents")
 
   /** Word-4-gram contamination oracle (docs ≡ 0 (mod 97) are the
     * benchmark side) — shared by the one-shot flag gate and the
@@ -3098,6 +3168,8 @@ object OpsQueries {
     // additivity makes the split invisible)
     "q_corpus_cms_estimate" -> cmsOracleSql,
     "q_corpus_cms_incremental" -> cmsOracleSql,
+    // r17: negated-fold deletion ≡ survivor rebuild (counter linearity)
+    "q_corpus_cms_forget" -> cmsOracle("(SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1)"),
 
     // r16: decimal log-binned histogram quantiles — the oracle replays
     // the string-shape bin law, the cumulative rank cut (DOUBLE
@@ -3106,6 +3178,8 @@ object OpsQueries {
     // min bin (bin_d·100 + bin_lead is monotone for 2 lead digits)
     "q_corpus_hist_quantiles" -> histQuantilesOracleSql,
     "q_corpus_hist_incremental" -> histQuantilesOracleSql,
+    // r17: negated-fold deletion ≡ survivor rebuild (bin additivity)
+    "q_corpus_hist_forget" -> histQuantilesOracle("(SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1)"),
 
     // r16: the per-language form — same law with the cum/total windows
     // partitioned by the stratum
@@ -3769,6 +3843,8 @@ object OpsQueries {
     // the count store's additivity makes the fold exact — the generation
     // split is invisible to the oracle
     "q_corpus_topk_ngrams_incremental" -> topkNgramsOracleSql,
+    // r17: negated-fold deletion ≡ survivor rebuild (count additivity)
+    "q_corpus_topk_ngrams_forget" -> topkNgramsOracle("(SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1)"),
 
     // 0-based engine positions vs this oracle's 1-based list indexing:
     // both cover the same token set, and the compare is on the rebuilt
