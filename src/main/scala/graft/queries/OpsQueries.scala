@@ -2473,7 +2473,7 @@ object OpsQueries {
 
   /** Survivor-rebuild serving oracle shared by the frame-level GC gate
     * and its engine-DML twin (r16). */
-  private val retrievalCompactOracleSql: String =
+  private[queries] val retrievalCompactOracleSql: String =
     s"""WITH surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
        |${bm25Ctes("doc_id % 37 = 0", 6, docsFrom = "surv")}
        |SELECT query_id, rank, doc_id, score FROM lexranked

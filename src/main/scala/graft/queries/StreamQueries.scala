@@ -682,6 +682,89 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // r17: CONTINUOUS FORGETTING — a CDC deletion stream drives the
+    // retrieval stores' GC exactly-once: per micro-batch of departing
+    // documents, a txn-guarded NEGATIVE term-stats append (the
+    // counting-CRDT fold — a replayed batch must not double-negate)
+    // plus row-level DELETEs on the merge-on-read posting/doc-length
+    // stores (positional deletes, no data file rewritten; naturally
+    // idempotent — a replay deletes zero rows, so deletes need no txn
+    // guard and any crash point converges). Serving from the compacted
+    // stores must equal a survivor rebuild (the shared GC oracle).
+    "q_stream_retrieval_gc" -> ((s, d) => {
+      import java.nio.file.Files
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val landing = Files.createTempDirectory("graft_sgc_in")
+      val ckpt = Files.createTempDirectory("graft_sgc_ck")
+      val docs = Tables.documents(s, d)
+      val t0 = 1700000000000L
+      // the CDC feed: docs ≡ 1 (mod 4) depart, split into two disjoint
+      // deletion batches (≡1 and ≡5 mod 8) — the nightly-curation shape
+      stageAsFile(landing, "0.parquet",
+        docs.filter(col("doc_id") % 8 === 1).select("doc_id", "text"), t0)
+      stageAsFile(landing, "1.parquet",
+        docs.filter(col("doc_id") % 8 === 5).select("doc_id", "text"),
+        t0 + 600000L)
+      val rm = new RelationManager(s, Files.createTempDirectory("graft_sgc_wh").toString)
+      val postRel = graft.core.Relation("graft", "main", "sgc_postings")
+      val dlRel = graft.core.Relation("graft", "main", "sgc_doclens")
+      val tsRel = graft.core.Relation("graft", "main", "sgc_termstats")
+      // store scaffolding: the accumulated artifacts the feed compacts
+      rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+        postRel, 8, Seq("term"))
+      rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+      rm.writeTable(Retrieval.termStats(docs, "text"), tsRel)
+      Seq(postRel, dlRel).foreach(r => rm.setTableProperties(r,
+        Map("row_level_mode" -> "merge-on-read",
+          "delete_compaction" -> "false")))
+      val cat = rm.catalogName
+      val filesBefore = rm.currentState(postRel).get.files.toSet
+      val q = s.readStream.schema(
+          docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          try {
+            // the non-idempotent half first, txn-guarded: negate the
+            // departing docs' own term stats (batches are disjoint by
+            // the CDC contract, so the negation is exact)
+            if (rm.lastTxn(tsRel, "sgc_ts").forall(_ < batchId))
+              rm.appendTable(graft.ops.CorpusStats.negated(
+                Retrieval.termStats(batch, "text"), "df"),
+                tsRel, txn = Map("sgc_ts" -> batchId))
+            // row-level MoR deletes: idempotent under replay
+            batch.select("doc_id").createOrReplaceTempView("sgc_departing")
+            batch.sparkSession.sql(s"DELETE FROM $cat.main.sgc_postings " +
+              "WHERE doc_id IN (SELECT doc_id FROM sgc_departing)")
+            batch.sparkSession.sql(s"DELETE FROM $cat.main.sgc_doclens " +
+              "WHERE doc_id IN (SELECT doc_id FROM sgc_departing)")
+            ()
+          } catch { case _: graft.relations.StaleTxnException => () }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(landing); deleteRecursively(ckpt)
+      s.catalog.dropTempView("sgc_departing")
+      // MoR receipts: no posting data file rewritten; delete files
+      // attached; the Σdf == live-rows invariant held through the feed
+      val ps = rm.currentState(postRel).get
+      require(ps.files.toSet == filesBefore,
+        "streamed GC must rewrite no posting data file")
+      require(ps.deletes.nonEmpty, "streamed GC must attach positional deletes")
+      Retrieval.requireFreshTermStats(rm, tsRel, postRel)
+      val queries = Retrieval.prefixQueries(
+        docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      Retrieval.bm25TopK(rm.read(postRel), rm.read(dlRel), queries,
+        "query_id", "qtext", k = 10,
+        precomputedTermStats = Some(rm.read(tsRel).select("term", "df")))
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true)
+    }),
+
     // r15 s3: CONTINUOUS positional-index ingest — the phrase-capable
     // store under the same pure-append law as the flat posting index
     // (disjoint doc ids; positions are per-document, so batches never
@@ -1430,6 +1513,8 @@ object StreamQueries {
     // the folded posting store is definitionally the one-shot index —
     // the stream gate shares the one-shot BM25 law
     "q_stream_retrieval_ingest" -> OpsQueries.bm25TopkOracleSql,
+    // r17: streamed GC — the shared survivor-rebuild serving oracle
+    "q_stream_retrieval_gc" -> OpsQueries.retrievalCompactOracleSql,
 
     // counter additivity makes the batch split invisible to the law
     "q_stream_cms_ingest" -> OpsQueries.cmsOracleSql,
