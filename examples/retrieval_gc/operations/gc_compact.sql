@@ -7,8 +7,14 @@
 -- doc_lens delete runs LAST because it IS the witness. Re-running the
 -- whole operation against unchanged stores is a no-op.
 INSERT INTO {{ ref('term_stats') }} (event_ts, term, df, __graft_batch)
+-- __graft_batch mirrors the microbatch partition-value law exactly
+-- (date_trunc to the store's day batch_size, as Microbatch.stageOne
+-- writes it): a non-midnight event_ts must land its compensation rows
+-- in the SAME partition as the ingest rows they negate, or a
+-- lookback>0 re-ingest's partition clear would miss them and
+-- re-compensation would double-subtract df.
 SELECT event_ts, term, -count(*) AS df,
-       date_format(event_ts, "yyyy-MM-dd'T'HH") AS __graft_batch
+       date_format(date_trunc('day', event_ts), "yyyy-MM-dd'T'HH") AS __graft_batch
 FROM (
   SELECT d.doc_id, d.event_ts,
          explode(array_distinct(CASE WHEN trim(d.text) = ''

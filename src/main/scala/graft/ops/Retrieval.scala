@@ -381,13 +381,17 @@ object Retrieval {
     * Cost: the artifact side is one scan of a vocabulary-sized table;
     * the posting side reads per-file row counts from the commit-log
     * manifest (minus merge-on-read dead rows) — O(manifest), no index
-    * scan. A posting store whose manifest lacks per-file stats falls
-    * back to one counting scan (still exact; logged in the error only).
+    * scan. A posting store whose manifest lacks per-file stats FAILS
+    * LOUD (r18, VERDICT r17 #5): a silent fallback to a counting scan
+    * would pay O(store) per serving build on a 100 TB store — the exact
+    * shape the engine's lazy-guard discipline exists to prevent. Pass
+    * `allowScan = true` to opt in to one exact counting scan instead.
     * The frame-input path of [[bm25TopK]] stays contract-only — a
     * caller handing raw DataFrames owns their consistency. */
   def requireFreshTermStats(rm: graft.relations.RelationManager,
                             statsRel: graft.core.Relation,
-                            postingsRel: graft.core.Relation): Unit = {
+                            postingsRel: graft.core.Relation,
+                            allowScan: Boolean = false): Unit = {
     val sumDf = rm.read(statsRel)
       .agg(coalesce(sum(col("df")), lit(0L)).as("s"))
       .collect()(0).getLong(0)
@@ -400,7 +404,13 @@ object Retrieval {
       if (perFile.nonEmpty && perFile.forall(_.isDefined))
         perFile.flatten.sum - st.deleteRows.values.sum
       else if (st.files.isEmpty) 0L
-      else rm.read(postingsRel).count() // no per-file stats: one exact scan
+      else if (allowScan) rm.read(postingsRel).count() // opted-in exact scan
+      else throw new IllegalStateException(
+        s"requireFreshTermStats: ${postingsRel.render}'s manifest lacks " +
+          "per-file row stats, so the O(manifest) live-row count is " +
+          "unavailable — the fallback is one O(store) counting scan PER " +
+          "SERVING BUILD. Pass allowScan = true to accept that cost, or " +
+          "rewrite the store with stats collection enabled.")
     require(sumDf == postingRows,
       s"term-stats artifact ${statsRel.render} is STALE vs posting store " +
         s"${postingsRel.render}: sum(df) = $sumDf but the store holds " +

@@ -182,14 +182,10 @@ final class CommitLog(store: FileStore, dir: String) {
             "a concurrent commit replaced it; retry the statement"))
       val keptDeletes = cur.map(_.deletes).getOrElse(Map.empty)
         .view.filterKeys(newFileSet.contains).toMap
-      val nextDeletes = addedDeletes.foldLeft(keptDeletes) {
-        case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
-      }
       val keptDeleteRows = cur.map(_.deleteRows).getOrElse(Map.empty)
         .view.filterKeys(newFileSet.contains).toMap
-      val nextDeleteRows = addedDeleteRows.foldLeft(keptDeleteRows) {
-        case (m, (f, n)) => m + (f -> (m.getOrElse(f, 0L) + n))
-      }
+      val (nextDeletes, nextDeleteRows) = CommitLog.foldDeleteAttachments(
+        keptDeletes, keptDeleteRows, addedDeletes, addedDeleteRows)
       val next = TableVersion(
         cur.map(_.version).getOrElse(0) + 1,
         newFiles,
@@ -382,13 +378,9 @@ final class CommitLog(store: FileStore, dir: String) {
     val files = (state.files.filterNot(remove) ++ add).distinct.sorted
     val fileSet = files.toSet
     val kept = state.deletes.view.filterKeys(fileSet.contains).toMap
-    val deletes = parseDeletes(doc).foldLeft(kept) {
-      case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
-    }
     val keptRows = state.deleteRows.view.filterKeys(fileSet.contains).toMap
-    val deleteRows = parseDeleteRows(doc).foldLeft(keptRows) {
-      case (m, (f, n)) => m + (f -> (m.getOrElse(f, 0L) + n))
-    }
+    val (deletes, deleteRows) = CommitLog.foldDeleteAttachments(
+      kept, keptRows, parseDeletes(doc), parseDeleteRows(doc))
     TableVersion(v,
       files,
       DataType.fromJson(Json.str(doc("schema_json"))).asInstanceOf[StructType],
@@ -408,4 +400,33 @@ object CommitLog {
     * most this many deltas. 10 bounds manifest read cost without bloating
     * small tables' logs. */
   val CheckpointInterval = 10
+
+  /** Fold newly-attached MoR delete files and their dead-row counts into
+    * a manifest state. The delete-file lists are a SET (`.distinct` — a
+    * replayed or overlapping commit that re-attaches the same delete file
+    * must not double its positions on the read path), so the dead-row
+    * arithmetic must match: a data file whose added delete files are ALL
+    * already attached contributes zero new dead rows. Without this, the
+    * O(manifest) live-row count (`requireFreshTermStats`) over-subtracts
+    * on replay and false-fails even though the anti-merged read is
+    * correct. A single DML commit writes fresh delete-file paths, so
+    * partial overlap cannot occur outside a byte-identical replay. */
+  private[relations] def foldDeleteAttachments(
+      keptDeletes: Map[String, Seq[String]],
+      keptRows: Map[String, Long],
+      addedDeletes: Map[String, Seq[String]],
+      addedRows: Map[String, Long])
+      : (Map[String, Seq[String]], Map[String, Long]) = {
+    val nextDeletes = addedDeletes.foldLeft(keptDeletes) {
+      case (m, (f, ds)) => m + (f -> (m.getOrElse(f, Nil) ++ ds).distinct)
+    }
+    val nextRows = addedRows.foldLeft(keptRows) {
+      case (m, (f, n)) =>
+        val prior = keptDeletes.getOrElse(f, Nil).toSet
+        val added = addedDeletes.getOrElse(f, Nil)
+        if (added.nonEmpty && added.forall(prior.contains)) m
+        else m + (f -> (m.getOrElse(f, 0L) + n))
+    }
+    (nextDeletes, nextRows)
+  }
 }

@@ -446,7 +446,7 @@ final class Runner(
       case _ => throw new IllegalStateException(
         s"operation ${node.name} must be a SQL file")
     }
-    val rendered = raw.split(";;").iterator.map(_.trim).filter(_.nonEmpty)
+    val rendered = Runner.splitStatements(raw).iterator.map(_.trim).filter(_.nonEmpty)
       .map(stmt => TemplateResolver.render(stmt, TemplateResolver.Context(
         resolveRef = dmlNameFor,
         resolveSource = (s, t) => s"${s}_$t",
@@ -965,5 +965,46 @@ final class Runner(
         s""""results":[${rows.mkString(",")}],""" +
         s""""elapsed_time":${results.map(_.executionSeconds).sum},"args":{}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}
+
+object Runner {
+  /** Split an operation body on `;;` OUTSIDE quotes and comments (r18,
+    * VERDICT r17 #3): a `;;` inside a `'...'` / `"..."` / backtick
+    * literal, a `--` line comment, or a slash-star block comment is part
+    * of the statement, not a separator. SQL quote escaping doubles the
+    * quote (`''`), which this scanner reads as close-then-reopen — the
+    * net effect (still inside a literal) is identical, so no lookahead
+    * is needed. */
+  private[runner] def splitStatements(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = outside; '\'' | '"' | '`' = inside
+    var lineComment = false
+    var blockComment = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (lineComment) { if (c == '\n') lineComment = false; cur += c; i += 1 }
+      else if (blockComment) {
+        if (c == '*' && i + 1 < raw.length && raw.charAt(i + 1) == '/') {
+          cur ++= "*/"; blockComment = false; i += 2
+        } else { cur += c; i += 1 }
+      } else if (quote != 0) {
+        if (c == quote) quote = 0
+        cur += c; i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c; i += 1
+        case '-' if i + 1 < raw.length && raw.charAt(i + 1) == '-' =>
+          lineComment = true; cur ++= "--"; i += 2
+        case '/' if i + 1 < raw.length && raw.charAt(i + 1) == '*' =>
+          blockComment = true; cur ++= "/*"; i += 2
+        case ';' if i + 1 < raw.length && raw.charAt(i + 1) == ';' =>
+          out += cur.result(); cur.clear(); i += 2
+        case _ => cur += c; i += 1
+      }
+    }
+    out += cur.result()
+    out.result()
   }
 }

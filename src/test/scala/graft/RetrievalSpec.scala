@@ -240,6 +240,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(eNone.getMessage.contains("not a commit-log table"), eNone.getMessage)
   }
 
+  test("requireFreshTermStats: a stats-less manifest fails loud; allowScan opts in to the O(store) count (r18)") {
+    import java.nio.file.Files
+    val whDir = Files.createTempDirectory("graft_rfts_scan").toString
+    val rm = new graft.relations.RelationManager(spark, whDir)
+    val postRel = graft.core.Relation("graft", "main", "rftsx_postings")
+    val statsRel = graft.core.Relation("graft", "main", "rftsx_stats")
+    // statsCols = Nil → the manifest carries NO per-file row counts, so
+    // the O(manifest) live-row arithmetic is unavailable
+    rm.writeTable(Retrieval.postingIndex(corpus, "id", "text"), postRel)
+    rm.writeTable(Retrieval.termStats(corpus, "text"), statsRel)
+    val e = intercept[IllegalStateException](
+      Retrieval.requireFreshTermStats(rm, statsRel, postRel))
+    assert(e.getMessage.contains("per-file row stats") &&
+      e.getMessage.contains("allowScan"), e.getMessage)
+    // the opt-in pays one exact counting scan and the invariant holds
+    Retrieval.requireFreshTermStats(rm, statsRel, postRel, allowScan = true)
+  }
+
   test("maxDfFraction elides saturated terms before candidate generation") {
     import spark.implicits._
     val docs = Seq((0L, "the apple"), (1L, "the banana"),
