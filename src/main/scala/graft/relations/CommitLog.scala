@@ -196,7 +196,7 @@ final class CommitLog(store: FileStore, dir: String) {
           addedStats.view.filterKeys(add.contains).toMap,
         newBucketing.map(_._1).orElse(cur.map(_.bucketBy)).getOrElse(Nil),
         newBucketing.map(_._2).orElse(cur.map(_.buckets)).getOrElse(0),
-        cur.map(_.txn).getOrElse(Map.empty) ++ txn,
+        CommitLog.mergeTxn(cur.map(_.txn).getOrElse(Map.empty), txn),
         nextDeletes,
         newProps.orElse(cur.map(_.props)).getOrElse(Map.empty),
         nextDeleteRows)
@@ -388,7 +388,7 @@ final class CommitLog(store: FileStore, dir: String) {
       Json.arr(doc("stats_cols")).map(Json.str).toSeq,
       (state.stats -- remove) ++ parseStats(doc("stats")),
       bucketBy, buckets,
-      state.txn ++ parseTxn(doc),
+      CommitLog.mergeTxn(state.txn, parseTxn(doc)),
       deletes,
       parseProps(doc).getOrElse(state.props),
       deleteRows)
@@ -400,6 +400,28 @@ object CommitLog {
     * most this many deltas. 10 bounds manifest read cost without bloating
     * small tables' logs. */
   val CheckpointInterval = 10
+
+  /** Merge txn watermarks into a manifest state. Operation-statement
+    * replay guards (app ids shaped `graft-op:<node>:<fingerprint>`) are
+    * pruned per node when a NEWER run's guard for the same node arrives:
+    * a completed run's fingerprint is dead weight once a later run
+    * commits (a crashed run resumes under its OWN journal fingerprint
+    * before any new fingerprint can commit — runOperationNode fails loud
+    * otherwise), so the manifest carries at most one live guard per
+    * (node, table) instead of accreting one per operation run forever.
+    * Used by BOTH the commit CAS and delta replay so a log replay
+    * reproduces the committed state exactly. */
+  private[relations] def mergeTxn(cur: Map[String, Long],
+                                  incoming: Map[String, Long]): Map[String, Long] = {
+    val prefixes = incoming.keys.collect {
+      case a if a.startsWith("graft-op:") && a.lastIndexOf(':') > "graft-op:".length =>
+        a.substring(0, a.lastIndexOf(':') + 1)
+    }.toSet
+    val pruned =
+      if (prefixes.isEmpty) cur
+      else cur.view.filterKeys(k => !prefixes.exists(k.startsWith)).toMap
+    pruned ++ incoming
+  }
 
   /** Fold newly-attached MoR delete files and their dead-row counts into
     * a manifest state. The delete-file lists are a SET (`.distinct` — a

@@ -945,6 +945,29 @@ final class RelationManager(
     * the data (underscore-prefixed files are invisible to parquet scans).
     * Survives sessions, so a fresh CLI run resumes where the last ended
     * (reference: checkpoint math microbatch.py:41-79). */
+  /** Scheduled-operation crash journals (r18): tiny JSON sidecars under
+    * `<root>/_graft_ops/`, durable in the SAME store as the tables whose
+    * partial mutation they record — a crash-resumed build finds them
+    * wherever the warehouse lives. Overwrite-allowed sidecar writes, same
+    * contract as checkpoint markers (single-writer per project). */
+  private def opJournalPath(name: String): String =
+    join(join(root, "_graft_ops"), s"$name.json")
+
+  def writeOpJournal(name: String, content: String): Unit = {
+    WarehouseIO.mkdirs(join(root, "_graft_ops"))
+    store.write(opJournalPath(name), content)
+  }
+
+  def readOpJournal(name: String): Option[String] = {
+    val p = opJournalPath(name)
+    if (store.exists(p)) Some(store.read(p)) else None
+  }
+
+  def deleteOpJournal(name: String): Unit = {
+    val p = opJournalPath(name)
+    if (store.exists(p)) store.delete(p)
+  }
+
   def writeCheckpoint(rel: Relation, at: java.time.Instant): Unit =
     store.write(join(path(rel), "_graft_checkpoint"), at.toString)
 

@@ -439,8 +439,42 @@ final class Runner(
     * run strictly in order — a GC operation can append its compensating
     * rows (e.g. negative term-stats) BEFORE the delete that would erase
     * the evidence, making the whole operation idempotently re-runnable
-    * against the stores' own state. Returns (statements run, rows). */
-  private def runOperationNode(node: Node): (Int, Long) = {
+    * against the stores' own state. Returns (statements run, rows).
+    *
+    * CRASH-EXACT RESUME (r18 — ADVICE r17, VERDICT task 4): witness
+    * ordering makes COMPLETE re-runs idempotent, but a crash BETWEEN
+    * statements used to leave an un-healable window — e.g. the negative
+    * term-stats append committed, the doc_lens witness delete not yet
+    * run, so the next build re-inserts the negatives (double-negated df,
+    * permanent staleness). Two mechanisms close it:
+    *
+    *  1. A JOURNAL (`<warehouse>/_graft_ops/<node>.json`) records the
+    *     run's fingerprint — rendered statements + a content hash of the
+    *     PURE-INPUT refs (those never named as a DML target) + the DML
+    *     targets' manifest versions at run start — and the count of
+    *     completed statements. A build that finds a journal resumes at
+    *     the recorded statement iff statements and input content match;
+    *     a mismatch over a partial run FAILS LOUD, because completing
+    *     old statements against new inputs would decouple the
+    *     compensation pairing in either direction. Recovery runs at RUN
+    *     START ([[run]] — resumeOnly), before any node (a pre-op
+    *     freshness test, a consumer model) reads the mid-operation
+    *     stores, and since no model has rerun yet the persisted input
+    *     tables still hold exactly the crashed run's content — the
+    *     resume completes the run it belongs to, whatever the new
+    *     build's vars; the loud path is reachable only through
+    *     statement drift (the operation file or its rendered vars
+    *     edited over a partial run) or manual input-table mutation.
+    *  2. Each statement runs under a per-statement replay-guard txn
+    *     (`graft-op:<node>:<fp> → statement index`, GraftOpTxn) that the
+    *     connector commits ATOMICALLY with the statement's own mutation —
+    *     so the crash window between a statement's commit and its journal
+    *     record is exact: the resumed statement finds its watermark in
+    *     the target table's own manifest and skips. Fresh runs get a
+    *     fresh fingerprint (target versions moved), so lookback
+    *     re-ingests still self-heal through the witness law. */
+  private def runOperationNode(node: Node, resumeOnly: Boolean = false): (Int, Long) = {
+    import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, xxhash64}
     val raw = node.code match {
       case Some(SqlCode(s)) => s
       case _ => throw new IllegalStateException(
@@ -453,20 +487,108 @@ final class Runner(
         thisRelation = "",
         vars = vars + ("graft_catalog" -> rm.catalogName))))
       .map(_.trim).filter(_.nonEmpty).toSeq // config-only fragment → empty
-    val rows = rendered.map(s => spark.sql(s).collect().length.toLong).sum
-    // ENGINE commits re-register a relation's session view ("a data
-    // commit supersedes any prior view materialization" — commit()), but
-    // connector commits happen inside Spark's V2 writer and don't: a
-    // downstream consumer in the SAME session would keep reading the
-    // view pinned at the last engine commit — pre-DML state. The
-    // operation knows exactly which relations it may have mutated (its
-    // refs), so refresh them.
-    node.dependsOn.flatMap(manifest.get)
+    val priorRaw = rm.readOpJournal(node.name)
+    // run-start crash recovery probe: nothing to resume, nothing to pay
+    // (no input scan, no manifest reads)
+    if (resumeOnly && priorRaw.isEmpty) return (0, 0L)
+    val refs = node.dependsOn.flatMap(manifest.get)
       .filter(d => NodeType.refable(d.nodeType) && !d.isEphemeral)
-      .foreach { d =>
-        val r = relationFor(d)
-        if (rm.currentState(r).isDefined) rm.register(r)
+    // classify refs: a ref whose DML-able name follows a DML keyword in
+    // any statement is a TARGET (mutated); the rest are pure INPUTS
+    val dmlHead = java.util.regex.Pattern.compile(
+      """(?is)\b(?:INSERT\s+INTO|INSERT\s+OVERWRITE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|TRUNCATE\s+TABLE)\s+([`\w.]+)""")
+    val targetsInSql: Set[String] = rendered.flatMap { s =>
+      val m = dmlHead.matcher(s)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(1)
+      b.result()
+    }.toSet
+    val (targets, inputs) =
+      refs.partition(d => targetsInSql.contains(dmlNameFor(d.name)))
+    def sha(parts: String*): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(p => md.update(p.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val stmtsHash = sha(rendered.mkString("\n;;\n"))
+    // order-independent content hash of each pure input (CDC feeds are
+    // O(deletions)-small by design; the windowed form keeps them so).
+    // bit_xor, not sum: xor is order-independent like sum but cannot
+    // overflow under ANSI arithmetic
+    val inputHash = sha(inputs.sortBy(_.name).map { d =>
+      val df = spark.table(dmlNameFor(d.name))
+      val r = df.agg(
+        coalesce(bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L)),
+        count(lit(1))).collect()(0)
+      s"${d.name}=${r.getLong(0)}/${r.getLong(1)}"
+    }.mkString(","))
+    val prior = priorRaw
+      .map(s => graft.core.Json.obj(graft.core.Json.parse(s)))
+    val (fp, start) = prior match {
+      case Some(j)
+        if graft.core.Json.str(j("stmts_hash")) == stmtsHash &&
+           graft.core.Json.str(j("input_hash")) == inputHash =>
+        (graft.core.Json.str(j("fingerprint")),
+          j("completed").asInstanceOf[Long].toInt)
+      case Some(j) => throw new IllegalStateException(
+        s"operation ${node.name} crashed mid-run (journal " +
+          s"${graft.core.Json.str(j("fingerprint")).take(16)}…, " +
+          s"${j("completed")}/${j("total")} statements committed) and its " +
+          "statements or input content have since changed — resuming " +
+          "against different statements/inputs would break the " +
+          "compensation pairing (e.g. delete documents whose negative " +
+          "stats were never appended). Crash recovery runs automatically " +
+          "at the start of every build, before models rebuild the " +
+          "inputs, so this can only mean the operation's SQL (or a var " +
+          "it renders) was edited over the partial run, or an input " +
+          "table was mutated by hand. REPAIR: restore the operation's " +
+          "statements/vars to the crashed run's form and re-run the " +
+          "build; the resume completes the partial run first. The " +
+          s"journal lives at <warehouse>/_graft_ops/${node.name}.json; " +
+          "deleting it without completing the run leaves the stores " +
+          "inconsistent.")
+      case None =>
+        val targetVersions = targets.sortBy(_.name).map { d =>
+          s"${d.name}@${rm.currentState(relationFor(d)).map(_.version).getOrElse(0)}"
+        }.mkString(",")
+        (sha(stmtsHash, inputHash, targetVersions), 0)
+    }
+    def record(completed: Int): Unit = rm.writeOpJournal(node.name,
+      s"""{"stmts_hash":${graft.core.Json.quote(stmtsHash)},""" +
+        s""""input_hash":${graft.core.Json.quote(inputHash)},""" +
+        s""""fingerprint":${graft.core.Json.quote(fp)},""" +
+        s""""completed":$completed,"total":${rendered.size}}""")
+    if (prior.isEmpty) record(0)
+    var rows = 0L
+    try {
+      for ((stmt, i) <- rendered.zipWithIndex if i >= start) {
+        rows += org.apache.spark.sql.graft.source.GraftOpTxn
+          .withTxn(s"graft-op:${node.name}:${fp.take(16)}", i.toLong) {
+            spark.sql(stmt).collect().length.toLong
+          }
+        Runner.opBoundaryHook(node.name, i, "committed")
+        record(i + 1)
+        Runner.opBoundaryHook(node.name, i, "journaled")
       }
+      rm.deleteOpJournal(node.name)
+    } finally {
+      // ENGINE commits re-register a relation's session view ("a data
+      // commit supersedes any prior view materialization" — commit()),
+      // but connector commits happen inside Spark's V2 writer and don't:
+      // a downstream consumer in the SAME session would keep reading the
+      // view pinned at the last engine commit — pre-DML state. The
+      // operation knows exactly which relations it may have mutated (its
+      // refs), so refresh them — in a FINALLY (r18): a crash mid-run has
+      // already committed some statements, and the next same-session
+      // build (retry) would otherwise read MIXED pre/post-DML state
+      // across this operation's stores.
+      node.dependsOn.flatMap(manifest.get)
+        .filter(d => NodeType.refable(d.nodeType) && !d.isEphemeral)
+        .foreach { d =>
+          val r = relationFor(d)
+          if (rm.currentState(r).isDefined) rm.register(r)
+        }
+    }
     (rendered.size, rows)
   }
 
@@ -863,6 +985,19 @@ final class Runner(
     // for committed tables, and a ref to a never-built relation fails
     // in analysis, loudly.
     onRunStart.foreach(h => spark.sql(renderOperation(h)).collect())
+    // CRASH RECOVERY (r18): an operation that died between statements
+    // left a journal; its remaining statements are OWED to the stores
+    // before ANY node — a pre-op freshness test, a consumer model —
+    // reads their mid-operation state. Resume FIRST, unconditionally of
+    // selection: no model has rerun yet, so the persisted input tables
+    // still hold exactly the crashed run's content and the resume
+    // completes the run it belongs to, whatever this build's selection
+    // or vars. A validation mismatch (statement drift over a partial
+    // run) throws and aborts the whole build — the stores need operator
+    // attention before anything else runs.
+    manifest.nodes.values.toSeq.sortBy(_.name)
+      .filter(_.nodeType == NodeType.Operation)
+      .foreach(n => runOperationNode(n, resumeOnly = true))
     val selected0 = Selector.select(manifest, select, exclude,
       previousState, previousResults)
     val selected = selected0.filter(id =>
@@ -969,6 +1104,14 @@ final class Runner(
 }
 
 object Runner {
+  /** Test seam (r18): invoked after each operation statement's commit and
+    * again after its journal record — the fault-injection spec kills the
+    * run at each boundary to prove crash-exact resume. Phases:
+    * "committed" (statement done, journal NOT yet updated — the window
+    * the per-statement replay-guard txn covers) and "journaled". */
+  @volatile private[graft] var opBoundaryHook: (String, Int, String) => Unit =
+    (_, _, _) => ()
+
   /** Split an operation body on `;;` OUTSIDE quotes and comments (r18,
     * VERDICT r17 #3): a `;;` inside a `'...'` / `"..."` / backtick
     * literal, a `--` line comment, or a slash-star block comment is part

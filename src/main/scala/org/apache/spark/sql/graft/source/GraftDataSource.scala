@@ -504,18 +504,23 @@ class GraftSourceTable(dir: String, tableSchema: StructType,
     val doomed = deleteProof(predicates).getOrElse(throw new UnsupportedOperationException(
       s"DELETE on ${name()}: cannot prove all-or-nothing row matches per file " +
         "from manifest stats/partition values — rewrite via the engine's merge/delete+insert")).toSet
+    // operation-statement replay guard (r18): a resumed run re-running an
+    // already-committed metadata DELETE skips it
+    if (GraftOpTxn.alreadyCommitted(GraftSourceTable.log(dir))) return
     if (doomed.nonEmpty)
       // same conflict rule as every read-modify-write commit: the proof
       // was computed against a snapshot; if a concurrent commit replaced
       // any doomed file, silently filterNot-ing would "succeed" while the
       // replacement's copies of the rows survive — abort instead
-      GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty) { cur =>
+      try GraftSourceTable.log(dir).commit(None, None, None, None, Map.empty,
+        GraftOpTxn.current) { cur =>
         val vanished = doomed -- cur.toSet
         if (vanished.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"DELETE on ${name()}: files proven deletable were replaced by a " +
             s"concurrent commit (${vanished.take(3).mkString(", ")}…) — retry")
         cur.filterNot(doomed)
       }
+      catch { case _: graft.relations.StaleTxnException => () }
   }
 
   override def truncateTable(): Boolean = {

@@ -120,6 +120,11 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // operation-statement replay guard (r18): a resumed run re-running
+      // an already-committed DML statement skips the publish outright
+      if (GraftOpTxn.alreadyCommitted(GraftSourceTable.log(dir))) {
+        GraftPublish.deleteDir(stageDir); return
+      }
       val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
       val written = msgs.flatMap(_.dataFiles)
       val dataFiles = written.map(_._1)
@@ -159,12 +164,14 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
           GraftChangeImages.delta(dir, base, dataFiles, deleteFiles,
             attach.keys.toSeq)
         else Nil
-      log.commit(None, None, None, None,
-        written.toMap, addedDeletes = attach, addedDeleteRows = attachRows,
+      try log.commit(None, None, None, None,
+        written.toMap, txn = GraftOpTxn.current,
+        addedDeletes = attach, addedDeleteRows = attachRows,
         changeFiles = changeFiles) { cur =>
         validateDeletesUnchanged()
         cur ++ dataFiles
       }
+      catch { case _: graft.relations.StaleTxnException => () }
       // post-commit: fold accumulated deletes when they cross the table's
       // ratio/count bounds — see GraftAutoCompact (best-effort)
       GraftAutoCompact.maybeFold(dir)

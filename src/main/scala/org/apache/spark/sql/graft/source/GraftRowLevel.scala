@@ -140,6 +140,11 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       GraftPublish.factory(dir, st, writeSchema, stageDir)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // operation-statement replay guard (r18): a resumed run re-running
+      // an already-committed DML statement skips the rewrite outright
+      if (GraftOpTxn.alreadyCommitted(GraftSourceTable.log(dir))) {
+        GraftPublish.deleteDir(stageDir); return
+      }
       val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
       val files = written.map(_._1)
       GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
@@ -162,7 +167,8 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
         if (GraftChangeImages.enabled(st))
           GraftChangeImages.copyOnWrite(dir, st, files, removed.toSeq)
         else Nil
-      log.commit(None, None, None, None, written.toMap,
+      try log.commit(None, None, None, None, written.toMap,
+        txn = GraftOpTxn.current,
         changeFiles = changeFiles) { cur =>
         val curSet = cur.toSet
         val vanished = removed.filterNot(curSet)
@@ -181,6 +187,7 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
         }
         cur.filterNot(removed.contains) ++ files
       }
+      catch { case _: graft.relations.StaleTxnException => () }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

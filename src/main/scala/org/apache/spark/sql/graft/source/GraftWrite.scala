@@ -185,12 +185,18 @@ class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
     GraftPublish.factory(dir, st, writeSchema, stageDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val log = GraftSourceTable.log(dir)
+    // operation-statement replay guard (r18): a resumed run re-running an
+    // already-committed statement skips — same shape as the streaming
+    // sink's epoch fast path; the CAS txn check stays authoritative
+    if (GraftOpTxn.alreadyCommitted(log)) { GraftPublish.deleteDir(stageDir); return }
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val files = written.map(_._1)
     GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
     GraftPublish.deleteDir(stageDir)
-    GraftSourceTable.log(dir).commit(None, None, None, None, written.toMap)(
+    try log.commit(None, None, None, None, written.toMap, GraftOpTxn.current)(
       GraftPublish.transformFor(mode, files))
+    catch { case _: graft.relations.StaleTxnException => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
