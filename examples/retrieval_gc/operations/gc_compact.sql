@@ -6,20 +6,32 @@
 -- by doc_lens (a doc already folded out compensates nothing), and the
 -- doc_lens delete runs LAST because it IS the witness. Re-running the
 -- whole operation against unchanged stores is a no-op.
-INSERT INTO {{ ref('term_stats') }} (event_ts, term, df, __graft_batch)
+--
+-- ref_changes (r18): the deletion feed is consumed as a CDC WINDOW —
+-- only rows appended since this operation last completed — so a build
+-- with no new deletions renders every statement against an empty feed
+-- and touches ZERO store files (no probe scans, no delete attachments,
+-- no compensation rows). The doc_lens EXISTS witness stays as the
+-- replay safety net: a crash-resumed window, a manual `run-operation`
+-- (which reads the whole feed), or a cursor reset (delete
+-- _graft_ops/gc_compact.cursors.json — the documented lever after a
+-- lookback re-ingest resurrects already-deleted rows) all compensate
+-- nothing twice.
+--
 -- __graft_batch mirrors the microbatch partition-value law exactly
 -- (date_trunc to the store's day batch_size, as Microbatch.stageOne
 -- writes it): a non-midnight event_ts must land its compensation rows
 -- in the SAME partition as the ingest rows they negate, or a
 -- lookback>0 re-ingest's partition clear would miss them and
 -- re-compensation would double-subtract df.
+INSERT INTO {{ ref('term_stats') }} (event_ts, term, df, __graft_batch)
 SELECT event_ts, term, -count(*) AS df,
        date_format(date_trunc('day', event_ts), "yyyy-MM-dd'T'HH") AS __graft_batch
 FROM (
   SELECT d.doc_id, d.event_ts,
          explode(array_distinct(CASE WHEN trim(d.text) = ''
            THEN array() ELSE split(trim(d.text), '\\s+') END)) AS term
-  FROM {{ ref('deletions') }} d
+  FROM {{ ref_changes('deletions') }} d
   WHERE EXISTS (SELECT 1 FROM {{ ref('doc_lens') }} l
                 WHERE l.doc_id = d.doc_id)
 )
@@ -28,12 +40,12 @@ GROUP BY event_ts, term
 ;;
 
 DELETE FROM {{ ref('postings') }}
-WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})
+WHERE doc_id IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
 
 ;;
 
 DELETE FROM {{ ref('doc_lens') }}
-WHERE doc_id IN (SELECT doc_id FROM {{ ref('deletions') }})
+WHERE doc_id IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
 
 ;;
 

@@ -17,6 +17,13 @@ import graft.core._
 object TemplateResolver {
 
   private val RefRe = raw"""\{\{\s*ref\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*\}\}""".r
+  // `{{ ref_changes('name') }}` (r18): a ref's rows ADDED since the
+  // consuming operation last completed — the CDC-subscription primitive
+  // that bounds scheduled store maintenance to O(new feed rows) instead
+  // of O(feed). Only operations resolve it (the Runner registers a
+  // version-windowed change-feed view per run); models reject it.
+  private val RefChangesRe =
+    raw"""\{\{\s*ref_changes\s*\(\s*'([^']+)'\s*\)\s*\}\}""".r
   // ref('model', v=2) — versioned ref (reference: versioned ref resolution,
   // core/dbt/context/providers.py:1110 ref with version kwarg). Encoded as
   // `name##version` through the name-based resolution path.
@@ -88,7 +95,13 @@ object TemplateResolver {
     * (reference: the static parser, core/dbt/parser/models.py:28,303-386). */
   def extractRefs(sql: String): Seq[String] =
     (RefRe.findAllMatchIn(sql).map(m => Option(m.group(2)).getOrElse(m.group(1))) ++
-      RefVerRe.findAllMatchIn(sql).map(m => s"${m.group(1)}##${m.group(2)}")).toSeq.distinct
+      RefVerRe.findAllMatchIn(sql).map(m => s"${m.group(1)}##${m.group(2)}") ++
+      RefChangesRe.findAllMatchIn(sql).map(_.group(1))).toSeq.distinct
+
+  /** The refs a snippet consumes as CHANGE FEEDS (ref_changes) — the
+    * Runner windows and registers these per operation run. */
+  def extractChangeRefs(sql: String): Seq[String] =
+    RefChangesRe.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
 
   def extractSources(sql: String): Seq[(String, String)] =
     SourceRe.findAllMatchIn(sql).map(m => (m.group(1), m.group(2))).toSeq.distinct
@@ -126,7 +139,13 @@ object TemplateResolver {
       thisRelation: String,
       vars: Map[String, String] = Map.empty,
       env: Map[String, String] = sys.env,
-      isIncremental: Boolean = false)
+      isIncremental: Boolean = false,
+      // ref_changes('x') -> the windowed change-feed view the Runner
+      // registered for this operation run; defaults to rejection (models
+      // and tests have no change-feed cursor to window against)
+      resolveRefChanges: String => String = n =>
+        throw new IllegalArgumentException(
+          s"ref_changes('$n') is only valid inside a scheduled operation"))
 
   /** Render a model's SQL against a resolution context. Unknown vars with
     * no default throw, mirroring dbt's compilation error. */
@@ -141,6 +160,8 @@ object TemplateResolver {
     }
     out = IncrRe.replaceAllIn(out, m =>
       if (ctx.isIncremental) java.util.regex.Matcher.quoteReplacement(m.group(1)) else "")
+    out = RefChangesRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(ctx.resolveRefChanges(m.group(1))))
     out = RefVerRe.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         ctx.resolveRef(s"${m.group(1)}##${m.group(2)}")))

@@ -1873,6 +1873,7 @@ object OpsQueries {
         build("2025-01-03T00:00:00Z")
         val p2 = rm.currentState(rel("postings")).get
         val t2 = rm.currentState(rel("term_stats")).get
+        val d2 = rm.currentState(rel("doc_lens")).get
         // O(deleted-rows) forgetting — NOT a rebuild: the stores are
         // merge-on-read (tblprops), so the GC DELETEs rewrite NO data
         // file, ever — every build-1 file survives build 2 verbatim and
@@ -1900,6 +1901,22 @@ object OpsQueries {
         build("2025-01-03T00:00:00Z")
         require(storeMass() == massBefore,
           s"catch-up build must not change store mass: $massBefore -> ${storeMass()}")
+        // r18 (VERDICT r17 #6): the operation consumes the deletion feed
+        // as a CDC WINDOW (ref_changes) — a no-new-deletions build
+        // renders every statement against an empty feed and touches ZERO
+        // store files: no new data files, no new delete attachments, no
+        // compensation rows, on any of the three stores
+        val p3 = rm.currentState(rel("postings")).get
+        val d3 = rm.currentState(rel("doc_lens")).get
+        val t3 = rm.currentState(rel("term_stats")).get
+        require(p3.files == p2.files && p3.deletes == p2.deletes &&
+            p3.deleteRows == p2.deleteRows,
+          "a no-new-deletions GC must not touch any posting-store file")
+        require(t3.files == t2.files,
+          "a no-new-deletions GC must append no compensation file")
+        require(d3.files == d2.files && d3.deletes == d2.deletes &&
+            d3.deleteRows == d2.deleteRows,
+          "a no-new-deletions GC must not touch any doc_lens file")
         // the Σdf == live-posting-rows invariant holds THROUGH GC —
         // every posting delete was paired with its negative df append
         graft.ops.Retrieval.requireFreshTermStats(rm,

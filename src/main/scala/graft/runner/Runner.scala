@@ -415,7 +415,13 @@ final class Runner(
       // the warehouse's V2 catalog name as a built-in var (r17): what a
       // maintenance statement needs to CALL the catalog's stored
       // procedures ({{ var('graft_catalog') }}.system.vacuum(...))
-      vars = vars + ("graft_catalog" -> rm.catalogName)))
+      vars = vars + ("graft_catalog" -> rm.catalogName),
+      // a MANUALLY-invoked operation (run-operation / hooks) has no
+      // change cursor to window against, so ref_changes degrades to the
+      // whole feed — over-processing a window the scheduled form already
+      // folded is a no-op under the witness law, and the manual run does
+      // NOT advance the scheduled cursor
+      resolveRefChanges = dmlNameFor))
 
   /** A ref target's DML-ABLE name: commit-log tables resolve through the
     * V2 catalog — the name `DELETE FROM` / `INSERT INTO` / `MERGE INTO`
@@ -480,17 +486,52 @@ final class Runner(
       case _ => throw new IllegalStateException(
         s"operation ${node.name} must be a SQL file")
     }
+    val priorRaw = rm.readOpJournal(node.name)
+    // run-start crash recovery probe: nothing to resume, nothing to pay
+    // (no input scan, no manifest reads)
+    if (resumeOnly && priorRaw.isEmpty) return (0, 0L)
+    val prior = priorRaw
+      .map(s => graft.core.Json.obj(graft.core.Json.parse(s)))
+    // ref_changes('x') windows (r18, VERDICT r17 #4): each change-fed ref
+    // gets a (fromVersion, toVersion] manifest-version window — from the
+    // node's cursor sidecar on a fresh run (advanced only at completion),
+    // from the JOURNAL on a resume (so a resumed run replays byte-
+    // identical change content regardless of what committed since). The
+    // registered view reads only the files ADDED inside the window, so a
+    // no-new-feed-rows build renders every statement against an empty
+    // feed: GC work is O(new deletions), not O(feed).
+    val changeRefs = TemplateResolver.extractChangeRefs(raw)
+    val cursors: Map[String, Long] = rm.readOpJournal(s"${node.name}.cursors")
+      .map(s => graft.core.Json.obj(graft.core.Json.parse(s))
+        .map { case (k, v) => k -> v.asInstanceOf[Long] })
+      .getOrElse(Map.empty)
+    val windows: Map[String, (Int, Int)] = prior.flatMap(_.get("changes")) match {
+      case Some(c) => graft.core.Json.obj(c).map { case (k, v) =>
+        val a = graft.core.Json.arr(v)
+        k -> ((a(0).asInstanceOf[Long].toInt, a(1).asInstanceOf[Long].toInt))
+      }
+      case None => changeRefs.map { n =>
+        val dep = manifest.byName(n).getOrElse(throw new NoSuchElementException(
+          s"operation ${node.name}: ref_changes names unknown ref '$n'"))
+        val to = rm.currentState(relationFor(dep)).map(_.version).getOrElse(0)
+        n -> ((cursors.getOrElse(n, 0L).toInt, to))
+      }.toMap
+    }
+    val changeViews: Map[String, String] = windows.map { case (n, (from, to)) =>
+      val dep = manifest.byName(n).get
+      val view = s"__graft_changes_${node.name}_$n"
+      rm.readChanges(relationFor(dep), from, to).createOrReplaceTempView(view)
+      n -> view
+    }
     val rendered = Runner.splitStatements(raw).iterator.map(_.trim).filter(_.nonEmpty)
       .map(stmt => TemplateResolver.render(stmt, TemplateResolver.Context(
         resolveRef = dmlNameFor,
         resolveSource = (s, t) => s"${s}_$t",
         thisRelation = "",
-        vars = vars + ("graft_catalog" -> rm.catalogName))))
+        vars = vars + ("graft_catalog" -> rm.catalogName),
+        resolveRefChanges = n => changeViews.getOrElse(n,
+          throw new NoSuchElementException(s"unwindowed ref_changes('$n')")))))
       .map(_.trim).filter(_.nonEmpty).toSeq // config-only fragment → empty
-    val priorRaw = rm.readOpJournal(node.name)
-    // run-start crash recovery probe: nothing to resume, nothing to pay
-    // (no input scan, no manifest reads)
-    if (resumeOnly && priorRaw.isEmpty) return (0, 0L)
     val refs = node.dependsOn.flatMap(manifest.get)
       .filter(d => NodeType.refable(d.nodeType) && !d.isEphemeral)
     // classify refs: a ref whose DML-able name follows a DML keyword in
@@ -511,19 +552,19 @@ final class Runner(
       md.digest().map("%02x".format(_)).mkString
     }
     val stmtsHash = sha(rendered.mkString("\n;;\n"))
-    // order-independent content hash of each pure input (CDC feeds are
-    // O(deletions)-small by design; the windowed form keeps them so).
-    // bit_xor, not sum: xor is order-independent like sum but cannot
-    // overflow under ANSI arithmetic
+    // order-independent content hash of each pure input. A change-fed
+    // ref hashes its WINDOWED view — O(new feed rows), which is the
+    // whole point of ref_changes; a plain input ref hashes the full
+    // table (CDC feeds are O(deletions)-small by design). bit_xor, not
+    // sum: xor is order-independent like sum but cannot overflow under
+    // ANSI arithmetic
     val inputHash = sha(inputs.sortBy(_.name).map { d =>
-      val df = spark.table(dmlNameFor(d.name))
+      val df = spark.table(changeViews.getOrElse(d.name, dmlNameFor(d.name)))
       val r = df.agg(
         coalesce(bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L)),
         count(lit(1))).collect()(0)
       s"${d.name}=${r.getLong(0)}/${r.getLong(1)}"
     }.mkString(","))
-    val prior = priorRaw
-      .map(s => graft.core.Json.obj(graft.core.Json.parse(s)))
     val (fp, start) = prior match {
       case Some(j)
         if graft.core.Json.str(j("stmts_hash")) == stmtsHash &&
@@ -557,6 +598,8 @@ final class Runner(
       s"""{"stmts_hash":${graft.core.Json.quote(stmtsHash)},""" +
         s""""input_hash":${graft.core.Json.quote(inputHash)},""" +
         s""""fingerprint":${graft.core.Json.quote(fp)},""" +
+        s""""changes":{${windows.toSeq.sortBy(_._1).map { case (n, (f, t)) =>
+          s"${graft.core.Json.quote(n)}:[$f,$t]" }.mkString(",")}},""" +
         s""""completed":$completed,"total":${rendered.size}}""")
     if (prior.isEmpty) record(0)
     var rows = 0L
@@ -570,6 +613,19 @@ final class Runner(
         record(i + 1)
         Runner.opBoundaryHook(node.name, i, "journaled")
       }
+      // advance the change cursors BEFORE the journal drops: a crash
+      // between the two re-runs a zero-statement resume, rewrites the
+      // same cursor values, and deletes the journal — idempotent. A
+      // cursor only ever advances when every statement that consumed its
+      // window has committed. (Deleting the cursors file replays the
+      // whole feed — the witness law makes the replay a no-op, which is
+      // the documented lever for lookback re-ingests that resurrect
+      // already-deleted rows.)
+      if (windows.nonEmpty) rm.writeOpJournal(s"${node.name}.cursors",
+        (cursors ++ windows.map { case (n, (_, t)) => n -> t.toLong })
+          .toSeq.sortBy(_._1)
+          .map { case (n, v) => s"${graft.core.Json.quote(n)}:$v" }
+          .mkString("{", ",", "}"))
       rm.deleteOpJournal(node.name)
     } finally {
       // ENGINE commits re-register a relation's session view ("a data
