@@ -254,5 +254,84 @@ object CurationIngest {
       ledger(deps("feed"), deps("dsir"), deps.get("this")))
     register("ci_audit")((_, deps) =>
       audit(deps("rules"), deps("scored"), deps("dsir"), deps("ledger")))
+
+    // ---- curation_gc natives (r18 — VERDICT r17 task 1): the DEDUP
+    // store families under deletion-driven GC, the symmetric completion
+    // of examples/retrieval_gc for the LARGEST stores in a real 100 TB
+    // curation pipeline. Three deletion disciplines, one per artifact
+    // kind: doc-owned store rows (fingerprints / sigs / band_index) →
+    // row-level MoR DELETE through the scheduled operation; additive
+    // counts (gram_counts) → negated fold (the counting-CRDT law); the
+    // order-statistic KMV sketch → REBUILT over survivors every build
+    // (non-invertible — a min-k set cannot un-see a deleted doc's
+    // hashes). See examples/curation_gc. ----
+    register("cgc_fingerprints") { (_, deps) =>
+      Dedup.fingerprintStore(deps("feed"), "doc_id", "text")
+        .join(deps("feed").select("doc_id", "event_ts"), Seq("doc_id"))
+    }
+    register("cgc_sigs") { (_, deps) =>
+      Dedup.minhashSignatures(deps("feed"), "doc_id", "text",
+          shingleLen = 5, k = 32)
+        .join(deps("feed").select(col("doc_id").as("doc"), col("event_ts")),
+          Seq("doc"))
+    }
+    // per-batch band slices from the batch's OWN signature rows (the
+    // sigs ref is event-time-windowed), so index maintenance is
+    // O(batch); the band-bucketed layout (project conf) is what makes
+    // doc-keyed copy-on-write GC O(store) — and merge-on-read the
+    // production mode (SCALE.md r17, the term-bucket twin)
+    register("cgc_band_index") { (_, deps) =>
+      Dedup.bandIndex(deps("sigs"), "doc", "sig")
+        .join(deps("sigs").select("doc", "event_ts"), Seq("doc"))
+    }
+    // additive token-occurrence counts — deliberately NOT distinct (a
+    // count artifact, not a df artifact): the GC operation's negative
+    // append mirrors this exact law, statement-for-statement
+    register("cgc_gram_counts") { (_, deps) =>
+      deps("feed").select(col("event_ts"),
+          explode(when(trim(col("text")) === "",
+              array().cast("array<string>"))
+            .otherwise(split(trim(col("text")), "\\s+"))).as("gram"))
+        .groupBy("event_ts", "gram").agg(count(lit(1)).as("cnt"))
+    }
+    // the non-invertibility boundary made executable: the KMV ndv
+    // artifact rebuilds over the SURVIVORS the compacted fingerprint
+    // store names — O(survivors) per build, the documented cost of
+    // order-statistic sketches vs the negated fold's O(deletions)
+    register("cgc_kmv") { (_, deps) =>
+      CorpusStats.kmvNdvBy(
+        deps("feed")
+          .join(deps("fingerprints").select("doc_id"), Seq("doc_id"),
+            "left_semi")
+          .withColumn("corpus", lit("all")),
+        "corpus", "text", k = 64)
+    }
+    // serving over the compacted stores: every 37th document's text
+    // re-submitted as a probe — known_exact probes the fingerprint
+    // store, the near columns probe band_index + sigs through the
+    // library's own from-index ingest op. A deleted document's
+    // re-submitted text is UNKNOWN to the store (the gate's forgetting
+    // receipt); the whole report must equal a survivor-rebuild oracle.
+    register("cgc_dup_report") { (_, deps) =>
+      val probes = deps("feed").filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      val pairs = Dedup.minhashIncrementalFromIndex(
+        probes, "probe_id", "text",
+        deps("band_index").select("band", "doc", "index_bands", "index_k"),
+        deps("sigs").select("doc", "sig"), "doc", "sig")
+      val near = pairs.filter(col("corpus_doc") =!= col("doc"))
+        .groupBy(col("doc").as("probe_id"))
+        .agg(count(lit(1)).as("n_near"),
+          max(col("est_jaccard")).as("best_jaccard"))
+      probes.withColumn("h", md5(col("text")))
+        .join(deps("fingerprints").select("h").distinct()
+          .withColumn("__known", lit(true)), Seq("h"), "left")
+        .select(col("probe_id"),
+          coalesce(col("__known"), lit(false)).as("known_exact"))
+        .join(near, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("known_exact"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+    }
   }
 }

@@ -1939,6 +1939,121 @@ object OpsQueries {
       }
     }),
 
+    // r18 (VERDICT r17 task 1): deletion-driven DEDUP-STORE GC through
+    // the engine DAG — the symmetric completion of q_retrieval_project_gc
+    // for the largest stores in a real 100 TB curation pipeline. The
+    // checked-in examples/curation_gc project maintains four dedup
+    // artifacts under microbatch ingest (fingerprints, sigs, the
+    // band-bucketed LSH index, additive gram counts) plus a KMV sketch;
+    // the gc_compact operation folds a CDC deletion feed out via one
+    // discipline per artifact kind: negative append for the additive
+    // counts (witnessed by the fingerprint store, deleted last),
+    // row-level merge-on-read DELETEs for the doc-owned store rows,
+    // in-DAG vacuum for reclaim — while the non-invertible KMV rebuilds
+    // over survivors (`after: gc_compact`). Three real CLI builds (two
+    // generations + a catch-up); the gate row is the dup_report serving
+    // table (probes re-submitting every 37th document's text against the
+    // compacted stores) vs a DuckDB survivor-rebuild oracle; commit-log
+    // receipts prove appends + positional deletes only, the Σcnt ==
+    // survivor-token-mass counting-CRDT invariant, store-driven KMV ==
+    // direct survivor rebuild, and that the catch-up build's GC (an
+    // empty ref_changes window) touches zero store files.
+    "q_curation_project_gc" -> ((s, d) => {
+      val proj = stageProject("examples/curation_gc", d)
+      val nanosWas = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        def build(runEnd: String): Unit = {
+          val code = graft.Main.execute(s, graft.Main.Args(
+            command = "build", project = proj,
+            vars = Map("run_end" -> runEnd)), sink)
+          require(code == 0,
+            s"graft build (run_end=$runEnd) of the curation GC project exited $code")
+        }
+        val rm = new graft.relations.RelationManager(s, s"$proj/target/warehouse")
+        def rel(n: String) = graft.core.Relation("graft", "main", n)
+        build("2025-01-02T00:00:00Z")
+        val b1 = rm.currentState(rel("band_index")).get
+        require(b1.buckets == 8 && b1.bucketBy == Seq("band"),
+          s"band layout must be declared at bootstrap: ${b1.bucketBy}/${b1.buckets}")
+        require(b1.files.nonEmpty && b1.files.forall(_.contains("/_bucket=")),
+          "every band-index file must route through the bucket layout")
+        build("2025-01-03T00:00:00Z")
+        val b2 = rm.currentState(rel("band_index")).get
+        val f2 = rm.currentState(rel("fingerprints")).get
+        val g2 = rm.currentState(rel("gram_counts")).get
+        val s2 = rm.currentState(rel("sigs")).get
+        // O(deleted-rows) forgetting, never a rebuild: merge-on-read
+        // DELETEs rewrite NO data file — every build-1 file survives
+        // build 2 verbatim, departures live as positional attachments
+        require(b1.files.forall(b2.files.toSet),
+          "build 2 must not rewrite band-index data files")
+        require(b2.deletes.nonEmpty && f2.deletes.nonEmpty && s2.deletes.nonEmpty,
+          "MoR GC must leave positional delete attachments on the stores")
+        require(b2.props.get("row_level_mode").contains("merge-on-read"),
+          "declared tblprops must be live on the committed band index")
+        // the additive artifact only ever APPENDS (ingest partitions +
+        // negative compensation rows)
+        require(g2.deletes.isEmpty && g2.files.nonEmpty,
+          "gram_counts must advance by pure appends")
+        // microbatch checkpoints survived the DML — deltas, not rebuilds
+        require(rm.readCheckpoint(rel("band_index"))
+          .contains(java.time.Instant.parse("2025-01-03T00:00:00Z")),
+          "band-index checkpoint must survive GC")
+        // catch-up build: the ref_changes window is empty — zero store
+        // files touched on every GC'd store
+        build("2025-01-03T00:00:00Z")
+        val b3 = rm.currentState(rel("band_index")).get
+        val f3 = rm.currentState(rel("fingerprints")).get
+        val g3 = rm.currentState(rel("gram_counts")).get
+        val s3 = rm.currentState(rel("sigs")).get
+        require(b3.files == b2.files && b3.deletes == b2.deletes &&
+            b3.deleteRows == b2.deleteRows,
+          "a no-new-deletions GC must not touch any band-index file")
+        require(f3.files == f2.files && f3.deletes == f2.deletes &&
+            f3.deleteRows == f2.deleteRows,
+          "a no-new-deletions GC must not touch any fingerprint file")
+        require(s3.files == s2.files && s3.deletes == s2.deletes &&
+            s3.deleteRows == s2.deleteRows,
+          "a no-new-deletions GC must not touch any signature file")
+        require(g3.files == g2.files,
+          "a no-new-deletions GC must append no compensation file")
+        // counting-CRDT invariant THROUGH GC: Σcnt over the additive
+        // artifact == the survivors' total token occurrences
+        val gramSum = rm.read(rel("gram_counts"))
+          .agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+        val survivors = graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 4 =!= 1)
+        val survTokens = survivors.select(
+          explode(when(trim(col("text")) === "",
+              array().cast("array<string>"))
+            .otherwise(split(trim(col("text")), "\\s+"))).as("g")).count()
+        require(gramSum == survTokens,
+          s"gram_counts is stale vs survivors: sum(cnt)=$gramSum, live=$survTokens")
+        // non-invertibility boundary: the store-driven KMV rebuild must
+        // equal a direct rebuild over the survivor documents
+        val kmvStore = rm.read(rel("kmv_ndv")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val kmvDirect = graft.ops.CorpusStats.kmvNdvBy(
+            survivors.withColumn("corpus", lit("all")), "corpus", "text", 64)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        require(kmvStore == kmvDirect,
+          s"KMV must rebuild over survivors: $kmvStore vs $kmvDirect")
+        // storage reclaim composed in-DAG: vacuum truncated old versions
+        require(rm.history(rel("band_index"), limit = 10).size <= 2 &&
+            rm.history(rel("fingerprints"), limit = 10).size <= 2,
+          "gc_compact's vacuum must have truncated old store versions")
+        rm.read(rel("dup_report")).orderBy("probe_id").localCheckpoint(true)
+      } finally {
+        graft.Tables.names.foreach(n => s.catalog.dropTempView(s"corpus_$n"))
+        nanosWas match {
+          case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None    => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+        deleteDir(proj)
+      }
+    }),
+
     // the attrition ledger of v6: docs entering / surviving each stage
     // in recipe order — the table every public curation paper prints
     "q_curation_pipeline_v6_stats" -> ((s, d) => {
@@ -3247,6 +3362,61 @@ object OpsQueries {
     // r17: the same survivor-rebuild serving law, with the deletion
     // running as a SCHEDULED DAG operation inside examples/retrieval_gc
     "q_retrieval_project_gc" -> retrievalCompactOracleSql,
+
+    // survivor-rebuild oracle for the dedup-store GC project: rebuild
+    // the fingerprint/signature/band stores from the surviving docs
+    // (¬ ≡1 mod 4) and replay the probe report — the engine's GC'd
+    // stores must serve identically
+    "q_curation_project_gc" ->
+      s"""WITH surv AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+         |probes AS MATERIALIZED (
+         |  SELECT doc_id AS probe_id, text FROM documents WHERE doc_id % 37 = 0),
+         |hs AS MATERIALIZED (
+         |  SELECT DISTINCT md5(text) AS h FROM surv WHERE text IS NOT NULL),
+         |sh_s AS MATERIALIZED (
+         |  SELECT doc_id AS doc, $charShinglesSql AS shs FROM surv),
+         |sig_s AS MATERIALIZED (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh_s),
+         |sh_p AS MATERIALIZED (
+         |  SELECT probe_id AS doc, $charShinglesSql AS shs FROM probes),
+         |sig_p AS MATERIALIZED (
+         |  SELECT doc, list_transform(generate_series(0, 31), i ->
+         |    CASE WHEN len(shs) = 0 THEN 2147483647
+         |         ELSE list_min(list_transform(shs, h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647))
+         |    END) AS sig
+         |  FROM sh_p),
+         |band_s AS MATERIALIZED (
+         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig_s),
+         |band_p AS MATERIALIZED (
+         |  SELECT doc, unnest(list_transform(generate_series(0, 7), b ->
+         |    md5(b::VARCHAR || '_' || array_to_string(list_slice(sig, b*4+1, b*4+4), '_')))) AS band
+         |  FROM sig_p),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT p.doc AS probe_id, s.doc AS corpus_doc
+         |  FROM band_p p JOIN band_s s USING (band) WHERE s.doc <> p.doc),
+         |near AS MATERIALIZED (
+         |  SELECT probe_id, COUNT(*) AS n_near, MAX(est) AS best
+         |  FROM (
+         |    SELECT c.probe_id, c.corpus_doc,
+         |      len(list_filter(generate_series(1, 32), i -> sp.sig[i] = ss.sig[i])) / 32.0 AS est
+         |    FROM cand c
+         |    JOIN sig_p sp ON c.probe_id = sp.doc
+         |    JOIN sig_s ss ON c.corpus_doc = ss.doc) t
+         |  WHERE est >= 0.5
+         |  GROUP BY probe_id)
+         |SELECT p.probe_id,
+         |  COALESCE(md5(p.text) IN (SELECT h FROM hs), false) AS known_exact,
+         |  COALESCE(n.n_near, 0::BIGINT) AS n_near,
+         |  COALESCE(n.best, 0.0) AS best_jaccard
+         |FROM probes p LEFT JOIN near n USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin,
     // r17: regime-2 (storage-partitioned) serving through the project —
     // only the join plan moves, the law is the shared BM25 one
     "q_retrieval_project_regime2" -> bm25TopkOracleSql,
