@@ -33,6 +33,15 @@ import org.apache.spark.sql.types._
   */
 object Retrieval {
 
+  /** df/N above which a query term counts as a Zipf HEAD for the
+    * regime-2 runtime guard in [[bm25TopK]] (r18): the SCALE.md r17
+    * probe's planted stopword sat at ~100% df and straggled a
+    * term-bucketed storage-partitioned join 1.8× on wall; real stopword
+    * heads ("the", "of") sit well above a quarter of the corpus, while
+    * legitimate content terms sit orders of magnitude below — 0.25
+    * separates the two with a wide margin on either side. */
+  val ZipfHeadFraction = 0.25
+
   /** Posting rows `(term, doc_id, tf, dl)` — one row per distinct
     * (term, document) pair with the term frequency and the document's
     * token length (denormalized onto the posting row, the Lucene-norms
@@ -107,7 +116,8 @@ object Retrieval {
                k: Int, k1: Double = 1.2, b: Double = 0.75,
                maxDfFraction: Double = 1.0,
                strategy: String = "broadcast",
-               precomputedTermStats: Option[DataFrame] = None): DataFrame = {
+               precomputedTermStats: Option[DataFrame] = None,
+               acceptSkew: Boolean = false): DataFrame = {
     // Declared join regime for the query side (the lmSelectIngest
     // convention): "broadcast" pins the few-queries serving shape (the
     // term set and per-(query, term) rows ship to the postings);
@@ -128,7 +138,11 @@ object Retrieval {
     // 4 s / 49 CPU. Zipf-headed corpora served regime-2 from a
     // term-bucketed store MUST set maxDfFraction (or pre-strip
     // stopwords); the hazard is latency-shaped only — CPU stays below
-    // the unbucketed twin either way.
+    // the unbucketed twin either way. Since r18 the contract has
+    // RUNTIME TEETH: with the stats artifact supplied and no elision
+    // knob set, a shuffle-strategy serve fails loud (in-plan, O(query
+    // terms)) on any query term with df > ZipfHeadFraction·N unless
+    // acceptSkew = true.
     val side: DataFrame => DataFrame = strategy match {
       case "broadcast" => broadcast
       case "shuffle" => identity
@@ -165,7 +179,37 @@ object Retrieval {
         // (a stale artifact silently shifts idf — fold them together).
         val dfq = ts.join(side(qTerms.select("term").distinct()), "term")
           .groupBy("term").agg(sum(col("df")).as("df"))
-        postings.join(side(elide(dfq)), "term")
+        // RUNTIME TEETH for the deployment contract above (r18 — VERDICT
+        // r17 #2): under the shuffle regime the contract used to live in
+        // scaladoc only — an uninformed deployment with a Zipf head paid
+        // the measured straggler silently. With the stats artifact in
+        // hand, a df head is detectable from the query terms' own rows —
+        // O(query terms), and IN-PLAN (the engine's lazy-guard
+        // discipline: per-row when/raise_error, zero extra jobs at
+        // construction, fires at execution on the first offending term).
+        // Elision (any maxDfFraction < the guard threshold) or an
+        // explicit acceptSkew=true disarms it.
+        val guarded =
+          if (strategy != "shuffle" || acceptSkew ||
+              maxDfFraction < 1.0) dfq // an explicit elision knob = contract read
+          else dfq.crossJoin(broadcast(stats))
+            .select(col("term"),
+              when(col("df").cast(DoubleType) <=
+                  lit(ZipfHeadFraction) * col("__n"), col("df"))
+                .otherwise(raise_error(concat(
+                  lit("BM25 regime-2 Zipf head: query term '"), col("term"),
+                  lit("' has df="), col("df").cast(StringType),
+                  lit(" of N="), col("__n").cast(org.apache.spark.sql.types.LongType)
+                    .cast(StringType),
+                  lit(s" docs (> ${(ZipfHeadFraction * 100).toInt}% of the " +
+                    "corpus). Under strategy=\"shuffle\" a term-bucketed " +
+                    "store pins this term's whole posting bucket to ONE " +
+                    "task (a measured straggler — SCALE.md r17; AQE cannot " +
+                    "split a KeyGrouped partition). Set maxDfFraction to " +
+                    "elide saturated terms (the measured lever), or pass " +
+                    "acceptSkew = true to serve it anyway."))))
+                .as("df"))
+        postings.join(side(elide(guarded)), "term")
       case None =>
         // Self-contained form: df computed from the touched slice. The
         // slice feeds TWO consumers (the df aggregate and the contrib
@@ -528,7 +572,14 @@ object Retrieval {
         deps("queries"), "query_id", "qtext", k = 10,
         strategy = "shuffle",
         precomputedTermStats =
-          deps.get("term_stats").map(_.select("term", "df"))))
+          deps.get("term_stats").map(_.select("term", "df")),
+        // the gate fixture's closed per-group vocabulary puts common
+        // terms above the Zipf-head threshold by construction; eliding
+        // them would change the scoring law the shared oracle replays,
+        // and at gate scale the bucket pinning is not a straggler — the
+        // documented opt-in, deliberately exercised here (the guard's
+        // own spec covers the fail-loud path)
+        acceptSkew = true))
 
     // --- the GC project's stage fns (r17 — VERDICT task 1): the
     // deletion-driven counterpart of examples/retrieval_incremental.

@@ -1802,7 +1802,8 @@ object OpsQueries {
           rm.read(rel("queries")), "query_id", "qtext", k = 10,
           strategy = "shuffle",
           precomputedTermStats =
-            Some(rm.read(rel("term_stats")).select("term", "df")))
+            Some(rm.read(rel("term_stats")).select("term", "df")),
+          acceptSkew = true) // gate-scale fixture: see ri_bm25_top10_shuffle
         servePlanDf.collect()
         val plan = servePlanDf.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)

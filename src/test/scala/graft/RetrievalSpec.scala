@@ -240,6 +240,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(eNone.getMessage.contains("not a commit-log table"), eNone.getMessage)
   }
 
+  test("regime-2 Zipf guard: a df head fails loud under shuffle strategy; elision/acceptSkew disarm; zero construction jobs (r18)") {
+    import spark.implicits._
+    // planted Zipf head: "the" in EVERY doc (df = N), content terms rare
+    val docs = (0L until 40L).map(i => (i, s"the w$i x$i")).toDF("id", "text")
+    val postings = Retrieval.postingIndex(docs, "id", "text")
+    val docLens = Retrieval.docLengths(docs, "id", "text")
+    val stats = Retrieval.termStats(docs, "text")
+    val queries = Seq((1L, "the w3")).toDF("query_id", "qtext")
+    def serve(maxDf: Double = 1.0, strat: String = "shuffle",
+              skew: Boolean = false) =
+      Retrieval.bm25TopK(postings, docLens, queries, "query_id", "qtext",
+        k = 5, maxDfFraction = maxDf, strategy = strat,
+        precomputedTermStats = Some(stats), acceptSkew = skew)
+    // knob-off shuffle serve: the guard is IN-PLAN — construction fires
+    // zero jobs, execution fails loud on the head term
+    val guarded = ConstructionJobProbe.assertNoConstructionJobs(
+      spark, "zipf-guard")(serve())
+    val e = intercept[Exception](guarded.collect())
+    assert(e.getMessage.contains("Zipf head") &&
+      e.getMessage.contains("maxDfFraction"), e.getMessage)
+    // each documented disarm path serves: elision (the measured lever),
+    // the explicit opt-in, and the broadcast regime (no bucket pinning)
+    assert(serve(maxDf = 0.3).count() > 0)
+    assert(serve(skew = true).count() > 0)
+    assert(serve(strat = "broadcast").count() > 0)
+    // elision and the opt-in agree on non-head terms: same rows for w3
+    val a = serve(maxDf = 0.3).filter(col("doc_id") === 3L).collect()
+    val b = serve(skew = true).filter(col("doc_id") === 3L)
+      .collect()
+    assert(a.nonEmpty && a.map(_.getLong(2)).toSet == b.map(_.getLong(2)).toSet)
+  }
+
   test("requireFreshTermStats: a stats-less manifest fails loud; allowScan opts in to the O(store) count (r18)") {
     import java.nio.file.Files
     val whDir = Files.createTempDirectory("graft_rfts_scan").toString
