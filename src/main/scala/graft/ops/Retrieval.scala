@@ -442,19 +442,7 @@ object Retrieval {
     val st = rm.currentState(postingsRel).getOrElse(
       throw new IllegalArgumentException(
         s"requireFreshTermStats: ${postingsRel.render} is not a commit-log table"))
-    val perFile = st.files.map(f =>
-      st.stats.get(f).flatMap(_.values.headOption).map(_.rows))
-    val postingRows =
-      if (perFile.nonEmpty && perFile.forall(_.isDefined))
-        perFile.flatten.sum - st.deleteRows.values.sum
-      else if (st.files.isEmpty) 0L
-      else if (allowScan) rm.read(postingsRel).count() // opted-in exact scan
-      else throw new IllegalStateException(
-        s"requireFreshTermStats: ${postingsRel.render}'s manifest lacks " +
-          "per-file row stats, so the O(manifest) live-row count is " +
-          "unavailable — the fallback is one O(store) counting scan PER " +
-          "SERVING BUILD. Pass allowScan = true to accept that cost, or " +
-          "rewrite the store with stats collection enabled.")
+    val postingRows = livePostingRows(rm, postingsRel, st, allowScan)
     require(sumDf == postingRows,
       s"term-stats artifact ${statsRel.render} is STALE vs posting store " +
         s"${postingsRel.render}: sum(df) = $sumDf but the store holds " +
@@ -462,6 +450,74 @@ object Retrieval {
         "distinct (term, doc) pair is one posting row and one df unit). " +
         "Serving from this artifact would silently shift idf; re-fold the " +
         "stats store from the same batches as the postings.")
+  }
+
+  /** Live row count of a posting-store version from its manifest alone:
+    * per-file row stats minus merge-on-read dead rows — O(manifest). */
+  private def livePostingRows(rm: graft.relations.RelationManager,
+                              postingsRel: graft.core.Relation,
+                              st: graft.relations.TableVersion,
+                              allowScan: Boolean): Long = {
+    val perFile = st.files.map(f =>
+      st.stats.get(f).flatMap(_.values.headOption).map(_.rows))
+    if (perFile.nonEmpty && perFile.forall(_.isDefined))
+      perFile.flatten.sum - st.deleteRows.values.sum
+    else if (st.files.isEmpty) 0L
+    else if (allowScan) rm.read(postingsRel).count() // opted-in exact scan
+    else throw new IllegalStateException(
+      s"requireFreshTermStats: ${postingsRel.render}'s manifest lacks " +
+        "per-file row stats, so the O(manifest) live-row count is " +
+        "unavailable — the fallback is one O(store) counting scan PER " +
+        "SERVING BUILD. Pass allowScan = true to accept that cost, or " +
+        "rewrite the store with stats collection enabled.")
+  }
+
+  /** Serving-side CROSS-STORE SNAPSHOT PIN (r18 — VERDICT r17 #5): one
+    * consistent cut across the posting / doc-length / term-stats stores,
+    * the Σdf == live-posting-rows invariant verified ON THE CUT, and
+    * version-pinned readers back. Each store is individually
+    * snapshot-isolated, but a serving query that resolves each at its
+    * own time can interleave with a concurrent GC commit and compose
+    * MIXED store generations — post-GC postings against pre-GC stats
+    * silently shifts idf (the r17 stale-view bug class, one level down
+    * at the storage layer). [[graft.relations.RelationManager
+    * .snapshotVersions]]'s double-capture cut removes the interleaving;
+    * a cut can still legitimately land INSIDE a mid-flight GC operation
+    * (after the compensating append, before the paired deletes) —
+    * point-in-time real but serving-inconsistent — so the invariant
+    * check IS the isolation layer: an intra-operation cut fails it and
+    * retries (GC statements commit in seconds; maxAttempts bounds the
+    * wait). Cost per attempt: one vocabulary-sized stats scan + O(manifest)
+    * metadata — no index scan. The returned frames keep their plan
+    * properties through the pin (bucketed versions route through the V2
+    * connector, so the regime-2 storage-partitioned join survives;
+    * merge-on-read versions anti-merge their pinned delete attachments). */
+  def pinnedBm25Stores(rm: graft.relations.RelationManager,
+                       postingsRel: graft.core.Relation,
+                       docLensRel: graft.core.Relation,
+                       statsRel: graft.core.Relation,
+                       maxAttempts: Int = 5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cut = rm.snapshotVersions(Seq(postingsRel, docLensRel, statsRel))
+      val stats = rm.readPinned(statsRel, cut(statsRel))
+      val sumDf = stats.agg(coalesce(sum(col("df")), lit(0L)).as("s"))
+        .collect()(0).getLong(0)
+      val st = rm.readVersion(postingsRel, cut(postingsRel))
+      if (sumDf == livePostingRows(rm, postingsRel, st, allowScan = false))
+        return (rm.readPinned(postingsRel, cut(postingsRel)),
+          rm.readPinned(docLensRel, cut(docLensRel)),
+          stats)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"pinnedBm25Stores: no serving-consistent cut across " +
+        s"${postingsRel.render}/${docLensRel.render}/${statsRel.render} " +
+        s"after $maxAttempts attempts — every captured cut fell inside a " +
+        "mid-flight maintenance operation (Σdf != live posting rows). If " +
+        "no GC is running, the stats artifact is genuinely stale: see " +
+        "requireFreshTermStats.")
   }
 
   /** The gate family's shared query law — documents with id ≡ 0 (mod

@@ -240,6 +240,66 @@ class RetrievalSpec extends AnyFunSuite {
     assert(eNone.getMessage.contains("not a commit-log table"), eNone.getMessage)
   }
 
+  test("cross-store snapshot pin: a concurrent GC no longer changes pinned serving; an intra-operation cut fails loud (r18)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val whDir = Files.createTempDirectory("graft_pin").toString
+    val rm = new graft.relations.RelationManager(spark, whDir)
+    def rel(n: String) = graft.core.Relation("graft", "main", n)
+    val (postRel, dlRel, tsRel) = (rel("pin_postings"), rel("pin_doc_lens"), rel("pin_stats"))
+    val docs = (0L until 24L).map(i => (i, s"w${i % 6} w${i % 4} u$i"))
+      .toDF("id", "text")
+    rm.writeBucketedTable(Retrieval.postingIndex(docs, "id", "text"),
+      postRel, 4, Seq("term"))
+    rm.setTableProperties(postRel, Map("row_level_mode" -> "merge-on-read"))
+    rm.writeTable(Retrieval.docLengths(docs, "id", "text"), dlRel,
+      statsCols = Seq("doc_id"))
+    rm.setTableProperties(dlRel, Map("row_level_mode" -> "merge-on-read"))
+    rm.writeTable(Retrieval.termStats(docs, "text"), tsRel)
+    val queries = Seq((1L, "w1 w2"), (2L, "w3 u7")).toDF("query_id", "qtext")
+    def serve(p: DataFrame, dl: DataFrame, ts: DataFrame): Seq[String] =
+      Retrieval.bm25TopK(p.select("term", "doc_id", "tf", "dl"),
+        dl.select("doc_id", "dl"), queries, "query_id", "qtext", k = 8,
+        precomputedTermStats = Some(ts.select("term", "df")))
+        .orderBy("query_id", "rank").collect().toSeq.map(_.toString)
+    val before = serve(rm.read(postRel), rm.read(dlRel), rm.read(tsRel))
+    // PIN first, then a GC commits between the pin and the query run
+    val (pp, pdl, pts) = Retrieval.pinnedBm25Stores(rm, postRel, dlRel, tsRel)
+    def gcWave(pred: Long => Boolean): Unit = {
+      val doomed = (0L until 24L).filter(pred)
+      rm.appendTable(
+        Retrieval.termStats(docs.filter(col("id").isin(doomed: _*)), "text")
+          .select(col("term"), (-col("df")).as("df")), tsRel)
+      spark.sql(s"DELETE FROM ${rm.catalogName}.main.pin_postings " +
+        s"WHERE doc_id IN (${doomed.mkString(",")})")
+      spark.sql(s"DELETE FROM ${rm.catalogName}.main.pin_doc_lens " +
+        s"WHERE doc_id IN (${doomed.mkString(",")})")
+    }
+    gcWave(_ % 4 == 1)
+    // the pinned composition still serves the PRE-GC generation — the
+    // concurrent GC cannot shift idf/N mid-query
+    assert(serve(pp, pdl, pts) == before,
+      "pinned serving must be immune to the concurrent GC")
+    // an un-pinned serve legitimately sees the post-GC generation
+    val after = serve(rm.read(postRel), rm.read(dlRel), rm.read(tsRel))
+    assert(after != before, "precondition: the GC changed serving output")
+    // a FRESH pin serves the new consistent cut
+    val (p2, d2, t2) = Retrieval.pinnedBm25Stores(rm, postRel, dlRel, tsRel)
+    assert(serve(p2, d2, t2) == after)
+    // an INTRA-OPERATION state — compensating append committed, paired
+    // posting delete not yet — is point-in-time real but serving-
+    // inconsistent: the pin must fail loud, never compose mixed stats
+    rm.appendTable(
+      Retrieval.termStats(docs.filter(col("id") === 0L), "text")
+        .select(col("term"), (-col("df")).as("df")), tsRel)
+    val e = intercept[IllegalStateException](
+      Retrieval.pinnedBm25Stores(rm, postRel, dlRel, tsRel, maxAttempts = 2))
+    assert(e.getMessage.contains("mid-flight"), e.getMessage)
+    // completing the pair restores pinnability
+    spark.sql(s"DELETE FROM ${rm.catalogName}.main.pin_postings WHERE doc_id = 0")
+    Retrieval.pinnedBm25Stores(rm, postRel, dlRel, tsRel)
+  }
+
   test("regime-2 Zipf guard: a df head fails loud under shuffle strategy; elision/acceptSkew disarm; zero construction jobs (r18)") {
     import spark.implicits._
     // planted Zipf head: "the" in EVERY doc (df = N), content terms rare
