@@ -130,6 +130,16 @@ object Bench {
     * bench's convention. */
   val retrievalStats: Seq[String] = Seq("q_retrieval_bm25_stats")
 
+  /** Eleventh tracked metric (r18 — VERDICT r17 #9): BM25 serving over a
+    * DELETE-FILE-CARRYING merge-on-read store — the anti-merge read path
+    * every GC'd store serves through (~10-17% serve-side CPU, SCALE.md
+    * r17) finally gets its own trend line; a regression there was
+    * invisible to every other key (they serve clean stores). The gate's
+    * store build + GC DML are attributed to the `phases` build split, so
+    * the comparable number is the serve side. Separate key, same
+    * rationale: earlier metrics stay byte-stable for trends. */
+  val morServe: Seq[String] = Seq("q_retrieval_compact_mor")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -310,7 +320,8 @@ object Bench {
           "selection_total" -> selection, "pipeline_total" -> pipeline,
           "multimodal_total" -> multimodal, "project_total" -> project,
           "ingest_total" -> ingest, "retrieval_total" -> retrieval,
-          "retrieval_stats_total" -> retrievalStats)
+          "retrieval_stats_total" -> retrievalStats,
+          "mor_serve_total" -> morServe)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
@@ -320,7 +331,8 @@ object Bench {
           "project_total" -> project.filter(o),
           "ingest_total" -> ingest.filter(o),
           "retrieval_total" -> retrieval.filter(o),
-          "retrieval_stats_total" -> retrievalStats.filter(o)).filter(_._2.nonEmpty)
+          "retrieval_stats_total" -> retrievalStats.filter(o),
+          "mor_serve_total" -> morServe.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

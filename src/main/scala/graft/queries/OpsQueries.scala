@@ -500,21 +500,29 @@ object OpsQueries {
       try {
         val postRel = graft.core.Relation("graft", "main", "postings_mor")
         val dlRel = graft.core.Relation("graft", "main", "doc_lens_mor")
-        rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
-          postRel, 8, Seq("term"))
-        rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
-        Seq(postRel, dlRel).foreach(r => rm.setTableProperties(r,
-          Map("row_level_mode" -> "merge-on-read",
-            "delete_compaction" -> "false")))
-        val before = rm.currentState(postRel).get.files.toSet
-        val cat = rm.catalogName
-        s.sql(s"DELETE FROM $cat.main.postings_mor WHERE doc_id % 4 = 1")
-        s.sql(s"DELETE FROM $cat.main.doc_lens_mor WHERE doc_id % 4 = 1")
-        val ps = rm.currentState(postRel).get
-        require(ps.files.toSet == before,
-          "MoR GC must rewrite no posting data file")
-        require(ps.deletes.nonEmpty,
-          "MoR GC must attach positional delete files")
+        // store build + GC DML are the BUILD phase (r18 — VERDICT r17
+        // #9): the bench's mor_serve_total key watches the anti-merge
+        // SERVING path over a delete-file-carrying store; the phases
+        // sidecar splits the store setup out so a regression in the
+        // serve-side anti-merge (~10-17% CPU, SCALE.md r17) is visible
+        // on its own axis
+        GatePhases.build("q_retrieval_compact_mor") {
+          rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+            postRel, 8, Seq("term"))
+          rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+          Seq(postRel, dlRel).foreach(r => rm.setTableProperties(r,
+            Map("row_level_mode" -> "merge-on-read",
+              "delete_compaction" -> "false")))
+          val before = rm.currentState(postRel).get.files.toSet
+          val cat = rm.catalogName
+          s.sql(s"DELETE FROM $cat.main.postings_mor WHERE doc_id % 4 = 1")
+          s.sql(s"DELETE FROM $cat.main.doc_lens_mor WHERE doc_id % 4 = 1")
+          val ps = rm.currentState(postRel).get
+          require(ps.files.toSet == before,
+            "MoR GC must rewrite no posting data file")
+          require(ps.deletes.nonEmpty,
+            "MoR GC must attach positional delete files")
+        }
         val queries = Retrieval.prefixQueries(
           docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text",
           modulo = 37, prefixTokens = 6)
