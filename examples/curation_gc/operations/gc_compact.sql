@@ -17,13 +17,17 @@
 INSERT INTO {{ ref('gram_counts') }} (event_ts, gram, cnt, __graft_batch)
 SELECT event_ts, gram, -count(*) AS cnt,
        date_format(date_trunc('day', event_ts), "yyyy-MM-dd'T'HH") AS __graft_batch
+-- witness shape (r18, probe-measured): INNER join against the
+-- unique-keyed fingerprint store (one row per doc — identical
+-- semantics to EXISTS) with the O(new deletions) window BROADCAST; an
+-- EXISTS would pin the corpus-sized store as the semi-join build side
+-- and shuffle O(corpus) beyond the broadcast threshold (SCALE.md r18).
 FROM (
-  SELECT d.doc_id, d.event_ts,
+  SELECT /*+ BROADCAST(d) */ d.doc_id, d.event_ts,
          explode(CASE WHEN trim(d.text) = '' THEN array()
                  ELSE split(trim(d.text), '\\s+') END) AS gram
   FROM {{ ref_changes('deletions') }} d
-  WHERE EXISTS (SELECT 1 FROM {{ ref('fingerprints') }} f
-                WHERE f.doc_id = d.doc_id)
+  JOIN (SELECT doc_id FROM {{ ref('fingerprints') }}) f USING (doc_id)
 )
 GROUP BY event_ts, gram
 

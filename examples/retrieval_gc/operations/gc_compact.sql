@@ -27,13 +27,20 @@
 INSERT INTO {{ ref('term_stats') }} (event_ts, term, df, __graft_batch)
 SELECT event_ts, term, -count(*) AS df,
        date_format(date_trunc('day', event_ts), "yyyy-MM-dd'T'HH") AS __graft_batch
+-- witness shape (r18, probe-measured at 450k): the witness is an INNER
+-- join against the unique-keyed doc_lens (one row per doc — identical
+-- semantics to EXISTS) with the O(new deletions) window BROADCAST. An
+-- EXISTS would plan as a left-semi whose build side is the
+-- CORPUS-SIZED store: beyond the broadcast threshold both sides
+-- shuffle O(corpus) however small the window (513k vs 177k shuffle
+-- rows at 450k docs — SCALE.md r18). The hinted window never exceeds
+-- broadcast by construction: it is the CDC delta, not the feed.
 FROM (
-  SELECT d.doc_id, d.event_ts,
+  SELECT /*+ BROADCAST(d) */ d.doc_id, d.event_ts,
          explode(array_distinct(CASE WHEN trim(d.text) = ''
            THEN array() ELSE split(trim(d.text), '\\s+') END)) AS term
   FROM {{ ref_changes('deletions') }} d
-  WHERE EXISTS (SELECT 1 FROM {{ ref('doc_lens') }} l
-                WHERE l.doc_id = d.doc_id)
+  JOIN (SELECT doc_id FROM {{ ref('doc_lens') }}) l USING (doc_id)
 )
 GROUP BY event_ts, term
 

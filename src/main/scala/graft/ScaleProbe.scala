@@ -782,6 +782,95 @@ object ScaleProbe {
         if (opFilter("retrieval_gc_mor") || opFilter("bm25_after_gc_mor"))
           gcLeg("mor", "retrieval_gc_mor", "bm25_after_gc_mor")
       }
+      // r18 ref_changes legs: the compensating negative-stats derivation
+      // (explode deleted docs' distinct terms, EXISTS-witness semi-join
+      // against doc_lens, group) over the ALL-TIME deletion feed (n/4
+      // docs — the pre-r18 shape, re-derived every build) vs a CDC
+      // WINDOW of only the newest deletions (n/40 docs). The windowed
+      // leg's shuffle rows must track the WINDOW, not the feed — this is
+      // the half of the GC operation that genuinely becomes O(new
+      // deletions); the row-level DELETEs stay store-scan-bound to
+      // LOCATE their rows (no doc-keyed pruning on a term-bucketed
+      // layout), and the no-new-deletions build is free outright (empty
+      // window — the gate's zero-touch commit-log receipt).
+      val compOps = Seq("gc_compensation_fullfeed", "gc_compensation_windowed",
+        "gc_compensation_windowed_inner")
+      val compWitness =
+        if (compOps.exists(opFilter)) {
+          val w = ops.Retrieval.docLengths(docs, "doc_id", "text").persist()
+          w.count(); Some(w)
+        } else None
+      // the deletion feeds are PARQUET-BACKED, as in the real operation
+      // (ref_changes reads committed files): the planner sees their true
+      // byte sizes, which is what makes the small window's inner join
+      // broadcast — a filter over the cached corpus would hide the
+      // window's size and force both sides through the exchange
+      val compDir =
+        if (compOps.exists(opFilter)) {
+          val dir = java.nio.file.Files.createTempDirectory("graft_comp").toString
+          docs.filter(col("doc_id") % 4 === 1).write.parquet(s"$dir/full")
+          docs.filter(col("doc_id") % 40 === 1).write.parquet(s"$dir/win")
+          Some(dir)
+        } else None
+      def compensate(dels: org.apache.spark.sql.DataFrame,
+                     semi: Boolean): Long = {
+        // witness shape matters in the beyond-broadcast regime: EXISTS
+        // plans as a LEFT-SEMI whose build side is the CORPUS-SIZED
+        // witness store — once the store exceeds the broadcast
+        // threshold, BOTH sides shuffle O(corpus) however small the
+        // deletion window. An INNER join against the unique-keyed
+        // witness is semantically identical (doc_lens holds one row per
+        // doc; deletion-row multiplicity passes through either way) and
+        // accepts a broadcast hint on the O(window) DELETIONS side —
+        // the store never exchanges at any store size. The legs measure
+        // both shapes with broadcast auto-selection DISABLED (the 100 TB
+        // witness never auto-broadcasts).
+        val witnessed =
+          if (semi) dels.join(
+            compWitness.get.select("doc_id"), Seq("doc_id"), "left_semi")
+          else broadcast(dels).join(
+            compWitness.get.select("doc_id"), Seq("doc_id"), "inner")
+        witnessed.select(col("doc_id"),
+            explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df")).count()
+      }
+      def noAutoBcast[A](body: => A): A = {
+        val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+      }
+      noAutoBcast {
+        timed("gc_compensation_fullfeed", runs, opFilter)(
+          compensate(spark.read.parquet(s"${compDir.get}/full"), semi = true))
+        timed("gc_compensation_windowed", runs, opFilter)(
+          compensate(spark.read.parquet(s"${compDir.get}/win"), semi = true))
+        timed("gc_compensation_windowed_inner", runs, opFilter)(
+          compensate(spark.read.parquet(s"${compDir.get}/win"), semi = false))
+      }
+      compWitness.foreach(_.unpersist())
+      compDir.foreach(graft.queries.OpsQueries.deleteDir)
+      // r18 cross-store pin leg: capture a consistent cut across three
+      // committed stores + verify the Σdf invariant ON the cut
+      // (Retrieval.pinnedBm25Stores). Cost target: one vocabulary-sized
+      // stats scan + O(manifest-head) metadata — must stay far under a
+      // serve, and must NOT scan the posting index.
+      if (opFilter("pinned_cut")) {
+        import graft.relations.RelationManager
+        val whDir = java.nio.file.Files.createTempDirectory("graft_pin_probe")
+        val rm = new RelationManager(spark, whDir.toString)
+        val pRel = graft.core.Relation("graft", "main", "pp_postings")
+        val dRel = graft.core.Relation("graft", "main", "pp_doc_lens")
+        val tRel = graft.core.Relation("graft", "main", "pp_stats")
+        rm.writeBucketedTable(ops.Retrieval.postingIndex(docs, "doc_id", "text"),
+          pRel, 32, Seq("term"))
+        rm.writeTable(ops.Retrieval.docLengths(docs, "doc_id", "text"), dRel)
+        rm.writeTable(ops.Retrieval.termStats(docs, "text"), tRel)
+        try timed("pinned_cut", runs, opFilter) {
+          val (pp, _, _) = ops.Retrieval.pinnedBm25Stores(rm, pRel, dRel, tRel)
+          pp.columns.length.toLong // plan-only consumption: the pin itself is the cost
+        }
+        finally graft.queries.OpsQueries.deleteDir(whDir.toString)
+      }
       timed("bm25_ingest_fixedbatch", runs, opFilter)(
         ops.Retrieval.postingIndex(docs.filter(col("doc_id") < 5000),
           "doc_id", "text").count())
