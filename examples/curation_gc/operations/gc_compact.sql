@@ -43,6 +43,16 @@ WHERE doc IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
 
 ;;
 
+DELETE FROM {{ ref('simhash_store') }}
+WHERE doc IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
+
+;;
+
+DELETE FROM {{ ref('simhash_blocks') }}
+WHERE doc IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
+
+;;
+
 DELETE FROM {{ ref('fingerprints') }}
 WHERE doc_id IN (SELECT doc_id FROM {{ ref_changes('deletions') }})
 

@@ -284,6 +284,21 @@ object CurationIngest {
       Dedup.bandIndex(deps("sigs"), "doc", "sig")
         .join(deps("sigs").select("doc", "event_ts"), Seq("doc"))
     }
+    // the HAMMING family's stores (the generalized-fingerprint analog
+    // of sigs/band_index): per-batch 60-bit simhashes and their 4×15-bit
+    // pigeonhole block index — the store pair every media-fingerprint
+    // ingest in this engine probes, here under the same deletion
+    // discipline (row-level MoR DELETE through the scheduled operation)
+    register("cgc_simhashes") { (_, deps) =>
+      Dedup.simhashes(deps("feed"), "doc_id", "text")
+        .join(deps("feed").select(col("doc_id").as("doc"), col("event_ts")),
+          Seq("doc"))
+    }
+    register("cgc_simhash_blocks") { (_, deps) =>
+      Dedup.hammingBlockIndex(deps("simhash_store"), "doc", "sh",
+          nBlocks = 4, blockBits = 15)
+        .join(deps("simhash_store").select("doc", "event_ts"), Seq("doc"))
+    }
     // additive token-occurrence counts — deliberately NOT distinct (a
     // count artifact, not a df artifact): the GC operation's negative
     // append mirrors this exact law, statement-for-statement
@@ -323,15 +338,26 @@ object CurationIngest {
         .groupBy(col("doc").as("probe_id"))
         .agg(count(lit(1)).as("n_near"),
           max(col("est_jaccard")).as("best_jaccard"))
+      val hpairs = Dedup.hammingIncrementalFromIndex(
+        Dedup.simhashes(probes, "probe_id", "text"), "doc", "sh",
+        deps("simhash_blocks")
+          .select("block", "doc", "index_blocks", "index_bits"),
+        deps("simhash_store").select("doc", "sh"), "doc", "sh",
+        maxHamming = 6, nBlocks = 4, blockBits = 15)
+      val ham = hpairs.filter(col("store_doc") =!= col("doc"))
+        .groupBy(col("doc").as("probe_id"))
+        .agg(count(lit(1)).as("n_hamming"))
       probes.withColumn("h", md5(col("text")))
         .join(deps("fingerprints").select("h").distinct()
           .withColumn("__known", lit(true)), Seq("h"), "left")
         .select(col("probe_id"),
           coalesce(col("__known"), lit(false)).as("known_exact"))
         .join(near, Seq("probe_id"), "left")
+        .join(ham, Seq("probe_id"), "left")
         .select(col("probe_id"), col("known_exact"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
-          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          coalesce(col("n_hamming"), lit(0L)).as("n_hamming"))
     }
   }
 }

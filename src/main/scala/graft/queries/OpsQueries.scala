@@ -1995,9 +1995,12 @@ object OpsQueries {
         // O(deleted-rows) forgetting, never a rebuild: merge-on-read
         // DELETEs rewrite NO data file — every build-1 file survives
         // build 2 verbatim, departures live as positional attachments
+        val sh2 = rm.currentState(rel("simhash_store")).get
+        val sb2 = rm.currentState(rel("simhash_blocks")).get
         require(b1.files.forall(b2.files.toSet),
           "build 2 must not rewrite band-index data files")
-        require(b2.deletes.nonEmpty && f2.deletes.nonEmpty && s2.deletes.nonEmpty,
+        require(b2.deletes.nonEmpty && f2.deletes.nonEmpty &&
+            s2.deletes.nonEmpty && sh2.deletes.nonEmpty && sb2.deletes.nonEmpty,
           "MoR GC must leave positional delete attachments on the stores")
         require(b2.props.get("row_level_mode").contains("merge-on-read"),
           "declared tblprops must be live on the committed band index")
@@ -2025,6 +2028,11 @@ object OpsQueries {
         require(s3.files == s2.files && s3.deletes == s2.deletes &&
             s3.deleteRows == s2.deleteRows,
           "a no-new-deletions GC must not touch any signature file")
+        val sh3 = rm.currentState(rel("simhash_store")).get
+        val sb3 = rm.currentState(rel("simhash_blocks")).get
+        require(sh3.files == sh2.files && sh3.deletes == sh2.deletes &&
+            sb3.files == sb2.files && sb3.deletes == sb2.deletes,
+          "a no-new-deletions GC must not touch any simhash-store file")
         require(g3.files == g2.files,
           "a no-new-deletions GC must append no compensation file")
         // counting-CRDT invariant THROUGH GC: Σcnt over the additive
@@ -3419,12 +3427,48 @@ object OpsQueries {
          |    JOIN sig_p sp ON c.probe_id = sp.doc
          |    JOIN sig_s ss ON c.corpus_doc = ss.doc) t
          |  WHERE est >= 0.5
+         |  GROUP BY probe_id),
+         |shh_s AS MATERIALIZED (
+         |  SELECT doc_id AS doc, list_transform(list_distinct($toksSql),
+         |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hshs
+         |  FROM surv),
+         |shv_s AS MATERIALIZED (
+         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), k ->
+         |    CASE WHEN 2 * len(list_filter(hshs, h -> ((h >> k) & 1) = 1)) > len(hshs)
+         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
+         |  FROM shh_s),
+         |shh_p AS MATERIALIZED (
+         |  SELECT probe_id AS doc, list_transform(list_distinct($toksSql),
+         |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hshs
+         |  FROM probes),
+         |shv_p AS MATERIALIZED (
+         |  SELECT doc, CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), k ->
+         |    CASE WHEN 2 * len(list_filter(hshs, h -> ((h >> k) & 1) = 1)) > len(hshs)
+         |         THEN (1::BIGINT << k) ELSE 0::BIGINT END)), 0) AS BIGINT) AS sh
+         |  FROM shh_p),
+         |blk_s AS MATERIALIZED (
+         |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->
+         |    b::VARCHAR || ':' || ((sh >> (b*15)) & 32767)::VARCHAR)) AS block
+         |  FROM shv_s),
+         |blk_p AS MATERIALIZED (
+         |  SELECT doc, sh, unnest(list_transform(generate_series(0, 3), b ->
+         |    b::VARCHAR || ':' || ((sh >> (b*15)) & 32767)::VARCHAR)) AS block
+         |  FROM shv_p),
+         |ham AS MATERIALIZED (
+         |  SELECT probe_id, COUNT(*) AS n_hamming FROM (
+         |    SELECT DISTINCT p.doc AS probe_id, s.doc AS store_doc,
+         |      p.sh AS sh_p, s.sh AS sh_s
+         |    FROM blk_p p JOIN blk_s s USING (block) WHERE s.doc <> p.doc) t
+         |  WHERE bit_count(xor(sh_p, sh_s)) <= 6
          |  GROUP BY probe_id)
          |SELECT p.probe_id,
          |  COALESCE(md5(p.text) IN (SELECT h FROM hs), false) AS known_exact,
          |  COALESCE(n.n_near, 0::BIGINT) AS n_near,
-         |  COALESCE(n.best, 0.0) AS best_jaccard
-         |FROM probes p LEFT JOIN near n USING (probe_id)
+         |  COALESCE(n.best, 0.0) AS best_jaccard,
+         |  COALESCE(hm.n_hamming, 0::BIGINT) AS n_hamming
+         |FROM probes p
+         |LEFT JOIN near n USING (probe_id)
+         |LEFT JOIN ham hm USING (probe_id)
          |ORDER BY p.probe_id""".stripMargin,
     // r17: regime-2 (storage-partitioned) serving through the project —
     // only the join plan moves, the law is the shared BM25 one
