@@ -291,9 +291,20 @@ object Main {
             val p = java.nio.file.Paths.get(args.project, "operations", s"$name.sql")
             if (!java.nio.file.Files.exists(p)) {
               out.println(s"run-operation: unknown operation '$name'"); 2
+            } else if (rm.readOpJournal(name).isDefined) {
+              // r18: a manual run over an INCOMPLETE scheduled run would
+              // re-derive compensation the crashed run already committed
+              // (the manual form reads the whole feed, unguarded) —
+              // double-applying it. The next build's run-start recovery
+              // is the repair path; refuse until it has run.
+              out.println(s"run-operation: operation '$name' has an " +
+                "incomplete scheduled run (crash journal present) — run " +
+                "`build` first so crash recovery completes it, then retry")
+              2
             } else {
-              java.nio.file.Files.readString(p)
-                .split(";;").map(_.trim).filter(_.nonEmpty)
+              graft.runner.Runner.splitStatements(
+                  java.nio.file.Files.readString(p))
+                .map(_.trim).filter(_.nonEmpty)
                 .foreach { stmt =>
                   val n = spark.sql(runner.renderOperation(stmt)).collect().length
                   out.println(s"ran statement ($n rows)")

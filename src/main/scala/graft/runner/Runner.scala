@@ -1175,7 +1175,7 @@ object Runner {
     * quote (`''`), which this scanner reads as close-then-reopen — the
     * net effect (still inside a literal) is identical, so no lookahead
     * is needed. */
-  private[runner] def splitStatements(raw: String): Seq[String] = {
+  private[graft] def splitStatements(raw: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0

@@ -19,12 +19,18 @@ import graft.relations.CommitLog
   * executor's task pool CONCURRENTLY with other nodes' materializations —
   * a session-global hint would attach the operation's watermark to an
   * unrelated model's commit and silently skip that model's write on a
-  * same-index collision. Batch V2 command commits execute on the thread
-  * that runs the statement, so the guard rides exactly the statements it
-  * wraps; if a future Spark version moved command commits off-thread the
-  * guard degrades to ABSENT (pre-r18 behavior), never to a wrong skip. */
+  * same-index collision. A PLAIN ThreadLocal, deliberately not
+  * inheritable (r18 self-review): a pooled thread created while an
+  * operation statement was running would inherit the guard FOREVER and
+  * could stale-skip an unrelated later commit that happened to execute
+  * on it — the one failure direction this mechanism must never have.
+  * Batch V2 command commits execute on the thread that runs the
+  * statement (OperationResumeSpec proves the guard fires end to end);
+  * if a future Spark version moved command commits off-thread the guard
+  * degrades to ABSENT (pre-r18 crash-window behavior) and that spec
+  * fails loudly — never a wrong skip. */
 object GraftOpTxn {
-  private val holder = new InheritableThreadLocal[Map[String, Long]] {
+  private val holder = new ThreadLocal[Map[String, Long]] {
     override def initialValue(): Map[String, Long] = Map.empty
   }
 

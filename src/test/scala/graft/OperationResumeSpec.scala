@@ -94,6 +94,16 @@ class OperationResumeSpec extends AnyFunSuite {
           throw new RuntimeException("injected crash at 1/journaled")
       try assert(build(proj, "2025-01-03T00:00:00Z") != 0)
       finally graft.runner.Runner.opBoundaryHook = (_, _, _) => ()
+      // a manual run-operation over the incomplete run must refuse: the
+      // manual form reads the whole feed unguarded and would re-derive
+      // compensation the crashed run already committed
+      val manualOut = new java.io.StringWriter()
+      val manualCode = graft.Main.execute(spark, graft.Main.Args(
+        command = "run-operation", project = proj,
+        positional = Seq("gc_compact")),
+        new java.io.PrintWriter(manualOut, true))
+      assert(manualCode != 0 && manualOut.toString.contains("crash journal"),
+        s"run-operation must refuse over an incomplete run: $manualCode ${manualOut.toString}")
       // edit the operation's SQL over the partial run: resuming DIFFERENT
       // statements against a half-mutated store would break the
       // compensation pairing, so recovery must refuse, loudly, before
