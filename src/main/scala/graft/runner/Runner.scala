@@ -1009,11 +1009,21 @@ final class Runner(
           RunResult(node.uniqueId, "success", start, Instant.now(),
             s"${sq.exports.size} exports")
         case NodeType.Operation =>
-          runHooks(node, node.config.preHooks)
-          val (nStmts, _) = runOperationNode(node)
-          runHooks(node, node.config.postHooks)
-          RunResult(node.uniqueId, "success", start, Instant.now(),
-            s"$nStmts statements")
+          // --empty is a schema-only DRY RUN: models see zero-row inputs
+          // and write empty state, but an operation's statements are raw
+          // DML against committed stores — running them would mutate
+          // real state from inside a dry run (r18 self-review). Skip,
+          // loudly attributed, like the reference's empty-run contract.
+          if (emptyRun)
+            RunResult(node.uniqueId, "success", start, Instant.now(),
+              "skipped (--empty: operations run DML against real stores)")
+          else {
+            runHooks(node, node.config.preHooks)
+            val (nStmts, _) = runOperationNode(node)
+            runHooks(node, node.config.postHooks)
+            RunResult(node.uniqueId, "success", start, Instant.now(),
+              s"$nStmts statements")
+          }
         case _ =>
           RunResult(node.uniqueId, "success", start, Instant.now(), "no-op")
       }
@@ -1051,9 +1061,12 @@ final class Runner(
     // or vars. A validation mismatch (statement drift over a partial
     // run) throws and aborts the whole build — the stores need operator
     // attention before anything else runs.
-    manifest.nodes.values.toSeq.sortBy(_.name)
-      .filter(_.nodeType == NodeType.Operation)
-      .foreach(n => runOperationNode(n, resumeOnly = true))
+    // (not under --empty: recovery completes REAL DML; a dry run must
+    // neither mutate stores nor consume the journal)
+    if (!emptyRun)
+      manifest.nodes.values.toSeq.sortBy(_.name)
+        .filter(_.nodeType == NodeType.Operation)
+        .foreach(n => runOperationNode(n, resumeOnly = true))
     val selected0 = Selector.select(manifest, select, exclude,
       previousState, previousResults)
     val selected = selected0.filter(id =>

@@ -81,6 +81,28 @@ class OperationResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("--empty dry runs skip operation DML and recovery (r18)") {
+    val proj = graft.queries.OpsQueries.stageProject("examples/retrieval_gc", sf)
+    try {
+      assert(build(proj, "2025-01-02T00:00:00Z") == 0)
+      val rm = rmOf(proj)
+      val mass = rm.read(rel("postings")).count()
+      val tsV = rm.currentState(rel("term_stats")).get.version
+      val out = new java.io.StringWriter()
+      val code = graft.Main.execute(spark, graft.Main.Args(
+        command = "build", project = proj, empty = true,
+        vars = Map("run_end" -> "2025-01-02T00:00:00Z")),
+        new java.io.PrintWriter(out, true))
+      assert(code == 0, out.toString)
+      assert(out.toString.contains("skipped (--empty"),
+        s"the dry run must attribute the operation skip: ${out.toString}")
+      // the dry run mutated no store state through the operation
+      assert(rm.read(rel("postings")).count() == mass)
+      assert(rm.currentState(rel("term_stats")).get.version == tsV,
+        "--empty must not run the compensating append")
+    } finally cleanup(proj)
+  }
+
   test("statement drift over a partial run fails loud with the repair procedure") {
     val proj = graft.queries.OpsQueries.stageProject("examples/retrieval_gc", sf)
     try {
