@@ -514,7 +514,12 @@ final class Runner(
         val dep = manifest.byName(n).getOrElse(throw new NoSuchElementException(
           s"operation ${node.name}: ref_changes names unknown ref '$n'"))
         val to = rm.currentState(relationFor(dep)).map(_.version).getOrElse(0)
-        n -> ((cursors.getOrElse(n, 0L).toInt, to))
+        // a cursor AHEAD of the feed's version counter means the feed
+        // was regenerated (--full-refresh / clean rebuild): replay the
+        // whole feed from 0 — the witness law absorbs the replay —
+        // instead of failing on a truncated version
+        val cur = cursors.getOrElse(n, 0L).toInt
+        n -> ((if (cur > to) 0 else cur, to))
       }.toMap
     }
     val changeViews: Map[String, String] = windows.map { case (n, (from, to)) =>
