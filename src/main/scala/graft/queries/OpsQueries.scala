@@ -351,6 +351,40 @@ object OpsQueries {
       } finally deleteDir(whDir)
     }),
 
+    // r18: serving through the CROSS-STORE SNAPSHOT PIN — the three
+    // stores read at one provably-coexistent cut with the Σdf serving
+    // invariant verified ON the cut (pinnedBm25Stores), then the exact
+    // BM25 law over the pinned frames. With no concurrent writer the
+    // pinned serve must equal the unpinned one — the shared oracle IS
+    // that statement; the concurrency semantics (a mid-query GC can no
+    // longer shift idf/N; an intra-operation cut fails loud) are
+    // RetrievalSpec's job.
+    "q_retrieval_bm25_pinned" -> ((s, d) => {
+      import graft.ops.Retrieval
+      import graft.relations.RelationManager
+      val docs = Tables.documents(s, d)
+      val whDir = java.nio.file.Files.createTempDirectory("graft_bm25p_wh").toString
+      val rm = new RelationManager(s, whDir)
+      try {
+        val postRel = graft.core.Relation("graft", "main", "postings_pin")
+        val dlRel = graft.core.Relation("graft", "main", "doc_lens_pin")
+        val tsRel = graft.core.Relation("graft", "main", "term_stats_pin")
+        rm.writeBucketedTable(Retrieval.postingIndex(docs, "doc_id", "text"),
+          postRel, 8, Seq("term"))
+        rm.writeTable(Retrieval.docLengths(docs, "doc_id", "text"), dlRel)
+        rm.writeTable(Retrieval.termStats(docs, "text"), tsRel)
+        val (pp, pdl, pts) = Retrieval.pinnedBm25Stores(rm, postRel, dlRel, tsRel)
+        Retrieval.bm25TopK(pp.select("term", "doc_id", "tf", "dl"),
+          pdl.select("doc_id", "dl"),
+          Retrieval.prefixQueries(docs, "doc_id", "text",
+            modulo = 37, prefixTokens = 6),
+          "query_id", "qtext", k = 10,
+          precomputedTermStats = Some(pts.select("term", "df")))
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteDir(whDir)
+    }),
+
     // r15 s3: the DECLARED shuffle regime for batch query workloads —
     // same scores as the broadcast path by construction (shared
     // oracle); the strategy only moves the join plan
@@ -3358,6 +3392,9 @@ object OpsQueries {
     "q_retrieval_bm25_incremental" -> bm25TopkOracleSql,
     "q_retrieval_bm25_shuffle" -> bm25TopkOracleSql,
     "q_retrieval_bm25_store" -> bm25TopkOracleSql,
+    // pinned serving: with no concurrent writer the cut IS the current
+    // state — same law, same oracle
+    "q_retrieval_bm25_pinned" -> bm25TopkOracleSql,
     // the Runner-built serving table obeys the same law
     "q_retrieval_project" -> bm25TopkOracleSql,
     // r16: the two-generation microbatch ingest folds to the one-shot
