@@ -849,6 +849,48 @@ object ScaleProbe {
       }
       compWitness.foreach(_.unpersist())
       compDir.foreach(graft.queries.OpsQueries.deleteDir)
+      // r18 late: can Spark's runtime bloom filter prune the MoR
+      // DELETE's store scan? The row-level DELETE is store-scan-bound to
+      // LOCATE its rows (doc-keyed predicate, term-bucketed layout —
+      // no static pruning); `doc_id IN (<window subquery>)` plans as a
+      // join, so runtime.bloomFilter MIGHT inject a pre-filter on the
+      // scan side. A/B the same windowed DELETE with the optimizer flag
+      // off/on — if the receipts match, that is a NEGATIVE result to
+      // record, not a knob to ship.
+      val bfOps = Seq("mor_delete_bloom_off", "mor_delete_bloom_on")
+      if (bfOps.exists(opFilter)) {
+        import graft.relations.RelationManager
+        def bfLeg(name: String, enabled: String): Unit = {
+          val whDir = java.nio.file.Files.createTempDirectory(s"graft_bf")
+          val rm = new RelationManager(spark, whDir.toString)
+          val rel = graft.core.Relation("graft", "main", "postings_bf")
+          rm.writeBucketedTable(
+            ops.Retrieval.postingIndex(docs, "doc_id", "text"),
+            rel, 32, Seq("term"))
+          rm.setTableProperties(rel, Map("row_level_mode" -> "merge-on-read",
+            "delete_compaction" -> "false"))
+          val winDir = s"$whDir/win"
+          docs.filter(col("doc_id") % 40 === 1).select("doc_id")
+            .write.parquet(winDir)
+          spark.read.parquet(winDir).createOrReplaceTempView("bf_win")
+          val was = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+          spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled)
+          try timed(name, runs, opFilter) {
+            spark.sql(s"DELETE FROM ${rm.catalogName}.main.postings_bf " +
+              "WHERE doc_id IN (SELECT doc_id FROM bf_win)")
+            rm.currentState(rel).get.deleteRows.values.sum
+          }
+          finally {
+            was match {
+              case Some(v) => spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+              case None => spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            }
+            graft.queries.OpsQueries.deleteDir(whDir.toString)
+          }
+        }
+        bfLeg("mor_delete_bloom_off", "false")
+        bfLeg("mor_delete_bloom_on", "true")
+      }
       // r18 cross-store pin leg: capture a consistent cut across three
       // committed stores + verify the Σdf invariant ON the cut
       // (Retrieval.pinnedBm25Stores). Cost target: one vocabulary-sized

@@ -2047,8 +2047,13 @@ object OpsQueries {
           .contains(java.time.Instant.parse("2025-01-03T00:00:00Z")),
           "band-index checkpoint must survive GC")
         // catch-up build: the ref_changes window is empty — zero store
-        // files touched on every GC'd store
+        // files touched on every GC'd store, and the O(survivors) KMV
+        // rebuild provably no-ops (materialized_view fingerprint stamps
+        // the fingerprint store's version — unchanged, so "fresh")
+        val k2 = rm.currentState(rel("kmv_ndv")).map(_.version)
         build("2025-01-03T00:00:00Z")
+        require(rm.currentState(rel("kmv_ndv")).map(_.version) == k2,
+          "a no-new-deletions build must no-op the KMV survivor rebuild")
         val b3 = rm.currentState(rel("band_index")).get
         val f3 = rm.currentState(rel("fingerprints")).get
         val g3 = rm.currentState(rel("gram_counts")).get
