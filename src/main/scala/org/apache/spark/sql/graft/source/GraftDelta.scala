@@ -129,6 +129,14 @@ class GraftDeltaWrite(dir: String, writeSchema: StructType,
       val written = msgs.flatMap(_.dataFiles)
       val dataFiles = written.map(_._1)
       val deleteFiles = msgs.flatMap(_.deleteFile)
+      // a delta that wrote no data files and no delete files changed
+      // nothing — skip the commit instead of bumping the version (and
+      // defeating version-fingerprinted refresh skipping) on every
+      // zero-match DML statement; replaying a no-op is a no-op, so the
+      // dropped replay-guard watermark costs nothing
+      if (dataFiles.isEmpty && deleteFiles.isEmpty) {
+        GraftPublish.deleteDir(stageDir); return
+      }
       GraftPublish.publish(dir, stageDir, dataFiles ++ deleteFiles,
         GraftSourceTable.store(dir))
       GraftPublish.deleteDir(stageDir)

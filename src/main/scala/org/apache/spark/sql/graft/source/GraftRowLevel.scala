@@ -147,9 +147,14 @@ class GraftReplaceWrite(dir: String, writeSchema: StructType,
       }
       val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
       val files = written.map(_._1)
+      val removed = op.scannedFiles.toSet
+      // nothing rewritten AND nothing scanned-for-replacement: the DML
+      // matched no rows — skip the no-op commit (see GraftDelta)
+      if (files.isEmpty && removed.isEmpty) {
+        GraftPublish.deleteDir(stageDir); return
+      }
       GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
       GraftPublish.deleteDir(stageDir)
-      val removed = op.scannedFiles.toSet
       // Write-write conflict detection: this DML read `removed` and is
       // about to replace it. The transform runs INSIDE the commit CAS
       // retry against the latest state, so if another commit replaced any

@@ -192,6 +192,16 @@ class GraftBatchWrite(dir: String, st: TableVersion, writeSchema: StructType,
     if (GraftOpTxn.alreadyCommitted(log)) { GraftPublish.deleteDir(stageDir); return }
     val written = messages.collect { case m: GraftCommitMessage => m.files }.flatten
     val files = written.map(_._1)
+    // a zero-row APPEND is a provable no-op: committing it would bump
+    // the version for nothing — spamming manifests on every no-op
+    // statement and defeating version-fingerprinted refresh skipping
+    // (r18: the catch-up build's empty INSERT kept re-triggering the
+    // KMV rebuild). Truncate/overwrite with zero files stays a REAL
+    // commit (it removes rows). Skipping also drops the statement's
+    // replay-guard watermark — harmless: replaying a no-op is a no-op.
+    if (files.isEmpty && mode == GraftWriteMode.Append) {
+      GraftPublish.deleteDir(stageDir); return
+    }
     GraftPublish.publish(dir, stageDir, files, GraftSourceTable.store(dir))
     GraftPublish.deleteDir(stageDir)
     try log.commit(None, None, None, None, written.toMap, GraftOpTxn.current)(
