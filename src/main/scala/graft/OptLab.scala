@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round stage-attribution lab: times sub-stages of the
+  * expensive bench queries with the wall + executor-CPU + shuffle-record
+  * axes (same listener as Bench/ScaleProbe), so per-operator changes are
+  * driven by where the time actually goes, not by plan aesthetics.
+  * Throwaway-grade tool, kept for reproducibility of OPTIMIZATION_r18.md
+  * numbers: `sbt "runMain graft.OptLab /root/testdata/sf0.1 lsh"`. */
+object OptLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which: String => Boolean =
+      if (args.length > 1) args.drop(1).toSet.contains else _ => true
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpuAcc = new org.apache.spark.graft.CpuTimeAccumulator
+    spark.sparkContext.addSparkListener(cpuAcc)
+    def now(): (Long, Long) = {
+      org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
+      (cpuAcc.cpuNs.get(), cpuAcc.shuffleRecords.get())
+    }
+    def timed(name: String)(body: => DataFrame): Unit = {
+      // warm-up once, then best-of-2 (lab-grade, not bench-grade)
+      body.write.format("noop").mode("overwrite").save()
+      val obs = (1 to 2).map { _ =>
+        val (c0, s0) = now(); val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        val (c1, s1) = now()
+        (w, (c1 - c0) / 1e9, s1 - s0)
+      }
+      val w = obs.map(_._1).min; val c = obs.map(_._2).min; val s = obs.map(_._3).max
+      println(f"[lab] $name%-42s wall $w%7.2f s  cpu $c%7.2f s  shuffle $s%10d rows")
+      spark.catalog.clearCache()
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+
+    if (which("lsh")) {
+      println("== q_dedup_minhash_lsh stages ==")
+      timed("sigs")(ops.Dedup.minhashSignatures(docs, "doc_id", "text", 5, 32))
+      val sigs = ops.Dedup.minhashSignatures(docs, "doc_id", "text", 5, 32)
+      val banded = sigs.select(col("doc"),
+        explode(ops.Dedup.bandKeys(col("sig"), 8, 4)).as("band"))
+      timed("banded")(banded)
+      timed("candidates")(
+        banded.select(col("band"), col("doc").as("doc_a"))
+          .join(banded.select(col("band"), col("doc").as("doc_b")), Seq("band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct())
+      timed("full_pairs")(ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5))
+      // band bucket distribution
+      val dist = banded.groupBy("band").count()
+      val stats = dist.agg(count(lit(1)), max("count"),
+        expr("percentile(count, 0.999)"),
+        sum(col("count") * col("count"))).collect()(0)
+      println(s"[lab] buckets=${stats.get(0)} max=${stats.get(1)} p999=${stats.get(2)} joinvol=${stats.get(3)}")
+    }
+
+    if (which("simhash")) {
+      println("== q_dedup_simhash stages ==")
+      timed("simhashes")(ops.Dedup.simhashes(docs, "doc_id", "text"))
+      timed("simhash_pairs")(ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+    }
+
+    if (which("ngram")) {
+      println("== q_dedup_ngram_jaccard stages ==")
+      timed("ngram_pairs")(ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    }
+
+    if (which("cc")) {
+      println("== q_dedup_clusters_incremental stages ==")
+      val gen = pmod(col("doc_a") + col("doc_b"), lit(2))
+      val pairs = ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5)
+        .localCheckpoint(true)
+      println(s"[lab] pair rows = ${pairs.count()}")
+      timed("cc_store_build")(ops.Dedup.connectedComponents(
+        pairs.filter(gen === 0), "doc_a", "doc_b"))
+      val store = ops.Dedup.connectedComponents(
+        pairs.filter(gen === 0), "doc_a", "doc_b").localCheckpoint(true)
+      timed("cc_fold")(ops.Dedup.connectedComponentsIncremental(store, "node", "component",
+        pairs.filter(gen =!= 0), "doc_a", "doc_b"))
+    }
+
+    if (which("v5")) {
+      println("== q_curation_pipeline_v5 variants ==")
+      import graft.ops.{TextAnalysis => TA, Packing}
+      def v5(checkpointScored: Boolean, checkpointKept: Boolean): DataFrame = {
+        val (uni, bi) = TA.lmTables(docs.filter(col("doc_id") % 3 === 0), "text")
+        val scored0 = TA.externalLmLogProb(docs, "doc_id", "text", uni, bi)
+          .filter(col("n_bigrams") > 0)
+          .join(docs.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
+        val scored = if (checkpointScored) scored0.localCheckpoint(true) else scored0
+        val kept0 = TA.perplexityBuckets(scored, "doc_id", "lang", "avg_logprob_lm",
+          approx = true)
+          .filter(col("ppl_bucket") =!= "tail")
+          .select(col("doc_id"), col("lang"), col("ppl_bucket"),
+            TA.tokenCount(col("text")).cast(org.apache.spark.sql.types.LongType)
+              .as("n_tokens"))
+        val kept = if (checkpointKept) kept0.localCheckpoint(true) else kept0
+        Packing.shardAssign(kept, "doc_id", "n_tokens", nShards = 8,
+          hashBuckets = 64)
+          .select("doc_id", "lang", "ppl_bucket", "n_tokens",
+            "shard_id", "shard_offset")
+          .orderBy("doc_id")
+      }
+      timed("v5_lazy")(v5(false, false))
+      timed("v5_ckpt_scored")(v5(true, false))
+      timed("v5_ckpt_both")(v5(true, true))
+      timed("v5_ckpt_kept")(v5(false, true))
+    }
+
+    if (which("leak")) {
+      println("== localCheckpoint leak probe ==")
+      def rddCount(): Int = spark.sparkContext.getPersistentRDDs.size
+      def storage(): String = {
+        val s = spark.sparkContext.getExecutorMemoryStatus.values.map(v => v._1 - v._2).sum
+        f"${s / 1024 / 1024} MB used"
+      }
+      timed("lsh_clean")(ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5))
+      println(s"[lab] persistent RDDs after lsh: ${rddCount()}, $storage()")
+      (1 to 8).foreach { i =>
+        SparkEntry.queries("q_dedup_clusters_incremental")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        println(s"[lab] after clusters x$i: rdds=${rddCount()}, ${storage()}")
+      }
+      timed("lsh_after_leaks")(ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleLen = 5, k = 32, bands = 8, threshold = 0.5))
+      println(s"[lab] persistent RDDs at end: ${rddCount()}, ${storage()}")
+    }
+
+    if (which("bm25")) {
+      println("== retrieval stages ==")
+      val queries = ops.Retrieval.prefixQueries(docs, "doc_id", "text",
+        modulo = 37, prefixTokens = 6)
+      timed("posting_index")(ops.Retrieval.postingIndex(docs, "doc_id", "text"))
+      timed("bm25_topk")(ops.Retrieval.bm25TopK(
+        ops.Retrieval.postingIndex(docs, "doc_id", "text"),
+        ops.Retrieval.docLengths(docs, "doc_id", "text"),
+        queries, "query_id", "qtext", k = 10))
+      timed("positional_index")(ops.Retrieval.positionalIndex(docs, "doc_id", "text"))
+      timed("phrase")(ops.Retrieval.phraseMatch(
+        ops.Retrieval.positionalIndex(docs, "doc_id", "text"),
+        ops.Retrieval.prefixQueries(docs, "doc_id", "text", modulo = 53, prefixTokens = 3),
+        "query_id", "qtext"))
+    }
+    spark.stop()
+  }
+}

@@ -695,12 +695,71 @@ object Dedup {
                           maxIter: Int = 50): DataFrame =
     connectedComponentsWithStats(edges, aCol, bCol, maxIter)._1
 
+  /** Edge-count threshold below which [[connectedComponents]] solves the
+    * labeling with a driver-local union-find instead of the distributed
+    * star iteration (r18 optimization round; guide §1.2 "the distributed
+    * algorithm" + §2.4 "remove shuffles outright"). The star iteration's
+    * cost on a SMALL graph is pure orchestration: ~2 multi-stage shuffle
+    * jobs per round × O(log diameter) rounds — measured 14.7 s wall /
+    * 5.2 s CPU for a few-hundred-edge contracted fold at sf0.1, all of
+    * it driver round-trips. Below the threshold the canonical edge set
+    * (already distinct + cached for the iteration) collects once and a
+    * min-root union-find labels it in milliseconds with ZERO extra
+    * shuffles; output is bit-identical (min-id components are unique).
+    *
+    * The bound is the same driver-memory contract as the incremental
+    * fold's `maxContractedNodes` broadcast guard: 2M canonical edges ≈
+    * 64 MB of (Long, Long) on the driver, comfortably under the merge
+    * maps the fold already broadcasts. Above it — the 100 TB corpus
+    * pair graph — the Kiveris iteration runs exactly as before.
+    * Env-overridable (`GRAFT_CC_LOCAL_MAX_EDGES`, 0 disables) so cluster
+    * deployments with thin drivers can tune it without a rebuild. */
+  private[graft] val LocalCcMaxEdgesDefault: Long =
+    sys.env.get("GRAFT_CC_LOCAL_MAX_EDGES").map(_.toLong)
+      .getOrElse(2L * 1000 * 1000)
+
+  /** Driver-local min-root union-find over canonical (u, v) edges; returns
+    * (node, component-min) labels for every collected node. Path-halving
+    * find + union-by-size, min id tracked per root. */
+  private def unionFindMinLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](edges.length * 2)
+    def internId(x: Long): Int = idx.getOrElse(x, {
+      val i = ids.length; idx.update(x, i); ids += x; i
+    })
+    edges.foreach { case (u, v) => internId(u); internId(v) }
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    val size = Array.fill(n)(1)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(idx(u)); val rv = find(idx(v))
+      if (ru != rv) {
+        if (size(ru) >= size(rv)) { parent(rv) = ru; size(ru) += size(rv) }
+        else { parent(ru) = rv; size(rv) += size(ru) }
+      }
+    }
+    val minOf = new Array[Long](n)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < n) { val r = find(i); if (ids(i) < minOf(r)) minOf(r) = ids(i); i += 1 }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    out
+  }
+
   /** [[connectedComponents]] plus the number of rounds it took — the
     * scale-relevant observable (ChainComponentsSpec pins the log bound on
     * adversarial chain graphs; SCALE.md r8 records rounds vs diameter). */
   private[graft] def connectedComponentsWithStats(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50,
+      localMaxEdges: Long = LocalCcMaxEdgesDefault): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // sever: pin a round's result as a cached RDD and rebuild the frame
     // from it. localCheckpoint(true) is NOT enough here — with it, driver
@@ -719,8 +778,34 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .distinct())
+    // Scale-adaptive dispatch (r18 opt): the canonical edge count reads
+    // off the cache the iteration materializes anyway (one cheap action,
+    // no extra pass over the input pipeline). Small integral-keyed graphs
+    // — the incremental folds' contracted batch graphs, small-corpus
+    // one-shots — label locally in one collect of the ALREADY-CACHED
+    // canonical set; everything else runs the distributed iteration.
+    val nCanonical = e.count()
+    val integralKeys = e.schema.fields.forall(_.dataType == LongType)
+    if (nCanonical > 0 && nCanonical <= localMaxEdges && integralKeys) {
+      val collected = eRdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      eRdd.unpersist()
+      val labels = unionFindMinLabels(collected).collect {
+        case (node, comp) if node != comp => org.apache.spark.sql.Row(node, comp)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", LongType, nullable = false)))
+      val labelDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            labels.length / 10000 + 1))), schema)
+      val out = allNodes.join(labelDf, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      return (out, 0)
+    }
     var iter = 0
-    var converged = e.isEmpty
+    var nPrev = nCanonical
+    var converged = nCanonical == 0
     while (!converged && iter < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v ∈ Γ(u), v > u
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -736,7 +821,13 @@ object Dedup {
         .union(j.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
       val (e2, e2Rdd) = sever(small)
-      converged = e2.exceptAll(e).isEmpty && e.exceptAll(e2).isEmpty
+      // set-equality convergence in one except job + one cached count
+      // (r18 opt — guide §2.4): both rounds' edge sets are .distinct()
+      // outputs, so |e2| = |e| ∧ e2 ∖ e = ∅ ⟺ e2 = e; the old
+      // two-sided exceptAll paid a second full shuffle job per round.
+      val n2 = e2.count()
+      converged = n2 == nPrev && e2.except(e).isEmpty
+      nPrev = n2
       eRdd.unpersist()
       e = e2; eRdd = e2Rdd
       iter += 1

@@ -250,8 +250,18 @@ object Dsir {
              smoothing: Double = 1.0,
              approx: Boolean = true, accuracy: Int = 1000000,
              precomputedModel: Option[DataFrame] = None): DataFrame = {
-    val weighted = logWeights(raw, target, idCol, textCol, nBuckets,
+    // the weighted frame feeds BOTH the cutoff derivation and the verdict
+    // assignment below; Spark dedupes no shared subplans, so the whole
+    // scoring lineage (corpus feature explode + model probe + doc agg)
+    // used to execute twice per action — with a precomputed model that
+    // was two full corpus explodes (r18 opt, measured: the
+    // q_dsir_from_model fold at sf0.1 dropped ~2× once severed).
+    // Materialize it once: O(corpus) rows but 4 narrow columns, the same
+    // class as the v6 stage persists. Streaming inputs pass through.
+    val weighted0 = logWeights(raw, target, idCol, textCol, nBuckets,
       smoothing, precomputedModel)
+    val weighted =
+      if (weighted0.isStreaming) weighted0 else weighted0.localCheckpoint(true)
     // cutoff derives from the SCOREABLE docs only (zero-feature docs'
     // 0.0 sentinel scores would shift the rank denominator); the
     // verdict is then one assignment branch over the whole frame — the

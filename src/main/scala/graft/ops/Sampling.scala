@@ -175,10 +175,18 @@ object Sampling {
   def topFractionByScore(df: DataFrame, scoreCol: String, fraction: Double,
                          ascending: Boolean = false,
                          approx: Boolean = true,
-                         accuracy: Int = 1000000): DataFrame =
-    selectByCutoff(df, scoreCol,
-      scoreCutoff(df, scoreCol, fraction, ascending, approx, accuracy),
+                         accuracy: Int = 1000000): DataFrame = {
+    // the scored frame feeds BOTH the cutoff aggregate and the verdict
+    // assignment; Spark dedupes no shared subplans, so an unsevered
+    // input lineage (often a whole scorer pipeline) executes twice per
+    // action (r18 opt — guide §1.2: don't compute things twice).
+    // Materialize it once; streaming inputs pass through (a micro-batch
+    // cannot checkpoint, and its scorer runs per-batch anyway).
+    val scored = if (df.isStreaming) df else df.localCheckpoint(true)
+    selectByCutoff(scored, scoreCol,
+      scoreCutoff(scored, scoreCol, fraction, ascending, approx, accuracy),
       ascending)
+  }
 
   /** The top-fraction cutoff VALUE as a one-row PERSISTABLE artifact
     * (r13 — the perplexityCutoffs pattern for ungrouped scores): derive

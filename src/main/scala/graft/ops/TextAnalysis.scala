@@ -618,10 +618,18 @@ object TextAnalysis {
                         headFraction: Double = 1.0 / 3.0,
                         middleFraction: Double = 2.0 / 3.0,
                         approx: Boolean = true,
-                        accuracy: Int = 1000000): DataFrame =
-    assignPplBuckets(scored, groupCol, lpCol,
-      perplexityCutoffs(scored, groupCol, lpCol, headFraction, middleFraction,
+                        accuracy: Int = 1000000): DataFrame = {
+    // the scored frame feeds BOTH the per-group cutoff aggregate and the
+    // bucket assignment; Spark dedupes no shared subplans, so an
+    // unsevered scorer lineage (the external-LM join pipeline in every
+    // ppl gate) executed twice per action (r18 opt, measured 3× wall on
+    // q_curation_pipeline_v5 at sf0.1 once severed — guide §1.2).
+    // Streaming inputs pass through (per-batch scorer, no checkpoint).
+    val sev = if (scored.isStreaming) scored else scored.localCheckpoint(true)
+    assignPplBuckets(sev, groupCol, lpCol,
+      perplexityCutoffs(sev, groupCol, lpCol, headFraction, middleFraction,
         approx, accuracy))
+  }
 
   /** The per-group cutoff table (group, cut_head, cut_middle) as a
     * PERSISTABLE artifact (r13): derive it once from a reference corpus

@@ -26,17 +26,40 @@ class ChainComponentsSpec extends AnyFunSuite {
   }
 
   test("a permuted chain collapses to ONE component labeled with the min id") {
-    for (n <- Seq(33, 257, 2048)) {
-      val (comp, _) = Dedup.connectedComponentsWithStats(chain(n), "a", "b", maxIter = 64)
+    // both dispatch arms (r18 opt): the local union-find (default — these
+    // chains are far under the threshold) and the distributed star
+    // iteration (forced via localMaxEdges = 0) must agree exactly
+    for (localMax <- Seq(Dedup.LocalCcMaxEdgesDefault, 0L); n <- Seq(33, 257, 2048)) {
+      val (comp, _) = Dedup.connectedComponentsWithStats(chain(n), "a", "b",
+        maxIter = 64, localMaxEdges = localMax)
       val labels = comp.select("component").distinct().collect().map(_.getLong(0))
-      assert(labels.toSeq == Seq(0L), s"n=$n: expected single component 0, got ${labels.toSeq}")
+      assert(labels.toSeq == Seq(0L),
+        s"n=$n localMax=$localMax: expected single component 0, got ${labels.toSeq}")
       assert(comp.count() == n)
     }
   }
 
+  test("local union-find path is row-identical to the distributed iteration") {
+    // hash-derived random multigraph with self-loops, duplicate edges and
+    // isolated-by-self-loop nodes — every edge-canonicalization corner
+    import spark.implicits._
+    val edges = spark.range(3000).toDF("i")
+      .select(pmod(xxhash64(col("i"), lit("pa")), lit(900)).as("a"),
+        pmod(xxhash64(col("i"), lit("pb")), lit(900)).as("b"))
+    val local = Dedup.connectedComponentsWithStats(edges, "a", "b", 64,
+      localMaxEdges = Dedup.LocalCcMaxEdgesDefault)._1
+    val dist = Dedup.connectedComponentsWithStats(edges, "a", "b", 64,
+      localMaxEdges = 0L)._1
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty,
+      "local and distributed component labelings diverge")
+  }
+
   test("rounds grow like log2(diameter), not linearly") {
     val measured = Seq(64, 512, 4096).map { n =>
-      val (comp, iters) = Dedup.connectedComponentsWithStats(chain(n), "a", "b", maxIter = 64)
+      // localMaxEdges = 0 forces the distributed iteration — the round
+      // bound is ITS property (the local path reports 0 rounds)
+      val (comp, iters) = Dedup.connectedComponentsWithStats(chain(n), "a", "b",
+        maxIter = 64, localMaxEdges = 0L)
       comp.count() // force
       n -> iters
     }
