@@ -97,6 +97,47 @@ object OptLab {
         pairs.filter(gen =!= 0), "doc_a", "doc_b"))
     }
 
+    if (which("hash")) {
+      // driver-side microbench of the fused signature kernels over a
+      // ScaleProbe-shaped corpus (realistic text, not the 31-token gate
+      // fixture) — sizes the md5 / affine-min split before touching them
+      val texts = ScaleProbe.corpus(spark, 20000).select("text")
+        .collect().map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+      def bench(name: String)(body: => Long): Unit = {
+        body // warm
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val s = body
+          ((System.nanoTime() - t0) / 1e6, s)
+        }.minBy(_._1)
+        println(f"[lab] $name%-28s ${best._1}%8.1f ms  (sink ${best._2})")
+      }
+      bench("minhash_compute") {
+        var s = 0L
+        texts.foreach { t =>
+          s += org.apache.spark.sql.graft.MinhashSignature.compute(t, 5, 32).getLong(0)
+        }
+        s
+      }
+      bench("simhash_compute") {
+        var s = 0L
+        texts.foreach(t => s += org.apache.spark.sql.graft.SimhashSignature.compute(t))
+        s
+      }
+    }
+
+    if (which("conf")) {
+      Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+        "spark.sql.join.preferSortMergeJoin",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "spark.io.compression.codec",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.parquet.compression.codec")
+        .foreach(k => println(s"[lab] conf $k = ${spark.conf.getOption(k)}"))
+    }
+
     if (which("v5")) {
       println("== q_curation_pipeline_v5 variants ==")
       import graft.ops.{TextAnalysis => TA, Packing}

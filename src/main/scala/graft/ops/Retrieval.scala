@@ -282,19 +282,24 @@ object Retrieval {
         posexplode(TextAnalysis.tokens(col(qTextCol))).as(Seq("off", "term")))
     val qLens = queries.select(col(qIdCol).as("query_id"),
       TextAnalysis.tokenCount(col(qTextCol)).as("m"))
-    val shifted = index.join(broadcast(qTerms), "term")
-      .select(col("query_id"), col("doc_id"), col("off"),
-        transform(col("positions"), p => p - col("off")).as("starts"))
-    shifted.groupBy("query_id", "doc_id")
+    // the shift + intersection fold runs as ONE codegen'd expression over
+    // the collected (off, positions) rows (r18 opt: the former per-row
+    // `transform(positions, p − off)` and the `aggregate(collect_list,
+    // array_intersect)` fold are interpreted higher-order lambdas on the
+    // gate's hottest aggregate; PhraseStartCount computes the identical
+    // intersection size via sorted two-pointer merges — parity-pinned)
+    val matched = index.join(broadcast(qTerms), "term")
+      .select(col("query_id"), col("doc_id"), col("off"), col("positions"))
+    matched.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("__n_offsets"),
-        aggregate(collect_list(col("starts")), lit(null).cast("array<int>"),
-          (acc, x) => when(acc.isNull, x).otherwise(array_intersect(acc, x)))
-          .as("__starts"))
+        org.apache.spark.sql.graft.VectorExpressions.phraseStartCount(
+          collect_list(struct(col("off"), col("positions"))))
+          .as("__n_starts"))
       .join(broadcast(qLens), "query_id")
       // every phrase offset present AND at least one common start
-      .filter(col("__n_offsets") === col("m") && size(col("__starts")) > 0)
+      .filter(col("__n_offsets") === col("m") && col("__n_starts") > 0)
       .select(col("query_id"), col("doc_id"),
-        size(col("__starts")).cast(LongType).as("n_occurrences"))
+        col("__n_starts").cast(LongType).as("n_occurrences"))
   }
 
   /** Rank-quality evaluation of a retrieval run against relevance

@@ -151,6 +151,82 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `phrase_start_count(rows)` — the phrase-serving verify fold in ONE
+  * codegen call (r18 optimization round): given the collected
+  * `(off, positions)` rows of a (query, doc) group — `positions` the
+  * ascending token positions of the phrase's off-th term in the doc —
+  * returns |∩_i { p − off_i : p ∈ positions_i }|, the number of valid
+  * phrase start positions. Replaces the interpreted
+  * `transform(positions, p − off)` per joined row plus the
+  * `aggregate(collect_list(...), array_intersect)` fold: higher-order
+  * lambdas evaluate per element with zero codegen, and this fold sits on
+  * the phrase gate's hottest aggregate. Semantics identical
+  * (positions are distinct per (term, doc) construction and sorted by
+  * the index layout, so the shifted arrays stay sorted and the m-way
+  * two-pointer merge computes exactly the old intersection's size;
+  * PhraseFoldParity in RetrievalSpec pins equality). Empty input → 0. */
+case class PhraseStartCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StructType, StructField}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("off", IntegerType),
+      StructField("positions", ArrayType(IntegerType))))))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "phrase_start_count"
+
+  override def nullSafeEval(a: Any): Any =
+    PhraseStartCount.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.PhraseStartCount.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PhraseStartCount {
+  /** Static helper shared by eval and codegen. Intersects the shifted
+    * position lists pairwise with a two-pointer merge over the sorted
+    * arrays — O(Σ lengths), no boxing, no intermediate ArrayData. */
+  def compute(rows: ArrayData): Int = {
+    val m = rows.numElements()
+    if (m == 0) return 0
+    // current intersection, shifted; starts as the first row's shifts
+    var acc: Array[Int] = null
+    var i = 0
+    while (i < m) {
+      if (rows.isNullAt(i)) return 0
+      val row = rows.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) return 0
+      val off = row.getInt(0)
+      val pos = row.getArray(1)
+      val n = pos.numElements()
+      if (acc == null) {
+        acc = new Array[Int](n)
+        var j = 0
+        while (j < n) { acc(j) = pos.getInt(j) - off; j += 1 }
+      } else {
+        // two-pointer intersect: both sides ascending
+        val next = new Array[Int](math.min(acc.length, n))
+        var a = 0; var b = 0; var w = 0
+        while (a < acc.length && b < n) {
+          val pv = pos.getInt(b) - off
+          if (acc(a) == pv) { next(w) = acc(a); w += 1; a += 1; b += 1 }
+          else if (acc(a) < pv) a += 1
+          else b += 1
+        }
+        acc = java.util.Arrays.copyOf(next, w)
+      }
+      if (acc.length == 0) return 0
+      i += 1
+    }
+    acc.length
+  }
+}
+
 object VectorExpressions {
   /** Column-API entry points. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -164,6 +240,9 @@ object VectorExpressions {
   def signatureAgreement(a: Column, b: Column): Column =
     ExpressionUtils.column(SignatureAgreement(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def phraseStartCount(rows: Column): Column =
+    ExpressionUtils.column(PhraseStartCount(ExpressionUtils.expression(rows)))
 
   def minhashSignature(text: Column, shingleLen: Int, k: Int): Column =
     ExpressionUtils.column(MinhashSignature(
@@ -472,17 +551,44 @@ case class MinhashSignature(child: Expression, shingleLen: Int, k: Int)
 
 object MinhashSignature {
   val Prime: Long = graft.ops.Dedup.MinhashPrime
-  // affine coefficients precomputed once per JVM (max k = 64 preset)
-  private val coefA: Array[Long] =
-    Array.tabulate(64)(graft.ops.Dedup.minhashCoefA)
-  private val coefB: Array[Long] =
-    Array.tabulate(64)(graft.ops.Dedup.minhashCoefB)
 
-  private val digest = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.security.MessageDigest] {
-      override def get(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
+  /** Per-thread md5 state + a reusable 16-byte output buffer: the old
+    * per-shingle `md.digest()` allocated a fresh array per window —
+    * tens of millions of allocations per corpus-sized signature build
+    * (r18 optimization round). */
+  private final class Md5State {
+    val md: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](16)
+    // Direct-mapped EXACT shingle→hash cache (r18): character shingles
+    // are Zipf-distributed, so a small per-thread cache skips the md5
+    // for the overwhelmingly-common windows. Keys pack the window's
+    // UTF-8 bytes (≤ 7 bytes — the ASCII shingle case) plus the length
+    // into one long, so a hit is provably the same byte string; longer
+    // (multibyte) windows bypass the cache. 2^16 entries ≈ 0.75 MB per
+    // task thread; eviction is overwrite (a stale entry is simply
+    // recomputed next time). Values are the 28-bit md5-prefix hash —
+    // bit-identical to the uncached path by construction.
+    val keys = new Array[Long](1 << 16)
+    val vals = new Array[Int](1 << 16)
+  }
+
+  private val state = ThreadLocal.withInitial(
+    new java.util.function.Supplier[Md5State] {
+      override def get(): Md5State = new Md5State
     })
+
+  /** 28-bit md5-prefix hash of `len` bytes at `off` — identical to
+    * conv(substring(md5(s), 1, 7), 16, 10). */
+  private def md5h28(s: Md5State, bytes: Array[Byte], off: Int, len: Int): Int = {
+    val md = s.md
+    md.reset()
+    md.update(bytes, off, len)
+    md.digest(s.out, 0, 16)
+    val d = s.out
+    (((d(0) & 0xff) << 20) | ((d(1) & 0xff) << 12) |
+      ((d(2) & 0xff) << 4) | ((d(3) & 0xf0) >>> 4))
+  }
 
   /** Static helper shared by eval and codegen.
     *
@@ -492,7 +598,16 @@ object MinhashSignature {
     * document and measurably SLOWER than the relational pipeline it
     * replaced. One offsets pass + md5 over the in-place byte slice is
     * O(len · md5) total — and hashing the byte slice is definitionally
-    * identical to hashing the substring's UTF-8 encoding. */
+    * identical to hashing the substring's UTF-8 encoding.
+    *
+    * The k affine mins ride an INCREMENTAL chain (r18 optimization
+    * round): coefficients step uniformly (a by 2, b by 1000003), so
+    * v_{j+1} = (v_j + 2h + 1000003) mod (2³¹−1) — one add and one
+    * conditional subtract per position instead of a 64-bit multiply +
+    * modulo. Exact by induction: v_0 = h + 1000003 < 2³¹−1 (h < 2²⁸),
+    * the step is < 2³¹−1, and each partial sum < 2·(2³¹−1) reduces with
+    * a single subtract. MinhashParitySpec pins bit-equality against the
+    * retained relational form (and therefore the DuckDB oracle). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String,
               shingleLen: Int, k: Int): ArrayData = {
     val mins = new Array[Long](k)
@@ -511,22 +626,37 @@ object MinhashSignature {
     offsets(nChars) = nBytes
     val last = nChars - shingleLen
     if (last >= 0) {
-      val md = digest.get()
+      val s = state.get()
+      val keys = s.keys; val vals = s.vals
       var i = 0
       while (i <= last) {
-        md.reset()
-        md.update(bytes, offsets(i), offsets(i + shingleLen) - offsets(i))
-        val d = md.digest()
-        // first 7 md5 hex nibbles as a 28-bit value — identical to
-        // conv(substring(md5(s), 1, 7), 16, 10)
-        val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
+        val off = offsets(i)
+        val len = offsets(i + shingleLen) - off
+        var h = 0
+        if (len <= 7) {
+          // pack length + bytes into the exact-match cache key (length
+          // in the top bits disambiguates prefixes; key is never 0)
+          var key = len.toLong
+          var p = 0
+          while (p < len) { key = (key << 8) | (bytes(off + p) & 0xffL); p += 1 }
+          val idx = ((key * -0x61c8864680b583ebL) >>> 48).toInt & 0xffff
+          if (keys(idx) == key) h = vals(idx)
+          else {
+            h = md5h28(s, bytes, off, len)
+            keys(idx) = key; vals(idx) = h
+          }
+        } else h = md5h28(s, bytes, off, len)
+        // incremental affine chain over Dedup.minhashCoefA/B's uniform
+        // steps — the single source of truth the relational reference
+        // and the DuckDB oracle share
+        var v = h + 1000003L // (2·0+1)·h + 1000003·1, already < Prime
+        val step0 = 2L * h + 1000003L
+        val step = if (step0 >= Prime) step0 - Prime else step0
         var j = 0
         while (j < k) {
-          // coefficients from Dedup.minhashCoefA/B — the single source of
-          // truth the relational reference and the DuckDB oracle share
-          val v = (coefA(j) * h + coefB(j)) % Prime
           if (v < mins(j)) mins(j) = v
+          v += step
+          if (v >= Prime) v -= Prime
           j += 1
         }
         i += 1
@@ -566,6 +696,24 @@ case class SimhashSignature(child: Expression)
 
 object SimhashSignature {
   private val Bits = 60
+
+  /** Direct-mapped EXACT token→hash cache (r18 optimization round):
+    * tokens are Zipf-distributed, so a per-thread cache skips the UTF-8
+    * encode + md5 for the overwhelmingly-common words. Keys are the
+    * token STRINGS (reference + equals check — provably the same token
+    * on hit); 2^16 entries per task thread, overwrite eviction. Values
+    * are the 60-bit md5-prefix hash — bit-identical to the uncached
+    * path by construction. */
+  private final class TokenCache {
+    val keys = new Array[String](1 << 16)
+    val vals = new Array[Long](1 << 16)
+    val out = new Array[Byte](16)
+  }
+  private val cache = ThreadLocal.withInitial(
+    new java.util.function.Supplier[TokenCache] {
+      override def get(): TokenCache = new TokenCache
+    })
+
   private val digest = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
       override def get(): java.security.MessageDigest =
@@ -579,19 +727,29 @@ object SimhashSignature {
     val counts = new Array[Int](Bits)
     var n = 0
     val md = digest.get()
+    val c = cache.get()
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (seen.add(t)) {
         n += 1
-        md.reset()
-        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 15 md5 hex nibbles as a 60-bit value — identical to
-        // conv(substring(md5(t), 1, 15), 16, 10)
-        val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-          ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-          ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-          ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+        val idx = (t.hashCode * -1640531527) >>> 16 // Fibonacci spread
+        var h = 0L
+        val ck = c.keys(idx)
+        if (ck != null && (ck.eq(t) || ck == t)) h = c.vals(idx)
+        else {
+          md.reset()
+          md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest(c.out, 0, 16)
+          val d = c.out
+          // first 15 md5 hex nibbles as a 60-bit value — identical to
+          // conv(substring(md5(t), 1, 15), 16, 10)
+          h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+            ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+            ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+            ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+          c.keys(idx) = t; c.vals(idx) = h
+        }
         var b = 0
         while (b < Bits) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
       }
@@ -944,16 +1102,50 @@ object RepetitionStats {
   * through the same java.util.regex path Spark's split uses, empty
   * trimmed → no tokens). */
 object TokenizerUtil {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
   private val Empty = new Array[String](0)
 
+  /** Exactly java.util.regex `\s` (default flags: ASCII-only class):
+    * space, tab, newline, vertical tab, form feed, carriage return. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r') // \t \n  \f \r are 0x09..0x0D
+
+  /** Manual scan replacing `Pattern.compile("\\s+").split(s, -1)` (r18
+    * optimization round — the regex automaton was the hot frame left in
+    * the fused text kernels once hashing was cached). Split semantics
+    * reproduced bit-for-bit, including the leading empty token when the
+    * (space-trimmed) text still starts with non-space whitespace and the
+    * trailing empty token when it ends with one (limit = -1 keeps it).
+    * TokenizerParity in SimhashParitySpec pins equality against the
+    * regex path on every whitespace corner. */
   def tokens(text: org.apache.spark.unsafe.types.UTF8String): Array[String] = {
     val s = text.toString
     var st = 0; var en = s.length
     while (st < en && s.charAt(st) == ' ') st += 1
     while (en > st && s.charAt(en - 1) == ' ') en -= 1
-    if (en == st) Empty
-    else ws.split(s.substring(st, en), -1)
+    if (en == st) return Empty
+    var n = 1 // tokens = ws runs + 1 (leading/trailing runs give empties)
+    var i = st
+    while (i < en) {
+      if (isWs(s.charAt(i))) {
+        n += 1
+        i += 1
+        while (i < en && isWs(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[String](n)
+    var w = 0
+    var tokStart = st
+    i = st
+    while (i < en) {
+      if (isWs(s.charAt(i))) {
+        out(w) = s.substring(tokStart, i); w += 1
+        i += 1
+        while (i < en && isWs(s.charAt(i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    out(w) = s.substring(tokStart, en)
+    out
   }
 }
 

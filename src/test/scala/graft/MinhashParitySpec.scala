@@ -159,4 +159,31 @@ class MinhashParitySpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](1) == Seq.fill(8)(Dedup.MinhashPrime))
     assert(out(1).getSeq[Long](1).exists(_ != Dedup.MinhashPrime))
   }
+
+  test("TokenizerParity: manual \\s+ scan == Pattern.split on whitespace corners") {
+    // r18 opt pin: TokenizerUtil.tokens replaced the regex automaton
+    // with a manual scan; semantics must stay Pattern.split("\\s+", -1)
+    // after the space-only trim, including leading/trailing EMPTY tokens
+    // from non-space whitespace runs at the (trimmed) boundaries
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    def reference(raw: String): Seq[String] = {
+      var st = 0; var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      if (en == st) Seq.empty
+      else ws.split(raw.substring(st, en), -1).toSeq
+    }
+    val cases = Seq(
+      "", " ", "   ", "a", " a ", "a b", "a  b", "a\tb", "\ta", "a\t",
+      " \ta b\t ", "a\t\t\nb", "\t", "\n\n", "ab\fc\rd",
+      "héllo wörld", "多字 节 词", "a \t b \n c", "  \t  ", "one",
+      "tab\tand space mix\r\n", "\rstart", "end")
+    cases.foreach { s =>
+      val got = org.apache.spark.sql.graft.TokenizerUtil
+        .tokens(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toSeq
+      assert(got == reference(s),
+        s"tokenizer diverges on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"got $got, want ${reference(s)}")
+    }
+  }
 }

@@ -531,6 +531,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("PhraseFoldParity: fused phrase_start_count equals the HOF intersect fold") {
+    // r18 opt parity pin: phraseMatch's fused two-pointer intersection
+    // (PhraseStartCount) must be row-identical to the former interpreted
+    // transform + aggregate(array_intersect) fold it replaced, on the
+    // real fixture phrase workload (every 37th doc's 3-token prefix)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = Retrieval.positionalIndex(docs, "doc_id", "text")
+    val queries = Retrieval.prefixQueries(docs, "doc_id", "text",
+      modulo = 37, prefixTokens = 3)
+    val fused = Retrieval.phraseMatch(index, queries, "query_id", "qtext")
+    // the pre-r18 formulation, verbatim
+    val qTerms = queries.select(col("query_id"),
+      posexplode(graft.ops.TextAnalysis.tokens(col("qtext"))).as(Seq("off", "term")))
+    val qLens = queries.select(col("query_id"),
+      graft.ops.TextAnalysis.tokenCount(col("qtext")).as("m"))
+    val shifted = index.join(broadcast(qTerms), "term")
+      .select(col("query_id"), col("doc_id"), col("off"),
+        transform(col("positions"), p => p - col("off")).as("starts"))
+    val hof = shifted.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("__n_offsets"),
+        aggregate(collect_list(col("starts")), lit(null).cast("array<int>"),
+          (acc, x) => when(acc.isNull, x).otherwise(array_intersect(acc, x)))
+          .as("__starts"))
+      .join(broadcast(qLens), "query_id")
+      .filter(col("__n_offsets") === col("m") && size(col("__starts")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("__starts")).cast("long").as("n_occurrences"))
+    assert(fused.count() > 0, "parity fixture produced no phrase matches")
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+      "fused phrase fold diverges from the HOF intersect fold")
+  }
+
   test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val q = docs.filter(col("doc_id") % 37 === 0)
