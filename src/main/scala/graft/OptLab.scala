@@ -97,6 +97,39 @@ object OptLab {
         pairs.filter(gen =!= 0), "doc_a", "doc_b"))
     }
 
+    if (which("q2")) {
+      println("== q2_revenue_by_nation variants ==")
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val c = broadcast(Tables.customer(spark, sfDir))
+      val n = broadcast(Tables.nation(spark, sfDir))
+      val r = broadcast(Tables.region(spark, sfDir))
+      timed("q2_current")(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name")))
+      timed("q2_preagg")(
+        li.groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("__rev"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("__rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name")))
+    }
+
     if (which("hash")) {
       // driver-side microbench of the fused signature kernels over a
       // ScaleProbe-shaped corpus (realistic text, not the 31-token gate

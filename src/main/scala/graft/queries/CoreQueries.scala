@@ -40,21 +40,33 @@ object CoreQueries {
 
     // 5-way star join rolled up to region/nation revenue. Scale: all four
     // dims are broadcast (Tables.broadcastable) so the only shuffle is the
-    // final aggregation on (r_name, n_name); lineitem never re-partitions.
+    // aggregation; lineitem never re-partitions by a join key.
+    //
+    // r18 optimization round (guide §2.3 "aggregate before you shuffle"):
+    // lineitem pre-aggregates per order BELOW the joins — partial decimal
+    // sums are exact and associative, so revenue bits are unchanged, and
+    // after the orderkey rollup each surviving order appears exactly once
+    // per group (o_orderkey is orders' key; the dims join on their own
+    // unique keys), so COUNT(*) ≡ COUNT(DISTINCT o_orderkey) and the
+    // 3-level distinct aggregate disappears. Joins then probe ~4× fewer
+    // rows. Same oracle, measured 2.26 → 1.56 s at sf0.1.
     "q2_revenue_by_nation" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val c = broadcast(Tables.customer(s, d))
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      li.groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("__rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("__rev")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
