@@ -97,6 +97,16 @@ object OptLab {
         pairs.filter(gen =!= 0), "doc_a", "doc_b"))
     }
 
+    if (which("excise")) {
+      println("== substring excision variants ==")
+      timed("excise_current")(ops.Dedup.substringExcise(docs, "doc_id", "text", 8))
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+      val store = ops.Dedup.windowHashes(hist, "doc_id", "text", n = 8)
+        .localCheckpoint(true)
+      timed("excise_incr_current")(ops.Dedup.substringExciseIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 8, store, "h"))
+    }
+
     if (which("q2")) {
       println("== q2_revenue_by_nation variants ==")
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
