@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's streams through untouched instead of
+// re-logging them line-by-line with "[info] "/"[error] " prefixes:
+// the bench/verify contract prints ONE machine-readable JSON line on
+// stdout, and the decoration made it unparseable to stdout-tail
+// consumers (every BENCH_r*.json back to round 1 has parsed:null).
+// With StdoutOutput the subprocess's stdout (the JSON artifact) stays
+// bare and its stderr (Spark log4j noise) goes to real stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

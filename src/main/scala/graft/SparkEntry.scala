@@ -16,6 +16,28 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Self-contained smoke main (r19 — VERIFY_r18 flagged `entry_ok:false`
+    * with q1 itself healthy at both SFs, i.e. an invocation-shape gap, not
+    * an engine bug): `runMain graft.SparkEntry` now builds a session the
+    * same way the other mains do, runs [[entry]], and exits nonzero unless
+    * it returns rows. Prints one bare line `entry_rows=<n>` for tail
+    * consumers. */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = entry(spark).count()
+    println(s"entry_rows=$rows")
+    spark.stop()
+    if (rows <= 0) sys.exit(1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ MatQueries.all ++ FnQueries.all ++ TestQueries.all ++ OpsQueries.all ++ StreamQueries.all ++ SemanticQueries.all ++ JoinQueries.all
 
