@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-only attribution hook (r19): extra JVM flags for the forked run
+  // (e.g. GRAFT_RUN_JAVA_OPTS="-Xlog:gc" for GC-attribution experiments).
+  // Unset in driver runs — the bench JVM is unchanged by default.
+  sys.env.get("GRAFT_RUN_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

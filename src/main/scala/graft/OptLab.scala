@@ -20,6 +20,15 @@ object OptLab {
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSparkSessionExtension")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // r19 measurement-bug fix: the default 100-entry codegen class
+      // cache cannot hold a multi-query application's working set, so
+      // every re-execution paid a full Janino whole-stage recompilation
+      // INSIDE task threads (measured: q_retrieval_bm25_stats 26.7 CPU /
+      // 2.48 wall with the default vs 3.9 CPU / 0.98 wall with the cache
+      // sized to fit — OPTIMIZATION_r19.md has the receipts). A
+      // long-running deployment wants compiled plans cached; this is the
+      // steady-state behavior the warm-up pass was designed to measure.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
@@ -209,6 +218,23 @@ object OptLab {
       timed("v5_ckpt_kept")(v5(false, true))
     }
 
+    // r19 attribution op: the full-suite CPU-axis inflation (r18 baseline
+    // note; VERDICT r18 next-round #2). Runs the stats gate alone, then a
+    // heavy neighbor, then the stats gate again — same session, same
+    // clearCache discipline as the bench. If the gate's CPU reading
+    // inflates while its shuffle rows stay identical, the inflation is a
+    // JVM-context artifact (the structural axis proves the same plan ran),
+    // not a plan change or task leak.
+    if (which("ctx")) {
+      println("== suite-context CPU inflation probe ==")
+      def gate(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      timed("bm25_stats_alone_1")(gate("q_retrieval_bm25_stats"))
+      timed("bm25_stats_alone_2")(gate("q_retrieval_bm25_stats"))
+      timed("compact_mor_neighbor")(gate("q_retrieval_compact_mor"))
+      timed("bm25_stats_after_mor_1")(gate("q_retrieval_bm25_stats"))
+      timed("bm25_stats_after_mor_2")(gate("q_retrieval_bm25_stats"))
+    }
+
     if (which("leak")) {
       println("== localCheckpoint leak probe ==")
       def rddCount(): Int = spark.sparkContext.getPersistentRDDs.size
@@ -218,7 +244,7 @@ object OptLab {
       }
       timed("lsh_clean")(ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleLen = 5, k = 32, bands = 8, threshold = 0.5))
-      println(s"[lab] persistent RDDs after lsh: ${rddCount()}, $storage()")
+      println(s"[lab] persistent RDDs after lsh: ${rddCount()}, ${storage()}")
       (1 to 8).foreach { i =>
         SparkEntry.queries("q_dedup_clusters_incremental")(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -170,7 +170,7 @@ object Dedup {
     * streaming inputs. Streaming frames pass through untouched (a
     * micro-batch's parallelism belongs to the source), so the fused
     * signature ops compose into `foreachBatch`/`transform` pipelines. */
-  private def ensureParallelism(df: DataFrame, idCol: String): DataFrame = {
+  private[ops] def ensureParallelism(df: DataFrame, idCol: String): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism

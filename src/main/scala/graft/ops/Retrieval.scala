@@ -48,8 +48,33 @@ object Retrieval {
     * layout, so scoring never joins back to a document table).
     * Tokenization is the engine-wide whitespace law
     * ([[TextAnalysis.tokens]]). Documents with no tokens produce no
-    * postings (they can never match a query). */
+    * postings (they can never match a query).
+    *
+    * ZERO-SHUFFLE build (r19): every (term, doc) group's rows come from
+    * ONE document row, so the former explode → groupBy paid a
+    * corpus-sized Exchange to aggregate data that never left its source
+    * row (guide §2.4). [[org.apache.spark.sql.graft.TermCounts]] folds
+    * the per-document term frequencies inside the scan task and the
+    * explode emits finished posting rows — the index build is now a
+    * narrow map over the documents. [[Dedup.ensureParallelism]] spreads
+    * provably-tiny scans first (the local-gate case: without the old
+    * groupBy Exchange the tokenize+count work would otherwise run on the
+    * input's few parquet splits; a well-split big scan passes through
+    * untouched). IndexBuildParity (RetrievalSpec) pins row-identity
+    * against the groupBy form. */
   def postingIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.ensureParallelism(docs, idCol).select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .termCounts(col("__toks"))).as("__tc"))
+      .select(col("__tc.term").as("term"), col("doc_id"),
+        col("__tc.tf").as("tf"), col("dl"))
+
+  /** The original groupBy posting build — the independent reference
+    * implementation IndexBuildParity pins [[postingIndex]] against. */
+  private[graft] def postingIndexRelational(docs: DataFrame, idCol: String,
+                                            textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
@@ -255,6 +280,25 @@ object Retrieval {
     * repeat doc ids); positions make exact-phrase verification a pure
     * array computation at serve time, no text re-scan. */
   def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.ensureParallelism(docs, idCol).select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
+        explode(org.apache.spark.sql.graft.VectorExpressions
+          .termPositions(col("__toks"))).as("__tp"))
+      .select(col("__tp.term").as("term"), col("doc_id"),
+        col("__tp.positions").as("positions"), col("dl"))
+
+  /** The original groupBy positional build — the independent reference
+    * implementation IndexBuildParity pins [[positionalIndex]] against.
+    * (ZERO-SHUFFLE r19 rationale: same as [[postingIndex]] — the former
+    * posexplode → groupBy → sort_array(collect_list) paid a corpus-sized
+    * Exchange plus per-row array churn to reassemble position lists that
+    * were already contiguous in their source row; TermPositions emits
+    * each term's 1-based positions in token order, ascending and
+    * duplicate-free by construction — the exact sort_array layout
+    * [[phraseMatch]]'s two-pointer intersection requires.) */
+  private[graft] def positionalIndexRelational(docs: DataFrame, idCol: String,
+                                               textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast(LongType).as("dl"),
@@ -275,7 +319,13 @@ object Retrieval {
     * of the shifted lists IS the set of valid starts — a fold over at
     * most phrase-length arrays, never a positions self-join. A doc
     * missing ANY phrase term contributes fewer than m offsets and is
-    * dropped by the completeness check. */
+    * dropped by the completeness check.
+    *
+    * INDEX CONTRACT (ADVICE r18): each index row's `positions` array
+    * must be ascending and duplicate-free — the [[positionalIndex]]
+    * layout. The fused intersection fold is a sorted two-pointer merge;
+    * an index with unsorted or duplicated positions silently undercounts
+    * where the old order-insensitive array_intersect fold would not. */
   def phraseMatch(index: DataFrame, queries: DataFrame,
                   qIdCol: String, qTextCol: String): DataFrame = {
     val qTerms = queries.select(col(qIdCol).as("query_id"),

@@ -260,6 +260,12 @@ object VectorExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n, distinct))
 
+  def termCounts(tokens: Column): Column =
+    ExpressionUtils.column(TermCounts(ExpressionUtils.expression(tokens)))
+
+  def termPositions(tokens: Column): Column =
+    ExpressionUtils.column(TermPositions(ExpressionUtils.expression(tokens)))
+
   def ivfCellRanks(v: Column, cellIds: Array[Int], centroids: Array[Array[Double]],
                    nProbe: Int): Column =
     ExpressionUtils.column(IvfCellRanks(
@@ -816,6 +822,134 @@ object WordShingles {
     }
     ArrayData.toArrayData(out.toArray(
       new Array[org.apache.spark.unsafe.types.UTF8String](out.size())))
+  }
+}
+
+/** `term_counts(tokens)` — per-document term frequencies in one pass:
+  * array<struct<term, tf>> with terms in first-occurrence order. The
+  * inverted-index builders group by (term, doc_id), and EVERY row of such
+  * a group comes from a single document row — so the corpus-sized
+  * hash-aggregate Exchange the groupBy pays is pure waste (guide §2.4,
+  * remove shuffles outright): this expression computes the same
+  * aggregation inside the scan task and an `explode` yields the posting
+  * rows with zero data movement. Row-identity with the groupBy form is
+  * pinned by IndexBuildParity (RetrievalSpec). */
+case class TermCounts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(a: Any): Any =
+    TermAgg.counts(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TermAgg.counts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `term_positions(tokens)` — per-document positional postings in one
+  * pass: array<struct<term, positions>> with terms in first-occurrence
+  * order and 1-based positions ascending (token order), exactly the
+  * `sort_array(collect_list(pos+1))` layout of the groupBy form it
+  * replaces (positions within one document are strictly increasing, so
+  * no sort is ever needed). Same shuffle-elimination rationale as
+  * [[TermCounts]]; same parity pin. */
+case class TermPositions(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def prettyName: String = "term_positions"
+
+  override def nullSafeEval(a: Any): Any =
+    TermAgg.positions(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TermAgg.positions($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermAgg {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One-pass per-document term counting. UTF8String keys reference the
+    * input buffer — valid for the duration of the call and copied by the
+    * consuming projection, the standard slice-returning-expression
+    * contract. */
+  def counts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val map = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = map.get(t)
+      if (c == null) map.put(t, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](map.size())
+    val it = map.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass per-document positional aggregation; positions are 1-based
+    * token indexes, ascending by construction. */
+  def positions(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val map = new java.util.LinkedHashMap[UTF8String, IntBuf](
+      math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var b = map.get(t)
+      if (b == null) { b = new IntBuf; map.put(t, b) }
+      b.add(i + 1)
+      i += 1
+    }
+    val out = new Array[Any](map.size())
+    val it = map.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(
+        Array[Any](e.getKey, new GenericArrayData(e.getValue.result())))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Minimal growable int buffer (no boxing). */
+  final class IntBuf {
+    private var arr = new Array[Int](4)
+    private var len = 0
+    def add(v: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = v; len += 1
+    }
+    def result(): Array[Int] = java.util.Arrays.copyOf(arr, len)
   }
 }
 

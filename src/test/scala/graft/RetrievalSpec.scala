@@ -563,6 +563,41 @@ class RetrievalSpec extends AnyFunSuite {
       "fused phrase fold diverges from the HOF intersect fold")
   }
 
+  test("IndexBuildParity: zero-shuffle index builds equal the groupBy forms") {
+    // r19 opt parity pin: postingIndex/positionalIndex now aggregate each
+    // document's terms inside the scan task (TermCounts/TermPositions)
+    // instead of paying a corpus-sized explode → groupBy Exchange; the
+    // rows must be identical (positions ascending + duplicate-free, the
+    // phraseMatch contract) to the retained groupBy reference forms.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val post = Retrieval.postingIndex(docs, "doc_id", "text")
+    val postRef = Retrieval.postingIndexRelational(docs, "doc_id", "text")
+    assert(post.count() > 0, "parity fixture produced no postings")
+    assert(post.exceptAll(postRef).isEmpty && postRef.exceptAll(post).isEmpty,
+      "zero-shuffle posting build diverges from the groupBy form")
+    val pos = Retrieval.positionalIndex(docs, "doc_id", "text")
+    val posRef = Retrieval.positionalIndexRelational(docs, "doc_id", "text")
+    assert(pos.exceptAll(posRef).isEmpty && posRef.exceptAll(pos).isEmpty,
+      "zero-shuffle positional build diverges from the groupBy form")
+    // the build itself must be aggregation-free (the per-doc fold runs
+    // inside the scan task); the only Exchange allowed is the
+    // ensureParallelism spread of a provably-tiny local scan — at most
+    // one, and round-robin/hash over the RAW documents, never a
+    // corpus-sized posting-row aggregate
+    Seq(post, pos).foreach { df =>
+      val plan = df.queryExecution.executedPlan
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggs.isEmpty, s"index build still aggregates: $plan")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"index build has unexpected exchanges: $plan")
+    }
+  }
+
   test("plan shape: postings probe is a broadcast hash join, no cartesian corpus join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val q = docs.filter(col("doc_id") % 37 === 0)
