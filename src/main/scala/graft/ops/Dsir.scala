@@ -260,8 +260,9 @@ object Dsir {
     // class as the v6 stage persists. Streaming inputs pass through.
     val weighted0 = logWeights(raw, target, idCol, textCol, nBuckets,
       smoothing, precomputedModel)
-    val weighted =
-      if (weighted0.isStreaming) weighted0 else weighted0.localCheckpoint(true)
+    // Severing mode (incl. the cluster-safe persist fallback and the
+    // eager-execution caveat): graft.ops.Sever.
+    val weighted = Sever.sever(weighted0)
     // cutoff derives from the SCOREABLE docs only (zero-feature docs'
     // 0.0 sentinel scores would shift the rank denominator); the
     // verdict is then one assignment branch over the whole frame — the

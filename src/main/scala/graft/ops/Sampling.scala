@@ -182,7 +182,9 @@ object Sampling {
     // action (r18 opt — guide §1.2: don't compute things twice).
     // Materialize it once; streaming inputs pass through (a micro-batch
     // cannot checkpoint, and its scorer runs per-batch anyway).
-    val scored = if (df.isStreaming) df else df.localCheckpoint(true)
+    // Severing mode (incl. the cluster-safe persist fallback and the
+    // eager-execution caveat): graft.ops.Sever.
+    val scored = Sever.sever(df)
     selectByCutoff(scored, scoreCol,
       scoreCutoff(scored, scoreCol, fraction, ascending, approx, accuracy),
       ascending)

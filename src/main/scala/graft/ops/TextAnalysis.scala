@@ -625,7 +625,9 @@ object TextAnalysis {
     // ppl gate) executed twice per action (r18 opt, measured 3× wall on
     // q_curation_pipeline_v5 at sf0.1 once severed — guide §1.2).
     // Streaming inputs pass through (per-batch scorer, no checkpoint).
-    val sev = if (scored.isStreaming) scored else scored.localCheckpoint(true)
+    // Severing mode (incl. the cluster-safe persist fallback and the
+    // eager-execution caveat): graft.ops.Sever.
+    val sev = Sever.sever(scored)
     assignPplBuckets(sev, groupCol, lpCol,
       perplexityCutoffs(sev, groupCol, lpCol, headFraction, middleFraction,
         approx, accuracy))

@@ -129,8 +129,25 @@ final class RelationManager(
           require(!df.schema.fieldNames.contains(BucketCol),
             s"column name $BucketCol is reserved for bucketed layouts")
           import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-          (df.withColumn(BucketCol, pmod(hash(cols.map(col): _*), lit(n))),
-            partitionBy :+ BucketCol)
+          val routed = df.withColumn(BucketCol,
+            pmod(hash(cols.map(col): _*), lit(n)))
+          // REBALANCE on the write dirs (r19, guide §6 — the Iceberg
+          // write.distribution-mode=hash pattern): a partitionBy write
+          // from T input tasks lands up to T files PER bucket dir, and a
+          // wide upstream (e.g. the r19 narrow-map index builds, 32
+          // tasks) multiplied the file count ~8× — staging renames,
+          // manifest entries, and every later per-file DML/delete pass
+          // scale with it. The rebalance clusters rows by their target
+          // dir; AQE coalesces a small write to ~one file per bucket and
+          // splits a skewed bucket into advisory-sized files at scale,
+          // so the layout stays scale-adaptive rather than
+          // task-count-shaped. (Streaming micro-batch writes keep their
+          // source partitioning — AQE doesn't run there anyway.)
+          val clustered =
+            if (routed.isStreaming) routed
+            else routed.hint("rebalance",
+              (partitionBy :+ BucketCol).map(col): _*)
+          (clustered, partitionBy :+ BucketCol)
         case None => (df, partitionBy)
       }
       // on an object-store root the write swaps in the direct (rename-free)
