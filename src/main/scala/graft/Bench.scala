@@ -140,6 +140,19 @@ object Bench {
     * rationale: earlier metrics stay byte-stable for trends. */
   val morServe: Seq[String] = Seq("q_retrieval_compact_mor")
 
+  /** Twelfth tracked metric (r19 — VERDICT r18 #8): Zipf-head retrieval.
+    * The closed 31-token gate fixture makes every term match ~every doc,
+    * so q_retrieval_bm25_topk measures fixture saturation and the
+    * df-elision knobs never show up in a bench number.
+    * q_retrieval_bm25_stopword (oracle-verified since r16) carries the
+    * Zipf leg: planted ultra-common terms (df = N, N/2, N/20) ride every
+    * query and serving elides them with maxDfFraction = 0.3 — the
+    * deployed Zipf-corpus configuration, measured 6.6× fewer candidate
+    * shuffle rows than its unfiltered twin at the 150k probe (SCALE.md
+    * r19). Separate key, same rationale: earlier metrics stay
+    * byte-stable for trends. */
+  val retrievalZipf: Seq[String] = Seq("q_retrieval_bm25_stopword")
+
   private def brief(t: Throwable): String = {
     val m = Option(t.getMessage).getOrElse(t.getClass.getName)
     m.replaceAll("\\s+", " ").take(200)
@@ -321,7 +334,8 @@ object Bench {
           "multimodal_total" -> multimodal, "project_total" -> project,
           "ingest_total" -> ingest, "retrieval_total" -> retrieval,
           "retrieval_stats_total" -> retrievalStats,
-          "mor_serve_total" -> morServe)
+          "mor_serve_total" -> morServe,
+          "retrieval_zipf_total" -> retrievalZipf)
       case Some(o) =>
         Seq("curation_total" -> curation.filter(o),
           "excision_total" -> excision.filter(o),
@@ -332,7 +346,8 @@ object Bench {
           "ingest_total" -> ingest.filter(o),
           "retrieval_total" -> retrieval.filter(o),
           "retrieval_stats_total" -> retrievalStats.filter(o),
-          "mor_serve_total" -> morServe.filter(o)).filter(_._2.nonEmpty)
+          "mor_serve_total" -> morServe.filter(o),
+          "retrieval_zipf_total" -> retrievalZipf.filter(o)).filter(_._2.nonEmpty)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -218,6 +218,57 @@ object OptLab {
       timed("v5_ckpt_kept")(v5(false, true))
     }
 
+    // r19 attribution op: where does a project build's wall go? Runs the
+    // staged curation project once through Main.execute with a job
+    // listener, then prints every Spark job (start offset, duration,
+    // description) and the per-node spans from run_results — so per-node
+    // fixed overheads (write job, stats, commit, register) are visible
+    // individually instead of as one opaque per-model number.
+    if (which("project")) {
+      println("== curation project build: job-level attribution ==")
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (js.time,
+            Option(js.properties.getProperty("spark.job.description"))
+              .orElse(Option(js.properties.getProperty("callSite.short")))
+              .getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null) jobs.add((s._1, je.time - s._1, s._2))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val proj = queries.OpsQueries.stageCurationProject(sfDir)
+      val t0 = System.currentTimeMillis()
+      try {
+        val sink = new java.io.PrintWriter(java.io.Writer.nullWriter(), true)
+        val code = graft.Main.execute(spark, graft.Main.Args(
+          command = "build", project = proj), sink)
+        org.apache.spark.graft.BusAccess.waitUntilListenerBusEmpty(spark.sparkContext)
+        println(s"[lab] build exit=$code wall=${(System.currentTimeMillis() - t0) / 1000.0}s")
+        val doc = graft.core.Json.obj(graft.core.Json.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(
+            proj, "target", "run_results.json"))))
+        graft.core.Json.arr(doc("results")).map(graft.core.Json.obj).foreach { r =>
+          val id = graft.core.Json.str(r("unique_id")).split("\\.").last
+          val timing = graft.core.Json.arr(r("timing")).map(graft.core.Json.obj).head
+          val st = java.time.Instant.parse(graft.core.Json.str(timing("started_at")))
+          val en = java.time.Instant.parse(graft.core.Json.str(timing("completed_at")))
+          println(f"[lab] node $id%-34s +${(st.toEpochMilli - t0) / 1000.0}%6.2fs  ${(en.toEpochMilli - st.toEpochMilli) / 1000.0}%5.2fs")
+        }
+        import scala.jdk.CollectionConverters._
+        jobs.asScala.toSeq.sortBy(_._1).foreach { case (st, dur, desc) =>
+          println(f"[lab] job +${(st - t0) / 1000.0}%6.2fs ${dur / 1000.0}%6.2fs  ${desc.take(90)}")
+        }
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        graft.Tables.names.foreach(n => spark.catalog.dropTempView(s"corpus_$n"))
+        queries.OpsQueries.deleteDir(proj)
+      }
+    }
+
     // r19 attribution op: the full-suite CPU-axis inflation (r18 baseline
     // note; VERDICT r18 next-round #2). Runs the stats gate alone, then a
     // heavy neighbor, then the stats gate again — same session, same

@@ -121,6 +121,20 @@ object ScaleProbe {
           .agg(count(lit(1)), sum(element_at(col("sig"), 1))).collect()(0).getLong(0))
       timed("simhash_pairs", runs, opFilter)(
         ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
+      // r19 block-layout probe (VERDICT r18 #5): the 6-block/10-bit
+      // pigeonhole alternative to the default 4×15. At maxHamming = 3
+      // BOTH layouts are recall-complete (distance < nBlocks), so the
+      // exact hamming filter makes the outputs identical
+      // (BlockLayoutParity pins it) and the legs compare pure candidate
+      // cost: 10-bit blocks have 32× fewer keys per block (1,024 vs
+      // 32,768) but two more chances to split a near-pair. Candidate
+      // volume scales ~ nBlocks·n²/keys, so first-principles says 4×15
+      // wins (4/32768 vs 6/1024 per-n² coefficient) — this leg is the
+      // measured receipt for keeping the default.
+      timed("simhash_pairs_6x10", runs, opFilter)(
+        ops.Dedup.hammingPairs(
+          ops.Dedup.simhashes(docs, "doc_id", "text"), "doc", "sh",
+          maxHamming = 3, nBlocks = 6, blockBits = 10).count())
       timed("ngram_jaccard_pairs", runs, opFilter)(
         ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
       timed("dedup_clusters", runs, opFilter) {

@@ -73,6 +73,34 @@ class ImageHashSpec extends AnyFunSuite {
       s"missing: ${brute -- blocked}, extra: ${blocked -- brute}")
   }
 
+  test("BlockLayoutParity: 6x10 block layout == default 4x15 at maxHamming < nBlocks (60-bit)") {
+    // r19 (VERDICT r18 #5): the ScaleProbe simhash_pairs_6x10 leg
+    // compares candidate cost of the two layouts; this pin proves the
+    // comparison is apples-to-apples — at maxHamming = 3 both layouts
+    // are recall-complete, so the exact hamming filter yields identical
+    // pair sets over 60-bit simhash-shaped signatures.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val mask60 = (1L << 60) - 1
+    val baseSigs = (0 until 300).map(i => i.toLong -> (rnd.nextLong() & mask60))
+    val planted = (0 until 30).map { i =>
+      val (_, sig) = baseSigs(i * 11 % baseSigs.size)
+      val flips = 1 + i % 3
+      val mutated = (0 until flips).foldLeft(sig)((s, _) =>
+        s ^ (1L << rnd.nextInt(60)))
+      (1000L + i) -> mutated
+    }
+    val df = (baseSigs ++ planted).toDF("id", "h")
+    def pairs(nBlocks: Int, blockBits: Int) =
+      Dedup.hammingPairs(df, "id", "h", maxHamming = 3, nBlocks, blockBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p4x15 = pairs(4, 15)
+    val p6x10 = pairs(6, 10)
+    assert(p4x15.nonEmpty, "planted near-dups must produce pairs")
+    assert(p4x15 == p6x10,
+      s"missing: ${p4x15 -- p6x10}, extra: ${p6x10 -- p4x15}")
+  }
+
   test("image features: hand-computed descriptor on a known 3x2 color image") {
     import spark.implicits._
     // one pixel per pooled cell (gridW=3, gridH=2) so the luma grid is
