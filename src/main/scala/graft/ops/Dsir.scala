@@ -36,8 +36,32 @@ import org.apache.spark.sql.types._
   * repeat queries score with ONE corpus explode and no model rebuild. */
 object Dsir {
 
+  /** Fused single-pass form (r19): the former tokens-explode UNION
+    * word-shingles-explode scanned and tokenized every document TWICE
+    * and pushed each feature through an interpreted
+    * md5 → hex → substring → conv chain; DsirFeatureBuckets emits the
+    * identical bucket ids (28-bit md5-prefix mod nBuckets — the pinned
+    * minhash-kernel identity) from one tokenize + one digest per
+    * feature. Unigram buckets then bigram buckets per document —
+    * per-doc multiset equality pinned by DsirFeatureParity; downstream
+    * sums round to 6 decimals, which absorbs the (already
+    * partition-order-dependent) double-summation order. */
   private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
-                             nBuckets: Int): DataFrame = {
+                             nBuckets: Int): DataFrame =
+    featureBucketsFused(df, idCol, textCol, nBuckets)
+
+  private[graft] def featureBucketsFused(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(org.apache.spark.sql.graft.VectorExpressions
+        .dsirFeatureBuckets(col(textCol), nBuckets)).as("b"))
+
+  /** The original two-scan relational form — the independent reference
+    * implementation DsirFeatureParity pins [[featureBuckets]] against. */
+  private[graft] def featureBucketsRelational(df: DataFrame, idCol: String,
+                                              textCol: String,
+                                              nBuckets: Int): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("f"))
     val bigs = df.select(col(idCol).as("__id"),

@@ -266,6 +266,9 @@ object VectorExpressions {
   def termPositions(tokens: Column): Column =
     ExpressionUtils.column(TermPositions(ExpressionUtils.expression(tokens)))
 
+  def dsirFeatureBuckets(text: Column, nBuckets: Int): Column =
+    ExpressionUtils.column(DsirFeatureBuckets(ExpressionUtils.expression(text), nBuckets))
+
   def ivfCellRanks(v: Column, cellIds: Array[Int], centroids: Array[Array[Double]],
                    nProbe: Int): Column =
     ExpressionUtils.column(IvfCellRanks(
@@ -882,6 +885,86 @@ case class TermPositions(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `dsir_feature_buckets(text, nBuckets)` — the DSIR feature pipeline
+  * fused into one pass (r19): unigram buckets then bigram buckets, each
+  * `md5-28-bit-prefix(feature) mod nBuckets`, exactly the relational
+  * `conv(substring(md5(f), 1, 7), 16, 10) % nBuckets` (the 28-bit
+  * md5-prefix identity the minhash kernel pinned in r18). Replaces TWO
+  * full scans of the corpus (a tokens explode unioned with a
+  * word-shingles explode) and the per-feature md5→hex→substring→conv
+  * string churn with one tokenize + one digest per feature.
+  * DsirFeatureParity (DsirModelSpec) pins multiset equality per doc. */
+case class DsirFeatureBuckets(child: Expression, nBuckets: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_feature_buckets"
+
+  override def nullSafeEval(t: Any): Any =
+    DsirFeatureBuckets.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.DsirFeatureBuckets.compute($c, $nBuckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirFeatureBuckets {
+  private final class Md5State {
+    val md: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](16)
+  }
+  private val state = ThreadLocal.withInitial(
+    new java.util.function.Supplier[Md5State] {
+      override def get(): Md5State = new Md5State
+    })
+
+  /** 28-bit md5 prefix of the feature's UTF-8 bytes mod nBuckets —
+    * identical to conv(substring(md5(f), 1, 7), 16, 10) % nBuckets
+    * (non-negative, so long % matches). */
+  private def bucket(s: Md5State, bytes: Array[Byte], nBuckets: Int): Long = {
+    val md = s.md
+    md.reset()
+    md.update(bytes)
+    md.digest(s.out, 0, 16)
+    val d = s.out
+    val h = (((d(0) & 0xff) << 20) | ((d(1) & 0xff) << 12) |
+      ((d(2) & 0xff) << 4) | ((d(3) & 0xf0) >>> 4)).toLong
+    h % nBuckets
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              nBuckets: Int): ArrayData = {
+    val toks = TokenizerUtil.tokens(text)
+    val n = toks.length
+    val out = new Array[Long](n + math.max(0, n - 1))
+    val s = state.get()
+    var i = 0
+    while (i < n) {
+      out(i) = bucket(s, toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), nBuckets)
+      i += 1
+    }
+    // bigrams: space-joined adjacent tokens, the WordShingles(2) law
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i < n - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(n + i) = bucket(s,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), nBuckets)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 object TermAgg {

@@ -22,6 +22,20 @@ class DsirModelSpec extends AnyFunSuite {
                        b: org.apache.spark.sql.DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
+  test("DsirFeatureParity: fused feature buckets equal the two-scan relational form") {
+    // r19 opt parity pin: the fused single-pass DsirFeatureBuckets
+    // expression must produce the exact per-doc feature-bucket MULTISET
+    // of the former tokens-explode ∪ shingles-explode +
+    // conv(substring(md5)) pipeline (exceptAll is multiset-aware, so
+    // duplicate buckets within a doc count).
+    val docs = graft.Tables.documents(spark, sf)
+    val fused = graft.ops.Dsir.featureBucketsFused(docs, "doc_id", "text", 4096)
+    val rel = graft.ops.Dsir.featureBucketsRelational(docs, "doc_id", "text", 4096)
+    assert(fused.count() > 0, "parity fixture produced no features")
+    assert(sameRows(fused, rel),
+      "fused DSIR feature buckets diverge from the relational form")
+  }
+
   test("from-model scoring == inline, incl. through a parquet round-trip") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val target = docs.filter(col("doc_id") % 7 === 0)
